@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev smoke main: drives the public API surface end-to-end against the
+  * driver's parquet test data — the same calls the driver harness makes.
+  * Run: sbt "runMain graft.Smoke /root/testdata/sf0.001"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    println(s"== entry: ${SparkEntry.entry(spark).count()} rows")
+
+    Tables.registerAll(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+    val emb  = Tables.load(spark, dir, "embeddings")
+
+    val exact = operators.Dedup.exact(docs, "text", "doc_id")
+    println(s"== dedup.exact: ${exact.count()} rows, dup groups>1: " +
+      exact.filter(col("dup_count") > 1).count())
+
+    val ta = docs.select(col("doc_id"),
+      operators.TextAnalysis.tokenCount(col("text")).as("ntok"),
+      operators.TextAnalysis.qualityScore(col("text")).as("q"),
+      operators.TextAnalysis.langId(col("text")).as("lang_pred"),
+      operators.TextAnalysis.simhash60(col("text")).as("sim"))
+    ta.show(3, false)
+
+    val topk = operators.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 5)
+    topk.show(15, false)
+
+    val sh = operators.Dedup.explodedShingles(docs, "text", "doc_id", 5)
+    println(s"== shingles: ${sh.count()}")
+    val mh = operators.Dedup.minhash(sh, "doc_id", 16)
+    val bands = operators.Dedup.lshBands(mh, "doc_id", 16, 4)
+    println(s"== lsh candidates: ${operators.Dedup.lshCandidates(bands, "doc_id").count()}")
+
+    // CDC side: flatten + projectTo on a nested frame
+    val nested = spark.range(3).select(col("id").cast("string").as("_id"),
+      struct(lit(1).as("pub"), struct(lit("x").as("y")).as("deep")).as("cfg"),
+      array(lit(1), lit(2)).as("tags"))
+    val spec = config.TableSpec("t", Seq(
+      config.ColumnSpec("cfg.pub", "bigint(20)"),
+      config.ColumnSpec("cfg.deep.y", "varchar(100)"),
+      config.ColumnSpec("tags", "blob"),
+      config.ColumnSpec("missing", "int")))
+    val proj = operators.Transforms.projectTo(nested, spec)
+    proj.show(false)
+    operators.Transforms.flatten(nested).show(false)
+
+    // changelog decode
+    val evs = changelog.OplogDecoder.decode(changelog.RawOplog(
+      "u", "db.t", 42L, Map("$v" -> 2, "diff" -> Map("u" -> Map("a" -> 1))),
+      Some(Map("_id" -> changelog.ObjectId("0123456789abcdef01234567")))), Set("db.t"))
+    println(s"== decode: $evs")
+
+    // merge apply
+    val base = Seq(("a", 1, "old"), ("b", 2, "keep")).toDF("_id", "v", "s")
+    val chg = Seq(("a", "update", 10L, Some(5), None: Option[String]),
+                  ("c", "insert", 11L, Some(7), Some("new")),
+                  ("b", "delete", 12L, None: Option[Int], None: Option[String]))
+      .toDF("_id", "op", "ts", "v", "s")
+    sink.MergeApply.applyChanges(base, chg, "_id", "op", Seq(col("ts")), Seq("v", "s"))
+      .orderBy("_id").show(false)
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines (north-star in
+  * BASELINE.json — not present in the reference, which has no scalar
+  * function surface at all, SURVEY §2 "absent" list).
+  *
+  * Everything is Column algebra over built-ins (codegen'd, no UDFs) and is
+  * deliberately restricted to constructs with exact DuckDB equivalents so
+  * the oracle can hash-match: single-space tokenization, explicit character
+  * classes (no locale-dependent `\w`), md5 as the only hash, and double
+  * arithmetic only in the final ratio step (exact-int numerators).
+  */
+object TextAnalysis {
+
+  /** Tokenize on single spaces — matches DuckDB `string_split(text, ' ')`. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish regex token count: letter runs, digit runs, or single
+    * non-alnum-non-space marks. Same RE semantics in Java regex and RE2. */
+  val BpeTokenRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpeTokenRe))
+
+  def punctCount(c: Column): Column = regexp_count(c, lit("[^a-zA-Z0-9 ]"))
+
+  def punctRatio(c: Column): Column =
+    punctCount(c).cast("double") / length(c).cast("double")
+
+  /** English stopword markers (small fixed set; deterministic). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(c: Column): Column = {
+    val set = Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    size(expr(s"filter(split(${c.toString}, ' '), t -> t IN $set)"))
+  }
+
+  /** Mean token length = chars-excluding-spaces / token count. */
+  def avgTokenLen(c: Column): Column =
+    length(regexp_replace(c, " ", "")).cast("double") / tokenCount(c).cast("double")
+
+  /** Composite quality score ∈ roughly [0,1]: rewards mid-length docs and
+    * low punctuation, penalizes stopword stuffing. Pure double arithmetic
+    * over exact integer counts — bit-identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPen  = punctRatio(text) * lit(2.0)
+    val stopRatio = stopwordCount(text).cast("double") / tokenCount(text).cast("double")
+    greatest(lit(0.0), lenScore - punctPen - greatest(lit(0.0), stopRatio - lit(0.4)))
+  }
+
+  /** Language-marker sets for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "and", "is", "of", "to", "a"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "我"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val set = markers.map(s => s"'$s'").mkString("(", ", ", ")")
+    size(expr(s"filter(split(${text.toString}, ' '), t -> t IN $set)"))
+  }
+
+  /** Predicted language = argmax marker count, ties broken by language code
+    * (deterministic). Returns a struct-sort trick free expression: built as
+    * chained CASE over the fixed language list. */
+  def langId(text: Column): Column = {
+    // greatest score wins; ties → lexicographically first lang code.
+    val scored = LangMarkers.map { case (lang, m) => (lang, langScore(text, m)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the case/punctuation-normalized text
+    * (SURVEY north-star "document fingerprinting"). */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(c, "[^a-zA-Z0-9]", "")))
+
+  /** 60-bit token hash from md5 (15 hex chars → non-negative long) — the
+    * cross-engine-stable primitive under MinHash/SimHash. DuckDB twin:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`. */
+  def tokenHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over the token multiset: for each of 60 bits, sum ±1 votes
+    * across token hashes; bit set where the vote is positive. Folded over
+    * the token array with higher-order functions — no explode, no shuffle.
+    */
+  def simhash60(text: Column): Column = {
+    val t = text.toString
+    expr(s"""
+      aggregate(
+        transform(split($t, ' '), tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)),
+        cast(array_repeat(0, 60) as array<int>),
+        (acc, h) -> zip_with(acc, sequence(0, 59), (a, j) ->
+          a + cast(if(((h div cast(pow(2, j) as bigint)) % 2) = 1, 1, -1) as int)),
+        acc -> aggregate(sequence(0, 59), 0L, (s, j) ->
+          s + if(element_at(acc, j + 1) > 0, cast(pow(2, j) as bigint), 0L)))""")
+  }
+}

