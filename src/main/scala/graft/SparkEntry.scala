@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{AnalyticsQueries, CdcQueries, LlmQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY §2 + analytics +
+  * LLM-pipeline north-star); each key with an [[oracleSql]] twin is
+  * hash-checked against DuckDB at sf0.01 by the driver.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The CDC apply — change stream folded onto a base snapshot — is the
+    * core semantics of the whole engine. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CdcQueries.defs("t1_cdc_apply")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CdcQueries.defs ++ AnalyticsQueries.defs ++ LlmQueries.defs ++
+      Map("stream_window_agg" -> ((s: SparkSession, dir: String) =>
+        streaming.StreamPipeline.windowedCounts(s, dir)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CdcQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles ++
+      Map("stream_window_agg" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             event_type, count(*) AS n, round(sum(value), 4) AS total
+           FROM events GROUP BY hour, event_type ORDER BY hour, event_type""")
+
+  /** Headline subset timed by [[Bench]] at sf0.1 — one per operator family
+    * (scan/agg, broadcast join chain, window, sessionize, CDC apply,
+    * anti-join, dedup×3, ANN, text), so the benchmark tracks the plans that
+    * matter at 100 TB rather than 30 near-duplicate scans. */
+  val benchQueries: Seq[String] = Seq(
+    "q1_agg", "q3_revenue_topn", "q5_local_supplier", "window_rank",
+    "sessionize", "t1_cdc_apply", "j1_delete_reconcile", "o1_last_image",
+    "dedup_exact", "dedup_lsh_pairs", "dedup_jaccard", "dedup_simhash",
+    "sim_topk_brute", "text_stats", "text_quality")
 }

@@ -1,0 +1,368 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The analytical query layer — the operator families the reference does
+  * NOT have (SURVEY §2 "absent" list, mandated by the north-star): hash
+  * aggregation, multi-way joins, window functions, sort/limit, set ops,
+  * rollup, scalar string/date functions, subqueries, pivot, sessionization.
+  *
+  * Scale notes (100 TB): every join below either broadcasts its small side
+  * explicitly or shuffles on the join key with partial aggregation pushed
+  * map-side by Catalyst; floating-point aggregates are rounded in-query so
+  * results are stable across engines and partition orders.
+  */
+object AnalyticsQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame) = f
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg.
+    "q1_agg" -> q { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3 shape: filtered dim broadcast → fact join → agg → top-N.
+    "q3_revenue_topn" -> q { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    },
+
+    // TPC-H Q5 shape: 6-way join (3 broadcast dims) + group-agg.
+    "q5_local_supplier" -> q { (s, dir) =>
+      val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val orders = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val dims = nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      orders
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+
+    // Window: rank within partition, top-3 per key.
+    "window_rank" -> q { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Window: running (prefix) aggregate in event-time order — the
+    // left-to-right fold is deterministic, so doubles match across engines.
+    "window_running" -> q { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          round(sum(col("value")).over(w), 4).as("running_value"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // Sessionization: 30-minute inactivity gap → session ids → per-user
+    // session stats. lag + cumulative conditional sum, one shuffle on user.
+    "sessionize" -> q { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
+            .when(lag(col("ts_us"), 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // Set operations: intersect / except / union all, tagged.
+    "set_ops" -> q { (s, dir) =>
+      val cn = Tables.load(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = Tables.load(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      cn.intersect(sn).select(lit("both").as("src"), col("nk"))
+        .unionAll(cn.except(sn).select(lit("cust_only").as("src"), col("nk")))
+        .unionAll(sn.except(cn).select(lit("supp_only").as("src"), col("nk")))
+        .orderBy("src", "nk")
+    },
+
+    // Distinct aggregation + HAVING.
+    "agg_distinct_having" -> q { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .filter(col("n_orders") > 100)
+        .orderBy("o_orderpriority")
+    },
+
+    // ROLLUP over a dim join (broadcast nation) with explicit NULL ordering.
+    "rollup_agg" -> q { (s, dir) =>
+      val nation = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+      Tables.load(s, dir, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    },
+
+    // Scalar date functions + month bucketing.
+    "date_agg" -> q { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("month")
+    },
+
+    // CASE bucketing + min/max.
+    "case_bucket" -> q { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("band"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy("band")
+    },
+
+    // Scalar string functions.
+    "string_funcs" -> q { (s, dir) =>
+      Tables.load(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("name10"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_brand"), "Brand#", "B-").as("brand_s"),
+        concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"))
+        .orderBy("p_partkey")
+    },
+
+    // Scalar subquery: rows above 1.5× the global average.
+    "subquery_above_avg" -> q { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val threshold = orders.agg((avg(col("o_totalprice")) * 1.5).as("__thr"))
+      orders.crossJoin(broadcast(threshold))
+        .filter(col("o_totalprice") > col("__thr"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // Pivot via conditional aggregation (stable column names).
+    "pivot_event_types" -> q { (s, dir) =>
+      def n(t: String) = sum(when(col("event_type") === t, 1).otherwise(0)).as(s"n_$t")
+      Tables.load(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy("cohort")
+    },
+
+    // Global sort + limit (top-K) with full tiebreak.
+    "topk_sort" -> q { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    },
+
+    // Semi join: suppliers with at least one lineitem.
+    "semi_join" -> q { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").select("l_suppkey")
+      Tables.load(s, dir, "supplier")
+        .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    },
+
+    // Sketch aggregate (no exact oracle — rows-only check): HLL distinct.
+    "approx_distinct_users" -> q { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_revenue_topn" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders QUALIFY rn <= 3
+         ORDER BY o_custkey, rn""",
+
+    "window_running" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+         FROM events ORDER BY user_id, ts_us, event_id""",
+
+    "sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         s AS (
+           SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM e)
+         SELECT user_id, cast(max(sess_id) AS bigint) AS n_sessions,
+                count(*) AS n_events
+         FROM s GROUP BY user_id ORDER BY user_id""",
+
+    "set_ops" ->
+      """SELECT 'both' AS src, nk FROM
+           (SELECT DISTINCT c_nationkey AS nk FROM customer
+            INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'cust_only' AS src, nk FROM
+           (SELECT DISTINCT c_nationkey AS nk FROM customer
+            EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'supp_only' AS src, nk FROM
+           (SELECT DISTINCT s_nationkey AS nk FROM supplier
+            EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+         ORDER BY src, nk""",
+
+    "agg_distinct_having" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+           cast(count(DISTINCT o_custkey) AS bigint) AS n_cust,
+           round(avg(o_totalprice), 4) AS avg_price
+         FROM orders GROUP BY o_orderpriority
+         HAVING count(*) > 100 ORDER BY o_orderpriority""",
+
+    "rollup_agg" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name, c_mktsegment)
+         ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+
+    "date_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY month ORDER BY month""",
+
+    "case_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                     WHEN o_totalprice < 150000 THEN 'mid'
+                     ELSE 'high' END AS band,
+           count(*) AS n, round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+         FROM orders GROUP BY band ORDER BY band""",
+
+    "string_funcs" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 10)) AS name10,
+           length(p_name) AS name_len,
+           replace(p_brand, 'Brand#', 'B-') AS brand_s,
+           concat_ws('/', p_type, p_brand) AS type_brand
+         FROM part ORDER BY p_partkey""",
+
+    "subquery_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+         ORDER BY o_orderkey""",
+
+    "pivot_event_types" ->
+      """SELECT user_id % 10 AS cohort,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS n_click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS n_view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS n_purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::bigint AS n_signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS n_error,
+           round(sum(value), 4) AS total_value
+         FROM events GROUP BY cohort ORDER BY cohort""",
+
+    "topk_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+
+    "semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+         ORDER BY s_suppkey""",
+    // approx_distinct_users: intentionally no oracle (engine-specific HLL).
+  )
+}

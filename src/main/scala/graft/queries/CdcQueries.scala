@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Tables
+import graft.config.{ColumnSpec, MappingConfig, TableSpec}
+import graft.operators.Transforms
+import graft.sink.{MergeApply, SchemaSync}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 reference operators (S/F/P/T/J/W/O/D families) expressed as
+  * oracle-checkable queries over the driver's parquet test tables. Each
+  * query's DuckDB twin lives in [[CdcQueries.oracles]] — aliases must stay
+  * identical on both sides (the driver sorts columns by name before
+  * hashing).
+  *
+  * `events` plays the role of the change feed: `ts` (ns → µs via
+  * `div 1000`, matching DuckDB `epoch_us`), `user_id` the document key,
+  * `event_type` mapped onto insert/update/delete ops.
+  */
+object CdcQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame) = f
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1+P1+P3: full snapshot scan projected to a declared schema with
+    // NULL-fill for an undeclared source column (reference mysql.go:381-407).
+    "s1_snapshot_project" -> q { (s, dir) =>
+      val spec = TableSpec("orders", Seq(
+        ColumnSpec("o_custkey", "bigint(20)"),
+        ColumnSpec("o_orderstatus", "varchar(1)"),
+        ColumnSpec("o_totalprice", "double"),
+        ColumnSpec("o_orderpriority", "varchar(15)"),
+        ColumnSpec("loyalty_tier", "int")))   // not in source → NULL-fill
+      val src = Tables.load(s, dir, "orders")
+        .withColumn("_id", col("o_orderkey").cast("string"))
+      Transforms.projectTo(src, spec).orderBy("_id")
+    },
+
+    // S2+F1: change-feed scan with the pushed-down predicate
+    // (ns ∈ replicated set AND ts > checkpoint, reference mongo.go:462-492).
+    "s2_changefeed_scan" -> q { (s, dir) =>
+      val ckptUs = 1704412800000000L // 2024-01-05T00:00:00Z
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"))
+        .filter(col("event_type").isin("signup", "purchase", "error") &&
+          col("ts_us") > lit(ckptUs))
+        .orderBy("event_id")
+    },
+
+    // S5: max-offset read — the system's one aggregation (mongo.go:595-616).
+    "s5_max_offset" -> q { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .agg(max(expr("ts div 1000")).as("max_ts_us"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // P2+P3: nested-document flattening — props JSON parsed to a struct,
+    // then deterministically flattened to `_`-joined columns
+    // (reference obj2plain, mongo.go:141-155).
+    "p2_flatten" -> q { (s, dir) =>
+      val parsed = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).as("props"))
+      Transforms.flatten(parsed).orderBy("event_id")
+    },
+
+    // P4: scalar conversions at the sink boundary — array→JSON text,
+    // content digest, ObjectID-style 24-hex key (mysql.go:399-406).
+    "p4_scalar_convert" -> q { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        to_json(split(col("text"), " ")).as("tokens_json"),
+        md5(col("text")).as("content_md5"),
+        lpad(format_string("%x", col("doc_id")), 24, "0").as("oid_hex"))
+        .orderBy("doc_id")
+    },
+
+    // T1+O1+W1+W2 flagship: apply a change stream onto a base snapshot.
+    // events = changelog keyed on user_id (signup→insert, error→delete,
+    // else partial update of `balance`); per-key last-write-wins by
+    // (ts, event_id), partial images preserve untouched columns
+    // (mysql.go:456-459), final delete removes the row (mysql.go:507-534).
+    "t1_cdc_apply" -> q { (s, dir) =>
+      val base = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("_id"),
+        col("c_acctbal").as("balance"),
+        col("c_mktsegment").as("segment"))
+      val changes = Tables.load(s, dir, "events").select(
+        col("user_id").as("_id"),
+        when(col("event_type") === "error", "delete")
+          .when(col("event_type") === "signup", "insert")
+          .otherwise("update").as("op"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        col("value").as("balance"),
+        lit(null).cast("string").as("segment"))
+      MergeApply.applyChanges(base, changes, "_id", "op",
+          Seq(col("ts_us"), col("event_id")), Seq("balance", "segment"))
+        .orderBy("_id")
+    },
+
+    // J1: delete-reconciliation anti-join — sink keys absent from source
+    // (replaces the reference's O(n) per-row FindOne loop, run.go:256-279).
+    "j1_delete_reconcile" -> q { (s, dir) =>
+      val sinkIds = Tables.load(s, dir, "customer").select(col("c_custkey").as("_id"))
+      val sourceIds = Tables.load(s, dir, "orders").select(col("o_custkey").as("_id"))
+      MergeApply.deleteReconcile(sinkIds, sourceIds, "_id").orderBy("_id")
+    },
+
+    // O1: per-key last-image reduction — order matters only per key, so a
+    // window over (ts, event_id) replaces the serialized consumer
+    // (run.go:301-322).
+    "o1_last_image" -> q { (s, dir) =>
+      val changes = Tables.load(s, dir, "events").select(
+        col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      MergeApply.lastImage(changes, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+        .orderBy("user_id")
+    },
+
+    // D1: schema-reconciliation DDL planner (SyncTablesConfig,
+    // mysql.go:146-290) over a fixed synthetic catalog — data-independent,
+    // golden-checked by a VALUES oracle.
+    "d1_schema_plan" -> q { (s, _) =>
+      import s.implicits._
+      val config = MappingConfig("mongodb://src", "mysql://dst", Seq(
+        TableSpec("users", Seq(
+          ColumnSpec("cfg.pub", "bigint(20)"),
+          ColumnSpec("name", "varchar(100)"),
+          ColumnSpec("flags", "blob"))),
+        TableSpec("orders_repl", Seq(
+          ColumnSpec("total", "double")))))
+      val observed: SchemaSync.Catalog = Map(
+        "users" -> Seq("_id" -> "varchar(24)", "name" -> "varchar(50)",
+          "stale" -> "int", "cfg_pub" -> "bigint(20)"),
+        "legacy_tab" -> Seq("_id" -> "varchar(24)"))
+      val plan = SchemaSync.plan(config, observed, force = true)
+      plan.ddl.zipWithIndex
+        .map { case (d, i) => (i.toLong, d.sql) }
+        .toDF("step", "ddl").orderBy("step")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_snapshot_project" ->
+      """SELECT cast(o_orderkey AS varchar) AS _id, o_custkey, o_orderstatus,
+         o_totalprice, o_orderpriority, CAST(NULL AS INT) AS loyalty_tier
+         FROM orders ORDER BY _id""",
+
+    "s2_changefeed_scan" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+         FROM events
+         WHERE event_type IN ('signup','purchase','error')
+           AND epoch_us(ts) > 1704412800000000
+         ORDER BY event_id""",
+
+    "s5_max_offset" ->
+      """SELECT max(epoch_us(ts)) AS max_ts_us, count(*) AS n_events FROM events""",
+
+    "p2_flatten" ->
+      """SELECT event_id, json_extract(props, '$.k')::int AS props_k
+         FROM events ORDER BY event_id""",
+
+    "p4_scalar_convert" ->
+      """SELECT doc_id, to_json(string_split(text, ' ')) AS tokens_json,
+         md5(text) AS content_md5,
+         lpad(printf('%x', doc_id), 24, '0') AS oid_hex
+         FROM documents ORDER BY doc_id""",
+
+    "t1_cdc_apply" ->
+      """WITH ch AS (
+           SELECT user_id AS _id,
+                  CASE event_type WHEN 'error' THEN 'delete'
+                                  WHEN 'signup' THEN 'insert'
+                                  ELSE 'update' END AS op,
+                  epoch_us(ts) AS ts_us, event_id, value AS balance
+           FROM events),
+         last AS (
+           SELECT _id, op, balance FROM ch
+           QUALIFY row_number() OVER (PARTITION BY _id
+                                      ORDER BY ts_us DESC, event_id DESC) = 1),
+         base AS (
+           SELECT c_custkey AS _id, c_acctbal AS balance, c_mktsegment AS segment
+           FROM customer)
+         SELECT coalesce(b._id, l._id) AS _id,
+                coalesce(l.balance, b.balance) AS balance,
+                b.segment AS segment
+         FROM base b FULL OUTER JOIN last l ON b._id = l._id
+         WHERE l.op IS NULL OR l.op <> 'delete'
+         ORDER BY _id""",
+
+    "j1_delete_reconcile" ->
+      """SELECT c_custkey AS _id FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY _id""",
+
+    "o1_last_image" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+
+    "d1_schema_plan" ->
+      """SELECT * FROM (VALUES
+           (0::bigint, 'DROP TABLE `legacy_tab`'),
+           (1::bigint, 'ALTER TABLE `users` DROP COLUMN `stale`'),
+           (2::bigint, 'ALTER TABLE `users` DROP COLUMN `name`'),
+           (3::bigint, 'ALTER TABLE `users` ADD COLUMN `name` varchar(100) NULL'),
+           (4::bigint, 'ALTER TABLE `users` ADD COLUMN `flags` blob NULL'),
+           (5::bigint, 'ALTER TABLE `users` CHANGE `cfg_pub` `cfg_pub` bigint(20) NULL AFTER `_id`'),
+           (6::bigint, 'ALTER TABLE `users` CHANGE `name` `name` varchar(100) NULL AFTER `cfg_pub`'),
+           (7::bigint, 'ALTER TABLE `users` CHANGE `flags` `flags` blob NULL AFTER `name`'),
+           (8::bigint, 'CREATE TABLE `orders_repl` (`_id` varchar(24) NOT NULL, PRIMARY KEY (`_id`))'),
+           (9::bigint, 'ALTER TABLE `orders_repl` ADD COLUMN `total` double NULL'),
+           (10::bigint, 'ALTER TABLE `orders_repl` CHANGE `total` `total` double NULL AFTER `_id`')
+         ) AS t(step, ddl) ORDER BY step""",
+  )
+}

@@ -1,0 +1,337 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (north-star in BASELINE.json):
+  * dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash / embedding),
+  * similarity search, text analysis, multimodal-column plumbing. Every
+  * hash is md5-based so the DuckDB oracle reproduces results exactly;
+  * float math is double-widened and rounded in-query.
+  */
+object LlmQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame) = f
+
+  private val ShingleN = 5
+  private val MinhashK = 16
+  private val LshBands = 4
+
+  /** DuckDB CTE for the distinct (doc_id, shingle) inverted index — the
+    * exact twin of [[Dedup.explodedShingles]] with n=5. */
+  private val ShinglesCte =
+    """shingled AS (
+         SELECT DISTINCT doc_id, unnest(
+           CASE WHEN len(string_split(text, ' ')) >= 5
+                THEN list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> array_to_string(
+                              list_slice(string_split(text, ' '), i, i + 4), ' '))
+                ELSE [text] END) AS shingle
+         FROM documents)"""
+
+  /** DuckDB CTE for MinHash signatures (k=16) over `shingled`. */
+  private val MinhashCte =
+    """sig AS (
+         SELECT doc_id, seed,
+                min(md5(concat(seed, ':', shingle))) AS minhash
+         FROM shingled, (SELECT unnest(generate_series(0, 15)) AS seed)
+         GROUP BY doc_id, seed)"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: digest hash-shuffle, canonical = min id per group.
+    "dedup_exact" -> q { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // MinHash signatures: (doc, seed) → min digest; one key-shuffle with
+    // map-side partial min.
+    "dedup_minhash_sig" -> q { (s, dir) =>
+      val sh = Dedup.explodedShingles(Tables.load(s, dir, "documents"),
+        "text", "doc_id", ShingleN)
+      Dedup.minhash(sh, "doc_id", MinhashK).orderBy("doc_id", "seed")
+    },
+
+    // Full MinHash→LSH chain: banded signatures → bucket join → candidate
+    // pairs. Joins only within buckets — never all-pairs.
+    "dedup_lsh_pairs" -> q { (s, dir) =>
+      val sh = Dedup.explodedShingles(Tables.load(s, dir, "documents"),
+        "text", "doc_id", ShingleN)
+      val sig = Dedup.minhash(sh, "doc_id", MinhashK)
+      val banded = Dedup.lshBands(sig, "doc_id", MinhashK, LshBands)
+      Dedup.lshCandidates(banded, "doc_id").orderBy("id_a", "id_b")
+    },
+
+    // Exact n-gram Jaccard over the inverted index, stop-shingle guarded.
+    "dedup_jaccard" -> q { (s, dir) =>
+      val sh = Dedup.explodedShingles(Tables.load(s, dir, "documents"),
+        "text", "doc_id", ShingleN)
+      Dedup.ngramJaccardPairs(sh, "doc_id", threshold = 0.1, maxDocFreq = 1000L)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs: 60-bit signatures, 12-bit prefix buckets.
+    "dedup_simhash" -> q { (s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 26).orderBy("id_a", "id_b")
+    },
+
+    // Embedding near-dup pairs within sign-LSH buckets.
+    "dedup_embedding" -> q { (s, dir) =>
+      Dedup.embeddingDupPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.3, signBits = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Brute-force exact cosine top-k — the ANN correctness baseline.
+    "sim_topk_brute" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // Sign-LSH bucketed ANN — the scale path (each query scans one bucket).
+    "sim_topk_lsh" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.signLshTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3, bits = 4)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // Per-document text statistics.
+    "text_stats" -> q { (s, dir) =>
+      val t = col("text")
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(t).cast("long").as("n_bpe_tokens"),
+        TextAnalysis.punctCount(t).cast("long").as("n_punct"),
+        TextAnalysis.stopwordCount(t).as("n_stopwords"),
+        round(TextAnalysis.avgTokenLen(t), 6).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring + language-ID + fingerprint.
+    "text_quality" -> q { (s, dir) =>
+      val t = col("text")
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextAnalysis.qualityScore(t), 6).as("quality"),
+        TextAnalysis.langId(t).as("lang_pred"),
+        TextAnalysis.fingerprint(t).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal metadata scan: binary payload + typed metadata, no decode.
+    "multimodal_meta" -> q { (s, dir) =>
+      Multimodal.attachPayload(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"),
+          col("meta.byte_len").as("n_bytes"),
+          col("meta.sha256").as("sha256"),
+          col("meta.magic").as("magic"),
+          (conv(substring(col("meta.sha256"), 1, 4), 16, 10).cast("int") % 1920).as("fake_width"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal frame sampling: deterministic generator, no driver loop.
+    "multimodal_frames" -> q { (s, dir) =>
+      val withPayload = Multimodal.attachPayload(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 20), "text", "doc_id")
+      Multimodal.sampleFrames(withPayload, "doc_id", frameStride = 100)
+        .orderBy("doc_id", "frame_no")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+           doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical,
+           count(*) OVER (PARTITION BY md5(text)) AS dup_count
+         FROM documents ORDER BY doc_id""",
+
+    "dedup_minhash_sig" ->
+      s"""WITH $ShinglesCte, $MinhashCte
+         SELECT doc_id, seed::int AS seed, minhash FROM sig
+         ORDER BY doc_id, seed""",
+
+    "dedup_lsh_pairs" ->
+      s"""WITH $ShinglesCte, $MinhashCte,
+         banded AS (
+           SELECT doc_id, (seed // 4) AS band,
+                  md5(array_to_string(
+                    list_sort(list(concat(seed, ':', minhash))), '|')) AS band_hash
+           FROM sig GROUP BY doc_id, band)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+
+    "dedup_jaccard" ->
+      s"""WITH $ShinglesCte,
+         sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+         keep AS (
+           SELECT shingle FROM shingled GROUP BY shingle
+           HAVING count(*) <= 1000),
+         f AS (SELECT s.doc_id, s.shingle FROM shingled s JOIN keep k USING (shingle)),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(i::double / (sa.sz + sb.sz - i), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE i::double / (sa.sz + sb.sz - i) >= 0.1
+         ORDER BY id_a, id_b""",
+
+    "dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         hashes AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+           FROM toks),
+         votes AS (
+           SELECT doc_id, j,
+                  sum(CASE WHEN (h // cast(pow(2, j) AS bigint)) % 2 = 1
+                           THEN 1 ELSE -1 END) AS v
+           FROM hashes, (SELECT unnest(generate_series(0, 59)) AS j)
+           GROUP BY doc_id, j),
+         sigs AS (
+           SELECT doc_id,
+                  sum(CASE WHEN v > 0 THEN cast(pow(2, j) AS bigint)
+                           ELSE 0 END)::bigint AS sig
+           FROM votes GROUP BY doc_id),
+         bucketed AS (
+           SELECT doc_id, sig, sig // cast(pow(2, 48) AS bigint) AS bucket
+           FROM sigs)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.sig, b.sig))::int AS hamming
+         FROM bucketed a JOIN bucketed b
+           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 26
+         ORDER BY id_a, id_b""",
+
+    "dedup_embedding" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             array_to_string(list_transform(list_slice(embedding, 1, 8),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             list_dot_product(a.embedding::double[], b2.embedding::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(b2.embedding::double[], b2.embedding::double[]))) AS c
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs
+         WHERE c >= 0.3 ORDER BY id_a, id_b""",
+
+    "sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(qv::double[], qv::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM q JOIN embeddings e ON e.vec_id <> query_id)
+         SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_lsh" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             array_to_string(list_transform(list_slice(embedding, 1, 4),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, q.bucket AS bucket,
+             c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], c.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
+               6) AS cosine
+           FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10)
+         SELECT query_id, bucket, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 3 ORDER BY query_id, rnk""",
+
+    "text_stats" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::bigint AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::bigint AS n_punct,
+           len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stopwords,
+           round(length(replace(text, ' ', ''))::double /
+                 len(string_split(text, ' ')), 6) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+
+    "text_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             least(length(text)::double / 500.0, 1.0) AS len_score,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::double /
+               length(text) * 2.0 AS punct_pen,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::double /
+               len(string_split(text, ' ')) AS stop_ratio,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('der','die','das','und','nicht','ist'))) AS n_de,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','and','is','of','to','a'))) AS n_en,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('el','la','los','que','y','es'))) AS n_es,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('le','la','les','et','est','une'))) AS n_fr,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('的','是','了','在','和','我'))) AS n_zh
+           FROM documents)
+         SELECT doc_id,
+           round(greatest(0.0,
+             len_score - punct_pen - greatest(0.0, stop_ratio - 0.4)), 6) AS quality,
+           CASE WHEN greatest(n_de, n_en, n_es, n_fr, n_zh) = 0 THEN 'und'
+                WHEN n_de = greatest(n_de, n_en, n_es, n_fr, n_zh) THEN 'de'
+                WHEN n_en = greatest(n_de, n_en, n_es, n_fr, n_zh) THEN 'en'
+                WHEN n_es = greatest(n_de, n_en, n_es, n_fr, n_zh) THEN 'es'
+                WHEN n_fr = greatest(n_de, n_en, n_es, n_fr, n_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fingerprint
+         FROM t ORDER BY doc_id""",
+
+    "multimodal_meta" ->
+      """SELECT doc_id, strlen(text)::int AS n_bytes,
+           sha256(text) AS sha256,
+           lower(hex(substr(text, 1, 4))) AS magic,
+           (('0x' || substr(sha256(text), 1, 4))::int % 1920)::int AS fake_width
+         FROM documents ORDER BY doc_id""",
+
+    "multimodal_frames" ->
+      """WITH d AS (
+           SELECT doc_id, greatest(1, (strlen(text) // 100)::int) AS n_frames
+           FROM documents WHERE doc_id < 20),
+         f AS (
+           SELECT doc_id, unnest(generate_series(0, n_frames - 1))::int AS frame_no
+           FROM d)
+         SELECT doc_id, frame_no,
+           md5(concat(doc_id, ':', frame_no)) AS frame_hash
+         FROM f ORDER BY doc_id, frame_no""",
+  )
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming leg of the engine (reference entry point C,
+  * run.go:297-335, SURVEY §3.3): change feed → decode/transform →
+  * micro-batch apply with checkpointed offsets. The tailable-await cursor
+  * (mongo.go:494-506) maps to a streaming source; the serialized consumer
+  * (run.go:301-322) maps to per-key ordering inside each micro-batch; the
+  * co-transactional resume checkpoint (mysql.go:563-588) maps to the
+  * `checkpointLocation` offset log (plus the sink-side offset co-commit in
+  * [[graft.sink.UpsertWriter]] when end-to-end exactly-once into an RDBMS
+  * is required).
+  */
+object StreamPipeline {
+
+  /** Schema the events parquet surfaces under nanosAsLong. */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanoseconds since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Event-time hourly windowed aggregation over the change feed, run as a
+    * real Structured Streaming query with an `availableNow` trigger into a
+    * memory sink, then returned as a batch DataFrame. Complete output mode
+    * so every window is emitted (a watermark would hold back the tail
+    * windows at end-of-input; watermark/late-data behavior is exercised in
+    * the streaming spec instead). */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    // The file-stream source requires a directory; the testdata table is a
+    // single file, so scope the directory scan with a glob filter.
+    val stream = spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"), col("total"))
+    val tableName = s"graft_stream_${System.nanoTime()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName).orderBy("hour", "event_type")
+  }
+
+  /** CDC micro-batch driver: change feed → per-key last-image reduction →
+    * `apply` per micro-batch (the foreachBatch analog of run.go:301-322;
+    * apply is the caller's transactional sink, e.g. UpsertWriter). Returns
+    * the running query; caller awaits/stops. */
+  def cdcApply(
+      changes: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      checkpointDir: String)(
+      apply: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val reduced = graft.sink.MergeApply.lastImage(
+          batch, Seq(keyCol), orderCols.map(col))
+        apply(reduced, batchId)
+      }
+      .start()
+  }
+}
