@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiling main: stage-by-stage timing of the heavy dedup chains.
+  * Run: sbt "runMain graft.Profile /root/testdata/sf0.1"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val docs = Tables.load(spark, dir, "documents").cache()
+    println(s"docs: ${docs.count()}")
+
+    time("tokens")(docs.select(explode(split(col("text"), " "))).count())
+    val sh = operators.Dedup.explodedShingles(docs, "text", "doc_id", 5)
+    time("shingles_distinct")(sh.count())
+    val shc = sh.cache(); shc.count()
+    time("minhash_wide_from_cached") {
+      operators.Dedup.minhashBands(shc, "doc_id", 16, 4).count()
+    }
+    val banded = operators.Dedup.minhashBands(shc, "doc_id", 16, 4).cache()
+    banded.count()
+    time("candidates_from_cached_bands") {
+      operators.Dedup.lshCandidates(banded, "doc_id").count()
+    }
+    time("full_lsh_chain") {
+      val sh2 = operators.Dedup.explodedShingles(docs, "text", "doc_id", 5)
+      operators.Dedup.lshCandidates(
+        operators.Dedup.minhashBands(sh2, "doc_id", 16, 4), "doc_id").count()
+    }
+    time("jaccard_full") {
+      val sh2 = operators.Dedup.explodedShingles(docs, "text", "doc_id", 5)
+      operators.Dedup.ngramJaccardPairs(sh2, "doc_id", 0.1, 1000L).count()
+    }
+    spark.stop()
+  }
+}

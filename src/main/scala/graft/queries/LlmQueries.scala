@@ -61,8 +61,7 @@ object LlmQueries {
     "dedup_lsh_pairs" -> q { (s, dir) =>
       val sh = Dedup.explodedShingles(Tables.load(s, dir, "documents"),
         "text", "doc_id", ShingleN)
-      val sig = Dedup.minhash(sh, "doc_id", MinhashK)
-      val banded = Dedup.lshBands(sig, "doc_id", MinhashK, LshBands)
+      val banded = Dedup.minhashBands(sh, "doc_id", MinhashK, LshBands)
       Dedup.lshCandidates(banded, "doc_id").orderBy("id_a", "id_b")
     },
 
