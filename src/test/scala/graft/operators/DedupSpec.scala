@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (3L, "completely different text here entirely now"),
+    (4L, "tiny")) // shorter than shingle width
+    .toDF("doc_id", "text")
+
+  test("exact dedup: canonical = min id per digest group") {
+    val out = Dedup.exact(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getBoolean(2) && out(0).getLong(3) == 2)   // doc 0 canonical of pair
+    assert(!out(1).getBoolean(2) && out(1).getLong(3) == 2)  // doc 1 duplicate
+    assert(out(3).getBoolean(2) && out(3).getLong(3) == 1)   // doc 3 unique
+  }
+
+  test("shingles: n-gram windows; short docs shingle to whole text") {
+    val sh = Dedup.explodedShingles(docs, "text", "doc_id", 5)
+    val tiny = sh.filter(col("doc_id") === 4).select("shingle").as[String].collect()
+    assert(tiny.toSeq == Seq("tiny"))
+    val d0 = sh.filter(col("doc_id") === 0).count()
+    assert(d0 == 5) // 9 tokens → 5 distinct 5-gram windows
+  }
+
+  test("minhashBands ≡ minhash∘lshBands (fused path produces identical hashes)") {
+    val sh = Dedup.explodedShingles(docs, "text", "doc_id", 3)
+    val slow = Dedup.lshBands(Dedup.minhash(sh, "doc_id", 8), "doc_id", 8, 4)
+      .orderBy("doc_id", "band").collect().toSeq
+    val fused = Dedup.minhashBands(sh, "doc_id", 8, 4)
+      .orderBy("doc_id", "band").collect().toSeq
+    assert(fused == slow)
+  }
+
+  test("LSH candidates contain the exact duplicate pair") {
+    val sh = Dedup.explodedShingles(docs, "text", "doc_id", 3)
+    val pairs = Dedup.lshCandidates(Dedup.minhashBands(sh, "doc_id", 8, 4), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L }) // unrelated doc not a candidate
+  }
+
+  test("n-gram Jaccard: exact dup = 1.0, near dup in (0,1), threshold filters") {
+    val sh = Dedup.explodedShingles(docs, "text", "doc_id", 3)
+    val sim = Dedup.ngramJaccardPairs(sh, "doc_id", threshold = 0.01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sim((0L, 1L)) == 1.0)
+    assert(sim((0L, 2L)) > 0.3 && sim((0L, 2L)) < 1.0)
+    assert(!sim.contains((0L, 3L)))
+  }
+
+  test("simhashSigs ≡ simhash60 scalar expression (codegen path matches SQL path)") {
+    val fast = Dedup.simhashSigs(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val scalar = docs.select(col("doc_id"), TextAnalysis.simhash60(col("text")).as("sig"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(fast == scalar)
+  }
+
+  test("simhash pairs: identical docs at hamming 0; near-dups close") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 59)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // exact dups share the full signature → same bucket, hamming 0
+    assert(pairs((0L, 1L)) == 0)
+    pairs.get((0L, 2L)).foreach(h => assert(h < 20)) // near dup, if same bucket
+  }
+
+  test("embedding near-dup pairs find identical vectors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.5f, -0.2f, 0.9f, 0.1f, -0.6f, 0.3f, 0.8f)),
+      (1L, Array(1.0f, 0.5f, -0.2f, 0.9f, 0.1f, -0.6f, 0.3f, 0.8f)),
+      (2L, Array(-1.0f, -0.5f, 0.2f, -0.9f, -0.1f, 0.6f, -0.3f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.99, signBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // 2 is anti-parallel: different bucket + cosine −1
+  }
+}

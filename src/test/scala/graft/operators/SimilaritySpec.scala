@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // anti-parallel to 0
+    (4L, Array(0.7f, 0.7f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine: exact values on known vectors, double-widened math") {
+    val c = emb.filter(col("vec_id") === 0).crossJoin(
+        emb.filter(col("vec_id") === 4).select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding"), col("e2")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 0.7071067811) < 1e-6)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with deterministic tiebreak") {
+    val out = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1), (4L, 2), (2L, 3), (3L, 4)))
+  }
+
+  test("signLshTopK only searches within the query's sign bucket") {
+    val out = Similarity.signLshTopK(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 4, bits = 2)
+      .collect().map(_.getLong(2)).toSet
+    // bucket of v0 over first 2 dims = "11" (0.0 >= 0 counts as positive);
+    // v3 (-1,0) → "01" is excluded by construction
+    assert(!out.contains(3L))
+    assert(out.contains(1L))
+  }
+
+  test("ivfTopK searches only the query's nearest-centroid cluster") {
+    val centroids = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      emb.filter(col("vec_id") === 0), emb, centroids, "vec_id", "embedding", k = 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(out.contains(1L))    // same cluster (centroid 100)
+    assert(!out.contains(2L))   // assigned to centroid 200's cluster
+  }
+}

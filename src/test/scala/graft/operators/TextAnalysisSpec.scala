@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c).collect()(0).get(0)
+
+  test("token counts: whitespace and BPE-ish regex") {
+    assert(one(TextAnalysis.tokenCount(col("t")), "a b c") == 3)
+    // "don't stop12" → [don, ', t, stop, 12] under letters|digits|mark
+    assert(one(TextAnalysis.bpeTokenCount(col("t")), "don't stop12") == 5)
+  }
+
+  test("punctuation count and ratio") {
+    assert(one(TextAnalysis.punctCount(col("t")), "a, b!") == 2)
+    assert(one(TextAnalysis.punctRatio(col("t")), "a, b!").asInstanceOf[Double] == 0.4)
+  }
+
+  test("stopword count uses the fixed marker set") {
+    assert(one(TextAnalysis.stopwordCount(col("t")), "the cat and the hat") == 3)
+  }
+
+  test("avg token length excludes spaces") {
+    assert(one(TextAnalysis.avgTokenLen(col("t")), "ab cdef").asInstanceOf[Double] == 3.0)
+  }
+
+  test("quality score: longer clean text scores higher than short/stuffed text") {
+    val clean = one(TextAnalysis.qualityScore(col("t")),
+      "substantial clean document " * 30).asInstanceOf[Double]
+    val stuffed = one(TextAnalysis.qualityScore(col("t")),
+      "the a an and of " * 30).asInstanceOf[Double]
+    assert(clean > 0.9)
+    assert(stuffed < clean)
+  }
+
+  test("language id picks the dominant marker language, und for none") {
+    assert(one(TextAnalysis.langId(col("t")), "der hund und die katze ist") == "de")
+    assert(one(TextAnalysis.langId(col("t")), "the dog and the cat is") == "en")
+    assert(one(TextAnalysis.langId(col("t")), "xyzzy qwerty") == "und")
+  }
+
+  test("fingerprint normalizes case and punctuation") {
+    val a = one(TextAnalysis.fingerprint(col("t")), "Hello, World!")
+    val b = one(TextAnalysis.fingerprint(col("t")), "hello world")
+    assert(a == b)
+  }
+
+  test("tokenHash60 is a stable non-negative 60-bit value") {
+    val h = one(TextAnalysis.tokenHash60(col("t")), "spark").asInstanceOf[Long]
+    assert(h >= 0 && h < (1L << 60))
+    assert(one(TextAnalysis.tokenHash60(col("t")), "spark") == h) // deterministic
+  }
+}

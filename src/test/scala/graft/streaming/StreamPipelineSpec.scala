@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sink.MergeApply
+import org.apache.spark.sql.functions._
+
+class StreamPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedCounts streaming result equals the batch equivalent") {
+    val streamed = StreamPipeline.windowedCounts(spark, Sf0001)
+      .collect().toSeq
+    val batch = graft.Tables.load(spark, Sf0001, "events")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_format(date_trunc("hour", col("event_time")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("cdcApply reduces each micro-batch to last image per key before applying") {
+    val dir = Files.createTempDirectory("graft_cdc_src").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    Seq(
+      ("a", 1L, 10.0), ("a", 3L, 30.0), ("a", 2L, 20.0),
+      ("b", 1L, 1.0))
+      .toDF("_id", "ts", "bal")
+      .write.parquet(s"$dir/batch0")
+
+    val applied = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    val stream = spark.readStream
+      .schema("_id STRING, ts LONG, bal DOUBLE")
+      .parquet(s"$dir/batch0")
+    val q = StreamPipeline.cdcApply(stream, "_id", Seq("ts"), ckpt) { (batch, _) =>
+      applied.synchronized {
+        applied ++= batch.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(applied.sortBy(_._1).toSeq == Seq(("a", 3L, 30.0), ("b", 1L, 1.0)))
+  }
+
+  test("lastImage + apply is deterministic under duplicate delivery (replay safety)") {
+    val changes = Seq(("a", 2L, "new"), ("a", 1L, "old"), ("a", 2L, "new"))
+      .toDF("_id", "ts", "v")
+    val out = MergeApply.lastImage(changes, Seq("_id"), Seq(col("ts")))
+      .as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(("a", 2L, "new")))
+  }
+}
