@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two paths, same registry entries:
+  *  - cluster deployment: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the standard `SparkSessionExtensions` injection point);
+  *  - library use: [[GraftFunctions.register]] on an existing session
+  *    (idempotent) — lets `functions.call_function("graft_cosine", ...)`
+  *    and SQL both resolve without session-construction control.
+  */
+object GraftFunctions {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(a, b) takes two array<float> arguments")
+        CosineSimilarity(args.head, args(1))
+      }))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}

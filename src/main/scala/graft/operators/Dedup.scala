@@ -183,10 +183,11 @@ object Dedup {
   def embeddingDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, signBits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val withBucket = emb.withColumn("bucket", Similarity.signBucket(col(vecCol), signBits))
     val a = withBucket.as("a"); val b = withBucket.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cosine", Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .withColumn("cosine", Similarity.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")))
       .filter(col("cosine") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine"))
   }

@@ -150,6 +150,15 @@ object AnalyticsQueries {
         .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
     },
 
+    // CUBE: all grouping-set combinations over two dims.
+    "cube_agg" -> q { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // Scalar date functions + month bucketing.
     "date_agg" -> q { (s, dir) =>
       Tables.load(s, dir, "orders")
@@ -319,6 +328,12 @@ object AnalyticsQueries {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP(n_name, c_mktsegment)
          ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "date_agg" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,

@@ -41,11 +41,77 @@ object CdcQueries {
     // (ns ∈ replicated set AND ts > checkpoint, reference mongo.go:462-492).
     "s2_changefeed_scan" -> q { (s, dir) =>
       val ckptUs = 1704412800000000L // 2024-01-05T00:00:00Z
+      // Filter on the RAW ts column so the predicate pushes into the
+      // parquet scan (row-group pruning at 100 TB); `ts div 1000 > ckptUs`
+      // ⟺ `ts >= (ckptUs+1)*1000` for integer nanos.
       Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("signup", "purchase", "error") &&
+          col("ts") >= lit((ckptUs + 1) * 1000L))
         .select(col("event_id"), expr("ts div 1000").as("ts_us"),
           col("user_id"), col("event_type"))
-        .filter(col("event_type").isin("signup", "purchase", "error") &&
-          col("ts_us") > lit(ckptUs))
+        .orderBy("event_id")
+    },
+
+    // S4: key-projection scan of the sink (scanTableIds, mysql.go:590-604)
+    // — column pruning reaches the parquet scan (ReadSchema = 1 column).
+    "s4_key_scan" -> q { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("_id")).orderBy("_id")
+    },
+
+    // F3: config-membership guard — only configured tables/kinds pass
+    // (mysql.go:438-440): the filter set is DERIVED from a parsed config,
+    // not hard-coded.
+    "f3_config_guard" -> q { (s, dir) =>
+      val cfg = graft.config.ConfigParser.parse(
+        """inp: mongodb://src/app
+          |out: mysql://dst/sink
+          |tables:
+          |  click:
+          |    value: double
+          |  purchase:
+          |    value: double
+          |""".stripMargin)
+      val configured = cfg.tables.map(_.name)
+      Tables.load(s, dir, "events")
+        .filter(col("event_type").isin(configured: _*))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .orderBy("event_type")
+    },
+
+    // T1 as a distributed flatMap: every event becomes a RawOplog entry
+    // (signup→insert, error→delete, else a $set partial update), decoded by
+    // OplogDecoder per partition — the decoder itself runs on executors.
+    "t1_decode_stream" -> q { (s, dir) =>
+      import s.implicits._
+      val replicated = Set("app.users")
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)]
+        .flatMap { case (eventId, tsUs, userId, eventType, value) =>
+          val id = userId.toString
+          val entry = eventType match {
+            case "signup" => graft.changelog.RawOplog("i", "app.users", tsUs,
+              Map("_id" -> id, "balance" -> value))
+            case "error" => graft.changelog.RawOplog("d", "app.users", tsUs,
+              Map("_id" -> id))
+            case _ => graft.changelog.RawOplog("u", "app.users", tsUs,
+              Map("$set" -> Map("balance" -> value)), Some(Map("_id" -> id)))
+          }
+          graft.changelog.OplogDecoder.decode(entry, replicated).map {
+            case graft.changelog.Upsert(tbl, ts, docId, fields, partial, _) =>
+              (eventId, tbl, ts, docId, "upsert", partial,
+                fields.get("balance").map(_.asInstanceOf[Double]))
+            case graft.changelog.Delete(tbl, ts, docId) =>
+              (eventId, tbl, ts, docId, "delete", false, None: Option[Double])
+            case other =>
+              (eventId, other.table, other.ts, "?", "dead_letter", false,
+                None: Option[Double])
+          }
+        }
+        .toDF("event_id", "tbl", "ts_us", "id", "kind", "partial", "balance")
         .orderBy("event_id")
     },
 
@@ -157,6 +223,22 @@ object CdcQueries {
          WHERE event_type IN ('signup','purchase','error')
            AND epoch_us(ts) > 1704412800000000
          ORDER BY event_id""",
+
+    "s4_key_scan" ->
+      """SELECT o_orderkey AS _id FROM orders ORDER BY _id""",
+
+    "f3_config_guard" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY event_type ORDER BY event_type""",
+
+    "t1_decode_stream" ->
+      """SELECT event_id, 'users' AS tbl, epoch_us(ts) AS ts_us,
+           cast(user_id AS varchar) AS id,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS kind,
+           event_type NOT IN ('signup', 'error') AS partial,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS balance
+         FROM events ORDER BY event_id""",
 
     "s5_max_offset" ->
       """SELECT max(epoch_us(ts)) AS max_ts_us, count(*) AS n_events FROM events""",

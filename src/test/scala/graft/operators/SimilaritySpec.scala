@@ -22,6 +22,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 0.7071067811) < 1e-6)
   }
 
+  test("native codegen cosine is bit-identical to the composed-builtins form") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = graft.Tables.load(spark, Sf0001, "embeddings")
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < 20 && col("b.vec_id").between(20, 40))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("composed"),
+        Similarity.cosineNative(col("a.embedding"), col("b.embedding")).as("native"))
+    // exact double equality — same widening, same accumulation order
+    assert(pairs.filter(col("composed") =!= col("native")).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
   test("bruteForceTopK ranks by cosine desc with deterministic tiebreak") {
     val out = Similarity.bruteForceTopK(
       emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 4)
