@@ -188,6 +188,40 @@ object CdcQueries {
         .orderBy("user_id")
     },
 
+    // S3: point lookup by key — expressed as a keyed filter so Catalyst
+    // pushes EqualTo into the scan (the reference does a per-row FindOne,
+    // mongo.go:677-693; at scale the batch form J1 replaces loops of this).
+    "s3_point_lookup" -> q { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") === 42L)
+        .select(col("c_custkey").as("_id"), col("c_name"), col("c_acctbal"))
+    },
+
+    // D2: snapshot consistency — the reference fsync-locks Mongo during
+    // snapshot (mongo.go:618-675); the scale replacement is an
+    // offset-PINNED snapshot plus replay of the feed beyond the pin:
+    // fold(events ≤ T) then apply(events > T) ≡ fold(all events). This
+    // query computes the two-phase result; the oracle computes the
+    // single-phase fold — equality IS the correctness of the barrier-free
+    // snapshot.
+    "d2_pinned_snapshot" -> q { (s, dir) =>
+      val pinUs = 1704844800000000L // 2024-01-10T00:00:00Z
+      val ev = Tables.load(s, dir, "events").select(
+        col("user_id").as("_id"),
+        when(col("event_type") === "error", "delete").otherwise("upsert").as("op"),
+        expr("ts div 1000").as("ts_us"), col("event_id"),
+        col("value").as("balance"))
+      val snapshot = MergeApply.lastImage(
+          ev.filter(col("ts_us") <= lit(pinUs)),
+          Seq("_id"), Seq(col("ts_us"), col("event_id")))
+        .filter(col("op") =!= "delete")
+        .select(col("_id"), col("balance"))
+      val replay = ev.filter(col("ts_us") > lit(pinUs))
+      MergeApply.applyChanges(snapshot, replay, "_id", "op",
+          Seq(col("ts_us"), col("event_id")), Seq("balance"))
+        .orderBy("_id")
+    },
+
     // D1: schema-reconciliation DDL planner (SyncTablesConfig,
     // mysql.go:146-290) over a fixed synthetic catalog — data-independent,
     // golden-checked by a VALUES oracle.
@@ -286,6 +320,23 @@ object CdcQueries {
          QUALIFY row_number() OVER (PARTITION BY user_id
                                     ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
          ORDER BY user_id""",
+
+    "s3_point_lookup" ->
+      """SELECT c_custkey AS _id, c_name, c_acctbal FROM customer
+         WHERE c_custkey = 42""",
+
+    "d2_pinned_snapshot" ->
+      """WITH ev AS (
+           SELECT user_id AS _id,
+                  CASE WHEN event_type = 'error' THEN 'delete'
+                       ELSE 'upsert' END AS op,
+                  epoch_us(ts) AS ts_us, event_id, value AS balance
+           FROM events)
+         SELECT _id, balance FROM ev
+         QUALIFY row_number() OVER (PARTITION BY _id
+                                    ORDER BY ts_us DESC, event_id DESC) = 1
+           AND op <> 'delete'
+         ORDER BY _id""",
 
     "d1_schema_plan" ->
       """SELECT * FROM (VALUES

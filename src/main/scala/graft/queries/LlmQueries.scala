@@ -104,6 +104,16 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // IVF-style ANN: deterministic centroid subset, corpus bucketed by
+    // nearest centroid, each query searches only its cluster.
+    "sim_topk_ivf" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, centroids,
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // Per-document text statistics.
     "text_stats" -> q { (s, dir) =>
       val t = col("text")
@@ -271,6 +281,35 @@ object LlmQueries {
                               ORDER BY cosine DESC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 3 ORDER BY query_id, rnk""",
+
+    "sim_topk_ivf" ->
+      """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         clustered AS (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1),
+         scored AS (
+           SELECT q.vec_id AS query_id, q.cluster AS cluster,
+             c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], c.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
+               6) AS cosine
+           FROM clustered q JOIN clustered c
+             ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10)
+         SELECT query_id, cluster, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
 
     "text_stats" ->
       """SELECT doc_id,
