@@ -101,9 +101,14 @@ object Dedup {
       .agg(md5(concat_ws("|", array_sort(collect_list(concat(col("seed"), lit(":"), col("minhash")))))).as("band_hash"))
   }
 
-  /** Candidate near-duplicate pairs from band buckets (a < b). */
+  /** Candidate near-duplicate pairs from band buckets (a < b).
+    * The banded input is materialized once (`localCheckpoint`) before the
+    * self-join — otherwise the whole upstream chain (scan→shingle→minhash)
+    * is recomputed for BOTH join sides (self-join aliasing defeats
+    * exchange reuse). Lineage truncation is the accepted trade. */
   def lshCandidates(banded: DataFrame, idCol: String): DataFrame = {
-    val a = banded.as("a"); val b = banded.as("b")
+    val mat = banded.localCheckpoint()
+    val a = mat.as("a"); val b = mat.as("b")
     a.join(b,
         col(s"a.band") === col(s"b.band") &&
         col(s"a.band_hash") === col(s"b.band_hash") &&
@@ -122,22 +127,26 @@ object Dedup {
       idCol: String,
       threshold: Double,
       maxDocFreq: Long = 1000L): DataFrame = {
-    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val filtered = {
-      val df = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      shingled.join(df.filter(col("df") <= maxDocFreq), Seq("shingle"))
-    }
-    val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
-    val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    // Materialize the inverted index once; annotate per-doc size (computed
+    // BEFORE the stop-shingle cut, like the oracle) and per-shingle doc
+    // frequency with windows, then materialize again so the self-join reads
+    // the annotated index instead of recomputing the whole chain per side.
+    val idx = shingled.localCheckpoint()
+    val ann = idx
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDocFreq)
+      .localCheckpoint()
+    val a = ann.select(col(idCol).as("id_a"), col("__sz").as("__sz_a"), col("shingle"))
+    val b = ann.select(col(idCol).as("id_b"), col("__sz").as("__sz_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .agg(count(lit(1)).as("__inter"),
+        max(col("__sz_a")).as("__sz_a"), max(col("__sz_b")).as("__sz_b"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        col("__inter").cast("double") /
+          (col("__sz_a") + col("__sz_b") - col("__inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -170,6 +179,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
     val sigs = simhashSigs(df, textCol, idCol)
       .withColumn("bucket", expr("sig div cast(pow(2, 48) as bigint)")) // top-12-bit prefix
+      .localCheckpoint() // materialize before self-join (see lshCandidates)
     val a = sigs.as("a"); val b = sigs.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("hamming", expr("bit_count(a.sig ^ b.sig)"))
@@ -185,6 +195,7 @@ object Dedup {
       threshold: Double, signBits: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val withBucket = emb.withColumn("bucket", Similarity.signBucket(col(vecCol), signBits))
+      .localCheckpoint() // materialize before self-join (see lshCandidates)
     val a = withBucket.as("a"); val b = withBucket.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cosine", Similarity.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")))
