@@ -75,7 +75,7 @@ object ChangeFeed {
   * external dependency (zero-egress build); not a general-purpose parser
   * (no surrogate-pair escapes beyond \\uXXXX pass-through).
   */
-private[sources] object Json {
+private[graft] object Json {
   def parseObject(s: String): Map[String, Any] =
     parse(s) match {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]

@@ -1,0 +1,118 @@
+package graft.sink
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, Driver, DriverManager, PreparedStatement}
+import java.util.Properties
+
+import scala.collection.mutable
+
+/** Minimal in-memory JDBC double for exercising [[UpsertWriter]]'s real
+  * runtime path (foreachPartition → DriverManager → prepared statements →
+  * batch → commit) without an external RDBMS. Interprets exactly the SQL
+  * shapes UpsertWriter generates: `INSERT … ON DUPLICATE KEY UPDATE`,
+  * `DELETE … WHERE pk = ?`, and the state-table upsert. Transactional:
+  * statements stage into the connection and apply atomically on commit;
+  * rollback discards. Thread-safe (many partitions write concurrently).
+  */
+object MemJdbc {
+  val UrlPrefix = "jdbc:graftmem:"
+
+  /** db name → table name → pk → row (column → value). */
+  private val dbs = mutable.Map.empty[String, mutable.Map[String, mutable.Map[String, Map[String, Any]]]]
+
+  def table(db: String, name: String): Map[String, Map[String, Any]] =
+    dbs.synchronized {
+      dbs.getOrElse(db, mutable.Map.empty).getOrElse(name, mutable.Map.empty).toMap
+    }
+
+  def reset(db: String): Unit = dbs.synchronized { dbs.remove(db) }
+
+  private case class StagedRow(table: String, cols: Seq[String], values: Seq[Any])
+  private case class StagedDelete(table: String, id: Any)
+
+  private val InsertRe =
+    """INSERT INTO `([^`]+)` \(([^)]+)\) VALUES \(([^)]*)\).*""".r
+  private val DeleteRe =
+    """DELETE FROM `([^`]+)` WHERE `[^`]+` = \?""".r
+
+  // Registered once; DriverManager then serves every partition's connect.
+  DriverManager.registerDriver(proxy[Driver] {
+    case ("acceptsURL", Seq(url: String)) => java.lang.Boolean.valueOf(url.startsWith(UrlPrefix))
+    case ("connect", Seq(url: String, _)) =>
+      if (url.startsWith(UrlPrefix)) connection(url.stripPrefix(UrlPrefix)) else null
+  })
+
+  def connect(db: String): Connection =
+    DriverManager.getConnection(UrlPrefix + db, new Properties())
+
+  private def connection(db: String): Connection = {
+    val staged = mutable.ArrayBuffer.empty[Any]
+    proxy[Connection] {
+      case ("prepareStatement", Seq(sql: String)) => statement(sql, staged)
+      case ("setAutoCommit", _) | ("close", _)    => null
+      case ("rollback", _)                        => staged.clear(); null
+      case ("commit", _) =>
+        dbs.synchronized {
+          val tables = dbs.getOrElseUpdate(db, mutable.Map.empty)
+          staged.foreach {
+            case StagedRow(t, cols, values) =>
+              val rows = tables.getOrElseUpdate(t, mutable.Map.empty)
+              val pk = values.head.toString
+              val updates = cols.zip(values).toMap
+              // INSERT … ON DUPLICATE KEY UPDATE col=VALUES(col):
+              // new row wins for the provided columns, old values survive
+              rows(pk) = rows.getOrElse(pk, Map.empty) ++ updates
+            case StagedDelete(t, id) =>
+              tables.get(t).foreach(_.remove(id.toString))
+          }
+        }
+        staged.clear(); null
+    }
+  }
+
+  private def statement(sql: String, staged: mutable.ArrayBuffer[Any]): PreparedStatement = {
+    val params = mutable.Map.empty[Int, Any]
+    def stage(): Unit = sql match {
+      case InsertRe(table, collist, valuelist) =>
+        val cols = collist.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+        // value items are either ? placeholders (bound params, in order) or
+        // inline 'literals' (the state-table key, mysql.go:541)
+        var p = 0
+        val values = valuelist.split(",").map(_.trim).toSeq.map {
+          case "?" => p += 1; params.getOrElse(p, null)
+          case lit => lit.stripPrefix("'").stripSuffix("'")
+        }
+        staged += StagedRow(table, cols, values)
+      case DeleteRe(table) =>
+        staged += StagedDelete(table, params(1))
+      case other => throw new IllegalArgumentException(s"MemJdbc: unsupported SQL: $other")
+    }
+    proxy[PreparedStatement] {
+      case ("setObject", Seq(i: Integer, v)) => params(i.toInt) = v; null
+      case ("setBytes", Seq(i: Integer, v))  => params(i.toInt) = v; null
+      case ("addBatch", _)                   => stage(); params.clear(); null
+      case ("executeBatch", _)               => Array.emptyIntArray
+      case ("executeUpdate", _)              => stage(); params.clear(); Integer.valueOf(1)
+      case ("close", _)                      => null
+    }
+  }
+
+  /** Interface proxy: partial function handles the calls we care about;
+    * anything unhandled returns a type-appropriate default. */
+  private def proxy[T](handler: PartialFunction[(String, Seq[AnyRef]), AnyRef])(
+      implicit ct: scala.reflect.ClassTag[T]): T =
+    Proxy.newProxyInstance(
+      getClass.getClassLoader,
+      Array(ct.runtimeClass),
+      new InvocationHandler {
+        override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = {
+          val key = (m.getName, Option(args).map(_.toSeq).getOrElse(Seq.empty))
+          if (handler.isDefinedAt(key)) handler(key)
+          else m.getReturnType match {
+            case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+            case java.lang.Integer.TYPE => Integer.valueOf(0)
+            case _                      => null
+          }
+        }
+      }).asInstanceOf[T]
+}
