@@ -1,0 +1,158 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import graft.config.{MappingConfig, TableSpec}
+import graft.operators.Transforms
+import graft.sink.{SchemaSync, UpsertWriter}
+import graft.sources.{ChangeFeed, Json}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The momyre-equivalent entry surface (reference `app.Run`, run.go:79):
+  * schema reconciliation → initial snapshot → continuous replication — as
+  * three composable library calls instead of one hard-coded daemon loop.
+  *
+  *  - [[reconcileSchema]]: D1 — pure plan from the declared config vs the
+  *    observed catalog, executed over a plain JDBC connection.
+  *  - [[snapshot]]: entry point B (run.go:202-295) — source frame →
+  *    projection to declared schema (P1-P4) → batched idempotent upsert
+  *    (W1), then [[deleteOrphans]] (J1) replaces the per-row FindOne loop.
+  *  - [[startStream]]: entry point C (run.go:297-335) — change-feed
+  *    segments → distributed decode (T1/T2) → per-batch apply that
+  *    repartitions by key and applies each key's ops IN ORDER (the O1
+  *    guarantee, without the reference's single serialized consumer), with
+  *    the batch offset co-committed after the data (C1; replays are safe
+  *    because every statement is idempotent).
+  */
+class Replicator(
+    spark: SparkSession,
+    config: MappingConfig,
+    sinkUrl: String,
+    sinkProps: Properties = new Properties()) {
+
+  /** D1: compute and execute the DDL plan; returns resync columns. */
+  def reconcileSchema(observed: SchemaSync.Catalog, force: Boolean): SchemaSync.Plan = {
+    val plan = SchemaSync.plan(config, observed, force)
+    val conn = DriverManager.getConnection(sinkUrl, sinkProps)
+    try {
+      conn.setAutoCommit(false)
+      plan.ddl.foreach(d => conn.prepareStatement(d.sql).executeUpdate())
+      conn.commit()
+    } finally conn.close()
+    plan
+  }
+
+  /** Entry point B: snapshot one table from a source frame. */
+  def snapshot(spec: TableSpec, source: DataFrame): Unit =
+    UpsertWriter.writeBatch(Transforms.projectTo(source, spec), spec, sinkUrl, sinkProps)
+
+  /** J1: delete sink rows whose key is absent from the source (anti-join,
+    * one statement per orphan, batched per partition). */
+  def deleteOrphans(spec: TableSpec, sourceIds: DataFrame, sinkIds: DataFrame): Unit = {
+    val gone = sink.MergeApply.deleteReconcile(sinkIds, sourceIds, spec.pk)
+    val url = sinkUrl; val props = sinkProps
+    val sql = UpsertWriter.deleteSql(spec)
+    gone.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          rows.foreach { r => st.setObject(1, r.get(0)); st.addBatch() }
+          st.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Entry point C: continuous replication from an oplog-segment directory.
+    * Each micro-batch: decode → repartition by (table, key) → apply each
+    * key's ops in ts order on the executor → co-commit the max offset. */
+  def startStream(segmentsDir: String, checkpointDir: String, afterTs: Long = 0L): StreamingQuery = {
+    val replicated = config.tables.map(t => dbName + "." + t.name).toSet
+    val feed = ChangeFeed.readStream(spark, segmentsDir, replicated, afterTs)
+    val decoded = ChangeFeed.decode(feed, replicated)
+    val url = sinkUrl; val props = sinkProps; val specs = config.tables
+    decoded.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val maxTs = Replicator.applyBatch(batch, specs, url, props)
+        maxTs.foreach { ts =>
+          val conn = DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            UpsertWriter.commitOffset(conn, ts)
+            conn.commit()
+          } finally conn.close()
+        }
+        ()
+      }
+      .start()
+  }
+
+  private def dbName: String =
+    config.source.split('/').lastOption.filter(_.nonEmpty).getOrElse("db")
+}
+
+object Replicator {
+
+  /** Apply one decoded micro-batch: per-key ordered apply on executors.
+    * Partial upserts bind only present∩declared columns (mysql.go:456-459);
+    * full images NULL absent declared columns (mysql.go:381-407); unsets
+    * null the named columns. Returns the max applied offset. */
+  private[graft] def applyBatch(
+      batch: DataFrame,
+      specs: Seq[TableSpec],
+      url: String,
+      props: Properties): Option[Long] = {
+    val specByName = specs.map(s => s.name -> s).toMap
+    val relevant = batch
+      .filter(col("kind").isin("upsert", "delete") &&
+        col("tbl").isin(specs.map(_.name): _*))
+      .repartition(col("tbl"), col("id"))
+      .sortWithinPartitions(col("tbl"), col("id"), col("ts"))
+    relevant.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          rows.foreach { r =>
+            val spec = specByName(r.getString(1))
+            r.getString(0) match {
+              case "delete" =>
+                val st = conn.prepareStatement(UpsertWriter.deleteSql(spec))
+                st.setObject(1, r.getString(3))
+                st.executeUpdate()
+              case "upsert" =>
+                val fields = Json.parseObject(r.getString(4))
+                val partial = r.getBoolean(5)
+                val removed = r.getSeq[String](6).toSet
+                val declared = spec.columns.map(_.sinkName)
+                val present =
+                  if (partial) declared.filter(c => fields.contains(c) || removed.contains(c))
+                  else declared
+                val st = conn.prepareStatement(
+                  UpsertWriter.partialUpsertSql(spec, present))
+                st.setObject(1, r.getString(3)) // pk
+                present.zipWithIndex.foreach { case (c, i) =>
+                  val v = if (removed.contains(c)) null else fields.getOrElse(c, null)
+                  st.setObject(i + 2, v)
+                }
+                st.executeUpdate()
+            }
+          }
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+    val mx = batch.agg(max(col("ts"))).collect()(0)
+    if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+  }
+}

@@ -85,6 +85,8 @@ object MemJdbc {
         staged += StagedRow(table, cols, values)
       case DeleteRe(table) =>
         staged += StagedDelete(table, params(1))
+      case ddl if ddl.startsWith("CREATE") || ddl.startsWith("ALTER") ||
+                  ddl.startsWith("DROP") => // DDL accepted, schema-free store
       case other => throw new IllegalArgumentException(s"MemJdbc: unsupported SQL: $other")
     }
     proxy[PreparedStatement] {
