@@ -138,6 +138,29 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // TF-IDF: top-3 terms per document — explode → tf per (doc, term),
+    // df per term (broadcast-joined), idf = ln(N/df), ranked per doc.
+    "text_tfidf" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.count() // corpus size: one tiny job, then a literal
+      val terms = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df_), Seq("term"))
+        .withColumn("score",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        .filter(col("doc_id") < 50)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    },
+
     // Multimodal metadata scan: binary payload + typed metadata, no decode.
     "multimodal_meta" -> q { (s, dir) =>
       Multimodal.attachPayload(Tables.load(s, dir, "documents"), "text", "doc_id")
@@ -353,6 +376,22 @@ object LlmQueries {
                 ELSE 'zh' END AS lang_pred,
            md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fingerprint
          FROM t ORDER BY doc_id""",
+
+    "text_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         n AS (SELECT count(*)::double AS n FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf,
+             round(tf * ln(n / df), 6) AS score
+           FROM tf JOIN df USING (term), n
+           WHERE doc_id < 50)
+         SELECT doc_id, term, tf, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rnk
+         FROM scored QUALIFY rnk <= 3 ORDER BY doc_id, rnk""",
 
     "multimodal_meta" ->
       """SELECT doc_id, strlen(text)::int AS n_bytes,

@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regression tests: the properties that matter at 100 TB —
+  * predicate pushdown reaching the scan, column pruning, broadcast of
+  * small sides, no redundant shuffle between a window and a join on the
+  * same key — locked in against the executed plan text. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("changefeed scan pushes ns-set and checkpoint predicates into parquet") {
+    val p = plan("s2_changefeed_scan")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("In(event_type"))
+    assert(p.contains("GreaterThanOrEqual(ts")) // raw-column form pushes down
+  }
+
+  test("key-projection scan prunes to a single column") {
+    val p = plan("s4_key_scan")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"))
+  }
+
+  test("point lookup pushes the key equality into the scan") {
+    val p = plan("s3_point_lookup")
+    assert(p.contains("EqualTo(c_custkey,42)"))
+  }
+
+  test("q1 scan reads only the 6 referenced lineitem columns with the date filter pushed") {
+    val p = plan("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey")) // pruned
+    assert(p.contains("partial_sum")) // map-side partial aggregation
+  }
+
+  test("q3 broadcasts the filtered customer dimension") {
+    val p = plan("q3_revenue_topn")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("cdc apply: window partitioning is reused by the join (no extra exchange)") {
+    val p = plan("t1_cdc_apply")
+    // exactly 3 exchanges: base repartition, changes repartition (feeding
+    // the window AND the join), final orderBy — not 4
+    assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 3)
+    assert(p.contains("WindowGroupLimit")) // rn=1 filter pushed into the window
+  }
+
+  test("anti-join reconciliation plans as a real anti join, not a loop") {
+    val p = plan("j1_delete_reconcile")
+    assert(p.contains("LeftAnti"))
+  }
+}
