@@ -138,6 +138,35 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Document fingerprinting by winnowing (the MOSS scheme): rolling
+    // character k-grams → 60-bit hashes → min per sliding window of w →
+    // distinct fingerprints. Robust to insertions/reordering beyond a
+    // window; the fingerprint set is what a plagiarism/near-dup index
+    // stores at scale (|fps| ≈ 2n/(w+1) per doc, bounded).
+    "text_winnow" -> q { (s, dir) =>
+      val k = 8; val w = 4
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")).as("norm"))
+      val grams = docs
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, greatest(length(norm) - ${k - 1}, 0)),
+              i -> cast(conv(substring(md5(substring(norm, i, $k)), 1, 15), 16, 10) as bigint))"""))
+          .as(Seq("pos", "h")))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+      grams
+        .withColumn("n_grams", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .withColumn("fp", min(col("h")).over(win))
+        // posexplode's pos is 0-based: full w-row windows start at
+        // 0 .. n_grams - w (the oracle's 1-based form is 1 .. n_grams-w+1)
+        .filter(col("pos") <= col("n_grams") - lit(w))
+        .select(col("doc_id"), col("fp")).distinct()
+        .orderBy("doc_id", "fp")
+    },
+
     // TF-IDF: top-3 terms per document — explode → tf per (doc, term),
     // df per term (broadcast-joined), idf = ln(N/df), ranked per doc.
     "text_tfidf" -> q { (s, dir) =>
@@ -376,6 +405,29 @@ object LlmQueries {
                 ELSE 'zh' END AS lang_pred,
            md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fingerprint
          FROM t ORDER BY doc_id""",
+
+    "text_winnow" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS norm
+           FROM documents WHERE doc_id < 50),
+         grams AS (
+           SELECT doc_id,
+             unnest(generate_series(1, greatest(strlen(norm) - 7, 0)))::int AS pos,
+             strlen(norm) AS len, norm
+           FROM norm),
+         hashed AS (
+           SELECT doc_id, pos, len - 7 AS n_grams,
+             ('0x' || substr(md5(substr(norm, pos, 8)), 1, 15))::bigint AS h
+           FROM grams),
+         winnowed AS (
+           SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM hashed)
+         SELECT DISTINCT doc_id, fp FROM winnowed
+         WHERE pos <= n_grams - 3
+         ORDER BY doc_id, fp""",
 
     "text_tfidf" ->
       """WITH terms AS (

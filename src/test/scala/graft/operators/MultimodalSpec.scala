@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  def docs = Seq((0L, "tiny doc"), (1L, "x" * 500)).toDF("doc_id", "text")
+
+  test("attachPayload: binary payload with typed metadata struct") {
+    val out = Multimodal.attachPayload(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getAs[Array[Byte]]("payload").toSeq == "tiny doc".getBytes("UTF-8").toSeq)
+    val meta = out(0).getStruct(2)
+    assert(meta.getInt(0) == 8)              // byte_len
+    assert(meta.getString(1).length == 64)   // sha256 hex
+    assert(meta.getString(2) == "74696e79")  // magic = hex("tiny")
+  }
+
+  test("sampleFrames: deterministic generator, stride over payload size") {
+    val wp = Multimodal.attachPayload(docs, "text", "doc_id")
+    val frames = Multimodal.sampleFrames(wp, "doc_id", frameStride = 100)
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(0L) == 1)  // 8 bytes → max(1, 0) = 1 frame
+    assert(byDoc(1L) == 5)  // 500 bytes / 100 = 5 frames
+    // frame hashes are deterministic md5(id:frame)
+    val f0 = frames.filter(col("doc_id") === 0 && col("frame_no") === 0)
+      .select("frame_hash").as[String].head()
+    assert(f0 == org.apache.commons.codec.digest.DigestUtils.md5Hex("0:0"))
+  }
+
+  test("decodeFeatures: stubbed decoder preserves schema/batch contract") {
+    val wp = Multimodal.attachPayload(docs, "text", "doc_id")
+    val feats = Multimodal.decodeFeatures(wp, "doc_id").orderBy("doc_id").collect()
+    assert(feats.length == 2)
+    val v = feats(0).getSeq[Float](1)
+    assert(v.length == Multimodal.FeatureDim)
+    // deterministic: same input → same features
+    val again = Multimodal.decodeFeatures(wp, "doc_id").orderBy("doc_id").collect()
+    assert(again(0).getSeq[Float](1) == v)
+  }
+}
