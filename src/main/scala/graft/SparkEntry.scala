@@ -38,7 +38,7 @@ object SparkEntry {
     * anti-join, dedup×3, ANN, text), so the benchmark tracks the plans that
     * matter at 100 TB rather than 30 near-duplicate scans. */
   val benchQueries: Seq[String] = Seq(
-    "q1_agg", "q3_revenue_topn", "q5_local_supplier", "window_rank",
+    "q1_agg", "q6_selective_agg", "q3_revenue_topn", "q5_local_supplier", "window_rank",
     "sessionize", "t1_cdc_apply", "j1_delete_reconcile", "o1_last_image",
     "dedup_exact", "dedup_lsh_pairs", "dedup_jaccard", "dedup_simhash",
     "sim_topk_brute", "text_stats", "text_quality")

@@ -36,6 +36,18 @@ object AnalyticsQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // TPC-H Q6 shape: highly selective scan-filter-aggregate — every
+    // predicate on raw columns so parquet row-group pruning does the work.
+    "q6_selective_agg" -> q { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // TPC-H Q3 shape: filtered dim broadcast → fact join → agg → top-N.
     "q3_revenue_topn" -> q { (s, dir) =>
       val cust = Tables.load(s, dir, "customer")
@@ -249,6 +261,15 @@ object AnalyticsQueries {
          WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q6_selective_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
 
     "q3_revenue_topn" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
