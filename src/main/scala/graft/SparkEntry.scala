@@ -21,17 +21,28 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.defs ++ AnalyticsQueries.defs ++ LlmQueries.defs ++
-      Map("stream_window_agg" -> ((s: SparkSession, dir: String) =>
-        streaming.StreamPipeline.windowedCounts(s, dir)))
+      Map(
+        "stream_window_agg" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.windowedCounts(s, dir)),
+        "stream_stream_join" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.clickToPurchase(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles ++
-      Map("stream_window_agg" ->
-        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-             event_type, count(*) AS n, round(sum(value), 4) AS total
-           FROM events GROUP BY hour, event_type ORDER BY hour, event_type""")
+      Map(
+        "stream_window_agg" ->
+          """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               event_type, count(*) AS n, round(sum(value), 4) AS total
+             FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
+        "stream_stream_join" ->
+          """SELECT p.event_id AS p_id, c.event_id AS c_id, c.user_id
+             FROM events c JOIN events p
+               ON c.event_type = 'click' AND p.event_type = 'purchase'
+              AND c.user_id = p.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+             ORDER BY p_id, c_id""")
 
   /** Headline subset timed by [[Bench]] at sf0.1 — one per operator family
     * (scan/agg, broadcast join chain, window, sessionize, CDC apply,

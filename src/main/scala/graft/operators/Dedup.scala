@@ -117,6 +117,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over candidate pairs → duplicate clusters: every
+    * doc labeled with the minimum id reachable through the pair graph (the
+    * canonical representative). Iterative min-label propagation — each
+    * round is one join + one min-aggregate, materialized with
+    * `localCheckpoint` so round N+1 reads round N's result instead of the
+    * whole lineage; rounds needed = graph diameter (tiny for dup clusters;
+    * `maxIters` bounds pathological chains). Label propagation is the
+    * standard scalable CC formulation (GraphX/Pregel-style) expressed as
+    * plain DataFrame algebra.
+    */
+  def clusters(allIds: DataFrame, pairs: DataFrame, idCol: String,
+      maxIters: Int = 15): DataFrame = {
+    val ids = allIds.select(col(idCol)).distinct()
+    // undirected edges + self-loops, as (src, dst)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionAll(ids.select(col(idCol).as("src"), col(idCol).as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col(idCol), col(idCol).as("cluster")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = edges
+        .join(labels.withColumnRenamed(idCol, "dst").withColumnRenamed("cluster", "__nl"), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("__nl")).as("__min_nl"))
+        .withColumnRenamed("src", idCol)
+        .join(labels, Seq(idCol))
+        .select(col(idCol), least(col("cluster"), col("__min_nl")).as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "__old"), Seq(idCol))
+        .filter(col("cluster") =!= col("__old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
     * `maxDocFreq` drops shingles appearing in more than that many docs
     * before the self-join — the skew guard that keeps the join fanout

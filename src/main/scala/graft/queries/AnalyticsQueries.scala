@@ -239,6 +239,20 @@ object AnalyticsQueries {
         .orderBy("s_suppkey")
     },
 
+    // SQL surface: the same engine through spark.sql over registered
+    // views — proves a reference user can keep writing SQL verbatim.
+    "sql_surface" -> q { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n.n_name, count(*) AS n_cust,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY n.n_name
+        HAVING count(*) > 10
+        ORDER BY n.n_name""")
+    },
+
     // Sketch aggregate (no exact oracle — rows-only check): HLL distinct.
     "approx_distinct_users" -> q { (s, dir) =>
       Tables.load(s, dir, "events")
@@ -390,6 +404,12 @@ object AnalyticsQueries {
            sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS n_error,
            round(sum(value), 4) AS total_value
          FROM events GROUP BY cohort ORDER BY cohort""",
+
+    "sql_surface" ->
+      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         GROUP BY n_name HAVING count(*) > 10 ORDER BY n_name""",
 
     "topk_sort" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

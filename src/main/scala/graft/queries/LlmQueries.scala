@@ -74,6 +74,16 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Duplicate clusters: connected components over the LSH candidate
+    // graph, every doc labeled with its canonical (min-id) representative.
+    "dedup_clusters" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sh = Dedup.explodedShingles(docs, "text", "doc_id", ShingleN)
+      val banded = Dedup.minhashBands(sh, "doc_id", MinhashK, LshBands)
+      val pairs = Dedup.lshCandidates(banded, "doc_id")
+      Dedup.clusters(docs, pairs, "doc_id").orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs: 60-bit signatures, 12-bit prefix buckets.
     "dedup_simhash" -> q { (s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
@@ -253,6 +263,29 @@ object LlmQueries {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE i::double / (sa.sz + sb.sz - i) >= 0.1
          ORDER BY id_a, id_b""",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ShinglesCte, $MinhashCte,
+         banded AS (
+           SELECT doc_id, (seed // 4) AS band,
+                  md5(array_to_string(
+                    list_sort(list(concat(seed, ':', minhash))), '|')) AS band_hash
+           FROM sig GROUP BY doc_id, band),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs
+           UNION SELECT doc_id, doc_id FROM documents),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS doc_id, min(dst) AS cluster
+         FROM reach GROUP BY src ORDER BY doc_id""",
 
     "dedup_simhash" ->
       """WITH toks AS (

@@ -60,6 +60,39 @@ object StreamPipeline {
     spark.table(tableName).orderBy("hour", "event_type")
   }
 
+  /** Stream-stream inner join with watermarks and a time-range condition:
+    * purchases matched to a prior click by the same user within one hour —
+    * the canonical funnel/attribution join. Both sides watermarked so
+    * Spark can bound the join state (clicks older than the bound are
+    * evicted — the property that keeps state finite at 100 TB). Run via
+    * availableNow into memory, returned as a batch frame. */
+  def clickToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, alias: String) = spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(s"${alias}_id"),
+        col("user_id").as(s"${alias}_user"),
+        timestamp_micros(expr("ts div 1000")).as(s"${alias}_time"))
+      .withWatermark(s"${alias}_time", "1 hour")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("c_id"), col("c_user").as("user_id"))
+    val tableName = s"graft_ssj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(tableName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ssj_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName).orderBy("p_id", "c_id")
+  }
+
   /** CDC micro-batch driver: change feed → per-key last-image reduction →
     * `apply` per micro-batch (the foreachBatch analog of run.go:301-322;
     * apply is the caller's transactional sink, e.g. UpsertWriter). Returns

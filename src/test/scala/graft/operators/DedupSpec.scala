@@ -71,6 +71,23 @@ class DedupSpec extends SparkSpec {
     pairs.get((0L, 2L)).foreach(h => assert(h < 20)) // near dup, if same bucket
   }
 
+  test("clusters: connected components label every doc with its min reachable id") {
+    val ids = (0L to 7L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(ids, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("clusters converge on a chain longer than one propagation step") {
+    val ids = (0L to 5L).toDF("doc_id")
+    val chain = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (0L, 1L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(ids, chain, "doc_id").as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(0L))
+  }
+
   test("embedding near-dup pairs find identical vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.5f, -0.2f, 0.9f, 0.1f, -0.6f, 0.3f, 0.8f)),
