@@ -17,6 +17,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.installAll(spark)
     // Warm the session once (file listing, parquet footers, codegen paths)
     // so per-query timings measure the queries, not JVM cold start.
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")

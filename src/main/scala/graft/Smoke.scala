@@ -16,6 +16,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.installAll(spark)
     import spark.implicits._
 
     println(s"== entry: ${SparkEntry.entry(spark).count()} rows")

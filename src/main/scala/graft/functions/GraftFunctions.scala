@@ -29,12 +29,20 @@ object GraftFunctions {
       registry.registerFunction(ident, info, builder)
     }
   }
+
+  /** Functions + optimizer rules on a live session. */
+  def installAll(spark: SparkSession): Unit = {
+    register(spark)
+    graft.plans.GraftOptimizations.install(spark)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.DerivedPredicatePushdown)
+  }
 }

@@ -131,6 +131,22 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // Native session windows: Spark's session_window merges events with
+    // gaps < 30 min — the built-in counterpart of the manual lag/cumsum
+    // sessionization above, same semantics.
+    "session_window_agg" -> q { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("event_time"),
+          col("value"))
+        .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "sess_start_us")
+    },
+
     // Set operations: intersect / except / union all, tagged.
     "set_ops" -> q { (s, dir) =>
       val cn = Tables.load(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
@@ -335,6 +351,24 @@ object AnalyticsQueries {
          SELECT user_id, cast(max(sess_id) AS bigint) AS n_sessions,
                 count(*) AS n_events
          FROM s GROUP BY user_id ORDER BY user_id""",
+
+    "session_window_agg" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+                  ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         s AS (
+           SELECT user_id, ts_us, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM e)
+         SELECT user_id, min(ts_us) AS sess_start_us,
+           count(*) AS n_events, round(sum(value), 4) AS total
+         FROM s GROUP BY user_id, sess_id
+         ORDER BY user_id, sess_start_us""",
 
     "set_ops" ->
       """SELECT 'both' AS src, nk FROM

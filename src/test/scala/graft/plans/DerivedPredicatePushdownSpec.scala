@@ -1,0 +1,45 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class DerivedPredicatePushdownSpec extends SparkSpec {
+
+  test("a `ts div 1000 > v` filter gains a pushed raw-ts scan predicate") {
+    GraftOptimizations.install(spark)
+    val ckptUs = 1704412800000000L
+    val df = Tables.load(spark, Sf0001, "events")
+      .filter(expr("ts div 1000") > lit(ckptUs))
+      .select("event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"GreaterThanOrEqual(ts,${(ckptUs + 1) * 1000})"),
+      s"expected pushed raw-ts bound in:\n$plan")
+    // semantics unchanged vs the un-optimized derived filter
+    val expected = Tables.load(spark, Sf0001, "events")
+      .filter(col("ts") >= lit((ckptUs + 1) * 1000L)).count()
+    assert(df.count() == expected)
+  }
+
+  test("rule is an implication, not a rewrite: boundary rows stay correct") {
+    GraftOptimizations.install(spark)
+    import spark.implicits._
+    val df = Seq(999L, 1000L, 1999L, 2000L, 2001L).toDF("x")
+    // x div 1000 > 1 keeps exactly 2000, 2001
+    val out = df.filter(expr("x div 1000") > lit(1L)).as[Long].collect().sorted
+    assert(out.toSeq == Seq(2000L, 2001L))
+    // >= form
+    val out2 = df.filter(expr("x div 1000") >= lit(2L)).as[Long].collect().sorted
+    assert(out2.toSeq == Seq(2000L, 2001L))
+  }
+
+  test("rule reaches fixpoint (no repeated conjuncts, plan stays analyzable)") {
+    GraftOptimizations.install(spark)
+    import spark.implicits._
+    val df = Seq(5000L).toDF("x").filter(expr("x div 10") > lit(3L))
+    // optimizer runs batches to fixpoint; a non-idempotent rule would loop
+    assert(df.count() == 1)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("GreaterThanOrEqual".r.findAllIn(optimized).size <= 1)
+  }
+}
