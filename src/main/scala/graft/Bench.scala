@@ -25,13 +25,17 @@ object Bench {
     val all = SparkEntry.queries
     val results = SparkEntry.benchQueries.filter(all.contains).map { name =>
       val t0 = System.nanoTime()
-      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { all(name)(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false) => s"\"$k\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

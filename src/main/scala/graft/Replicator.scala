@@ -81,7 +81,8 @@ class Replicator(
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val maxTs = Replicator.applyBatch(batch, specs, url, props)
+        val maxTs = Replicator.applyBatch(batch, specs, url, props,
+          deadLetterDir = Some(s"$checkpointDir/dead_letter"))
         maxTs.foreach { ts =>
           val conn = DriverManager.getConnection(url, props)
           try {
@@ -109,13 +110,25 @@ object Replicator {
       batch: DataFrame,
       specs: Seq[TableSpec],
       url: String,
-      props: Properties): Option[Long] = {
+      props: Properties,
+      deadLetterDir: Option[String] = None): Option[Long] = {
     val specByName = specs.map(s => s.name -> s).toMap
+    // one pass over the decoded batch serves apply + dead-letter + offset
+    batch.persist()
+    // dead letters are PERSISTED before the offset advances past them —
+    // dropping them silently would be unrecoverable loss (the reference
+    // aborts instead, mongo.go:183; neither is acceptable at scale)
+    deadLetterDir.foreach { dir =>
+      val dl = batch.filter(col("kind") === "dead_letter")
+      if (!dl.isEmpty) dl.write.mode("append").parquet(dir)
+    }
     val relevant = batch
       .filter(col("kind").isin("upsert", "delete") &&
         col("tbl").isin(specs.map(_.name): _*))
       .repartition(col("tbl"), col("id"))
-      .sortWithinPartitions(col("tbl"), col("id"), col("ts"))
+      // applyOps tx inner ops share the outer ts — seq (index within the
+      // oplog entry) breaks the tie so per-key order is total
+      .sortWithinPartitions(col("tbl"), col("id"), col("ts"), col("seq"))
     relevant.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url, props)
@@ -141,7 +154,13 @@ object Replicator {
                 st.setObject(1, r.getString(3)) // pk
                 present.zipWithIndex.foreach { case (c, i) =>
                   val v = if (removed.contains(c)) null else fields.getOrElse(c, null)
-                  st.setObject(i + 2, v)
+                  // P4 at the bind boundary: composite values become JSON
+                  // text, exactly like the snapshot path (mysql.go:402-404)
+                  val bound = v match {
+                    case _: Seq[_] | _: Map[_, _] => Json.render(v)
+                    case other                    => other
+                  }
+                  st.setObject(i + 2, bound)
                 }
                 st.executeUpdate()
             }
@@ -153,6 +172,7 @@ object Replicator {
       }
     }
     val mx = batch.agg(max(col("ts"))).collect()(0)
+    batch.unpersist()
     if (mx.isNullAt(0)) None else Some(mx.getLong(0))
   }
 }

@@ -30,7 +30,10 @@ object OplogDecoder {
     * documented in SURVEY §7). */
   def flattenDoc(doc: Map[String, Any], prefix: String = ""): Map[String, Any] =
     doc.toSeq.sortBy(_._1).foldLeft(Map.empty[String, Any]) { case (acc, (k, v)) =>
-      val key = if (prefix.isEmpty) k else s"${prefix}_$k"
+      // Dotted keys are Mongo's oplog wire form for nested updates
+      // ($set: {"cfg.pub": 1}) — normalize them to the same `_`-joined
+      // sink names nested documents flatten to (col4sql, mysql.go:54-56).
+      val key = (if (prefix.isEmpty) k else s"${prefix}_$k").replace('.', '_')
       v match {
         case m: Map[_, _] => acc ++ flattenDoc(m.asInstanceOf[Map[String, Any]], key)
         case other        => acc + (key -> other)

@@ -199,7 +199,7 @@ object Dedup {
   def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(col(textCol), " ")).as("__tok"))
-    val h = conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long")
+    val h = TextAnalysis.tokenHash60(col("__tok")) // the shared cross-engine hash
     val votes = (0 until 60).map(j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v$j"))
     toks.select(col(idCol), h.as("__h"))

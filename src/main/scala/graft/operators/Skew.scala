@@ -41,7 +41,7 @@ object Skew {
       partial: Seq[(String, Column)],      // name -> agg over raw rows
       combine: Seq[(String, Column)]): DataFrame = {  // name -> agg over partials
     val salted = df.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
     val p = salted.groupBy(col(key), col("__salt"))
       .agg(partial.head._2.as(partial.head._1),
         partial.tail.map { case (n, c) => c.as(n) }: _*)

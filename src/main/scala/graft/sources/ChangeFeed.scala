@@ -32,8 +32,7 @@ object ChangeFeed {
       spark: SparkSession, dir: String,
       replicated: Set[String], afterTs: Long): DataFrame =
     spark.read.schema(SegmentSchema).json(dir)
-      .filter(col("ts") > lit(afterTs) &&
-        (col("ns").isin(replicated.toSeq: _*) || col("ns") === "admin.$cmd"))
+      .filter(feedPredicate(replicated, afterTs))
 
   /** Streaming read of a growing segment directory — the tailable-cursor
     * analog; new files are new micro-batches. */
@@ -41,32 +40,56 @@ object ChangeFeed {
       spark: SparkSession, dir: String,
       replicated: Set[String], afterTs: Long): DataFrame =
     spark.readStream.schema(SegmentSchema).json(dir)
-      .filter(col("ts") > lit(afterTs) &&
-        (col("ns").isin(replicated.toSeq: _*) || col("ns") === "admin.$cmd"))
+      .filter(feedPredicate(replicated, afterTs))
+
+  /** S2/F1 pushdown — with the null legs kept so corrupt segment lines
+    * (all-null rows under PERMISSIVE json parsing) flow to [[decode]]'s
+    * dead-letter path instead of vanishing at the source filter. */
+  private def feedPredicate(replicated: Set[String], afterTs: Long) =
+    (col("ts") > lit(afterTs) || col("ts").isNull) &&
+      (col("ns").isNull || col("ns").isin(replicated.toSeq: _*) ||
+        col("ns") === "admin.$cmd")
 
   /** T1/T2 decode as a distributed flatMap: JSON rows → [[Change]]s,
     * flattened to a typed frame
-    * (kind, table, ts, id, fields-as-JSON, partial, removed, reason). */
+    * (kind, table, ts, id, fields-as-JSON, partial, removed, reason, seq).
+    * `seq` is the op's index within its oplog entry — applyOps transaction
+    * inner ops all inherit the outer ts, so (ts, seq) is the total per-key
+    * order the apply path must preserve. Malformed payloads (bad JSON,
+    * null op/ns from corrupt lines) become dead-letter rows, never task
+    * failures. */
   def decode(feed: DataFrame, replicated: Set[String]): DataFrame = {
     val spark = feed.sparkSession
     import spark.implicits._
     feed.select(col("op"), col("ns"), col("ts"), col("o"), col("o2"))
+      .na.fill(0L, Seq("ts"))
       .as[(String, String, Long, String, String)]
       .flatMap { case (op, ns, ts, o, o2) =>
-        val entry = RawOplog(op, ns, ts,
-          Option(o).map(Json.parseObject).getOrElse(Map.empty),
-          Option(o2).map(Json.parseObject))
-        OplogDecoder.decode(entry, replicated).map(toRow)
+        if (op == null || ns == null)
+          Seq(("dead_letter", "", ts, null, String.valueOf(o), false,
+            Seq.empty[String], "unparseable segment line", 0))
+        else try {
+          val entry = RawOplog(op, ns, ts,
+            Option(o).map(Json.parseObject).getOrElse(Map.empty),
+            Option(o2).map(Json.parseObject))
+          OplogDecoder.decode(entry, replicated).zipWithIndex
+            .map { case (c, i) => toRow(c, i) }
+        } catch {
+          case e: Exception =>
+            Seq(("dead_letter", ns.split('.').drop(1).mkString("."), ts, null,
+              String.valueOf(o), false, Seq.empty[String],
+              s"payload parse error: ${e.getMessage}", 0))
+        }
       }
-      .toDF("kind", "tbl", "ts", "id", "fields_json", "partial", "removed", "reason")
+      .toDF("kind", "tbl", "ts", "id", "fields_json", "partial", "removed", "reason", "seq")
   }
 
-  private def toRow(c: Change): (String, String, Long, String, String, Boolean, Seq[String], String) =
+  private def toRow(c: Change, seq: Int): (String, String, Long, String, String, Boolean, Seq[String], String, Int) =
     c match {
       case Upsert(t, ts, id, fields, partial, removed) =>
-        ("upsert", t, ts, id, Json.render(fields), partial, removed.toSeq.sorted, null)
-      case Delete(t, ts, id) => ("delete", t, ts, id, null, false, Seq.empty, null)
-      case DeadLetter(t, ts, reason, raw) => ("dead_letter", t, ts, null, raw, false, Seq.empty, reason)
+        ("upsert", t, ts, id, Json.render(fields), partial, removed.toSeq.sorted, null, seq)
+      case Delete(t, ts, id) => ("delete", t, ts, id, null, false, Seq.empty, null, seq)
+      case DeadLetter(t, ts, reason, raw) => ("dead_letter", t, ts, null, raw, false, Seq.empty, reason, seq)
     }
 }
 
@@ -166,7 +189,7 @@ private[graft] object Json {
     case other           => renderString(other.toString)
   }
 
-  private def renderString(s: String): String =
+  def renderString(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -44,6 +44,14 @@ class OplogDecoderSpec extends AnyFunSuite {
       partial = true, removed = Set("gone", "cfg_old"))))
   }
 
+  test("dotted $set/$unset paths (oplog wire form) normalize to _-joined sink names") {
+    val out = OplogDecoder.decode(
+      raw("u", Map("$set" -> Map("cfg.pub" -> 1), "$unset" -> Map("cfg.old" -> 1)),
+        Some(Map("_id" -> oid))), replicated)
+    assert(out == Seq(Upsert("users", 7L, oid.hex,
+      Map("cfg_pub" -> 1), partial = true, removed = Set("cfg_old"))))
+  }
+
   test("update whole-document replace: full image, partial=false (mongo.go:369-385)") {
     val out = OplogDecoder.decode(
       raw("u", Map("_id" -> oid, "name" -> "y"), Some(Map("_id" -> oid))), replicated)

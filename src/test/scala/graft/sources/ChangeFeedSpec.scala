@@ -54,6 +54,31 @@ class ChangeFeedSpec extends SparkSpec {
     assert(spark.table("cf_test").count() == 4)
   }
 
+  test("corrupt segment lines become dead-letter rows, not task failures") {
+    val dir = writeSegments(Seq(
+      """{"op":"i","ns":"app.users","ts":10,"o":{"_id":"u1","v":1}}""",
+      """{"op":"u","ns":"app.users","ts":11,"o":"truncated-not-a-doc","o2":{"_id":"u1"}}""",
+      """this is not json at all"""))
+    val feed = ChangeFeed.readBatch(spark, dir, Set("app.users"), afterTs = 0L)
+    val out = ChangeFeed.decode(feed, Set("app.users"))
+      .orderBy("ts").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getString(0)).count(_ == "dead_letter") == 2)
+    assert(out.map(_.getString(0)).count(_ == "upsert") == 1)
+  }
+
+  test("applyOps inner ops carry a seq tiebreaker (same inherited ts)") {
+    val dir = writeSegments(Seq(
+      """{"op":"c","ns":"admin.$cmd","ts":50,"o":{"applyOps":[
+        {"op":"i","ns":"app.users","o":{"_id":"k1","v":1}},
+        {"op":"d","ns":"app.users","o":{"_id":"k1"}}]}}""".replaceAll("\n\\s*", "")))
+    val out = ChangeFeed.decode(
+        ChangeFeed.readBatch(spark, dir, Set("app.users"), 0L), Set("app.users"))
+      .orderBy("seq").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(8))).toSeq ==
+      Seq(("upsert", 0), ("delete", 1))) // delete AFTER insert, deterministically
+  }
+
   test("JSON round-trip: parse ∘ render on nested payloads") {
     val doc = Map("a" -> 1L, "b" -> Map("c" -> "x\"y", "d" -> Seq(1L, 2L)), "e" -> null)
     assert(Json.parseObject(Json.render(doc)) == doc)
