@@ -255,6 +255,28 @@ object AnalyticsQueries {
         .orderBy("s_suppkey")
     },
 
+    // Exact interpolated percentiles (both engines use linear/type-7).
+    "percentiles" -> q { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        .orderBy("event_type")
+    },
+
+    // Moment statistics: sample stddev/variance + correlation.
+    "stats_agg" -> q { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("vr"),
+          round(corr(col("value"), col("user_id").cast("double")), 4).as("cor"))
+        .orderBy("event_type")
+    },
+
     // SQL surface: the same engine through spark.sql over registered
     // views — proves a reference user can keep writing SQL verbatim.
     "sql_surface" -> q { (s, dir) =>
@@ -438,6 +460,20 @@ object AnalyticsQueries {
            sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS n_error,
            round(sum(value), 4) AS total_value
          FROM events GROUP BY cohort ORDER BY cohort""",
+
+    "percentiles" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stats_agg" ->
+      """SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS vr,
+           round(corr(value, user_id::double), 4) AS cor
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "sql_surface" ->
       """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
