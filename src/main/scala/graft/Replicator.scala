@@ -80,9 +80,9 @@ class Replicator(
     decoded.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val maxTs = Replicator.applyBatch(batch, specs, url, props,
-          deadLetterDir = Some(s"$checkpointDir/dead_letter"))
+          deadLetterDir = Some(s"$checkpointDir/dead_letter"), batchId = batchId)
         maxTs.foreach { ts =>
           val conn = DriverManager.getConnection(url, props)
           try {
@@ -111,16 +111,20 @@ object Replicator {
       specs: Seq[TableSpec],
       url: String,
       props: Properties,
-      deadLetterDir: Option[String] = None): Option[Long] = {
+      deadLetterDir: Option[String] = None,
+      batchId: Long = 0L): Option[Long] = {
     val specByName = specs.map(s => s.name -> s).toMap
     // one pass over the decoded batch serves apply + dead-letter + offset
     batch.persist()
+    try {
     // dead letters are PERSISTED before the offset advances past them —
     // dropping them silently would be unrecoverable loss (the reference
-    // aborts instead, mongo.go:183; neither is acceptable at scale)
+    // aborts instead, mongo.go:183; neither is acceptable at scale). The
+    // batchId-keyed subdirectory + overwrite makes the write idempotent
+    // under foreachBatch replay (no duplicate dead letters).
     deadLetterDir.foreach { dir =>
-      val dl = batch.filter(col("kind") === "dead_letter")
-      if (!dl.isEmpty) dl.write.mode("append").parquet(dir)
+      batch.filter(col("kind") === "dead_letter")
+        .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     }
     val relevant = batch
       .filter(col("kind").isin("upsert", "delete") &&
@@ -171,8 +175,13 @@ object Replicator {
         } finally conn.close()
       }
     }
-    val mx = batch.agg(max(col("ts"))).collect()(0)
-    batch.unpersist()
+    // offset from APPLIED rows only — a batch of pure dead letters (whose
+    // ts is a 0 sentinel) must never regress the durable checkpoint
+    val mx = batch
+      .filter(col("kind").isin("upsert", "delete") &&
+        col("tbl").isin(specs.map(_.name): _*))
+      .agg(max(col("ts"))).collect()(0)
     if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+    } finally batch.unpersist()
   }
 }

@@ -24,14 +24,19 @@ object ChangeFeed {
     StructField("ns", StringType),
     StructField("ts", LongType),
     StructField("o", StringType),
-    StructField("o2", StringType)))
+    StructField("o2", StringType),
+    // PERMISSIVE-mode capture of unparseable lines: the raw text lands
+    // here so a dead letter carries the actual record, not nulls
+    StructField("_corrupt_record", StringType)))
 
   /** Batch read of oplog segments, with the S2/F1 pushdown predicate
     * (ns ∈ replicated AND ts > checkpoint) applied at the source. */
   def readBatch(
       spark: SparkSession, dir: String,
       replicated: Set[String], afterTs: Long): DataFrame =
-    spark.read.schema(SegmentSchema).json(dir)
+    spark.read.schema(SegmentSchema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
       .filter(feedPredicate(replicated, afterTs))
 
   /** Streaming read of a growing segment directory — the tailable-cursor
@@ -39,12 +44,18 @@ object ChangeFeed {
   def readStream(
       spark: SparkSession, dir: String,
       replicated: Set[String], afterTs: Long): DataFrame =
-    spark.readStream.schema(SegmentSchema).json(dir)
+    spark.readStream.schema(SegmentSchema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
       .filter(feedPredicate(replicated, afterTs))
 
   /** S2/F1 pushdown — with the null legs kept so corrupt segment lines
     * (all-null rows under PERMISSIVE json parsing) flow to [[decode]]'s
-    * dead-letter path instead of vanishing at the source filter. */
+    * dead-letter path instead of vanishing at the source filter. On the
+    * streaming path files are tracked by the source log so a corrupt line
+    * is seen once; batch re-reads with a larger afterTs will re-surface
+    * historical corrupt lines (their ts is null) — batch callers dedup
+    * dead letters by content if they accumulate them. */
   private def feedPredicate(replicated: Set[String], afterTs: Long) =
     (col("ts") > lit(afterTs) || col("ts").isNull) &&
       (col("ns").isNull || col("ns").isin(replicated.toSeq: _*) ||
@@ -61,13 +72,22 @@ object ChangeFeed {
   def decode(feed: DataFrame, replicated: Set[String]): DataFrame = {
     val spark = feed.sparkSession
     import spark.implicits._
-    feed.select(col("op"), col("ns"), col("ts"), col("o"), col("o2"))
-      .na.fill(0L, Seq("ts"))
-      .as[(String, String, Long, String, String)]
-      .flatMap { case (op, ns, ts, o, o2) =>
-        if (op == null || ns == null)
-          Seq(("dead_letter", "", ts, null, String.valueOf(o), false,
-            Seq.empty[String], "unparseable segment line", 0))
+    // A null ts is itself a defect (corrupt line OR a valid-looking op
+    // missing its position): such rows must dead-letter, never be applied
+    // with a fabricated position. The sentinel survives the primitive
+    // encoder; dead letters carry ts=0 and are excluded from offsets.
+    val TsMissing = Long.MinValue
+    feed.select(col("op"), col("ns"),
+        coalesce(col("ts"), lit(TsMissing)).as("ts"),
+        col("o"), col("o2"), col("_corrupt_record"))
+      .as[(String, String, Long, String, String, String)]
+      .flatMap { case (op, ns, ts, o, o2, corrupt) =>
+        def raw = Option(corrupt).orElse(Option(o)).getOrElse("")
+        if (op == null || ns == null || ts == TsMissing)
+          Seq(("dead_letter", Option(ns).getOrElse(""), 0L, null, raw, false,
+            Seq.empty[String],
+            if (ts == TsMissing && op != null) "missing ts" else "unparseable segment line",
+            0))
         else try {
           val entry = RawOplog(op, ns, ts,
             Option(o).map(Json.parseObject).getOrElse(Map.empty),
@@ -77,7 +97,7 @@ object ChangeFeed {
         } catch {
           case e: Exception =>
             Seq(("dead_letter", ns.split('.').drop(1).mkString("."), ts, null,
-              String.valueOf(o), false, Seq.empty[String],
+              raw, false, Seq.empty[String],
               s"payload parse error: ${e.getMessage}", 0))
         }
       }

@@ -87,5 +87,18 @@ class ReplicatorSpec extends SparkSpec {
     // checkpoint is the last replicated entry's ts.
     val stored = MemJdbc.table("repl", UpsertWriter.StateTable)("timestamp")("value")
     assert(new String(stored.asInstanceOf[Array[Byte]], "UTF-8") == "105")
+
+    // a segment of pure garbage must dead-letter (with the raw line
+    // preserved) and must NOT regress the committed offset
+    Files.write(Paths.get(segDir, "seg1.json"),
+      "utter garbage not json\n".getBytes("UTF-8"))
+    val q2 = repl.startStream(segDir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    val after = MemJdbc.table("repl", UpsertWriter.StateTable)("timestamp")("value")
+    assert(new String(after.asInstanceOf[Array[Byte]], "UTF-8") == "105")
+    val dl = spark.read.parquet(s"$ckpt/dead_letter/batch=1")
+      .select("fields_json").collect().map(_.getString(0))
+    assert(dl.exists(_.contains("utter garbage")))
   }
 }

@@ -35,6 +35,16 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("graft_cosine resolves in SQL text after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.load(spark, Sf0001, "embeddings").createOrReplaceTempView("emb_sql")
+    val c = spark.sql(
+      """SELECT round(graft_cosine(a.embedding, b.embedding), 6) AS c
+         FROM emb_sql a JOIN emb_sql b ON a.vec_id = 0 AND b.vec_id = 1""")
+      .collect()(0).getDouble(0)
+    assert(c > -1.0 && c < 1.0)
+  }
+
   test("bruteForceTopK ranks by cosine desc with deterministic tiebreak") {
     val out = Similarity.bruteForceTopK(
       emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 4)
