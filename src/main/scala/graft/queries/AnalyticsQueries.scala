@@ -277,6 +277,16 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // Custom typed Aggregator (Welford parallel variance) through the
+    // udaf registration path — the sketch-aggregation surface.
+    "custom_agg_variance" -> q { (s, dir) =>
+      val welford = udaf(graft.functions.WelfordVariance)
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(welford(col("value")), 4).as("vr"))
+        .orderBy("event_type")
+    },
+
     // SQL surface: the same engine through spark.sql over registered
     // views — proves a reference user can keep writing SQL verbatim.
     "sql_surface" -> q { (s, dir) =>
@@ -473,6 +483,10 @@ object AnalyticsQueries {
            round(stddev_samp(value), 4) AS sd,
            round(var_samp(value), 4) AS vr,
            round(corr(value, user_id::double), 4) AS cor
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "custom_agg_variance" ->
+      """SELECT event_type, round(var_samp(value), 4) AS vr
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "sql_surface" ->
