@@ -164,15 +164,22 @@ object Dedup {
       idCol: String,
       threshold: Double,
       maxDocFreq: Long = 1000L): DataFrame = {
-    // Materialize the inverted index once; annotate per-doc size (computed
-    // BEFORE the stop-shingle cut, like the oracle) and per-shingle doc
-    // frequency with windows, then materialize again so the self-join reads
-    // the annotated index instead of recomputing the whole chain per side.
+    // Materialize the inverted index once, then annotate with AGGREGATES,
+    // not windows: a Window.partitionBy(shingle) would drag every row of a
+    // hot shingle onto one task BEFORE the maxDocFreq guard could drop it —
+    // the skew guard itself would be skew-vulnerable. groupBy gets map-side
+    // partial counts, so a ubiquitous shingle ships one partial per task.
+    // The over-frequency shingle set is tiny by construction (they are the
+    // ubiquitous ones) → broadcast anti-join, no extra shuffle of the index.
+    // Per-doc size is computed BEFORE the stop-shingle cut, like the oracle.
     val idx = shingled.localCheckpoint()
+    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val hot = idx.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("shingle"))
     val ann = idx
-      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("__df") <= maxDocFreq)
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .join(sizes, Seq(idCol))
       .localCheckpoint()
     val a = ann.select(col(idCol).as("id_a"), col("__sz").as("__sz_a"), col("shingle"))
     val b = ann.select(col(idCol).as("id_b"), col("__sz").as("__sz_b"), col("shingle"))

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *
   *  - [[bruteForceTopK]]: exact cosine top-k, broadcast the (small) query
   *    set against the corpus — the correctness baseline; one pass over the
-  *    corpus, no corpus shuffle, per-partition top-k before the final
-  *    merge (the window only sees `queries × k̃` candidates).
+  *    corpus, no corpus shuffle, then the salted two-stage
+  *    [[topKPerQuery]] (the final per-query window only sees
+  *    `salts × k` survivors, never the corpus).
   *  - [[signLshTopK]] / [[ivfTopK]]: bucketed variants — queries only scan
   *    their own bucket/cluster, the 100 TB scale path.
   *
@@ -46,9 +47,35 @@ object Similarity {
     concat_ws("", (1 to bits).map(i =>
       when(element_at(vec, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Exact two-stage top-k per query over a scored candidate frame.
+    *
+    * Stage 1 ranks within (query_id, salt) — `salts` reducers per query
+    * instead of ONE, each sorting ~1/salts of that query's candidates — and
+    * keeps k per salt group. Stage 2 ranks the ≤ `salts × k` survivors per
+    * query. Exact, not approximate: the ranking order (cosine desc,
+    * neighbor_id asc) is total, so every global top-k row also ranks ≤ k
+    * inside its salt group and survives stage 1. The salt is a
+    * deterministic hash of the neighbor id, not `spark_partition_id()`, so
+    * re-computation under task retry is stable. */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 32): DataFrame = {
+    val s1 = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val s2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__salt", pmod(hash(col("neighbor_id")), lit(salts)))
+      .withColumn("__rn1", row_number().over(s1))
+      .filter(col("__rn1") <= k)
+      .withColumn("rank", row_number().over(s2))
+      .filter(col("rank") <= k)
+      .drop("__salt", "__rn1")
+  }
+
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
     * broadcast-small (it is hinted); ranking uses (rounded cosine desc,
-    * neighbor id asc) so results are stable across engines. */
+    * neighbor id asc) so results are stable across engines. Top-k is the
+    * salted two-stage [[topKPerQuery]] — no per-query single-reducer sort
+    * of the whole corpus. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -57,11 +84,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
@@ -78,29 +101,33 @@ object Similarity {
       signBucket(col(vecCol), bits).as("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** IVF-style ANN: a deterministic centroid set (caller-provided, e.g. a
     * sampled subset), every vector assigned to its nearest centroid, then
-    * per-query search restricted to the query's cluster. Centroid
-    * assignment = broadcast-join + argmin — corpus shuffles once on
-    * cluster id. */
+    * per-query search restricted to the query's cluster.
+    *
+    * Centroid assignment = broadcast-join + `max_by` argmax: the N×C
+    * scored rows reduce MAP-SIDE to one partial per (vector, task), so the
+    * shuffle carries N rows, not N×C — a C-fold cut over the row_number
+    * window formulation (C grows with the corpus under sampled-centroid
+    * rules). The ordering key `struct(__sim, -centroid_id)` replicates
+    * (sim desc, centroid_id asc) tie-breaking exactly. */
   def assignClusters(
       vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val cen = broadcast(centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("__cen")))
-    val scored = vectors.crossJoin(cen)
+    val passThrough = vectors.columns.toSeq.filter(_ != idCol)
+    vectors.crossJoin(cen)
       .withColumn("__sim", round(cosineNative(col(vecCol), col("__cen")), 6))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(vectors.columns.toSeq.map(col) :+ col("centroid_id").as("cluster"): _*)
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct((passThrough.map(col) :+ col("centroid_id").as("cluster")): _*),
+        struct(col("__sim"), (-col("centroid_id")).as("__neg"))).as("__best"))
+      .select(col(idCol) +: passThrough.map(c => col(s"__best.$c")) :+ col("__best.cluster"): _*)
   }
 
   def ivfTopK(
@@ -113,9 +140,7 @@ object Similarity {
     val scored = broadcast(qClustered).join(c, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
       .select(col("query_id"), col("cluster"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 }

@@ -10,11 +10,12 @@ import graft.config.{MappingConfig, TableSpec}
   * Executing the plan is a thin JDBC loop (no Spark primitive exists for
   * external-RDBMS DDL); planning is deterministic and fully unit-tested.
   * Reference semantics preserved exactly, including the destructive ones:
-  *   - unmapped tables dropped only under `force` (`mysql.go:168-177`);
-  *   - type-string mismatch → DROP + re-ADD column (data loss + resync,
-  *     `mysql.go:223-236`) — kept behind the same explicit gate;
+  *   - unmapped tables: plan FAILS without `force` (`mysql.go:167-169`),
+  *     drops them with it (`mysql.go:170-177`);
+  *   - unmapped or type-mismatched columns (destructive DROP, or DROP +
+  *     re-ADD + resync for type migration, `mysql.go:223-249`): plan FAILS
+  *     without `force` (`mysql.go:238-240`), executes with it;
   *   - missing tables created with only the `_id` PK (`mysql.go:183-198`);
-  *   - unmapped columns dropped (`mysql.go:238-249`);
   *   - missing columns added NULL-able (`mysql.go:250-266`) → resync;
   *   - columns reordered to declared order via ALTER … AFTER
   *     (`mysql.go:267-285`).
@@ -43,15 +44,23 @@ object SchemaSync {
 
   final case class Plan(ddl: Seq[Ddl], resyncColumns: Map[String, Set[String]])
 
+  /** Raised when the plan would destroy sink data and `force` is false —
+    * the reference refuses rather than proceeding (`mysql.go:167-169` for
+    * tables, `mysql.go:238-240` for columns). */
+  final case class ForceRequired(message: String) extends RuntimeException(message)
+
   def plan(config: MappingConfig, observed: Catalog, force: Boolean): Plan = {
     val ddl = Seq.newBuilder[Ddl]
     val resync = scala.collection.mutable.Map.empty[String, Set[String]]
     val declaredTables = config.tables.map(_.name).toSet
 
-    // drop unmapped tables (force-gated, mysql.go:168-177); the state table survives
-    observed.keys.toSeq.sorted
+    // unmapped tables are dropped; without force this REFUSES like the
+    // reference (mysql.go:167-169), never silently skips. State table survives.
+    val strayTables = observed.keys.toSeq.sorted
       .filter(t => !declaredTables.contains(t) && t != UpsertWriter.StateTable)
-      .foreach { t => if (force) ddl += DropTable(t) }
+    if (strayTables.nonEmpty && !force)
+      throw ForceRequired(s"Cannot remove tables ${strayTables.mkString(", ")} without --force")
+    strayTables.foreach(t => ddl += DropTable(t))
 
     config.tables.foreach { spec =>
       val existing = observed.get(spec.name)
@@ -65,9 +74,19 @@ object SchemaSync {
       val declared = spec.columns.map(c => c.sinkName -> c.declaredType)
       val declaredNames = declared.map(_._1).toSet
 
-      // unmapped columns dropped (mysql.go:238-249)
-      liveCols.map(_._1).filter(c => c != spec.pk && !declaredNames.contains(c))
-        .foreach(c => ddl += DropColumn(spec.name, c))
+      // columns to remove = unmapped ones (mysql.go:238-249) plus
+      // type-mismatched ones slated for destructive recreate (mysql.go:223-236).
+      // Both are data loss: without force this REFUSES (mysql.go:238-240).
+      val strayCols = liveCols.map(_._1)
+        .filter(c => c != spec.pk && !declaredNames.contains(c))
+      val mismatched = declared.collect {
+        case (name, typ) if live.get(name).exists(lt => !typeEq(lt, typ)) => name
+      }
+      val removals = strayCols ++ mismatched
+      if (removals.nonEmpty && !force)
+        throw ForceRequired(
+          s"Cannot remove columns ${spec.name}.${removals.mkString("[", ", ", "]")} without --force")
+      strayCols.foreach(c => ddl += DropColumn(spec.name, c))
 
       declared.foreach { case (name, typ) =>
         live.get(name) match {

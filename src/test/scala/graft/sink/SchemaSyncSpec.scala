@@ -18,14 +18,37 @@ class SchemaSyncSpec extends AnyFunSuite {
     assert(plan.resyncColumns == Map("users" -> Set("name", "visits")))
   }
 
-  test("type mismatch → destructive drop+add + resync (mysql.go:223-236)") {
+  test("type mismatch → destructive drop+add + resync under force (mysql.go:223-236)") {
     val observed = Map("users" -> Seq(
       "_id" -> "varchar(24)", "name" -> "varchar(50)", "visits" -> "bigint(20)"))
-    val plan = SchemaSync.plan(config, observed, force = false)
+    val plan = SchemaSync.plan(config, observed, force = true)
     val ddl = plan.ddl.map(_.sql)
     assert(ddl.contains("ALTER TABLE `users` DROP COLUMN `name`"))
     assert(ddl.contains("ALTER TABLE `users` ADD COLUMN `name` varchar(100) NULL"))
     assert(plan.resyncColumns == Map("users" -> Set("name")))
+  }
+
+  test("type mismatch without force REFUSES, names the column (mysql.go:238-240)") {
+    val observed = Map("users" -> Seq(
+      "_id" -> "varchar(24)", "name" -> "varchar(50)", "visits" -> "bigint(20)"))
+    val e = intercept[SchemaSync.ForceRequired] {
+      SchemaSync.plan(config, observed, force = false)
+    }
+    assert(e.getMessage.contains("users.[name]") && e.getMessage.contains("--force"))
+  }
+
+  test("unmapped column without force REFUSES (mysql.go:238-240)") {
+    val observed = Map("users" -> Seq(
+      "_id" -> "varchar(24)", "name" -> "varchar(100)",
+      "visits" -> "bigint(20)", "legacy" -> "text"))
+    val e = intercept[SchemaSync.ForceRequired] {
+      SchemaSync.plan(config, observed, force = false)
+    }
+    assert(e.getMessage.contains("legacy"))
+    // under force the stray column is dropped, the declared ones untouched
+    val forced = SchemaSync.plan(config, observed, force = true)
+    assert(forced.ddl.contains(SchemaSync.DropColumn("users", "legacy")))
+    assert(!forced.ddl.contains(SchemaSync.DropColumn("users", "name")))
   }
 
   test("type comparison is case/whitespace-insensitive (mysql.go:219-222)") {
@@ -35,13 +58,15 @@ class SchemaSyncSpec extends AnyFunSuite {
     assert(!plan.ddl.exists(_.sql.contains("DROP COLUMN `name`")))
   }
 
-  test("unmapped tables dropped only under force; state table survives (mysql.go:168-177)") {
+  test("unmapped table: refused without force, dropped with it; state table survives (mysql.go:167-177)") {
     val observed = Map(
       "users" -> Seq("_id" -> "varchar(24)", "name" -> "varchar(100)", "visits" -> "bigint(20)"),
       "stray" -> Seq("_id" -> "varchar(24)"),
       UpsertWriter.StateTable -> Seq("name" -> "varchar(100)"))
-    assert(!SchemaSync.plan(config, observed, force = false).ddl
-      .contains(SchemaSync.DropTable("stray")))
+    val e = intercept[SchemaSync.ForceRequired] {
+      SchemaSync.plan(config, observed, force = false)
+    }
+    assert(e.getMessage.contains("stray") && e.getMessage.contains("--force"))
     val forced = SchemaSync.plan(config, observed, force = true)
     assert(forced.ddl.contains(SchemaSync.DropTable("stray")))
     assert(!forced.ddl.exists(_.sql.contains(UpsertWriter.StateTable)))
