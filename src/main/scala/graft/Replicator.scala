@@ -81,8 +81,20 @@ class Replicator(
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Replay guard: ops at or below the durably stored offset were
+        // already applied (a foreachBatch replay after a crash between
+        // data-commit and offset-commit); skip them instead of re-writing.
+        // Idempotent statements still cover the skipped window, this just
+        // makes replays free. Dead letters are persisted BEFORE the guard
+        // (their ts sentinel must never be offset-compared).
+        val stored: Long = {
+          val conn = DriverManager.getConnection(url, props)
+          try UpsertWriter.readOffset(conn).getOrElse(Long.MinValue)
+          finally conn.close()
+        }
         val maxTs = Replicator.applyBatch(batch, specs, url, props,
-          deadLetterDir = Some(s"$checkpointDir/dead_letter"), batchId = batchId)
+          deadLetterDir = Some(s"$checkpointDir/dead_letter"), batchId = batchId,
+          skipLeTs = stored)
         maxTs.foreach { ts =>
           val conn = DriverManager.getConnection(url, props)
           try {
@@ -105,14 +117,30 @@ object Replicator {
   /** Apply one decoded micro-batch: per-key ordered apply on executors.
     * Partial upserts bind only present∩declared columns (mysql.go:456-459);
     * full images NULL absent declared columns (mysql.go:381-407); unsets
-    * null the named columns. Returns the max applied offset. */
+    * null the named columns. Returns the max applied offset.
+    *
+    * Statement strategy (parity target `mysql.go:410-415`, which at least
+    * reused prepared statements; the reference still round-tripped per op):
+    * prepared statements are CACHED per distinct SQL shape — (table,
+    * present-column-set) for upserts, table for deletes — for the life of
+    * the partition, and consecutive ops sharing a shape accumulate into one
+    * JDBC batch, flushed when the shape changes (preserving per-key op
+    * order: rows arrive sorted by (tbl, id, ts, seq) and batches execute in
+    * add order) or at `applyBatchSize`. Uniform streams collapse to
+    * ~one round-trip per `applyBatchSize` ops instead of one per op.
+    *
+    * `skipLeTs`: replay guard — ops with ts ≤ this (the durably stored
+    * offset) are dropped before apply; see [[Replicator.startStream]]. */
+  private[graft] val applyBatchSize = 1000
+
   private[graft] def applyBatch(
       batch: DataFrame,
       specs: Seq[TableSpec],
       url: String,
       props: Properties,
       deadLetterDir: Option[String] = None,
-      batchId: Long = 0L): Option[Long] = {
+      batchId: Long = 0L,
+      skipLeTs: Long = Long.MinValue): Option[Long] = {
     val specByName = specs.map(s => s.name -> s).toMap
     // one pass over the decoded batch serves apply + dead-letter + offset
     batch.persist()
@@ -128,47 +156,62 @@ object Replicator {
     }
     val relevant = batch
       .filter(col("kind").isin("upsert", "delete") &&
-        col("tbl").isin(specs.map(_.name): _*))
+        col("tbl").isin(specs.map(_.name): _*) &&
+        col("ts") > lit(skipLeTs))
       .repartition(col("tbl"), col("id"))
       // applyOps tx inner ops share the outer ts — seq (index within the
       // oplog entry) breaks the tie so per-key order is total
       .sortWithinPartitions(col("tbl"), col("id"), col("ts"), col("seq"))
+    val maxRun = applyBatchSize
     relevant.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
+          // one PreparedStatement per distinct SQL shape, reused for the
+          // whole partition; `current` accumulates the running batch of
+          // consecutive same-shape ops
+          val cache = scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
+          var current: java.sql.PreparedStatement = null
+          var pending = 0
+          def flush(): Unit = if (pending > 0) { current.executeBatch(); pending = 0 }
           rows.foreach { r =>
             val spec = specByName(r.getString(1))
-            r.getString(0) match {
-              case "delete" =>
-                val st = conn.prepareStatement(UpsertWriter.deleteSql(spec))
-                st.setObject(1, r.getString(3))
-                st.executeUpdate()
-              case "upsert" =>
-                val fields = Json.parseObject(r.getString(4))
-                val partial = r.getBoolean(5)
-                val removed = r.getSeq[String](6).toSet
-                val declared = spec.columns.map(_.sinkName)
-                val present =
-                  if (partial) declared.filter(c => fields.contains(c) || removed.contains(c))
-                  else declared
-                val st = conn.prepareStatement(
-                  UpsertWriter.partialUpsertSql(spec, present))
-                st.setObject(1, r.getString(3)) // pk
-                present.zipWithIndex.foreach { case (c, i) =>
-                  val v = if (removed.contains(c)) null else fields.getOrElse(c, null)
-                  // P4 at the bind boundary: composite values become JSON
-                  // text, exactly like the snapshot path (mysql.go:402-404)
-                  val bound = v match {
-                    case _: Seq[_] | _: Map[_, _] => Json.render(v)
-                    case other                    => other
-                  }
-                  st.setObject(i + 2, bound)
-                }
-                st.executeUpdate()
-            }
+            val (sql, bind): (String, java.sql.PreparedStatement => Unit) =
+              r.getString(0) match {
+                case "delete" =>
+                  (UpsertWriter.deleteSql(spec),
+                    st => st.setObject(1, r.getString(3)))
+                case "upsert" =>
+                  val fields = Json.parseObject(r.getString(4))
+                  val partial = r.getBoolean(5)
+                  val removed = r.getSeq[String](6).toSet
+                  val declared = spec.columns.map(_.sinkName)
+                  val present =
+                    if (partial) declared.filter(c => fields.contains(c) || removed.contains(c))
+                    else declared
+                  (UpsertWriter.partialUpsertSql(spec, present), st => {
+                    st.setObject(1, r.getString(3)) // pk
+                    present.zipWithIndex.foreach { case (c, i) =>
+                      val v = if (removed.contains(c)) null else fields.getOrElse(c, null)
+                      // P4 at the bind boundary: composite values become JSON
+                      // text, exactly like the snapshot path (mysql.go:402-404)
+                      val bound = v match {
+                        case _: Seq[_] | _: Map[_, _] => Json.render(v)
+                        case other                    => other
+                      }
+                      st.setObject(i + 2, bound)
+                    }
+                  })
+              }
+            val st = cache.getOrElseUpdate(sql, conn.prepareStatement(sql))
+            if (st ne current) { flush(); current = st }
+            bind(st)
+            st.addBatch()
+            pending += 1
+            if (pending >= maxRun) flush()
           }
+          flush()
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e
@@ -179,7 +222,8 @@ object Replicator {
     // ts is a 0 sentinel) must never regress the durable checkpoint
     val mx = batch
       .filter(col("kind").isin("upsert", "delete") &&
-        col("tbl").isin(specs.map(_.name): _*))
+        col("tbl").isin(specs.map(_.name): _*) &&
+        col("ts") > lit(skipLeTs))
       .agg(max(col("ts"))).collect()(0)
     if (mx.isNullAt(0)) None else Some(mx.getLong(0))
     } finally batch.unpersist()

@@ -169,6 +169,40 @@ object CdcQueries {
         .orderBy("_id")
     },
 
+    // T1+O1 sequential-fold apply: partial images touching DIFFERENT
+    // columns of one key all contribute (the reference's one-op-at-a-time
+    // loop, run.go:301-322, as one aggregate); explicit $unset markers null
+    // a column; full images reset omitted columns; deletes bound history.
+    // events become a mixed stream: signup→full image, error→delete, other
+    // types→partials alternating which column they touch by event_id.
+    "t1_fold_apply" -> q { (s, dir) =>
+      val base = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("_id"),
+        col("c_acctbal").as("balance"),
+        col("c_mktsegment").as("segment"))
+      val op = when(col("event_type") === "error", "delete")
+        .when(col("event_type") === "signup", "insert")
+        .otherwise("update")
+      val changes = Tables.load(s, dir, "events").select(
+        col("user_id").as("_id"),
+        op.as("op"),
+        (op === "update").as("partial"),
+        when(op === "update" && col("event_id") % 7 === 0, array(lit("segment")))
+          .otherwise(array().cast("array<string>")).as("unsets"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        when(op === "insert", col("value"))
+          .when(op === "update" && col("event_id") % 3 =!= 0, col("value"))
+          .as("balance"),
+        when(op === "insert", lit("NEW"))
+          .when(op === "update" && col("event_id") % 3 === 0 &&
+            col("event_id") % 7 =!= 0, col("event_type"))
+          .cast("string").as("segment"))
+      MergeApply.foldChanges(base, changes, "_id", "op", "partial", "unsets",
+          Seq(col("ts_us"), col("event_id")), Seq("balance", "segment"))
+        .orderBy("_id")
+    },
+
     // J1: delete-reconciliation anti-join — sink keys absent from source
     // (replaces the reference's O(n) per-row FindOne loop, run.go:256-279).
     "j1_delete_reconcile" -> q { (s, dir) =>
@@ -307,6 +341,51 @@ object CdcQueries {
                 b.segment AS segment
          FROM base b FULL OUTER JOIN last l ON b._id = l._id
          WHERE l.op IS NULL OR l.op <> 'delete'
+         ORDER BY _id""",
+
+    // Mirrors foldChanges: per-column argmax at the last touching op
+    // (full images & deletes touch every column; unset markers null one),
+    // values struct-wrapped so a folded NULL survives arg_max.
+    "t1_fold_apply" ->
+      """WITH ch AS (
+           SELECT user_id AS _id,
+             CASE event_type WHEN 'error' THEN 'delete'
+                             WHEN 'signup' THEN 'insert'
+                             ELSE 'update' END AS op,
+             epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN event_type = 'signup' THEN value
+                  WHEN event_type NOT IN ('signup','error')
+                       AND event_id % 3 <> 0 THEN value END AS bal,
+             CASE WHEN event_type = 'signup' THEN 'NEW'
+                  WHEN event_type NOT IN ('signup','error')
+                       AND event_id % 3 = 0 AND event_id % 7 <> 0
+                  THEN event_type END AS seg,
+             (event_type NOT IN ('signup','error') AND event_id % 7 = 0) AS unset_seg
+           FROM events),
+         ev AS (
+           SELECT *, (op = 'delete') AS isdel, (op <> 'update') AS resets,
+             row_number() OVER (PARTITION BY _id ORDER BY ts_us, event_id) AS rn
+           FROM ch),
+         agg AS (
+           SELECT _id,
+             max(rn) AS lastrn,
+             max(CASE WHEN resets THEN rn END) AS bord,
+             coalesce(arg_max(isdel, CASE WHEN resets THEN rn END), false) AS bdel,
+             max(CASE WHEN resets OR bal IS NOT NULL THEN rn END) IS NOT NULL AS t_bal,
+             (arg_max({'v': CASE WHEN isdel THEN NULL ELSE bal END},
+                      CASE WHEN resets OR bal IS NOT NULL THEN rn END)).v AS v_bal,
+             max(CASE WHEN resets OR seg IS NOT NULL OR unset_seg THEN rn END) IS NOT NULL AS t_seg,
+             (arg_max({'v': CASE WHEN isdel OR unset_seg THEN NULL ELSE seg END},
+                      CASE WHEN resets OR seg IS NOT NULL OR unset_seg THEN rn END)).v AS v_seg
+           FROM ev GROUP BY _id),
+         base AS (
+           SELECT c_custkey AS _id, c_acctbal AS balance, c_mktsegment AS segment
+           FROM customer)
+         SELECT coalesce(b._id, a._id) AS _id,
+           CASE WHEN coalesce(a.t_bal, false) THEN a.v_bal ELSE b.balance END AS balance,
+           CASE WHEN coalesce(a.t_seg, false) THEN a.v_seg ELSE b.segment END AS segment
+         FROM base b FULL OUTER JOIN agg a ON b._id = a._id
+         WHERE a._id IS NULL OR NOT (a.bdel AND a.bord = a.lastrn)
          ORDER BY _id""",
 
     "j1_delete_reconcile" ->

@@ -33,6 +33,16 @@ object MergeApply {
     *     column-wise coalesce so partial images preserve untouched columns
     *     (`mysql.go:456-459`: absent field → column omitted from SET).
     *
+    * CONTRACT: correct for FULL images and deletes only. Each key is
+    * reduced to its single latest change row, so when several PARTIAL
+    * images touch different columns of one key inside a batch, the
+    * earlier partials' fields are discarded (the base value survives
+    * instead of theirs), and NULL-in-the-change-row cannot be told apart
+    * from not-present (no `$unset`→NULL). Streams carrying partial
+    * images or unsets must use [[foldChanges]], which folds every op per
+    * key in order — the columnar analog of the reference's sequential
+    * per-op apply (`run.go:301-322`, `mysql.go:449-476`).
+    *
     * `valueCols` are the data columns shared by both sides. Base rows
     * untouched by any change pass through. Plan shape: one shuffle for the
     * window, one for the full-outer join — both on `key`, so AQE can
@@ -51,6 +61,74 @@ object MergeApply {
     base.join(c, Seq(key), "full_outer")
       .filter(col("__op").isNull || col("__op") =!= deleteOp)
       .select(col(key) +: valueCols.map(v => coalesce(col(s"__c_$v"), col(v)).as(v)): _*)
+  }
+
+  /** Sequential-fold apply: every op per key folded in `ordering` order —
+    * equivalent to the reference's one-at-a-time apply loop
+    * (`run.go:301-322`, `mysql.go:449-476`) but expressed as ONE aggregate
+    * with map-side partial combine, so the shuffle carries one folded row
+    * per (key, task), never the op stream.
+    *
+    * The change stream's columnar encoding:
+    *   - `partialCol` (boolean): false = full image (insert/replace — absent
+    *     declared columns become NULL, `mysql.go:381-407`); true = partial
+    *     ($set-style — NULL means NOT TOUCHED, `mysql.go:456-459`);
+    *   - `unsetsCol` (array&lt;string&gt;): columns this op explicitly sets
+    *     to NULL ($unset / $set:null) — the marker that disambiguates
+    *     "absent" from "nulled";
+    *   - delete ops reset every column, so pre-delete values never leak
+    *     into a row re-created by later ops.
+    *
+    * Per column the fold is an argmax: the value at the LAST op that
+    * touched it (full images and deletes touch every column). The base
+    * value survives only when NO op touched the column. A key is absent
+    * from the result iff its last state-resetting op is a delete with no
+    * ops after it. Assumes well-formed streams (ops after a delete begin
+    * with a full image, as in an oplog); a malformed partial-after-delete
+    * still gets MySQL-upsert semantics: row re-created from the partial's
+    * fields alone.
+    *
+    * Values are struct-wrapped inside the argmax so a legitimate folded
+    * NULL (unset) survives aggregation — both Spark's `max_by` and the
+    * DuckDB oracle's `arg_max` would otherwise skip NULL values. */
+  def foldChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      key: String,
+      opCol: String,
+      partialCol: String,
+      unsetsCol: String,
+      ordering: Seq[Column],
+      valueCols: Seq[String],
+      deleteOp: String = "delete"): DataFrame = {
+    val ord = struct(ordering: _*)
+    val isDel = col(opCol) === deleteOp
+    val resets = !col(partialCol) || isDel // full images and deletes discard prior state
+    def touches(v: String): Column =
+      resets || col(v).isNotNull || array_contains(col(unsetsCol), v)
+    def eff(v: String): Column =
+      when(isDel || array_contains(col(unsetsCol), v), lit(null)).otherwise(col(v))
+
+    val perCol = valueCols.flatMap { v =>
+      Seq(
+        max_by(struct(eff(v).as("v")), when(touches(v), ord)).as(s"__f_$v"),
+        max(when(touches(v), ord)).isNotNull.as(s"__t_$v"))
+    }
+    val aggs = Seq(
+      max(ord).as("__lastord"),
+      max(when(resets, ord)).as("__bord"),
+      coalesce(max_by(isDel, when(resets, ord)), lit(false)).as("__bdel")) ++ perCol
+    val folded = changes.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__gone",
+        col("__bdel") && col("__bord") === col("__lastord"))
+
+    val joined = base.join(folded, Seq(key), "full_outer")
+    joined
+      .filter(col("__lastord").isNull || !col("__gone"))
+      .select(col(key) +: valueCols.map { v =>
+        when(coalesce(col(s"__t_$v"), lit(false)), col(s"__f_$v.v"))
+          .otherwise(col(v)).as(v)
+      }: _*)
   }
 
   /** J1: delete-reconciliation — every key present in the sink but absent

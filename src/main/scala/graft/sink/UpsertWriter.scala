@@ -15,10 +15,16 @@ import java.sql.{Connection, DriverManager, PreparedStatement}
   * replay a micro-batch after failure. Safety =
   *   (a) idempotent statements (`INSERT … ON DUPLICATE KEY UPDATE`,
   *       keyed DELETE — replays converge, `mysql.go:357-374`), plus
-  *   (b) the batch's max offset co-committed in the SAME transaction as
-  *       the data (the C1 invariant, `mysql.go:563-588`), plus
-  *   (c) skip-if-already-applied: a batch whose offset ≤ the stored offset
-  *       is a replay and is skipped wholesale.
+  *   (b) the batch's max offset committed AFTER all partitions' data
+  *       transactions, in its own driver-side transaction (the C1
+  *       ordering; the reference co-commits on its ONE connection,
+  *       `mysql.go:563-588` — with parallel executor connections the
+  *       window between data-commit and offset-commit is closed by (a)
+  *       and (c), not by a shared transaction), plus
+  *   (c) skip-if-already-applied: each batch reads the stored offset
+  *       first and drops ops with ts ≤ it ([[readOffset]], consumed by
+  *       `Replicator.startStream`) — replays after a crash in the
+  *       (b)-window re-apply only the unrecorded suffix.
   *
   * SQL generation is pure and unit-tested; the connection path runs only
   * in integration (no MySQL in this environment).
@@ -59,6 +65,23 @@ object UpsertWriter {
 
   def readOffsetSql: String =
     s"SELECT `value` FROM `$StateTable` WHERE `name` = '$OffsetKey'" // mysql.go:108-123
+
+  /** Read the stored offset (checkpoint), None if absent/unparseable —
+    * the resume position (`mysql.go:108-126`: missing row → 0) and the
+    * replay guard's comparison point. The blob value is decimal text,
+    * parity with `mysql.go:541`. */
+  def readOffset(conn: Connection): Option[Long] =
+    try {
+      val rs = conn.prepareStatement(readOffsetSql).executeQuery()
+      if (rs != null && rs.next()) {
+        val v = rs.getObject(1) match {
+          case b: Array[Byte] => new String(b, "UTF-8")
+          case s: String      => s
+          case other          => String.valueOf(other)
+        }
+        v.toLongOption
+      } else None
+    } catch { case _: java.sql.SQLException => None } // state table absent
 
   def createStateTableSql: String = // mysql.go:128-144
     s"CREATE TABLE IF NOT EXISTS `$StateTable` (`name` varchar(100) NOT NULL, " +

@@ -20,12 +20,24 @@ object MemJdbc {
   /** db name → table name → pk → row (column → value). */
   private val dbs = mutable.Map.empty[String, mutable.Map[String, mutable.Map[String, Map[String, Any]]]]
 
+  /** db → JDBC-call counters ("prepare", "executeBatch", "executeUpdate",
+    * "addBatch") — lets specs assert statement reuse and batching. */
+  private val counters = mutable.Map.empty[String, mutable.Map[String, Int]]
+
   def table(db: String, name: String): Map[String, Map[String, Any]] =
     dbs.synchronized {
       dbs.getOrElse(db, mutable.Map.empty).getOrElse(name, mutable.Map.empty).toMap
     }
 
-  def reset(db: String): Unit = dbs.synchronized { dbs.remove(db) }
+  def stats(db: String): Map[String, Int] =
+    dbs.synchronized { counters.getOrElse(db, mutable.Map.empty).toMap }
+
+  def reset(db: String): Unit = dbs.synchronized { dbs.remove(db); counters.remove(db) }
+
+  private def bump(db: String, key: String): Unit = dbs.synchronized {
+    val c = counters.getOrElseUpdate(db, mutable.Map.empty)
+    c(key) = c.getOrElse(key, 0) + 1
+  }
 
   private case class StagedRow(table: String, cols: Seq[String], values: Seq[Any])
   private case class StagedDelete(table: String, id: Any)
@@ -48,7 +60,7 @@ object MemJdbc {
   private def connection(db: String): Connection = {
     val staged = mutable.ArrayBuffer.empty[Any]
     proxy[Connection] {
-      case ("prepareStatement", Seq(sql: String)) => statement(sql, staged)
+      case ("prepareStatement", Seq(sql: String)) => bump(db, "prepare"); statement(db, sql, staged)
       case ("setAutoCommit", _) | ("close", _)    => null
       case ("rollback", _)                        => staged.clear(); null
       case ("commit", _) =>
@@ -70,7 +82,10 @@ object MemJdbc {
     }
   }
 
-  private def statement(sql: String, staged: mutable.ArrayBuffer[Any]): PreparedStatement = {
+  private val SelectRe =
+    """SELECT `([^`]+)` FROM `([^`]+)` WHERE `([^`]+)` = '([^']*)'""".r
+
+  private def statement(db: String, sql: String, staged: mutable.ArrayBuffer[Any]): PreparedStatement = {
     val params = mutable.Map.empty[Int, Any]
     def stage(): Unit = sql match {
       case InsertRe(table, collist, valuelist) =>
@@ -85,16 +100,35 @@ object MemJdbc {
         staged += StagedRow(table, cols, values)
       case DeleteRe(table) =>
         staged += StagedDelete(table, params(1))
+      case SelectRe(_, _, _, _) => // read-only, nothing staged
       case ddl if ddl.startsWith("CREATE") || ddl.startsWith("ALTER") ||
                   ddl.startsWith("DROP") => // DDL accepted, schema-free store
       case other => throw new IllegalArgumentException(s"MemJdbc: unsupported SQL: $other")
     }
+    // point SELECT against COMMITTED state (offset read, mysql.go:108-123)
+    def query(): AnyRef = sql match {
+      case SelectRe(valueCol, table, keyCol, keyLit) =>
+        val hit = dbs.synchronized {
+          dbs.getOrElse(db, mutable.Map.empty).getOrElse(table, mutable.Map.empty)
+            .values.find(_.get(keyCol).exists(_.toString == keyLit))
+            .flatMap(_.get(valueCol))
+        }
+        var consumed = false
+        proxy[java.sql.ResultSet] {
+          case ("next", _) =>
+            val has = hit.isDefined && !consumed; consumed = true
+            java.lang.Boolean.valueOf(has)
+          case ("getObject", Seq(_: Integer)) => hit.orNull.asInstanceOf[AnyRef]
+        }
+      case other => throw new IllegalArgumentException(s"MemJdbc: unsupported query: $other")
+    }
     proxy[PreparedStatement] {
       case ("setObject", Seq(i: Integer, v)) => params(i.toInt) = v; null
       case ("setBytes", Seq(i: Integer, v))  => params(i.toInt) = v; null
-      case ("addBatch", _)                   => stage(); params.clear(); null
-      case ("executeBatch", _)               => Array.emptyIntArray
-      case ("executeUpdate", _)              => stage(); params.clear(); Integer.valueOf(1)
+      case ("addBatch", _)                   => bump(db, "addBatch"); stage(); params.clear(); null
+      case ("executeBatch", _)               => bump(db, "executeBatch"); Array.emptyIntArray
+      case ("executeQuery", _)               => query()
+      case ("executeUpdate", _)              => bump(db, "executeUpdate"); stage(); params.clear(); Integer.valueOf(1)
       case ("close", _)                      => null
     }
   }

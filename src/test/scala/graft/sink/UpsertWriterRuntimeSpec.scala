@@ -37,6 +37,73 @@ class UpsertWriterRuntimeSpec extends SparkSpec {
     assert(MemJdbc.table("db2", "users")("u1")("name") == "anne")
   }
 
+  // decoded-batch frame in ChangeFeed.decode's column order
+  private def decodedDf(rows: Seq[(String, String, Long, String, String, Boolean, Seq[String], String, Int)]) =
+    rows.toDF("kind", "tbl", "ts", "id", "fields_json", "partial", "removed", "reason", "seq")
+
+  test("applyBatch reuses prepared statements and batches runs (mysql.go:410-415 parity)") {
+    MemJdbc.reset("db4")
+    val url = MemJdbc.UrlPrefix + "db4"
+    // 100 full-image upserts on one table = ONE statement shape
+    val ops = (1 to 100).map(i =>
+      ("upsert", "users", i.toLong, s"u$i",
+        s"""{"name":"n$i","visits":$i}""", false, Seq.empty[String], null: String, 0))
+    graft.Replicator.applyBatch(decodedDf(ops), Seq(spec), url, new Properties())
+    val st = MemJdbc.stats("db4")
+    assert(st.getOrElse("executeUpdate", 0) == 0,  "no per-op round-trips")
+    assert(st("addBatch") == 100,                  "every op batched")
+    // ≤ one prepare and one flush per non-empty partition (4 shuffle parts)
+    assert(st("prepare") <= 4, s"statement reuse: prepared ${st("prepare")} for 100 ops")
+    assert(st("executeBatch") <= 4, s"run batching: ${st("executeBatch")} flushes for 100 ops")
+    assert(MemJdbc.table("db4", "users").size == 100)
+  }
+
+  test("applyBatch flushes between shapes so per-key op order is preserved") {
+    MemJdbc.reset("db5")
+    val url = MemJdbc.UrlPrefix + "db5"
+    // one key, alternating shapes: partial(name) → partial(visits) →
+    // partial(name) → delete; the sequential result must be just the delete
+    val ops = Seq(
+      ("upsert", "users", 1L, "k", """{"name":"a"}""", true, Seq.empty[String], null: String, 0),
+      ("upsert", "users", 2L, "k", """{"visits":7}""", true, Seq.empty[String], null: String, 0),
+      ("upsert", "users", 3L, "k", """{"name":"b"}""", true, Seq.empty[String], null: String, 0),
+      ("delete", "users", 4L, "k", null: String, false, Seq.empty[String], null: String, 0))
+    graft.Replicator.applyBatch(decodedDf(ops), Seq(spec), url, new Properties())
+    val st = MemJdbc.stats("db5")
+    assert(MemJdbc.table("db5", "users").isEmpty, "trailing delete wins → key absent")
+    // 3 distinct shapes prepared once each, despite 4 ops (reuse across the
+    // name-partial recurrence); order preserved via flush-on-switch
+    assert(st("prepare") == 3, s"prepared ${st("prepare")}, want 3 shapes")
+    assert(st("addBatch") == 4)
+  }
+
+  test("applyBatch skipLeTs drops already-applied ops and max-offset honors the cut") {
+    MemJdbc.reset("db6")
+    val url = MemJdbc.UrlPrefix + "db6"
+    val ops = Seq(
+      ("upsert", "users", 10L, "a", """{"name":"old"}""", true, Seq.empty[String], null: String, 0),
+      ("upsert", "users", 20L, "a", """{"name":"new"}""", true, Seq.empty[String], null: String, 0))
+    val mx = graft.Replicator.applyBatch(decodedDf(ops), Seq(spec), url,
+      new Properties(), skipLeTs = 10L)
+    assert(mx.contains(20L))
+    assert(MemJdbc.table("db6", "users")("a")("name") == "new")
+    // fully-replayed batch: nothing applied, no offset to commit
+    MemJdbc.reset("db6")
+    val none = graft.Replicator.applyBatch(decodedDf(ops), Seq(spec), url,
+      new Properties(), skipLeTs = 20L)
+    assert(none.isEmpty && MemJdbc.table("db6", "users").isEmpty)
+  }
+
+  test("readOffset round-trips through commitOffset; absent table → None") {
+    MemJdbc.reset("db7")
+    val conn = MemJdbc.connect("db7")
+    assert(UpsertWriter.readOffset(conn).isEmpty)
+    conn.setAutoCommit(false)
+    UpsertWriter.commitOffset(conn, 777L)
+    conn.commit()
+    assert(UpsertWriter.readOffset(conn).contains(777L))
+  }
+
   test("offset co-commits transactionally with data (C1)") {
     MemJdbc.reset("db3")
     val conn = MemJdbc.connect("db3")
