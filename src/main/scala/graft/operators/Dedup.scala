@@ -217,18 +217,45 @@ object Dedup {
         .reduce(_ + _).as("sig"))
   }
 
-  /** SimHash near-dup pairs: hamming distance over 60-bit signatures, with
-    * a 12-bit prefix bucket as the scale path (near-dups almost always
-    * share the prefix; brute-force only within buckets). */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
-    val sigs = simhashSigs(df, textCol, idCol)
-      .withColumn("bucket", expr("sig div cast(pow(2, 48) as bigint)")) // top-12-bit prefix
+  /** SimHash near-dup pairs via pigeonhole multi-block banding: the 60-bit
+    * signature splits into `maxHamming + 1` blocks, and any pair within
+    * hamming `maxHamming` must match EXACTLY on at least one block
+    * (pigeonhole: ≤ maxHamming differing bits cannot touch all
+    * maxHamming+1 blocks). So the block-bucket join has recall 1.0 — the
+    * result is exactly every pair at hamming ≤ maxHamming — while
+    * candidate generation only compares within (block, block_value)
+    * buckets, never all-pairs. Realistic thresholds (≤ 3, the standard
+    * near-dup operating point) give 4 blocks of 15 bits: 32k bucket
+    * values per block, so bucket population — and the quadratic
+    * within-bucket term — shrinks with corpus spread, and a hot bucket
+    * means genuinely-similar docs, not a bucketing artifact (unlike a
+    * fixed 12-bit prefix, whose recall was heuristic). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, s"maxHamming=$maxHamming out of range")
+    val blocks = maxHamming + 1
+    val base = 60 / blocks
+    val rem = 60 % blocks
+    def width(b: Int) = base + (if (b < rem) 1 else 0)
+    val offsets = (0 until blocks).scanLeft(0)((acc, b) => acc + width(b))
+    val banded = simhashSigs(df, textCol, idCol)
+      .select(col(idCol), col("sig"),
+        explode(array((0 until blocks).map { b =>
+          struct(lit(b).as("block"),
+            shiftright(col("sig"), offsets(b))
+              .bitwiseAND(lit((1L << width(b)) - 1)).as("block_val"))
+        }: _*)).as("__b"))
+      .select(col(idCol), col("sig"),
+        col("__b.block").as("block"), col("__b.block_val").as("block_val"))
       .localCheckpoint() // materialize before self-join (see lshCandidates)
-    val a = sigs.as("a"); val b = sigs.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("hamming", expr("bit_count(a.sig ^ b.sig)"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.block") === col("b.block") &&
+        col("a.block_val") === col("b.block_val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        expr("bit_count(a.sig ^ b.sig)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("hamming"))
+      .distinct() // a pair may share several blocks
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold within sign-LSH buckets

@@ -301,11 +301,21 @@ object AnalyticsQueries {
         ORDER BY n.n_name""")
     },
 
-    // Sketch aggregate (no exact oracle — rows-only check): HLL distinct.
+    // Sketch aggregate: HLL distinct. The sketch estimate itself is
+    // engine-specific, so the ORACLE-CHECKED outputs are the exact
+    // distinct count plus an in-query error-bound verdict
+    // |approx−exact|/exact ≤ 5% (HLL default rsd 0.05) — the DuckDB twin
+    // expects `true`, so a drifting sketch turns this row red instead of
+    // hiding behind a rows-only check.
     "approx_distinct_users" -> q { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_tolerance"))
         .orderBy("event_type")
     },
   )
@@ -503,6 +513,11 @@ object AnalyticsQueries {
       """SELECT s_suppkey, s_name FROM supplier s
          WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
          ORDER BY s_suppkey""",
-    // approx_distinct_users: intentionally no oracle (engine-specific HLL).
+    // The HLL estimate is engine-specific; what IS exactly checkable is the
+    // exact count and the 5%-error-bound verdict the Spark side computes.
+    "approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           true AS within_tolerance
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -84,10 +84,14 @@ object LlmQueries {
       Dedup.clusters(docs, pairs, "doc_id").orderBy("doc_id")
     },
 
-    // SimHash near-dup pairs: 60-bit signatures, 12-bit prefix buckets.
+    // SimHash near-dup pairs: 60-bit signatures, pigeonhole multi-block
+    // banding (4 blocks for threshold 3 ⇒ recall 1.0 by construction).
+    // The oracle is deliberately BRUTE-FORCE all-pairs — equality proves
+    // the banded plan loses no pair, not merely that both sides share a
+    // bucketing heuristic.
     "dedup_simhash" -> q { (s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 26).orderBy("id_a", "id_b")
+        maxHamming = 3).orderBy("id_a", "id_b")
     },
 
     // Embedding near-dup pairs within sign-LSH buckets.
@@ -304,15 +308,11 @@ object LlmQueries {
            SELECT doc_id,
                   sum(CASE WHEN v > 0 THEN cast(pow(2, j) AS bigint)
                            ELSE 0 END)::bigint AS sig
-           FROM votes GROUP BY doc_id),
-         bucketed AS (
-           SELECT doc_id, sig, sig // cast(pow(2, 48) AS bigint) AS bucket
-           FROM sigs)
+           FROM votes GROUP BY doc_id)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 bit_count(xor(a.sig, b.sig))::int AS hamming
-         FROM bucketed a JOIN bucketed b
-           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sig, b.sig)) <= 26
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
 
     "dedup_embedding" ->

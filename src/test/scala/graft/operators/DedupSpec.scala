@@ -63,12 +63,22 @@ class DedupSpec extends SparkSpec {
     assert(fast == scalar)
   }
 
-  test("simhash pairs: identical docs at hamming 0; near-dups close") {
-    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 59)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
-    // exact dups share the full signature → same bucket, hamming 0
-    assert(pairs((0L, 1L)) == 0)
-    pairs.get((0L, 2L)).foreach(h => assert(h < 20)) // near dup, if same bucket
+  test("simhash pigeonhole banding: recall 1.0 — banded ≡ brute force at every threshold") {
+    val sigs = Dedup.simhashSigs(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (t <- Seq(0, 3, 8)) {
+      val expect = (for {
+        a <- sigs.keys.toSeq; b <- sigs.keys.toSeq if a < b
+        if ham(sigs(a), sigs(b)) <= t
+      } yield (a, b, ham(sigs(a), sigs(b)))).toSet
+      val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expect, s"banding at threshold $t lost or invented pairs")
+    }
+    // the planted exact-dup pair survives even the tightest threshold
+    assert(Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
   }
 
   test("clusters: connected components label every doc with its min reachable id") {
