@@ -33,16 +33,88 @@ class Replicator(
     sinkUrl: String,
     sinkProps: Properties = new Properties()) {
 
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val conn = DriverManager.getConnection(sinkUrl, sinkProps)
+    try f(conn) finally conn.close()
+  }
+
   /** D1: compute and execute the DDL plan; returns resync columns. */
   def reconcileSchema(observed: SchemaSync.Catalog, force: Boolean): SchemaSync.Plan = {
     val plan = SchemaSync.plan(config, observed, force)
-    val conn = DriverManager.getConnection(sinkUrl, sinkProps)
-    try {
+    withConn { conn =>
       conn.setAutoCommit(false)
       plan.ddl.foreach(d => conn.prepareStatement(d.sql).executeUpdate())
       conn.commit()
-    } finally conn.close()
+    }
     plan
+  }
+
+  /** The WHOLE reference daemon as one call (`run.go:79-335`): decide
+    * from-scratch, reconcile schema, snapshot what needs it, then tail.
+    *
+    *  1. read the stored offset (`mysql.go:108-126`: absent → 0);
+    *  2. `fromScratch` = offset == 0 ∨ `zerop` (`run.go:164-170`);
+    *  3. reconcile schema — refuses destructive DDL without `force`
+    *     (`run.go:173-176`, flags `run.go:38-41`);
+    *  4. resync set (`run.go:178-200`): from scratch → every table, all
+    *     columns; otherwise exactly the plan's `resyncColumns` (the
+    *     added/retyped columns, `mysql.go:147-148`) — the piece that makes
+    *     an added config column trigger a targeted re-snapshot;
+    *  5. each table with a non-empty resync set is fully re-upserted from
+    *     `snapshotSource` and orphan-reconciled against `sinkIds`
+    *     (`run.go:220-279`; whole-row upserts like the reference — the
+    *     column set tells WHICH tables, not a projection);
+    *  6. the offset advances to the feed head pinned BEFORE the snapshot
+    *     only when from scratch (`run.go:283-288` — after a conf-change
+    *     resync the old offset must replay ops missed while stopped);
+    *     the fsync write-pause is replaced by the offset-pinned snapshot +
+    *     idempotent replay (D2, proven by `d2_pinned_snapshot`);
+    *  7. tail the feed from the (possibly advanced) offset
+    *     (`run.go:297-335`).
+    *
+    * `snapshotSource` reads a source collection as a frame (the
+    * `readTable` analog, production: the collection dump / connector);
+    * `sinkIds` reads the sink table's key column (production:
+    * `spark.read.jdbc`). Both are injected so the lifecycle is testable
+    * against the in-memory sink. */
+  def run(
+      observed: SchemaSync.Catalog,
+      snapshotSource: TableSpec => DataFrame,
+      sinkIds: TableSpec => DataFrame,
+      segmentsDir: String,
+      checkpointDir: String,
+      force: Boolean = false,
+      zerop: Boolean = false): StreamingQuery = {
+    val stored = withConn(UpsertWriter.readOffset).getOrElse(0L)
+    val fromScratch = stored == 0L || zerop
+    val plan = reconcileSchema(observed, force)
+    val resync: Map[String, Set[String]] =
+      if (fromScratch)
+        config.tables.map(t => t.name -> t.columns.map(_.sinkName).toSet).toMap
+      else plan.resyncColumns
+    if (resync.exists(_._2.nonEmpty)) {
+      val replicated = config.tables.map(t => dbName + "." + t.name).toSet
+      // feed head pinned before the snapshot (readTimestamp, run.go:210-216)
+      val pinRow = ChangeFeed.readBatch(spark, segmentsDir, replicated, 0L)
+        .agg(max(col("ts"))).collect()(0)
+      val pinTs = if (pinRow.isNullAt(0)) 0L else pinRow.getLong(0)
+      config.tables.foreach { spec =>
+        if (resync.getOrElse(spec.name, Set.empty).nonEmpty) {
+          val src = snapshotSource(spec)
+          snapshot(spec, src)
+          deleteOrphans(spec,
+            sourceIds = src.select(col(spec.pk)),
+            sinkIds = sinkIds(spec))
+        }
+      }
+      if (fromScratch) withConn { conn =>
+        conn.setAutoCommit(false)
+        UpsertWriter.commitOffset(conn, pinTs)
+        conn.commit()
+      }
+    }
+    val resume = withConn(UpsertWriter.readOffset).getOrElse(0L)
+    startStream(segmentsDir, checkpointDir, afterTs = resume)
   }
 
   /** Entry point B: snapshot one table from a source frame. */

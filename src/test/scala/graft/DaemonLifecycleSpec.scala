@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.Properties
+
+import graft.config.{ConfigParser, TableSpec}
+import graft.sink.{MemJdbc, UpsertWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The orchestrated lifecycle (`Replicator.run` ≡ `run.go:79-335`) end to
+  * end against the in-memory sink: from-scratch snapshot with offset
+  * pinning, conf-change targeted resync that must NOT advance the offset,
+  * steady-state runs that snapshot nothing, and `zerop` forcing a full
+  * resync. */
+class DaemonLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Db = "lifecycle"
+
+  private def config(extraCol: Boolean = false) = ConfigParser.parse(
+    s"""inp: mongodb://localhost:27017/app
+       |out: ${MemJdbc.UrlPrefix}$Db
+       |tables:
+       |  users:
+       |    name: varchar(100)
+       |${if (extraCol) "    visits: bigint(20)\n" else ""}""".stripMargin)
+
+  private def sourceUsers(withVisits: Boolean): TableSpec => DataFrame = { _ =>
+    val base = Seq(("u1", "ann", 3L), ("u2", "bob", 5L))
+      .toDF("_id", "name", "visits")
+    if (withVisits) base else base.drop("visits")
+  }
+
+  private def sinkIdsFrom(db: String): TableSpec => DataFrame = { spec =>
+    MemJdbc.table(db, spec.name).keys.toSeq.toDF(spec.pk)
+  }
+
+  private def storedOffset: Option[Long] =
+    MemJdbc.table(Db, UpsertWriter.StateTable).get(UpsertWriter.OffsetKey)
+      .map(r => new String(r("value").asInstanceOf[Array[Byte]], "UTF-8").toLong)
+
+  test("run(): from-scratch → conf-change resync → steady state → zerop (run.go:79-335)") {
+    MemJdbc.reset(Db)
+    val segDir = Files.createTempDirectory("graft_daemon_seg").toString
+    val ckpt1 = Files.createTempDirectory("graft_daemon_ckpt1").toString
+
+    // ---- phase 1: from scratch (no stored offset) -----------------------
+    // two segment entries exist BEFORE the snapshot: their ts pins the
+    // offset, and the snapshot is assumed consistent with that pin (D2)
+    Files.write(Paths.get(segDir, "seg0.json"), Seq(
+      """{"op":"u","ns":"app.users","ts":101,"o":{"$set":{"name":"early"}},"o2":{"_id":"u1"}}""",
+      """{"op":"u","ns":"app.users","ts":105,"o":{"$set":{"name":"late"}},"o2":{"_id":"u1"}}""")
+      .mkString("\n").getBytes("UTF-8"))
+
+    var snapshots = 0
+    val repl1 = new Replicator(spark, config(), MemJdbc.UrlPrefix + Db, new Properties())
+    val q1 = repl1.run(
+      observed = Map.empty,
+      snapshotSource = spec => { snapshots += 1; sourceUsers(withVisits = false)(spec) },
+      sinkIds = sinkIdsFrom(Db),
+      segmentsDir = segDir, checkpointDir = ckpt1)
+    q1.processAllAvailable(); q1.stop()
+
+    assert(snapshots == 1, "from-scratch: every declared table snapshots once")
+    assert(MemJdbc.table(Db, "users").keySet == Set("u1", "u2"))
+    // pre-pin segment ops are NOT replayed over the snapshot…
+    assert(MemJdbc.table(Db, "users")("u1")("name") == "ann")
+    // …because the offset was pinned at the feed head read before snapshot
+    assert(storedOffset.contains(105L))
+
+    // ---- phase 2: restart with an ADDED column → targeted resync --------
+    // stored offset is non-zero, so NOT from scratch; the plan's
+    // resync_columns (visits) trigger a users re-snapshot, and the offset
+    // must NOT move (run.go:283-288: a conf-change restart still has to
+    // replay feed entries missed while stopped)
+    val observed1 = Map("users" -> Seq("_id" -> "varchar(24)", "name" -> "varchar(100)"))
+    var snapshots2 = 0
+    val ckpt2 = Files.createTempDirectory("graft_daemon_ckpt2").toString
+    val repl2 = new Replicator(spark, config(extraCol = true), MemJdbc.UrlPrefix + Db, new Properties())
+    val q2 = repl2.run(
+      observed = observed1,
+      snapshotSource = spec => { snapshots2 += 1; sourceUsers(withVisits = true)(spec) },
+      sinkIds = sinkIdsFrom(Db),
+      segmentsDir = segDir, checkpointDir = ckpt2)
+    q2.processAllAvailable(); q2.stop()
+
+    assert(snapshots2 == 1, "added column → its table resyncs")
+    assert(MemJdbc.table(Db, "users")("u2")("visits") == 5L, "new column backfilled")
+    assert(storedOffset.contains(105L), "conf-change resync must not advance the offset")
+
+    // ---- phase 3: steady state — nothing to resync, stream picks up new
+    // segment entries past the stored offset -----------------------------
+    Files.write(Paths.get(segDir, "seg1.json"), Seq(
+      """{"op":"u","ns":"app.users","ts":200,"o":{"$set":{"visits":9}},"o2":{"_id":"u1"}}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val observed2 = Map("users" -> Seq(
+      "_id" -> "varchar(24)", "name" -> "varchar(100)", "visits" -> "bigint(20)"))
+    var snapshots3 = 0
+    val ckpt3 = Files.createTempDirectory("graft_daemon_ckpt3").toString
+    val repl3 = new Replicator(spark, config(extraCol = true), MemJdbc.UrlPrefix + Db, new Properties())
+    val q3 = repl3.run(
+      observed = observed2,
+      snapshotSource = spec => { snapshots3 += 1; sourceUsers(withVisits = true)(spec) },
+      sinkIds = sinkIdsFrom(Db),
+      segmentsDir = segDir, checkpointDir = ckpt3)
+    q3.processAllAvailable(); q3.stop()
+
+    assert(snapshots3 == 0, "in-sync catalog + offset present → no snapshot at all")
+    assert(MemJdbc.table(Db, "users")("u1")("visits") == 9L, "tail applied the new entry")
+    assert(storedOffset.contains(200L))
+
+    // ---- phase 4: --zerop forces from-scratch even with an offset -------
+    var snapshots4 = 0
+    val ckpt4 = Files.createTempDirectory("graft_daemon_ckpt4").toString
+    val repl4 = new Replicator(spark, config(extraCol = true), MemJdbc.UrlPrefix + Db, new Properties())
+    val q4 = repl4.run(
+      observed = observed2,
+      snapshotSource = spec => { snapshots4 += 1; sourceUsers(withVisits = true)(spec) },
+      sinkIds = sinkIdsFrom(Db),
+      segmentsDir = segDir, checkpointDir = ckpt4,
+      zerop = true)
+    q4.processAllAvailable(); q4.stop()
+    assert(snapshots4 == 1, "zerop: full resync despite stored offset")
+    assert(storedOffset.contains(200L), "zerop re-pins at the feed head")
+    assert(MemJdbc.table(Db, "users")("u1")("visits") == 3L,
+      "zerop snapshot rewrote from source; ts=200 op is at the pin, not past it")
+  }
+
+  test("parseArgs: reference flags and positional paths (run.go:38-63)") {
+    val a = Daemon.parseArgs(Array(
+      "conf.yml", "/snap", "/seg", "/ckpt", "--force", "--zerop", "--out=jdbc:x"))
+    assert(a == Daemon.Args("conf.yml", "/snap", "/seg", "/ckpt",
+      inp = None, out = Some("jdbc:x"), force = true, zerop = true))
+    intercept[IllegalArgumentException](Daemon.parseArgs(Array("onlyone")))
+    intercept[IllegalArgumentException](
+      Daemon.parseArgs(Array("c", "s", "g", "k", "--bogus")))
+  }
+}
