@@ -23,12 +23,20 @@ object Bench {
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).count())
     val all = SparkEntry.queries
+    // Median of 3 repetitions per query: the ~0.3-1 s planning/codegen floor
+    // and GC-driven run-to-run variance (up to 2x on the small queries) made
+    // single-shot round-over-round deltas untrustworthy.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.benchQueries.filter(all.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { all(name)(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { all(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+      }
+      val median =
+        if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
+      (name, median, times.length == reps)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
