@@ -29,24 +29,23 @@ object ChangeFeed {
     // here so a dead letter carries the actual record, not nulls
     StructField("_corrupt_record", StringType)))
 
-  /** Batch read of oplog segments, with the S2/F1 pushdown predicate
-    * (ns ∈ replicated AND ts > checkpoint) applied at the source. */
+  /** Batch read of oplog segments via the [[OplogSourceProvider]] DSv2
+    * source; the S2/F1 predicate (ns ∈ replicated AND ts > checkpoint)
+    * pushes into the scan ([[OplogScanBuilder]]) so filtered lines are
+    * dropped before a row materializes. */
   def readBatch(
       spark: SparkSession, dir: String,
       replicated: Set[String], afterTs: Long): DataFrame =
-    spark.read.schema(SegmentSchema)
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(dir)
+    spark.read.format("graft-oplog").load(dir)
       .filter(feedPredicate(replicated, afterTs))
 
   /** Streaming read of a growing segment directory — the tailable-cursor
-    * analog; new files are new micro-batches. */
+    * analog: new files AND appended bytes of existing files are new
+    * micro-batches ([[OplogMicroBatchStream]]). */
   def readStream(
       spark: SparkSession, dir: String,
       replicated: Set[String], afterTs: Long): DataFrame =
-    spark.readStream.schema(SegmentSchema)
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(dir)
+    spark.readStream.format("graft-oplog").load(dir)
       .filter(feedPredicate(replicated, afterTs))
 
   /** S2/F1 pushdown — with the null legs kept so corrupt segment lines
