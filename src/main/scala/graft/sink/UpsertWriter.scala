@@ -46,12 +46,17 @@ object UpsertWriter {
   }
 
   /** Partial-image upsert: only `present` columns are written on conflict
-    * (parity with `mysql.go:449-476`, absent field → column omitted). */
+    * (parity with `mysql.go:449-476`, absent field → column omitted). An
+    * empty present set (an update touching only unmapped columns) uses
+    * the `pk=VALUES(pk)` no-op assignment — MySQL rejects a bare
+    * `ON DUPLICATE KEY UPDATE` with no assignment list. */
   def partialUpsertSql(spec: TableSpec, present: Seq[String]): String = {
     val cols = spec.pk +: present
     val collist = cols.map(c => s"`$c`").mkString(", ")
     val placeholders = cols.map(_ => "?").mkString(", ")
-    val updates = present.map(c => s"`$c`=VALUES(`$c`)").mkString(", ")
+    val updates =
+      if (present.isEmpty) s"`${spec.pk}`=VALUES(`${spec.pk}`)"
+      else present.map(c => s"`$c`=VALUES(`$c`)").mkString(", ")
     s"INSERT INTO `${spec.name}` ($collist) VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates"
   }
 

@@ -86,6 +86,9 @@ object MemJdbc {
     """SELECT `([^`]+)` FROM `([^`]+)` WHERE `([^`]+)` = '([^']*)'""".r
 
   private def statement(db: String, sql: String, staged: mutable.ArrayBuffer[Any]): PreparedStatement = {
+    // Grammar gate BEFORE interpretation: any statement a MySQL 8 server
+    // would reject fails here, in every spec that touches the JDBC path.
+    MySqlGrammar.validate(sql)
     val params = mutable.Map.empty[Int, Any]
     def stage(): Unit = sql match {
       case InsertRe(table, collist, valuelist) =>
