@@ -30,9 +30,16 @@ object Bench {
     val results = SparkEntry.benchQueries.filter(all.contains).map { name =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { all(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+        val t = try { all(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+        // Drop blocks the run materialized (localCheckpoint in the dedup/CC
+        // operators) OUTSIDE the timed region — otherwise each repetition
+        // piles new checkpoint RDDs into storage memory and reps 2..n
+        // measure block-manager pressure instead of the query (observed:
+        // lsh_pairs 6.3 s single-shot vs 13.6 s as a 3-rep median).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        t
       }
       val median =
         if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)

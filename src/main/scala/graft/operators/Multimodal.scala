@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (north-star operator; absent from the
   * reference). Media payloads are opaque `binary` columns with a typed
@@ -55,19 +54,18 @@ object Multimodal {
     * Swap `fakeFeatures` for the real codec; nothing else changes. */
   def decodeFeatures(withPayload: DataFrame, idCol: String): DataFrame = {
     val spark = withPayload.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("features", ArrayType(FloatType, containsNull = false))))
-    val idIdx = withPayload.columns.indexOf(idCol)
-    val payloadIdx = withPayload.columns.indexOf("payload")
-    val rdd = withPayload.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idIdx)
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        Row(id, fakeFeatures(bytes))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import spark.implicits._
+    // Typed mapPartitions with encoders — the plan stays one Dataset
+    // pipeline (DeserializeToObject → MapPartitions → SerializeFromObject)
+    // with codegen on both sides, instead of an RDD round-trip that would
+    // cut the plan in two and re-analyze. A PySpark deployment swaps this
+    // stage for `mapInPandas` over the same (id, payload) → (id, features)
+    // batch contract; nothing upstream or downstream changes.
+    withPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, fakeFeatures(bytes)) })
+      .toDF(idCol, "features")
   }
 
   /** Deterministic stand-in features: byte-sum statistics per stripe. */

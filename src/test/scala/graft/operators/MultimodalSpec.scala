@@ -40,4 +40,12 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeFeatures(wp, "doc_id").orderBy("doc_id").collect()
     assert(again(0).getSeq[Float](1) == v)
   }
+
+  test("decodeFeatures stays one Dataset pipeline (no RDD round-trip)") {
+    val wp = Multimodal.attachPayload(docs, "text", "doc_id")
+    val plan = Multimodal.decodeFeatures(wp, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SerializeFromObject")) // typed mapPartitions stage
+    assert(!plan.contains("ExistingRDD"))        // not createDataFrame(rdd, …)
+  }
 }
