@@ -55,16 +55,20 @@ object Daemon {
 
   /** Observed sink catalog via standard JDBC metadata — the `SHOW TABLES` /
     * `SHOW COLUMNS` pass (`mysql.go:149-166`, `mysql.go:203-212`) without
-    * MySQL-specific SQL. Char/binary types re-render with their size so the
+    * MySQL-specific SQL. Scoped to the CONNECTION'S catalog: a null
+    * catalog on MySQL Connector/J 8 lists every database's tables, and
+    * the schema plan would then see foreign (even system) tables as
+    * droppable strays. Char/binary types re-render with their size so the
     * comparison against declared `varchar(n)` strings works. */
   def observedCatalog(conn: java.sql.Connection): SchemaSync.Catalog = {
     val md = conn.getMetaData
+    val catalog = conn.getCatalog
     val tables = scala.collection.mutable.ListBuffer.empty[String]
-    val trs = md.getTables(null, null, "%", Array("TABLE"))
+    val trs = md.getTables(catalog, null, "%", Array("TABLE"))
     while (trs.next()) tables += trs.getString("TABLE_NAME")
     tables.toList.map { t =>
       val cols = scala.collection.mutable.ListBuffer.empty[(String, String)]
-      val crs = md.getColumns(null, null, t, "%")
+      val crs = md.getColumns(catalog, null, t, "%")
       while (crs.next()) {
         val typ = crs.getString("TYPE_NAME").toLowerCase
         val rendered =

@@ -85,6 +85,13 @@ class Replicator(
       checkpointDir: String,
       force: Boolean = false,
       zerop: Boolean = false): StreamingQuery = {
+    // the state table must exist before the offset read — the reference
+    // creates it on connect (mysql.go:128-144)
+    withConn { conn =>
+      conn.setAutoCommit(false)
+      conn.prepareStatement(UpsertWriter.createStateTableSql).executeUpdate()
+      conn.commit()
+    }
     val stored = withConn(UpsertWriter.readOffset).getOrElse(0L)
     val fromScratch = stored == 0L || zerop
     val plan = reconcileSchema(observed, force)
@@ -93,11 +100,15 @@ class Replicator(
         config.tables.map(t => t.name -> t.columns.map(_.sinkName).toSet).toMap
       else plan.resyncColumns
     if (resync.exists(_._2.nonEmpty)) {
-      val replicated = config.tables.map(t => dbName + "." + t.name).toSet
       // feed head pinned before the snapshot (readTimestamp, run.go:210-216)
-      val pinRow = ChangeFeed.readBatch(spark, segmentsDir, replicated, 0L)
-        .agg(max(col("ts"))).collect()(0)
-      val pinTs = if (pinRow.isNullAt(0)) 0L else pinRow.getLong(0)
+      // — computed ONLY when from scratch: the scan reads the whole feed,
+      // and a conf-change resync keeps the old offset anyway
+      val pinTs = if (fromScratch) {
+        val replicated = config.tables.map(t => dbName + "." + t.name).toSet
+        val pinRow = ChangeFeed.readBatch(spark, segmentsDir, replicated, 0L)
+          .agg(max(col("ts"))).collect()(0)
+        if (pinRow.isNullAt(0)) 0L else pinRow.getLong(0)
+      } else 0L
       config.tables.foreach { spec =>
         if (resync.getOrElse(spec.name, Set.empty).nonEmpty) {
           val src = snapshotSource(spec)
@@ -153,12 +164,13 @@ class Replicator(
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Replay guard: ops at or below the durably stored offset were
+        // Replay guard: ops STRICTLY below the durably stored offset were
         // already applied (a foreachBatch replay after a crash between
         // data-commit and offset-commit); skip them instead of re-writing.
-        // Idempotent statements still cover the skipped window, this just
-        // makes replays free. Dead letters are persisted BEFORE the guard
-        // (their ts sentinel must never be offset-compared).
+        // Ops AT the stored ts re-apply idempotently — a later entry may
+        // legally share the boundary ts, and `>` would lose it. Dead
+        // letters are persisted BEFORE the guard (their ts sentinel must
+        // never be offset-compared).
         val stored: Long = {
           val conn = DriverManager.getConnection(url, props)
           try UpsertWriter.readOffset(conn).getOrElse(Long.MinValue)
@@ -166,7 +178,7 @@ class Replicator(
         }
         val maxTs = Replicator.applyBatch(batch, specs, url, props,
           deadLetterDir = Some(s"$checkpointDir/dead_letter"), batchId = batchId,
-          skipLeTs = stored)
+          skipBelowTs = stored)
         maxTs.foreach { ts =>
           val conn = DriverManager.getConnection(url, props)
           try {
@@ -201,8 +213,12 @@ object Replicator {
     * add order) or at `applyBatchSize`. Uniform streams collapse to
     * ~one round-trip per `applyBatchSize` ops instead of one per op.
     *
-    * `skipLeTs`: replay guard — ops with ts ≤ this (the durably stored
-    * offset) are dropped before apply; see [[Replicator.startStream]]. */
+    * `skipBelowTs`: replay guard — ops with ts STRICTLY below this (the
+    * durably stored offset) are dropped before apply. Ops AT the stored
+    * ts re-apply idempotently: the offset proves some op at that ts was
+    * applied, but distinct entries may legally share one ts (a producer
+    * with second-granularity stamps), and a later batch could carry a
+    * sibling — skipping ≤ would lose it. See [[Replicator.startStream]]. */
   private[graft] val applyBatchSize = 1000
 
   private[graft] def applyBatch(
@@ -212,7 +228,7 @@ object Replicator {
       props: Properties,
       deadLetterDir: Option[String] = None,
       batchId: Long = 0L,
-      skipLeTs: Long = Long.MinValue): Option[Long] = {
+      skipBelowTs: Long = Long.MinValue): Option[Long] = {
     val specByName = specs.map(s => s.name -> s).toMap
     // one pass over the decoded batch serves apply + dead-letter + offset
     batch.persist()
@@ -229,7 +245,7 @@ object Replicator {
     val relevant = batch
       .filter(col("kind").isin("upsert", "delete") &&
         col("tbl").isin(specs.map(_.name): _*) &&
-        col("ts") > lit(skipLeTs))
+        col("ts") >= lit(skipBelowTs))
       .repartition(col("tbl"), col("id"))
       // applyOps tx inner ops share the outer ts — seq (index within the
       // oplog entry) breaks the tie so per-key order is total
@@ -295,7 +311,7 @@ object Replicator {
     val mx = batch
       .filter(col("kind").isin("upsert", "delete") &&
         col("tbl").isin(specs.map(_.name): _*) &&
-        col("ts") > lit(skipLeTs))
+        col("ts") >= lit(skipBelowTs))
       .agg(max(col("ts"))).collect()(0)
     if (mx.isNullAt(0)) None else Some(mx.getLong(0))
     } finally batch.unpersist()

@@ -74,7 +74,13 @@ object UpsertWriter {
   /** Read the stored offset (checkpoint), None if absent/unparseable —
     * the resume position (`mysql.go:108-126`: missing row → 0) and the
     * replay guard's comparison point. The blob value is decimal text,
-    * parity with `mysql.go:541`. */
+    * parity with `mysql.go:541`.
+    *
+    * Only a MISSING state table maps to None (a syntax-class error, what
+    * MySQL raises for ER_NO_SUCH_TABLE). Any other SQLException — a
+    * transient connection/lock failure — propagates: swallowing it as
+    * None would read as offset 0 and trigger a spurious full from-scratch
+    * resync of every table. */
   def readOffset(conn: Connection): Option[Long] =
     try {
       val rs = conn.prepareStatement(readOffsetSql).executeQuery()
@@ -86,7 +92,7 @@ object UpsertWriter {
         }
         v.toLongOption
       } else None
-    } catch { case _: java.sql.SQLException => None } // state table absent
+    } catch { case _: java.sql.SQLSyntaxErrorException => None } // state table absent
 
   def createStateTableSql: String = // mysql.go:128-144
     s"CREATE TABLE IF NOT EXISTS `$StateTable` (`name` varchar(100) NOT NULL, " +

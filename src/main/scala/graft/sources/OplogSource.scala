@@ -94,13 +94,21 @@ class OplogScan(
     path: String,
     pushed: Array[sources.Filter],
     required: StructType) extends Scan {
+  // The session's Hadoop configuration, captured at scan build (driver):
+  // listings use it directly, readers get a serializable copy — a blank
+  // `new Configuration()` on an executor would drop every spark.hadoop.*
+  // setting (object-store credentials, endpoints) and break any
+  // non-local segments path.
+  private val hadoopConf = OplogFiles.sessionHadoopConf()
+  private val confMap: Map[String, String] =
+    OplogFiles.toMap(hadoopConf)
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftOplogScan PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.map(_.name).mkString("[", ",", "]")}"
-  override def toBatch: Batch = new OplogBatch(path, pushed, required)
+  override def toBatch: Batch = new OplogBatch(path, pushed, required, hadoopConf, confMap)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new OplogMicroBatchStream(path, pushed, required)
+    new OplogMicroBatchStream(path, pushed, required, hadoopConf, confMap)
 }
 
 /** One split per `maxPartitionBytes` byte range with classic Hadoop
@@ -110,25 +118,31 @@ class OplogScan(
 class OplogBatch(
     path: String,
     pushed: Array[sources.Filter],
-    required: StructType) extends Batch {
+    required: StructType,
+    hadoopConf: Configuration,
+    confMap: Map[String, String]) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = OplogFiles.maxSplitBytes()
-    OplogFiles.list(path).flatMap { case (p, len) =>
+    OplogFiles.list(path, hadoopConf).flatMap { case (p, len) =>
       (0L until len by maxSplit).map { s =>
-        OplogInputPartition(p, s, math.min(maxSplit, len - s),
-          skipFirstLine = s != 0, inclusiveEnd = true)
+        val l = math.min(maxSplit, len - s)
+        // interior boundaries use Hadoop `<=` semantics; the FILE end is
+        // exclusive — a line appended after the listing starts exactly at
+        // `len` and belongs to no planned split (the batch stays a
+        // consistent snapshot of the listed lengths)
+        OplogInputPartition(p, s, l,
+          skipFirstLine = s != 0, inclusiveEnd = s + l < len)
       }
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new OplogReaderFactory(pushed, required)
+    new OplogReaderFactory(pushed, required, confMap)
 }
 
 /** Streaming offset: every known segment file → its observed length. */
 case class OplogOffset(files: Map[String, Long]) extends Offset {
-  override def json(): String =
-    Json.render(files.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }.toMap)
+  override def json(): String = Json.render(files) // render sorts keys
 }
 object OplogOffset {
   def fromJson(s: String): OplogOffset =
@@ -145,10 +159,13 @@ object OplogOffset {
 class OplogMicroBatchStream(
     path: String,
     pushed: Array[sources.Filter],
-    required: StructType) extends MicroBatchStream {
+    required: StructType,
+    hadoopConf: Configuration,
+    confMap: Map[String, String]) extends MicroBatchStream {
 
   override def initialOffset(): Offset = OplogOffset(Map.empty)
-  override def latestOffset(): Offset = OplogOffset(OplogFiles.list(path).toMap)
+  override def latestOffset(): Offset =
+    OplogOffset(OplogFiles.list(path, hadoopConf).toMap)
   override def deserializeOffset(json: String): Offset = OplogOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -169,7 +186,7 @@ class OplogMicroBatchStream(
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new OplogReaderFactory(pushed, required)
+    new OplogReaderFactory(pushed, required, confMap)
 }
 
 case class OplogInputPartition(
@@ -181,17 +198,20 @@ case class OplogInputPartition(
 
 class OplogReaderFactory(
     pushed: Array[sources.Filter],
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType,
+    confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OplogPartitionReader(partition.asInstanceOf[OplogInputPartition], pushed, required)
+    new OplogPartitionReader(
+      partition.asInstanceOf[OplogInputPartition], pushed, required, confMap)
 }
 
 class OplogPartitionReader(
     part: OplogInputPartition,
     pushed: Array[sources.Filter],
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType,
+    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
 
-  private val fs = new Path(part.file).getFileSystem(new Configuration())
+  private val fs = new Path(part.file).getFileSystem(OplogFiles.fromMap(confMap))
   private val in = fs.open(new Path(part.file))
   private val reader = new LineReader(in)
   private val end = part.start + part.length
@@ -223,10 +243,30 @@ class OplogPartitionReader(
 }
 
 private[sources] object OplogFiles {
+
+  /** The active session's Hadoop conf (spark.hadoop.* applied); falls
+    * back to defaults off-session (tests constructing scans directly). */
+  def sessionHadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def toMap(conf: Configuration): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    conf.iterator().forEachRemaining(e => b += e.getKey -> e.getValue)
+    b.result()
+  }
+
+  def fromMap(m: Map[String, String]): Configuration = {
+    val conf = new Configuration(false) // the map carries the full view
+    m.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
   /** Deterministic (path-sorted) listing of visible segment files. */
-  def list(path: String): Seq[(String, Long)] = {
+  def list(path: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty
     val statuses: Seq[FileStatus] =
       if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq

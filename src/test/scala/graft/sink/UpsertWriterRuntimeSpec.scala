@@ -77,20 +77,27 @@ class UpsertWriterRuntimeSpec extends SparkSpec {
     assert(st("addBatch") == 4)
   }
 
-  test("applyBatch skipLeTs drops already-applied ops and max-offset honors the cut") {
+  test("applyBatch skipBelowTs drops strictly-older ops; boundary ts re-applies") {
     MemJdbc.reset("db6")
     val url = MemJdbc.UrlPrefix + "db6"
     val ops = Seq(
       ("upsert", "users", 10L, "a", """{"name":"old"}""", true, Seq.empty[String], null: String, 0),
       ("upsert", "users", 20L, "a", """{"name":"new"}""", true, Seq.empty[String], null: String, 0))
     val mx = graft.Replicator.applyBatch(decodedDf(ops), Seq(spec), url,
-      new Properties(), skipLeTs = 10L)
+      new Properties(), skipBelowTs = 11L)
     assert(mx.contains(20L))
     assert(MemJdbc.table("db6", "users")("a")("name") == "new")
-    // fully-replayed batch: nothing applied, no offset to commit
+    // boundary ts is NOT skipped: a later entry may share the stored ts,
+    // and re-applying the already-seen sibling is idempotent
+    MemJdbc.reset("db6")
+    val boundary = graft.Replicator.applyBatch(decodedDf(ops), Seq(spec), url,
+      new Properties(), skipBelowTs = 20L)
+    assert(boundary.contains(20L))
+    assert(MemJdbc.table("db6", "users")("a")("name") == "new")
+    // everything strictly below the cut: nothing applied, no offset
     MemJdbc.reset("db6")
     val none = graft.Replicator.applyBatch(decodedDf(ops), Seq(spec), url,
-      new Properties(), skipLeTs = 20L)
+      new Properties(), skipBelowTs = 21L)
     assert(none.isEmpty && MemJdbc.table("db6", "users").isEmpty)
   }
 
