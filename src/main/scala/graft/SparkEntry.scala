@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CdcQueries, LlmQueries}
+import graft.queries.{AnalyticsQueries, CdcQueries, CurationQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.defs ++ AnalyticsQueries.defs ++ LlmQueries.defs ++
+      CurationQueries.defs ++
       Map(
         "stream_window_agg" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.windowedCounts(s, dir)),
@@ -31,6 +32,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles ++
+      CurationQueries.oracles ++
       Map(
         "stream_window_agg" ->
           """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators (north-star; absent from the
+  * reference): benchmark-contamination checking, deterministic stratified
+  * splits, and token-budget sequence packing. Everything is md5-keyed and
+  * Column algebra so the DuckDB oracle reproduces results exactly, and
+  * every shape is chosen for the 100 TB case: the benchmark side of the
+  * contamination join broadcasts (eval sets are small by construction),
+  * splits are stateless per-row hashing, and packing partitions by an
+  * explicit shard column so no global sort ever exists.
+  */
+object Curation {
+
+  /** Decontamination: fraction of each corpus document's distinct n-gram
+    * shingles that appear in the benchmark shingle set (the industry-
+    * standard n-gram-overlap contamination test for held-out evals).
+    *
+    * `corpusShingles`/`benchShingles`: (id, shingle) pairs, as produced by
+    * [[Dedup.explodedShingles]]. The benchmark's DISTINCT shingle set is
+    * broadcast — an eval suite is a few thousand documents against a
+    * 100 TB corpus, so the corpus never shuffles at all: one broadcast
+    * semi-join + one groupBy(doc) with map-side partials.
+    */
+  def contamination(
+      corpusShingles: DataFrame,
+      benchShingles: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val bench = broadcast(benchShingles.select(col("shingle")).distinct())
+    val perDoc = corpusShingles
+      .join(bench, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
+    corpusShingles
+      .groupBy(col(idCol)).agg(count(lit(1)).as("total"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        round(coalesce(col("matched"), lit(0L)).cast("double") / col("total"), 4)
+          .as("overlap"),
+        (coalesce(col("matched"), lit(0L)).cast("double") / col("total") >= threshold)
+          .as("contaminated"))
+  }
+
+  /** Deterministic stratified train/val/test assignment: a content hash
+    * (never a row number, never rand() — assignment must survive
+    * re-partitioning, re-runs, and corpus growth, the SPARK-23207 class
+    * of bugs) buckets each document into [0,100); `trainPct` → train,
+    * next `valPct` → val, rest → test. Stateless per-row math: zero
+    * shuffle, scales linearly, and a document keeps its split for life
+    * (the property that prevents train/test leakage across corpus
+    * versions). */
+  def assignSplit(text: Column, trainPct: Int, valPct: Int): Column = {
+    val bucket = conv(substring(md5(concat(lit("split:"), text)), 1, 15), 16, 10)
+      .cast("long") % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** GPT-style sequence packing: within each shard (`idCol % shards`),
+    * documents are concatenated in id order into one token stream that is
+    * cut into fixed `budget`-token training sequences; a document is
+    * attributed to the sequence containing its FIRST token (documents
+    * spill across sequence boundaries, exactly as in packed-sequence
+    * pretraining). The window is per-shard — packing is embarrassingly
+    * parallel and sequences never cross shards, so there is NO global
+    * sort (a single orderBy window over 100 TB is the exact
+    * single-reducer shape the similarity/dedup operators eliminated).
+    * Returns (id, shard, bin) where bin is the shard-local sequence
+    * index. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Int,
+      shards: Int): DataFrame = {
+    val shard = (col(idCol) % shards).cast("int").as("shard")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(tokensCol), shard)
+      .withColumn("cum", sum(col(tokensCol)).over(w))
+      // start position of this doc in the shard's token stream
+      .withColumn("bin", ((col("cum") - col(tokensCol)) / lit(budget)).cast("long"))
+      .select(col(idCol), col("shard"), col("bin"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries (north-star training-data pipeline):
+  * benchmark decontamination, deterministic stratified splits, and
+  * packed-sequence construction — each with an exact DuckDB twin.
+  */
+object CurationQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame) = f
+
+  private val ShingleN = 5
+  // stand-in for a held-out eval suite: every 97th document
+  private val BenchMod = 97
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Decontamination: per-document n-gram overlap against the (small,
+    // broadcast) benchmark shingle set; the corpus side never shuffles.
+    "curation_contamination" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sh = Dedup.explodedShingles(docs, "text", "doc_id", ShingleN)
+      Curation.contamination(
+          corpusShingles = sh.filter(col("doc_id") % BenchMod =!= 0),
+          benchShingles = sh.filter(col("doc_id") % BenchMod === 0),
+          idCol = "doc_id", threshold = 0.5)
+        .filter(col("overlap") > 0) // report only docs with any overlap
+        .orderBy("doc_id")
+    },
+
+    // Stratified split assignment: deterministic content-hash buckets
+    // within length strata; output is the stratum × split census the
+    // pipeline audits mix ratios with.
+    "curation_split_census" -> q { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          when(TextAnalysis.tokenCount(col("text")) < 50, "short")
+            .when(TextAnalysis.tokenCount(col("text")) < 200, "medium")
+            .otherwise("long").as("stratum"),
+          Curation.assignSplit(col("text"), trainPct = 90, valPct = 5).as("split"))
+        .groupBy(col("stratum"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("stratum", "split")
+    },
+
+    // Packed-sequence construction: per-shard token streams cut into
+    // 2048-token sequences; output is the per-sequence census (docs and
+    // spanned tokens per bin) a data loader would consume.
+    "curation_packing" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("ntok"))
+      Curation.packSequences(docs, "doc_id", "ntok", budget = 2048, shards = 8)
+        .join(docs, "doc_id")
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("bigint").as("tokens"))
+        .orderBy("shard", "bin")
+    },
+  )
+
+  private val ShinglesCte =
+    """shingled AS (
+         SELECT DISTINCT doc_id, unnest(
+           CASE WHEN len(string_split(text, ' ')) >= 5
+                THEN list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> array_to_string(
+                              list_slice(string_split(text, ' '), i, i + 4), ' '))
+                ELSE [text] END) AS shingle
+         FROM documents)"""
+
+  val oracles: Map[String, String] = Map(
+
+    "curation_contamination" ->
+      s"""WITH $ShinglesCte,
+          bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 97 = 0),
+          corpus AS (SELECT * FROM shingled WHERE doc_id % 97 <> 0),
+          matched AS (
+            SELECT c.doc_id, count(*) AS m
+            FROM corpus c JOIN bench b ON c.shingle = b.shingle
+            GROUP BY c.doc_id),
+          totals AS (SELECT doc_id, count(*) AS t FROM corpus GROUP BY doc_id)
+          SELECT totals.doc_id,
+                 round(coalesce(m, 0)::double / t, 4) AS overlap,
+                 coalesce(m, 0)::double / t >= 0.5 AS contaminated
+          FROM totals LEFT JOIN matched ON totals.doc_id = matched.doc_id
+          WHERE round(coalesce(m, 0)::double / t, 4) > 0
+          ORDER BY totals.doc_id""",
+
+    "curation_split_census" ->
+      """WITH assigned AS (
+           SELECT CASE WHEN len(string_split(text, ' ')) < 50 THEN 'short'
+                       WHEN len(string_split(text, ' ')) < 200 THEN 'medium'
+                       ELSE 'long' END AS stratum,
+                  CASE WHEN ('0x' || substr(md5('split:' || text), 1, 15))::bigint % 100 < 90 THEN 'train'
+                       WHEN ('0x' || substr(md5('split:' || text), 1, 15))::bigint % 100 < 95 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents)
+         SELECT stratum, split, count(*) AS n
+         FROM assigned GROUP BY stratum, split ORDER BY stratum, split""",
+
+    "curation_packing" ->
+      """WITH toks AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+                  (doc_id % 8)::int AS shard
+           FROM documents),
+         packed AS (
+           SELECT doc_id, ntok, shard,
+                  ((sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - ntok) // 2048)::bigint AS bin
+           FROM toks)
+         SELECT shard, bin, count(*) AS n_docs, sum(ntok)::bigint AS tokens
+         FROM packed GROUP BY shard, bin ORDER BY shard, bin""",
+  )
+}

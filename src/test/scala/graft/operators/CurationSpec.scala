@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination: planted benchmark overlap is flagged; clean docs are not") {
+    // doc 10 copies benchmark doc 0's text verbatim; doc 11 is disjoint
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val sh = Dedup.explodedShingles(docs, "text", "doc_id", 5)
+    val out = Curation.contamination(
+        sh.filter(col("doc_id") > 0), sh.filter(col("doc_id") === 0),
+        "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(10L) == ((1.0, true)))  // verbatim copy: full overlap
+    assert(out(11L) == ((0.0, false))) // disjoint: zero overlap
+  }
+
+  test("contamination: benchmark side broadcasts; corpus side does not shuffle for the join") {
+    val docs = (0L to 200L).map(i => (i, s"tok${i % 7} a b c d e f g$i")).toDF("doc_id", "text")
+    val sh = Dedup.explodedShingles(docs, "text", "doc_id", 5)
+    val plan = Curation.contamination(
+        sh.filter(col("doc_id") % 97 =!= 0), sh.filter(col("doc_id") % 97 === 0),
+        "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("assignSplit: deterministic, content-keyed, approximately proportioned") {
+    val docs = (0 until 2000).map(i => s"document number $i with some text").toDF("text")
+    val splits = docs.select(Curation.assignSplit(col("text"), 90, 5).as("split"))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits("train") > 1600 && splits("train") < 1950) // ~90%
+    assert(splits.values.sum == 2000)
+    // same content → same split, independent of row order/partitioning
+    val a = docs.repartition(13).select(Curation.assignSplit(col("text"), 90, 5))
+      .collect().map(_.getString(0))
+    val b = docs.repartition(3).select(Curation.assignSplit(col("text"), 90, 5))
+      .collect().map(_.getString(0))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+  }
+
+  test("packSequences: bins advance with the token stream, never cross shards") {
+    // one shard (ids all ≡ 1 mod 8 won't happen with shards=1): use shards=1
+    val docs = Seq((0L, 1000), (1L, 1000), (2L, 1000), (3L, 50), (4L, 5000))
+      .toDF("doc_id", "ntok")
+    val out = Curation.packSequences(docs, "doc_id", "ntok", budget = 2048, shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // stream starts: 0, 1000, 2000, 3000, 3050 → bins 0,0,0,1,1
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // sharded: bin indices restart per shard (shard-local token streams)
+    val sharded = Curation.packSequences(docs, "doc_id", "ntok", 2048, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(sharded.filter(_._2 == 0).map(_._3).min == 0L)
+    assert(sharded.filter(_._2 == 1).map(_._3).min == 0L)
+  }
+}
