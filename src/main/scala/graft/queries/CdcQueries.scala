@@ -115,6 +115,51 @@ object CdcQueries {
         .orderBy("event_id")
     },
 
+    // T2: applyOps transaction unwrap (mongo.go:426-451) — each selected
+    // user's events become ONE admin.$cmd applyOps entry whose inner ops
+    // carry no ts of their own; the decoder must unwrap them, inherit the
+    // OUTER ts, and emit a deterministic per-entry seq. The oracle computes
+    // the expected unwrap directly from events, so ts inheritance and seq
+    // ordering are hash-checked, not just unit-tested. Real applyOps
+    // entries are bounded (16 MB document cap), so materializing one
+    // transaction's ops in flatMapGroups is safe at any corpus size.
+    "t2_tx_unwrap" -> q { (s, dir) =>
+      import s.implicits._
+      val replicated = Set("app.users")
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") % 50 === 0)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (uid, it) =>
+          val evs = it.toSeq.sortBy(_._2)
+          val innerOps: Seq[Any] = evs.map { case (_, _, _, tpe, value) =>
+            tpe match {
+              case "signup" => Map("op" -> "i", "ns" -> "app.users",
+                "o" -> Map("_id" -> uid.toString, "balance" -> value))
+              case "error" => Map("op" -> "d", "ns" -> "app.users",
+                "o" -> Map("_id" -> uid.toString))
+              case _ => Map("op" -> "u", "ns" -> "app.users",
+                "o" -> Map("$set" -> Map("balance" -> value)),
+                "o2" -> Map("_id" -> uid.toString))
+            }
+          }
+          val entry = graft.changelog.RawOplog("c", "admin.$cmd",
+            ts = evs.map(_._3).max, o = Map("applyOps" -> innerOps))
+          graft.changelog.OplogDecoder.decode(entry, replicated).zipWithIndex.map {
+            case (graft.changelog.Upsert(_, ts, _, fields, partial, _), seq) =>
+              (uid, seq, "upsert", ts, fields.get("balance").map(_.asInstanceOf[Double]), partial)
+            case (graft.changelog.Delete(_, ts, _), seq) =>
+              (uid, seq, "delete", ts, None: Option[Double], false)
+            case (other, seq) =>
+              (uid, seq, "dead_letter", other.ts, None: Option[Double], false)
+          }
+        }
+        .toDF("user_id", "seq", "kind", "ts_us", "balance", "partial")
+        .orderBy("user_id", "seq")
+    },
+
     // S5: max-offset read — the system's one aggregation (mongo.go:595-616).
     "s5_max_offset" -> q { (s, dir) =>
       Tables.load(s, dir, "events")
@@ -307,6 +352,22 @@ object CdcQueries {
            event_type NOT IN ('signup', 'error') AS partial,
            CASE WHEN event_type = 'error' THEN NULL ELSE value END AS balance
          FROM events ORDER BY event_id""",
+
+    "t2_tx_unwrap" ->
+      """WITH sel AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+           FROM events WHERE user_id % 50 = 0),
+         mx AS (SELECT user_id, max(ts_us) AS tx_ts FROM sel GROUP BY user_id),
+         ordered AS (
+           SELECT s.user_id, s.event_type, s.value, m.tx_ts,
+                  (row_number() OVER (PARTITION BY s.user_id ORDER BY s.event_id) - 1)::int AS seq
+           FROM sel s JOIN mx m ON s.user_id = m.user_id)
+         SELECT user_id, seq,
+                CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS kind,
+                tx_ts AS ts_us,
+                CASE WHEN event_type = 'error' THEN NULL ELSE value END AS balance,
+                event_type NOT IN ('signup', 'error') AS partial
+         FROM ordered ORDER BY user_id, seq""",
 
     "s5_max_offset" ->
       """SELECT max(epoch_us(ts)) AS max_ts_us, count(*) AS n_events FROM events""",
