@@ -37,9 +37,16 @@ object Profile {
       operators.Dedup.lshCandidates(banded, "doc_id").count()
     }
     time("full_lsh_chain") {
-      val sh2 = operators.Dedup.explodedShingles(docs, "text", "doc_id", 5)
+      val sh2 = operators.Dedup.rawShingles(docs, "text", "doc_id", 5)
       operators.Dedup.lshCandidates(
         operators.Dedup.minhashBands(sh2, "doc_id", 16, 4), "doc_id").count()
+    }
+    time("raw_shingles_only") {
+      operators.Dedup.rawShingles(docs, "text", "doc_id", 5).count()
+    }
+    time("minhash_from_raw_no_checkpoint") {
+      operators.Dedup.minhashBands(
+        operators.Dedup.rawShingles(docs, "text", "doc_id", 5), "doc_id", 16, 4).count()
     }
     time("jaccard_full") {
       val sh2 = operators.Dedup.explodedShingles(docs, "text", "doc_id", 5)

@@ -33,20 +33,35 @@ object Dedup {
       count(lit(1)).over(w).as("dup_count"))
   }
 
-  /** Word n-gram shingles of the token array; docs shorter than `n` tokens
-    * shingle to the whole text. Matches the DuckDB range/list_slice twin. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val t = textCol.toString
-    expr(s"""
-      CASE WHEN size(split($t, ' ')) >= $n
-           THEN transform(sequence(1, size(split($t, ' ')) - ${n - 1}),
-                          i -> concat_ws(' ', slice(split($t, ' '), i, $n)))
-           ELSE array($t) END""")
-  }
+  /** Word n-gram shingles from a PRE-SPLIT token array; docs shorter than
+    * `n` tokens shingle to the whole text. Taking the tokens as a bound
+    * column matters: a `split(text)` written inline in the transform
+    * lambda re-splits the document once PER SHINGLE (O(tokens²) per doc);
+    * callers materialize the array once per row and pass it here.
+    * Matches the DuckDB range/list_slice twin. */
+  def shingles(toks: Column, textCol: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(textCol))
 
-  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  /** Distinct (id, shingle) pairs — the inverted-index input. The
+    * `distinct` is a full shuffle of every pair: required where set
+    * semantics matter (Jaccard counts, doc frequency, contamination
+    * ratios), NOT for min-aggregates — use [[rawShingles]] there. */
   def explodedShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle")).distinct()
+    rawShingles(df, textCol, idCol, n).distinct()
+
+  /** Non-distinct (id, shingle) pairs. MinHash's per-seed `min` is
+    * duplicate-insensitive (min over a multiset equals min over its set),
+    * so the LSH chain reads this and skips the distinct's shuffle
+    * entirely: the only exchange left is the groupBy(id) of map-side
+    * partial mins — duplicates die in the partial aggregate without ever
+    * crossing the wire. */
+  def rawShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol), col(textCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        explode(shingles(col("__toks"), col(textCol), n)).as("shingle"))
 
   /** MinHash signatures: k permutations simulated as md5(seed || ':' ||
     * shingle), signature element = per-seed minimum digest. Returns

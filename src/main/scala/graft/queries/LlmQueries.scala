@@ -49,9 +49,10 @@ object LlmQueries {
     },
 
     // MinHash signatures: (doc, seed) → min digest; one key-shuffle with
-    // map-side partial min.
+    // map-side partial min. Raw (non-distinct) shingles: min is
+    // duplicate-insensitive, so the distinct's shuffle is skipped.
     "dedup_minhash_sig" -> q { (s, dir) =>
-      val sh = Dedup.explodedShingles(Tables.load(s, dir, "documents"),
+      val sh = Dedup.rawShingles(Tables.load(s, dir, "documents"),
         "text", "doc_id", ShingleN)
       Dedup.minhash(sh, "doc_id", MinhashK).orderBy("doc_id", "seed")
     },
@@ -59,7 +60,7 @@ object LlmQueries {
     // Full MinHash→LSH chain: banded signatures → bucket join → candidate
     // pairs. Joins only within buckets — never all-pairs.
     "dedup_lsh_pairs" -> q { (s, dir) =>
-      val sh = Dedup.explodedShingles(Tables.load(s, dir, "documents"),
+      val sh = Dedup.rawShingles(Tables.load(s, dir, "documents"),
         "text", "doc_id", ShingleN)
       val banded = Dedup.minhashBands(sh, "doc_id", MinhashK, LshBands)
       Dedup.lshCandidates(banded, "doc_id").orderBy("id_a", "id_b")
@@ -78,7 +79,7 @@ object LlmQueries {
     // graph, every doc labeled with its canonical (min-id) representative.
     "dedup_clusters" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val sh = Dedup.explodedShingles(docs, "text", "doc_id", ShingleN)
+      val sh = Dedup.rawShingles(docs, "text", "doc_id", ShingleN)
       val banded = Dedup.minhashBands(sh, "doc_id", MinhashK, LshBands)
       val pairs = Dedup.lshCandidates(banded, "doc_id")
       Dedup.clusters(docs, pairs, "doc_id").orderBy("doc_id")
