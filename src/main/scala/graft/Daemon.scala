@@ -66,9 +66,14 @@ object Daemon {
     val tables = scala.collection.mutable.ListBuffer.empty[String]
     val trs = md.getTables(catalog, null, "%", Array("TABLE"))
     while (trs.next()) tables += trs.getString("TABLE_NAME")
+    // table names are LIKE patterns to getColumns: escape _ and % or a
+    // name like user_stats also matches user1stats and merges its columns
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def literal(name: String): String =
+      name.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
     tables.toList.map { t =>
       val cols = scala.collection.mutable.ListBuffer.empty[(String, String)]
-      val crs = md.getColumns(catalog, null, t, "%")
+      val crs = md.getColumns(catalog, null, literal(t), "%")
       while (crs.next()) {
         val typ = crs.getString("TYPE_NAME").toLowerCase
         val rendered =

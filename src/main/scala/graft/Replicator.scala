@@ -100,15 +100,20 @@ class Replicator(
         config.tables.map(t => t.name -> t.columns.map(_.sinkName).toSet).toMap
       else plan.resyncColumns
     if (resync.exists(_._2.nonEmpty)) {
-      // feed head pinned before the snapshot (readTimestamp, run.go:210-216)
-      // — computed ONLY when from scratch: the scan reads the whole feed,
-      // and a conf-change resync keeps the old offset anyway
-      val pinTs = if (fromScratch) {
+      if (fromScratch) {
+        // feed head pinned before the snapshot (readTimestamp,
+        // run.go:210-216) — from-scratch only: the pin scan reads the
+        // whole feed, and a conf-change resync keeps the old offset anyway
         val replicated = config.tables.map(t => dbName + "." + t.name).toSet
         val pinRow = ChangeFeed.readBatch(spark, segmentsDir, replicated, 0L)
           .agg(max(col("ts"))).collect()(0)
-        if (pinRow.isNullAt(0)) 0L else pinRow.getLong(0)
-      } else 0L
+        val pinTs = if (pinRow.isNullAt(0)) 0L else pinRow.getLong(0)
+        withConn { conn =>
+          conn.setAutoCommit(false)
+          UpsertWriter.commitOffset(conn, pinTs)
+          conn.commit()
+        }
+      }
       config.tables.foreach { spec =>
         if (resync.getOrElse(spec.name, Set.empty).nonEmpty) {
           val src = snapshotSource(spec)
@@ -118,14 +123,15 @@ class Replicator(
             sinkIds = sinkIds(spec))
         }
       }
-      if (fromScratch) withConn { conn =>
-        conn.setAutoCommit(false)
-        UpsertWriter.commitOffset(conn, pinTs)
-        conn.commit()
-      }
     }
     val resume = withConn(UpsertWriter.readOffset).getOrElse(0L)
-    startStream(segmentsDir, checkpointDir, afterTs = resume)
+    // Resume STRICTLY BELOW the stored offset: the feed predicate is
+    // `ts > afterTs`, so resuming at `resume` itself would drop a
+    // boundary-ts sibling appended after the stop — the loss the apply
+    // guard (skipBelowTs) exists to prevent. Boundary ops the stream
+    // re-reads re-apply idempotently.
+    startStream(segmentsDir, checkpointDir,
+      afterTs = if (resume == 0L) 0L else resume - 1)
   }
 
   /** Entry point B: snapshot one table from a source frame. */
@@ -156,6 +162,13 @@ class Replicator(
     * Each micro-batch: decode → repartition by (table, key) → apply each
     * key's ops in ts order on the executor → co-commit the max offset. */
   def startStream(segmentsDir: String, checkpointDir: String, afterTs: Long = 0L): StreamingQuery = {
+    // every batch reads and co-commits the offset — the state table must
+    // exist even when startStream is the first entry point called
+    withConn { conn =>
+      conn.setAutoCommit(false)
+      conn.prepareStatement(UpsertWriter.createStateTableSql).executeUpdate()
+      conn.commit()
+    }
     val replicated = config.tables.map(t => dbName + "." + t.name).toSet
     val feed = ChangeFeed.readStream(spark, segmentsDir, replicated, afterTs)
     val decoded = ChangeFeed.decode(feed, replicated)

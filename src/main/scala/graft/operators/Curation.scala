@@ -21,27 +21,27 @@ object Curation {
     *
     * `corpusShingles`/`benchShingles`: (id, shingle) pairs, as produced by
     * [[Dedup.explodedShingles]]. The benchmark's DISTINCT shingle set is
-    * broadcast — an eval suite is a few thousand documents against a
-    * 100 TB corpus, so the corpus never shuffles at all: one broadcast
-    * semi-join + one groupBy(doc) with map-side partials.
+    * broadcast with a marker column — an eval suite is a few thousand
+    * documents against a 100 TB corpus, so the corpus is read ONCE and
+    * shuffles once: broadcast left join, then a single groupBy(doc)
+    * computing total and matched together with map-side partials.
     */
   def contamination(
       corpusShingles: DataFrame,
       benchShingles: DataFrame,
       idCol: String,
       threshold: Double): DataFrame = {
-    val bench = broadcast(benchShingles.select(col("shingle")).distinct())
-    val perDoc = corpusShingles
-      .join(bench, Seq("shingle"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
+    val bench = broadcast(
+      benchShingles.select(col("shingle")).distinct()
+        .withColumn("__hit", lit(1)))
     corpusShingles
-      .groupBy(col(idCol)).agg(count(lit(1)).as("total"))
-      .join(perDoc, Seq(idCol), "left")
+      .join(bench, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total"), count(col("__hit")).as("matched"))
       .select(
         col(idCol),
-        round(coalesce(col("matched"), lit(0L)).cast("double") / col("total"), 4)
-          .as("overlap"),
-        (coalesce(col("matched"), lit(0L)).cast("double") / col("total") >= threshold)
+        round(col("matched").cast("double") / col("total"), 4).as("overlap"),
+        (col("matched").cast("double") / col("total") >= threshold)
           .as("contaminated"))
   }
 

@@ -22,9 +22,11 @@ import java.sql.{Connection, DriverManager, PreparedStatement}
   *       window between data-commit and offset-commit is closed by (a)
   *       and (c), not by a shared transaction), plus
   *   (c) skip-if-already-applied: each batch reads the stored offset
-  *       first and drops ops with ts ≤ it ([[readOffset]], consumed by
-  *       `Replicator.startStream`) — replays after a crash in the
-  *       (b)-window re-apply only the unrecorded suffix.
+  *       first and drops ops STRICTLY below it ([[readOffset]], consumed
+  *       by `Replicator.startStream`) — replays after a crash in the
+  *       (b)-window re-apply only the unrecorded suffix plus the
+  *       boundary-ts ops, which (a) makes free; ops AT the stored ts are
+  *       never skipped because a later entry may legally share that ts.
   *
   * SQL generation is pure and unit-tested; the connection path runs only
   * in integration (no MySQL in this environment).
