@@ -116,21 +116,27 @@ object Dedup {
       .agg(md5(concat_ws("|", array_sort(collect_list(concat(col("seed"), lit(":"), col("minhash")))))).as("band_hash"))
   }
 
-  /** Candidate near-duplicate pairs from band buckets (a < b).
-    * The banded input is materialized once (`localCheckpoint`) before the
-    * self-join — otherwise the whole upstream chain (scan→shingle→minhash)
-    * is recomputed for BOTH join sides (self-join aliasing defeats
-    * exchange reuse). Lineage truncation is the accepted trade. */
-  def lshCandidates(banded: DataFrame, idCol: String): DataFrame = {
-    val mat = banded.localCheckpoint()
-    val a = mat.as("a"); val b = mat.as("b")
-    a.join(b,
-        col(s"a.band") === col(s"b.band") &&
-        col(s"a.band_hash") === col(s"b.band_hash") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  /** Candidate near-duplicate pairs from band buckets (a < b), via
+    * per-bucket pair expansion: group to (band, band_hash) → sorted id
+    * array → all ordered pairs from the array. This replaces the earlier
+    * checkpointed self-join: the join keyed every bucket's rows to one
+    * task anyway (same key → same reducer), so the array form has the
+    * SAME parallelism but no second scan of the upstream chain, no
+    * `localCheckpoint` materialization, and no join build. Bucket width
+    * stays the skew bound: the quadratic work per bucket is the LSH
+    * recall/cost dial (band count) exactly as before. */
+  def lshCandidates(banded: DataFrame, idCol: String): DataFrame =
+    banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-  }
 
   /** Connected components over candidate pairs → duplicate clusters: every
     * doc labeled with the minimum id reachable through the pair graph (the
