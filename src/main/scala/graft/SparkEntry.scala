@@ -26,7 +26,9 @@ object SparkEntry {
         "stream_window_agg" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.windowedCounts(s, dir)),
         "stream_stream_join" -> ((s: SparkSession, dir: String) =>
-          streaming.StreamPipeline.clickToPurchase(s, dir)))
+          streaming.StreamPipeline.clickToPurchase(s, dir)),
+        "stream_dedup" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.streamingDedup(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,7 +46,10 @@ object SparkEntry {
                ON c.event_type = 'click' AND p.event_type = 'purchase'
               AND c.user_id = p.user_id
               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-             ORDER BY p_id, c_id""")
+             ORDER BY p_id, c_id""",
+        "stream_dedup" ->
+          """SELECT event_type, count(DISTINCT user_id) AS uniq_users
+             FROM events GROUP BY event_type ORDER BY event_type""")
 
   /** Headline subset timed by [[Bench]] at sf0.1 — one per operator family
     * (scan/agg, broadcast join chain, window, sessionize, CDC apply,

@@ -93,6 +93,39 @@ object StreamPipeline {
     spark.table(tableName).orderBy("p_id", "c_id")
   }
 
+  /** Streaming ingest dedup: `dropDuplicatesWithinWatermark` on the
+    * content key — the production shape for deduplicating a 100 TB ingest
+    * stream, because its state is BOUNDED by the watermark (keys older
+    * than the delay are evicted) where a plain `dropDuplicates` on a
+    * stream grows state forever. Emitted keys are aggregated to a
+    * per-type census after the streaming query completes; `countDistinct`
+    * keeps the result exact even if a duplicate re-emits past the
+    * watermark horizon (allowed by the operator's contract). */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val deduped = spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val tableName = s"graft_sdedup_${System.nanoTime()}"
+    val q = deduped.select(col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName(tableName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sdedup_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"))
+      .orderBy("event_type")
+  }
+
   /** CDC micro-batch driver: change feed → per-key last-image reduction →
     * `apply` per micro-batch (the foreachBatch analog of run.go:301-322;
     * apply is the caller's transactional sink, e.g. UpsertWriter). Returns
