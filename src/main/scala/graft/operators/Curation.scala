@@ -61,6 +61,26 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Deterministic domain-mixture resampling: keep a document iff its
+    * content-hash bucket (out of 10 000) falls below its domain's target
+    * keep-rate — the data-recipe knob ("web at 30%, books at 100%")
+    * implemented as stateless per-row math. No shuffle, no count
+    * pre-pass, no rand(): the same document survives or dies identically
+    * on every run, every partitioning, and every corpus version, and the
+    * decision composes with [[assignSplit]] (independent salts). */
+  def domainMix(
+      text: Column,
+      domain: Column,
+      rates: Map[String, Double],
+      defaultRate: Double): Column = {
+    val bucket = conv(substring(md5(concat(lit("mix:"), text)), 1, 15), 16, 10)
+      .cast("long") % 10000
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (d, r)) =>
+      when(domain === d, lit(r)).otherwise(acc)
+    }
+    bucket < rate * 10000
+  }
+
   /** GPT-style sequence packing: within each shard (`idCol % shards`),
     * documents are concatenated in id order into one token stream that is
     * cut into fixed `budget`-token training sequences; a document is

@@ -47,6 +47,18 @@ object CurationQueries {
         .orderBy("stratum", "split")
     },
 
+    // Domain-mixture resampling: per-source keep-rates applied by
+    // deterministic content hash; output is the post-mix census the
+    // recipe is audited with.
+    "curation_domain_mix" -> q { (s, dir) =>
+      val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+      Tables.load(s, dir, "documents")
+        .filter(Curation.domainMix(col("text"), col("source"), rates, defaultRate = 0.75))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"))
+        .orderBy("source")
+    },
+
     // Packed-sequence construction: per-shard token streams cut into
     // 2048-token sequences; output is the per-sequence census (docs and
     // spanned tokens per bin) a data loader would consume.
@@ -101,6 +113,14 @@ object CurationQueries {
            FROM documents)
          SELECT stratum, split, count(*) AS n
          FROM assigned GROUP BY stratum, split ORDER BY stratum, split""",
+
+    "curation_domain_mix" ->
+      """SELECT source, count(*) AS kept
+         FROM documents
+         WHERE ('0x' || substr(md5('mix:' || text), 1, 15))::bigint % 10000
+               < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                              WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 10000
+         GROUP BY source ORDER BY source""",
 
     "curation_packing" ->
       """WITH toks AS (

@@ -45,6 +45,21 @@ class CurationSpec extends SparkSpec {
     assert(a.sorted.toSeq == b.sorted.toSeq)
   }
 
+  test("domainMix: rate 1.0 keeps all, 0.0 keeps none, decisions are content-stable") {
+    val docs = (0 until 500).map(i => (s"doc text number $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("text", "source")
+    def kept(rates: Map[String, Double], default: Double): Long =
+      docs.filter(Curation.domainMix(col("text"), col("source"), rates, default)).count()
+    assert(kept(Map("a" -> 1.0, "b" -> 1.0), 1.0) == 500)
+    assert(kept(Map("a" -> 0.0, "b" -> 0.0), 0.0) == 0)
+    val half = kept(Map("a" -> 1.0), default = 0.5) // a all, b ~half
+    assert(half > 250 + 80 && half < 250 + 170)
+    // repartitioning must not change any decision
+    assert(docs.repartition(17)
+      .filter(Curation.domainMix(col("text"), col("source"), Map("a" -> 1.0), 0.5))
+      .count() == half)
+  }
+
   test("packSequences: bins advance with the token stream, never cross shards") {
     // one shard (ids all ≡ 1 mod 8 won't happen with shards=1): use shards=1
     val docs = Seq((0L, 1000), (1L, 1000), (2L, 1000), (3L, 50), (4L, 5000))
