@@ -206,6 +206,34 @@ object LlmQueries {
     },
 
     // Multimodal metadata scan: binary payload + typed metadata, no decode.
+    // Repetition signals (the Gopher/RefinedWeb-class quality filter):
+    // duplicate-token ratio and the most-frequent-bigram fraction. Pure
+    // per-doc computation — the bigram count distributes on (doc, bigram)
+    // with map-side partials, no cross-doc state.
+    "text_repetition" -> q { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("ntok"),
+          size(array_distinct(col("toks"))).as("ndist"), col("toks"))
+        .filter(col("ntok") >= 2)
+      base
+        .select(col("doc_id"), col("ntok"), col("ndist"),
+          explode(expr("""transform(sequence(1, size(toks) - 1),
+            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
+            .as("bigram"))
+        .groupBy(col("doc_id"), col("ntok"), col("ndist"), col("bigram")).count()
+        .groupBy(col("doc_id"), col("ntok"), col("ndist"))
+        .agg(max(col("count")).as("top_bg"))
+        .select(col("doc_id"),
+          round(lit(1.0) - col("ndist").cast("double") / col("ntok"), 4)
+            .as("dup_tok_ratio"),
+          round(col("top_bg").cast("double") / (col("ntok") - 1), 4)
+            .as("top_bigram_frac"))
+        .withColumn("flagged",
+          col("dup_tok_ratio") > 0.3 || col("top_bigram_frac") > 0.18)
+        .orderBy("doc_id")
+    },
+
     "multimodal_meta" -> q { (s, dir) =>
       Multimodal.attachPayload(Tables.load(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"),
@@ -439,6 +467,30 @@ object LlmQueries {
                 ELSE 'zh' END AS lang_pred,
            md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fingerprint
          FROM t ORDER BY doc_id""",
+
+    "text_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         stats AS (
+           SELECT doc_id, len(toks) AS ntok, len(list_distinct(toks)) AS ndist, toks
+           FROM base WHERE len(toks) >= 2),
+         bg AS (
+           SELECT doc_id, ntok, ndist,
+                  unnest(list_transform(generate_series(1, ntok - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+           FROM stats),
+         cnt AS (
+           SELECT doc_id, ntok, ndist, bigram, count(*) AS c
+           FROM bg GROUP BY doc_id, ntok, ndist, bigram),
+         top AS (
+           SELECT doc_id, ntok, ndist, max(c) AS top_bg
+           FROM cnt GROUP BY doc_id, ntok, ndist)
+         SELECT doc_id,
+                round(1 - ndist::double / ntok, 4) AS dup_tok_ratio,
+                round(top_bg::double / (ntok - 1), 4) AS top_bigram_frac,
+                round(1 - ndist::double / ntok, 4) > 0.3
+                  OR round(top_bg::double / (ntok - 1), 4) > 0.18 AS flagged
+         FROM top ORDER BY doc_id""",
 
     "text_winnow" ->
       """WITH norm AS (
