@@ -38,6 +38,15 @@ class Replicator(
     try f(conn) finally conn.close()
   }
 
+  /** Idempotent state-table bootstrap (reference creates it on connect,
+    * mysql.go:128-144); both lifecycle entry points need it before any
+    * offset read or commit. */
+  private def ensureStateTable(): Unit = withConn { conn =>
+    conn.setAutoCommit(false)
+    conn.prepareStatement(UpsertWriter.createStateTableSql).executeUpdate()
+    conn.commit()
+  }
+
   /** D1: compute and execute the DDL plan; returns resync columns. */
   def reconcileSchema(observed: SchemaSync.Catalog, force: Boolean): SchemaSync.Plan = {
     val plan = SchemaSync.plan(config, observed, force)
@@ -85,13 +94,7 @@ class Replicator(
       checkpointDir: String,
       force: Boolean = false,
       zerop: Boolean = false): StreamingQuery = {
-    // the state table must exist before the offset read — the reference
-    // creates it on connect (mysql.go:128-144)
-    withConn { conn =>
-      conn.setAutoCommit(false)
-      conn.prepareStatement(UpsertWriter.createStateTableSql).executeUpdate()
-      conn.commit()
-    }
+    ensureStateTable()
     val stored = withConn(UpsertWriter.readOffset).getOrElse(0L)
     val fromScratch = stored == 0L || zerop
     val plan = reconcileSchema(observed, force)
@@ -164,11 +167,7 @@ class Replicator(
   def startStream(segmentsDir: String, checkpointDir: String, afterTs: Long = 0L): StreamingQuery = {
     // every batch reads and co-commits the offset — the state table must
     // exist even when startStream is the first entry point called
-    withConn { conn =>
-      conn.setAutoCommit(false)
-      conn.prepareStatement(UpsertWriter.createStateTableSql).executeUpdate()
-      conn.commit()
-    }
+    ensureStateTable()
     val replicated = config.tables.map(t => dbName + "." + t.name).toSet
     val feed = ChangeFeed.readStream(spark, segmentsDir, replicated, afterTs)
     val decoded = ChangeFeed.decode(feed, replicated)
@@ -255,10 +254,12 @@ object Replicator {
       batch.filter(col("kind") === "dead_letter")
         .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     }
-    val relevant = batch
+    // the guarded subset serves both the apply and the offset aggregate
+    val applicable = batch
       .filter(col("kind").isin("upsert", "delete") &&
         col("tbl").isin(specs.map(_.name): _*) &&
         col("ts") >= lit(skipBelowTs))
+    val relevant = applicable
       .repartition(col("tbl"), col("id"))
       // applyOps tx inner ops share the outer ts — seq (index within the
       // oplog entry) breaks the tie so per-key order is total
@@ -321,11 +322,7 @@ object Replicator {
     }
     // offset from APPLIED rows only — a batch of pure dead letters (whose
     // ts is a 0 sentinel) must never regress the durable checkpoint
-    val mx = batch
-      .filter(col("kind").isin("upsert", "delete") &&
-        col("tbl").isin(specs.map(_.name): _*) &&
-        col("ts") >= lit(skipBelowTs))
-      .agg(max(col("ts"))).collect()(0)
+    val mx = applicable.agg(max(col("ts"))).collect()(0)
     if (mx.isNullAt(0)) None else Some(mx.getLong(0))
     } finally batch.unpersist()
   }

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Salted content-hash bucket in [0, buckets): the one deterministic
+    * randomness primitive every curation decision derives from (oracle
+    * twin: `('0x' || substr(md5(salt || text), 1, 15))::bigint % buckets`).
+    * Distinct salts make decisions independent (split vs mix). */
+  private def hashBucket(text: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(lit(salt), text)), 1, 15), 16, 10)
+      .cast("long") % buckets
+
   /** Decontamination: fraction of each corpus document's distinct n-gram
     * shingles that appear in the benchmark shingle set (the industry-
     * standard n-gram-overlap contamination test for held-out evals).
@@ -54,8 +62,7 @@ object Curation {
     * (the property that prevents train/test leakage across corpus
     * versions). */
   def assignSplit(text: Column, trainPct: Int, valPct: Int): Column = {
-    val bucket = conv(substring(md5(concat(lit("split:"), text)), 1, 15), 16, 10)
-      .cast("long") % 100
+    val bucket = hashBucket(text, "split:", 100)
     when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
@@ -73,8 +80,7 @@ object Curation {
       domain: Column,
       rates: Map[String, Double],
       defaultRate: Double): Column = {
-    val bucket = conv(substring(md5(concat(lit("mix:"), text)), 1, 15), 16, 10)
-      .cast("long") % 10000
+    val bucket = hashBucket(text, "mix:", 10000)
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (d, r)) =>
       when(domain === d, lit(r)).otherwise(acc)
     }

@@ -73,16 +73,7 @@ object CurationQueries {
     },
   )
 
-  private val ShinglesCte =
-    """shingled AS (
-         SELECT DISTINCT doc_id, unnest(
-           CASE WHEN len(string_split(text, ' ')) >= 5
-                THEN list_transform(
-                       generate_series(1, len(string_split(text, ' ')) - 4),
-                       i -> array_to_string(
-                              list_slice(string_split(text, ' '), i, i + 4), ' '))
-                ELSE [text] END) AS shingle
-         FROM documents)"""
+  private val ShinglesCte = LlmQueries.ShinglesCte
 
   val oracles: Map[String, String] = Map(
 

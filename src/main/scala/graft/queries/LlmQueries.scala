@@ -20,8 +20,9 @@ object LlmQueries {
   private val LshBands = 4
 
   /** DuckDB CTE for the distinct (doc_id, shingle) inverted index — the
-    * exact twin of [[Dedup.explodedShingles]] with n=5. */
-  private val ShinglesCte =
+    * exact twin of [[Dedup.explodedShingles]] with n=5. Shared with
+    * [[CurationQueries]] (contamination reads the same index). */
+  private[queries] val ShinglesCte =
     """shingled AS (
          SELECT DISTINCT doc_id, unnest(
            CASE WHEN len(string_split(text, ' ')) >= 5

@@ -18,6 +18,23 @@ import org.apache.spark.sql.types._
   */
 object StreamPipeline {
 
+  /** Run a streaming frame to completion (AvailableNow) into a memory
+    * sink and return the sink table as a batch frame — the harness every
+    * batch-comparable streaming query here shares. */
+  private def runToMemory(df: DataFrame, mode: String, prefix: String): DataFrame = {
+    val tableName = s"${prefix}_${System.nanoTime()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"${prefix}_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(tableName)
+  }
+
   /** Schema the events parquet surfaces under nanosAsLong. */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -35,7 +52,6 @@ object StreamPipeline {
     * the streaming spec instead). */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
     // The file-stream source requires a directory; the testdata table is a
     // single file, so scope the directory scan with a glob filter.
     val stream = spark.readStream
@@ -48,16 +64,7 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n"), col("total"))
-    val tableName = s"graft_stream_${System.nanoTime()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tableName).orderBy("hour", "event_type")
+    runToMemory(agg, "complete", "graft_stream").orderBy("hour", "event_type")
   }
 
   /** Stream-stream inner join with watermarks and a time-range condition:
@@ -82,15 +89,7 @@ object StreamPipeline {
         col("p_time") >= col("c_time") &&
         col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
       .select(col("p_id"), col("c_id"), col("c_user").as("user_id"))
-    val tableName = s"graft_ssj_${System.nanoTime()}"
-    val q = joined.writeStream.format("memory").queryName(tableName)
-      .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_ssj_ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tableName).orderBy("p_id", "c_id")
+    runToMemory(joined, "append", "graft_ssj").orderBy("p_id", "c_id")
   }
 
   /** Streaming ingest dedup: `dropDuplicatesWithinWatermark` on the
@@ -111,16 +110,8 @@ object StreamPipeline {
         timestamp_micros(expr("ts div 1000")).as("event_time"))
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    val tableName = s"graft_sdedup_${System.nanoTime()}"
-    val q = deduped.select(col("user_id"), col("event_type"))
-      .writeStream.format("memory").queryName(tableName)
-      .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_sdedup_ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tableName)
+    runToMemory(deduped.select(col("user_id"), col("event_type")),
+        "append", "graft_sdedup")
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("uniq_users"))
       .orderBy("event_type")
