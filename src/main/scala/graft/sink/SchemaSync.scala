@@ -113,7 +113,18 @@ object SchemaSync {
 
   /** MySQL reports types normalized (lowercase); compare case-insensitively
     * and whitespace-insensitively, like the reference's string compare after
-    * its own normalization (`mysql.go:219-222`). */
+    * its own normalization (`mysql.go:219-222`). Additionally, MySQL 8
+    * drops integer DISPLAY widths (8.0.19+): a column declared
+    * `bigint(20)` is observed back as `bigint` — without stripping the
+    * width here, every int-typed column would read as a type mismatch and
+    * be destructively migrated on every startup. `tinyint(1)` keeps its
+    * width (the one exception MySQL preserves, as the BOOLEAN alias). */
   private def typeEq(a: String, b: String): Boolean =
-    a.toLowerCase.replaceAll("\\s+", "") == b.toLowerCase.replaceAll("\\s+", "")
+    normalize(a) == normalize(b)
+
+  private def normalize(t: String): String = {
+    val base = t.toLowerCase.replaceAll("\\s+", "")
+    if (base == "tinyint(1)") base
+    else base.replaceAll("^(bigint|integer|int|mediumint|smallint|tinyint)\\(\\d+\\)$", "$1")
+  }
 }

@@ -20,6 +20,14 @@ object MemJdbc {
   /** db name → table name → pk → row (column → value). */
   private val dbs = mutable.Map.empty[String, mutable.Map[String, mutable.Map[String, Map[String, Any]]]]
 
+  /** db name → table name → ordered (column, declaredType) — tracked from
+    * executed DDL so `Connection.getMetaData` can serve the observed
+    * catalog like a real server (the `SHOW TABLES`/`SHOW COLUMNS` leg). */
+  private val catalogs = mutable.Map.empty[String, mutable.Map[String, Vector[(String, String)]]]
+
+  def catalog(db: String): Map[String, Seq[(String, String)]] =
+    dbs.synchronized { catalogs.getOrElse(db, mutable.Map.empty).toMap }
+
   /** db → JDBC-call counters ("prepare", "executeBatch", "executeUpdate",
     * "addBatch") — lets specs assert statement reuse and batching. */
   private val counters = mutable.Map.empty[String, mutable.Map[String, Int]]
@@ -32,7 +40,8 @@ object MemJdbc {
   def stats(db: String): Map[String, Int] =
     dbs.synchronized { counters.getOrElse(db, mutable.Map.empty).toMap }
 
-  def reset(db: String): Unit = dbs.synchronized { dbs.remove(db); counters.remove(db) }
+  def reset(db: String): Unit =
+    dbs.synchronized { dbs.remove(db); counters.remove(db); catalogs.remove(db) }
 
   private def bump(db: String, key: String): Unit = dbs.synchronized {
     val c = counters.getOrElseUpdate(db, mutable.Map.empty)
@@ -61,6 +70,8 @@ object MemJdbc {
     val staged = mutable.ArrayBuffer.empty[Any]
     proxy[Connection] {
       case ("prepareStatement", Seq(sql: String)) => bump(db, "prepare"); statement(db, sql, staged)
+      case ("getMetaData", _)                     => metaData(db)
+      case ("getCatalog", _)                      => db
       case ("setAutoCommit", _) | ("close", _)    => null
       case ("rollback", _)                        => staged.clear(); null
       case ("commit", _) =>
@@ -85,6 +96,106 @@ object MemJdbc {
   private val SelectRe =
     """SELECT `([^`]+)` FROM `([^`]+)` WHERE `([^`]+)` = '([^']*)'""".r
 
+  // ---- DDL interpretation into the tracked catalog ----------------------
+  private val CreateRe = """CREATE TABLE (?:IF NOT EXISTS )?`([^`]+)` \((.*)\)""".r
+  private val DropTableRe = """DROP TABLE `([^`]+)`""".r
+  private val AddColRe = """ALTER TABLE `([^`]+)` ADD COLUMN `([^`]+)` (.+?)(?: NULL| NOT NULL)?""".r
+  private val DropColRe = """ALTER TABLE `([^`]+)` DROP COLUMN `([^`]+)`""".r
+  private val ChangeColRe =
+    """ALTER TABLE `([^`]+)` CHANGE `([^`]+)` `([^`]+)` (.+?)(?: NULL| NOT NULL)?(?: AFTER `([^`]+)`| FIRST)?""".r
+
+  private def applyDdl(db: String, sql: String): Unit = dbs.synchronized {
+    val cat = catalogs.getOrElseUpdate(db, mutable.Map.empty)
+    sql match {
+      case CreateRe(t, body) =>
+        if (!cat.contains(t) || !sql.contains("IF NOT EXISTS")) {
+          val cols = body.split(", (?=`)").toVector
+            .filterNot(_.startsWith("PRIMARY KEY"))
+            .map { d =>
+              val m = """`([^`]+)` (.+?)(?: NOT NULL| NULL)?$""".r
+                .findFirstMatchIn(d).get
+              m.group(1) -> m.group(2)
+            }
+          if (!cat.contains(t)) cat(t) = cols
+        }
+      case DropTableRe(t) =>
+        cat.remove(t); dbs.getOrElse(db, mutable.Map.empty).remove(t)
+      case AddColRe(t, c, typ) =>
+        cat(t) = cat.getOrElse(t, Vector.empty) :+ (c -> typ)
+      case DropColRe(t, c) =>
+        cat(t) = cat.getOrElse(t, Vector.empty).filterNot(_._1 == c)
+      case ChangeColRe(t, from, to, typ, after) =>
+        val without = cat.getOrElse(t, Vector.empty).filterNot(_._1 == from)
+        val idx = Option(after).map(a => without.indexWhere(_._1 == a) + 1).getOrElse(0)
+        cat(t) = (without.take(idx) :+ (to -> typ)) ++ without.drop(idx)
+      case _ => () // unreachable: grammar gate admits only the shapes above
+    }
+  }
+
+  /** LIKE-pattern (with escape) → regex — the JDBC metadata pattern
+    * semantics a real driver implements; `_`/`%` are wildcards UNLESS
+    * escaped, which is exactly what Daemon.observedCatalog must get
+    * right for underscore-bearing table names. */
+  private def likeToRegex(pattern: String, esc: String): String = {
+    val e = esc.headOption.getOrElse('\\')
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == e && i + 1 < pattern.length) {
+        sb ++= java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString); i += 2
+      } else {
+        c match {
+          case '%'   => sb ++= ".*"
+          case '_'   => sb += '.'
+          case other => sb ++= java.util.regex.Pattern.quote(other.toString)
+        }
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** One-row-at-a-time ResultSet over (columnLabel → value) maps. */
+  private def resultSet(rows: Seq[Map[String, Any]]): java.sql.ResultSet = {
+    var i = -1
+    proxy[java.sql.ResultSet] {
+      case ("next", _) =>
+        i += 1; java.lang.Boolean.valueOf(i < rows.length)
+      case ("getString", Seq(label: String)) => rows(i)(label).asInstanceOf[AnyRef]
+      case ("getInt", Seq(label: String)) =>
+        Integer.valueOf(rows(i)(label).asInstanceOf[Int])
+    }
+  }
+
+  private def metaData(db: String): java.sql.DatabaseMetaData =
+    proxy[java.sql.DatabaseMetaData] {
+      case ("getSearchStringEscape", _) => "\\"
+      case ("getTables", Seq(_, _, pattern: String, _)) =>
+        val re = likeToRegex(pattern, "\\").r
+        val names = dbs.synchronized {
+          catalogs.getOrElse(db, mutable.Map.empty).keys.toSeq.sorted
+        }
+        resultSet(names.filter(re.matches).map(t => Map("TABLE_NAME" -> t)))
+      case ("getColumns", Seq(_, _, tablePattern: String, colPattern: String)) =>
+        val tre = likeToRegex(tablePattern, "\\").r
+        val cre = likeToRegex(colPattern, "\\").r
+        val rows = dbs.synchronized {
+          catalogs.getOrElse(db, mutable.Map.empty).toSeq.sortBy(_._1).flatMap {
+            case (t, cols) if tre.matches(t) =>
+              cols.collect { case (c, typ) if cre.matches(c) =>
+                // real drivers report the base TYPE_NAME + COLUMN_SIZE
+                val m = """([a-z]+)(?:\((\d+)[^)]*\))?""".r.findFirstMatchIn(typ).get
+                Map[String, Any]("COLUMN_NAME" -> c,
+                  "TYPE_NAME" -> m.group(1),
+                  "COLUMN_SIZE" -> Option(m.group(2)).map(_.toInt).getOrElse(0))
+              }
+            case _ => Seq.empty
+          }
+        }
+        resultSet(rows)
+    }
+
   private def statement(db: String, sql: String, staged: mutable.ArrayBuffer[Any]): PreparedStatement = {
     // Grammar gate BEFORE interpretation: any statement a MySQL 8 server
     // would reject fails here, in every spec that touches the JDBC path.
@@ -105,7 +216,7 @@ object MemJdbc {
         staged += StagedDelete(table, params(1))
       case SelectRe(_, _, _, _) => // read-only, nothing staged
       case ddl if ddl.startsWith("CREATE") || ddl.startsWith("ALTER") ||
-                  ddl.startsWith("DROP") => // DDL accepted, schema-free store
+                  ddl.startsWith("DROP") => applyDdl(db, ddl) // catalog tracked
       case other => throw new IllegalArgumentException(s"MemJdbc: unsupported SQL: $other")
     }
     // point SELECT against COMMITTED state (offset read, mysql.go:108-123)
