@@ -124,12 +124,20 @@ object Dedup {
     * SAME parallelism but no second scan of the upstream chain, no
     * `localCheckpoint` materialization, and no join build. Bucket width
     * stays the skew bound: the quadratic work per bucket is the LSH
-    * recall/cost dial (band count) exactly as before. */
-  def lshCandidates(banded: DataFrame, idCol: String): DataFrame =
+    * recall/cost dial (band count) exactly as before.
+    *
+    * `maxBucket` guards the degenerate case: a bucket of m near-identical
+    * documents yields m² pairs on one task, and at corpus scale a single
+    * boilerplate-heavy bucket can dominate the stage. Buckets wider than
+    * the cap are skipped — they are exact-dup cliques in practice, which
+    * [[exact]] dedup handles at linear cost; the cap trades recall on
+    * pathological cliques for a bounded worst-case task. */
+  def lshCandidates(
+      banded: DataFrame, idCol: String, maxBucket: Int = Int.MaxValue): DataFrame =
     banded
       .groupBy(col("band"), col("band_hash"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),

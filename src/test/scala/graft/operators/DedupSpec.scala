@@ -46,6 +46,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 3L || a == 3L }) // unrelated doc not a candidate
   }
 
+  test("LSH maxBucket skips monster buckets (exact-dup cliques)") {
+    import spark.implicits._
+    // 6 identical docs → one clique: every band bucket has width 6
+    val clones = (0L until 6L).map(i => (i, "same text every single time here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.rawShingles(clones, "text", "doc_id", 3)
+    val banded = Dedup.minhashBands(sh, "doc_id", 8, 4)
+    assert(Dedup.lshCandidates(banded, "doc_id").count() == 15) // 6 choose 2
+    assert(Dedup.lshCandidates(banded, "doc_id", maxBucket = 5).count() == 0)
+  }
+
   test("n-gram Jaccard: exact dup = 1.0, near dup in (0,1), threshold filters") {
     val sh = Dedup.explodedShingles(docs, "text", "doc_id", 3)
     val sim = Dedup.ngramJaccardPairs(sh, "doc_id", threshold = 0.01)
