@@ -103,20 +103,20 @@ class Replicator(
         config.tables.map(t => t.name -> t.columns.map(_.sinkName).toSet).toMap
       else plan.resyncColumns
     if (resync.exists(_._2.nonEmpty)) {
-      if (fromScratch) {
-        // feed head pinned before the snapshot (readTimestamp,
-        // run.go:210-216) — from-scratch only: the pin scan reads the
-        // whole feed, and a conf-change resync keeps the old offset anyway
+      // feed head pinned (READ) before the snapshot, but COMMITTED only
+      // after every table snapshot succeeds (readTimestamp read at
+      // run.go:210-216, stored at run.go:283-288): while the offset is
+      // still 0, a crash mid-snapshot restarts as from-scratch and the
+      // idempotent snapshot simply redoes; committing the pin first would
+      // make the restart skip the unsnapshotted tables forever.
+      // From-scratch only — the pin scan reads the whole feed, and a
+      // conf-change resync keeps the old offset anyway.
+      val pinTs: Option[Long] = if (fromScratch) {
         val replicated = config.tables.map(t => dbName + "." + t.name).toSet
         val pinRow = ChangeFeed.readBatch(spark, segmentsDir, replicated, 0L)
           .agg(max(col("ts"))).collect()(0)
-        val pinTs = if (pinRow.isNullAt(0)) 0L else pinRow.getLong(0)
-        withConn { conn =>
-          conn.setAutoCommit(false)
-          UpsertWriter.commitOffset(conn, pinTs)
-          conn.commit()
-        }
-      }
+        Some(if (pinRow.isNullAt(0)) 0L else pinRow.getLong(0))
+      } else None
       config.tables.foreach { spec =>
         if (resync.getOrElse(spec.name, Set.empty).nonEmpty) {
           val src = snapshotSource(spec)
@@ -124,6 +124,13 @@ class Replicator(
           deleteOrphans(spec,
             sourceIds = src.select(col(spec.pk)),
             sinkIds = sinkIds(spec))
+        }
+      }
+      pinTs.foreach { ts =>
+        withConn { conn =>
+          conn.setAutoCommit(false)
+          UpsertWriter.commitOffset(conn, ts)
+          conn.commit()
         }
       }
     }

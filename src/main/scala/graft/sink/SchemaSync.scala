@@ -124,7 +124,9 @@ object SchemaSync {
 
   private def normalize(t: String): String = {
     val base = t.toLowerCase.replaceAll("\\s+", "")
-    if (base == "tinyint(1)") base
-    else base.replaceAll("^(bigint|integer|int|mediumint|smallint|tinyint)\\(\\d+\\)$", "$1")
+    // not anchored at end: attributes (unsigned/zerofill) follow the width;
+    // the tinyint(1) exception must not catch tinyint(10)
+    if (base.matches("tinyint\\(1\\)([^0-9].*)?")) base
+    else base.replaceAll("^(bigint|integer|int|mediumint|smallint|tinyint)\\(\\d+\\)", "$1")
   }
 }

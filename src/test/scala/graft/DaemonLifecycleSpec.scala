@@ -135,6 +135,55 @@ class DaemonLifecycleSpec extends SparkSpec {
       "zerop snapshot + boundary-ts re-application")
   }
 
+  test("crash mid-snapshot keeps offset at 0, so restart redoes the snapshot") {
+    val Db2 = "lifecycle_crash"
+    MemJdbc.reset(Db2)
+    val segDir = Files.createTempDirectory("graft_crash_seg").toString
+    Files.write(Paths.get(segDir, "seg0.json"),
+      """{"op":"u","ns":"app.users","ts":50,"o":{"$set":{"name":"x"}},"o2":{"_id":"u1"}}"""
+        .getBytes("UTF-8"))
+    val twoTables = ConfigParser.parse(
+      s"""inp: mongodb://localhost:27017/app
+         |out: ${MemJdbc.UrlPrefix}$Db2
+         |tables:
+         |  users:
+         |    name: varchar(100)
+         |  orders:
+         |    total: double
+         |""".stripMargin)
+    def frames(failOrders: Boolean): TableSpec => DataFrame = { spec =>
+      if (spec.name == "orders") {
+        if (failOrders) throw new RuntimeException("source died mid-snapshot")
+        Seq(("o1", 9.5)).toDF("_id", "total")
+      } else Seq(("u1", "ann")).toDF("_id", "name")
+    }
+    def offsetOf: Option[Long] =
+      MemJdbc.table(Db2, UpsertWriter.StateTable).get(UpsertWriter.OffsetKey)
+        .map(r => new String(r("value").asInstanceOf[Array[Byte]], "UTF-8").toLong)
+
+    val repl = new Replicator(spark, twoTables, MemJdbc.UrlPrefix + Db2, new Properties())
+    intercept[RuntimeException] {
+      repl.run(Map.empty, frames(failOrders = true),
+        sinkIdsFrom(Db2), segDir,
+        Files.createTempDirectory("graft_crash_ck1").toString)
+    }
+    // the pin must NOT have been committed before the failed snapshot:
+    // a non-zero offset here would make the restart skip orders forever
+    assert(offsetOf.isEmpty || offsetOf.contains(0L),
+      s"offset committed before snapshot completion: $offsetOf")
+
+    // restart observes the real catalog (the DDL from run 1 committed);
+    // re-planning from it must not re-create existing tables
+    val observed = Daemon.observedCatalog(MemJdbc.connect(Db2))
+    val q = repl.run(observed, frames(failOrders = false),
+      sinkIdsFrom(Db2), segDir,
+      Files.createTempDirectory("graft_crash_ck2").toString)
+    q.processAllAvailable(); q.stop()
+    assert(MemJdbc.table(Db2, "users").keySet == Set("u1"))
+    assert(MemJdbc.table(Db2, "orders").keySet == Set("o1"))
+    assert(offsetOf.contains(50L)) // pinned only after all tables snapshotted
+  }
+
   test("parseArgs: reference flags and positional paths (run.go:38-63)") {
     val a = Daemon.parseArgs(Array(
       "conf.yml", "/snap", "/seg", "/ckpt", "--force", "--zerop", "--out=jdbc:x"))

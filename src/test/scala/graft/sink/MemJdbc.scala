@@ -108,15 +108,17 @@ object MemJdbc {
     val cat = catalogs.getOrElseUpdate(db, mutable.Map.empty)
     sql match {
       case CreateRe(t, body) =>
-        if (!cat.contains(t) || !sql.contains("IF NOT EXISTS")) {
-          val cols = body.split(", (?=`)").toVector
+        if (cat.contains(t)) {
+          if (!sql.contains("IF NOT EXISTS"))
+            throw new java.sql.SQLSyntaxErrorException(s"table $t already exists")
+        } else {
+          cat(t) = body.split(", (?=`|PRIMARY KEY)").toVector
             .filterNot(_.startsWith("PRIMARY KEY"))
             .map { d =>
               val m = """`([^`]+)` (.+?)(?: NOT NULL| NULL)?$""".r
                 .findFirstMatchIn(d).get
               m.group(1) -> m.group(2)
             }
-          if (!cat.contains(t)) cat(t) = cols
         }
       case DropTableRe(t) =>
         cat.remove(t); dbs.getOrElse(db, mutable.Map.empty).remove(t)
