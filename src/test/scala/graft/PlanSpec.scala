@@ -53,4 +53,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("j1_delete_reconcile")
     assert(p.contains("LeftAnti"))
   }
+
+  test("LSH chain: shuffle budget holds (no distinct, no self-join re-scan)") {
+    val p = plan("dedup_lsh_pairs")
+    // raw shingles feed the minhash groupBy directly (no distinct before
+    // it), candidates come from per-bucket expansion (no join): the whole
+    // chain is groupBy(id) + groupBy(band,hash) + pair-distinct + the
+    // oracle orderBy — at most 4 exchanges, and no join operator at all
+    assert(!p.contains("Join"), "candidate self-join reintroduced")
+    assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 4,
+      "extra shuffle in the minhash/banding chain")
+  }
 }
