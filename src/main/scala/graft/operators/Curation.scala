@@ -32,18 +32,25 @@ object Curation {
     * broadcast with a marker column — an eval suite is a few thousand
     * documents against a 100 TB corpus, so the corpus is read ONCE and
     * shuffles once: broadcast left join, then a single groupBy(doc)
-    * computing total and matched together with map-side partials.
+    * computing total and matched together with map-side partials. Both
+    * sides join on a 60-bit md5 digest of the shingle, not the text —
+    * the broadcast table carries 8-byte longs instead of n-gram strings
+    * (a 5-10× smaller build side; a 2^-60 collision inflates one doc's
+    * overlap marginally and identically in the oracle).
     */
   def contamination(
       corpusShingles: DataFrame,
       benchShingles: DataFrame,
       idCol: String,
       threshold: Double): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val bench = broadcast(
-      benchShingles.select(col("shingle")).distinct()
+      benchShingles.select(h(col("shingle")).as("__sh")).distinct()
         .withColumn("__hit", lit(1)))
     corpusShingles
-      .join(bench, Seq("shingle"), "left")
+      .withColumn("__sh", h(col("shingle")))
+      .join(bench, Seq("__sh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("total"), count(col("__hit")).as("matched"))
       .select(

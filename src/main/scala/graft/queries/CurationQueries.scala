@@ -79,11 +79,15 @@ object CurationQueries {
 
     "curation_contamination" ->
       s"""WITH $ShinglesCte,
-          bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 97 = 0),
-          corpus AS (SELECT * FROM shingled WHERE doc_id % 97 <> 0),
+          bench AS (
+            SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+            FROM shingled WHERE doc_id % 97 = 0),
+          corpus AS (
+            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+            FROM shingled WHERE doc_id % 97 <> 0),
           matched AS (
             SELECT c.doc_id, count(*) AS m
-            FROM corpus c JOIN bench b ON c.shingle = b.shingle
+            FROM corpus c JOIN bench b ON c.sh = b.sh
             GROUP BY c.doc_id),
           totals AS (SELECT doc_id, count(*) AS t FROM corpus GROUP BY doc_id)
           SELECT totals.doc_id,
