@@ -143,4 +143,28 @@ object Similarity {
     topKPerQuery(scored, k)
       .select(col("query_id"), col("cluster"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** IVF centroid TRAINING: `iters` Lloyd (k-means) refinement steps from
+    * a deterministic init. Each step is two linear passes — the broadcast
+    * + `max_by` assignment (N rows shuffled, never N×C), then the
+    * element-wise mean via posexplode → (cluster, position) partial
+    * averages re-assembled in position order. Empty clusters drop out
+    * (standard Lloyd). Means round to 6 dp and re-enter as float so the
+    * DuckDB twin reproduces every iteration bit-for-bit; a handful of
+    * iterations is the standard IVF training budget at any corpus size.
+    */
+  def lloydCentroids(
+      vectors: DataFrame, init: DataFrame,
+      idCol: String, vecCol: String, iters: Int): DataFrame =
+    (1 to iters).foldLeft(init.select(col(idCol), col(vecCol))) { (cen, _) =>
+      assignClusters(vectors, cen, idCol, vecCol)
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy(col("cluster"), col("__pos"))
+        .agg(round(avg(col("__v")), 6).as("__m"))
+        .groupBy(col("cluster"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(__pos, __m))), s -> cast(s.__m as float))")
+          .as(vecCol))
+        .select(col("cluster").as(idCol), col(vecCol))
+    }
 }

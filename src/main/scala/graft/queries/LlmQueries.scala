@@ -130,6 +130,18 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // IVF with TRAINED centroids: two Lloyd refinement steps from the
+    // deterministic init, then the same cluster-restricted search. The
+    // oracle replays both iterations exactly (rounded float means).
+    "sim_ivf_trained" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val init = emb.filter(col("vec_id") % 100 === 0)
+      val trained = Similarity.lloydCentroids(emb, init, "vec_id", "embedding", iters = 2)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, trained,
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // Per-document text statistics.
     "text_stats" -> q { (s, dir) =>
       val t = col("text")
@@ -410,6 +422,71 @@ object LlmQueries {
                centroid_id) AS crn
            FROM embeddings e, cen),
          clustered AS (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1),
+         scored AS (
+           SELECT q.vec_id AS query_id, q.cluster AS cluster,
+             c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], c.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
+               6) AS cosine
+           FROM clustered q JOIN clustered c
+             ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10)
+         SELECT query_id, cluster, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_ivf_trained" ->
+      """WITH cen0 AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign0 AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen0),
+         pos0 AS (
+           SELECT cluster, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM assign0 WHERE crn = 1),
+         cen1 AS (
+           SELECT cluster AS centroid_id,
+                  list(m ORDER BY pos) AS cemb
+           FROM (SELECT cluster, pos, round(avg(v), 6)::float AS m
+                 FROM pos0 GROUP BY cluster, pos)
+           GROUP BY cluster),
+         assign1 AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen1),
+         pos1 AS (
+           SELECT cluster, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM assign1 WHERE crn = 1),
+         cen2 AS (
+           SELECT cluster AS centroid_id,
+                  list(m ORDER BY pos) AS cemb
+           FROM (SELECT cluster, pos, round(avg(v), 6)::float AS m
+                 FROM pos1 GROUP BY cluster, pos)
+           GROUP BY cluster),
+         assign2 AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen2),
+         clustered AS (SELECT vec_id, embedding, cluster FROM assign2 WHERE crn = 1),
          scored AS (
            SELECT q.vec_id AS query_id, q.cluster AS cluster,
              c.vec_id AS neighbor_id,

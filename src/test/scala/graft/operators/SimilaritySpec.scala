@@ -73,4 +73,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(1L))    // same cluster (centroid 100)
     assert(!out.contains(2L))   // assigned to centroid 200's cluster
   }
+
+  test("lloydCentroids converges to the blob means from a skewed init") {
+    // two clean direction blobs; init centroids both sit in blob A's
+    // half-space but one is closer to blob B's members
+    val blobs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.98f, 0.02f, 0.0f, 0.0f)),
+      (2L, Array(0.96f, 0.01f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.02f, 0.98f, 0.0f, 0.0f)),
+      (12L, Array(0.01f, 0.96f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val init = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (200L, Array(0.6f, 0.8f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.lloydCentroids(blobs, init, "vec_id", "embedding", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(trained.keySet == Set(100L, 200L))
+    // each trained centroid is the mean of its blob: dominant axis ≈ .98/.98
+    assert(math.abs(trained(100L).head - 0.98f) < 0.01)
+    assert(math.abs(trained(200L)(1) - 0.98f) < 0.01)
+    // deterministic: same input → same centroids
+    val again = Similarity.lloydCentroids(blobs, init, "vec_id", "embedding", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == trained)
+  }
 }
