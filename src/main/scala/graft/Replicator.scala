@@ -85,7 +85,14 @@ class Replicator(
     * `readTable` analog, production: the collection dump / connector);
     * `sinkIds` reads the sink table's key column (production:
     * `spark.read.jdbc`). Both are injected so the lifecycle is testable
-    * against the in-memory sink. */
+    * against the in-memory sink.
+    *
+    * Crash recovery: while the stored offset is 0 (first-ever sync), a
+    * crash mid-snapshot restarts as from-scratch and the idempotent
+    * snapshot redoes — nothing is lost. A crash during a `zerop`-forced
+    * resync keeps the OLD offset, so the restart does not resume the
+    * rewrite on its own: re-run with `zerop` (the reference behaves the
+    * same — zerop is an operator-invoked repair, `run.go:164-170`). */
   def run(
       observed: SchemaSync.Catalog,
       snapshotSource: TableSpec => DataFrame,

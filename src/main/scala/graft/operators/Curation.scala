@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Salted content-hash bucket in [0, buckets): the one deterministic
-    * randomness primitive every curation decision derives from (oracle
-    * twin: `('0x' || substr(md5(salt || text), 1, 15))::bigint % buckets`).
-    * Distinct salts make decisions independent (split vs mix). */
+  /** 60-bit md5 digest — the one deterministic hash primitive every
+    * curation decision derives from (oracle twin:
+    * `('0x' || substr(md5(x), 1, 15))::bigint`). */
+  private[operators] def digest60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Salted content-hash bucket in [0, buckets); distinct salts make
+    * decisions independent (split vs mix). */
   private def hashBucket(text: Column, salt: String, buckets: Int): Column =
-    conv(substring(md5(concat(lit(salt), text)), 1, 15), 16, 10)
-      .cast("long") % buckets
+    digest60(concat(lit(salt), text)) % buckets
 
   /** Decontamination: fraction of each corpus document's distinct n-gram
     * shingles that appear in the benchmark shingle set (the industry-
@@ -43,13 +46,11 @@ object Curation {
       benchShingles: DataFrame,
       idCol: String,
       threshold: Double): DataFrame = {
-    def h(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val bench = broadcast(
-      benchShingles.select(h(col("shingle")).as("__sh")).distinct()
+      benchShingles.select(digest60(col("shingle")).as("__sh")).distinct()
         .withColumn("__hit", lit(1)))
     corpusShingles
-      .withColumn("__sh", h(col("shingle")))
+      .withColumn("__sh", digest60(col("shingle")))
       .join(bench, Seq("__sh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("total"), count(col("__hit")).as("matched"))

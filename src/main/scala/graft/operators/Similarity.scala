@@ -149,10 +149,18 @@ object Similarity {
     * + `max_by` assignment (N rows shuffled, never N×C), then the
     * element-wise mean via posexplode → (cluster, position) partial
     * averages re-assembled in position order. Empty clusters drop out
-    * (standard Lloyd). Means round to 6 dp and re-enter as float so the
-    * DuckDB twin reproduces every iteration bit-for-bit; a handful of
-    * iterations is the standard IVF training budget at any corpus size.
-    */
+    * (standard Lloyd).
+    *
+    * Determinism across runs AND engines: the per-coordinate sum runs in
+    * decimal — exact, therefore independent of partition/merge order —
+    * where a double `avg` folds in task order and a mean landing on a
+    * rounding boundary could flip between runs. One double division and
+    * a 6 dp round follow, then the mean re-enters as float so the DuckDB
+    * twin reproduces every iteration bit-for-bit. Each round is
+    * `localCheckpoint`ed: round N+1 (and both downstream assignClusters
+    * uses) read the tiny materialized centroid set instead of re-deriving
+    * every earlier round's full-corpus scan — the same per-round
+    * materialization the connected-components loop uses. */
   def lloydCentroids(
       vectors: DataFrame, init: DataFrame,
       idCol: String, vecCol: String, iters: Int): DataFrame =
@@ -160,11 +168,14 @@ object Similarity {
       assignClusters(vectors, cen, idCol, vecCol)
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
         .groupBy(col("cluster"), col("__pos"))
-        .agg(round(avg(col("__v")), 6).as("__m"))
+        .agg(round(
+          (sum(col("__v").cast("decimal(38,10)")).cast("double") /
+            count(lit(1))), 6).as("__m"))
         .groupBy(col("cluster"))
         .agg(expr(
           "transform(array_sort(collect_list(struct(__pos, __m))), s -> cast(s.__m as float))")
           .as(vecCol))
         .select(col("cluster").as(idCol), col(vecCol))
+        .localCheckpoint()
     }
 }

@@ -457,7 +457,8 @@ object LlmQueries {
          cen1 AS (
            SELECT cluster AS centroid_id,
                   list(m ORDER BY pos) AS cemb
-           FROM (SELECT cluster, pos, round(avg(v), 6)::float AS m
+           FROM (SELECT cluster, pos,
+                        round(sum(v::decimal(38,10))::double / count(*), 6)::float AS m
                  FROM pos0 GROUP BY cluster, pos)
            GROUP BY cluster),
          assign1 AS (
@@ -475,7 +476,8 @@ object LlmQueries {
          cen2 AS (
            SELECT cluster AS centroid_id,
                   list(m ORDER BY pos) AS cemb
-           FROM (SELECT cluster, pos, round(avg(v), 6)::float AS m
+           FROM (SELECT cluster, pos,
+                        round(sum(v::decimal(38,10))::double / count(*), 6)::float AS m
                  FROM pos1 GROUP BY cluster, pos)
            GROUP BY cluster),
          assign2 AS (
