@@ -59,6 +59,40 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // THE FULL PREPROCESSING FUNNEL as one composed query: exact dedup →
+    // quality gate → repetition gate → decontamination (benchmark docs
+    // drop themselves via self-overlap — eval data never trains) →
+    // domain mixing → split census. Every stage is the already-verified
+    // operator; this query proves they COMPOSE, the thing a real corpus
+    // build actually runs.
+    "curation_pipeline" -> q { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val deduped = Dedup.exact(docs, "text", "doc_id")
+        .filter(col("is_canonical")).select("doc_id")
+        .join(docs, "doc_id")
+      val quality = deduped.filter(
+        round(TextAnalysis.qualityScore(col("text")), 6) >= 0.3)
+      val toks = split(col("text"), " ")
+      val lowRep = quality.filter(
+        lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks) <= 0.5)
+      val benchSh = Dedup.explodedShingles(
+        docs.filter(col("doc_id") % BenchMod === 0), "text", "doc_id", ShingleN)
+      val survivorSh = Dedup.explodedShingles(lowRep, "text", "doc_id", ShingleN)
+      val contaminatedIds = Curation.contamination(
+          survivorSh, benchSh, "doc_id", threshold = 0.5)
+        .filter(col("contaminated")).select("doc_id")
+      val clean = lowRep.join(contaminatedIds, Seq("doc_id"), "left_anti")
+      val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+      clean
+        .filter(Curation.domainMix(col("text"), col("source"), rates, defaultRate = 0.75))
+        .select(col("source"),
+          Curation.assignSplit(col("text"), trainPct = 90, valPct = 5).as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    },
+
     // Packed-sequence construction: per-shard token streams cut into
     // 2048-token sequences; output is the per-sequence census (docs and
     // spanned tokens per bin) a data loader would consume.
@@ -116,6 +150,52 @@ object CurationQueries {
                < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                               WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 10000
          GROUP BY source ORDER BY source""",
+
+    "curation_pipeline" ->
+      s"""WITH $ShinglesCte,
+          dedup AS (
+            SELECT doc_id, text, source FROM (
+              SELECT doc_id, text, source,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+              FROM documents) WHERE doc_id = canon),
+          qual AS (
+            SELECT doc_id, text, source FROM dedup
+            WHERE round(greatest(0.0,
+                least(length(text)::double / 500.0, 1.0)
+                - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::double
+                    / length(text) * 2.0
+                - greatest(0.0,
+                    len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::double
+                      / len(string_split(text, ' ')) - 0.4)), 6) >= 0.3),
+          rep AS (
+            SELECT doc_id, text, source FROM qual
+            WHERE 1.0 - len(list_distinct(string_split(text, ' ')))::double
+                          / len(string_split(text, ' ')) <= 0.5),
+          bench AS (
+            SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+            FROM shingled WHERE doc_id % 97 = 0),
+          survsh AS (
+            SELECT s.doc_id, ('0x' || substr(md5(s.shingle), 1, 15))::bigint AS sh
+            FROM shingled s JOIN rep r ON s.doc_id = r.doc_id),
+          contam AS (
+            SELECT s.doc_id
+            FROM survsh s LEFT JOIN bench b ON s.sh = b.sh
+            GROUP BY s.doc_id
+            HAVING count(b.sh)::double / count(*) >= 0.5),
+          clean AS (
+            SELECT * FROM rep WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+          mixed AS (
+            SELECT source,
+                   CASE WHEN ('0x' || substr(md5('split:' || text), 1, 15))::bigint % 100 < 90 THEN 'train'
+                        WHEN ('0x' || substr(md5('split:' || text), 1, 15))::bigint % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM clean
+            WHERE ('0x' || substr(md5('mix:' || text), 1, 15))::bigint % 10000
+                  < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                 WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 10000)
+          SELECT source, split, count(*) AS n
+          FROM mixed GROUP BY source, split ORDER BY source, split""",
 
     "curation_packing" ->
       """WITH toks AS (
