@@ -52,6 +52,18 @@ object Dedup {
   def explodedShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     rawShingles(df, textCol, idCol, n).distinct()
 
+  /** Distinct (id, 60-bit shingle digest) pairs — the NARROW inverted-index
+    * input for set-similarity joins: every downstream shuffle and join keys
+    * on an 8-byte long instead of the ~n-word shingle string, so the
+    * distinct, the doc-frequency aggregate, and the self-join all move a
+    * fraction of the bytes. A 60-bit digest collision is vanishingly rare,
+    * and the DuckDB oracle applies the SAME digest, so result equality
+    * stays exact either way. */
+  def digestShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    rawShingles(df, textCol, idCol, n)
+      .select(col(idCol), TextAnalysis.tokenHash60(col("shingle")).as("shingle"))
+      .distinct()
+
   /** Non-distinct (id, shingle) pairs. MinHash's per-seed `min` is
     * duplicate-insensitive (min over a multiset equals min over its set),
     * so the LSH chain reads this and skips the distinct's shuffle
@@ -63,9 +75,29 @@ object Dedup {
       .select(col(idCol),
         explode(shingles(col("__toks"), col(textCol), n)).as("shingle"))
 
-  /** MinHash signatures: k permutations simulated as md5(seed || ':' ||
-    * shingle), signature element = per-seed minimum digest. Returns
-    * (id, seed, minhash).
+  /** Prime modulus of the universal-hash MinHash family (2³¹−1): products
+    * `a·h` with a, h < 2³¹ stay inside a signed 64-bit long in BOTH engines,
+    * so the arithmetic is exactly reproducible in the DuckDB oracle. */
+  val MinhashMod = 2147483647L
+
+  /** Per-seed multiplier/offset of the i-th permutation h ↦ (aᵢ·h + bᵢ)
+    * mod M. Fixed Knuth-constant spread; aᵢ ≠ 0 for every i < 2³⁰. */
+  def minhashA(i: Int): Long = ((2L * i + 1L) * 2654435761L) % MinhashMod
+  def minhashB(i: Int): Long = (i * 40503L + 17L) % MinhashMod
+
+  /** The shingle's 60-bit md5 digest reduced into the hash family's field —
+    * computed ONCE per shingle row; every seed then derives its permuted
+    * value with two integer ops. (The earlier scheme hashed md5(seed ‖
+    * shingle) per seed — k full digests of ~n-word strings per row. One
+    * digest + k multiply-adds is the textbook universal-hashing MinHash and
+    * cuts the signature stage's CPU k-fold; the bytes shuffled are already
+    * minimal — the groupBy ships one partial min per seed per task.) */
+  private def shingleHashMod(shingle: Column): Column =
+    TextAnalysis.tokenHash60(shingle) % MinhashMod
+
+  /** MinHash signatures: k universal-hash permutations over the shingle
+    * digest, signature element = per-seed minimum. Returns
+    * (id, seed, minhash: long).
     *
     * Computed as k parallel `min` aggregates in ONE groupBy(id) pass —
     * shuffling |shingles| rows with map-side partial mins — instead of
@@ -74,9 +106,10 @@ object Dedup {
     * (id, seed, minhash) contract afterwards, which is free (no shuffle).
     */
   def minhash(shingled: DataFrame, idCol: String, k: Int): DataFrame = {
+    val base = shingled.select(col(idCol), shingleHashMod(col("shingle")).as("__hm"))
     val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"__m$i"))
-    val wide = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min((lit(minhashA(i)) * col("__hm") + lit(minhashB(i))) % MinhashMod).as(s"__m$i"))
+    val wide = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     wide
       .select(col(idCol), explode(array((0 until k).map(i =>
         struct(lit(i).as("seed"), col(s"__m$i").as("minhash"))): _*)).as("__sm"))
@@ -92,9 +125,10 @@ object Dedup {
   def minhashBands(shingled: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rpb = k / bands
+    val base = shingled.select(col(idCol), shingleHashMod(col("shingle")).as("__hm"))
     val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"__m$i"))
-    val wide = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min((lit(minhashA(i)) * col("__hm") + lit(minhashB(i))) % MinhashMod).as(s"__m$i"))
+    val wide = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rpb).map(i =>
         concat(lit(s"${b * rpb + i}:"), col(s"__m${b * rpb + i}")))
@@ -206,17 +240,28 @@ object Dedup {
     val hot = idx.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDocFreq)
       .select(col("shingle"))
-    val ann = idx
+    // Intersections via per-shingle pair expansion (the lshCandidates
+    // shape), not a self-join: the join keyed every posting list to one
+    // reducer anyway, so collect_list has the same parallelism but scans
+    // the index once and builds no hash table. Posting lists are bounded
+    // by maxDocFreq, which caps the quadratic term per task. Doc sizes
+    // join AFTER the pair aggregate — against |candidate pairs| rows, not
+    // every index row (the old shape dragged __sz through the explosion).
+    val inter = idx
       .join(broadcast(hot), Seq("shingle"), "left_anti")
-      .join(sizes, Seq(idCol))
-      .localCheckpoint()
-    val a = ann.select(col(idCol).as("id_a"), col("__sz").as("__sz_a"), col("shingle"))
-    val b = ann.select(col(idCol).as("id_b"), col("__sz").as("__sz_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__inter"),
-        max(col("__sz_a")).as("__sz_a"), max(col("__sz_b")).as("__sz_b"))
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__sz_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("__inter").cast("double") /
           (col("__sz_a") + col("__sz_b") - col("__inter")).cast("double"))

@@ -33,12 +33,23 @@ object LlmQueries {
                 ELSE [text] END) AS shingle
          FROM documents)"""
 
-  /** DuckDB CTE for MinHash signatures (k=16) over `shingled`. */
+  /** DuckDB CTE for MinHash signatures (k=16) over `shingled`: the exact
+    * twin of [[Dedup.minhash]]'s universal-hash family — one 60-bit md5
+    * digest per shingle, then per-seed (a·h + b) mod 2³¹−1 permutations
+    * with the SAME per-seed constants interpolated from the Scala source
+    * of truth. */
+  private val MinhashSeeds = (0 until MinhashK)
+    .map(i => s"($i, ${graft.operators.Dedup.minhashA(i)}, ${graft.operators.Dedup.minhashB(i)})")
+    .mkString(", ")
   private val MinhashCte =
-    """sig AS (
+    s"""hashed AS (
+         SELECT doc_id,
+                (('0x' || substr(md5(shingle), 1, 15))::bigint) % 2147483647 AS hm
+         FROM shingled),
+       sig AS (
          SELECT doc_id, seed,
-                min(md5(concat(seed, ':', shingle))) AS minhash
-         FROM shingled, (SELECT unnest(generate_series(0, 15)) AS seed)
+                min((a * hm + b) % 2147483647) AS minhash
+         FROM hashed, (VALUES $MinhashSeeds) seeds(seed, a, b)
          GROUP BY doc_id, seed)"""
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -68,8 +79,10 @@ object LlmQueries {
     },
 
     // Exact n-gram Jaccard over the inverted index, stop-shingle guarded.
+    // The index is digested to 8-byte keys first: distinct, doc-frequency
+    // and the self-join all shuffle longs, not shingle strings.
     "dedup_jaccard" -> q { (s, dir) =>
-      val sh = Dedup.explodedShingles(Tables.load(s, dir, "documents"),
+      val sh = Dedup.digestShingles(Tables.load(s, dir, "documents"),
         "text", "doc_id", ShingleN)
       Dedup.ngramJaccardPairs(sh, "doc_id", threshold = 0.1, maxDocFreq = 1000L)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -293,14 +306,18 @@ object LlmQueries {
 
     "dedup_jaccard" ->
       s"""WITH $ShinglesCte,
-         sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+         dig AS (
+           SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+           FROM shingled),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM dig GROUP BY doc_id),
          keep AS (
-           SELECT shingle FROM shingled GROUP BY shingle
+           SELECT sh FROM dig GROUP BY sh
            HAVING count(*) <= 1000),
-         f AS (SELECT s.doc_id, s.shingle FROM shingled s JOIN keep k USING (shingle)),
+         f AS (SELECT d.doc_id, d.sh FROM dig d JOIN keep k USING (sh)),
          inter AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-           FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT id_a, id_b,
            round(i::double / (sa.sz + sb.sz - i), 6) AS jaccard
