@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the single most recent
+  * right row with `right.ts <= left.ts` on the same key — the
+  * trades-to-quotes / feature-to-snapshot operator Spark has no built-in
+  * for. A naive formulation is a range theta-join (planned as a broadcast
+  * nested loop, quadratic per key); the scalable formulation used here is
+  * the UNION trick:
+  *
+  *   tag both sides → union → ONE window per key ordered by
+  *   (ts, side, tie-break) → `last(right-payload, ignoreNulls)` over
+  *   rows-unbounded-preceding → keep left rows.
+  *
+  * Cost at 100 TB: a single exchange on the key (both inputs shuffle once,
+  * exactly like a shuffle join would) and a per-key sort — the same cost
+  * class as sessionization, with NO join build and no per-row range scan.
+  * Skewed keys sort within Spark's spillable window operator; tolerance
+  * filtering is a post-hoc null-out, not a second pass.
+  */
+object AsOf {
+
+  /** @param keyCols     equi-join keys present on both sides
+    * @param tsCol       ordering column present on both sides (numeric or
+    *                    any ordered type; tolerance assumes numeric)
+    * @param rightOrder  extra right-side tie-break columns: among right
+    *                    rows sharing (key, ts) the LARGEST tuple wins,
+    *                    making the match deterministic
+    * @param tolerance   max allowed `left.ts - right.ts`; matches farther
+    *                    in the past are nulled out
+    * @return left rows with the matched right payload columns (null when
+    *         no match) plus `<tsCol>_right`, the matched right timestamp
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      rightOrder: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftPayload = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val rightPayload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val clash = rightPayload.intersect(left.columns)
+    require(clash.isEmpty, s"right payload columns collide with left: ${clash.mkString(",")}")
+    val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val rStruct = struct(col(tsCol).as("__rts") +: rightPayload.map(col): _*)
+    val rStructType = right.select(rStruct.as("__r")).schema.head.dataType
+    val l2 = left.select(
+      keyCols.map(col) ++ Seq(col(tsCol)) ++ leftPayload.map(col) ++
+        Seq(lit(1).as("__side"), lit(null).cast(rStructType).as("__r")): _*)
+    val r2 = right.select(
+      keyCols.map(col) ++ Seq(col(tsCol)) ++
+        leftPayload.map(c => lit(null).cast(lTypes(c)).as(c)) ++
+        Seq(lit(0).as("__side"), rStruct.as("__r")): _*)
+
+    // Right rows (side 0) sort BEFORE left rows (side 1) at equal ts, so
+    // the match is inclusive: right.ts == left.ts counts as "prior".
+    val order: Seq[Column] =
+      col(tsCol) +: col("__side") +: rightOrder.map(o => col(s"__r.$o"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    val matched = tolerance match {
+      case Some(tol) =>
+        when(matchedRaw.isNotNull && matchedRaw.getField("__rts") >= col(tsCol) - lit(tol),
+          matchedRaw)
+      case None => matchedRaw
+    }
+    l2.unionByName(r2)
+      .withColumn("__lr", matched)
+      .filter(col("__side") === 1)
+      .select(
+        keyCols.map(col) ++ Seq(col(tsCol)) ++ leftPayload.map(col) ++
+          (col("__lr.__rts").as(s"${tsCol}_right") +:
+            rightPayload.map(c => col(s"__lr.$c").as(c))): _*)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: point rows matched to interval rows with
+  * `start <= point <= end`, plus optional equi-keys. Spark plans a pure
+  * range predicate as a broadcast nested-loop join — per-key quadratic,
+  * a scale killer — and even with equi-keys the range residual rides on a
+  * key-only shuffle that collapses a hot key's full history onto one task.
+  *
+  * The scalable formulation BINS the domain: every interval explodes into
+  * the coarse bins it covers, every point maps to its single bin, and the
+  * join becomes an EQUI-join on (keys…, bin) with the exact BETWEEN as a
+  * cheap residual filter. Each matching pair meets in exactly ONE bin
+  * (the point's), so no post-join dedup is needed. `binWidth` is the
+  * replication/selectivity dial: intervals explode into
+  * `len/binWidth + 1` rows, and the shuffle key gains a time component —
+  * which also shards hot equi-keys across tasks (temporal salting for
+  * free). Pick binWidth ≈ the typical interval length.
+  */
+object RangeJoin {
+
+  /** @param points    rows with a numeric `pointCol`
+    * @param intervals rows with numeric `startCol`/`endCol` (inclusive)
+    * @param keyCols   equi-keys present on both sides (may be empty, but
+    *                  at scale an equi-key or a selective bin is what
+    *                  keeps the join from being all-pairs)
+    * @return matched pairs: all point columns + all interval columns
+    */
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      binWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val clash = intervals.columns.intersect(points.columns).diff(keyCols)
+    require(clash.isEmpty, s"interval columns collide with point columns: ${clash.mkString(",")}")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+    p.join(iv, keyCols :+ "__bin")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+}

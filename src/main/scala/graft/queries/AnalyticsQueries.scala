@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.{AsOf, RangeJoin, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -323,6 +324,73 @@ object AnalyticsQueries {
             .as("within_tolerance"))
         .orderBy("event_type")
     },
+
+    // As-of join: each purchase matched to the user's latest prior click.
+    // Spark side is the union + last-ignoreNulls single-shuffle
+    // formulation (operators.AsOf — no range join, no per-key loop); the
+    // oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, an independent
+    // algorithm, so equality validates semantics rather than echoing the
+    // implementation. Right side tie-breaks on max event_id at equal ts.
+    "asof_join" -> q { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id").as("purchase_id"), col("value").as("amount"))
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id").as("click_id"))
+      AsOf.asofJoin(l, r, Seq("user_id"), "ts_us", rightOrder = Seq("click_id"))
+        .select(col("user_id"), col("purchase_id"), col("ts_us"), col("amount"),
+          col("click_id"), col("ts_us_right").as("click_ts"),
+          (col("ts_us") - col("ts_us_right")).as("lag_us"))
+        .orderBy("purchase_id")
+    },
+
+    // Range (interval) join: purchases falling inside the 10-minute window
+    // opened by each error event of the same user. Binned to an equi-join
+    // on (user, bin) with the BETWEEN as residual (operators.RangeJoin) —
+    // never the broadcast nested-loop Spark would plan for a raw theta
+    // join; each matching pair meets in exactly one bin, so no dedup.
+    "range_join" -> q { (s, dir) =>
+      val winUs = 600L * 1000000
+      val ev = Tables.load(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr("ts div 1000").as("w_start"),
+          (expr("ts div 1000") + winUs).as("w_end"),
+          col("event_id").as("error_id"))
+      RangeJoin.pointInInterval(p, e, "p_ts", "w_start", "w_end",
+          binWidth = winUs, keyCols = Seq("user_id"))
+        .select(col("user_id"), col("purchase_id"), col("error_id"),
+          col("p_ts"), col("w_start"))
+        .orderBy("purchase_id", "error_id")
+    },
+
+    // Count-min frequency sketch (functions.CountMinSketch): per-user
+    // event counts estimated from a depth×width counter matrix built in
+    // one pass (map-side combinable merge), estimates read back IN-QUERY
+    // from the broadcast sketch row — no driver round-trip. Like the HLL
+    // query, the oracle-checked outputs are the exact counts plus the
+    // sketch's guarantees as booleans: a count-min estimate can never
+    // under-count, and the over-count is collision-bounded.
+    "cms_heavy_hitters" -> q { (s, dir) =>
+      import graft.functions.CountMinSketch
+      val depth = 4; val width = 1024
+      val cms = udaf(new CountMinSketch(depth, width))
+      val digest = TextAnalysis.tokenHash60(col("user_id").cast("string"))
+      val ev = Tables.load(s, dir, "events").select(col("user_id"), digest.as("__h"))
+      val sketch = ev.agg(cms(col("__h")).as("__cms"), count(lit(1)).as("__n"))
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(sketch))
+        .withColumn("est", CountMinSketch.estimate(col("__cms"), digest, depth, width))
+        .select(col("user_id"), col("n_events"),
+          (col("est") >= col("n_events")).as("no_undercount"),
+          (col("est") <= col("n_events") + ceil(lit(4.0) * col("__n") / width))
+            .as("bounded_overcount"))
+        .orderBy("user_id")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -524,5 +592,42 @@ object AnalyticsQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
            true AS within_tolerance
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // DuckDB's native ASOF JOIN — an independent algorithm from the Spark
+    // side's union/window formulation. Right side deduped to max event_id
+    // per (user, ts), matching the Spark tie-break.
+    "asof_join" ->
+      """WITH l AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  event_id AS purchase_id, value AS amount
+           FROM events WHERE event_type = 'purchase'),
+         r AS (
+           SELECT user_id, epoch_us(ts) AS rts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT l.user_id, l.purchase_id, l.ts_us, l.amount,
+                r.click_id, r.rts AS click_ts, l.ts_us - r.rts AS lag_us
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts_us >= r.rts
+         ORDER BY purchase_id""",
+
+    "range_join" ->
+      """WITH p AS (
+           SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+         e AS (
+           SELECT user_id, event_id AS error_id, epoch_us(ts) AS w_start,
+                  epoch_us(ts) + 600000000 AS w_end
+           FROM events WHERE event_type = 'error')
+         SELECT p.user_id, purchase_id, error_id, p_ts, w_start
+         FROM p JOIN e
+           ON p.user_id = e.user_id AND p_ts BETWEEN w_start AND w_end
+         ORDER BY purchase_id, error_id""",
+
+    // The count-min estimates are sketch-internal; the oracle checks the
+    // exact counts and expects both guarantee booleans to hold.
+    "cms_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n_events,
+           true AS no_undercount, true AS bounded_overcount
+         FROM events GROUP BY user_id ORDER BY user_id""",
   )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    ("u1", 100L, "p1"), ("u1", 200L, "p2"), ("u1", 50L, "p0"),
+    ("u2", 100L, "p3")).toDF("k", "ts", "pid")
+
+  private def right = Seq(
+    ("u1", 60L, "r1"), ("u1", 100L, "r2"), ("u1", 150L, "r3"),
+    ("u3", 10L, "r4")).toDF("k", "ts", "rid")
+
+  test("matches the latest right row at or before each left ts, null when none") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts")
+      .select("pid", "rid", "ts_right").as[(String, Option[String], Option[Long])]
+      .collect().map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(out("p0") == ((None, None)))          // nothing at ts<=50
+    assert(out("p1") == ((Some("r2"), Some(100L)))) // inclusive: 100<=100 beats 60
+    assert(out("p2") == ((Some("r3"), Some(150L))))
+    assert(out("p3") == ((None, None)))          // u2 has no right rows at all
+  }
+
+  test("tolerance nulls out matches farther in the past") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", tolerance = Some(40L))
+      .select("pid", "rid").as[(String, Option[String])].collect().toMap
+    assert(out("p1").contains("r2")) // lag 0 <= 40
+    assert(out("p2").isEmpty)        // lag 200-150=50 > 40 -> nulled out
+  }
+
+  test("tolerance boundary is inclusive") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", tolerance = Some(50L))
+      .select("pid", "rid").as[(String, Option[String])].collect().toMap
+    assert(out("p2").contains("r3")) // exactly 50
+  }
+
+  test("rightOrder breaks equal-ts ties toward the largest tuple") {
+    val r2 = Seq(("u1", 100L, "a"), ("u1", 100L, "z"), ("u1", 100L, "m"))
+      .toDF("k", "ts", "rid")
+    val l2 = Seq(("u1", 120L, "p")).toDF("k", "ts", "pid")
+    val out = AsOf.asofJoin(l2, r2, Seq("k"), "ts", rightOrder = Seq("rid"))
+      .select("rid").as[String].collect()
+    assert(out.toSeq == Seq("z"))
+  }
+
+  test("colliding right payload names are rejected") {
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right.withColumnRenamed("rid", "pid"), Seq("k"), "ts")
+    }
+  }
+
+  test("plans one exchange on the key, no join operator") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "asof must not plan a join")
+    assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "expected the single key shuffle (plus at most AQE reuse)")
+  }
+}

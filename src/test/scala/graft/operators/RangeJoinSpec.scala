@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = Seq(
+    ("u1", 5L, "a"), ("u1", 15L, "b"), ("u1", 25L, "c"), ("u2", 15L, "d"))
+    .toDF("k", "p", "pid")
+
+  // i1 spans bins [0,2] at width 10; i2 is fully inside one bin
+  private def intervals = Seq(
+    ("u1", 3L, 26L, "i1"), ("u1", 14L, 16L, "i2"), ("u2", 0L, 5L, "i3"))
+    .toDF("k", "s", "e", "iid")
+
+  private def run(binWidth: Long) =
+    RangeJoin.pointInInterval(points, intervals, "p", "s", "e", binWidth, Seq("k"))
+      .select("pid", "iid").as[(String, String)].collect().toSeq.sorted
+
+  test("matches points to covering intervals across bin boundaries, exactly once") {
+    val expected = Seq("a" -> "i1", "b" -> "i1", "b" -> "i2", "c" -> "i1").sorted
+    assert(run(binWidth = 10L) == expected)
+  }
+
+  test("result is bin-width invariant (pairs meet in exactly one bin)") {
+    assert(run(1L) == run(10L) && run(10L) == run(1000L))
+  }
+
+  test("interval bounds are inclusive on both ends") {
+    val p = Seq(("k", 3L, "lo"), ("k", 26L, "hi")).toDF("k", "p", "pid")
+    val iv = Seq(("k", 3L, 26L, "i")).toDF("k", "s", "e", "iid")
+    val out = RangeJoin.pointInInterval(p, iv, "p", "s", "e", 10L, Seq("k"))
+    assert(out.count() == 2)
+  }
+
+  test("equi-key misses produce no pairs") {
+    val out = run(10L)
+    assert(!out.exists(_._1 == "d")) // u2's point is outside i3's range
+  }
+
+  test("plans an equi-join on (key, bin), not a nested loop") {
+    val out = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", 10L, Seq("k"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degenerated to a nested loop")
+  }
+
+  test("colliding column names are rejected") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals.withColumnRenamed("iid", "pid"),
+        "p", "s", "e", 10L, Seq("k"))
+    }
+  }
+}
