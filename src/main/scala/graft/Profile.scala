@@ -52,6 +52,18 @@ object Profile {
       val sh2 = operators.Dedup.explodedShingles(docs, "text", "doc_id", 5)
       operators.Dedup.ngramJaccardPairs(sh2, "doc_id", 0.1, 1000L).count()
     }
+    time("jaccard_digested_full") {
+      val sh2 = operators.Dedup.digestShingles(docs, "text", "doc_id", 5)
+      operators.Dedup.ngramJaccardPairs(sh2, "doc_id", 0.1, 1000L).count()
+    }
+    time("jaccard_digest_distinct_only") {
+      operators.Dedup.digestShingles(docs, "text", "doc_id", 5).count()
+    }
+    val dsh = operators.Dedup.digestShingles(docs, "text", "doc_id", 5).cache()
+    dsh.count()
+    time("jaccard_pairs_from_cached_index") {
+      operators.Dedup.ngramJaccardPairs(dsh, "doc_id", 0.1, 1000L).count()
+    }
     spark.stop()
   }
 }

@@ -391,6 +391,48 @@ object AnalyticsQueries {
             .as("bounded_overcount"))
         .orderBy("user_id")
     },
+
+    // Bloom-filter runtime-filtered join (functions.BloomFilter.prunedJoin):
+    // the urgent-orders key set is sketched into one bitset row (map-side
+    // OR-combine), broadcast, and lineitem is cut to probable matches
+    // BEFORE the join's shuffle — semi-join pruning for a build side too
+    // big to broadcast as a hash relation. The real join then removes
+    // false positives, so the result is EXACTLY the plain join: the
+    // oracle is the plain join SQL, which proves no-false-negatives.
+    "bloom_prune_join" -> q { (s, dir) =>
+      val prio = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      graft.functions.BloomFilter.prunedJoin(items, prio, "l_orderkey")
+        .groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("o_orderdate")
+    },
+
+    // Quantile sketch with a rank guarantee: approx_percentile's returned
+    // element must rank within ±n/accuracy of the true median. The
+    // estimate itself is engine-specific; the oracle-checked outputs are
+    // the exact median and the rank verdict (computed in-query by ranking
+    // the estimate against the data it summarized).
+    "approx_median_bound" -> q { (s, dir) =>
+      val acc = 100
+      val ev = Tables.load(s, dir, "events").select(col("event_type"), col("value"))
+      val agg = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("exact_median"),
+        expr(s"approx_percentile(value, 0.5, $acc)").as("__approx"))
+      ev.join(broadcast(agg), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("exact_median")).as("exact_median"),
+          count(when(col("value") <= col("__approx"), 1)).as("__rank"))
+        .select(col("event_type"), col("n"), col("exact_median"),
+          (abs(col("__rank") - lit(0.5) * col("n")) <= col("n") / lit(acc) + 1)
+            .as("rank_ok"))
+        .orderBy("event_type")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -629,5 +671,21 @@ object AnalyticsQueries {
       """SELECT user_id, count(*) AS n_events,
            true AS no_undercount, true AS bounded_overcount
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // The pruned join must produce EXACTLY the plain join's result: Bloom
+    // filters admit false positives (removed by the real join) but never
+    // false negatives.
+    "bloom_prune_join" ->
+      """SELECT o.o_orderdate, count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS revenue
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT'
+         GROUP BY o.o_orderdate ORDER BY o.o_orderdate""",
+
+    "approx_median_bound" ->
+      """SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS exact_median,
+           true AS rank_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }
