@@ -61,15 +61,21 @@ object BloomFilter {
   def hashA(i: Int): Long = graft.operators.Dedup.minhashA(i + 211)
   def hashB(i: Int): Long = graft.operators.Dedup.minhashB(i + 211)
 
-  /** Bit index of digest `h` under hash `i` (JVM-side). */
+  /** Bit index of digest `h` under hash `i` (JVM-side). floorMod keeps a
+    * NEGATIVE digest (e.g. from Spark's signed `hash`/`xxhash64` instead
+    * of tokenHash60) in range — Java `%` would go negative and index out
+    * of (or silently from the end of) the bit array. */
   def bitOf(h: Long, i: Int, numBits: Int): Int =
-    (((hashA(i) * (h % Mod) + hashB(i)) % Mod) % numBits).toInt
+    (Math.floorMod(hashA(i) * Math.floorMod(h, Mod) + hashB(i), Mod) % numBits).toInt
 
   /** In-query membership probe: every one of the `numHashes` bits set —
-    * pure Column algebra over the broadcast sketch row. */
+    * pure Column algebra over the broadcast sketch row. pmod (not `%`)
+    * mirrors [[bitOf]]'s floorMod: a negative digest must not reach
+    * `element_at`, whose negative indices read from the array END —
+    * a silent wrong answer, not an error. */
   def mightContain(sketch: Column, digest: Column, numBits: Int, numHashes: Int): Column =
     (0 until numHashes).map { i =>
-      val bit = ((lit(hashA(i)) * (digest % Mod) + lit(hashB(i))) % Mod % numBits).cast("int")
+      val bit = (pmod(lit(hashA(i)) * pmod(digest, lit(Mod)) + lit(hashB(i)), lit(Mod)) % numBits).cast("int")
       val word = ((bit - (bit % 64)) / 64).cast("int") + 1
       (call_function("shiftright", element_at(sketch, word),
         (bit % 64).cast("int")).bitwiseAND(1L)) === 1L
@@ -80,13 +86,16 @@ object BloomFilter {
     * the join), broadcast the single sketch row, cut `large` to probable
     * matches, then run the real join, which removes the false positives.
     * Result is EXACTLY `large ⋈ small`; the filter only shrinks the rows
-    * `large` ships into the join's exchange. `digestOf` must map the key
-    * column to the 60-bit digest domain on both sides. */
+    * `large` ships into the join's exchange. `digestOf` maps the key
+    * column into the digest domain (applied identically to both sides);
+    * the default 60-bit md5 digest accepts any key type. */
   def prunedJoin(
       large: DataFrame, small: DataFrame, key: String,
-      numBits: Int = 1 << 20, numHashes: Int = 4): DataFrame = {
+      numBits: Int = 1 << 20, numHashes: Int = 4,
+      digestOf: Column => Column =
+        c => graft.operators.TextAnalysis.tokenHash60(c.cast("string"))): DataFrame = {
     val bloom = udaf(new BloomFilter(numBits, numHashes))
-    val digest = graft.operators.TextAnalysis.tokenHash60(col(key).cast("string"))
+    val digest = digestOf(col(key))
     val sketch = small.agg(bloom(digest).as("__bloom"))
     large
       .crossJoin(broadcast(sketch))

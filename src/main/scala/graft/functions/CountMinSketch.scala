@@ -62,9 +62,11 @@ object CountMinSketch {
   def hashA(i: Int): Long = graft.operators.Dedup.minhashA(i + 101)
   def hashB(i: Int): Long = graft.operators.Dedup.minhashB(i + 101)
 
-  /** Counter slot of digest `h` in sketch row `i` (JVM-side). */
+  /** Counter slot of digest `h` in sketch row `i` (JVM-side). floorMod
+    * keeps a negative digest (signed `hash`/`xxhash64` callers) in range;
+    * Java `%` would go negative and index out of the counter array. */
   def slot(h: Long, i: Int, width: Int): Int =
-    (((hashA(i) * (h % Mod) + hashB(i)) % Mod) % width).toInt
+    (Math.floorMod(hashA(i) * Math.floorMod(h, Mod) + hashB(i), Mod) % width).toInt
 
   /** In-query estimate: `min` over the depth rows of the counter each row
     * hashes `digest` into. `sketch` is the Array[Long] column produced by
@@ -75,7 +77,7 @@ object CountMinSketch {
     (0 until depth).map { i =>
       element_at(sketch,
         (lit(i * width) +
-          ((lit(hashA(i)) * (digest % Mod) + lit(hashB(i))) % Mod % width)
+          (pmod(lit(hashA(i)) * pmod(digest, lit(Mod)) + lit(hashB(i)), lit(Mod)) % width)
             .cast("int") + 1))
     }.reduce(least(_, _))
 }

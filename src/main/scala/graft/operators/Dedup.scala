@@ -166,17 +166,21 @@ object Dedup {
     * the cap are skipped — they are exact-dup cliques in practice, which
     * [[exact]] dedup handles at linear cost; the cap trades recall on
     * pathological cliques for a bounded worst-case task. */
+  /** All ordered pairs (a < b) from a sorted-id array column — the shared
+    * posting-list expansion of [[lshCandidates]] and [[ngramJaccardPairs]].
+    * Returns struct('id_a, 'id_b) elements. */
+  private def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
   def lshCandidates(
       banded: DataFrame, idCol: String, maxBucket: Int = Int.MaxValue): DataFrame =
     banded
       .groupBy(col("band"), col("band_hash"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
-        .as("p"))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
@@ -252,11 +256,7 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
-        .as("p"))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("__inter"))
     inter

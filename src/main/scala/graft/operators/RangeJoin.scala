@@ -35,9 +35,16 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     val clash = intervals.columns.intersect(points.columns).diff(keyCols)
     require(clash.isEmpty, s"interval columns collide with point columns: ${clash.mkString(",")}")
-    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    // Floor division in LONG arithmetic: Column `/` is double division,
+    // which loses ulps above 2^53 — a nanosecond timestamp (~1.7e18)
+    // could bin one below its true bin and silently miss its interval.
+    // (x - pmod(x, w)) is an exact multiple of w, so integral `div` is an
+    // exact floor for negatives too.
+    def floorDiv(c: Column): Column =
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
+    val p = points.withColumn("__bin", floorDiv(col(pointCol)))
     val iv = intervals.withColumn("__bin",
-      explode(sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+      explode(sequence(floorDiv(col(startCol)), floorDiv(col(endCol)))))
     p.join(iv, keyCols :+ "__bin")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")

@@ -424,12 +424,18 @@ object AnalyticsQueries {
         count(lit(1)).as("n"),
         round(expr("percentile(value, 0.5)"), 6).as("exact_median"),
         expr(s"approx_percentile(value, 0.5, $acc)").as("__approx"))
+      // The returned ELEMENT occupies ranks [rank_lt+1, rank_le] (ties
+      // widen it); the sketch guarantees SOME rank within ±n/acc of the
+      // median — so the verdict is interval INTERSECTION, not a point
+      // check: a window-edge value with many ties is still a legal return.
       ev.join(broadcast(agg), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n"), max(col("exact_median")).as("exact_median"),
-          count(when(col("value") <= col("__approx"), 1)).as("__rank"))
+          count(when(col("value") <= col("__approx"), 1)).as("__rank_le"),
+          count(when(col("value") < col("__approx"), 1)).as("__rank_lt"))
         .select(col("event_type"), col("n"), col("exact_median"),
-          (abs(col("__rank") - lit(0.5) * col("n")) <= col("n") / lit(acc) + 1)
+          ((col("__rank_lt") + 1 <= lit(0.5) * col("n") + col("n") / lit(acc) + 1) &&
+            (col("__rank_le") >= lit(0.5) * col("n") - col("n") / lit(acc) - 1))
             .as("rank_ok"))
         .orderBy("event_type")
     },

@@ -43,6 +43,17 @@ class BloomFilterSpec extends SparkSpec {
     assert(pruned == plain)
   }
 
+  test("negative digests (signed xxhash64) keep the no-false-negative guarantee") {
+    val bloom = udaf(new BloomFilter(bits, hashes))
+    val keys = (1 to 100).map(i => s"k$i").toDF("k")
+      .select(col("k"), xxhash64(col("k")).as("h")) // signed: ~half negative
+    val sketch = keys.agg(bloom(col("h")).as("bf"))
+    val misses = keys.crossJoin(broadcast(sketch))
+      .filter(!BloomFilter.mightContain(col("bf"), col("h"), bits, hashes))
+      .count()
+    assert(misses == 0L)
+  }
+
   test("JVM bitOf and in-query probe use the same hash family") {
     val h = 987654321L
     val bloom = udaf(new BloomFilter(bits, hashes))

@@ -51,6 +51,19 @@ class CountMinSketchSpec extends SparkSpec {
     }
   }
 
+  test("negative digests (signed xxhash64) never under-count") {
+    val cms = udaf(new CountMinSketch(depth, width))
+    val df = keys.toDF("k").select(col("k"), xxhash64(col("k")).as("h"))
+    val sketch = df.agg(cms(col("h")).as("cms"))
+    val bad = df.groupBy("k").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("est",
+        CountMinSketch.estimate(col("cms"), xxhash64(col("k")), depth, width))
+      .filter(col("est") < col("exact"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("JVM slot and in-query estimate use the same hash family") {
     val h = 123456789L
     val cms = udaf(new CountMinSketch(depth, width))

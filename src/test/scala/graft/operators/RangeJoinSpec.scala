@@ -47,6 +47,22 @@ class RangeJoinSpec extends SparkSpec {
       "range join degenerated to a nested loop")
   }
 
+  test("bins stay exact above 2^53 (nanosecond-scale longs)") {
+    // double division would round these into the wrong bin
+    val base = 1700000000000000000L
+    val p = Seq(("k", base + 3, "p")).toDF("k", "p", "pid")
+    val iv = Seq(("k", base + 1, base + 5, "i")).toDF("k", "s", "e", "iid")
+    val out = RangeJoin.pointInInterval(p, iv, "p", "s", "e", 1000L, Seq("k"))
+    assert(out.count() == 1)
+  }
+
+  test("negative domains floor correctly across zero") {
+    val p = Seq(("k", -5L, "p")).toDF("k", "p", "pid")
+    val iv = Seq(("k", -7L, -3L, "i")).toDF("k", "s", "e", "iid")
+    val out = RangeJoin.pointInInterval(p, iv, "p", "s", "e", 10L, Seq("k"))
+    assert(out.count() == 1)
+  }
+
   test("colliding column names are rejected") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points, intervals.withColumnRenamed("iid", "pid"),
