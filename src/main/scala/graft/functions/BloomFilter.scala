@@ -88,12 +88,19 @@ object BloomFilter {
     * Result is EXACTLY `large ⋈ small`; the filter only shrinks the rows
     * `large` ships into the join's exchange. `digestOf` maps the key
     * column into the digest domain (applied identically to both sides);
-    * the default 60-bit md5 digest accepts any key type. */
+    * the default digests the key's STRING RENDERING, so both sides must
+    * carry the same key type — an int 1 and a double 1.0 render (and so
+    * digest) differently, which would prune true matches. The type-equality
+    * require below enforces this. */
   def prunedJoin(
       large: DataFrame, small: DataFrame, key: String,
       numBits: Int = 1 << 20, numHashes: Int = 4,
       digestOf: Column => Column =
         c => graft.operators.TextAnalysis.tokenHash60(c.cast("string"))): DataFrame = {
+    require(large.schema(key).dataType == small.schema(key).dataType,
+      s"prunedJoin key '$key' must have the same type on both sides " +
+        s"(${large.schema(key).dataType} vs ${small.schema(key).dataType}): " +
+        "the digest is computed from the key's string rendering")
     val bloom = udaf(new BloomFilter(numBits, numHashes))
     val digest = digestOf(col(key))
     val sketch = small.agg(bloom(digest).as("__bloom"))

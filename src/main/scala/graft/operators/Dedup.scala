@@ -150,6 +150,14 @@ object Dedup {
       .agg(md5(concat_ws("|", array_sort(collect_list(concat(col("seed"), lit(":"), col("minhash")))))).as("band_hash"))
   }
 
+  /** All ordered pairs (a < b) from a sorted-id array column — the shared
+    * posting-list expansion of [[lshCandidates]] and [[ngramJaccardPairs]].
+    * Returns struct('id_a, 'id_b) elements. */
+  private def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
   /** Candidate near-duplicate pairs from band buckets (a < b), via
     * per-bucket pair expansion: group to (band, band_hash) → sorted id
     * array → all ordered pairs from the array. This replaces the earlier
@@ -166,14 +174,6 @@ object Dedup {
     * the cap are skipped — they are exact-dup cliques in practice, which
     * [[exact]] dedup handles at linear cost; the cap trades recall on
     * pathological cliques for a bounded worst-case task. */
-  /** All ordered pairs (a < b) from a sorted-id array column — the shared
-    * posting-list expansion of [[lshCandidates]] and [[ngramJaccardPairs]].
-    * Returns struct('id_a, 'id_b) elements. */
-  private def orderedPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-
   def lshCandidates(
       banded: DataFrame, idCol: String, maxBucket: Int = Int.MaxValue): DataFrame =
     banded

@@ -35,16 +35,17 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     val clash = intervals.columns.intersect(points.columns).diff(keyCols)
     require(clash.isEmpty, s"interval columns collide with point columns: ${clash.mkString(",")}")
-    // Floor division in LONG arithmetic: Column `/` is double division,
-    // which loses ulps above 2^53 — a nanosecond timestamp (~1.7e18)
-    // could bin one below its true bin and silently miss its interval.
-    // (x - pmod(x, w)) is an exact multiple of w, so integral `div` is an
-    // exact floor for negatives too.
-    def floorDiv(c: Column): Column =
-      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
-    val p = points.withColumn("__bin", floorDiv(col(pointCol)))
+    // floor(x / w) is computed in double, which rounds above 2^53 (e.g.
+    // nanosecond timestamps) — harmless here: the map is MONOTONE and
+    // applied identically to point, start, and end, so bin(start) <=
+    // bin(point) <= bin(end) whenever start <= point <= end, the interval
+    // explodes to every bin in that range, and the exact BETWEEN residual
+    // below removes any rounding-misaligned pairing. floor (not integral
+    // div) keeps fractional domains and negative values working.
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    val p = points.withColumn("__bin", bin(col(pointCol)))
     val iv = intervals.withColumn("__bin",
-      explode(sequence(floorDiv(col(startCol)), floorDiv(col(endCol)))))
+      explode(sequence(bin(col(startCol)), bin(col(endCol)))))
     p.join(iv, keyCols :+ "__bin")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")

@@ -47,8 +47,9 @@ class RangeJoinSpec extends SparkSpec {
       "range join degenerated to a nested loop")
   }
 
-  test("bins stay exact above 2^53 (nanosecond-scale longs)") {
-    // double division would round these into the wrong bin
+  test("matches survive double-rounded binning above 2^53 (nanosecond-scale longs)") {
+    // bins may shift off exact boundaries up here, but monotonicity keeps
+    // point and covering interval in a shared bin and the residual is exact
     val base = 1700000000000000000L
     val p = Seq(("k", base + 3, "p")).toDF("k", "p", "pid")
     val iv = Seq(("k", base + 1, base + 5, "i")).toDF("k", "s", "e", "iid")
