@@ -54,6 +54,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"))
   }
 
+  test("bloom-pruned join probes the sketch BEFORE the join's exchange") {
+    val p = plan("bloom_prune_join")
+    // the membership probe (element_at over the broadcast sketch row) must
+    // sit on the lineitem side below the real join, so pruned rows never
+    // enter the join exchange
+    val probeAt = p.indexOf("element_at")
+    val joinAt = p.indexOf("Join") // first (outermost) join operator
+    assert(probeAt >= 0, "membership probe missing from the plan")
+    assert(joinAt >= 0, "real join missing from the plan")
+    assert(probeAt > joinAt,
+      "probe must appear below (after, in plan text) the join operator")
+  }
+
   test("LSH chain: shuffle budget holds (no distinct, no self-join re-scan)") {
     val p = plan("dedup_lsh_pairs")
     // raw shingles feed the minhash groupBy directly (no distinct before

@@ -52,6 +52,22 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("differential: matches a brute-force reference on pseudo-random data") {
+    // deterministic pseudo-random fixture (no Random: repeatable)
+    def h(i: Int, salt: Int): Long = ((i * 2654435761L + salt * 40503L) % 997 + 997) % 997
+    val lRows = (0 until 300).map(i => (s"u${h(i, 1) % 7}", h(i, 2), s"p$i"))
+    val rRows = (0 until 200).map(i => (s"u${h(i, 3) % 9}", h(i, 4), s"r$i"))
+    val expected = lRows.map { case (k, ts, pid) =>
+      val best = rRows.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption
+      (pid, best.map(_._3))
+    }.toMap
+    val got = AsOf.asofJoin(lRows.toDF("k", "ts", "pid"), rRows.toDF("k", "ts", "rid"),
+        Seq("k"), "ts", rightOrder = Seq("rid"))
+      .select("pid", "rid").as[(String, Option[String])].collect().toMap
+    assert(got == expected)
+  }
+
   test("plans one exchange on the key, no join operator") {
     val out = AsOf.asofJoin(left, right, Seq("k"), "ts")
     val p = out.queryExecution.executedPlan.toString
