@@ -30,10 +30,11 @@ object GraftFunctions {
     }
   }
 
-  /** Functions + optimizer rules on a live session. */
+  /** Functions + optimizer rules + planner strategies on a live session. */
   def installAll(spark: SparkSession): Unit = {
     register(spark)
     graft.plans.GraftOptimizations.install(spark)
+    org.apache.spark.sql.GraftSqlBridge.addStrategy(spark, graft.plans.TopKPerKeyStrategy)
   }
 }
 
@@ -44,5 +45,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.DerivedPredicatePushdown)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.plans.{TopKPerKey, TopKPerKeyStrategy}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, SortOrder}
+
+/** DataFrame-facing API of the custom top-k-per-key operator
+  * ([[graft.plans.TopKPerKey]]): exact top `k` rows for every key under
+  * the given ordering, executed as bounded heaps (partial map-side phase,
+  * one exchange of keys×k rows, final phase) — no per-key sort anywhere.
+  * See the plan node's scaladoc for the scale argument. */
+object TopK {
+
+  /** @param orderCols ranking order, e.g. `col("score").desc,
+    *                  col("id").asc` — make it TOTAL (add a tie-break)
+    *                  for deterministic results */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    GraftSqlBridge.addStrategy(spark, TopKPerKeyStrategy)
+    val lp = df.queryExecution.analyzed
+    val byName = lp.output.map(a => a.name -> a).toMap
+    def named(n: String) = byName.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"column '$n' not among ${lp.output.map(_.name).mkString(", ")}"))
+    def resolve(e: Expression): Expression = e.transformUp {
+      case u: UnresolvedAttribute => named(u.name)
+    }
+    val order = orderCols.map(c => resolve(GraftSqlBridge.expression(spark, c)) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftSqlBridge.ofRows(spark, TopKPerKey(keyCols.map(named), order, k, lp))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOf, RangeJoin, TextAnalysis}
+import graft.operators.{AsOf, RangeJoin, TextAnalysis, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -439,6 +439,22 @@ object AnalyticsQueries {
             .as("rank_ok"))
         .orderBy("event_type")
     },
+
+    // Exact top-3 per group through the custom WHOLE-OPERATOR Catalyst
+    // extension (plans.TopKPerKey: LogicalPlan + SparkStrategy + two-phase
+    // bounded-heap SparkPlan): keys×k rows through the one exchange, no
+    // per-key sort. The trailing row_number ranks only the ≤k survivors
+    // per key and reuses the exchange's partitioning.
+    "topk_native" -> q { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      TopK.perKey(ev, Seq("event_type"),
+          Seq(col("value").desc, col("event_id").asc), k = 3)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("value").desc, col("event_id").asc)))
+        .orderBy("event_type", "rnk")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -693,5 +709,13 @@ object AnalyticsQueries {
            round(quantile_cont(value, 0.5), 6) AS exact_median,
            true AS rank_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "topk_native" ->
+      """SELECT event_type, event_id, user_id, value, rnk FROM (
+           SELECT event_type, event_id, user_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS rnk
+           FROM events)
+         WHERE rnk <= 3 ORDER BY event_type, rnk""",
   )
 }

@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random rows over 11 keys with ties
+  private def data = (0 until 500).map { i =>
+    (s"g${i % 11}", (i * 2654435761L % 97).toDouble, i.toLong)
+  }.toDF("g", "score", "id")
+
+  private def windowed(k: Int) = data
+    .withColumn("rn", row_number().over(
+      Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)))
+    .filter(col("rn") <= k).drop("rn")
+    .select("g", "score", "id").as[(String, Double, Long)]
+    .collect().toSeq.sorted
+
+  private def custom(k: Int) =
+    TopK.perKey(data, Seq("g"), Seq(col("score").desc, col("id").asc), k)
+      .select("g", "score", "id").as[(String, Double, Long)]
+      .collect().toSeq.sorted
+
+  test("matches the window row_number formulation, ties broken identically") {
+    Seq(1, 3, 10).foreach(k => assert(custom(k) == windowed(k), s"k=$k"))
+  }
+
+  test("k larger than every group returns all rows") {
+    assert(custom(1000).size == 500)
+  }
+
+  test("plans as partial+final heap phases around ONE exchange, no sort") {
+    val df = TopK.perKey(data, Seq("g"), Seq(col("score").desc, col("id").asc), 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial"), "partial phase missing")
+    assert(p.contains("TopKPerKeyFinal"), "final phase missing")
+    assert(!p.contains("Sort "), "the whole point is no sort")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "expected exactly the partial->final exchange")
+  }
+
+  test("rejects unknown columns and non-positive k") {
+    intercept[IllegalArgumentException] {
+      TopK.perKey(data, Seq("nope"), Seq(col("score").desc), 3)
+    }
+    intercept[IllegalArgumentException] {
+      TopK.perKey(data, Seq("g"), Seq(col("score").desc), 0).collect()
+    }
+  }
+
+  test("downstream operators compose on top of the custom node") {
+    val out = TopK.perKey(data, Seq("g"), Seq(col("score").desc, col("id").asc), 2)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out.values.forall(_ == 2L))
+    assert(out.size == 11)
+  }
+}
