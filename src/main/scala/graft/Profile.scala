@@ -64,6 +64,22 @@ object Profile {
     time("jaccard_pairs_from_cached_index") {
       operators.Dedup.ngramJaccardPairs(dsh, "doc_id", 0.1, 1000L).count()
     }
+    val emb = Tables.load(spark, dir, "embeddings").cache(); emb.count()
+    functions.GraftFunctions.installAll(spark)
+    (1 to 2).foreach { rep =>
+      time(s"brute_topk_salted_window_$rep") {
+        operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5).count()
+      }
+      time(s"brute_topk_custom_heap_$rep") {
+        val q = broadcast(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+        val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+        val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+          .withColumn("cosine", round(operators.Similarity.cosineNative(col("__qv"), col("__cv")), 6))
+        operators.Similarity.topKPerQueryNative(scored, 5).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -52,6 +52,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1), (4L, 2), (2L, 3), (3L, 4)))
   }
 
+  test("heap top-k (default) ≡ salted-window top-k (fallback), ties included") {
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings")
+    val q = broadcast(emb001.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+    val c = emb001.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Similarity.cosineNative(col("__qv"), col("__cv")), 6))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sorted
+    assert(rows(Similarity.topKPerQueryNative(scored, 7)) ==
+      rows(Similarity.topKPerQuery(scored, 7)))
+  }
+
   test("signLshTopK only searches within the query's sign bucket") {
     val out = Similarity.signLshTopK(
       emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 4, bits = 2)
