@@ -66,17 +66,18 @@ object Profile {
     }
     val emb = Tables.load(spark, dir, "embeddings").cache(); emb.count()
     functions.GraftFunctions.installAll(spark)
+    // one scored frame, two ranking formulations — the arms differ ONLY
+    // in the top-k operator
+    val qs = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+    val cs = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val scored = qs.join(cs, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(operators.Similarity.cosineNative(col("__qv"), col("__cv")), 6))
     (1 to 2).foreach { rep =>
       time(s"brute_topk_salted_window_$rep") {
-        operators.Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5).count()
+        operators.Similarity.topKPerQuery(scored, 5).count()
       }
       time(s"brute_topk_custom_heap_$rep") {
-        val q = broadcast(emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
-        val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
-        val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-          .withColumn("cosine", round(operators.Similarity.cosineNative(col("__qv"), col("__cv")), 6))
         operators.Similarity.topKPerQueryNative(scored, 5).count()
       }
     }

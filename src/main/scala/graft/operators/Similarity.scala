@@ -87,6 +87,14 @@ object Similarity {
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)))
 
+  /** Dispatch: the bounded-heap operator where the session supports
+    * planner strategies, the salted-window formulation otherwise (e.g.
+    * Spark Connect) — both produce identical rows (spec-proven). */
+  private[graft] def topKPerQueryAuto(scored: DataFrame, k: Int): DataFrame =
+    if (org.apache.spark.sql.GraftSqlBridge.supportsStrategies(scored.sparkSession))
+      topKPerQueryNative(scored, k)
+    else topKPerQuery(scored, k)
+
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
     * broadcast-small (it is hinted); ranking uses (rounded cosine desc,
     * neighbor id asc) so results are stable across engines. Top-k is the
@@ -100,7 +108,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
-    topKPerQueryNative(scored, k)
+    topKPerQueryAuto(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
@@ -117,7 +125,7 @@ object Similarity {
       signBucket(col(vecCol), bits).as("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
-    topKPerQueryNative(scored, k)
+    topKPerQueryAuto(scored, k)
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
@@ -156,7 +164,7 @@ object Similarity {
     val scored = broadcast(qClustered).join(c, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
-    topKPerQueryNative(scored, k)
+    topKPerQueryAuto(scored, k)
       .select(col("query_id"), col("cluster"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 

@@ -19,10 +19,17 @@ object TopK {
     val spark = df.sparkSession
     GraftSqlBridge.addStrategy(spark, TopKPerKeyStrategy)
     val lp = df.queryExecution.analyzed
-    val byName = lp.output.map(a => a.name -> a).toMap
-    def named(n: String) = byName.getOrElse(n,
-      throw new IllegalArgumentException(
-        s"column '$n' not among ${lp.output.map(_.name).mkString(", ")}"))
+    // Resolve through df.col — Spark's own resolver — so case sensitivity,
+    // duplicate-name ambiguity errors, and nested-field paths behave
+    // exactly like every other DataFrame API (a name→attribute map would
+    // silently bind duplicates to one side and break case-insensitivity).
+    def named(n: String): Expression =
+      try GraftSqlBridge.expression(spark, df.col(n))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"cannot resolve column '$n' against ${lp.output.map(_.name).mkString(", ")}", e)
+      }
     def resolve(e: Expression): Expression = e.transformUp {
       case u: UnresolvedAttribute => named(u.name)
     }

@@ -28,7 +28,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * between shuffling the scored corpus and shuffling the answer.
   *
   * Memory: partial-phase state is `(keys in partition) × k` retained rows
-  * — the hash-aggregate class of footprint, not the sort class.
+  * in an ON-HEAP map with NO spill path (unlike Spark's hash aggregate,
+  * which falls back to sort-based spilling under pressure). The operator
+  * is built for the keys ≪ rows regime (per-query ANN ranking, per-group
+  * leaderboards); for near-unique keys, `k × keys ≈ input` and the window
+  * formulation's spillable sort is the right tool. Producing a spillable
+  * variant means a `TaskMemoryManager`-accounted map — noted as the
+  * upgrade path, not done here.
   */
 case class TopKPerKey(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)

@@ -23,10 +23,17 @@ object GraftSqlBridge {
   def expression(spark: SparkSession, c: Column): catalyst.expressions.Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** Whether this session can take planner strategies at runtime (a
+    * classic JVM-backed session; e.g. Spark Connect sessions cannot). */
+  def supportsStrategies(spark: SparkSession): Boolean =
+    spark.isInstanceOf[classic.SparkSession]
+
   def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(strategy)) {
-      exp.extraStrategies = exp.extraStrategies :+ strategy
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(strategy)) {
+        exp.extraStrategies = exp.extraStrategies :+ strategy
+      }
     }
   }
 }
