@@ -28,7 +28,9 @@ object SparkEntry {
         "stream_stream_join" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.clickToPurchase(s, dir)),
         "stream_dedup" -> ((s: SparkSession, dir: String) =>
-          streaming.StreamPipeline.streamingDedup(s, dir)))
+          streaming.StreamPipeline.streamingDedup(s, dir)),
+        "stream_cms" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.streamingCms(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,7 +51,14 @@ object SparkEntry {
              ORDER BY p_id, c_id""",
         "stream_dedup" ->
           """SELECT event_type, count(DISTINCT user_id) AS uniq_users
-             FROM events GROUP BY event_type ORDER BY event_type""")
+             FROM events GROUP BY event_type ORDER BY event_type""",
+        // the streamed sketch must satisfy the same guarantees as the
+        // batch twin (cms_heavy_hitters): merge associativity makes the
+        // micro-batch fold equivalent to the one-pass fold
+        "stream_cms" ->
+          """SELECT user_id, count(*) AS n_events,
+               true AS no_undercount, true AS bounded_overcount
+             FROM events GROUP BY user_id ORDER BY user_id""")
 
   /** Headline subset timed by [[Bench]] at sf0.1 — one per operator family
     * (scan/agg, broadcast join chain, window, sessionize, CDC apply,

@@ -117,6 +117,42 @@ object StreamPipeline {
       .orderBy("event_type")
   }
 
+  /** Count-min sketch maintained as STREAMING state: the same typed
+    * Aggregator the batch query uses ([[graft.functions.CountMinSketch]])
+    * runs inside a streaming global aggregation — its Array[Long] buffer
+    * lives in the state store and every micro-batch merges into it
+    * (associative element-wise sum, the same property that makes it
+    * map-side combinable in batch). That is the production shape of a
+    * continuously-maintained frequency summary over an unbounded feed:
+    * state is depth×width longs FOREVER, independent of rows seen. The
+    * returned frame grades the final sketch exactly like the batch twin:
+    * exact per-user counts (batch-read of the same rows the stream
+    * consumed) plus the sketch's guarantee verdicts. */
+  def streamingCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinSketch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val depth = 4; val width = 1024
+    val cms = udaf(new CountMinSketch(depth, width))
+    val digest = graft.operators.TextAnalysis.tokenHash60(col("user_id").cast("string"))
+    val sk = spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(digest.as("__h"))
+      .agg(cms(col("__h")).as("__cms"), count(lit(1)).as("__n"))
+    val sketch = runToMemory(sk, "complete", "graft_scms")
+    graft.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("est", CountMinSketch.estimate(col("__cms"), digest, depth, width))
+      .select(col("user_id"), col("n_events"),
+        (col("est") >= col("n_events")).as("no_undercount"),
+        (col("est") <= col("n_events") + ceil(lit(4.0) * col("__n") / width))
+          .as("bounded_overcount"))
+      .orderBy("user_id")
+  }
+
   /** CDC micro-batch driver: change feed → per-key last-image reduction →
     * `apply` per micro-batch (the foreachBatch analog of run.go:301-322;
     * apply is the caller's transactional sink, e.g. UpsertWriter). Returns
