@@ -33,6 +33,31 @@ object Dedup {
       count(lit(1)).over(w).as("dup_count"))
   }
 
+  /** Incremental (cross-snapshot) exact dedup: classify each NEW-batch
+    * document against the existing corpus — the daily-increment shape of a
+    * production pipeline, where yesterday's 100 TB corpus is a digest set
+    * and only the increment is scanned in full. Statuses:
+    * 'dup_of_corpus' (digest already in the corpus), 'dup_in_batch'
+    * (a smaller-id twin exists in the same increment), 'kept'.
+    *
+    * Scale: the corpus side reduces to DISTINCT 16-byte digests (computed
+    * once at ingest in practice); the join and the batch-internal
+    * min-aggregate both key on the digest, never the text, and the
+    * min-per-digest uses groupBy (map-side partials), not a window. */
+  def incremental(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val ch = corpus.select(md5(col(textCol)).as("__h")).distinct()
+      .withColumn("__in_corpus", lit(1))
+    val b = batch.select(col(idCol), md5(col(textCol)).as("__h"))
+    val keepers = b.groupBy(col("__h")).agg(min(col(idCol)).as("__keeper"))
+    b.join(ch, Seq("__h"), "left")
+      .join(keepers, Seq("__h"))
+      .select(col(idCol),
+        when(col("__in_corpus").isNotNull, "dup_of_corpus")
+          .when(col(idCol) =!= col("__keeper"), "dup_in_batch")
+          .otherwise("kept").as("status"))
+  }
+
   /** Word n-gram shingles from a PRE-SPLIT token array; docs shorter than
     * `n` tokens shingle to the whole text. Taking the tokens as a bound
     * column matters: a `split(text)` written inline in the transform

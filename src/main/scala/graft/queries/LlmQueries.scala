@@ -60,6 +60,18 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental dedup: the new batch (doc_id % 10 >= 8) classified
+    // against the existing corpus (doc_id % 10 < 8) — corpus reduced to
+    // distinct digests, batch-internal twins resolved by min-id.
+    "dedup_incremental" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incremental(
+          corpus = docs.filter(col("doc_id") % 10 < 8),
+          batch = docs.filter(col("doc_id") % 10 >= 8),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // MinHash signatures: (doc, seed) → min digest; one key-shuffle with
     // map-side partial min. Raw (non-distinct) shingles: min is
     // duplicate-insensitive, so the distinct's shuffle is skipped.
@@ -285,6 +297,19 @@ object LlmQueries {
            doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical,
            count(*) OVER (PARTITION BY md5(text)) AS dup_count
          FROM documents ORDER BY doc_id""",
+
+    "dedup_incremental" ->
+      """WITH corpus AS (
+           SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+         b AS (
+           SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8),
+         m AS (SELECT h, min(doc_id) AS keeper FROM b GROUP BY h)
+         SELECT b.doc_id,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> m.keeper THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+         FROM b LEFT JOIN corpus c ON b.h = c.h JOIN m ON b.h = m.h
+         ORDER BY doc_id""",
 
     "dedup_minhash_sig" ->
       s"""WITH $ShinglesCte, $MinhashCte

@@ -29,6 +29,17 @@ class DedupSpec extends SparkSpec {
     assert(d0 == 5) // 9 tokens → 5 distinct 5-gram windows
   }
 
+  test("incremental dedup classifies corpus-dups, batch-dups, and keepers") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"), (13L, "delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(corpus, batch, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      10L -> "dup_of_corpus", 11L -> "kept", 12L -> "dup_in_batch", 13L -> "kept"))
+  }
+
   test("minhashBands ≡ minhash∘lshBands (fused path produces identical hashes)") {
     val sh = Dedup.explodedShingles(docs, "text", "doc_id", 3)
     val slow = Dedup.lshBands(Dedup.minhash(sh, "doc_id", 8), "doc_id", 8, 4)
