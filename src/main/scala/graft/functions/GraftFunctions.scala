@@ -21,6 +21,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine(a, b) takes two array<float> arguments")
         CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_digest60"),
+      new ExpressionInfo(classOf[Digest60].getName, "graft_digest60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_digest60(s) takes one string argument")
+        Digest60(args.head)
       }))
 
   def register(spark: SparkSession): Unit = {

@@ -84,10 +84,12 @@ object Dedup {
     * fraction of the bytes. A 60-bit digest collision is vanishingly rare,
     * and the DuckDB oracle applies the SAME digest, so result equality
     * stays exact either way. */
-  def digestShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+  def digestShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     rawShingles(df, textCol, idCol, n)
-      .select(col(idCol), TextAnalysis.tokenHash60(col("shingle")).as("shingle"))
+      .select(col(idCol), TextAnalysis.tokenHash60Native(col("shingle")).as("shingle"))
       .distinct()
+  }
 
   /** Non-distinct (id, shingle) pairs. MinHash's per-seed `min` is
     * duplicate-insensitive (min over a multiset equals min over its set),
@@ -116,9 +118,10 @@ object Dedup {
     * shingle) per seed — k full digests of ~n-word strings per row. One
     * digest + k multiply-adds is the textbook universal-hashing MinHash and
     * cuts the signature stage's CPU k-fold; the bytes shuffled are already
-    * minimal — the groupBy ships one partial min per seed per task.) */
+    * minimal — the groupBy ships one partial min per seed per task.)
+    * Callers register the native digest expression on the session. */
   private def shingleHashMod(shingle: Column): Column =
-    TextAnalysis.tokenHash60(shingle) % MinhashMod
+    TextAnalysis.tokenHash60Native(shingle) % MinhashMod
 
   /** MinHash signatures: k universal-hash permutations over the shingle
     * digest, signature element = per-seed minimum. Returns
@@ -131,6 +134,7 @@ object Dedup {
     * (id, seed, minhash) contract afterwards, which is free (no shuffle).
     */
   def minhash(shingled: DataFrame, idCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(shingled.sparkSession)
     val base = shingled.select(col(idCol), shingleHashMod(col("shingle")).as("__hm"))
     val aggs = (0 until k).map(i =>
       min((lit(minhashA(i)) * col("__hm") + lit(minhashB(i))) % MinhashMod).as(s"__m$i"))
@@ -148,6 +152,7 @@ object Dedup {
     * bytes) while cutting the chain from three shuffles to one; at 100 TB
     * the only data movement left is |distinct shingles| rows keyed by id. */
   def minhashBands(shingled: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(shingled.sparkSession)
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rpb = k / bands
     val base = shingled.select(col(idCol), shingleHashMod(col("shingle")).as("__hm"))
@@ -303,9 +308,10 @@ object Dedup {
     * sf0.1 and shuffle-bounded at scale (|tokens| rows, partial aggs
     * map-side). */
   def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val toks = df.select(col(idCol),
       explode(split(col(textCol), " ")).as("__tok"))
-    val h = TextAnalysis.tokenHash60(col("__tok")) // the shared cross-engine hash
+    val h = TextAnalysis.tokenHash60Native(col("__tok")) // the shared cross-engine hash
     val votes = (0 until 60).map(j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v$j"))
     toks.select(col(idCol), h.as("__h"))

@@ -88,6 +88,13 @@ object TextAnalysis {
   def tokenHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** [[tokenHash60]] through the native [[graft.functions.Digest60]]
+    * expression — bit-identical, zero per-row string allocation. Requires
+    * `GraftFunctions.register` on the session; the DataFrame-level
+    * operators that use it register themselves. */
+  def tokenHash60Native(c: Column): Column =
+    call_function("graft_digest60", c)
+
   /** SimHash over the token multiset: for each of 60 bits, sum ±1 votes
     * across token hashes; bit set where the vote is positive. Folded over
     * the token array with higher-order functions — no explode, no shuffle.

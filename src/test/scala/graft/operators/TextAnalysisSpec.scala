@@ -4,6 +4,21 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
+
+  test("native digest60 is bit-identical to the composed md5/conv form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // varied lengths, unicode, empty string, hex-edge digests
+    val rows = (0 until 500).map(i => s"tok$i ${"x" * (i % 23)} π∂-$i") :+ ""
+    val bad = rows.toDF("s")
+      .select(
+        TextAnalysis.tokenHash60(col("s")).as("composed"),
+        TextAnalysis.tokenHash60Native(col("s")).as("native"))
+      .filter(col("composed") =!= col("native") || col("native") < 0)
+      .count()
+    assert(bad == 0L)
+  }
   import spark.implicits._
 
   def one(c: org.apache.spark.sql.Column, text: String): Any =
