@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -67,6 +67,28 @@ object CountMinSketch {
     * Java `%` would go negative and index out of the counter array. */
   def slot(h: Long, i: Int, width: Int): Int =
     (Math.floorMod(hashA(i) * Math.floorMod(h, Mod) + hashB(i), Mod) % width).toInt
+
+  /** Grade a sketch against exact counts — the shared tail of the batch
+    * (`cms_heavy_hitters`) and streaming (`stream_cms`) queries, so the
+    * guarantee formula has ONE source of truth. Contract: `exact` carries
+    * the key and an exact `n_events` column; `sketch` is one row with the
+    * aggregator output as `__cms` and the total input count as `__n`;
+    * `digest` recomputes the build-side digest from the key. `slack` is
+    * the overcount tolerance in units of mean collision mass (N/width) —
+    * an empirical safety factor (verified to hold at every test SF), not
+    * the analytic e/width bound. Output adds the two guarantee verdicts:
+    * a count-min estimate can never under-count, and the overcount is
+    * collision-bounded. */
+  def grade(exact: DataFrame, sketch: DataFrame, digest: Column,
+      depth: Int, width: Int, slack: Double = 4.0): DataFrame = {
+    val passThrough = exact.columns.map(col).toSeq
+    exact.crossJoin(broadcast(sketch))
+      .withColumn("est", estimate(col("__cms"), digest, depth, width))
+      .select(passThrough :+
+        (col("est") >= col("n_events")).as("no_undercount") :+
+        (col("est") <= col("n_events") + ceil(lit(slack) * col("__n") / width))
+          .as("bounded_overcount"): _*)
+  }
 
   /** In-query estimate: `min` over the depth rows of the counter each row
     * hashes `digest` into. `sketch` is the Array[Long] column produced by

@@ -29,10 +29,16 @@ object GraftFunctions {
         Digest60(args.head)
       }))
 
+  /** Idempotent and cheap when already registered: operators call this
+    * per invocation, and re-registering would take a synchronized
+    * registry write plus a 'replaced a previously registered function'
+    * WARN per call. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (ident, info, builder) =>
-      registry.registerFunction(ident, info, builder)
+      if (registry.lookupFunctionBuilder(ident).isEmpty) {
+        registry.registerFunction(ident, info, builder)
+      }
     }
   }
 

@@ -38,12 +38,16 @@ object Dedup {
     * production pipeline, where yesterday's 100 TB corpus is a digest set
     * and only the increment is scanned in full. Statuses:
     * 'dup_of_corpus' (digest already in the corpus), 'dup_in_batch'
-    * (a smaller-id twin exists in the same increment), 'kept'.
+    * (a smaller-id twin exists in the same increment), 'kept', and
+    * 'null_text' (no content to dedup by — surfaced explicitly rather
+    * than silently dropped by a null-key join).
     *
-    * Scale: the corpus side reduces to DISTINCT 16-byte digests (computed
-    * once at ingest in practice); the join and the batch-internal
-    * min-aggregate both key on the digest, never the text, and the
-    * min-per-digest uses groupBy (map-side partials), not a window. */
+    * Scale: the corpus side reduces to DISTINCT md5 digests (the 32-char
+    * hex string here — the full-width exact-match key; a production
+    * ingest would persist the raw 16 bytes); the join and the
+    * batch-internal min-aggregate both key on the digest, never the
+    * text, and the min-per-digest uses groupBy (map-side partials), not
+    * a window. */
   def incremental(corpus: DataFrame, batch: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     val ch = corpus.select(md5(col(textCol)).as("__h")).distinct()
@@ -51,9 +55,10 @@ object Dedup {
     val b = batch.select(col(idCol), md5(col(textCol)).as("__h"))
     val keepers = b.groupBy(col("__h")).agg(min(col(idCol)).as("__keeper"))
     b.join(ch, Seq("__h"), "left")
-      .join(keepers, Seq("__h"))
+      .join(keepers, Seq("__h"), "left")
       .select(col(idCol),
-        when(col("__in_corpus").isNotNull, "dup_of_corpus")
+        when(col("__h").isNull, "null_text")
+          .when(col("__in_corpus").isNotNull, "dup_of_corpus")
           .when(col(idCol) =!= col("__keeper"), "dup_in_batch")
           .otherwise("kept").as("status"))
   }

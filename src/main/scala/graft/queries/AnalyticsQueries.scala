@@ -382,13 +382,9 @@ object AnalyticsQueries {
       val digest = TextAnalysis.tokenHash60(col("user_id").cast("string"))
       val ev = Tables.load(s, dir, "events").select(col("user_id"), digest.as("__h"))
       val sketch = ev.agg(cms(col("__h")).as("__cms"), count(lit(1)).as("__n"))
-      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-        .crossJoin(broadcast(sketch))
-        .withColumn("est", CountMinSketch.estimate(col("__cms"), digest, depth, width))
-        .select(col("user_id"), col("n_events"),
-          (col("est") >= col("n_events")).as("no_undercount"),
-          (col("est") <= col("n_events") + ceil(lit(4.0) * col("__n") / width))
-            .as("bounded_overcount"))
+      CountMinSketch.grade(
+          ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events")),
+          sketch, digest, depth, width)
         .orderBy("user_id")
     },
 

@@ -305,10 +305,11 @@ object LlmQueries {
            SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8),
          m AS (SELECT h, min(doc_id) AS keeper FROM b GROUP BY h)
          SELECT b.doc_id,
-           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+           CASE WHEN b.h IS NULL THEN 'null_text'
+                WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
                 WHEN b.doc_id <> m.keeper THEN 'dup_in_batch'
                 ELSE 'kept' END AS status
-         FROM b LEFT JOIN corpus c ON b.h = c.h JOIN m ON b.h = m.h
+         FROM b LEFT JOIN corpus c ON b.h = c.h LEFT JOIN m ON b.h = m.h
          ORDER BY doc_id""",
 
     "dedup_minhash_sig" ->

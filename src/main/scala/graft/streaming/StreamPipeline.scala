@@ -142,14 +142,10 @@ object StreamPipeline {
       .select(digest.as("__h"))
       .agg(cms(col("__h")).as("__cms"), count(lit(1)).as("__n"))
     val sketch = runToMemory(sk, "complete", "graft_scms")
-    graft.Tables.load(spark, dir, "events")
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-      .crossJoin(broadcast(sketch))
-      .withColumn("est", CountMinSketch.estimate(col("__cms"), digest, depth, width))
-      .select(col("user_id"), col("n_events"),
-        (col("est") >= col("n_events")).as("no_undercount"),
-        (col("est") <= col("n_events") + ceil(lit(4.0) * col("__n") / width))
-          .as("bounded_overcount"))
+    CountMinSketch.grade(
+        graft.Tables.load(spark, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events")),
+        sketch, digest, depth, width)
       .orderBy("user_id")
   }
 

@@ -32,12 +32,14 @@ class DedupSpec extends SparkSpec {
   test("incremental dedup classifies corpus-dups, batch-dups, and keepers") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
-    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"), (13L, "delta"))
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"), (13L, "delta"),
+        (14L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val out = Dedup.incremental(corpus, batch, "text", "doc_id")
       .as[(Long, String)].collect().toMap
     assert(out == Map(
-      10L -> "dup_of_corpus", 11L -> "kept", 12L -> "dup_in_batch", 13L -> "kept"))
+      10L -> "dup_of_corpus", 11L -> "kept", 12L -> "dup_in_batch", 13L -> "kept",
+      14L -> "null_text"))
   }
 
   test("minhashBands ≡ minhash∘lshBands (fused path produces identical hashes)") {
