@@ -24,13 +24,19 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** @param keyCols     equi-join keys present on both sides
-    * @param tsCol       ordering column present on both sides (numeric or
-    *                    any ordered type; tolerance assumes numeric)
+    * @param tsCol       ordering column present on both sides (numeric;
+    *                    forward mode and tolerance negate/subtract it)
     * @param rightOrder  extra right-side tie-break columns: among right
     *                    rows sharing (key, ts) the LARGEST tuple wins,
     *                    making the match deterministic
-    * @param tolerance   max allowed `left.ts - right.ts`; matches farther
-    *                    in the past are nulled out
+    * @param tolerance   max allowed `|left.ts - right.ts|`; matches
+    *                    farther away are nulled out
+    * @param direction   "backward" (default): latest right with
+    *                    `right.ts <= left.ts`; "forward": earliest right
+    *                    with `right.ts >= left.ts` (next-event
+    *                    attribution) — implemented by running the
+    *                    backward join over negated timestamps, so both
+    *                    directions share one code path
     * @return left rows with the matched right payload columns (null when
     *         no match) plus `<tsCol>_right`, the matched right timestamp
     */
@@ -38,7 +44,27 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,
       rightOrder: Seq[String] = Nil,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = direction match {
+    case "forward" =>
+      val out = asofBackward(
+        left.withColumn(tsCol, -col(tsCol)),
+        right.withColumn(tsCol, -col(tsCol)),
+        keyCols, tsCol, rightOrder, tolerance)
+      out.withColumn(tsCol, -col(tsCol))
+        .withColumn(s"${tsCol}_right", -col(s"${tsCol}_right"))
+    case "backward" =>
+      asofBackward(left, right, keyCols, tsCol, rightOrder, tolerance)
+    case other =>
+      throw new IllegalArgumentException(
+        s"direction must be 'backward' or 'forward', got '$other'")
+  }
+
+  private def asofBackward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      rightOrder: Seq[String],
+      tolerance: Option[Long]): DataFrame = {
     val leftPayload = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     val rightPayload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     val clash = rightPayload.intersect(left.columns)

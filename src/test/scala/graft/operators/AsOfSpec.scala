@@ -52,6 +52,30 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("forward direction matches the earliest right row at or after each left ts") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", direction = "forward")
+      .select("pid", "rid", "ts_right").as[(String, Option[String], Option[Long])]
+      .collect().map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(out("p0") == ((Some("r1"), Some(60L))))   // earliest at ts>=50
+    assert(out("p1") == ((Some("r2"), Some(100L))))  // inclusive: 100>=100
+    assert(out("p2") == ((None, None)))              // nothing at ts>=200
+    assert(out("p3") == ((None, None)))
+  }
+
+  test("forward tolerance nulls out matches too far in the future") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts",
+        tolerance = Some(5L), direction = "forward")
+      .select("pid", "rid").as[(String, Option[String])].collect().toMap
+    assert(out("p0").isEmpty)        // 60-50=10 > 5
+    assert(out("p1").contains("r2")) // gap 0
+  }
+
+  test("invalid direction is rejected") {
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right, Seq("k"), "ts", direction = "sideways")
+    }
+  }
+
   test("differential: matches a brute-force reference on pseudo-random data") {
     // deterministic pseudo-random fixture (no Random: repeatable)
     def h(i: Int, salt: Int): Long = ((i * 2654435761L + salt * 40503L) % 997 + 997) % 997
