@@ -78,9 +78,13 @@ object CountMinSketch {
     * an empirical safety factor (verified to hold at every test SF), not
     * the analytic e/width bound. Output adds the two guarantee verdicts:
     * a count-min estimate can never under-count, and the overcount is
-    * collision-bounded. */
+    * collision-bounded. Reserved names: `exact` must not carry `est`,
+    * `__cms`, or `__n` (the probe/sketch columns this helper adds). */
   def grade(exact: DataFrame, sketch: DataFrame, digest: Column,
       depth: Int, width: Int, slack: Double = 4.0): DataFrame = {
+    val reserved = exact.columns.intersect(Seq("est", "__cms", "__n"))
+    require(reserved.isEmpty,
+      s"grade() reserves column names ${reserved.mkString(", ")} — rename them in `exact`")
     val passThrough = exact.columns.map(col).toSeq
     exact.crossJoin(broadcast(sketch))
       .withColumn("est", estimate(col("__cms"), digest, depth, width))

@@ -29,14 +29,20 @@ object GraftFunctions {
         Digest60(args.head)
       }))
 
-  /** Idempotent and cheap when already registered: operators call this
-    * per invocation, and re-registering would take a synchronized
-    * registry write plus a 'replaced a previously registered function'
-    * WARN per call. */
+  /** Per-session once: the FIRST call on a session registers with
+    * overwrite (so graft's builders win over any stale or same-named
+    * foreign registration — a name-exists guard would silently keep the
+    * foreign one); later calls are a map lookup, because operators invoke
+    * this per call and re-registering takes a synchronized registry write
+    * plus a 'replaced a previously registered function' WARN each time. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    all.foreach { case (ident, info, builder) =>
-      if (registry.lookupFunctionBuilder(ident).isEmpty) {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      val registry = spark.sessionState.functionRegistry
+      all.foreach { case (ident, info, builder) =>
         registry.registerFunction(ident, info, builder)
       }
     }

@@ -65,18 +65,23 @@ object AsOf {
       keyCols: Seq[String], tsCol: String,
       rightOrder: Seq[String],
       tolerance: Option[Long]): DataFrame = {
+    // A null-ts right row has no position in time — left in, it would sort
+    // FIRST (nulls-first ascending) and become a phantom fallback match
+    // for every otherwise-unmatched left row. Null-ts LEFT rows need no
+    // guard: they sort before every right row, so they match nothing.
+    val right0 = right.filter(col(tsCol).isNotNull)
     val leftPayload = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
-    val rightPayload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val rightPayload = right0.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     val clash = rightPayload.intersect(left.columns)
     require(clash.isEmpty, s"right payload columns collide with left: ${clash.mkString(",")}")
     val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
 
     val rStruct = struct(col(tsCol).as("__rts") +: rightPayload.map(col): _*)
-    val rStructType = right.select(rStruct.as("__r")).schema.head.dataType
+    val rStructType = right0.select(rStruct.as("__r")).schema.head.dataType
     val l2 = left.select(
       keyCols.map(col) ++ Seq(col(tsCol)) ++ leftPayload.map(col) ++
         Seq(lit(1).as("__side"), lit(null).cast(rStructType).as("__r")): _*)
-    val r2 = right.select(
+    val r2 = right0.select(
       keyCols.map(col) ++ Seq(col(tsCol)) ++
         leftPayload.map(c => lit(null).cast(lTypes(c)).as(c)) ++
         Seq(lit(0).as("__side"), rStruct.as("__r")): _*)

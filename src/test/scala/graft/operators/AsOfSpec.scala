@@ -76,20 +76,40 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
-  test("differential: matches a brute-force reference on pseudo-random data") {
+  test("differential: matches a brute-force reference on pseudo-random data, both directions") {
     // deterministic pseudo-random fixture (no Random: repeatable)
     def h(i: Int, salt: Int): Long = ((i * 2654435761L + salt * 40503L) % 997 + 997) % 997
     val lRows = (0 until 300).map(i => (s"u${h(i, 1) % 7}", h(i, 2), s"p$i"))
     val rRows = (0 until 200).map(i => (s"u${h(i, 3) % 9}", h(i, 4), s"r$i"))
-    val expected = lRows.map { case (k, ts, pid) =>
+    def run(direction: String) = AsOf.asofJoin(
+        lRows.toDF("k", "ts", "pid"), rRows.toDF("k", "ts", "rid"),
+        Seq("k"), "ts", rightOrder = Seq("rid"), direction = direction)
+      .select("pid", "rid").as[(String, Option[String])].collect().toMap
+    val expectedBack = lRows.map { case (k, ts, pid) =>
       val best = rRows.filter(r => r._1 == k && r._2 <= ts)
         .sortBy(r => (r._2, r._3)).lastOption
       (pid, best.map(_._3))
     }.toMap
-    val got = AsOf.asofJoin(lRows.toDF("k", "ts", "pid"), rRows.toDF("k", "ts", "rid"),
-        Seq("k"), "ts", rightOrder = Seq("rid"))
+    assert(run("backward") == expectedBack)
+    // forward: earliest ts at-or-after; among equal-ts candidates the
+    // LARGEST rightOrder tuple wins (same tie rule as backward)
+    val expectedFwd = lRows.map { case (k, ts, pid) =>
+      val cands = rRows.filter(r => r._1 == k && r._2 >= ts)
+      val best = cands.sortBy(r => (r._2, r._3))(
+        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse)).headOption
+      (pid, best.map(_._3))
+    }.toMap
+    assert(run("forward") == expectedFwd)
+  }
+
+  test("null-ts right rows never match (no phantom fallback)") {
+    val r = Seq(("u1", Option(60L), "r1"), ("u1", Option.empty[Long], "rz"))
+      .toDF("k", "ts", "rid")
+    val l = Seq(("u1", 50L, "p0"), ("u1", 70L, "p1")).toDF("k", "ts", "pid")
+    val out = AsOf.asofJoin(l, r, Seq("k"), "ts")
       .select("pid", "rid").as[(String, Option[String])].collect().toMap
-    assert(got == expected)
+    assert(out("p0").isEmpty)        // nothing at ts<=50; rz must NOT appear
+    assert(out("p1").contains("r1"))
   }
 
   test("plans one exchange on the key, no join operator") {
