@@ -57,7 +57,9 @@ object BloomFilter {
   val Mod: Long = graft.operators.Dedup.MinhashMod
 
   /** Hash constants offset by 211 so Bloom never shares a permutation
-    * with MinHash (offset 0) or count-min (offset 101). */
+    * with MinHash (offset 0, capped at 101) or count-min (offset 101,
+    * depth capped at 110) — Bloom owns [211, ∞); see
+    * [[graft.operators.Dedup.minhashA]] for the partition. */
   def hashA(i: Int): Long = graft.operators.Dedup.minhashA(i + 211)
   def hashB(i: Int): Long = graft.operators.Dedup.minhashB(i + 211)
 
@@ -97,6 +99,9 @@ object BloomFilter {
       numBits: Int = 1 << 20, numHashes: Int = 4,
       digestOf: Column => Column =
         c => graft.operators.TextAnalysis.tokenHash60(c.cast("string"))): DataFrame = {
+    require(!large.columns.contains("__bloom"),
+      "prunedJoin input must not contain reserved column '__bloom' " +
+        "(the broadcast sketch column would bind ambiguously)")
     require(large.schema(key).dataType == small.schema(key).dataType,
       s"prunedJoin key '$key' must have the same type on both sides " +
         s"(${large.schema(key).dataType} vs ${small.schema(key).dataType}): " +

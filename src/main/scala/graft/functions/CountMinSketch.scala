@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
 final class CountMinSketch(val depth: Int, val width: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
   import CountMinSketch._
+  require(depth <= MaxDepth,
+    s"depth=$depth exceeds $MaxDepth: seed indices ≥ 211 are reserved for the Bloom family")
 
   override def zero: Array[Long] = new Array[Long](depth * width)
 
@@ -58,9 +60,14 @@ object CountMinSketch {
   val Mod: Long = graft.operators.Dedup.MinhashMod
 
   /** Row-i multiplier/offset — same Knuth-constant family as MinHash but
-    * offset by 101 so the two sketches never share a permutation. */
+    * offset by 101 so the two sketches never share a permutation (seed
+    * ranges: MinHash [0,101), count-min [101,211), Bloom [211,∞) — see
+    * [[graft.operators.Dedup.minhashA]]). */
   def hashA(i: Int): Long = graft.operators.Dedup.minhashA(i + 101)
   def hashB(i: Int): Long = graft.operators.Dedup.minhashB(i + 101)
+
+  /** Depth cap keeping count-min seeds below the Bloom family's offset. */
+  val MaxDepth = 110
 
   /** Counter slot of digest `h` in sketch row `i` (JVM-side). floorMod
     * keeps a negative digest (signed `hash`/`xxhash64` callers) in range;

@@ -69,6 +69,10 @@ object AsOf {
     // FIRST (nulls-first ascending) and become a phantom fallback match
     // for every otherwise-unmatched left row. Null-ts LEFT rows need no
     // guard: they sort before every right row, so they match nothing.
+    val reserved = Seq("__side", "__r", "__lr", "__rts", s"${tsCol}_right")
+    val reservedClash = (left.columns ++ right.columns).intersect(reserved)
+    require(reservedClash.isEmpty,
+      s"asofJoin inputs must not contain reserved column(s): ${reservedClash.distinct.mkString(",")}")
     val right0 = right.filter(col(tsCol).isNotNull)
     val leftPayload = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     val rightPayload = right0.columns.filterNot(c => keyCols.contains(c) || c == tsCol)

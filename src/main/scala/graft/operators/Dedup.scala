@@ -113,9 +113,22 @@ object Dedup {
   val MinhashMod = 2147483647L
 
   /** Per-seed multiplier/offset of the i-th permutation h ↦ (aᵢ·h + bᵢ)
-    * mod M. Fixed Knuth-constant spread; aᵢ ≠ 0 for every i < 2³⁰. */
+    * mod M. Fixed Knuth-constant spread; aᵢ ≠ 0 for every i < 2³⁰−1
+    * (at i = 2³⁰−1, 2i+1 = 2³¹−1 ≡ 0 mod M — M is prime and the Knuth
+    * constant is not a multiple of it, so that is the only small zero).
+    *
+    * Seed-index ranges are PARTITIONED between the sketch families so no
+    * two ever share a permutation: MinHash owns [0, 101), count-min owns
+    * [101, 211) (offset 101 in [[graft.functions.CountMinSketch.hashA]]),
+    * Bloom owns [211, ∞) (offset 211 in
+    * [[graft.functions.BloomFilter.hashA]]). [[minhash]]/[[minhashBands]]
+    * and `CountMinSketch` enforce their upper bounds with requires. */
   def minhashA(i: Int): Long = ((2L * i + 1L) * 2654435761L) % MinhashMod
   def minhashB(i: Int): Long = (i * 40503L + 17L) % MinhashMod
+
+  /** Upper bound on MinHash signature width `k`: seeds ≥ 101 belong to the
+    * count-min family (see [[minhashA]]). */
+  val MaxMinhashK = 101
 
   /** The shingle's 60-bit md5 digest reduced into the hash family's field —
     * computed ONCE per shingle row; every seed then derives its permuted
@@ -139,6 +152,7 @@ object Dedup {
     * (id, seed, minhash) contract afterwards, which is free (no shuffle).
     */
   def minhash(shingled: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k <= MaxMinhashK, s"k=$k exceeds $MaxMinhashK: seeds ≥ $MaxMinhashK are reserved for the count-min family")
     graft.functions.GraftFunctions.register(shingled.sparkSession)
     val base = shingled.select(col(idCol), shingleHashMod(col("shingle")).as("__hm"))
     val aggs = (0 until k).map(i =>
@@ -158,6 +172,7 @@ object Dedup {
     * the only data movement left is |distinct shingles| rows keyed by id. */
   def minhashBands(shingled: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     graft.functions.GraftFunctions.register(shingled.sparkSession)
+    require(k <= MaxMinhashK, s"k=$k exceeds $MaxMinhashK: seeds ≥ $MaxMinhashK are reserved for the count-min family")
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rpb = k / bands
     val base = shingled.select(col(idCol), shingleHashMod(col("shingle")).as("__hm"))

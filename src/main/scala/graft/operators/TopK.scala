@@ -17,6 +17,12 @@ object TopK {
     *                  for deterministic results */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession
+    // Non-classic sessions (Spark Connect) cannot take planner strategies
+    // at runtime; fall back to the row_number window formulation — same
+    // rows (Window.orderBy defaults directionless columns to ascending,
+    // exactly like the SortOrder default below), sort-based instead of
+    // heap-based.
+    if (!GraftSqlBridge.supportsStrategies(spark)) return windowed(df, keyCols, orderCols, k)
     GraftSqlBridge.addStrategy(spark, TopKPerKeyStrategy)
     val lp = df.queryExecution.analyzed
     // Resolve through df.col — Spark's own resolver — so case sensitivity,
@@ -38,5 +44,17 @@ object TopK {
       case e => SortOrder(e, Ascending)
     })
     GraftSqlBridge.ofRows(spark, TopKPerKey(keyCols.map(named), order, k, lp))
+  }
+
+  /** Strategy-free formulation of the same contract. */
+  private[graft] def windowed(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val rn = "__topk_rn"
+    require(!df.columns.contains(rn), s"input must not contain reserved column '$rn'")
+    df.withColumn(rn,
+        row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 }

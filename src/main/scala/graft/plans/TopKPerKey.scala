@@ -27,14 +27,18 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * independent of the candidate fanout. At 100 TB that is the difference
   * between shuffling the scored corpus and shuffling the answer.
   *
-  * Memory: partial-phase state is `(keys in partition) × k` retained rows
-  * in an ON-HEAP map with NO spill path (unlike Spark's hash aggregate,
-  * which falls back to sort-based spilling under pressure). The operator
-  * is built for the keys ≪ rows regime (per-query ANN ranking, per-group
-  * leaderboards); for near-unique keys, `k × keys ≈ input` and the window
-  * formulation's spillable sort is the right tool. Producing a spillable
-  * variant means a `TaskMemoryManager`-accounted map — noted as the
-  * upgrade path, not done here.
+  * Memory: partial-phase state is an ON-HEAP map of per-key heaps,
+  * BOUNDED at `spark.graft.topk.partialMaxKeys` distinct keys (default
+  * 1,048,576). On overflow the partial phase FLUSHES its whole map
+  * downstream and starts empty — correct because the final phase merges
+  * any number of partial heaps per key (exactly Spark's partial-aggregate
+  * pass-through degradation): a near-unique-key input degrades to
+  * shuffling ~input rows like the window formulation would, instead of
+  * OOMing the executor. The final phase's map holds exactly its output
+  * (keys-in-partition × k rows) — bounded by the shuffle input it just
+  * received. A `TaskMemoryManager`-accounted spillable map remains the
+  * listed upgrade for workloads that want large partial maps under
+  * memory pressure rather than early flushes.
   */
 case class TopKPerKey(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)
@@ -68,26 +72,60 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    // Partial-phase key cap: flush-and-clear on overflow keeps memory
+    // bounded; the final phase must NOT flush mid-key (a key's rows would
+    // split into two surviving heaps → up to 2k rows out), and its map is
+    // output-sized anyway, so the cap applies to the partial phase only.
+    val maxKeys =
+      if (partial) conf.getConfString("spark.graft.topk.partialMaxKeys", "1048576").toInt
+      else Int.MaxValue
+    require(maxKeys > 0, s"spark.graft.topk.partialMaxKeys must be positive, got $maxKeys")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
       // worst-retained-at-head heaps, keyed by the projected key bytes
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ordering.reverse)
-          heaps.put(key.copy(), heap)
+      var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      import scala.jdk.CollectionConverters._
+
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps
+        heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        out.values().iterator().asScala.flatMap(_.iterator().asScala)
+      }
+
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        private var drainedFinal = false
+
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && !drainedFinal) {
+            if (!iter.hasNext) { cur = drain(); drainedFinal = true }
+            else {
+              var flushed = false
+              while (iter.hasNext && !flushed) {
+                val row = iter.next()
+                val key = keyProj(row)
+                var heap = heaps.get(key)
+                if (heap == null) {
+                  heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ordering.reverse)
+                  heaps.put(key.copy(), heap)
+                }
+                if (heap.size() < kLocal) heap.offer(row.copy())
+                else if (ordering.compare(row, heap.peek()) < 0) {
+                  heap.poll(); heap.offer(row.copy())
+                }
+                if (heaps.size() > maxKeys) { cur = drain(); flushed = true }
+              }
+            }
+          }
+          cur.hasNext
         }
-        if (heap.size() < kLocal) heap.offer(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.offer(row.copy())
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          cur.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }
   }
 

@@ -43,6 +43,15 @@ class BloomFilterSpec extends SparkSpec {
     assert(pruned == plain)
   }
 
+  test("prunedJoin rejects a reserved __bloom input column") {
+    val large = Seq((1L, 0)).toDF("k", "__bloom")
+    val small = Seq((1L, "a")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      BloomFilter.prunedJoin(large, small, "k", numBits = 1024)
+    }
+    assert(e.getMessage.contains("__bloom"))
+  }
+
   test("negative digests (signed xxhash64) keep the no-false-negative guarantee") {
     val bloom = udaf(new BloomFilter(bits, hashes))
     val keys = (1 to 100).map(i => s"k$i").toDF("k")

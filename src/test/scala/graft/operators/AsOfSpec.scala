@@ -102,6 +102,18 @@ class AsOfSpec extends SparkSpec {
     assert(run("forward") == expectedFwd)
   }
 
+  test("rejects reserved internal column names on either input") {
+    Seq("__side", "__r", "__lr", "__rts", "ts_right").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        AsOf.asofJoin(left.withColumn(bad, lit(1)), right, Seq("k"), "ts")
+      }
+      assert(e.getMessage.contains(bad), s"left-side $bad")
+      intercept[IllegalArgumentException] {
+        AsOf.asofJoin(left, right.withColumn(bad, lit(1)), Seq("k"), "ts")
+      }
+    }
+  }
+
   test("null-ts right rows never match (no phantom fallback)") {
     val r = Seq(("u1", Option(60L), "r1"), ("u1", Option.empty[Long], "rz"))
       .toDF("k", "ts", "rid")

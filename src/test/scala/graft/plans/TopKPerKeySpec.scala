@@ -52,6 +52,29 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("partial-phase key cap flushes instead of OOMing, results unchanged") {
+    val expected = windowed(3)
+    // cap far below the 11 distinct keys → many mid-partition flushes
+    spark.conf.set("spark.graft.topk.partialMaxKeys", "2")
+    try assert(custom(3) == expected)
+    finally spark.conf.unset("spark.graft.topk.partialMaxKeys")
+  }
+
+  test("strategy-free window fallback produces identical rows") {
+    val viaFallback = TopK.windowed(data, Seq("g"),
+        Seq(col("score").desc, col("id").asc), 3)
+      .select("g", "score", "id").as[(String, Double, Long)]
+      .collect().toSeq.sorted
+    assert(viaFallback == windowed(3))
+  }
+
+  test("window fallback rejects a reserved __topk_rn input column") {
+    intercept[IllegalArgumentException] {
+      TopK.windowed(data.withColumn("__topk_rn", lit(1)), Seq("g"),
+        Seq(col("score").desc), 3)
+    }
+  }
+
   test("downstream operators compose on top of the custom node") {
     val out = TopK.perKey(data, Seq("g"), Seq(col("score").desc, col("id").asc), 2)
       .groupBy("g").agg(count(lit(1)).as("n"))
