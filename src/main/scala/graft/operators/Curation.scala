@@ -95,6 +95,29 @@ object Curation {
     bucket < rate * 10000
   }
 
+  /** Deterministic k-per-stratum sample (domain caps, eval-set draws,
+    * "inspect 100 random docs per source"): rank each stratum's rows by a
+    * salted id digest — a content-independent pseudo-uniform order — and
+    * keep the first `k`, via the bounded-heap top-k operator
+    * ([[TopK.perKey]]): one exchange of strata×k rows, per-key heaps, no
+    * per-stratum sort of the full corpus anywhere. Like every curation
+    * decision here the draw is hash-derived, never `rand()`: the sample
+    * is identical across re-runs, re-partitioning, and task retries, and
+    * a new salt is a fresh independent draw. Appends `sample_rank`
+    * (1-based position in the stratum's draw order). */
+  def sampleKPerKey(
+      df: DataFrame, keyCol: String, idCol: String, k: Int,
+      salt: String = "sample:"): DataFrame = {
+    require(!df.columns.contains("__rnd"), "input must not contain reserved column '__rnd'")
+    val order = Seq(col("__rnd").asc, col(idCol).asc)
+    val tagged = df.withColumn("__rnd",
+      digest60(concat(lit(salt), col(idCol).cast("string"))))
+    TopK.perKey(tagged, Seq(keyCol), order, k)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(order: _*)))
+      .drop("__rnd")
+  }
+
   /** GPT-style sequence packing: within each shard (`idCol % shards`),
     * documents are concatenated in id order into one token stream that is
     * cut into fixed `budget`-token training sequences; a document is

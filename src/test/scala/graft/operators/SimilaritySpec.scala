@@ -67,6 +67,42 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.topKPerQuery(scored, 7)))
   }
 
+  test("sq8TopK: codes bounded to [-127,127], integer ranking matches a JVM replica") {
+    val rows = graft.Tables.load(spark, Sf0001, "embeddings")
+      .filter(col("vec_id") < 60)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def quant(v: Array[Float]): Array[Int] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      if (s == 0.0) v.map(_ => 0)
+      else v.map(x => math.floor(x.toDouble * 127.0 / s + 0.5).toInt)
+    }
+    val codes = rows.map { case (id, v) => id -> quant(v) }.toMap
+    assert(codes.values.flatten.forall(c => c >= -127 && c <= 127))
+    val expected = (for {
+      (qid, _) <- rows.filter(_._1 < 3)
+      scored = rows.filter(_._1 != qid).map { case (nid, _) =>
+        (nid, codes(qid).zip(codes(nid)).map { case (a, b) => a.toLong * b }.sum)
+      }
+    } yield qid -> scored.sortBy { case (nid, sc) => (-sc, nid) }.take(4).toSeq).toMap
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings")
+    val got = Similarity.sq8TopK(
+        emb001.filter(col("vec_id") < 3), emb001.filter(col("vec_id") < 60),
+        "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._4).map(r => (r._2, r._3)).toSeq }
+    assert(got == expected)
+  }
+
+  test("sq8TopK: zero vectors quantize to all-zero codes, not divide-by-zero") {
+    val z = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(z.filter(col("vec_id") === 0), z, "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "score").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("signLshTopK only searches within the query's sign bucket") {
     val out = Similarity.signLshTopK(
       emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 4, bits = 2)
