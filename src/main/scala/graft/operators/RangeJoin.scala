@@ -50,4 +50,37 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: pairs of intervals with
+    * `a.start <= b.end && b.start <= a.end` (inclusive on both ends),
+    * plus optional equi-keys — the attribution-window / availability-
+    * calendar operator, and the general case [[pointInInterval]] is the
+    * degenerate (zero-length left interval) instance of.
+    *
+    * Same binning scheme, but BOTH sides explode into covered bins, so an
+    * overlapping pair can meet in every bin their spans share. Instead of
+    * a post-join `distinct` (a full shuffle of the matched pairs), each
+    * pair is kept only in its CANONICAL bin — `bin(max(a.start, b.start))`,
+    * the first bin where both intervals are present. One surviving row per
+    * pair, zero dedup cost. The canonical-bin equality is computed on the
+    * exact start values, so double-rounding above 2^53 cannot double- or
+    * zero-count a pair (the same monotone `bin` is applied everywhere). */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      binWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val clash = right.columns.intersect(left.columns).diff(keyCols)
+    require(clash.isEmpty, s"right columns collide with left columns: ${clash.mkString(",")}")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    val l = left.withColumn("__bin",
+      explode(sequence(bin(col(leftStart)), bin(col(leftEnd)))))
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(col(rightStart)), bin(col(rightEnd)))))
+    l.join(r, keyCols :+ "__bin")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("__bin") === bin(greatest(col(leftStart), col(rightStart))))
+      .drop("__bin")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOf, RangeJoin, TextAnalysis, TopK}
+import graft.operators.{AsOf, Funnel, RangeJoin, TextAnalysis, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -368,6 +368,40 @@ object AnalyticsQueries {
         .orderBy("purchase_id", "error_id")
     },
 
+    // Interval-OVERLAP join (both sides are windows): click attribution
+    // windows × error windows of the same user. Binned equi-join with the
+    // canonical-bin rule (pair kept only in bin(max(starts))) so no
+    // post-join dedup shuffle exists (operators.RangeJoin.intervalOverlap).
+    "interval_overlap" -> q { (s, dir) =>
+      val winUs = 300L * 1000000
+      val ev = Tables.load(s, dir, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("c_start"),
+          (expr("ts div 1000") + winUs).as("c_end"),
+          col("event_id").as("click_id"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr("ts div 1000").as("e_start"),
+          (expr("ts div 1000") + winUs).as("e_end"),
+          col("event_id").as("error_id"))
+      RangeJoin.intervalOverlap(c, e, "c_start", "c_end", "e_start", "e_end",
+          binWidth = winUs, keyCols = Seq("user_id"))
+        .select(col("user_id"), col("click_id"), col("error_id"),
+          col("c_start"), col("e_start"))
+        .orderBy("click_id", "error_id")
+    },
+
+    // Ordered-stage funnel: view → click → purchase with
+    // earliest-qualifying-event semantics per stage; output is the
+    // one-row census + step conversion rates (operators.Funnel).
+    "funnel_stages" -> q { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      Funnel.census(
+        Funnel.stages(ev, "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase")),
+        Seq("view", "click", "purchase"))
+    },
+
     // Count-min frequency sketch (functions.CountMinSketch): per-user
     // event counts estimated from a depth×width counter matrix built in
     // one pass (map-side combinable merge), estimates read back IN-QUERY
@@ -682,6 +716,43 @@ object AnalyticsQueries {
          FROM p JOIN e
            ON p.user_id = e.user_id AND p_ts BETWEEN w_start AND w_end
          ORDER BY purchase_id, error_id""",
+
+    "interval_overlap" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_start,
+                  epoch_us(ts) + 300000000 AS c_end
+           FROM events WHERE event_type = 'click'),
+         e AS (
+           SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_start,
+                  epoch_us(ts) + 300000000 AS e_end
+           FROM events WHERE event_type = 'error')
+         SELECT c.user_id, click_id, error_id, c_start, e_start
+         FROM c JOIN e
+           ON c.user_id = e.user_id
+          AND c_start <= e_end AND e_start <= c_end
+         ORDER BY click_id, error_id""",
+
+    "funnel_stages" ->
+      """WITH s0 AS (
+           SELECT user_id, min(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s0.t0
+           GROUP BY e.user_id),
+         s2 AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t1
+           GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM s0) AS n_view,
+                (SELECT count(*) FROM s1) AS n_click,
+                (SELECT count(*) FROM s2) AS n_purchase,
+                round((SELECT count(*) FROM s1)::double
+                      / (SELECT count(*) FROM s0), 4) AS rate_click,
+                round((SELECT count(*) FROM s2)::double
+                      / (SELECT count(*) FROM s1), 4) AS rate_purchase""",
 
     // The count-min estimates are sketch-internal; the oracle checks the
     // exact counts and expects both guarantee booleans to hold.

@@ -70,4 +70,43 @@ class RangeJoinSpec extends SparkSpec {
         "p", "s", "e", 10L, Seq("k"))
     }
   }
+
+  // ---- intervalOverlap ----
+
+  private def leftIv = (0 until 40).map { i =>
+    val s = (i * 2654435761L) % 200
+    (s"u${i % 3}", s, s + (i * 7919) % 60, s"L$i")
+  }.toDF("k", "ls", "le", "lid")
+
+  private def rightIv = (0 until 40).map { i =>
+    val s = (i * 40503L + 13) % 200
+    (s"u${i % 3}", s, s + (i * 104729) % 45, s"R$i")
+  }.toDF("k", "rs", "re", "rid")
+
+  private def overlapNaive: Seq[(String, String)] =
+    leftIv.join(rightIv, Seq("k"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(String, String)].collect().toSeq.sorted
+
+  private def overlapBinned(w: Long): Seq[(String, String)] =
+    RangeJoin.intervalOverlap(leftIv, rightIv, "ls", "le", "rs", "re", w, Seq("k"))
+      .select("lid", "rid").as[(String, String)].collect().toSeq.sorted
+
+  test("intervalOverlap matches the naive theta join, each pair exactly once") {
+    val expected = overlapNaive
+    assert(expected.nonEmpty && expected.size > 100, "fixture should overlap a lot")
+    Seq(1L, 7L, 50L, 1000L).foreach { w =>
+      val got = overlapBinned(w)
+      assert(got == expected, s"binWidth=$w")
+      assert(got.distinct.size == got.size, s"duplicate pairs at binWidth=$w")
+    }
+  }
+
+  test("intervalOverlap: touching endpoints are inclusive, disjoint are excluded") {
+    val l = Seq(("k", 0L, 10L, "a")).toDF("k", "ls", "le", "lid")
+    val r = Seq(("k", 10L, 20L, "touch"), ("k", 11L, 20L, "gap")).toDF("k", "rs", "re", "rid")
+    val out = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", 5L, Seq("k"))
+      .select("rid").as[String].collect().toSeq
+    assert(out == Seq("touch"))
+  }
 }
