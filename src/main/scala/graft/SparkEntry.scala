@@ -68,5 +68,11 @@ object SparkEntry {
     "q1_agg", "q6_selective_agg", "q3_revenue_topn", "q5_local_supplier", "window_rank",
     "sessionize", "t1_cdc_apply", "j1_delete_reconcile", "o1_last_image",
     "dedup_exact", "dedup_lsh_pairs", "dedup_jaccard", "dedup_simhash",
-    "sim_topk_brute", "text_stats", "text_quality")
+    "sim_topk_brute", "text_stats", "text_quality",
+    // round 3-4 operator families — the most custom plans in the repo
+    // (native TopKPerKey node, union-window as-of, binned range join,
+    // int8 ANN, keyed funnel chain, multi-stage curation) need regression
+    // signal just as much as the r1 headline set
+    "asof_join", "range_join", "topk_native", "sim_topk_sq8",
+    "funnel_stages", "curation_pipeline", "quantile_bin_sketch")
 }

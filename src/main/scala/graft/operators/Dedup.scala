@@ -355,14 +355,16 @@ object Dedup {
     * within-bucket term — shrinks with corpus spread, and a hot bucket
     * means genuinely-similar docs, not a bucketing artifact (unlike a
     * fixed 12-bit prefix, whose recall was heuristic). */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, s"maxHamming=$maxHamming out of range")
+    require(maxBucket > 1, s"maxBucket=$maxBucket would drop every bucket")
     val blocks = maxHamming + 1
     val base = 60 / blocks
     val rem = 60 % blocks
     def width(b: Int) = base + (if (b < rem) 1 else 0)
     val offsets = (0 until blocks).scanLeft(0)((acc, b) => acc + width(b))
-    val banded = simhashSigs(df, textCol, idCol)
+    val allBanded = simhashSigs(df, textCol, idCol)
       .select(col(idCol), col("sig"),
         explode(array((0 until blocks).map { b =>
           struct(lit(b).as("block"),
@@ -371,7 +373,18 @@ object Dedup {
         }: _*)).as("__b"))
       .select(col(idCol), col("sig"),
         col("__b.block").as("block"), col("__b.block_val").as("block_val"))
-      .localCheckpoint() // materialize before self-join (see lshCandidates)
+    // Skew guard, same dial as lshCandidates: a bucket of m near-identical
+    // docs is m² join pairs on ONE task. Oversize (block, block_val)
+    // buckets — exact-dup cliques in practice, which [[exact]] handles
+    // linearly — are cut BEFORE the self-join via a broadcast anti-join of
+    // the (tiny) hot-bucket set; groupBy partials keep the census itself
+    // skew-safe (cf. ngramJaccardPairs' doc-frequency cut).
+    val banded = (if (maxBucket == Int.MaxValue) allBanded else {
+      val hot = allBanded.groupBy(col("block"), col("block_val"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .select(col("block"), col("block_val"))
+      allBanded.join(broadcast(hot), Seq("block", "block_val"), "left_anti")
+    }).localCheckpoint() // materialize before self-join (see lshCandidates)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.block") === col("b.block") &&
@@ -388,10 +401,21 @@ object Dedup {
     * all-pairs check that survives a 100× corpus. */
   def embeddingDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, signBits: Int = 8): DataFrame = {
+      threshold: Double, signBits: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val withBucket = emb.withColumn("bucket", Similarity.signBucket(col(vecCol), signBits))
-      .localCheckpoint() // materialize before self-join (see lshCandidates)
+    require(maxBucket > 1, s"maxBucket=$maxBucket would drop every bucket")
+    val allBucketed = emb.withColumn("bucket", Similarity.signBucket(col(vecCol), signBits))
+    // Same skew guard as simhashPairs: cap the quadratic within-bucket
+    // term by anti-joining the (tiny) oversize-bucket set before the
+    // self-join. An oversize sign bucket is a boilerplate clique —
+    // [[exact]]/[[incremental]] dedup covers it at linear cost.
+    val withBucket = (if (maxBucket == Int.MaxValue) allBucketed else {
+      val hot = allBucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .select(col("bucket"))
+      allBucketed.join(broadcast(hot), Seq("bucket"), "left_anti")
+    }).localCheckpoint() // materialize before self-join (see lshCandidates)
     val a = withBucket.as("a"); val b = withBucket.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cosine", Similarity.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")))

@@ -44,6 +44,39 @@ object Funnel {
     acc
   }
 
+  /** Windowed funnel: like [[stages]], but every later stage must also
+    * land within `windowLen` of the entity's stage-0 event (the standard
+    * product-analytics "converted within T" funnel). Identical join +
+    * min-aggregate shape — the conversion window is ONE extra residual
+    * predicate on each stage join, evaluated before the aggregate, so the
+    * 100 TB cost argument of [[stages]] carries over unchanged (and the
+    * window makes each stage's join slice strictly smaller).
+    *
+    * @param windowLen max `tsCol` distance from the stage-0 event, in the
+    *                  column's own unit (inclusive) */
+  def stagesWindowed(
+      events: DataFrame, entityCol: String, typeCol: String, tsCol: String,
+      stageTypes: Seq[String], windowLen: Long): DataFrame = {
+    require(stageTypes.nonEmpty, "funnel needs at least one stage")
+    require(windowLen >= 0, s"windowLen=$windowLen must be non-negative")
+    val ev = events.select(col(entityCol), col(typeCol), col(tsCol))
+    var acc = ev.filter(col(typeCol) === stageTypes.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("stage_0_ts"))
+    stageTypes.zipWithIndex.drop(1).foreach { case (t, i) =>
+      val prev = s"stage_${i - 1}_ts"
+      val carry =
+        if (i == 1) Seq(col(entityCol), col("stage_0_ts"))
+        else Seq(col(entityCol), col("stage_0_ts"), col(prev))
+      val next = ev.filter(col(typeCol) === t)
+        .join(acc.select(carry: _*), Seq(entityCol))
+        .filter(col(tsCol) >= col(prev) &&
+          col(tsCol) <= col("stage_0_ts") + lit(windowLen))
+        .groupBy(col(entityCol)).agg(min(col(tsCol)).as(s"stage_${i}_ts"))
+      acc = acc.join(next, Seq(entityCol), "left")
+    }
+    acc
+  }
+
   /** Funnel census: entities reaching each stage plus the step conversion
     * rate — the one-row summary a dashboard reads. */
   def census(perEntity: DataFrame, stageTypes: Seq[String]): DataFrame = {

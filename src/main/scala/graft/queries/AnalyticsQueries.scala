@@ -402,6 +402,18 @@ object AnalyticsQueries {
         Seq("view", "click", "purchase"))
     },
 
+    // Windowed funnel: same stages, but click and purchase must land
+    // within 1 hour of the user's first view (operators.Funnel
+    // .stagesWindowed) — the "converted within T" census.
+    "funnel_windowed" -> q { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      Funnel.census(
+        Funnel.stagesWindowed(ev, "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"), windowLen = 3600000000L),
+        Seq("view", "click", "purchase"))
+    },
+
     // Count-min frequency sketch (functions.CountMinSketch): per-user
     // event counts estimated from a depth×width counter matrix built in
     // one pass (map-side combinable merge), estimates read back IN-QUERY
@@ -745,6 +757,30 @@ object AnalyticsQueries {
            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
            FROM events e JOIN s1 ON e.user_id = s1.user_id
            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t1
+           GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM s0) AS n_view,
+                (SELECT count(*) FROM s1) AS n_click,
+                (SELECT count(*) FROM s2) AS n_purchase,
+                round((SELECT count(*) FROM s1)::double
+                      / (SELECT count(*) FROM s0), 4) AS rate_click,
+                round((SELECT count(*) FROM s2)::double
+                      / (SELECT count(*) FROM s1), 4) AS rate_purchase""",
+
+    "funnel_windowed" ->
+      """WITH s0 AS (
+           SELECT user_id, min(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (
+           SELECT e.user_id, s0.t0, min(epoch_us(e.ts)) AS t1
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s0.t0
+             AND epoch_us(e.ts) <= s0.t0 + 3600000000
+           GROUP BY e.user_id, s0.t0),
+         s2 AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t1
+             AND epoch_us(e.ts) <= s1.t0 + 3600000000
            GROUP BY e.user_id)
          SELECT (SELECT count(*) FROM s0) AS n_view,
                 (SELECT count(*) FROM s1) AS n_click,

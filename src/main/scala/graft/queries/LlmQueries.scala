@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Binning, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -176,21 +176,33 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
-    // Length-decile binning per language (curriculum / bucketed-batching
-    // feature): ntile over a TOTAL order (ties broken by doc_id) so bin
-    // edges reproduce exactly across engines. Exact rank-based deciles
-    // are inherently a per-stratum sort; the one-pass 100 TB variant bins
-    // against sketch-derived edges instead (approx_percentile — same
-    // mergeable-sketch shape as approx_median_bound).
+    // EXACT length-decile binning per language — the small-data
+    // cross-check twin of quantile_bin_sketch below: ntile over a TOTAL
+    // order (ties broken by doc_id) so bin edges reproduce exactly across
+    // engines. Exact rank-based deciles are inherently a per-stratum sort
+    // (each language's whole slice on one task); production-scale binning
+    // is the sketch-edge operator.
     "quantile_bin" -> q { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
-      Tables.load(s, dir, "documents")
-        .withColumn("decile", ntile(10).over(w))
+      Binning.ntileBins(Tables.load(s, dir, "documents"),
+          "n_chars", "lang", 10, col("doc_id"), binCol = "decile")
         .groupBy(col("lang"), col("decile"))
         .agg(count(lit(1)).as("n"),
           min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
         .orderBy("lang", "decile")
+    },
+
+    // PRODUCTION decile binning: one mergeable approx_percentile sketch
+    // pass per language, edges broadcast back, stateless codegen'd bin
+    // assignment — no window, no per-stratum sort (see Binning scaladoc
+    // for the determinism contract the oracle reproduces: below the
+    // sketch accuracy the edge IS the value at rank ceil(p*n)).
+    "quantile_bin_sketch" -> q { (s, dir) =>
+      Binning.quantileBins(Tables.load(s, dir, "documents"),
+          "n_chars", "lang", 10)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .orderBy("lang", "bin")
     },
 
     // Per-document text statistics.
@@ -602,6 +614,34 @@ object LlmQueries {
          SELECT lang, decile, count(*) AS n,
            min(n_chars) AS lo, max(n_chars) AS hi
          FROM binned GROUP BY lang, decile ORDER BY lang, decile""",
+
+    // Twin of Binning.quantileBins: below the sketch accuracy the GK
+    // summary never compresses, so each edge is EXACTLY the value at rank
+    // ceil(p * n) (1-based, value-ordered) — computed here directly; bin
+    // = 1 + count of edges strictly below the value (duplicate edge
+    // values count multiply, matching the Spark array contract; the edge
+    // rank formula uses the same IEEE doubles p = i/10, so ceil agrees
+    // bit-for-bit across engines).
+    "quantile_bin_sketch" ->
+      """WITH ranked AS (
+           SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents),
+         probs AS (
+           SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS p),
+         edges AS (
+           SELECT r.lang, p.p, r.n_chars AS edge
+           FROM ranked r JOIN probs p
+             ON r.rn = CAST(ceil(p.p * r.cnt) AS BIGINT)),
+         binned AS (
+           SELECT d.lang, d.doc_id, d.n_chars, 1 + count(e.edge) AS bin
+           FROM documents d LEFT JOIN edges e
+             ON e.lang = d.lang AND d.n_chars > e.edge
+           GROUP BY d.lang, d.doc_id, d.n_chars)
+         SELECT lang, bin, count(*) AS n,
+           min(n_chars) AS lo, max(n_chars) AS hi
+         FROM binned GROUP BY lang, bin ORDER BY lang, bin""",
 
     "text_stats" ->
       """SELECT doc_id,

@@ -132,4 +132,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L))) // 2 is anti-parallel: different bucket + cosine −1
   }
+
+  test("simhash maxBucket skips monster block buckets (exact-dup cliques)") {
+    // 6 identical docs: every (block, block_val) bucket has width 6
+    val clones = (0L until 6L).map(i => (i, "same text every single time here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(clones, "text", "doc_id", maxHamming = 3)
+      .count() == 15) // 6 choose 2
+    assert(Dedup.simhashPairs(clones, "text", "doc_id", maxHamming = 3,
+      maxBucket = 5).count() == 0)
+    // near-dups in small buckets are unaffected by the cap
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("embedding maxBucket skips monster sign buckets") {
+    val v = Array(1.0f, 0.5f, -0.2f, 0.9f, 0.1f, -0.6f, 0.3f, 0.8f)
+    val clique = (0L until 6L).map(i => (i, v)).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingDupPairs(clique, "vec_id", "embedding", 0.99, signBits = 4)
+      .count() == 15)
+    assert(Dedup.embeddingDupPairs(clique, "vec_id", "embedding", 0.99, signBits = 4,
+      maxBucket = 5).count() == 0)
+    // a small bucket elsewhere survives: add an isolated near-dup pair
+    val mixed = clique.unionByName(Seq(
+      (10L, v.map(-_)), (11L, v.map(-_))).toDF("vec_id", "embedding"))
+    val pairs = Dedup.embeddingDupPairs(mixed, "vec_id", "embedding", 0.99,
+        signBits = 4, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)))
+  }
 }

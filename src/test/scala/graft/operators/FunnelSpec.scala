@@ -47,6 +47,43 @@ class FunnelSpec extends SparkSpec {
     assert(c == ((3L, 1L, 1L, 0.3333, 1.0)))
   }
 
+  test("windowed funnel: later stages must land within windowLen of stage 0") {
+    // u1: click at +10, purchase at +20 — inside a 25-tick window;
+    // u5: clicks inside the window but purchases outside it;
+    // u6: clicks outside the window entirely.
+    val ev = Seq(
+      ("u1", "view", 10L), ("u1", "click", 20L), ("u1", "purchase", 30L),
+      ("u5", "view", 10L), ("u5", "click", 30L), ("u5", "purchase", 100L),
+      ("u6", "view", 10L), ("u6", "click", 99L))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.stagesWindowed(ev, "user_id", "event_type", "ts",
+        stageTypes, windowLen = 25L)
+      .select("user_id", "stage_0_ts", "stage_1_ts", "stage_2_ts")
+      .as[(String, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("u1") == ((Some(10L), Some(20L), Some(30L))))
+    assert(out("u5") == ((Some(10L), Some(30L), None)))
+    assert(out("u6") == ((Some(10L), None, None)))
+  }
+
+  test("windowed funnel window boundary is inclusive") {
+    val ev = Seq(("u", "view", 10L), ("u", "click", 35L))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.stagesWindowed(ev, "user_id", "event_type", "ts",
+        Seq("view", "click"), windowLen = 25L)
+      .select("stage_1_ts").as[Option[Long]].head()
+    assert(out.contains(35L))
+  }
+
+  test("windowed funnel equals unwindowed funnel when the window covers everything") {
+    val a = Funnel.stagesWindowed(events, "user_id", "event_type", "ts",
+        stageTypes, windowLen = Long.MaxValue / 2)
+      .orderBy("user_id").collect().toSeq
+    val b = Funnel.stages(events, "user_id", "event_type", "ts", stageTypes)
+      .orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("stage joins reuse the entity hash partitioning: one exchange per stage slice") {
     val out = Funnel.stages(events, "user_id", "event_type", "ts", stageTypes)
     val p = out.queryExecution.executedPlan.toString
