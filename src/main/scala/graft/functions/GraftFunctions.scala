@@ -27,6 +27,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_digest60(s) takes one string argument")
         Digest60(args.head)
+      }),
+    (FunctionIdentifier("graft_decode_features"),
+      new ExpressionInfo(classOf[DecodeFeatures].getName, "graft_decode_features"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_decode_features(payload) takes one binary argument")
+        DecodeFeatures(args.head)
       }))
 
   /** Per-session once: the FIRST call on a session registers with

@@ -43,24 +43,34 @@ object Multimodal {
         md5(concat(col(idCol).cast("string"), lit(":"), col("frame_no").cast("string"))).as("frame_hash"))
   }
 
-  val FeatureDim = 8
+  val FeatureDim: Int = graft.functions.DecodeKernel.FeatureDim
 
-  /** ??? DECODE STUB ??? — stands in for the real image/audio decoder
-    * (e.g. JPEG decode → resize → CNN features via a Pandas UDF /
-    * `mapInPandas` in PySpark, or a JNI codec here). Produces a
-    * deterministic fake feature vector from the payload bytes so the
-    * pipeline shape (binary in → fixed-width float vector out, batch
-    * iteration per partition, no driver collect) is fully exercised.
-    * Swap `fakeFeatures` for the real codec; nothing else changes. */
+  /** Decode the binary payload to a fixed-width feature vector — the
+    * PRODUCTION path: a native codegen'd Catalyst expression
+    * ([[graft.functions.DecodeFeatures]]), so scan → decode → downstream
+    * stays in ONE WholeStageCodegen span with every column in Tungsten
+    * format (no DeserializeToObject / object-space round trip). The
+    * decode body is the sanctioned deterministic STUB; a real deployment
+    * swaps the kernel for a JNI/FFM codec binding and this plan shape is
+    * exactly what it compiles to. */
   def decodeFeatures(withPayload: DataFrame, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(withPayload.sparkSession)
+    withPayload.select(
+      col(idCol).cast("long").as(idCol),
+      call_function("graft_decode_features", col("payload")).as("features"))
+  }
+
+  /** The per-partition BATCH-CONTRACT twin of [[decodeFeatures]]: typed
+    * `mapPartitions` over (id, payload) → (id, features) — the shape a
+    * PySpark `mapInPandas`/`mapInArrow` deployment (or a codec that wants
+    * amortized per-batch init, e.g. one decoder context per partition)
+    * plugs into. Costs the object-space boundary the expression path
+    * avoids; kept because the partition-iterator contract, not the plan
+    * shape, is what a Python/Arrow integration must match. Produces
+    * identical rows to [[decodeFeatures]]. */
+  def decodeFeaturesTyped(withPayload: DataFrame, idCol: String): DataFrame = {
     val spark = withPayload.sparkSession
     import spark.implicits._
-    // Typed mapPartitions with encoders — the plan stays one Dataset
-    // pipeline (DeserializeToObject → MapPartitions → SerializeFromObject)
-    // with codegen on both sides, instead of an RDD round-trip that would
-    // cut the plan in two and re-analyze. A PySpark deployment swaps this
-    // stage for `mapInPandas` over the same (id, payload) → (id, features)
-    // batch contract; nothing upstream or downstream changes.
     withPayload
       .select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -68,14 +78,10 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
-  /** Deterministic stand-in features: byte-sum statistics per stripe. */
+  /** Deterministic stand-in features — delegates to the shared kernel so
+    * both decode paths produce bit-identical vectors. */
   private[operators] def fakeFeatures(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < bytes.length) {
-      out(i % FeatureDim) += (bytes(i) & 0xff) / 255.0f
-      i += 1
-    }
-    out.map(v => v / math.max(1, bytes.length / FeatureDim).toFloat)
+    val a = graft.functions.DecodeKernel.decode(bytes)
+    a.toFloatArray()
   }
 }

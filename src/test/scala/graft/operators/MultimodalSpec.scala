@@ -41,9 +41,32 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).getSeq[Float](1) == v)
   }
 
-  test("decodeFeatures stays one Dataset pipeline (no RDD round-trip)") {
+  test("decodeFeatures (native expression) ≡ decodeFeaturesTyped (batch contract)") {
     val wp = Multimodal.attachPayload(docs, "text", "doc_id")
+    val native = Multimodal.decodeFeatures(wp, "doc_id").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val typed = Multimodal.decodeFeaturesTyped(wp, "doc_id").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(native.toSeq == typed.toSeq)
+  }
+
+  test("decodeFeatures plan stays columnar: one codegen span, no object boundary") {
+    // parquet-backed input: a local Seq collapses to LocalTableScan (the
+    // optimizer constant-folds the whole decode), hiding the plan shape
+    val real = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val wp = Multimodal.attachPayload(real, "text", "doc_id")
     val plan = Multimodal.decodeFeatures(wp, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+      "native decode must not exit Tungsten into object space")
+    assert(!plan.contains("ExistingRDD"), "not createDataFrame(rdd, …)")
+    assert(plan.contains("*(1) Project"), // '*' = WholeStageCodegen span
+      "decode must run inside codegen")
+  }
+
+  test("decodeFeaturesTyped keeps the partition-iterator contract in one pipeline") {
+    val wp = Multimodal.attachPayload(docs, "text", "doc_id")
+    val plan = Multimodal.decodeFeaturesTyped(wp, "doc_id")
       .queryExecution.executedPlan.toString
     assert(plan.contains("SerializeFromObject")) // typed mapPartitions stage
     assert(!plan.contains("ExistingRDD"))        // not createDataFrame(rdd, …)
