@@ -5,7 +5,7 @@ import java.util.Properties
 
 import graft.config.{MappingConfig, TableSpec}
 import graft.operators.Transforms
-import graft.sink.{SchemaSync, UpsertWriter}
+import graft.sink.{MySqlDialect, SchemaSync, SqlDialect, UpsertWriter}
 import graft.sources.{ChangeFeed, Json}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,7 +31,8 @@ class Replicator(
     spark: SparkSession,
     config: MappingConfig,
     sinkUrl: String,
-    sinkProps: Properties = new Properties()) {
+    sinkProps: Properties = new Properties(),
+    dialect: SqlDialect = MySqlDialect) {
 
   private def withConn[A](f: java.sql.Connection => A): A = {
     val conn = DriverManager.getConnection(sinkUrl, sinkProps)
@@ -43,7 +44,7 @@ class Replicator(
     * offset read or commit. */
   private def ensureStateTable(): Unit = withConn { conn =>
     conn.setAutoCommit(false)
-    conn.prepareStatement(UpsertWriter.createStateTableSql).executeUpdate()
+    dialect.ensureStateTable(conn)
     conn.commit()
   }
 
@@ -102,7 +103,7 @@ class Replicator(
       force: Boolean = false,
       zerop: Boolean = false): StreamingQuery = {
     ensureStateTable()
-    val stored = withConn(UpsertWriter.readOffset).getOrElse(0L)
+    val stored = withConn(UpsertWriter.readOffset(_, dialect)).getOrElse(0L)
     val fromScratch = stored == 0L || zerop
     val plan = reconcileSchema(observed, force)
     val resync: Map[String, Set[String]] =
@@ -136,12 +137,12 @@ class Replicator(
       pinTs.foreach { ts =>
         withConn { conn =>
           conn.setAutoCommit(false)
-          UpsertWriter.commitOffset(conn, ts)
+          UpsertWriter.commitOffset(conn, ts, dialect)
           conn.commit()
         }
       }
     }
-    val resume = withConn(UpsertWriter.readOffset).getOrElse(0L)
+    val resume = withConn(UpsertWriter.readOffset(_, dialect)).getOrElse(0L)
     // Resume STRICTLY BELOW the stored offset: the feed predicate is
     // `ts > afterTs`, so resuming at `resume` itself would drop a
     // boundary-ts sibling appended after the stop — the loss the apply
@@ -153,14 +154,15 @@ class Replicator(
 
   /** Entry point B: snapshot one table from a source frame. */
   def snapshot(spec: TableSpec, source: DataFrame): Unit =
-    UpsertWriter.writeBatch(Transforms.projectTo(source, spec), spec, sinkUrl, sinkProps)
+    UpsertWriter.writeBatch(Transforms.projectTo(source, spec), spec, sinkUrl,
+      sinkProps, dialect = dialect)
 
   /** J1: delete sink rows whose key is absent from the source (anti-join,
     * one statement per orphan, batched per partition). */
   def deleteOrphans(spec: TableSpec, sourceIds: DataFrame, sinkIds: DataFrame): Unit = {
     val gone = sink.MergeApply.deleteReconcile(sinkIds, sourceIds, spec.pk)
     val url = sinkUrl; val props = sinkProps
-    val sql = UpsertWriter.deleteSql(spec)
+    val sql = dialect.delete(spec).sql
     gone.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url, props)
@@ -186,6 +188,7 @@ class Replicator(
     val feed = ChangeFeed.readStream(spark, segmentsDir, replicated, afterTs)
     val decoded = ChangeFeed.decode(feed, replicated)
     val url = sinkUrl; val props = sinkProps; val specs = config.tables
+    val dl = dialect
     decoded.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -199,17 +202,17 @@ class Replicator(
         // never be offset-compared).
         val stored: Long = {
           val conn = DriverManager.getConnection(url, props)
-          try UpsertWriter.readOffset(conn).getOrElse(Long.MinValue)
+          try UpsertWriter.readOffset(conn, dl).getOrElse(Long.MinValue)
           finally conn.close()
         }
         val maxTs = Replicator.applyBatch(batch, specs, url, props,
           deadLetterDir = Some(s"$checkpointDir/dead_letter"), batchId = batchId,
-          skipBelowTs = stored)
+          skipBelowTs = stored, dialect = dl)
         maxTs.foreach { ts =>
           val conn = DriverManager.getConnection(url, props)
           try {
             conn.setAutoCommit(false)
-            UpsertWriter.commitOffset(conn, ts)
+            UpsertWriter.commitOffset(conn, ts, dl)
             conn.commit()
           } finally conn.close()
         }
@@ -254,7 +257,8 @@ object Replicator {
       props: Properties,
       deadLetterDir: Option[String] = None,
       batchId: Long = 0L,
-      skipBelowTs: Long = Long.MinValue): Option[Long] = {
+      skipBelowTs: Long = Long.MinValue,
+      dialect: SqlDialect = MySqlDialect): Option[Long] = {
     val specByName = specs.map(s => s.name -> s).toMap
     // one pass over the decoded batch serves apply + dead-letter + offset
     batch.persist()
@@ -293,11 +297,13 @@ object Replicator {
           def flush(): Unit = if (pending > 0) { current.executeBatch(); pending = 0 }
           rows.foreach { r =>
             val spec = specByName(r.getString(1))
-            val (sql, bind): (String, java.sql.PreparedStatement => Unit) =
+            // statement + per-slot values come from the dialect's declared
+            // bind order (SinkStatement.params), so the same loop drives
+            // ODKU (pk + present) and MERGE (pk twice) identically
+            val (stmt, valueOf): (graft.sink.SinkStatement, String => Any) =
               r.getString(0) match {
                 case "delete" =>
-                  (UpsertWriter.deleteSql(spec),
-                    st => st.setObject(1, r.getString(3)))
+                  (dialect.delete(spec), _ => r.getString(3))
                 case "upsert" =>
                   val fields = Json.parseObject(r.getString(4))
                   val partial = r.getBoolean(5)
@@ -306,19 +312,22 @@ object Replicator {
                   val present =
                     if (partial) declared.filter(c => fields.contains(c) || removed.contains(c))
                     else declared
-                  (UpsertWriter.partialUpsertSql(spec, present), st => {
-                    st.setObject(1, r.getString(3)) // pk
-                    present.zipWithIndex.foreach { case (c, i) =>
+                  (dialect.upsert(spec, present), {
+                    case spec.pk => r.getString(3)
+                    case c =>
                       val v = if (removed.contains(c)) null else fields.getOrElse(c, null)
                       // P4 at the bind boundary: composite values become JSON
                       // text, exactly like the snapshot path (mysql.go:402-404)
-                      val bound = v match {
+                      v match {
                         case _: Seq[_] | _: Map[_, _] => Json.render(v)
                         case other                    => other
                       }
-                      st.setObject(i + 2, bound)
-                    }
                   })
+              }
+            val sql = stmt.sql
+            val bind: java.sql.PreparedStatement => Unit = st =>
+              stmt.params.zipWithIndex.foreach { case (name, i) =>
+                UpsertWriter.bindValue(st, i + 1, valueOf(name))
               }
             val st = cache.getOrElseUpdate(sql, conn.prepareStatement(sql))
             if (st ne current) { flush(); current = st }

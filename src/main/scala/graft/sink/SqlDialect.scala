@@ -1,0 +1,162 @@
+package graft.sink
+
+import graft.config.TableSpec
+
+import java.sql.{Connection, SQLException}
+
+/** One sink statement plus its BIND ORDER: `params` names the logical
+  * value bound at each `?` position (the pk may legitimately appear more
+  * than once — e.g. a MERGE binds it in the ON clause and again in the
+  * NOT-MATCHED insert). Writers bind by looking each name up in the row,
+  * so the same writer loop drives every dialect. */
+final case class SinkStatement(sql: String, params: Seq[String])
+
+/** SQL dialect abstraction for the JDBC apply path. The reference speaks
+  * exactly one dialect (MySQL ODKU, `mysql.go:357-431`); factoring the
+  * statement shapes out lets the SAME runtime path — prepared-statement
+  * cache, shape-batched execution, offset co-commit, replay guard — run
+  * against any engine. [[MySqlDialect]] preserves the reference's grammar
+  * byte-for-byte (golden-tested); [[DerbyDialect]] targets embedded Apache
+  * Derby with standard `MERGE INTO`, so the transactional apply + offset
+  * co-commit contract is EXECUTED by a real SQL engine in tests rather
+  * than only simulated by the in-memory double. */
+trait SqlDialect extends Serializable {
+
+  def name: String
+
+  /** Upsert of `present` columns (empty = key-only touch): insert the row,
+    * or on key conflict update exactly the present columns, preserving the
+    * rest — the reference's partial-image contract (`mysql.go:449-476`). */
+  def upsert(spec: TableSpec, present: Seq[String]): SinkStatement
+
+  /** Full-image upsert over every declared column. */
+  def upsertAll(spec: TableSpec): SinkStatement =
+    upsert(spec, spec.columns.map(_.sinkName))
+
+  def delete(spec: TableSpec): SinkStatement
+
+  /** Offset (checkpoint) upsert; every param slot binds the offset's
+    * decimal-text bytes (`mysql.go:541`). */
+  def offsetUpsert: SinkStatement
+
+  def readOffsetSql: String
+
+  /** Idempotent state-table bootstrap (`mysql.go:128-144`). */
+  def ensureStateTable(conn: Connection): Unit
+}
+
+/** The reference dialect: backtick quoting, `INSERT … ON DUPLICATE KEY
+  * UPDATE`, `CREATE TABLE IF NOT EXISTS`. Statement text is produced by
+  * [[UpsertWriter]]'s original builders — the golden-tested grammar. */
+object MySqlDialect extends SqlDialect {
+  override def name: String = "mysql"
+
+  override def upsert(spec: TableSpec, present: Seq[String]): SinkStatement =
+    SinkStatement(UpsertWriter.partialUpsertSql(spec, present), spec.pk +: present)
+
+  override def upsertAll(spec: TableSpec): SinkStatement =
+    SinkStatement(UpsertWriter.upsertSql(spec), spec.pk +: spec.columns.map(_.sinkName))
+
+  override def delete(spec: TableSpec): SinkStatement =
+    SinkStatement(UpsertWriter.deleteSql(spec), Seq(spec.pk))
+
+  override def offsetUpsert: SinkStatement =
+    SinkStatement(UpsertWriter.offsetUpsertSql, Seq("value"))
+
+  override def readOffsetSql: String = UpsertWriter.readOffsetSql
+
+  override def ensureStateTable(conn: Connection): Unit =
+    conn.prepareStatement(UpsertWriter.createStateTableSql).executeUpdate()
+}
+
+/** Embedded Apache Derby: double-quote identifiers, ANSI `MERGE INTO` over
+  * `SYSIBM.SYSDUMMY1` (Derby has no ODKU and no `CREATE TABLE IF NOT
+  * EXISTS`). Used by the runtime specs to execute the apply/co-commit
+  * path against a real transactional engine in-process. */
+object DerbyDialect extends SqlDialect {
+  override def name: String = "derby"
+
+  private def q(ident: String): String = "\"" + ident + "\""
+
+  /** The pk is `_id varchar(24)` everywhere (TableSpec.structType,
+    * reference `mysql.go:183-198`); Derby requires a CAST on the untyped
+    * `?` in the MERGE ON clause. */
+  private def pkCast: String = "CAST(? AS VARCHAR(24))"
+
+  override def upsert(spec: TableSpec, present: Seq[String]): SinkStatement = {
+    val t = q(spec.name)
+    val on = s"$t.${q(spec.pk)} = $pkCast"
+    if (present.isEmpty) {
+      // key-only touch: nothing to update on match (MySQL's no-op
+      // `pk=VALUES(pk)` assignment has no Derby analog; omitting the
+      // MATCHED branch is the same end state)
+      SinkStatement(
+        s"MERGE INTO $t USING SYSIBM.SYSDUMMY1 ON $on " +
+          s"WHEN NOT MATCHED THEN INSERT (${q(spec.pk)}) VALUES (?)",
+        Seq(spec.pk, spec.pk))
+    } else {
+      val sets = present.map(c => s"${q(c)} = ?").mkString(", ")
+      val cols = (spec.pk +: present).map(q).mkString(", ")
+      val vals = ("?" +: present.map(_ => "?")).mkString(", ")
+      SinkStatement(
+        s"MERGE INTO $t USING SYSIBM.SYSDUMMY1 ON $on " +
+          s"WHEN MATCHED THEN UPDATE SET $sets " +
+          s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)",
+        (spec.pk +: present) ++ (spec.pk +: present))
+    }
+  }
+
+  override def delete(spec: TableSpec): SinkStatement =
+    SinkStatement(
+      s"DELETE FROM ${q(spec.name)} WHERE ${q(spec.pk)} = ?", Seq(spec.pk))
+
+  override def offsetUpsert: SinkStatement =
+    SinkStatement(
+      s"MERGE INTO ${q(UpsertWriter.StateTable)} USING SYSIBM.SYSDUMMY1 " +
+        s"ON ${q(UpsertWriter.StateTable)}.${q("name")} = '${UpsertWriter.OffsetKey}' " +
+        s"WHEN MATCHED THEN UPDATE SET ${q("value")} = ? " +
+        s"WHEN NOT MATCHED THEN INSERT (${q("name")}, ${q("value")}) " +
+        s"VALUES ('${UpsertWriter.OffsetKey}', ?)",
+      Seq("value", "value"))
+
+  override def readOffsetSql: String =
+    s"SELECT ${q("value")} FROM ${q(UpsertWriter.StateTable)} " +
+      s"WHERE ${q("name")} = '${UpsertWriter.OffsetKey}'"
+
+  /** Derby has no IF NOT EXISTS: create and swallow the
+    * table-already-exists state (X0Y32). The value column is
+    * `VARCHAR FOR BIT DATA` so the offset's decimal-text BYTES round-trip
+    * exactly like the reference's blob (`mysql.go:541`). */
+  override def ensureStateTable(conn: Connection): Unit =
+    try {
+      conn.prepareStatement(
+        s"CREATE TABLE ${q(UpsertWriter.StateTable)} (" +
+          s"${q("name")} VARCHAR(100) NOT NULL PRIMARY KEY, " +
+          s"${q("value")} VARCHAR (100) FOR BIT DATA)").executeUpdate()
+    } catch {
+      case e: SQLException if e.getSQLState == "X0Y32" => () // already exists
+    }
+
+  /** Derby DDL for a declared table — test-harness surface (production
+    * schema sync speaks the sink's own dialect; the MySQL planner is the
+    * reference-parity one). Types map per [[graft.config.SqlTypes]]
+    * families; JSON-text composites land in VARCHAR. */
+  def createTableSql(spec: TableSpec): String = {
+    val cols = spec.columns.map { c =>
+      val d = c.declaredType.trim.toLowerCase
+      val base = d.takeWhile(_.isLetter)
+      val derbyType = base match {
+        case "bigint"            => "BIGINT"
+        case "int" | "integer"   => "INTEGER"
+        case "smallint"          => "SMALLINT"
+        case "double" | "real"   => "DOUBLE"
+        case "float"             => "REAL"
+        case "varchar" | "char"  => d.toUpperCase
+        case _                   => "VARCHAR(32672)" // blob/text/json → text
+      }
+      s"${q(c.sinkName)} $derbyType"
+    }
+    s"CREATE TABLE ${q(spec.name)} (${q(spec.pk)} VARCHAR(24) NOT NULL PRIMARY KEY" +
+      (if (cols.isEmpty) "" else cols.mkString(", ", ", ", "")) + ")"
+  }
+}

@@ -79,13 +79,13 @@ object UpsertWriter {
     * parity with `mysql.go:541`.
     *
     * Only a MISSING state table maps to None (a syntax-class error, what
-    * MySQL raises for ER_NO_SUCH_TABLE). Any other SQLException — a
-    * transient connection/lock failure — propagates: swallowing it as
-    * None would read as offset 0 and trigger a spurious full from-scratch
-    * resync of every table. */
-  def readOffset(conn: Connection): Option[Long] =
+    * MySQL raises for ER_NO_SUCH_TABLE and Derby for 42X05). Any other
+    * SQLException — a transient connection/lock failure — propagates:
+    * swallowing it as None would read as offset 0 and trigger a spurious
+    * full from-scratch resync of every table. */
+  def readOffset(conn: Connection, dialect: SqlDialect = MySqlDialect): Option[Long] =
     try {
-      val rs = conn.prepareStatement(readOffsetSql).executeQuery()
+      val rs = conn.prepareStatement(dialect.readOffsetSql).executeQuery()
       if (rs != null && rs.next()) {
         val v = rs.getObject(1) match {
           case b: Array[Byte] => new String(b, "UTF-8")
@@ -112,20 +112,24 @@ object UpsertWriter {
       spec: TableSpec,
       url: String,
       props: java.util.Properties,
-      batchSize: Int = 1000): Unit = {
-    val sql = upsertSql(spec)
-    val cols = spec.pk +: spec.columns.map(_.sinkName)
-    val colIdx = cols.map(df.columns.indexOf(_))
-    require(colIdx.forall(_ >= 0), s"batch is missing declared columns for ${spec.name}")
+      batchSize: Int = 1000,
+      dialect: SqlDialect = MySqlDialect): Unit = {
+    val stmt = dialect.upsertAll(spec)
+    val cols = (spec.pk +: spec.columns.map(_.sinkName)).distinct
+    val idxBySink = cols.map(c => c -> df.columns.indexOf(c)).toMap
+    require(idxBySink.values.forall(_ >= 0), s"batch is missing declared columns for ${spec.name}")
+    // bind positions come from the dialect's declared param order (the pk
+    // may occur at more than one slot — e.g. MERGE binds it twice)
+    val srcIdx = stmt.params.map(idxBySink)
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
-          val st = conn.prepareStatement(sql)
+          val st = conn.prepareStatement(stmt.sql)
           var n = 0
           rows.foreach { r =>
-            colIdx.zipWithIndex.foreach { case (src, dst) => st.setObject(dst + 1, r.get(src)) }
+            srcIdx.zipWithIndex.foreach { case (src, dst) => bindValue(st, dst + 1, r.get(src)) }
             st.addBatch(); n += 1
             if (n % batchSize == 0) st.executeBatch()
           }
@@ -138,10 +142,25 @@ object UpsertWriter {
     }
   }
 
+  /** Null-safe bind: Derby (and other strict engines) reject
+    * `setObject(i, null)` without a type — resolve it from the statement's
+    * parameter metadata; MySQL/the test double accept either form. */
+  def bindValue(st: PreparedStatement, idx: Int, v: Any): Unit =
+    if (v == null) {
+      val t = try {
+        Option(st.getParameterMetaData).map(_.getParameterType(idx))
+          .getOrElse(java.sql.Types.VARCHAR)
+      } catch { case _: java.sql.SQLException => java.sql.Types.VARCHAR }
+      st.setNull(idx, t)
+    } else st.setObject(idx, v)
+
   /** Driver-side offset co-commit for a completed micro-batch (C1). */
-  def commitOffset(conn: Connection, offset: Long): Unit = {
-    val st: PreparedStatement = conn.prepareStatement(offsetUpsertSql)
-    st.setBytes(1, offset.toString.getBytes("UTF-8")) // blob value, parity with mysql.go:541
+  def commitOffset(conn: Connection, offset: Long,
+      dialect: SqlDialect = MySqlDialect): Unit = {
+    val stmt = dialect.offsetUpsert
+    val st: PreparedStatement = conn.prepareStatement(stmt.sql)
+    val bytes = offset.toString.getBytes("UTF-8") // blob value, parity with mysql.go:541
+    stmt.params.indices.foreach(i => st.setBytes(i + 1, bytes))
     st.executeUpdate()
   }
 }

@@ -1,0 +1,178 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+import java.util.Properties
+
+import graft.{Replicator, SparkSpec}
+import graft.config.ConfigParser
+import org.apache.spark.sql.functions._
+
+/** W3/C1 EXECUTED against a real SQL engine: embedded Apache Derby (in the
+  * Spark distribution, zero extra deps) parses, plans, and transactionally
+  * executes every statement [[DerbyDialect]] emits — upsert-as-MERGE,
+  * keyed delete, state-table bootstrap, offset co-commit — through the
+  * exact same runtime path (`UpsertWriter.writeBatch`,
+  * `Replicator.applyBatch`, `startStream`) the MySQL dialect drives. This
+  * closes the "no RDBMS has ever executed the generated SQL" gap: the
+  * grammar goldens pin the MySQL text, and this spec proves the shared
+  * writer machinery (statement cache, shape batching, bind order, replay
+  * guard, offset round-trip) against an engine that actually enforces
+  * types, constraints, and transactions. */
+class DerbyRuntimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val db = "memory:graftderby"
+  private val url = s"jdbc:derby:$db;create=true"
+  private val props = new Properties()
+
+  private val configText =
+    """inp: mongodb://localhost:27017/app
+      |out: jdbc:derby:memory:graftderby
+      |tables:
+      |  users:
+      |    name: varchar(100)
+      |    visits: bigint(20)
+      |""".stripMargin
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val conn = DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  private def freshTable(spec: graft.config.TableSpec): Unit = withConn { conn =>
+    try conn.prepareStatement(s"""DROP TABLE "${spec.name}"""").executeUpdate()
+    catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+    try conn.prepareStatement(s"""DROP TABLE "${UpsertWriter.StateTable}"""").executeUpdate()
+    catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+    conn.prepareStatement(DerbyDialect.createTableSql(spec)).executeUpdate()
+  }
+
+  private def readTable(name: String, cols: Seq[String]): Map[String, Seq[Any]] =
+    withConn { conn =>
+      val collist = cols.map(c => s""""$c"""").mkString(", ")
+      val rs = conn.prepareStatement(
+        s"""SELECT "_id", $collist FROM "$name"""").executeQuery()
+      val out = scala.collection.mutable.Map.empty[String, Seq[Any]]
+      while (rs.next()) out(rs.getString(1)) = cols.indices.map(i => rs.getObject(i + 2))
+      out.toMap
+    }
+
+  test("full pipeline on Derby: snapshot, orphan delete, streamed CDC apply, offset co-commit") {
+    val cfg = ConfigParser.parse(configText)
+    val users = cfg.table("users").get
+    freshTable(users)
+    val repl = new Replicator(spark, cfg, url, props, DerbyDialect)
+
+    // B: snapshot — MERGE executed by Derby, batched per partition
+    val source = Seq(
+      ("u1", "ann", 3L), ("u2", "bob", 5L), ("u9", "zoe", 9L))
+      .toDF("_id", "name", "visits")
+    repl.snapshot(users, source)
+    assert(readTable("users", Seq("name", "visits")).keySet == Set("u1", "u2", "u9"))
+
+    // snapshot is IDEMPOTENT on a real engine: re-run converges (MERGE
+    // takes the matched branch), no duplicate-key failure
+    repl.snapshot(users, source)
+    val afterResnap = readTable("users", Seq("name", "visits"))
+    assert(afterResnap("u1") == Seq("ann", 3L))
+
+    // J1: orphan delete executed
+    repl.deleteOrphans(users,
+      sourceIds = Seq("u1", "u2").toDF("_id"),
+      sinkIds = Seq("u1", "u2", "u9").toDF("_id"))
+    assert(readTable("users", Seq("name")).keySet == Set("u1", "u2"))
+
+    // C: streamed CDC apply — partial update preserves untouched columns,
+    // $unset nulls via typed setNull, per-key order holds, delete lands
+    val segDir = Files.createTempDirectory("graft_derby_seg").toString
+    val ckpt = Files.createTempDirectory("graft_derby_ckpt").toString
+    Files.write(Paths.get(segDir, "seg0.json"), Seq(
+      """{"op":"u","ns":"app.users","ts":101,"o":{"$set":{"visits":4}},"o2":{"_id":"u1"}}""",
+      """{"op":"u","ns":"app.users","ts":102,"o":{"$set":{"name":"anne"}},"o2":{"_id":"u1"}}""",
+      """{"op":"u","ns":"app.users","ts":103,"o":{"$unset":{"name":1}},"o2":{"_id":"u2"}}""",
+      """{"op":"i","ns":"app.users","ts":104,"o":{"_id":"u3","name":"cat","visits":1}}""",
+      """{"op":"d","ns":"app.users","ts":105,"o":{"_id":"u2"}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val q = repl.startStream(segDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val t = readTable("users", Seq("name", "visits"))
+    assert(t.keySet == Set("u1", "u3"))
+    assert(t("u1") == Seq("anne", 4L)) // both partials applied, in ts order
+    assert(t("u3") == Seq("cat", 1L))
+    // C1: offset co-committed and readable through the dialect
+    assert(withConn(UpsertWriter.readOffset(_, DerbyDialect)).contains(105L))
+
+    // restart from the same checkpoint with a new segment: only the new
+    // op applies; replay guard reads the REAL stored offset
+    Files.write(Paths.get(segDir, "seg1.json"), Seq(
+      """{"op":"u","ns":"app.users","ts":106,"o":{"$set":{"visits":7}},"o2":{"_id":"u3"}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val q2 = repl.startStream(segDir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readTable("users", Seq("name", "visits"))("u3") == Seq("cat", 7L))
+    assert(withConn(UpsertWriter.readOffset(_, DerbyDialect)).contains(106L))
+  }
+
+  test("MERGE replay is idempotent: re-applying an applied batch converges (crash window)") {
+    val cfg = ConfigParser.parse(configText)
+    val users = cfg.table("users").get
+    freshTable(users)
+    withConn { conn => DerbyDialect.ensureStateTable(conn) }
+
+    // a decoded batch in the applyBatch row contract:
+    // (kind, tbl, ts, id, fields_json, partial, removed, seq)
+    def batch = Seq(
+      ("upsert", "users", 10L, "a", """{"name":"x","visits":1}""", false, Seq.empty[String], 0),
+      ("upsert", "users", 11L, "a", """{"visits":2}""", true, Seq.empty[String], 0),
+      ("delete", "users", 12L, "zz", "", false, Seq.empty[String], 0))
+      .toDF("kind", "tbl", "ts", "id", "fields_json", "partial", "removed", "seq")
+
+    val first = Replicator.applyBatch(batch, Seq(users), url, props, dialect = DerbyDialect)
+    assert(first.contains(12L))
+    assert(readTable("users", Seq("name", "visits"))("a") == Seq("x", 2L))
+
+    // crash between data-commit and offset-commit → foreachBatch replays
+    // the SAME batch: idempotent MERGE converges to the identical state
+    val again = Replicator.applyBatch(batch, Seq(users), url, props, dialect = DerbyDialect)
+    assert(again.contains(12L))
+    assert(readTable("users", Seq("name", "visits")) ==
+      Map("a" -> Seq("x", 2L)))
+  }
+
+  test("offset round-trip: bootstrap is idempotent, commit overwrites, bytes parse back") {
+    withConn { conn =>
+      try conn.prepareStatement(s"""DROP TABLE "${UpsertWriter.StateTable}"""").executeUpdate()
+      catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+      // absent state table → None (Derby 42X05 maps to the syntax class)
+      assert(UpsertWriter.readOffset(conn, DerbyDialect).isEmpty)
+      DerbyDialect.ensureStateTable(conn)
+      DerbyDialect.ensureStateTable(conn) // second bootstrap is a no-op
+      assert(UpsertWriter.readOffset(conn, DerbyDialect).isEmpty) // no row yet
+      UpsertWriter.commitOffset(conn, 41L, DerbyDialect)
+      assert(UpsertWriter.readOffset(conn, DerbyDialect).contains(41L))
+      UpsertWriter.commitOffset(conn, 42L, DerbyDialect) // MATCHED branch
+      assert(UpsertWriter.readOffset(conn, DerbyDialect).contains(42L))
+    }
+  }
+
+  test("key-only upsert (empty present set) inserts the key and is a no-op on match") {
+    val cfg = ConfigParser.parse(configText)
+    val users = cfg.table("users").get
+    freshTable(users)
+    def touch = Seq(("upsert", "users", 20L, "k1", "{}", true, Seq.empty[String], 0))
+      .toDF("kind", "tbl", "ts", "id", "fields_json", "partial", "removed", "seq")
+    Replicator.applyBatch(touch, Seq(users), url, props, dialect = DerbyDialect)
+    assert(readTable("users", Seq("name", "visits"))("k1") == Seq(null, null))
+    // fill the row, then key-touch again: values must survive
+    def fill = Seq(("upsert", "users", 21L, "k1", """{"name":"n","visits":9}""", true, Seq.empty[String], 0))
+      .toDF("kind", "tbl", "ts", "id", "fields_json", "partial", "removed", "seq")
+    Replicator.applyBatch(fill, Seq(users), url, props, dialect = DerbyDialect)
+    Replicator.applyBatch(touch, Seq(users), url, props, dialect = DerbyDialect)
+    assert(readTable("users", Seq("name", "visits"))("k1") == Seq("n", 9L))
+  }
+}
