@@ -60,6 +60,39 @@ class TopKPerKeySpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.topk.partialMaxKeys")
   }
 
+  test("partial map is TaskMemoryManager-accounted: reserve, decline, release") {
+    // runs INSIDE a task, against the real unified memory manager
+    val out = spark.sparkContext.parallelize(Seq(1), 1).mapPartitions { _ =>
+      val tmm = org.apache.spark.GraftMemoryBridge
+        .taskMemoryManager(org.apache.spark.TaskContext.get())
+      val c = new TopKPartialMemoryConsumer(tmm)
+      val granted = c.tryReserve(TopKPerKeyExec.ReserveChunk)
+      val usedAfterGrant = c.getUsed
+      // an absurd reservation is DECLINED (returns false), not an OOM —
+      // and a declined acquire must not leak partially granted bytes
+      val declined = c.tryReserve(Long.MaxValue / 2)
+      val usedAfterDecline = c.getUsed
+      c.releaseAll()
+      Iterator((granted, usedAfterGrant, declined, usedAfterDecline, c.getUsed))
+    }.collect()(0)
+    assert(out._1, "a 4 MB chunk should be granted")
+    assert(out._2 == TopKPerKeyExec.ReserveChunk)
+    assert(!out._3, "an impossible reservation must be declined, not throw")
+    assert(out._4 == TopKPerKeyExec.ReserveChunk, "declined acquire leaked bytes")
+    assert(out._5 == 0L, "releaseAll must return every accounted byte")
+  }
+
+  test("memory-pressure flush: declined reservations degrade to per-row flush, exact") {
+    // raise the reservation chunk past anything the pool can grant: the
+    // manager declines the partial map's FIRST reservation, so every row
+    // flushes straight downstream — the spill degradation path end to
+    // end, with results still exact
+    val expected = windowed(3)
+    spark.conf.set("spark.graft.topk.partialReserveChunk", (1L << 60).toString)
+    try assert(custom(3) == expected)
+    finally spark.conf.unset("spark.graft.topk.partialReserveChunk")
+  }
+
   test("strategy-free window fallback produces identical rows") {
     val viaFallback = TopK.windowed(data, Seq("g"),
         Seq(col("score").desc, col("id").asc), 3)
