@@ -28,6 +28,18 @@ object GraftFunctions {
         require(args.length == 1, "graft_digest60(s) takes one string argument")
         Digest60(args.head)
       }),
+    (FunctionIdentifier("graft_quantize_sq8"),
+      new ExpressionInfo(classOf[QuantizeSq8].getName, "graft_quantize_sq8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_quantize_sq8(v) takes one array<float> argument")
+        QuantizeSq8(args.head)
+      }),
+    (FunctionIdentifier("graft_int_dot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "graft_int_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_int_dot(a, b) takes two array<int> arguments")
+        IntDotProduct(args.head, args(1))
+      }),
     (FunctionIdentifier("graft_decode_features"),
       new ExpressionInfo(classOf[DecodeFeatures].getName, "graft_decode_features"),
       (args: Seq[Expression]) => {

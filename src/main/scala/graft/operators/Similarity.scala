@@ -129,18 +129,21 @@ object Similarity {
   def sq8TopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    def quantize(vec: Column): Column = {
-      val s = array_max(transform(vec, x => abs(x.cast("double"))))
-      when(s.isNull || s === 0.0, transform(vec, _ => lit(0)))
-        .otherwise(transform(vec,
-          x => floor(x.cast("double") * 127.0 / s + 0.5).cast("int")))
-    }
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    // Native one-pass quantization (graft.functions.QuantizeSq8): the
+    // composed transform/array_max form re-evaluates the max INSIDE the
+    // per-element lambda — O(d²) interpreted walks per vector (spec-pinned
+    // equivalent, SimilaritySpec keeps the composed twin as the cross-check).
+    def quantize(vec: Column): Column = call_function("graft_quantize_sq8", vec)
     val q = broadcast(queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qq")))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__qc"))
+    // per-PAIR scoring is the native codegen'd int-dot expression
+    // (graft.functions.IntDotProduct) — the interpreted
+    // aggregate(zip_with(...)) form allocates an array per pair and costs
+    // ~3x the whole query at sf0.1; quantization stays composed-builtins
+    // because it runs once per VECTOR, not per pair
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        aggregate(zip_with(col("__qq"), col("__qc"), (x, y) => (x * y).cast("long")),
-          lit(0L), _ + _))
+      .withColumn("score", call_function("graft_int_dot", col("__qq"), col("__qc")))
     TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))

@@ -35,6 +35,38 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("native SQ8 quantization is identical to the composed transform/array_max form") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = graft.Tables.load(spark, Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+      .unionByName(Seq((9001L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    def composed(vec: org.apache.spark.sql.Column) = {
+      val s = array_max(transform(vec, x => abs(x.cast("double"))))
+      when(s.isNull || s === 0.0, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec, x => floor(x.cast("double") * 127.0 / s + 0.5).cast("int")))
+    }
+    val both = vecs.select(
+      composed(col("embedding")).as("c"),
+      call_function("graft_quantize_sq8", col("embedding")).as("n"))
+    assert(both.filter(not(col("c") <=> col("n"))).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("native int-dot is identical to the composed aggregate/zip_with form") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val codes = Seq(
+      (0L, Array(127, -127, 5, 0)), (1L, Array(-1, 2, -3, 4)),
+      (2L, Array(0, 0, 0, 0)), (3L, Array(100, 100, 100, 100)))
+      .toDF("id", "q")
+    val pairs = codes.as("a").crossJoin(codes.as("b")).select(
+      aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => (x * y).cast("long")),
+        lit(0L), _ + _).as("composed"),
+      call_function("graft_int_dot", col("a.q"), col("b.q")).as("native"))
+    assert(pairs.filter(col("composed") =!= col("native")).count() == 0)
+    assert(pairs.count() == 16)
+  }
+
   test("graft_cosine resolves in SQL text after registration") {
     graft.functions.GraftFunctions.register(spark)
     graft.Tables.load(spark, Sf0001, "embeddings").createOrReplaceTempView("emb_sql")
