@@ -74,5 +74,6 @@ object SparkEntry {
     // int8 ANN, keyed funnel chain, multi-stage curation) need regression
     // signal just as much as the r1 headline set
     "asof_join", "range_join", "topk_native", "sim_topk_sq8",
-    "funnel_stages", "curation_pipeline", "quantile_bin_sketch")
+    "funnel_stages", "curation_pipeline", "quantile_bin_sketch",
+    "dedup_minhash_est")
 }

@@ -164,21 +164,23 @@ object Dedup {
       .select(col(idCol), col("__sm.seed").as("seed"), col("__sm.minhash").as("minhash"))
   }
 
-  /** Fused MinHash+banding: signatures AND band hashes in ONE groupBy(id)
-    * pass — the k per-seed mins aggregate map-side, and each band's hash is
-    * assembled from the wide row with no further shuffle. Produces the same
-    * (id, band, band_hash) as [[minhash]]∘[[lshBands]] (identical hash
-    * bytes) while cutting the chain from three shuffles to one; at 100 TB
-    * the only data movement left is |distinct shingles| rows keyed by id. */
-  def minhashBands(shingled: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+  /** ONE groupBy(id) pass producing the wide signature row
+    * (id, __m0..__m{k-1}) — the shared upstream of [[minhashBands]] and
+    * [[lshEstimatedPairs]]. */
+  private def wideSigs(shingled: DataFrame, idCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(shingled.sparkSession)
     require(k <= MaxMinhashK, s"k=$k exceeds $MaxMinhashK: seeds ≥ $MaxMinhashK are reserved for the count-min family")
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val rpb = k / bands
     val base = shingled.select(col(idCol), shingleHashMod(col("shingle")).as("__hm"))
     val aggs = (0 until k).map(i =>
       min((lit(minhashA(i)) * col("__hm") + lit(minhashB(i))) % MinhashMod).as(s"__m$i"))
-    val wide = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band rows (id, band, band_hash) assembled from a wide signature row —
+    * no shuffle; identical hash bytes to [[minhash]]∘[[lshBands]]. */
+  private def bandsFromWide(wide: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rpb = k / bands
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rpb).map(i =>
         concat(lit(s"${b * rpb + i}:"), col(s"__m${b * rpb + i}")))
@@ -187,6 +189,47 @@ object Dedup {
     }
     wide.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
       .select(col(idCol), col("__b.band").as("band"), col("__b.band_hash").as("band_hash"))
+  }
+
+  /** Fused MinHash+banding: signatures AND band hashes in ONE groupBy(id)
+    * pass — the k per-seed mins aggregate map-side, and each band's hash is
+    * assembled from the wide row with no further shuffle. Produces the same
+    * (id, band, band_hash) as [[minhash]]∘[[lshBands]] (identical hash
+    * bytes) while cutting the chain from three shuffles to one; at 100 TB
+    * the only data movement left is |distinct shingles| rows keyed by id. */
+  def minhashBands(shingled: DataFrame, idCol: String, k: Int, bands: Int): DataFrame =
+    bandsFromWide(wideSigs(shingled, idCol, k), idCol, k, bands)
+
+  /** LSH candidates scored by their MinHash-ESTIMATED Jaccard — the
+    * signature-only similarity pass: est = (matching seeds)/k, the
+    * unbiased MinHash estimator. At 100 TB this is the verification mode
+    * that never re-touches the corpus: the exact inverted-index pass
+    * ([[ngramJaccardPairs]]) re-reads every shingle to intersect
+    * candidate pairs, while this joins two k-long signature arrays per
+    * candidate — the signatures were already paid for by banding, the
+    * wide row is materialized ONCE (`localCheckpoint`) and reused for
+    * both the band derivation and the estimate, so the whole chain costs
+    * one shingle scan + one groupBy + |pairs| narrow joins. Estimator
+    * stderr ≈ √(j(1−j)/k) — the k dial trades signature bytes for
+    * estimate precision; exact Jaccard stays the small-data/audit twin.
+    *
+    * @param minEst keep pairs with estimate ≥ this (0 keeps all
+    *               candidates banding surfaced) */
+  def lshEstimatedPairs(
+      shingled: DataFrame, idCol: String, k: Int, bands: Int,
+      maxBucket: Int = Int.MaxValue, minEst: Double = 0.0): DataFrame = {
+    val wide = wideSigs(shingled, idCol, k).localCheckpoint()
+    val pairs = lshCandidates(bandsFromWide(wide, idCol, k, bands), idCol, maxBucket)
+    val sigArr = wide.select(col(idCol),
+      array((0 until k).map(i => col(s"__m$i")): _*).as("__sig"))
+    pairs
+      .join(sigArr.select(col(idCol).as("id_a"), col("__sig").as("__sa")), Seq("id_a"))
+      .join(sigArr.select(col(idCol).as("id_b"), col("__sig").as("__sb")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** LSH banding: group the k signature rows into `bands` bands and hash

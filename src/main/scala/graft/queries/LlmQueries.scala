@@ -90,6 +90,17 @@ object LlmQueries {
       Dedup.lshCandidates(banded, "doc_id").orderBy("id_a", "id_b")
     },
 
+    // MinHash-ESTIMATED Jaccard for the LSH candidates: similarity from
+    // the signatures alone (matching seeds / k) — the verification mode
+    // that never re-touches the corpus at 100 TB. One shingle scan, one
+    // signature aggregation reused for bands AND estimates.
+    "dedup_minhash_est" -> q { (s, dir) =>
+      val sh = Dedup.rawShingles(Tables.load(s, dir, "documents"),
+        "text", "doc_id", ShingleN)
+      Dedup.lshEstimatedPairs(sh, "doc_id", MinhashK, LshBands)
+        .orderBy("id_a", "id_b")
+    },
+
     // Exact n-gram Jaccard over the inverted index, stop-shingle guarded.
     // The index is digested to 8-byte keys first: distinct, doc-frequency
     // and the self-join all shuffle longs, not shingle strings.
@@ -366,6 +377,29 @@ object LlmQueries {
          FROM banded a JOIN banded b
            ON a.band = b.band AND a.band_hash = b.band_hash
           AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+
+    // The estimator divides an integer match count by k, so the double is
+    // exact in both engines; banding CTE identical to dedup_lsh_pairs.
+    "dedup_minhash_est" ->
+      s"""WITH $ShinglesCte, $MinhashCte,
+         banded AS (
+           SELECT doc_id, (seed // 4) AS band,
+                  md5(array_to_string(
+                    list_sort(list(concat(seed, ':', minhash))), '|')) AS band_hash
+           FROM sig GROUP BY doc_id, band),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id)
+         SELECT p.id_a, p.id_b,
+                sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::double
+                  / 16 AS est_jaccard
+         FROM pairs p
+         JOIN sig sa ON sa.doc_id = p.id_a
+         JOIN sig sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+         GROUP BY p.id_a, p.id_b
          ORDER BY id_a, id_b""",
 
     "dedup_jaccard" ->

@@ -133,6 +133,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L))) // 2 is anti-parallel: different bucket + cosine −1
   }
 
+  test("minhash-estimated Jaccard: exact dup estimates 1.0, pairs = LSH candidates") {
+    val sh = Dedup.rawShingles(docs, "text", "doc_id", 3)
+    val est = Dedup.lshEstimatedPairs(sh, "doc_id", k = 8, bands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val candidates = Dedup.lshCandidates(
+        Dedup.minhashBands(sh, "doc_id", 8, 4), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.keySet == candidates, "estimate rows must be exactly the candidate set")
+    assert(est((0L, 1L)) == 1.0) // identical docs: every seed's min matches
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
+    // minEst threshold filters
+    val strict = Dedup.lshEstimatedPairs(sh, "doc_id", k = 8, bands = 4, minEst = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((0L, 1L)))
+    assert(strict.subsetOf(candidates))
+  }
+
   test("simhash maxBucket skips monster block buckets (exact-dup cliques)") {
     // 6 identical docs: every (block, block_val) bucket has width 6
     val clones = (0L until 6L).map(i => (i, "same text every single time here"))
