@@ -28,6 +28,18 @@ object GraftFunctions {
         require(args.length == 1, "graft_digest60(s) takes one string argument")
         Digest60(args.head)
       }),
+    (FunctionIdentifier("graft_shingle_digests"),
+      new ExpressionInfo(classOf[ShingleDigests].getName, "graft_shingle_digests"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_shingle_digests(tokens, text, n) takes tokens, text, and a literal n")
+        val n = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_digests n must be an int literal, got $other")
+        }
+        ShingleDigests(args.head, args(1), n)
+      }),
     (FunctionIdentifier("graft_quantize_sq8"),
       new ExpressionInfo(classOf[QuantizeSq8].getName, "graft_quantize_sq8"),
       (args: Seq[Expression]) => {
