@@ -16,7 +16,11 @@ import org.apache.spark.sql.types._
   * PAIR; this expression generates a tight int-multiply/long-add loop —
   * the JVM shape of the SIMD kernel a native SQ8 scorer compiles to.
   * Bit-for-bit identical results: int products accumulate into a long
-  * left-to-right (no overflow for |codes| ≤ 127 and realistic dims).
+  * left-to-right (no overflow for |codes| ≤ 127 and realistic dims), and
+  * a dimension mismatch yields NULL — exactly what the composed form
+  * produces (`zip_with` pads the shorter array with nulls, which
+  * null-poisons the aggregate), so the equivalence holds for ALL inputs,
+  * not just the equal-dimension happy path.
   */
 case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -25,11 +29,14 @@ case class IntDotProduct(left: Expression, right: Expression)
   // operator callers — ExpectsInputTypes is private[sql], cf. CosineSimilarity).
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_int_dot"
+  // Nullable even over non-null children: mismatched dims return NULL.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -45,12 +52,16 @@ case class IntDotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |final int $n = Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

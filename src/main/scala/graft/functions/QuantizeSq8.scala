@@ -45,7 +45,10 @@ object Sq8Kernel {
     var i = 0
     while (i < n) {
       val a = math.abs(vec.getFloat(i).toDouble)
-      if (a > s) s = a
+      // NaN-sticky, mirroring the composed twin: array_max's ordering
+      // ranks NaN above everything, so any NaN element makes the scale
+      // NaN and every code 0 (NaN.toInt) — same here, bit-for-bit.
+      if (a > s || java.lang.Double.isNaN(a)) s = a
       i += 1
     }
     if (s != 0.0) {

@@ -52,7 +52,10 @@ object Binning {
     * stratum edges strictly below the value. Edges arrive by broadcast
     * equi-join on the stratum; the assignment itself is codegen'd array
     * algebra. Rows whose value is NULL get a NULL bin (no rank position),
-    * mirroring `ntile` input semantics. */
+    * mirroring `ntile` input semantics. The join is LEFT so a NULL
+    * stratum never drops rows: NULL never equi-matches its own edges
+    * group, so those rows keep a NULL bin — the same rows-preserved,
+    * bin-NULL shape the DuckDB oracle's LEFT JOIN produces. */
   def quantileBins(
       df: DataFrame, valueCol: String, strataCol: String,
       numBins: Int, binCol: String = "bin", accuracy: Int = 1000000): DataFrame = {
@@ -61,9 +64,9 @@ object Binning {
     require(!df.columns.contains(binCol),
       s"quantileBins input already contains bin column '$binCol'")
     val edges = quantileEdges(df, valueCol, strataCol, numBins, accuracy)
-    df.join(broadcast(edges), Seq(strataCol))
+    df.join(broadcast(edges), Seq(strataCol), "left")
       .withColumn(binCol,
-        when(col(valueCol).isNotNull,
+        when(col(valueCol).isNotNull && col("__edges").isNotNull,
           lit(1) + size(filter(col("__edges"), e => col(valueCol) > e))))
       .drop("__edges")
   }

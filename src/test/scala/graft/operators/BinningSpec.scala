@@ -58,6 +58,20 @@ class BinningSpec extends SparkSpec {
     assert(bins(Some(1)).nonEmpty && bins(Some(2)).nonEmpty)
   }
 
+  test("null strata keep their rows with a null bin (left join, never dropped)") {
+    val df = Seq((Some("a"), 1), (Some("a"), 2), (None, 3), (None, 4))
+      .toDF("g", "v")
+    val binned = Binning.quantileBins(df, "v", "g", 2)
+    assert(binned.count() == 4, "a null stratum must not drop rows")
+    val nullStratum = binned.filter($"g".isNull)
+      .select($"v", $"bin").as[(Int, Option[Int])].collect().toMap
+    assert(nullStratum.keySet == Set(3, 4))
+    assert(nullStratum.values.forall(_.isEmpty),
+      "null-stratum rows get a null bin (NULL never equi-matches its edges)")
+    // non-null strata still binned normally
+    assert(binned.filter($"g" === "a" && $"bin".isNotNull).count() == 2)
+  }
+
   test("plan: no window, no per-stratum sort — sketch aggregate + broadcast join") {
     val plan = Binning.quantileBins(docs, "n_chars", "lang", 10)
       .queryExecution.executedPlan.toString

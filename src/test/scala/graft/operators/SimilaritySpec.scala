@@ -39,7 +39,12 @@ class SimilaritySpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     val vecs = graft.Tables.load(spark, Sf0001, "embeddings")
       .select("vec_id", "embedding")
-      .unionByName(Seq((9001L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+      .unionByName(Seq(
+        (9001L, Array(0f, 0f, 0f)),
+        // NaN poisons array_max → NaN scale → every code casts to 0; the
+        // native kernel's NaN-sticky max scan must reproduce that exactly
+        (9002L, Array(1f, Float.NaN, 3f)),
+        (9003L, Array(Float.NaN))).toDF("vec_id", "embedding"))
     def composed(vec: org.apache.spark.sql.Column) = {
       val s = array_max(transform(vec, x => abs(x.cast("double"))))
       when(s.isNull || s === 0.0, transform(vec, _ => lit(0)))
@@ -65,6 +70,24 @@ class SimilaritySpec extends SparkSpec {
       call_function("graft_int_dot", col("a.q"), col("b.q")).as("native"))
     assert(pairs.filter(col("composed") =!= col("native")).count() == 0)
     assert(pairs.count() == 16)
+  }
+
+  test("native int-dot on mismatched dimensions is NULL, like the composed form") {
+    graft.functions.GraftFunctions.register(spark)
+    val uneven = Seq((0L, Array(1, 2, 3)), (1L, Array(4, 5))).toDF("id", "q")
+    val pairs = uneven.as("a").crossJoin(uneven.as("b")).select(
+      col("a.id").as("ai"), col("b.id").as("bi"),
+      aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => (x * y).cast("long")),
+        lit(0L), _ + _).as("composed"),
+      call_function("graft_int_dot", col("a.q"), col("b.q")).as("native"))
+      .collect()
+    assert(pairs.length == 4)
+    pairs.foreach { r =>
+      assert(r.isNullAt(2) == r.isNullAt(3), s"null parity broken on $r")
+      if (!r.isNullAt(2)) assert(r.getLong(2) == r.getLong(3))
+    }
+    // mismatched pairs specifically ARE the null ones
+    assert(pairs.count(_.isNullAt(3)) == 2)
   }
 
   test("graft_cosine resolves in SQL text after registration") {
