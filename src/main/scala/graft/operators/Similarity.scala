@@ -193,6 +193,56 @@ object Similarity {
       .select(col(idCol) +: passThrough.map(c => col(s"__best.$c")) :+ col("__best.cluster"): _*)
   }
 
+  /** Multi-probe probe list: each query's `nProbe` nearest centroids,
+    * ranked by the SAME (rounded cosine desc, centroid_id asc) order as
+    * [[assignClusters]] — so probe rank 1 is exactly the cluster
+    * single-probe search uses, and raising `nProbe` strictly widens the
+    * candidate set. The |Q|×C scored rows reduce through the bounded-heap
+    * top-k (map-side partial heaps), so the shuffle carries |Q|×nProbe
+    * rows even when the query side is corpus-sized. */
+  private[operators] def probeClusters(
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val cen = broadcast(centroids.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cen")))
+    val scored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(cen)
+      .withColumn("cosine", round(cosineNative(col("__qv"), col("__cen")), 6))
+    topKPerQueryAuto(scored, nProbe)
+      .select(col("query_id"), col("__qv"),
+        col("neighbor_id").as("cluster"), col("rank").as("probe_rank"))
+  }
+
+  /** Multi-probe IVF ANN: like [[ivfTopK]], but each query searches its
+    * `nProbe` nearest clusters instead of only the nearest one — the
+    * standard recall dial of inverted-file indexes (FAISS `nprobe`).
+    * Single-probe misses exactly the neighbors that fall just across a
+    * Voronoi boundary from the query; probing the runner-up cells
+    * recovers them for `nProbe×` scan cost, still a vanishing fraction
+    * of the corpus (`nProbe/C`).
+    *
+    * Scale shape is unchanged from [[ivfTopK]]: the corpus is assigned
+    * and shuffled ONCE by cluster (each vector lives in exactly one
+    * cluster, so no candidate is ever scored twice and no dedup step is
+    * needed); the probe list joins against it on the cluster key, and
+    * the bounded-heap top-k ships queries×k rows. `nProbe = 1`
+    * reproduces [[ivfTopK]] row-for-row (spec-pinned). */
+  def ivfTopKProbed(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val clustered = assignClusters(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cluster"))
+    val probes = probeClusters(queries, centroids, idCol, vecCol, nProbe)
+      .drop("probe_rank")
+    val scored = broadcast(probes).join(clustered, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
+    topKPerQueryAuto(scored, k)
+      .select(col("query_id"), col("cluster"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {

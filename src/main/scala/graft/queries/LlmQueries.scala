@@ -166,6 +166,17 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Multi-probe IVF: each query searches its 2 nearest clusters — the
+    // recall dial; probe rank 1 is single-probe's cluster, so the
+    // candidate set strictly widens.
+    "sim_topk_ivf_probed" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfTopKProbed(emb.filter(col("vec_id") < 10), emb, centroids,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // IVF with TRAINED centroids: two Lloyd refinement steps from the
     // deterministic init, then the same cluster-restricted search. The
     // oracle replays both iterations exactly (rounded float means).
@@ -547,6 +558,36 @@ object LlmQueries {
            FROM clustered q JOIN clustered c
              ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
            WHERE q.vec_id < 10)
+         SELECT query_id, cluster, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_ivf_probed" ->
+      """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         clustered AS (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, embedding AS qv, cluster
+           FROM assign WHERE vec_id < 10 AND crn <= 2),
+         scored AS (
+           SELECT q.query_id, c.cluster AS cluster, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv::double[], c.embedding::double[]) /
+               (sqrt(list_dot_product(q.qv::double[], q.qv::double[])) *
+                sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
+               6) AS cosine
+           FROM probes q JOIN clustered c
+             ON q.cluster = c.cluster AND c.vec_id <> q.query_id)
          SELECT query_id, cluster, neighbor_id, cosine,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, neighbor_id) AS rnk

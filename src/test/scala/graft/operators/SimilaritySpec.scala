@@ -180,6 +180,41 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains(2L))   // assigned to centroid 200's cluster
   }
 
+  test("ivfTopKProbed: nProbe=1 reproduces ivfTopK row-for-row") {
+    val emb = graft.Tables.load(spark, Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") % 100 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+    val single = Similarity.ivfTopK(queries, emb, centroids,
+      "vec_id", "embedding", k = 3).collect().map(_.toSeq).toSet
+    val probed = Similarity.ivfTopKProbed(queries, emb, centroids,
+      "vec_id", "embedding", k = 3, nProbe = 1).collect().map(_.toSeq).toSet
+    assert(probed == single)
+  }
+
+  test("ivfTopKProbed: widening nProbe never worsens the k-th score; probe 1 = assigned cluster") {
+    val emb = graft.Tables.load(spark, Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") % 100 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+    def kthScore(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.groupBy(col("query_id")).agg(min(col("cosine")).as("kth"))
+        .as[(Long, Double)].collect().toMap
+    val s1 = kthScore(Similarity.ivfTopKProbed(queries, emb, centroids,
+      "vec_id", "embedding", k = 3, nProbe = 1))
+    val s2 = kthScore(Similarity.ivfTopKProbed(queries, emb, centroids,
+      "vec_id", "embedding", k = 3, nProbe = 2))
+    for ((qid, kth1) <- s1)
+      assert(s2(qid) >= kth1, s"query $qid: nProbe=2 kth ${s2(qid)} < nProbe=1 kth $kth1")
+    // probe rank 1 is exactly the cluster assignClusters picks
+    val assigned = Similarity.assignClusters(queries, centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster")).as[(Long, Long)].collect().toMap
+    val probe1 = Similarity.probeClusters(queries, centroids, "vec_id", "embedding", 2)
+      .filter(col("probe_rank") === 1)
+      .select(col("query_id"), col("cluster")).as[(Long, Long)].collect().toMap
+    assert(probe1 == assigned)
+  }
+
   test("lloydCentroids converges to the blob means from a skewed init") {
     // two clean direction blobs; init centroids both sit in blob A's
     // half-space but one is closer to blob B's members
