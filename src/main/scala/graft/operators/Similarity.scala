@@ -193,6 +193,34 @@ object Similarity {
       .select(col(idCol) +: passThrough.map(c => col(s"__best.$c")) :+ col("__best.cluster"): _*)
   }
 
+  /** Two-stage SQ8 retrieval: coarse int8 scan, exact float rerank — the
+    * production shape of quantized ANN (FAISS-style refine): the corpus
+    * pass reads 4×-smaller int8 codes and ranks by exact integer dot
+    * product ([[sq8TopK]]) keeping `k × refine` candidates per query,
+    * then ONLY those candidates' float vectors are fetched and re-ranked
+    * by exact rounded cosine. Quantization error can reorder near-ties,
+    * so the coarse list over-fetches by `refine`; the rerank restores
+    * exact ordering among survivors at a cost proportional to
+    * |Q|·k·refine — independent of corpus size. The candidate→vector
+    * fetch joins broadcast-side against one more corpus scan (column-
+    * pruned to id+vector, no corpus shuffle); at query volumes where
+    * |Q|·k·refine outgrows the broadcast threshold, drop the hint and
+    * let AQE pick the shuffle join. */
+  def sq8RerankTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, refine: Int = 4): DataFrame = {
+    require(refine > 0, s"refine must be positive, got $refine")
+    val coarse = sq8TopK(queries, corpus, idCol, vecCol, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = broadcast(coarse.join(q, Seq("query_id")))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
+    topKPerQueryAuto(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Multi-probe probe list: each query's `nProbe` nearest centroids,
     * ranked by the SAME (rounded cosine desc, centroid_id asc) order as
     * [[assignClusters]] — so probe rank 1 is exactly the cluster

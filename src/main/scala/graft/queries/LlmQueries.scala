@@ -198,6 +198,17 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Two-stage SQ8 retrieval: int8 coarse scan over-fetches k×refine
+    // candidates, exact float cosine re-ranks the survivors — the
+    // FAISS-style refine pattern (4× cheaper corpus reads, exact final
+    // ordering among candidates).
+    "sim_topk_sq8_rerank" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.sq8RerankTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, refine = 2)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // EXACT length-decile binning per language — the small-data
     // cross-check twin of quantile_bin_sketch below: ntile over a TOTAL
     // order (ties broken by doc_id) so bin edges reproduce exactly across
@@ -679,6 +690,38 @@ object LlmQueries {
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, neighbor_id) AS rnk
          FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_sq8_rerank" ->
+      """WITH qz AS (
+           SELECT vec_id,
+             CASE WHEN s IS NULL OR s = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(x::double * 127.0 / s + 0.5) AS INT)) END AS qv
+           FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x::double))) AS s
+                 FROM embeddings)),
+         coarse AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               CAST(list_dot_product(q.qv::double[], c.qv::double[]) AS BIGINT) DESC,
+               c.vec_id) AS crn
+           FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10
+           QUALIFY crn <= 10),
+         rerank AS (
+           SELECT query_id, neighbor_id,
+             round(list_dot_product(eq.embedding::double[], ec.embedding::double[]) /
+               (sqrt(list_dot_product(eq.embedding::double[], eq.embedding::double[])) *
+                sqrt(list_dot_product(ec.embedding::double[], ec.embedding::double[]))),
+               6) AS cosine
+           FROM coarse
+           JOIN embeddings eq ON eq.vec_id = query_id
+           JOIN embeddings ec ON ec.vec_id = neighbor_id)
+         SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM rerank
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
 
     "quantile_bin" ->

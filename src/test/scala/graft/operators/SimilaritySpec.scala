@@ -180,6 +180,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains(2L))   // assigned to centroid 200's cluster
   }
 
+  test("sq8RerankTopK: refine covering the corpus reproduces exact brute-force top-k") {
+    // coarse k×refine = 6 ≥ corpus-1 candidates → every vector survives
+    // the coarse stage, so the rerank IS brute force (exact cosine order)
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 2), emb, "vec_id", "embedding", k = 2)
+      .collect().map(_.toSeq).toSet
+    val reranked = Similarity.sq8RerankTopK(
+      emb.filter(col("vec_id") < 2), emb, "vec_id", "embedding", k = 2, refine = 3)
+      .collect().map(_.toSeq).toSet
+    assert(reranked == exact)
+  }
+
+  test("sq8RerankTopK: candidates come only from the coarse int8 list") {
+    val out = Similarity.sq8RerankTopK(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 1, refine = 1)
+      .collect()
+    val coarse = Similarity.sq8TopK(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.length == 1)
+    assert(coarse.contains(out.head.getLong(1)),
+      "rerank winner must be drawn from the coarse candidate list")
+  }
+
   test("ivfTopKProbed: nProbe=1 reproduces ivfTopK row-for-row") {
     val emb = graft.Tables.load(spark, Sf0001, "embeddings")
       .select("vec_id", "embedding")
