@@ -53,6 +53,24 @@ object GraftFunctions {
         require(args.length == 2, "graft_int_dot(a, b) takes two array<int> arguments")
         IntDotProduct(args.head, args(1))
       }),
+    (FunctionIdentifier("graft_float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_float_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_float_dot(a, b) takes two array<float> arguments")
+        FloatDotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_adc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_pq_adc(lut, codes, k) takes a LUT, a code vector, and a literal codebook size")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_adc codebook size must be an int literal, got $other")
+        }
+        PqAdcScore(args.head, args(1), k)
+      }),
     (FunctionIdentifier("graft_decode_features"),
       new ExpressionInfo(classOf[DecodeFeatures].getName, "graft_decode_features"),
       (args: Seq[Expression]) => {

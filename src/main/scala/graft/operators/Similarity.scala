@@ -285,6 +285,240 @@ object Similarity {
       .select(col("query_id"), col("cluster"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** One row per (vector, subspace): the vector split into `m` contiguous
+    * `dsub`-wide slices — PQ's subspace decomposition. posexplode's
+    * position IS the subspace index, so no join is needed to recover it. */
+  private def subspaces(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, outId: String, carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as(outId) +: carry.map(col) :+
+      posexplode(array((0 until m).map(j => slice(col(vecCol), j * dsub + 1, dsub)): _*))
+        .as(Seq("subspace", "__sub")): _*)
+
+  /** PQ codebook from a deterministic codeword set (caller-provided, e.g.
+    * a sampled subset — the same contract as [[ivfTopK]]'s centroids):
+    * one row per (subspace, codeword) with a DENSE code in `[0, K)`
+    * (rank of `code_id` within the subspace — LUT arrays need dense
+    * offsets, and source ids are sparse), the codeword slice, and its
+    * precomputed self-dot (the `c·c` term of every L2² evaluation, K×
+    * cheaper hoisted here than recomputed per corpus vector). The
+    * row_number window is over the codeword set only — broadcast-small
+    * by contract (K ≤ a few hundred per subspace in any real PQ index). */
+  def pqCodebook(
+      codewords: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(codewords.sparkSession)
+    subspaces(codewords, idCol, vecCol, m, dsub, "code_id")
+      .withColumn("code", (row_number().over(
+        Window.partitionBy(col("subspace")).orderBy(col("code_id"))) - 1).cast("int"))
+      .withColumnRenamed("__sub", "__cw")
+      .withColumn("__cw2",
+        call_function("graft_float_dot", col("__cw"), col("__cw")))
+  }
+
+  /** PQ ENCODE: every vector → `m` dense codes (`array<int>`), each the
+    * argmin-L2² codeword of its subspace slice. L2² composes from three
+    * native dots (`x·x − 2x·c + c·c`; `x·x` hoisted per slice, `c·c`
+    * per codeword — only the cross term is per pair), rounded to 6 dp so
+    * the DuckDB oracle's argmin sees identical keys; ties break by dense
+    * code ascending (== `code_id` ascending, rank preserves order).
+    * Scale shape: the N×m×K scored rows reduce MAP-SIDE through
+    * `max_by` partials, so the two shuffles carry N×m then N rows —
+    * never N×m×K (the [[assignClusters]] argument, per subspace). The
+    * output row is the whole point: m ints instead of d floats is the
+    * 100 TB corpus representation (d=64, m=4 ⇒ 16× fewer bytes
+    * scanned by every downstream search). */
+  def pqEncode(
+      corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def fdot(a: Column, b: Column) = call_function("graft_float_dot", a, b)
+    subspaces(corpus, idCol, vecCol, m, dsub, idCol, carry)
+      .withColumn("__x2", fdot(col("__sub"), col("__sub")))
+      .join(broadcast(codebook), Seq("subspace"))
+      .withColumn("__d2",
+        round(col("__x2") - lit(2.0) * fdot(col("__sub"), col("__cw")) + col("__cw2"), 6))
+      .groupBy(col(idCol), col("subspace"))
+      // carried columns are constant per id, so first() is deterministic
+      .agg(max_by(col("code"),
+        struct((-col("__d2")).as("__negd"), (-col("code")).as("__negc"))).as("code"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .groupBy(col(idCol))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(subspace, code))), s -> cast(s.code as int))")
+        .as("codes"),
+        carry.map(c => first(col(c)).as(c)): _*)
+  }
+
+  /** Per-query ADC lookup table: `lut(j·K + c) = round(q_j · cw_{j,c}, 6)`
+    * flattened subspace-major — |Q|×m×K tiny rows reassembled into one
+    * array per query. Pre-rounding each entry to 6 dp is the determinism
+    * keystone: every downstream score is a sum of multiples of 1e-6, so
+    * summation ORDER cannot move the final `round(·, 6)` — which lets the
+    * oracle replay scores with an unordered SQL `sum`. */
+  private[operators] def pqLut(
+      queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    subspaces(queries, idCol, vecCol, m, dsub, "query_id")
+      .join(broadcast(codebook), Seq("subspace"))
+      .withColumn("__term",
+        round(call_function("graft_float_dot", col("__sub"), col("__cw")), 6))
+      .groupBy(col("query_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(subspace, code, __term))), s -> s.__term)")
+        .as("__lut"))
+  }
+
+  /** Product-quantized ANN (FAISS `PQm`-style flat index): corpus encoded
+    * ONCE to m dense codes per vector, queries scored against codes only
+    * via the ADC lookup table — `Σ_j lut(j·K + code_j)`, the native
+    * [[graft.functions.PqAdcScore]] tight loop (m array reads + adds per
+    * pair; the composed HOF form is the spec-pinned interpreted twin).
+    * Approximates `q · x` by `q · codeword(x)` per subspace, so ranking
+    * is by approximate DOT PRODUCT (descending, id ascending — all
+    * 6 dp-rounded doubles, reproducible cross-engine per [[pqLut]]).
+    *
+    * The 100 TB case for PQ over SQ8: the scan reads m ints per vector
+    * instead of d — bandwidth shrinks by d/m (16× at d=64, m=4)
+    * INDEPENDENT of value width, and scoring cost drops d multiplies →
+    * m lookups. Recall < 1 by construction (quantization error);
+    * compose with [[sq8RerankTopK]]'s refine pattern (over-fetch, exact
+    * rerank of survivors) or train codewords per subspace with
+    * [[lloydCentroids]] over sliced frames to tighten cells.
+    *
+    * `codewords` must be broadcast-small (the [[ivfTopK]] centroid
+    * contract); the one driver action counts it to size the LUT stride. */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, codewords: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
+    require(m > 0 && dsub > 0, s"m=$m and dsub=$dsub must be positive")
+    pqTopKWithCodebook(queries, corpus,
+      pqCodebook(codewords, idCol, vecCol, m, dsub), idCol, vecCol, k, m, dsub)
+  }
+
+  /** [[pqTopK]] against a PREBUILT codebook (sampled via [[pqCodebook]]
+    * or Lloyd-trained via [[pqTrainCodebooks]] — any frame in the
+    * codebook shape). The one driver action reads the dense-code stride
+    * K off the (broadcast-small) codebook. */
+  def pqTopKWithCodebook(
+      queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val nCodes = codebook.agg(max(col("code"))).head().getInt(0) + 1
+    require(nCodes > 0, "PQ codebook is empty")
+    val codes = pqEncode(corpus, codebook, idCol, vecCol, m, dsub)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val lut = pqLut(queries, codebook, idCol, vecCol, m, dsub)
+    val scored = broadcast(lut).join(codes, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(nCodes)), 6))
+    TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** PQ codebook TRAINING: `iters` per-subspace Lloyd refinement steps
+    * from a deterministic init — all m subspaces train in the SAME two
+    * passes per round (subspace is just another grouping key), so cost
+    * does not grow with m. Each round: argmin-L2 assignment of every
+    * corpus subvector (broadcast codebook + map-side `max_by`, the
+    * [[pqEncode]] shape), then per-(subspace, code, position) decimal
+    * means reassembled in position order (exact order-independent sums,
+    * 6 dp-rounded, re-entering as float — the [[lloydCentroids]]
+    * determinism contract, so an oracle can replay every round
+    * bit-for-bit). A code that attracts NO members keeps its previous
+    * codeword instead of dropping (keep-alive Lloyd): K stays uniform
+    * across subspaces, which the flat `j·K + c` ADC LUT layout requires,
+    * and dense codes + `code_id` identities stay stable across rounds.
+    * Each round is `localCheckpoint`ed — downstream reads the tiny
+    * materialized codebook, not `iters` stacked full-corpus scans. */
+  def pqTrainCodebooks(
+      corpus: DataFrame, init: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def fdot(a: Column, b: Column) = call_function("graft_float_dot", a, b)
+    val sub = subspaces(corpus, idCol, vecCol, m, dsub, idCol)
+      .withColumn("__x2", fdot(col("__sub"), col("__sub")))
+    (1 to iters).foldLeft(pqCodebook(init, idCol, vecCol, m, dsub)) { (cb, _) =>
+      val members = sub
+        .join(broadcast(cb), Seq("subspace"))
+        .withColumn("__d2",
+          round(col("__x2") - lit(2.0) * fdot(col("__sub"), col("__cw")) + col("__cw2"), 6))
+        .groupBy(col(idCol), col("subspace"))
+        // __sub is constant per (id, subspace) group: first() is deterministic
+        .agg(max_by(col("code"),
+          struct((-col("__d2")).as("__negd"), (-col("code")).as("__negc"))).as("code"),
+          first(col("__sub")).as("__sub"))
+      val means = members
+        .select(col("subspace"), col("code"), posexplode(col("__sub")).as(Seq("__pos", "__v")))
+        .groupBy(col("subspace"), col("code"), col("__pos"))
+        .agg(round(
+          (sum(col("__v").cast("decimal(38,10)")).cast("double") / count(lit(1))), 6).as("__m"))
+        .groupBy(col("subspace"), col("code"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(__pos, __m))), s -> cast(s.__m as float))")
+          .as("__new"))
+      cb.join(means, Seq("subspace", "code"), "left")
+        .select(col("subspace"), col("code_id"), col("code"),
+          coalesce(col("__new"), col("__cw")).as("__cw"))
+        .withColumn("__cw2", fdot(col("__cw"), col("__cw")))
+        .localCheckpoint()
+    }
+  }
+
+  /** IVF-PQ: the canonical web-scale ANN index (FAISS `IVFx,PQm`) —
+    * cluster pruning and code compression COMPOSED. The corpus is
+    * assigned once to its nearest centroid ([[assignClusters]]) and
+    * encoded once to m dense PQ codes ([[pqEncode]], cluster carried
+    * through); each query probes its `nProbe` nearest clusters
+    * ([[probeClusters]]) and scores ONLY those clusters' candidates,
+    * reading only their code rows, via the native ADC loop. The two
+    * dials multiply: cluster pruning cuts candidates to ~nProbe/C of
+    * the corpus, PQ cuts bytes-per-candidate by d/m — at d=64, m=4,
+    * C=1000, nProbe=10 the scan touches ~1% of the rows at 1/16 the
+    * width, four orders of magnitude less than brute force.
+    *
+    * Codes are computed against the global codebook (not per-cluster
+    * residuals — FAISS's `by_residual=false` flavor): encoding stays a
+    * single broadcast join, and the SAME code row serves every probe
+    * order, at a known recall cost vs residual PQ (documented trade;
+    * residuals would need a per-cluster codeword subtract before
+    * encoding). Scale shape: one corpus shuffle for the cluster
+    * assignment's `max_by`, two N×m/N-row shuffles for encoding, then
+    * the probe-pruned broadcast join and the queries×k bounded-heap
+    * exchange — nothing anywhere is all-pairs. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codewords: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val nCodes = codewords.select(col(idCol)).distinct().count().toInt
+    require(nCodes > 0, "PQ codeword set is empty")
+    val cb = pqCodebook(codewords, idCol, vecCol, m, dsub)
+    val clustered = assignClusters(corpus, centroids, idCol, vecCol)
+    val codes = pqEncode(clustered, cb, idCol, vecCol, m, dsub, carry = Seq("cluster"))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("cluster"))
+    val probes = probeClusters(queries, centroids, idCol, vecCol, nProbe)
+      .drop("probe_rank", "__qv")
+    val lut = pqLut(queries, cb, idCol, vecCol, m, dsub)
+    val scored = broadcast(probes.join(lut, Seq("query_id")))
+      .join(codes, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(nCodes)), 6))
+    TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("cluster"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** IVF centroid TRAINING: `iters` Lloyd (k-means) refinement steps from
     * a deterministic init. Each step is two linear passes — the broadcast
     * + `max_by` assignment (N rows shuffled, never N×C), then the

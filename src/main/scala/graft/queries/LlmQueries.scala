@@ -209,6 +209,30 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Product-quantized ANN (PQ4×16 over d=64): corpus encoded to 4 dense
+    // codes per vector against a sampled per-subspace codebook, queries
+    // scored by ADC lookup table (native tight loop) — the d/m
+    // bandwidth path: the scan reads 4 ints per candidate, not 64 floats.
+    "sim_topk_pq" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+          emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // IVF-PQ: cluster pruning × code compression composed (the FAISS
+    // IVFx,PQm architecture, global-codebook flavor) — each query probes
+    // its 2 nearest clusters and ADC-scores only those clusters' 4-int
+    // code rows. Centroids and codewords share the sampled subset.
+    "sim_topk_ivfpq" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val sample = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, sample, sample,
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // EXACT length-decile binning per language — the small-data
     // cross-check twin of quantile_bin_sketch below: ntile over a TOTAL
     // order (ties broken by doc_id) so bin edges reproduce exactly across
@@ -722,6 +746,95 @@ object LlmQueries {
            row_number() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, neighbor_id) AS rnk
          FROM rerank
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_pq" ->
+      """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 0),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         terms AS (
+           SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM sub qs
+           JOIN codes co ON co.j = qs.j AND co.vec_id <> qs.vec_id
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code
+           WHERE qs.vec_id < 10),
+         scored AS (
+           SELECT query_id, neighbor_id, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id)
+         SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_ivfpq" ->
+      """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 0),
+         cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         clustered AS (SELECT vec_id, cluster FROM assign WHERE crn = 1),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cluster FROM assign
+           WHERE vec_id < 10 AND crn <= 2),
+         cand AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id, c.cluster
+           FROM probes p JOIN clustered c
+             ON c.cluster = p.cluster AND c.vec_id <> p.query_id),
+         terms AS (
+           SELECT cand.query_id, cand.neighbor_id, cand.cluster,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM cand
+           JOIN sub qs ON qs.vec_id = cand.query_id
+           JOIN codes co ON co.vec_id = cand.neighbor_id AND co.j = qs.j
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code),
+         scored AS (
+           SELECT query_id, neighbor_id, cluster, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id, cluster)
+         SELECT query_id, cluster, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+         FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
 
     "quantile_bin" ->

@@ -239,6 +239,136 @@ class SimilaritySpec extends SparkSpec {
     assert(probe1 == assigned)
   }
 
+  test("native float-dot is identical to the composed aggregate/zip_with form") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = graft.Tables.load(spark, Sf0001, "embeddings")
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < 10 && col("b.vec_id").between(10, 30))
+      .select(
+        aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _).as("composed"),
+        call_function("graft_float_dot", col("a.embedding"), col("b.embedding")).as("native"))
+    // exact double equality — same widening, same left-to-right fold
+    assert(pairs.filter(col("composed") =!= col("native")).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("native float-dot on mismatched dimensions is NULL, like the composed form") {
+    graft.functions.GraftFunctions.register(spark)
+    val uneven = Seq((0L, Array(1f, 2f, 3f)), (1L, Array(4f, 5f))).toDF("id", "v")
+    val pairs = uneven.as("a").crossJoin(uneven.as("b")).select(
+      call_function("graft_float_dot", col("a.v"), col("b.v")).as("native"))
+      .collect()
+    assert(pairs.length == 4)
+    assert(pairs.count(_.isNullAt(0)) == 2) // exactly the two mismatched pairs
+  }
+
+  test("pqEncode: argmin-L2 codes per subspace, ties break to the lower code") {
+    // m=2 subspaces of width 1; codewords 0→(0,0) and 100→(10,10) give
+    // dense codes 0 and 1 in both subspaces
+    val cws = Seq((0L, Array(0f, 0f)), (100L, Array(10f, 10f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 9f)),  // s0 nearer 0 → code 0; s1 nearer 10 → code 1
+      (2L, Array(6f, 4f)),  // s0 → 1; s1 → 0
+      (3L, Array(5f, 5f)))  // equidistant both subspaces → tie → code 0
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(cws, "vec_id", "embedding", m = 2, dsub = 1)
+    val codes = Similarity.pqEncode(corpus, cb, "vec_id", "embedding", m = 2, dsub = 1)
+      .as[(Long, Array[Int])].collect().map { case (id, cs) => id -> cs.toSeq }.toMap
+    assert(codes == Map(1L -> Seq(0, 1), 2L -> Seq(1, 0), 3L -> Seq(0, 0)))
+  }
+
+  test("graft_pq_adc: subspace-major LUT lookups; malformed codes are NULL") {
+    graft.functions.GraftFunctions.register(spark)
+    // m=2, K=2: lut = [q0·cw00, q0·cw01, q1·cw10, q1·cw11]
+    val rows = Seq(
+      (Array(1.0, 2.0, 10.0, 20.0), Array(1, 0)),  // 2.0 + 10.0
+      (Array(1.0, 2.0, 10.0, 20.0), Array(0, 1)),  // 1.0 + 20.0
+      (Array(1.0, 2.0, 10.0, 20.0), Array(2, 0)),  // code ≥ K → NULL
+      (Array(1.0, 2.0, 10.0, 20.0), Array(-1, 0)), // code < 0 → NULL
+      (Array(1.0, 2.0), Array(0, 0, 0)))           // LUT shorter than m·K → NULL
+      .toDF("lut", "codes")
+    val got = rows.select(
+      call_function("graft_pq_adc", col("lut"), col("codes"), lit(2)).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(12.0), Some(21.0), None, None, None))
+  }
+
+  test("pqTopK matches a JVM replica of encode + ADC scoring") {
+    val rows = graft.Tables.load(spark, Sf0001, "embeddings")
+      .filter(col("vec_id") < 60)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val d = rows.head._2.length
+    val (m, dsub) = (4, d / 4)
+    def sub(v: Array[Float], j: Int) = v.slice(j * dsub, (j + 1) * dsub)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cw = rows.filter(_._1 % 20 == 0).sortBy(_._1) // dense code = sorted rank
+    def encode(v: Array[Float]): Array[Int] = (0 until m).map { j =>
+      cw.indices.minBy(c =>
+        (rnd6(dot(sub(v, j), sub(v, j)) - 2 * dot(sub(v, j), sub(cw(c)._2, j))
+          + dot(sub(cw(c)._2, j), sub(cw(c)._2, j))), c))
+    }.toArray
+    val codes = rows.map { case (id, v) => id -> encode(v) }.toMap
+    def score(q: Array[Float], nid: Long): Double =
+      rnd6((0 until m).map(j => rnd6(dot(sub(q, j), sub(cw(codes(nid)(j))._2, j)))).sum)
+    val expected = (for {
+      (qid, qv) <- rows.filter(_._1 < 3)
+      scored = rows.filter(_._1 != qid).map { case (nid, _) => (nid, score(qv, nid)) }
+    } yield qid -> scored.sortBy { case (nid, sc) => (-sc, nid) }.take(4).toSeq).toMap
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings").filter(col("vec_id") < 60)
+    val got = Similarity.pqTopK(
+        emb001.filter(col("vec_id") < 3), emb001, emb001.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 4, m = m, dsub = dsub)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._4).map(r => (r._2, r._3)).toSeq }
+    assert(got == expected)
+  }
+
+  test("ivfPqTopK: one centroid + nProbe=1 degenerates to pqTopK") {
+    // a single cluster holds the whole corpus, so IVF pruning removes
+    // nothing and the composed index must reproduce flat PQ row-for-row
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings").filter(col("vec_id") < 60)
+    val oneCentroid = emb001.filter(col("vec_id") === 0)
+    val codewords = emb001.filter(col("vec_id") % 20 === 0)
+    val flat = Similarity.pqTopK(
+        emb001.filter(col("vec_id") < 3), emb001, codewords,
+        "vec_id", "embedding", k = 4, m = 4, dsub = 16)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(_.toSeq).toSet
+    val ivfpq = Similarity.ivfPqTopK(
+        emb001.filter(col("vec_id") < 3), emb001, oneCentroid, codewords,
+        "vec_id", "embedding", k = 4, m = 4, dsub = 16, nProbe = 1)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(ivfpq == flat)
+  }
+
+  test("ivfPqTopK: candidates come only from probed clusters") {
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings")
+    val sample = emb001.filter(col("vec_id") % 100 === 0)
+    val queries = emb001.filter(col("vec_id") < 5)
+    val out = Similarity.ivfPqTopK(queries, emb001, sample, sample,
+      "vec_id", "embedding", k = 3, m = 4, dsub = 16, nProbe = 2)
+    // every result's cluster is in its query's 2-probe list
+    val probed = Similarity.probeClusters(queries, sample, "vec_id", "embedding", 2)
+      .select(col("query_id"), col("cluster")).as[(Long, Long)].collect().toSet
+    val got = out.select(col("query_id"), col("cluster")).as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got.subsetOf(probed))
+    // and the corpus-side cluster is the vector's ASSIGNED cluster
+    val assigned = Similarity.assignClusters(emb001, sample, "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster")).as[(Long, Long)].collect().toMap
+    out.select(col("neighbor_id"), col("cluster")).as[(Long, Long)].collect()
+      .foreach { case (nid, cl) => assert(assigned(nid) == cl) }
+  }
+
   test("lloydCentroids converges to the blob means from a skewed init") {
     // two clean direction blobs; init centroids both sit in blob A's
     // half-space but one is closer to blob B's members
