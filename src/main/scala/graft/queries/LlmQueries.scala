@@ -233,6 +233,19 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // PQ with TRAINED codebooks: one per-subspace Lloyd refinement from
+    // the sampled init (keep-alive empty clusters, decimal means — the
+    // lloydCentroids determinism contract per subspace), then the same
+    // flat ADC search. The oracle replays the training round exactly.
+    "sim_topk_pq_trained" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Similarity.pqTrainCodebooks(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", m = 4, dsub = 16, iters = 1)
+      Similarity.pqTopKWithCodebook(emb.filter(col("vec_id") < 10), emb, cb,
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // EXACT length-decile binning per language — the small-data
     // cross-check twin of quantile_bin_sketch below: ntile over a TOTAL
     // order (ties broken by doc_id) so bin edges reproduce exactly across
@@ -832,6 +845,59 @@ object LlmQueries {
            SELECT query_id, neighbor_id, cluster, round(sum(term), 6) AS score
            FROM terms GROUP BY query_id, neighbor_id, cluster)
          SELECT query_id, cluster, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_pq_trained" ->
+      """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb0 AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 0),
+         asg AS (
+           SELECT s.vec_id, s.j, s.sv, cb0.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb0.cw::double[])
+                 + list_dot_product(cb0.cw::double[], cb0.cw::double[]), 6) ASC,
+               cb0.code ASC) AS ern
+           FROM sub s JOIN cb0 ON cb0.subspace = s.j),
+         mean1 AS (
+           SELECT j, code, pos,
+                  round(sum(v::decimal(38,10))::double / count(*), 6)::float AS mu
+           FROM (SELECT j, code, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos
+                 FROM asg WHERE ern = 1)
+           GROUP BY j, code, pos),
+         newcw AS (SELECT j, code, list(mu ORDER BY pos) AS cw1 FROM mean1 GROUP BY j, code),
+         cb AS (
+           SELECT cb0.subspace, cb0.code_id, cb0.code, coalesce(n.cw1, cb0.cw) AS cw
+           FROM cb0 LEFT JOIN newcw n ON n.j = cb0.subspace AND n.code = cb0.code),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         terms AS (
+           SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM sub qs
+           JOIN codes co ON co.j = qs.j AND co.vec_id <> qs.vec_id
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code
+           WHERE qs.vec_id < 10),
+         scored AS (
+           SELECT query_id, neighbor_id, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id)
+         SELECT query_id, neighbor_id, score,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, neighbor_id) AS rnk
          FROM scored

@@ -369,6 +369,43 @@ class SimilaritySpec extends SparkSpec {
       .foreach { case (nid, cl) => assert(assigned(nid) == cl) }
   }
 
+  test("pqTrainCodebooks: codewords move to subspace means; empty codes keep their codeword") {
+    // subspace 0 has members near both codewords; subspace 1's members all
+    // sit near codeword 0, so codeword 1 attracts nothing there and must
+    // SURVIVE unchanged (keep-alive Lloyd — the LUT stride depends on it)
+    val cws = Seq((0L, Array(0f, 0f)), (100L, Array(10f, 100f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(3f, 3f)),     // s0 → code 0; s1 → code 0
+      (3L, Array(9f, 5f)), (4L, Array(11f, 7f)))    // s0 → code 1; s1 → code 0
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.pqTrainCodebooks(corpus, cws, "vec_id", "embedding",
+        m = 2, dsub = 1, iters = 1)
+      .select(col("subspace"), col("code"), col("__cw"))
+      .as[(Int, Int, Array[Float])].collect()
+      .map { case (j, c, cw) => (j, c) -> cw.toSeq }.toMap
+    assert(trained((0, 0)) == Seq(2.0f))   // mean(1, 3)
+    assert(trained((0, 1)) == Seq(10.0f))  // mean(9, 11)
+    assert(trained((1, 0)) == Seq(4.0f))   // mean(1, 3, 5, 7)
+    assert(trained((1, 1)) == Seq(100.0f)) // no members → keep-alive
+    // uniform dense-code stride preserved: both subspaces still have K=2
+    assert(trained.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+  }
+
+  test("pqTopKWithCodebook on an untrained pqCodebook equals pqTopK") {
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings").filter(col("vec_id") < 60)
+    val cws = emb001.filter(col("vec_id") % 20 === 0)
+    val direct = Similarity.pqTopK(
+        emb001.filter(col("vec_id") < 3), emb001, cws,
+        "vec_id", "embedding", k = 4, m = 4, dsub = 16)
+      .collect().map(_.toSeq).toSet
+    val viaCb = Similarity.pqTopKWithCodebook(
+        emb001.filter(col("vec_id") < 3), emb001,
+        Similarity.pqCodebook(cws, "vec_id", "embedding", m = 4, dsub = 16),
+        "vec_id", "embedding", k = 4, m = 4, dsub = 16)
+      .collect().map(_.toSeq).toSet
+    assert(viaCb == direct)
+  }
+
   test("lloydCentroids converges to the blob means from a skewed init") {
     // two clean direction blobs; init centroids both sit in blob A's
     // half-space but one is closer to blob B's members
