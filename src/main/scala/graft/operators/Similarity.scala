@@ -398,22 +398,35 @@ object Similarity {
       pqCodebook(codewords, idCol, vecCol, m, dsub), idCol, vecCol, k, m, dsub)
   }
 
+  /** Column over a library-defined catalyst expression (kernel paths —
+    * expressions carrying the driver-collected codebook reference). */
+  private def kernelCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  private def attr(name: String) =
+    org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(name)
+
   /** [[pqTopK]] against a PREBUILT codebook (sampled via [[pqCodebook]]
     * or Lloyd-trained via [[pqTrainCodebooks]] — any frame in the
-    * codebook shape). The one driver action reads the dense-code stride
-    * K off the (broadcast-small) codebook. */
+    * codebook shape). The codebook is collected ONCE driver-side (it is
+    * broadcast-small by contract) and embedded in the native encode/LUT
+    * expressions, so both sides of the search are pure zero-shuffle
+    * projections: corpus → (id, m codes), queries → (id, flat LUT). The
+    * DataFrame [[pqEncode]]/[[pqLut]] forms — which plan a broadcast
+    * join feeding a SortAggregate pair, a map-side sort of N×m×K rows —
+    * remain as the spec-pinned composed twins. */
   def pqTopKWithCodebook(
       queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val nCodes = codebook.agg(max(col("code"))).head().getInt(0) + 1
-    require(nCodes > 0, "PQ codebook is empty")
-    val codes = pqEncode(corpus, codebook, idCol, vecCol, m, dsub)
-      .select(col(idCol).as("neighbor_id"), col("codes"))
-    val lut = pqLut(queries, codebook, idCol, vecCol, m, dsub)
+    val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
+    val lut = queries.select(col(idCol).as("query_id"),
+      kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
     val scored = broadcast(lut).join(codes, col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
-        round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(nCodes)), 6))
+        round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(ref.k)), 6))
     TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -441,18 +454,17 @@ object Similarity {
       idCol: String, vecCol: String, m: Int, dsub: Int, iters: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def fdot(a: Column, b: Column) = call_function("graft_float_dot", a, b)
-    val sub = subspaces(corpus, idCol, vecCol, m, dsub, idCol)
-      .withColumn("__x2", fdot(col("__sub"), col("__sub")))
     (1 to iters).foldLeft(pqCodebook(init, idCol, vecCol, m, dsub)) { (cb, _) =>
-      val members = sub
-        .join(broadcast(cb), Seq("subspace"))
-        .withColumn("__d2",
-          round(col("__x2") - lit(2.0) * fdot(col("__sub"), col("__cw")) + col("__cw2"), 6))
-        .groupBy(col(idCol), col("subspace"))
-        // __sub is constant per (id, subspace) group: first() is deterministic
-        .agg(max_by(col("code"),
-          struct((-col("__d2")).as("__negd"), (-col("code")).as("__negc"))).as("code"),
-          first(col("__sub")).as("__sub"))
+      // assignment is the kernel encode (zero-shuffle projection against
+      // the round's collected codebook — spec-pinned ≡ the DataFrame
+      // argmin twin); each subvector then picks its subspace's code
+      val ref = graft.functions.PqCodebookRef.fromCodebook(cb, m, dsub)
+      val members = corpus.select(
+          kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("__codes"),
+          posexplode(array((0 until m).map(j => slice(col(vecCol), j * dsub + 1, dsub)): _*))
+            .as(Seq("subspace", "__sub")))
+        .select(col("subspace"),
+          element_at(col("__codes"), col("subspace") + 1).as("code"), col("__sub"))
       val means = members
         .select(col("subspace"), col("code"), posexplode(col("__sub")).as(Seq("__pos", "__v")))
         .groupBy(col("subspace"), col("code"), col("__pos"))
@@ -498,20 +510,22 @@ object Similarity {
       nProbe: Int = 1): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val nCodes = codewords.select(col(idCol)).distinct().count().toInt
-    require(nCodes > 0, "PQ codeword set is empty")
-    val cb = pqCodebook(codewords, idCol, vecCol, m, dsub)
-    val clustered = assignClusters(corpus, centroids, idCol, vecCol)
-    val codes = pqEncode(clustered, cb, idCol, vecCol, m, dsub, carry = Seq("cluster"))
-      .select(col(idCol).as("neighbor_id"), col("codes"), col("cluster"))
+    val ref = graft.functions.PqCodebookRef.fromCodebook(
+      pqCodebook(codewords, idCol, vecCol, m, dsub), m, dsub)
+    // cluster assignment is the only corpus aggregation; codes are a
+    // zero-shuffle kernel projection over its output
+    val codes = assignClusters(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cluster"),
+        kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
     val probes = probeClusters(queries, centroids, idCol, vecCol, nProbe)
       .drop("probe_rank", "__qv")
-    val lut = pqLut(queries, cb, idCol, vecCol, m, dsub)
+    val lut = queries.select(col(idCol).as("query_id"),
+      kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
     val scored = broadcast(probes.join(lut, Seq("query_id")))
       .join(codes, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
-        round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(nCodes)), 6))
+        round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(ref.k)), 6))
     TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))

@@ -23,6 +23,13 @@ object GraftSqlBridge {
   def expression(spark: SparkSession, c: Column): catalyst.expressions.Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** Expression → Column (the inverse of [[expression]]): lets operators
+    * build columns from library-defined catalyst expressions that carry
+    * constructor state no FunctionRegistry builder can thread through
+    * (e.g. a driver-collected PQ codebook reference). */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Whether this session can take planner strategies at runtime (a
     * classic JVM-backed session; e.g. Spark Connect sessions cannot). */
   def supportsStrategies(spark: SparkSession): Boolean =

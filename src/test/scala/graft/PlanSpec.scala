@@ -67,6 +67,22 @@ class PlanSpec extends SparkSpec {
       "probe must appear below (after, in plan text) the join operator")
   }
 
+  test("PQ search: encode and LUT are zero-shuffle kernel projections") {
+    val p = plan("sim_topk_pq")
+    // both sides of the search are pure projections over the scan — the
+    // codebook is collected driver-side and embedded in the expressions,
+    // so there is NO Generate/join/aggregate anywhere in the encode path
+    assert(p.contains("graft_pq_encode"), "kernel encode projection missing")
+    assert(p.contains("graft_pq_lut"), "kernel LUT projection missing")
+    assert(p.contains("graft_pq_adc"), "native ADC scoring missing")
+    assert(!p.contains("SortAggregate"), "argmin re-planned as a sort aggregate")
+    assert(!p.contains("Generate"), "subspace explode reintroduced")
+    assert(p.contains("TopKPerKeyPartial"), "bounded-heap top-k missing")
+    // TopK hash exchange + oracle-orderBy range exchange + LUT broadcast
+    assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 3,
+      "extra shuffle in the PQ search")
+  }
+
   test("LSH chain: shuffle budget holds (no distinct, no self-join re-scan)") {
     val p = plan("dedup_lsh_pairs")
     // raw shingles feed the minhash groupBy directly (no distinct before

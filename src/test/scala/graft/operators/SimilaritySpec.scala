@@ -406,6 +406,45 @@ class SimilaritySpec extends SparkSpec {
     assert(viaCb == direct)
   }
 
+  test("kernel PQ encode and LUT are identical to the DataFrame twins") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val cws = emb001.filter(col("vec_id") % 20 === 0)
+    val cbDf = Similarity.pqCodebook(cws, "vec_id", "embedding", m = 4, dsub = 16)
+    val ref = graft.functions.PqCodebookRef.fromCodebook(cbDf, m = 4, dsub = 16)
+    val twinCodes = Similarity.pqEncode(emb001, cbDf, "vec_id", "embedding", m = 4, dsub = 16)
+      .as[(Long, Array[Int])].collect().map { case (id, cs) => id -> cs.toSeq }.toMap
+    val kernelCodes = emb001.select(col("vec_id"),
+        GraftSqlBridge.column(graft.functions.PqEncodeCodes(
+          UnresolvedAttribute.quoted("embedding"), ref)).as("codes"))
+      .as[(Long, Array[Int])].collect().map { case (id, cs) => id -> cs.toSeq }.toMap
+    assert(kernelCodes == twinCodes)
+    val twinLut = Similarity.pqLut(emb001.filter(col("vec_id") < 5), cbDf,
+        "vec_id", "embedding", m = 4, dsub = 16)
+      .as[(Long, Array[Double])].collect().map { case (id, l) => id -> l.toSeq }.toMap
+    val kernelLut = emb001.filter(col("vec_id") < 5).select(col("vec_id"),
+        GraftSqlBridge.column(graft.functions.PqBuildLut(
+          UnresolvedAttribute.quoted("embedding"), ref)).as("__lut"))
+      .as[(Long, Array[Double])].collect().map { case (id, l) => id -> l.toSeq }.toMap
+    assert(kernelLut == twinLut)
+  }
+
+  test("kernel PQ encode is NULL on a dimension mismatch") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val cws = Seq((0L, Array(0f, 0f)), (100L, Array(10f, 10f))).toDF("vec_id", "embedding")
+    val ref = graft.functions.PqCodebookRef.fromCodebook(
+      Similarity.pqCodebook(cws, "vec_id", "embedding", m = 2, dsub = 1), m = 2, dsub = 1)
+    val rows = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        GraftSqlBridge.column(graft.functions.PqEncodeCodes(
+          UnresolvedAttribute.quoted("embedding"), ref)).as("codes"))
+      .collect()
+    assert(!rows.find(_.getLong(0) == 1L).get.isNullAt(1))
+    assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
   test("lloydCentroids converges to the blob means from a skewed init") {
     // two clean direction blobs; init centroids both sit in blob A's
     // half-space but one is closer to blob B's members
