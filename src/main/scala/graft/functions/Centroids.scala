@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Driver-collected centroid set, embedded by reference in the IVF
+  * assignment/probe expressions. Centroids are broadcast-small BY
+  * CONTRACT (the [[graft.operators.Similarity.ivfTopK]] centroid
+  * contract), so shipping them as expression state costs what a
+  * broadcast build side costs — and turns nearest-centroid assignment
+  * from `crossJoin + max_by` (which plans as a SortAggregate pair: a
+  * full map-side sort of the N×C scored rows) into a pure per-row
+  * projection: NO Generate, no join, no aggregate, NO SHUFFLE.
+  *
+  * `ids` are sorted ascending (the tie-break order); `flat(c·dim + i)`
+  * is element i of centroid c; `norm2(c)` is its self-dot accumulated
+  * with the same fold the cosine loop uses. */
+final class CentroidsRef(
+    val n: Int, val dim: Int,
+    val ids: Array[Long], val flat: Array[Float], val norm2: Array[Double])
+  extends Serializable
+
+object CentroidsRef {
+
+  /** Collect an (idCol: numeric, vecCol: array&lt;float&gt;) frame. */
+  def fromDataFrame(centroids: DataFrame, idCol: String, vecCol: String): CentroidsRef = {
+    val rows = centroids.select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(rows.nonEmpty, "centroid set is empty")
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(sorted.map(_._1).distinct.length == sorted.length, "duplicate centroid ids")
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim), "centroid dimensions are not uniform")
+    val n = sorted.length
+    val flat = new Array[Float](n * dim)
+    val norm2 = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val v = sorted(c)._2
+      var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        flat(c * dim + i) = v(i)
+        val yi = v(i).toDouble
+        nb += yi * yi
+        i += 1
+      }
+      norm2(c) = nb
+      c += 1
+    }
+    new CentroidsRef(n, dim, sorted.map(_._1), flat, norm2)
+  }
+}
+
+/** Shared eval body for the interpreted and generated paths. The cosine
+  * per centroid replicates `round(graft_cosine(vec, cw), 6)` EXACTLY:
+  * the fused dot/na/nb fold of [[CosineSimilarity]] over
+  * `min(|vec|, dim)` elements (na is xi² partial sums — independent of
+  * the centroid, hoisted out of the C loop; nb likewise precomputed per
+  * centroid, recomputed only on a length mismatch), `dot/(√na·√nb)`,
+  * then [[PqKernel.round6]]. Ranking is (rounded cosine DESC, centroid
+  * id ASC) with Spark's double ordering (NaN above all values — a
+  * zero-norm side yields NaN, and `Double.compare` reproduces how
+  * `max_by`/`row_number` rank it). */
+object CentroidKernel {
+
+  private def better(sim: Double, id: Long, bestSim: Double, bestId: Long): Boolean = {
+    val c = java.lang.Double.compare(sim, bestSim)
+    c > 0 || (c == 0 && id < bestId)
+  }
+
+  private def cosineAt(
+      vec: ArrayData, n: Int, na: Double, ref: CentroidsRef, c: Int): Double = {
+    var dot = 0.0
+    var i = 0
+    val base = c * ref.dim
+    if (n == ref.dim) {
+      while (i < n) { dot += vec.getFloat(i).toDouble * ref.flat(base + i); i += 1 }
+      PqKernel.round6(dot / (math.sqrt(na) * math.sqrt(ref.norm2(c))))
+    } else {
+      // length-mismatch slow path: the fused twin folds na/nb only over
+      // the common prefix, so the precomputed full-dim norms do not apply
+      var na2 = 0.0; var nb = 0.0
+      while (i < n) {
+        val xi = vec.getFloat(i).toDouble
+        val yi = ref.flat(base + i).toDouble
+        dot += xi * yi; na2 += xi * xi; nb += yi * yi
+        i += 1
+      }
+      PqKernel.round6(dot / (math.sqrt(na2) * math.sqrt(nb)))
+    }
+  }
+
+  /** Id of the argmax-cosine centroid (ties → lower id). */
+  def nearest(vec: ArrayData, ref: CentroidsRef): Long = {
+    val n = math.min(vec.numElements(), ref.dim)
+    var na = 0.0
+    var i = 0
+    while (i < n) { val xi = vec.getFloat(i).toDouble; na += xi * xi; i += 1 }
+    var bestSim = Double.NegativeInfinity
+    var bestId = ref.ids(0)
+    var c = 0
+    while (c < ref.n) {
+      val sim = cosineAt(vec, n, na, ref, c)
+      if (better(sim, ref.ids(c), bestSim, bestId)) { bestSim = sim; bestId = ref.ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  /** The `min(nProbe, C)` nearest centroid ids in rank order (cosine
+    * DESC, id ASC) — bounded insertion, nProbe is small by contract. */
+  def probes(vec: ArrayData, ref: CentroidsRef, nProbe: Int): UnsafeArrayData = {
+    val kEff = math.min(nProbe, ref.n)
+    val n = math.min(vec.numElements(), ref.dim)
+    var na = 0.0
+    var i = 0
+    while (i < n) { val xi = vec.getFloat(i).toDouble; na += xi * xi; i += 1 }
+    val topSim = new Array[Double](kEff)
+    val topId = new Array[Long](kEff)
+    var filled = 0
+    var c = 0
+    while (c < ref.n) {
+      val sim = cosineAt(vec, n, na, ref, c)
+      val id = ref.ids(c)
+      if (filled < kEff || better(sim, id, topSim(filled - 1), topId(filled - 1))) {
+        var pos = math.min(filled, kEff - 1)
+        while (pos > 0 && better(sim, id, topSim(pos - 1), topId(pos - 1))) {
+          topSim(pos) = topSim(pos - 1); topId(pos) = topId(pos - 1); pos -= 1
+        }
+        topSim(pos) = sim; topId(pos) = id
+        if (filled < kEff) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(topId, filled))
+  }
+}
+
+/** `array<float>` vector → nearest centroid id (the IVF assignment) —
+  * a zero-shuffle projection against the embedded centroid set. */
+case class NearestCentroid(child: Expression, centroids: CentroidsRef)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CentroidKernel.nearest(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, classOf[CentroidsRef].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidKernel.nearest($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** `array<float>` query vector → its `min(nProbe, C)` nearest centroid
+  * ids in probe-rank order (the multi-probe IVF probe list). */
+case class ProbeCentroids(child: Expression, centroids: CentroidsRef, nProbe: Int)
+    extends UnaryExpression {
+
+  require(nProbe > 0, s"nProbe=$nProbe must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_probe_centroids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CentroidKernel.probes(input.asInstanceOf[ArrayData], centroids, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, classOf[CentroidsRef].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidKernel.probes($c, $ref, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeCentroids =
+    copy(child = newChild)
+}

@@ -68,10 +68,13 @@ object PqCodebookRef {
   * form, and the DuckDB oracle agree bit-for-bit. */
 object PqKernel {
 
-  /** Spark's `round(x, 6)` exactly (`BigDecimal(double)` goes through
-    * `valueOf`/`toString`, matching catalyst's RoundBase). */
+  /** Spark's `round(x, 6)` exactly: NaN/Infinity pass through (catalyst's
+    * RoundBase short-circuits them — `BigDecimal(NaN)` would throw), and
+    * finite values go through `BigDecimal(double)`'s `valueOf`/`toString`
+    * path, matching RoundBase's scale-down. */
   def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Argmin-L2 code per subspace; ties (equal rounded d²) break to the
     * lower code because the scan keeps the FIRST strict improvement. */

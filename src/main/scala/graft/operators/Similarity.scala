@@ -172,13 +172,28 @@ object Similarity {
     * sampled subset), every vector assigned to its nearest centroid, then
     * per-query search restricted to the query's cluster.
     *
-    * Centroid assignment = broadcast-join + `max_by` argmax: the N×C
-    * scored rows reduce MAP-SIDE to one partial per (vector, task), so the
-    * shuffle carries N rows, not N×C — a C-fold cut over the row_number
-    * window formulation (C grows with the corpus under sampled-centroid
-    * rules). The ordering key `struct(__sim, -centroid_id)` replicates
-    * (sim desc, centroid_id asc) tie-breaking exactly. */
+    * Centroid assignment is a ZERO-SHUFFLE kernel projection: the
+    * centroid set (broadcast-small by contract) is collected once
+    * driver-side and embedded in the native [[graft.functions
+    * .NearestCentroid]] expression — one codegen'd argmax loop per row,
+    * no crossJoin, no aggregate, no exchange anywhere. Ranking is
+    * (rounded cosine desc, centroid_id asc), bit-identical to the
+    * composed crossJoin + `max_by` twin ([[assignClustersComposed]],
+    * spec-pinned), whose plan costs a SortAggregate pair over the N×C
+    * scored rows. */
   def assignClusters(
+      vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+    vectors.withColumn("cluster",
+      kernelCol(graft.functions.NearestCentroid(attr(vecCol), ref)))
+  }
+
+  /** The composed-builtins twin of [[assignClusters]] — broadcast
+    * crossJoin + map-side `max_by` argmax (N rows shuffled, never N×C);
+    * kept for the spec pin and for sessions where a driver collect of
+    * the centroid frame is undesirable. */
+  private[operators] def assignClustersComposed(
       vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
@@ -225,10 +240,28 @@ object Similarity {
     * ranked by the SAME (rounded cosine desc, centroid_id asc) order as
     * [[assignClusters]] — so probe rank 1 is exactly the cluster
     * single-probe search uses, and raising `nProbe` strictly widens the
-    * candidate set. The |Q|×C scored rows reduce through the bounded-heap
-    * top-k (map-side partial heaps), so the shuffle carries |Q|×nProbe
-    * rows even when the query side is corpus-sized. */
+    * candidate set. A zero-shuffle kernel projection like the
+    * assignment: the native [[graft.functions.ProbeCentroids]] loop
+    * keeps a bounded top-nProbe per row, posexplode emits the probe
+    * rows — no crossJoin, no top-k exchange even when the query side is
+    * corpus-sized. */
   private[operators] def probeClusters(
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        posexplode(kernelCol(graft.functions.ProbeCentroids(attr(vecCol), ref, nProbe)))
+          .as(Seq("__p", "cluster")))
+      .select(col("query_id"), col("__qv"), col("cluster"),
+        (col("__p") + 1).as("probe_rank"))
+  }
+
+  /** The composed twin of [[probeClusters]]: broadcast crossJoin scored
+    * by the native cosine, reduced through the bounded-heap top-k
+    * (|Q|×C rows collapse map-side to |Q|×nProbe). Spec-pinned
+    * row-identical to the kernel form. */
+  private[operators] def probeClustersComposed(
       queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)

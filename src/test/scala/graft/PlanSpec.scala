@@ -83,6 +83,23 @@ class PlanSpec extends SparkSpec {
       "extra shuffle in the PQ search")
   }
 
+  test("IVF search: centroid assignment is a zero-shuffle kernel projection") {
+    val p = plan("sim_topk_ivf")
+    assert(p.contains("graft_nearest_centroid"), "kernel assignment missing")
+    assert(!p.contains("SortAggregate"), "argmax re-planned as a sort aggregate")
+    assert(p.contains("BroadcastHashJoin"), "cluster join must broadcast the query side")
+    // query-side broadcast + TopK hash exchange + oracle-orderBy range
+    assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 3,
+      "extra shuffle in the IVF search")
+  }
+
+  test("multi-probe IVF: probe list is a kernel projection, no probe top-k exchange") {
+    val p = plan("sim_topk_ivf_probed")
+    assert(p.contains("graft_probe_centroids"), "kernel probe list missing")
+    assert(p.contains("graft_nearest_centroid"), "kernel assignment missing")
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("LSH chain: shuffle budget holds (no distinct, no self-join re-scan)") {
     val p = plan("dedup_lsh_pairs")
     // raw shingles feed the minhash groupBy directly (no distinct before

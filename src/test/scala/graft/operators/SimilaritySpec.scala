@@ -445,6 +445,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1))
   }
 
+  test("kernel centroid assignment and probe list are identical to the composed twins") {
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val centroids = emb001.filter(col("vec_id") % 100 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster")).as[(Long, Long)].collect().toMap
+    assert(pairs(Similarity.assignClusters(emb001, centroids, "vec_id", "embedding")) ==
+      pairs(Similarity.assignClustersComposed(emb001, centroids, "vec_id", "embedding")))
+    def probes(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("cluster"), col("probe_rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    val q = emb001.filter(col("vec_id") < 20)
+    assert(probes(Similarity.probeClusters(q, centroids, "vec_id", "embedding", 3)) ==
+      probes(Similarity.probeClustersComposed(q, centroids, "vec_id", "embedding", 3)))
+  }
+
   test("lloydCentroids converges to the blob means from a skewed init") {
     // two clean direction blobs; init centroids both sit in blob A's
     // half-space but one is closer to blob B's members
