@@ -100,6 +100,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("registry-wide audit: no cartesian products; sort aggregates only where ordered folds need them") {
+    // Every declared query's executed plan, swept for the two anti-patterns
+    // that silently kill a 100 TB run: a non-broadcast cross product, and
+    // an argmin/argmax re-planned as a sort-based aggregate (a full
+    // map-side sort of the scored rows). The one allowed SortAggregate is
+    // t1_fold_apply's per-column ordered fold: max_by over struct values
+    // of arbitrary column types has no mutable-buffer (hash) form, the
+    // partial combine keeps it skew-safe, and the sort is the fold's own
+    // ordering — inherent, not accidental.
+    val sortAggAllowed = Set("t1_fold_apply")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
+      val hits =
+        (if (p.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+        (if (p.contains("SortAggregate") && !sortAggAllowed(name)) Seq("SortAggregate") else Nil)
+      hits.map(h => s"$name: $h")
+    }
+    assert(offenders.isEmpty, s"scale anti-patterns crept in:\n${offenders.mkString("\n")}")
+  }
+
   test("LSH chain: shuffle budget holds (no distinct, no self-join re-scan)") {
     val p = plan("dedup_lsh_pairs")
     // raw shingles feed the minhash groupBy directly (no distinct before
