@@ -451,13 +451,30 @@ object Similarity {
   def pqTopKWithCodebook(
       queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
+    val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
+    val codes = corpus.select(col(idCol).as("id"),
+      kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
+    pqSearchEncoded(queries, codes, codebook, idCol, vecCol, k, m, dsub)
+  }
+
+  /** Search a PRE-ENCODED PQ index: `codes` is an (id, codes) frame
+    * produced by the kernel encode (or [[pqTopKWithCodebook]]'s inline
+    * encoding) and typically PERSISTED — the index-lifecycle split every
+    * real deployment wants: encode the corpus once, write the m-int code
+    * rows + the tiny codebook to parquet, and serve every subsequent
+    * query batch from the compressed index without touching a float
+    * vector again (the scan reads d/m fewer bytes — the entire point).
+    * Queries still carry vectors; their ADC tables build in one kernel
+    * projection per batch. */
+  def pqSearchEncoded(
+      queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
-    val codes = corpus.select(col(idCol).as("neighbor_id"),
-      kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
+    val c = codes.select(col("id").as("neighbor_id"), col("codes"))
     val lut = queries.select(col(idCol).as("query_id"),
       kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
-    val scored = broadcast(lut).join(codes, col("query_id") =!= col("neighbor_id"))
+    val scored = broadcast(lut).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(ref.k)), 6))
     TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)

@@ -460,6 +460,31 @@ class SimilaritySpec extends SparkSpec {
       probes(Similarity.probeClustersComposed(q, centroids, "vec_id", "embedding", 3)))
   }
 
+  test("pqSearchEncoded over a persisted index reproduces inline pqTopK") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings").filter(col("vec_id") < 60)
+    val cws = emb001.filter(col("vec_id") % 20 === 0)
+    val cbDf = Similarity.pqCodebook(cws, "vec_id", "embedding", m = 4, dsub = 16)
+    val ref = graft.functions.PqCodebookRef.fromCodebook(cbDf, m = 4, dsub = 16)
+    // build the index and round-trip it through parquet — the deploy shape
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    emb001.select(col("vec_id").as("id"),
+        GraftSqlBridge.column(graft.functions.PqEncodeCodes(
+          UnresolvedAttribute.quoted("embedding"), ref)).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val loaded = spark.read.parquet(s"$dir/codes")
+    val fromIndex = Similarity.pqSearchEncoded(
+        emb001.filter(col("vec_id") < 3), loaded, cbDf,
+        "vec_id", "embedding", k = 4, m = 4, dsub = 16)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.pqTopK(
+        emb001.filter(col("vec_id") < 3), emb001, cws,
+        "vec_id", "embedding", k = 4, m = 4, dsub = 16)
+      .collect().map(_.toSeq).toSet
+    assert(fromIndex == inline)
+  }
+
   test("lloydCentroids converges to the blob means from a skewed init") {
     // two clean direction blobs; init centroids both sit in blob A's
     // half-space but one is closer to blob B's members
