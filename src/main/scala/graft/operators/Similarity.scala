@@ -484,6 +484,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Two-stage PQ retrieval: ADC coarse scan, exact float rerank — the
+    * [[sq8RerankTopK]] refine pattern over the PQ index (FAISS
+    * `IndexRefineFlat` over PQ): the coarse pass reads only the m-int
+    * code rows and over-fetches `k × refine` candidates per query; only
+    * those candidates' float vectors are fetched and re-ranked by exact
+    * rounded cosine, restoring exact ordering among survivors at
+    * |Q|·k·refine cost — independent of corpus size. This is how a
+    * production PQ index recovers the recall lost to quantization
+    * without giving back the d/m scan-bandwidth win. */
+  def pqRerankTopK(
+      queries: DataFrame, corpus: DataFrame, codewords: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int,
+      refine: Int = 4): DataFrame = {
+    require(refine > 0, s"refine must be positive, got $refine")
+    val coarse = pqTopK(queries, corpus, codewords, idCol, vecCol, k * refine, m, dsub)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = broadcast(coarse.join(q, Seq("query_id")))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
+    topKPerQueryAuto(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** PQ codebook TRAINING: `iters` per-subspace Lloyd refinement steps
     * from a deterministic init — all m subspaces train in the SAME two
     * passes per round (subspace is just another grouping key), so cost

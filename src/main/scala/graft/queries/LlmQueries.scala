@@ -233,6 +233,18 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Two-stage PQ retrieval: ADC coarse scan over-fetches k×refine
+    // candidates from the code rows alone, exact float cosine re-ranks
+    // the survivors — the refine pattern that recovers quantization
+    // recall without giving back the d/m bandwidth win.
+    "sim_topk_pq_rerank" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.pqRerankTopK(emb.filter(col("vec_id") < 10), emb,
+          emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, refine = 2)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // PQ with TRAINED codebooks: one per-subspace Lloyd refinement from
     // the sampled init (keep-alive empty clusters, decimal means — the
     // lloydCentroids determinism contract per subspace), then the same
@@ -848,6 +860,55 @@ object LlmQueries {
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, neighbor_id) AS rnk
          FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_pq_rerank" ->
+      """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 0),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         terms AS (
+           SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM sub qs
+           JOIN codes co ON co.j = qs.j AND co.vec_id <> qs.vec_id
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code
+           WHERE qs.vec_id < 10),
+         pqscored AS (
+           SELECT query_id, neighbor_id, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id),
+         coarse AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS crn
+           FROM pqscored QUALIFY crn <= 10),
+         rerank AS (
+           SELECT query_id, neighbor_id,
+             round(list_dot_product(eq.embedding::double[], ec.embedding::double[]) /
+               (sqrt(list_dot_product(eq.embedding::double[], eq.embedding::double[])) *
+                sqrt(list_dot_product(ec.embedding::double[], ec.embedding::double[]))),
+               6) AS cosine
+           FROM coarse
+           JOIN embeddings eq ON eq.vec_id = query_id
+           JOIN embeddings ec ON ec.vec_id = neighbor_id)
+         SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM rerank
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
 
     "sim_topk_pq_trained" ->

@@ -485,6 +485,35 @@ class SimilaritySpec extends SparkSpec {
     assert(fromIndex == inline)
   }
 
+  test("pqRerankTopK: refine covering the corpus reproduces exact brute-force top-k") {
+    // coarse k×refine ≥ corpus-1 → every vector survives the coarse PQ
+    // stage, so the rerank IS brute force (exact cosine order)
+    val cws = emb // every vector its own codeword: encoding is lossless
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 2), emb, "vec_id", "embedding", k = 2)
+      .collect().map(_.toSeq).toSet
+    val reranked = Similarity.pqRerankTopK(
+      emb.filter(col("vec_id") < 2), emb, cws,
+      "vec_id", "embedding", k = 2, m = 2, dsub = 2, refine = 3)
+      .collect().map(_.toSeq).toSet
+    assert(reranked == exact)
+  }
+
+  test("pqRerankTopK: candidates come only from the coarse PQ list") {
+    val cws = emb.filter(col("vec_id") % 2 === 0)
+    val out = Similarity.pqRerankTopK(
+      emb.filter(col("vec_id") === 0), emb, cws,
+      "vec_id", "embedding", k = 1, m = 2, dsub = 2, refine = 1)
+      .collect()
+    val coarse = Similarity.pqTopK(
+      emb.filter(col("vec_id") === 0), emb, cws,
+      "vec_id", "embedding", k = 1, m = 2, dsub = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.length == 1)
+    assert(coarse.contains(out.head.getLong(1)),
+      "rerank winner must be drawn from the coarse candidate list")
+  }
+
   test("lloydCentroids converges to the blob means from a skewed init") {
     // two clean direction blobs; init centroids both sit in blob A's
     // half-space but one is closer to blob B's members
