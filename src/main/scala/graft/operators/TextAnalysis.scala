@@ -110,4 +110,46 @@ object TextAnalysis {
         acc -> aggregate(sequence(0, 59), 0L, (s, j) ->
           s + if(element_at(acc, j + 1) > 0, cast(pow(2, j) as bigint), 0L)))""")
   }
+
+  /** Feature-hashing text embedding (the "hashing trick"): every token's
+    * 60-bit digest picks a dimension (`h mod dim`) and a sign
+    * (`(h div dim) mod 2` — an independent bit, the signed variant that
+    * keeps the estimator unbiased), and the document's vector is the
+    * per-dimension sum of signs — a signed term-frequency vector. This is
+    * the MODEL-FREE bridge from the text pipeline to the ANN/dedup stack:
+    * bag-of-words similarity becomes cosine over a fixed `dim`-float
+    * embedding, so every vector operator here (brute/LSH/IVF/SQ8/PQ
+    * search, embedding near-dup) runs over plain text with no encoder.
+    *
+    * Scale shape: one explode of the token stream into a (doc, dim-index)
+    * keyed HashAggregate — partial sums combine map-side, and the key
+    * space (docs × dim) carries no hot-token skew (a stopword's mass
+    * spreads over its documents, unlike a groupBy(token)). A zero row per
+    * (doc, index) densifies absent dimensions, so the assembled array is
+    * always `dim` wide in index order. Components are exact small
+    * integers (sums of ±1), so every downstream cosine reproduces
+    * bit-for-bit in the DuckDB oracle. */
+  def hashEmbed(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hashed = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col(idCol), tokenHash60Native(col("__tok")).as("__h"))
+      .select(col(idCol),
+        pmod(col("__h"), lit(dim.toLong)).cast("int").as("__i"),
+        when(pmod(expr(s"__h div $dim"), lit(2)) === 0, lit(1.0f))
+          .otherwise(lit(-1.0f)).as("__v"))
+    val zeros = df.select(col(idCol), explode(sequence(lit(0), lit(dim - 1))).as("__i"))
+      .withColumn("__v", lit(0.0f))
+    hashed.unionByName(zeros)
+      .groupBy(col(idCol), col("__i"))
+      .agg(sum(col("__v")).as("__s")) // sums of ±1: exact, order-free
+      .groupBy(col(idCol))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(__i, __s))), s -> cast(s.__s as float))")
+        .as("embedding"))
+  }
 }

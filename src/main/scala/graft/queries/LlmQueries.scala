@@ -258,6 +258,27 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Feature-hashing text embedding (the hashing trick): every doc →
+    // 64-dim signed term-frequency vector via the shared 60-bit digest —
+    // the model-free bridge from text to the vector stack. Components
+    // are exact ±1 sums, emitted as ints for the oracle hash.
+    "text_hash_embed" -> q { (s, dir) =>
+      TextAnalysis.hashEmbed(Tables.load(s, dir, "documents"), "doc_id", "text", 64)
+        .select(col("doc_id"),
+          expr("transform(embedding, x -> cast(x as int))").as("tf_signs"))
+        .orderBy("doc_id")
+    },
+
+    // Semantic (bag-of-words) top-k over the hashed embeddings: the full
+    // text → embedding → ANN composition with no model anywhere.
+    "sim_topk_hash_embed" -> q { (s, dir) =>
+      val emb = TextAnalysis.hashEmbed(Tables.load(s, dir, "documents"),
+        "doc_id", "text", 64)
+      Similarity.bruteForceTopK(emb.filter(col("doc_id") < 10), emb,
+          "doc_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // EXACT length-decile binning per language — the small-data
     // cross-check twin of quantile_bin_sketch below: ntile over a TOTAL
     // order (ties broken by doc_id) so bin edges reproduce exactly across
@@ -859,6 +880,56 @@ object LlmQueries {
          SELECT query_id, cluster, neighbor_id, score,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "text_hash_embed" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         hashed AS (
+           SELECT doc_id, CAST(h % 64 AS INT) AS i,
+                  CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+           FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+                 FROM toks WHERE tok <> '')),
+         zeros AS (
+           SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
+           FROM documents, (SELECT unnest(range(64)) AS j)),
+         summed AS (
+           SELECT doc_id, i, sum(v) AS s
+           FROM (SELECT * FROM hashed UNION ALL SELECT * FROM zeros)
+           GROUP BY doc_id, i)
+         SELECT doc_id, list(CAST(s AS INT) ORDER BY i) AS tf_signs
+         FROM summed GROUP BY doc_id ORDER BY doc_id""",
+
+    "sim_topk_hash_embed" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         hashed AS (
+           SELECT doc_id, CAST(h % 64 AS INT) AS i,
+                  CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+           FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+                 FROM toks WHERE tok <> '')),
+         zeros AS (
+           SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
+           FROM documents, (SELECT unnest(range(64)) AS j)),
+         summed AS (
+           SELECT doc_id, i, sum(v) AS s
+           FROM (SELECT * FROM hashed UNION ALL SELECT * FROM zeros)
+           GROUP BY doc_id, i),
+         emb AS (
+           SELECT doc_id AS vec_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
+           FROM summed GROUP BY doc_id),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 10),
+         scored AS (
+           SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(qv::double[], qv::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM q JOIN emb e ON e.vec_id <> query_id)
+         SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
 

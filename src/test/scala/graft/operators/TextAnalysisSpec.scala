@@ -69,4 +69,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h >= 0 && h < (1L << 60))
     assert(one(TextAnalysis.tokenHash60(col("t")), "spark") == h) // deterministic
   }
+
+  test("hashEmbed matches a JVM replica and is order-invariant over the bag of words") {
+    import spark.implicits._
+    val dim = 16
+    val docs = Seq(
+      (1L, "key agg row scan key"),
+      (2L, "scan key key agg row"), // same multiset, different order
+      (3L, "window sort merge"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashEmbed(docs, "doc_id", "text", dim)
+      .as[(Long, Array[Float])].collect().map { case (id, v) => id -> v.toSeq }.toMap
+    // JVM replica straight off the shared digest
+    def embed(text: String): Seq[Float] = {
+      val v = new Array[Float](dim)
+      text.split(" ", -1).filter(_.nonEmpty).foreach { tok =>
+        val h = graft.functions.Digest60.digest60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+        val i = (h % dim).toInt
+        v(i) += (if ((h / dim) % 2 == 0) 1.0f else -1.0f)
+      }
+      v.toSeq
+    }
+    assert(got(1L) == embed("key agg row scan key"))
+    assert(got(3L) == embed("window sort merge"))
+    assert(got(1L) == got(2L), "bag-of-words order must not matter")
+    assert(got(1L) != got(3L), "distinct vocabularies must differ")
+    assert(got(4L) == Seq.fill(dim)(0.0f), "empty text embeds to the zero vector")
+    assert(got.values.forall(_.length == dim))
+  }
 }
