@@ -269,6 +269,18 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Semantic near-dup pairs over the hashed embeddings: text →
+    // hashing-trick embedding → sign-LSH-bucketed cosine pairs — the
+    // "semantic dedup" composition, no model anywhere.
+    "dedup_semantic" -> q { (s, dir) =>
+      val emb = TextAnalysis.hashEmbed(Tables.load(s, dir, "documents"),
+        "doc_id", "text", 64)
+      Dedup.embeddingDupPairs(emb, "doc_id", "embedding",
+          threshold = 0.9, signBits = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
     // Semantic (bag-of-words) top-k over the hashed embeddings: the full
     // text → embedding → ANN composition with no model anywhere.
     "sim_topk_hash_embed" -> q { (s, dir) =>
@@ -882,6 +894,38 @@ object LlmQueries {
                               ORDER BY score DESC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "dedup_semantic" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         hashed AS (
+           SELECT doc_id, CAST(h % 64 AS INT) AS i,
+                  CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+           FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+                 FROM toks WHERE tok <> '')),
+         zeros AS (
+           SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
+           FROM documents, (SELECT unnest(range(64)) AS j)),
+         summed AS (
+           SELECT doc_id, i, sum(v) AS s
+           FROM (SELECT * FROM hashed UNION ALL SELECT * FROM zeros)
+           GROUP BY doc_id, i),
+         emb AS (
+           SELECT doc_id AS vec_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
+           FROM summed GROUP BY doc_id),
+         b AS (
+           SELECT vec_id, embedding,
+             array_to_string(list_transform(list_slice(embedding, 1, 8),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM emb),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             list_dot_product(a.embedding::double[], b2.embedding::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(b2.embedding::double[], b2.embedding::double[]))) AS c
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs
+         WHERE c >= 0.9 ORDER BY id_a, id_b""",
 
     "text_hash_embed" ->
       """WITH toks AS (
