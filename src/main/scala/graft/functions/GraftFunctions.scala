@@ -71,6 +71,18 @@ object GraftFunctions {
         }
         PqAdcScore(args.head, args(1), k)
       }),
+    (FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_hash_embed(text, dim) takes a string and a literal dimension")
+        val d = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hash_embed dim must be an int literal, got $other")
+        }
+        HashEmbed(args.head, d)
+      }),
     (FunctionIdentifier("graft_decode_features"),
       new ExpressionInfo(classOf[DecodeFeatures].getName, "graft_decode_features"),
       (args: Seq[Expression]) => {

@@ -134,6 +134,20 @@ object TextAnalysis {
       dim: Int): org.apache.spark.sql.DataFrame = {
     require(dim > 0, s"dim=$dim must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("graft_hash_embed", col(textCol), lit(dim)).as("embedding"))
+  }
+
+  /** The composed twin of [[hashEmbed]] — explode → digest → two
+    * HashAggregates (token stream shuffled keyed (doc, dim-index), zero
+    * rows densifying absent dimensions). Spec-pinned bit-identical to
+    * the kernel; kept as the cross-check and the shape that works
+    * without the function registry. */
+  private[operators] def hashEmbedComposed(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val hashed = df
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .filter(col("__tok") =!= "")

@@ -120,6 +120,16 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale anti-patterns crept in:\n${offenders.mkString("\n")}")
   }
 
+  test("hash embedding is a zero-shuffle kernel projection over the scan") {
+    val p = plan("text_hash_embed")
+    assert(p.contains("graft_hash_embed"), "kernel embed projection missing")
+    assert(!p.contains("HashAggregate"), "token-stream aggregation reintroduced")
+    assert(!p.contains("Generate"), "token explode reintroduced")
+    // the only exchange is the oracle-determinism orderBy
+    assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 1,
+      "extra shuffle in the embed path")
+  }
+
   test("LSH chain: shuffle budget holds (no distinct, no self-join re-scan)") {
     val p = plan("dedup_lsh_pairs")
     // raw shingles feed the minhash groupBy directly (no distinct before

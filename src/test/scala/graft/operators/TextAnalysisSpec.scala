@@ -70,6 +70,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(TextAnalysis.tokenHash60(col("t")), "spark") == h) // deterministic
   }
 
+  test("kernel hashEmbed is identical to the composed explode/aggregate twin") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, Sf0001, "documents").select("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Array[Float])].collect().map { case (id, v) => id -> v.toSeq }.toMap
+    assert(m(TextAnalysis.hashEmbed(docs, "doc_id", "text", 64)) ==
+      m(TextAnalysis.hashEmbedComposed(docs, "doc_id", "text", 64)))
+  }
+
   test("hashEmbed matches a JVM replica and is order-invariant over the bag of words") {
     import spark.implicits._
     val dim = 16
