@@ -40,6 +40,21 @@ object Smoke {
       emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 5)
     topk.show(15, false)
 
+    // round-6 surface: quantized ANN ladder + model-free text embeddings
+    val cws = emb.filter(col("vec_id") % 100 === 0)
+    val pq = operators.Similarity.pqTopK(
+      emb.filter(col("vec_id") < 3), emb, cws, "vec_id", "embedding",
+      k = 3, m = 4, dsub = 16)
+    println(s"== pqTopK: ${pq.count()} rows")
+    val ivfpq = operators.Similarity.ivfPqTopK(
+      emb.filter(col("vec_id") < 3), emb, cws, cws, "vec_id", "embedding",
+      k = 3, m = 4, dsub = 16, nProbe = 2)
+    println(s"== ivfPqTopK: ${ivfpq.count()} rows")
+    val hemb = operators.TextAnalysis.hashEmbed(docs, "doc_id", "text", 64)
+    val semantic = operators.Similarity.bruteForceTopK(
+      hemb.filter(col("doc_id") < 3), hemb, "doc_id", "embedding", 3)
+    println(s"== hashEmbed->topk: ${semantic.count()} rows")
+
     val sh = operators.Dedup.explodedShingles(docs, "text", "doc_id", 5)
     println(s"== shingles: ${sh.count()}")
     val mh = operators.Dedup.minhash(sh, "doc_id", 16)
