@@ -608,6 +608,25 @@ object Similarity {
       .select(col("query_id"), col("cluster"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Per-query recall of an ANN result against the exact baseline:
+    * `|approx ∩ exact| / |exact|` over (query_id, neighbor_id) pairs —
+    * THE operational metric for every quantized/bucketed index here
+    * (dial nProbe/signBits/refine until recall@k clears target, then
+    * stop paying for more). Both inputs are (query_id, neighbor_id[,
+    * ...]) frames from any top-k operator in this file. Scale shape:
+    * both sides are queries×k rows — a join and two aggregates on
+    * result-sized data, never corpus-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("__total"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__hits"), lit(0L)) / col("__total"), 6).as("recall"))
+  }
+
   /** IVF centroid TRAINING: `iters` Lloyd (k-means) refinement steps from
     * a deterministic init. Each step is two linear passes — the broadcast
     * + `max_by` assignment (N rows shuffled, never N×C), then the

@@ -291,6 +291,19 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // ANN recall evaluation: recall@5 of single-probe IVF against the
+    // exact brute-force baseline, per query — the tuning loop every
+    // quantized index runs (raise nProbe/signBits until recall clears
+    // target). Result-sized data only; oracle recomputes both sides.
+    "ann_recall_ivf" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      val approx = Similarity.ivfTopK(queries, emb, centroids, "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    },
+
     // EXACT length-decile binning per language — the small-data
     // cross-check twin of quantile_bin_sketch below: ntile over a TOTAL
     // order (ties broken by doc_id) so bin edges reproduce exactly across
@@ -894,6 +907,52 @@ object LlmQueries {
                               ORDER BY score DESC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "ann_recall_ivf" ->
+      """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         clustered AS (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1),
+         ivfscored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], c.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
+               6) AS cosine
+           FROM clustered q JOIN clustered c
+             ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         ivf AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM ivfscored QUALIFY rnk <= 5),
+         bscored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         brute AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM bscored QUALIFY rnk <= 5)
+         SELECT b.query_id,
+           round(count(i.neighbor_id)::double / count(*), 6) AS recall
+         FROM brute b LEFT JOIN ivf i
+           ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY b.query_id""",
 
     "dedup_semantic" ->
       """WITH toks AS (

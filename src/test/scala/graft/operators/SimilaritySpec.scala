@@ -514,6 +514,22 @@ class SimilaritySpec extends SparkSpec {
       "rerank winner must be drawn from the coarse candidate list")
   }
 
+  test("recallAtK: exact-vs-itself is 1.0; disjoint results are 0.0; partial counts hits") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    def recall(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(approx, exact)
+        .as[(Long, Double)].collect().toMap
+    assert(recall(exact) == Map(1L -> 1.0, 2L -> 1.0))
+    val disjoint = Seq((1L, 99L), (2L, 98L)).toDF("query_id", "neighbor_id")
+    assert(recall(disjoint) == Map(1L -> 0.0, 2L -> 0.0))
+    // one hit of two for query 1; query 2 absent from approx → 0.0 not a
+    // dropped row (left join keeps every exact-side query)
+    val partial = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "neighbor_id")
+    assert(recall(partial) == Map(1L -> 0.5, 2L -> 0.0))
+  }
+
   test("lloydCentroids converges to the blob means from a skewed init") {
     // two clean direction blobs; init centroids both sit in blob A's
     // half-space but one is closer to blob B's members
