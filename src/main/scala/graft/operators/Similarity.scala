@@ -323,10 +323,10 @@ object Similarity {
     * position IS the subspace index, so no join is needed to recover it. */
   private def subspaces(
       df: DataFrame, idCol: String, vecCol: String,
-      m: Int, dsub: Int, outId: String, carry: Seq[String] = Nil): DataFrame =
-    df.select(col(idCol).as(outId) +: carry.map(col) :+
+      m: Int, dsub: Int, outId: String): DataFrame =
+    df.select(col(idCol).as(outId),
       posexplode(array((0 until m).map(j => slice(col(vecCol), j * dsub + 1, dsub)): _*))
-        .as(Seq("subspace", "__sub")): _*)
+        .as(Seq("subspace", "__sub")))
 
   /** PQ codebook from a deterministic codeword set (caller-provided, e.g.
     * a sampled subset — the same contract as [[ivfTopK]]'s centroids):
@@ -363,25 +363,21 @@ object Similarity {
     * scanned by every downstream search). */
   def pqEncode(
       corpus: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, m: Int, dsub: Int,
-      carry: Seq[String] = Nil): DataFrame = {
+      idCol: String, vecCol: String, m: Int, dsub: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def fdot(a: Column, b: Column) = call_function("graft_float_dot", a, b)
-    subspaces(corpus, idCol, vecCol, m, dsub, idCol, carry)
+    subspaces(corpus, idCol, vecCol, m, dsub, idCol)
       .withColumn("__x2", fdot(col("__sub"), col("__sub")))
       .join(broadcast(codebook), Seq("subspace"))
       .withColumn("__d2",
         round(col("__x2") - lit(2.0) * fdot(col("__sub"), col("__cw")) + col("__cw2"), 6))
       .groupBy(col(idCol), col("subspace"))
-      // carried columns are constant per id, so first() is deterministic
       .agg(max_by(col("code"),
-        struct((-col("__d2")).as("__negd"), (-col("code")).as("__negc"))).as("code"),
-        carry.map(c => first(col(c)).as(c)): _*)
+        struct((-col("__d2")).as("__negd"), (-col("code")).as("__negc"))).as("code"))
       .groupBy(col(idCol))
       .agg(expr(
         "transform(array_sort(collect_list(struct(subspace, code))), s -> cast(s.code as int))")
-        .as("codes"),
-        carry.map(c => first(col(c)).as(c)): _*)
+        .as("codes"))
   }
 
   /** Per-query ADC lookup table: `lut(j·K + c) = round(q_j · cw_{j,c}, 6)`
