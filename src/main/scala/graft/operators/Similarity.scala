@@ -349,18 +349,20 @@ object Similarity {
         call_function("graft_float_dot", col("__cw"), col("__cw")))
   }
 
-  /** PQ ENCODE: every vector → `m` dense codes (`array<int>`), each the
-    * argmin-L2² codeword of its subspace slice. L2² composes from three
-    * native dots (`x·x − 2x·c + c·c`; `x·x` hoisted per slice, `c·c`
-    * per codeword — only the cross term is per pair), rounded to 6 dp so
-    * the DuckDB oracle's argmin sees identical keys; ties break by dense
-    * code ascending (== `code_id` ascending, rank preserves order).
-    * Scale shape: the N×m×K scored rows reduce MAP-SIDE through
-    * `max_by` partials, so the two shuffles carry N×m then N rows —
-    * never N×m×K (the [[assignClusters]] argument, per subspace). The
-    * output row is the whole point: m ints instead of d floats is the
-    * 100 TB corpus representation (d=64, m=4 ⇒ 16× fewer bytes
-    * scanned by every downstream search). */
+  /** PQ ENCODE, composed DataFrame form — the spec-pinned twin of the
+    * production kernel path ([[graft.functions.PqEncodeCodes]], a
+    * zero-shuffle projection used by [[pqTopKWithCodebook]] /
+    * [[ivfPqTopK]] / [[pqTrainCodebooks]]): every vector → `m` dense
+    * codes (`array<int>`), each the argmin-L2² codeword of its subspace
+    * slice. L2² composes from three native dots (`x·x − 2x·c + c·c`;
+    * `x·x` hoisted per slice, `c·c` per codeword — only the cross term
+    * is per pair), rounded to 6 dp so the DuckDB oracle's argmin sees
+    * identical keys; ties break by dense code ascending (== `code_id`
+    * ascending, rank preserves order). The N×m×K scored rows reduce
+    * map-side through `max_by` partials, so the two shuffles carry N×m
+    * then N rows — never N×m×K. The output row is the whole point:
+    * m ints instead of d floats is the 100 TB corpus representation
+    * (d=64, m=4 ⇒ 16× fewer bytes scanned by every downstream search). */
   def pqEncode(
       corpus: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, m: Int, dsub: Int): DataFrame = {
@@ -380,9 +382,10 @@ object Similarity {
         .as("codes"))
   }
 
-  /** Per-query ADC lookup table: `lut(j·K + c) = round(q_j · cw_{j,c}, 6)`
-    * flattened subspace-major — |Q|×m×K tiny rows reassembled into one
-    * array per query. Pre-rounding each entry to 6 dp is the determinism
+  /** Per-query ADC lookup table, composed DataFrame form — the
+    * spec-pinned twin of the kernel path ([[graft.functions.PqBuildLut]],
+    * one projection): `lut(j·K + c) = round(q_j · cw_{j,c}, 6)` flattened
+    * subspace-major. Pre-rounding each entry to 6 dp is the determinism
     * keystone: every downstream score is a sum of multiples of 1e-6, so
     * summation ORDER cannot move the final `round(·, 6)` — which lets the
     * oracle replay scores with an unordered SQL `sum`. */
@@ -412,13 +415,14 @@ object Similarity {
     * The 100 TB case for PQ over SQ8: the scan reads m ints per vector
     * instead of d — bandwidth shrinks by d/m (16× at d=64, m=4)
     * INDEPENDENT of value width, and scoring cost drops d multiplies →
-    * m lookups. Recall < 1 by construction (quantization error);
-    * compose with [[sq8RerankTopK]]'s refine pattern (over-fetch, exact
-    * rerank of survivors) or train codewords per subspace with
-    * [[lloydCentroids]] over sliced frames to tighten cells.
+    * m lookups. Recall < 1 by construction (quantization error) —
+    * measure it with [[recallAtK]]; recover it with [[pqRerankTopK]]
+    * (over-fetch, exact rerank) or tighten cells by training codewords
+    * with [[pqTrainCodebooks]].
     *
     * `codewords` must be broadcast-small (the [[ivfTopK]] centroid
-    * contract); the one driver action counts it to size the LUT stride. */
+    * contract): the codebook is collected driver-side and embedded in
+    * the kernel encode/LUT expressions. */
   def pqTopK(
       queries: DataFrame, corpus: DataFrame, codewords: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
