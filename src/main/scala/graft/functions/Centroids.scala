@@ -26,11 +26,16 @@ final class CentroidsRef(
 
 object CentroidsRef {
 
-  /** Collect an (idCol: numeric, vecCol: array&lt;float&gt;) frame. */
+  /** Collect an (idCol: integral, vecCol: array&lt;float&gt;) frame —
+    * callers dispatch non-integral id types to the composed twins. */
   def fromDataFrame(centroids: DataFrame, idCol: String, vecCol: String): CentroidsRef = {
     val rows = centroids.select(col(idCol).cast("long"), col(vecCol)).collect()
     require(rows.nonEmpty, "centroid set is empty")
-    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val sorted = rows.map { r =>
+      require(!r.isNullAt(0), s"centroid id column '$idCol' must be non-null")
+      require(!r.isNullAt(1), s"centroid vector column '$vecCol' must be non-null")
+      (r.getLong(0), r.getSeq[Float](1).toArray)
+    }.sortBy(_._1)
     require(sorted.map(_._1).distinct.length == sorted.length, "duplicate centroid ids")
     val dim = sorted.head._2.length
     require(sorted.forall(_._2.length == dim), "centroid dimensions are not uniform")
@@ -81,16 +86,17 @@ object CentroidKernel {
       while (i < n) { dot += vec.getFloat(i).toDouble * ref.flat(base + i); i += 1 }
       PqKernel.round6(dot / (math.sqrt(na) * math.sqrt(ref.norm2(c))))
     } else {
-      // length-mismatch slow path: the fused twin folds na/nb only over
-      // the common prefix, so the precomputed full-dim norms do not apply
-      var na2 = 0.0; var nb = 0.0
+      // length-mismatch slow path: the fused twin folds nb only over the
+      // common prefix, so the precomputed full-dim norm does not apply;
+      // na is already the common-prefix fold (identical elements, same
+      // left-to-right order), so it carries over unchanged
+      var nb = 0.0
       while (i < n) {
-        val xi = vec.getFloat(i).toDouble
         val yi = ref.flat(base + i).toDouble
-        dot += xi * yi; na2 += xi * xi; nb += yi * yi
+        dot += vec.getFloat(i).toDouble * yi; nb += yi * yi
         i += 1
       }
-      PqKernel.round6(dot / (math.sqrt(na2) * math.sqrt(nb)))
+      PqKernel.round6(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
   }
 

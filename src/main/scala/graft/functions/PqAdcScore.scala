@@ -27,8 +27,10 @@ import org.apache.spark.sql.types._
   * the summation order — which is what lets the DuckDB oracle replay
   * the score with an UNORDERED `sum(term)` and still hash-match.
   *
-  * NULL on malformed input (a code outside `[0, K)` or a LUT shorter
-  * than m·K) rather than a wrong score or an exception mid-codegen.
+  * NULL on malformed input (a code outside `[0, K)`, or a LUT whose
+  * length is not exactly m·K — a dimension-count mismatch between the
+  * index and the query LUT) rather than a wrong score or an exception
+  * mid-codegen.
   */
 case class PqAdcScore(left: Expression, right: Expression, codebookSize: Int)
     extends BinaryExpression {
@@ -46,7 +48,9 @@ case class PqAdcScore(left: Expression, right: Expression, codebookSize: Int)
     val lut = a.asInstanceOf[ArrayData]
     val codes = b.asInstanceOf[ArrayData]
     val m = codes.numElements()
-    if (lut.numElements() < m * codebookSize) return null
+    // exact, not >=: a code row encoded with fewer subspaces than the LUT
+    // was built for would otherwise sum a silent partial score
+    if (lut.numElements() != m * codebookSize) return null
     var acc = 0.0
     var j = 0
     while (j < m) {
@@ -66,7 +70,7 @@ case class PqAdcScore(left: Expression, right: Expression, codebookSize: Int)
       val c = ctx.freshName("c")
       s"""
          |final int $m = $codes.numElements();
-         |if ($lut.numElements() < $m * $codebookSize) {
+         |if ($lut.numElements() != $m * $codebookSize) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;

@@ -183,11 +183,35 @@ object Similarity {
     * scored rows. */
   def assignClusters(
       vectors: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+      idCol: String, vecCol: String): DataFrame =
+    integralIdType(centroids, idCol) match {
+      case Some(t) =>
+        assignClustersRef(vectors,
+          graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol), vecCol, t)
+      case None => assignClustersComposed(vectors, centroids, idCol, vecCol)
+    }
+
+  /** The kernel stores centroid ids as longs, so the kernel path serves
+    * integral id columns (cluster cast back losslessly to the id's own
+    * type); anything else — a string key, a decimal — falls back to the
+    * composed twin, which is type-generic. */
+  private def integralIdType(
+      centroids: DataFrame, idCol: String): Option[org.apache.spark.sql.types.DataType] =
+    centroids.schema(idCol).dataType match {
+      case t @ (org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType) =>
+        Some(t)
+      case _ => None
+    }
+
+  /** Kernel assignment against an already-collected centroid set — lets
+    * the IVF operators collect the centroid frame ONCE and share the ref
+    * between corpus assignment and query probe lists. */
+  private def assignClustersRef(
+      vectors: DataFrame, ref: graft.functions.CentroidsRef,
+      vecCol: String, idType: org.apache.spark.sql.types.DataType): DataFrame =
     vectors.withColumn("cluster",
-      kernelCol(graft.functions.NearestCentroid(attr(vecCol), ref)))
-  }
+      kernelCol(graft.functions.NearestCentroid(attr(vecCol), ref)).cast(idType))
 
   /** The composed-builtins twin of [[assignClusters]] — broadcast
     * crossJoin + map-side `max_by` argmax (N rows shuffled, never N×C);
@@ -227,6 +251,17 @@ object Similarity {
     require(refine > 0, s"refine must be positive, got $refine")
     val coarse = sq8TopK(queries, corpus, idCol, vecCol, k * refine)
       .select(col("query_id"), col("neighbor_id"))
+    rerankExact(coarse, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Shared exact-rerank tail of [[sq8RerankTopK]] / [[pqRerankTopK]]:
+    * fetch only the coarse candidates' float vectors and re-rank by exact
+    * rounded cosine. The candidate side is |Q|·k·refine rows — broadcast
+    * hinted; past the broadcast threshold drop the hint and AQE picks the
+    * shuffle join. */
+  private def rerankExact(
+      coarse: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = broadcast(coarse.join(q, Seq("query_id")))
@@ -247,15 +282,40 @@ object Similarity {
     * corpus-sized. */
   private[operators] def probeClusters(
       queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
-    val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+      idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    integralIdType(centroids, idCol) match {
+      case Some(t) =>
+        probeClustersRef(queries,
+          graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol),
+          idCol, vecCol, nProbe, t)
+      case None => probeClustersComposed(queries, centroids, idCol, vecCol, nProbe)
+    }
+
+  private def probeClustersRef(
+      queries: DataFrame, ref: graft.functions.CentroidsRef,
+      idCol: String, vecCol: String, nProbe: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
     queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         posexplode(kernelCol(graft.functions.ProbeCentroids(attr(vecCol), ref, nProbe)))
           .as(Seq("__p", "cluster")))
-      .select(col("query_id"), col("__qv"), col("cluster"),
+      .select(col("query_id"), col("__qv"), col("cluster").cast(idType).as("cluster"),
         (col("__p") + 1).as("probe_rank"))
-  }
+
+  /** (corpus with `cluster`, query probe list) sharing ONE centroid
+    * collect on the kernel path; composed twins serve non-integral ids. */
+  private def clusteredAndProbes(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): (DataFrame, DataFrame) =
+    integralIdType(centroids, idCol) match {
+      case Some(t) =>
+        val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+        (assignClustersRef(corpus, ref, vecCol, t),
+          probeClustersRef(queries, ref, idCol, vecCol, nProbe, t))
+      case None =>
+        (assignClustersComposed(corpus, centroids, idCol, vecCol),
+          probeClustersComposed(queries, centroids, idCol, vecCol, nProbe))
+    }
 
   /** The composed twin of [[probeClusters]]: broadcast crossJoin scored
     * by the native cosine, reduced through the bounded-heap top-k
@@ -293,30 +353,24 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
-    val clustered = assignClusters(corpus, centroids, idCol, vecCol)
+    graft.functions.GraftFunctions.register(queries.sparkSession) // cosineNative below
+    val (assigned, probeList) =
+      clusteredAndProbes(queries, corpus, centroids, idCol, vecCol, nProbe)
+    val clustered = assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cluster"))
-    val probes = probeClusters(queries, centroids, idCol, vecCol, nProbe)
-      .drop("probe_rank")
-    val scored = broadcast(probes).join(clustered, Seq("cluster"))
+    val scored = broadcast(probeList.drop("probe_rank")).join(clustered, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
     topKPerQueryAuto(scored, k)
       .select(col("query_id"), col("cluster"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Single-probe IVF — [[ivfTopKProbed]] at `nProbe = 1` (probe rank 1
+    * IS the assigned cluster; spec-pinned row-identical). */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val clustered = assignClusters(corpus, centroids, idCol, vecCol)
-    val qClustered = assignClusters(queries, centroids, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cluster"))
-    val c = clustered.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cluster"))
-    val scored = broadcast(qClustered).join(c, Seq("cluster"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
-    topKPerQueryAuto(scored, k)
-      .select(col("query_id"), col("cluster"), col("neighbor_id"), col("cosine"), col("rank"))
-  }
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    ivfTopKProbed(queries, corpus, centroids, idCol, vecCol, k, nProbe = 1)
 
   /** One row per (vector, subspace): the vector split into `m` contiguous
     * `dsub`-wide slices — PQ's subspace decomposition. posexplode's
@@ -454,7 +508,7 @@ object Similarity {
     val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
     val codes = corpus.select(col(idCol).as("id"),
       kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
-    pqSearchEncoded(queries, codes, codebook, idCol, vecCol, k, m, dsub)
+    pqSearchWithRef(queries, codes, ref, idCol, vecCol, k)
   }
 
   /** Search a PRE-ENCODED PQ index: `codes` is an (id, codes) frame
@@ -468,9 +522,14 @@ object Similarity {
     * projection per batch. */
   def pqSearchEncoded(
       queries: DataFrame, codes: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame =
+    pqSearchWithRef(queries, codes,
+      graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub), idCol, vecCol, k)
+
+  private def pqSearchWithRef(
+      queries: DataFrame, codes: DataFrame, ref: graft.functions.PqCodebookRef,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
     val c = codes.select(col("id").as("neighbor_id"), col("codes"))
     val lut = queries.select(col(idCol).as("query_id"),
       kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
@@ -500,13 +559,7 @@ object Similarity {
     require(refine > 0, s"refine must be positive, got $refine")
     val coarse = pqTopK(queries, corpus, codewords, idCol, vecCol, k * refine, m, dsub)
       .select(col("query_id"), col("neighbor_id"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val scored = broadcast(coarse.join(q, Seq("query_id")))
-      .join(c, Seq("neighbor_id"))
-      .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
-    topKPerQueryAuto(scored, k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rerankExact(coarse, queries, corpus, idCol, vecCol, k)
   }
 
   /** PQ codebook TRAINING: `iters` per-subspace Lloyd refinement steps
@@ -587,13 +640,14 @@ object Similarity {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val ref = graft.functions.PqCodebookRef.fromCodebook(
       pqCodebook(codewords, idCol, vecCol, m, dsub), m, dsub)
-    // cluster assignment is the only corpus aggregation; codes are a
-    // zero-shuffle kernel projection over its output
-    val codes = assignClusters(corpus, centroids, idCol, vecCol)
+    val (assigned, probeList) =
+      clusteredAndProbes(queries, corpus, centroids, idCol, vecCol, nProbe)
+    // cluster assignment and PQ encoding compose into ONE projection
+    // over the corpus scan (both kernels, zero shuffles)
+    val codes = assigned
       .select(col(idCol).as("neighbor_id"), col("cluster"),
         kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
-    val probes = probeClusters(queries, centroids, idCol, vecCol, nProbe)
-      .drop("probe_rank", "__qv")
+    val probes = probeList.drop("probe_rank", "__qv")
     val lut = queries.select(col(idCol).as("query_id"),
       kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
     val scored = broadcast(probes.join(lut, Seq("query_id")))

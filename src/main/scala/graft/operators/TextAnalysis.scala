@@ -140,9 +140,11 @@ object TextAnalysis {
 
   /** The composed twin of [[hashEmbed]] — explode → digest → two
     * HashAggregates (token stream shuffled keyed (doc, dim-index), zero
-    * rows densifying absent dimensions). Spec-pinned bit-identical to
-    * the kernel; kept as the cross-check and the shape that works
-    * without the function registry. */
+    * rows densifying absent dimensions, NULL text → NULL embedding like
+    * the kernel's null propagation). Spec-pinned bit-identical to the
+    * kernel; kept as the cross-check and the shape that works without
+    * the function registry. The SQL oracle twins assume non-null text
+    * (true of the test corpus). */
   private[operators] def hashEmbedComposed(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       dim: Int): org.apache.spark.sql.DataFrame = {
@@ -156,14 +158,17 @@ object TextAnalysis {
         pmod(col("__h"), lit(dim.toLong)).cast("int").as("__i"),
         when(pmod(expr(s"__h div $dim"), lit(2)) === 0, lit(1.0f))
           .otherwise(lit(-1.0f)).as("__v"))
-    val zeros = df.select(col(idCol), explode(sequence(lit(0), lit(dim - 1))).as("__i"))
+    val zeros = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(sequence(lit(0), lit(dim - 1))).as("__i"))
       .withColumn("__v", lit(0.0f))
-    hashed.unionByName(zeros)
+    val embedded = hashed.unionByName(zeros)
       .groupBy(col(idCol), col("__i"))
       .agg(sum(col("__v")).as("__s")) // sums of ±1: exact, order-free
       .groupBy(col(idCol))
       .agg(expr(
         "transform(array_sort(collect_list(struct(__i, __s))), s -> cast(s.__s as float))")
         .as("embedding"))
+    // null-text rows keep their row with a NULL embedding (kernel parity)
+    df.select(col(idCol)).join(embedded, Seq(idCol), "left")
   }
 }

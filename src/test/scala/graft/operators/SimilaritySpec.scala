@@ -286,12 +286,14 @@ class SimilaritySpec extends SparkSpec {
       (Array(1.0, 2.0, 10.0, 20.0), Array(0, 1)),  // 1.0 + 20.0
       (Array(1.0, 2.0, 10.0, 20.0), Array(2, 0)),  // code ≥ K → NULL
       (Array(1.0, 2.0, 10.0, 20.0), Array(-1, 0)), // code < 0 → NULL
-      (Array(1.0, 2.0), Array(0, 0, 0)))           // LUT shorter than m·K → NULL
+      (Array(1.0, 2.0), Array(0, 0, 0)),           // LUT shorter than m·K → NULL
+      (Array(1.0, 2.0, 10.0, 20.0), Array(0)))     // LUT LONGER than m·K → NULL,
+                                                   // never a silent partial score
       .toDF("lut", "codes")
     val got = rows.select(
       call_function("graft_pq_adc", col("lut"), col("codes"), lit(2)).as("s"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(got.toSeq == Seq(Some(12.0), Some(21.0), None, None, None))
+    assert(got.toSeq == Seq(Some(12.0), Some(21.0), None, None, None, None))
   }
 
   test("pqTopK matches a JVM replica of encode + ADC scoring") {
@@ -528,6 +530,40 @@ class SimilaritySpec extends SparkSpec {
     // dropped row (left join keeps every exact-side query)
     val partial = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "neighbor_id")
     assert(recall(partial) == Map(1L -> 0.5, 2L -> 0.0))
+  }
+
+  test("ivfTopK self-registers: works on a session with a fresh function registry") {
+    // regression: the kernel assignClusters dropped the register() call
+    // the composed form carried, leaving ivfTopK's cosineNative
+    // unresolved on any session no other graft operator had touched
+    val fresh = spark.newSession()
+    val emb = fresh.read.parquet(s"$Sf0001/embeddings.parquet").select("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 2), emb, emb.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 2)
+    assert(out.count() > 0)
+  }
+
+  test("assignClusters/probeClusters with non-integral centroid ids fall back to the composed twin") {
+    val cen = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.0f, 1.0f)))
+      .toDF("cid", "embedding")
+    val v = Seq(("x", Array(0.9f, 0.1f)), ("y", Array(0.1f, 0.9f)))
+      .toDF("cid", "embedding")
+    val assigned = Similarity.assignClusters(v, cen, "cid", "embedding")
+      .select(col("cid"), col("cluster")).as[(String, String)].collect().toMap
+    assert(assigned == Map("x" -> "a", "y" -> "b"))
+    val probed = Similarity.probeClusters(v, cen, "cid", "embedding", 2)
+      .filter(col("probe_rank") === 1)
+      .select(col("query_id"), col("cluster")).as[(String, String)].collect().toMap
+    assert(probed == assigned.map { case (k2, v2) => (k2, v2) })
+  }
+
+  test("kernel assignClusters keeps the centroid id column's own type for cluster") {
+    val cenInt = Seq((10, Array(1.0f, 0.0f)), (20, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val v = Seq((1, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val schema = Similarity.assignClusters(v, cenInt, "vec_id", "embedding").schema
+    assert(schema("cluster").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
   test("lloydCentroids converges to the blob means from a skewed init") {

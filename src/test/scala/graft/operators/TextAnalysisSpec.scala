@@ -79,6 +79,18 @@ class TextAnalysisSpec extends SparkSpec {
       m(TextAnalysis.hashEmbedComposed(docs, "doc_id", "text", 64)))
   }
 
+  test("hashEmbed twins agree on NULL text: row kept, embedding NULL") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("key agg row")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    val kernel = m(TextAnalysis.hashEmbed(docs, "doc_id", "text", 8))
+    val composed = m(TextAnalysis.hashEmbedComposed(docs, "doc_id", "text", 8))
+    assert(kernel == Map(1L -> false, 2L -> true))
+    assert(composed == kernel)
+  }
+
   test("hashEmbed matches a JVM replica and is order-invariant over the bag of words") {
     import spark.implicits._
     val dim = 16
