@@ -216,20 +216,30 @@ object Similarity {
   /** The composed-builtins twin of [[assignClusters]] — broadcast
     * crossJoin + map-side `max_by` argmax (N rows shuffled, never N×C);
     * kept for the spec pin and for sessions where a driver collect of
-    * the centroid frame is undesirable. */
+    * the centroid frame is undesirable. This twin is type-generic in the
+    * centroid id (it IS the dispatch target for string/decimal ids), so
+    * the id-ascending tie-break negates a dense integer RANK of the id —
+    * a window over the broadcast-small centroid set only — never the id
+    * itself (negating a string id would ANSI-cast and throw). NULL
+    * vectors yield a NULL cluster, matching the null-intolerant kernel
+    * expression (KernelEdgeSpec-pinned). */
   private[operators] def assignClustersComposed(
       vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val cen = broadcast(centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("__cen")))
+    val cen = broadcast(centroids
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("__cen"))
+      .withColumn("__cenrank", row_number().over(Window.orderBy(col("centroid_id").asc))))
     val passThrough = vectors.columns.toSeq.filter(_ != idCol)
     vectors.crossJoin(cen)
       .withColumn("__sim", round(cosineNative(col(vecCol), col("__cen")), 6))
       .groupBy(col(idCol))
       .agg(max_by(
         struct((passThrough.map(col) :+ col("centroid_id").as("cluster")): _*),
-        struct(col("__sim"), (-col("centroid_id")).as("__neg"))).as("__best"))
+        struct(col("__sim"), (-col("__cenrank")).as("__neg"))).as("__best"))
       .select(col(idCol) +: passThrough.map(c => col(s"__best.$c")) :+ col("__best.cluster"): _*)
+      .withColumn("cluster",
+        when(col(vecCol).isNull, lit(null)).otherwise(col("cluster")))
   }
 
   /** Two-stage SQ8 retrieval: coarse int8 scan, exact float rerank — the
@@ -328,6 +338,9 @@ object Similarity {
     val cen = broadcast(centroids.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cen")))
     val scored = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      // kernel twin: ProbeCentroids is NULL on a NULL vector and the
+      // posexplode emits no rows — drop NULL-vector queries here too
+      .filter(col("__qv").isNotNull)
       .crossJoin(cen)
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cen")), 6))
     topKPerQueryAuto(scored, nProbe)
@@ -395,9 +408,23 @@ object Similarity {
       codewords: DataFrame, idCol: String, vecCol: String,
       m: Int, dsub: Int): DataFrame = {
     graft.functions.GraftFunctions.register(codewords.sparkSession)
+    // duplicate codeword ids would make the dense-code ranks (and thus
+    // every encoded corpus row) nondeterministic across runs — the same
+    // contract CentroidsRef.fromDataFrame enforces with a collect-side
+    // require. Checked lazily via lag over the SAME window the ranking
+    // sort already pays for, so no extra job runs against the (possibly
+    // corpus-derived) codewords frame.
+    val w = Window.partitionBy(col("subspace")).orderBy(col("code_id"))
     subspaces(codewords, idCol, vecCol, m, dsub, "code_id")
-      .withColumn("code", (row_number().over(
-        Window.partitionBy(col("subspace")).orderBy(col("code_id"))) - 1).cast("int"))
+      .withColumn("__prev_id", lag(col("code_id"), 1).over(w))
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .withColumn("code",
+        when(col("__prev_id") === col("code_id"),
+          raise_error(concat(lit("pqCodebook: duplicate codeword id "),
+            col("code_id").cast("string")))
+            .cast("int"))
+          .otherwise(col("code")))
+      .drop("__prev_id")
       .withColumnRenamed("__sub", "__cw")
       .withColumn("__cw2",
         call_function("graft_float_dot", col("__cw"), col("__cw")))
@@ -522,15 +549,21 @@ object Similarity {
     * projection per batch. */
   def pqSearchEncoded(
       queries: DataFrame, codes: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame =
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
+    // [[pqEncode]] names its id column after idCol; the inline kernel
+    // encode (and a persisted index written from it) uses the literal
+    // "id" — accept both so pqEncode output round-trips without a rename
+    val codesId = if (codes.columns.contains(idCol)) idCol else "id"
     pqSearchWithRef(queries, codes,
-      graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub), idCol, vecCol, k)
+      graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub),
+      idCol, vecCol, k, codesId)
+  }
 
   private def pqSearchWithRef(
       queries: DataFrame, codes: DataFrame, ref: graft.functions.PqCodebookRef,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, codesIdCol: String = "id"): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val c = codes.select(col("id").as("neighbor_id"), col("codes"))
+    val c = codes.select(col(codesIdCol).as("neighbor_id"), col("codes"))
     val lut = queries.select(col(idCol).as("query_id"),
       kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
     val scored = broadcast(lut).join(c, col("query_id") =!= col("neighbor_id"))

@@ -261,11 +261,13 @@ object LlmQueries {
     // Feature-hashing text embedding (the hashing trick): every doc →
     // 64-dim signed term-frequency vector via the shared 60-bit digest —
     // the model-free bridge from text to the vector stack. Components
-    // are exact ±1 sums, emitted as ints for the oracle hash.
+    // are exact ±1 sums; the vector is serialized to a comma-joined
+    // string because the harness canonicalizer sorts/hashes scalar
+    // columns only (an array column is pandas-unhashable).
     "text_hash_embed" -> q { (s, dir) =>
       TextAnalysis.hashEmbed(Tables.load(s, dir, "documents"), "doc_id", "text", 64)
         .select(col("doc_id"),
-          expr("transform(embedding, x -> cast(x as int))").as("tf_signs"))
+          array_join(expr("transform(embedding, x -> cast(x as int))"), ",").as("tf_signs"))
         .orderBy("doc_id")
     },
 
@@ -1001,7 +1003,7 @@ object LlmQueries {
            SELECT doc_id, i, sum(v) AS s
            FROM (SELECT * FROM hashed UNION ALL SELECT * FROM zeros)
            GROUP BY doc_id, i)
-         SELECT doc_id, list(CAST(s AS INT) ORDER BY i) AS tf_signs
+         SELECT doc_id, array_to_string(list(CAST(s AS INT) ORDER BY i), ',') AS tf_signs
          FROM summed GROUP BY doc_id ORDER BY doc_id""",
 
     "sim_topk_hash_embed" ->

@@ -67,6 +67,41 @@ class KernelEdgeSpec extends SparkSpec {
     assert(cl(long3) == composed)
   }
 
+  test("NULL vector: both assign twins yield NULL cluster; both probe twins emit no rows") {
+    // the kernel NearestCentroid/ProbeCentroids are null-intolerant (NULL
+    // in → NULL out → posexplode drops the row); the composed twins must
+    // not silently assign the lowest centroid id instead
+    val v = Seq((1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    def clusters(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val kernel = clusters(Similarity.assignClusters(v, centroids, "vec_id", "embedding"))
+    val composed = clusters(
+      Similarity.assignClustersComposed(v, centroids, "vec_id", "embedding"))
+    assert(kernel == Map(1L -> Some(10L), 2L -> None))
+    assert(composed == kernel)
+    def probeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("cluster"), col("probe_rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    val pk = probeRows(Similarity.probeClusters(v, centroids, "vec_id", "embedding", 2))
+    val pc = probeRows(Similarity.probeClustersComposed(v, centroids, "vec_id", "embedding", 2))
+    assert(pk.map(_._1) == Set(1L), "NULL-vector query must emit no probe rows")
+    assert(pc == pk)
+  }
+
+  test("string centroid ids: composed assign tie-breaks by id rank, not ANSI-cast negation") {
+    // regression for the r6 red gate: (-col(centroid_id)) on a STRING id
+    // ANSI-casts to double and throws CAST_INVALID_INPUT; equidistant
+    // centroids must fall to the lexically-lowest id
+    val cen = Seq(("b", Array(0.0f, 1.0f)), ("a", Array(1.0f, 0.0f)))
+      .toDF("cid", "embedding")
+    val v = Seq(("x", Array(1.0f, 1.0f))).toDF("cid", "embedding") // exact tie
+    val got = Similarity.assignClustersComposed(v, cen, "cid", "embedding")
+      .select("cluster").as[String].head()
+    assert(got == "a")
+  }
+
   test("probe list: nProbe above the centroid count returns all C in rank order") {
     val v = Seq((1L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
     val got = Similarity.probeClusters(v, centroids, "vec_id", "embedding", nProbe = 99)

@@ -487,6 +487,33 @@ class SimilaritySpec extends SparkSpec {
     assert(fromIndex == inline)
   }
 
+  test("pqEncode output round-trips into pqSearchEncoded without a rename") {
+    // the public encode emits (idCol, codes); the persisted-index search
+    // must accept that shape directly, not only the literal "id"
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings").filter(col("vec_id") < 60)
+    val cws = emb001.filter(col("vec_id") % 20 === 0)
+    val cbDf = Similarity.pqCodebook(cws, "vec_id", "embedding", m = 4, dsub = 16)
+    val codes = Similarity.pqEncode(emb001, cbDf, "vec_id", "embedding", m = 4, dsub = 16)
+    val fromEncode = Similarity.pqSearchEncoded(
+        emb001.filter(col("vec_id") < 3), codes, cbDf,
+        "vec_id", "embedding", k = 4, m = 4, dsub = 16)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.pqTopK(
+        emb001.filter(col("vec_id") < 3), emb001, cws,
+        "vec_id", "embedding", k = 4, m = 4, dsub = 16)
+      .collect().map(_.toSeq).toSet
+    assert(fromEncode == inline)
+  }
+
+  test("pqCodebook raises on duplicate codeword ids instead of ranking nondeterministically") {
+    val dup = Seq((1L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqCodebook(dup, "vec_id", "embedding", m = 2, dsub = 1).collect()
+    }
+    assert(ex.getMessage.contains("duplicate codeword id"))
+  }
+
   test("pqRerankTopK: refine covering the corpus reproduces exact brute-force top-k") {
     // coarse k×refine ≥ corpus-1 → every vector survives the coarse PQ
     // stage, so the rerank IS brute force (exact cosine order)
