@@ -306,6 +306,60 @@ object LlmQueries {
       Similarity.recallAtK(approx, exact).orderBy("query_id")
     },
 
+    // Residual IVF-PQ (FAISS by_residual=true, its default): corpus
+    // PQ-encoded as residuals from the assigned centroid, one LUT per
+    // (query, probed cluster) from q − c, L2 ADC closed with the
+    // query-independent codeword self-dot table. Centroids and
+    // codewords are DISJOINT samples — a centroid's own residual is the
+    // zero vector, useless as a codeword.
+    "sim_topk_ivfpq_residual" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqResidualTopK(emb.filter(col("vec_id") < 10), emb,
+          emb.filter(col("vec_id") % 100 === 0), emb.filter(col("vec_id") % 100 === 50),
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // Recall@5 of the flat PQ index against exact brute force — the
+    // oracle-tracked recall-vs-bandwidth dial of the m-int code scan.
+    "ann_recall_pq" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      val approx = Similarity.pqTopK(queries, emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, m = 4, dsub = 16)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    },
+
+    // Recall@5 of global-codebook IVF-PQ — same centroid set, codeword
+    // budget, m/dsub/nProbe as the residual row below, so the two rows
+    // measure exactly the by_residual trade on this corpus.
+    "ann_recall_ivfpq" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      val approx = Similarity.ivfPqTopK(queries, emb,
+        emb.filter(col("vec_id") % 100 === 0), emb.filter(col("vec_id") % 100 === 50),
+        "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    },
+
+    // Recall@5 of residual IVF-PQ at identical parameters. On the
+    // driver's uniform-random unit vectors this lands BELOW the global
+    // flavor (residuals of near-orthogonal vectors are √2 larger than
+    // the vectors; see ivfPqResidualTopK's scaladoc) — the pair of rows
+    // is the measurement that tells a user which flavor their corpus
+    // wants.
+    "ann_recall_ivfpq_residual" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      val approx = Similarity.ivfPqResidualTopK(queries, emb,
+        emb.filter(col("vec_id") % 100 === 0), emb.filter(col("vec_id") % 100 === 50),
+        "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    },
+
     // EXACT length-decile binning per language — the small-data
     // cross-check twin of quantile_bin_sketch below: ntile over a TOTAL
     // order (ties broken by doc_id) so bin edges reproduce exactly across
@@ -953,6 +1007,299 @@ object LlmQueries {
          SELECT b.query_id,
            round(count(i.neighbor_id)::double / count(*), 6) AS recall
          FROM brute b LEFT JOIN ivf i
+           ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY b.query_id""",
+
+    "sim_topk_ivfpq_residual" ->
+      """WITH js AS (SELECT unnest(range(4)) AS j),
+         cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         respos AS (
+           SELECT a.vec_id, a.cluster, unnest(a.embedding) AS v,
+                  generate_subscripts(a.embedding, 1) AS pos
+           FROM assign a WHERE a.crn = 1),
+         res AS (
+           SELECT r.vec_id, r.cluster,
+                  list((r.v::double - cen.cemb[r.pos]::double)::real ORDER BY r.pos) AS remb
+           FROM respos r JOIN cen ON cen.centroid_id = r.cluster
+           GROUP BY r.vec_id, r.cluster),
+         sub AS (
+           SELECT vec_id, cluster, j, list_slice(remb, j*16 + 1, j*16 + 16) AS sv
+           FROM res, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 50),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         qrespos AS (
+           SELECT p.query_id, p.cluster, unnest(e.embedding) AS v,
+                  generate_subscripts(e.embedding, 1) AS pos
+           FROM (SELECT vec_id AS query_id, cluster FROM assign
+                 WHERE vec_id < 10 AND crn <= 2) p
+           JOIN embeddings e ON e.vec_id = p.query_id),
+         qres AS (
+           SELECT r.query_id, r.cluster,
+                  list((r.v::double - cen.cemb[r.pos]::double)::real ORDER BY r.pos) AS qr
+           FROM qrespos r JOIN cen ON cen.centroid_id = r.cluster
+           GROUP BY r.query_id, r.cluster),
+         qsub AS (
+           SELECT query_id, cluster, j, list_slice(qr, j*16 + 1, j*16 + 16) AS sv,
+                  round(list_dot_product(qr::double[], qr::double[]), 6) AS q2
+           FROM qres, js),
+         cand AS (
+           SELECT q.query_id, q.cluster, c.vec_id AS neighbor_id
+           FROM qres q JOIN res c ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
+         terms AS (
+           SELECT cand.query_id, cand.cluster, cand.neighbor_id, qs.q2,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS t1,
+                  round(list_dot_product(cb.cw::double[], cb.cw::double[]), 6) AS t2
+           FROM cand
+           JOIN qsub qs ON qs.query_id = cand.query_id AND qs.cluster = cand.cluster
+           JOIN codes co ON co.vec_id = cand.neighbor_id AND co.j = qs.j
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code),
+         scored AS (
+           SELECT query_id, cluster, neighbor_id,
+                  round(any_value(q2) - 2*sum(t1) + sum(t2), 6) AS dist
+           FROM terms GROUP BY query_id, cluster, neighbor_id)
+         SELECT query_id, cluster, neighbor_id, dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "ann_recall_pq" ->
+      """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 0),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         terms AS (
+           SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM sub qs
+           JOIN codes co ON co.j = qs.j AND co.vec_id <> qs.vec_id
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code
+           WHERE qs.vec_id < 10),
+         scored AS (
+           SELECT query_id, neighbor_id, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id),
+         pq AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+           FROM scored QUALIFY rnk <= 5),
+         bscored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         brute AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM bscored QUALIFY rnk <= 5)
+         SELECT b.query_id,
+           round(count(i.neighbor_id)::double / count(*), 6) AS recall
+         FROM brute b LEFT JOIN pq i
+           ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY b.query_id""",
+
+    "ann_recall_ivfpq" ->
+      """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 50),
+         cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         clustered AS (SELECT vec_id, cluster FROM assign WHERE crn = 1),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cluster FROM assign
+           WHERE vec_id < 10 AND crn <= 2),
+         cand AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id
+           FROM probes p JOIN clustered c
+             ON c.cluster = p.cluster AND c.vec_id <> p.query_id),
+         terms AS (
+           SELECT cand.query_id, cand.neighbor_id,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM cand
+           JOIN sub qs ON qs.vec_id = cand.query_id
+           JOIN codes co ON co.vec_id = cand.neighbor_id AND co.j = qs.j
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code),
+         scored AS (
+           SELECT query_id, neighbor_id, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id),
+         ivfpq AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+           FROM scored QUALIFY rnk <= 5),
+         bscored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         brute AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM bscored QUALIFY rnk <= 5)
+         SELECT b.query_id,
+           round(count(i.neighbor_id)::double / count(*), 6) AS recall
+         FROM brute b LEFT JOIN ivfpq i
+           ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY b.query_id""",
+
+    "ann_recall_ivfpq_residual" ->
+      """WITH js AS (SELECT unnest(range(4)) AS j),
+         cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         respos AS (
+           SELECT a.vec_id, a.cluster, unnest(a.embedding) AS v,
+                  generate_subscripts(a.embedding, 1) AS pos
+           FROM assign a WHERE a.crn = 1),
+         res AS (
+           SELECT r.vec_id, r.cluster,
+                  list((r.v::double - cen.cemb[r.pos]::double)::real ORDER BY r.pos) AS remb
+           FROM respos r JOIN cen ON cen.centroid_id = r.cluster
+           GROUP BY r.vec_id, r.cluster),
+         sub AS (
+           SELECT vec_id, cluster, j, list_slice(remb, j*16 + 1, j*16 + 16) AS sv
+           FROM res, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 50),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         qrespos AS (
+           SELECT p.query_id, p.cluster, unnest(e.embedding) AS v,
+                  generate_subscripts(e.embedding, 1) AS pos
+           FROM (SELECT vec_id AS query_id, cluster FROM assign
+                 WHERE vec_id < 10 AND crn <= 2) p
+           JOIN embeddings e ON e.vec_id = p.query_id),
+         qres AS (
+           SELECT r.query_id, r.cluster,
+                  list((r.v::double - cen.cemb[r.pos]::double)::real ORDER BY r.pos) AS qr
+           FROM qrespos r JOIN cen ON cen.centroid_id = r.cluster
+           GROUP BY r.query_id, r.cluster),
+         qsub AS (
+           SELECT query_id, cluster, j, list_slice(qr, j*16 + 1, j*16 + 16) AS sv,
+                  round(list_dot_product(qr::double[], qr::double[]), 6) AS q2
+           FROM qres, js),
+         cand AS (
+           SELECT q.query_id, q.cluster, c.vec_id AS neighbor_id
+           FROM qres q JOIN res c ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
+         terms AS (
+           SELECT cand.query_id, cand.cluster, cand.neighbor_id, qs.q2,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS t1,
+                  round(list_dot_product(cb.cw::double[], cb.cw::double[]), 6) AS t2
+           FROM cand
+           JOIN qsub qs ON qs.query_id = cand.query_id AND qs.cluster = cand.cluster
+           JOIN codes co ON co.vec_id = cand.neighbor_id AND co.j = qs.j
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  round(any_value(q2) - 2*sum(t1) + sum(t2), 6) AS dist
+           FROM terms GROUP BY query_id, cluster, neighbor_id),
+         resid AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id) AS rnk
+           FROM scored QUALIFY rnk <= 5),
+         bscored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         brute AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM bscored QUALIFY rnk <= 5)
+         SELECT b.query_id,
+           round(count(i.neighbor_id)::double / count(*), 6) AS recall
+         FROM brute b LEFT JOIN resid i
            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
          GROUP BY b.query_id ORDER BY b.query_id""",
 

@@ -371,6 +371,73 @@ class SimilaritySpec extends SparkSpec {
       .foreach { case (nid, cl) => assert(assigned(nid) == cl) }
   }
 
+  test("ivfPqResidualTopK: lossless residual codebook reproduces ivfTopK's neighbor sets") {
+    // every corpus vector contributes its own residual as a codeword, so
+    // encoding is exact and the L2 ADC ranks by true ||q−x||² within the
+    // probed cluster — on unit-norm embeddings that is cosine order, i.e.
+    // ivfTopK's ranking over the same candidates
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings")
+    val centroids = emb001.filter(col("vec_id") % 100 === 0)
+    val queries = emb001.filter(col("vec_id") < 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val residual = pairs(Similarity.ivfPqResidualTopK(queries, emb001, centroids, emb001,
+      "vec_id", "embedding", k = 3, m = 4, dsub = 16, nProbe = 1))
+    val ivf = pairs(Similarity.ivfTopK(queries, emb001, centroids,
+      "vec_id", "embedding", k = 3))
+    assert(residual == ivf)
+  }
+
+  test("ivfPqResidualTopK: candidates come only from probed clusters, tagged with assignment") {
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings")
+    val centroids = emb001.filter(col("vec_id") % 100 === 0)
+    val codewords = emb001.filter(col("vec_id") % 100 === 50)
+    val queries = emb001.filter(col("vec_id") < 5)
+    val out = Similarity.ivfPqResidualTopK(queries, emb001, centroids, codewords,
+      "vec_id", "embedding", k = 3, m = 4, dsub = 16, nProbe = 2)
+    val probed = Similarity.probeClusters(queries, centroids, "vec_id", "embedding", 2)
+      .select(col("query_id"), col("cluster")).as[(Long, Long)].collect().toSet
+    val got = out.select(col("query_id"), col("cluster")).as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got.subsetOf(probed))
+    val assigned = Similarity.assignClusters(emb001, centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster")).as[(Long, Long)].collect().toMap
+    out.select(col("neighbor_id"), col("cluster")).as[(Long, Long)].collect()
+      .foreach { case (nid, cl) => assert(assigned(nid) == cl) }
+  }
+
+  test("residual IVF-PQ beats the global codebook on clustered data at equal parameters") {
+    // the by_residual=true premise made measurable where it actually
+    // holds — CLUSTERED vectors, where the centroid absorbs the coarse
+    // position and residuals concentrate near the origin. (On uniform
+    // random unit vectors — the driver's embeddings table — residuals
+    // are ~√2 LARGER than the vectors themselves and the global flavor
+    // wins; measured, and documented on ivfPqResidualTopK.) Four
+    // axis-aligned blobs in d=8, deterministic per-member jitter; same
+    // centroid set, codeword budget, m/dsub/nProbe for both flavors.
+    def jit(id: Int, i: Int): Float = (((id * 37 + i * 11) % 7) - 3) / 20.0f
+    val members = (0 until 40).map { id =>
+      val blob = id % 4
+      val v = Array.tabulate(8)(i => jit(id, i) + (if (i == blob * 2) 1.0f else 0.0f))
+      (id.toLong, v)
+    }
+    val corpus = members.toDF("vec_id", "embedding")
+    val centroids = Seq.tabulate(4) { b =>
+      (1000L + b, Array.tabulate(8)(i => if (i == b * 2) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val codewords = corpus.filter(col("vec_id") % 5 === 2) // 8 codewords, 2/blob
+    val queries = corpus.filter(col("vec_id") < 4)         // one query per blob
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3)
+    def mean(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact).agg(avg(col("recall"))).as[Double].head()
+    val global = mean(Similarity.ivfPqTopK(queries, corpus, centroids, codewords,
+      "vec_id", "embedding", k = 3, m = 4, dsub = 2, nProbe = 1))
+    val residual = mean(Similarity.ivfPqResidualTopK(queries, corpus, centroids, codewords,
+      "vec_id", "embedding", k = 3, m = 4, dsub = 2, nProbe = 1))
+    assert(residual >= global,
+      s"residual recall $residual should be >= global-codebook recall $global on clustered data")
+    assert(residual > 0.5, s"residual recall $residual should be substantial on clustered data")
+  }
+
   test("pqTrainCodebooks: codewords move to subspace means; empty codes keep their codeword") {
     // subspace 0 has members near both codewords; subspace 1's members all
     // sit near codeword 0, so codeword 1 attracts nothing there and must
