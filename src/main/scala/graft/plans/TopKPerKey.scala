@@ -33,23 +33,38 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * ACCOUNTED against the task's unified execution memory through a
   * `MemoryConsumer` ([[TopKPartialMemoryConsumer]]): the map's estimated
   * footprint is reserved from the `TaskMemoryManager` in chunks, so it
-  * shows up in Spark's memory arithmetic, competes fairly with the other
-  * consumers in the task (shuffle writers, aggregates), and — when the
-  * manager declines a reservation — the partial phase "spills" by
-  * FLUSHING its whole map downstream and starting empty. Emitting
-  * partial heaps downstream is the correct spill strategy for a partial
-  * operator (the final phase merges any number of partial heaps per
-  * key — exactly Spark's partial-aggregate pass-through degradation):
-  * it needs no disk, and a near-unique-key input degrades to shuffling
-  * ~input rows like the window formulation would, instead of OOMing the
-  * executor. `spark.graft.topk.partialMaxKeys` (default 1,048,576)
-  * remains as a hard secondary cap on distinct keys. The cooperative
-  * `spill(size, trigger)` callback reports 0 — the heap map cannot be
-  * shrunk safely mid-iteration from another consumer's acquire path —
-  * so pressure from peers surfaces as a declined NEXT reservation, i.e.
-  * a flush at the next row boundary. The final phase's map holds
-  * exactly its output (keys-in-partition × k rows) — bounded by the
-  * shuffle input it just received.
+  * shows up in Spark's memory arithmetic and competes fairly with the
+  * other consumers in the task (shuffle writers, aggregates). Under
+  * pressure the partial phase degrades in three tiers:
+  *
+  *  1. `spark.graft.topk.partialMaxKeys` overflow (default 1,048,576 —
+  *     a key-CARDINALITY cap, not memory pressure): flush the map
+  *     downstream and restart empty. A near-unique-key input degrades
+  *     to shuffling ~input rows, like the window form, instead of
+  *     holding a map that can never reduce anything.
+  *  2. Declined reservation while holding at least one granted chunk
+  *     (real memory pressure against a REAL map): SPILL the map's rows
+  *     to a local disk file (the executor's `spark.local.dir` via the
+  *     DiskBlockManager), release the memory, keep consuming. At end of
+  *     input the spilled runs re-enter the same bounded-heap insert
+  *     path, so a hot key still leaves the task as ONE k-row heap —
+  *     partial reduction stays effective exactly when it matters
+  *     (fanout × hot keys is what created the pressure). Disk volume is
+  *     bounded by what was admitted heap-side: ≤ keys × k rows per
+  *     spill, never raw input.
+  *  3. Declined reservation with not even one chunk granted (the pool
+  *     is exhausted and nothing here can free it): flush downstream
+  *     per-batch — the partial-aggregate pass-through degradation; the
+  *     final phase merges any number of partial heaps per key. Also the
+  *     response to declines DURING the end-of-input merge, which
+  *     guarantees the merge terminates under sustained pressure.
+  *
+  * The cooperative `spill(size, trigger)` callback from peer consumers
+  * spills the map to disk (tier 2) when it arrives between rows; a
+  * request landing mid-insert (our own reserve's acquire path) reports
+  * 0 and surfaces as the declined reservation instead. The final
+  * phase's map holds exactly its output (keys-in-partition × k rows) —
+  * bounded by the shuffle input it just received — and never spills.
   */
 case class TopKPerKey(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)
@@ -62,18 +77,26 @@ case class TopKPerKey(
 }
 
 /** Execution-memory accounting for the partial phase's heap map: reserve
-  * in chunks, report usage, free on flush/completion. `tryReserve`
+  * in chunks, report usage, free on flush/spill/completion. `tryReserve`
   * returns false when the manager cannot grant the FULL chunk — the
-  * operator's signal to flush downstream (its spill). */
+  * operator's signal to spill to disk or flush downstream. */
 private[plans] class TopKPartialMemoryConsumer(tmm: TaskMemoryManager)
     extends MemoryConsumer(tmm, MemoryMode.ON_HEAP) {
 
-  /** Cooperative-spill request from a peer consumer: the on-heap map
-    * cannot be emitted downstream from inside someone else's acquire
-    * call (it would corrupt the producing iterator mid-row), so nothing
-    * frees here; the pressure lands as this consumer's next declined
-    * reservation instead. */
-  override def spill(size: Long, trigger: MemoryConsumer): Long = 0L
+  /** Set by the owning iterator once its spill machinery exists: returns
+    * bytes freed (a disk spill of the heap map), or 0 when the map is
+    * mid-mutation or empty. */
+  private var spillCallback: () => Long = () => 0L
+  def setSpillCallback(cb: () => Long): Unit = spillCallback = cb
+
+  /** Cooperative-spill request from a peer consumer. Task execution is
+    * single-threaded, so this lands either between rows (the callback
+    * safely writes the map to disk and frees its reservation) or inside
+    * our own reserve's acquire path (`trigger eq this` — the map is
+    * mid-mutation; report 0 and let the pressure surface as the
+    * declined reservation instead). */
+  override def spill(size: Long, trigger: MemoryConsumer): Long =
+    if (trigger eq this) 0L else spillCallback()
 
   def tryReserve(bytes: Long): Boolean = {
     val got = acquireMemory(bytes)
@@ -121,12 +144,6 @@ case class TopKPerKeyExec(
     require(reserveChunk > 0, s"spark.graft.topk.partialReserveChunk must be positive, got $reserveChunk")
     val isPartial = partial
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
-      // worst-retained-at-head heaps, keyed by the projected key bytes
-      var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      import scala.jdk.CollectionConverters._
-
       // Partial phase only: account the map's estimated bytes against the
       // task's execution memory pool (final-phase state is output-sized).
       val taskCtx = TaskContext.get()
@@ -134,76 +151,10 @@ case class TopKPerKeyExec(
         if (isPartial && taskCtx != null)
           new TopKPartialMemoryConsumer(GraftMemoryBridge.taskMemoryManager(taskCtx))
         else null
-      if (consumer != null) {
-        taskCtx.addTaskCompletionListener[Unit](_ => consumer.releaseAll())
-      }
-      var estBytes = 0L
-      // true = capacity granted; false = the manager declined → flush now.
-      // Reservations go to the TaskMemoryManager one chunk at a time, so
-      // the synchronized acquire path is hit once per ~4 MB of state, not
-      // once per row.
-      def reserve(delta: Long): Boolean = {
-        estBytes += delta
-        consumer == null || {
-          var ok = true
-          while (ok && estBytes > consumer.getUsed)
-            ok = consumer.tryReserve(reserveChunk)
-          ok
-        }
-      }
-      def entryBytes(r: InternalRow): Long = r match {
-        case u: UnsafeRow => u.getSizeInBytes.toLong + TopKPerKeyExec.RowOverhead
-        case _            => TopKPerKeyExec.FallbackRowBytes
-      }
-
-      def drain(): Iterator[InternalRow] = {
-        val out = heaps
-        heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-        estBytes = 0L
-        if (consumer != null) consumer.releaseAll()
-        out.values().iterator().asScala.flatMap(_.iterator().asScala)
-      }
-
-      new Iterator[InternalRow] {
-        private var cur: Iterator[InternalRow] = Iterator.empty
-        private var drainedFinal = false
-
-        override def hasNext: Boolean = {
-          while (!cur.hasNext && !drainedFinal) {
-            if (!iter.hasNext) { cur = drain(); drainedFinal = true }
-            else {
-              var flushed = false
-              while (iter.hasNext && !flushed) {
-                val row = iter.next()
-                val key = keyProj(row)
-                var heap = heaps.get(key)
-                var delta = 0L
-                if (heap == null) {
-                  heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ordering.reverse)
-                  heaps.put(key.copy(), heap)
-                  delta += key.getSizeInBytes.toLong + TopKPerKeyExec.KeyOverhead
-                }
-                if (heap.size() < kLocal) {
-                  heap.offer(row.copy())
-                  delta += entryBytes(row)
-                } else if (ordering.compare(row, heap.peek()) < 0) {
-                  val evicted = heap.poll()
-                  heap.offer(row.copy())
-                  delta += entryBytes(row) - entryBytes(evicted)
-                }
-                val fits = reserve(delta)
-                if (heaps.size() > maxKeys || !fits) { cur = drain(); flushed = true }
-              }
-            }
-          }
-          cur.hasNext
-        }
-
-        override def next(): InternalRow = {
-          if (!hasNext) throw new NoSuchElementException("empty iterator")
-          cur.next()
-        }
-      }
+      TopKPerKeyExec.process(iter, keyExprs, sortOrder, childOutput,
+        kLocal, maxKeys, reserveChunk, consumer,
+        cleanup =>
+          if (taskCtx != null) taskCtx.addTaskCompletionListener[Unit](_ => cleanup()))
     }
   }
 
@@ -224,6 +175,186 @@ object TopKPerKeyExec {
   /** Per-distinct-key overhead (HashMap entry, PriorityQueue, key copy
     * header). */
   private[plans] val KeyOverhead = 96L
+
+  /** The per-partition state machine of one exec phase — package-private
+    * and consumer-injectable so TopKPerKeySpec can drive the tier-2
+    * disk-spill path deterministically inside a real task (pre-draining
+    * the task's memory pool with a hog consumer, which the planner-level
+    * tests cannot arrange). `registerCleanup` hooks end-of-task disposal
+    * (reservation release + leaked spill files). */
+  private[plans] def process(
+      iter: Iterator[InternalRow],
+      keyExprs: Seq[Expression],
+      sortOrder: Seq[SortOrder],
+      childOutput: Seq[Attribute],
+      kLocal: Int, maxKeys: Int, reserveChunk: Long,
+      consumer: TopKPartialMemoryConsumer,
+      registerCleanup: (() => Unit) => Unit): Iterator[InternalRow] = {
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      // worst-retained-at-head heaps, keyed by the projected key bytes
+      var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      import scala.jdk.CollectionConverters._
+
+      val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      registerCleanup { () =>
+        if (consumer != null) consumer.releaseAll()
+        spillFiles.foreach(f => if (f.exists()) f.delete())
+      }
+      var estBytes = 0L
+      // true = capacity granted; false = the manager declined. Reservations
+      // go to the TaskMemoryManager one chunk at a time, so the
+      // synchronized acquire path is hit once per ~4 MB of state, not once
+      // per row.
+      def reserve(delta: Long): Boolean = {
+        estBytes += delta
+        consumer == null || {
+          var ok = true
+          while (ok && estBytes > consumer.getUsed)
+            ok = consumer.tryReserve(reserveChunk)
+          ok
+        }
+      }
+      def entryBytes(r: InternalRow): Long = r match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong + TopKPerKeyExec.RowOverhead
+        case _            => TopKPerKeyExec.FallbackRowBytes
+      }
+
+      def resetMap(): Unit = {
+        heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        estBytes = 0L
+        if (consumer != null) consumer.releaseAll()
+      }
+
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps
+        resetMap()
+        out.values().iterator().asScala.flatMap(_.iterator().asScala)
+      }
+
+      // Tier-2 spill: write the retained rows (≤ keys × k — never raw
+      // input) to a local file in the executor's spill dirs and release
+      // the map's reservation. Merge happens at end of input.
+      val writeBuffer = new Array[Byte](4096)
+      def spillToDisk(): Unit = {
+        if (!heaps.isEmpty) {
+          val file = GraftMemoryBridge.createSpillFile()
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(new java.io.FileOutputStream(file), 1 << 16))
+          try {
+            val hs = heaps.values().iterator()
+            while (hs.hasNext) {
+              val rows = hs.next().iterator()
+              while (rows.hasNext) {
+                val u = rows.next() match {
+                  case u: UnsafeRow => u
+                  case other        => toUnsafe(other)
+                }
+                out.writeInt(u.getSizeInBytes)
+                u.writeToStream(out, writeBuffer)
+              }
+            }
+          } finally out.close()
+          spillFiles += file
+          resetMap()
+        }
+      }
+
+      def readSpill(file: java.io.File): Iterator[InternalRow] = new Iterator[InternalRow] {
+        private val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16))
+        private var nextLen = readLen()
+        private def readLen(): Int =
+          try in.readInt()
+          catch { case _: java.io.EOFException => in.close(); file.delete(); -1 }
+        override def hasNext: Boolean = nextLen >= 0
+        override def next(): InternalRow = {
+          val bytes = new Array[Byte](nextLen)
+          in.readFully(bytes)
+          val row = new UnsafeRow(childOutput.length)
+          row.pointTo(bytes, nextLen)
+          nextLen = readLen()
+          row
+        }
+      }
+
+      // 0 = admitted; 1 = key-cardinality cap overflow; 2 = memory declined
+      def insert(row: InternalRow): Int = {
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        var delta = 0L
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ordering.reverse)
+          heaps.put(key.copy(), heap)
+          delta += key.getSizeInBytes.toLong + TopKPerKeyExec.KeyOverhead
+        }
+        if (heap.size() < kLocal) {
+          heap.offer(row.copy())
+          delta += entryBytes(row)
+        } else if (ordering.compare(row, heap.peek()) < 0) {
+          val evicted = heap.poll()
+          heap.offer(row.copy())
+          delta += entryBytes(row) - entryBytes(evicted)
+        }
+        val fits = reserve(delta)
+        if (heaps.size() > maxKeys) 1 else if (!fits) 2 else 0
+      }
+
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+        private var inMerge = false
+        private var spillQueue: Iterator[InternalRow] = Iterator.empty
+        private var allDone = false
+
+        // Peer pressure between rows: during input consumption the map is
+        // consistent here, so a disk spill is safe and frees real bytes.
+        // During the merge it reports 0 (re-spilling mid-merge could
+        // cycle); pressure then lands as declined reservations → tier-3
+        // downstream flushes, which terminate.
+        if (consumer != null) consumer.setSpillCallback { () =>
+          if (inMerge || heaps.isEmpty) 0L
+          else { val freed = consumer.getUsed; spillToDisk(); freed }
+        }
+
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && !allDone) {
+            if (!inputDone) {
+              var flushed = false
+              while (iter.hasNext && !flushed) {
+                insert(iter.next()) match {
+                  case 0 => ()
+                  case 1 => cur = drain(); flushed = true // tier 1: key cap
+                  case 2 =>
+                    if (consumer != null && consumer.getUsed > 0) spillToDisk() // tier 2
+                    else { cur = drain(); flushed = true }                      // tier 3
+                }
+              }
+              if (!iter.hasNext) inputDone = true
+            } else if (spillFiles.nonEmpty && !inMerge) {
+              inMerge = true
+              spillQueue = spillFiles.toSeq.iterator.flatMap(readSpill)
+            } else if (inMerge && spillQueue.hasNext) {
+              var flushed = false
+              while (spillQueue.hasNext && !flushed) {
+                insert(spillQueue.next()) match {
+                  case 0 => ()
+                  case _ => cur = drain(); flushed = true // sustained pressure
+                }
+              }
+              if (!spillQueue.hasNext && !flushed) { cur = drain(); allDone = true }
+            } else { cur = drain(); allDone = true }
+          }
+          cur.hasNext
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          cur.next()
+        }
+      }
+  }
 }
 
 /** Planner rule: logical [[TopKPerKey]] → partial exec under final exec;

@@ -5,6 +5,16 @@ import graft.operators.TopK
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** In-task memory hog for the tier-2 spill tests — top-level so the task
+  * closure does not capture the spec instance. Never spills itself. */
+private class PoolHog(tmm: org.apache.spark.memory.TaskMemoryManager)
+    extends org.apache.spark.memory.MemoryConsumer(
+      tmm, org.apache.spark.memory.MemoryMode.ON_HEAP) {
+  override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+  def grab(): Long = acquireMemory(1L << 42)
+  def give(bytes: Long): Unit = freeMemory(math.min(bytes, getUsed))
+}
+
 class TopKPerKeySpec extends SparkSpec {
   import spark.implicits._
 
@@ -91,6 +101,127 @@ class TopKPerKeySpec extends SparkSpec {
     spark.conf.set("spark.graft.topk.partialReserveChunk", (1L << 60).toString)
     try assert(custom(3) == expected)
     finally spark.conf.unset("spark.graft.topk.partialReserveChunk")
+  }
+
+  test("cooperative spill dispatch: peer trigger runs the callback, self trigger reports 0") {
+    val out = spark.sparkContext.parallelize(Seq(1), 1).mapPartitions { _ =>
+      val tmm = org.apache.spark.GraftMemoryBridge
+        .taskMemoryManager(org.apache.spark.TaskContext.get())
+      val c = new TopKPartialMemoryConsumer(tmm)
+      val peer = new TopKPartialMemoryConsumer(tmm)
+      var ran = 0
+      c.setSpillCallback { () => ran += 1; 42L }
+      val selfResult = c.spill(100L, c)    // mid-reserve: must not touch the map
+      val peerResult = c.spill(100L, peer) // between rows: spill is safe
+      Iterator((selfResult, peerResult, ran))
+    }.collect()(0)
+    assert(out._1 == 0L, "self-triggered spill must report 0 (map is mid-mutation)")
+    assert(out._2 == 42L, "peer-triggered spill must run the callback")
+    assert(out._3 == 1)
+  }
+
+  test("tier-2 disk spill: peer pressure mid-input spills hot-key heaps, merge emits exactly k") {
+    // Drives TopKPerKeyExec.process inside a real task: a hog consumer
+    // drains the pool mid-input (the cooperative-spill trigger), the
+    // operator spills its heaps to disk and keeps reducing, and the
+    // end-of-input merge still ships exactly keys x k rows — the whole
+    // point of spilling over flushing for hot keys. Runs in-task because
+    // only there can a peer consumer share the TaskMemoryManager.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, SortOrder, UnsafeProjection}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val nRows = 3000
+    val nKeys = 5
+    val k = 3
+    // expected exact top-3 values per key (value desc, unique values)
+    val expected = (0 until nRows).map(i => (i % nKeys, (i * 2654435761L) % 999983L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.reverse.take(k).toSet).toMap
+    val out = spark.sparkContext.parallelize(Seq(1), 1).mapPartitions { _ =>
+      val tmm = org.apache.spark.GraftMemoryBridge
+        .taskMemoryManager(org.apache.spark.TaskContext.get())
+      val consumer = new TopKPartialMemoryConsumer(tmm)
+      val hog = new PoolHog(tmm)
+      val keyAttr = AttributeReference("g", IntegerType, nullable = false)()
+      val valAttr = AttributeReference("v", LongType, nullable = false)()
+      val output = Seq(keyAttr, valAttr)
+      val toUnsafe = UnsafeProjection.create(output, output)
+      var spilledByPeer = false
+      val rows: Iterator[InternalRow] = (0 until nRows).iterator.map { i =>
+        if (i == nRows / 2) {
+          // mid-input peer pressure: the hog's acquire makes the manager
+          // ask our consumer to spill; afterwards free headroom so the
+          // operator can rebuild (tier 2, not the tier-3 flush path)
+          val grabbed = hog.grab()
+          spilledByPeer = consumer.getUsed == 0
+          hog.give(math.min(grabbed, 64L * 1024))
+        }
+        toUnsafe(InternalRow(i % nKeys, (i * 2654435761L) % 999983L)).copy()
+      }
+      val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+      val result = TopKPerKeyExec.process(rows,
+          Seq(keyAttr), Seq(SortOrder(valAttr, Descending)), output,
+          k, Int.MaxValue, 8L * 1024, consumer, cb => cleanups += cb)
+        .map(r => (r.getInt(0), r.getLong(1))).toVector
+      cleanups.foreach(_.apply())
+      val usedAfter = consumer.getUsed
+      hog.give(Long.MaxValue)
+      Iterator((result, spilledByPeer, usedAfter))
+    }.collect()(0)
+    val (result, spilledByPeer, usedAfter) = out
+    assert(spilledByPeer, "the peer's acquire must have spilled the heap map to disk")
+    assert(usedAfter == 0L, "cleanup must release every accounted byte")
+    assert(result.size == nKeys * k,
+      s"spill+merge must emit exactly keys x k rows, got ${result.size}")
+    assert(result.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap == expected,
+      "merged output must be the exact top-k per key")
+  }
+
+  test("tier-2 via declined reservation: many-key state spills and re-reduces exactly") {
+    // The insert-path decline (getUsed > 0) tier: a hog leaves only a
+    // sliver of pool, thousands of distinct keys overflow it repeatedly,
+    // so the map spills to disk many times mid-input and the merge runs
+    // under the same pressure (its declines flush downstream — by
+    // design, the final phase re-merges). Keys arrive adjacently, so
+    // almost every key reduces fully in-map; only a key straddling a
+    // spill boundary may emit a second partial heap (the row that
+    // trips the decline is already admitted, its siblings start the
+    // next window). Assert near-total reduction and exact re-merge.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, SortOrder, UnsafeProjection}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val nRows = 6000
+    val nKeys = 2000
+    val k = 1
+    val expected = (0 until nRows).map(i => (i / 3, (i * 2654435761L) % 999983L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val out = spark.sparkContext.parallelize(Seq(1), 1).mapPartitions { _ =>
+      val tmm = org.apache.spark.GraftMemoryBridge
+        .taskMemoryManager(org.apache.spark.TaskContext.get())
+      val consumer = new TopKPartialMemoryConsumer(tmm)
+      val hog = new PoolHog(tmm)
+      val grabbed = hog.grab()
+      hog.give(math.min(grabbed, 48L * 1024)) // leave ~6 chunks of 8 KB
+      val keyAttr = AttributeReference("g", IntegerType, nullable = false)()
+      val valAttr = AttributeReference("v", LongType, nullable = false)()
+      val output = Seq(keyAttr, valAttr)
+      val toUnsafe = UnsafeProjection.create(output, output)
+      val rows: Iterator[InternalRow] = (0 until nRows).iterator.map { i =>
+        toUnsafe(InternalRow(i / 3, (i * 2654435761L) % 999983L)).copy()
+      }
+      val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+      val result = TopKPerKeyExec.process(rows,
+          Seq(keyAttr), Seq(SortOrder(valAttr, Descending)), output,
+          k, Int.MaxValue, 8L * 1024, consumer, cb => cleanups += cb)
+        .map(r => (r.getInt(0), r.getLong(1))).toVector
+      cleanups.foreach(_.apply())
+      hog.give(Long.MaxValue)
+      Iterator(result)
+    }.collect()(0)
+    assert(out.map(_._1).distinct.size == nKeys, "every key must survive the spill/merge cycle")
+    assert(out.size < nKeys + 64,
+      s"only spill-boundary keys may duplicate (one per spill), got ${out.size} rows for $nKeys keys")
+    val reduced = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(reduced == expected, "re-reduced output must be the exact per-key max")
   }
 
   test("strategy-free window fallback produces identical rows") {
