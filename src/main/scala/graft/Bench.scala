@@ -17,6 +17,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The inter-rep cleanup below unpersists locally-checkpointed RDDs
+    // (Lloyd / connected-components rounds); each such unpersist logs
+    // "RDD was locally checkpointed" at WARN because the lineage cannot
+    // be recomputed — irrelevant here, the query that owned the blocks
+    // has already returned. Silence the RDD loggers for this bench main
+    // only, so the one JSON line is the whole stdout/stderr story.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // ... and the one-line "Truncated the string representation of a plan"
+    // advisory (wide ANN plans trip the 25-field default toString cap).
+    Seq("org.apache.spark.util.SparkStringUtils",
+        "org.apache.spark.sql.catalyst.util.SparkStringUtils",
+        "org.apache.spark.sql.catalyst.util.StringUtils").foreach(l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.ERROR))
     graft.functions.GraftFunctions.installAll(spark)
     // Warm the session once (file listing, parquet footers, codegen paths)
     // so per-query timings measure the queries, not JVM cold start.

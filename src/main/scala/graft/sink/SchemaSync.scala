@@ -111,6 +111,24 @@ object SchemaSync {
     Plan(ddl.result(), resync.toMap)
   }
 
+  /** Execute a plan — the thin JDBC loop the scaladoc promises: each step
+    * rendered in the sink's own grammar (steps the dialect cannot express,
+    * e.g. column reorders on Derby, are skipped — they carry no data
+    * semantics), one statement per step, in plan order, on the caller's
+    * connection/transaction. Returns the number of statements executed.
+    * Parity target `mysql.go:146-290` (the reference interleaves planning
+    * and execution; the split here keeps planning pure and testable). */
+  def execute(conn: java.sql.Connection, dialect: SqlDialect, plan: Plan): Int = {
+    var n = 0
+    plan.ddl.foreach { step =>
+      dialect.renderDdl(step).foreach { sql =>
+        conn.prepareStatement(sql).executeUpdate()
+        n += 1
+      }
+    }
+    n
+  }
+
   /** MySQL reports types normalized (lowercase); compare case-insensitively
     * and whitespace-insensitively, like the reference's string compare after
     * its own normalization (`mysql.go:219-222`). Additionally, MySQL 8

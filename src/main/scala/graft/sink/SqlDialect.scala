@@ -43,6 +43,12 @@ trait SqlDialect extends Serializable {
 
   /** Idempotent state-table bootstrap (`mysql.go:128-144`). */
   def ensureStateTable(conn: Connection): Unit
+
+  /** Render one [[SchemaSync.Ddl]] step in this dialect's grammar; None =
+    * not applicable here (e.g. Derby cannot reorder columns — column
+    * order is cosmetic surface from the reference's `mysql.go:267-285`,
+    * so skipping it loses no data semantics). */
+  def renderDdl(ddl: SchemaSync.Ddl): Option[String]
 }
 
 /** The reference dialect: backtick quoting, `INSERT … ON DUPLICATE KEY
@@ -67,6 +73,10 @@ object MySqlDialect extends SqlDialect {
 
   override def ensureStateTable(conn: Connection): Unit =
     conn.prepareStatement(UpsertWriter.createStateTableSql).executeUpdate()
+
+  /** The planner's own grammar IS MySQL (reference parity,
+    * `mysql.go:146-290`) — rendered verbatim. */
+  override def renderDdl(ddl: SchemaSync.Ddl): Option[String] = Some(ddl.sql)
 }
 
 /** Embedded Apache Derby: double-quote identifiers, ANSI `MERGE INTO` over
@@ -137,26 +147,69 @@ object DerbyDialect extends SqlDialect {
       case e: SQLException if e.getSQLState == "X0Y32" => () // already exists
     }
 
+  /** MySQL-declared type string → Derby column type. Families per
+    * [[graft.config.SqlTypes]]; JSON-text composites land in VARCHAR. */
+  private[sink] def derbyColumnType(declared: String): String = {
+    val d = declared.trim.toLowerCase
+    d.takeWhile(_.isLetter) match {
+      case "bigint"            => "BIGINT"
+      case "int" | "integer"   => "INTEGER"
+      case "smallint"          => "SMALLINT"
+      case "double" | "real"   => "DOUBLE"
+      case "float"             => "REAL"
+      case "varchar" | "char"  => d.toUpperCase
+      case _                   => "VARCHAR(32672)" // blob/text/json → text
+    }
+  }
+
   /** Derby DDL for a declared table — test-harness surface (production
     * schema sync speaks the sink's own dialect; the MySQL planner is the
-    * reference-parity one). Types map per [[graft.config.SqlTypes]]
-    * families; JSON-text composites land in VARCHAR. */
+    * reference-parity one). */
   def createTableSql(spec: TableSpec): String = {
-    val cols = spec.columns.map { c =>
-      val d = c.declaredType.trim.toLowerCase
-      val base = d.takeWhile(_.isLetter)
-      val derbyType = base match {
-        case "bigint"            => "BIGINT"
-        case "int" | "integer"   => "INTEGER"
-        case "smallint"          => "SMALLINT"
-        case "double" | "real"   => "DOUBLE"
-        case "float"             => "REAL"
-        case "varchar" | "char"  => d.toUpperCase
-        case _                   => "VARCHAR(32672)" // blob/text/json → text
-      }
-      s"${q(c.sinkName)} $derbyType"
-    }
+    val cols = spec.columns.map(c => s"${q(c.sinkName)} ${derbyColumnType(c.declaredType)}")
     s"CREATE TABLE ${q(spec.name)} (${q(spec.pk)} VARCHAR(24) NOT NULL PRIMARY KEY" +
       (if (cols.isEmpty) "" else cols.mkString(", ", ", ", "")) + ")"
+  }
+
+  /** [[SchemaSync.Ddl]] in Derby grammar. ReorderColumn is None: Derby
+    * has no `CHANGE … AFTER`; declared-order placement is cosmetic
+    * reference surface, not data semantics. */
+  override def renderDdl(ddl: SchemaSync.Ddl): Option[String] = ddl match {
+    case SchemaSync.CreateTable(t) =>
+      Some(s"CREATE TABLE ${q(t)} (${q("_id")} VARCHAR(24) NOT NULL, PRIMARY KEY (${q("_id")}))")
+    case SchemaSync.DropTable(t) =>
+      Some(s"DROP TABLE ${q(t)}")
+    case SchemaSync.AddColumn(t, c, typ) =>
+      Some(s"ALTER TABLE ${q(t)} ADD COLUMN ${q(c)} ${derbyColumnType(typ)}")
+    case SchemaSync.DropColumn(t, c) =>
+      Some(s"ALTER TABLE ${q(t)} DROP COLUMN ${q(c)} RESTRICT")
+    case _: SchemaSync.ReorderColumn => None
+  }
+
+  /** Observed sink catalog from JDBC metadata, type strings reconstructed
+    * so [[SchemaSync.typeEq]] can compare them against the declared MySQL
+    * forms (width-insensitive for ints; `varchar(n)` keeps its size).
+    * Declared configs executed on Derby should use the names Derby
+    * reports back — `integer`/`bigint`/`smallint`/`double`/`varchar(n)`. */
+  def observeCatalog(conn: Connection): SchemaSync.Catalog = {
+    val md = conn.getMetaData
+    val tables = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tr = md.getTables(null, "APP", null, Array("TABLE"))
+    while (tr.next()) tables += tr.getString("TABLE_NAME")
+    tables.map { t =>
+      val cols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val cr = md.getColumns(null, "APP", t, null) // ordered by ORDINAL_POSITION
+      while (cr.next()) {
+        val name = cr.getString("COLUMN_NAME")
+        val typeName = cr.getString("TYPE_NAME").toLowerCase
+        val size = cr.getInt("COLUMN_SIZE")
+        val rendered = typeName match {
+          case "varchar" | "char" => s"$typeName($size)"
+          case other              => other
+        }
+        cols += name -> rendered
+      }
+      t -> cols.toSeq
+    }.toMap
   }
 }

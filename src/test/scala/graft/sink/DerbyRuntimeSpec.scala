@@ -175,4 +175,72 @@ class DerbyRuntimeSpec extends SparkSpec {
     Replicator.applyBatch(touch, Seq(users), url, props, dialect = DerbyDialect)
     assert(readTable("users", Seq("name", "visits"))("k1") == Seq("n", 9L))
   }
+
+  test("D1 executed: plan against a drifted catalog, apply on Derby, re-plan converges") {
+    // the full SyncTablesConfig loop (mysql.go:146-290) run END TO END on
+    // a real engine: stray table dropped, stray column dropped, type
+    // mismatch destructively migrated, missing column added, missing
+    // table created — then the re-observed catalog plans to a no-op
+    // (reorders only — the reference reorders unconditionally and Derby
+    // cannot express column order; no creates/drops/adds, no resync).
+    val cfgText =
+      """inp: mongodb://localhost:27017/app
+        |out: jdbc:derby:memory:graftderby
+        |tables:
+        |  accounts:
+        |    name: varchar(100)
+        |    visits: bigint
+        |    score: double
+        |  items:
+        |    qty: integer
+        |""".stripMargin
+    val cfg = ConfigParser.parse(cfgText)
+    withConn { conn =>
+      // drifted start: a stray table; accounts with a stray column, a
+      // type-mismatched column (visits as varchar), and score missing
+      Seq("old_junk", "accounts", "items").foreach { t =>
+        try conn.prepareStatement(s"""DROP TABLE "$t"""").executeUpdate()
+        catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+      }
+      conn.prepareStatement(
+        """CREATE TABLE "old_junk" ("_id" VARCHAR(24) NOT NULL PRIMARY KEY)""").executeUpdate()
+      conn.prepareStatement(
+        """CREATE TABLE "accounts" ("_id" VARCHAR(24) NOT NULL PRIMARY KEY,
+          |"name" VARCHAR(100), "stray" INTEGER, "visits" VARCHAR(50))""".stripMargin
+        .replaceAll("\n", " ")).executeUpdate()
+      conn.prepareStatement(
+        """INSERT INTO "accounts" ("_id", "name", "stray", "visits")
+          |VALUES ('a1', 'ann', 7, 'x')""".stripMargin.replaceAll("\n", " ")).executeUpdate()
+
+      val observed = DerbyDialect.observeCatalog(conn)
+      // without force the destructive plan REFUSES (mysql.go:167-169)
+      intercept[SchemaSync.ForceRequired] {
+        SchemaSync.plan(cfg, observed, force = false)
+      }
+      val p = SchemaSync.plan(cfg, observed, force = true)
+      assert(p.ddl.exists { case SchemaSync.DropTable("old_junk") => true; case _ => false })
+      assert(p.ddl.exists { case SchemaSync.DropColumn("accounts", "stray") => true; case _ => false })
+      assert(p.ddl.exists { case SchemaSync.CreateTable("items") => true; case _ => false })
+      // visits is a destructive type migration → drop + re-add + resync
+      assert(p.resyncColumns("accounts").contains("visits"))
+      assert(p.resyncColumns("accounts").contains("score"))
+
+      val executed = SchemaSync.execute(conn, DerbyDialect, p)
+      assert(executed > 0)
+
+      // converged: re-plan against the re-observed catalog is reorders only
+      val p2 = SchemaSync.plan(cfg, DerbyDialect.observeCatalog(conn), force = false)
+      assert(p2.ddl.forall(_.isInstanceOf[SchemaSync.ReorderColumn]),
+        s"re-plan must converge to reorders only, got ${p2.ddl}")
+      assert(p2.resyncColumns.isEmpty, "converged catalog must need no resync")
+
+      // non-destructive DDL preserved the surviving data
+      val rs = conn.prepareStatement(
+        """SELECT "name", "visits", "score" FROM "accounts" WHERE "_id" = 'a1'""").executeQuery()
+      assert(rs.next())
+      assert(rs.getString(1) == "ann")
+      assert(rs.getObject(2) == null, "migrated column restarts NULL pending resync")
+      assert(rs.getObject(3) == null, "added column starts NULL pending resync")
+    }
+  }
 }
