@@ -576,6 +576,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Incremental PQ index maintenance: encode ONLY the vectors not yet in
+    * the persisted index and union them in — the [[graft.operators.Dedup
+    * .incrementalNew]] pattern applied to the index lifecycle, so a daily
+    * corpus delta costs one anti-join plus encoding the delta, never
+    * re-encoding the corpus. `index` is an (id, codes) frame (what
+    * [[pqTopKWithCodebook]] persists / [[pqSearchEncoded]] serves);
+    * `corpus` may overlap it arbitrarily. The codebook MUST be the one
+    * the index was built with (codes are meaningless across codebooks —
+    * retrain ⇒ re-encode, the standard PQ contract). Scale shape: the
+    * anti-join shuffles on the id key (or broadcasts when the delta is
+    * small under AQE), the kernel encode is a zero-shuffle projection,
+    * and the union is free. */
+  def pqIndexAppend(
+      index: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int): DataFrame = {
+    val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
+    // accept both the persisted "id" shape and pqEncode's idCol shape,
+    // like pqSearchEncoded
+    val indexId = if (index.columns.contains(idCol)) idCol else "id"
+    val existing = index.select(col(indexId).as("id"), col("codes"))
+    val fresh = corpus
+      .join(existing.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol).as("id"),
+        kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
+    existing.unionByName(fresh)
+  }
+
   /** Two-stage PQ retrieval: ADC coarse scan, exact float rerank — the
     * [[sq8RerankTopK]] refine pattern over the PQ index (FAISS
     * `IndexRefineFlat` over PQ): the coarse pass reads only the m-int

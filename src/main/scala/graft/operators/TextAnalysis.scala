@@ -138,6 +138,71 @@ object TextAnalysis {
       call_function("graft_hash_embed", col(textCol), lit(dim)).as("embedding"))
   }
 
+  /** Canonical text normalization for dedup/training pipelines:
+    * lowercase, collapse every whitespace run to one space, trim. Kept to
+    * constructs with exact DuckDB twins (`lower`, `regexp_replace(…,
+    * '\s+', ' ', 'g')`, `trim`) so normalized text hash-matches. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII redaction — the scrub every training corpus runs before
+    * anything else sees the text. Three deterministic pattern families
+    * (email, NANP-style phone, IPv4), replaced with typed placeholder
+    * tokens so downstream token statistics stay stable. Patterns are
+    * restricted to syntax with IDENTICAL semantics in Java regex (Spark,
+    * codegen'd `regexp_replace`) and RE2 (DuckDB with the 'g' flag):
+    * explicit classes, bounded repetition, ASCII `\b`. Order matters:
+    * emails first (their domains contain dot-runs an aggressive IP/phone
+    * pass could clip). This is pattern scrubbing, not NER — the
+    * placeholder vocabulary is the contract, the pattern list is the
+    * extension point. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"                -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+
+  /** Split documents into fixed-size token windows with overlap — the
+    * chunking step that turns raw documents into training-length
+    * sequences (and RAG corpora into retrievable passages). Chunk starts
+    * advance by `chunkTokens − overlapTokens`; the LAST start is the
+    * first one whose window reaches the end of the document, so every
+    * token is covered exactly once by a full-or-final window and no
+    * degenerate all-overlap suffix chunk is emitted. Output: one row per
+    * (doc, chunk_id) with the chunk text and its token count.
+    *
+    * Scale shape: a single projection + explode over the scan — the
+    * token array, chunk count, and every slice are computed per row with
+    * no shuffle at all; the output is partitioned exactly like the
+    * input, which is what a follow-on write or embed pass wants. Integer
+    * arithmetic only (ceil-div via `(x + step − 1) div step`), so the
+    * DuckDB `//` replay is bit-identical. NULL text emits no rows — an
+    * explicit filter: both engines' `greatest(NULL, 0)` ignore the NULL
+    * and would otherwise emit one all-NULL chunk. */
+  def chunk(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens=$chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens=$overlapTokens must be in [0, $chunkTokens)")
+    val step = chunkTokens - overlapTokens
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__nchunks",
+        (expr(s"(greatest(size(__toks) - $chunkTokens, 0) + ${step - 1}) div $step") + 1)
+          .cast("int"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nchunks") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(
+          slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkTokens)))
+          .as("n_tokens"))
+  }
+
   /** The composed twin of [[hashEmbed]] — explode → digest → two
     * HashAggregates (token stream shuffled keyed (doc, dim-index), zero
     * rows densifying absent dimensions, NULL text → NULL embedding like

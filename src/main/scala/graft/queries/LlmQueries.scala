@@ -271,6 +271,51 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Document chunking: fixed 64-token windows advancing 48 tokens
+    // (16-token overlap) — the step that turns raw documents into
+    // training-length sequences. One projection + explode over the scan,
+    // zero shuffles; every token covered by a full-or-final window.
+    "text_chunk" -> q { (s, dir) =>
+      TextAnalysis.chunk(Tables.load(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // PII redaction + canonical normalization — the scrub pass every
+    // training corpus runs first. The synthetic corpus carries no PII,
+    // so the query INJECTS a deterministic email/phone/IP per document
+    // (derived from doc_id) and proves the redactor strips exactly
+    // those, leaving placeholders the tokenizer can treat as vocabulary.
+    "text_redact_pii" -> q { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(TextAnalysis.normalizeText(concat(
+          col("text"),
+          lit(" reach user"), col("doc_id"), lit("@mail.example.org"),
+          lit(" or 555-867-5309 from 10.1.2.3"))))
+          .as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // Incremental PQ index maintenance: half the corpus is encoded as
+    // the standing index, then ONE append pass encodes only the missing
+    // half (anti-join + kernel projection — the daily-delta shape).
+    // Searching the appended index must equal searching a from-scratch
+    // index, which is exactly what the oracle computes.
+    "sim_pq_index_append" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", m = 4, dsub = 16)
+      val empty = emb.select(col("vec_id").as("id"),
+        expr("cast(array() as array<int>)").as("codes")).limit(0)
+      val index0 = Similarity.pqIndexAppend(empty, emb.filter(col("vec_id") % 2 === 0),
+        cb, "vec_id", "embedding", m = 4, dsub = 16)
+      val index1 = Similarity.pqIndexAppend(index0, emb,
+        cb, "vec_id", "embedding", m = 4, dsub = 16)
+      Similarity.pqSearchEncoded(emb.filter(col("vec_id") < 10), index1, cb,
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // Semantic near-dup pairs over the hashed embeddings: text →
     // hashing-trick embedding → sign-LSH-bucketed cosine pairs — the
     // "semantic dedup" composition, no model anywhere.
@@ -1302,6 +1347,71 @@ object LlmQueries {
          FROM brute b LEFT JOIN resid i
            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
          GROUP BY b.query_id ORDER BY b.query_id""",
+
+    "text_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  CAST(((greatest(len(string_split(text, ' ')) - 64, 0) + 47) // 48) + 1
+                       AS INT) AS nchunks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks, CAST(unnest(range(nchunks)) AS INT) AS chunk_id FROM t)
+         SELECT doc_id, chunk_id,
+           array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) AS INT) AS n_tokens
+         FROM c ORDER BY doc_id, chunk_id""",
+
+    "text_redact_pii" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 trim(regexp_replace(lower(
+                   text || ' reach user' || doc_id || '@mail.example.org'
+                        || ' or 555-867-5309 from 10.1.2.3'),
+                   '\s+', ' ', 'g')),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+         FROM documents ORDER BY doc_id""",
+
+    // append converges to the from-scratch index, so the oracle is the
+    // flat-PQ search replay over the full corpus (same k/m/codewords)
+    "sim_pq_index_append" ->
+      """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 0),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         terms AS (
+           SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM sub qs
+           JOIN codes co ON co.j = qs.j AND co.vec_id <> qs.vec_id
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code
+           WHERE qs.vec_id < 10),
+         scored AS (
+           SELECT query_id, neighbor_id, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id)
+         SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
 
     "dedup_semantic" ->
       """WITH toks AS (

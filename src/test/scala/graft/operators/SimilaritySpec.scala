@@ -572,6 +572,27 @@ class SimilaritySpec extends SparkSpec {
     assert(fromEncode == inline)
   }
 
+  test("pqIndexAppend: appends only missing ids, converges to the from-scratch index") {
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings").filter(col("vec_id") < 60)
+    val cb = Similarity.pqCodebook(emb001.filter(col("vec_id") % 20 === 0),
+      "vec_id", "embedding", m = 4, dsub = 16)
+    val empty = emb001.select(col("vec_id").as("id"),
+      expr("cast(array() as array<int>)").as("codes")).limit(0)
+    val half = Similarity.pqIndexAppend(empty, emb001.filter(col("vec_id") % 2 === 0),
+      cb, "vec_id", "embedding", m = 4, dsub = 16)
+    // append the FULL corpus: overlapping ids must not re-encode or duplicate
+    val full = Similarity.pqIndexAppend(half, emb001,
+      cb, "vec_id", "embedding", m = 4, dsub = 16)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("codes")).as[(Long, Array[Int])]
+        .collect().map { case (i, c) => i -> c.toSeq }.toMap
+    val appended = m(full)
+    assert(appended.size == 60, "no duplicate ids after an overlapping append")
+    val scratch = m(Similarity.pqIndexAppend(empty, emb001,
+      cb, "vec_id", "embedding", m = 4, dsub = 16))
+    assert(appended == scratch, "appended index must equal the from-scratch encode")
+  }
+
   test("pqCodebook raises on duplicate codeword ids instead of ranking nondeterministically") {
     val dup = Seq((1L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")

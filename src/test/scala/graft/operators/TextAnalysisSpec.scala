@@ -119,4 +119,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == Seq.fill(dim)(0.0f), "empty text embeds to the zero vector")
     assert(got.values.forall(_.length == dim))
   }
+
+  test("chunk: full coverage, overlap, final-window placement, short docs, NULL text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .as[(Long, Int, String, Int)].collect().toSeq.sortBy(c => (c._1, c._2))
+    // doc 1: starts advance by 3; last start is the first window reaching
+    // token 10 → starts 0, 3, 6 (window [7..10] ends the doc)
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._3) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(doc1.map(_._4) == Seq(4, 4, 4))
+    // every token appears in some chunk (coverage)
+    assert(doc1.flatMap(_._3.split(" ")).toSet == (1 to 10).map(i => s"t$i").toSet)
+    // doc 2: one short chunk
+    assert(out.filter(_._1 == 2L).map(c => (c._3, c._4)) == Seq(("a b c", 3)))
+    // NULL text emits no rows
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("redactPii strips emails, phones, IPs globally; normalizeText canonicalizes") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c@x-y.example.COM and d@e.org twice"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "host 10.0.0.1 peer 192.168.254.3"),
+      (4L, "  Mixed \t WHITESPACE   here  "),
+      (5L, "version 1.2 is not an ip, 12345 not a phone"))
+      .toDF("id", "t")
+    val got = rows.select(col("id"),
+        TextAnalysis.redactPii(TextAnalysis.normalizeText(col("t"))).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> and <EMAIL> twice")
+    assert(got(2L) == "call <PHONE> or <PHONE> now")
+    assert(got(3L) == "host <IP> peer <IP>")
+    assert(got(4L) == "mixed whitespace here")
+    assert(got(5L) == "version 1.2 is not an ip, 12345 not a phone")
+  }
 }
