@@ -100,6 +100,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("residual IVF-PQ: assignment, probe list, encode and LUT all stay kernel-side") {
+    val p = plan("sim_topk_ivfpq_residual")
+    assert(p.contains("graft_nearest_centroid"), "kernel assignment missing")
+    assert(p.contains("graft_probe_centroids"), "kernel probe list missing")
+    assert(p.contains("graft_pq_encode"), "kernel residual encode missing")
+    assert(p.contains("graft_pq_lut"), "kernel residual LUT missing")
+    assert(p.contains("graft_pq_adc"), "native ADC scoring missing")
+    assert(!p.contains("SortAggregate"), "argmin/argmax re-planned as a sort aggregate")
+    // residual subtraction is a broadcast join against the centroid set,
+    // never a shuffle of the corpus
+    assert(p.contains("BroadcastHashJoin"), "centroid join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "residual join must not shuffle the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("chunking is one explode over the scan: no shuffle below the output sort") {
+    val p = plan("text_chunk")
+    assert(p.contains("Generate"), "chunk-id explode missing")
+    // the only exchange is the oracle-facing orderBy (range partitioning)
+    val ex = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(ex.forall(_.contains("rangepartitioning")),
+      s"chunking must not hash-shuffle, found: $ex")
+  }
+
   test("registry-wide audit: no cartesian products; sort aggregates only where ordered folds need them") {
     // Every declared query's executed plan, swept for the two anti-patterns
     // that silently kill a 100 TB run: a non-broadcast cross product, and
