@@ -77,5 +77,6 @@ object SparkEntry {
     "funnel_stages", "curation_pipeline", "quantile_bin_sketch",
     "dedup_minhash_est", "sim_topk_ivf_probed", "sim_topk_sq8_rerank", "sim_topk_pq",
     "sim_topk_ivfpq", "sim_topk_pq_trained", "sim_topk_pq_rerank",
-    "sim_topk_hash_embed", "sim_topk_ivfpq_residual", "text_chunk")
+    "sim_topk_hash_embed", "sim_topk_ivfpq_residual", "text_chunk",
+    "text_bigram_lm")
 }

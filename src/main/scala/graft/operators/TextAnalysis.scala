@@ -203,6 +203,74 @@ object TextAnalysis {
           .as("n_tokens"))
   }
 
+  /** Perplexity-proxy fluency score — the model-free version of the
+    * LM-based quality filter every pretraining pipeline runs: a bigram
+    * model is estimated from the corpus ITSELF (maximum likelihood,
+    * `P(w2|w1) = c(w1 w2) / c(w1 ·)`), and each document scores the mean
+    * conditional probability of its own bigrams. Repetitive/templated
+    * text scores high, token-soup scores low; filter by percentile like
+    * any quality dial. No logarithm anywhere — the score is built from
+    * integer counts, IEEE-exact divisions, and the repo's 6 dp
+    * pre-rounding, so the DuckDB oracle hash-matches without
+    * transcendental-function ulp risk. The mean itself is emitted in
+    * FLOORED MICRO-UNITS (`fluency_micro = ⌊Σp·10⁶ / n⌋`, a bigint):
+    * the rounded sum is a multiple of 1e-6 and its micro-scaled value
+    * is an exact integer, but dividing by n would leave the final
+    * `round(·, 6)` on a genuine half-ulp boundary (observed once in
+    * 500 docs) — integer floor-division is boundary-free in both
+    * engines. Docs with fewer than two tokens have no bigrams and emit
+    * no row.
+    *
+    * Scale shape: bigram extraction is a zip of the token array with its
+    * own tail — one projection + explode, no shuffle; then two count
+    * aggregations (map-side partials) and two stream joins keyed on the
+    * bigram/prefix — vocabulary-sized build sides that AQE broadcasts
+    * when small. */
+  def bigramFluency(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    val pairs = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bigrams = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(pairs).as("__bg"))
+      .select(col(idCol), col("__bg.w1"), col("__bg.w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    bigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("__p", round(col("__c2").cast("double") / col("__c1"), 6))
+      .groupBy(col(idCol))
+      .agg(round(round(sum(col("__p")), 6) * 1e6, 0).cast("long").as("__sum_micro"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol),
+        expr("__sum_micro div n_bigrams").as("fluency_micro"),
+        col("n_bigrams"))
+  }
+
+  /** Vocabulary coverage: build the top-`vocabSize` corpus vocabulary
+    * (frequency desc, token asc — a total order, so the cut is
+    * deterministic) and score each document's out-of-vocabulary token
+    * ratio — the cheap tokenizer-fit / gibberish dial (high OOV = the
+    * doc's vocabulary is not the corpus's). The vocabulary is
+    * `vocabSize` rows by construction — broadcast; the token stream
+    * aggregates per doc with map-side partials. */
+  def vocabCoverage(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
+    val stream = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = stream.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    stream.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round((count(lit(1)) - count(col("__in"))).cast("double") / count(lit(1)), 6)
+          .as("oov_ratio"))
+  }
+
   /** The composed twin of [[hashEmbed]] — explode → digest → two
     * HashAggregates (token stream shuffled keyed (doc, dim-index), zero
     * rows densifying absent dimensions, NULL text → NULL embedding like

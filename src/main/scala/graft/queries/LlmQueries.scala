@@ -316,6 +316,23 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Perplexity-proxy quality scoring: a bigram LM estimated from the
+    // corpus itself, each doc scored by the mean conditional probability
+    // of its own bigrams — the model-free LM-quality filter. Counts +
+    // exact divisions + 6 dp pre-rounding only, no transcendentals.
+    "text_bigram_lm" -> q { (s, dir) =>
+      TextAnalysis.bigramFluency(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary OOV rate against the deterministic top-16 corpus
+    // vocabulary (frequency desc, token asc) — the tokenizer-fit dial.
+    "text_vocab_coverage" -> q { (s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 16)
+        .orderBy("doc_id")
+    },
+
     // Semantic near-dup pairs over the hashed embeddings: text →
     // hashing-trick embedding → sign-LSH-bucketed cosine pairs — the
     // "semantic dedup" composition, no model anywhere.
@@ -1412,6 +1429,35 @@ object LlmQueries {
                               ORDER BY score DESC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "text_bigram_lm" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         bg AS (
+           SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+           FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+         SELECT bg.doc_id,
+           CAST(round(round(sum(round(c2.c2::double / c1.c1, 6)), 6) * 1000000, 0)
+                AS BIGINT) // count(*) AS fluency_micro,
+           count(*) AS n_bigrams
+         FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+
+    "text_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         vocab AS (
+           SELECT tok FROM freq
+           QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 16)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           round((count(*) - count(v.tok))::double / count(*), 6) AS oov_ratio
+         FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
 
     "dedup_semantic" ->
       """WITH toks AS (

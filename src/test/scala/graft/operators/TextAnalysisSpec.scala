@@ -142,6 +142,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("bigramFluency: repetitive text outranks token soup; hand-checked probabilities") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // every bigram fully predictable given corpus
+      (2L, "a c b a x y"),   // one-off transitions
+      (3L, "solo"))          // no bigrams → no row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(3L), "a one-token doc has no bigrams")
+    assert(got(1L)._2 == 5L && got(2L)._2 == 5L)
+    // corpus bigram counts: (a,b)=3 of c(a·)=5, (b,a)=2 of c(b·)=2, ...
+    // doc 1 = (ab, ba, ab, ba, ab) → mean(3/5, 1, 3/5, 1, 3/5) = 0.76
+    // → 3800000 micro-units div 5 = 760000
+    assert(got(1L)._1 == 760000L)
+    assert(got(1L)._1 > got(2L)._1, "predictable text must outscore one-off transitions")
+  }
+
+  test("vocabCoverage: deterministic top-V cut, per-doc OOV ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"), // a:3 b:2 c:1 + d:1 below
+      (2L, "a b d d"),
+      (3L, "z z z z"))     // all OOV except z? z:4 → z is top-1!
+      .toDF("doc_id", "text")
+    // counts: z=4, a=4, b=3, d=2, c=1 → V=2 keeps (a, z): tie 4/4 breaks
+    // token-asc so 'a' first, both kept at V=2
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((6L, 0.5)))  // b b c OOV of 6
+    assert(got(2L) == ((4L, 0.75))) // b d d OOV of 4
+    assert(got(3L) == ((4L, 0.0)))  // z in vocab
+  }
+
   test("redactPii strips emails, phones, IPs globally; normalizeText canonicalizes") {
     import spark.implicits._
     val rows = Seq(
