@@ -382,6 +382,29 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Recall@5 of sign-LSH bucketed search — completes the oracle-tracked
+    // recall family across the whole ANN ladder (bucket pruning loses
+    // exactly the neighbors across a hyperplane; widen bits to trade).
+    "ann_recall_lsh" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      val approx = Similarity.signLshTopK(queries, emb, "vec_id", "embedding",
+        k = 5, bits = 4)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    },
+
+    // Recall@5 of the int8 scalar-quantized scan — SQ8 reorders only
+    // near-ties, so this row tracks how much the 4x bandwidth saving
+    // actually costs on this corpus.
+    "ann_recall_sq8" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      val approx = Similarity.sq8TopK(queries, emb, "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    },
+
     // Recall@5 of the flat PQ index against exact brute force — the
     // oracle-tracked recall-vs-bandwidth dial of the m-int code scan.
     "ann_recall_pq" -> q { (s, dir) =>
@@ -1146,6 +1169,82 @@ object LlmQueries {
                               ORDER BY dist ASC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "ann_recall_lsh" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             array_to_string(list_transform(list_slice(embedding, 1, 4),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], c.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
+               6) AS cosine
+           FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         lsh AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM scored QUALIFY rnk <= 5),
+         bscored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         brute AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM bscored QUALIFY rnk <= 5)
+         SELECT b2.query_id,
+           round(count(i.neighbor_id)::double / count(*), 6) AS recall
+         FROM brute b2 LEFT JOIN lsh i
+           ON i.query_id = b2.query_id AND i.neighbor_id = b2.neighbor_id
+         GROUP BY b2.query_id ORDER BY b2.query_id""",
+
+    "ann_recall_sq8" ->
+      """WITH qz AS (
+           SELECT vec_id,
+             CASE WHEN s IS NULL OR s = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(x::double * 127.0 / s + 0.5) AS INT)) END AS qv
+           FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x::double))) AS s
+                 FROM embeddings)),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qv::double[], c.qv::double[]) AS BIGINT) AS score
+           FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         sq8 AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+           FROM scored QUALIFY rnk <= 5),
+         bscored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         brute AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM bscored QUALIFY rnk <= 5)
+         SELECT b.query_id,
+           round(count(i.neighbor_id)::double / count(*), 6) AS recall
+         FROM brute b LEFT JOIN sq8 i
+           ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY b.query_id""",
 
     "ann_recall_pq" ->
       """WITH js AS (SELECT unnest(range(4)) AS j),
