@@ -142,6 +142,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("chunk invariants hold over a (length x chunk x overlap) grid") {
+    import spark.implicits._
+    // docs of every length 1..60, chunked under several (c, o) configs:
+    // every token covered, every window within bounds and <= c tokens,
+    // consecutive starts advance by exactly c - o, the last window ends
+    // exactly at the document tail, chunk ids dense from 0
+    val docs = (1 to 60).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((c, o) <- Seq((4, 0), (4, 1), (4, 3), (7, 2), (10, 5), (64, 16))) {
+      val step = c - o
+      val byDoc = TextAnalysis.chunk(docs, "doc_id", "text", c, o)
+        .as[(Long, Int, String, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      for (n <- 1 to 60) {
+        val chunks = byDoc(n.toLong)
+        assert(chunks.map(_._2).toSeq == chunks.indices.toSeq, s"dense ids n=$n c=$c o=$o")
+        val toks = chunks.map(_._3.split(" ").toSeq)
+        chunks.zip(toks).foreach { case (ch, t) =>
+          assert(t.size == ch._4, s"n_tokens mismatch n=$n c=$c o=$o id=${ch._2}")
+          assert(t.size <= c, s"window too large n=$n c=$c o=$o id=${ch._2}")
+        }
+        assert(toks.flatten.toSet == (1 to n).map(i => s"w$i").toSet,
+          s"coverage broken n=$n c=$c o=$o")
+        // each window starts at chunk_id*step+1 and the last ends at n
+        toks.zipWithIndex.foreach { case (t, i) =>
+          assert(t.head == s"w${i * step + 1}", s"start misplaced n=$n c=$c o=$o id=$i")
+        }
+        assert(toks.last.last == s"w$n", s"last window must end at the tail n=$n c=$c o=$o")
+      }
+    }
+  }
+
+  test("redactPii is idempotent: placeholders never re-match any pattern") {
+    import spark.implicits._
+    val rows = Seq((1L, "a@b.co 555-123-4567 10.0.0.1 plain"))
+      .toDF("id", "t")
+    val once = rows.select(TextAnalysis.redactPii(col("t")).as("c"))
+    val twice = once.select(TextAnalysis.redactPii(col("c")).as("c"))
+    assert(once.as[String].head() == twice.as[String].head())
+  }
+
   test("bigramFluency: repetitive text outranks token soup; hand-checked probabilities") {
     import spark.implicits._
     val docs = Seq(
