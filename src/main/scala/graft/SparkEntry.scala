@@ -30,7 +30,9 @@ object SparkEntry {
         "stream_dedup" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.streamingDedup(s, dir)),
         "stream_cms" -> ((s: SparkSession, dir: String) =>
-          streaming.StreamPipeline.streamingCms(s, dir)))
+          streaming.StreamPipeline.streamingCms(s, dir)),
+        "stream_semantic_dedup" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.streamingSemanticDedup(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,7 +60,41 @@ object SparkEntry {
         "stream_cms" ->
           """SELECT user_id, count(*) AS n_events,
                true AS no_undercount, true AS bounded_overcount
-             FROM events GROUP BY user_id ORDER BY user_id""")
+             FROM events GROUP BY user_id ORDER BY user_id""",
+        // ingest-time semantic dedup ≡ the batch LSH-bucketed pair join
+        // over the same rows (stream side is stateless, so batch
+        // equivalence is exact, both directions of each pair)
+        "stream_semantic_dedup" ->
+          """WITH toks AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             hashed AS (
+               SELECT doc_id, CAST(h % 64 AS INT) AS i,
+                      CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+               FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+                     FROM toks WHERE tok <> '')),
+             zeros AS (
+               SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
+               FROM documents, (SELECT unnest(range(64)) AS j)),
+             summed AS (
+               SELECT doc_id, i, sum(v) AS s
+               FROM (SELECT * FROM hashed UNION ALL SELECT * FROM zeros)
+               GROUP BY doc_id, i),
+             emb AS (
+               SELECT doc_id AS vec_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
+               FROM summed GROUP BY doc_id),
+             b AS (
+               SELECT vec_id, embedding,
+                 array_to_string(list_transform(list_slice(embedding, 1, 8),
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+               FROM emb),
+             pairs AS (
+               SELECT a.vec_id AS doc_id, b2.vec_id AS corpus_id,
+                 list_dot_product(a.embedding::double[], b2.embedding::double[]) /
+                   (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                    sqrt(list_dot_product(b2.embedding::double[], b2.embedding::double[]))) AS c
+               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id)
+             SELECT doc_id, corpus_id, round(c, 6) AS cosine FROM pairs
+             WHERE c >= 0.9 ORDER BY doc_id, corpus_id""")
 
   /** Headline subset timed by [[Bench]] at sf0.1 — one per operator family
     * (scan/agg, broadcast join chain, window, sessionize, CDC apply,

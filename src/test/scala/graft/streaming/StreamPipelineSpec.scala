@@ -21,6 +21,23 @@ class StreamPipelineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streamingSemanticDedup equals the batch LSH-bucketed near-dup pairs") {
+    // the stream side is stateless (embed + bucket projections), so the
+    // stream-static join must reproduce Dedup.embeddingDupPairs over the
+    // same rows exactly — each undirected batch pair appearing in both
+    // directions here (every doc both arrives and sits in the corpus)
+    val streamed = StreamPipeline.streamingSemanticDedup(spark, Sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    val emb = graft.operators.TextAnalysis.hashEmbed(
+      graft.Tables.load(spark, Sf0001, "documents"), "doc_id", "text", 64)
+    val batch = graft.operators.Dedup.embeddingDupPairs(
+        emb, "doc_id", "embedding", threshold = 0.9, signBits = 8)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch.flatMap { case (a, b, c) => Set((a, b, c), (b, a, c)) })
+    assert(streamed.nonEmpty)
+  }
+
   test("cdcApply reduces each micro-batch to last image per key before applying") {
     val dir = Files.createTempDirectory("graft_cdc_src").toString
     val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
