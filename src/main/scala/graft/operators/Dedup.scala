@@ -439,6 +439,44 @@ object Dedup {
       .distinct() // a pair may share several blocks
   }
 
+  /** Fuzzy (edit-distance) near-dup pairs — the classic record-linkage
+    * modality: documents whose `keyChars`-char near-key is within
+    * `maxDist` Levenshtein edits, compared only inside `blockChars`-char
+    * prefix blocks (standard blocking: an edit inside the block prefix
+    * escapes the block — recall is a blocking choice, like every LSH
+    * family here; tighten by unioning a second blocking pass on a
+    * different key if the corpus needs it). Levenshtein runs on the
+    * bounded near-key, never the full document, so the per-pair cost is
+    * O(keyChars²) regardless of document size; `maxBlock` caps the
+    * quadratic within-block term with the same broadcast anti-join
+    * skew guard as the LSH/simhash/embedding variants. Spark's
+    * `levenshtein` and DuckDB's agree exactly (classic unweighted edit
+    * distance), so pairs and distances hash-match. */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      keyChars: Int, blockChars: Int, maxDist: Int,
+      maxBlock: Int = Int.MaxValue): DataFrame = {
+    require(keyChars > 0 && blockChars > 0 && blockChars <= keyChars,
+      s"need 0 < blockChars=$blockChars <= keyChars=$keyChars")
+    require(maxDist >= 0, s"maxDist=$maxDist must be non-negative")
+    require(maxBlock > 1, s"maxBlock=$maxBlock would drop every block")
+    val allKeyed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        substring(col(textCol), 1, keyChars).as("__key"),
+        substring(col(textCol), 1, blockChars).as("__blk"))
+    val keyed = (if (maxBlock == Int.MaxValue) allKeyed else {
+      val hot = allKeyed.groupBy(col("__blk"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBlock)
+        .select(col("__blk"))
+      allKeyed.join(broadcast(hot), Seq("__blk"), "left_anti")
+    }).localCheckpoint() // materialize before self-join (see lshCandidates)
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.__blk") === col("b.__blk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("dist", levenshtein(col("a.__key"), col("b.__key")))
+      .filter(col("dist") <= maxDist)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("dist"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within sign-LSH buckets
     * (see [[Similarity.signBucket]]) — the bucelocated variant of the
     * all-pairs check that survives a 100× corpus. */

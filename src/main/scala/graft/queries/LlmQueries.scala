@@ -316,6 +316,16 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Fuzzy dedup: Levenshtein distance over 40-char near-keys within
+    // 8-char prefix blocks — the record-linkage modality that catches
+    // small in-place edits exact/shingle hashing miss. Blocked, never
+    // all-pairs; distance computed on the bounded key, not the document.
+    "dedup_edit_distance" -> q { (s, dir) =>
+      Dedup.editDistancePairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          keyChars = 40, blockChars = 8, maxDist = 10)
+        .orderBy("id_a", "id_b")
+    },
+
     // Perplexity-proxy quality scoring: a bigram LM estimated from the
     // corpus itself, each doc scored by the mean conditional probability
     // of its own bigrams — the model-free LM-quality filter. Counts +
@@ -1528,6 +1538,16 @@ object LlmQueries {
                               ORDER BY score DESC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "dedup_edit_distance" ->
+      """WITH k AS (
+           SELECT doc_id, substr(text, 1, 40) AS key, substr(text, 1, 8) AS blk
+           FROM documents WHERE text IS NOT NULL)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                levenshtein(a.key, b.key) AS dist
+         FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.key, b.key) <= 10
+         ORDER BY id_a, id_b""",
 
     "text_bigram_lm" ->
       """WITH tok AS (

@@ -181,4 +181,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((10L, 11L)))
   }
+
+  test("edit-distance pairs: hand-checked distances, block escape, maxBlock cap, NULL text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "prefix__ hello world document"),
+      (2L, "prefix__ hello worXd documYnt"), // 2 edits from doc 1 within the key
+      (3L, "prefix__ goodbye entirely other"), // same block, far key
+      (4L, "ZZZZZZZZ hello world document"), // edit inside the block prefix escapes
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        keyChars = 29, blockChars = 8, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 2)), s"got $got")
+    // widen the distance: doc 3 still blocks with 1 and 2 but stays out
+    val widened = Dedup.editDistancePairs(docs, "doc_id", "text",
+        keyChars = 29, blockChars = 8, maxDist = 10)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(widened == Set((1L, 2L)))
+    // a monster block is cut by the cap; the isolated pair elsewhere survives
+    val flood = (100L until 120L).map(i => (i, s"samehead_ flood $i")) ++
+      Seq((1L, "prefix__ hello world"), (2L, "prefix__ hello worXd"))
+    val capped = Dedup.editDistancePairs(flood.toDF("doc_id", "text"), "doc_id", "text",
+        keyChars = 20, blockChars = 9, maxDist = 6, maxBlock = 5)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(capped == Set((1L, 2L)))
+  }
 }
