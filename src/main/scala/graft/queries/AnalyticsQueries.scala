@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOf, Funnel, RangeJoin, TextAnalysis, TopK}
+import graft.operators.{AsOf, Funnel, RangeJoin, Resample, TextAnalysis, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -331,6 +331,19 @@ object AnalyticsQueries {
     // oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, an independent
     // algorithm, so equality validates semantics rather than echoing the
     // implementation. Right side tie-breaks on max event_id at equal ts.
+    // Gap-fill resampling: each user's irregular value stream becomes a
+    // dense hourly grid carrying the last observation at or before each
+    // bucket end — the forward-fill shape every metrics/feature pipeline
+    // needs. Values pass through untouched (no float arithmetic).
+    "resample_ffill" -> q { (s, dir) =>
+      Resample.forwardFill(
+          Tables.load(s, dir, "events").filter(col("user_id") < 20),
+          "user_id", "ts", "value",
+          bucketWidth = 3600L * 1000 * 1000 * 1000, // 1 hour of ns
+          tiebreak = Seq(col("event_id")))
+        .orderBy("user_id", "bucket")
+    },
+
     "asof_join" -> q { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
       val l = ev.filter(col("event_type") === "purchase")
@@ -702,6 +715,30 @@ object AnalyticsQueries {
     // DuckDB's native ASOF JOIN — an independent algorithm from the Spark
     // side's union/window formulation. Right side deduped to max event_id
     // per (user, ts), matching the Spark tie-break.
+    // ts surfaces as Long NANOS under nanosAsLong on the Spark side; the
+    // oracle reads the parquet TIMESTAMP_NS natively, so epoch_ns // width
+    // reproduces `ts div width` exactly
+    "resample_ffill" ->
+      """WITH pb AS (
+           SELECT user_id, bucket, value AS lastv FROM (
+             SELECT user_id, epoch_ns(ts) // 3600000000000 AS bucket, value,
+               row_number() OVER (
+                 PARTITION BY user_id, epoch_ns(ts) // 3600000000000
+                 ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE user_id < 20) WHERE rn = 1),
+         spans AS (
+           SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+           FROM pb GROUP BY user_id),
+         dense AS (
+           SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM spans)
+         SELECT d.user_id, d.bucket,
+           last_value(pb.lastv IGNORE NULLS) OVER (
+             PARTITION BY d.user_id ORDER BY d.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+         FROM dense d LEFT JOIN pb
+           ON pb.user_id = d.user_id AND pb.bucket = d.bucket
+         ORDER BY d.user_id, d.bucket""",
+
     "asof_join" ->
       """WITH l AS (
            SELECT user_id, epoch_us(ts) AS ts_us,
