@@ -43,8 +43,11 @@ object Resample {
           (col(tsCol) +: tiebreak).map(_.desc), 1)
       else TopK.windowed(bucketed, Seq(keyCol, "bucket"),
         (col(tsCol) +: tiebreak).map(_.desc), 1)
+    // used twice (span derivation + the grid join) — materialize the
+    // bucket-sized collapse once so the raw-stream TopK pass doesn't
+    // re-run per consumer (the lshCandidates/Lloyd precedent)
     val perBucket = lastRows.select(col(keyCol), col("bucket"),
-      col(valueCol).as("__last"))
+      col(valueCol).as("__last")).localCheckpoint()
     val dense = perBucket.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
       .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
