@@ -439,6 +439,51 @@ object Dedup {
       .distinct() // a pair may share several blocks
   }
 
+  /** CROSS-CORPUS MinHash near-dup pairs — the daily-ingest shape: every
+    * (new, base) candidate whose band hashes collide, scored by the
+    * MinHash-estimated Jaccard, with NO pairs within either side (a
+    * delta deduped against the standing lake wants exactly the cross
+    * edges; intra-delta dups are [[lshEstimatedPairs]]' job on the small
+    * side). Both sides pay one shingle scan + one fused groupBy each —
+    * the lake's signatures are the kind of thing a real deployment
+    * persists, and this function takes any frame in the shingled shape,
+    * so a precomputed-signature path is one `wideSigs` materialization
+    * away. The candidate join is keyed (band, band_hash) — when the new
+    * side is a small delta AQE broadcasts it and the lake never
+    * shuffles; `maxBucket` caps pathological base-side buckets with the
+    * family's standard anti-join guard. Estimates replay exactly in the
+    * oracle (same seeds, same integer arithmetic). */
+  def crossCorpusLshPairs(
+      newShingled: DataFrame, baseShingled: DataFrame, idCol: String,
+      k: Int, bands: Int, maxBucket: Int = Int.MaxValue,
+      minEst: Double = 0.0): DataFrame = {
+    require(maxBucket > 1, s"maxBucket=$maxBucket would drop every bucket")
+    val newWide = wideSigs(newShingled, idCol, k).localCheckpoint()
+    val baseWide = wideSigs(baseShingled, idCol, k).localCheckpoint()
+    val nb = bandsFromWide(newWide, idCol, k, bands)
+      .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
+    val allBb = bandsFromWide(baseWide, idCol, k, bands)
+      .select(col(idCol).as("id_base"), col("band"), col("band_hash"))
+    val bb = if (maxBucket == Int.MaxValue) allBb else {
+      val hot = allBb.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .select(col("band"), col("band_hash"))
+      allBb.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    }
+    val cand = nb.join(bb, Seq("band", "band_hash"))
+      .select(col("id_new"), col("id_base")).distinct()
+    def sigArr(wide: DataFrame, as: String) = wide.select(col(idCol).as(as),
+      array((0 until k).map(i => col(s"__m$i")): _*).as(s"__s$as"))
+    cand
+      .join(sigArr(newWide, "id_new"), Seq("id_new"))
+      .join(sigArr(baseWide, "id_base"), Seq("id_base"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("__sid_new"), col("__sid_base"), (x, y) => x === y),
+          b => b)).cast("double") / k)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("id_new"), col("id_base"), col("est_jaccard"))
+  }
+
   /** Fuzzy (edit-distance) near-dup pairs — the classic record-linkage
     * modality: documents whose `keyChars`-char near-key is within
     * `maxDist` Levenshtein edits, compared only inside `blockChars`-char

@@ -316,6 +316,21 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Cross-corpus dedup — the daily-ingest shape: the even-id half plays
+    // the arriving delta, the odd-id half the standing lake; only CROSS
+    // pairs are surfaced (intra-side dups are the self-join family's job),
+    // scored by the MinHash-estimated Jaccard.
+    "dedup_cross_corpus" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def sh(f: org.apache.spark.sql.DataFrame) =
+        Dedup.rawShingles(f, "text", "doc_id", ShingleN)
+      Dedup.crossCorpusLshPairs(
+          sh(docs.filter(col("doc_id") % 2 === 0)),
+          sh(docs.filter(col("doc_id") % 2 =!= 0)),
+          "doc_id", MinhashK, LshBands)
+        .orderBy("id_new", "id_base")
+    },
+
     // Fuzzy dedup: Levenshtein distance over 40-char near-keys within
     // 8-char prefix blocks — the record-linkage modality that catches
     // small in-place edits exact/shingle hashing miss. Blocked, never
@@ -669,6 +684,29 @@ object LlmQueries {
          JOIN sig sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
          GROUP BY p.id_a, p.id_b
          ORDER BY id_a, id_b""",
+
+    // signatures are per-doc, so computing them over the whole table and
+    // splitting by parity replays the two-sided Spark pipeline exactly
+    "dedup_cross_corpus" ->
+      s"""WITH $ShinglesCte, $MinhashCte,
+         banded AS (
+           SELECT doc_id, (seed // 4) AS band,
+                  md5(array_to_string(
+                    list_sort(list(concat(seed, ':', minhash))), '|')) AS band_hash
+           FROM sig GROUP BY doc_id, band),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_hash = b.band_hash
+           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 <> 0)
+         SELECT p.id_new, p.id_base,
+                sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::double
+                  / 16 AS est_jaccard
+         FROM pairs p
+         JOIN sig sa ON sa.doc_id = p.id_new
+         JOIN sig sb ON sb.doc_id = p.id_base AND sb.seed = sa.seed
+         GROUP BY p.id_new, p.id_base
+         ORDER BY id_new, id_base""",
 
     "dedup_jaccard" ->
       s"""WITH $ShinglesCte,

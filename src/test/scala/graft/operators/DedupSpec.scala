@@ -182,6 +182,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((10L, 11L)))
   }
 
+  test("cross-corpus LSH pairs: only cross edges, consistent with the self-join family") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    def sh(f: org.apache.spark.sql.DataFrame) =
+      Dedup.rawShingles(f, "text", "doc_id", 5)
+    val cross = Dedup.crossCorpusLshPairs(
+        sh(docs.filter(col("doc_id") % 2 === 0)),
+        sh(docs.filter(col("doc_id") % 2 =!= 0)),
+        "doc_id", k = 16, bands = 4)
+      .as[(Long, Long, Double)].collect()
+    // every pair crosses the split, new side first
+    assert(cross.forall { case (n, b, _) => n % 2 == 0 && b % 2 != 0 })
+    // exactly the self-join family's pairs that straddle the split, with
+    // identical estimates (same signatures, same estimator)
+    val selfPairs = Dedup.lshEstimatedPairs(sh(docs), "doc_id", k = 16, bands = 4)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, e) => if (a % 2 == 0) (a, b, e) else (b, a, e) }.toSet
+    assert(cross.toSet == selfPairs)
+    assert(cross.nonEmpty)
+  }
+
   test("edit-distance pairs: hand-checked distances, block escape, maxBlock cap, NULL text") {
     import spark.implicits._
     val docs = Seq(
