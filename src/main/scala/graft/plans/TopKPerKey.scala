@@ -117,6 +117,16 @@ case class TopKPerKeyExec(
     partial: Boolean, child: SparkPlan)
   extends UnaryExecNode {
 
+  // Observability: tier-2 disk spills and downstream flushes (tiers 1/3)
+  // surface in the Spark UI / SQL metrics like the built-in operators'.
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    if (partial) Map(
+      "numSpills" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "partial disk spills"),
+      "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "partial downstream flushes"))
+    else Map.empty
+
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
@@ -143,6 +153,8 @@ case class TopKPerKeyExec(
       "spark.graft.topk.partialReserveChunk", TopKPerKeyExec.ReserveChunk.toString).toLong
     require(reserveChunk > 0, s"spark.graft.topk.partialReserveChunk must be positive, got $reserveChunk")
     val isPartial = partial
+    val spillMetric = metrics.get("numSpills").orNull
+    val flushMetric = metrics.get("numFlushes").orNull
     child.execute().mapPartitions { iter =>
       // Partial phase only: account the map's estimated bytes against the
       // task's execution memory pool (final-phase state is output-sized).
@@ -154,7 +166,8 @@ case class TopKPerKeyExec(
       TopKPerKeyExec.process(iter, keyExprs, sortOrder, childOutput,
         kLocal, maxKeys, reserveChunk, consumer,
         cleanup =>
-          if (taskCtx != null) taskCtx.addTaskCompletionListener[Unit](_ => cleanup()))
+          if (taskCtx != null) taskCtx.addTaskCompletionListener[Unit](_ => cleanup()),
+        spillMetric, flushMetric)
     }
   }
 
@@ -189,7 +202,10 @@ object TopKPerKeyExec {
       childOutput: Seq[Attribute],
       kLocal: Int, maxKeys: Int, reserveChunk: Long,
       consumer: TopKPartialMemoryConsumer,
-      registerCleanup: (() => Unit) => Unit): Iterator[InternalRow] = {
+      registerCleanup: (() => Unit) => Unit,
+      spillMetric: org.apache.spark.sql.execution.metric.SQLMetric = null,
+      flushMetric: org.apache.spark.sql.execution.metric.SQLMetric = null)
+      : Iterator[InternalRow] = {
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
@@ -232,6 +248,12 @@ object TopKPerKeyExec {
         resetMap()
         out.values().iterator().asScala.flatMap(_.iterator().asScala)
       }
+      // tier-1/3 downstream flushes (drains before end-of-state are the
+      // degradation signal; the final drain of a healthy run is not)
+      def drainFlush(): Iterator[InternalRow] = {
+        if (flushMetric != null) flushMetric.add(1)
+        drain()
+      }
 
       // Tier-2 spill: write the retained rows (≤ keys × k — never raw
       // input) to a local file in the executor's spill dirs and release
@@ -257,6 +279,7 @@ object TopKPerKeyExec {
             }
           } finally out.close()
           spillFiles += file
+          if (spillMetric != null) spillMetric.add(1)
           resetMap()
         }
       }
@@ -325,10 +348,10 @@ object TopKPerKeyExec {
               while (iter.hasNext && !flushed) {
                 insert(iter.next()) match {
                   case 0 => ()
-                  case 1 => cur = drain(); flushed = true // tier 1: key cap
+                  case 1 => cur = drainFlush(); flushed = true // tier 1: key cap
                   case 2 =>
                     if (consumer != null && consumer.getUsed > 0) spillToDisk() // tier 2
-                    else { cur = drain(); flushed = true }                      // tier 3
+                    else { cur = drainFlush(); flushed = true }                 // tier 3
                 }
               }
               if (!iter.hasNext) inputDone = true
@@ -340,7 +363,7 @@ object TopKPerKeyExec {
               while (spillQueue.hasNext && !flushed) {
                 insert(spillQueue.next()) match {
                   case 0 => ()
-                  case _ => cur = drain(); flushed = true // sustained pressure
+                  case _ => cur = drainFlush(); flushed = true // sustained pressure
                 }
               }
               if (!spillQueue.hasNext && !flushed) { cur = drain(); allDone = true }

@@ -103,6 +103,34 @@ class TopKPerKeySpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.topk.partialReserveChunk")
   }
 
+  test("SQL metrics: healthy runs report zero flushes; forced pressure counts them") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE query stages do not expose their subplan as a child, so a plain
+    // collect never sees the partial node below the exchange — walk them
+    def all(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec        => q +: all(q.plan)
+      case other                    => other +: other.children.flatMap(all)
+    }
+    def metricValue(df: org.apache.spark.sql.DataFrame, name: String): Long =
+      all(df.queryExecution.executedPlan).collect {
+        case t: TopKPerKeyExec if t.partial =>
+          t.metrics.get(name).map(_.value).getOrElse(0L)
+      }.sum
+    val healthy = TopK.perKey(data, Seq("g"), Seq(col("score").desc, col("id").asc), 3)
+    healthy.collect()
+    assert(metricValue(healthy, "numSpills") == 0L)
+    assert(metricValue(healthy, "numFlushes") == 0L)
+    spark.conf.set("spark.graft.topk.partialReserveChunk", (1L << 60).toString)
+    try {
+      val forced = TopK.perKey(data, Seq("g"), Seq(col("score").desc, col("id").asc), 3)
+      forced.collect()
+      assert(metricValue(forced, "numFlushes") > 0L,
+        "forced declines must be visible in the flush metric")
+    } finally spark.conf.unset("spark.graft.topk.partialReserveChunk")
+  }
+
   test("cooperative spill dispatch: peer trigger runs the callback, self trigger reports 0") {
     val out = spark.sparkContext.parallelize(Seq(1), 1).mapPartitions { _ =>
       val tmm = org.apache.spark.GraftMemoryBridge
