@@ -31,12 +31,24 @@ import org.apache.spark.sql.functions._
 object Resample {
 
   /** @param bucketWidth bucket width in `tsCol`'s own unit (e.g. ns)
-    * @param tiebreak    extra ordering columns making (ts, …) total */
+    * @param tiebreak    extra ordering columns making (ts, …) total
+    * @param maxBuckets  per-key dense-grid cap: a key whose observed span
+    *                    exceeds `maxBuckets` bucket widths would build one
+    *                    enormous `sequence` array in a single row before
+    *                    the explode — the query fails fast with the key
+    *                    and its span instead of OOMing an executor. Raise
+    *                    the dial (or widen `bucketWidth`) deliberately. */
   def forwardFill(
       df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
-      bucketWidth: Long, tiebreak: Seq[Column] = Nil): DataFrame = {
+      bucketWidth: Long, tiebreak: Seq[Column] = Nil,
+      maxBuckets: Long = 4L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
-    val bucketed = df.withColumn("bucket", expr(s"$tsCol div ${bucketWidth}L"))
+    require(maxBuckets > 0, s"maxBuckets=$maxBuckets must be positive")
+    // floor division (not `div`-truncation), matching DuckDB's `//`: a
+    // negative timestamp buckets toward -inf on both engines. pmod makes
+    // the numerator an exact multiple, so the truncating div IS the floor.
+    val bucketed = df.withColumn("bucket",
+      expr(s"(${qq(tsCol)} - pmod(${qq(tsCol)}, ${bucketWidth}L)) div ${bucketWidth}L"))
     val lastRows =
       if (org.apache.spark.sql.GraftSqlBridge.supportsStrategies(df.sparkSession))
         TopK.perKey(bucketed, Seq(keyCol, "bucket"),
@@ -50,6 +62,15 @@ object Resample {
       col(valueCol).as("__last")).localCheckpoint()
     val dense = perBucket.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      // span guard BEFORE the sequence is built: the offending key and its
+      // span surface in the error instead of an executor OOM
+      .withColumn("__hi",
+        when(col("__hi") - col("__lo") < lit(maxBuckets), col("__hi"))
+          .otherwise(raise_error(concat(
+            lit("Resample.forwardFill: key "), col(keyCol).cast("string"),
+            lit(" spans "), (col("__hi") - col("__lo") + 1).cast("string"),
+            lit(s" buckets > maxBuckets=$maxBuckets; widen bucketWidth or raise maxBuckets")))
+            .cast("long")))
       .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
     dense.join(perBucket, Seq(keyCol, "bucket"), "left")
       .withColumn("value",
@@ -58,4 +79,7 @@ object Resample {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col(keyCol), col("bucket"), col("value"))
   }
+
+  /** Backtick-quote an identifier for use inside `expr(...)`. */
+  private def qq(name: String): String = "`" + name.replace("`", "``") + "`"
 }

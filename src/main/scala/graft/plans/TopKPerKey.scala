@@ -89,12 +89,16 @@ private[plans] class TopKPartialMemoryConsumer(tmm: TaskMemoryManager)
   private var spillCallback: () => Long = () => 0L
   def setSpillCallback(cb: () => Long): Unit = spillCallback = cb
 
-  /** Cooperative-spill request from a peer consumer. Task execution is
-    * single-threaded, so this lands either between rows (the callback
-    * safely writes the map to disk and frees its reservation) or inside
-    * our own reserve's acquire path (`trigger eq this` — the map is
-    * mid-mutation; report 0 and let the pressure surface as the
-    * declined reservation instead). */
+  /** Cooperative-spill request from a peer consumer. Usually lands on the
+    * task thread between rows (the callback safely writes the map to disk
+    * and frees its reservation) or inside our own reserve's acquire path
+    * (`trigger eq this` — the map is mid-mutation; report 0 and let the
+    * pressure surface as the declined reservation instead). It can ALSO
+    * arrive from a helper thread the task spawned (Spark allows any
+    * thread to acquire execution memory for the task), so the callback
+    * itself takes the iterator's state lock with `tryLock` — contended
+    * means the map is mid-mutation on another thread: report 0 rather
+    * than corrupt the heap map or double-release the reservation. */
   override def spill(size: Long, trigger: MemoryConsumer): Long =
     if (trigger eq this) 0L else spillCallback()
 
@@ -213,9 +217,28 @@ object TopKPerKeyExec {
       var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       import scala.jdk.CollectionConverters._
 
+      // Guards every mutation of `heaps`/`estBytes`/the reservation against
+      // the cooperative spill callback, which may arrive from a HELPER
+      // thread of the same task (e.g. an Arrow/Python writer acquiring
+      // execution memory) — Spark's own spillable consumers synchronize
+      // spill() for the same reason. The task thread takes it around each
+      // insert/spill/drain; the callback only ever `tryLock`s, so a
+      // contended request reports 0 freed and can never deadlock against
+      // the TaskMemoryManager's own monitor.
+      val stateLock = new java.util.concurrent.locks.ReentrantLock()
       val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      // Spill files being read back during the merge: close their streams
+      // on task completion even if the output iterator is abandoned early
+      // (downstream limit, task kill) — otherwise the descriptor leaks
+      // until process exit and the delete below can fail on an open handle.
+      val openSpillStreams = new java.util.concurrent.ConcurrentLinkedQueue[java.io.Closeable]()
       registerCleanup { () =>
         if (consumer != null) consumer.releaseAll()
+        var s = openSpillStreams.poll()
+        while (s != null) {
+          try s.close() catch { case _: java.io.IOException => () }
+          s = openSpillStreams.poll()
+        }
         spillFiles.foreach(f => if (f.exists()) f.delete())
       }
       var estBytes = 0L
@@ -244,9 +267,12 @@ object TopKPerKeyExec {
       }
 
       def drain(): Iterator[InternalRow] = {
-        val out = heaps
-        resetMap()
-        out.values().iterator().asScala.flatMap(_.iterator().asScala)
+        stateLock.lock()
+        try {
+          val out = heaps
+          resetMap()
+          out.values().iterator().asScala.flatMap(_.iterator().asScala)
+        } finally stateLock.unlock()
       }
       // tier-1/3 downstream flushes (drains before end-of-state are the
       // degradation signal; the final drain of a healthy run is not)
@@ -260,6 +286,11 @@ object TopKPerKeyExec {
       // the map's reservation. Merge happens at end of input.
       val writeBuffer = new Array[Byte](4096)
       def spillToDisk(): Unit = {
+        stateLock.lock()
+        try spillToDiskLocked()
+        finally stateLock.unlock()
+      }
+      def spillToDiskLocked(): Unit = {
         if (!heaps.isEmpty) {
           val file = GraftMemoryBridge.createSpillFile()
           val out = new java.io.DataOutputStream(
@@ -287,10 +318,14 @@ object TopKPerKeyExec {
       def readSpill(file: java.io.File): Iterator[InternalRow] = new Iterator[InternalRow] {
         private val in = new java.io.DataInputStream(
           new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16))
+        openSpillStreams.add(in)
         private var nextLen = readLen()
         private def readLen(): Int =
           try in.readInt()
-          catch { case _: java.io.EOFException => in.close(); file.delete(); -1 }
+          catch {
+            case _: java.io.EOFException =>
+              openSpillStreams.remove(in); in.close(); file.delete(); -1
+          }
         override def hasNext: Boolean = nextLen >= 0
         override def next(): InternalRow = {
           val bytes = new Array[Byte](nextLen)
@@ -304,6 +339,11 @@ object TopKPerKeyExec {
 
       // 0 = admitted; 1 = key-cardinality cap overflow; 2 = memory declined
       def insert(row: InternalRow): Int = {
+        stateLock.lock()
+        try insertLocked(row)
+        finally stateLock.unlock()
+      }
+      def insertLocked(row: InternalRow): Int = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         var delta = 0L
@@ -327,7 +367,7 @@ object TopKPerKeyExec {
       new Iterator[InternalRow] {
         private var cur: Iterator[InternalRow] = Iterator.empty
         private var inputDone = false
-        private var inMerge = false
+        @volatile private var inMerge = false
         private var spillQueue: Iterator[InternalRow] = Iterator.empty
         private var allDone = false
 
@@ -335,10 +375,16 @@ object TopKPerKeyExec {
         // consistent here, so a disk spill is safe and frees real bytes.
         // During the merge it reports 0 (re-spilling mid-merge could
         // cycle); pressure then lands as declined reservations → tier-3
-        // downstream flushes, which terminate.
+        // downstream flushes, which terminate. The request may arrive from
+        // a helper thread of the task, so it only `tryLock`s the state
+        // lock — a contended lock means insert()/spill/drain is mid-flight
+        // elsewhere: report 0 freed instead of touching the map.
         if (consumer != null) consumer.setSpillCallback { () =>
-          if (inMerge || heaps.isEmpty) 0L
-          else { val freed = consumer.getUsed; spillToDisk(); freed }
+          if (!stateLock.tryLock()) 0L
+          else try {
+            if (inMerge || heaps.isEmpty) 0L
+            else { val freed = consumer.getUsed; spillToDiskLocked(); freed }
+          } finally stateLock.unlock()
         }
 
         override def hasNext: Boolean = {

@@ -122,7 +122,9 @@ object SchemaSync {
     var n = 0
     plan.ddl.foreach { step =>
       dialect.renderDdl(step).foreach { sql =>
-        conn.prepareStatement(sql).executeUpdate()
+        val st = conn.prepareStatement(sql)
+        try st.executeUpdate()
+        finally st.close()
         n += 1
       }
     }

@@ -195,11 +195,12 @@ object DerbyDialect extends SqlDialect {
     val md = conn.getMetaData
     val tables = scala.collection.mutable.ArrayBuffer.empty[String]
     val tr = md.getTables(null, "APP", null, Array("TABLE"))
-    while (tr.next()) tables += tr.getString("TABLE_NAME")
+    try while (tr.next()) tables += tr.getString("TABLE_NAME")
+    finally tr.close()
     tables.map { t =>
       val cols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val cr = md.getColumns(null, "APP", t, null) // ordered by ORDINAL_POSITION
-      while (cr.next()) {
+      try while (cr.next()) {
         val name = cr.getString("COLUMN_NAME")
         val typeName = cr.getString("TYPE_NAME").toLowerCase
         val size = cr.getInt("COLUMN_SIZE")
@@ -208,7 +209,7 @@ object DerbyDialect extends SqlDialect {
           case other              => other
         }
         cols += name -> rendered
-      }
+      } finally cr.close()
       t -> cols.toSeq
     }.toMap
   }

@@ -40,4 +40,44 @@ class ResampleSpec extends SparkSpec {
       Resample.forwardFill(data, "k", "ts", "v", bucketWidth = 0L)
     }
   }
+
+  test("negative timestamps bucket by floor division, like DuckDB //") {
+    // ts = -5 at width 10: floor(-5/10) = -1 (truncation would give 0);
+    // ts = -15: floor = -2. The key's grid runs -2..0 with the gapless fill.
+    val neg = Seq((1L, -15L, 1L, 1.0), (1L, -5L, 2L, 2.0), (1L, 9L, 3L, 3.0))
+      .toDF("k", "ts", "seq", "v")
+    val out = Resample.forwardFill(neg, "k", "ts", "v",
+        bucketWidth = 10L, tiebreak = Seq(col("seq")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, -2L, 1.0), (1L, -1L, 2.0), (1L, 0L, 3.0)))
+  }
+
+  test("backtick-hostile column names are quoted, not parsed") {
+    val odd = data.withColumnRenamed("ts", "ts col")
+    val out = Resample.forwardFill(odd, "k", "ts col", "v",
+        bucketWidth = 10L, tiebreak = Seq(col("seq")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.nonEmpty && out.contains((1L, 0L, 11.0)))
+  }
+
+  test("a key spanning more than maxBuckets fails fast with the key and span") {
+    // key 9 observes ts 0 and 1000 at width 1: span 1001 buckets > cap 100
+    val wide = Seq((9L, 0L, 1L, 1.0), (9L, 1000L, 2L, 2.0))
+      .toDF("k", "ts", "seq", "v")
+    val e = intercept[Exception] {
+      Resample.forwardFill(wide, "k", "ts", "v", bucketWidth = 1L,
+        tiebreak = Seq(col("seq")), maxBuckets = 100L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxBuckets") && msg.contains("1001") && msg.contains("key 9"))
+  }
+
+  test("maxBuckets exactly at the span passes") {
+    val wide = Seq((9L, 0L, 1L, 1.0), (9L, 99L, 2L, 2.0))
+      .toDF("k", "ts", "seq", "v")
+    val rows = Resample.forwardFill(wide, "k", "ts", "v", bucketWidth = 1L,
+      tiebreak = Seq(col("seq")), maxBuckets = 100L).count()
+    assert(rows == 100L)
+  }
 }
