@@ -448,20 +448,25 @@ object Dedup {
     * the lake's signatures are the kind of thing a real deployment
     * persists, and this function takes any frame in the shingled shape,
     * so a precomputed-signature path is one `wideSigs` materialization
-    * away. The candidate join is keyed (band, band_hash) — when the new
-    * side is a small delta AQE broadcasts it and the lake never
-    * shuffles; `maxBucket` caps pathological base-side buckets with the
-    * family's standard anti-join guard. Estimates replay exactly in the
-    * oracle (same seeds, same integer arithmetic). */
+    * away. The candidate join is keyed (band, band_hash) — with
+    * `broadcastDelta` (the default) the delta band side carries an
+    * EXPLICIT broadcast hint, and so does the candidate set when it
+    * fetches lake signatures, so "the lake never shuffles" is a plan
+    * contract (PlanSpec-locked), not an AQE sizing hope; a caller whose
+    * "delta" is itself lake-sized turns the dial off and gets the plain
+    * shuffled equi-join. `maxBucket` caps pathological base-side buckets
+    * with the family's standard anti-join guard. Estimates replay
+    * exactly in the oracle (same seeds, same integer arithmetic). */
   def crossCorpusLshPairs(
       newShingled: DataFrame, baseShingled: DataFrame, idCol: String,
       k: Int, bands: Int, maxBucket: Int = Int.MaxValue,
-      minEst: Double = 0.0): DataFrame = {
+      minEst: Double = 0.0, broadcastDelta: Boolean = true): DataFrame = {
     require(maxBucket > 1, s"maxBucket=$maxBucket would drop every bucket")
     val newWide = wideSigs(newShingled, idCol, k).localCheckpoint()
     val baseWide = wideSigs(baseShingled, idCol, k).localCheckpoint()
-    val nb = bandsFromWide(newWide, idCol, k, bands)
+    val nb0 = bandsFromWide(newWide, idCol, k, bands)
       .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
+    val nb = if (broadcastDelta) broadcast(nb0) else nb0
     val allBb = bandsFromWide(baseWide, idCol, k, bands)
       .select(col(idCol).as("id_base"), col("band"), col("band_hash"))
     val bb = if (maxBucket == Int.MaxValue) allBb else {
@@ -474,8 +479,12 @@ object Dedup {
       .select(col("id_new"), col("id_base")).distinct()
     def sigArr(wide: DataFrame, as: String) = wide.select(col(idCol).as(as),
       array((0 until k).map(i => col(s"__m$i")): _*).as(s"__s$as"))
-    cand
+    // candidate set is delta-result-sized: broadcast it into both
+    // signature fetches, so the lake's wide rows stream through a
+    // BroadcastHashJoin instead of shuffling on id_base
+    val withNewSigs = (if (broadcastDelta) broadcast(cand) else cand)
       .join(sigArr(newWide, "id_new"), Seq("id_new"))
+    (if (broadcastDelta) broadcast(withNewSigs) else withNewSigs)
       .join(sigArr(baseWide, "id_base"), Seq("id_base"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("__sid_new"), col("__sid_base"), (x, y) => x === y),
