@@ -69,4 +69,17 @@ class StreamPipelineSpec extends SparkSpec {
       .as[(String, Long, String)].collect().toSeq
     assert(out == Seq(("a", 2L, "new")))
   }
+
+  test("semantic dedup served from the persisted index equals the inline-corpus rows") {
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = Files.createTempDirectory("graft_semidx_spec").toString
+    StreamPipeline.writeSemanticIndex(spark, dir, indexPath)
+    val fromIndex = StreamPipeline
+      .streamingSemanticDedupWithIndex(spark, dir, indexPath)
+      .collect().map(_.toSeq).toSet
+    val inline = StreamPipeline.streamingSemanticDedupInline(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(fromIndex.nonEmpty, "spec fixture produced no near-dup pairs")
+    assert(fromIndex == inline)
+  }
 }
