@@ -290,7 +290,7 @@ object Similarity {
     * keeps a bounded top-nProbe per row, posexplode emits the probe
     * rows — no crossJoin, no top-k exchange even when the query side is
     * corpus-sized. */
-  private[operators] def probeClusters(
+  def probeClusters(
       queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame =
     integralIdType(centroids, idCol) match {

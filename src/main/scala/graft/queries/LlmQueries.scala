@@ -470,6 +470,75 @@ object LlmQueries {
       Similarity.recallAtK(approx, exact).orderBy("query_id")
     },
 
+    // The recall/cost FRONTIER — the tuning artifact a user reads first:
+    // one row per index flavor at equal k, mean recall@5 against the
+    // shared brute-force baseline next to the mean per-query candidate
+    // count that recall cost (sq8/pq scan the whole corpus; lsh its sign
+    // bucket; ivf its nearest cluster; both ivfpq flavors their nProbe=2
+    // probed clusters). Mean recall sums in decimal before one double
+    // division (partition-order-proof, the lloydCentroids precedent).
+    "ann_recall_frontier" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      val codewords = emb.filter(col("vec_id") % 100 === 50)
+      // one exact baseline + one corpus assignment shared by every row
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+        .localCheckpoint()
+      val assigned = Similarity.assignClusters(emb, centroids, "vec_id", "embedding")
+        .select(col("vec_id"), col("cluster")).localCheckpoint()
+      def meanCand(perQuery: org.apache.spark.sql.DataFrame) = perQuery.agg(
+        round(sum(col("cand")).cast("double") / count(lit(1)), 6).as("mean_candidates"))
+      def fRow(method: String, approx: org.apache.spark.sql.DataFrame,
+          mc: org.apache.spark.sql.DataFrame) =
+        Similarity.recallAtK(approx, exact)
+          .agg(round(sum(col("recall").cast("decimal(38,10)")).cast("double") /
+            count(lit(1)), 6).as("mean_recall"))
+          .crossJoin(broadcast(mc))
+          .select(lit(method).as("method"), col("mean_recall"), col("mean_candidates"))
+      val bkt = emb.select(col("vec_id"),
+        Similarity.signBucket(col("embedding"), 4).as("bucket")).localCheckpoint()
+      val lshCand = bkt.filter(col("vec_id") < 10).as("q")
+        .join(bkt.as("c"), col("q.bucket") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id"), "left")
+        .groupBy(col("q.vec_id")).agg(count(col("c.vec_id")).as("cand"))
+      val ivfCand = assigned.filter(col("vec_id") < 10).as("q")
+        .join(assigned.as("c"), col("q.cluster") === col("c.cluster") &&
+          col("q.vec_id") =!= col("c.vec_id"), "left")
+        .groupBy(col("q.vec_id")).agg(count(col("c.vec_id")).as("cand"))
+      val ivfpqCand = Similarity
+        .probeClusters(queries, centroids, "vec_id", "embedding", nProbe = 2)
+        .select(col("query_id"), col("cluster")).as("q")
+        .join(assigned.as("c"), col("q.cluster") === col("c.cluster") &&
+          col("q.query_id") =!= col("c.vec_id"), "left")
+        .groupBy(col("q.query_id")).agg(count(col("c.vec_id")).as("cand"))
+      def fullScanMc = emb.agg(
+        round((count(lit(1)) - 1).cast("double"), 6).as("mean_candidates"))
+      Seq(
+        fRow("ivf",
+          Similarity.ivfTopK(queries, emb, centroids, "vec_id", "embedding", k = 5),
+          meanCand(ivfCand)),
+        fRow("ivfpq",
+          Similarity.ivfPqTopK(queries, emb, centroids, codewords,
+            "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2),
+          meanCand(ivfpqCand)),
+        fRow("ivfpq_residual",
+          Similarity.ivfPqResidualTopK(queries, emb, centroids, codewords,
+            "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2),
+          meanCand(ivfpqCand)),
+        fRow("lsh",
+          Similarity.signLshTopK(queries, emb, "vec_id", "embedding", k = 5, bits = 4),
+          meanCand(lshCand)),
+        fRow("pq",
+          Similarity.pqTopK(queries, emb, centroids, "vec_id", "embedding",
+            k = 5, m = 4, dsub = 16),
+          fullScanMc),
+        fRow("sq8",
+          Similarity.sq8TopK(queries, emb, "vec_id", "embedding", k = 5),
+          fullScanMc)
+      ).reduce(_ unionByName _).orderBy("method")
+    },
+
     // EXACT length-decile binning per language — the small-data
     // cross-check twin of quantile_bin_sketch below: ntile over a TOTAL
     // order (ties broken by doc_id) so bin edges reproduce exactly across
@@ -623,7 +692,7 @@ object LlmQueries {
     },
   )
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
            doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical,
@@ -1961,4 +2030,71 @@ object LlmQueries {
            md5(concat(doc_id, ':', frame_no)) AS frame_hash
          FROM f ORDER BY doc_id, frame_no""",
   )
+
+  /** Mean recall over the 10 queries of one recall family, summed in
+    * decimal before the single double division — the exact replay of the
+    * Spark side's partition-order-proof aggregation. The family's full
+    * oracle SQL nests as a derived table (DuckDB allows WITH inside a
+    * parenthesized subquery). */
+  private def meanRecallSub(name: String): String =
+    s"""(SELECT round((sum(recall::DECIMAL(38,10)))::double / count(*), 6)
+          FROM (${baseOracles(name)}) r)"""
+
+  /** The frontier row set: per index flavor, the mean recall scalar
+    * (composed from the family's own oracle SQL) next to the mean
+    * per-query candidate count implied by its pruning rule. */
+  private val recallFrontierOracle: String =
+    s"""WITH bkt AS (
+          SELECT vec_id,
+            array_to_string(list_transform(list_slice(embedding, 1, 4),
+              x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+          FROM embeddings),
+        lshcand AS (
+          SELECT q.vec_id, count(c.vec_id) AS cand
+          FROM bkt q LEFT JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10 GROUP BY q.vec_id),
+        cen2 AS (SELECT vec_id AS centroid_id, embedding AS cemb
+                 FROM embeddings WHERE vec_id % 100 = 0),
+        assign2 AS (
+          SELECT e.vec_id, centroid_id AS cluster,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                 sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+              centroid_id) AS crn
+          FROM embeddings e, cen2),
+        clustered2 AS (SELECT vec_id, cluster FROM assign2 WHERE crn = 1),
+        ivfcand AS (
+          SELECT q.vec_id, count(c.vec_id) AS cand
+          FROM (SELECT vec_id, cluster FROM clustered2 WHERE vec_id < 10) q
+          LEFT JOIN clustered2 c ON c.cluster = q.cluster AND c.vec_id <> q.vec_id
+          GROUP BY q.vec_id),
+        probes2 AS (SELECT vec_id, cluster FROM assign2 WHERE vec_id < 10 AND crn <= 2),
+        pqcand AS (
+          SELECT p.vec_id, count(c.vec_id) AS cand
+          FROM probes2 p LEFT JOIN clustered2 c
+            ON c.cluster = p.cluster AND c.vec_id <> p.vec_id
+          GROUP BY p.vec_id)
+        SELECT method, mean_recall, mean_candidates FROM (
+          SELECT 'ivf' AS method, ${meanRecallSub("ann_recall_ivf")} AS mean_recall,
+            (SELECT round(sum(cand)::double / count(*), 6) FROM ivfcand) AS mean_candidates
+          UNION ALL
+          SELECT 'ivfpq', ${meanRecallSub("ann_recall_ivfpq")},
+            (SELECT round(sum(cand)::double / count(*), 6) FROM pqcand)
+          UNION ALL
+          SELECT 'ivfpq_residual', ${meanRecallSub("ann_recall_ivfpq_residual")},
+            (SELECT round(sum(cand)::double / count(*), 6) FROM pqcand)
+          UNION ALL
+          SELECT 'lsh', ${meanRecallSub("ann_recall_lsh")},
+            (SELECT round(sum(cand)::double / count(*), 6) FROM lshcand)
+          UNION ALL
+          SELECT 'pq', ${meanRecallSub("ann_recall_pq")},
+            (SELECT round((count(*) - 1)::double, 6) FROM embeddings)
+          UNION ALL
+          SELECT 'sq8', ${meanRecallSub("ann_recall_sq8")},
+            (SELECT round((count(*) - 1)::double, 6) FROM embeddings)
+        ) t ORDER BY method"""
+
+  val oracles: Map[String, String] =
+    baseOracles + ("ann_recall_frontier" -> recallFrontierOracle)
 }
