@@ -243,4 +243,88 @@ class DerbyRuntimeSpec extends SparkSpec {
       assert(rs.getObject(3) == null, "added column starts NULL pending resync")
     }
   }
+
+  test("destructive type migration executed in isolation: data loss, resync trigger, refill") {
+    // The most dangerous DDL branch (mysql.go:223-236) driven END TO END
+    // on its own: a single declared-type change on an otherwise in-sync,
+    // populated table. The plan must refuse without force, name exactly
+    // the retyped column in both the DDL and the resync set, Derby must
+    // actually recreate it (every row's old value GONE, siblings intact),
+    // and the returned resync set must drive a re-snapshot that refills
+    // the column with values of the NEW type (run.go:178-200 consuming
+    // mysql.go:147-148).
+    val cfgOld = ConfigParser.parse(
+      """inp: mongodb://localhost:27017/app
+        |out: jdbc:derby:memory:graftderby
+        |tables:
+        |  ledger:
+        |    name: varchar(100)
+        |    visits: bigint
+        |""".stripMargin)
+    val cfgNew = ConfigParser.parse(
+      """inp: mongodb://localhost:27017/app
+        |out: jdbc:derby:memory:graftderby
+        |tables:
+        |  ledger:
+        |    name: varchar(100)
+        |    visits: varchar(50)
+        |""".stripMargin)
+    val specOld = cfgOld.table("ledger").get
+    val specNew = cfgNew.table("ledger").get
+    // tests share the in-memory Derby database: clear other tests' tables
+    // so the stray-table branch cannot fire before the type-change one
+    withConn { conn =>
+      Seq("old_junk", "accounts", "items", "users").foreach { t =>
+        try conn.prepareStatement(s"""DROP TABLE "$t"""").executeUpdate()
+        catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+      }
+    }
+    freshTable(specOld)
+    val repl = new Replicator(spark, cfgOld, url, props, DerbyDialect)
+    repl.snapshot(specOld, Seq(("l1", "ann", 3L), ("l2", "bob", 5L))
+      .toDF("_id", "name", "visits"))
+    assert(readTable("ledger", Seq("name", "visits")) ==
+      Map("l1" -> Seq("ann", 3L), "l2" -> Seq("bob", 5L)))
+
+    withConn { conn =>
+      val observed = DerbyDialect.observeCatalog(conn)
+      // refused without force, and the refusal names the column
+      val refusal = intercept[SchemaSync.ForceRequired] {
+        SchemaSync.plan(cfgNew, observed, force = false)
+      }
+      assert(refusal.getMessage.contains("visits"))
+
+      val p = SchemaSync.plan(cfgNew, observed, force = true)
+      // the destructive pair, nothing else structural: drop + re-add of
+      // exactly the retyped column (reorders are the cosmetic tail)
+      val structural = p.ddl.filterNot(_.isInstanceOf[SchemaSync.ReorderColumn])
+      assert(structural == Seq(
+        SchemaSync.DropColumn("ledger", "visits"),
+        SchemaSync.AddColumn("ledger", "visits", "varchar(50)")),
+        s"expected exactly the drop+re-add pair, got $structural")
+      assert(p.resyncColumns == Map("ledger" -> Set("visits")))
+
+      assert(SchemaSync.execute(conn, DerbyDialect, p) == 2)
+
+      // data loss is REAL on the engine: every row's visits is NULL, the
+      // sibling column survived
+      val t = readTable("ledger", Seq("name", "visits"))
+      assert(t == Map("l1" -> Seq("ann", null), "l2" -> Seq("bob", null)))
+
+      // converged: re-plan under the new config is reorders only
+      val p2 = SchemaSync.plan(cfgNew, DerbyDialect.observeCatalog(conn), force = false)
+      assert(p2.ddl.forall(_.isInstanceOf[SchemaSync.ReorderColumn]))
+      assert(p2.resyncColumns.isEmpty)
+    }
+
+    // the returned resync set triggers the targeted re-snapshot, which
+    // refills the recreated column with NEW-type values
+    assert(specNew.columns.map(_.sinkName).toSet
+      .intersect(Map("ledger" -> Set("visits"))("ledger")).nonEmpty)
+    val replNew = new Replicator(spark, cfgNew, url, props, DerbyDialect)
+    replNew.snapshot(specNew, Seq(("l1", "ann", "3"), ("l2", "bob", "5"))
+      .toDF("_id", "name", "visits"))
+    assert(readTable("ledger", Seq("name", "visits")) ==
+      Map("l1" -> Seq("ann", "3"), "l2" -> Seq("bob", "5")))
+  }
 }
