@@ -21,8 +21,12 @@ object TopK {
     // at runtime; fall back to the row_number window formulation — same
     // rows (Window.orderBy defaults directionless columns to ascending,
     // exactly like the SortOrder default below), sort-based instead of
-    // heap-based.
-    if (!GraftSqlBridge.supportsStrategies(spark)) return windowed(df, keyCols, orderCols, k)
+    // heap-based. `spark.graft.topk.forceWindowed` picks the same fallback
+    // on demand — the A/B dial SpillProof uses to prove heap ≡ window
+    // under memory pressure.
+    if (!GraftSqlBridge.supportsStrategies(spark) ||
+        spark.conf.get("spark.graft.topk.forceWindowed", "false").toBoolean)
+      return windowed(df, keyCols, orderCols, k)
     GraftSqlBridge.addStrategy(spark, TopKPerKeyStrategy)
     val lp = df.queryExecution.analyzed
     // Resolve through df.col — Spark's own resolver — so case sensitivity,

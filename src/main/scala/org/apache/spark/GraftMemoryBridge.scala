@@ -14,6 +14,10 @@ object GraftMemoryBridge {
   def taskMemoryManager(ctx: TaskContext): TaskMemoryManager =
     ctx.taskMemoryManager()
 
+  /** Drain the listener bus so SparkListener-accumulated metrics (e.g.
+    * SpillProof's spill counters) reflect every completed task. */
+  def drainListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+
   /** A temp file for operator spill output, in the executor's local dirs
     * when an executor environment exists (the production path), in
     * `java.io.tmpdir` otherwise (bare unit-test harnesses). The caller

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end memory-pressure proof for the TopKPerKey tier-2 disk spill:
+  * forks [[graft.SpillProof]] into its own JVM (the execution-memory pool
+  * is sized at SparkContext construction — it cannot be starved inside the
+  * shared test session) and asserts, from the one JSON line it prints,
+  * that under a ~7 MB pool at sf0.1 volume
+  *  - the partial phase actually spilled to disk (`numSpills > 0` in the
+  *    SQL metrics — real declined reservations, not the in-task drivers
+  *    TopKPerKeySpec arranges),
+  *  - every capped heap-path result still equals the window-formulation
+  *    twin run under the SAME cap (exactness survives pressure), and
+  *  - the spilling heap path does not regress past 2× the sort-based
+  *    fallback under that cap (the bench bound, with a small constant
+  *    floor against sub-second noise). */
+class TopKSpillEndToEndSpec extends AnyFunSuite {
+
+  private val SfDir = "/root/testdata/sf0.1"
+
+  test("tier-2 spill engages at sf0.1 under a starved pool and stays exact") {
+    assume(new java.io.File(SfDir, "events.parquet").exists(), s"$SfDir missing")
+    val javaHome = System.getProperty("java.home")
+    val javaBin = new java.io.File(new java.io.File(javaHome, "bin"), "java").getPath
+    // reuse this forked test JVM's --add-opens/--add-exports set — the
+    // same list build.sbt passes — so the child can run Spark on JDK 17
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("--enable-native-access"))
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-Xmx2g", "-cp", cp, "graft.SpillProof", SfDir)
+    val pb = new ProcessBuilder(cmd: _*)
+    // stderr to a file, not a pipe: Spark's startup chatter could fill the
+    // pipe buffer and deadlock the child while this thread reads stdout
+    val errFile = java.io.File.createTempFile("graft_spillproof", ".err")
+    errFile.deleteOnExit()
+    pb.redirectError(errFile)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val exit = proc.waitFor()
+    val err = new String(java.nio.file.Files.readAllBytes(errFile.toPath), "UTF-8")
+    assert(exit == 0, s"SpillProof exited $exit\nstdout:\n$out\nstderr tail:\n${err.takeRight(2000)}")
+    val line = out.linesIterator.filter(_.startsWith("{\"spills_wide\"")).toSeq.lastOption
+      .getOrElse(fail(s"no JSON line in SpillProof output:\n$out"))
+
+    def long(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(line)
+        .getOrElse(fail(s"$key missing in $line")).group(1).toLong
+    def bool(key: String): Boolean =
+      s""""$key":(true|false)""".r.findFirstMatchIn(line)
+        .getOrElse(fail(s"$key missing in $line")).group(1).toBoolean
+    def secs(key: String): Double =
+      s""""$key":([0-9.]+)""".r.findFirstMatchIn(line)
+        .getOrElse(fail(s"$key missing in $line")).group(1).toDouble
+
+    assert(long("spills_wide") > 0,
+      s"tier-2 disk spill did not engage under the starved pool: $line")
+    assert(bool("equal_topk_wide"), s"wide heap result diverged under pressure: $line")
+    assert(bool("equal_topk_native"), s"topk_native diverged under pressure: $line")
+    assert(bool("equal_resample_ffill"), s"resample_ffill diverged under pressure: $line")
+    val perKey = secs("sec_wide_perkey")
+    val windowed = secs("sec_wide_windowed")
+    assert(perKey <= 2.0 * windowed + 2.0,
+      s"spilling heap path regressed past 2x the sorted fallback: $line")
+  }
+}
