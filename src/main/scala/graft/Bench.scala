@@ -65,7 +65,16 @@ object Bench {
     val errors = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // Skew stress: the same operators on a deterministic power-law corpus
+    // (one hot key at 20 %, 1/k tail) vs a uniform twin of identical
+    // volume — each path graded skew ≤ 2× uniform. 1M change rows / 5k
+    // docs ≈ 10× the sf0.1 events/documents tables.
+    val skew = SkewBench.run(spark, nRows = 1000000L, nDocs = 5000L)
+      .map { case (name, s, u) =>
+        val ratio = if (u > 0) s / u else 0.0
+        f""""$name":{"skew":$s%.3f,"uniform":$u%.3f,"ratio":$ratio%.2f}"""
+      }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew stress bench: DETERMINISTIC power-law fixtures (one hot key
+  * holding ~20 % of rows, a 1/k "Zipf" tail) and timed runs of the
+  * skew-exposed operator paths against uniform twins of identical row
+  * count and schema. The plan-shape specs (SkewSpec) prove the salted /
+  * capped layouts exist; this bench proves they HOLD UP when a key
+  * actually goes hot — `graft.Bench` appends the measurements as the
+  * `bench_skew` object in the round's JSON line, each path graded
+  * skew ≤ 2× uniform.
+  *
+  * Determinism: every key, cluster, and word derives from integer hashes
+  * of `spark.range` ids — no rand(), no wall clock — so the fixture is
+  * bit-identical across runs and engines (SkewFixtureSpec pins it).
+  */
+object SkewBench {
+
+  /** Log-uniform "Zipf-ish" tail key in [1, tailKeys]: a hash-derived
+    * u ∈ [0,1) exponentiates to `tailKeys^u`, giving P(key = k) ∝ 1/k —
+    * the heavy tail of real-world id/term frequencies. */
+  private def tailKey(idCol: Column, tailKeys: Long): Column = {
+    val mask = (1L << 52) - 1
+    val u = (abs(xxhash64(idCol, lit("tail"))) % lit(mask)).cast("double") /
+      lit(mask.toDouble)
+    least(greatest(pow(lit(tailKeys.toDouble), u).cast("long"), lit(1L)),
+      lit(tailKeys))
+  }
+
+  /** CDC-shaped change stream (`_id`, `ts`, `value`): skewed puts every
+    * 5th row (20 %) on the single hot id `k0` and the rest on the 1/k
+    * tail over `n/100` ids; the uniform twin round-robins the same key
+    * space. Identical schema and row count — only the distribution
+    * differs. */
+  def changes(spark: SparkSession, n: Long, skewed: Boolean): DataFrame = {
+    val tailKeys = (n / 100) max 10
+    val key =
+      if (skewed)
+        when(pmod(col("id"), lit(5)) === 0, lit(0L))
+          .otherwise(tailKey(col("id"), tailKeys))
+      else pmod(col("id"), lit(tailKeys))
+    spark.range(n).select(
+      concat(lit("k"), key).as("_id"),
+      col("id").as("ts"),
+      (col("id") % 1000).cast("double").as("value"))
+  }
+
+  /** Document corpus (`doc_id`, `text`): 50 hash-derived words per doc
+    * from a 1000-word vocabulary, text a pure function of the doc's
+    * CLUSTER — skewed puts 20 % of docs in one hot cluster (exact
+    * copies: identical shingles, identical MinHash signatures, one
+    * monster LSH bucket) and the rest on the 1/k tail of `nDocs/10`
+    * clusters; the uniform twin gives every doc its own cluster. */
+  def documents(spark: SparkSession, nDocs: Long, skewed: Boolean): DataFrame = {
+    val cluster =
+      if (skewed)
+        when(pmod(col("id"), lit(5)) === 0, lit(0L))
+          .otherwise(tailKey(col("id"), (nDocs / 10) max 10))
+      else col("id")
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("w"), pmod(hash(cluster, i), lit(1000))))).as("text"))
+  }
+
+  /** One timed pair: (name, seconds on the skewed fixture, seconds on
+    * the uniform twin), each the median of 3 runs after one unmeasured
+    * warm-up per side — the first evaluation of each plan pays its
+    * codegen/planning floor, which would otherwise bias whichever side
+    * runs first. */
+  private def pair(name: String)(f: Boolean => DataFrame): (String, Double, Double) = {
+    def t(skewed: Boolean): Double = {
+      f(skewed).count() // warm: planning + codegen off the measured path
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f(skewed).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(1)
+    }
+    (name, t(skewed = true), t(skewed = false))
+  }
+
+  /** The skew-exposed paths, each against its uniform twin:
+    *  - `o1_last_image`: per-key LWW reduction with a hot `_id`;
+    *  - `salted_join`: [[graft.operators.Skew.saltedJoin]] of the hot
+    *    fact against its key dimension (spread = ts, since hot rows
+    *    share the key);
+    *  - `two_phase_agg`: [[graft.operators.Skew.twoPhaseAgg]] sum/count
+    *    over the hot key;
+    *  - `dedup_lsh_pairs`: banded MinHash candidates with the `maxBucket`
+    *    cap absorbing the monster bucket of exact copies;
+    *  - `dedup_jaccard`: shingle-posting-list Jaccard with `maxDocFreq`
+    *    dropping the hot shingles. */
+  def run(spark: SparkSession, nRows: Long, nDocs: Long): Seq[(String, Double, Double)] = {
+    graft.functions.GraftFunctions.register(spark)
+    val tailKeys = (nRows / 100) max 10
+    val dim = spark.range(tailKeys + 1)
+      .select(concat(lit("k"), col("id")).as("_id"), col("id").as("weight"))
+    Seq(
+      pair("o1_last_image") { sk =>
+        graft.sink.MergeApply.lastImage(
+          changes(spark, nRows, sk), Seq("_id"), Seq(col("ts")))
+      },
+      pair("salted_join") { sk =>
+        graft.operators.Skew.saltedJoin(
+          changes(spark, nRows, sk), dim, "_id", buckets = 16,
+          spread = Some(col("ts")))
+      },
+      pair("two_phase_agg") { sk =>
+        graft.operators.Skew.twoPhaseAgg(
+          changes(spark, nRows, sk), "_id", buckets = 16,
+          partial = Seq("s" -> sum(col("value")), "c" -> count(lit(1))),
+          combine = Seq("s" -> sum(col("s")), "c" -> sum(col("c"))),
+          spread = Some(col("ts")))
+      },
+      pair("dedup_lsh_pairs") { sk =>
+        val sh = graft.operators.Dedup.rawShingles(
+          documents(spark, nDocs, sk), "text", "doc_id", 5)
+        graft.operators.Dedup.lshCandidates(
+          graft.operators.Dedup.minhashBands(sh, "doc_id", 16, 4),
+          "doc_id", maxBucket = 64)
+      },
+      pair("dedup_jaccard") { sk =>
+        val sh = graft.operators.Dedup.digestShingles(
+          documents(spark, nDocs, sk), "text", "doc_id", 5)
+        graft.operators.Dedup.ngramJaccardPairs(
+          sh, "doc_id", threshold = 0.1, maxDocFreq = 100L)
+      })
+  }
+}
