@@ -48,12 +48,14 @@ class Replicator(
     conn.commit()
   }
 
-  /** D1: compute and execute the DDL plan; returns resync columns. */
+  /** D1: compute and execute the DDL plan IN THE SINK'S OWN GRAMMAR
+    * (`dialect.renderDdl` — identity for MySQL, translated for Derby,
+    * with inexpressible cosmetic steps skipped); returns resync columns. */
   def reconcileSchema(observed: SchemaSync.Catalog, force: Boolean): SchemaSync.Plan = {
     val plan = SchemaSync.plan(config, observed, force)
     withConn { conn =>
       conn.setAutoCommit(false)
-      plan.ddl.foreach(d => conn.prepareStatement(d.sql).executeUpdate())
+      SchemaSync.execute(conn, dialect, plan)
       conn.commit()
     }
     plan

@@ -326,5 +326,13 @@ class DerbyRuntimeSpec extends SparkSpec {
       .toDF("_id", "name", "visits"))
     assert(readTable("ledger", Seq("name", "visits")) ==
       Map("l1" -> Seq("ann", "3"), "l2" -> Seq("bob", "5")))
+
+    // the Replicator's own reconcile entry point speaks the sink's
+    // grammar (renderDdl), so it runs on Derby too: the converged
+    // catalog plans to reorders only, which Derby skips as cosmetic
+    val p3 = replNew.reconcileSchema(
+      withConn(DerbyDialect.observeCatalog(_)), force = false)
+    assert(p3.resyncColumns.isEmpty)
+    assert(readTable("ledger", Seq("name", "visits"))("l1") == Seq("ann", "3"))
   }
 }
