@@ -116,6 +116,15 @@ object SkewBench {
           combine = Seq("s" -> sum(col("s")), "c" -> sum(col("c"))),
           spread = Some(col("ts")))
       },
+      pair("topk_per_key") { sk =>
+        // the bounded-heap operator's skew immunity measured directly: the
+        // hot key's 200k rows collapse map-side to ONE k-row heap, so the
+        // exchange ships keys×k regardless of the distribution (the window
+        // formulation would sort the hot key's whole slice on one task)
+        graft.operators.TopK.perKey(
+          changes(spark, nRows, sk), Seq("_id"),
+          Seq(col("ts").desc), k = 8)
+      },
       pair("dedup_lsh_pairs") { sk =>
         val sh = graft.operators.Dedup.rawShingles(
           documents(spark, nDocs, sk), "text", "doc_id", 5)

@@ -98,10 +98,19 @@ class SkewFixtureSpec extends SparkSpec {
     assert(jac < 4950, s"maxDocFreq failed to drop the hot shingles: $jac")
   }
 
+  test("bounded-heap top-k on the hot key equals the window formulation") {
+    val fact = SkewBench.changes(spark, N, skewed = true)
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // ts is unique per row, so the retained set is total-ordered
+    assert(sig(TopK.perKey(fact, Seq("_id"), Seq(col("ts").desc), 8)) ==
+      sig(TopK.windowed(fact, Seq("_id"), Seq(col("ts").desc), 8)))
+  }
+
   test("SkewBench.run executes every pair at small scale") {
     val rows = SkewBench.run(spark, nRows = 5000L, nDocs = 200L)
     assert(rows.map(_._1) == Seq("o1_last_image", "salted_join",
-      "two_phase_agg", "dedup_lsh_pairs", "dedup_jaccard"))
+      "two_phase_agg", "topk_per_key", "dedup_lsh_pairs", "dedup_jaccard"))
     rows.foreach { case (n, s, u) =>
       assert(s > 0 && u > 0, s"$n produced a non-positive timing")
     }
