@@ -68,12 +68,19 @@ object Bench {
     // Skew stress: the same operators on a deterministic power-law corpus
     // (one hot key at 20 %, 1/k tail) vs a uniform twin of identical
     // volume — each path graded skew ≤ 2× uniform. 1M change rows / 5k
-    // docs ≈ 10× the sf0.1 events/documents tables.
-    val skew = SkewBench.run(spark, nRows = 1000000L, nDocs = 5000L)
-      .map { case (name, s, u) =>
-        val ratio = if (u > 0) s / u else 0.0
-        f""""$name":{"skew":$s%.3f,"uniform":$u%.3f,"ratio":$ratio%.2f}"""
-      }.mkString("{", ",", "}")
+    // docs ≈ 10× the sf0.1 events/documents tables. Failure-isolated: a
+    // skew-section crash must not cost the whole bench run its one JSON
+    // line (the artifact the round gate parses).
+    val skew =
+      try SkewBench.run(spark, nRows = 1000000L, nDocs = 5000L)
+        .map { case (name, s, u) =>
+          val ratio = if (u > 0) s / u else 0.0
+          f""""$name":{"skew":$s%.3f,"uniform":$u%.3f,"ratio":$ratio%.2f}"""
+        }.mkString("{", ",", "}")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] skew section FAILED: ${e.getMessage}")
+        s"""{"error":"${e.getClass.getSimpleName}"}"""
+      }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -450,13 +450,18 @@ object Dedup {
     * so a precomputed-signature path is one `wideSigs` materialization
     * away. The candidate join is keyed (band, band_hash) — with
     * `broadcastDelta` (the default) the delta band side carries an
-    * EXPLICIT broadcast hint, and so does the candidate set when it
-    * fetches lake signatures, so "the lake never shuffles" is a plan
-    * contract (PlanSpec-locked), not an AQE sizing hope; a caller whose
-    * "delta" is itself lake-sized turns the dial off and gets the plain
-    * shuffled equi-join. `maxBucket` caps pathological base-side buckets
-    * with the family's standard anti-join guard. Estimates replay
-    * exactly in the oracle (same seeds, same integer arithmetic). */
+    * EXPLICIT broadcast hint (always delta-sized: bands × |delta|), so
+    * "the lake never shuffles" is a plan contract (PlanSpec-locked), not
+    * an AQE sizing hope; a caller whose "delta" is itself lake-sized
+    * turns the dial off and gets the plain shuffled equi-join. The
+    * CANDIDATE set additionally broadcasts into both signature fetches,
+    * but only when `maxBucket` is set: capped buckets bound the pair
+    * count at |delta-bands| × maxBucket, whereas an uncapped lake with
+    * one hot band bucket (boilerplate docs) could make the candidate
+    * set lake-sized — there AQE decides. `maxBucket` caps pathological
+    * base-side buckets with the family's standard anti-join guard.
+    * Estimates replay exactly in the oracle (same seeds, same integer
+    * arithmetic). */
   def crossCorpusLshPairs(
       newShingled: DataFrame, baseShingled: DataFrame, idCol: String,
       k: Int, bands: Int, maxBucket: Int = Int.MaxValue,
@@ -479,12 +484,15 @@ object Dedup {
       .select(col("id_new"), col("id_base")).distinct()
     def sigArr(wide: DataFrame, as: String) = wide.select(col(idCol).as(as),
       array((0 until k).map(i => col(s"__m$i")): _*).as(s"__s$as"))
-    // candidate set is delta-result-sized: broadcast it into both
-    // signature fetches, so the lake's wide rows stream through a
-    // BroadcastHashJoin instead of shuffling on id_base
-    val withNewSigs = (if (broadcastDelta) broadcast(cand) else cand)
+    // with a capped lake the candidate set is bounded (delta-bands ×
+    // maxBucket): broadcast it into both signature fetches so the lake's
+    // wide rows stream through a BroadcastHashJoin instead of shuffling
+    // on id_base; uncapped, a hot band bucket could make it lake-sized —
+    // leave those joins to AQE
+    val candBounded = broadcastDelta && maxBucket != Int.MaxValue
+    val withNewSigs = (if (candBounded) broadcast(cand) else cand)
       .join(sigArr(newWide, "id_new"), Seq("id_new"))
-    (if (broadcastDelta) broadcast(withNewSigs) else withNewSigs)
+    (if (candBounded) broadcast(withNewSigs) else withNewSigs)
       .join(sigArr(baseWide, "id_base"), Seq("id_base"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("__sid_new"), col("__sid_base"), (x, y) => x === y),

@@ -387,34 +387,46 @@ object TopKPerKeyExec {
           } finally stateLock.unlock()
         }
 
+        // The ENTIRE state-advance loop holds the lock (reentrant, so the
+        // same-thread cooperative callback firing inside iter.next() — a
+        // child operator acquiring memory on the task thread, the main
+        // cooperative path — still spills). Phase decisions read
+        // spillFiles/heaps: deciding them unlocked would let a
+        // helper-thread spill land between the `spillFiles.nonEmpty`
+        // check and drain(), writing retained rows to a file the merge
+        // never reads — silent row loss. A helper thread contending here
+        // simply gets 0 from tryLock, the standard can't-spill-now answer.
         override def hasNext: Boolean = {
-          while (!cur.hasNext && !allDone) {
-            if (!inputDone) {
-              var flushed = false
-              while (iter.hasNext && !flushed) {
-                insert(iter.next()) match {
-                  case 0 => ()
-                  case 1 => cur = drainFlush(); flushed = true // tier 1: key cap
-                  case 2 =>
-                    if (consumer != null && consumer.getUsed > 0) spillToDisk() // tier 2
-                    else { cur = drainFlush(); flushed = true }                 // tier 3
+          stateLock.lock()
+          try {
+            while (!cur.hasNext && !allDone) {
+              if (!inputDone) {
+                var flushed = false
+                while (iter.hasNext && !flushed) {
+                  insert(iter.next()) match {
+                    case 0 => ()
+                    case 1 => cur = drainFlush(); flushed = true // tier 1: key cap
+                    case 2 =>
+                      if (consumer != null && consumer.getUsed > 0) spillToDisk() // tier 2
+                      else { cur = drainFlush(); flushed = true }                 // tier 3
+                  }
                 }
-              }
-              if (!iter.hasNext) inputDone = true
-            } else if (spillFiles.nonEmpty && !inMerge) {
-              inMerge = true
-              spillQueue = spillFiles.toSeq.iterator.flatMap(readSpill)
-            } else if (inMerge && spillQueue.hasNext) {
-              var flushed = false
-              while (spillQueue.hasNext && !flushed) {
-                insert(spillQueue.next()) match {
-                  case 0 => ()
-                  case _ => cur = drainFlush(); flushed = true // sustained pressure
+                if (!iter.hasNext) inputDone = true
+              } else if (spillFiles.nonEmpty && !inMerge) {
+                inMerge = true
+                spillQueue = spillFiles.toSeq.iterator.flatMap(readSpill)
+              } else if (inMerge && spillQueue.hasNext) {
+                var flushed = false
+                while (spillQueue.hasNext && !flushed) {
+                  insert(spillQueue.next()) match {
+                    case 0 => ()
+                    case _ => cur = drainFlush(); flushed = true // sustained pressure
+                  }
                 }
-              }
-              if (!spillQueue.hasNext && !flushed) { cur = drain(); allDone = true }
-            } else { cur = drain(); allDone = true }
-          }
+                if (!spillQueue.hasNext && !flushed) { cur = drain(); allDone = true }
+              } else { cur = drain(); allDone = true }
+            }
+          } finally stateLock.unlock()
           cur.hasNext
         }
 

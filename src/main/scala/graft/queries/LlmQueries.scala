@@ -319,7 +319,10 @@ object LlmQueries {
     // Cross-corpus dedup — the daily-ingest shape: the even-id half plays
     // the arriving delta, the odd-id half the standing lake; only CROSS
     // pairs are surfaced (intra-side dups are the self-join family's job),
-    // scored by the MinHash-estimated Jaccard.
+    // scored by the MinHash-estimated Jaccard. The bucket cap (far above
+    // any bucket at this scale — drops nothing) bounds the candidate set,
+    // which is what licenses the broadcast-everywhere plan shape
+    // PlanSpec locks.
     "dedup_cross_corpus" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       def sh(f: org.apache.spark.sql.DataFrame) =
@@ -327,7 +330,7 @@ object LlmQueries {
       Dedup.crossCorpusLshPairs(
           sh(docs.filter(col("doc_id") % 2 === 0)),
           sh(docs.filter(col("doc_id") % 2 =!= 0)),
-          "doc_id", MinhashK, LshBands)
+          "doc_id", MinhashK, LshBands, maxBucket = 10000)
         .orderBy("id_new", "id_base")
     },
 

@@ -216,9 +216,17 @@ object StreamPipeline {
     * over the same rows), which is the graded contract; index-serve ≡
     * inline-corpus is spec-proven. */
   def streamingSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val indexPath = Files.createTempDirectory("graft_semidx").toString
-    writeSemanticIndex(spark, dir, indexPath)
-    streamingSemanticDedupWithIndex(spark, dir, indexPath)
+    val indexDir = Files.createTempDirectory("graft_semidx")
+    writeSemanticIndex(spark, dir, indexDir.toString)
+    // the result frame reads the memory sink (the streaming query has
+    // already completed inside the call), so the scratch index can go:
+    // repeated registry invocations must not accumulate /tmp copies
+    try streamingSemanticDedupWithIndex(spark, dir, indexDir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(indexDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Serve the ingest dedup from an already-persisted index table. */

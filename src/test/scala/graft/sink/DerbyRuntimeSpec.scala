@@ -271,13 +271,16 @@ class DerbyRuntimeSpec extends SparkSpec {
         |""".stripMargin)
     val specOld = cfgOld.table("ledger").get
     val specNew = cfgNew.table("ledger").get
-    // tests share the in-memory Derby database: clear other tests' tables
-    // so the stray-table branch cannot fire before the type-change one
+    // tests share the in-memory Derby database: clear EVERY other table
+    // the live catalog reports (not a hard-coded sibling list — a new
+    // test's table must not resurrect the stray-table branch here) so
+    // only the type-change branch can fire
     withConn { conn =>
-      Seq("old_junk", "accounts", "items", "users").foreach { t =>
-        try conn.prepareStatement(s"""DROP TABLE "$t"""").executeUpdate()
-        catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
-      }
+      DerbyDialect.observeCatalog(conn).keys
+        .filter(_ != UpsertWriter.StateTable).foreach { t =>
+          try conn.prepareStatement(s"""DROP TABLE "$t"""").executeUpdate()
+          catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+        }
     }
     freshTable(specOld)
     val repl = new Replicator(spark, cfgOld, url, props, DerbyDialect)
