@@ -84,3 +84,64 @@ object Profile {
     spark.stop()
   }
 }
+
+/** Stage-by-stage timing of the exact-substring span chain (the newest
+  * heavy dedup path). Run: sbt "runMain graft.ProfileSpans /root/testdata/sf0.1"
+  */
+object ProfileSpans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.installAll(spark)
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = Tables.load(spark, dir, "documents").cache()
+    println(s"docs: ${docs.count()}")
+    val L = 30
+    def gramsComposed = docs
+      .filter(col("text").isNotNull && length(col("text")) >= L)
+      .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), length(col("text")) - (L - 1)),
+            i => call_function("graft_digest60", col("text").substr(i, lit(L)))))
+        .as(Seq("__p0", "__h")))
+    def grams = docs
+      .filter(col("text").isNotNull && length(col("text")) >= L)
+      .select(col("doc_id"), posexplode(
+          call_function("graft_gram_digests", col("text"), lit(L)))
+        .as(Seq("__p0", "__h")))
+    (1 to 2).foreach { rep =>
+      time(s"gram_digests_composed_$rep")(gramsComposed.count())
+      time(s"gram_digests_kernel_$rep")(grams.count())
+      time(s"rep_count_distinct_$rep") {
+        grams.groupBy(col("__h")).agg(count_distinct(col("doc_id")).as("n"))
+          .filter(col("n") >= 2).count()
+      }
+      time(s"rep_via_distinct_then_count_$rep") {
+        grams.select(col("__h"), col("doc_id")).distinct()
+          .groupBy(col("__h")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).count()
+      }
+      time(s"rep_via_minmax_$rep") {
+        grams.groupBy(col("__h"))
+          .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+          .filter(col("lo") =!= col("hi")).count()
+      }
+      time(s"full_repeated_spans_$rep") {
+        operators.Dedup.repeatedSpans(docs, "doc_id", "text", L).count()
+      }
+      time(s"full_span_strip_$rep") {
+        operators.Dedup.stripSpans(docs,
+          operators.Dedup.repeatedSpans(docs, "doc_id", "text", L),
+          "doc_id", "text").count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -137,6 +137,14 @@ object SkewBench {
           documents(spark, nDocs, sk), "text", "doc_id", 5)
         graft.operators.Dedup.ngramJaccardPairs(
           sh, "doc_id", threshold = 0.1, maxDocFreq = 100L)
+      },
+      pair("dedup_repeated_spans") { sk =>
+        // exact-substring spans under a 20 % boilerplate clique: the hot
+        // cluster's grams reach huge doc frequencies, but every stage is
+        // linear in occurrences (aggregate → semi join → per-doc window),
+        // so the clique costs its rows, never its pairs
+        graft.operators.Dedup.repeatedSpans(
+          documents(spark, nDocs, sk), "doc_id", "text", gramChars = 30)
       })
   }
 }

@@ -114,5 +114,6 @@ object SparkEntry {
     "dedup_minhash_est", "sim_topk_ivf_probed", "sim_topk_sq8_rerank", "sim_topk_pq",
     "sim_topk_ivfpq", "sim_topk_pq_trained", "sim_topk_pq_rerank",
     "sim_topk_hash_embed", "sim_topk_ivfpq_residual", "text_chunk",
-    "text_bigram_lm", "dedup_edit_distance", "resample_ffill")
+    "text_bigram_lm", "dedup_edit_distance", "resample_ffill",
+    "dedup_repeated_spans")
 }

@@ -88,6 +88,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_decode_features(payload) takes one binary argument")
         DecodeFeatures(args.head)
+      }),
+    (FunctionIdentifier("graft_gram_digests"),
+      new ExpressionInfo(classOf[GramDigests].getName, "graft_gram_digests"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_gram_digests(text, gramChars) takes a string and a literal width")
+        val l = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_gram_digests gramChars must be an int literal, got $other")
+        }
+        GramDigests(args.head, l)
       }))
 
   /** Per-session once: the FIRST call on a session registers with

@@ -565,4 +565,122 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine"))
   }
+
+  /** Repeated-substring SPANS — the exact-substring dedup modality of the
+    * published training-data literature (the suffix-array "dedup
+    * exact-substrings" pipelines): every maximal 1-based character range
+    * of each document covered by length-`gramChars` grams occurring in at
+    * least `minDocs` DISTINCT documents. Where the pairwise dedup families
+    * classify whole documents, this one localizes the shared bytes — the
+    * boilerplate header, the license block, the templated passage — so
+    * the consumer can strip the span (or drop docs whose covered fraction
+    * is high) instead of discarding whole documents.
+    *
+    * Spark shape replacing the suffix array (a global sorted structure no
+    * executor could hold): (1) per-doc gram DIGESTS come from ONE
+    * codegen'd kernel call per document ([[graft.functions.GramDigests]]
+    * — a `transform(sequence, i -> digest60(substring))` one-liner
+    * computes the same values but `ArrayTransform` is CodegenFallback,
+    * an interpreted per-gram round trip that measured as the chain's
+    * dominant cost), so the document string never survives the explode —
+    * only (id, pos, 8-byte digest) rows do; (2) one digest-keyed aggregate
+    * finds grams reaching `minDocs` distinct docs (map-side partials);
+    * (3) a digest-keyed LEFT-SEMI join marks repeated positions — linear
+    * in occurrences, never pairwise, so a boilerplate gram shared by a
+    * million documents costs its million occurrence rows, not a million²
+    * pair rows (no `maxDocFreq` cap needed: nothing here is quadratic);
+    * (4) a per-doc gaps-and-islands window merges overlapping-or-touching
+    * gram ranges into maximal spans, state bounded by document length.
+    * Three keyed shuffles total (aggregate, semi join, per-doc window) —
+    * each partitions cleanly at any corpus size.
+    *
+    * Determinism: positions are 1-based character offsets, the digest is
+    * the md5-based 60-bit [[TextAnalysis.tokenHash60]] family, every step
+    * is integer arithmetic — the DuckDB oracle replays the span set
+    * exactly. */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int, minDocs: Int = 2): DataFrame = {
+    require(gramChars > 0, s"gramChars=$gramChars must be positive")
+    require(minDocs >= 2, s"minDocs=$minDocs: below 2 every position is a span")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val grams = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars)
+      .select(col(idCol), posexplode(
+          call_function("graft_gram_digests", col(textCol), lit(gramChars)))
+        .as(Seq("__p0", "__h")))
+    // "appears in >= 2 distinct docs" ⟺ min(id) != max(id) — a plain
+    // min/max aggregate whose map-side partials collapse each partition's
+    // occurrences to two values per digest, with none of count-distinct's
+    // expand machinery. The general minDocs needs the real distinct count.
+    val rep = (if (minDocs == 2)
+      grams.groupBy(col("__h"))
+        .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+        .filter(col("__lo") =!= col("__hi"))
+    else
+      grams.groupBy(col("__h"))
+        .agg(count_distinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") >= minDocs))
+      .select(col("__h"))
+    val pts = grams.join(rep, Seq("__h"), "left_semi")
+      .select(col(idCol), (col("__p0") + 1).as("pos"))
+    // gaps-and-islands: a new island starts where this gram's range no
+    // longer overlaps or touches the furthest end seen so far (prevEnd is
+    // EXCLUSIVE: max(pos + gramChars) = last covered char + 1, so
+    // pos > prevEnd means a genuine gap; pos == prevEnd touches → merge)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + gramChars)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    pts
+      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (gramChars - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** STRIP the spans from the documents — the consumer of
+    * [[repeatedSpans]] in the published exact-substring pipelines: each
+    * document is rebuilt with its repeated character ranges removed, next
+    * to the coverage accounting a drop-or-strip policy reads (a doc
+    * mostly made of boilerplate is dropped; a doc with a license header
+    * is stripped and kept). Takes ANY disjoint (id, span_start,
+    * span_end) frame, so policy filters between the two steps compose
+    * (e.g. strip only spans longer than k chars).
+    *
+    * Scale shape: spans collapse per doc into one sorted array (spans
+    * are disjoint, so per-doc state is tiny) through a map-side-partial
+    * aggregate, then ONE keyed join back to the corpus and a per-row
+    * `aggregate` fold over the span array rebuilds the kept text — no
+    * explode of the document, no per-char rows, no window. Docs without
+    * spans pass through the left join untouched. */
+  def stripSpans(
+      df: DataFrame, spans: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(
+          struct(col("span_start").as("s"), col("span_end").as("e")))).as("__sp"),
+        sum(col("span_end") - col("span_start") + 1).as("__covered"))
+    // fold state: (cursor = next uncopied position, acc = kept text so
+    // far); each span copies [cursor, span_start) then jumps past the
+    // span; the finisher copies the tail. All offsets 1-based, spans
+    // sorted and disjoint by the repeatedSpans contract.
+    val rebuilt = aggregate(
+      col("__sp"),
+      struct(lit(1).as("cur"), lit("").as("acc")),
+      (st, span) => struct(
+        (span.getField("e") + 1).as("cur"),
+        concat(st.getField("acc"),
+          col(textCol).substr(st.getField("cur"),
+            span.getField("s") - st.getField("cur"))).as("acc")),
+      st => concat(st.getField("acc"),
+        col(textCol).substr(st.getField("cur"),
+          length(col(textCol)) - st.getField("cur") + 1)))
+    df.join(sp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__covered"), lit(0L)).as("covered_chars"),
+        length(col(textCol)).as("total_chars"),
+        when(col("__sp").isNull, col(textCol)).otherwise(rebuilt).as("clean_text"))
+  }
 }

@@ -24,6 +24,10 @@ object LlmQueries {
   // graded scale, so it drops nothing there; what it buys is the bounded
   // candidate set that licenses the broadcast-everywhere plan shape.
   private val CrossMaxBucket = 10000
+  // Gram width of the exact-substring (repeated-span) dedup — interpolated
+  // into both the Spark call and the oracle so the span arithmetic replays
+  // exactly.
+  private val SpanGramChars = 30
 
   /** DuckDB CTE for the distinct (doc_id, shingle) inverted index — the
     * exact twin of [[Dedup.explodedShingles]] with n=5. Shared with
@@ -348,6 +352,27 @@ object LlmQueries {
       Dedup.editDistancePairs(Tables.load(s, dir, "documents"), "doc_id", "text",
           keyChars = 40, blockChars = 8, maxDist = 10)
         .orderBy("id_a", "id_b")
+    },
+
+    // Exact-substring dedup (the suffix-array modality, Spark-shaped):
+    // maximal per-doc character spans covered by 30-char grams occurring
+    // in >= 2 distinct documents — the strip-the-boilerplate artifact.
+    "dedup_repeated_spans" -> q { (s, dir) =>
+      Dedup.repeatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text",
+          gramChars = SpanGramChars)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // The strip step those spans exist for: every document rebuilt with
+    // its repeated ranges removed, with the covered/total accounting a
+    // drop-or-strip policy reads. Pure integer offsets + substring
+    // reassembly — the cleaned text hash-matches byte-for-byte.
+    "dedup_span_strip" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.stripSpans(docs,
+          Dedup.repeatedSpans(docs, "doc_id", "text", gramChars = SpanGramChars),
+          "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // Perplexity-proxy quality scoring: a bigram LM estimated from the
@@ -1671,6 +1696,42 @@ object LlmQueries {
          FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
          WHERE levenshtein(a.key, b.key) <= 10
          ORDER BY id_a, id_b""",
+
+    "dedup_repeated_spans" ->
+      s"""WITH $SpansCtes
+         SELECT doc_id, span_start, span_end FROM spans
+         ORDER BY doc_id, span_start""",
+
+    // The strip step: per-position complement of the (disjoint) spans,
+    // reassembled in position order — mechanically different from the
+    // Spark fold over the span array, but byte-identical by construction.
+    "dedup_span_strip" ->
+      s"""WITH $SpansCtes,
+         cov AS (
+           SELECT doc_id, sum(span_end - span_start + 1) AS covered
+           FROM spans GROUP BY doc_id),
+         chars AS (
+           SELECT doc_id, unnest(generate_series(1, strlen(text)))::int AS pos, text
+           FROM documents WHERE text IS NOT NULL),
+         kept AS (
+           SELECT c.doc_id, c.pos, substr(c.text, c.pos, 1) AS ch
+           FROM chars c
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+             WHERE s.doc_id = c.doc_id
+               AND c.pos BETWEEN s.span_start AND s.span_end)),
+         clean AS (
+           SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS ct
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(cov.covered, 0) AS covered_chars,
+                strlen(d.text) AS total_chars,
+                CASE WHEN clean.ct IS NOT NULL THEN clean.ct
+                     WHEN cov.covered IS NOT NULL THEN ''
+                     ELSE d.text END AS clean_text
+         FROM documents d
+         LEFT JOIN cov ON cov.doc_id = d.doc_id
+         LEFT JOIN clean ON clean.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     "text_bigram_lm" ->
       """WITH tok AS (

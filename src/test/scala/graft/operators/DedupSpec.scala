@@ -230,4 +230,106 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
     assert(capped == Set((1L, 2L)))
   }
+
+  /** Reference implementation of [[Dedup.repeatedSpans]] semantics on a
+    * tiny corpus: enumerate every gram, count distinct docs per gram
+    * string, merge repeated positions into maximal spans. */
+  private def bruteSpans(
+      docs: Seq[(Long, String)], L: Int, minDocs: Int): Set[(Long, Int, Int)] = {
+    val grams = docs.filter(d => d._2 != null && d._2.length >= L)
+      .flatMap { case (id, t) =>
+        (1 to t.length - L + 1).map(p => (id, p, t.substring(p - 1, p - 1 + L))) }
+    val docFreq = grams.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+    grams.filter(g => docFreq(g._3) >= minDocs)
+      .groupBy(_._1).toSeq.flatMap { case (id, gs) =>
+        gs.map(_._2).sorted.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: tail, p) if p <= e + 1 => (s, math.max(e, p + L - 1)) :: tail
+          case (acc, p)                          => (p, p + L - 1) :: acc
+        }.map { case (s, e) => (id, s, e) }
+      }.toSet
+  }
+
+  test("repeatedSpans matches the brute-force reference and localizes shared bytes") {
+    import spark.implicits._
+    val shared = "once upon a midnight dreary while I pondered weak and weary"
+    val shared2 = "quoth the raven nevermore said the bird of yore"
+    val docs = Seq(
+      (1L, s"alpha preface text... $shared ...and then alpha epilogue words"),
+      (2L, s"beta document opens.. $shared ..beta middle part.. $shared2 tail"),
+      (3L, s"gamma unrelated body entirely its own phrasing throughout here $shared2 x"),
+      (4L, "delta has a twice-repeated phrase: unique marker unique marker, one doc only"),
+      (5L, "short"),
+      (6L, null.asInstanceOf[String]))
+    val L = 16
+    val expected = bruteSpans(docs, L, minDocs = 2)
+    val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        gramChars = L)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the shared sentences were localized: docs 1 and 2 each carry a span
+    // covering $shared, docs 2 and 3 one covering $shared2, and doc 2 has
+    // BOTH (two disjoint islands); doc 4's within-doc repeat is NOT a span
+    // (minDocs counts distinct documents), and short/null docs are absent
+    assert(got.count(_._1 == 2L) == 2)
+    assert(expected.exists { case (id, s, e) => id == 1L && e - s + 1 >= shared.length })
+    assert(!got.exists(_._1 == 4L) && !got.exists(_._1 == 5L) && !got.exists(_._1 == 6L))
+    // raising minDocs past any gram's doc frequency empties the result
+    assert(Dedup.repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+      gramChars = L, minDocs = 3).isEmpty)
+  }
+
+  test("GramDigests kernel ≡ the composed transform/substring/digest60 form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "a plain ascii document with spaces"),
+      (2L, "exact"),                         // length == gramChars
+      (3L, "tiny"),                          // shorter than gramChars
+      (4L, ""),                              // empty
+      (5L, "ünïcödé — ünïcödé tëxt 😀 with a supplementary char 😀 twice"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val L = 5
+    def rows(c: org.apache.spark.sql.Column) = docs
+      .select(col("doc_id"), posexplode(c).as(Seq("p", "h")))
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val kernel = rows(call_function("graft_gram_digests", col("text"), lit(L)))
+    val composed = rows(when(col("text").isNotNull && length(col("text")) >= L,
+      transform(sequence(lit(1), length(col("text")) - (L - 1)),
+        i => call_function("graft_digest60", col("text").substr(i, lit(L)))))
+      .otherwise(array()))
+    assert(kernel == composed)
+    assert(kernel.exists(_._1 == 5L)) // the unicode doc actually produced grams
+    assert(kernel.count(_._1 == 2L) == 1 && !kernel.exists(r => r._1 >= 3L && r._1 != 5L))
+  }
+
+  test("stripSpans removes exactly the span bytes; spanless docs pass through") {
+    import spark.implicits._
+    val shared = "once upon a midnight dreary while I pondered weak and weary"
+    val docs = Seq(
+      (1L, s"alpha preface text... $shared ...alpha epilogue"),
+      (2L, s"beta opens.. $shared ..beta tail"),
+      (3L, "gamma keeps its own words entirely"),
+      (4L, null.asInstanceOf[String]))
+    val df = docs.toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", gramChars = 16)
+    val got = Dedup.stripSpans(df, spans, "doc_id", "text")
+      .as[(Long, Long, Option[Int], Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    // reference strip: delete [s, e] (1-based inclusive) right-to-left
+    val spanMap = spans.as[(Long, Int, Int)].collect().groupBy(_._1)
+    def strip(id: Long, t: String): String =
+      spanMap.getOrElse(id, Array.empty).sortBy(-_._2)
+        .foldLeft(t) { case (acc, (_, s, e)) => acc.take(s - 1) + acc.drop(e) }
+    for ((id, t) <- docs; if t != null) {
+      val (_, covered, total, clean) = got(id)
+      assert(clean.contains(strip(id, t)), s"doc $id: ${got(id)}")
+      assert(total.contains(t.length))
+      assert(covered == t.length - clean.get.length, s"doc $id coverage")
+    }
+    // the shared sentence is gone from the cleaned docs, kept text survives
+    assert(!got(1L)._4.get.contains("midnight") && got(1L)._4.get.contains("alpha preface"))
+    assert(got(3L)._4.contains(docs(2)._2)) // spanless doc untouched
+    assert(got(4L)._4.isEmpty && got(4L)._2 == 0L) // null text stays null
+  }
 }
