@@ -16,7 +16,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.installAll(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev filter: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to named
+    // queries for fast single-oracle iteration. Unset = full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -62,6 +62,45 @@ object LlmQueries {
          FROM hashed, (VALUES $MinhashSeeds) seeds(seed, a, b)
          GROUP BY doc_id, seed)"""
 
+  /** DuckDB CTE chain twinning [[graft.operators.Dedup.repeatedSpans]]
+    * (gram width [[SpanGramChars]], minDocs = 2), ending in
+    * `spans(doc_id, span_start, span_end)`: per-position 60-bit md5 gram
+    * digests (first 15 hex chars = GramDigests' top 60 bits over the
+    * same UTF-8 bytes), the >=2-distinct-doc filter as
+    * min(doc_id) <> max(doc_id), and the gaps-and-islands merge with an
+    * EXCLUSIVE running prev-end (max(pos + L) over preceding rows, so
+    * pos > prevEnd breaks and pos == prevEnd touches-and-merges). All
+    * positions are 1-based CHARACTER offsets — `length()`/`substr()`
+    * count characters exactly like Spark's; never `strlen` (bytes). */
+  private val SpansCtes =
+    s"""grams AS (
+         SELECT doc_id,
+                unnest(generate_series(1, length(text) - ${SpanGramChars - 1}))::int AS pos,
+                text
+         FROM documents
+         WHERE text IS NOT NULL AND length(text) >= $SpanGramChars),
+       gd AS (
+         SELECT doc_id, pos,
+                ('0x' || substr(md5(substr(text, pos, $SpanGramChars)), 1, 15))::bigint AS h
+         FROM grams),
+       rep AS (SELECT h FROM gd GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+       pts AS (SELECT doc_id, pos FROM gd WHERE h IN (SELECT h FROM rep)),
+       isl AS (
+         SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(max(pos + $SpanGramChars) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS brk
+         FROM pts),
+       grp AS (
+         SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+       spans AS (
+         SELECT doc_id, min(pos) AS span_start,
+                max(pos) + ${SpanGramChars - 1} AS span_end
+         FROM grp GROUP BY doc_id, island)"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: digest hash-shuffle, canonical = min id per group.
@@ -1711,8 +1750,9 @@ object LlmQueries {
            SELECT doc_id, sum(span_end - span_start + 1) AS covered
            FROM spans GROUP BY doc_id),
          chars AS (
-           SELECT doc_id, unnest(generate_series(1, strlen(text)))::int AS pos, text
-           FROM documents WHERE text IS NOT NULL),
+           SELECT doc_id, unnest(generate_series(1, length(text)))::int AS pos, text
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IN (SELECT doc_id FROM spans)),
          kept AS (
            SELECT c.doc_id, c.pos, substr(c.text, c.pos, 1) AS ch
            FROM chars c
@@ -1724,7 +1764,7 @@ object LlmQueries {
            FROM kept GROUP BY doc_id)
          SELECT d.doc_id,
                 coalesce(cov.covered, 0) AS covered_chars,
-                strlen(d.text) AS total_chars,
+                length(d.text) AS total_chars,
                 CASE WHEN clean.ct IS NOT NULL THEN clean.ct
                      WHEN cov.covered IS NOT NULL THEN ''
                      ELSE d.text END AS clean_text
