@@ -232,14 +232,29 @@ object TopKPerKeyExec {
       // (downstream limit, task kill) — otherwise the descriptor leaks
       // until process exit and the delete below can fail on an open handle.
       val openSpillStreams = new java.util.concurrent.ConcurrentLinkedQueue[java.io.Closeable]()
+      // Set under stateLock by the cleanup below; read under the same lock
+      // by the cooperative-spill callback. Once true, the callback must not
+      // write a NEW spill file — teardown's delete loop has already run, so
+      // a late helper-thread spill would leak the file until process exit.
+      var closed = false
       registerCleanup { () =>
-        if (consumer != null) consumer.releaseAll()
-        var s = openSpillStreams.poll()
-        while (s != null) {
-          try s.close() catch { case _: java.io.IOException => () }
-          s = openSpillStreams.poll()
-        }
-        spillFiles.foreach(f => if (f.exists()) f.delete())
+        // Plain lock (not tryLock) is fine here: the task is ending, and
+        // the only contenders are per-row insert()s or a spill callback,
+        // both of which hold the lock briefly. Holding it across disposal
+        // makes teardown atomic with any racing spill: either the spill
+        // lands first and its file is deleted below, or `closed` lands
+        // first and the callback declines.
+        stateLock.lock()
+        try {
+          closed = true
+          if (consumer != null) consumer.releaseAll()
+          var s = openSpillStreams.poll()
+          while (s != null) {
+            try s.close() catch { case _: java.io.IOException => () }
+            s = openSpillStreams.poll()
+          }
+          spillFiles.foreach(f => if (f.exists()) f.delete())
+        } finally stateLock.unlock()
       }
       var estBytes = 0L
       // true = capacity granted; false = the manager declined. Reservations
@@ -388,7 +403,7 @@ object TopKPerKeyExec {
         if (consumer != null) consumer.setSpillCallback { () =>
           if (!stateLock.tryLock()) 0L
           else try {
-            if (inMerge || heaps.isEmpty) 0L
+            if (closed || inMerge || heaps.isEmpty) 0L
             else { val freed = consumer.getUsed; spillToDiskLocked(); freed }
           } finally stateLock.unlock()
         }
