@@ -27,13 +27,14 @@ object LlmQueries {
   // Gram width of the exact-substring (repeated-span) dedup — interpolated
   // into both the Spark call and the oracle so the span arithmetic replays
   // exactly.
-  private val SpanGramChars = 30
+  private[queries] val SpanGramChars = 30
 
   /** DuckDB CTE for the distinct (doc_id, shingle) inverted index — the
-    * exact twin of [[Dedup.explodedShingles]] with n=5. Shared with
-    * [[CurationQueries]] (contamination reads the same index). */
-  private[queries] val ShinglesCte =
-    """shingled AS (
+    * exact twin of [[Dedup.explodedShingles]] with n=5, over any relation
+    * with (doc_id, text). Shared with [[CurationQueries]] (contamination
+    * reads the same index; the spans pipeline re-shingles CLEANED text). */
+  private[queries] def shinglesCteOver(rel: String, cteName: String): String =
+    s"""$cteName AS (
          SELECT DISTINCT doc_id, unnest(
            CASE WHEN len(string_split(text, ' ')) >= 5
                 THEN list_transform(
@@ -41,7 +42,8 @@ object LlmQueries {
                        i -> array_to_string(
                               list_slice(string_split(text, ' '), i, i + 4), ' '))
                 ELSE [text] END) AS shingle
-         FROM documents)"""
+         FROM $rel)"""
+  private[queries] val ShinglesCte = shinglesCteOver("documents", "shingled")
 
   /** DuckDB CTE for MinHash signatures (k=16) over `shingled`: the exact
     * twin of [[Dedup.minhash]]'s universal-hash family — one 60-bit md5
@@ -72,7 +74,7 @@ object LlmQueries {
     * pos > prevEnd breaks and pos == prevEnd touches-and-merges). All
     * positions are 1-based CHARACTER offsets — `length()`/`substr()`
     * count characters exactly like Spark's; never `strlen` (bytes). */
-  private val SpansCtes =
+  private[queries] val SpansCtes =
     s"""grams AS (
          SELECT doc_id,
                 unnest(generate_series(1, length(text) - ${SpanGramChars - 1}))::int AS pos,
