@@ -100,6 +100,18 @@ object GraftFunctions {
             s"graft_gram_digests gramChars must be an int literal, got $other")
         }
         GramDigests(args.head, l)
+      }),
+    (FunctionIdentifier("graft_token_gram_digests"),
+      new ExpressionInfo(classOf[TokenGramDigests].getName, "graft_token_gram_digests"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_token_gram_digests(text, gramTokens) takes a string and a literal width")
+        val l = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_token_gram_digests gramTokens must be an int literal, got $other")
+        }
+        TokenGramDigests(args.head, l)
       }))
 
   /** Per-session once: the FIRST call on a session registers with

@@ -640,6 +640,59 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Token-granular [[repeatedSpans]]: grams are `gramTokens` consecutive
+    * whitespace tokens instead of a fixed character window — the unit the
+    * published suffix-array dedup counts (50-TOKEN windows), so a repeated
+    * sentence matches as a unit regardless of its character length.
+    * Emitted spans are still 1-based CHARACTER ranges (each gram's
+    * covering range comes from the kernel's token-offset index), so the
+    * output feeds [[stripSpans]] unchanged.
+    *
+    * Scale shape is identical to the char version — the whole-document
+    * [[graft.functions.TokenGramDigests]] kernel (one codegen'd call per
+    * doc; the string never survives the explode, only (id, s, e, digest)
+    * rows do), then the same three keyed shuffles: min/max-id aggregate
+    * for grams in >= 2 distinct docs, digest-keyed LEFT-SEMI join (linear
+    * in occurrences, never pairs²), per-doc gaps-and-islands merge. The
+    * island window orders by span start with an EXCLUSIVE running
+    * prev-end max — correct for variable-length gram ranges because a
+    * range starting at or before max(e)+1 overlaps-or-touches the
+    * furthest end seen. */
+  def repeatedTokenSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      gramTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(gramTokens > 0, s"gramTokens=$gramTokens must be positive")
+    require(minDocs >= 2, s"minDocs=$minDocs: below 2 every position is a span")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val grams = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(
+          call_function("graft_token_gram_digests", col(textCol), lit(gramTokens)))
+        .as("__g"))
+      .select(col(idCol), col("__g.s").as("s"), col("__g.e").as("e"),
+        col("__g.h").as("__h"))
+    val rep = (if (minDocs == 2)
+      grams.groupBy(col("__h"))
+        .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+        .filter(col("__lo") =!= col("__hi"))
+    else
+      grams.groupBy(col("__h"))
+        .agg(count_distinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") >= minDocs))
+      .select(col("__h"))
+    val pts = grams.join(rep, Seq("__h"), "left_semi")
+      .select(col(idCol), col("s"), col("e"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val prevEnd = max(col("e") + 1)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    pts
+      .withColumn("__brk", when(col("s") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
   /** STRIP the spans from the documents — the consumer of
     * [[repeatedSpans]] in the published exact-substring pipelines: each
     * document is rebuilt with its repeated character ranges removed, next

@@ -28,6 +28,10 @@ object LlmQueries {
   // into both the Spark call and the oracle so the span arithmetic replays
   // exactly.
   private[queries] val SpanGramChars = 30
+  // Token-gram width of the token-aware span dedup — the published
+  // suffix-array pipelines count windows in TOKENS (50-token windows at
+  // web scale); 6 keeps repeats discoverable in the small synthetic docs.
+  private[queries] val SpanGramTokens = 6
 
   /** DuckDB CTE for the distinct (doc_id, shingle) inverted index — the
     * exact twin of [[Dedup.explodedShingles]] with n=5, over any relation
@@ -102,6 +106,54 @@ object LlmQueries {
          SELECT doc_id, min(pos) AS span_start,
                 max(pos) + ${SpanGramChars - 1} AS span_end
          FROM grp GROUP BY doc_id, island)"""
+
+  /** DuckDB CTE chain twinning [[graft.operators.Dedup.repeatedTokenSpans]]
+    * (gram width [[SpanGramTokens]] TOKENS, minDocs = 2), ending in
+    * `tspans(doc_id, span_start, span_end)`. Token k's 1-based char start
+    * is 1 + Σ(length + 1) over preceding tokens (each separator is exactly
+    * one space — `string_split(text, ' ')` keeps empty tokens, so the
+    * arithmetic stays exact through consecutive spaces); a gram's char end
+    * is the (gramTokens−1)-ahead token's end via `lead`. The digest is the
+    * same 60-bit md5 over the covered substring — separators included —
+    * and the islands merge is the variable-length form: EXCLUSIVE running
+    * prev-end as max(e + 1) over preceding rows ordered by (s, e). */
+  private[queries] val TokenSpansCtes =
+    s"""ttoks AS (
+         SELECT doc_id, text,
+                unnest(string_split(text, ' ')) AS tok,
+                generate_subscripts(string_split(text, ' '), 1) AS ti
+         FROM documents WHERE text IS NOT NULL),
+       toffs AS (
+         SELECT doc_id, text, tok, ti,
+                (1 + coalesce(sum(length(tok) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY ti
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::int AS s
+         FROM ttoks),
+       tg AS (
+         SELECT doc_id, text, ti, s,
+                lead(s + length(tok) - 1, ${SpanGramTokens - 1}) OVER (
+                  PARTITION BY doc_id ORDER BY ti) AS e
+         FROM toffs),
+       tgd AS (
+         SELECT doc_id, s, e,
+                ('0x' || substr(md5(substr(text, s, e - s + 1)), 1, 15))::bigint AS h
+         FROM tg WHERE e IS NOT NULL),
+       trep AS (SELECT h FROM tgd GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+       tpts AS (SELECT doc_id, s, e FROM tgd WHERE h IN (SELECT h FROM trep)),
+       tisl AS (
+         SELECT doc_id, s, e,
+                CASE WHEN s > coalesce(max(e + 1) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS brk
+         FROM tpts),
+       tgrp AS (
+         SELECT doc_id, s, e,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+         FROM tisl),
+       tspans AS (
+         SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+         FROM tgrp GROUP BY doc_id, island)"""
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -414,6 +466,16 @@ object LlmQueries {
           Dedup.repeatedSpans(docs, "doc_id", "text", gramChars = SpanGramChars),
           "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Token-granular span discovery: grams counted in TOKENS (the unit
+    // the published suffix-array dedup uses), spans still char-ranged so
+    // the strip step composes unchanged. Same kernel-explode shape, same
+    // three keyed shuffles as the char version.
+    "dedup_repeated_token_spans" -> q { (s, dir) =>
+      Dedup.repeatedTokenSpans(Tables.load(s, dir, "documents"), "doc_id", "text",
+          gramTokens = SpanGramTokens)
+        .orderBy("doc_id", "span_start")
     },
 
     // Perplexity-proxy quality scoring: a bigram LM estimated from the
@@ -1774,6 +1836,11 @@ object LlmQueries {
          LEFT JOIN cov ON cov.doc_id = d.doc_id
          LEFT JOIN clean ON clean.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+
+    "dedup_repeated_token_spans" ->
+      s"""WITH $TokenSpansCtes
+         SELECT doc_id, span_start, span_end FROM tspans
+         ORDER BY doc_id, span_start""",
 
     "text_bigram_lm" ->
       """WITH tok AS (

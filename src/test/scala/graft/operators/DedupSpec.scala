@@ -303,6 +303,99 @@ class DedupSpec extends SparkSpec {
     assert(kernel.count(_._1 == 2L) == 1 && !kernel.exists(r => r._1 >= 3L && r._1 != 5L))
   }
 
+  test("TokenGramDigests kernel ≡ the composed split/offsets/substr/digest60 form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "a plain ascii document with several spaces in it"),
+      (2L, "one two three"),                 // exactly gramTokens tokens
+      (3L, "too few"),                       // fewer tokens than gramTokens
+      (4L, ""),                              // empty: one empty token
+      (5L, "gap  double  spaces  here  everywhere"), // empty tokens inside
+      (6L, "ünïcödé tëxt 😀 with süpplementary 😀 chars throughout körpus"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val n = 3
+    def rows(c: org.apache.spark.sql.Column) = docs
+      .select(col("doc_id"), explode(c).as("g"))
+      .select(col("doc_id"), col("g.s"), col("g.e"), col("g.h"))
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val kernel = rows(
+      call_function("graft_token_gram_digests", col("text"), lit(n)))
+    // composed twin: 1-based token char starts by a cumulative fold, each
+    // gram's end from the (n-1)-ahead token, digest60 of the substring —
+    // Spark substr counts codepoints, same as the kernel's offset index
+    val toks = split(col("text"), " ")
+    val starts = aggregate(toks, array(lit(1)),
+      (acc, x) => concat(acc, array(element_at(acc, -1) + length(x) + 1)))
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)), i => {
+      val s = element_at(starts, i)
+      val e = element_at(starts, i + (n - 1)) +
+        length(element_at(toks, i + (n - 1))) - 1
+      struct(s.as("s"), e.as("e"),
+        call_function("graft_digest60", col("text").substr(s, e - s + 1)).as("h"))
+    })
+    val composed = rows(when(col("text").isNotNull && size(toks) >= n, grams)
+      .otherwise(array().cast("array<struct<s:int,e:int,h:bigint>>")))
+    assert(kernel == composed)
+    assert(kernel.exists(_._1 == 6L)) // supplementary chars offset correctly
+    assert(kernel.count(_._1 == 2L) == 1 && kernel.exists(_._1 == 5L))
+    assert(!kernel.exists(r => r._1 == 3L || r._1 == 4L || r._1 == 7L))
+  }
+
+  /** Reference implementation of [[Dedup.repeatedTokenSpans]] semantics on
+    * a tiny ASCII corpus: enumerate every n-token gram with its covering
+    * char range, count distinct docs per gram STRING, merge repeated
+    * ranges into maximal spans (overlap-or-touch on char positions). */
+  private def bruteTokenSpans(
+      docs: Seq[(Long, String)], n: Int, minDocs: Int): Set[(Long, Int, Int)] = {
+    val grams = docs.filter(_._2 != null).flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val starts = toks.scanLeft(0)((acc, x) => acc + x.length + 1)
+      (0 to toks.length - n).map { i =>
+        val s = starts(i)
+        val e = starts(i + n - 1) + toks(i + n - 1).length
+        (id, s + 1, e, t.substring(s, e))
+      }
+    }
+    val docFreq = grams.groupBy(_._4).view.mapValues(_.map(_._1).distinct.size).toMap
+    grams.filter(g => docFreq(g._4) >= minDocs)
+      .groupBy(_._1).toSeq.flatMap { case (id, gs) =>
+        gs.map(g => (g._2, g._3)).sortBy(identity)
+          .foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: tail, (ps, pe)) if ps <= e + 1 =>
+              (s, math.max(e, pe)) :: tail
+            case (acc, (ps, pe)) => (ps, pe) :: acc
+          }.map { case (s, e) => (id, s, e) }
+      }.toSet
+  }
+
+  test("repeatedTokenSpans matches the brute-force reference; repeats count docs not occurrences") {
+    import spark.implicits._
+    val shared = "once upon a midnight dreary while pondering"  // 7 tokens
+    val docs = Seq(
+      (1L, s"alpha preface goes here $shared and then alpha epilogue follows on"),
+      (2L, s"beta document opens up $shared beta middle closes the show here"),
+      (3L, "gamma keeps entirely its own unrelated phrasing from start to finish"),
+      (4L, "delta repeats itself twice here delta repeats itself twice here indeed"),
+      (5L, "short one"),
+      (6L, null.asInstanceOf[String]))
+    val n = 4
+    val expected = bruteTokenSpans(docs, n, minDocs = 2)
+    val got = Dedup.repeatedTokenSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", gramTokens = n)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the shared sentence is localized in docs 1 and 2; doc 4's
+    // within-doc repeat is not a span; short/null docs are absent
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 == 2L))
+    assert(!got.exists(r => r._1 == 4L || r._1 == 5L || r._1 == 6L))
+    // token spans cover the shared words as a unit (>= its char length)
+    assert(got.exists { case (id, s, e) => id == 1L && e - s + 1 >= shared.length })
+    assert(Dedup.repeatedTokenSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+      gramTokens = n, minDocs = 3).isEmpty)
+  }
+
   test("stripSpans removes exactly the span bytes; spanless docs pass through") {
     import spark.implicits._
     val shared = "once upon a midnight dreary while I pondered weak and weary"
