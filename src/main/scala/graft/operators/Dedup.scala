@@ -693,6 +693,60 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Keep-first [[repeatedSpans]] — the one-copy-survives policy of the
+    * published suffix-array dedup (remove all but ONE occurrence of each
+    * duplicated substring, rather than erasing it from every document):
+    * per repeated gram, the LOWEST doc id is the owner and keeps its
+    * copy; spans are built only from occurrences in non-owner documents.
+    * Stripping the result leaves exactly one surviving copy of each
+    * duplicated passage in the corpus — the variant that deduplicates
+    * without destroying the passage's last copy. (The owner keeps all
+    * its occurrences, including within-doc repeats; ownership is
+    * per-gram, so overlapping grams owned by different docs each
+    * protect only their own range.)
+    *
+    * Scale shape is [[repeatedSpans]] with one change: the digest-keyed
+    * LEFT-SEMI join becomes a digest-keyed INNER join carrying the owner
+    * id (one extra long per digest — still linear in occurrences, never
+    * pairs²) followed by a row filter `id != owner`. Three keyed
+    * shuffles, no quadratic term, no cap dial. */
+  def repeatedSpansKeepFirst(
+      df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int, minDocs: Int = 2): DataFrame = {
+    require(gramChars > 0, s"gramChars=$gramChars must be positive")
+    require(minDocs >= 2, s"minDocs=$minDocs: below 2 every position is a span")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val grams = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars)
+      .select(col(idCol), posexplode(
+          call_function("graft_gram_digests", col(textCol), lit(gramChars)))
+        .as(Seq("__p0", "__h")))
+    // owner = min(id) per repeated digest; the minDocs=2 fast path reads
+    // repetition off the same min/max pair that names the owner
+    val rep = (if (minDocs == 2)
+      grams.groupBy(col("__h"))
+        .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+        .filter(col("__lo") =!= col("__hi"))
+    else
+      grams.groupBy(col("__h"))
+        .agg(count_distinct(col(idCol)).as("__nd"), min(col(idCol)).as("__lo"))
+        .filter(col("__nd") >= minDocs))
+      .select(col("__h"), col("__lo"))
+    val pts = grams.join(rep, Seq("__h"))
+      .filter(col(idCol) =!= col("__lo"))
+      .select(col(idCol), (col("__p0") + 1).as("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + gramChars)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    pts
+      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (gramChars - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
   /** STRIP the spans from the documents — the consumer of
     * [[repeatedSpans]] in the published exact-substring pipelines: each
     * document is rebuilt with its repeated character ranges removed, next

@@ -107,6 +107,36 @@ object LlmQueries {
                 max(pos) + ${SpanGramChars - 1} AS span_end
          FROM grp GROUP BY doc_id, island)"""
 
+  /** [[SpansCtes]] extended with the keep-first chain twinning
+    * [[graft.operators.Dedup.repeatedSpansKeepFirst]], ending in
+    * `fspans(doc_id, span_start, span_end)`: the repeated-digest
+    * aggregate additionally names the OWNER (min doc_id), the position
+    * join keeps only non-owner occurrences, and the same exclusive
+    * prev-end islands merge follows. */
+  private[queries] val KeepFirstSpanCtes =
+    s"""$SpansCtes,
+       repf AS (
+         SELECT h, min(doc_id) AS lo FROM gd
+         GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+       fpts AS (
+         SELECT gd.doc_id, gd.pos FROM gd JOIN repf ON gd.h = repf.h
+         WHERE gd.doc_id <> repf.lo),
+       fisl AS (
+         SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(max(pos + $SpanGramChars) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS brk
+         FROM fpts),
+       fgrp AS (
+         SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM fisl),
+       fspans AS (
+         SELECT doc_id, min(pos) AS span_start,
+                max(pos) + ${SpanGramChars - 1} AS span_end
+         FROM fgrp GROUP BY doc_id, island)"""
+
   /** DuckDB CTE chain twinning [[graft.operators.Dedup.repeatedTokenSpans]]
     * (gram width [[SpanGramTokens]] TOKENS, minDocs = 2), ending in
     * `tspans(doc_id, span_start, span_end)`. Token k's 1-based char start
@@ -464,6 +494,28 @@ object LlmQueries {
       val docs = Tables.load(s, dir, "documents")
       Dedup.stripSpans(docs,
           Dedup.repeatedSpans(docs, "doc_id", "text", gramChars = SpanGramChars),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Keep-first spans: the one-copy-survives policy of the published
+    // suffix-array dedup — per repeated gram the lowest doc id keeps its
+    // copy, so spans mark only the occurrences to REMOVE; stripping
+    // these leaves exactly one surviving copy of each duplicated
+    // passage in the corpus.
+    "dedup_spans_keep_first" -> q { (s, dir) =>
+      Dedup.repeatedSpansKeepFirst(Tables.load(s, dir, "documents"), "doc_id", "text",
+          gramChars = SpanGramChars)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // The composed artifact: the corpus after one-copy dedup — every
+    // document rebuilt with its non-owner repeated ranges removed.
+    // Owners (and spanless docs) pass through byte-identical.
+    "dedup_strip_keep_first" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.stripSpans(docs,
+          Dedup.repeatedSpansKeepFirst(docs, "doc_id", "text", gramChars = SpanGramChars),
           "doc_id", "text")
         .orderBy("doc_id")
     },
@@ -1841,6 +1893,43 @@ object LlmQueries {
       s"""WITH $TokenSpansCtes
          SELECT doc_id, span_start, span_end FROM tspans
          ORDER BY doc_id, span_start""",
+
+    "dedup_spans_keep_first" ->
+      s"""WITH $KeepFirstSpanCtes
+         SELECT doc_id, span_start, span_end FROM fspans
+         ORDER BY doc_id, span_start""",
+
+    // Same per-position complement reassembly as dedup_span_strip, over
+    // the keep-first span set: owners and spanless docs fall through the
+    // left joins byte-identical.
+    "dedup_strip_keep_first" ->
+      s"""WITH $KeepFirstSpanCtes,
+         fcov AS (
+           SELECT doc_id, sum(span_end - span_start + 1) AS covered
+           FROM fspans GROUP BY doc_id),
+         fchars AS (
+           SELECT doc_id, unnest(generate_series(1, length(text)))::int AS pos, text
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IN (SELECT doc_id FROM fspans)),
+         fkept AS (
+           SELECT c.doc_id, c.pos, substr(c.text, c.pos, 1) AS ch
+           FROM fchars c
+           WHERE NOT EXISTS (SELECT 1 FROM fspans s
+             WHERE s.doc_id = c.doc_id
+               AND c.pos BETWEEN s.span_start AND s.span_end)),
+         fclean AS (
+           SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS ct
+           FROM fkept GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(fcov.covered, 0) AS covered_chars,
+                length(d.text) AS total_chars,
+                CASE WHEN fclean.ct IS NOT NULL THEN fclean.ct
+                     WHEN fcov.covered IS NOT NULL THEN ''
+                     ELSE d.text END AS clean_text
+         FROM documents d
+         LEFT JOIN fcov ON fcov.doc_id = d.doc_id
+         LEFT JOIN fclean ON fclean.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     "text_bigram_lm" ->
       """WITH tok AS (

@@ -396,6 +396,61 @@ class DedupSpec extends SparkSpec {
       gramTokens = n, minDocs = 3).isEmpty)
   }
 
+  /** Reference implementation of [[Dedup.repeatedSpansKeepFirst]]: as
+    * [[bruteSpans]] but each repeated gram's min-id doc is exempt. */
+  private def bruteKeepFirst(
+      docs: Seq[(Long, String)], L: Int): Set[(Long, Int, Int)] = {
+    val grams = docs.filter(d => d._2 != null && d._2.length >= L)
+      .flatMap { case (id, t) =>
+        (1 to t.length - L + 1).map(p => (id, p, t.substring(p - 1, p - 1 + L))) }
+    val byGram = grams.groupBy(_._3).view
+      .mapValues(g => (g.map(_._1).distinct.size, g.map(_._1).min)).toMap
+    grams.filter { g =>
+      val (nd, lo) = byGram(g._3); nd >= 2 && g._1 != lo }
+      .groupBy(_._1).toSeq.flatMap { case (id, gs) =>
+        gs.map(_._2).sorted.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: tail, p) if p <= e + 1 => (s, math.max(e, p + L - 1)) :: tail
+          case (acc, p)                          => (p, p + L - 1) :: acc
+        }.map { case (s, e) => (id, s, e) }
+      }.toSet
+  }
+
+  test("repeatedSpansKeepFirst exempts the min-id owner; stripping keeps one corpus copy") {
+    import spark.implicits._
+    val shared = "once upon a midnight dreary while I pondered weak and weary"
+    val shared2 = "quoth the raven nevermore said the bird of yore"
+    val docs = Seq(
+      (1L, s"alpha preface text... $shared ...and then alpha epilogue words"),
+      (2L, s"beta document opens.. $shared ..beta middle part.. $shared2 tail"),
+      (3L, s"gamma unrelated body entirely its own phrasing throughout here $shared2 x"),
+      (4L, "delta has a twice-repeated phrase: unique marker unique marker, one doc only"),
+      (5L, "short"),
+      (6L, null.asInstanceOf[String]))
+    val L = 16
+    val df = docs.toDF("doc_id", "text")
+    val expected = bruteKeepFirst(docs, L)
+    val got = Dedup.repeatedSpansKeepFirst(df, "doc_id", "text", gramChars = L)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // doc 1 owns every $shared gram (min id) → no span; doc 2 is marked
+    // for $shared but owns $shared2; doc 3 is marked for $shared2
+    assert(!got.exists(_._1 == 1L))
+    assert(got.count(_._1 == 2L) == 1 && got.count(_._1 == 3L) == 1)
+    // stripping leaves exactly one corpus copy of each shared passage
+    val cleaned = Dedup.stripSpans(df, Dedup.repeatedSpansKeepFirst(
+        df, "doc_id", "text", gramChars = L), "doc_id", "text")
+      .as[(Long, Long, Option[Int], Option[String])].collect()
+      .map(r => r._1 -> r._4.getOrElse("")).toMap
+    assert(cleaned(1L).contains(shared) && !cleaned(2L).contains(shared))
+    assert(cleaned(2L).contains(shared2) && !cleaned(3L).contains(shared2))
+    // within-doc-only repeats stay untouched (doc 4 not in any span set)
+    assert(cleaned(4L) == docs(3)._2)
+    // the keep-first span set is a subset of the strip-everywhere set
+    val all = Dedup.repeatedSpans(df, "doc_id", "text", gramChars = L)
+      .as[(Long, Int, Int)].collect().map(_._1).toSet
+    assert(got.map(_._1).subsetOf(all))
+  }
+
   test("stripSpans removes exactly the span bytes; spanless docs pass through") {
     import spark.implicits._
     val shared = "once upon a midnight dreary while I pondered weak and weary"
