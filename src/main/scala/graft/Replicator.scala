@@ -165,7 +165,8 @@ class Replicator(
     val gone = sink.MergeApply.deleteReconcile(sinkIds, sourceIds, spec.pk)
     val url = sinkUrl; val props = sinkProps
     val sql = dialect.delete(spec).sql
-    gone.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    val bounded = dialect.maxWriteConnections.fold(gone)(gone.coalesce)
+    bounded.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url, props)
         try {
@@ -284,8 +285,11 @@ object Replicator {
       // applyOps tx inner ops share the outer ts — seq (index within the
       // oplog entry) breaks the tie so per-key order is total
       .sortWithinPartitions(col("tbl"), col("id"), col("ts"), col("seq"))
+    // coalesce concatenates whole reduce partitions, so a key's sorted
+    // run stays contiguous — O1 holds at any connection cap
+    val bounded = dialect.maxWriteConnections.fold(relevant)(relevant.coalesce)
     val maxRun = applyBatchSize
-    relevant.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    bounded.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url, props)
         try {

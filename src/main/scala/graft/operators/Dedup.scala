@@ -566,6 +566,66 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine"))
   }
 
+  /** Shared core of the span family: keep the gram occurrences whose
+    * digest reaches `minDocs` DISTINCT documents, each surviving row
+    * carrying `__lo` = the lowest doc id of its digest (the keep-first
+    * owner). Input must expose `__h` (the gram digest) plus `idCol` and
+    * any position columns, which pass through untouched.
+    *
+    * Plan shape — the part that has to survive 100 TB AND a monster
+    * exact-copy clique: the gram table is repartitioned by digest ONCE,
+    * and BOTH consumers — the repeated-digest aggregate and the probe
+    * side of the join — read that same exchange (`ReusedExchange` in the
+    * physical plan: the scan+kernel+explode subtree is evaluated once
+    * and its shuffle files are read twice; materializing the gram table
+    * instead would persist ~20 bytes per corpus character — shuffle-file
+    * reuse gives the single-evaluation win without the storage). The
+    * aggregated side is per-digest rows only, so the SHUFFLE_HASH hint
+    * builds the hash table from it and the occurrence side STREAMS —
+    * no sort, no per-group buffering, so a million-doc boilerplate gram
+    * is a streaming probe pass, where a per-digest window would sort and
+    * buffer the whole clique in one task (measured: the window form blew
+    * the ≤2× skew budget at 2.17× on the monster-clique stress; the
+    * join form holds) and the un-reused aggregate+join form paid the
+    * kernel twice. Build memory is the partition's share of distinct
+    * repeated digests (16 B each) — size `spark.sql.shuffle.partitions`
+    * to the corpus as usual and it stays a few MB per task. */
+  private def repeatedOccurrences(
+      grams: DataFrame, idCol: String, minDocs: Int,
+      posSum: Column): DataFrame = {
+    // null ids can't own or count toward the distinct-doc test; filtering
+    // them in the SHARED subtree also keeps the two exchange copies
+    // canonically identical when a caller's downstream `id != owner`
+    // filter makes the optimizer infer `isnotnull(id)` on the probe side
+    val byDigest = grams.filter(col(idCol).isNotNull).repartition(col("__h"))
+    // `max(posSum)` is semantically ignored (the `>= 0` conjunct is
+    // vacuously true — positions are non-negative — but not provably so
+    // to the optimizer): it exists to REFERENCE the position columns in
+    // the aggregate, so column pruning cannot push a narrower Project
+    // below the build-side copy of the exchange. Both exchange subtrees
+    // then canonicalize identically, which is the precondition for
+    // ReuseExchange / AQE's stage cache to serve both consumers from
+    // one shuffle. Without it the build side exchanges (id, digest)
+    // rows, the probe exchanges (id, pos, digest) rows, and the
+    // scan+kernel+explode subtree runs twice.
+    val rep = (if (minDocs == 2)
+        // ">= 2 distinct docs" ⟺ min(id) != max(id) — plain min/max,
+        // none of count-distinct's expand machinery
+        byDigest.groupBy(col("__h"))
+          .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"),
+            max(posSum).as("__mp"))
+          .filter(col("__lo") =!= col("__hi") && col("__mp") >= 0)
+      else
+        byDigest.groupBy(col("__h"))
+          .agg(count_distinct(col(idCol)).as("__nd"), min(col(idCol)).as("__lo"),
+            max(posSum).as("__mp"))
+          .filter(col("__nd") >= minDocs && col("__mp") >= 0))
+      .select(col("__h"), col("__lo"))
+    // rep is unique per digest, so the inner join is an occurrence
+    // filter that also delivers the owner id
+    byDigest.join(rep.hint("SHUFFLE_HASH"), Seq("__h"))
+  }
+
   /** Repeated-substring SPANS — the exact-substring dedup modality of the
     * published training-data literature (the suffix-array "dedup
     * exact-substrings" pipelines): every maximal 1-based character range
@@ -583,16 +643,16 @@ object Dedup {
     * computes the same values but `ArrayTransform` is CodegenFallback,
     * an interpreted per-gram round trip that measured as the chain's
     * dominant cost), so the document string never survives the explode —
-    * only (id, pos, 8-byte digest) rows do; (2) one digest-keyed aggregate
-    * finds grams reaching `minDocs` distinct docs (map-side partials);
-    * (3) a digest-keyed LEFT-SEMI join marks repeated positions — linear
+    * only (id, pos, 8-byte digest) rows do; (2) [[repeatedOccurrences]]
+    * marks positions whose gram reaches `minDocs` distinct docs off ONE
+    * digest-keyed shuffle whose exchange both consumers reuse — linear
     * in occurrences, never pairwise, so a boilerplate gram shared by a
     * million documents costs its million occurrence rows, not a million²
     * pair rows (no `maxDocFreq` cap needed: nothing here is quadratic);
-    * (4) a per-doc gaps-and-islands window merges overlapping-or-touching
+    * (3) a per-doc gaps-and-islands window merges overlapping-or-touching
     * gram ranges into maximal spans, state bounded by document length.
-    * Three keyed shuffles total (aggregate, semi join, per-doc window) —
-    * each partitions cleanly at any corpus size.
+    * Two keyed shuffles total (per-digest, per-doc) — each partitions
+    * cleanly at any corpus size.
     *
     * Determinism: positions are 1-based character offsets, the digest is
     * the md5-based 60-bit [[TextAnalysis.tokenHash60]] family, every step
@@ -609,20 +669,7 @@ object Dedup {
       .select(col(idCol), posexplode(
           call_function("graft_gram_digests", col(textCol), lit(gramChars)))
         .as(Seq("__p0", "__h")))
-    // "appears in >= 2 distinct docs" ⟺ min(id) != max(id) — a plain
-    // min/max aggregate whose map-side partials collapse each partition's
-    // occurrences to two values per digest, with none of count-distinct's
-    // expand machinery. The general minDocs needs the real distinct count.
-    val rep = (if (minDocs == 2)
-      grams.groupBy(col("__h"))
-        .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
-        .filter(col("__lo") =!= col("__hi"))
-    else
-      grams.groupBy(col("__h"))
-        .agg(count_distinct(col(idCol)).as("__nd"))
-        .filter(col("__nd") >= minDocs))
-      .select(col("__h"))
-    val pts = grams.join(rep, Seq("__h"), "left_semi")
+    val pts = repeatedOccurrences(grams, idCol, minDocs, col("__p0"))
       .select(col(idCol), (col("__p0") + 1).as("pos"))
     // gaps-and-islands: a new island starts where this gram's range no
     // longer overlaps or touches the furthest end seen so far (prevEnd is
@@ -651,9 +698,9 @@ object Dedup {
     * Scale shape is identical to the char version — the whole-document
     * [[graft.functions.TokenGramDigests]] kernel (one codegen'd call per
     * doc; the string never survives the explode, only (id, s, e, digest)
-    * rows do), then the same three keyed shuffles: min/max-id aggregate
-    * for grams in >= 2 distinct docs, digest-keyed LEFT-SEMI join (linear
-    * in occurrences, never pairs²), per-doc gaps-and-islands merge. The
+    * rows do), then the same two keyed shuffles: [[repeatedOccurrences]]
+    * marking grams in >= 2 distinct docs (linear in occurrences, never
+    * pairs²) and the per-doc gaps-and-islands merge. The
     * island window orders by span start with an EXCLUSIVE running
     * prev-end max — correct for variable-length gram ranges because a
     * range starting at or before max(e)+1 overlaps-or-touches the
@@ -671,16 +718,7 @@ object Dedup {
         .as("__g"))
       .select(col(idCol), col("__g.s").as("s"), col("__g.e").as("e"),
         col("__g.h").as("__h"))
-    val rep = (if (minDocs == 2)
-      grams.groupBy(col("__h"))
-        .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
-        .filter(col("__lo") =!= col("__hi"))
-    else
-      grams.groupBy(col("__h"))
-        .agg(count_distinct(col(idCol)).as("__nd"))
-        .filter(col("__nd") >= minDocs))
-      .select(col("__h"))
-    val pts = grams.join(rep, Seq("__h"), "left_semi")
+    val pts = repeatedOccurrences(grams, idCol, minDocs, col("s") + col("e"))
       .select(col(idCol), col("s"), col("e"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
     val prevEnd = max(col("e") + 1)
@@ -705,10 +743,9 @@ object Dedup {
     * per-gram, so overlapping grams owned by different docs each
     * protect only their own range.)
     *
-    * Scale shape is [[repeatedSpans]] with one change: the digest-keyed
-    * LEFT-SEMI join becomes a digest-keyed INNER join carrying the owner
-    * id (one extra long per digest — still linear in occurrences, never
-    * pairs²) followed by a row filter `id != owner`. Three keyed
+    * Scale shape is [[repeatedSpans]] with one change: the row filter
+    * `id != owner` reads the owner id [[repeatedOccurrences]] already
+    * carries — still linear in occurrences, never pairs². Two keyed
     * shuffles, no quadratic term, no cap dial. */
   def repeatedSpansKeepFirst(
       df: DataFrame, idCol: String, textCol: String,
@@ -721,18 +758,10 @@ object Dedup {
       .select(col(idCol), posexplode(
           call_function("graft_gram_digests", col(textCol), lit(gramChars)))
         .as(Seq("__p0", "__h")))
-    // owner = min(id) per repeated digest; the minDocs=2 fast path reads
-    // repetition off the same min/max pair that names the owner
-    val rep = (if (minDocs == 2)
-      grams.groupBy(col("__h"))
-        .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
-        .filter(col("__lo") =!= col("__hi"))
-    else
-      grams.groupBy(col("__h"))
-        .agg(count_distinct(col(idCol)).as("__nd"), min(col(idCol)).as("__lo"))
-        .filter(col("__nd") >= minDocs))
-      .select(col("__h"), col("__lo"))
-    val pts = grams.join(rep, Seq("__h"))
+    // owner = min(id) per repeated digest — [[repeatedOccurrences]]
+    // carries it on every surviving row; the owner exemption is one
+    // extra row filter.
+    val pts = repeatedOccurrences(grams, idCol, minDocs, col("__p0"))
       .filter(col(idCol) =!= col("__lo"))
       .select(col(idCol), (col("__p0") + 1).as("pos"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -49,6 +49,16 @@ trait SqlDialect extends Serializable {
     * order is cosmetic surface from the reference's `mysql.go:267-285`,
     * so skipping it loses no data semantics). */
   def renderDdl(ddl: SchemaSync.Ddl): Option[String]
+
+  /** Cap on concurrent sink connections for the partitioned write paths
+    * (snapshot writeBatch, orphan delete, streamed apply); None = one
+    * connection per input partition. A bounded fan-in is what a real
+    * deployment wants anyway — a 1000-executor cluster must not open
+    * 1000 connections against one sink — and the cap is applied with
+    * `coalesce`, which concatenates whole parent partitions, so the
+    * per-key ordered-apply contract (O1) survives: a key's ops live in
+    * one parent partition and stay contiguous and in order. */
+  def maxWriteConnections: Option[Int] = None
 }
 
 /** The reference dialect: backtick quoting, `INSERT … ON DUPLICATE KEY
@@ -170,6 +180,14 @@ object DerbyDialect extends SqlDialect {
     s"CREATE TABLE ${q(spec.name)} (${q(spec.pk)} VARCHAR(24) NOT NULL PRIMARY KEY" +
       (if (cols.isEmpty) "" else cols.mkString(", ", ", ", "")) + ")"
   }
+
+  /** Embedded Derby is one in-process store: many writer connections gain
+    * nothing (every commit funnels into the same page cache and log) and
+    * its page-write path has been observed to fail under 32-way
+    * concurrent inserts (XSDAJ wrapping an internal EOFException from
+    * `StoredPage.logColumn`). One connection is also reference-faithful —
+    * the original applies over a single connection (`run.go:235-246`). */
+  override def maxWriteConnections: Option[Int] = Some(1)
 
   /** [[SchemaSync.Ddl]] in Derby grammar. ReorderColumn is None: Derby
     * has no `CHANGE … AFTER`; declared-order placement is cosmetic

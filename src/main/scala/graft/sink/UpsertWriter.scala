@@ -121,7 +121,8 @@ object UpsertWriter {
     // bind positions come from the dialect's declared param order (the pk
     // may occur at more than one slot — e.g. MERGE binds it twice)
     val srcIdx = stmt.params.map(idxBySink)
-    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    val bounded = dialect.maxWriteConnections.fold(df)(df.coalesce)
+    bounded.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url, props)
         try {

@@ -170,6 +170,35 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 2, s"lake-side hash shuffle crept in ($hashEx hash exchanges)")
   }
 
+  test("repeated-spans chain: one kernel pass, reused digest exchange, streaming probe") {
+    for (name <- Seq("dedup_repeated_spans", "dedup_repeated_token_spans",
+        "dedup_spans_keep_first")) {
+      // static planning: the ReuseExchange rule marks the shared digest
+      // exchange in the plan text; under AQE the same reuse happens at
+      // runtime through the adaptive stage cache (keyed on the
+      // canonicalized subtree), which the pre-execution string can't show
+      val p = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        SparkEntry.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // the repeated-digest aggregate and the join probe consume ONE
+      // repartition-by-digest exchange: the scan+kernel+explode subtree
+      // is evaluated once and its shuffle files are read twice
+      assert(p.contains("ReusedExchange"), s"$name: digest exchange not reused")
+      val kernels = "graft_gram_digests|graft_token_gram_digests".r.findAllIn(p).size
+      assert(kernels == 1, s"$name: gram kernel evaluated $kernels times in the plan")
+      // the occurrence side must STREAM through the join — a sort-merge
+      // join would sort+buffer a monster exact-copy clique in one task
+      assert(!p.contains("SortMergeJoin"), s"$name: probe side sorts (SMJ)")
+      assert(p.contains("ShuffledHashJoin"), s"$name: expected shuffled hash join")
+      // digest exchange + per-doc islands window + the oracle orderBy
+      // range exchange — nothing else (tree-node match only: a
+      // ReusedExchange line re-prints its referent on the same line)
+      assert("[+:]- Exchange ".r.findAllIn(p).size <= 3,
+        s"$name: extra shuffle in the span chain")
+    }
+  }
+
   test("LSH chain: shuffle budget holds (no distinct, no self-join re-scan)") {
     val p = plan("dedup_lsh_pairs")
     // raw shingles feed the minhash groupBy directly (no distinct before
