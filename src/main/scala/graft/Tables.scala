@@ -1,14 +1,23 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-provided parquet test tables (TESTDATA.md).
   *
-  * The `events` table is written with nanosecond parquet timestamps, which
-  * Spark only reads via `spark.sql.legacy.parquet.nanosAsLong` — `ts` then
-  * surfaces as a `LongType` of nanoseconds since the epoch. All query code
-  * canonicalizes to microseconds (`ts div 1000`) because the DuckDB oracle
-  * reads the same column truncated to microsecond TIMESTAMP.
+  * The `events.ts` column is the CDC offset clock and all query code
+  * treats it as a `LongType` of NANOSECONDS since the epoch (`ts div
+  * 1000` = the microsecond offset the DuckDB oracle reads via
+  * `epoch_us`). The parquet encoding of that column has varied across
+  * testdata generations — nanosecond INT64 timestamps (readable only as
+  * longs via `spark.sql.legacy.parquet.nanosAsLong`) and microsecond
+  * TIMESTAMP/TIMESTAMP_NTZ — so [[load]] normalizes whatever the file
+  * holds to the canonical nanos-long view. Timestamp math runs in the
+  * UTC session every entry point pins, matching the oracle's naive
+  * reading. Scan pushdown through the normalizing projection is restored
+  * by [[graft.plans.DerivedPredicatePushdown]], which maps derived-offset
+  * bounds back to raw `ts` literals of the file's own type.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -17,9 +26,20 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Session-level runtime conf: harmless for non-nanos files, required
-    // for events.parquet. Set once per session, idempotent.
+    // for nanos-generation events.parquet. Set once per session, idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        // offset filters land on the normalized column; the derived-bound
+        // rule maps them back to raw-ts literals the scan can prune on
+        graft.plans.GraftOptimizations.install(spark)
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case Some(TimestampType) =>
+        graft.plans.GraftOptimizations.install(spark)
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case _ => df // LongType nanos (or no ts column): already canonical
+    }
   }
 
   /** Register every table as a temp view so queries can use spark.sql. */

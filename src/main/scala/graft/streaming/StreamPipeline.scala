@@ -44,6 +44,30 @@ object StreamPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-stream source over the events table, normalized to the canonical
+    * nanos-long `ts` exactly like [[graft.Tables.load]]. A streaming source
+    * needs its schema up front, and the testdata generations have encoded
+    * `ts` either as nanosecond INT64 (long under nanosAsLong) or as
+    * microsecond TIMESTAMP/TIMESTAMP_NTZ — so peek the file's batch schema
+    * once (driver-side metadata read, no data scan) and stream with the
+    * file's own type, converting to nanos in a stateless projection. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(EventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = fileTs) else f))
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    fileTs match {
+      case TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case TimestampType => raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case _             => raw
+    }
+  }
+
   /** Event-time hourly windowed aggregation over the change feed, run as a
     * real Structured Streaming query with an `availableNow` trigger into a
     * memory sink, then returned as a batch DataFrame. Complete output mode
@@ -51,13 +75,9 @@ object StreamPipeline {
     * windows at end-of-input; watermark/late-data behavior is exercised in
     * the streaming spec instead). */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file-stream source requires a directory; the testdata table is a
-    // single file, so scope the directory scan with a glob filter.
-    val stream = spark.readStream
-      .schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // single file, so the helper scopes the directory scan with a glob.
+    val stream = eventsStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -74,11 +94,7 @@ object StreamPipeline {
     * evicted — the property that keeps state finite at 100 TB). Run via
     * availableNow into memory, returned as a batch frame. */
   def clickToPurchase(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(tpe: String, alias: String) = spark.readStream
-      .schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def side(tpe: String, alias: String) = eventsStream(spark, dir)
       .filter(col("event_type") === tpe)
       .select(col("event_id").as(s"${alias}_id"),
         col("user_id").as(s"${alias}_user"),
@@ -101,11 +117,7 @@ object StreamPipeline {
     * keeps the result exact even if a duplicate re-emits past the
     * watermark horizon (allowed by the operator's contract). */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val deduped = spark.readStream
-      .schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val deduped = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"),
         timestamp_micros(expr("ts div 1000")).as("event_time"))
       .withWatermark("event_time", "1 hour")
@@ -130,15 +142,10 @@ object StreamPipeline {
     * consumed) plus the sketch's guarantee verdicts. */
   def streamingCms(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CountMinSketch
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val depth = 4; val width = 1024
     val cms = udaf(new CountMinSketch(depth, width))
     val digest = graft.operators.TextAnalysis.tokenHash60(col("user_id").cast("string"))
-    val sk = spark.readStream
-      .schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val sk = eventsStream(spark, dir)
       .select(digest.as("__h"))
       .agg(cms(col("__h")).as("__cms"), count(lit(1)).as("__n"))
     val sketch = runToMemory(sk, "complete", "graft_scms")

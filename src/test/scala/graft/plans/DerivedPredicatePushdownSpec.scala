@@ -13,7 +13,12 @@ class DerivedPredicatePushdownSpec extends SparkSpec {
       .filter(expr("ts div 1000") > lit(ckptUs))
       .select("event_id")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains(s"GreaterThanOrEqual(ts,${(ckptUs + 1) * 1000})"),
+    // the pushed literal's spelling depends on the file's ts encoding:
+    // nanos-long generation → a long bound, timestamp generation → the
+    // rule peels Tables.load's normalizing projection down to a raw
+    // timestamp bound (2024-01-05T00:00:00.000001 = ckptUs+1)
+    assert(plan.contains(s"GreaterThanOrEqual(ts,${(ckptUs + 1) * 1000})") ||
+        plan.contains("GreaterThanOrEqual(ts,2024-01-05T00:00:00.000001"),
       s"expected pushed raw-ts bound in:\n$plan")
     // semantics unchanged vs the un-optimized derived filter
     val expected = Tables.load(spark, Sf0001, "events")
