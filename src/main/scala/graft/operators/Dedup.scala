@@ -776,6 +776,128 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Write the standing corpus's gram-digest INDEX to parquet: one row per
+    * DISTINCT gram digest, carrying the owning (minimum) doc id. This is
+    * the artifact that makes repeated-span dedup INCREMENTAL at 100 TB:
+    * the lake's grams are digested ONCE, reduced to their distinct-digest
+    * summary (a keyed shuffle with map-side partial min — far smaller than
+    * the occurrence table: ~16 bytes per distinct gram), and persisted;
+    * every subsequent delta probes the index instead of re-scanning the
+    * lake. Same producer chain as [[repeatedSpans]] (whole-document
+    * [[graft.functions.GramDigests]] kernel, digest-keyed aggregate), so
+    * index + delta compose to exactly the whole-corpus answer. */
+  def writeGramIndex(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int, path: String): Unit = {
+    require(gramChars > 0, s"gramChars=$gramChars must be positive")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars &&
+        col(idCol).isNotNull)
+      .select(col(idCol), explode(
+          call_function("graft_gram_digests", col(textCol), lit(gramChars)))
+        .as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("owner"))
+      .select(col("__h").as("h"), col("owner"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold a processed delta's gram digests into the standing index —
+    * the append half of the incremental loop ([[incrementalSpans]] probes,
+    * this persists, the next delta probes the grown index). The standing
+    * index is NEVER shuffled or rewritten: the delta's distinct digests
+    * (one delta-keyed aggregate) are anti-joined against the BROADCAST
+    * set of their own index hits (computed by the same shuffle-free
+    * streaming semi-probe the span discovery uses), and only the NOVEL
+    * digests append as new parquet files. The index directory is an
+    * append-only digest log — per batch it grows by that batch's new
+    * grams, and a 100 TB lake's index is only ever scanned, never moved.
+    *
+    * Owner semantics under append-only: a digest already present keeps
+    * its existing owner row untouched (exact when ingest doc ids are
+    * monotone — the standing corpus always holds the minimum); a novel
+    * digest records the delta's minimum id. */
+  def appendGramIndex(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, gramChars: Int, path: String): Unit = {
+    require(gramChars > 0, s"gramChars=$gramChars must be positive")
+    graft.functions.GraftFunctions.register(delta.sparkSession)
+    val deltaAgg = delta
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars &&
+        col(idCol).isNotNull)
+      .select(col(idCol), explode(
+          call_function("graft_gram_digests", col(textCol), lit(gramChars)))
+        .as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("owner"))
+      .select(col("__h").as("h"), col("owner"))
+    val hits = index.select(col("h"))
+      .join(broadcast(deltaAgg.select(col("h"))), Seq("h"), "left_semi")
+    deltaAgg.join(broadcast(hits), Seq("h"), "left_anti")
+      .write.mode("append").parquet(path)
+  }
+
+  /** Incremental [[repeatedSpans]]: spans for a DELTA batch against a
+    * standing corpus represented only by its persisted gram-digest index
+    * ([[writeGramIndex]]). With lake and delta doc ids disjoint, a delta
+    * gram is repeated (≥ 2 distinct docs across lake ∪ delta) iff its
+    * digest exists in the index at all, OR it occurs in ≥ 2 distinct
+    * delta docs — so the result equals [[repeatedSpans]] over the whole
+    * corpus restricted to delta documents, without touching lake text.
+    *
+    * Scale shape — the lake never shuffles:
+    *  - the delta's grams come from one kernel pass and ONE digest-keyed
+    *    exchange that every consumer reuses (the [[repeatedOccurrences]]
+    *    shared-exchange pattern, incl. the column-set pin);
+    *  - the INDEX side is a parquet scan pruned to its 8-byte digest
+    *    column, probed by a BROADCAST left-semi of the delta's distinct
+    *    digests — streaming, shuffle-free, linear in index size and
+    *    independent of lake text;
+    *  - surviving index hits (delta-sized or smaller) broadcast back to
+    *    mark repeated digests, the occurrence probe streams through a
+    *    SHUFFLE_HASH join on the reused exchange, and the per-doc
+    *    gaps-and-islands merge is the only other keyed shuffle.
+    * Two delta-keyed shuffles total; index traffic is broadcast-only. */
+  def incrementalSpans(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, gramChars: Int): DataFrame = {
+    require(gramChars > 0, s"gramChars=$gramChars must be positive")
+    graft.functions.GraftFunctions.register(delta.sparkSession)
+    val grams = delta
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars)
+      .select(col(idCol), posexplode(
+          call_function("graft_gram_digests", col(textCol), lit(gramChars)))
+        .as(Seq("__p0", "__h")))
+    val byDigest = grams.filter(col(idCol).isNotNull).repartition(col("__h"))
+    // One aggregate serves three consumers (the broadcast probe set, the
+    // repeated-digest filter, and nothing else): the vacuously-true
+    // `__mp >= 0 && __lo <= __hi` filter references BOTH the position and
+    // id columns, so column pruning cannot narrow the exchange under any
+    // copy — the precondition for ReuseExchange (same trick as
+    // [[repeatedOccurrences]]).
+    val agg = byDigest.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"),
+        max(col("__p0")).as("__mp"))
+      .filter(col("__mp") >= 0 && col("__lo") <= col("__hi"))
+    // Index scan pruned to `h`, semi-joined by the BROADCAST delta digest
+    // set: the lake-sized side streams and never shuffles.
+    val hits = index.select(col("h").as("__h"))
+      .join(broadcast(agg.select(col("__h"))), Seq("__h"), "left_semi")
+    val rep = agg
+      .join(broadcast(hits.withColumn("__inlake", lit(true))), Seq("__h"), "left")
+      .filter(col("__lo") =!= col("__hi") || col("__inlake").isNotNull)
+      .select(col("__h"))
+    val pts = byDigest.join(rep.hint("SHUFFLE_HASH"), Seq("__h"))
+      .select(col(idCol), (col("__p0") + 1).as("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + gramChars)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    pts
+      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (gramChars - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
   /** STRIP the spans from the documents — the consumer of
     * [[repeatedSpans]] in the published exact-substring pipelines: each
     * document is rebuilt with its repeated character ranges removed, next

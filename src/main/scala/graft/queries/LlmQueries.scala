@@ -530,6 +530,45 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // Incremental span discovery: the delta batch (doc_id % 10 >= 8)
+    // probed against the lake's PERSISTED gram-digest index, built once
+    // from the standing corpus (doc_id % 10 < 8) — the 100 TB path for
+    // exact-substring dedup: the lake's text is digested once ever; each
+    // arriving delta shuffles only itself, and the index side streams
+    // through a broadcast semi-join without shuffling. Result ≡
+    // whole-corpus repeatedSpans restricted to delta docs (spec-pinned).
+    "dedup_spans_incremental" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      // deterministic per-dataset scratch path, overwritten each build:
+      // repeated registry invocations must not accumulate /tmp copies
+      val idxPath = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_gramidx_${Integer.toHexString(dir.hashCode)}").toString
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", SpanGramChars, idxPath)
+      Dedup.incrementalSpans(s.read.parquet(idxPath),
+          docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // The append half of the incremental loop: after a delta is probed,
+    // its NOVEL gram digests fold into the standing index as new parquet
+    // files — the index is an append-only digest log (scanned, never
+    // shuffled or rewritten), so the next delta probes lake+delta grams
+    // at the cost of one small write. Emits the grown index itself.
+    "dedup_spans_index_append" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val idxPath = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_gramappidx_${Integer.toHexString(dir.hashCode)}").toString
+      val lake = docs.filter(col("doc_id") % 10 < 8)
+      val delta = docs.filter(col("doc_id") % 10 >= 8)
+      Dedup.writeGramIndex(lake, "doc_id", "text", SpanGramChars, idxPath)
+      Dedup.appendGramIndex(s.read.parquet(idxPath), delta,
+        "doc_id", "text", SpanGramChars, idxPath)
+      s.read.parquet(idxPath).orderBy("h", "owner")
+    },
+
     // Perplexity-proxy quality scoring: a bigram LM estimated from the
     // corpus itself, each doc scored by the mean conditional probability
     // of its own bigrams — the model-free LM-quality filter. Counts +
@@ -1893,6 +1932,85 @@ object LlmQueries {
       s"""WITH $TokenSpansCtes
          SELECT doc_id, span_start, span_end FROM tspans
          ORDER BY doc_id, span_start""",
+
+    // Incremental spans: delta grams are repeated iff their digest exists
+    // among the lake's distinct digests (disjoint ids: one lake occurrence
+    // already makes two docs) OR in >= 2 distinct delta docs; the islands
+    // merge is the standard exclusive-prev-end chain over delta positions.
+    "dedup_spans_incremental" ->
+      s"""WITH dgrams AS (
+           SELECT doc_id,
+                  unnest(generate_series(1, length(text) - ${SpanGramChars - 1}))::int AS pos,
+                  text
+           FROM documents
+           WHERE doc_id % 10 >= 8 AND text IS NOT NULL
+             AND length(text) >= $SpanGramChars),
+         dgd AS (
+           SELECT doc_id, pos,
+                  ('0x' || substr(md5(substr(text, pos, $SpanGramChars)), 1, 15))::bigint AS h
+           FROM dgrams),
+         lakegd AS (
+           SELECT DISTINCT
+                  ('0x' || substr(md5(substr(text, pos, $SpanGramChars)), 1, 15))::bigint AS h
+           FROM (
+             SELECT unnest(generate_series(1, length(text) - ${SpanGramChars - 1}))::int AS pos,
+                    text
+             FROM documents
+             WHERE doc_id % 10 < 8 AND text IS NOT NULL
+               AND length(text) >= $SpanGramChars)),
+         irep AS (
+           SELECT h FROM dgd GROUP BY h HAVING min(doc_id) <> max(doc_id)
+           UNION
+           SELECT h FROM lakegd WHERE h IN (SELECT h FROM dgd)),
+         ipts AS (SELECT doc_id, pos FROM dgd WHERE h IN (SELECT h FROM irep)),
+         iisl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + $SpanGramChars) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS brk
+           FROM ipts),
+         igrp AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM iisl),
+         ispans AS (
+           SELECT doc_id, min(pos) AS span_start,
+                  max(pos) + ${SpanGramChars - 1} AS span_end
+           FROM igrp GROUP BY doc_id, island)
+         SELECT doc_id, span_start, span_end FROM ispans
+         ORDER BY doc_id, span_start""",
+
+    // Grown index = lake rows untouched (owner = min LAKE id) + novel
+    // delta digests (owner = min DELTA id); digests the delta shares
+    // with the lake add no row — the append-only contract.
+    "dedup_spans_index_append" ->
+      s"""WITH lgd AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(substr(text, pos, $SpanGramChars)), 1, 15))::bigint AS h
+           FROM (
+             SELECT doc_id,
+                    unnest(generate_series(1, length(text) - ${SpanGramChars - 1}))::int AS pos,
+                    text
+             FROM documents
+             WHERE doc_id % 10 < 8 AND text IS NOT NULL
+               AND length(text) >= $SpanGramChars)),
+         dgd AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(substr(text, pos, $SpanGramChars)), 1, 15))::bigint AS h
+           FROM (
+             SELECT doc_id,
+                    unnest(generate_series(1, length(text) - ${SpanGramChars - 1}))::int AS pos,
+                    text
+             FROM documents
+             WHERE doc_id % 10 >= 8 AND text IS NOT NULL
+               AND length(text) >= $SpanGramChars)),
+         lidx AS (SELECT h, min(doc_id) AS owner FROM lgd GROUP BY h),
+         didx AS (SELECT h, min(doc_id) AS owner FROM dgd GROUP BY h)
+         SELECT h, owner FROM lidx
+         UNION ALL
+         SELECT h, owner FROM didx WHERE h NOT IN (SELECT h FROM lidx)
+         ORDER BY h, owner""",
 
     "dedup_spans_keep_first" ->
       s"""WITH $KeepFirstSpanCtes

@@ -199,6 +199,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental spans: delta digests broadcast, the index side never shuffles") {
+    val p = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("dedup_spans_incremental")(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // one delta kernel pass feeding one reused digest exchange
+    assert("graft_gram_digests".r.findAllIn(p).size == 1,
+      s"delta gram kernel evaluated more than once:\n$p")
+    assert(p.contains("ReusedExchange"), "delta digest exchange not reused")
+    // the lake-sized index is probed by BROADCAST semi-join and streams:
+    // no sort-merge join anywhere, and the index's parquet scan is pruned
+    // to its 8-byte digest column
+    assert(p.contains("BroadcastHashJoin"), "index probe is not broadcast")
+    assert(!p.contains("SortMergeJoin"), "index or probe side sorts (SMJ)")
+    assert(p.contains("ReadSchema: struct<h:bigint>"),
+      "index scan reads more than the digest column")
+    // delta digest exchange + per-doc islands window + the orderBy range
+    // exchange — the index side contributes NO shuffle
+    assert("[+:]- Exchange ".r.findAllIn(p).size <= 3,
+      s"extra shuffle in the incremental span chain:\n$p")
+  }
+
   test("LSH chain: shuffle budget holds (no distinct, no self-join re-scan)") {
     val p = plan("dedup_lsh_pairs")
     // raw shingles feed the minhash groupBy directly (no distinct before

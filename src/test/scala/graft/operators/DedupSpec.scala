@@ -278,6 +278,79 @@ class DedupSpec extends SparkSpec {
       gramChars = L, minDocs = 3).isEmpty)
   }
 
+  test("incrementalSpans over the persisted gram index ≡ whole-corpus spans on the delta") {
+    import spark.implicits._
+    val lakeShared = "the standing corpus carries this boilerplate banner text"
+    val deltaShared = "two fresh documents share this newly minted passage here"
+    val lake = Seq(
+      (10L, s"lake alpha opens.. $lakeShared ..and wanders off topic for a while"),
+      (11L, s"lake beta text... $lakeShared ...lake beta closes differently"),
+      (12L, "lake gamma is entirely original content with no twin anywhere"))
+    val delta = Seq(
+      // repeated only via the LAKE index (single delta occurrence)
+      (90L, s"delta one preface $lakeShared delta one epilogue entirely new"),
+      // repeated only within the DELTA (never seen by the lake)
+      (91L, s"delta two begins! $deltaShared and then delta two trails off"),
+      (92L, s"delta three yes.. $deltaShared with its own distinct ending!!"),
+      // no repeats at all, plus degenerate rows
+      (93L, "delta four is wholly original and must produce no span rows"),
+      (94L, "short"),
+      (95L, null.asInstanceOf[String]))
+    val L = 16
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_gramidx_spec").toString
+    Dedup.writeGramIndex(lake.toDF("doc_id", "text"), "doc_id", "text", L, idxPath)
+    val got = Dedup.incrementalSpans(spark.read.parquet(idxPath),
+        delta.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Int, Int)].collect().toSet
+    // the contract: identical to running the whole-corpus operator over
+    // lake ∪ delta and keeping only delta documents
+    val whole = Dedup.repeatedSpans((lake ++ delta).toDF("doc_id", "text"),
+        "doc_id", "text", gramChars = L)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == whole.filter(_._1 >= 90L), s"got $got\nwhole $whole")
+    // both repeat modalities present: a lake-index hit (doc 90, single
+    // delta occurrence) and a delta-internal pair (91, 92); originals silent
+    assert(got.exists(_._1 == 90L) && got.exists(_._1 == 91L) && got.exists(_._1 == 92L))
+    assert(!got.exists(s => s._1 == 93L || s._1 == 94L || s._1 == 95L))
+    // lake documents are never re-emitted — the index replaced their text
+    assert(got.forall(_._1 >= 90L))
+  }
+
+  test("appendGramIndex grows the digest log so the NEXT delta probes lake+delta") {
+    import spark.implicits._
+    val early = "a passage that only the first delta batch ever carried along"
+    val lake = Seq(
+      (10L, "the standing corpus says something entirely of its own making"))
+    val delta1 = Seq(
+      (20L, s"first-batch doc one.. $early ..and some trailing first text"))
+    val delta2 = Seq(
+      // repeats a passage seen ONLY in delta1 — invisible to the original
+      // lake index, visible after the append
+      (30L, s"second-batch doc yes $early plus its own novel second tail!"),
+      (31L, "second-batch original content matching absolutely nothing here"))
+    val L = 16
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_gramappidx_spec").toString
+    Dedup.writeGramIndex(lake.toDF("doc_id", "text"), "doc_id", "text", L, idxPath)
+    Dedup.appendGramIndex(spark.read.parquet(idxPath),
+      delta1.toDF("doc_id", "text"), "doc_id", "text", L, idxPath)
+    // the grown index serves the second delta exactly as if the spans ran
+    // over the whole accumulated corpus
+    val got = Dedup.incrementalSpans(spark.read.parquet(idxPath),
+        delta2.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Int, Int)].collect().toSet
+    val whole = Dedup.repeatedSpans((lake ++ delta1 ++ delta2).toDF("doc_id", "text"),
+        "doc_id", "text", gramChars = L)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == whole.filter(_._1 >= 30L), s"got $got\nwhole $whole")
+    assert(got.exists(_._1 == 30L) && !got.exists(_._1 == 31L))
+    // append-only: re-shared digests added no row — the index holds each
+    // digest once, lake/early owners preserved
+    val idx = spark.read.parquet(idxPath).as[(Long, Long)].collect()
+    assert(idx.map(_._1).distinct.length == idx.length, "duplicate digest rows")
+  }
+
   test("GramDigests kernel ≡ the composed transform/substring/digest60 form") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
