@@ -116,5 +116,5 @@ object SparkEntry {
     "sim_topk_hash_embed", "sim_topk_ivfpq_residual", "text_chunk",
     "text_bigram_lm", "dedup_edit_distance", "resample_ffill",
     "dedup_repeated_spans", "dedup_span_strip", "dedup_repeated_token_spans",
-    "dedup_spans_incremental")
+    "dedup_spans_incremental", "dedup_cross_corpus_indexed")
 }

@@ -118,6 +118,34 @@ object Curation {
       .drop("__rnd")
   }
 
+  /** Deterministic seeded EXPORT SHUFFLE — the publish step of a training
+    * pipeline: every document is assigned a shard and a within-shard
+    * position from a salted id digest, so the exported order is (a)
+    * pseudo-random — adjacent corpus documents (same crawl, same domain,
+    * same dump file) decorrelate, the property packed-sequence training
+    * needs — and (b) REPRODUCIBLE: identical across re-runs, retries, and
+    * cluster sizes, because it derives from data, never from `rand()` or
+    * partition layout. A new seed is a fresh independent permutation.
+    *
+    * Scale shape: shard assignment is stateless per-row hashing; the
+    * within-shard `seq` is one rank window per shard — embarrassingly
+    * parallel across shards, each shard's sort external and bounded by
+    * corpus/shards, and NO global sort exists (the single-reducer
+    * orderBy this operator family always avoids). Returns (id, shard,
+    * seq) — the manifest a writer consumes to emit shard files in final
+    * order. */
+  def seededShuffle(
+      df: DataFrame, idCol: String, shards: Int,
+      seed: String = "export:"): DataFrame = {
+    require(shards > 0, s"shards=$shards must be positive")
+    val rnd = digest60(concat(lit(seed), col(idCol).cast("string")))
+    df.select(col(idCol), rnd.as("__rnd"))
+      .withColumn("shard", pmod(col("__rnd"), lit(shards.toLong)).cast("int"))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__rnd"), col(idCol))))
+      .select(col(idCol), col("shard"), col("seq"))
+  }
+
   /** GPT-style sequence packing: within each shard (`idCol % shards`),
     * documents are concatenated in id order into one token stream that is
     * cut into fixed `budget`-token training sequences; a document is

@@ -501,6 +501,81 @@ object Dedup {
       .select(col("id_new"), col("id_base"), col("est_jaccard"))
   }
 
+  /** Persist the standing corpus's MinHash/LSH INDEX to parquet — the
+    * artifact that makes cross-corpus near-dup dedup incremental at
+    * 100 TB. Two tables under `path`:
+    *
+    *  - `sigs/`  (id, sig: array[long])  — one wide MinHash signature row
+    *    per lake document (k longs), computed in the single fused
+    *    groupBy(id) pass ([[minhashBands]]' upstream) and written FIRST so
+    *    the band table derives from the persisted copy (no re-shingling,
+    *    no checkpoint);
+    *  - `bands/` (id, band, band_hash, bucket_n) — the banded LSH rows
+    *    with each row carrying its (band, band_hash) bucket's lake-side
+    *    cardinality. Materializing `bucket_n` at build time is what frees
+    *    every probe from the hot-bucket count aggregate — the skew cap
+    *    becomes a plain pushable column predicate on the scan.
+    *
+    * Build cost: the lake's one signature shuffle plus one band-keyed
+    * count join — paid once, not per delta. */
+  def writeLshIndex(shingled: DataFrame, idCol: String,
+      k: Int, bands: Int, path: String): Unit = {
+    val spark = shingled.sparkSession
+    wideSigs(shingled, idCol, k)
+      .select(col(idCol).as("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    val wide = spark.read.parquet(s"$path/sigs")
+      .select(col("id") +: (0 until k).map(i => col("sig")(i).as(s"__m$i")): _*)
+    val bd = bandsFromWide(wide, "id", k, bands)
+    bd.join(
+        bd.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("bucket_n")),
+        Seq("band", "band_hash"))
+      .select(col("id"), col("band"), col("band_hash"), col("bucket_n"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** [[crossCorpusLshPairs]] served from a persisted [[writeLshIndex]] —
+    * the delta-vs-lake near-dup probe with the lake reduced to its index:
+    * no lake re-shingling, no lake signature shuffle, no per-probe
+    * hot-bucket aggregate. Pair-for-pair identical to the inline operator
+    * on the same corpora and cap (spec-pinned).
+    *
+    * Scale shape — the index is scanned, never shuffled:
+    *  - the delta's bands BROADCAST into the band-bucket join, so the
+    *    index band scan streams; the skew cap `bucket_n <= maxBucket` is
+    *    a stored-column predicate PUSHED INTO the parquet scan (row-group
+    *    pruning on hot buckets, where the inline operator pays a
+    *    lake-wide count aggregate every run);
+    *  - the capped candidate set (≤ delta-bands × maxBucket) broadcasts
+    *    into both signature fetches, so the lake's signature table also
+    *    streams through broadcast joins;
+    *  - the only hash exchange is the delta-sized candidate `distinct`. */
+  def indexedCrossCorpusPairs(indexBands: DataFrame, indexSigs: DataFrame,
+      newShingled: DataFrame, idCol: String, k: Int, bands: Int,
+      maxBucket: Int, minEst: Double = 0.0): DataFrame = {
+    require(maxBucket > 1, s"maxBucket=$maxBucket would drop every bucket")
+    val newWide = wideSigs(newShingled, idCol, k).localCheckpoint()
+    val nb = broadcast(bandsFromWide(newWide, idCol, k, bands)
+      .select(col(idCol).as("id_new"), col("band"), col("band_hash")))
+    val bb = indexBands.filter(col("bucket_n") <= maxBucket)
+      .select(col("id").as("id_base"), col("band"), col("band_hash"))
+    val cand = nb.join(bb, Seq("band", "band_hash"))
+      .select(col("id_new"), col("id_base")).distinct()
+    val newSig = newWide.select(col(idCol).as("id_new"),
+      array((0 until k).map(i => col(s"__m$i")): _*).as("__snew"))
+    val withNew = broadcast(cand).join(newSig, Seq("id_new"))
+    broadcast(withNew)
+      .join(indexSigs.select(col("id").as("id_base"), col("sig").as("__sbase")),
+        Seq("id_base"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("__snew"), col("__sbase"), (x, y) => x === y),
+          b => b)).cast("double") / k)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("id_new"), col("id_base"), col("est_jaccard"))
+  }
+
   /** Fuzzy (edit-distance) near-dup pairs — the classic record-linkage
     * modality: documents whose `keyChars`-char near-key is within
     * `maxDist` Levenshtein edits, compared only inside `blockChars`-char
@@ -857,7 +932,29 @@ object Dedup {
     *    gaps-and-islands merge is the only other keyed shuffle.
     * Two delta-keyed shuffles total; index traffic is broadcast-only. */
   def incrementalSpans(index: DataFrame, delta: DataFrame,
-      idCol: String, textCol: String, gramChars: Int): DataFrame = {
+      idCol: String, textCol: String, gramChars: Int): DataFrame =
+    incrementalSpansImpl(index, delta, idCol, textCol, gramChars, keepFirst = false)
+
+  /** Keep-first [[incrementalSpans]] — the one-copy-survives policy of
+    * [[repeatedSpansKeepFirst]] against the persisted index, the
+    * combination a production exact-substring dedup actually runs: per
+    * repeated gram the OWNER keeps its copy, and the index's stored
+    * `owner` column supplies the lake side of that decision (owner =
+    * least(index owner, delta minimum) on an index hit, the delta
+    * minimum otherwise — exact whether or not ingest ids are monotone).
+    * Delta occurrences in the owner document are exempt; spans mark only
+    * the copies to strip, so the corpus keeps exactly one copy of every
+    * passage without ever re-reading lake text. Equals
+    * [[repeatedSpansKeepFirst]] over the whole corpus restricted to
+    * delta docs (spec-pinned). Same plan contract as the plain variant,
+    * with the index scan widened to (h, owner) — 16 bytes a row. */
+  def incrementalSpansKeepFirst(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, gramChars: Int): DataFrame =
+    incrementalSpansImpl(index, delta, idCol, textCol, gramChars, keepFirst = true)
+
+  private def incrementalSpansImpl(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, gramChars: Int,
+      keepFirst: Boolean): DataFrame = {
     require(gramChars > 0, s"gramChars=$gramChars must be positive")
     graft.functions.GraftFunctions.register(delta.sparkSession)
     val grams = delta
@@ -876,15 +973,26 @@ object Dedup {
       .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"),
         max(col("__p0")).as("__mp"))
       .filter(col("__mp") >= 0 && col("__lo") <= col("__hi"))
-    // Index scan pruned to `h`, semi-joined by the BROADCAST delta digest
-    // set: the lake-sized side streams and never shuffles.
-    val hits = index.select(col("h").as("__h"))
+    // Index scan pruned to `h` (plus `owner` when the keep-first policy
+    // needs it), semi-joined by the BROADCAST delta digest set: the
+    // lake-sized side streams and never shuffles. The index writes owner
+    // as min of non-null ids, so `__lown.isNotNull` doubles as the hit
+    // marker.
+    val idxCols =
+      if (keepFirst) Seq(col("h").as("__h"), col("owner").as("__lown"))
+      else Seq(col("h").as("__h"))
+    val hits = index.select(idxCols: _*)
       .join(broadcast(agg.select(col("__h"))), Seq("__h"), "left_semi")
+    val hitsMarked =
+      if (keepFirst) hits else hits.withColumn("__lown", col("__h"))
     val rep = agg
-      .join(broadcast(hits.withColumn("__inlake", lit(true))), Seq("__h"), "left")
-      .filter(col("__lo") =!= col("__hi") || col("__inlake").isNotNull)
-      .select(col("__h"))
-    val pts = byDigest.join(rep.hint("SHUFFLE_HASH"), Seq("__h"))
+      .join(broadcast(hitsMarked), Seq("__h"), "left")
+      .filter(col("__lo") =!= col("__hi") || col("__lown").isNotNull)
+      .select(col("__h") +: (if (keepFirst)
+        Seq(coalesce(least(col("__lown"), col("__lo")), col("__lo")).as("__own"))
+      else Nil): _*)
+    val joined = byDigest.join(rep.hint("SHUFFLE_HASH"), Seq("__h"))
+    val pts = (if (keepFirst) joined.filter(col(idCol) =!= col("__own")) else joined)
       .select(col(idCol), (col("__p0") + 1).as("pos"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevEnd = max(col("pos") + gramChars)

@@ -151,6 +151,16 @@ object CurationQueries {
         .orderBy("source", "sample_rank")
     },
 
+    // The export shuffle: every doc assigned a shard and within-shard
+    // position from a salted digest — the reproducible pseudo-random
+    // publish order packed-sequence training wants (adjacent corpus docs
+    // decorrelate; identical across re-runs and cluster sizes).
+    "curation_export_shuffle" -> q { (s, dir) =>
+      Curation.seededShuffle(Tables.load(s, dir, "documents"),
+          "doc_id", shards = 8)
+        .orderBy("shard", "seq")
+    },
+
     // Packed-sequence construction: per-shard token streams cut into
     // 2048-token sequences; output is the per-sequence census (docs and
     // spanned tokens per bin) a data loader would consume.
@@ -209,6 +219,17 @@ object CurationQueries {
          FROM documents
          QUALIFY sample_rank <= 20
          ORDER BY source, sample_rank""",
+
+    // same 60-bit salted digest; digest is non-negative so % == pmod
+    "curation_export_shuffle" ->
+      """SELECT doc_id,
+           (('0x' || substr(md5('export:' || doc_id), 1, 15))::bigint % 8)::int AS shard,
+           row_number() OVER (
+             PARTITION BY ('0x' || substr(md5('export:' || doc_id), 1, 15))::bigint % 8
+             ORDER BY ('0x' || substr(md5('export:' || doc_id), 1, 15))::bigint,
+                      doc_id) AS seq
+         FROM documents
+         ORDER BY shard, seq""",
 
     "curation_domain_mix" ->
       """SELECT source, count(*) AS kept

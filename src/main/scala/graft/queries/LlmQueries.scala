@@ -467,6 +467,28 @@ object LlmQueries {
         .orderBy("id_new", "id_base")
     },
 
+    // The same delta-vs-lake probe served from the PERSISTED LSH index:
+    // the lake is shingled and signature-shuffled ONCE at index build;
+    // every probe streams the band and signature tables through broadcast
+    // joins, with the hot-bucket skew cap pre-materialized as a stored
+    // bucket_n column the parquet scan prunes on. Pair-identical to
+    // dedup_cross_corpus by construction (same oracle SQL).
+    "dedup_cross_corpus_indexed" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def sh(f: org.apache.spark.sql.DataFrame) =
+        Dedup.rawShingles(f, "text", "doc_id", ShingleN)
+      val idxPath = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_lshidx_${Integer.toHexString(dir.hashCode)}").toString
+      Dedup.writeLshIndex(sh(docs.filter(col("doc_id") % 2 =!= 0)),
+        "doc_id", MinhashK, LshBands, idxPath)
+      Dedup.indexedCrossCorpusPairs(
+          s.read.parquet(s"$idxPath/bands"), s.read.parquet(s"$idxPath/sigs"),
+          sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
+          MinhashK, LshBands, maxBucket = CrossMaxBucket)
+        .orderBy("id_new", "id_base")
+    },
+
     // Fuzzy dedup: Levenshtein distance over 40-char near-keys within
     // 8-char prefix blocks — the record-linkage modality that catches
     // small in-place edits exact/shingle hashing miss. Blocked, never
@@ -547,6 +569,22 @@ object LlmQueries {
       Dedup.writeGramIndex(docs.filter(col("doc_id") % 10 < 8),
         "doc_id", "text", SpanGramChars, idxPath)
       Dedup.incrementalSpans(s.read.parquet(idxPath),
+          docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // Keep-first incremental spans: the published one-copy-survives
+    // policy against the persisted index — the index's stored owner
+    // column supplies the lake side of the ownership decision, so the
+    // delta marks only the copies to strip without re-reading lake text.
+    "dedup_spans_incremental_keep_first" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val idxPath = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_gramidx_${Integer.toHexString(dir.hashCode)}").toString
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", SpanGramChars, idxPath)
+      Dedup.incrementalSpansKeepFirst(s.read.parquet(idxPath),
           docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
         .orderBy("doc_id", "span_start")
     },
@@ -1981,6 +2019,61 @@ object LlmQueries {
          SELECT doc_id, span_start, span_end FROM ispans
          ORDER BY doc_id, span_start""",
 
+    // Keep-first: per repeated digest the owner (least of the index's
+    // stored owner and the delta minimum) keeps its copy; only non-owner
+    // delta occurrences feed the islands merge.
+    "dedup_spans_incremental_keep_first" ->
+      s"""WITH dgrams AS (
+           SELECT doc_id,
+                  unnest(generate_series(1, length(text) - ${SpanGramChars - 1}))::int AS pos,
+                  text
+           FROM documents
+           WHERE doc_id % 10 >= 8 AND text IS NOT NULL
+             AND length(text) >= $SpanGramChars),
+         dgd AS (
+           SELECT doc_id, pos,
+                  ('0x' || substr(md5(substr(text, pos, $SpanGramChars)), 1, 15))::bigint AS h
+           FROM dgrams),
+         lidx AS (
+           SELECT ('0x' || substr(md5(substr(text, pos, $SpanGramChars)), 1, 15))::bigint AS h,
+                  min(doc_id) AS owner
+           FROM (
+             SELECT doc_id,
+                    unnest(generate_series(1, length(text) - ${SpanGramChars - 1}))::int AS pos,
+                    text
+             FROM documents
+             WHERE doc_id % 10 < 8 AND text IS NOT NULL
+               AND length(text) >= $SpanGramChars)
+           GROUP BY 1),
+         irep AS (
+           SELECT d.h,
+                  CASE WHEN l.owner IS NOT NULL THEN least(l.owner, d.lo)
+                       ELSE d.lo END AS owner
+           FROM (SELECT h, min(doc_id) AS lo, max(doc_id) AS hi
+                 FROM dgd GROUP BY h) d
+           LEFT JOIN lidx l ON l.h = d.h
+           WHERE l.owner IS NOT NULL OR d.lo <> d.hi),
+         ipts AS (
+           SELECT g.doc_id, g.pos FROM dgd g JOIN irep r ON g.h = r.h
+           WHERE g.doc_id <> r.owner),
+         iisl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + $SpanGramChars) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS brk
+           FROM ipts),
+         igrp AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM iisl),
+         ispans AS (
+           SELECT doc_id, min(pos) AS span_start,
+                  max(pos) + ${SpanGramChars - 1} AS span_end
+           FROM igrp GROUP BY doc_id, island)
+         SELECT doc_id, span_start, span_end FROM ispans
+         ORDER BY doc_id, span_start""",
+
     // Grown index = lake rows untouched (owner = min LAKE id) + novel
     // delta digests (owner = min DELTA id); digests the delta shares
     // with the lake add no row — the append-only contract.
@@ -2489,5 +2582,8 @@ object LlmQueries {
         ) t ORDER BY method"""
 
   val oracles: Map[String, String] =
-    baseOracles + ("ann_recall_frontier" -> recallFrontierOracle)
+    baseOracles + ("ann_recall_frontier" -> recallFrontierOracle) +
+      // the indexed probe is pair-identical to the inline operator by
+      // contract — one oracle text serves both
+      ("dedup_cross_corpus_indexed" -> baseOracles("dedup_cross_corpus"))
 }

@@ -199,6 +199,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("indexed cross-corpus probe: stored skew cap pushes into the band scan") {
+    val p = plan("dedup_cross_corpus_indexed")
+    // the pre-materialized bucket cardinality is a plain column predicate,
+    // so the hot-bucket cut happens AT the parquet scan (row-group
+    // pruning) instead of a per-probe lake-wide count aggregate
+    assert(p.contains("LessThanOrEqual(bucket_n"),
+      "bucket_n cap not pushed into the band index scan")
+    // delta bands + candidates broadcast; the index tables only stream
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "index band scan and both sig fetches must join by broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "index side must never shuffle for a join")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"only the candidate distinct may hash-shuffle ($hashEx)")
+  }
+
   test("incremental spans: delta digests broadcast, the index side never shuffles") {
     val p = try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")

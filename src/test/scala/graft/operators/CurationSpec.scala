@@ -99,4 +99,29 @@ class CurationSpec extends SparkSpec {
     assert(sharded.filter(_._2 == 0).map(_._3).min == 0L)
     assert(sharded.filter(_._2 == 1).map(_._3).min == 0L)
   }
+
+  test("seededShuffle: a reproducible permutation, decorrelated from corpus order") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val a = Curation.seededShuffle(docs, "doc_id", shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // a permutation: every doc exactly once, seq dense 1..n within a shard
+    assert(a.map(_._1).distinct.length == 200)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length)) }
+    // reproducible: a re-run (fresh plan, different partitioning) is identical
+    val b = Curation.seededShuffle(docs.repartition(7), "doc_id", shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.toSet == b.toSet)
+    // decorrelated: within a shard, consecutive export positions are not
+    // consecutive corpus ids (the property the shuffle exists for)
+    val byShard = a.groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy(_._3).toSeq.sliding(2).collect {
+        case Seq(x, y) => (y._1 - x._1).abs }
+    }
+    assert(byShard.count(_ == 1) < byShard.size / 4)
+    // a different seed is an independent draw
+    val c = Curation.seededShuffle(docs, "doc_id", shards = 4, seed = "other:")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(c.toSet != a.toSet)
+  }
 }

@@ -204,6 +204,37 @@ class DedupSpec extends SparkSpec {
     assert(cross.nonEmpty)
   }
 
+  test("indexed cross-corpus probe ≡ the inline operator, pair for pair") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    def sh(f: org.apache.spark.sql.DataFrame) =
+      Dedup.rawShingles(f, "text", "doc_id", 5)
+    val lake = sh(docs.filter(col("doc_id") % 2 =!= 0))
+    val delta = sh(docs.filter(col("doc_id") % 2 === 0))
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_spec").toString
+    Dedup.writeLshIndex(lake, "doc_id", k = 16, bands = 4, idxPath)
+    val indexed = Dedup.indexedCrossCorpusPairs(
+        spark.read.parquet(s"$idxPath/bands"), spark.read.parquet(s"$idxPath/sigs"),
+        delta, "doc_id", k = 16, bands = 4, maxBucket = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = Dedup.crossCorpusLshPairs(delta, lake, "doc_id",
+        k = 16, bands = 4, maxBucket = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == inline && indexed.nonEmpty)
+    // the persisted bucket_n column enforces the same skew cut the inline
+    // operator computes per run: a cap below the hottest bucket must drop
+    // pairs identically on both paths
+    val capped = Dedup.indexedCrossCorpusPairs(
+        spark.read.parquet(s"$idxPath/bands"), spark.read.parquet(s"$idxPath/sigs"),
+        delta, "doc_id", k = 16, bands = 4, maxBucket = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val cappedInline = Dedup.crossCorpusLshPairs(delta, lake, "doc_id",
+        k = 16, bands = 4, maxBucket = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == cappedInline)
+  }
+
   test("edit-distance pairs: hand-checked distances, block escape, maxBlock cap, NULL text") {
     import spark.implicits._
     val docs = Seq(
@@ -315,6 +346,20 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(s => s._1 == 93L || s._1 == 94L || s._1 == 95L))
     // lake documents are never re-emitted — the index replaced their text
     assert(got.forall(_._1 >= 90L))
+
+    // keep-first over the same index: ≡ whole-corpus keep-first on the
+    // delta — doc 90's lakeShared copy is still marked (a lake doc owns
+    // it), and of the delta-internal pair only the NON-owner (92) is
+    // marked; owner 91 keeps its copy
+    val gotKf = Dedup.incrementalSpansKeepFirst(spark.read.parquet(idxPath),
+        delta.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Int, Int)].collect().toSet
+    val wholeKf = Dedup.repeatedSpansKeepFirst(
+        (lake ++ delta).toDF("doc_id", "text"), "doc_id", "text", gramChars = L)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(gotKf == wholeKf.filter(_._1 >= 90L), s"got $gotKf\nwhole $wholeKf")
+    assert(gotKf.exists(_._1 == 90L) && gotKf.exists(_._1 == 92L))
+    assert(!gotKf.exists(_._1 == 91L), "owner of the delta-internal pair must keep its copy")
   }
 
   test("appendGramIndex grows the digest log so the NEXT delta probes lake+delta") {
