@@ -32,7 +32,9 @@ object SparkEntry {
         "stream_cms" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.streamingCms(s, dir)),
         "stream_semantic_dedup" -> ((s: SparkSession, dir: String) =>
-          streaming.StreamPipeline.streamingSemanticDedup(s, dir)))
+          streaming.StreamPipeline.streamingSemanticDedup(s, dir)),
+        "stream_span_dedup" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.streamingSpanDedup(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,7 +96,49 @@ object SparkEntry {
                     sqrt(list_dot_product(b2.embedding::double[], b2.embedding::double[]))) AS c
                FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id)
              SELECT doc_id, corpus_id, round(c, 6) AS cosine FROM pairs
-             WHERE c >= 0.9 ORDER BY doc_id, corpus_id""")
+             WHERE c >= 0.9 ORDER BY doc_id, corpus_id""",
+        // ingest-time span marking ≡ the batch probe of the same index:
+        // delta grams whose digest the lake has seen, merged to maximal
+        // per-doc spans (lake-hit grams only — intra-batch repeats are
+        // the batch operator's contract)
+        "stream_span_dedup" -> {
+          val L = _root_.graft.queries.LlmQueries.SpanGramChars
+          s"""WITH dgd AS (
+               SELECT doc_id, pos,
+                      ('0x' || substr(md5(substr(text, pos, $L)), 1, 15))::bigint AS h
+               FROM (
+                 SELECT doc_id,
+                        unnest(generate_series(1, length(text) - ${L - 1}))::int AS pos,
+                        text
+                 FROM documents
+                 WHERE doc_id % 10 >= 8 AND text IS NOT NULL
+                   AND length(text) >= $L)),
+             lidx AS (
+               SELECT DISTINCT
+                      ('0x' || substr(md5(substr(text, pos, $L)), 1, 15))::bigint AS h
+               FROM (
+                 SELECT unnest(generate_series(1, length(text) - ${L - 1}))::int AS pos,
+                        text
+                 FROM documents
+                 WHERE doc_id % 10 < 8 AND text IS NOT NULL
+                   AND length(text) >= $L)),
+             pts AS (SELECT doc_id, pos FROM dgd WHERE h IN (SELECT h FROM lidx)),
+             isl AS (
+               SELECT doc_id, pos,
+                      CASE WHEN pos > coalesce(max(pos + $L) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                           THEN 1 ELSE 0 END AS brk
+               FROM pts),
+             grp AS (
+               SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM isl)
+             SELECT doc_id, min(pos) AS span_start,
+                    max(pos) + ${L - 1} AS span_end
+             FROM grp GROUP BY doc_id, island
+             ORDER BY doc_id, span_start"""
+        })
 
   /** Headline subset timed by [[Bench]] at sf0.1 — one per operator family
     * (scan/agg, broadcast join chain, window, sessionize, CDC apply,

@@ -27,7 +27,7 @@ object LlmQueries {
   // Gram width of the exact-substring (repeated-span) dedup — interpolated
   // into both the Spark call and the oracle so the span arithmetic replays
   // exactly.
-  private[queries] val SpanGramChars = 30
+  private[graft] val SpanGramChars = 30
   // Token-gram width of the token-aware span dedup — the published
   // suffix-array pipelines count windows in TOKENS (50-token windows at
   // web scale); 6 keeps repeats discoverable in the small synthetic docs.

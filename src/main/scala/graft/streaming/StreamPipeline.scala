@@ -236,6 +236,63 @@ object StreamPipeline {
     }
   }
 
+  /** Ingest-time repeated-span marking against the standing corpus's
+    * PERSISTED gram-digest index ([[graft.operators.Dedup.writeGramIndex]])
+    * — the streaming leg of the incremental exact-substring family:
+    * every arriving document's gram digests are computed IN the stream
+    * (one stateless kernel projection + explode, no state store) and
+    * stream-static joined against the index, so boilerplate the lake has
+    * already seen is localized the moment a document arrives. The
+    * heavyweight work (kernel + probe) is per-arrival and stateless —
+    * the shape that holds at any ingest rate; the tiny per-doc
+    * gaps-and-islands fold runs on the marked positions after the
+    * streaming query completes (positions are result-sized, not
+    * corpus-sized). Intra-batch repeats among simultaneous arrivals are
+    * the batch operator's job ([[graft.operators.Dedup.incrementalSpans]]);
+    * between micro-batches the index grows via
+    * [[graft.operators.Dedup.appendGramIndex]]. */
+  def streamingSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.LlmQueries.SpanGramChars
+    graft.functions.GraftFunctions.register(spark)
+    val indexDir = Files.createTempDirectory("graft_gramidx_stream")
+    graft.operators.Dedup.writeGramIndex(
+      graft.Tables.load(spark, dir, "documents").filter(col("doc_id") % 10 < 8),
+      "doc_id", "text", SpanGramChars, indexDir.toString)
+    try {
+      val index = spark.read.parquet(indexDir.toString)
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id") % 10 >= 8 && col("text").isNotNull &&
+          length(col("text")) >= SpanGramChars)
+        .select(col("doc_id"), posexplode(
+            call_function("graft_gram_digests", col("text"), lit(SpanGramChars)))
+          .as(Seq("__p0", "__h")))
+      val marked = arrivals
+        .join(index.select(col("h").as("__h")), Seq("__h"))
+        .select(col("doc_id"), (col("__p0") + 1).as("pos"))
+      val pts = runToMemory(marked, "append", "graft_sspan")
+      val W = org.apache.spark.sql.expressions.Window
+      val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val prevEnd = max(col("pos") + SpanGramChars)
+        .over(byDoc.rowsBetween(W.unboundedPreceding, -1))
+      pts
+        .withColumn("__brk",
+          when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+        .withColumn("__island", sum(col("__brk")).over(byDoc))
+        .groupBy(col("doc_id"), col("__island"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (SpanGramChars - 1)).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"))
+        .orderBy("doc_id", "span_start")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(indexDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Serve the ingest dedup from an already-persisted index table. */
   def streamingSemanticDedupWithIndex(
       spark: SparkSession, dir: String, indexPath: String): DataFrame =

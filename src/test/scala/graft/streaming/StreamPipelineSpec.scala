@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
 class StreamPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming span marking: lake-hit spans, each contained in the batch incremental span set") {
+    val streamed = StreamPipeline.streamingSpanDedup(spark, Sf0001)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(streamed.nonEmpty, "synthetic corpus must contain cross-split boilerplate")
+    // deterministic across runs (fresh streaming query, fresh index build)
+    val again = StreamPipeline.streamingSpanDedup(spark, Sf0001)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(streamed == again)
+    // the stream marks lake-hit grams only; the batch operator adds
+    // delta-internal repeats — so every streamed span lies inside some
+    // batch incremental span of the same document
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val idxPath = Files.createTempDirectory("graft_sspan_twin").toString
+    graft.operators.Dedup.writeGramIndex(docs.filter(col("doc_id") % 10 < 8),
+      "doc_id", "text", graft.queries.LlmQueries.SpanGramChars, idxPath)
+    val batch = graft.operators.Dedup.incrementalSpans(spark.read.parquet(idxPath),
+        docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text",
+        graft.queries.LlmQueries.SpanGramChars)
+      .as[(Long, Int, Int)].collect().toSeq
+    streamed.foreach { case (id, s, e) =>
+      assert(batch.exists { case (bid, bs, be) => bid == id && bs <= s && be >= e },
+        s"streamed span ($id,$s,$e) not covered by batch spans") }
+  }
+
   test("windowedCounts streaming result equals the batch equivalent") {
     val streamed = StreamPipeline.windowedCounts(spark, Sf0001)
       .collect().toSeq
