@@ -876,6 +876,78 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** [[writeGramIndex]] as a BUCKETED catalog table — the big-delta
+    * regime. The broadcast probe of [[incrementalSpans]] assumes the
+    * delta's distinct digest set fits an executor broadcast (~8 B per
+    * digest — fine for daily batches, not for a backfill that re-ingests
+    * a quarter of the lake). Bucketing the index by digest pre-pays its
+    * join shuffle at build time: [[incrementalSpansBucketed]] then joins
+    * delta aggregates against the index with NO exchange on the index
+    * side at ANY delta size — the bucketed layout satisfies the join's
+    * distribution (the [[Bucketing]] contract), and within-bucket sort
+    * by `h` lets a merge join skip its sort. `buckets` should match
+    * `spark.sql.shuffle.partitions` so the delta's digest exchange is
+    * reused as-is against the bucket layout. */
+  def writeGramIndexBucketed(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int, table: String, buckets: Int): Unit = {
+    require(gramChars > 0, s"gramChars=$gramChars must be positive")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val idx = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars &&
+        col(idCol).isNotNull)
+      .select(col(idCol), explode(
+          call_function("graft_gram_digests", col(textCol), lit(gramChars)))
+        .as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("owner"))
+      .select(col("__h").as("h"), col("owner"))
+    Bucketing.writeBucketed(idx, table, "h", buckets, sortCols = Seq("h"))
+  }
+
+  /** [[incrementalSpans]] against a BUCKETED index
+    * ([[writeGramIndexBucketed]]) — no broadcast anywhere, so the probe
+    * holds when the delta is too large for the broadcast contract: the
+    * delta's digest aggregate joins the index on `h` with the index side
+    * reading its buckets in place (zero exchange — pre-paid at build),
+    * and only the delta moves. Result-identical to [[incrementalSpans]]
+    * (spec-pinned). */
+  def incrementalSpansBucketed(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, gramChars: Int): DataFrame = {
+    require(gramChars > 0, s"gramChars=$gramChars must be positive")
+    graft.functions.GraftFunctions.register(delta.sparkSession)
+    val grams = delta
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars)
+      .select(col(idCol), posexplode(
+          call_function("graft_gram_digests", col(textCol), lit(gramChars)))
+        .as(Seq("__p0", "__h")))
+    val byDigest = grams.filter(col(idCol).isNotNull).repartition(col("__h"))
+    val agg = byDigest.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"),
+        max(col("__p0")).as("__mp"))
+      .filter(col("__mp") >= 0 && col("__lo") <= col("__hi"))
+    // delta-agg ⋈ index on the digest: the index's bucketed layout
+    // satisfies the join's required distribution, so only the (already
+    // exchanged) delta side moves; owner is non-null in the index by
+    // construction, so it doubles as the hit marker
+    val rep = agg
+      .join(index.select(col("h").as("__h"), col("owner").as("__lown")),
+        Seq("__h"), "left")
+      .filter(col("__lo") =!= col("__hi") || col("__lown").isNotNull)
+      .select(col("__h"))
+    val pts = byDigest.join(rep.hint("SHUFFLE_HASH"), Seq("__h"))
+      .select(col(idCol), (col("__p0") + 1).as("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + gramChars)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    pts
+      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (gramChars - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
   /** Fold a processed delta's gram digests into the standing index —
     * the append half of the incremental loop ([[incrementalSpans]] probes,
     * this persists, the next delta probes the grown index). The standing

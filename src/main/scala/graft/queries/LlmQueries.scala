@@ -573,6 +573,21 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // The big-delta regime: the index BUCKETED by digest (shuffle
+    // pre-paid at build), probed by a plain join — no broadcast
+    // anywhere, so the path holds when the delta's digest set outgrows
+    // an executor broadcast. Result-identical to dedup_spans_incremental.
+    "dedup_spans_incremental_bucketed" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.writeGramIndexBucketed(docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", SpanGramChars, "graft_gramidx_bucketed",
+        buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      Dedup.incrementalSpansBucketed(
+          graft.operators.Bucketing.readBucketed(s, "graft_gramidx_bucketed"),
+          docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
+        .orderBy("doc_id", "span_start")
+    },
+
     // Keep-first incremental spans: the published one-copy-survives
     // policy against the persisted index — the index's stored owner
     // column supplies the lake side of the ownership decision, so the
@@ -2585,5 +2600,8 @@ object LlmQueries {
     baseOracles + ("ann_recall_frontier" -> recallFrontierOracle) +
       // the indexed probe is pair-identical to the inline operator by
       // contract — one oracle text serves both
-      ("dedup_cross_corpus_indexed" -> baseOracles("dedup_cross_corpus"))
+      ("dedup_cross_corpus_indexed" -> baseOracles("dedup_cross_corpus")) +
+      // the bucketed-index probe is result-identical to the broadcast one
+      ("dedup_spans_incremental_bucketed" ->
+        baseOracles("dedup_spans_incremental"))
 }

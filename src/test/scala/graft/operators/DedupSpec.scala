@@ -362,6 +362,42 @@ class DedupSpec extends SparkSpec {
     assert(!gotKf.exists(_._1 == 91L), "owner of the delta-internal pair must keep its copy")
   }
 
+  test("bucketed-index spans ≡ broadcast-index spans, with zero index-side exchange and no broadcast") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val lake = docs.filter(col("doc_id") % 10 < 8)
+    val delta = docs.filter(col("doc_id") % 10 >= 8)
+    val L = 30
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_gramidx_bb").toString
+    Dedup.writeGramIndex(lake, "doc_id", "text", L, idxPath)
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // big-delta regime
+    try {
+      Dedup.writeGramIndexBucketed(lake, "doc_id", "text", L,
+        "bk_gramidx_spec", buckets)
+      val bucketed = Dedup.incrementalSpansBucketed(
+        Bucketing.readBucketed(spark, "bk_gramidx_spec"),
+        delta, "doc_id", "text", L)
+      val plan = bucketed.queryExecution.executedPlan.toString
+      // no broadcast anywhere — this is the path for deltas too large to
+      // broadcast — and the index side reads its buckets in place: the
+      // only exchanges are the delta digest repartition (reused) and the
+      // per-doc islands window
+      assert(!plan.contains("BroadcastHashJoin"), s"broadcast crept in:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+        s"index side shuffled:\n$plan")
+      val got = bucketed.as[(Long, Int, Int)].collect().toSet
+      val viaBroadcast = Dedup.incrementalSpans(spark.read.parquet(idxPath),
+          delta, "doc_id", "text", L)
+        .as[(Long, Int, Int)].collect().toSet
+      assert(got == viaBroadcast && got.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bk_gramidx_spec")
+    }
+  }
+
   test("appendGramIndex grows the digest log so the NEXT delta probes lake+delta") {
     import spark.implicits._
     val early = "a passage that only the first delta batch ever carried along"
