@@ -16,10 +16,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 object Bucketing {
 
   /** Write `df` as a bucketed catalog table (parquet). `sortCols` adds
-    * within-bucket ordering so merge joins skip their sort too. */
+    * within-bucket ordering so merge joins skip their sort too.
+    *
+    * A managed table's warehouse directory outlives the (in-memory)
+    * catalog that created it, so a fresh session re-creating the same
+    * table name would hit LOCATION_ALREADY_EXISTS — drop the catalog
+    * entry AND the stale location before writing. */
   def writeBucketed(
       df: DataFrame, table: String, key: String, buckets: Int,
       sortCols: Seq[String] = Seq.empty): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

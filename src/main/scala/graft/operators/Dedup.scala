@@ -959,10 +959,14 @@ object Dedup {
     * append-only digest log — per batch it grows by that batch's new
     * grams, and a 100 TB lake's index is only ever scanned, never moved.
     *
-    * Owner semantics under append-only: a digest already present keeps
-    * its existing owner row untouched (exact when ingest doc ids are
-    * monotone — the standing corpus always holds the minimum); a novel
-    * digest records the delta's minimum id. */
+    * Owner semantics under append-only: a novel digest records the
+    * delta's minimum id; a digest already present keeps its existing
+    * rows untouched, and when the delta's minimum id undercuts the
+    * stored owner an owner-LOWERING row is appended instead of a
+    * rewrite. Readers reduce `min(owner)` per digest (keep-first does so
+    * over its delta-sized hit set), so ownership stays exact whether or
+    * not ingest ids are monotone, and the log is still only ever
+    * appended — never shuffled or rewritten. */
   def appendGramIndex(index: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, gramChars: Int, path: String): Unit = {
     require(gramChars > 0, s"gramChars=$gramChars must be positive")
@@ -976,10 +980,17 @@ object Dedup {
       .groupBy(col("__h"))
       .agg(min(col(idCol)).as("owner"))
       .select(col("__h").as("h"), col("owner"))
-    val hits = index.select(col("h"))
+    // stored owner per hit digest = min across rows: the log may already
+    // carry lowering rows from earlier non-monotone appends
+    val hitOwners = index.select(col("h"), col("owner"))
       .join(broadcast(deltaAgg.select(col("h"))), Seq("h"), "left_semi")
-    deltaAgg.join(broadcast(hits), Seq("h"), "left_anti")
-      .write.mode("append").parquet(path)
+      .groupBy(col("h")).agg(min(col("owner")).as("__iown"))
+    val novel = deltaAgg
+      .join(broadcast(hitOwners.select(col("h"))), Seq("h"), "left_anti")
+    val lowered = deltaAgg.join(broadcast(hitOwners), Seq("h"))
+      .filter(col("owner") < col("__iown"))
+      .select(col("h"), col("owner"))
+    novel.unionByName(lowered).write.mode("append").parquet(path)
   }
 
   /** Incremental [[repeatedSpans]]: spans for a DELTA batch against a
@@ -1053,8 +1064,16 @@ object Dedup {
     val idxCols =
       if (keepFirst) Seq(col("h").as("__h"), col("owner").as("__lown"))
       else Seq(col("h").as("__h"))
-    val hits = index.select(idxCols: _*)
+    val hits0 = index.select(idxCols: _*)
       .join(broadcast(agg.select(col("__h"))), Seq("__h"), "left_semi")
+    // The digest log may hold several rows per digest (owner-lowering
+    // appends from non-monotone deltas). Keep-first reduces its
+    // delta-sized hit set to the minimum owner — the exact ownership
+    // decision; the existence-only path tolerates duplicate hit rows
+    // (duplicate points are island-invariant), so it skips the aggregate.
+    val hits =
+      if (keepFirst) hits0.groupBy(col("__h")).agg(min(col("__lown")).as("__lown"))
+      else hits0
     val hitsMarked =
       if (keepFirst) hits else hits.withColumn("__lown", col("__h"))
     val rep = agg

@@ -78,10 +78,16 @@ object DerivedPredicatePushdown extends Rule[LogicalPlan] {
         case PosLongLit(k) if m <= Long.MaxValue / k => peel(d.left, m * k)
         case _                                       => None
       }
-    // x·k ≥ m ⟹ x ≥ ⌈m/k⌉ (k > 0; m ≥ 1 keeps ceil-arithmetic positive)
-    case Multiply(x, PosLongLit(k), _) if m <= Long.MaxValue - (k - 1) =>
+    // x·k ≥ m ⟹ x ≥ ⌈m/k⌉ (k > 0; m ≥ 1 keeps ceil-arithmetic positive).
+    // Sound only under ANSI eval: in legacy mode a hugely negative x can
+    // wrap x·k positive past m (true original, false implied — wrong
+    // prune); under ANSI that row would abort the query instead, so the
+    // implication cannot change the result of any successful run.
+    case mul @ Multiply(x, PosLongLit(k), _)
+        if mul.evalMode == EvalMode.ANSI && m <= Long.MaxValue - (k - 1) =>
       peel(x, (m + k - 1) / k)
-    case Multiply(PosLongLit(k), x, _) if m <= Long.MaxValue - (k - 1) =>
+    case mul @ Multiply(PosLongLit(k), x, _)
+        if mul.evalMode == EvalMode.ANSI && m <= Long.MaxValue - (k - 1) =>
       peel(x, (m + k - 1) / k)
     // unix_micros(t) ≥ m ⟹ t ≥ timestamp-at-m-µs (exact: internal
     // TimestampType representation IS the µs count unix_micros returns)

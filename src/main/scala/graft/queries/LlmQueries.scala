@@ -605,10 +605,11 @@ object LlmQueries {
     },
 
     // The append half of the incremental loop: after a delta is probed,
-    // its NOVEL gram digests fold into the standing index as new parquet
-    // files — the index is an append-only digest log (scanned, never
-    // shuffled or rewritten), so the next delta probes lake+delta grams
-    // at the cost of one small write. Emits the grown index itself.
+    // its NOVEL gram digests (plus owner-lowering rows where a delta id
+    // undercuts a stored owner) fold into the standing index as new
+    // parquet files — the index is an append-only digest log (scanned,
+    // never shuffled or rewritten), so the next delta probes lake+delta
+    // grams at the cost of one small write. Emits the grown index itself.
     "dedup_spans_index_append" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val idxPath = new java.io.File(
@@ -1955,7 +1956,7 @@ object LlmQueries {
     "dedup_span_strip" ->
       s"""WITH $SpansCtes,
          cov AS (
-           SELECT doc_id, sum(span_end - span_start + 1) AS covered
+           SELECT doc_id, sum(span_end - span_start + 1)::bigint AS covered
            FROM spans GROUP BY doc_id),
          chars AS (
            SELECT doc_id, unnest(generate_series(1, length(text)))::int AS pos, text
@@ -2090,8 +2091,9 @@ object LlmQueries {
          ORDER BY doc_id, span_start""",
 
     // Grown index = lake rows untouched (owner = min LAKE id) + novel
-    // delta digests (owner = min DELTA id); digests the delta shares
-    // with the lake add no row — the append-only contract.
+    // delta digests (owner = min DELTA id) + owner-LOWERING rows for
+    // shared digests where the delta id undercuts the stored owner
+    // (readers reduce min per digest) — the append-only contract.
     "dedup_spans_index_append" ->
       s"""WITH lgd AS (
            SELECT doc_id,
@@ -2118,6 +2120,9 @@ object LlmQueries {
          SELECT h, owner FROM lidx
          UNION ALL
          SELECT h, owner FROM didx WHERE h NOT IN (SELECT h FROM lidx)
+         UNION ALL
+         SELECT d.h, d.owner FROM didx d
+         JOIN lidx l ON l.h = d.h AND d.owner < l.owner
          ORDER BY h, owner""",
 
     "dedup_spans_keep_first" ->
@@ -2131,7 +2136,7 @@ object LlmQueries {
     "dedup_strip_keep_first" ->
       s"""WITH $KeepFirstSpanCtes,
          fcov AS (
-           SELECT doc_id, sum(span_end - span_start + 1) AS covered
+           SELECT doc_id, sum(span_end - span_start + 1)::bigint AS covered
            FROM fspans GROUP BY doc_id),
          fchars AS (
            SELECT doc_id, unnest(generate_series(1, length(text)))::int AS pos, text

@@ -373,6 +373,9 @@ class DedupSpec extends SparkSpec {
     Dedup.writeGramIndex(lake, "doc_id", "text", L, idxPath)
     val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // big-delta regime
+    // AQE's initial plan materializes the delta digest exchange twice and
+    // only reuses at runtime — capture the statically-reused plan instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       Dedup.writeGramIndexBucketed(lake, "doc_id", "text", L,
         "bk_gramidx_spec", buckets)
@@ -385,7 +388,9 @@ class DedupSpec extends SparkSpec {
       // only exchanges are the delta digest repartition (reused) and the
       // per-doc islands window
       assert(!plan.contains("BroadcastHashJoin"), s"broadcast crept in:\n$plan")
-      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      // count real Exchange nodes only — a ReusedExchange line echoes the
+      // reused node's "Exchange hashpartitioning" text
+      assert("[+:]- Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
         s"index side shuffled:\n$plan")
       val got = bucketed.as[(Long, Int, Int)].collect().toSet
       val viaBroadcast = Dedup.incrementalSpans(spark.read.parquet(idxPath),
@@ -394,6 +399,7 @@ class DedupSpec extends SparkSpec {
       assert(got == viaBroadcast && got.nonEmpty)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.sql("DROP TABLE IF EXISTS bk_gramidx_spec")
     }
   }
@@ -426,10 +432,44 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect().toSet
     assert(got == whole.filter(_._1 >= 30L), s"got $got\nwhole $whole")
     assert(got.exists(_._1 == 30L) && !got.exists(_._1 == 31L))
-    // append-only: re-shared digests added no row — the index holds each
-    // digest once, lake/early owners preserved
+    // monotone ids: re-shared digests added no row (no lowering needed) —
+    // the index holds each digest once, lake/early owners preserved
     val idx = spark.read.parquet(idxPath).as[(Long, Long)].collect()
     assert(idx.map(_._1).distinct.length == idx.length, "duplicate digest rows")
+  }
+
+  test("appendGramIndex lowers stale owners: keep-first exact for non-monotone deltas") {
+    import spark.implicits._
+    val shared = "a passage shared by a late lake doc and an early-id newcomer"
+    val lake = Seq(
+      (100L, s"lake doc number one hundred carries $shared as its middle part"))
+    val delta1 = Seq( // ingest ids NOT monotone: 5 arrives after 100
+      (5L, s"early-id newcomer also carries $shared in its own body text!!"))
+    val L = 16
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_gramidx_nonmono").toString
+    Dedup.writeGramIndex(lake.toDF("doc_id", "text"), "doc_id", "text", L, idxPath)
+    Dedup.appendGramIndex(spark.read.parquet(idxPath),
+      delta1.toDF("doc_id", "text"), "doc_id", "text", L, idxPath)
+    // the shared grams' effective owner must now read as 5, so a probe
+    // doc with id 50 is NOT exempted (least(5, 50) = 5, not 50)
+    val delta2 = Seq(
+      (50L, s"a middle-id third document repeating $shared one more time"))
+    val gotKf = Dedup.incrementalSpansKeepFirst(spark.read.parquet(idxPath),
+        delta2.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Int, Int)].collect().toSet
+    val wholeKf = Dedup.repeatedSpansKeepFirst(
+        (lake ++ delta1 ++ delta2).toDF("doc_id", "text"), "doc_id", "text",
+        gramChars = L)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(gotKf == wholeKf.filter(_._1 == 50L), s"got $gotKf\nwhole $wholeKf")
+    assert(gotKf.nonEmpty, "stale owner exempted the probe doc")
+    // the log grew by an owner-lowering row, not a rewrite: both the
+    // original owner 100 and the lowered owner 5 rows coexist
+    val owners = spark.read.parquet(idxPath).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(owners.values.exists(_ == Seq(5L, 100L)),
+      s"expected a lowering row next to the original owner: $owners")
   }
 
   test("GramDigests kernel ≡ the composed transform/substring/digest60 form") {

@@ -47,4 +47,21 @@ class DerivedPredicatePushdownSpec extends SparkSpec {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert("GreaterThanOrEqual".r.findAllIn(optimized).size <= 1)
   }
+
+  test("legacy-mode Multiply is NOT peeled (wraparound could un-prune rows)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    // under legacy eval a hugely negative x wraps x·k positive, making the
+    // original predicate true while x >= ceil(m/k) is false — the derived
+    // bound would wrongly prune the row, so the rule must not fire
+    val x = AttributeReference("x", org.apache.spark.sql.types.LongType)()
+    def plan(mode: EvalMode.Value) = Filter(
+      GreaterThan(Multiply(x, Literal(1000L), mode), Literal(5000L)),
+      LocalRelation(x))
+    val legacyOut = DerivedPredicatePushdown(plan(EvalMode.LEGACY))
+    assert(legacyOut == plan(EvalMode.LEGACY), s"legacy peel fired:\n$legacyOut")
+    val ansiOut = DerivedPredicatePushdown(plan(EvalMode.ANSI)).toString
+    assert(ansiOut.contains("(x#") && ansiOut.contains(">= 6)"),
+      s"ANSI peel should add x >= ceil(5001/1000) = 6:\n$ansiOut")
+  }
 }
