@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -991,6 +991,28 @@ object Dedup {
       .filter(col("owner") < col("__iown"))
       .select(col("h"), col("owner"))
     novel.unionByName(lowered).write.mode("append").parquet(path)
+  }
+
+  /** Compact the append-only gram-digest log back to one row per digest
+    * (minimum owner) — the maintenance half of [[appendGramIndex]]'s
+    * contract. Every append grows the log by its novel digests plus any
+    * owner-lowering rows; probes stay exact at any log shape (readers
+    * reduce min per digest), but a log that has absorbed thousands of
+    * batches carries duplicate-digest rows and ever more parquet files —
+    * read amplification, not wrong answers. Compaction rewrites the log
+    * as `min(owner) GROUP BY h`: ONE keyed shuffle over the ~16-byte
+    * digest rows (map-side partial min; never touches corpus text), so
+    * compacting a 100 TB lake's index costs a scan of the index, not of
+    * the lake. The output is byte-equal to [[writeGramIndex]] run over
+    * the whole accumulated corpus — append+compact and from-scratch
+    * converge (spec-pinned), so compaction can run on any cadence
+    * without changing a single probe result. */
+  def compactGramIndex(spark: SparkSession, path: String, outPath: String): Unit = {
+    require(path != outPath,
+      "compact must write to a fresh path (the source log is being read)")
+    spark.read.parquet(path)
+      .groupBy(col("h")).agg(min(col("owner")).as("owner"))
+      .write.mode("overwrite").parquet(outPath)
   }
 
   /** Incremental [[repeatedSpans]]: spans for a DELTA batch against a

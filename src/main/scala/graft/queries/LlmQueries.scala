@@ -623,6 +623,27 @@ object LlmQueries {
       s.read.parquet(idxPath).orderBy("h", "owner")
     },
 
+    // Log compaction: the append-only digest log (lake build + one
+    // appended delta, incl. any owner-lowering rows) rewritten to one
+    // min-owner row per digest — one keyed shuffle over 16-byte rows,
+    // never touching corpus text. Converges to exactly the from-scratch
+    // index over the whole accumulated corpus, which is what the oracle
+    // computes from the raw documents.
+    "dedup_spans_index_compact" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val idxPath = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_gramcidx_${Integer.toHexString(dir.hashCode)}").toString
+      val outPath = idxPath + "_compacted"
+      val lake = docs.filter(col("doc_id") % 10 < 8)
+      val delta = docs.filter(col("doc_id") % 10 >= 8)
+      Dedup.writeGramIndex(lake, "doc_id", "text", SpanGramChars, idxPath)
+      Dedup.appendGramIndex(s.read.parquet(idxPath), delta,
+        "doc_id", "text", SpanGramChars, idxPath)
+      Dedup.compactGramIndex(s, idxPath, outPath)
+      s.read.parquet(outPath).orderBy("h")
+    },
+
     // Perplexity-proxy quality scoring: a bigram LM estimated from the
     // corpus itself, each doc scored by the mean conditional probability
     // of its own bigrams — the model-free LM-quality filter. Counts +
@@ -2124,6 +2145,20 @@ object LlmQueries {
          SELECT d.h, d.owner FROM didx d
          JOIN lidx l ON l.h = d.h AND d.owner < l.owner
          ORDER BY h, owner""",
+
+    // Compacted log ≡ the from-scratch index over the WHOLE corpus:
+    // min doc id per gram digest, straight from the raw documents.
+    "dedup_spans_index_compact" ->
+      s"""SELECT ('0x' || substr(md5(substr(text, pos, $SpanGramChars)), 1, 15))::bigint AS h,
+                min(doc_id) AS owner
+         FROM (
+           SELECT doc_id,
+                  unnest(generate_series(1, length(text) - ${SpanGramChars - 1}))::int AS pos,
+                  text
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL
+             AND length(text) >= $SpanGramChars)
+         GROUP BY 1 ORDER BY h""",
 
     "dedup_spans_keep_first" ->
       s"""WITH $KeepFirstSpanCtes

@@ -470,6 +470,24 @@ class DedupSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     assert(owners.values.exists(_ == Seq(5L, 100L)),
       s"expected a lowering row next to the original owner: $owners")
+
+    // compaction folds the log (incl. the lowering rows) back to one
+    // min-owner row per digest == the from-scratch index over the whole
+    // accumulated corpus, and probe results are unchanged
+    val outPath = idxPath + "_compacted"
+    Dedup.compactGramIndex(spark, idxPath, outPath)
+    val compacted = spark.read.parquet(outPath).as[(Long, Long)].collect().toSet
+    val scratchPath = java.nio.file.Files
+      .createTempDirectory("graft_gramidx_scratch").toString
+    Dedup.writeGramIndex((lake ++ delta1).toDF("doc_id", "text"),
+      "doc_id", "text", L, scratchPath)
+    val scratch = spark.read.parquet(scratchPath).as[(Long, Long)].collect().toSet
+    assert(compacted == scratch, "compacted log != from-scratch index")
+    assert(compacted.map(_._1).size == compacted.size, "duplicate digest post-compact")
+    val kfCompacted = Dedup.incrementalSpansKeepFirst(spark.read.parquet(outPath),
+        delta2.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(kfCompacted == gotKf, "compaction changed a probe result")
   }
 
   test("GramDigests kernel ≡ the composed transform/substring/digest60 form") {
