@@ -536,6 +536,71 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
   }
 
+  /** Fold an ingested delta into the standing LSH index — the append
+    * half of the persisted near-dup loop ([[indexedCrossCorpusPairs]]
+    * probes, this persists, the next delta probes the grown index). Both
+    * tables are append-only logs: the delta's signature rows land as new
+    * parquet files under `sigs/`, and its band rows under `bands/`, each
+    * carrying its bucket's AS-OF-APPEND total cardinality — the prior
+    * exact count (the max over the bucket's existing rows, see the
+    * invariant below) plus the delta's contribution. Older rows of a
+    * grown bucket keep their stale smaller `bucket_n`; the invariant that
+    * makes probes exact anyway is that **stored counts only ever
+    * undercount, and `max(bucket_n)` over a bucket's rows IS its exact
+    * current cardinality** (induction: the build writes exact counts;
+    * every append to a bucket writes the new exact total, which exceeds
+    * all earlier rows'). [[indexedCrossCorpusPairs]] with
+    * `staleCounts=true` exploits both directions. Index traffic: the
+    * existing-count lookup semi-joins the band scan by the BROADCAST
+    * delta bucket set and aggregates only the surviving delta-sized
+    * rows — the lake-sized log streams, exactly the probe's contract. */
+  def appendLshIndex(deltaShingled: DataFrame, idCol: String,
+      k: Int, bands: Int, path: String): Unit = {
+    val spark = deltaShingled.sparkSession
+    val newWide = wideSigs(deltaShingled, idCol, k).localCheckpoint()
+    newWide.select(col(idCol).as("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .write.mode("append").parquet(s"$path/sigs")
+    val db = bandsFromWide(newWide, idCol, k, bands)
+      .select(col(idCol).as("id"), col("band"), col("band_hash"))
+      .localCheckpoint()
+    val deltaN = db.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__dn"))
+    val existing = spark.read.parquet(s"$path/bands")
+      .join(broadcast(deltaN.select(col("band"), col("band_hash"))),
+        Seq("band", "band_hash"), "left_semi")
+      .groupBy(col("band"), col("band_hash"))
+      .agg(max(col("bucket_n")).as("__en"))
+    db.join(broadcast(deltaN), Seq("band", "band_hash"))
+      .join(broadcast(existing), Seq("band", "band_hash"), "left")
+      .select(col("id"), col("band"), col("band_hash"),
+        (coalesce(col("__en"), lit(0L)) + col("__dn")).as("bucket_n"))
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Compact the appended LSH index back to the [[writeLshIndex]] shape:
+    * every band row re-annotated with its bucket's exact cardinality, so
+    * the stored `bucket_n` is uniformly fresh again and probes can run
+    * without the stale-counts hot-set pass. One count aggregate plus one
+    * keyed join over the band log's slim rows — never re-shingles, never
+    * recomputes a signature; converges to [[writeLshIndex]] over the
+    * accumulated corpus (spec-pinned), so compaction cadence is a pure
+    * read-amplification dial, not a correctness decision. */
+  def compactLshIndex(spark: SparkSession, path: String, outPath: String): Unit = {
+    require(path != outPath,
+      "compact must write to a fresh path (the source index is being read)")
+    spark.read.parquet(s"$path/sigs")
+      .write.mode("overwrite").parquet(s"$outPath/sigs")
+    val bd = spark.read.parquet(s"$path/bands")
+      .select(col("id"), col("band"), col("band_hash"))
+    bd.join(
+        bd.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("bucket_n")),
+        Seq("band", "band_hash"))
+      .select(col("id"), col("band"), col("band_hash"), col("bucket_n"))
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+  }
+
   /** [[crossCorpusLshPairs]] served from a persisted [[writeLshIndex]] —
     * the delta-vs-lake near-dup probe with the lake reduced to its index:
     * no lake re-shingling, no lake signature shuffle, no per-probe
@@ -551,16 +616,37 @@ object Dedup {
     *  - the capped candidate set (≤ delta-bands × maxBucket) broadcasts
     *    into both signature fetches, so the lake's signature table also
     *    streams through broadcast joins;
-    *  - the only hash exchange is the delta-sized candidate `distinct`. */
+    *  - the only hash exchange is the delta-sized candidate `distinct`.
+    *
+    * `staleCounts=true` keeps the probe EXACT over an APPENDED index
+    * ([[appendLshIndex]]), where older rows of a grown bucket undercount
+    * `bucket_n`. Both pushed filters stay sound because stored counts
+    * only ever undercount: `bucket_n <= maxBucket` can only over-admit
+    * (never drops a cold bucket), and any row with `bucket_n > maxBucket`
+    * PROVES its bucket hot. So the exact pass scans the band log a second
+    * time pruned to over-cap rows (the pushed `>` filter reads only hot
+    * row groups), semi-joins by the broadcast delta bands, reduces to the
+    * tiny delta-relevant hot-bucket key set, and anti-joins it out of the
+    * admitted side — one extra hash exchange over that tiny set, and the
+    * lake-sized log still never shuffles. */
   def indexedCrossCorpusPairs(indexBands: DataFrame, indexSigs: DataFrame,
       newShingled: DataFrame, idCol: String, k: Int, bands: Int,
-      maxBucket: Int, minEst: Double = 0.0): DataFrame = {
+      maxBucket: Int, minEst: Double = 0.0,
+      staleCounts: Boolean = false): DataFrame = {
     require(maxBucket > 1, s"maxBucket=$maxBucket would drop every bucket")
     val newWide = wideSigs(newShingled, idCol, k).localCheckpoint()
     val nb = broadcast(bandsFromWide(newWide, idCol, k, bands)
       .select(col(idCol).as("id_new"), col("band"), col("band_hash")))
-    val bb = indexBands.filter(col("bucket_n") <= maxBucket)
+    val bb0 = indexBands.filter(col("bucket_n") <= maxBucket)
       .select(col("id").as("id_base"), col("band"), col("band_hash"))
+    val bb = if (!staleCounts) bb0 else {
+      val hotKeys = indexBands.filter(col("bucket_n") > maxBucket)
+        .select(col("band"), col("band_hash"))
+        .join(nb.select(col("band"), col("band_hash")),
+          Seq("band", "band_hash"), "left_semi")
+        .distinct()
+      bb0.join(broadcast(hotKeys), Seq("band", "band_hash"), "left_anti")
+    }
     val cand = nb.join(bb, Seq("band", "band_hash"))
       .select(col("id_new"), col("id_base")).distinct()
     val newSig = newWide.select(col(idCol).as("id_new"),

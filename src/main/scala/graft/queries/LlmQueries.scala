@@ -489,6 +489,56 @@ object LlmQueries {
         .orderBy("id_new", "id_base")
     },
 
+    // The append half of the persisted LSH loop: the lake index built
+    // from one odd half (doc_id % 4 == 1), the other odd half appended
+    // (% 4 == 3), evens probed with staleCounts=true — band rows of
+    // grown buckets carry as-of-append totals, and the probe's hot-set
+    // pass keeps the cap exact anyway. The accumulated lake is exactly
+    // dedup_cross_corpus's odd-id lake, so the probe must reproduce its
+    // pairs bit-for-bit (same oracle SQL).
+    "dedup_cross_corpus_appended" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def sh(f: org.apache.spark.sql.DataFrame) =
+        Dedup.rawShingles(f, "text", "doc_id", ShingleN)
+      val idxPath = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_lshappidx_${Integer.toHexString(dir.hashCode)}").toString
+      Dedup.writeLshIndex(sh(docs.filter(col("doc_id") % 4 === 1)),
+        "doc_id", MinhashK, LshBands, idxPath)
+      Dedup.appendLshIndex(sh(docs.filter(col("doc_id") % 4 === 3)),
+        "doc_id", MinhashK, LshBands, idxPath)
+      Dedup.indexedCrossCorpusPairs(
+          s.read.parquet(s"$idxPath/bands"), s.read.parquet(s"$idxPath/sigs"),
+          sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
+          MinhashK, LshBands, maxBucket = CrossMaxBucket, staleCounts = true)
+        .orderBy("id_new", "id_base")
+    },
+
+    // Compaction closes the loop: the appended log rewritten with
+    // uniformly fresh bucket counts (one count aggregate + one keyed
+    // join over slim band rows — no re-shingling, no signature work),
+    // after which the plain single-exchange probe serves again. Same
+    // accumulated lake, same oracle.
+    "dedup_cross_corpus_compacted" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def sh(f: org.apache.spark.sql.DataFrame) =
+        Dedup.rawShingles(f, "text", "doc_id", ShingleN)
+      val idxPath = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_lshcidx_${Integer.toHexString(dir.hashCode)}").toString
+      val outPath = idxPath + "_compacted"
+      Dedup.writeLshIndex(sh(docs.filter(col("doc_id") % 4 === 1)),
+        "doc_id", MinhashK, LshBands, idxPath)
+      Dedup.appendLshIndex(sh(docs.filter(col("doc_id") % 4 === 3)),
+        "doc_id", MinhashK, LshBands, idxPath)
+      Dedup.compactLshIndex(s, idxPath, outPath)
+      Dedup.indexedCrossCorpusPairs(
+          s.read.parquet(s"$outPath/bands"), s.read.parquet(s"$outPath/sigs"),
+          sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
+          MinhashK, LshBands, maxBucket = CrossMaxBucket)
+        .orderBy("id_new", "id_base")
+    },
+
     // Fuzzy dedup: Levenshtein distance over 40-char near-keys within
     // 8-char prefix blocks — the record-linkage modality that catches
     // small in-place edits exact/shingle hashing miss. Blocked, never
@@ -2641,6 +2691,10 @@ object LlmQueries {
       // the indexed probe is pair-identical to the inline operator by
       // contract — one oracle text serves both
       ("dedup_cross_corpus_indexed" -> baseOracles("dedup_cross_corpus")) +
+      // append+probe and append+compact+probe both end at the same
+      // accumulated odd-id lake — the one-shot oracle covers all three
+      ("dedup_cross_corpus_appended" -> baseOracles("dedup_cross_corpus")) +
+      ("dedup_cross_corpus_compacted" -> baseOracles("dedup_cross_corpus")) +
       // the bucketed-index probe is result-identical to the broadcast one
       ("dedup_spans_incremental_bucketed" ->
         baseOracles("dedup_spans_incremental"))

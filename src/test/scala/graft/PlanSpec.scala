@@ -215,6 +215,26 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 1, s"only the candidate distinct may hash-shuffle ($hashEx)")
   }
 
+  test("appended-index probe: both bucket_n filters push; hot pass stays tiny") {
+    val p = plan("dedup_cross_corpus_appended")
+    // the stale-counts exact pass reads the band log twice, each scan
+    // pruned by a PUSHED bucket_n predicate: the admit side <= cap, the
+    // hot-proof side > cap (stored counts only undercount, so an
+    // over-cap row proves its bucket hot) — row-group pruning in both
+    // directions, no lake-wide count aggregate anywhere
+    assert(p.contains("LessThanOrEqual(bucket_n"),
+      "admit-side bucket_n cap not pushed into the band scan")
+    assert(p.contains("GreaterThan(bucket_n"),
+      "hot-proof bucket_n filter not pushed into the band scan")
+    // the index tables still only stream: delta bands, the hot key set,
+    // and candidates all broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "index side must never shuffle for a join")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2,
+      s"only the candidate distinct + tiny hot-set distinct may hash-shuffle ($hashEx)")
+  }
+
   test("incremental spans: delta digests broadcast, the index side never shuffles") {
     val p = try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")

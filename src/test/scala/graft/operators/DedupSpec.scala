@@ -490,6 +490,69 @@ class DedupSpec extends SparkSpec {
     assert(kfCompacted == gotKf, "compaction changed a probe result")
   }
 
+  test("appendLshIndex: stale bucket counts stay probe-exact; compact converges") {
+    import spark.implicits._
+    // a clique whose band bucket CROSSES the cap only because of the
+    // append — the regression staleCounts exists for: lake rows carry
+    // bucket_n=3 <= cap (stale, would wrongly pass the prefilter alone),
+    // append rows carry the as-of-append total 6 > cap
+    val clique = "copied boilerplate body shared by every clique member verbatim"
+    val pairText = "a genuinely unique passage that two documents happen to share"
+    val lake = Seq((1L, clique), (3L, clique), (5L, clique), (7L, pairText))
+    val delta = Seq((11L, clique), (13L, clique), (15L, clique))
+    val probe = Seq((100L, clique), (102L, pairText))
+    val cap = 4
+    def sh(rows: Seq[(Long, String)]) =
+      Dedup.rawShingles(rows.toDF("doc_id", "text"), "text", "doc_id", 5)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_app_spec").toString
+    Dedup.writeLshIndex(sh(lake), "doc_id", k = 16, bands = 4, idxPath)
+    Dedup.appendLshIndex(sh(delta), "doc_id", k = 16, bands = 4, idxPath)
+    // invariant: max(bucket_n) per bucket == the exact accumulated count
+    val gotN = spark.read.parquet(s"$idxPath/bands")
+      .groupBy("band", "band_hash").agg(max("bucket_n").as("n"))
+      .as[(Int, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val scratchPath = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_scr_spec").toString
+    Dedup.writeLshIndex(sh(lake ++ delta), "doc_id", k = 16, bands = 4, scratchPath)
+    val wantN = spark.read.parquet(s"$scratchPath/bands")
+      .groupBy("band", "band_hash").agg(max("bucket_n").as("n"))
+      .as[(Int, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotN == wantN, s"append totals drifted: $gotN vs $wantN")
+    // probe exactness: the inline operator over the accumulated lake is
+    // the truth — the clique bucket (6 > cap) contributes nothing, the
+    // under-cap pairText pair survives
+    def probePairs(bandsDf: org.apache.spark.sql.DataFrame,
+        sigsDf: org.apache.spark.sql.DataFrame, stale: Boolean) =
+      Dedup.indexedCrossCorpusPairs(bandsDf, sigsDf, sh(probe), "doc_id",
+          k = 16, bands = 4, maxBucket = cap, staleCounts = stale)
+        .select("id_new", "id_base").as[(Long, Long)].collect().toSet
+    val want = Dedup.crossCorpusLshPairs(sh(probe), sh(lake ++ delta),
+        "doc_id", 16, 4, maxBucket = cap)
+      .select("id_new", "id_base").as[(Long, Long)].collect().toSet
+    assert(want == Set((102L, 7L)), s"fixture lost its shape: $want")
+    val gotStale = probePairs(spark.read.parquet(s"$idxPath/bands"),
+      spark.read.parquet(s"$idxPath/sigs"), stale = true)
+    assert(gotStale == want, s"stale-counts probe diverged: $gotStale vs $want")
+    // WITHOUT the hot-set pass the stale lake rows leak clique pairs —
+    // the guard is load-bearing, not belt-and-braces
+    val gotNaive = probePairs(spark.read.parquet(s"$idxPath/bands"),
+      spark.read.parquet(s"$idxPath/sigs"), stale = false)
+    assert(gotNaive != want && gotNaive.exists(_._1 == 100L),
+      s"expected the naive probe to leak clique pairs, got $gotNaive")
+    // compact: uniformly fresh counts, plain probe serves again
+    val outPath = idxPath + "_compacted"
+    Dedup.compactLshIndex(spark, idxPath, outPath)
+    val gotCompacted = probePairs(spark.read.parquet(s"$outPath/bands"),
+      spark.read.parquet(s"$outPath/sigs"), stale = false)
+    assert(gotCompacted == want, s"compacted probe diverged: $gotCompacted")
+    val freshPerRow = spark.read.parquet(s"$outPath/bands")
+      .groupBy("band", "band_hash")
+      .agg((max("bucket_n") === min("bucket_n")).as("uniform"))
+      .as[(Int, String, Boolean)].collect()
+    assert(freshPerRow.forall(_._3), "compacted bucket_n not uniform per bucket")
+  }
+
   test("GramDigests kernel ≡ the composed transform/substring/digest60 form") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
