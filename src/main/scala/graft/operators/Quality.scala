@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates for a 100 TB corpus — the validation pass a
+  * training-data pipeline runs before (and after) every transform stage:
+  * single-scan column profiling, declarative expectation checks, and
+  * key-membership (referential / allowlist) verification.
+  *
+  * Scale contract shared by all three:
+  *  - profiling and expectations are ONE aggregate pass over the fact
+  *    table (map-side partials, a one-row reduce — no shuffle of data
+  *    rows, no per-column scans, no Expand: exact distinct counts are
+  *    deliberately excluded because multi-column count-distinct
+  *    multiplies the scan by the column count);
+  *  - membership checks broadcast the (distinct-reduced) key side and
+  *    anti-join, so the fact side streams; violations group to a frame
+  *    bounded by the violating-key cardinality, not the fact size.
+  *
+  * The reference has no validation surface at all (its schema sync,
+  * `mysql.go:146-290`, trusts whatever arrives); this module is part of
+  * the north-star LLM-pipeline extension. */
+object Quality {
+
+  /** Per-column numeric profile in ONE pass: for each column its row
+    * count, null count, min / max, and decimal-exact mean — the long
+    * (one row per column) frame a drift monitor diffs between pipeline
+    * stages. All metrics are order-independent (min/max/count, and the
+    * mean sums in decimal(38,10)), so the profile is bit-stable across
+    * partitionings and engines. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"),
+        sum(col(c).cast("decimal(38,10)")).as(s"__s_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        col(s"__z_$c").as("n_nulls"),
+        round(col(s"__mn_$c"), 6).as("min_v"),
+        round(col(s"__mx_$c"), 6).as("max_v"),
+        round(col(s"__s_$c").cast("double") /
+          (col("__rows") - col(s"__z_$c")), 6).as("mean_v")
+      )): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  /** One declarative expectation: `observed` is any aggregate expression
+    * over the frame (a fraction, a count, a bound); the check passes when
+    * `observed op limit` holds (`op` ∈ <=, >=, ==). */
+  final case class Expectation(
+      name: String, observed: Column, op: String, limit: Double)
+
+  /** Evaluate every expectation in the SAME single aggregate pass and
+    * emit one row per rule: (rule, observed, limit, pass). The gate a
+    * pipeline stage asserts on — `violations.filter(!pass).isEmpty` —
+    * still costs exactly one scan regardless of how many rules pile up. */
+  def expectations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    rules.foreach(r => require(Set("<=", ">=", "==").contains(r.op),
+      s"rule ${r.name}: op ${r.op} not one of <=, >=, =="))
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      round(r.observed.cast("double"), 6).as(s"__o$i") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case (r, i) =>
+        val pass = r.op match {
+          case "<=" => col(s"__o$i") <= r.limit
+          case ">=" => col(s"__o$i") >= r.limit
+          case _    => col(s"__o$i") === r.limit
+        }
+        struct(lit(r.name).as("rule"), col(s"__o$i").as("observed"),
+          lit(r.limit).as("limit"), pass.as("pass"))
+      }: _*)).as("e"))
+      .select(col("e.*"))
+  }
+
+  /** Keys of `fact.fkCol` absent from `keys.pkCol` — referential
+    * integrity against a dimension, or allowlist membership against a
+    * licensed-source list. The key side reduces to its distinct set and
+    * BROADCASTS into a left-anti join, so the fact side streams; the
+    * violation aggregate runs over violating rows only. */
+  def fkViolations(fact: DataFrame, keys: DataFrame,
+      fkCol: String, pkCol: String): DataFrame =
+    fact.filter(col(fkCol).isNotNull)
+      .join(broadcast(keys.select(col(pkCol).as(fkCol)).distinct()),
+        Seq(fkCol), "left_anti")
+      .groupBy(col(fkCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col(fkCol), col("n_rows"))
+}

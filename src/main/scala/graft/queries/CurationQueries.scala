@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, Quality, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -172,6 +172,42 @@ object CurationQueries {
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("bigint").as("tokens"))
         .orderBy("shard", "bin")
+    },
+
+    // Single-scan numeric profile of the fact table — the drift-monitor
+    // frame a pipeline diffs between stages. One aggregate pass (map-side
+    // partials, one-row reduce), order-independent metrics only.
+    "quality_profile" -> q { (s, dir) =>
+      Quality.numericProfile(Tables.load(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column")
+    },
+
+    // Declarative expectations evaluated in the same single pass — the
+    // stage gate. The discount-cap rule is deliberately violated by the
+    // data so the failure shape is exercised, not just the happy path.
+    "quality_expectations" -> q { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      Quality.expectations(li, Seq(
+          Quality.Expectation("qty_null_frac",
+            sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), "<=", 0.0),
+          Quality.Expectation("qty_max", max(col("l_quantity")), "<=", 60.0),
+          Quality.Expectation("discount_max", max(col("l_discount")), "<=", 0.05),
+          Quality.Expectation("price_min", min(col("l_extendedprice")), ">=", 0.0)))
+        .orderBy("rule")
+    },
+
+    // Key-membership violations: event actors checked against a
+    // restricted allowlist (customers with key < 100 stand in for a
+    // licensed-source list) — the allowlist reduces + broadcasts, the
+    // fact side streams, violations group to allowlist-miss cardinality.
+    "quality_fk_violations" -> q { (s, dir) =>
+      Quality.fkViolations(
+          Tables.load(s, dir, "events"),
+          Tables.load(s, dir, "customer").filter(col("c_custkey") < 100),
+          "user_id", "c_custkey")
+        .orderBy("user_id")
     },
   )
 
@@ -386,5 +422,41 @@ object CurationQueries {
            FROM toks)
          SELECT shard, bin, count(*) AS n_docs, sum(ntok)::bigint AS tokens
          FROM packed GROUP BY shard, bin ORDER BY shard, bin""",
+
+    "quality_profile" -> Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+              (count(*) - count($c))::bigint AS n_nulls,
+              round(min($c)::double, 6) AS min_v,
+              round(max($c)::double, 6) AS max_v,
+              round(sum($c::decimal(38,10))::double / count($c), 6) AS mean_v
+            FROM lineitem""")
+      .mkString("", " UNION ALL ", " ORDER BY \"column\""),
+
+    "quality_expectations" ->
+      """SELECT * FROM (
+           SELECT 'qty_null_frac' AS rule,
+                  round((count(*) - count(l_quantity))::double / count(*), 6) AS observed,
+                  0.0::double AS "limit",
+                  (count(*) - count(l_quantity))::double / count(*) <= 0.0 AS pass
+           FROM lineitem
+           UNION ALL
+           SELECT 'qty_max', round(max(l_quantity)::double, 6), 60.0::double,
+                  round(max(l_quantity)::double, 6) <= 60.0 FROM lineitem
+           UNION ALL
+           SELECT 'discount_max', round(max(l_discount)::double, 6), 0.05::double,
+                  round(max(l_discount)::double, 6) <= 0.05 FROM lineitem
+           UNION ALL
+           SELECT 'price_min', round(min(l_extendedprice)::double, 6), 0.0::double,
+                  round(min(l_extendedprice)::double, 6) >= 0.0 FROM lineitem)
+         ORDER BY rule""",
+
+    "quality_fk_violations" ->
+      """SELECT user_id, count(*) AS n_rows
+         FROM events
+         WHERE user_id IS NOT NULL
+           AND user_id NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_custkey < 100 AND c_custkey IS NOT NULL)
+         GROUP BY user_id ORDER BY user_id""",
   )
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+
+  test("numericProfile: one-pass metrics, exact values, single scan") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), 10.0), (Some(3.0), 20.0), (None, 30.0), (Some(2.0), 40.0)
+    ).toDF("a", "b")
+    val got = Quality.numericProfile(df, Seq("a", "b"))
+      .orderBy("column")
+      .as[(String, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 4L, 1L, Some(1.0), Some(3.0), Some(2.0)),
+      ("b", 4L, 0L, Some(10.0), Some(40.0), Some(25.0))), got.toString)
+    // the profile is ONE aggregate pass: a single scan of the input and
+    // the one-row final reduce — no per-column re-scans, no Expand
+    val plan = Quality.numericProfile(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1, s"multiple scans:\n$plan")
+    assert(!plan.contains("Expand"), s"count-distinct style Expand crept in:\n$plan")
+  }
+
+  test("expectations: same single pass, violated rule reported not thrown") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 50.0).toDF("v")
+    val got = Quality.expectations(df, Seq(
+        Quality.Expectation("max_le_10", max(col("v")), "<=", 10.0),
+        Quality.Expectation("min_ge_0", min(col("v")), ">=", 0.0),
+        Quality.Expectation("rows_eq_3", count(lit(1)), "==", 3.0)))
+      .as[(String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map("max_le_10" -> false, "min_ge_0" -> true, "rows_eq_3" -> true))
+  }
+
+  test("fkViolations: allowlist broadcasts, fact side streams, counts exact") {
+    import spark.implicits._
+    val fact = Seq((1L, "x"), (2L, "y"), (2L, "z"), (7L, "w"), (null.asInstanceOf[Any], "n"))
+      .map { case (k, v) => (Option(k).map(_.asInstanceOf[Long]), v) }
+      .toDF("k", "v")
+    val keys = Seq(1L, 3L).toDF("pk")
+    val got = Quality.fkViolations(fact, keys, "k", "pk")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 7L -> 1L), got.toString)
+    val plan = Quality.fkViolations(fact, keys, "k", "pk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"allowlist must broadcast into an anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not shuffle-sort:\n$plan")
+  }
+}
