@@ -80,6 +80,28 @@ object Quality {
       .select(col("e.*"))
   }
 
+  /** Diff two [[numericProfile]] frames (before/after a pipeline stage) —
+    * the drift monitor: per column, row-count ratio, null-fraction delta,
+    * and mean / min / max shifts. Joins two already-tiny (one row per
+    * column) frames, so the cost is the two profile scans, nothing more.
+    * A stage gate asserts e.g. `abs(mean_delta) <= tol` per column. */
+  def profileDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    def side(p: DataFrame, suffix: String) = p.select(
+      col("column"),
+      col("n_rows").as(s"rows_$suffix"),
+      round(col("n_nulls").cast("double") / col("n_rows"), 6).as(s"__nf_$suffix"),
+      col("mean_v").as(s"__mean_$suffix"),
+      col("min_v").as(s"__min_$suffix"),
+      col("max_v").as(s"__max_$suffix"))
+    side(before, "before").join(side(after, "after"), Seq("column"))
+      .select(
+        col("column"), col("rows_before"), col("rows_after"),
+        round(col("__nf_after") - col("__nf_before"), 6).as("null_frac_delta"),
+        round(col("__mean_after") - col("__mean_before"), 6).as("mean_delta"),
+        round(col("__min_after") - col("__min_before"), 6).as("min_delta"),
+        round(col("__max_after") - col("__max_before"), 6).as("max_delta"))
+  }
+
   /** Keys of `fact.fkCol` absent from `keys.pkCol` — referential
     * integrity against a dimension, or allowlist membership against a
     * licensed-source list. The key side reduces to its distinct set and

@@ -198,6 +198,19 @@ object CurationQueries {
         .orderBy("rule")
     },
 
+    // Profile drift across a pipeline stage: the full fact table vs the
+    // post-filter survivor set (discount cap as the stand-in stage) —
+    // the per-column delta frame a monitor alerts on. Two single-pass
+    // profiles joined on the (one-row-per-column) long frame.
+    "quality_profile_drift" -> q { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      Quality.profileDrift(
+          Quality.numericProfile(li, cols),
+          Quality.numericProfile(li.filter(col("l_discount") <= 0.05), cols))
+        .orderBy("column")
+    },
+
     // Key-membership violations: event actors checked against a
     // restricted allowlist (customers with key < 100 stand in for a
     // licensed-source list) — the allowlist reduces + broadcasts, the
@@ -212,6 +225,20 @@ object CurationQueries {
   )
 
   private val ShinglesCte = LlmQueries.ShinglesCte
+
+  /** DuckDB twin of [[graft.operators.Quality.numericProfile]] over the
+    * lineitem numeric columns — shared by the profile and drift oracles.
+    * No ORDER BY so it can sit inside a CTE. */
+  private def profileSelect(rel: String): String =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+              (count(*) - count($c))::bigint AS n_nulls,
+              round(min($c)::double, 6) AS min_v,
+              round(max($c)::double, 6) AS max_v,
+              round(sum($c::decimal(38,10))::double / count($c), 6) AS mean_v
+            FROM $rel""")
+      .mkString("", " UNION ALL ", "")
 
   val oracles: Map[String, String] = Map(
 
@@ -423,15 +450,19 @@ object CurationQueries {
          SELECT shard, bin, count(*) AS n_docs, sum(ntok)::bigint AS tokens
          FROM packed GROUP BY shard, bin ORDER BY shard, bin""",
 
-    "quality_profile" -> Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
-      .map(c =>
-        s"""SELECT '$c' AS "column", count(*) AS n_rows,
-              (count(*) - count($c))::bigint AS n_nulls,
-              round(min($c)::double, 6) AS min_v,
-              round(max($c)::double, 6) AS max_v,
-              round(sum($c::decimal(38,10))::double / count($c), 6) AS mean_v
-            FROM lineitem""")
-      .mkString("", " UNION ALL ", " ORDER BY \"column\""),
+    "quality_profile" -> (profileSelect("lineitem") + " ORDER BY \"column\""),
+
+    "quality_profile_drift" ->
+      s"""WITH pb AS (${profileSelect("lineitem")}),
+         pa AS (${profileSelect("(SELECT * FROM lineitem WHERE l_discount <= 0.05)")})
+         SELECT pb."column" AS "column",
+                pb.n_rows AS rows_before, pa.n_rows AS rows_after,
+                round(pa.n_nulls::double / pa.n_rows
+                      - pb.n_nulls::double / pb.n_rows, 6) AS null_frac_delta,
+                round(pa.mean_v - pb.mean_v, 6) AS mean_delta,
+                round(pa.min_v - pb.min_v, 6) AS min_delta,
+                round(pa.max_v - pb.max_v, 6) AS max_delta
+         FROM pb JOIN pa USING ("column") ORDER BY "column"""",
 
     "quality_expectations" ->
       """SELECT * FROM (

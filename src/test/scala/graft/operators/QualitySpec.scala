@@ -37,6 +37,18 @@ class QualitySpec extends SparkSpec {
     assert(got == Map("max_le_10" -> false, "min_ge_0" -> true, "rows_eq_3" -> true))
   }
 
+  test("profileDrift: per-column deltas across a stage filter") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    val got = Quality.profileDrift(
+        Quality.numericProfile(df, Seq("v")),
+        Quality.numericProfile(df.filter(col("v") <= 3.0), Seq("v")))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // mean 4.0 -> 2.0, max 10 -> 3, min and null-frac unchanged
+    assert(got == Seq(("v", 4L, 3L, 0.0, -2.0, 0.0, -7.0)), got.toString)
+  }
+
   test("fkViolations: allowlist broadcasts, fact side streams, counts exact") {
     import spark.implicits._
     val fact = Seq((1L, "x"), (2L, "y"), (2L, "z"), (7L, "w"), (null.asInstanceOf[Any], "n"))
