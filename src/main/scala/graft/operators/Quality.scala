@@ -102,6 +102,26 @@ object Quality {
         round(col("__max_after") - col("__max_before"), 6).as("max_delta"))
   }
 
+  /** Content-level diff of two corpus snapshots — the dataset-versioning
+    * primitive: every doc id classified added / removed / changed /
+    * unchanged by comparing content digests across a full-outer join on
+    * the id. Each side reduces to (id, 16-byte digest) at the scan (the
+    * text column never crosses the exchange), so the join ships ~24
+    * bytes a row; with both snapshots bucketed by id ([[Bucketing]])
+    * even that exchange disappears. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def digested(df: DataFrame, h: String, p: String) = df.select(
+      col(idCol), md5(coalesce(col(textCol), lit(""))).as(h), lit(true).as(p))
+    digested(oldSnap, "__ho", "__po")
+      .join(digested(newSnap, "__hn", "__pn"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Keys of `fact.fkCol` absent from `keys.pkCol` — referential
     * integrity against a dimension, or allowlist membership against a
     * licensed-source list. The key side reduces to its distinct set and

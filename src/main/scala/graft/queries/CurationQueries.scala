@@ -211,6 +211,21 @@ object CurationQueries {
         .orderBy("column")
     },
 
+    // Dataset versioning: content-digest diff of two corpus snapshots
+    // (held-out slices + an in-place edit stand in for yesterday's and
+    // today's corpus) — every doc classified added / removed / changed /
+    // unchanged. The text column never crosses the exchange.
+    "quality_corpus_diff" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Quality.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Key-membership violations: event actors checked against a
     // restricted allowlist (customers with key < 100 stand in for a
     // licensed-source list) — the allowlist reduces + broadcasts, the
@@ -481,6 +496,23 @@ object CurationQueries {
            SELECT 'price_min', round(min(l_extendedprice)::double, 6), 0.0::double,
                   round(min(l_extendedprice)::double, 6) >= 0.0 FROM lineitem)
          ORDER BY rule""",
+
+    "quality_corpus_diff" ->
+      """WITH o AS (
+           SELECT doc_id, md5(coalesce(text, '')) AS h
+           FROM documents WHERE doc_id % 11 <> 0),
+         n AS (
+           SELECT doc_id,
+                  md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                    ELSE text END, '')) AS h
+           FROM documents WHERE doc_id % 13 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.h = n.h THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM o FULL JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
 
     "quality_fk_violations" ->
       """SELECT user_id, count(*) AS n_rows

@@ -49,6 +49,18 @@ class QualitySpec extends SparkSpec {
     assert(got == Seq(("v", 4L, 3L, 0.0, -2.0, 0.0, -7.0)), got.toString)
   }
 
+  test("corpusDiff: added/removed/changed/unchanged, null text handled") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, Some("a")), (2L, Some("B2")), (4L, Some("d")))
+      .toDF("doc_id", "text")
+    val got = Quality.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), got.toString)
+  }
+
   test("fkViolations: allowlist broadcasts, fact side streams, counts exact") {
     import spark.implicits._
     val fact = Seq((1L, "x"), (2L, "y"), (2L, "z"), (7L, "w"), (null.asInstanceOf[Any], "n"))
