@@ -160,5 +160,9 @@ object SparkEntry {
     "sim_topk_hash_embed", "sim_topk_ivfpq_residual", "text_chunk",
     "text_bigram_lm", "dedup_edit_distance", "resample_ffill",
     "dedup_repeated_spans", "dedup_span_strip", "dedup_repeated_token_spans",
-    "dedup_spans_incremental", "dedup_cross_corpus_indexed")
+    "dedup_spans_incremental", "dedup_cross_corpus_indexed",
+    // round 11 — the quality gates (single-pass scan shapes; the
+    // index-lifecycle registry queries stay off the bench because their
+    // time is the index BUILD they replay, not the maintenance op)
+    "quality_profile", "quality_corpus_diff")
 }
