@@ -163,6 +163,9 @@ object SparkEntry {
     "dedup_spans_incremental", "dedup_cross_corpus_indexed",
     // round 11 — the quality gates (single-pass scan shapes; the
     // index-lifecycle registry queries stay off the bench because their
-    // time is the index BUILD they replay, not the maintenance op)
-    "quality_profile", "quality_corpus_diff")
+    // time is the index BUILD they replay, not the maintenance op) and
+    // the steady-state index SERVE paths (build-if-stale: the median of
+    // 3 bench reps times the probe, which is what a deployment pays)
+    "quality_profile", "quality_corpus_diff",
+    "dedup_spans_incremental_serve", "dedup_cross_corpus_served")
 }

@@ -489,6 +489,29 @@ object LlmQueries {
         .orderBy("id_new", "id_base")
     },
 
+    // Steady-state LSH probe: index built only when missing or stale
+    // (vs the source parquet's mtime), so a repeated run times the
+    // per-delta probe — broadcast delta bands, pushed bucket_n cap,
+    // streaming index scans — not the lake's one-off signature shuffle.
+    "dedup_cross_corpus_served" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def sh(f: org.apache.spark.sql.DataFrame) =
+        Dedup.rawShingles(f, "text", "doc_id", ShingleN)
+      val idxPath = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_lshidx_srv_${Integer.toHexString(dir.hashCode)}").toString
+      val succ = new java.io.File(s"$idxPath/bands", "_SUCCESS")
+      val src = new java.io.File(dir, "documents.parquet")
+      if (!succ.exists || succ.lastModified < src.lastModified)
+        Dedup.writeLshIndex(sh(docs.filter(col("doc_id") % 2 =!= 0)),
+          "doc_id", MinhashK, LshBands, idxPath)
+      Dedup.indexedCrossCorpusPairs(
+          s.read.parquet(s"$idxPath/bands"), s.read.parquet(s"$idxPath/sigs"),
+          sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
+          MinhashK, LshBands, maxBucket = CrossMaxBucket)
+        .orderBy("id_new", "id_base")
+    },
+
     // The append half of the persisted LSH loop: the lake index built
     // from one odd half (doc_id % 4 == 1), the other odd half appended
     // (% 4 == 3), evens probed with staleCounts=true — band rows of
@@ -634,6 +657,27 @@ object LlmQueries {
         buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)
       Dedup.incrementalSpansBucketed(
           graft.operators.Bucketing.readBucketed(s, "graft_gramidx_bucketed"),
+          docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // The SERVE half measured honestly: dedup_spans_incremental replays
+    // the lake index build every run (the right correctness artifact, but
+    // its wall-time is the build); this variant builds only when the
+    // persisted index is missing or older than the source parquet, so a
+    // steady-state run times what a 100 TB deployment actually pays per
+    // delta — the probe. Result-identical (same oracle).
+    "dedup_spans_incremental_serve" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val idxPath = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_gramidx_srv_${Integer.toHexString(dir.hashCode)}").toString
+      val succ = new java.io.File(idxPath, "_SUCCESS")
+      val src = new java.io.File(dir, "documents.parquet")
+      if (!succ.exists || succ.lastModified < src.lastModified)
+        Dedup.writeGramIndex(docs.filter(col("doc_id") % 10 < 8),
+          "doc_id", "text", SpanGramChars, idxPath)
+      Dedup.incrementalSpans(s.read.parquet(idxPath),
           docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
         .orderBy("doc_id", "span_start")
     },
@@ -2695,6 +2739,9 @@ object LlmQueries {
       // accumulated odd-id lake — the one-shot oracle covers all three
       ("dedup_cross_corpus_appended" -> baseOracles("dedup_cross_corpus")) +
       ("dedup_cross_corpus_compacted" -> baseOracles("dedup_cross_corpus")) +
+      ("dedup_cross_corpus_served" -> baseOracles("dedup_cross_corpus")) +
+      ("dedup_spans_incremental_serve" ->
+        baseOracles("dedup_spans_incremental")) +
       // the bucketed-index probe is result-identical to the broadcast one
       ("dedup_spans_incremental_bucketed" ->
         baseOracles("dedup_spans_incremental"))
