@@ -102,6 +102,41 @@ object Quality {
         round(col("__max_after") - col("__max_before"), 6).as("max_delta"))
   }
 
+  /** Distribution drift between two stages as a fixed-bin histogram with
+    * per-bin total-variation contributions — the discriminative drift
+    * signal mean/min/max deltas miss (a re-weighting that preserves the
+    * mean still moves mass between bins). Bins are [lo, hi) split
+    * `bins` ways with both tails clamped into the edge bins, so the two
+    * sides bin identically by construction. The TV contribution is
+    * computed in INTEGER cross-multiplication
+    * (|n_b·N_a − n_a·N_b| / (2·N_b·N_a)) before one final double
+    * division, so the frame is bit-stable across engines; summing
+    * `tv_contrib` gives total variation distance in [0, 1]. One
+    * count-aggregate pass per side; the per-bin frame is `bins` rows. */
+  def histogramDrift(before: DataFrame, after: DataFrame, colName: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins=$bins must be positive")
+    require(hi > lo, s"need hi=$hi > lo=$lo")
+    val w = (hi - lo) / bins
+    def binned(df: DataFrame, as: String) = df
+      .filter(col(colName).isNotNull)
+      .select(least(greatest(floor((col(colName) - lo) / w), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val joined = binned(before, "n_before")
+      .join(binned(after, "n_after"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    val totals = joined.agg(
+      sum(col("n_before")).as("__tb"), sum(col("n_after")).as("__ta"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_before"), col("n_after"),
+        round(abs(col("n_before") * col("__ta") - col("n_after") * col("__tb"))
+          .cast("double") / (lit(2.0) * col("__tb") * col("__ta")), 6)
+          .as("tv_contrib"))
+  }
+
   /** Content-level diff of two corpus snapshots — the dataset-versioning
     * primitive: every doc id classified added / removed / changed /
     * unchanged by comparing content digests across a full-outer join on

@@ -211,6 +211,17 @@ object CurationQueries {
         .orderBy("column")
     },
 
+    // Distribution drift: fixed-bin histogram of the price column before
+    // vs after the discount-cap stage, with per-bin total-variation
+    // contributions in exact integer cross-multiplication — the drift
+    // signal a mean-only monitor misses.
+    "quality_histogram_drift" -> q { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      Quality.histogramDrift(li, li.filter(col("l_discount") <= 0.05),
+          "l_extendedprice", lo = 0.0, hi = 120000.0, bins = 16)
+        .orderBy("bin")
+    },
+
     // Dataset versioning: content-digest diff of two corpus snapshots
     // (held-out slices + an in-place edit stand in for yesterday's and
     // today's corpus) — every doc classified added / removed / changed /
@@ -496,6 +507,26 @@ object CurationQueries {
            SELECT 'price_min', round(min(l_extendedprice)::double, 6), 0.0::double,
                   round(min(l_extendedprice)::double, 6) >= 0.0 FROM lineitem)
          ORDER BY rule""",
+
+    "quality_histogram_drift" ->
+      """WITH b AS (
+           SELECT least(greatest(floor((l_extendedprice - 0.0) / 7500.0), 0), 15)::int AS bin,
+                  count(*)::bigint AS nb
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         a AS (
+           SELECT least(greatest(floor((l_extendedprice - 0.0) / 7500.0), 0), 15)::int AS bin,
+                  count(*)::bigint AS na
+           FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_discount <= 0.05
+           GROUP BY 1),
+         j AS (
+           SELECT coalesce(b.bin, a.bin) AS bin,
+                  coalesce(nb, 0) AS n_before, coalesce(na, 0) AS n_after
+           FROM b FULL JOIN a ON b.bin = a.bin),
+         t AS (SELECT sum(n_before)::bigint AS tb, sum(n_after)::bigint AS ta FROM j)
+         SELECT bin, n_before, n_after,
+                round(abs(n_before * ta - n_after * tb)::double
+                      / (2.0 * tb * ta), 6) AS tv_contrib
+         FROM j, t ORDER BY bin""",
 
     "quality_corpus_diff" ->
       """WITH o AS (

@@ -49,6 +49,25 @@ class QualitySpec extends SparkSpec {
     assert(got == Seq(("v", 4L, 3L, 0.0, -2.0, 0.0, -7.0)), got.toString)
   }
 
+  test("histogramDrift: clamped bins, integer-exact TV contributions") {
+    import spark.implicits._
+    // before: uniform over bins 0..3 (values 0,10,20,30); after: all mass
+    // in bin 0, plus an out-of-range value clamped into the top bin
+    val before = Seq(0.0, 10.0, 20.0, 30.0).toDF("v")
+    val after = Seq(1.0, 2.0, 99.0).toDF("v")
+    val got = Quality.histogramDrift(before, after, "v", lo = 0.0, hi = 40.0, bins = 4)
+      .orderBy("bin").as[(Int, Long, Long, Double)].collect().toSeq
+    // TV per bin: |n_b*Ta - n_a*Tb| / (2*Tb*Ta), Tb=4, Ta=3
+    assert(got == Seq(
+      (0, 1L, 2L, 0.208333),  // |1*3-2*4|/24
+      (1, 1L, 0L, 0.125),
+      (2, 1L, 0L, 0.125),
+      (3, 1L, 1L, 0.041667)), got.toString) // 99 clamps into bin 3
+    // total variation sums the contributions and lands in [0, 1]
+    val tv = got.map(_._4).sum
+    assert(tv > 0.49 && tv < 0.51, s"tv=$tv")
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, null text handled") {
     import spark.implicits._
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
