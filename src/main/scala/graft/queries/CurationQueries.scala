@@ -174,6 +174,26 @@ object CurationQueries {
         .orderBy("shard", "bin")
     },
 
+    // Split-leakage detector: near-duplicate pairs that STRADDLE the
+    // train/eval boundary — the held-out set is worthless where a
+    // training near-copy exists. Composes the deterministic split
+    // assignment with the capped cross-corpus LSH probe (train side
+    // plays the lake, eval side the delta), so the check scales exactly
+    // like cross-corpus dedup: banded candidates, never all-pairs.
+    "curation_split_leakage" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("split", Curation.assignSplit(col("text"), trainPct = 90, valPct = 5))
+      def sh(f: DataFrame) = Dedup.rawShingles(f, "text", "doc_id", ShingleN)
+      Dedup.crossCorpusLshPairs(
+          sh(docs.filter(col("split") =!= "train")),
+          sh(docs.filter(col("split") === "train")),
+          "doc_id", LlmQueries.MinhashK, LlmQueries.LshBands,
+          maxBucket = 10000)
+        .withColumnRenamed("id_new", "eval_id")
+        .withColumnRenamed("id_base", "train_id")
+        .orderBy("eval_id", "train_id")
+    },
+
     // Single-scan numeric profile of the fact table — the drift-monitor
     // frame a pipeline diffs between stages. One aggregate pass (map-side
     // partials, one-row reduce), order-independent metrics only.
@@ -507,6 +527,45 @@ object CurationQueries {
            SELECT 'price_min', round(min(l_extendedprice)::double, 6), 0.0::double,
                   round(min(l_extendedprice)::double, 6) >= 0.0 FROM lineitem)
          ORDER BY rule""",
+
+    // Same banded-MinHash shape as the dedup_cross_corpus oracle, with
+    // the deterministic split hash as the corpus boundary: the oracle's
+    // two-way train/eval CASE partitions identically to the Spark side's
+    // train/val/test filtered to =!= "train".
+    "curation_split_leakage" ->
+      s"""WITH $ShinglesCte, ${LlmQueries.MinhashCte},
+         spl AS (
+           SELECT doc_id,
+                  CASE WHEN ('0x' || substr(md5('split:' || text), 1, 15))::bigint % 100 < 90
+                       THEN 'train' ELSE 'eval' END AS split
+           FROM documents),
+         banded AS (
+           SELECT doc_id, (seed // 4) AS band,
+                  md5(array_to_string(
+                    list_sort(list(concat(seed, ':', minhash))), '|')) AS band_hash
+           FROM sig GROUP BY doc_id, band),
+         hot AS (
+           SELECT band, band_hash FROM banded JOIN spl USING (doc_id)
+           WHERE split = 'train'
+           GROUP BY band, band_hash
+           HAVING count(*) > 10000),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS train_id
+           FROM banded a
+           JOIN spl sa ON sa.doc_id = a.doc_id
+           JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+           JOIN spl sb ON sb.doc_id = b.doc_id
+           WHERE sa.split <> 'train' AND sb.split = 'train'
+             AND NOT EXISTS (SELECT 1 FROM hot h
+               WHERE h.band = a.band AND h.band_hash = a.band_hash))
+         SELECT p.eval_id, p.train_id,
+                sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::double
+                  / 16 AS est_jaccard
+         FROM pairs p
+         JOIN sig sa ON sa.doc_id = p.eval_id
+         JOIN sig sb ON sb.doc_id = p.train_id AND sb.seed = sa.seed
+         GROUP BY p.eval_id, p.train_id
+         ORDER BY eval_id, train_id""",
 
     "quality_histogram_drift" ->
       """WITH b AS (

@@ -16,8 +16,8 @@ object LlmQueries {
   private def q(f: (SparkSession, String) => DataFrame) = f
 
   private val ShingleN = 5
-  private val MinhashK = 16
-  private val LshBands = 4
+  private[queries] val MinhashK = 16
+  private[queries] val LshBands = 4
   // Hot-bucket cap for dedup_cross_corpus — interpolated into BOTH the
   // Spark call and the oracle's HAVING so the exclusion replays exactly
   // (the dedup_jaccard maxDocFreq precedent). Far above any bucket at
@@ -57,7 +57,7 @@ object LlmQueries {
   private val MinhashSeeds = (0 until MinhashK)
     .map(i => s"($i, ${graft.operators.Dedup.minhashA(i)}, ${graft.operators.Dedup.minhashB(i)})")
     .mkString(", ")
-  private val MinhashCte =
+  private[queries] val MinhashCte =
     s"""hashed AS (
          SELECT doc_id,
                 (('0x' || substr(md5(shingle), 1, 15))::bigint) % 2147483647 AS hm
