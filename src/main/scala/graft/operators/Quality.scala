@@ -51,6 +51,49 @@ object Quality {
       .select(col("p.*"))
   }
 
+  /** [[numericProfile]]'s distributive form: the same one-pass metrics
+    * keyed by a shard column, with min/max UNROUNDED and the mean left
+    * as its decimal sum — partials a 100 TB pipeline computes per ingest
+    * batch, persists next to the data, and rolls up with
+    * [[mergeProfiles]] whenever a whole-corpus profile is wanted,
+    * without ever rescanning. Decimal sums are associative, so
+    * merge-of-partials is bit-equal to the one-shot profile. */
+  def numericProfileSharded(df: DataFrame, shardCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfileSharded needs at least one column")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"),
+        sum(col(c).cast("decimal(38,10)")).as(s"__s_$c"))
+    }
+    df.groupBy(col(shardCol).as("shard")).agg(aggs.head, aggs.tail: _*)
+      .select(col("shard"), explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        col(s"__z_$c").as("n_nulls"),
+        col(s"__mn_$c").as("min_v"),
+        col(s"__mx_$c").as("max_v"),
+        col(s"__s_$c").as("sum_v")
+      )): _*)).as("p"))
+      .select(col("shard"), col("p.*"))
+  }
+
+  /** Roll sharded partials up to the [[numericProfile]] frame — a
+    * groupBy over (shards × columns) rows, nothing rescans. */
+  def mergeProfiles(parts: DataFrame): DataFrame =
+    parts.groupBy(col("column"))
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        round(min(col("min_v")), 6).as("min_v"),
+        round(max(col("max_v")), 6).as("max_v"),
+        round(sum(col("sum_v")).cast("double") /
+          (sum(col("n_rows")) - sum(col("n_nulls"))), 6).as("mean_v"))
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"), col("mean_v"))
+
   /** One declarative expectation: `observed` is any aggregate expression
     * over the frame (a fraction, a count, a bound); the check passes when
     * `observed op limit` holds (`op` ∈ <=, >=, ==). */
@@ -128,9 +171,15 @@ object Quality {
       .select(col("bin"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))
-    val totals = joined.agg(
-      sum(col("n_before")).as("__tb"), sum(col("n_after")).as("__ta"))
-    joined.crossJoin(broadcast(totals))
+    // totals via an unpartitioned window over the ≤bins-row frame — a
+    // separate aggregate would re-evaluate `joined` and scan each input
+    // twice more (observed: 4 FileScans instead of 2)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    joined
+      .withColumn("__tb", sum(col("n_before")).over(all))
+      .withColumn("__ta", sum(col("n_after")).over(all))
       .select(col("bin"), col("n_before"), col("n_after"),
         round(abs(col("n_before") * col("__ta") - col("n_after") * col("__tb"))
           .cast("double") / (lit(2.0) * col("__tb") * col("__ta")), 6)

@@ -203,6 +203,17 @@ object CurationQueries {
         .orderBy("column")
     },
 
+    // The distributive profile: per-shard partials (the per-ingest-batch
+    // artifact a lake persists) rolled up WITHOUT rescanning — must equal
+    // the one-shot profile bit-for-bit, so it shares its oracle SQL.
+    "quality_profile_merged" -> q { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("__shard", col("l_orderkey") % 4)
+      Quality.mergeProfiles(Quality.numericProfileSharded(li, "__shard",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+        .orderBy("column")
+    },
+
     // Declarative expectations evaluated in the same single pass — the
     // stage gate. The discount-cap rule is deliberately violated by the
     // data so the failure shape is exercised, not just the happy path.
@@ -497,6 +508,10 @@ object CurationQueries {
          FROM packed GROUP BY shard, bin ORDER BY shard, bin""",
 
     "quality_profile" -> (profileSelect("lineitem") + " ORDER BY \"column\""),
+
+    // merge-of-partials ≡ one-shot profile (decimal sums associative)
+    "quality_profile_merged" ->
+      (profileSelect("lineitem") + " ORDER BY \"column\""),
 
     "quality_profile_drift" ->
       s"""WITH pb AS (${profileSelect("lineitem")}),

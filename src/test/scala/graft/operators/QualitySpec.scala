@@ -25,6 +25,18 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"count-distinct style Expand crept in:\n$plan")
   }
 
+  test("sharded partials merge to the one-shot profile, incl. all-null shards") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Some(1.0)), (0L, Some(3.0)), (1L, None: Option[Double]),
+      (1L, Some(2.0)), (2L, None: Option[Double])
+    ).toDF("shard", "a")
+    val direct = Quality.numericProfile(df, Seq("a")).collect().toSeq
+    val merged = Quality.mergeProfiles(
+      Quality.numericProfileSharded(df, "shard", Seq("a"))).collect().toSeq
+    assert(merged == direct, s"merged $merged\ndirect $direct")
+  }
+
   test("expectations: same single pass, violated rule reported not thrown") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 50.0).toDF("v")
@@ -66,6 +78,12 @@ class QualitySpec extends SparkSpec {
     // total variation sums the contributions and lands in [0, 1]
     val tv = got.map(_._4).sum
     assert(tv > 0.49 && tv < 0.51, s"tv=$tv")
+    // one scan per side: totals come from a window over the per-bin
+    // frame, not a second aggregation that would re-read both inputs
+    val plan = Quality.histogramDrift(before, after, "v", 0.0, 40.0, 4)
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 2,
+      s"inputs scanned more than once each:\n$plan")
   }
 
   test("corpusDiff: added/removed/changed/unchanged, null text handled") {
