@@ -34,7 +34,9 @@ object SparkEntry {
         "stream_semantic_dedup" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.streamingSemanticDedup(s, dir)),
         "stream_span_dedup" -> ((s: SparkSession, dir: String) =>
-          streaming.StreamPipeline.streamingSpanDedup(s, dir)))
+          streaming.StreamPipeline.streamingSpanDedup(s, dir)),
+        "stream_quality_profile" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.streamingQualityProfile(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -138,7 +140,19 @@ object SparkEntry {
                     max(pos) + ${L - 1} AS span_end
              FROM grp GROUP BY doc_id, island
              ORDER BY doc_id, span_start"""
-        })
+        },
+        // streaming profile state folds micro-batch partials with the
+        // same associative merges as the batch scan (decimal sums), so
+        // the final state equals the one-shot profile over the same rows
+        "stream_quality_profile" ->
+          Seq("user_id", "value").map(c =>
+            s"""SELECT '$c' AS "column", count(*) AS n_rows,
+                  (count(*) - count($c))::bigint AS n_nulls,
+                  round(min($c)::double, 6) AS min_v,
+                  round(max($c)::double, 6) AS max_v,
+                  round(sum($c::decimal(38,10))::double / count($c), 6) AS mean_v
+                FROM events""")
+            .mkString("", " UNION ALL ", " ORDER BY \"column\""))
 
   /** Headline subset timed by [[Bench]] at sf0.1 — one per operator family
     * (scan/agg, broadcast join chain, window, sessionize, CDC apply,

@@ -23,22 +23,27 @@ import org.apache.spark.sql.functions._
   * the north-star LLM-pipeline extension. */
 object Quality {
 
-  /** Per-column numeric profile in ONE pass: for each column its row
-    * count, null count, min / max, and decimal-exact mean — the long
-    * (one row per column) frame a drift monitor diffs between pipeline
-    * stages. All metrics are order-independent (min/max/count, and the
-    * mean sums in decimal(38,10)), so the profile is bit-stable across
-    * partitionings and engines. */
-  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "numericProfile needs at least one column")
-    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+  /** The one-pass profile aggregate list (row count + per-column null
+    * count / min / max / decimal sum) — factored out so the STREAMING
+    * profile ([[graft.streaming.StreamPipeline.streamingQualityProfile]])
+    * maintains the exact same partials as state-store contents and the
+    * batch path below: one metric definition, two execution modes. */
+  def profileAggs(cols: Seq[String]): Seq[Column] = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    count(lit(1)).as("__rows") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c"),
         min(col(c)).cast("double").as(s"__mn_$c"),
         max(col(c)).cast("double").as(s"__mx_$c"),
         sum(col(c).cast("decimal(38,10)")).as(s"__s_$c"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Unpivot the one-row [[profileAggs]] frame to the per-column profile
+    * (column, n_rows, n_nulls, min_v, max_v, mean_v), finishing the mean
+    * with the single double division. */
+  def profileFinish(agged: DataFrame, cols: Seq[String]): DataFrame =
+    agged
       .select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
         col("__rows").as("n_rows"),
@@ -49,6 +54,16 @@ object Quality {
           (col("__rows") - col(s"__z_$c")), 6).as("mean_v")
       )): _*)).as("p"))
       .select(col("p.*"))
+
+  /** Per-column numeric profile in ONE pass: for each column its row
+    * count, null count, min / max, and decimal-exact mean — the long
+    * (one row per column) frame a drift monitor diffs between pipeline
+    * stages. All metrics are order-independent (min/max/count, and the
+    * mean sums in decimal(38,10)), so the profile is bit-stable across
+    * partitionings and engines. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = profileAggs(cols)
+    profileFinish(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 
   /** [[numericProfile]]'s distributive form: the same one-pass metrics

@@ -156,6 +156,28 @@ object StreamPipeline {
       .orderBy("user_id")
   }
 
+  /** The numeric-column quality profile maintained as STREAMING state —
+    * continuous data-quality monitoring at ingest, the production shape
+    * of [[graft.operators.Quality.numericProfile]] over an unbounded
+    * feed: the same one-pass partials (row count, per-column null count /
+    * min / max / decimal sum) run inside a streaming global aggregation,
+    * so the state store holds a FIXED-SIZE row of partials forever,
+    * independent of rows seen, and every micro-batch folds in with the
+    * same associative merges that make the batch profile map-side
+    * combinable (decimal sums make merge-of-micro-batches bit-equal to
+    * the one-shot scan — the [[graft.operators.Quality.mergeProfiles]]
+    * law, spec-proven, applied to trigger boundaries instead of shards).
+    * The final frame is finished with the shared unpivot, so stream and
+    * batch emit the identical per-column profile. */
+  def streamingQualityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("value", "user_id")
+    val aggs = graft.operators.Quality.profileAggs(cols)
+    val agged = eventsStream(spark, dir).agg(aggs.head, aggs.tail: _*)
+    graft.operators.Quality
+      .profileFinish(runToMemory(agged, "complete", "graft_sqprof"), cols)
+      .orderBy("column")
+  }
+
   /** Schema of the documents parquet. */
   val DocumentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -45,6 +45,19 @@ class StreamPipelineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streamingQualityProfile equals the batch numericProfile over the same rows") {
+    // micro-batch partials fold in the state store with the same
+    // associative merges (decimal sums) as the batch scan, so the final
+    // streamed profile must be bit-equal to the one-shot batch profile
+    val streamed = StreamPipeline.streamingQualityProfile(spark, Sf0001)
+      .collect().toSeq
+    val batch = graft.operators.Quality.numericProfile(
+        graft.Tables.load(spark, Sf0001, "events"), Seq("value", "user_id"))
+      .orderBy("column").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_.getString(0)) == Seq("user_id", "value"))
+  }
+
   test("streamingSemanticDedup equals the batch LSH-bucketed near-dup pairs") {
     // the stream side is stateless (embed + bucket projections), so the
     // stream-static join must reproduce Dedup.embeddingDupPairs over the
