@@ -95,6 +95,48 @@ object Curation {
     bucket < rate * 10000
   }
 
+  /** Temperature-scaled domain mixture — the α-reweighting the published
+    * multilingual / multi-source training recipes use (sampling weight
+    * w_d ∝ n_d^α with α < 1 upsamples small domains relative to their
+    * natural share; α here is fixed at 1/2). Per-domain keep rate
+    * r_d = w_d · T / n_d for a target corpus size T = N·num/den, applied
+    * as the same stateless salted-hash bucket decision as [[domainMix]] —
+    * no rand(), identical keeps across runs / partitionings / retries.
+    *
+    * Bit-determinism contract: the weight is the INTEGER floor(√n_d)
+    * (IEEE sqrt is correctly rounded and n_d is exact, so the floor is
+    * engine-independent), the target is the integer (N·num) div den, and
+    * the keep test is pure integer cross-multiplication in decimal(38,0)
+    * — bucket·S·n_d < s_d·T·10000 — so no float rounding can flip a
+    * decision at any scale (hugeint in the DuckDB twin).
+    *
+    * Scale shape: one tiny per-domain count aggregate (domains are
+    * enumerable by contract), totals via a window over that tiny frame,
+    * broadcast back onto the corpus; the corpus itself is a single
+    * filtered pass — no shuffle of data rows. */
+  def temperatureMix(
+      df: DataFrame, textCol: String, domainCol: String,
+      targetNum: Int, targetDen: Int,
+      salt: String = "tmix:"): DataFrame = {
+    require(targetNum > 0 && targetDen > 0 && targetNum <= targetDen,
+      s"target fraction $targetNum/$targetDen must be in (0, 1]")
+    // note: Spark resolves column names case-insensitively by default, so
+    // the per-domain weight and its total need distinct spellings
+    val all = Window.partitionBy(lit(0)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val weights = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+      .withColumn("__wsum", sum(col("__w")).over(all))
+      .withColumn("__target",
+        expr(s"(sum(__n) over (partition by 0) * $targetNum) div $targetDen"))
+    val bucket = hashBucket(col(textCol), salt, 10000)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.join(broadcast(weights), col(domainCol) === col("__dom"))
+      .filter(dec(bucket) * dec(col("__wsum")) * dec(col("__n"))
+        < dec(col("__w")) * dec(col("__target")) * lit(BigDecimal(10000)))
+      .drop("__dom", "__n", "__w", "__wsum", "__target")
+  }
+
   /** Deterministic k-per-stratum sample (domain caps, eval-set draws,
     * "inspect 100 random docs per source"): rank each stratum's rows by a
     * salted id digest — a content-independent pseudo-uniform order — and

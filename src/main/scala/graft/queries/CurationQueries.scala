@@ -62,6 +62,21 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // Temperature-scaled (α = 1/2) domain reweighting toward a half-size
+    // target corpus: small sources keep a larger share than their natural
+    // proportion — the published multi-source sampling recipe, decided by
+    // integer-only cross-multiplication so the census is bit-stable.
+    "curation_temperature_mix" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val kept = Curation.temperatureMix(docs, "text", "source", 1, 2)
+        .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("kept"), lit(0L)).as("kept"))
+        .orderBy("source")
+    },
+
     // THE FULL PREPROCESSING FUNNEL as one composed query: exact dedup →
     // quality gate → repetition gate → decontamination (benchmark docs
     // drop themselves via self-overlap — eval data never trains) →
@@ -358,6 +373,25 @@ object CurationQueries {
                < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                               WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 10000
          GROUP BY source ORDER BY source""",
+
+    // integer cross-multiplied keep test (hugeint here, decimal(38,0) in
+    // Spark): bucket·S·n < s·T·10000 with s = floor(sqrt(n)), T = N//2
+    "curation_temperature_mix" ->
+      """WITH c AS (
+           SELECT source, count(*)::bigint AS n FROM documents GROUP BY source),
+         w AS (
+           SELECT source, n, floor(sqrt(n::double))::bigint AS s FROM c),
+         t AS (SELECT sum(n)::bigint AS N, sum(s)::bigint AS S FROM w),
+         k AS (
+           SELECT d.source, count(*) AS kept
+           FROM documents d JOIN w ON d.source = w.source CROSS JOIN t
+           WHERE (('0x' || substr(md5('tmix:' || d.text), 1, 15))::bigint
+                    % 10000)::hugeint * t.S * w.n
+               < w.s::hugeint * ((t.N * 1) // 2) * 10000
+           GROUP BY d.source)
+         SELECT c.source, c.n AS n_docs, coalesce(k.kept, 0)::bigint AS kept
+         FROM c LEFT JOIN k ON c.source = k.source
+         ORDER BY c.source""",
 
     "curation_pipeline" ->
       s"""WITH $ShinglesCte,

@@ -60,6 +60,32 @@ class CurationSpec extends SparkSpec {
       .count() == half)
   }
 
+  test("temperatureMix: α=1/2 upsamples small domains, integer rule is partition-stable") {
+    // big domain 800 docs, small domain 50: natural shares 94%/6%; at
+    // α = 1/2 the small domain's sampling weight share rises to
+    // √50/(√800+√50) ≈ 20%
+    val docs = ((0 until 800).map(i => (s"big corpus document $i", "big")) ++
+      (0 until 50).map(i => (s"small corpus document $i", "small")))
+      .toDF("text", "source")
+    val kept = Curation.temperatureMix(docs, "text", "source", 1, 2)
+    val census = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 850L
+    // expected keep rates: s_big=floor(√800)=28, s_small=floor(√50)=7,
+    // S=35, T=425 → r_big = 28·425/(35·800) = 0.425, r_small =
+    // 7·425/(35·50) = 1.7 → capped at 1 (all kept)
+    assert(census("small") == 50, s"small domain should keep all: $census")
+    assert(census("big") > 800 * 0.425 - 60 && census("big") < 800 * 0.425 + 60,
+      s"big domain should keep ~42.5%: $census")
+    // the keep decision is per-row content hashing — identical under any
+    // partitioning — and monotone in the target fraction (a doc kept at
+    // T/2 is kept at T: same bucket, larger right side)
+    assert(Curation.temperatureMix(docs.repartition(13), "text", "source", 1, 2)
+      .count() == kept.count())
+    val full = Curation.temperatureMix(docs, "text", "source", 1, 1)
+    assert(full.count() >= kept.count() && full.count() <= n)
+  }
+
   test("sampleKPerKey: k per stratum, rank contiguous, stable under repartitioning") {
     val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "src")
     val a = Curation.sampleKPerKey(docs, "src", "id", k = 7)
