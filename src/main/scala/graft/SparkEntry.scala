@@ -181,5 +181,7 @@ object SparkEntry {
     // the steady-state index SERVE paths (build-if-stale: the median of
     // 3 bench reps times the probe, which is what a deployment pays)
     "quality_profile", "quality_corpus_diff",
-    "dedup_spans_incremental_serve", "dedup_cross_corpus_served")
+    "dedup_spans_incremental_serve", "dedup_cross_corpus_served",
+    // round 11b — corpus wordcount + bounded-heap report shape
+    "text_top_ngrams")
 }

@@ -989,6 +989,25 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus-wide frequent-n-gram report, per source: the corpus-analysis
+    // tool behind boilerplate policy decisions ("which passages repeat
+    // enough to matter?") and contamination triage. Classic wordcount
+    // shape — one keyed count aggregate with map-side combine (heavy
+    // hitters partial-reduce before the exchange) — then the native
+    // bounded-heap TopKPerKey node ships only sources×k rows; no global
+    // or per-source sort of the tail ever exists.
+    "text_top_ngrams" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val counts = Dedup.rawShingles(docs, "text", "source", 3)
+        .groupBy(col("source"), col("shingle")).agg(count(lit(1)).as("n"))
+      val order = Seq(col("n").desc, col("shingle").asc)
+      graft.operators.TopK.perKey(counts, Seq("source"), order, 10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(order: _*)))
+        .orderBy("source", "rank")
+    },
+
     // Document fingerprinting by winnowing (the MOSS scheme): rolling
     // character k-grams → 60-bit hashes → min per sliding window of w →
     // distinct fingerprints. Robust to insertions/reordering beyond a
@@ -2607,6 +2626,27 @@ object LlmQueries {
                 round(1 - ndist::double / ntok, 4) > 0.3
                   OR round(top_bg::double / (ntok - 1), 4) > 0.18 AS flagged
          FROM top ORDER BY doc_id""",
+
+    "text_top_ngrams" ->
+      """WITH g AS (
+           SELECT source, unnest(
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_transform(
+                         generate_series(1, len(string_split(text, ' ')) - 2),
+                         i -> array_to_string(
+                                list_slice(string_split(text, ' '), i, i + 2), ' '))
+                  ELSE [text] END) AS shingle
+           FROM documents),
+         c AS (
+           SELECT source, shingle, count(*)::bigint AS n
+           FROM g GROUP BY source, shingle),
+         r AS (
+           SELECT source, shingle, n,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n DESC, shingle ASC) AS rank
+           FROM c)
+         SELECT source, shingle, n, rank FROM r
+         WHERE rank <= 10 ORDER BY source, rank""",
 
     "text_winnow" ->
       """WITH norm AS (
