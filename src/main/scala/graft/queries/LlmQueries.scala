@@ -449,6 +449,32 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // PQ index REFRESH — maintenance under corpus UPDATES, not just
+    // arrivals: yesterday's index carries stale codes for re-embedded
+    // vectors (ids ≡ 0 mod 5, reversed embedding), is missing the new
+    // arrivals (ids ≡ 1 mod 7), and still holds retired rows (shifted
+    // ids); one refresh brings it to today's corpus at the cost of the
+    // changed/added rows only, and the search over it must equal a
+    // search over a from-scratch index — the append oracle replayed.
+    "sim_pq_index_refresh" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", m = 4, dsub = 16)
+      val stale = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val retired = emb.filter(col("vec_id") % 9 === 3)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val old = emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 =!= 1)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(stale).unionByName(retired)
+      val index0 = Similarity.pqIndexDigested(old, cb, "vec_id", "embedding", 4, 16)
+      val refreshed = Similarity.pqIndexRefresh(index0, emb, cb,
+        "vec_id", "embedding", 4, 16)
+      Similarity.pqSearchEncoded(emb.filter(col("vec_id") < 10), refreshed, cb,
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // Cross-corpus dedup — the daily-ingest shape: the even-id half plays
     // the arriving delta, the odd-id half the standing lake; only CROSS
     // pairs are surfaced (intra-side dups are the self-join family's job),
@@ -1107,6 +1133,45 @@ object LlmQueries {
         .orderBy("doc_id", "frame_no")
     },
   )
+
+  /** DuckDB replay of a PQ search over a from-scratch encode of the full
+    * corpus (sampled codebook, k=5, m=4, dsub=16, queries vec_id < 10) —
+    * the shared end-state oracle of every index-lifecycle query that must
+    * converge to the current corpus: append and refresh. */
+  private val PqEncodedSearchOracle: String =
+    """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 0),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         terms AS (
+           SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM sub qs
+           JOIN codes co ON co.j = qs.j AND co.vec_id <> qs.vec_id
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code
+           WHERE qs.vec_id < 10),
+         scored AS (
+           SELECT query_id, neighbor_id, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id)
+         SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
 
   private val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -2034,40 +2099,11 @@ object LlmQueries {
 
     // append converges to the from-scratch index, so the oracle is the
     // flat-PQ search replay over the full corpus (same k/m/codewords)
-    "sim_pq_index_append" ->
-      """WITH js AS (SELECT unnest(range(4)) AS j),
-         sub AS (
-           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
-           FROM embeddings, js),
-         cb AS (
-           SELECT j AS subspace, vec_id AS code_id,
-                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
-                  sv AS cw
-           FROM sub WHERE vec_id % 100 = 0),
-         enc AS (
-           SELECT s.vec_id, s.j, cb.code,
-             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
-               round(list_dot_product(s.sv::double[], s.sv::double[])
-                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
-                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
-               cb.code ASC) AS ern
-           FROM sub s JOIN cb ON cb.subspace = s.j),
-         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
-         terms AS (
-           SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
-                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
-           FROM sub qs
-           JOIN codes co ON co.j = qs.j AND co.vec_id <> qs.vec_id
-           JOIN cb ON cb.subspace = co.j AND cb.code = co.code
-           WHERE qs.vec_id < 10),
-         scored AS (
-           SELECT query_id, neighbor_id, round(sum(term), 6) AS score
-           FROM terms GROUP BY query_id, neighbor_id)
-         SELECT query_id, neighbor_id, score,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, neighbor_id) AS rnk
-         FROM scored
-         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+    "sim_pq_index_append" -> PqEncodedSearchOracle,
+
+    // refresh converges the index to today's corpus, so the search over
+    // it replays the same from-scratch oracle as the append path
+    "sim_pq_index_refresh" -> PqEncodedSearchOracle,
 
     "dedup_edit_distance" ->
       """WITH k AS (

@@ -593,6 +593,40 @@ class SimilaritySpec extends SparkSpec {
     assert(appended == scratch, "appended index must equal the from-scratch encode")
   }
 
+  test("pqIndexRefresh: converges to from-scratch, keeps unchanged codes untouched, drops retired ids") {
+    val emb001 = graft.Tables.load(spark, Sf0001, "embeddings").filter(col("vec_id") < 60)
+    val cb = Similarity.pqCodebook(emb001.filter(col("vec_id") % 20 === 0),
+      "vec_id", "embedding", m = 4, dsub = 16)
+    // yesterday: ids %5==0 re-embedded since (stale = reversed vector),
+    // ids %7==1 hadn't arrived, ids 9000+x are retired today
+    val old = emb001.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 =!= 1)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb001.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      .unionByName(emb001.filter(col("vec_id") % 9 === 3)
+        .select((col("vec_id") + 9000).as("vec_id"), col("embedding")))
+    val index0 = Similarity.pqIndexDigested(old, cb, "vec_id", "embedding", 4, 16)
+    // poison the codes of one UNCHANGED row: refresh must preserve the
+    // poisoned value verbatim — direct proof kept rows never re-encode
+    val unchangedId = 2L // 2%5!=0, 2%7!=1 → present & unchanged
+    val poisoned = index0.withColumn("codes",
+      when(col("id") === unchangedId, typedLit(Seq(-1, -1, -1, -1)))
+        .otherwise(col("codes")))
+    val refreshed = Similarity.pqIndexRefresh(poisoned, emb001, cb,
+      "vec_id", "embedding", 4, 16)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("codes")).as[(Long, Array[Int])]
+        .collect().map { case (i, c) => i -> c.toSeq }.toMap
+    val got = m(refreshed)
+    assert(got(unchangedId) == Seq(-1, -1, -1, -1),
+      "unchanged row must keep its stored codes (no re-encode)")
+    assert(!got.keySet.exists(_ >= 9000), "retired ids must drop out")
+    val scratch = m(Similarity.pqIndexDigested(emb001, cb, "vec_id", "embedding", 4, 16))
+    assert(got.keySet == scratch.keySet)
+    assert((got - unchangedId) == (scratch - unchangedId),
+      "refreshed index must equal the from-scratch encode on every other id")
+  }
+
   test("pqCodebook raises on duplicate codeword ids instead of ranking nondeterministically") {
     val dup = Seq((1L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
