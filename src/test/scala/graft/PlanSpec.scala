@@ -144,6 +144,22 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale anti-patterns crept in:\n${offenders.mkString("\n")}")
   }
 
+  test("top-ngrams: map-side combined count feeding the bounded-heap node, no tail sort") {
+    val p = plan("text_top_ngrams")
+    assert(p.contains("TopKPerKey"), "native bounded-heap node missing")
+    assert(p.contains("partial_count"), "gram count must combine map-side")
+    // the only sort is the final result ordering over sources×k rows —
+    // the gram tail itself must never sort
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("temperature mix: weight frame broadcasts, corpus keep-test is a stateless filter") {
+    val p = plan("curation_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), "per-domain weights must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus must not shuffle for the weight join")
+  }
+
   test("hash embedding is a zero-shuffle kernel projection over the scan") {
     val p = plan("text_hash_embed")
     assert(p.contains("graft_hash_embed"), "kernel embed projection missing")
