@@ -69,18 +69,26 @@ object SkewBench {
     * the uniform twin), each the median of 3 runs after one unmeasured
     * warm-up per side — the first evaluation of each plan pays its
     * codegen/planning floor, which would otherwise bias whichever side
-    * runs first. */
+    * runs first. The measured runs INTERLEAVE the two sides
+    * (skew, uniform, skew, uniform, …) instead of timing one side's
+    * block after the other: JVM drift across a long bench (GC debt from
+    * earlier fixtures, code-cache churn) then lands on both sides
+    * equally instead of inflating whichever side a block-ordered timer
+    * visits first — observed as a phantom 2.5× "skew ratio" on a path
+    * whose isolated ratio is 1.35×. */
   private def pair(name: String)(f: Boolean => DataFrame): (String, Double, Double) = {
-    def t(skewed: Boolean): Double = {
-      f(skewed).count() // warm: planning + codegen off the measured path
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        f(skewed).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      times.sorted.apply(1)
+    f(true).count() // warm: planning + codegen off the measured path
+    f(false).count()
+    val runs = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      f(true).count()
+      val a = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      f(false).count()
+      val b = (System.nanoTime() - t1) / 1e9
+      (a, b)
     }
-    (name, t(skewed = true), t(skewed = false))
+    (name, runs.map(_._1).sorted.apply(2), runs.map(_._2).sorted.apply(2))
   }
 
   /** The skew-exposed paths, each against its uniform twin:
