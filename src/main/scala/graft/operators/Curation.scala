@@ -137,6 +137,21 @@ object Curation {
       .drop("__dom", "__n", "__w", "__wsum", "__target")
   }
 
+  /** Quality-proportional stochastic keep — the "soft filter" between
+    * hard thresholding (which cliffs at the cutoff) and keeping
+    * everything: each document survives with probability equal to its
+    * quality score (any Column in [0, 1], e.g.
+    * [[TextAnalysis.qualityScore]]), decided by the same salted
+    * content-hash bucket as every curation draw here — deterministic
+    * across runs / partitionings / retries, a fresh salt is a fresh
+    * draw, and high-quality docs are kept near-surely while low-quality
+    * docs still contribute a diversity floor instead of vanishing.
+    * Stateless per-row math; no shuffle, no count pre-pass. */
+  def qualitySample(
+      df: DataFrame, textCol: String, quality: Column,
+      salt: String = "qs:"): DataFrame =
+    df.filter(hashBucket(col(textCol), salt, 10000) < quality * 10000)
+
   /** Deterministic k-per-stratum sample (domain caps, eval-set draws,
     * "inspect 100 random docs per source"): rank each stratum's rows by a
     * salted id digest — a content-independent pseudo-uniform order — and

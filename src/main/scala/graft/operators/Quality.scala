@@ -221,6 +221,30 @@ object Quality {
           .otherwise("changed").as("status"))
   }
 
+  /** Schema-level diff of two snapshots — the companion of [[corpusDiff]]
+    * (content) for dataset versioning: every column name in either
+    * schema classified added / removed / type_changed / unchanged, with
+    * both type strings carried for the report. Pure driver-side metadata
+    * (two `StructType`s — no scan, no job); the result is materialized
+    * as a one-partition frame so it composes with the other gates.
+    * A release gate asserts e.g. `diff.filter(status != 'unchanged')
+    * .isEmpty` before publishing against a consumer contract. */
+  def schemaDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = newSnap.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows = (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      val status = (o.get(c), n.get(c)) match {
+        case (None, Some(_))                  => "added"
+        case (Some(_), None)                  => "removed"
+        case (Some(a), Some(b)) if a == b     => "unchanged"
+        case _                                => "type_changed"
+      }
+      (c, o.get(c).orNull, n.get(c).orNull, status)
+    }
+    import oldSnap.sparkSession.implicits._
+    rows.toDF("column", "old_type", "new_type", "status")
+  }
+
   /** Keys of `fact.fkCol` absent from `keys.pkCol` — referential
     * integrity against a dimension, or allowlist membership against a
     * licensed-source list. The key side reduces to its distinct set and

@@ -77,6 +77,35 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // Quality-proportional sampling census: every doc kept with
+    // probability equal to its quality score (soft filter — no cliff at
+    // a threshold, low-quality docs keep a diversity floor). Mean kept
+    // quality rises above the corpus mean by construction.
+    "curation_quality_sample" -> q { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val qcol = round(TextAnalysis.qualityScore(col("text")), 6)
+      Curation.qualitySample(docs, "text", qcol)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"),
+          round(sum(qcol.cast("decimal(38,10)")).cast("double") /
+            count(lit(1)), 6).as("mean_quality_kept"))
+        .orderBy("source")
+    },
+
+    // Schema-level snapshot diff — dataset versioning's second half
+    // (quality_corpus_diff covers content): the next release drops a
+    // column, narrows a type, and adds a derived column; the diff frame
+    // is the release-gate artifact a consumer contract is checked
+    // against.
+    "quality_schema_drift" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val next = docs.drop("lang")
+        .withColumn("n_chars", col("n_chars").cast("int"))
+        .withColumn("quality", lit(0.5))
+      Quality.schemaDiff(docs, next).orderBy("column")
+    },
+
     // THE FULL PREPROCESSING FUNNEL as one composed query: exact dedup →
     // quality gate → repetition gate → decontamination (benchmark docs
     // drop themselves via self-overlap — eval data never trains) →
@@ -373,6 +402,40 @@ object CurationQueries {
                < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                               WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 10000
          GROUP BY source ORDER BY source""",
+
+    // the quality expression is text_quality's oracle formula verbatim;
+    // keep iff bucket < quality·10⁴ (both sides IEEE-exact doubles)
+    "curation_quality_sample" ->
+      """WITH t AS (
+           SELECT source, text,
+             round(greatest(0.0,
+               least(length(text)::double / 500.0, 1.0)
+               - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::double /
+                   length(text) * 2.0
+               - greatest(0.0,
+                   len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::double /
+                     len(string_split(text, ' ')) - 0.4)), 6) AS q
+           FROM documents),
+         k AS (
+           SELECT source, q FROM t
+           WHERE ('0x' || substr(md5('qs:' || text), 1, 15))::bigint % 10000
+                 < q * 10000)
+         SELECT source, count(*) AS kept,
+                round(sum(q::decimal(38,10))::double / count(*), 6)
+                  AS mean_quality_kept
+         FROM k GROUP BY source ORDER BY source""",
+
+    "quality_schema_drift" ->
+      """SELECT * FROM (VALUES
+           ('doc_id', 'bigint', 'bigint', 'unchanged'),
+           ('lang', 'string', NULL, 'removed'),
+           ('n_chars', 'bigint', 'int', 'type_changed'),
+           ('quality', NULL, 'double', 'added'),
+           ('source', 'string', 'string', 'unchanged'),
+           ('text', 'string', 'string', 'unchanged'))
+         t("column", old_type, new_type, status)
+         ORDER BY "column"""",
 
     // integer cross-multiplied keep test (hugeint here, decimal(38,0) in
     // Spark): bucket·S·n < s·T·10000 with s = floor(sqrt(n)), T = N//2

@@ -86,6 +86,23 @@ class CurationSpec extends SparkSpec {
     assert(full.count() >= kept.count() && full.count() <= n)
   }
 
+  test("qualitySample: keep rate tracks the score, deterministic, monotone in quality") {
+    // quality 1.0 keeps everything, 0.0 keeps nothing, 0.5 keeps ~half
+    val docs = (0 until 1000).map(i => s"sample document number $i").toDF("text")
+    def kept(q: Double): Long =
+      Curation.qualitySample(docs, "text", lit(q)).count()
+    assert(kept(1.0) == 1000)
+    assert(kept(0.0) == 0)
+    val half = kept(0.5)
+    assert(half > 400 && half < 600, s"got $half")
+    // deterministic under repartitioning, and a doc kept at q is kept at
+    // any higher q (same bucket, larger threshold)
+    assert(Curation.qualitySample(docs.repartition(11), "text", lit(0.5)).count() == half)
+    val at5 = Curation.qualitySample(docs, "text", lit(0.5)).as[String].collect().toSet
+    val at7 = Curation.qualitySample(docs, "text", lit(0.7)).as[String].collect().toSet
+    assert(at5.subsetOf(at7))
+  }
+
   test("sampleKPerKey: k per stratum, rank contiguous, stable under repartitioning") {
     val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "src")
     val a = Curation.sampleKPerKey(docs, "src", "id", k = 7)

@@ -98,6 +98,19 @@ class QualitySpec extends SparkSpec {
       3L -> "removed", 4L -> "added"), got.toString)
   }
 
+  test("schemaDiff: added/removed/type_changed/unchanged; no job runs") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
+    val next = Seq((1L, 1, true)).toDF("id", "score", "flag")
+    val got = Quality.schemaDiff(old, next)
+      .as[(String, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("flag", null, "boolean", "added"),
+      ("id", "bigint", "bigint", "unchanged"),
+      ("name", "string", null, "removed"),
+      ("score", "double", "int", "type_changed")))
+  }
+
   test("fkViolations: allowlist broadcasts, fact side streams, counts exact") {
     import spark.implicits._
     val fact = Seq((1L, "x"), (2L, "y"), (2L, "z"), (7L, "w"), (null.asInstanceOf[Any], "n"))
