@@ -601,6 +601,78 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$outPath/bands")
   }
 
+  /** [[writeLshIndex]] plus a content digest next to each signature —
+    * the sigs layout that supports [[refreshLshIndex]] under corpus
+    * UPDATES (append alone only handles arrivals): `sigs/` rows are
+    * (id, tdig, sig) with `tdig = md5(text)`, `bands/` is unchanged, so
+    * every existing probe ([[indexedCrossCorpusPairs]]) reads it as-is.
+    * Build cost adds one id-keyed join of two doc-sized frames. */
+  def writeLshIndexDigested(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, bands: Int, path: String): Unit = {
+    val spark = docs.sparkSession
+    val sh = rawShingles(docs, textCol, idCol, shingleN)
+    wideSigs(sh, idCol, k)
+      .select(col(idCol).as("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .join(docs.select(col(idCol).as("id"),
+        md5(coalesce(col(textCol), lit(""))).as("tdig")), Seq("id"))
+      .select(col("id"), col("tdig"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    writeBandsFromSigs(spark, path, k, bands)
+  }
+
+  /** Rebuild `bands/` (with uniformly exact counts) from `$path/sigs` —
+    * shared by the digested build and the refresh. */
+  private def writeBandsFromSigs(
+      spark: SparkSession, path: String, k: Int, bands: Int): Unit = {
+    val sigCols = spark.read.parquet(s"$path/sigs")
+    val wide = sigCols.select(col("id") +:
+      (0 until k).map(i => col("sig")(i).as(s"__m$i")): _*)
+    val bd = bandsFromWide(wide, "id", k, bands)
+    bd.join(
+        bd.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("bucket_n")),
+        Seq("band", "band_hash"))
+      .select(col("id"), col("band"), col("band_hash"), col("bucket_n"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Refresh a digested LSH index against an updated corpus snapshot —
+    * the index-maintenance job when the lake is upserted in place rather
+    * than append-only: unchanged docs (matching (id, md5(text))) keep
+    * their STORED signatures — no re-shingling, no MinHash, the
+    * expensive text-side work is paid by changed/added docs only —
+    * removed ids drop out, and `bands/` is rebuilt from the refreshed
+    * signatures with uniformly exact counts (the [[compactLshIndex]]
+    * shape, over slim sig rows). Rebuilding counts rather than patching
+    * them is what keeps the probe's pushed `bucket_n` filters sound:
+    * removals would make patched stored counts OVERcount, breaking the
+    * only-undercount invariant the stale-counts probe relies on.
+    * Converges to [[writeLshIndexDigested]] of the new corpus
+    * (spec-pinned). */
+  def refreshLshIndex(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, bands: Int, path: String, outPath: String): Unit = {
+    require(path != outPath,
+      "refresh must write to a fresh path (the source index is being read)")
+    val spark = docs.sparkSession
+    val old = spark.read.parquet(s"$path/sigs")
+    val cur = docs.select(col(idCol), col(textCol))
+      .withColumn("tdig", md5(coalesce(col(textCol), lit(""))))
+    val kept = old.join(
+      cur.select(col(idCol).as("id"), col("tdig")), Seq("id", "tdig"), "left_semi")
+    val freshSrc = cur.join(
+        old.select(col("id").as(idCol), col("tdig")), Seq(idCol, "tdig"), "left_anti")
+      .localCheckpoint()
+    val freshSigs = wideSigs(
+        rawShingles(freshSrc, textCol, idCol, shingleN), idCol, k)
+      .select(col(idCol).as("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .join(freshSrc.select(col(idCol).as("id"), col("tdig")), Seq("id"))
+      .select(col("id"), col("tdig"), col("sig"))
+    kept.unionByName(freshSigs).write.mode("overwrite").parquet(s"$outPath/sigs")
+    writeBandsFromSigs(spark, outPath, k, bands)
+  }
+
   /** [[crossCorpusLshPairs]] served from a persisted [[writeLshIndex]] —
     * the delta-vs-lake near-dup probe with the lake reduced to its index:
     * no lake re-shingling, no lake signature shuffle, no per-probe

@@ -106,6 +106,30 @@ object CurationQueries {
       Quality.schemaDiff(docs, next).orderBy("column")
     },
 
+    // THE PUBLISH PATH composed end to end — what actually ships a
+    // training corpus once the cleaning funnel (curation_pipeline) has
+    // run: temperature-reweighted domain mix → quality-proportional
+    // soft sample → deterministic content-hash split → seeded export
+    // shuffle, reported as the (source × split × shard) census a release
+    // manifest records. Every stage is a stateless salted-hash decision
+    // (independent salts ⇒ independent draws), so the whole release is
+    // reproducible bit-for-bit from the corpus and the seeds.
+    "curation_release" -> q { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val qcol = round(TextAnalysis.qualityScore(col("text")), 6)
+      val sampled = Curation.qualitySample(
+        Curation.temperatureMix(docs, "text", "source", 1, 2), "text", qcol)
+      val split = sampled.withColumn("split",
+        Curation.assignSplit(col("text"), trainPct = 90, valPct = 5))
+      val shuffled = Curation.seededShuffle(
+        split.select("doc_id"), "doc_id", shards = 8)
+      split.join(shuffled, "doc_id")
+        .groupBy(col("source"), col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split", "shard")
+    },
+
     // THE FULL PREPROCESSING FUNNEL as one composed query: exact dedup →
     // quality gate → repetition gate → decontamination (benchmark docs
     // drop themselves via self-overlap — eval data never trains) →
@@ -402,6 +426,53 @@ object CurationQueries {
                < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                               WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 10000
          GROUP BY source ORDER BY source""",
+
+    // the publish path: each CTE is the verbatim oracle of its stage
+    // (temperature mix → quality sample → split → export shard), chained
+    "curation_release" ->
+      """WITH c AS (
+           SELECT source, count(*)::bigint AS n FROM documents GROUP BY source),
+         w AS (
+           SELECT source, n, floor(sqrt(n::double))::bigint AS s FROM c),
+         t AS (SELECT sum(n)::bigint AS N, sum(s)::bigint AS S FROM w),
+         mix AS (
+           SELECT d.doc_id, d.text, d.source
+           FROM documents d JOIN w ON d.source = w.source CROSS JOIN t
+           WHERE (('0x' || substr(md5('tmix:' || d.text), 1, 15))::bigint
+                    % 10000)::hugeint * t.S * w.n
+               < w.s::hugeint * ((t.N * 1) // 2) * 10000),
+         qd AS (
+           SELECT doc_id, text, source,
+             round(greatest(0.0,
+               least(length(text)::double / 500.0, 1.0)
+               - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::double /
+                   length(text) * 2.0
+               - greatest(0.0,
+                   len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::double /
+                     len(string_split(text, ' ')) - 0.4)), 6) AS q
+           FROM mix),
+         samp AS (
+           SELECT doc_id, text, source FROM qd
+           WHERE ('0x' || substr(md5('qs:' || text), 1, 15))::bigint % 10000
+                 < q * 10000),
+         spl AS (
+           SELECT doc_id, source,
+             CASE WHEN ('0x' || substr(md5('split:' || text), 1, 15))::bigint
+                         % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || text), 1, 15))::bigint
+                         % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM samp),
+         sh AS (
+           SELECT doc_id,
+             (('0x' || substr(md5('export:' || doc_id), 1, 15))::bigint % 8)::int
+               AS shard
+           FROM spl)
+         SELECT s.source, s.split, sh.shard, count(*) AS n_docs
+         FROM spl s JOIN sh ON s.doc_id = sh.doc_id
+         GROUP BY s.source, s.split, sh.shard
+         ORDER BY s.source, s.split, sh.shard""",
 
     // the quality expression is text_quality's oracle formula verbatim;
     // keep iff bucket < quality·10⁴ (both sides IEEE-exact doubles)

@@ -515,6 +515,39 @@ object LlmQueries {
         .orderBy("id_new", "id_base")
     },
 
+    // LSH index REFRESH — the near-dup index maintained under lake
+    // UPDATES: yesterday's index holds stale signatures for re-crawled
+    // docs (ids ≡ 0 mod 3, prefixed text), is missing later arrivals
+    // (ids ≡ 1 mod 5), and still carries retired rows; one refresh
+    // re-signs only the changed/added docs (unchanged docs keep stored
+    // sigs — no re-shingling), rebuilds exact band counts, and the probe
+    // over it must be pair-identical to the inline cross-corpus oracle.
+    "dedup_cross_corpus_refreshed" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def sh(f: org.apache.spark.sql.DataFrame) =
+        Dedup.rawShingles(f, "text", "doc_id", ShingleN)
+      val lake = docs.filter(col("doc_id") % 2 =!= 0)
+      val oldLake = lake.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 =!= 1)
+        .unionByName(lake.filter(col("doc_id") % 3 === 0)
+          .withColumn("text", concat(lit("stale "), col("text"))))
+        .unionByName(lake.filter(col("doc_id") % 9 === 5)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val tmp = java.lang.System.getProperty("java.io.tmpdir")
+      val p0 = new java.io.File(tmp,
+        s"graft_lshref0_${Integer.toHexString(dir.hashCode)}").toString
+      val p1 = new java.io.File(tmp,
+        s"graft_lshref1_${Integer.toHexString(dir.hashCode)}").toString
+      Dedup.writeLshIndexDigested(oldLake, "text", "doc_id",
+        ShingleN, MinhashK, LshBands, p0)
+      Dedup.refreshLshIndex(lake, "text", "doc_id",
+        ShingleN, MinhashK, LshBands, p0, p1)
+      Dedup.indexedCrossCorpusPairs(
+          s.read.parquet(s"$p1/bands"), s.read.parquet(s"$p1/sigs"),
+          sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
+          MinhashK, LshBands, maxBucket = CrossMaxBucket)
+        .orderBy("id_new", "id_base")
+    },
+
     // Steady-state LSH probe: index built only when missing or stale
     // (vs the source parquet's mtime), so a repeated run times the
     // per-delta probe — broadcast delta bands, pushed bucket_n cap,
@@ -2816,6 +2849,9 @@ object LlmQueries {
       ("dedup_cross_corpus_appended" -> baseOracles("dedup_cross_corpus")) +
       ("dedup_cross_corpus_compacted" -> baseOracles("dedup_cross_corpus")) +
       ("dedup_cross_corpus_served" -> baseOracles("dedup_cross_corpus")) +
+      // a refreshed index converges to the current lake, so its probe
+      // shares the inline operator's oracle too
+      ("dedup_cross_corpus_refreshed" -> baseOracles("dedup_cross_corpus")) +
       ("dedup_spans_incremental_serve" ->
         baseOracles("dedup_spans_incremental")) +
       // the bucketed-index probe is result-identical to the broadcast one

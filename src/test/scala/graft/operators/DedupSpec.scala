@@ -553,6 +553,51 @@ class DedupSpec extends SparkSpec {
     assert(freshPerRow.forall(_._3), "compacted bucket_n not uniform per bucket")
   }
 
+  test("refreshLshIndex: converges to from-scratch, unchanged sigs untouched, retired ids drop") {
+    val mk = (i: Long) => s"document number $i with its own genuinely distinct running text"
+    val today = (1L to 30L).map(i => (i, mk(i)))
+    // yesterday: ids %3==0 carried different text (stale sigs), ids
+    // %5==1 were missing, id 999 is retired today
+    val yesterday = today.collect {
+      case (i, t) if i % 3 == 0 => (i, s"old revision $i")
+      case (i, t) if i % 5 != 1 => (i, t)
+    } :+ (999L, "a retired document")
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val p0 = java.nio.file.Files.createTempDirectory("graft_lshref_spec0").toString
+    val p0Poisoned = java.nio.file.Files.createTempDirectory("graft_lshref_specP").toString
+    val p1 = java.nio.file.Files.createTempDirectory("graft_lshref_spec1").toString
+    val pScratch = java.nio.file.Files.createTempDirectory("graft_lshref_specS").toString
+    Dedup.writeLshIndexDigested(df(yesterday), "text", "doc_id", 5, 16, 4, p0)
+    // poison the stored signature of one UNCHANGED doc: the refresh must
+    // carry it verbatim — direct proof unchanged docs never re-sign
+    val unchangedId = 2L
+    val sigs0 = spark.read.parquet(s"$p0/sigs")
+    val poisonedSig = Seq.fill(16)(-42L)
+    sigs0.withColumn("sig",
+        when(col("id") === unchangedId, typedLit(poisonedSig)).otherwise(col("sig")))
+      .write.mode("overwrite").parquet(s"$p0Poisoned/sigs")
+    Dedup.refreshLshIndex(df(today), "text", "doc_id", 5, 16, 4, p0Poisoned, p1)
+    val got = spark.read.parquet(s"$p1/sigs")
+      .as[(Long, String, Array[Long])].collect()
+      .map { case (i, d, sg) => i -> sg.toSeq }.toMap
+    assert(got(unchangedId) == poisonedSig, "unchanged doc must keep its stored sig")
+    assert(!got.contains(999L), "retired id must drop out")
+    Dedup.writeLshIndexDigested(df(today), "text", "doc_id", 5, 16, 4, pScratch)
+    val want = spark.read.parquet(s"$pScratch/sigs")
+      .as[(Long, String, Array[Long])].collect()
+      .map { case (i, d, sg) => i -> sg.toSeq }.toMap
+    assert(got.keySet == want.keySet)
+    assert((got - unchangedId) == (want - unchangedId),
+      "refreshed sigs must equal the from-scratch build elsewhere")
+    // bands carry uniformly exact counts (the compact invariant)
+    val uniform = spark.read.parquet(s"$p1/bands")
+      .groupBy("band", "band_hash")
+      .agg((max("bucket_n") === min("bucket_n") &&
+        max("bucket_n") === count(org.apache.spark.sql.functions.lit(1))).as("ok"))
+      .as[(Int, String, Boolean)].collect()
+    assert(uniform.forall(_._3), "refreshed bucket_n not exact/uniform")
+  }
+
   test("GramDigests kernel ≡ the composed transform/substring/digest60 form") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
