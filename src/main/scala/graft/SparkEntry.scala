@@ -36,7 +36,9 @@ object SparkEntry {
         "stream_span_dedup" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.streamingSpanDedup(s, dir)),
         "stream_quality_profile" -> ((s: SparkSession, dir: String) =>
-          streaming.StreamPipeline.streamingQualityProfile(s, dir)))
+          streaming.StreamPipeline.streamingQualityProfile(s, dir)),
+        "stream_quality_gate" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.streamingRowGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -152,7 +154,25 @@ object SparkEntry {
                   round(max($c)::double, 6) AS max_v,
                   round(sum($c::decimal(38,10))::double / count($c), 6) AS mean_v
                 FROM events""")
-            .mkString("", " UNION ALL ", " ORDER BY \"column\""))
+            .mkString("", " UNION ALL ", " ORDER BY \"column\""),
+        // per-rule violation counters accumulate as one associatively-
+        // merged state row, so the final gate equals the batch census
+        "stream_quality_gate" ->
+          """WITH v AS (
+               SELECT
+                 CASE WHEN NOT (event_type IN ('click','view','purchase','signup'))
+                      THEN 1 ELSE 0 END AS type_allowed,
+                 CASE WHEN NOT (value <= 400.0) THEN 1 ELSE 0 END AS value_cap,
+                 CASE WHEN value IS NULL THEN 1 ELSE 0 END AS value_nonnull
+               FROM events)
+             SELECT rule, n_rows FROM (
+               SELECT 'type_allowed' AS rule, sum(type_allowed)::bigint AS n_rows FROM v
+               UNION ALL SELECT 'value_cap', sum(value_cap)::bigint FROM v
+               UNION ALL SELECT 'value_nonnull', sum(value_nonnull)::bigint FROM v
+               UNION ALL SELECT '__clean',
+                 sum(CASE WHEN type_allowed = 0 AND value_cap = 0
+                           AND value_nonnull = 0 THEN 1 ELSE 0 END)::bigint FROM v)
+             ORDER BY rule""")
 
   /** Headline subset timed by [[Bench]] at sf0.1 — one per operator family
     * (scan/agg, broadcast join chain, window, sessionize, CDC apply,

@@ -178,6 +178,33 @@ object StreamPipeline {
       .orderBy("column")
   }
 
+  /** Row-level quality gate maintained as STREAMING state — the ingest
+    * admission control of a 100 TB feed: every arriving row is tested
+    * against the declarative rule set and the per-rule violation
+    * counters (plus the clean count — rows violating nothing, the rows
+    * a dead-letter split would admit) accumulate in the state store as
+    * ONE row of sums, merged associatively per micro-batch exactly like
+    * [[streamingQualityProfile]]'s partials. Rules with zero violations
+    * stay visible at 0 — the gate reports health, not just failures. */
+  def streamingRowGate(spark: SparkSession, dir: String): DataFrame = {
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("type_allowed",
+        col("event_type").isin("click", "view", "purchase", "signup")),
+      ("value_cap", col("value") <= 400.0),
+      ("value_nonnull", col("value").isNotNull))
+    val viol = rules.map { case (n, p) =>
+      sum(when(!p, 1L).otherwise(0L)).as(s"__v_$n") }
+    val clean = sum(when(rules.map(_._2).reduce(_ && _), 1L).otherwise(0L))
+      .as("__v___clean")
+    val names = rules.map(_._1) :+ "__clean"
+    val agged = eventsStream(spark, dir).agg(viol.head, (viol.tail :+ clean): _*)
+    runToMemory(agged, "complete", "graft_sgate")
+      .select(explode(array(names.map(n => struct(
+        lit(n).as("rule"), col(s"__v_$n").as("n_rows"))): _*)).as("g"))
+      .select(col("g.*"))
+      .orderBy("rule")
+  }
+
   /** Schema of the documents parquet. */
   val DocumentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

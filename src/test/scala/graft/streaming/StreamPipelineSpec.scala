@@ -58,6 +58,30 @@ class StreamPipelineSpec extends SparkSpec {
     assert(streamed.map(_.getString(0)) == Seq("user_id", "value"))
   }
 
+  test("streamingRowGate equals the batch violation census, zero-violation rules visible") {
+    val streamed = StreamPipeline.streamingRowGate(spark, Sf0001)
+      .as[(String, Long)].collect().toSeq
+    val ev = graft.Tables.load(spark, Sf0001, "events")
+    val typeOk = col("event_type").isin("click", "view", "purchase", "signup")
+    val capOk = col("value") <= 400.0
+    val nnOk = col("value").isNotNull
+    val batch = ev.agg(
+      sum(when(typeOk && capOk && nnOk, 1L).otherwise(0L)).as("__clean"),
+      sum(when(!typeOk, 1L).otherwise(0L)).as("type_allowed"),
+      sum(when(!capOk, 1L).otherwise(0L)).as("value_cap"),
+      sum(when(!nnOk, 1L).otherwise(0L)).as("value_nonnull"))
+      .collect().head
+    assert(streamed == Seq(
+      "__clean" -> batch.getLong(0),
+      "type_allowed" -> batch.getLong(1),
+      "value_cap" -> batch.getLong(2),
+      "value_nonnull" -> batch.getLong(3)))
+    assert(streamed.exists { case (r, n) => r == "value_nonnull" && n == 0L },
+      "zero-violation rule must stay visible at 0")
+    assert(streamed.exists { case (r, n) => r == "type_allowed" && n > 0L },
+      "fixture should contain 'error'-typed rows")
+  }
+
   test("streamingSemanticDedup equals the batch LSH-bucketed near-dup pairs") {
     // the stream side is stateless (embed + bucket projections), so the
     // stream-static join must reproduce Dedup.embeddingDupPairs over the
