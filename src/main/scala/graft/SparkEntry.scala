@@ -202,6 +202,7 @@ object SparkEntry {
     // 3 bench reps times the probe, which is what a deployment pays)
     "quality_profile", "quality_corpus_diff",
     "dedup_spans_incremental_serve", "dedup_cross_corpus_served",
-    // round 11b — corpus wordcount + bounded-heap report shape
-    "text_top_ngrams")
+    // round 11b — corpus wordcount + bounded-heap report shape, and the
+    // composed publish path (4 chained hash-decision stages + census)
+    "text_top_ngrams", "curation_release")
 }

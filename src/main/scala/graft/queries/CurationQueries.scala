@@ -282,6 +282,24 @@ object CurationQueries {
         .orderBy("column")
     },
 
+    // The persisted-partials lifecycle: per-shard profile partials
+    // written as the per-ingest-batch parquet artifact, then the
+    // whole-corpus profile served by MERGING the stored partials — no
+    // rescan of the data ever happens at read time (the fact table is
+    // absent from the serve plan). Must equal the one-shot profile
+    // bit-for-bit, so it shares its oracle.
+    "quality_profile_persisted" -> q { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("__shard", col("l_orderkey") % 4)
+      val path = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_profparts_${Integer.toHexString(dir.hashCode)}").toString
+      Quality.numericProfileSharded(li, "__shard",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .write.mode("overwrite").parquet(path)
+      Quality.mergeProfiles(s.read.parquet(path)).orderBy("column")
+    },
+
     // Declarative expectations evaluated in the same single pass — the
     // stage gate. The discount-cap rule is deliberately violated by the
     // data so the failure shape is exercised, not just the happy path.
@@ -679,6 +697,12 @@ object CurationQueries {
 
     // merge-of-partials ≡ one-shot profile (decimal sums associative)
     "quality_profile_merged" ->
+      (profileSelect("lineitem") + " ORDER BY \"column\""),
+
+    // the parquet round-trip preserves the partials exactly (decimal
+    // and double columns are stored losslessly), so the served merge
+    // shares the one-shot oracle as well
+    "quality_profile_persisted" ->
       (profileSelect("lineitem") + " ORDER BY \"column\""),
 
     "quality_profile_drift" ->

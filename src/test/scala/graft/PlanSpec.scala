@@ -160,6 +160,15 @@ class PlanSpec extends SparkSpec {
       "corpus must not shuffle for the weight join")
   }
 
+  test("persisted-profile serve plan never rescans the fact table") {
+    // the registry query writes the per-shard partials (side effect at
+    // construction), then SERVES the whole-corpus profile from the
+    // stored artifact — the lineitem scan must be absent from the plan
+    val p = plan("quality_profile_persisted")
+    assert(!p.contains("lineitem"), "serve path rescanned the fact table")
+    assert(p.contains("graft_profparts"), "serve path must read the stored partials")
+  }
+
   test("hash embedding is a zero-shuffle kernel projection over the scan") {
     val p = plan("text_hash_embed")
     assert(p.contains("graft_hash_embed"), "kernel embed projection missing")
