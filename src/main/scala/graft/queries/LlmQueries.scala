@@ -273,6 +273,23 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // The SemDeDup cluster step: connected components over the
+    // embedding near-dup pair graph, each vector labeled with its
+    // cluster's canonical (minimum) id — "semantically duplicate groups,
+    // keep one per group" as the published semantic-dedup recipe runs
+    // it. Composes the two already-verified pieces (sign-LSH bucketed
+    // cosine pairs; iterative min-label propagation with localCheckpoint
+    // rounds), so the quadratic term stays inside the capped buckets and
+    // each CC round is one join + one min-aggregate.
+    "dedup_embedding_clusters" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, signBits = 8)
+      Dedup.clusters(emb, pairs, "vec_id")
+        .withColumn("is_canonical", col("vec_id") === col("cluster"))
+        .orderBy("vec_id")
+    },
+
     // Brute-force exact cosine top-k — the ANN correctness baseline.
     "sim_topk_brute" -> q { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
@@ -1382,6 +1399,33 @@ object LlmQueries {
            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs
          WHERE c >= 0.3 ORDER BY id_a, id_b""",
+
+    // embedding pairs CTE is dedup_embedding's verbatim; CC by the same
+    // recursive-reach pattern as dedup_clusters
+    "dedup_embedding_clusters" ->
+      """WITH RECURSIVE b AS (
+           SELECT vec_id, embedding,
+             array_to_string(list_transform(list_slice(embedding, 1, 8),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+           WHERE list_dot_product(a.embedding::double[], b2.embedding::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(b2.embedding::double[], b2.embedding::double[])))
+             >= 0.3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs
+           UNION SELECT vec_id, vec_id FROM embeddings),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS vec_id, min(dst) AS cluster,
+                src = min(dst) AS is_canonical
+         FROM reach GROUP BY src ORDER BY vec_id""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
