@@ -183,7 +183,8 @@ class Replicator(
   /** Entry point C: continuous replication from an oplog-segment directory.
     * Each micro-batch: decode → repartition by (table, key) → apply each
     * key's ops in ts order on the executor → co-commit the max offset. */
-  def startStream(segmentsDir: String, checkpointDir: String, afterTs: Long = 0L): StreamingQuery = {
+  def startStream(segmentsDir: String, checkpointDir: String, afterTs: Long = 0L,
+      quarantineRule: Option[org.apache.spark.sql.Column] = None): StreamingQuery = {
     // every batch reads and co-commits the offset — the state table must
     // exist even when startStream is the first entry point called
     ensureStateTable()
@@ -192,6 +193,7 @@ class Replicator(
     val decoded = ChangeFeed.decode(feed, replicated)
     val url = sinkUrl; val props = sinkProps; val specs = config.tables
     val dl = dialect
+    val qr = quarantineRule
     decoded.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -210,7 +212,9 @@ class Replicator(
         }
         val maxTs = Replicator.applyBatch(batch, specs, url, props,
           deadLetterDir = Some(s"$checkpointDir/dead_letter"), batchId = batchId,
-          skipBelowTs = stored, dialect = dl)
+          skipBelowTs = stored, dialect = dl,
+          quarantineDir = qr.map(_ => s"$checkpointDir/quarantine"),
+          quarantineRule = qr)
         maxTs.foreach { ts =>
           val conn = DriverManager.getConnection(url, props)
           try {
@@ -253,6 +257,27 @@ object Replicator {
     * sibling — skipping ≤ would lose it. See [[Replicator.startStream]]. */
   private[graft] val applyBatchSize = 1000
 
+  /** Re-admit previously quarantined rows — the recovery half of the
+    * quarantine contract: read the persisted store and drive the rows
+    * through the same idempotent per-key-ordered apply, unconditionally
+    * or under a relaxed `rule`. Safe to re-run (idempotent upserts); the
+    * caller clears the directory after a successful pass. Returns the
+    * max applied ts (None when the store is empty). */
+  def readmitQuarantine(
+      spark: SparkSession,
+      quarantineDir: String,
+      specs: Seq[TableSpec],
+      url: String,
+      props: Properties,
+      dialect: SqlDialect = MySqlDialect,
+      rule: Option[org.apache.spark.sql.Column] = None): Option[Long] = {
+    val contract = Seq("kind", "tbl", "ts", "id", "fields_json", "partial", "removed", "seq")
+    val stored = spark.read.parquet(quarantineDir).select(contract.map(col): _*)
+    applyBatch(stored, specs, url, props, dialect = dialect,
+      quarantineDir = rule.map(_ => s"$quarantineDir.rejected"),
+      quarantineRule = rule)
+  }
+
   private[graft] def applyBatch(
       batch: DataFrame,
       specs: Seq[TableSpec],
@@ -261,7 +286,9 @@ object Replicator {
       deadLetterDir: Option[String] = None,
       batchId: Long = 0L,
       skipBelowTs: Long = Long.MinValue,
-      dialect: SqlDialect = MySqlDialect): Option[Long] = {
+      dialect: SqlDialect = MySqlDialect,
+      quarantineDir: Option[String] = None,
+      quarantineRule: Option[org.apache.spark.sql.Column] = None): Option[Long] = {
     val specByName = specs.map(s => s.name -> s).toMap
     // one pass over the decoded batch serves apply + dead-letter + offset
     batch.persist()
@@ -275,11 +302,30 @@ object Replicator {
       batch.filter(col("kind") === "dead_letter")
         .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     }
-    // the guarded subset serves both the apply and the offset aggregate
-    val applicable = batch
+    // quality quarantine — ingest admission control on the APPLY path:
+    // upserts failing the declarative rule are persisted to the
+    // quarantine store (batchId-keyed overwrite, idempotent under
+    // foreachBatch replay, exactly the dead-letter contract) and
+    // excluded from the sink apply; deletes always pass (rules govern
+    // content, not retractions). The offset still advances over
+    // quarantined rows — they are durably stored BEFORE the offset
+    // co-commits, so a later re-admission (rule relaxed, upstream fixed)
+    // replays from the quarantine store, never from the oplog.
+    val inScope = batch
       .filter(col("kind").isin("upsert", "delete") &&
         col("tbl").isin(specs.map(_.name): _*) &&
         col("ts") >= lit(skipBelowTs))
+    val applicable = (quarantineDir, quarantineRule) match {
+      case (Some(dir), Some(rule)) =>
+        // a NULL rule result admits: partial updates legally omit the
+        // guarded field, and quarantining every such row would divert
+        // the bulk of a $set-heavy feed — write an explicit IS NOT NULL
+        // conjunct to reject unevaluable rows instead
+        val bad = col("kind") === "upsert" && !coalesce(rule, lit(true))
+        inScope.filter(bad).write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+        inScope.filter(!bad)
+      case _ => inScope
+    }
     val relevant = applicable
       .repartition(col("tbl"), col("id"))
       // applyOps tx inner ops share the outer ts — seq (index within the
@@ -349,9 +395,10 @@ object Replicator {
         } finally conn.close()
       }
     }
-    // offset from APPLIED rows only — a batch of pure dead letters (whose
-    // ts is a 0 sentinel) must never regress the durable checkpoint
-    val mx = applicable.agg(max(col("ts"))).collect()(0)
+    // offset from in-scope rows: dead letters (ts sentinel 0) never move
+    // the checkpoint, but QUARANTINED rows do — they are durably stored
+    // above, so the checkpoint may pass them without loss
+    val mx = inScope.agg(max(col("ts"))).collect()(0)
     if (mx.isNullAt(0)) None else Some(mx.getLong(0))
     } finally batch.unpersist()
   }

@@ -118,6 +118,49 @@ class DerbyRuntimeSpec extends SparkSpec {
     assert(withConn(UpsertWriter.readOffset(_, DerbyDialect)).contains(106L))
   }
 
+  test("quality quarantine: violating upserts diverted, offset passes them, readmit recovers") {
+    val cfg = ConfigParser.parse(configText)
+    val users = cfg.table("users").get
+    freshTable(users)
+    withConn { conn => DerbyDialect.ensureStateTable(conn) }
+    val qDir = Files.createTempDirectory("graft_quarantine").toString
+
+    // admission rule: visits must be <= 100 when present (NULL admits —
+    // partials legally omit the field)
+    val rule = get_json_object(col("fields_json"), "$.visits").cast("long") <= 100L
+    val batch = Seq(
+      ("upsert", "users", 10L, "ok", """{"name":"fine","visits":5}""", false, Seq.empty[String], 0),
+      ("upsert", "users", 11L, "bad", """{"name":"junk","visits":999999}""", false, Seq.empty[String], 0),
+      ("upsert", "users", 12L, "ok", """{"name":"fine2"}""", true, Seq.empty[String], 0), // partial, no visits → admits
+      ("delete", "users", 13L, "gone", "", false, Seq.empty[String], 0))
+      .toDF("kind", "tbl", "ts", "id", "fields_json", "partial", "removed", "seq")
+
+    val maxTs = Replicator.applyBatch(batch, Seq(users), url, props,
+      dialect = DerbyDialect, batchId = 7L,
+      quarantineDir = Some(qDir), quarantineRule = Some(rule))
+    // offset passes the quarantined row (it is durably stored first)
+    assert(maxTs.contains(13L))
+    val t = readTable("users", Seq("name", "visits"))
+    assert(t.keySet == Set("ok"), s"violating row must not reach the sink: $t")
+    assert(t("ok") == Seq("fine2", 5L))
+    // the quarantine store holds exactly the violating row, idempotently
+    val q = spark.read.parquet(qDir)
+    assert(q.select("id").as[String].collect().toSeq == Seq("bad"))
+    Replicator.applyBatch(batch, Seq(users), url, props,
+      dialect = DerbyDialect, batchId = 7L,
+      quarantineDir = Some(qDir), quarantineRule = Some(rule)) // crash-window replay
+    assert(spark.read.parquet(qDir).count() == 1, "replay must not duplicate quarantine rows")
+
+    // upstream fixed / rule relaxed: re-admission drives the stored rows
+    // through the same idempotent apply
+    val re = Replicator.readmitQuarantine(spark, qDir, Seq(users), url, props,
+      dialect = DerbyDialect)
+    assert(re.contains(11L))
+    val t2 = readTable("users", Seq("name", "visits"))
+    assert(t2.keySet == Set("ok", "bad"))
+    assert(t2("bad") == Seq("junk", 999999L))
+  }
+
   test("MERGE replay is idempotent: re-applying an applied batch converges (crash window)") {
     val cfg = ConfigParser.parse(configText)
     val users = cfg.table("users").get
