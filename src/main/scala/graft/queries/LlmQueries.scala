@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Binning, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Binning, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,6 +32,16 @@ object LlmQueries {
   // suffix-array pipelines count windows in TOKENS (50-token windows at
   // web scale); 6 keeps repeats discoverable in the small synthetic docs.
   private[queries] val SpanGramTokens = 6
+
+  // The BM25 query batch — fixed literal, interpolated into BOTH the
+  // Spark call and the oracle's VALUES list so the ranked retrieval
+  // replays exactly (terms drawn from the synthetic corpus vocabulary).
+  private[queries] val Bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark window agg",
+    1 -> "hash join table",
+    2 -> "stream batch merge",
+    3 -> "customer vector scan")
+  private val Bm25K = 10
 
   /** DuckDB CTE for the distinct (doc_id, shingle) inverted index — the
     * exact twin of [[Dedup.explodedShingles]] with n=5, over any relation
@@ -1134,6 +1144,52 @@ object LlmQueries {
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rnk"))
         .orderBy("doc_id", "rnk")
+    },
+
+    // BM25 ranked retrieval, inline: the corpus-search / contamination-
+    // forensics / hard-negative-mining primitive. Postings are one
+    // wordcount aggregate; query terms broadcast with a pushed IN filter,
+    // so only candidate postings reach the scoring aggregate; the final
+    // ranking is the native bounded-heap top-k (queries×k rows through
+    // the last exchange). Scoring is the repo's bit-stable float pattern:
+    // per-term contributions rounded to 1e-6, summed in DECIMAL(38,10).
+    "text_bm25_topk" -> q { (s, dir) =>
+      Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // The same ranking served from a PERSISTED inverted index: postings
+    // term-clustered parquet + mergeable df/corpus segment stats. The
+    // probe never scans the corpus — the oracle is the inline twin's,
+    // so index-build + probe must reproduce inline retrieval exactly.
+    "text_bm25_indexed" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val p = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_bm25idx_${Integer.toHexString(dir.hashCode)}").toString
+      Retrieval.writeIndex(docs, "doc_id", "text", p)
+      Retrieval.bm25Probe(s, p, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // The append half of the postings-index lifecycle: lake built from
+    // even doc ids, odd ids appended as a pure parquet append (postings
+    // add rows; df/corpus stats are SEGMENT rows summed at probe time —
+    // nothing stored is read or rewritten at ingest). The accumulated
+    // index is exactly the full corpus's, so the probe shares the inline
+    // oracle bit-for-bit.
+    "text_bm25_index_append" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val p = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_bm25app_${Integer.toHexString(dir.hashCode)}").toString
+      Retrieval.writeIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", p)
+      Retrieval.appendIndex(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", p)
+      Retrieval.bm25Probe(s, p, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
     },
 
     // Multimodal metadata scan: binary payload + typed metadata, no decode.
@@ -2800,6 +2856,47 @@ object LlmQueries {
                               ORDER BY score DESC, term) AS rnk
          FROM scored QUALIFY rnk <= 3 ORDER BY doc_id, rnk""",
 
+    "text_bm25_topk" -> {
+      val qvals = Bm25Queries
+        .flatMap { case (qid, text) =>
+          text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+        }
+        .mkString(", ")
+      // Constants interpolated from the Scala source of truth; every
+      // double op mirrors the Spark expression tree operand-for-operand,
+      // per-term contributions rounded then summed in DECIMAL(38,10)
+      // (order-free) before the single final double round.
+      s"""WITH q(query_id, term) AS (VALUES $qvals),
+         toks AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                  unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         c AS (SELECT count(*)::bigint AS n,
+                      sum(len(string_split(text, ' ')))::bigint AS sumdl
+               FROM documents),
+         contrib AS (
+           SELECT q.query_id, tf.doc_id,
+             round(
+               ln(1.0 + (c.n::double - df.df + 0.5) / (df.df + 0.5)) *
+               ((tf.tf * ${Retrieval.K1 + 1.0}) /
+                (tf.tf + ${Retrieval.K1} *
+                  (${1.0 - Retrieval.B} + ${Retrieval.B} *
+                    (tf.dl / (c.sumdl::double / c.n))))),
+               6)::DECIMAL(38,10) AS w
+           FROM q JOIN tf USING (term) JOIN df ON tf.term = df.term, c),
+         scored AS (
+           SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
+           FROM contrib GROUP BY 1, 2)
+         SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+         FROM scored QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
+    },
+
     "multimodal_meta" ->
       """SELECT doc_id, strlen(text)::int AS n_bytes,
            sha256(text) AS sha256,
@@ -2900,5 +2997,9 @@ object LlmQueries {
         baseOracles("dedup_spans_incremental")) +
       // the bucketed-index probe is result-identical to the broadcast one
       ("dedup_spans_incremental_bucketed" ->
-        baseOracles("dedup_spans_incremental"))
+        baseOracles("dedup_spans_incremental")) +
+      // a postings-index probe (one-shot or appended) reproduces inline
+      // BM25 retrieval exactly — one oracle text serves all three
+      ("text_bm25_indexed" -> baseOracles("text_bm25_topk")) +
+      ("text_bm25_index_append" -> baseOracles("text_bm25_topk"))
 }

@@ -169,6 +169,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_profparts"), "serve path must read the stored partials")
   }
 
+  test("bm25 indexed probe: corpus absent, pushed term filter, broadcast query frames") {
+    // the registry query builds the postings index at construction, then
+    // probes it — the documents scan must be absent from the probe plan,
+    // the query-term IN filter pushed into the postings parquet, and both
+    // tiny frames (query terms, df stats) broadcast
+    val p = plan("text_bm25_indexed")
+    assert(!p.contains("documents.parquet"), "probe rescanned the corpus")
+    assert(p.contains("graft_bm25idx"), "probe must read the stored postings")
+    assert(p.contains("In(term"), "term IN filter must push into the postings scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "query terms and df stats must broadcast into the postings stream")
+  }
+
   test("hash embedding is a zero-shuffle kernel projection over the scan") {
     val p = plan("text_hash_embed")
     assert(p.contains("graft_hash_embed"), "kernel embed projection missing")

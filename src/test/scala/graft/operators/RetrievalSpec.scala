@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval: postings correctness, ranking semantics, and the
+  * persisted-index lifecycle equivalences (indexed ≡ inline,
+  * append ≡ from-scratch). */
+class RetrievalSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    new java.io.File(java.lang.System.getProperty("java.io.tmpdir"),
+      s"graft_test_$tag").toString
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Seq(
+      (0L, "spark window agg spark window"),
+      (1L, "hash join table hash"),
+      (2L, "spark agg"),
+      (3L, "filter scan sort"),
+      (4L, "window window window window")
+    ).toDF("doc_id", "text")
+  }
+
+  test("postings: tf counts, doc length, empty-token drop") {
+    val p = Retrieval.postings(corpus, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // (term, doc_id, dl, tf)
+    assert(p.contains(("spark", 0L, 5, 2L)))
+    assert(p.contains(("window", 0L, 5, 2L)))
+    assert(p.contains(("agg", 0L, 5, 1L)))
+    assert(p.contains(("window", 4L, 4, 4L)))
+    assert(p.count(_._2 == 1L) == 3) // hash, join, table
+  }
+
+  test("bm25 ranks the doc matching more query terms first; scores positive") {
+    val qs = Seq(0 -> "spark agg")
+    val rows = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, 10)
+      .orderBy("rank").collect()
+    // docs 0 and 2 contain both terms; docs 3/4 contain neither term → absent
+    assert(rows.map(_.getLong(1)).toSet == Set(0L, 2L))
+    assert(rows.map(_.getInt(3)).toSeq == Seq(1, 2))
+    assert(rows.forall(_.getDouble(2) > 0))
+    // doc 2 (dl=2, both terms) beats doc 0 (dl=5): shorter doc, same hits
+    assert(rows.head.getLong(1) == 2L)
+  }
+
+  test("query term absent from the corpus contributes nothing, present ones still score") {
+    val qs = Seq(0 -> "spark zzz_unseen")
+    val rows = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, 10).collect()
+    assert(rows.map(_.getLong(1)).toSet == Set(0L, 2L)) // spark docs only
+  }
+
+  test("indexed probe reproduces inline retrieval exactly") {
+    val qs = Seq(0 -> "spark window agg", 1 -> "hash join")
+    val p = tmp("bm25_idx_eq")
+    Retrieval.writeIndex(corpus, "doc_id", "text", p)
+    val inline = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val probed = Retrieval.bm25Probe(spark, p, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(probed == inline)
+  }
+
+  test("appended index ≡ from-scratch index (postings add rows, stats segments sum)") {
+    val qs = Seq(0 -> "spark window hash")
+    val pFull = tmp("bm25_full")
+    val pApp = tmp("bm25_app")
+    Retrieval.writeIndex(corpus, "doc_id", "text", pFull)
+    Retrieval.writeIndex(corpus.filter(col("doc_id") < 2), "doc_id", "text", pApp)
+    Retrieval.appendIndex(corpus.filter(col("doc_id") >= 2), "doc_id", "text", pApp)
+    val full = Retrieval.bm25Probe(spark, pFull, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val app = Retrieval.bm25Probe(spark, pApp, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(app == full)
+    // df stats really are segmented (two rows per term spanning the split)
+    val segs = spark.read.parquet(s"$pApp/stats")
+      .filter(col("term") === "spark").count()
+    assert(segs == 2, "append must add a stats segment, not rewrite")
+  }
+
+  test("probe plan: corpus absent, term filter pushed to the postings scan") {
+    val qs = Seq(0 -> "spark window")
+    val p = tmp("bm25_plan")
+    Retrieval.writeIndex(corpus, "doc_id", "text", p)
+    val plan = Retrieval.bm25Probe(spark, p, qs, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(term"), "query-term IN filter must push into parquet")
+    assert(!plan.toLowerCase.contains("documents"), "probe must not scan the corpus")
+  }
+}
