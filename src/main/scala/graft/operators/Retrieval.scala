@@ -82,26 +82,64 @@ object Retrieval {
     * sum, whose input is candidate postings only. */
   def bm25Rank(
       posts: DataFrame, dfStats: DataFrame, qterms: DataFrame,
-      nDocs: Long, sumDl: Long, k: Int): DataFrame = {
+      nDocs: Long, sumDl: Long, k: Int): DataFrame =
+    rankTopK(bm25Scored(posts, dfStats, qterms, nDocs, sumDl), k)
+
+  /** The scoring core without the ranking tail: per-(query_id, doc_id)
+    * BM25 over candidate postings. Exposed so compositions (hard-negative
+    * mining's self-exclusion) can filter between scoring and ranking. */
+  def bm25Scored(
+      posts: DataFrame, dfStats: DataFrame, qterms: DataFrame,
+      nDocs: Long, sumDl: Long): DataFrame = {
     val avgdl = sumDl.toDouble / nDocs
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = (col("tf") * lit(K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / lit(avgdl))))
     val contrib = round(idf * tfn, 6)
-    val scored = posts
+    posts
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfStats), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         contrib.cast("decimal(38,10)").as("w"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("w")).cast("double"), 6).as("score"))
+  }
+
+  /** Bounded-heap top-k + rank over a (query_id, doc_id, score) frame. */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val order = Seq(col("score").desc, col("doc_id").asc)
     TopK.perKey(scored, Seq("query_id"), order, k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(order: _*)))
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive-pair training data: each anchor
+    * document's distinct terms become its query; the corpus is ranked by
+    * BM25 and the anchor itself excluded — the top-k survivors are the
+    * "lexically close but not the positive" negatives an embedding-model
+    * batch wants. Anchors are a tiny broadcast frame; everything else is
+    * the shared retrieval path, so the cost is the anchors' posting
+    * lists, not a corpus cross-product. */
+  def hardNegatives(
+      docs: DataFrame, idCol: String, textCol: String,
+      anchorIds: Seq[Long], k: Int): DataFrame = {
+    val posts = postings(docs, idCol, textCol)
+    val qterms = docs
+      .filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).as("query_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val termSet = qterms.select("term").distinct()
+    val cand = posts.join(broadcast(termSet), Seq("term"))
+    val dfStats = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (n, sumDl) = corpusStats(docs, textCol)
+    rankTopK(
+      bm25Scored(cand, dfStats, qterms, n, sumDl)
+        .filter(col("query_id") =!= col("doc_id")),
+      k)
   }
 
   /** Inline BM25 top-k: postings, df, and corpus stats derived from the

@@ -42,6 +42,9 @@ object LlmQueries {
     2 -> "stream batch merge",
     3 -> "customer vector scan")
   private val Bm25K = 10
+  // Anchor documents for hard-negative mining — ids that exist at every
+  // scale factor, interpolated into both sides.
+  private[queries] val Bm25Anchors: Seq[Long] = Seq(0L, 1L, 2L, 3L)
 
   /** DuckDB CTE for the distinct (doc_id, shingle) inverted index — the
     * exact twin of [[Dedup.explodedShingles]] with n=5, over any relation
@@ -1189,6 +1192,18 @@ object LlmQueries {
       Retrieval.appendIndex(docs.filter(col("doc_id") % 2 =!= 0),
         "doc_id", "text", p)
       Retrieval.bm25Probe(s, p, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // Hard-negative mining for contrastive training pairs: anchor docs
+    // (fixed ids, present at every SF) become queries over their own
+    // distinct terms; the corpus is BM25-ranked and the anchor excluded —
+    // top-k "lexically close but not the positive" rows per anchor. The
+    // anchors and their term set are broadcast; cost is the anchors'
+    // posting lists, never a corpus cross-product.
+    "text_bm25_negatives" -> q { (s, dir) =>
+      Retrieval.hardNegatives(Tables.load(s, dir, "documents"),
+          "doc_id", "text", Bm25Anchors, Bm25K)
         .orderBy("query_id", "rank")
     },
 
@@ -2888,6 +2903,45 @@ object LlmQueries {
                     (tf.dl / (c.sumdl::double / c.n))))),
                6)::DECIMAL(38,10) AS w
            FROM q JOIN tf USING (term) JOIN df ON tf.term = df.term, c),
+         scored AS (
+           SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
+           FROM contrib GROUP BY 1, 2)
+         SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+         FROM scored QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
+    },
+
+    "text_bm25_negatives" -> {
+      val ids = Bm25Anchors.mkString(", ")
+      s"""WITH q AS (
+           SELECT DISTINCT query_id, term FROM (
+             SELECT doc_id AS query_id,
+                    unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE doc_id IN ($ids))
+           WHERE term <> ''),
+         toks AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                  unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         c AS (SELECT count(*)::bigint AS n,
+                      sum(len(string_split(text, ' ')))::bigint AS sumdl
+               FROM documents),
+         contrib AS (
+           SELECT q.query_id, tf.doc_id,
+             round(
+               ln(1.0 + (c.n::double - df.df + 0.5) / (df.df + 0.5)) *
+               ((tf.tf * ${Retrieval.K1 + 1.0}) /
+                (tf.tf + ${Retrieval.K1} *
+                  (${1.0 - Retrieval.B} + ${Retrieval.B} *
+                    (tf.dl / (c.sumdl::double / c.n))))),
+               6)::DECIMAL(38,10) AS w
+           FROM q JOIN tf USING (term) JOIN df ON tf.term = df.term, c
+           WHERE tf.doc_id <> q.query_id),
          scored AS (
            SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
            FROM contrib GROUP BY 1, 2)

@@ -82,6 +82,16 @@ class RetrievalSpec extends SparkSpec {
     assert(segs == 2, "append must add a stats segment, not rewrite")
   }
 
+  test("hard negatives: anchor excluded, lexically closest non-self ranks first") {
+    val rows = Retrieval.hardNegatives(corpus, "doc_id", "text", Seq(0L), 10)
+      .orderBy("rank").collect()
+    assert(!rows.exists(_.getLong(1) == 0L), "anchor must be excluded")
+    // doc 2 shares both 'spark' and 'agg' with anchor 0 → hardest negative;
+    // doc 4 shares only 'window'; docs 1/3 share nothing → absent
+    assert(rows.head.getLong(1) == 2L)
+    assert(rows.map(_.getLong(1)).toSet == Set(2L, 4L))
+  }
+
   test("probe plan: corpus absent, term filter pushed to the postings scan") {
     val qs = Seq(0 -> "spark window")
     val p = tmp("bm25_plan")
