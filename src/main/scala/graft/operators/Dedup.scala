@@ -521,20 +521,36 @@ object Dedup {
   def writeLshIndex(shingled: DataFrame, idCol: String,
       k: Int, bands: Int, path: String): Unit = {
     val spark = shingled.sparkSession
-    wideSigs(shingled, idCol, k)
-      .select(col(idCol).as("id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+    sigRowsFromWide(wideSigs(shingled, idCol, k), idCol, k)
       .write.mode("overwrite").parquet(s"$path/sigs")
-    val wide = spark.read.parquet(s"$path/sigs")
-      .select(col("id") +: (0 until k).map(i => col("sig")(i).as(s"__m$i")): _*)
-    val bd = bandsFromWide(wide, "id", k, bands)
-    bd.join(
+    bandsWithCounts(spark.read.parquet(s"$path/sigs"), k, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Collapse a wide `__m0..__m{k-1}` signature frame to persisted
+    * (id, sig: array&lt;long&gt;) rows. */
+  private def sigRowsFromWide(wide: DataFrame, idCol: String, k: Int): DataFrame =
+    wide.select(col(idCol).as("id"),
+      array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+
+  /** Banded rows with exact per-bucket cardinalities from persisted
+    * signature rows (id, [tdig,] sig) — the `bands/` table both the plain
+    * and digested builds (and every compaction/refresh) write. */
+  private def bandsWithCounts(sigRows: DataFrame, k: Int, bands: Int): DataFrame = {
+    val wide = sigRows.select(col("id") +:
+      (0 until k).map(i => col("sig")(i).as(s"__m$i")): _*)
+    recountBands(bandsFromWide(wide, "id", k, bands))
+  }
+
+  /** Re-annotate slim (id, band, band_hash) rows with their bucket's
+    * exact cardinality. */
+  private def recountBands(bd: DataFrame): DataFrame =
+    bd.select(col("id"), col("band"), col("band_hash"))
+      .join(
         bd.groupBy(col("band"), col("band_hash"))
           .agg(count(lit(1)).as("bucket_n")),
         Seq("band", "band_hash"))
       .select(col("id"), col("band"), col("band_hash"), col("bucket_n"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-  }
 
   /** Fold an ingested delta into the standing LSH index — the append
     * half of the persisted near-dup loop ([[indexedCrossCorpusPairs]]
@@ -558,15 +574,23 @@ object Dedup {
       k: Int, bands: Int, path: String): Unit = {
     val spark = deltaShingled.sparkSession
     val newWide = wideSigs(deltaShingled, idCol, k).localCheckpoint()
-    newWide.select(col(idCol).as("id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+    sigRowsFromWide(newWide, idCol, k)
       .write.mode("append").parquet(s"$path/sigs")
+    appendBandRows(newWide, idCol, k, bands, spark.read.parquet(s"$path/bands"))
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** The band rows one append adds: the delta's bands annotated with
+    * as-of-append bucket totals (prior exact count = max over the
+    * bucket's existing rows, plus the delta's contribution). */
+  private def appendBandRows(newWide: DataFrame, idCol: String,
+      k: Int, bands: Int, existingBands: DataFrame): DataFrame = {
     val db = bandsFromWide(newWide, idCol, k, bands)
       .select(col(idCol).as("id"), col("band"), col("band_hash"))
       .localCheckpoint()
     val deltaN = db.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__dn"))
-    val existing = spark.read.parquet(s"$path/bands")
+    val existing = existingBands
       .join(broadcast(deltaN.select(col("band"), col("band_hash"))),
         Seq("band", "band_hash"), "left_semi")
       .groupBy(col("band"), col("band_hash"))
@@ -575,7 +599,6 @@ object Dedup {
       .join(broadcast(existing), Seq("band", "band_hash"), "left")
       .select(col("id"), col("band"), col("band_hash"),
         (coalesce(col("__en"), lit(0L)) + col("__dn")).as("bucket_n"))
-      .write.mode("append").parquet(s"$path/bands")
   }
 
   /** Compact the appended LSH index back to the [[writeLshIndex]] shape:
@@ -591,13 +614,7 @@ object Dedup {
       "compact must write to a fresh path (the source index is being read)")
     spark.read.parquet(s"$path/sigs")
       .write.mode("overwrite").parquet(s"$outPath/sigs")
-    val bd = spark.read.parquet(s"$path/bands")
-      .select(col("id"), col("band"), col("band_hash"))
-    bd.join(
-        bd.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("bucket_n")),
-        Seq("band", "band_hash"))
-      .select(col("id"), col("band"), col("band_hash"), col("bucket_n"))
+    recountBands(spark.read.parquet(s"$path/bands"))
       .write.mode("overwrite").parquet(s"$outPath/bands")
   }
 
@@ -624,18 +641,9 @@ object Dedup {
   /** Rebuild `bands/` (with uniformly exact counts) from `$path/sigs` —
     * shared by the digested build and the refresh. */
   private def writeBandsFromSigs(
-      spark: SparkSession, path: String, k: Int, bands: Int): Unit = {
-    val sigCols = spark.read.parquet(s"$path/sigs")
-    val wide = sigCols.select(col("id") +:
-      (0 until k).map(i => col("sig")(i).as(s"__m$i")): _*)
-    val bd = bandsFromWide(wide, "id", k, bands)
-    bd.join(
-        bd.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("bucket_n")),
-        Seq("band", "band_hash"))
-      .select(col("id"), col("band"), col("band_hash"), col("bucket_n"))
+      spark: SparkSession, path: String, k: Int, bands: Int): Unit =
+    bandsWithCounts(spark.read.parquet(s"$path/sigs"), k, bands)
       .write.mode("overwrite").parquet(s"$path/bands")
-  }
 
   /** Refresh a digested LSH index against an updated corpus snapshot —
     * the index-maintenance job when the lake is upserted in place rather
@@ -655,7 +663,16 @@ object Dedup {
     require(path != outPath,
       "refresh must write to a fresh path (the source index is being read)")
     val spark = docs.sparkSession
-    val old = spark.read.parquet(s"$path/sigs")
+    refreshedSigRows(spark.read.parquet(s"$path/sigs"),
+        docs, textCol, idCol, shingleN, k)
+      .write.mode("overwrite").parquet(s"$outPath/sigs")
+    writeBandsFromSigs(spark, outPath, k, bands)
+  }
+
+  /** The refreshed (id, tdig, sig) rows: unchanged docs keep stored
+    * signatures, changed/added docs re-sign, removed ids drop out. */
+  private def refreshedSigRows(old: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, shingleN: Int, k: Int): DataFrame = {
     val cur = docs.select(col(idCol), col(textCol))
       .withColumn("tdig", md5(coalesce(col(textCol), lit(""))))
     val kept = old.join(
@@ -663,14 +680,128 @@ object Dedup {
     val freshSrc = cur.join(
         old.select(col("id").as(idCol), col("tdig")), Seq(idCol, "tdig"), "left_anti")
       .localCheckpoint()
-    val freshSigs = wideSigs(
-        rawShingles(freshSrc, textCol, idCol, shingleN), idCol, k)
-      .select(col(idCol).as("id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+    val freshSigs = sigRowsFromWide(wideSigs(
+        rawShingles(freshSrc, textCol, idCol, shingleN), idCol, k), idCol, k)
       .join(freshSrc.select(col(idCol).as("id"), col("tdig")), Seq("id"))
       .select(col("id"), col("tdig"), col("sig"))
-    kept.unionByName(freshSigs).write.mode("overwrite").parquet(s"$outPath/sigs")
-    writeBandsFromSigs(spark, outPath, k, bands)
+    kept.unionByName(freshSigs)
+  }
+
+  // ---- LSH index under the atomic manifest protocol -------------------
+  //
+  // Same contract as the gram-log `*M` lifecycle: every write stages
+  // immutable segments for the two logical tables (`sigs`, `bands`) and
+  // publishes both in ONE manifest commit, so a probe racing any of
+  // build/append/compact/refresh resolves a consistent (sigs, bands)
+  // pair — never yesterday's bands over today's signatures.
+
+  private val LshSigsTable = "sigs"
+  private val LshBandsTable = "bands"
+
+  /** Current committed (bands, sigs) pair — the two frames
+    * [[indexedCrossCorpusPairs]] takes, in that argument order. */
+  def readLshIndexM(spark: SparkSession, root: String): (DataFrame, DataFrame) = {
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    (graft.index.IndexManifest.readAt(spark, root, snap, LshBandsTable),
+      graft.index.IndexManifest.readAt(spark, root, snap, LshSigsTable))
+  }
+
+  /** [[writeLshIndex]] under the manifest protocol. */
+  def buildLshIndexM(shingled: DataFrame, idCol: String,
+      k: Int, bands: Int, root: String): Long = {
+    val spark = shingled.sparkSession
+    val sigSeg = graft.index.IndexManifest.newSegment(LshSigsTable)
+    sigRowsFromWide(wideSigs(shingled, idCol, k), idCol, k)
+      .write.mode("overwrite").parquet(s"$root/$sigSeg")
+    val bandSeg = graft.index.IndexManifest.newSegment(LshBandsTable)
+    bandsWithCounts(spark.read.parquet(s"$root/$sigSeg"), k, bands)
+      .write.mode("overwrite").parquet(s"$root/$bandSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      Map(LshSigsTable -> Seq(sigSeg), LshBandsTable -> Seq(bandSeg)))
+  }
+
+  /** [[writeLshIndexDigested]] under the manifest protocol (the sigs
+    * layout [[refreshLshIndexM]] maintains). */
+  def buildLshIndexDigestedM(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, bands: Int, root: String): Long = {
+    val spark = docs.sparkSession
+    val sh = rawShingles(docs, textCol, idCol, shingleN)
+    val sigSeg = graft.index.IndexManifest.newSegment(LshSigsTable)
+    sigRowsFromWide(wideSigs(sh, idCol, k), idCol, k)
+      .join(docs.select(col(idCol).as("id"),
+        md5(coalesce(col(textCol), lit(""))).as("tdig")), Seq("id"))
+      .select(col("id"), col("tdig"), col("sig"))
+      .write.mode("overwrite").parquet(s"$root/$sigSeg")
+    val bandSeg = graft.index.IndexManifest.newSegment(LshBandsTable)
+    bandsWithCounts(spark.read.parquet(s"$root/$sigSeg"), k, bands)
+      .write.mode("overwrite").parquet(s"$root/$bandSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      Map(LshSigsTable -> Seq(sigSeg), LshBandsTable -> Seq(bandSeg)))
+  }
+
+  /** [[appendLshIndex]] under the manifest protocol: the delta's sig and
+    * as-of-append band rows land as new segments of the two tables,
+    * published together atomically (expect-guarded against concurrent
+    * writers). Probes over the grown index keep the `staleCounts=true`
+    * contract. */
+  def appendLshIndexM(deltaShingled: DataFrame, idCol: String,
+      k: Int, bands: Int, root: String): Long = {
+    val spark = deltaShingled.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val existingBands =
+      graft.index.IndexManifest.readAt(spark, root, snap, LshBandsTable)
+    val newWide = wideSigs(deltaShingled, idCol, k).localCheckpoint()
+    val sigSeg = graft.index.IndexManifest.newSegment(LshSigsTable)
+    sigRowsFromWide(newWide, idCol, k)
+      .write.mode("overwrite").parquet(s"$root/$sigSeg")
+    val bandSeg = graft.index.IndexManifest.newSegment(LshBandsTable)
+    appendBandRows(newWide, idCol, k, bands, existingBands)
+      .write.mode("overwrite").parquet(s"$root/$bandSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables
+        .updated(LshSigsTable, snap.tables(LshSigsTable) :+ sigSeg)
+        .updated(LshBandsTable, snap.tables(LshBandsTable) :+ bandSeg),
+      expect = Some(snap.version))
+  }
+
+  /** [[compactLshIndex]] as an atomic pointer swap: sigs re-laid as one
+    * segment, bands re-annotated with uniformly exact counts, both
+    * swapped in with one commit. */
+  def compactLshIndexM(spark: SparkSession, root: String): Long = {
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val sigSeg = graft.index.IndexManifest.newSegment(LshSigsTable)
+    graft.index.IndexManifest.readAt(spark, root, snap, LshSigsTable)
+      .write.mode("overwrite").parquet(s"$root/$sigSeg")
+    val bandSeg = graft.index.IndexManifest.newSegment(LshBandsTable)
+    recountBands(graft.index.IndexManifest.readAt(spark, root, snap, LshBandsTable))
+      .write.mode("overwrite").parquet(s"$root/$bandSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables
+        .updated(LshSigsTable, Seq(sigSeg))
+        .updated(LshBandsTable, Seq(bandSeg)),
+      expect = Some(snap.version))
+  }
+
+  /** [[refreshLshIndex]] as an atomic pointer swap over a digested index
+    * ([[buildLshIndexDigestedM]]): unchanged docs keep stored signatures,
+    * changed/added docs re-sign, removed ids drop, bands rebuild with
+    * exact counts — and the (sigs, bands) pair moves in one commit. */
+  def refreshLshIndexM(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, bands: Int, root: String): Long = {
+    val spark = docs.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val old = graft.index.IndexManifest.readAt(spark, root, snap, LshSigsTable)
+    val sigSeg = graft.index.IndexManifest.newSegment(LshSigsTable)
+    refreshedSigRows(old, docs, textCol, idCol, shingleN, k)
+      .write.mode("overwrite").parquet(s"$root/$sigSeg")
+    val bandSeg = graft.index.IndexManifest.newSegment(LshBandsTable)
+    bandsWithCounts(spark.read.parquet(s"$root/$sigSeg"), k, bands)
+      .write.mode("overwrite").parquet(s"$root/$bandSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables
+        .updated(LshSigsTable, Seq(sigSeg))
+        .updated(LshBandsTable, Seq(bandSeg)),
+      expect = Some(snap.version))
   }
 
   /** [[crossCorpusLshPairs]] served from a persisted [[writeLshIndex]] —
@@ -1020,7 +1151,13 @@ object Dedup {
     * [[graft.functions.GramDigests]] kernel, digest-keyed aggregate), so
     * index + delta compose to exactly the whole-corpus answer. */
   def writeGramIndex(df: DataFrame, idCol: String, textCol: String,
-      gramChars: Int, path: String): Unit = {
+      gramChars: Int, path: String): Unit =
+    gramIndexFrame(df, idCol, textCol, gramChars)
+      .write.mode("overwrite").parquet(path)
+
+  /** The (h, owner) index frame both persisted layouts write. */
+  private def gramIndexFrame(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int): DataFrame = {
     require(gramChars > 0, s"gramChars=$gramChars must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars &&
@@ -1031,7 +1168,6 @@ object Dedup {
       .groupBy(col("__h"))
       .agg(min(col(idCol)).as("owner"))
       .select(col("__h").as("h"), col("owner"))
-      .write.mode("overwrite").parquet(path)
   }
 
   /** [[writeGramIndex]] as a BUCKETED catalog table — the big-delta
@@ -1047,20 +1183,9 @@ object Dedup {
     * `spark.sql.shuffle.partitions` so the delta's digest exchange is
     * reused as-is against the bucket layout. */
   def writeGramIndexBucketed(df: DataFrame, idCol: String, textCol: String,
-      gramChars: Int, table: String, buckets: Int): Unit = {
-    require(gramChars > 0, s"gramChars=$gramChars must be positive")
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val idx = df
-      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars &&
-        col(idCol).isNotNull)
-      .select(col(idCol), explode(
-          call_function("graft_gram_digests", col(textCol), lit(gramChars)))
-        .as("__h"))
-      .groupBy(col("__h"))
-      .agg(min(col(idCol)).as("owner"))
-      .select(col("__h").as("h"), col("owner"))
-    Bucketing.writeBucketed(idx, table, "h", buckets, sortCols = Seq("h"))
-  }
+      gramChars: Int, table: String, buckets: Int): Unit =
+    Bucketing.writeBucketed(gramIndexFrame(df, idCol, textCol, gramChars),
+      table, "h", buckets, sortCols = Seq("h"))
 
   /** [[incrementalSpans]] against a BUCKETED index
     * ([[writeGramIndexBucketed]]) — no broadcast anywhere, so the probe
@@ -1126,18 +1251,16 @@ object Dedup {
     * not ingest ids are monotone, and the log is still only ever
     * appended — never shuffled or rewritten. */
   def appendGramIndex(index: DataFrame, delta: DataFrame,
-      idCol: String, textCol: String, gramChars: Int, path: String): Unit = {
-    require(gramChars > 0, s"gramChars=$gramChars must be positive")
-    graft.functions.GraftFunctions.register(delta.sparkSession)
-    val deltaAgg = delta
-      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars &&
-        col(idCol).isNotNull)
-      .select(col(idCol), explode(
-          call_function("graft_gram_digests", col(textCol), lit(gramChars)))
-        .as("__h"))
-      .groupBy(col("__h"))
-      .agg(min(col(idCol)).as("owner"))
-      .select(col("__h").as("h"), col("owner"))
+      idCol: String, textCol: String, gramChars: Int, path: String): Unit =
+    gramIndexDeltaRows(index, delta, idCol, textCol, gramChars)
+      .write.mode("append").parquet(path)
+
+  /** The rows one append adds to the digest log: novel digests plus
+    * owner-lowering rows (shared by the bare-path append and the
+    * manifest lifecycle). */
+  private def gramIndexDeltaRows(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, gramChars: Int): DataFrame = {
+    val deltaAgg = gramIndexFrame(delta, idCol, textCol, gramChars)
     // stored owner per hit digest = min across rows: the log may already
     // carry lowering rows from earlier non-monotone appends
     val hitOwners = index.select(col("h"), col("owner"))
@@ -1148,7 +1271,7 @@ object Dedup {
     val lowered = deltaAgg.join(broadcast(hitOwners), Seq("h"))
       .filter(col("owner") < col("__iown"))
       .select(col("h"), col("owner"))
-    novel.unionByName(lowered).write.mode("append").parquet(path)
+    novel.unionByName(lowered)
   }
 
   /** Compact the append-only gram-digest log back to one row per digest
@@ -1171,6 +1294,67 @@ object Dedup {
     spark.read.parquet(path)
       .groupBy(col("h")).agg(min(col("owner")).as("owner"))
       .write.mode("overwrite").parquet(outPath)
+  }
+
+  // ---- gram-digest log under the atomic manifest protocol -------------
+  //
+  // The bare-path lifecycle above mutates one parquet directory in place:
+  // fine at one-writer cadence, but a probe racing an append can list a
+  // partial file set, and compaction leaves the old/new swap to the
+  // caller. The [[graft.index.IndexManifest]] variants stage every write
+  // as an immutable segment and publish it with one atomic manifest
+  // commit — probe-during-append sees the old log or the new log, never
+  // a mix, and compaction IS the pointer swap.
+
+  private val GramTable = "grams"
+
+  /** [[writeGramIndex]] under the manifest protocol. Returns the
+    * committed version. */
+  def buildGramIndexM(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int, root: String): Long = {
+    val seg = graft.index.IndexManifest.newSegment(GramTable)
+    gramIndexFrame(df, idCol, textCol, gramChars)
+      .write.mode("overwrite").parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(df.sparkSession, root,
+      Map(GramTable -> Seq(seg)))
+  }
+
+  /** The digest log at the current committed version — what every probe
+    * ([[incrementalSpans]] etc.) should be handed. */
+  def readGramIndexM(spark: SparkSession, root: String): DataFrame =
+    graft.index.IndexManifest.read(spark, root, GramTable)
+
+  /** [[appendGramIndex]] under the manifest protocol: the delta's novel +
+    * owner-lowering rows land as a NEW segment, published atomically. The
+    * commit carries the snapshot version the delta was computed against,
+    * so a concurrent writer surfaces as ConcurrentModificationException
+    * instead of a silently stale append. */
+  def appendGramIndexM(delta: DataFrame,
+      idCol: String, textCol: String, gramChars: Int, root: String): Long = {
+    val spark = delta.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val idx = graft.index.IndexManifest.readAt(spark, root, snap, GramTable)
+    val seg = graft.index.IndexManifest.newSegment(GramTable)
+    gramIndexDeltaRows(idx, delta, idCol, textCol, gramChars)
+      .write.mode("overwrite").parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(GramTable, snap.tables(GramTable) :+ seg),
+      expect = Some(snap.version))
+  }
+
+  /** [[compactGramIndex]] as an atomic pointer swap: the folded
+    * min-owner log is staged as one fresh segment and the manifest moves
+    * to it in a single commit — old segments stay on disk for pinned
+    * readers until [[graft.index.IndexManifest.vacuum]]. */
+  def compactGramIndexM(spark: SparkSession, root: String): Long = {
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val seg = graft.index.IndexManifest.newSegment(GramTable)
+    graft.index.IndexManifest.readAt(spark, root, snap, GramTable)
+      .groupBy(col("h")).agg(min(col("owner")).as("owner"))
+      .write.mode("overwrite").parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(GramTable, Seq(seg)),
+      expect = Some(snap.version))
   }
 
   /** Incremental [[repeatedSpans]]: spans for a DELTA batch against a

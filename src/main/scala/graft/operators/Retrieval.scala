@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.index.IndexManifest
+
 /** Sparse lexical retrieval — BM25 ranked search over the corpus, inline
   * and over a persisted inverted (postings) index.
   *
@@ -18,12 +20,14 @@ import org.apache.spark.sql.functions._
   *   - The postings build is ONE keyed aggregate over exploded tokens —
   *     wordcount shape, map-side combine, no joins, no windows.
   *   - A probe never scans the corpus: query terms are a tiny broadcast,
-  *     the postings scan carries a pushed `term IN (...)` filter (term-
-  *     clustered files → row-group pruning), per-term df stats reduce to
-  *     a broadcast-sized frame, and only candidate postings (docs sharing
-  *     ≥1 query term) reach the scoring aggregate. The final ranking is
-  *     the bounded-heap [[TopK.perKey]] node — queries×k rows through the
-  *     last exchange, no tail sort.
+  *     the postings scan is restricted to them — a pushed `term IN (...)`
+  *     filter while the term set is small enough for a sane plan
+  *     (row-group pruning on the term-clustered files), a broadcast
+  *     left-semi join beyond that cap ([[termFilter]]) — per-term df
+  *     stats reduce to a broadcast-sized frame, and only candidate
+  *     postings (docs sharing ≥1 query term) reach the scoring
+  *     aggregate. The final ranking is the bounded-heap [[TopK.perKey]]
+  *     node — queries×k rows through the last exchange, no tail sort.
   *   - Scoring is cross-engine bit-stable: each per-term contribution is
   *     rounded to the 1e-6 grid, summed in DECIMAL(38,10) (order-free,
   *     exact), one final double round — the repo's established pattern
@@ -37,7 +41,32 @@ object Retrieval {
   val K1 = 1.2
   val B = 0.75
 
-  /** Inverted-index rows: one per (term, doc) — `(term, doc_id, tf, dl)`.
+  /** Above this many distinct query terms, postings/stats scans switch
+    * from an inlined `term IN (...)` literal list (best row-group
+    * pruning) to a broadcast left-semi join (bounded plan size at any
+    * batch size). Overridable per session via
+    * `spark.graft.bm25.isinTermCap`. */
+  val DefaultIsinTermCap = 256
+
+  private def isinTermCap(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.bm25.isinTermCap",
+      DefaultIsinTermCap.toString).toInt
+
+  /** Restrict a (term, ...) frame to the query batch's distinct terms.
+    * Small batches inline the literal IN list (pushed to the parquet
+    * scan, prunes row groups on the term-clustered files); large batches
+    * — hard-negative anchor sets, offline eval sweeps — semi-join
+    * against the broadcast term frame instead, so plan size and driver
+    * memory stay bounded no matter how many anchors the caller mines. */
+  private def termFilter(
+      frame: DataFrame, qterms: DataFrame, terms: Seq[String]): DataFrame =
+    if (terms.size <= isinTermCap(frame.sparkSession))
+      frame.filter(col("term").isin(terms: _*))
+    else
+      frame.join(broadcast(qterms.select("term").distinct()),
+        Seq("term"), "left_semi")
+
+  /** Inverted-index rows: one per (term, doc) — `(term, doc_id, dl, tf)`.
     * dl (doc length in tokens, empties included, mirroring the oracle's
     * `len(string_split(...))`) is denormalized onto every posting so a
     * probe never needs a doc-side join to normalize tf. */
@@ -52,11 +81,14 @@ object Retrieval {
 
   /** Corpus scalars the BM25 normalization needs: (nDocs, sumDl). One tiny
     * aggregate job; the result is two longs on the driver (contract-small,
-    * same shape as the tfidf `docs.count()` precedent). */
+    * same shape as the tfidf `docs.count()` precedent). Counted over ALL
+    * docs — including all-empty-token ones that produce no postings —
+    * which is why it scans the corpus's text column rather than deriving
+    * from postings. */
   def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
     val r = docs.agg(
       count(lit(1)).cast("long"),
-      sum(size(split(col(textCol), " "))).cast("long")).head
+      coalesce(sum(size(split(col(textCol), " "))), lit(0L)).cast("long")).head
     (r.getLong(0), r.getLong(1))
   }
 
@@ -72,10 +104,15 @@ object Retrieval {
       .toDF("query_id", "term")
   }
 
+  /** The distinct term set of a driver-side query batch — computed on the
+    * driver (the batch already lives there; no Spark job, no collect). */
+  private def distinctTerms(queries: Seq[(Int, String)]): Seq[String] =
+    queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+
   /** The shared scoring tail: candidate postings × query terms × df stats
     * → per-(query, doc) BM25 → top-k per query with rank.
     *
-    * `posts` must be `(term, doc_id, tf, dl)`, already restricted (or
+    * `posts` must be `(term, doc_id, dl, tf)`, already restricted (or
     * restrictable by Catalyst) to the query's terms; `dfStats` is
     * `(term, df)` for at least the query terms. Both query frames are
     * broadcast — the only shuffle is the per-(query_id, doc_id) partial
@@ -122,7 +159,9 @@ object Retrieval {
     * "lexically close but not the positive" negatives an embedding-model
     * batch wants. Anchors are a tiny broadcast frame; everything else is
     * the shared retrieval path, so the cost is the anchors' posting
-    * lists, not a corpus cross-product. */
+    * lists, not a corpus cross-product. The term restriction is the
+    * broadcast semi-join (anchor terms live in the data, and anchor sets
+    * can be large) — never a driver-side literal list. */
   def hardNegatives(
       docs: DataFrame, idCol: String, textCol: String,
       anchorIds: Seq[Long], k: Int): DataFrame = {
@@ -151,62 +190,226 @@ object Retrieval {
     val spark = docs.sparkSession
     val posts = postings(docs, idCol, textCol)
     val qt = queryTerms(spark, queries)
-    val terms = qt.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val cand = posts.filter(col("term").isin(terms: _*))
+    val cand = termFilter(posts, qt, distinctTerms(queries))
     val dfStats = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val (n, sumDl) = corpusStats(docs, textCol)
     bm25Rank(cand, dfStats, qt, n, sumDl, k)
   }
 
-  /** Persist the inverted index: `path/postings` term-clustered parquet
-    * (repartitioned + sorted by term so a probe's pushed `term IN` prunes
-    * row groups), `path/stats` per-term df SEGMENT rows (mergeable — probe
-    * sums them), `path/corpus` one (n_docs, sum_dl) SEGMENT row. Segment
-    * rows make [[appendIndex]] a pure parquet append: nothing is ever
-    * rewritten, df/n/avgdl re-derive by summation at probe time. */
-  def writeIndex(
-      docs: DataFrame, idCol: String, textCol: String, path: String,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val posts = postings(docs, idCol, textCol)
+  // ---- persisted inverted index ---------------------------------------
+
+  /** Salt buckets for the postings layout: files cluster by term (so a
+    * probe's term restriction prunes row groups) but a stopword-frequency
+    * term's posting list splits across up to this many partitions instead
+    * of pinning one hot task/file at build time. */
+  val PostingsSaltBuckets = 16
+
+  private def writePostings(posts: DataFrame, dir: String): Unit =
     posts
-      .repartition(col("term"))
+      .repartition(col("term"),
+        pmod(hash(col("doc_id")), lit(PostingsSaltBuckets)))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode(mode).parquet(s"$path/postings")
-    posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode(mode).parquet(s"$path/stats")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Derive the per-term df segment from ALREADY-WRITTEN postings files —
+    * re-reading the slim persisted rows instead of re-executing the
+    * corpus-wide postings lineage a second time. */
+  private def writeStatsFromPostings(
+      spark: SparkSession, postingsDir: String, statsDir: String): Unit =
+    spark.read.parquet(postingsDir)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(statsDir)
+
+  private def writeCorpusSeg(
+      docs: DataFrame, textCol: String, dir: String): Unit = {
     val (n, sumDl) = corpusStats(docs, textCol)
     val spark = docs.sparkSession
     import spark.implicits._
     Seq((n, sumDl)).toDF("n_docs", "sum_dl")
-      .coalesce(1).write.mode(mode).parquet(s"$path/corpus")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
-  /** Append a delta corpus to a persisted index. Exact under disjoint doc
-    * ids: postings rows are per-(term, doc) so new docs only ADD rows; df
-    * and corpus segments sum at probe time. No stored row is read or
-    * rewritten — ingest cost is the delta's wordcount, independent of the
-    * lake's size. */
+  /** Persist the inverted index: `path/postings` term-clustered parquet
+    * (salted-repartitioned + sorted by term so a probe's pushed `term IN`
+    * prunes row groups while hot terms still split across files),
+    * `path/stats` per-term df SEGMENT rows (mergeable — probe sums them),
+    * `path/corpus` one (n_docs, sum_dl) SEGMENT row. Segment rows make
+    * [[appendIndex]] a pure parquet append: nothing is ever rewritten,
+    * df/n/avgdl re-derive by summation at probe time. The corpus is
+    * scanned twice (postings + the cheap text-column stats scalar); df
+    * stats re-read the just-written postings rather than re-running the
+    * corpus lineage. */
+  def writeIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    writePostings(postings(docs, idCol, textCol), s"$path/postings")
+    writeStatsFromPostings(docs.sparkSession, s"$path/postings", s"$path/stats")
+    writeCorpusSeg(docs, textCol, s"$path/corpus")
+  }
+
+  /** Append a delta corpus to a persisted index.
+    *
+    * CONTRACT: exact ONLY when the delta's doc ids are disjoint from the
+    * already-indexed corpus — postings rows are per-(term, doc), so new
+    * docs only ADD rows and df/corpus segments sum at probe time, but
+    * re-appending an already-indexed doc double-counts its postings, df
+    * contribution, and corpus stats. Callers that cannot guarantee
+    * disjointness pass `dedupAgainstIndex = true`: the delta is
+    * anti-joined against the stored doc-id set first (one slim
+    * column-pruned index scan — still never rewrites anything). The
+    * default stays the pure append because ingest pipelines with
+    * monotone doc ids shouldn't pay the scan.
+    *
+    * No stored row is read or rewritten — ingest cost is the delta's
+    * wordcount, independent of the lake's size. */
   def appendIndex(
-      delta: DataFrame, idCol: String, textCol: String, path: String): Unit =
-    writeIndex(delta, idCol, textCol, path, SaveMode.Append)
+      delta: DataFrame, idCol: String, textCol: String, path: String,
+      dedupAgainstIndex: Boolean = false): Unit = {
+    val spark = delta.sparkSession
+    val src =
+      if (!dedupAgainstIndex) delta
+      else delta.join(
+        spark.read.parquet(s"$path/postings")
+          .select(col("doc_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    postings(src, idCol, textCol)
+      .repartition(col("term"),
+        pmod(hash(col("doc_id")), lit(PostingsSaltBuckets)))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/postings")
+    postings(src, idCol, textCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Append).parquet(s"$path/stats")
+    val (n, sumDl) = corpusStats(src, textCol)
+    import spark.implicits._
+    Seq((n, sumDl)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/corpus")
+  }
+
+  /** The probe core over resolved index frames — shared by the bare-path
+    * and manifest probes. Stats segments merge AFTER the term
+    * restriction (sum over query terms only), so the probe's work is
+    * proportional to the query terms' posting lists, not the lake. */
+  private def probeFrames(
+      posts: DataFrame, stats: DataFrame, corpus: DataFrame,
+      qt: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val cand = termFilter(posts, qt, terms)
+    val dfStats = termFilter(stats, qt, terms)
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+    val c = corpus
+      .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head
+    bm25Rank(cand, dfStats, qt, c.getLong(0), c.getLong(1), k)
+  }
 
   /** Probe a persisted index: ranks `queries` against the indexed corpus
-    * without touching the corpus itself. The postings/stats scans carry
-    * pushed `term IN (...)` filters; stats segments merge AFTER that
-    * filter (sum over query terms only), so the probe's work is
-    * proportional to the query terms' posting lists, not the lake. */
+    * without touching the corpus itself. The postings/stats scans are
+    * restricted to the batch's terms ([[termFilter]]: pushed `IN` under
+    * the cap, broadcast semi-join above it). */
   def bm25Probe(
       spark: SparkSession, path: String,
-      queries: Seq[(Int, String)], k: Int): DataFrame = {
-    val qt = queryTerms(spark, queries)
-    val terms = qt.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val posts = spark.read.parquet(s"$path/postings")
-      .filter(col("term").isin(terms: _*))
-    val dfStats = spark.read.parquet(s"$path/stats")
-      .filter(col("term").isin(terms: _*))
+      queries: Seq[(Int, String)], k: Int): DataFrame =
+    probeFrames(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats"),
+      spark.read.parquet(s"$path/corpus"),
+      queryTerms(spark, queries), distinctTerms(queries), k)
+
+  // ---- BM25 index under the atomic manifest protocol ------------------
+  //
+  // Three logical tables (`postings`, `stats`, `corpus`) staged as
+  // immutable segments and published together in one manifest commit —
+  // a probe racing build/append/compact resolves a consistent triple
+  // (postings with their own df/corpus segments), never a mix.
+
+  private val PostingsTable = "postings"
+  private val StatsTable = "stats"
+  private val CorpusTable = "corpus"
+
+  /** [[writeIndex]] under the manifest protocol. */
+  def buildIndexM(
+      docs: DataFrame, idCol: String, textCol: String, root: String): Long = {
+    val spark = docs.sparkSession
+    val pSeg = IndexManifest.newSegment(PostingsTable)
+    writePostings(postings(docs, idCol, textCol), s"$root/$pSeg")
+    val sSeg = IndexManifest.newSegment(StatsTable)
+    writeStatsFromPostings(spark, s"$root/$pSeg", s"$root/$sSeg")
+    val cSeg = IndexManifest.newSegment(CorpusTable)
+    writeCorpusSeg(docs, textCol, s"$root/$cSeg")
+    IndexManifest.commit(spark, root, Map(
+      PostingsTable -> Seq(pSeg), StatsTable -> Seq(sSeg),
+      CorpusTable -> Seq(cSeg)))
+  }
+
+  /** [[appendIndex]] under the manifest protocol: the delta's postings /
+    * df segment / corpus segment land as three new segments, published
+    * atomically (expect-guarded). Same disjoint-doc-ids contract and
+    * `dedupAgainstIndex` escape hatch as the bare append. */
+  def appendIndexM(
+      delta: DataFrame, idCol: String, textCol: String, root: String,
+      dedupAgainstIndex: Boolean = false): Long = {
+    val spark = delta.sparkSession
+    val snap = IndexManifest.snapshot(spark, root)
+    val src =
+      if (!dedupAgainstIndex) delta
+      else delta.join(
+        IndexManifest.readAt(spark, root, snap, PostingsTable)
+          .select(col("doc_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    val pSeg = IndexManifest.newSegment(PostingsTable)
+    writePostings(postings(src, idCol, textCol), s"$root/$pSeg")
+    val sSeg = IndexManifest.newSegment(StatsTable)
+    writeStatsFromPostings(spark, s"$root/$pSeg", s"$root/$sSeg")
+    val cSeg = IndexManifest.newSegment(CorpusTable)
+    writeCorpusSeg(src, textCol, s"$root/$cSeg")
+    IndexManifest.commit(spark, root,
+      snap.tables
+        .updated(PostingsTable, snap.tables(PostingsTable) :+ pSeg)
+        .updated(StatsTable, snap.tables(StatsTable) :+ sSeg)
+        .updated(CorpusTable, snap.tables(CorpusTable) :+ cSeg),
+      expect = Some(snap.version))
+  }
+
+  /** Compaction — the maintenance half [[appendIndexM]]'s grow-only
+    * contract needs: df segments fold back to ONE row per term, corpus
+    * segments to one row, and the accumulated postings rewrite
+    * term-clustered (restoring row-group pruning across what appends
+    * scattered into per-delta files). One keyed shuffle over slim
+    * posting rows + one over df rows — never touches corpus text — and
+    * the whole triple swaps in atomically. Probe-after-compact ≡
+    * probe-before (spec-pinned), so cadence is a read-amplification
+    * dial, not a correctness decision. */
+  def compactIndexM(spark: SparkSession, root: String): Long = {
+    val snap = IndexManifest.snapshot(spark, root)
+    val pSeg = IndexManifest.newSegment(PostingsTable)
+    writePostings(
+      IndexManifest.readAt(spark, root, snap, PostingsTable), s"$root/$pSeg")
+    val sSeg = IndexManifest.newSegment(StatsTable)
+    IndexManifest.readAt(spark, root, snap, StatsTable)
       .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
-    val c = spark.read.parquet(s"$path/corpus")
-      .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head
-    bm25Rank(posts, dfStats, qt, c.getLong(0), c.getLong(1), k)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$sSeg")
+    val cSeg = IndexManifest.newSegment(CorpusTable)
+    val c = IndexManifest.readAt(spark, root, snap, CorpusTable)
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .coalesce(1)
+    c.write.mode(SaveMode.Overwrite).parquet(s"$root/$cSeg")
+    IndexManifest.commit(spark, root,
+      snap.tables
+        .updated(PostingsTable, Seq(pSeg))
+        .updated(StatsTable, Seq(sSeg))
+        .updated(CorpusTable, Seq(cSeg)),
+      expect = Some(snap.version))
+  }
+
+  /** [[bm25Probe]] against a manifest-committed index: resolves ONE
+    * snapshot and reads all three tables from it. */
+  def bm25ProbeM(
+      spark: SparkSession, root: String,
+      queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val snap = IndexManifest.snapshot(spark, root)
+    probeFrames(
+      IndexManifest.readAt(spark, root, snap, PostingsTable),
+      IndexManifest.readAt(spark, root, snap, StatsTable),
+      IndexManifest.readAt(spark, root, snap, CorpusTable),
+      queryTerms(spark, queries), distinctTerms(queries), k)
   }
 }

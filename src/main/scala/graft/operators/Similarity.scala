@@ -227,9 +227,14 @@ object Similarity {
       vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
+    // the rank window runs over the broadcast-small centroid set only;
+    // partitionBy(lit(0)) keeps that explicit (and the
+    // single-partition-WindowExec WARN out of every log) — the
+    // Quality.histogramDrift / Curation.temperatureMix precedent
     val cen = broadcast(centroids
       .select(col(idCol).as("centroid_id"), col(vecCol).as("__cen"))
-      .withColumn("__cenrank", row_number().over(Window.orderBy(col("centroid_id").asc))))
+      .withColumn("__cenrank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("centroid_id").asc))))
     val passThrough = vectors.columns.toSeq.filter(_ != idCol)
     vectors.crossJoin(cen)
       .withColumn("__sim", round(cosineNative(col(vecCol), col("__cen")), 6))
@@ -648,6 +653,88 @@ object Similarity {
       .select(col("id"), col("vdig"),
         kernelCol(graft.functions.PqEncodeCodes(attr("__v"), ref)).as("codes"))
     kept.unionByName(fresh)
+  }
+
+  // ---- PQ index under the atomic manifest protocol --------------------
+  //
+  // The DataFrame-level lifecycle above ([[pqIndexDigested]] /
+  // [[pqIndexAppend]] / [[pqIndexRefresh]]) says WHAT the maintained
+  // index is; these variants give it the same atomic persistence the
+  // gram/LSH/BM25 families have: two logical tables (`codes` — the
+  // digested (id, vdig, codes) rows — and the tiny `codebook`) staged as
+  // immutable segments and published in one manifest commit, so a search
+  // racing append/refresh resolves codes AND the codebook they were
+  // encoded with together — never new codes under an old codebook.
+
+  private val PqCodesTable = "codes"
+  private val PqCodebookTable = "codebook"
+
+  /** Build + persist the digested PQ index and its codebook. */
+  def buildPqIndexM(
+      corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int, root: String): Long = {
+    val spark = corpus.sparkSession
+    val cSeg = graft.index.IndexManifest.newSegment(PqCodesTable)
+    pqIndexDigested(corpus, codebook, idCol, vecCol, m, dsub)
+      .write.mode("overwrite").parquet(s"$root/$cSeg")
+    val bSeg = graft.index.IndexManifest.newSegment(PqCodebookTable)
+    codebook.write.mode("overwrite").parquet(s"$root/$bSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      Map(PqCodesTable -> Seq(cSeg), PqCodebookTable -> Seq(bSeg)))
+  }
+
+  /** Append-only maintenance: encode ONLY corpus rows whose id is not
+    * yet indexed (with the STORED codebook — codes are meaningless
+    * across codebooks) and publish them as a new segment atomically. */
+  def appendPqIndexM(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, root: String): Long = {
+    val spark = corpus.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val cb = graft.index.IndexManifest.readAt(spark, root, snap, PqCodebookTable)
+    val existing = graft.index.IndexManifest
+      .readAt(spark, root, snap, PqCodesTable)
+      .select(col("id").as(idCol))
+    val fresh = corpus.join(existing, Seq(idCol), "left_anti")
+    val cSeg = graft.index.IndexManifest.newSegment(PqCodesTable)
+    pqIndexDigested(fresh, cb, idCol, vecCol, m, dsub)
+      .write.mode("overwrite").parquet(s"$root/$cSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(PqCodesTable, snap.tables(PqCodesTable) :+ cSeg),
+      expect = Some(snap.version))
+  }
+
+  /** [[pqIndexRefresh]] as an atomic pointer swap: unchanged (id,
+    * fingerprint) rows keep their stored codes, changed/added rows
+    * re-encode with the stored codebook, removed ids drop out — and the
+    * codes table moves to the single refreshed segment in one commit. */
+  def refreshPqIndexM(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, root: String): Long = {
+    val spark = corpus.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val cb = graft.index.IndexManifest.readAt(spark, root, snap, PqCodebookTable)
+    val idx = graft.index.IndexManifest.readAt(spark, root, snap, PqCodesTable)
+    val cSeg = graft.index.IndexManifest.newSegment(PqCodesTable)
+    pqIndexRefresh(idx, corpus, cb, idCol, vecCol, m, dsub)
+      .write.mode("overwrite").parquet(s"$root/$cSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(PqCodesTable, Seq(cSeg)),
+      expect = Some(snap.version))
+  }
+
+  /** ADC search served from a manifest-committed PQ index: one snapshot
+    * resolves codes and codebook together, then the standard
+    * [[pqSearchEncoded]] broadcast-LUT scan. */
+  def pqProbeM(
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, dsub: Int, root: String): DataFrame = {
+    val spark = queries.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    pqSearchEncoded(queries,
+      graft.index.IndexManifest.readAt(spark, root, snap, PqCodesTable),
+      graft.index.IndexManifest.readAt(spark, root, snap, PqCodebookTable),
+      idCol, vecCol, k, m, dsub)
   }
 
   /** Two-stage PQ retrieval: ADC coarse scan, exact float rerank — the

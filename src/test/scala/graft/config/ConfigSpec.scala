@@ -44,6 +44,37 @@ class ConfigSpec extends AnyFunSuite {
     assert(users.columns.find(_.sourceName == "name").get.default.isEmpty)
   }
 
+  test("declared defaults do not alter projection or DDL output — the " +
+      "parity guard for the reference's parsed-but-never-applied defaults " +
+      "(run.go:108-115 parses them; mysql.go:286-287 never reads them)") {
+    // identical config, defaults block removed
+    val noDefaults = ConfigParser.parse(
+      sample.linesIterator.filterNot(l =>
+        l.trim == "defaults:" || l.trim == "visits: 0").mkString("\n"))
+    val withDefaults = ConfigParser.parse(sample)
+
+    // DDL sync plans are byte-identical: no DEFAULT clause, no extra ops
+    val observed: graft.sink.SchemaSync.Catalog = Map.empty
+    val pw = graft.sink.SchemaSync.plan(withDefaults, observed, force = false)
+    val po = graft.sink.SchemaSync.plan(noDefaults, observed, force = false)
+    assert(pw.ddl.map(_.sql) == po.ddl.map(_.sql))
+    assert(!pw.ddl.exists(_.sql.toUpperCase.contains("DEFAULT")))
+
+    // projection to the declared schema NULL-fills missing columns — it
+    // must NOT substitute the declared default (visits stays NULL)
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val src = Seq(("a", "alice")).toDF("_id", "name")
+    val spec = withDefaults.table("users").get
+    val projected = graft.operators.Transforms.projectTo(src, spec)
+    val row = projected.collect().head
+    assert(row.isNullAt(projected.columns.indexOf("visits")),
+      "a declared default must not leak into projection NULL-fill")
+    val projectedO = graft.operators.Transforms.projectTo(src, noDefaults.table("users").get)
+    assert(projected.schema == projectedO.schema)
+    assert(projected.collect().toSeq == projectedO.collect().toSeq)
+  }
+
   test("dotted source names map to underscore sink names (mysql.go:54-56)") {
     val users = ConfigParser.parse(sample).table("users").get
     assert(users.columns.find(_.sourceName == "cfg.pub").get.sinkName == "cfg_pub")

@@ -1,0 +1,143 @@
+package graft.index
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The atomic commit protocol itself: version resolution, staged-segment
+  * invisibility, pinned-snapshot stability, the optimistic lost-update
+  * guard, and vacuum. Family-level lifecycles are proven in
+  * [[IndexConcurrencySpec]]. */
+class IndexManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val f = new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      s"graft_manifest_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    f.toString
+  }
+
+  private def rows(xs: (Long, String)*) = xs.toDF("id", "v")
+
+  test("commit then read round-trips; versions increment from 1") {
+    val root = freshRoot("roundtrip")
+    assert(!IndexManifest.exists(spark, root))
+    assert(IndexManifest.currentVersion(spark, root) == 0L)
+
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a", 2L -> "b").write.parquet(s"$root/$seg")
+    val v1 = IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+    assert(v1 == 1L)
+    assert(IndexManifest.exists(spark, root))
+    assert(IndexManifest.lastModified(spark, root).nonEmpty)
+    assert(IndexManifest.read(spark, root, "t").count() == 2)
+
+    val seg2 = IndexManifest.newSegment("t")
+    rows(3L -> "c").write.parquet(s"$root/$seg2")
+    val v2 = IndexManifest.commit(spark, root, Map("t" -> Seq(seg, seg2)),
+      expect = Some(v1))
+    assert(v2 == 2L)
+    assert(IndexManifest.read(spark, root, "t").count() == 3)
+  }
+
+  test("staged-but-uncommitted segments are invisible to readers") {
+    val root = freshRoot("torn")
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+    // a writer crashes here: segment files on disk, no manifest commit
+    val orphan = IndexManifest.newSegment("t")
+    rows(99L -> "torn").write.parquet(s"$root/$orphan")
+    val seen = IndexManifest.read(spark, root, "t")
+      .select("id").as[Long].collect().toSet
+    assert(seen == Set(1L), "uncommitted segment leaked into a read")
+  }
+
+  test("a pinned snapshot keeps reading its own version after newer commits") {
+    val root = freshRoot("pinned")
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+    val pinned = IndexManifest.snapshot(spark, root)
+
+    // compact-style swap: new segment replaces the old one entirely
+    val seg2 = IndexManifest.newSegment("t")
+    rows(1L -> "a", 2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg2)),
+      expect = Some(pinned.version))
+
+    assert(IndexManifest.read(spark, root, "t").count() == 2)
+    val old = IndexManifest.readAt(spark, root, pinned, "t")
+      .select("id").as[Long].collect().toSet
+    assert(old == Set(1L), "pinned reader must see its resolved version")
+    // and time travel re-resolves it identically
+    val rt = IndexManifest.snapshotAt(spark, root, pinned.version)
+    assert(rt == pinned)
+  }
+
+  test("expect-guarded commit fails when a concurrent writer landed first") {
+    val root = freshRoot("conflict")
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    val v1 = IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+
+    // writer A resolves v1, then writer B commits v2 under A
+    val segB = IndexManifest.newSegment("t")
+    rows(2L -> "b").write.parquet(s"$root/$segB")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg, segB)),
+      expect = Some(v1))
+
+    val segA = IndexManifest.newSegment("t")
+    rows(3L -> "stale").write.parquet(s"$root/$segA")
+    intercept[java.util.ConcurrentModificationException] {
+      IndexManifest.commit(spark, root, Map("t" -> Seq(seg, segA)),
+        expect = Some(v1))
+    }
+    // B's commit is intact — the stale writer changed nothing
+    assert(IndexManifest.read(spark, root, "t")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("unguarded commits serialize: both land, neither is lost or torn") {
+    val root = freshRoot("blind")
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+    val seg2 = IndexManifest.newSegment("t")
+    rows(2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg2)))
+    assert(IndexManifest.currentVersion(spark, root) == 2L)
+    // both versions fully readable
+    assert(IndexManifest.readAt(spark, root,
+      IndexManifest.snapshotAt(spark, root, 1L), "t").count() == 1)
+    assert(IndexManifest.read(spark, root, "t").count() == 1)
+  }
+
+  test("vacuum removes orphaned segments and old manifests, keeps the live set") {
+    val root = freshRoot("vacuum")
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+    // superseding swap + a crashed writer's orphan
+    val seg2 = IndexManifest.newSegment("t")
+    rows(1L -> "a", 2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg2)), expect = Some(1L))
+    val orphan = IndexManifest.newSegment("t")
+    rows(9L -> "junk").write.parquet(s"$root/$orphan")
+
+    val removed = IndexManifest.vacuum(spark, root)
+    assert(removed == 3, s"expected old seg + orphan + old manifest, got $removed")
+    assert(!new java.io.File(s"$root/$seg").exists)
+    assert(!new java.io.File(s"$root/$orphan").exists)
+    assert(IndexManifest.read(spark, root, "t").count() == 2)
+  }
+
+  test("missing table and uninitialized root fail loudly") {
+    val root = freshRoot("missing")
+    intercept[IllegalArgumentException] { IndexManifest.snapshot(spark, root) }
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+    intercept[IllegalStateException] { IndexManifest.read(spark, root, "nope") }
+  }
+}
