@@ -15,6 +15,29 @@ object LlmQueries {
 
   private def q(f: (SparkSession, String) => DataFrame) = f
 
+  /** Deterministic per-dataset index root under /tmp, WIPED before the
+    * build: manifest lifecycles accumulate segments by design, and a
+    * registry query that rebuilds from scratch each run must not leave
+    * versions piling up across invocations. */
+  private def freshIndexRoot(tag: String, dir: String): String = {
+    val f = new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles.foreach(rm)
+      x.delete(): Unit
+    }
+    if (f.exists) rm(f)
+    f.toString
+  }
+
+  /** Persistent per-dataset index root for the steady-state SERVE
+    * queries — never wiped; build-if-stale + vacuum keep it bounded. */
+  private def serveIndexRoot(tag: String, dir: String): String =
+    new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}").toString
+
   private val ShingleN = 5
   private[queries] val MinhashK = 16
   private[queries] val LshBands = 4
@@ -479,6 +502,25 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // The PQ lifecycle PERSISTED under the manifest protocol: half the
+    // corpus built as the standing index (codes + codebook committed
+    // together), the full corpus appended (anti-join finds the missing
+    // half, encoded with the STORED codebook), then the search served
+    // from one resolved snapshot. Search-over-served must equal search
+    // over a from-scratch index — the append oracle replayed.
+    "sim_pq_index_served" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", m = 4, dsub = 16)
+      val root = freshIndexRoot("pqidx", dir)
+      Similarity.buildPqIndexM(emb.filter(col("vec_id") % 2 === 0), cb,
+        "vec_id", "embedding", m = 4, dsub = 16, root)
+      Similarity.appendPqIndexM(emb, "vec_id", "embedding", 4, 16, root)
+      Similarity.pqProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, root)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // PQ index REFRESH — maintenance under corpus UPDATES, not just
     // arrivals: yesterday's index carries stale codes for re-embedded
     // vectors (ids ≡ 0 mod 5, reversed embedding), is missing the new
@@ -533,13 +575,11 @@ object LlmQueries {
       val docs = Tables.load(s, dir, "documents")
       def sh(f: org.apache.spark.sql.DataFrame) =
         Dedup.rawShingles(f, "text", "doc_id", ShingleN)
-      val idxPath = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_lshidx_${Integer.toHexString(dir.hashCode)}").toString
-      Dedup.writeLshIndex(sh(docs.filter(col("doc_id") % 2 =!= 0)),
-        "doc_id", MinhashK, LshBands, idxPath)
-      Dedup.indexedCrossCorpusPairs(
-          s.read.parquet(s"$idxPath/bands"), s.read.parquet(s"$idxPath/sigs"),
+      val root = freshIndexRoot("lshidx", dir)
+      Dedup.buildLshIndexM(sh(docs.filter(col("doc_id") % 2 =!= 0)),
+        "doc_id", MinhashK, LshBands, root)
+      val (bands, sigs) = Dedup.readLshIndexM(s, root)
+      Dedup.indexedCrossCorpusPairs(bands, sigs,
           sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
           MinhashK, LshBands, maxBucket = CrossMaxBucket)
         .orderBy("id_new", "id_base")
@@ -562,17 +602,16 @@ object LlmQueries {
           .withColumn("text", concat(lit("stale "), col("text"))))
         .unionByName(lake.filter(col("doc_id") % 9 === 5)
           .withColumn("doc_id", col("doc_id") + 1000000))
-      val tmp = java.lang.System.getProperty("java.io.tmpdir")
-      val p0 = new java.io.File(tmp,
-        s"graft_lshref0_${Integer.toHexString(dir.hashCode)}").toString
-      val p1 = new java.io.File(tmp,
-        s"graft_lshref1_${Integer.toHexString(dir.hashCode)}").toString
-      Dedup.writeLshIndexDigested(oldLake, "text", "doc_id",
-        ShingleN, MinhashK, LshBands, p0)
-      Dedup.refreshLshIndex(lake, "text", "doc_id",
-        ShingleN, MinhashK, LshBands, p0, p1)
-      Dedup.indexedCrossCorpusPairs(
-          s.read.parquet(s"$p1/bands"), s.read.parquet(s"$p1/sigs"),
+      // refresh is an in-place atomic pointer swap under the manifest —
+      // no old-path/new-path dance, and a probe racing it resolves one
+      // consistent (sigs, bands) pair
+      val root = freshIndexRoot("lshref", dir)
+      Dedup.buildLshIndexDigestedM(oldLake, "text", "doc_id",
+        ShingleN, MinhashK, LshBands, root)
+      Dedup.refreshLshIndexM(lake, "text", "doc_id",
+        ShingleN, MinhashK, LshBands, root)
+      val (bands, sigs) = Dedup.readLshIndexM(s, root)
+      Dedup.indexedCrossCorpusPairs(bands, sigs,
           sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
           MinhashK, LshBands, maxBucket = CrossMaxBucket)
         .orderBy("id_new", "id_base")
@@ -586,16 +625,18 @@ object LlmQueries {
       val docs = Tables.load(s, dir, "documents")
       def sh(f: org.apache.spark.sql.DataFrame) =
         Dedup.rawShingles(f, "text", "doc_id", ShingleN)
-      val idxPath = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_lshidx_srv_${Integer.toHexString(dir.hashCode)}").toString
-      val succ = new java.io.File(s"$idxPath/bands", "_SUCCESS")
+      val root = serveIndexRoot("lshidx_srv", dir)
       val src = new java.io.File(dir, "documents.parquet")
-      if (!succ.exists || succ.lastModified < src.lastModified)
-        Dedup.writeLshIndex(sh(docs.filter(col("doc_id") % 2 =!= 0)),
-          "doc_id", MinhashK, LshBands, idxPath)
-      Dedup.indexedCrossCorpusPairs(
-          s.read.parquet(s"$idxPath/bands"), s.read.parquet(s"$idxPath/sigs"),
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        Dedup.buildLshIndexM(sh(docs.filter(col("doc_id") % 2 =!= 0)),
+          "doc_id", MinhashK, LshBands, root)
+        // rebuilds supersede all prior versions; reclaim their segments
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      val (bands, sigs) = Dedup.readLshIndexM(s, root)
+      Dedup.indexedCrossCorpusPairs(bands, sigs,
           sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
           MinhashK, LshBands, maxBucket = CrossMaxBucket)
         .orderBy("id_new", "id_base")
@@ -612,15 +653,13 @@ object LlmQueries {
       val docs = Tables.load(s, dir, "documents")
       def sh(f: org.apache.spark.sql.DataFrame) =
         Dedup.rawShingles(f, "text", "doc_id", ShingleN)
-      val idxPath = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_lshappidx_${Integer.toHexString(dir.hashCode)}").toString
-      Dedup.writeLshIndex(sh(docs.filter(col("doc_id") % 4 === 1)),
-        "doc_id", MinhashK, LshBands, idxPath)
-      Dedup.appendLshIndex(sh(docs.filter(col("doc_id") % 4 === 3)),
-        "doc_id", MinhashK, LshBands, idxPath)
-      Dedup.indexedCrossCorpusPairs(
-          s.read.parquet(s"$idxPath/bands"), s.read.parquet(s"$idxPath/sigs"),
+      val root = freshIndexRoot("lshappidx", dir)
+      Dedup.buildLshIndexM(sh(docs.filter(col("doc_id") % 4 === 1)),
+        "doc_id", MinhashK, LshBands, root)
+      Dedup.appendLshIndexM(sh(docs.filter(col("doc_id") % 4 === 3)),
+        "doc_id", MinhashK, LshBands, root)
+      val (bands, sigs) = Dedup.readLshIndexM(s, root)
+      Dedup.indexedCrossCorpusPairs(bands, sigs,
           sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
           MinhashK, LshBands, maxBucket = CrossMaxBucket, staleCounts = true)
         .orderBy("id_new", "id_base")
@@ -635,17 +674,16 @@ object LlmQueries {
       val docs = Tables.load(s, dir, "documents")
       def sh(f: org.apache.spark.sql.DataFrame) =
         Dedup.rawShingles(f, "text", "doc_id", ShingleN)
-      val idxPath = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_lshcidx_${Integer.toHexString(dir.hashCode)}").toString
-      val outPath = idxPath + "_compacted"
-      Dedup.writeLshIndex(sh(docs.filter(col("doc_id") % 4 === 1)),
-        "doc_id", MinhashK, LshBands, idxPath)
-      Dedup.appendLshIndex(sh(docs.filter(col("doc_id") % 4 === 3)),
-        "doc_id", MinhashK, LshBands, idxPath)
-      Dedup.compactLshIndex(s, idxPath, outPath)
-      Dedup.indexedCrossCorpusPairs(
-          s.read.parquet(s"$outPath/bands"), s.read.parquet(s"$outPath/sigs"),
+      // compaction is in-place under the manifest: one commit swaps both
+      // tables to single fresh segments, no caller-side path dance
+      val root = freshIndexRoot("lshcidx", dir)
+      Dedup.buildLshIndexM(sh(docs.filter(col("doc_id") % 4 === 1)),
+        "doc_id", MinhashK, LshBands, root)
+      Dedup.appendLshIndexM(sh(docs.filter(col("doc_id") % 4 === 3)),
+        "doc_id", MinhashK, LshBands, root)
+      Dedup.compactLshIndexM(s, root)
+      val (bands, sigs) = Dedup.readLshIndexM(s, root)
+      Dedup.indexedCrossCorpusPairs(bands, sigs,
           sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
           MinhashK, LshBands, maxBucket = CrossMaxBucket)
         .orderBy("id_new", "id_base")
@@ -723,14 +761,10 @@ object LlmQueries {
     // whole-corpus repeatedSpans restricted to delta docs (spec-pinned).
     "dedup_spans_incremental" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      // deterministic per-dataset scratch path, overwritten each build:
-      // repeated registry invocations must not accumulate /tmp copies
-      val idxPath = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_gramidx_${Integer.toHexString(dir.hashCode)}").toString
-      Dedup.writeGramIndex(docs.filter(col("doc_id") % 10 < 8),
-        "doc_id", "text", SpanGramChars, idxPath)
-      Dedup.incrementalSpans(s.read.parquet(idxPath),
+      val root = freshIndexRoot("gramidx", dir)
+      Dedup.buildGramIndexM(docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", SpanGramChars, root)
+      Dedup.incrementalSpans(Dedup.readGramIndexM(s, root),
           docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
         .orderBy("doc_id", "span_start")
     },
@@ -758,15 +792,16 @@ object LlmQueries {
     // delta — the probe. Result-identical (same oracle).
     "dedup_spans_incremental_serve" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val idxPath = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_gramidx_srv_${Integer.toHexString(dir.hashCode)}").toString
-      val succ = new java.io.File(idxPath, "_SUCCESS")
+      val root = serveIndexRoot("gramidx_srv", dir)
       val src = new java.io.File(dir, "documents.parquet")
-      if (!succ.exists || succ.lastModified < src.lastModified)
-        Dedup.writeGramIndex(docs.filter(col("doc_id") % 10 < 8),
-          "doc_id", "text", SpanGramChars, idxPath)
-      Dedup.incrementalSpans(s.read.parquet(idxPath),
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        Dedup.buildGramIndexM(docs.filter(col("doc_id") % 10 < 8),
+          "doc_id", "text", SpanGramChars, root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      Dedup.incrementalSpans(Dedup.readGramIndexM(s, root),
           docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
         .orderBy("doc_id", "span_start")
     },
@@ -777,12 +812,10 @@ object LlmQueries {
     // delta marks only the copies to strip without re-reading lake text.
     "dedup_spans_incremental_keep_first" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val idxPath = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_gramidx_${Integer.toHexString(dir.hashCode)}").toString
-      Dedup.writeGramIndex(docs.filter(col("doc_id") % 10 < 8),
-        "doc_id", "text", SpanGramChars, idxPath)
-      Dedup.incrementalSpansKeepFirst(s.read.parquet(idxPath),
+      val root = freshIndexRoot("gramidx_kf", dir)
+      Dedup.buildGramIndexM(docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", SpanGramChars, root)
+      Dedup.incrementalSpansKeepFirst(Dedup.readGramIndexM(s, root),
           docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
         .orderBy("doc_id", "span_start")
     },
@@ -795,15 +828,12 @@ object LlmQueries {
     // grams at the cost of one small write. Emits the grown index itself.
     "dedup_spans_index_append" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val idxPath = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_gramappidx_${Integer.toHexString(dir.hashCode)}").toString
+      val root = freshIndexRoot("gramappidx", dir)
       val lake = docs.filter(col("doc_id") % 10 < 8)
       val delta = docs.filter(col("doc_id") % 10 >= 8)
-      Dedup.writeGramIndex(lake, "doc_id", "text", SpanGramChars, idxPath)
-      Dedup.appendGramIndex(s.read.parquet(idxPath), delta,
-        "doc_id", "text", SpanGramChars, idxPath)
-      s.read.parquet(idxPath).orderBy("h", "owner")
+      Dedup.buildGramIndexM(lake, "doc_id", "text", SpanGramChars, root)
+      Dedup.appendGramIndexM(delta, "doc_id", "text", SpanGramChars, root)
+      Dedup.readGramIndexM(s, root).orderBy("h", "owner")
     },
 
     // Log compaction: the append-only digest log (lake build + one
@@ -814,17 +844,15 @@ object LlmQueries {
     // computes from the raw documents.
     "dedup_spans_index_compact" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val idxPath = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_gramcidx_${Integer.toHexString(dir.hashCode)}").toString
-      val outPath = idxPath + "_compacted"
+      val root = freshIndexRoot("gramcidx", dir)
       val lake = docs.filter(col("doc_id") % 10 < 8)
       val delta = docs.filter(col("doc_id") % 10 >= 8)
-      Dedup.writeGramIndex(lake, "doc_id", "text", SpanGramChars, idxPath)
-      Dedup.appendGramIndex(s.read.parquet(idxPath), delta,
-        "doc_id", "text", SpanGramChars, idxPath)
-      Dedup.compactGramIndex(s, idxPath, outPath)
-      s.read.parquet(outPath).orderBy("h")
+      Dedup.buildGramIndexM(lake, "doc_id", "text", SpanGramChars, root)
+      Dedup.appendGramIndexM(delta, "doc_id", "text", SpanGramChars, root)
+      // in-place atomic pointer swap — no out-path dance, readers racing
+      // the compaction resolve the pre- or post-compact log wholesale
+      Dedup.compactGramIndexM(s, root)
+      Dedup.readGramIndexM(s, root).orderBy("h")
     },
 
     // Perplexity-proxy quality scoring: a bigram LM estimated from the
@@ -1168,11 +1196,9 @@ object LlmQueries {
     // so index-build + probe must reproduce inline retrieval exactly.
     "text_bm25_indexed" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val p = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_bm25idx_${Integer.toHexString(dir.hashCode)}").toString
-      Retrieval.writeIndex(docs, "doc_id", "text", p)
-      Retrieval.bm25Probe(s, p, Bm25Queries, Bm25K)
+      val root = freshIndexRoot("bm25idx", dir)
+      Retrieval.buildIndexM(docs, "doc_id", "text", root)
+      Retrieval.bm25ProbeM(s, root, Bm25Queries, Bm25K)
         .orderBy("query_id", "rank")
     },
 
@@ -1184,14 +1210,31 @@ object LlmQueries {
     // oracle bit-for-bit.
     "text_bm25_index_append" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val p = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_bm25app_${Integer.toHexString(dir.hashCode)}").toString
-      Retrieval.writeIndex(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", p)
-      Retrieval.appendIndex(docs.filter(col("doc_id") % 2 =!= 0),
-        "doc_id", "text", p)
-      Retrieval.bm25Probe(s, p, Bm25Queries, Bm25K)
+      val root = freshIndexRoot("bm25app", dir)
+      Retrieval.buildIndexM(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      Retrieval.appendIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", root)
+      Retrieval.bm25ProbeM(s, root, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // Compaction closes the BM25 lifecycle (the gram/LSH precedent): the
+    // appended index's df segments fold to ONE row per term, the corpus
+    // segments to one row, and the per-delta postings files re-cluster by
+    // term — restoring probe-side row-group pruning — with the whole
+    // triple swapped in by one atomic manifest commit. The accumulated
+    // corpus is the full table, so probe-after-compact shares the inline
+    // oracle bit-for-bit (≡ probe-before, spec-pinned).
+    "text_bm25_compacted" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("bm25cidx", dir)
+      Retrieval.buildIndexM(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      Retrieval.appendIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", root)
+      Retrieval.compactIndexM(s, root)
+      Retrieval.bm25ProbeM(s, root, Bm25Queries, Bm25K)
         .orderBy("query_id", "rank")
     },
 
@@ -3055,5 +3098,11 @@ object LlmQueries {
       // a postings-index probe (one-shot or appended) reproduces inline
       // BM25 retrieval exactly — one oracle text serves all three
       ("text_bm25_indexed" -> baseOracles("text_bm25_topk")) +
-      ("text_bm25_index_append" -> baseOracles("text_bm25_topk"))
+      ("text_bm25_index_append" -> baseOracles("text_bm25_topk")) +
+      // compaction is probe-preserving by contract, so the compacted
+      // probe replays the same inline oracle
+      ("text_bm25_compacted" -> baseOracles("text_bm25_topk")) +
+      // the manifest-served PQ index converges to the from-scratch
+      // encode of the full corpus — the append oracle replayed
+      ("sim_pq_index_served" -> baseOracles("sim_pq_index_append"))
 }

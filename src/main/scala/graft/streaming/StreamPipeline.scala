@@ -234,6 +234,39 @@ object StreamPipeline {
   def writeSemanticIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
     semanticCorpus(spark, dir).write.mode("overwrite").parquet(indexPath)
 
+  private val SemTable = "embeds"
+
+  /** [[writeSemanticIndex]] under the manifest protocol — the semantic
+    * near-dup index joins the gram/LSH/BM25/PQ families on the atomic
+    * lifecycle: build/append stage immutable segments and publish with
+    * one commit, so a stream-static probe racing the nightly
+    * build/append resolves one committed corpus, never a torn mix. */
+  def buildSemanticIndexM(spark: SparkSession, dir: String, root: String): Long = {
+    val seg = graft.index.IndexManifest.newSegment(SemTable)
+    semanticCorpus(spark, dir).write.mode("overwrite").parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root, Map(SemTable -> Seq(seg)))
+  }
+
+  /** Append a delta corpus's embedded rows as a new segment (disjoint
+    * doc ids, the standard append contract) — ingest cost is the delta's
+    * embed pass, the standing index is never read or rewritten. */
+  def appendSemanticIndexM(
+      delta: DataFrame, idCol: String, textCol: String, root: String): Long = {
+    val spark = delta.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val seg = graft.index.IndexManifest.newSegment(SemTable)
+    graft.operators.TextAnalysis.hashEmbed(delta, idCol, textCol, SemDim)
+      .select(col(idCol).as("corpus_id"), col("embedding").as("__cv"),
+        graft.operators.Similarity.signBucket(col("embedding"), SemSignBits).as("bucket"))
+      .write.mode("overwrite").parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(SemTable, snap.tables(SemTable) :+ seg),
+      expect = Some(snap.version))
+  }
+
+  def readSemanticIndexM(spark: SparkSession, root: String): DataFrame =
+    graft.index.IndexManifest.read(spark, root, SemTable)
+
   /** The ingest-side probe: arrivals hash-embedded and sign-LSH bucketed
     * IN the stream (two stateless kernel projections, no state store),
     * stream-static joined against the given corpus index frame. */
@@ -273,11 +306,11 @@ object StreamPipeline {
     * inline-corpus is spec-proven. */
   def streamingSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val indexDir = Files.createTempDirectory("graft_semidx")
-    writeSemanticIndex(spark, dir, indexDir.toString)
+    buildSemanticIndexM(spark, dir, indexDir.toString)
     // the result frame reads the memory sink (the streaming query has
     // already completed inside the call), so the scratch index can go:
     // repeated registry invocations must not accumulate /tmp copies
-    try streamingSemanticDedupWithIndex(spark, dir, indexDir.toString)
+    try semanticDedupAgainst(spark, dir, readSemanticIndexM(spark, indexDir.toString))
     finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(indexDir).iterator().asScala.toSeq.reverse
@@ -299,16 +332,20 @@ object StreamPipeline {
     * corpus-sized). Intra-batch repeats among simultaneous arrivals are
     * the batch operator's job ([[graft.operators.Dedup.incrementalSpans]]);
     * between micro-batches the index grows via
-    * [[graft.operators.Dedup.appendGramIndex]]. */
+    * [[graft.operators.Dedup.appendGramIndexM]]. The index is read
+    * through its manifest ([[graft.operators.Dedup.readGramIndexM]]): the
+    * stream-static join resolves ONE committed snapshot at query start,
+    * so an append landing mid-stream can never expose a torn segment
+    * list to later micro-batches. */
   def streamingSpanDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.LlmQueries.SpanGramChars
     graft.functions.GraftFunctions.register(spark)
     val indexDir = Files.createTempDirectory("graft_gramidx_stream")
-    graft.operators.Dedup.writeGramIndex(
+    graft.operators.Dedup.buildGramIndexM(
       graft.Tables.load(spark, dir, "documents").filter(col("doc_id") % 10 < 8),
       "doc_id", "text", SpanGramChars, indexDir.toString)
     try {
-      val index = spark.read.parquet(indexDir.toString)
+      val index = graft.operators.Dedup.readGramIndexM(spark, indexDir.toString)
       val arrivals = spark.readStream
         .schema(DocumentsSchema)
         .option("pathGlobFilter", "documents.parquet")

@@ -41,12 +41,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
   }
 
-  test("cdc apply: window partitioning is reused by the join (no extra exchange)") {
+  test("cdc apply: last-image fold combines map-side and shares the join key exchange") {
     val p = plan("t1_cdc_apply")
-    // exactly 3 exchanges: base repartition, changes repartition (feeding
-    // the window AND the join), final orderBy — not 4
+    // exactly 3 exchanges: base repartition, the fold's key exchange
+    // (feeding the join), final orderBy — not 4
     assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 3)
-    assert(p.contains("WindowGroupLimit")) // rn=1 filter pushed into the window
+    // the r12 lastImage default: max_by aggregate with a PARTIAL stage, so
+    // a hot key ships one candidate row per upstream task — the skew-immune
+    // shape — instead of its whole change history through a window
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      "last-image fold must combine map-side")
+    assert(!p.contains("WindowGroupLimit"),
+      "window formulation leaked back into the default apply path")
+    // the window twin stays reachable behind the dial
+    spark.conf.set("spark.graft.lastImage.forceWindowed", "true")
+    try assert(plan("t1_cdc_apply").contains("WindowGroupLimit"))
+    finally spark.conf.unset("spark.graft.lastImage.forceWindowed")
   }
 
   test("anti-join reconciliation plans as a real anti join, not a loop") {
@@ -128,12 +138,16 @@ class PlanSpec extends SparkSpec {
     // Every declared query's executed plan, swept for the two anti-patterns
     // that silently kill a 100 TB run: a non-broadcast cross product, and
     // an argmin/argmax re-planned as a sort-based aggregate (a full
-    // map-side sort of the scored rows). The one allowed SortAggregate is
-    // t1_fold_apply's per-column ordered fold: max_by over struct values
-    // of arbitrary column types has no mutable-buffer (hash) form, the
-    // partial combine keeps it skew-safe, and the sort is the fold's own
-    // ordering — inherent, not accidental.
-    val sortAggAllowed = Set("t1_fold_apply")
+    // map-side sort of the scored rows). The allowed SortAggregates are
+    // the CDC apply family's per-key ordered folds: max_by over struct
+    // values of arbitrary column types has no mutable-buffer (hash) form,
+    // the partial combine keeps it skew-safe (a hot key ships one
+    // candidate row per upstream task, not its change history — why
+    // lastImage defaults to this form since r12), and the sort is the
+    // fold's own ordering — inherent, not accidental.
+    val sortAggAllowed = Set("t1_fold_apply",
+      // route through MergeApply.lastImage's max_by aggregate
+      "o1_last_image", "t1_cdc_apply", "d2_pinned_snapshot")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
       val hits =

@@ -197,6 +197,32 @@ class IndexConcurrencySpec extends SparkSpec {
     assert(probe() == want)
   }
 
+  // ---- semantic embed index (streaming stream-static build side) ------
+
+  test("semantic_index_concurrent: embed segments commit atomically") {
+    val root = freshRoot("sem")
+    graft.streaming.StreamPipeline.buildSemanticIndexM(spark, Sf0001, root)
+    val baseN = graft.streaming.StreamPipeline.readSemanticIndexM(spark, root).count()
+    assert(baseN > 0)
+
+    // torn append: staged embed rows invisible until the commit lands
+    stageOrphan(root, "embeds",
+      Seq((9999999L, Array.fill(64)(0.0f), "junk"))
+        .toDF("corpus_id", "__cv", "bucket"))
+    assert(graft.streaming.StreamPipeline.readSemanticIndexM(spark, root)
+      .count() == baseN, "uncommitted embed segment leaked")
+
+    // committed append of a disjoint delta: exactly the delta's rows join
+    val delta = Seq(
+      (1000001L, "fresh arrival document body for the semantic index"),
+      (1000002L, "another fresh arrival with different content entirely"))
+      .toDF("doc_id", "text")
+    graft.streaming.StreamPipeline.appendSemanticIndexM(delta, "doc_id", "text", root)
+    val after = graft.streaming.StreamPipeline.readSemanticIndexM(spark, root)
+    assert(after.count() == baseN + 2)
+    assert(after.filter(col("corpus_id") > 1000000L).count() == 2)
+  }
+
   // ---- PQ codes/codebook ----------------------------------------------
 
   test("pq_index_concurrent: codes and codebook resolve together; refresh is a swap") {

@@ -92,6 +92,24 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSet == Set(2L, 4L))
   }
 
+  test("a >1k-term batch routes through the broadcast semi-join, result-identical to isin") {
+    // a hard-negative-style batch: 1200 distinct terms (mostly unseen),
+    // well past the default isin cap — the inline-literal path would
+    // build a 1200-literal IN list per scan
+    val noise = (0 until 1200).map(i => s"zz_unseen_$i").mkString(" ")
+    val qs = Seq(0 -> s"spark agg $noise", 1 -> "hash join")
+    val viaBroadcast = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, 10)
+    assert(viaBroadcast.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "past the cap the term restriction must be a semi-join")
+    // force the isin path by raising the cap; results must be identical
+    spark.conf.set("spark.graft.bm25.isinTermCap", "100000")
+    val viaIsin =
+      try Retrieval.bm25TopK(corpus, "doc_id", "text", qs, 10)
+      finally spark.conf.unset("spark.graft.bm25.isinTermCap")
+    assert(viaBroadcast.collect().toSet == viaIsin.collect().toSet)
+    assert(viaBroadcast.count() > 0)
+  }
+
   test("probe plan: corpus absent, term filter pushed to the postings scan") {
     val qs = Seq(0 -> "spark window")
     val p = tmp("bm25_plan")

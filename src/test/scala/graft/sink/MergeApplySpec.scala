@@ -30,6 +30,29 @@ class MergeApplySpec extends SparkSpec {
     assert(winner.select("v").as[String].head() == "second")
   }
 
+  test("lastImage: default aggregate form ≡ windowed twin, row for row") {
+    // the default is the skew-immune max_by aggregate; the window
+    // row_number formulation stays behind the forceWindowed dial (the
+    // TopK precedent) and must stay row-identical under a total ordering
+    val ord = Seq(col("ts"), col("seq"))
+    val agg = MergeApply.lastImage(changes, Seq("_id"), ord)
+    val win = MergeApply.lastImageWindowed(changes, Seq("_id"), ord)
+    assert(agg.columns.toSeq == changes.columns.toSeq,
+      "aggregate form must preserve column order")
+    assert(agg.orderBy("_id").collect().toSeq ==
+      win.orderBy("_id").collect().toSeq)
+    // the dial routes the public entry point through the window twin
+    spark.conf.set("spark.graft.lastImage.forceWindowed", "true")
+    try {
+      val dialed = MergeApply.lastImage(changes, Seq("_id"), ord)
+      assert(dialed.queryExecution.optimizedPlan.toString.contains("row_number"))
+      assert(dialed.orderBy("_id").collect().toSeq ==
+        agg.orderBy("_id").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.lastImage.forceWindowed")
+    // and the default plan is the aggregate — no window exchange
+    assert(!agg.queryExecution.optimizedPlan.toString.contains("row_number"))
+  }
+
   test("applyChanges: last-write-wins, partial update preserves untouched columns, delete removes") {
     val out = MergeApply.applyChanges(base, changes, "_id", "op",
       Seq(col("ts"), col("seq")), Seq("bal", "seg")).orderBy("_id").collect()
