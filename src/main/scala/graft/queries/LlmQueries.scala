@@ -104,6 +104,41 @@ object LlmQueries {
          FROM hashed, (VALUES $MinhashSeeds) seeds(seed, a, b)
          GROUP BY doc_id, seed)"""
 
+  /** The cross-corpus LSH oracle, parameterized on the LAKE membership
+    * predicate (`lake("doc_id")` for bare refs, `lake("b.doc_id")` in the
+    * pair join): signatures are per-doc, so one whole-table signature CTE
+    * split by the predicate replays the two-sided Spark pipeline exactly.
+    * The delta side is always the even ids; reused by the inline oracle
+    * (lake = all odds) and the PINNED-version probe (lake = the %4==1
+    * half that was indexed at the pinned commit). */
+  private def crossCorpusOracleSql(lake: String => String): String =
+    s"""WITH $ShinglesCte, $MinhashCte,
+       banded AS (
+         SELECT doc_id, (seed // 4) AS band,
+                md5(array_to_string(
+                  list_sort(list(concat(seed, ':', minhash))), '|')) AS band_hash
+         FROM sig GROUP BY doc_id, band),
+       hot AS (
+         SELECT band, band_hash FROM banded
+         WHERE ${lake("doc_id")}
+         GROUP BY band, band_hash
+         HAVING count(*) > $CrossMaxBucket),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+         WHERE a.doc_id % 2 = 0 AND ${lake("b.doc_id")}
+           AND NOT EXISTS (SELECT 1 FROM hot h
+             WHERE h.band = a.band AND h.band_hash = a.band_hash))
+       SELECT p.id_new, p.id_base,
+              sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::double
+                / 16 AS est_jaccard
+       FROM pairs p
+       JOIN sig sa ON sa.doc_id = p.id_new
+       JOIN sig sb ON sb.doc_id = p.id_base AND sb.seed = sa.seed
+       GROUP BY p.id_new, p.id_base
+       ORDER BY id_new, id_base"""
+
   /** DuckDB CTE chain twinning [[graft.operators.Dedup.repeatedSpans]]
     * (gram width [[SpanGramChars]], minDocs = 2), ending in
     * `spans(doc_id, span_start, span_end)`: per-position 60-bit md5 gram
@@ -684,6 +719,33 @@ object LlmQueries {
       Dedup.compactLshIndexM(s, root)
       val (bands, sigs) = Dedup.readLshIndexM(s, root)
       Dedup.indexedCrossCorpusPairs(bands, sigs,
+          sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
+          MinhashK, LshBands, maxBucket = CrossMaxBucket)
+        .orderBy("id_new", "id_base")
+    },
+
+    // TIME TRAVEL over the manifest: the probe pinned to the version a
+    // release was cut against. The lake index is built from the %4==1
+    // half (v1) and then grows by the %4==3 half (v2) — but the pinned
+    // probe resolves v1's manifest and must reproduce, bit for bit, the
+    // inline operator against ONLY the v1 lake: a training-data release
+    // can re-run its dedup against the exact index state it shipped
+    // with, regardless of how ingest has grown the index since. Old
+    // segments stay on disk until vacuum, which is what makes the pin
+    // valid.
+    "dedup_cross_corpus_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def sh(f: org.apache.spark.sql.DataFrame) =
+        Dedup.rawShingles(f, "text", "doc_id", ShingleN)
+      val root = freshIndexRoot("lshpin", dir)
+      val v1 = Dedup.buildLshIndexM(sh(docs.filter(col("doc_id") % 4 === 1)),
+        "doc_id", MinhashK, LshBands, root)
+      Dedup.appendLshIndexM(sh(docs.filter(col("doc_id") % 4 === 3)),
+        "doc_id", MinhashK, LshBands, root)
+      val pinned = graft.index.IndexManifest.snapshotAt(s, root, v1)
+      Dedup.indexedCrossCorpusPairs(
+          graft.index.IndexManifest.readAt(s, root, pinned, "bands"),
+          graft.index.IndexManifest.readAt(s, root, pinned, "sigs"),
           sh(docs.filter(col("doc_id") % 2 === 0)), "doc_id",
           MinhashK, LshBands, maxBucket = CrossMaxBucket)
         .orderBy("id_new", "id_base")
@@ -1401,33 +1463,11 @@ object LlmQueries {
 
     // signatures are per-doc, so computing them over the whole table and
     // splitting by parity replays the two-sided Spark pipeline exactly
-    "dedup_cross_corpus" ->
-      s"""WITH $ShinglesCte, $MinhashCte,
-         banded AS (
-           SELECT doc_id, (seed // 4) AS band,
-                  md5(array_to_string(
-                    list_sort(list(concat(seed, ':', minhash))), '|')) AS band_hash
-           FROM sig GROUP BY doc_id, band),
-         hot AS (
-           SELECT band, band_hash FROM banded
-           WHERE doc_id % 2 <> 0
-           GROUP BY band, band_hash
-           HAVING count(*) > $CrossMaxBucket),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
-           FROM banded a JOIN banded b
-             ON a.band = b.band AND a.band_hash = b.band_hash
-           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 <> 0
-             AND NOT EXISTS (SELECT 1 FROM hot h
-               WHERE h.band = a.band AND h.band_hash = a.band_hash))
-         SELECT p.id_new, p.id_base,
-                sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::double
-                  / 16 AS est_jaccard
-         FROM pairs p
-         JOIN sig sa ON sa.doc_id = p.id_new
-         JOIN sig sb ON sb.doc_id = p.id_base AND sb.seed = sa.seed
-         GROUP BY p.id_new, p.id_base
-         ORDER BY id_new, id_base""",
+    "dedup_cross_corpus" -> crossCorpusOracleSql(c => s"$c % 2 <> 0"),
+
+    // the pinned probe sees exactly the v1 lake (%4==1): same oracle
+    // shape, lake predicate narrowed to the pinned commit's corpus
+    "dedup_cross_corpus_pinned" -> crossCorpusOracleSql(c => s"$c % 4 = 1"),
 
     "dedup_jaccard" ->
       s"""WITH $ShinglesCte,

@@ -132,6 +132,50 @@ class IndexManifestSpec extends SparkSpec {
     assert(IndexManifest.read(spark, root, "t").count() == 2)
   }
 
+  test("threaded: probes racing a live appender always resolve a committed prefix") {
+    // invariant under test: version v's committed table is EXACTLY the
+    // ids 1..v, so any reader that ever observes a set that is not a
+    // {1..v} prefix has seen a torn or phantom state
+    val root = freshRoot("race")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "v1").write.parquet(s"$root/$seg1")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)))
+
+    val targetV = 10L
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = new Thread(() => {
+      try {
+        var v = 1L
+        while (v < targetV) {
+          val snap = IndexManifest.snapshot(spark, root)
+          val seg = IndexManifest.newSegment("t")
+          rows((snap.version + 1) -> s"v${snap.version + 1}")
+            .write.parquet(s"$root/$seg")
+          v = IndexManifest.commit(spark, root,
+            snap.tables.updated("t", snap.tables("t") :+ seg),
+            expect = Some(snap.version))
+        }
+      } catch { case e: Throwable => bad.add(s"writer: $e") }
+      finally done.set(true)
+    })
+    val readers = (1 to 2).map(i => new Thread(() => {
+      try {
+        while (!done.get()) {
+          val snap = IndexManifest.snapshot(spark, root)
+          val ids = IndexManifest.readAt(spark, root, snap, "t")
+            .select("id").as[Long].collect().toSet
+          if (ids != (1L to snap.version).toSet)
+            bad.add(s"reader$i saw $ids at v${snap.version}")
+        }
+      } catch { case e: Throwable => bad.add(s"reader$i: $e") }
+    }))
+    (writer +: readers).foreach(_.start())
+    (writer +: readers).foreach(_.join(120000))
+    assert(bad.isEmpty, s"torn/phantom reads: ${bad.toArray.mkString("; ")}")
+    assert(IndexManifest.currentVersion(spark, root) == targetV)
+  }
+
   test("missing table and uninitialized root fail loudly") {
     val root = freshRoot("missing")
     intercept[IllegalArgumentException] { IndexManifest.snapshot(spark, root) }
