@@ -323,6 +323,19 @@ object Retrieval {
   private val PostingsTable = "postings"
   private val StatsTable = "stats"
   private val CorpusTable = "corpus"
+  private val DocsTable = "docs"
+
+  /** The slim per-doc table `(doc_id, tdig, dl)` stored beside the
+    * postings: a content digest per indexed doc (what [[refreshIndexM]]
+    * diffs against the new corpus snapshot to find changed/removed
+    * docs without re-tokenizing anything) and the token length (so the
+    * refreshed corpus scalars re-derive from this table alone — empty-
+    * token docs included — never from lake text). ~40 B/doc. */
+  private def docDigests(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      md5(coalesce(col(textCol), lit(""))).as("tdig"),
+      size(split(col(textCol), " ")).as("dl"))
 
   /** [[writeIndex]] under the manifest protocol. */
   def buildIndexM(
@@ -334,9 +347,12 @@ object Retrieval {
     writeStatsFromPostings(spark, s"$root/$pSeg", s"$root/$sSeg")
     val cSeg = IndexManifest.newSegment(CorpusTable)
     writeCorpusSeg(docs, textCol, s"$root/$cSeg")
+    val dSeg = IndexManifest.newSegment(DocsTable)
+    docDigests(docs, idCol, textCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$dSeg")
     IndexManifest.commit(spark, root, Map(
       PostingsTable -> Seq(pSeg), StatsTable -> Seq(sSeg),
-      CorpusTable -> Seq(cSeg)))
+      CorpusTable -> Seq(cSeg), DocsTable -> Seq(dSeg)))
   }
 
   /** [[appendIndex]] under the manifest protocol: the delta's postings /
@@ -360,11 +376,15 @@ object Retrieval {
     writeStatsFromPostings(spark, s"$root/$pSeg", s"$root/$sSeg")
     val cSeg = IndexManifest.newSegment(CorpusTable)
     writeCorpusSeg(src, textCol, s"$root/$cSeg")
+    val dSeg = IndexManifest.newSegment(DocsTable)
+    docDigests(src, idCol, textCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$dSeg")
     IndexManifest.commit(spark, root,
       snap.tables
         .updated(PostingsTable, snap.tables(PostingsTable) :+ pSeg)
         .updated(StatsTable, snap.tables(StatsTable) :+ sSeg)
-        .updated(CorpusTable, snap.tables(CorpusTable) :+ cSeg),
+        .updated(CorpusTable, snap.tables(CorpusTable) :+ cSeg)
+        .updated(DocsTable, snap.tables(DocsTable) :+ dSeg),
       expect = Some(snap.version))
   }
 
@@ -392,11 +412,70 @@ object Retrieval {
         sum(col("sum_dl")).cast("long").as("sum_dl"))
       .coalesce(1)
     c.write.mode(SaveMode.Overwrite).parquet(s"$root/$cSeg")
+    val dSeg = IndexManifest.newSegment(DocsTable)
+    IndexManifest.readAt(spark, root, snap, DocsTable)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$dSeg")
     IndexManifest.commit(spark, root,
       snap.tables
         .updated(PostingsTable, Seq(pSeg))
         .updated(StatsTable, Seq(sSeg))
-        .updated(CorpusTable, Seq(cSeg)),
+        .updated(CorpusTable, Seq(cSeg))
+        .updated(DocsTable, Seq(dSeg)),
+      expect = Some(snap.version))
+  }
+
+  /** REFRESH — index maintenance under corpus UPDATES and REMOVALS, the
+    * quartet member append can't cover (append is arrivals-only): diff
+    * the stored per-doc digests against the new corpus snapshot, keep
+    * unchanged docs' postings VERBATIM (no re-tokenize, no re-read of
+    * their text), tokenize only changed/added docs, drop removed ids,
+    * and swap the whole (postings, stats, corpus, docs) quadruple in one
+    * commit. Result ≡ [[buildIndexM]] of the new snapshot (spec-pinned).
+    *
+    * Scale shape: the changed/removed id set is delta-sized and
+    * BROADCASTS into an anti-join that filters the standing postings —
+    * the lake-sized posting log streams, never shuffles; df stats
+    * recompute from the refreshed postings' slim rows (one keyed count),
+    * and the corpus scalars re-derive from the refreshed doc-digest
+    * table — lake text is read only for the changed/added docs. */
+  def refreshIndexM(
+      corpus: DataFrame, idCol: String, textCol: String, root: String): Long = {
+    val spark = corpus.sparkSession
+    val snap = IndexManifest.snapshot(spark, root)
+    val oldDocs = IndexManifest.readAt(spark, root, snap, DocsTable)
+    val cur = docDigests(corpus, idCol, textCol).localCheckpoint()
+    // docs whose stored (id, digest) no longer matches the snapshot —
+    // changed or removed; their postings must go
+    val stale = oldDocs
+      .join(cur.select("doc_id", "tdig"), Seq("doc_id", "tdig"), "left_anti")
+      .select("doc_id")
+    // docs the snapshot has that the index doesn't — changed or added;
+    // their text gets tokenized (the only corpus-text work in a refresh)
+    val freshIds = cur
+      .join(oldDocs.select("doc_id", "tdig"), Seq("doc_id", "tdig"), "left_anti")
+      .select("doc_id")
+    val freshSrc = corpus.join(
+      freshIds.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+    val retained = IndexManifest.readAt(spark, root, snap, PostingsTable)
+      .join(broadcast(stale), Seq("doc_id"), "left_anti")
+    val pSeg = IndexManifest.newSegment(PostingsTable)
+    writePostings(retained.unionByName(postings(freshSrc, idCol, textCol)),
+      s"$root/$pSeg")
+    val sSeg = IndexManifest.newSegment(StatsTable)
+    writeStatsFromPostings(spark, s"$root/$pSeg", s"$root/$sSeg")
+    val dSeg = IndexManifest.newSegment(DocsTable)
+    cur.write.mode(SaveMode.Overwrite).parquet(s"$root/$dSeg")
+    val cSeg = IndexManifest.newSegment(CorpusTable)
+    spark.read.parquet(s"$root/$dSeg")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("sum_dl"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/$cSeg")
+    IndexManifest.commit(spark, root,
+      snap.tables
+        .updated(PostingsTable, Seq(pSeg))
+        .updated(StatsTable, Seq(sSeg))
+        .updated(CorpusTable, Seq(cSeg))
+        .updated(DocsTable, Seq(dSeg)),
       expect = Some(snap.version))
   }
 

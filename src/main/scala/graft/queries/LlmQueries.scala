@@ -1300,6 +1300,31 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // BM25 index REFRESH — maintenance under corpus UPDATES and
+    // REMOVALS, which append-only segments cannot express: yesterday's
+    // index holds postings for re-crawled docs (ids ≡ 0 mod 5, stale
+    // prefix), is missing later arrivals (ids ≡ 1 mod 7), and still
+    // carries retired rows; one refresh diffs the stored per-doc digests
+    // against today's corpus, keeps unchanged docs' postings VERBATIM
+    // (no re-tokenize), re-posts only the changed/added docs, drops the
+    // retired ids, and swaps the whole quadruple atomically. The
+    // refreshed index ≡ a from-scratch build of today's corpus, so the
+    // probe shares the inline oracle bit-for-bit.
+    "text_bm25_refreshed" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val stale = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(lit("stale "), col("text")))
+      val retired = docs.filter(col("doc_id") % 9 === 3)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      val old = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 1)
+        .unionByName(stale).unionByName(retired)
+      val root = freshIndexRoot("bm25ref", dir)
+      Retrieval.buildIndexM(old, "doc_id", "text", root)
+      Retrieval.refreshIndexM(docs, "doc_id", "text", root)
+      Retrieval.bm25ProbeM(s, root, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
     // Hard-negative mining for contrastive training pairs: anchor docs
     // (fixed ids, present at every SF) become queries over their own
     // distinct terms; the corpus is BM25-ranked and the anchor excluded —
@@ -3142,6 +3167,8 @@ object LlmQueries {
       // compaction is probe-preserving by contract, so the compacted
       // probe replays the same inline oracle
       ("text_bm25_compacted" -> baseOracles("text_bm25_topk")) +
+      // refresh converges the index to today's corpus — same inline oracle
+      ("text_bm25_refreshed" -> baseOracles("text_bm25_topk")) +
       // the manifest-served PQ index converges to the from-scratch
       // encode of the full corpus — the append oracle replayed
       ("sim_pq_index_served" -> baseOracles("sim_pq_index_append"))

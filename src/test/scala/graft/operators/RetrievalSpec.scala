@@ -92,6 +92,52 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSet == Set(2L, 4L))
   }
 
+  test("refreshIndexM ≡ from-scratch build of the new snapshot (update/add/remove)") {
+    import spark.implicits._
+    val qs = Seq(0 -> "spark window agg", 1 -> "hash join")
+    val old = corpus.filter(col("doc_id") =!= 3) // doc 3 arrives later
+      .unionByName(Seq((9L, "retired document about nothing")).toDF("doc_id", "text"))
+      .withColumn("text", // doc 0 re-crawled with different content
+        when(col("doc_id") === 0, lit("totally different now")).otherwise(col("text")))
+    val root = tmp(s"bm25_refresh_${java.util.UUID.randomUUID().toString.take(8)}")
+    Retrieval.buildIndexM(old, "doc_id", "text", root)
+    Retrieval.refreshIndexM(corpus, "doc_id", "text", root)
+    val refreshed = Retrieval.bm25ProbeM(spark, root, qs, 10).collect().toSet
+    val scratch = tmp(s"bm25_scratch_${java.util.UUID.randomUUID().toString.take(8)}")
+    Retrieval.buildIndexM(corpus, "doc_id", "text", scratch)
+    assert(refreshed == Retrieval.bm25ProbeM(spark, scratch, qs, 10).collect().toSet)
+    assert(refreshed.nonEmpty)
+    // retired doc gone from the refreshed postings
+    assert(graft.index.IndexManifest.read(spark, root, "postings")
+      .filter(col("doc_id") === 9).isEmpty)
+  }
+
+  test("refreshIndexM keeps unchanged docs' postings VERBATIM (no re-tokenize)") {
+    import spark.implicits._
+    val root = tmp(s"bm25_poison_${java.util.UUID.randomUUID().toString.take(8)}")
+    Retrieval.buildIndexM(corpus, "doc_id", "text", root)
+    // poison doc 1's stored postings via a legal manifest swap: if the
+    // refresh re-derived unchanged docs from text, the poison would wash
+    // out; it surviving proves the rows were retained, not recomputed
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val seg = graft.index.IndexManifest.newSegment("postings")
+    graft.index.IndexManifest.readAt(spark, root, snap, "postings")
+      .withColumn("tf",
+        when(col("doc_id") === 1, col("tf") + 100).otherwise(col("tf")))
+      .write.parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated("postings", Seq(seg)), expect = Some(snap.version))
+    // refresh against a snapshot where only doc 0 changed
+    val cur = corpus.withColumn("text",
+      when(col("doc_id") === 0, lit("rewritten body")).otherwise(col("text")))
+    Retrieval.refreshIndexM(cur, "doc_id", "text", root)
+    val after = graft.index.IndexManifest.read(spark, root, "postings")
+    assert(after.filter(col("doc_id") === 1 && col("tf") >= 100).count() > 0,
+      "unchanged doc's postings were re-derived instead of retained")
+    assert(after.filter(col("doc_id") === 0 && col("term") === "rewritten").count() == 1,
+      "changed doc must re-post from its new text")
+  }
+
   test("a >1k-term batch routes through the broadcast semi-join, result-identical to isin") {
     // a hard-negative-style batch: 1200 distinct terms (mostly unseen),
     // well past the default isin cap — the inline-literal path would
