@@ -177,15 +177,22 @@ object IndexManifest {
       s"could not commit a manifest under $root after $attempt attempts")
   }
 
-  /** Garbage-collect everything the CURRENT manifest does not reference:
-    * superseded manifests and orphaned segment directories (from compacted
-    * versions or crashed writers). Runs only after in-flight pinned
-    * readers drain — a snapshot resolved before vacuum may list deleted
-    * segments. Returns the number of paths removed. */
-  def vacuum(spark: SparkSession, root: String): Int = {
+  /** Garbage-collect manifests and segment directories that no RETAINED
+    * version references — superseded segments from compacted versions and
+    * crashed writers' orphans. `keepFrom` is the oldest version to
+    * retain (default: current only); a deployment that has published
+    * releases pinned to version v passes `keepFrom = v`, and every
+    * retained version stays fully re-resolvable ([[snapshotAt]]) after
+    * the vacuum — the time-travel contract. Runs only after in-flight
+    * UNpinned readers drain — a snapshot resolved before vacuum against
+    * a version below `keepFrom` may list deleted segments. Returns the
+    * number of paths removed. */
+  def vacuum(spark: SparkSession, root: String, keepFrom: Long = -1L): Int = {
     val fs = fsFor(spark, root)
-    val snap = snapshot(spark, root)
-    val live = snap.tables.values.flatten.toSet
+    val cur = snapshot(spark, root).version
+    val oldest = if (keepFrom < 0) cur else math.min(keepFrom, cur)
+    val live = (oldest to cur)
+      .flatMap(v => snapshotAt(spark, root, v).tables.values.flatten).toSet
     var removed = 0
     val segRoot = new Path(root, "seg")
     if (fs.exists(segRoot)) {
@@ -194,7 +201,7 @@ object IndexManifest {
         if (!live.contains(rel)) { fs.delete(seg.getPath, true); removed += 1 }
       }
     }
-    for (v <- listVersions(fs, root); if v < snap.version) {
+    for (v <- listVersions(fs, root); if v < oldest) {
       fs.delete(manifestPath(root, v), false); removed += 1
     }
     removed

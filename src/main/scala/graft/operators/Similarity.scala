@@ -704,6 +704,22 @@ object Similarity {
       expect = Some(snap.version))
   }
 
+  /** Compact the appended codes table back to one segment — appends
+    * accumulate one parquet segment per delta (each id unique by the
+    * append's anti-join, so this is a pure re-layout, not a fold): one
+    * rewrite of the slim (id, vdig, codes) rows, swapped atomically.
+    * Read-amplification dial, not a correctness event. */
+  def compactPqIndexM(
+      spark: org.apache.spark.sql.SparkSession, root: String): Long = {
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val cSeg = graft.index.IndexManifest.newSegment(PqCodesTable)
+    graft.index.IndexManifest.readAt(spark, root, snap, PqCodesTable)
+      .write.mode("overwrite").parquet(s"$root/$cSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(PqCodesTable, Seq(cSeg)),
+      expect = Some(snap.version))
+  }
+
   /** [[pqIndexRefresh]] as an atomic pointer swap: unchanged (id,
     * fingerprint) rows keep their stored codes, changed/added rows
     * re-encode with the stored codebook, removed ids drop out — and the

@@ -259,6 +259,11 @@ class IndexConcurrencySpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(probe() == want)
 
+    // compact: appended segments fold to one, probe bit-identical
+    Similarity.compactPqIndexM(spark, root)
+    assert(IndexManifest.snapshot(spark, root).tables("codes").size == 1)
+    assert(probe() == want, "PQ probe-after-compact diverged")
+
     // refresh against an updated snapshot: one swap commit, result ≡
     // from-scratch over the new corpus; retired ids drop out
     val updated = emb.filter(col("vec_id") =!= 3 && col("vec_id") =!= 4)

@@ -132,6 +132,36 @@ class IndexManifestSpec extends SparkSpec {
     assert(IndexManifest.read(spark, root, "t").count() == 2)
   }
 
+  test("vacuum with keepFrom retains pinned versions fully re-resolvable") {
+    val root = freshRoot("retain")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg1")
+    val v1 = IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)))
+    // two compact-style swaps on top of the pinned release version
+    val seg2 = IndexManifest.newSegment("t")
+    rows(1L -> "a", 2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg2)), expect = Some(1L))
+    val seg3 = IndexManifest.newSegment("t")
+    rows(3L -> "c").write.parquet(s"$root/$seg3")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg3)), expect = Some(2L))
+
+    // retain the pinned release (v1) and everything after it
+    IndexManifest.vacuum(spark, root, keepFrom = v1)
+    assert(new java.io.File(s"$root/$seg1").exists, "pinned segment reclaimed")
+    val pinned = IndexManifest.snapshotAt(spark, root, v1)
+    assert(IndexManifest.readAt(spark, root, pinned, "t")
+      .select("id").as[Long].collect().toSet == Set(1L))
+    assert(IndexManifest.read(spark, root, "t")
+      .select("id").as[Long].collect().toSet == Set(3L))
+
+    // dropping the retention then reclaims v1/v2's segments
+    val removed = IndexManifest.vacuum(spark, root)
+    assert(removed >= 2)
+    assert(!new java.io.File(s"$root/$seg1").exists)
+    assert(IndexManifest.read(spark, root, "t")
+      .select("id").as[Long].collect().toSet == Set(3L))
+  }
+
   test("threaded: probes racing a live appender always resolve a committed prefix") {
     // invariant under test: version v's committed table is EXACTLY the
     // ids 1..v, so any reader that ever observes a set that is not a
