@@ -1337,6 +1337,18 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // The streaming leg of hard-negative mining: arriving anchors get
+    // their negatives from the persisted inverted index the moment they
+    // land — stateless in-stream query-term explode, stream-static
+    // probe of one manifest snapshot, bounded per-pair fold state, and
+    // the self-excluded ranking on the result-sized frame after the
+    // stream drains. Shares the batch operator's oracle bit-for-bit.
+    "stream_bm25_negatives" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingBm25Negatives(s, dir, Bm25Anchors, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
     // Multimodal metadata scan: binary payload + typed metadata, no decode.
     // Repetition signals (the Gopher/RefinedWeb-class quality filter):
     // duplicate-token ratio and the most-frequent-bigram fraction. Pure
@@ -3169,6 +3181,9 @@ object LlmQueries {
       ("text_bm25_compacted" -> baseOracles("text_bm25_topk")) +
       // refresh converges the index to today's corpus — same inline oracle
       ("text_bm25_refreshed" -> baseOracles("text_bm25_topk")) +
+      // the ingest-time negatives stream is batch-equivalent by
+      // construction — same anchors, same index, same scoring grid
+      ("stream_bm25_negatives" -> baseOracles("text_bm25_negatives")) +
       // the manifest-served PQ index converges to the from-scratch
       // encode of the full corpus — the append oracle replayed
       ("sim_pq_index_served" -> baseOracles("sim_pq_index_append"))

@@ -379,6 +379,71 @@ object StreamPipeline {
     }
   }
 
+  /** Hard-negative mining AT INGEST — the streaming leg of the BM25
+    * retrieval family: every arriving anchor document's distinct terms
+    * become its query IN the stream (one stateless explode, no state
+    * store), stream-static joined against the persisted inverted index
+    * (postings + merged df stats resolved from ONE manifest snapshot at
+    * query start), per-(anchor, doc) BM25 contributions summed as a
+    * streaming aggregation whose state is one decimal row per candidate
+    * pair (bounded by the anchors' posting lists, not the corpus), and
+    * the self-excluded top-k ranked AFTER the stream completes on the
+    * result-sized frame — so a contrastive-training pipeline gets each
+    * arriving positive's hard negatives the moment it lands, without a
+    * corpus scan per arrival. Batch-equivalent to
+    * [[graft.operators.Retrieval.hardNegatives]] (shared oracle). */
+  def streamingBm25Negatives(
+      spark: SparkSession, dir: String,
+      anchorIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = Files.createTempDirectory("graft_bm25idx_stream").toString
+    graft.operators.Retrieval.buildIndexM(
+      graft.Tables.load(spark, dir, "documents"), "doc_id", "text", root)
+    try {
+      val snap = graft.index.IndexManifest.snapshot(spark, root)
+      val posts = graft.index.IndexManifest.readAt(spark, root, snap, "postings")
+      val dfStats = graft.index.IndexManifest.readAt(spark, root, snap, "stats")
+        .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+      val c = graft.index.IndexManifest.readAt(spark, root, snap, "corpus")
+        .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head
+      val (n, sumDl) = (c.getLong(0), c.getLong(1))
+      val avgdl = sumDl.toDouble / n
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id").isin(anchorIds: _*))
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+        .filter(col("term") =!= "")
+      // the bit-stable scoring grid of Retrieval.bm25Scored: per-term
+      // contribution rounded to 1e-6, summed in DECIMAL(38,10)
+      val idf = log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val K1 = graft.operators.Retrieval.K1
+      val B = graft.operators.Retrieval.B
+      val tfn = (col("tf") * lit(K1 + 1.0)) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / lit(avgdl))))
+      val folded = arrivals
+        .join(posts, Seq("term"))
+        .join(dfStats, Seq("term"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          round(idf * tfn, 6).cast("decimal(38,10)").as("w"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("w")).as("wsum"))
+      val scored = runToMemory(folded, "complete", "graft_sbm25")
+        .select(col("query_id"), col("doc_id"),
+          round(col("wsum").cast("double"), 6).as("score"))
+      graft.operators.Retrieval.rankTopK(scored, k)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Serve the ingest dedup from an already-persisted index table. */
   def streamingSemanticDedupWithIndex(
       spark: SparkSession, dir: String, indexPath: String): DataFrame =
