@@ -191,7 +191,9 @@ object IndexManifest {
     val fs = fsFor(spark, root)
     val cur = snapshot(spark, root).version
     val oldest = if (keepFrom < 0) cur else math.min(keepFrom, cur)
-    val live = (oldest to cur)
+    // resolve only versions whose manifest still exists — a keepFrom
+    // below an earlier vacuum's boundary must not chase deleted files
+    val live = listVersions(fs, root).filter(_ >= oldest)
       .flatMap(v => snapshotAt(spark, root, v).tables.values.flatten).toSet
     var removed = 0
     val segRoot = new Path(root, "seg")

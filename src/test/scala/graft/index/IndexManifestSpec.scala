@@ -160,6 +160,11 @@ class IndexManifestSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/$seg1").exists)
     assert(IndexManifest.read(spark, root, "t")
       .select("id").as[Long].collect().toSet == Set(3L))
+    // a keepFrom below the earlier vacuum's boundary must not chase the
+    // already-deleted manifests — it degrades to what still exists
+    assert(IndexManifest.vacuum(spark, root, keepFrom = v1) == 0)
+    assert(IndexManifest.read(spark, root, "t")
+      .select("id").as[Long].collect().toSet == Set(3L))
   }
 
   test("threaded: probes racing a live appender always resolve a committed prefix") {
