@@ -206,6 +206,37 @@ object IndexManifest {
     for (v <- listVersions(fs, root); if v < oldest) {
       fs.delete(manifestPath(root, v), false); removed += 1
     }
+    // a writer that crashed between staging its manifest body and the
+    // rename leaves a hidden .tmp file — never visible to readers
+    // (listVersions filters on m-*.txt), but garbage worth collecting
+    val mdir = new Path(root, ManifestDir)
+    if (fs.exists(mdir)) {
+      for (f <- fs.listStatus(mdir); if f.getPath.getName.startsWith(".tmp-")) {
+        fs.delete(f.getPath, false); removed += 1
+      }
+    }
     removed
+  }
+
+  /** Ops view of an index root: one row per (version, table, segment)
+    * across every still-resolvable version, with the segment's file
+    * count and bytes — what a maintenance dashboard reads to decide
+    * compaction/vacuum cadence. Driver-side metadata only (manifest +
+    * file listings), no Spark jobs. */
+  def describe(spark: SparkSession, root: String): DataFrame = {
+    val fs = fsFor(spark, root)
+    val rows = for {
+      v <- listVersions(fs, root).sorted
+      snap = snapshotAt(spark, root, v)
+      (table, segs) <- snap.tables.toSeq.sortBy(_._1)
+      seg <- segs
+    } yield {
+      val p = new Path(root, seg)
+      val files =
+        if (fs.exists(p)) fs.listStatus(p).filter(_.isFile).toSeq else Seq.empty
+      (v, table, seg, files.size, files.map(_.getLen).sum)
+    }
+    import spark.implicits._
+    rows.toDF("version", "table", "segment", "n_files", "bytes")
   }
 }

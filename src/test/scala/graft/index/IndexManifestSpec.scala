@@ -211,6 +211,29 @@ class IndexManifestSpec extends SparkSpec {
     assert(IndexManifest.currentVersion(spark, root) == targetV)
   }
 
+  test("describe lists every resolvable version's segments with file stats") {
+    val root = freshRoot("describe")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg1")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)))
+    val seg2 = IndexManifest.newSegment("u")
+    rows(2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root,
+      Map("t" -> Seq(seg1), "u" -> Seq(seg2)), expect = Some(1L))
+    val d = IndexManifest.describe(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getLong(4)))
+    assert(d.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, "t"), (2L, "t"), (2L, "u")))
+    assert(d.forall { case (_, _, nFiles, bytes) => nFiles > 0 && bytes > 0 })
+    // vacuum reclaims a crashed writer's hidden .tmp manifest too
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.tmp-crashed")
+    val out = fs.create(tmp, true); out.write("junk".getBytes); out.close()
+    IndexManifest.vacuum(spark, root)
+    assert(!fs.exists(tmp), "stale .tmp manifest survived vacuum")
+  }
+
   test("missing table and uninitialized root fail loudly") {
     val root = freshRoot("missing")
     intercept[IllegalArgumentException] { IndexManifest.snapshot(spark, root) }
