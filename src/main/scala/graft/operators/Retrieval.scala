@@ -88,7 +88,7 @@ object Retrieval {
   def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
     val r = docs.agg(
       count(lit(1)).cast("long"),
-      coalesce(sum(size(split(col(textCol), " "))), lit(0L)).cast("long")).head
+      coalesce(sum(size(split(col(textCol), " "))), lit(0L)).cast("long")).head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -271,14 +271,20 @@ object Retrieval {
         spark.read.parquet(s"$path/postings")
           .select(col("doc_id").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
-    postings(src, idCol, textCol)
-      .repartition(col("term"),
-        pmod(hash(col("doc_id")), lit(PostingsSaltBuckets)))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode(SaveMode.Append).parquet(s"$path/postings")
-    postings(src, idCol, textCol)
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode(SaveMode.Append).parquet(s"$path/stats")
+    // the delta's postings feed both the postings append and its df
+    // segment — persist across the two writes instead of re-running the
+    // tokenize lineage (append mode shares the postings dir with the
+    // lake, so the write-then-reread trick the build uses doesn't apply)
+    val posts = postings(src, idCol, textCol).persist()
+    try {
+      posts
+        .repartition(col("term"),
+          pmod(hash(col("doc_id")), lit(PostingsSaltBuckets)))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode(SaveMode.Append).parquet(s"$path/postings")
+      posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode(SaveMode.Append).parquet(s"$path/stats")
+    } finally posts.unpersist()
     val (n, sumDl) = corpusStats(src, textCol)
     import spark.implicits._
     Seq((n, sumDl)).toDF("n_docs", "sum_dl")
@@ -296,7 +302,7 @@ object Retrieval {
     val dfStats = termFilter(stats, qt, terms)
       .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
     val c = corpus
-      .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head
+      .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head()
     bm25Rank(cand, dfStats, qt, c.getLong(0), c.getLong(1), k)
   }
 

@@ -405,7 +405,7 @@ object StreamPipeline {
       val dfStats = graft.index.IndexManifest.readAt(spark, root, snap, "stats")
         .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
       val c = graft.index.IndexManifest.readAt(spark, root, snap, "corpus")
-        .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head
+        .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head()
       val (n, sumDl) = (c.getLong(0), c.getLong(1))
       val avgdl = sumDl.toDouble / n
       val arrivals = spark.readStream
