@@ -567,18 +567,42 @@ object Similarity {
   private def pqSearchWithRef(
       queries: DataFrame, codes: DataFrame, ref: graft.functions.PqCodebookRef,
       idCol: String, vecCol: String, k: Int, codesIdCol: String = "id"): DataFrame = {
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-    val c = codes.select(col(codesIdCol).as("neighbor_id"), col("codes"))
-    val lut = queries.select(col(idCol).as("query_id"),
-      kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
-    val scored = broadcast(lut).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(ref.k)), 6))
+    val scored = pqAdcScoredRef(queries, codes, ref, idCol, vecCol, codesIdCol)
     TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)))
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  private def pqAdcScoredRef(
+      queries: DataFrame, codes: DataFrame, ref: graft.functions.PqCodebookRef,
+      idCol: String, vecCol: String, codesIdCol: String,
+      hintBroadcastQueries: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val c = codes.select(col(codesIdCol).as("neighbor_id"), col("codes"))
+    val lut0 = queries.select(col(idCol).as("query_id"),
+      kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
+    val lut = if (hintBroadcastQueries) broadcast(lut0) else lut0
+    lut.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(ref.k)), 6))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+  }
+
+  /** The ADC-scored (query, neighbor, score) frame without the ranking
+    * tail — the streaming ingest probe's building block: the query side
+    * may be a STREAMING frame (the LUT kernel is a stateless projection;
+    * no broadcast hint is planted on it), the codes side is the static
+    * manifest snapshot. */
+  def pqAdcScored(
+      queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int,
+      hintBroadcastQueries: Boolean = true): DataFrame = {
+    val codesId = if (codes.columns.contains(idCol)) idCol else "id"
+    pqAdcScoredRef(queries, codes,
+      graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub),
+      idCol, vecCol, codesId, hintBroadcastQueries)
   }
 
   /** Incremental PQ index maintenance: encode ONLY the vectors not yet in

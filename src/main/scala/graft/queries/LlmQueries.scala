@@ -1337,6 +1337,19 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ANN at ingest: arriving query vectors ranked against the committed
+    // PQ code table — the embedding leg of the streaming probe family.
+    // LUT build is a stateless in-stream kernel projection; each
+    // micro-batch reduces its own queries to exact top-k via the
+    // bounded-heap node inside foreachBatch (a query is one stream row,
+    // so per-batch top-k is global); only queries×k winners leave a
+    // batch. Shares the flat-PQ search oracle.
+    "stream_ann_pq_probe" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingPqProbe(s, dir, k = 5, m = 4, dsub = 16)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // The streaming leg of hard-negative mining: arriving anchors get
     // their negatives from the persisted inverted index the moment they
     // land — stateless in-stream query-term explode, stream-static
@@ -3184,6 +3197,9 @@ object LlmQueries {
       // the ingest-time negatives stream is batch-equivalent by
       // construction — same anchors, same index, same scoring grid
       ("stream_bm25_negatives" -> baseOracles("text_bm25_negatives")) +
+      // the ingest-time ANN probe replays the flat-PQ search oracle:
+      // same codebook sample, same full-corpus codes, same ADC grid
+      ("stream_ann_pq_probe" -> baseOracles("sim_pq_index_append")) +
       // the manifest-served PQ index converges to the from-scratch
       // encode of the full corpus — the append oracle replayed
       ("sim_pq_index_served" -> baseOracles("sim_pq_index_append"))

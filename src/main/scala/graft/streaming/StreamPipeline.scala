@@ -444,6 +444,64 @@ object StreamPipeline {
     }
   }
 
+  /** Schema of the embeddings parquet table. */
+  val EmbeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** ANN AT INGEST over the persisted PQ index — the embedding leg of
+    * the streaming probe family (span = exact substrings, semantic =
+    * hash-embed LSH, BM25 = lexical; this one ranks arriving vectors
+    * against the committed code table): each arriving query vector
+    * becomes its ADC lookup table IN the stream (one stateless kernel
+    * projection), stream-static joins the manifest snapshot's m-int
+    * code rows, and each micro-batch reduces its own queries to exact
+    * top-k through the bounded-heap [[graft.operators.TopK.perKey]]
+    * node inside `foreachBatch` — a query vector is one stream row, so
+    * per-batch top-k IS its global top-k, and only queries×k winner
+    * rows ever leave a micro-batch. Batch-equivalent to
+    * [[graft.operators.Similarity.pqSearchEncoded]] over the same
+    * index (shared oracle). */
+  def streamingPqProbe(
+      spark: SparkSession, dir: String, k: Int, m: Int, dsub: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val cb = graft.operators.Similarity.pqCodebook(
+      emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", m, dsub)
+    val root = Files.createTempDirectory("graft_pqidx_stream").toString
+    graft.operators.Similarity.buildPqIndexM(
+      emb, cb, "vec_id", "embedding", m, dsub, root)
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val codes = graft.index.IndexManifest.readAt(spark, root, snap, "codes")
+    val cbStored = graft.index.IndexManifest.readAt(spark, root, snap, "codebook")
+    val arrivals = spark.readStream
+      .schema(EmbeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .filter(col("vec_id") < 10)
+    val scored = graft.operators.Similarity.pqAdcScored(
+      arrivals, codes, cbStored, "vec_id", "embedding", m, dsub,
+      hintBroadcastQueries = false)
+    val outDir = Files.createTempDirectory("graft_spq_out").toString
+    val q = scored.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TopK.perKey(batch.toDF(), Seq("query_id"),
+            Seq(col("score").desc, col("neighbor_id").asc), k)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_spq_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Serve the ingest dedup from an already-persisted index table. */
   def streamingSemanticDedupWithIndex(
       spark: SparkSession, dir: String, indexPath: String): DataFrame =
