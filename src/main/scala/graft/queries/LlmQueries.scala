@@ -1337,6 +1337,19 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Near-dup screening at ingest with the real MinHash-LSH modality:
+    // the lake summarized once into the committed LSH index, every
+    // micro-batch running the full indexed cross-corpus probe over just
+    // its arrivals in foreachBatch. Cross pairs are per-arrival
+    // independent, so the per-batch union is the whole delta's pair set
+    // — the inline operator's oracle replays bit-for-bit.
+    "stream_crosscorpus_dedup" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingCrossCorpusDedup(s, dir,
+          ShingleN, MinhashK, LshBands, CrossMaxBucket)
+        .orderBy("id_new", "id_base")
+    },
+
     // ANN at ingest: arriving query vectors ranked against the committed
     // PQ code table — the embedding leg of the streaming probe family.
     // LUT build is a stateless in-stream kernel projection; each
@@ -3200,6 +3213,9 @@ object LlmQueries {
       // the ingest-time ANN probe replays the flat-PQ search oracle:
       // same codebook sample, same full-corpus codes, same ADC grid
       ("stream_ann_pq_probe" -> baseOracles("sim_pq_index_append")) +
+      // the ingest-time LSH screen replays the inline cross-corpus
+      // oracle: same lake split, same caps, per-batch union of pairs
+      ("stream_crosscorpus_dedup" -> baseOracles("dedup_cross_corpus")) +
       // the manifest-served PQ index converges to the from-scratch
       // encode of the full corpus — the append oracle replayed
       ("sim_pq_index_served" -> baseOracles("sim_pq_index_append"))

@@ -444,6 +444,52 @@ object StreamPipeline {
     }
   }
 
+  /** Near-dup screening AT INGEST with the real MinHash-LSH modality —
+    * the shingle-accurate sibling of [[streamingSemanticDedup]]'s
+    * hash-embed cosine leg: the standing lake is summarized ONCE into
+    * the manifest-committed LSH index (sigs + bands with stored
+    * `bucket_n`), and every micro-batch runs the full indexed
+    * cross-corpus probe over just its arrivals inside `foreachBatch` —
+    * shingle → MinHash signatures for the batch only, broadcast band
+    * probe against the streaming index scan, pushed bucket-cap skew
+    * cut. Cross-corpus pairs are per-arrival-doc independent (index
+    * candidates only, no delta-delta edges) and an arriving doc is one
+    * stream row, so the union of per-batch pair sets IS the whole
+    * delta's pair set — batch-equivalent by construction (shared
+    * oracle; spec-pinned). */
+  def streamingCrossCorpusDedup(
+      spark: SparkSession, dir: String,
+      shingleN: Int, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val root = Files.createTempDirectory("graft_lshidx_stream").toString
+    graft.operators.Dedup.buildLshIndexM(
+      graft.operators.Dedup.rawShingles(
+        docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", shingleN),
+      "doc_id", k, bands, root)
+    val (bandsDf, sigsDf) = graft.operators.Dedup.readLshIndexM(spark, root)
+    val arrivals = spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 2 === 0)
+    val outDir = Files.createTempDirectory("graft_slsh_out").toString
+    val q = arrivals.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.indexedCrossCorpusPairs(bandsDf, sigsDf,
+            graft.operators.Dedup.rawShingles(
+              batch.toDF(), "text", "doc_id", shingleN),
+            "doc_id", k, bands, maxBucket)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_slsh_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Schema of the embeddings parquet table. */
   val EmbeddingsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
