@@ -78,9 +78,12 @@ object Bench {
     }
     val canaryEnd = runOnce("q1_agg").getOrElse(0.0)
     val canaryRatio = if (canaryStart > 0) canaryEnd / canaryStart else 0.0
+    // an unmeasurable canary (either run failed) must NOT read as a
+    // clean artifact — that is precisely a sign of host distress
+    val contended = canaryRatio > 1.5 || canaryStart <= 0 || canaryEnd <= 0
     val canary =
       f""""canary":{"q1_start":$canaryStart%.3f,"q1_end":$canaryEnd%.3f,""" +
-        f""""ratio":$canaryRatio%.2f,"contended":${canaryRatio > 1.5}}"""
+        f""""ratio":$canaryRatio%.2f,"contended":$contended}"""
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, ts, _) =>

@@ -140,11 +140,27 @@ object IndexManifest {
   def read(spark: SparkSession, root: String, table: String): DataFrame =
     readAt(spark, root, snapshot(spark, root), table)
 
+  private def lockPath(root: String, version: Long): Path =
+    new Path(new Path(root, ManifestDir), f"m-$version%09d.txt.lock")
+
   /** Publish a new version whose live segment set is exactly `tables`.
     * With `expect = Some(v)` the commit only succeeds if v is still the
     * current version (optimistic concurrency for read-modify-write
     * lifecycles); `None` retries onto the next free version (fresh
-    * builds). Returns the committed version. */
+    * builds). Returns the committed version.
+    *
+    * Version claim is an EXCLUSIVE create of a `.lock` file
+    * (`fs.create(overwrite = false)` — atomic on HDFS and POSIX alike),
+    * not a bare rename: Hadoop's local-filesystem rename delegates to
+    * POSIX rename(2), which silently REPLACES an existing destination,
+    * so check-then-rename would let two racing committers both "win"
+    * one version and lose a manifest. Only the lock winner writes
+    * `m-<v>.txt` (staged to a temp file, renamed into place so readers
+    * never see a partial body); losers re-resolve and either retry the
+    * next version or fail the expect guard. A writer that crashes
+    * after claiming leaves an orphan lock — later commits skip past it
+    * (version gaps are fine everywhere: readers and history iterate
+    * `listVersions`), and [[vacuum]] reclaims it. */
   def commit(
       spark: SparkSession, root: String,
       tables: Map[String, Seq[String]],
@@ -157,6 +173,7 @@ object IndexManifest {
       body.append(t).append('\t').append(s).append('\n')
     val bytes = body.toString.getBytes(StandardCharsets.UTF_8)
     var attempt = 0
+    var candidate = 0L
     while (attempt < 64) {
       val cur = currentVersion(spark, root)
       expect.foreach { e =>
@@ -164,13 +181,36 @@ object IndexManifest {
           s"index at $root is at v$cur, not the expected v$e: a concurrent " +
             "writer committed first; recompute against the current snapshot")
       }
-      val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      val dst = manifestPath(root, cur + 1)
-      if (!fs.exists(dst) && fs.rename(tmp, dst)) return cur + 1
-      // lost the race for this version number: clean up and re-resolve
-      fs.delete(tmp, false)
+      candidate = math.max(cur + 1, candidate + 1)
+      val claimed =
+        try { fs.create(lockPath(root, candidate), false).close(); true }
+        catch { case _: java.io.IOException => false }
+      // an expect-guarded writer may NOT skip past a contended version:
+      // the lock holder is publishing v(cur+1) derived from the same
+      // snapshot, and landing our delta at cur+2 would silently drop
+      // theirs — the exact lost update the guard exists to prevent. (A
+      // crashed claimant's orphan lock also lands here: conservative —
+      // vacuum reclaims stale locks and unblocks the lifecycle.)
+      if (!claimed && expect.isDefined)
+        throw new java.util.ConcurrentModificationException(
+          s"index at $root has a concurrent commit in flight for " +
+            s"v$candidate; recompute against the snapshot it publishes " +
+            "(or vacuum if this is a crashed writer's stale lock)")
+      if (claimed) {
+        val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        val dst = manifestPath(root, candidate)
+        // we own this version (lock held), so the rename cannot race
+        // another writer; overwrite-on-rename is harmless here
+        if (!fs.rename(tmp, dst)) {
+          fs.delete(tmp, false)
+          fs.delete(lockPath(root, candidate), false)
+          throw new IllegalStateException(s"rename to $dst failed")
+        }
+        fs.delete(lockPath(root, candidate), false)
+        return candidate
+      }
       attempt += 1
     }
     throw new IllegalStateException(
@@ -178,41 +218,73 @@ object IndexManifest {
   }
 
   /** Garbage-collect manifests and segment directories that no RETAINED
-    * version references — superseded segments from compacted versions and
-    * crashed writers' orphans. `keepFrom` is the oldest version to
-    * retain (default: current only); a deployment that has published
-    * releases pinned to version v passes `keepFrom = v`, and every
-    * retained version stays fully re-resolvable ([[snapshotAt]]) after
-    * the vacuum — the time-travel contract. Runs only after in-flight
+    * version references. `keepFrom` is the oldest version to retain
+    * (default: current only); a deployment that has published releases
+    * pinned to version v passes `keepFrom = v`, and every retained
+    * version stays fully re-resolvable ([[snapshotAt]]) after the
+    * vacuum — the time-travel contract. Runs only after in-flight
     * UNpinned readers drain — a snapshot resolved before vacuum against
-    * a version below `keepFrom` may list deleted segments. Returns the
-    * number of paths removed. */
-  def vacuum(spark: SparkSession, root: String, keepFrom: Long = -1L): Int = {
+    * a version below `keepFrom` may list deleted segments.
+    *
+    * Two classes of garbage, treated differently so vacuum is safe to
+    * run WHILE writers are staging:
+    *  - SUPERSEDED segments (referenced by some still-existing manifest
+    *    but by no retained one) are dead by construction — deleted
+    *    immediately;
+    *  - NEVER-REFERENCED paths (staged segment dirs, hidden `.tmp-`
+    *    manifest bodies, claim locks above the current version) are
+    *    indistinguishable from a LIVE writer's in-flight work, so they
+    *    are deleted only when older than `orphanGraceMs` (default 20
+    *    minutes — far longer than any stage-to-commit window; pass 0
+    *    for the old collect-everything behavior when no writer can be
+    *    live, e.g. single-process tests). Claim locks at or below the
+    *    current version protect nothing and go immediately.
+    *
+    * Returns the number of paths removed. */
+  def vacuum(
+      spark: SparkSession, root: String, keepFrom: Long = -1L,
+      orphanGraceMs: Long = 20L * 60L * 1000L): Int = {
     val fs = fsFor(spark, root)
     val cur = snapshot(spark, root).version
     val oldest = if (keepFrom < 0) cur else math.min(keepFrom, cur)
     // resolve only versions whose manifest still exists — a keepFrom
     // below an earlier vacuum's boundary must not chase deleted files
-    val live = listVersions(fs, root).filter(_ >= oldest)
+    val versions = listVersions(fs, root)
+    val retained = versions.filter(_ >= oldest)
       .flatMap(v => snapshotAt(spark, root, v).tables.values.flatten).toSet
+    // everything ANY existing manifest references — used to tell a
+    // superseded segment (dead) from a staged one (possibly in flight)
+    val everCommitted = versions
+      .flatMap(v => snapshotAt(spark, root, v).tables.values.flatten).toSet
+    val cutoff = java.lang.System.currentTimeMillis() - orphanGraceMs
     var removed = 0
     val segRoot = new Path(root, "seg")
     if (fs.exists(segRoot)) {
       for (tdir <- fs.listStatus(segRoot); seg <- fs.listStatus(tdir.getPath)) {
         val rel = s"seg/${tdir.getPath.getName}/${seg.getPath.getName}"
-        if (!live.contains(rel)) { fs.delete(seg.getPath, true); removed += 1 }
+        if (!retained.contains(rel)) {
+          val dead = everCommitted.contains(rel) ||
+            seg.getModificationTime < cutoff
+          if (dead) { fs.delete(seg.getPath, true); removed += 1 }
+        }
       }
     }
-    for (v <- listVersions(fs, root); if v < oldest) {
+    for (v <- versions; if v < oldest) {
       fs.delete(manifestPath(root, v), false); removed += 1
     }
-    // a writer that crashed between staging its manifest body and the
-    // rename leaves a hidden .tmp file — never visible to readers
-    // (listVersions filters on m-*.txt), but garbage worth collecting
     val mdir = new Path(root, ManifestDir)
     if (fs.exists(mdir)) {
-      for (f <- fs.listStatus(mdir); if f.getPath.getName.startsWith(".tmp-")) {
-        fs.delete(f.getPath, false); removed += 1
+      for (f <- fs.listStatus(mdir)) {
+        val name = f.getPath.getName
+        val staleTmp = name.startsWith(".tmp-") && f.getModificationTime < cutoff
+        val lockV =
+          if (name.startsWith("m-") && name.endsWith(".txt.lock"))
+            scala.util.Try(
+              name.stripPrefix("m-").stripSuffix(".txt.lock").toLong).toOption
+          else None
+        val staleLock = lockV.exists(v =>
+          v <= cur || f.getModificationTime < cutoff)
+        if (staleTmp || staleLock) { fs.delete(f.getPath, false); removed += 1 }
       }
     }
     removed

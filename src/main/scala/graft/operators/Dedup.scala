@@ -627,16 +627,24 @@ object Dedup {
   def writeLshIndexDigested(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int, k: Int, bands: Int, path: String): Unit = {
     val spark = docs.sparkSession
-    val sh = rawShingles(docs, textCol, idCol, shingleN)
-    wideSigs(sh, idCol, k)
-      .select(col(idCol).as("id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
-      .join(docs.select(col(idCol).as("id"),
-        md5(coalesce(col(textCol), lit(""))).as("tdig")), Seq("id"))
-      .select(col("id"), col("tdig"), col("sig"))
+    digestedSigRows(docs, textCol, idCol, shingleN, k)
       .write.mode("overwrite").parquet(s"$path/sigs")
     writeBandsFromSigs(spark, path, k, bands)
   }
+
+  /** The digested (id, tdig, sig) rows — ONE definition shared by the
+    * bare and manifest digested builds, because [[refreshLshIndexM]]'s
+    * unchanged-doc detection compares stored digests against freshly
+    * computed ones: a divergent digest definition between build paths
+    * would silently re-sign every doc (or miss changes). */
+  private def digestedSigRows(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    sigRowsFromWide(
+        wideSigs(rawShingles(docs, textCol, idCol, shingleN), idCol, k),
+        idCol, k)
+      .join(docs.select(col(idCol).as("id"),
+        md5(coalesce(col(textCol), lit(""))).as("tdig")), Seq("id"))
+      .select(col("id"), col("tdig"), col("sig"))
 
   /** Rebuild `bands/` (with uniformly exact counts) from `$path/sigs` —
     * shared by the digested build and the refresh. */
@@ -725,12 +733,8 @@ object Dedup {
   def buildLshIndexDigestedM(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int, k: Int, bands: Int, root: String): Long = {
     val spark = docs.sparkSession
-    val sh = rawShingles(docs, textCol, idCol, shingleN)
     val sigSeg = graft.index.IndexManifest.newSegment(LshSigsTable)
-    sigRowsFromWide(wideSigs(sh, idCol, k), idCol, k)
-      .join(docs.select(col(idCol).as("id"),
-        md5(coalesce(col(textCol), lit(""))).as("tdig")), Seq("id"))
-      .select(col("id"), col("tdig"), col("sig"))
+    digestedSigRows(docs, textCol, idCol, shingleN, k)
       .write.mode("overwrite").parquet(s"$root/$sigSeg")
     val bandSeg = graft.index.IndexManifest.newSegment(LshBandsTable)
     bandsWithCounts(spark.read.parquet(s"$root/$sigSeg"), k, bands)

@@ -204,12 +204,14 @@ object Retrieval {
     * of pinning one hot task/file at build time. */
   val PostingsSaltBuckets = 16
 
-  private def writePostings(posts: DataFrame, dir: String): Unit =
+  private def writePostings(
+      posts: DataFrame, dir: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
     posts
       .repartition(col("term"),
         pmod(hash(col("doc_id")), lit(PostingsSaltBuckets)))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode(SaveMode.Overwrite).parquet(dir)
+      .write.mode(mode).parquet(dir)
 
   /** Derive the per-term df segment from ALREADY-WRITTEN postings files —
     * re-reading the slim persisted rows instead of re-executing the
@@ -277,11 +279,7 @@ object Retrieval {
     // lake, so the write-then-reread trick the build uses doesn't apply)
     val posts = postings(src, idCol, textCol).persist()
     try {
-      posts
-        .repartition(col("term"),
-          pmod(hash(col("doc_id")), lit(PostingsSaltBuckets)))
-        .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode(SaveMode.Append).parquet(s"$path/postings")
+      writePostings(posts, s"$path/postings", SaveMode.Append)
       posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .write.mode(SaveMode.Append).parquet(s"$path/stats")
     } finally posts.unpersist()
@@ -370,10 +368,12 @@ object Retrieval {
       dedupAgainstIndex: Boolean = false): Long = {
     val spark = delta.sparkSession
     val snap = IndexManifest.snapshot(spark, root)
+    // the slim per-doc digest table answers "which docs are indexed" in
+    // one row per doc — never scan the posting log for that
     val src =
       if (!dedupAgainstIndex) delta
       else delta.join(
-        IndexManifest.readAt(spark, root, snap, PostingsTable)
+        IndexManifest.readAt(spark, root, snap, DocsTable)
           .select(col("doc_id").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
     val pSeg = IndexManifest.newSegment(PostingsTable)

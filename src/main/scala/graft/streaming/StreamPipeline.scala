@@ -474,6 +474,7 @@ object StreamPipeline {
       .parquet(dir)
       .filter(col("doc_id") % 2 === 0)
     val outDir = Files.createTempDirectory("graft_slsh_out").toString
+    val ckptDir = Files.createTempDirectory("graft_slsh_ckpt").toString
     val q = arrivals.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.Dedup.indexedCrossCorpusPairs(bandsDf, sigsDf,
@@ -482,12 +483,24 @@ object StreamPipeline {
             "doc_id", k, bands, maxBucket)
           .write.mode("append").parquet(outDir)
       }
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_slsh_ckpt").toString)
+      .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // winners are pair-result-sized: materialize them off the scratch
+    // files (eager localCheckpoint), then reclaim every temp dir —
+    // repeated registry invocations must not accumulate /tmp copies
+    val out = spark.read.parquet(outDir).localCheckpoint(true)
+    Seq(root, outDir, ckptDir).foreach(rmTree)
+    out
+  }
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(x => java.nio.file.Files.deleteIfExists(x))
   }
 
   /** Schema of the embeddings parquet table. */
@@ -529,18 +542,22 @@ object StreamPipeline {
       arrivals, codes, cbStored, "vec_id", "embedding", m, dsub,
       hintBroadcastQueries = false)
     val outDir = Files.createTempDirectory("graft_spq_out").toString
+    val ckptDir = Files.createTempDirectory("graft_spq_ckpt").toString
     val q = scored.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.TopK.perKey(batch.toDF(), Seq("query_id"),
             Seq(col("score").desc, col("neighbor_id").asc), k)
           .write.mode("append").parquet(outDir)
       }
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_spq_ckpt").toString)
+      .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // winners are queries×k rows: materialize them off the scratch files
+    // (eager localCheckpoint), then reclaim every temp dir
+    val winners = spark.read.parquet(outDir).localCheckpoint(true)
+    Seq(root, outDir, ckptDir).foreach(rmTree)
+    winners
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))

@@ -98,6 +98,43 @@ class IndexManifestSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("a held claim lock blocks expect-guarded commits; blind commits skip past it") {
+    val root = freshRoot("lock")
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+    // a concurrent writer mid-commit: v2's claim lock held, manifest
+    // not yet published
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/m-000000002.txt.lock"), false).close()
+
+    // an expect-guarded writer must NOT skip to v3 — landing its delta
+    // above the in-flight commit would silently drop it
+    val seg2 = IndexManifest.newSegment("t")
+    rows(2L -> "b").write.parquet(s"$root/$seg2")
+    intercept[java.util.ConcurrentModificationException] {
+      IndexManifest.commit(spark, root, Map("t" -> Seq(seg, seg2)),
+        expect = Some(1L))
+    }
+    // a blind build-style commit is self-contained and may skip
+    val seg3 = IndexManifest.newSegment("t")
+    rows(3L -> "c").write.parquet(s"$root/$seg3")
+    assert(IndexManifest.commit(spark, root, Map("t" -> Seq(seg3))) == 3L)
+    // vacuum reclaims the stale lock (v2 <= current) and unblocks the
+    // expect-guarded lifecycle
+    IndexManifest.vacuum(spark, root, orphanGraceMs = 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/m-000000002.txt.lock")))
+    val seg4 = IndexManifest.newSegment("t")
+    rows(4L -> "d").write.parquet(s"$root/$seg4")
+    assert(IndexManifest.commit(spark, root, Map("t" -> Seq(seg3, seg4)),
+      expect = Some(3L)) == 4L)
+    assert(IndexManifest.read(spark, root, "t")
+      .select("id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
   test("unguarded commits serialize: both land, neither is lost or torn") {
     val root = freshRoot("blind")
     val seg = IndexManifest.newSegment("t")
@@ -125,7 +162,12 @@ class IndexManifestSpec extends SparkSpec {
     val orphan = IndexManifest.newSegment("t")
     rows(9L -> "junk").write.parquet(s"$root/$orphan")
 
-    val removed = IndexManifest.vacuum(spark, root)
+    // grace 0: this single-process test KNOWS no writer is in flight;
+    // the default grace would (correctly) spare the fresh orphan
+    val spared = IndexManifest.vacuum(spark, root)
+    assert(spared == 2, s"default grace must spare the fresh orphan, got $spared")
+    assert(new java.io.File(s"$root/$orphan").exists)
+    val removed = IndexManifest.vacuum(spark, root, orphanGraceMs = 0) + spared
     assert(removed == 3, s"expected old seg + orphan + old manifest, got $removed")
     assert(!new java.io.File(s"$root/$seg").exists)
     assert(!new java.io.File(s"$root/$orphan").exists)
@@ -230,7 +272,7 @@ class IndexManifestSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.tmp-crashed")
     val out = fs.create(tmp, true); out.write("junk".getBytes); out.close()
-    IndexManifest.vacuum(spark, root)
+    IndexManifest.vacuum(spark, root, orphanGraceMs = 0)
     assert(!fs.exists(tmp), "stale .tmp manifest survived vacuum")
   }
 
