@@ -80,7 +80,7 @@ object AsOf {
     require(clash.isEmpty, s"right payload columns collide with left: ${clash.mkString(",")}")
     val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
 
-    val rStruct = struct(col(tsCol).as("__rts") +: rightPayload.map(col): _*)
+    val rStruct = struct(col(tsCol).as("__rts") +: rightPayload.toSeq.map(col): _*)
     val rStructType = right0.select(rStruct.as("__r")).schema.head.dataType
     val l2 = left.select(
       keyCols.map(col) ++ Seq(col(tsCol)) ++ leftPayload.map(col) ++
