@@ -143,6 +143,22 @@ object IndexManifest {
   private def lockPath(root: String, version: Long): Path =
     new Path(new Path(root, ManifestDir), f"m-$version%09d.txt.lock")
 
+  /** Atomically claim a lock file — created EXCLUSIVELY or not at all.
+    * Hadoop's local `create(path, overwrite = false)` is check-then-
+    * create (no O_EXCL), so two in-process racers can both pass the
+    * exists check; on local filesystems the claim goes through NIO's
+    * `Files.createFile`, which maps to O_CREAT|O_EXCL. HDFS `create`
+    * is namespace-atomic already. */
+  private def claimLock(fs: FileSystem, p: Path): Boolean =
+    if (fs.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath)); true
+      } catch { case _: java.io.IOException => false }
+    else
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+
   /** Publish a new version whose live segment set is exactly `tables`.
     * With `expect = Some(v)` the commit only succeeds if v is still the
     * current version (optimistic concurrency for read-modify-write
@@ -182,9 +198,7 @@ object IndexManifest {
             "writer committed first; recompute against the current snapshot")
       }
       candidate = math.max(cur + 1, candidate + 1)
-      val claimed =
-        try { fs.create(lockPath(root, candidate), false).close(); true }
-        catch { case _: java.io.IOException => false }
+      val claimed = claimLock(fs, lockPath(root, candidate))
       // an expect-guarded writer may NOT skip past a contended version:
       // the lock holder is publishing v(cur+1) derived from the same
       // snapshot, and landing our delta at cur+2 would silently drop

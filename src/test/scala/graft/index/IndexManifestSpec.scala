@@ -209,6 +209,41 @@ class IndexManifestSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(3L))
   }
 
+  test("threaded: racing blind committers all land on distinct, fully-readable versions") {
+    // the lost-manifest scenario the lock-claim protocol exists to
+    // prevent: on POSIX, check-then-rename let two writers both "win"
+    // one version and silently drop a manifest. With the exclusive
+    // lock create, every committer must land on its own version and
+    // every returned version must re-resolve to that committer's exact
+    // table set.
+    val root = freshRoot("blindrace")
+    val seg0 = IndexManifest.newSegment("t")
+    rows(0L -> "base").write.parquet(s"$root/$seg0")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg0)))
+
+    val n = 6
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to n).map(i => new Thread(() => {
+      try {
+        val seg = IndexManifest.newSegment("t")
+        rows(i.toLong -> s"w$i").write.parquet(s"$root/$seg")
+        val v = IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+        val prev = results.putIfAbsent(v, seg)
+        if (prev != null) bad.add(s"version $v claimed twice")
+      } catch { case e: Throwable => bad.add(s"writer$i: $e") }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(bad.isEmpty, s"${bad.toArray.mkString("; ")}")
+    assert(results.size == n, s"expected $n distinct versions, got ${results.size}")
+    // every committed version re-resolves to exactly its writer's segment
+    results.forEach { (v, seg) =>
+      val snap = IndexManifest.snapshotAt(spark, root, v)
+      assert(snap.tables("t") == Seq(seg),
+        s"v$v lost its manifest: ${snap.tables("t")} != $seg")
+    }
+  }
+
   test("threaded: probes racing a live appender always resolve a committed prefix") {
     // invariant under test: version v's committed table is EXACTLY the
     // ids 1..v, so any reader that ever observes a set that is not a
