@@ -62,6 +62,22 @@ object Smoke {
     val bands = operators.Dedup.lshBands(mh, "doc_id", 16, 4)
     println(s"== lsh candidates: ${operators.Dedup.lshCandidates(bands, "doc_id").count()}")
 
+    // round-12 surface: the atomic manifest index lifecycle end to end —
+    // build → probe → append → compact → vacuum on the BM25 family
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("graft_smoke_bm25").toString
+    operators.Retrieval.buildIndexM(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxRoot)
+    operators.Retrieval.appendIndexM(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", idxRoot)
+    operators.Retrieval.compactIndexM(spark, idxRoot)
+    val probed = operators.Retrieval.bm25ProbeM(spark, idxRoot,
+      Seq(0 -> "the data of", 1 -> "model training"), 5)
+    println(s"== bm25 manifest lifecycle: " +
+      s"v${index.IndexManifest.currentVersion(spark, idxRoot)}, " +
+      s"probe rows ${probed.count()}, " +
+      s"vacuumed ${index.IndexManifest.vacuum(spark, idxRoot, orphanGraceMs = 0)}")
+
     // CDC side: flatten + projectTo on a nested frame
     val nested = spark.range(3).select(col("id").cast("string").as("_id"),
       struct(lit(1).as("pub"), struct(lit("x").as("y")).as("deep")).as("cfg"),
