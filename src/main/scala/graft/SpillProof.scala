@@ -35,9 +35,18 @@ object SpillProof {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[4]")
+      // two concurrent tasks, not four: the WINDOW twin's consumers
+      // (WindowExec buffer, aggregate BytesToBytesMap) need their
+      // minimum pages from the same starved pool, and with 4-way task
+      // concurrency an unlucky schedule (more likely when the host is
+      // also running the parallel test suites) can leave a task below
+      // its minimum allocation — a SparkOutOfMemoryError in the twin,
+      // not a finding about the heap path. Halving concurrency doubles
+      // each task's guaranteed share; the heap path still spills (its
+      // state is tens of MB against a ~7 MB pool).
+      .master("local[2]")
       .appName("graft-spill-proof")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")

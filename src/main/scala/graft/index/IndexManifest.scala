@@ -222,7 +222,12 @@ object IndexManifest {
           fs.delete(lockPath(root, candidate), false)
           throw new IllegalStateException(s"rename to $dst failed")
         }
-        fs.delete(lockPath(root, candidate), false)
+        // the lock stays behind as the version's claim TOMBSTONE: a
+        // racer that resolved currentVersion before our rename landed
+        // could otherwise re-claim this version the instant we freed
+        // the lock and collide on the manifest file. No future writer
+        // can ever target a version <= current, so vacuum reclaims
+        // tombstones at or below the current version safely.
         return candidate
       }
       attempt += 1

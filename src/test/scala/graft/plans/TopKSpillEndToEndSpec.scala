@@ -53,15 +53,19 @@ class TopKSpillEndToEndSpec extends AnyFunSuite {
 
   test("tier-2 spill engages at sf0.1 under a starved pool and stays exact") {
     assume(new java.io.File(SfDir, "events.parquet").exists(), s"$SfDir missing")
-    // one retry: the child JVM shares the machine with the parallel test
+    // retries: the child JVM shares the machine with the parallel test
     // suites, so a transient startup/contention failure is not a finding
-    val line = forkOnce() match {
+    @scala.annotation.tailrec
+    def attempt(n: Int, failures: List[String]): String = forkOnce() match {
       case Right(l) => l
-      case Left(first) => forkOnce() match {
-        case Right(l) => l
-        case Left(second) => fail(s"both attempts failed:\n--- first:\n$first\n--- second:\n$second")
-      }
+      case Left(r) if n < 3 => attempt(n + 1, failures :+ r)
+      case Left(r) =>
+        val all = failures :+ r
+        fail(s"all ${all.size} attempts failed:\n" +
+          all.zipWithIndex.map { case (m, i) => s"--- attempt ${i + 1}:\n$m" }
+            .mkString("\n"))
     }
+    val line = attempt(1, Nil)
 
     def long(key: String): Long =
       s""""$key":(-?\\d+)""".r.findFirstMatchIn(line)
