@@ -44,11 +44,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    onto the next free version, so two racing builds land as two
   *    versions — later one wins, neither is torn.
   *
-  * Rename-as-commit relies on the filesystem's atomic rename (HDFS, POSIX
-  * local; on object stores front this root with a rename-capable layer).
-  * The manifest itself is O(segments) bytes — compaction keeps that
-  * bounded, and a 100 TB index's pointer file is still a few KB read once
-  * per query, not a scaling surface.
+  * The storage-atomicity the protocol needs is exactly ONE primitive —
+  * an atomic create-iff-absent — abstracted behind [[CommitOps]]: POSIX
+  * local filesystems use `link(2)`, HDFS uses its no-overwrite rename,
+  * and object stores plug in a conditional PUT ([[CommitOps.ConditionalPut]];
+  * S3 `If-None-Match`, GCS generation-match). Both the version claim and
+  * the manifest publish go through it, so on EVERY backend a commit
+  * either lands whole or fails — it can never tear a manifest or
+  * silently replace a committed one. The manifest itself is O(segments)
+  * bytes — compaction keeps that bounded, and a 100 TB index's pointer
+  * file is still a few KB read once per query, not a scaling surface.
   */
 object IndexManifest {
 
@@ -143,21 +148,13 @@ object IndexManifest {
   private def lockPath(root: String, version: Long): Path =
     new Path(new Path(root, ManifestDir), f"m-$version%09d.txt.lock")
 
-  /** Atomically claim a lock file — created EXCLUSIVELY or not at all.
-    * Hadoop's local `create(path, overwrite = false)` is check-then-
-    * create (no O_EXCL), so two in-process racers can both pass the
-    * exists check; on local filesystems the claim goes through NIO's
-    * `Files.createFile`, which maps to O_CREAT|O_EXCL. HDFS `create`
-    * is namespace-atomic already. */
-  private def claimLock(fs: FileSystem, p: Path): Boolean =
-    if (fs.getScheme == "file")
-      try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(p.toUri.getPath)); true
-      } catch { case _: java.io.IOException => false }
-    else
-      try { fs.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
+  /** Claim locks older than this are treated as a crashed writer's and
+    * re-claimed in the commit path (expect-guarded lifecycles no longer
+    * wedge until a manual vacuum). Far longer than any real stage-to-
+    * commit window; safe even when wrong, because the manifest publish
+    * itself is a put-if-absent — a resurrected "crashed" writer FAILS
+    * its publish instead of replacing the reclaimer's. */
+  val DefaultLockLeaseMs: Long = 15L * 60L * 1000L
 
   /** Publish a new version whose live segment set is exactly `tables`.
     * With `expect = Some(v)` the commit only succeeds if v is still the
@@ -165,25 +162,35 @@ object IndexManifest {
     * lifecycles); `None` retries onto the next free version (fresh
     * builds). Returns the committed version.
     *
-    * Version claim is an EXCLUSIVE create of a `.lock` file
-    * (`fs.create(overwrite = false)` — atomic on HDFS and POSIX alike),
-    * not a bare rename: Hadoop's local-filesystem rename delegates to
-    * POSIX rename(2), which silently REPLACES an existing destination,
-    * so check-then-rename would let two racing committers both "win"
-    * one version and lose a manifest. Only the lock winner writes
-    * `m-<v>.txt` (staged to a temp file, renamed into place so readers
-    * never see a partial body); losers re-resolve and either retry the
-    * next version or fail the expect guard. A writer that crashes
-    * after claiming leaves an orphan lock — later commits skip past it
-    * (version gaps are fine everywhere: readers and history iterate
-    * `listVersions`), and [[vacuum]] reclaims it. */
+    * Both halves of the protocol are [[CommitOps.putIfAbsent]] — one
+    * atomic create-iff-absent per storage backend (POSIX `link(2)`,
+    * HDFS no-overwrite rename, object-store conditional PUT):
+    *
+    *  1. VERSION CLAIM: put-if-absent of the `.lock` file. Only the
+    *     winner may publish this version; losers re-resolve and either
+    *     retry the next version or fail the expect guard. A claim lock
+    *     older than `lockLeaseMs` with no published manifest is a
+    *     crashed writer's — it is re-claimed in place (delete + fresh
+    *     put-if-absent; racing reclaimers serialize on the put).
+    *  2. MANIFEST PUBLISH: put-if-absent of `m-<v>.txt` itself. Even if
+    *     the claim was wrongly reclaimed (a slow writer mistaken for a
+    *     crashed one, a vacuumed tombstone re-claimed by a stale racer)
+    *     the publish cannot replace a committed manifest — the loser
+    *     fails, the committed version stays intact. Commits degrade by
+    *     FAILING, never by tearing or losing one.
+    *
+    * After a successful publish the lock stays behind as the version's
+    * claim TOMBSTONE; [[vacuum]] reclaims tombstones once they age past
+    * its grace window. A crashed claimant's orphan lock is reclaimed by
+    * the next committer's lease check (no manual vacuum needed). */
   def commit(
       spark: SparkSession, root: String,
       tables: Map[String, Seq[String]],
-      expect: Option[Long] = None): Long = {
+      expect: Option[Long] = None,
+      ops: CommitOps = CommitOps.Auto,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Long = {
     val fs = fsFor(spark, root)
-    val mdir = new Path(root, ManifestDir)
-    fs.mkdirs(mdir)
+    fs.mkdirs(new Path(root, ManifestDir))
     val body = new StringBuilder(s"$Magic\t1\n")
     for ((t, segs) <- tables.toSeq.sortBy(_._1); s <- segs)
       body.append(t).append('\t').append(s).append('\n')
@@ -198,37 +205,46 @@ object IndexManifest {
             "writer committed first; recompute against the current snapshot")
       }
       candidate = math.max(cur + 1, candidate + 1)
-      val claimed = claimLock(fs, lockPath(root, candidate))
+      val lock = lockPath(root, candidate)
+      val lockBody =
+        s"claimant\t${java.lang.System.currentTimeMillis()}\n"
+          .getBytes(StandardCharsets.UTF_8)
+      var claimed = ops.putIfAbsent(fs, lock, lockBody)
+      if (!claimed) {
+        // lease reclaim: an orphan claim with no published manifest,
+        // older than the lease, is a crashed writer's — take it over.
+        // (A tombstone — manifest published — is never reclaimed here;
+        // the next loop iteration sees the new currentVersion.)
+        val mtime =
+          try Some(fs.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        val orphaned = !fs.exists(manifestPath(root, candidate)) &&
+          mtime.exists(_ < java.lang.System.currentTimeMillis() - lockLeaseMs)
+        if (orphaned) {
+          fs.delete(lock, false)
+          claimed = ops.putIfAbsent(fs, lock, lockBody)
+        }
+      }
       // an expect-guarded writer may NOT skip past a contended version:
-      // the lock holder is publishing v(cur+1) derived from the same
-      // snapshot, and landing our delta at cur+2 would silently drop
-      // theirs — the exact lost update the guard exists to prevent. (A
-      // crashed claimant's orphan lock also lands here: conservative —
-      // vacuum reclaims stale locks and unblocks the lifecycle.)
+      // the live lock holder is publishing v(cur+1) derived from the
+      // same snapshot, and landing our delta at cur+2 would silently
+      // drop theirs — the exact lost update the guard exists to prevent.
       if (!claimed && expect.isDefined)
         throw new java.util.ConcurrentModificationException(
           s"index at $root has a concurrent commit in flight for " +
-            s"v$candidate; recompute against the snapshot it publishes " +
-            "(or vacuum if this is a crashed writer's stale lock)")
+            s"v$candidate; recompute against the snapshot it publishes")
       if (claimed) {
-        val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, true)
-        try out.write(bytes) finally out.close()
-        val dst = manifestPath(root, candidate)
-        // we own this version (lock held), so the rename cannot race
-        // another writer; overwrite-on-rename is harmless here
-        if (!fs.rename(tmp, dst)) {
-          fs.delete(tmp, false)
-          fs.delete(lockPath(root, candidate), false)
-          throw new IllegalStateException(s"rename to $dst failed")
-        }
-        // the lock stays behind as the version's claim TOMBSTONE: a
-        // racer that resolved currentVersion before our rename landed
-        // could otherwise re-claim this version the instant we freed
-        // the lock and collide on the manifest file. No future writer
-        // can ever target a version <= current, so vacuum reclaims
-        // tombstones at or below the current version safely.
-        return candidate
+        if (ops.putIfAbsent(fs, manifestPath(root, candidate), bytes))
+          return candidate
+        // the manifest already exists: another writer published this
+        // version through a reclaimed claim. The version is theirs —
+        // never replace a committed manifest. Our lock stays behind as
+        // a second-hand tombstone; re-resolve and try again (or fail
+        // the expect guard: our delta base is stale by definition).
+        if (expect.isDefined)
+          throw new java.util.ConcurrentModificationException(
+            s"index at $root committed v$candidate concurrently; " +
+              "recompute against the current snapshot")
       }
       attempt += 1
     }
@@ -236,14 +252,66 @@ object IndexManifest {
       s"could not commit a manifest under $root after $attempt attempts")
   }
 
+  // ---- reader leases ---------------------------------------------------
+
+  private val LeaseRe = """r-(\d+)-(\d+)-[0-9a-f]+\.lease""".r
+
+  private def leasePath(root: String, version: Long, expiryMs: Long): Path =
+    new Path(new Path(root, ManifestDir),
+      f"r-$version%09d-$expiryMs-${java.util.UUID.randomUUID().toString.take(8)}.lease")
+
+  /** Register an in-flight reader of `version`: until the lease expires
+    * (or is released), [[vacuum]] retains that version and every segment
+    * it references even when `keepFrom` would reclaim it — turning the
+    * "run vacuum only after unpinned readers drain" convention into a
+    * checkable contract. The lease file name carries its own expiry, so
+    * a crashed reader's lease self-expires with no cleanup protocol.
+    * Returns the lease token for [[releaseReaderLease]]. */
+  def acquireReaderLease(
+      spark: SparkSession, root: String, version: Long,
+      ttlMs: Long = 60L * 60L * 1000L,
+      ops: CommitOps = CommitOps.Auto): Path = {
+    val fs = fsFor(spark, root)
+    val p = leasePath(root, version, java.lang.System.currentTimeMillis() + ttlMs)
+    require(ops.putIfAbsent(fs, p, Array.emptyByteArray),
+      s"reader lease collision at $p")
+    p
+  }
+
+  def releaseReaderLease(spark: SparkSession, root: String, lease: Path): Unit = {
+    fsFor(spark, root).delete(lease, false); ()
+  }
+
+  /** Resolve the current snapshot under a reader lease: `f` runs with a
+    * snapshot that vacuum is contractually unable to reclaim while the
+    * lease is live; the lease is released on every exit path. */
+  def withReaderLease[T](
+      spark: SparkSession, root: String,
+      ttlMs: Long = 60L * 60L * 1000L)(f: Snapshot => T): T = {
+    val snap = snapshot(spark, root)
+    val lease = acquireReaderLease(spark, root, snap.version, ttlMs)
+    try f(snap) finally releaseReaderLease(spark, root, lease)
+  }
+
+  /** Versions protected by an unexpired reader lease right now. */
+  private def leasedVersions(fs: FileSystem, root: String, nowMs: Long): Set[Long] = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator.flatMap(_.getPath.getName match {
+      case LeaseRe(v, expiry) if expiry.toLong > nowMs => Some(v.toLong)
+      case _ => None
+    }).toSet
+  }
+
   /** Garbage-collect manifests and segment directories that no RETAINED
     * version references. `keepFrom` is the oldest version to retain
     * (default: current only); a deployment that has published releases
     * pinned to version v passes `keepFrom = v`, and every retained
     * version stays fully re-resolvable ([[snapshotAt]]) after the
-    * vacuum — the time-travel contract. Runs only after in-flight
-    * UNpinned readers drain — a snapshot resolved before vacuum against
-    * a version below `keepFrom` may list deleted segments.
+    * vacuum — the time-travel contract. Versions held by an unexpired
+    * [[acquireReaderLease]] are retained regardless of `keepFrom`, so a
+    * long-running reader that registered its snapshot cannot have its
+    * segments deleted out from under it; expired lease files are swept.
     *
     * Two classes of garbage, treated differently so vacuum is safe to
     * run WHILE writers are staging:
@@ -251,13 +319,18 @@ object IndexManifest {
     *    but by no retained one) are dead by construction — deleted
     *    immediately;
     *  - NEVER-REFERENCED paths (staged segment dirs, hidden `.tmp-`
-    *    manifest bodies, claim locks above the current version) are
-    *    indistinguishable from a LIVE writer's in-flight work, so they
-    *    are deleted only when older than `orphanGraceMs` (default 20
-    *    minutes — far longer than any stage-to-commit window; pass 0
-    *    for the old collect-everything behavior when no writer can be
-    *    live, e.g. single-process tests). Claim locks at or below the
-    *    current version protect nothing and go immediately.
+    *    manifest bodies, claim locks) are indistinguishable from a LIVE
+    *    writer's in-flight work, so they are deleted only when older
+    *    than `orphanGraceMs` (default 20 minutes — far longer than any
+    *    stage-to-commit window; pass 0 for the old collect-everything
+    *    behavior when no writer can be live, e.g. single-process
+    *    tests). The grace applies to claim-lock TOMBSTONES too: a
+    *    committer that resolved `currentVersion` just before a rival's
+    *    publish landed must not find the rival's fresh tombstone
+    *    already vacuumed (the manifest put-if-absent would still stop
+    *    it from replacing anything, but the failed commit it would get
+    *    is avoidable noise — and on a backend misconfigured with bare
+    *    rename, the grace is the last line of defense).
     *
     * Returns the number of paths removed. */
   def vacuum(
@@ -265,17 +338,19 @@ object IndexManifest {
       orphanGraceMs: Long = 20L * 60L * 1000L): Int = {
     val fs = fsFor(spark, root)
     val cur = snapshot(spark, root).version
+    val nowMs = java.lang.System.currentTimeMillis()
+    val leased = leasedVersions(fs, root, nowMs)
     val oldest = if (keepFrom < 0) cur else math.min(keepFrom, cur)
     // resolve only versions whose manifest still exists — a keepFrom
     // below an earlier vacuum's boundary must not chase deleted files
     val versions = listVersions(fs, root)
-    val retained = versions.filter(_ >= oldest)
+    val retained = versions.filter(v => v >= oldest || leased.contains(v))
       .flatMap(v => snapshotAt(spark, root, v).tables.values.flatten).toSet
     // everything ANY existing manifest references — used to tell a
     // superseded segment (dead) from a staged one (possibly in flight)
     val everCommitted = versions
       .flatMap(v => snapshotAt(spark, root, v).tables.values.flatten).toSet
-    val cutoff = java.lang.System.currentTimeMillis() - orphanGraceMs
+    val cutoff = nowMs - orphanGraceMs
     var removed = 0
     val segRoot = new Path(root, "seg")
     if (fs.exists(segRoot)) {
@@ -288,7 +363,7 @@ object IndexManifest {
         }
       }
     }
-    for (v <- versions; if v < oldest) {
+    for (v <- versions; if v < oldest && !leased.contains(v)) {
       fs.delete(manifestPath(root, v), false); removed += 1
     }
     val mdir = new Path(root, ManifestDir)
@@ -296,14 +371,19 @@ object IndexManifest {
       for (f <- fs.listStatus(mdir)) {
         val name = f.getPath.getName
         val staleTmp = name.startsWith(".tmp-") && f.getModificationTime < cutoff
-        val lockV =
-          if (name.startsWith("m-") && name.endsWith(".txt.lock"))
-            scala.util.Try(
-              name.stripPrefix("m-").stripSuffix(".txt.lock").toLong).toOption
-          else None
-        val staleLock = lockV.exists(v =>
-          v <= cur || f.getModificationTime < cutoff)
-        if (staleTmp || staleLock) { fs.delete(f.getPath, false); removed += 1 }
+        // claim locks — tombstones and orphans alike — only go once
+        // older than the grace window (see the scaladoc above): a
+        // still-warm tombstone may be the version a racing committer is
+        // about to collide with, and a warm orphan may be in flight.
+        val isLock = name.startsWith("m-") && name.endsWith(".txt.lock")
+        val staleLock = isLock && f.getModificationTime < cutoff
+        val expiredLease = name match {
+          case LeaseRe(_, expiry) => expiry.toLong <= nowMs
+          case _ => false
+        }
+        if (staleTmp || staleLock || expiredLease) {
+          fs.delete(f.getPath, false); removed += 1
+        }
       }
     }
     removed

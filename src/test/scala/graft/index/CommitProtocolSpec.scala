@@ -1,0 +1,316 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** A test object store with ADVERSARIAL unconditional primitives — the
+  * semantics the manifest protocol must survive on S3/GCS:
+  *  - `putLww` is last-writer-wins: it silently replaces whatever is at
+  *    the key (a bare object-store PUT);
+  *  - `renameReplace` is copy+delete that silently replaces an existing
+  *    destination (what "rename" degrades to on an object store, and
+  *    what POSIX rename(2) does natively);
+  *  - the ONLY safe operation is `putIfAbsent`, modeling the store's
+  *    server-side conditional PUT (`If-None-Match: *` / generation-match
+  *    0): one atomic request that creates the whole object or fails.
+  *
+  * Objects are materialized as real files under a local directory so
+  * Spark/Hadoop readers resolve them exactly like production manifests.
+  * The store-wide monitor stands in for the store's server-side
+  * serialization of conditional requests; the atomic tmp+move inside it
+  * models "an object is visible only once fully written".
+  */
+final class SimulatedObjectStore {
+  private val monitor = new Object
+
+  private def nioPath(p: Path) = Paths.get(p.toUri.getPath)
+
+  /** Bare PUT: last writer wins, silently replacing. Unsafe by design. */
+  def putLww(p: Path, body: Array[Byte]): Unit = {
+    Files.createDirectories(nioPath(p).getParent)
+    val tmp = Files.createTempFile(nioPath(p).getParent, ".lww", ".tmp")
+    Files.write(tmp, body)
+    Files.move(tmp, nioPath(p), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  def exists(p: Path): Boolean = Files.exists(nioPath(p))
+
+  /** "Rename": copy+delete that replaces any existing destination. */
+  def renameReplace(src: Path, dst: Path): Unit = {
+    Files.createDirectories(nioPath(dst).getParent)
+    Files.move(nioPath(src), nioPath(dst), StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Conditional PUT — the store's one atomic create-iff-absent. */
+  def putIfAbsent(p: Path, body: Array[Byte]): Boolean = monitor.synchronized {
+    if (Files.exists(nioPath(p))) false
+    else { putLww(p, body); true }
+  }
+
+  def ops: CommitOps = new CommitOps.ConditionalPut(putIfAbsent)
+}
+
+/** The commit protocol on hostile storage: the [[CommitOps]] SPI must
+  * make commits FAIL rather than tear or lose one, on every backend —
+  * including an object store whose rename replaces and whose bare put
+  * is last-writer-wins. Plus the round-13 liveness additions: lease
+  * reclaim of crashed writers' claim locks, tombstone grace in vacuum,
+  * and reader leases that make the vacuum drain contract checkable. */
+class CommitProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      s"graft_cproto_${tag}_${java.util.UUID.randomUUID().toString.take(8)}").toString
+
+  private def rows(xs: (Long, String)*) = xs.toDF("id", "v")
+
+  private def hfs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ageFile(root: String, name: String, ageMs: Long): Unit = {
+    val p = Paths.get(root, "_manifests", name)
+    Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+      java.lang.System.currentTimeMillis() - ageMs))
+    ()
+  }
+
+  // ---- the adversarial store is genuinely adversarial -----------------
+
+  test("control: check-then-rename on the store loses a committed manifest") {
+    // the naive protocol (what a POSIX-rename port would do): each
+    // writer checks the destination is absent, then renames its body in.
+    // Interleave the checks before either rename: both "succeed", one
+    // manifest is silently gone. This is the disease; the protocol
+    // tests below are the cure.
+    val store = new SimulatedObjectStore
+    val root = freshRoot("naive")
+    val dst = new Path(s"$root/_manifests/m-000000001.txt")
+    def stage(body: String): Path = {
+      val t = new Path(s"$root/_manifests/.tmp-${java.util.UUID.randomUUID()}")
+      store.putLww(t, body.getBytes(StandardCharsets.UTF_8)); t
+    }
+    val a = stage("writer-A manifest")
+    val b = stage("writer-B manifest")
+    val aSaw = !store.exists(dst) // A: destination free, safe to publish
+    val bSaw = !store.exists(dst) // B: destination free, safe to publish
+    store.renameReplace(a, dst)   // A publishes
+    store.renameReplace(b, dst)   // B publishes over it — no error anywhere
+    assert(aSaw && bSaw)
+    val survived = new String(
+      Files.readAllBytes(Paths.get(dst.toUri.getPath)), StandardCharsets.UTF_8)
+    assert(survived == "writer-B manifest", "expected B to clobber A")
+    // A's manifest is gone although A observed only successes — QED the
+    // store is hostile enough to make the next tests meaningful.
+  }
+
+  test("conditional put refuses to replace; existing body is untouched") {
+    val store = new SimulatedObjectStore
+    val root = freshRoot("condput")
+    val dst = new Path(s"$root/_manifests/m-000000001.txt")
+    assert(store.putIfAbsent(dst, "first".getBytes(StandardCharsets.UTF_8)))
+    assert(!store.putIfAbsent(dst, "usurper".getBytes(StandardCharsets.UTF_8)))
+    assert(new String(Files.readAllBytes(Paths.get(dst.toUri.getPath)),
+      StandardCharsets.UTF_8) == "first")
+    // same contract from the local (hard-link) implementation
+    val fs = hfs(root)
+    val dst2 = new Path(s"$root/_manifests/m-000000002.txt")
+    assert(CommitOps.Local.putIfAbsent(fs, dst2, "first".getBytes))
+    assert(!CommitOps.Local.putIfAbsent(fs, dst2, "usurper".getBytes))
+    assert(new String(Files.readAllBytes(Paths.get(dst2.toUri.getPath)),
+      StandardCharsets.UTF_8) == "first")
+    // and no .tmp- litter is left behind on either path
+    val litter = Files.list(Paths.get(root, "_manifests")).toArray
+      .map(_.toString).filter(_.contains(".tmp-"))
+    assert(litter.isEmpty, s"tmp litter: ${litter.mkString(", ")}")
+  }
+
+  // ---- full protocol on the adversarial store -------------------------
+
+  test("racing blind committers through the conditional-put ops: every version lands intact") {
+    val store = new SimulatedObjectStore
+    val root = freshRoot("storerace")
+    val seg0 = IndexManifest.newSegment("t")
+    rows(0L -> "base").write.parquet(s"$root/$seg0")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg0)), ops = store.ops)
+
+    val n = 6
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to n).map(i => new Thread(() => {
+      try {
+        val seg = IndexManifest.newSegment("t")
+        rows(i.toLong -> s"w$i").write.parquet(s"$root/$seg")
+        val v = IndexManifest.commit(spark, root, Map("t" -> Seq(seg)),
+          ops = store.ops)
+        val prev = results.putIfAbsent(v, seg)
+        if (prev != null) bad.add(s"version $v claimed twice")
+      } catch { case e: Throwable => bad.add(s"writer$i: $e") }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(bad.isEmpty, s"${bad.toArray.mkString("; ")}")
+    assert(results.size == n)
+    results.forEach { (v, seg) =>
+      val snap = IndexManifest.snapshotAt(spark, root, v)
+      assert(snap.tables("t") == Seq(seg), s"v$v lost its manifest")
+    }
+  }
+
+  test("a resurrected writer whose claim was reclaimed fails its publish; nothing is lost") {
+    val store = new SimulatedObjectStore
+    val root = freshRoot("resurrect")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg1")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)), ops = store.ops)
+
+    // writer A claims v2 then stalls past the lease (simulated: stale lock)
+    val lockName = "m-000000002.txt.lock"
+    assert(store.putIfAbsent(new Path(s"$root/_manifests/$lockName"),
+      "claimant\t0\n".getBytes(StandardCharsets.UTF_8)))
+    ageFile(root, lockName, ageMs = 60000)
+
+    // writer B's expect-guarded refresh reclaims the orphan and commits —
+    // no manual vacuum needed (the round-12 wedge is gone)
+    val seg2 = IndexManifest.newSegment("t")
+    rows(2L -> "b").write.parquet(s"$root/$seg2")
+    val v2 = IndexManifest.commit(spark, root, Map("t" -> Seq(seg2)),
+      expect = Some(1L), ops = store.ops, lockLeaseMs = 1000L)
+    assert(v2 == 2L)
+
+    // writer A resurrects inside the old race window and tries to publish
+    // the version it still believes it owns: the conditional put refuses,
+    // and B's committed manifest is byte-identical afterwards
+    val mPath = new Path(s"$root/_manifests/m-000000002.txt")
+    val before = Files.readAllBytes(Paths.get(mPath.toUri.getPath))
+    assert(!store.putIfAbsent(mPath, "stale manifest from A".getBytes))
+    assert(Files.readAllBytes(Paths.get(mPath.toUri.getPath)).sameElements(before))
+    assert(IndexManifest.read(spark, root, "t")
+      .select("id").as[Long].collect().toSet == Set(2L))
+  }
+
+  // ---- lease reclaim in the commit path (local backend) ---------------
+
+  test("expect-guarded commit reclaims a crashed writer's stale lock without vacuum") {
+    val root = freshRoot("lease")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg1")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)))
+
+    // crashed writer: claimed v2, died before publishing
+    val lockName = "m-000000002.txt.lock"
+    hfs(root).create(new Path(s"$root/_manifests/$lockName"), false).close()
+    ageFile(root, lockName, ageMs = 60000)
+
+    // a FRESH lock (inside the lease) still blocks — conservative first
+    val seg2 = IndexManifest.newSegment("t")
+    rows(2L -> "b").write.parquet(s"$root/$seg2")
+    intercept[java.util.ConcurrentModificationException] {
+      IndexManifest.commit(spark, root, Map("t" -> Seq(seg1, seg2)),
+        expect = Some(1L), lockLeaseMs = 10L * 60L * 1000L)
+    }
+    // past the lease it is reclaimed in place and the lifecycle proceeds
+    val v2 = IndexManifest.commit(spark, root, Map("t" -> Seq(seg1, seg2)),
+      expect = Some(1L), lockLeaseMs = 1000L)
+    assert(v2 == 2L)
+    assert(IndexManifest.read(spark, root, "t")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  // ---- vacuum: tombstone grace + reader leases ------------------------
+
+  test("fresh claim tombstones survive a default-grace vacuum; aged ones go") {
+    val root = freshRoot("tombgrace")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg1")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)))
+    val seg2 = IndexManifest.newSegment("t")
+    rows(2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg1, seg2)),
+      expect = Some(1L))
+    val fs = hfs(root)
+    val lock2 = new Path(s"$root/_manifests/m-000000002.txt.lock")
+    assert(fs.exists(lock2))
+    // default grace: the warm tombstone stays — a racer that resolved
+    // currentVersion=1 a moment ago must still find v2's claim taken
+    IndexManifest.vacuum(spark, root, keepFrom = 1L)
+    assert(fs.exists(lock2), "warm tombstone vacuumed inside the grace window")
+    // once aged past the grace it is garbage like any other
+    ageFile(root, "m-000000001.txt.lock", ageMs = 60000)
+    ageFile(root, "m-000000002.txt.lock", ageMs = 60000)
+    IndexManifest.vacuum(spark, root, keepFrom = 1L, orphanGraceMs = 1000L)
+    assert(!fs.exists(lock2))
+  }
+
+  test("vacuum retains a leased old version until release; reclaims after") {
+    val root = freshRoot("rlease")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg1")
+    val v1 = IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)))
+    // compact-style swap: v2 references only a new segment
+    val seg2 = IndexManifest.newSegment("t")
+    rows(1L -> "a", 2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg2)), expect = Some(v1))
+
+    // a long-running reader registers its pinned snapshot
+    val lease = IndexManifest.acquireReaderLease(spark, root, v1)
+    IndexManifest.vacuum(spark, root, orphanGraceMs = 0)
+    assert(new java.io.File(s"$root/$seg1").exists,
+      "vacuum deleted a leased reader's segments")
+    // the leased version stays fully re-resolvable mid-read
+    assert(IndexManifest.readAt(spark, root,
+      IndexManifest.snapshotAt(spark, root, v1), "t")
+      .select("id").as[Long].collect().toSet == Set(1L))
+
+    IndexManifest.releaseReaderLease(spark, root, lease)
+    IndexManifest.vacuum(spark, root, orphanGraceMs = 0)
+    assert(!new java.io.File(s"$root/$seg1").exists,
+      "released version's segments must be reclaimable")
+    assert(IndexManifest.read(spark, root, "t").count() == 2)
+  }
+
+  test("an expired lease no longer protects; vacuum sweeps the lease file") {
+    val root = freshRoot("rexpire")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg1")
+    val v1 = IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)))
+    val seg2 = IndexManifest.newSegment("t")
+    rows(2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg2)), expect = Some(v1))
+
+    val lease = IndexManifest.acquireReaderLease(spark, root, v1, ttlMs = 30L)
+    Thread.sleep(80L) // crashed reader: never releases; the TTL does it
+    IndexManifest.vacuum(spark, root, orphanGraceMs = 0)
+    assert(!new java.io.File(s"$root/$seg1").exists,
+      "expired lease kept protecting its version")
+    assert(!hfs(root).exists(lease), "expired lease file not swept")
+  }
+
+  test("withReaderLease releases on every exit path") {
+    val root = freshRoot("rwith")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg1")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)))
+    def liveLeases(): Int =
+      Files.list(Paths.get(root, "_manifests")).toArray
+        .map(_.toString).count(_.endsWith(".lease"))
+
+    val n = IndexManifest.withReaderLease(spark, root) { snap =>
+      assert(liveLeases() == 1)
+      IndexManifest.readAt(spark, root, snap, "t").count()
+    }
+    assert(n == 1L && liveLeases() == 0)
+    intercept[RuntimeException] {
+      IndexManifest.withReaderLease(spark, root) { _ =>
+        throw new RuntimeException("reader failed")
+      }
+    }
+    assert(liveLeases() == 0, "lease leaked on the failure path")
+  }
+}
