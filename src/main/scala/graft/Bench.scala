@@ -7,6 +7,30 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints exactly one JSON line.
   */
 object Bench {
+
+  /** Is the query at `queryIndex` (0-based position in the sweep)
+    * contaminated by host contention? `canaries` are (queries-completed-
+    * before-this-reading, seconds) re-timings of the same tiny canary
+    * query taken throughout the sweep. A query is flagged when either
+    * canary reading bracketing it ran more than `threshold`× the
+    * CLEANEST reading of the run — so a mid-run contention window flags
+    * exactly the queries inside it, closing the round-12 blind spot
+    * where ~10 mid-list queries read 3-8× inflated while the start/end
+    * canaries both looked clean. Pure, so the synthetic-load spec can
+    * drive it deterministically. */
+  def contaminatedBy(
+      canaries: Seq[(Int, Double)], queryIndex: Int,
+      threshold: Double = 1.5): Boolean = {
+    val clean = canaries.map(_._2).filter(_ > 0)
+    if (clean.isEmpty) return true // unmeasurable canary = distressed host
+    val floor = clean.min
+    val before = canaries.filter(_._1 <= queryIndex).lastOption
+    val after = canaries.find(_._1 > queryIndex)
+    (before.toSeq ++ after.toSeq).exists { case (_, t) =>
+      t <= 0 || t / floor > threshold
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,32 +82,53 @@ object Bench {
     SparkEntry.benchQueries.filter(all.contains)
       .filter(n => n.endsWith("_serve") || n.endsWith("_served"))
       .foreach(n => runOnce(n))
-    // Contention canary: q1_agg timed before and after the sweep. A large
-    // end/start ratio means the host got busier while this artifact was
-    // being produced — the whole run's numbers carry environmental
-    // inflation and must not be read as regressions (three phantom
-    // breaches in round 11 came from exactly that).
-    val canaryStart = runOnce("q1_agg").getOrElse(0.0)
+    // Contention canary: q1_agg re-timed throughout the sweep — before,
+    // after every `canaryEvery` queries, and at the end. The round-11/12
+    // artifacts proved a start/end-only canary has a blind spot: a
+    // multi-minute mid-run contention window inflated ~10 consecutive
+    // queries 3-8× across ALL their reps while both endpoint readings
+    // looked clean. The series localizes inflation to the queries it
+    // actually covered (see contaminatedBy).
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "12").toInt
+    val canaryReadings = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def timeCanary(at: Int): Unit =
+      canaryReadings += ((at, runOnce("q1_agg").getOrElse(0.0)))
+    timeCanary(0)
     // Median of 3 repetitions per query: the ~0.3-1 s planning/codegen floor
     // and GC-driven run-to-run variance (up to 2x on the small queries) made
     // single-shot round-over-round deltas untrustworthy. Raw per-rep times
     // are emitted alongside the medians so a reader can tell a real
     // regression (all reps slow) from one contended rep skewing the median.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.benchQueries.filter(all.contains).map { name =>
+    val benchNames = SparkEntry.benchQueries.filter(all.contains)
+    val results = benchNames.zipWithIndex.map { case (name, i) =>
+      if (i > 0 && i % canaryEvery == 0) timeCanary(i)
       val times = (1 to reps).flatMap(_ => runOnce(name))
       val median =
         if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
       (name, median, times, times.length == reps)
     }
-    val canaryEnd = runOnce("q1_agg").getOrElse(0.0)
+    timeCanary(benchNames.length)
+    val canaryStart = canaryReadings.head._2
+    val canaryEnd = canaryReadings.last._2
     val canaryRatio = if (canaryStart > 0) canaryEnd / canaryStart else 0.0
-    // an unmeasurable canary (either run failed) must NOT read as a
-    // clean artifact — that is precisely a sign of host distress
-    val contended = canaryRatio > 1.5 || canaryStart <= 0 || canaryEnd <= 0
+    // an unmeasurable reading or any reading >1.5× the cleanest means
+    // part of this artifact carries environmental inflation
+    val cleanFloor = {
+      val ok = canaryReadings.map(_._2).filter(_ > 0)
+      if (ok.isEmpty) 0.0 else ok.min
+    }
+    val contended = cleanFloor <= 0 ||
+      canaryReadings.exists { case (_, t) => t <= 0 || t / cleanFloor > 1.5 }
+    val contaminated = benchNames.zipWithIndex.collect {
+      case (name, i) if contaminatedBy(canaryReadings.toSeq, i) => s"\"$name\""
+    }
     val canary =
       f""""canary":{"q1_start":$canaryStart%.3f,"q1_end":$canaryEnd%.3f,""" +
-        f""""ratio":$canaryRatio%.2f,"contended":$contended}"""
+        f""""ratio":$canaryRatio%.2f,"contended":$contended,""" +
+        s""""series":${canaryReadings.map { case (at, t) =>
+          f"""{"at":$at,"sec":$t%.3f}""" }.mkString("[", ",", "]")},""" +
+        s""""contaminated_queries":${contaminated.mkString("[", ",", "]")}}"""
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, ts, _) =>
@@ -108,7 +153,22 @@ object Bench {
         System.err.println(s"[bench] skew section FAILED: ${e.getMessage}")
         s"""{"error":"${e.getClass.getSimpleName}"}"""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,$canary,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,$canary,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only a bounded tail of stdout; round 12's line
+    // outgrew it and the artifact shipped truncated (parsed:null, medians
+    // map lost). Persist the identical line to a file in the working
+    // directory so the full artifact survives regardless of capture
+    // window. Best-effort: a read-only cwd must not fail the bench.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist JSON line: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives [[Bench.contaminatedBy]] with synthetic canary series — the
+  * deterministic stand-in for a mid-run host-contention window. Round 12's
+  * artifact proved the start/end-only canary has a blind spot: ~10
+  * consecutive mid-list queries ran 3-8× inflated across all reps while
+  * both endpoint readings looked clean (`contended: false`). The series
+  * classifier must flag exactly the queries bracketed by an inflated
+  * reading, and nothing else.
+  */
+class BenchCanarySpec extends AnyFunSuite {
+
+  // Canary readings: (queries completed before the reading, seconds).
+  private val cleanRun = Seq((0, 0.10), (12, 0.11), (24, 0.10), (36, 0.10))
+
+  test("a clean series flags nothing") {
+    (0 until 36).foreach { i =>
+      assert(!Bench.contaminatedBy(cleanRun, i), s"query $i wrongly flagged")
+    }
+  }
+
+  test("a mid-run contention window flags exactly the bracketed queries") {
+    // Round-12 shape: endpoints clean, one mid-run reading 5x inflated.
+    val midHot = Seq((0, 0.10), (12, 0.50), (24, 0.10), (36, 0.10))
+    // Queries 0..11 are bracketed by readings at 0 (clean) and 12 (hot):
+    // the window could have opened any time before the hot reading, so
+    // they are flagged. Queries 12..23 are bracketed by 12 (hot) and 24
+    // (clean): flagged too. Queries 24..35 sit between two clean
+    // readings: not flagged.
+    (0 until 24).foreach(i => assert(Bench.contaminatedBy(midHot, i), s"query $i"))
+    (24 until 36).foreach(i => assert(!Bench.contaminatedBy(midHot, i), s"query $i"))
+  }
+
+  test("an inflated START canary flags only the first bracket") {
+    val startHot = Seq((0, 0.55), (12, 0.10), (24, 0.10))
+    (0 until 12).foreach(i => assert(Bench.contaminatedBy(startHot, i)))
+    (12 until 24).foreach(i => assert(!Bench.contaminatedBy(startHot, i)))
+  }
+
+  test("an inflated END canary flags only the last bracket") {
+    val endHot = Seq((0, 0.10), (12, 0.10), (24, 0.47))
+    (0 until 12).foreach(i => assert(!Bench.contaminatedBy(endHot, i)))
+    (12 until 24).foreach(i => assert(Bench.contaminatedBy(endHot, i)))
+  }
+
+  test("a failed (zero) canary reading reads as contamination, not cleanliness") {
+    val failedMid = Seq((0, 0.10), (12, 0.0), (24, 0.10))
+    (0 until 24).foreach(i => assert(Bench.contaminatedBy(failedMid, i)))
+    // An entirely unmeasurable series means a distressed host: flag all.
+    val allFailed = Seq((0, 0.0), (12, 0.0))
+    assert(Bench.contaminatedBy(allFailed, 5))
+  }
+
+  test("threshold is relative to the cleanest reading, not the first") {
+    // First reading itself mildly inflated (1.3x the true floor seen
+    // later): queries after the floor reading must not be flagged by it.
+    val warmStart = Seq((0, 0.13), (12, 0.10), (24, 0.10))
+    (12 until 24).foreach(i => assert(!Bench.contaminatedBy(warmStart, i)))
+    // 1.3x is under the default 1.5 threshold: first bracket clean too.
+    (0 until 12).foreach(i => assert(!Bench.contaminatedBy(warmStart, i)))
+    // ...but a 1.6x first reading crosses it.
+    val hotStart = Seq((0, 0.16), (12, 0.10), (24, 0.10))
+    (0 until 12).foreach(i => assert(Bench.contaminatedBy(hotStart, i)))
+  }
+}
