@@ -438,9 +438,12 @@ object Retrieval {
     * and swap the whole (postings, stats, corpus, docs) quadruple in one
     * commit. Result ≡ [[buildIndexM]] of the new snapshot (spec-pinned).
     *
-    * Scale shape: the changed/removed id set is delta-sized and
-    * BROADCASTS into an anti-join that filters the standing postings —
-    * the lake-sized posting log streams, never shuffles; df stats
+    * Scale shape: the changed/removed id set is usually delta-sized and
+    * then BROADCASTS into an anti-join that filters the standing
+    * postings (the lake-sized posting log streams, never shuffles); a
+    * removal-heavy refresh whose stale set exceeds
+    * `spark.graft.bm25.refresh.staleBroadcastCap` ids falls back to a
+    * keyed shuffle anti-join instead of an OOM-risking broadcast. Df stats
     * recompute from the refreshed postings' slim rows (one keyed count),
     * and the corpus scalars re-derive from the refreshed doc-digest
     * table — lake text is read only for the changed/added docs. */
@@ -451,10 +454,20 @@ object Retrieval {
     val oldDocs = IndexManifest.readAt(spark, root, snap, DocsTable)
     val cur = docDigests(corpus, idCol, textCol).localCheckpoint()
     // docs whose stored (id, digest) no longer matches the snapshot —
-    // changed or removed; their postings must go
+    // changed or removed; their postings must go. Usually delta-sized,
+    // but a removal-heavy refresh (retention purge, large re-crawl) makes
+    // it lake-scale — so the broadcast hint is applied only below a
+    // counted cap (ids are ~16 B/row; 2M ids ≈ 32 MB, safely inside a
+    // tuned driver); past the cap the anti-join falls back to a keyed
+    // shuffle, which is the right plan at that size anyway.
     val stale = oldDocs
       .join(cur.select("doc_id", "tdig"), Seq("doc_id", "tdig"), "left_anti")
       .select("doc_id")
+      .localCheckpoint()
+    val staleBroadcastCap = spark.conf
+      .get("spark.graft.bm25.refresh.staleBroadcastCap", "2000000").toLong
+    val staleSide =
+      if (stale.count() <= staleBroadcastCap) broadcast(stale) else stale
     // docs the snapshot has that the index doesn't — changed or added;
     // their text gets tokenized (the only corpus-text work in a refresh)
     val freshIds = cur
@@ -463,7 +476,7 @@ object Retrieval {
     val freshSrc = corpus.join(
       freshIds.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
     val retained = IndexManifest.readAt(spark, root, snap, PostingsTable)
-      .join(broadcast(stale), Seq("doc_id"), "left_anti")
+      .join(staleSide, Seq("doc_id"), "left_anti")
     val pSeg = IndexManifest.newSegment(PostingsTable)
     writePostings(retained.unionByName(postings(freshSrc, idCol, textCol)),
       s"$root/$pSeg")

@@ -15,20 +15,28 @@ object LlmQueries {
 
   private def q(f: (SparkSession, String) => DataFrame) = f
 
-  /** Deterministic per-dataset index root under /tmp, WIPED before the
-    * build: manifest lifecycles accumulate segments by design, and a
-    * registry query that rebuilds from scratch each run must not leave
-    * versions piling up across invocations. */
+  /** Per-INVOCATION index root under a deterministic per-dataset parent.
+    * The root itself is UUID-suffixed so two concurrent invocations of
+    * the same registry query (parallel test suites) can never wipe each
+    * other's live index between build and probe — the failure mode of
+    * the old shared-path wipe. Accumulation stays bounded without a
+    * blind wipe: siblings untouched for 30+ minutes (finished or
+    * abandoned invocations; a build+probe completes in seconds) are
+    * reaped on the next invocation. */
   private def freshIndexRoot(tag: String, dir: String): String = {
-    val f = new java.io.File(
+    val parent = new java.io.File(
       java.lang.System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
+    parent.mkdirs()
     def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles.foreach(rm)
+      if (x.isDirectory) Option(x.listFiles).getOrElse(Array.empty).foreach(rm)
       x.delete(): Unit
     }
-    if (f.exists) rm(f)
-    f.toString
+    val cutoff = java.lang.System.currentTimeMillis() - 30L * 60L * 1000L
+    Option(parent.listFiles).getOrElse(Array.empty)
+      .filter(_.lastModified < cutoff).foreach(rm)
+    new java.io.File(
+      parent, java.util.UUID.randomUUID().toString.take(8)).toString
   }
 
   /** Persistent per-dataset index root for the steady-state SERVE

@@ -475,25 +475,47 @@ object StreamPipeline {
       .filter(col("doc_id") % 2 === 0)
     val outDir = Files.createTempDirectory("graft_slsh_out").toString
     val ckptDir = Files.createTempDirectory("graft_slsh_ckpt").toString
-    val q = arrivals.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Dedup.indexedCrossCorpusPairs(bandsDf, sigsDf,
-            graft.operators.Dedup.rawShingles(
-              batch.toDF(), "text", "doc_id", shingleN),
-            "doc_id", k, bands, maxBucket)
-          .write.mode("append").parquet(outDir)
-      }
-      .option("checkpointLocation", ckptDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // winners are pair-result-sized: materialize them off the scratch
-    // files (eager localCheckpoint), then reclaim every temp dir —
-    // repeated registry invocations must not accumulate /tmp copies
-    val out = spark.read.parquet(outDir).localCheckpoint(true)
-    Seq(root, outDir, ckptDir).foreach(rmTree)
-    out
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(
+            graft.operators.Dedup.indexedCrossCorpusPairs(bandsDf, sigsDf,
+              graft.operators.Dedup.rawShingles(
+                batch.toDF(), "text", "doc_id", shingleN),
+              "doc_id", k, bands, maxBucket),
+            outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // winners are pair-result-sized: materialize them off the scratch
+      // files (eager localCheckpoint) so the finally can reclaim the dirs
+      readBatchDirs(spark, outDir).localCheckpoint(true)
+    } finally {
+      // reclaim on EVERY exit path — a failed run must not leak /tmp
+      Seq(root, outDir, ckptDir).foreach(rmTree)
+    }
   }
+
+  /** BatchId-idempotent file sink for `foreachBatch`: each micro-batch
+    * writes (overwrites) its OWN `b=<batchId>` subdirectory, so a batch
+    * that fails after a partial write and replays on restart replaces
+    * its partial output instead of appending a duplicate — the file-sink
+    * analog of the JDBC sink's batch-id co-commit (ExactlyOnceSpec).
+    * A flat `mode("append")` into a shared directory — the round-12
+    * shape — duplicates every replayed row. Read the union back with
+    * [[readBatchDirs]]. (Dir name is `batch-N`, deliberately NOT
+    * `key=value`, so partition discovery cannot infer a phantom column.) */
+  private[streaming] def writeBatchIdempotent(
+      batch: DataFrame, outDir: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+
+  /** Union of every batch subdirectory written by
+    * [[writeBatchIdempotent]]. */
+  private[streaming] def readBatchDirs(
+      spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/batch-*")
 
   private def rmTree(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -543,20 +565,25 @@ object StreamPipeline {
       hintBroadcastQueries = false)
     val outDir = Files.createTempDirectory("graft_spq_out").toString
     val ckptDir = Files.createTempDirectory("graft_spq_ckpt").toString
-    val q = scored.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.TopK.perKey(batch.toDF(), Seq("query_id"),
-            Seq(col("score").desc, col("neighbor_id").asc), k)
-          .write.mode("append").parquet(outDir)
-      }
-      .option("checkpointLocation", ckptDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // winners are queries×k rows: materialize them off the scratch files
-    // (eager localCheckpoint), then reclaim every temp dir
-    val winners = spark.read.parquet(outDir).localCheckpoint(true)
-    Seq(root, outDir, ckptDir).foreach(rmTree)
+    val winners = try {
+      val q = scored.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(
+            graft.operators.TopK.perKey(batch.toDF(), Seq("query_id"),
+              Seq(col("score").desc, col("neighbor_id").asc), k),
+            outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // winners are queries×k rows: materialize them off the scratch
+      // files (eager localCheckpoint) so the finally can reclaim the dirs
+      readBatchDirs(spark, outDir).localCheckpoint(true)
+    } finally {
+      // reclaim on EVERY exit path — a failed run must not leak /tmp
+      Seq(root, outDir, ckptDir).foreach(rmTree)
+    }
     winners
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
