@@ -150,7 +150,20 @@ object SkewBench {
         // exact-substring spans under a 20 % boilerplate clique: the hot
         // cluster's grams reach huge doc frequencies, but every stage is
         // linear in occurrences (aggregate → semi join → per-doc window),
-        // so the clique costs its rows, never its pairs
+        // so the clique costs its rows, never its pairs.
+        //
+        // Reading this pair's ratio: it is OUTPUT-VOLUME-dominated, not
+        // imbalance. Measured on this fixture (5k docs), the skewed side
+        // has ~1.06M repeated gram positions (every cluster member's
+        // every position) where the uniform twin has exactly ZERO — so
+        // the uniform side skips the probe-join output, the per-doc
+        // window, and the island merge entirely, while the skewed side
+        // runs them over a million rows of honest, distributed work.
+        // The steady ~1.7× is the cost ratio of that extra linear work,
+        // and it cannot approach 1.0 without changing what the operator
+        // computes; the ≤2× budget is the right frame (a genuine
+        // single-task hot spot showed as 2.17× in the window form this
+        // join shape replaced).
         graft.operators.Dedup.repeatedSpans(
           documents(spark, nDocs, sk), "doc_id", "text", gramChars = 30)
       })

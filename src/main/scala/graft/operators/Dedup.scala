@@ -251,6 +251,49 @@ object Dedup {
       transform(slice(ids, i + 2, size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
+  /** Cross-product pairs between two chunks of one sorted posting list
+    * (every element of `as` precedes every element of `bs`, so each
+    * emitted pair is already ordered). */
+  private def crossPairs(as: Column, bs: Column): Column =
+    flatten(transform(as, x =>
+      transform(bs, y => struct(x.as("id_a"), y.as("id_b")))))
+
+  /** Two-level posting-list pair expansion — the skew-spread form of
+    * `explode(orderedPairs(ids))` for lists whose quadratic cost would
+    * otherwise land on ONE task: each list row fans out to its
+    * chunk-pair rows (chunk i × chunk j, i ≤ j, chunks = contiguous
+    * `chunk`-sized slices of the sorted array), those equal-weight rows
+    * round-robin across the cluster, and only then does each row expand
+    * its ≤ chunk² pairs. A `maxDocFreq`-sized list (1000 ids ≈ 500k
+    * pairs on one task in the flat form) becomes ~530 rows of ≤ ~1k
+    * pairs each, spread evenly — the `saltedJoin` idea applied to pair
+    * expansion. Lists that fit one chunk cost exactly one pass-through
+    * row, so the common case pays only the round-robin exchange (chunk
+    * rows ≈ list rows, far smaller than the pair stream it feeds).
+    * Pair-multiset-identical to the flat expansion by construction:
+    * chunks partition the sorted array, within-chunk pairs come from
+    * [[orderedPairs]], cross-chunk pairs are ordered because chunk i's
+    * values all precede chunk j's (DedupSpec pins the equivalence). */
+  private def spreadOrderedPairs(
+      lists: DataFrame, ids: Column, chunk: Int): DataFrame = {
+    val c = lit(chunk)
+    val maxChunk = ((size(ids) - 1) / c).cast("int")
+    lists
+      .select(ids.as("__ids"), explode(sequence(lit(0), maxChunk)).as("__i"))
+      .select(col("__ids"), col("__i"),
+        explode(sequence(col("__i"),
+          ((size(col("__ids")) - 1) / c).cast("int"))).as("__j"))
+      .select(
+        slice(col("__ids"), col("__i") * c + lit(1), c).as("__ca"),
+        when(col("__i") === col("__j"), lit(null))
+          .otherwise(slice(col("__ids"), col("__j") * c + lit(1), c)).as("__cb"))
+      .repartition(lists.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt)
+      .select(explode(
+        when(col("__cb").isNull, orderedPairs(col("__ca")))
+          .otherwise(crossPairs(col("__ca"), col("__cb")))).as("p"))
+  }
+
   /** Candidate near-duplicate pairs from band buckets (a < b), via
     * per-bucket pair expansion: group to (band, band_hash) → sorted id
     * array → all ordered pairs from the array. This replaces the earlier
@@ -341,15 +384,20 @@ object Dedup {
     // shape), not a self-join: the join keyed every posting list to one
     // reducer anyway, so collect_list has the same parallelism but scans
     // the index once and builds no hash table. Posting lists are bounded
-    // by maxDocFreq, which caps the quadratic term per task. Doc sizes
-    // join AFTER the pair aggregate — against |candidate pairs| rows, not
-    // every index row (the old shape dragged __sz through the explosion).
-    val inter = idx
+    // by maxDocFreq, which caps the quadratic term per LIST — and the
+    // two-level [[spreadOrderedPairs]] expansion spreads each list's
+    // quadratic term across the cluster, so a corpus dense in
+    // near-cap-frequency shingles (the boilerplate-clique skew shape)
+    // no longer concentrates m²/2-pair explosions on whichever tasks
+    // own the hot shingles. Doc sizes join AFTER the pair aggregate —
+    // against |candidate pairs| rows, not every index row (the old
+    // shape dragged __sz through the explosion).
+    val lists = idx
       .join(broadcast(hot), Seq("shingle"), "left_anti")
       .groupBy(col("shingle"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(orderedPairs(col("ids"))).as("p"))
+    val inter = spreadOrderedPairs(lists, col("ids"), chunk = 32)
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("__inter"))
     inter

@@ -79,6 +79,33 @@ class DedupSpec extends SparkSpec {
     assert(!sim.contains((0L, 3L)))
   }
 
+  test("chunked pair expansion ≡ flat all-pairs across chunk boundaries") {
+    import spark.implicits._
+    // Posting lists spanning 1, 2, and 3+ chunks of the internal width
+    // (32): shingle s0 shared by 70 docs (3 chunks), s1 by 33 (straddles
+    // one boundary), s2 by 2, plus per-doc unique shingles so sizes and
+    // Jaccard denominators differ per doc. The chunked two-level
+    // expansion must reproduce the flat m(m-1)/2 pair multiset exactly —
+    // same pairs, same intersection counts, same Jaccard values.
+    val rows =
+      (0L until 70L).map(i => (i, "s0")) ++
+        (0L until 33L).map(i => (i, "s1")) ++
+        Seq((100L, "s2"), (101L, "s2")) ++
+        (0L until 102L).map(i => (i, s"u$i"))
+    val sh = rows.toDF("doc_id", "shingle")
+    val got = Dedup.ngramJaccardPairs(sh, "doc_id", threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // flat reference computed directly from the definition
+    val byDoc = rows.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    val expect = (for {
+      a <- byDoc.keys; b <- byDoc.keys; if a < b
+      inter = (byDoc(a) & byDoc(b)).size; if inter > 0
+    } yield (a, b) -> inter.toDouble / (byDoc(a).size + byDoc(b).size - inter)).toMap
+    assert(got == expect)
+    // sanity on the shape itself: 70-wide list alone contributes 70*69/2
+    assert(expect.size == 70 * 69 / 2 + 1)
+  }
+
   test("simhashSigs ≡ simhash60 scalar expression (codegen path matches SQL path)") {
     val fast = Dedup.simhashSigs(docs, "text", "doc_id")
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
