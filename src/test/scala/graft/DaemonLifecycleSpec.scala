@@ -184,6 +184,154 @@ class DaemonLifecycleSpec extends SparkSpec {
     assert(offsetOf.contains(50L)) // pinned only after all tables snapshotted
   }
 
+  test("soak: CDC replication while all four index families run maintenance in the same session") {
+    // The deployment shape where the CDC apply and the index lifecycles
+    // share one cluster: Replicator.run rounds tail the feed on one
+    // thread while each persisted index family (gram log, LSH, PQ, BM25)
+    // runs its own build → append/refresh → compact → probe loop on its
+    // own thread against the SAME SparkSession. Each family has a single
+    // writer on its own root, so no manifest conflict is legitimate —
+    // any ConcurrentModificationException (or anything else) crossing a
+    // thread boundary fails the test, and every path's final state must
+    // equal its isolated-run twin (sink rows byte-equal, every index
+    // probe-equal to a from-scratch rebuild on the final corpus).
+    import graft.operators.{Dedup, Retrieval, Similarity}
+    val Db3 = "lifecycle_soak"
+    MemJdbc.reset(Db3)
+    val segDir = Files.createTempDirectory("graft_soak_seg").toString
+    val roots = (1 to 4).map(_ => Files.createTempDirectory("graft_soak_idx").toString)
+    val errors = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+
+    def docsDf(ids: Range) = ids.map(i =>
+      (i.toLong, s"alpha beta w$i gamma delta text number ${i % 7} tail"))
+      .toDF("doc_id", "text")
+    def embDf(ids: Range) = ids.map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+
+    val cdc = new Thread(() => try {
+      // round 0 is the from-scratch snapshot; rounds 1..3 are steady-state
+      // tails of freshly appended segments
+      Files.write(Paths.get(segDir, "seg0.json"),
+        """{"op":"u","ns":"app.users","ts":101,"o":{"$set":{"name":"v0"}},"o2":{"_id":"u1"}}"""
+          .getBytes("UTF-8"))
+      val repl = new Replicator(spark, config(), MemJdbc.UrlPrefix + Db3, new Properties())
+      val q0 = repl.run(Map.empty, sourceUsers(withVisits = false),
+        sinkIdsFrom(Db3), segDir,
+        Files.createTempDirectory("graft_soak_ck0").toString)
+      q0.processAllAvailable(); q0.stop()
+      for (r <- 1 to 3) {
+        Files.write(Paths.get(segDir, s"seg$r.json"),
+          s"""{"op":"u","ns":"app.users","ts":${200 + r},"o":{"$$set":{"name":"v$r"}},"o2":{"_id":"u1"}}"""
+            .getBytes("UTF-8"))
+        val observed = Daemon.observedCatalog(MemJdbc.connect(Db3))
+        val q = repl.run(observed, sourceUsers(withVisits = false),
+          sinkIdsFrom(Db3), segDir,
+          Files.createTempDirectory(s"graft_soak_ck$r").toString)
+        q.processAllAvailable(); q.stop()
+      }
+    } catch { case t: Throwable => errors.add(t): Unit })
+
+    val bm25 = new Thread(() => try {
+      val root = roots(0)
+      Retrieval.buildIndexM(docsDf(0 until 20), "doc_id", "text", root)
+      for (r <- 0 until 3) {
+        Retrieval.appendIndexM(
+          docsDf(20 + r * 5 until 25 + r * 5), "doc_id", "text", root)
+        Retrieval.compactIndexM(spark, root)
+        Retrieval.bm25ProbeM(spark, root, Seq((1, "alpha w3")), k = 3).count()
+      }
+      Retrieval.refreshIndexM(docsDf(0 until 35), "doc_id", "text", root)
+    } catch { case t: Throwable => errors.add(t): Unit })
+
+    val lsh = new Thread(() => try {
+      val root = roots(1)
+      Dedup.buildLshIndexDigestedM(docsDf(0 until 20), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4, root)
+      for (r <- 0 until 3) {
+        Dedup.refreshLshIndexM(docsDf(0 until 25 + r * 5), "text", "doc_id",
+          shingleN = 3, k = 8, bands = 4, root)
+        Dedup.compactLshIndexM(spark, root)
+        val (b, s) = Dedup.readLshIndexM(spark, root)
+        b.count(); s.count()
+      }
+    } catch { case t: Throwable => errors.add(t): Unit })
+
+    val pq = new Thread(() => try {
+      val root = roots(2)
+      val cb = Similarity.pqCodebook(embDf(0 until 16), "vec_id", "embedding",
+        m = 2, dsub = 4).localCheckpoint()
+      Similarity.buildPqIndexM(embDf(0 until 20), cb, "vec_id", "embedding",
+        m = 2, dsub = 4, root)
+      for (r <- 0 until 3) {
+        Similarity.appendPqIndexM(embDf(0 until 25 + r * 5), "vec_id", "embedding",
+          m = 2, dsub = 4, root)
+        Similarity.compactPqIndexM(spark, root)
+        Similarity.pqProbeM(embDf(0 until 2), "vec_id", "embedding",
+          k = 3, m = 2, dsub = 4, root).count()
+      }
+      Similarity.refreshPqIndexM(embDf(0 until 35), "vec_id", "embedding",
+        m = 2, dsub = 4, root)
+    } catch { case t: Throwable => errors.add(t): Unit })
+
+    val gram = new Thread(() => try {
+      val root = roots(3)
+      Dedup.buildGramIndexM(docsDf(0 until 20), "doc_id", "text",
+        gramChars = 10, root)
+      for (r <- 0 until 3) {
+        Dedup.appendGramIndexM(docsDf(20 + r * 5 until 25 + r * 5),
+          "doc_id", "text", gramChars = 10, root)
+        Dedup.compactGramIndexM(spark, root)
+        Dedup.readGramIndexM(spark, root).count()
+      }
+    } catch { case t: Throwable => errors.add(t): Unit })
+
+    val threads = Seq(cdc, bm25, lsh, pq, gram)
+    threads.foreach(_.start())
+    threads.foreach(_.join(600000))
+    assert(threads.forall(!_.isAlive), "soak thread wedged past the timeout")
+    assert(errors.isEmpty, s"exceptions leaked across the soak: ${
+      errors.toArray.toSeq.map(_.toString).mkString("; ")}")
+
+    // CDC final state: last round's op applied, offset at its ts
+    assert(MemJdbc.table(Db3, "users")("u1")("name") == "v3")
+    assert(MemJdbc.table(Db3, UpsertWriter.StateTable).get(UpsertWriter.OffsetKey)
+      .map(r => new String(r("value").asInstanceOf[Array[Byte]], "UTF-8").toLong)
+      .contains(203L))
+
+    // every index family's final state ≡ a from-scratch build on the
+    // final corpus (fresh roots, isolated)
+    val fin = Files.createTempDirectory("graft_soak_fin").toString
+    Retrieval.buildIndexM(docsDf(0 until 35), "doc_id", "text", s"$fin/bm25")
+    val probeSoak = Retrieval.bm25ProbeM(spark, roots(0), Seq((1, "alpha w3"), (2, "delta tail")), 3)
+      .collect().map(_.toString).sorted.toSeq
+    val probeFresh = Retrieval.bm25ProbeM(spark, s"$fin/bm25", Seq((1, "alpha w3"), (2, "delta tail")), 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probeSoak == probeFresh)
+
+    Dedup.buildLshIndexDigestedM(docsDf(0 until 35), "text", "doc_id", 3, 8, 4, s"$fin/lsh")
+    val (sb, ss) = Dedup.readLshIndexM(spark, roots(1))
+    val (fb, fs) = Dedup.readLshIndexM(spark, s"$fin/lsh")
+    assert(ss.collect().map(_.toString).sorted.toSeq == fs.collect().map(_.toString).sorted.toSeq)
+    assert(sb.collect().map(_.toString).sorted.toSeq == fb.collect().map(_.toString).sorted.toSeq)
+
+    val cbFin = Similarity.pqCodebook(embDf(0 until 16), "vec_id", "embedding", 2, 4)
+      .localCheckpoint()
+    Similarity.buildPqIndexM(embDf(0 until 35), cbFin, "vec_id", "embedding", 2, 4, s"$fin/pq")
+    val pqSoak = Similarity.pqProbeM(embDf(0 until 3), "vec_id", "embedding", 3, 2, 4, roots(2))
+      .collect().map(_.toString).sorted.toSeq
+    val pqFresh = Similarity.pqProbeM(embDf(0 until 3), "vec_id", "embedding", 3, 2, 4, s"$fin/pq")
+      .collect().map(_.toString).sorted.toSeq
+    assert(pqSoak == pqFresh)
+
+    Dedup.buildGramIndexM(docsDf(0 until 35), "doc_id", "text", 10, s"$fin/gram")
+    val gramSoak = Dedup.readGramIndexM(spark, roots(3))
+      .collect().map(_.toString).sorted.toSeq
+    val gramFresh = Dedup.readGramIndexM(spark, s"$fin/gram")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gramSoak == gramFresh)
+  }
+
   test("parseArgs: reference flags and positional paths (run.go:38-63)") {
     val a = Daemon.parseArgs(Array(
       "conf.yml", "/snap", "/seg", "/ckpt", "--force", "--zerop", "--out=jdbc:x"))
