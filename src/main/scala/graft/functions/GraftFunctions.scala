@@ -89,6 +89,12 @@ object GraftFunctions {
         require(args.length == 1, "graft_decode_features(payload) takes one binary argument")
         DecodeFeatures(args.head)
       }),
+    (FunctionIdentifier("graft_media_header"),
+      new ExpressionInfo(classOf[MediaHeader].getName, "graft_media_header"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_media_header(payload) takes one binary argument")
+        MediaHeader(args.head)
+      }),
     (FunctionIdentifier("graft_gram_digests"),
       new ExpressionInfo(classOf[GramDigests].getName, "graft_gram_digests"),
       (args: Seq[Expression]) => {

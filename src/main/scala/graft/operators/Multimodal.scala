@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star operator; absent from the
@@ -41,6 +41,54 @@ object Multimodal {
       .select(
         col(idCol), col("frame_no"),
         md5(concat(col(idCol).cast("string"), lit(":"), col("frame_no").cast("string"))).as("frame_hash"))
+  }
+
+  /** Parse each payload's container header into
+    * `struct<format:string, width:int, height:int>` (NULL for payloads
+    * that are not a recognized image container) — REAL byte parsing,
+    * not the decode stub: PNG IHDR, the JPEG SOFn marker walk, GIF's
+    * screen descriptor, and BMP's info header are public byte layouts
+    * that need no codec library ([[graft.functions.MediaHeaderKernel]]).
+    * Runs inside WholeStageCodegen like every graft kernel, so a
+    * lake-wide "what formats/dimensions do we have" scan never leaves
+    * Tungsten rows and never decodes a pixel. */
+  def headerMeta(withPayload: DataFrame, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(withPayload.sparkSession)
+    withPayload.withColumn("hdr",
+      call_function("graft_media_header", col("payload")))
+  }
+
+  /** Deterministic synthetic image payloads for the test corpus (which
+    * has no binary media): real PNG / JPEG / GIF byte streams — correct
+    * signatures, chunk/segment structure, and dimension fields derived
+    * from the doc id — plus a non-image garbage payload every 7th doc,
+    * so [[headerMeta]] exercises every parser branch including the NULL
+    * contract. The JPEG variant includes an APP0 segment before SOF0,
+    * so the marker WALK (not just a fixed offset) is what recovers the
+    * dimensions. */
+  def synthesizeImagePayloads(df: DataFrame, idCol: String): DataFrame = {
+    def be16(v: Column) = unhex(lpad(hex(v), 4, "0"))
+    def be32(v: Column) = unhex(lpad(hex(v), 8, "0"))
+    def le16(v: Column) = {
+      val hx = lpad(hex(v), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val w = (col(idCol) % 1920 + 1).cast("int")
+    val h = (col(idCol) % 1080 + 1).cast("int")
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      be32(w), be32(h), unhex(lit("0806000000")))
+    val jpeg = concat(
+      unhex(lit("FFD8" + "FFE00010" + "4A46494600010100000100010000" +
+        "FFC00011" + "08")),
+      be16(h), be16(w))
+    val gif = concat(
+      unhex(lit("474946383961")), le16(w), le16(h), unhex(lit("F70000")))
+    val payload = when(col(idCol) % 7 === 3, unhex(lit("00112233445566778899AABBCC")))
+      .when(col(idCol) % 3 === 0, png)
+      .when(col(idCol) % 3 === 1, jpeg)
+      .otherwise(gif)
+    df.withColumn("payload", payload)
   }
 
   val FeatureDim: Int = graft.functions.DecodeKernel.FeatureDim

@@ -1429,6 +1429,24 @@ object LlmQueries {
       Multimodal.sampleFrames(withPayload, "doc_id", frameStride = 100)
         .orderBy("doc_id", "frame_no")
     },
+
+    // REAL container-header parsing (PNG IHDR / JPEG SOF marker walk /
+    // GIF screen descriptor), not the decode stub: payloads are
+    // synthesized as genuine image byte streams with id-derived
+    // dimensions (every 7th doc gets non-image garbage), and the
+    // codegen'd kernel must read the dimensions back out of the actual
+    // bytes — the oracle knows only the id arithmetic, so any parse
+    // slip (endianness, offset, marker walk) breaks the match.
+    "multimodal_headers" -> q { (s, dir) =>
+      Multimodal.headerMeta(
+        Multimodal.synthesizeImagePayloads(
+          Tables.load(s, dir, "documents"), "doc_id"), "doc_id")
+        .select(col("doc_id"),
+          col("hdr.format").as("format"),
+          col("hdr.width").as("width"),
+          col("hdr.height").as("height"))
+        .orderBy("doc_id")
+    },
   )
 
   /** DuckDB replay of a PQ search over a from-scratch encode of the full
@@ -3122,6 +3140,21 @@ object LlmQueries {
          SELECT doc_id, frame_no,
            md5(concat(doc_id, ':', frame_no)) AS frame_hash
          FROM f ORDER BY doc_id, frame_no""",
+
+    // The oracle reproduces only the id arithmetic the payloads were
+    // synthesized FROM; the Spark side must recover the same numbers by
+    // parsing the generated image bytes.
+    "multimodal_headers" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'gif' END AS format,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE (doc_id % 1920 + 1)::int END AS width,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE (doc_id % 1080 + 1)::int END AS height
+         FROM documents ORDER BY doc_id""",
   )
 
   /** Mean recall over the 10 queries of one recall family, summed in

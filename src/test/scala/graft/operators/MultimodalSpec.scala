@@ -71,4 +71,78 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("SerializeFromObject")) // typed mapPartitions stage
     assert(!plan.contains("ExistingRDD"))        // not createDataFrame(rdd, …)
   }
+
+  // ---- MediaHeaderKernel: real container parsing, golden bytes --------
+
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def parsed(b: Array[Byte]): Option[(String, Int, Int)] =
+    Option(graft.functions.MediaHeaderKernel.parse(b)).map(r =>
+      (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+
+  test("media header: PNG IHDR big-endian dimensions") {
+    // 640×480 PNG header exactly as libpng writes it
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08 06 000000")
+    assert(parsed(png).contains(("png", 640, 480)))
+    // signature right, IHDR not first chunk → null, not garbage values
+    assert(parsed(hx("89504E470D0A1A0A 0000000D 58585858 00000280 000001E0 0806000000")).isEmpty)
+    // truncated mid-IHDR
+    assert(parsed(hx("89504E470D0A1A0A 0000000D 494844")).isEmpty)
+  }
+
+  test("media header: JPEG marker walk reaches SOFn past other segments") {
+    // SOI, APP0 (JFIF), DQT-ish segment, SOF0 8-bit 320×240 (h=F0, w=140)
+    val jpeg = hx("FFD8" +
+      "FFE00010 4A46494600010100000100010000" + // APP0, len 16
+      "FFDB0005 001122" +                        // arbitrary segment, len 5
+      "FFC00011 08 00F0 0140")                   // SOF0: precision, h, w
+    assert(parsed(jpeg).contains(("jpeg", 320, 240)))
+    // progressive (SOF2) and fill bytes before the marker both legal
+    val sof2 = hx("FFD8 FFFFFFC2000B 08 0010 0020")
+    assert(parsed(sof2).contains(("jpeg", 32, 16)))
+    // DHT (C4) must NOT match as a frame header
+    val dht = hx("FFD8 FFC40008 080010002000 FFC00011 08 0008 0004")
+    assert(parsed(dht).contains(("jpeg", 4, 8)))
+    // SOS before any SOF → no dimensions recoverable
+    assert(parsed(hx("FFD8 FFDA0008 080010002000 0000")).isEmpty)
+    // truncated before the SOF payload
+    assert(parsed(hx("FFD8 FFC00011 08 00")).isEmpty)
+  }
+
+  test("media header: GIF and BMP little-endian dimensions") {
+    assert(parsed(hx("474946383961 8002 E001 F70000")) // GIF89a 640×480
+      .contains(("gif", 640, 480)))
+    assert(parsed(hx("474946383761 0A00 0500 F70000")) // GIF87a 10×5
+      .contains(("gif", 10, 5)))
+    // BMP BITMAPINFOHEADER, 100×50, plus top-down variant (negative h)
+    val bmpHead = "424D 46000000 00000000 36000000 28000000"
+    assert(parsed(hx(bmpHead + "64000000 32000000")).contains(("bmp", 100, 50)))
+    assert(parsed(hx(bmpHead + "64000000 CEFFFFFF")).contains(("bmp", 100, 50)))
+  }
+
+  test("media header: garbage, empty, and text payloads are null") {
+    assert(parsed(Array.empty[Byte]).isEmpty)
+    assert(parsed("just some document text".getBytes("UTF-8")).isEmpty)
+    assert(parsed(hx("00112233445566778899AABBCC")).isEmpty)
+    assert(parsed(null).isEmpty)
+  }
+
+  test("headerMeta over synthesized payloads: codegen parse recovers the id arithmetic") {
+    val ids = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.headerMeta(
+        Multimodal.synthesizeImagePayloads(ids, "doc_id"), "doc_id")
+      .select(col("doc_id"), col("hdr.format"), col("hdr.width"), col("hdr.height"))
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 7 == 3) assert(r.isNullAt(1), s"doc $id should be garbage")
+      else {
+        val fmt = if (id % 3 == 0) "png" else if (id % 3 == 1) "jpeg" else "gif"
+        assert(r.getString(1) == fmt, s"doc $id format")
+        assert(r.getInt(2) == (id % 1920 + 1).toInt, s"doc $id width")
+        assert(r.getInt(3) == (id % 1080 + 1).toInt, s"doc $id height")
+      }
+    }
+  }
 }
