@@ -202,6 +202,10 @@ object SparkEntry {
     // 3 bench reps times the probe, which is what a deployment pays)
     "quality_profile", "quality_corpus_diff",
     "dedup_spans_incremental_serve", "dedup_cross_corpus_served",
+    // round 13 — the persisted inverted file's steady-state probe: the
+    // cluster-pruned scan is the 100 TB serve shape (the lifecycle
+    // build/append/refresh queries stay off the bench like the others)
+    "sim_ivf_probe_served",
     // round 11b — corpus wordcount + bounded-heap report shape, and the
     // composed publish path (4 chained hash-decision stages + census)
     "text_top_ngrams", "curation_release")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -775,6 +775,190 @@ object Similarity {
       graft.index.IndexManifest.readAt(spark, root, snap, PqCodesTable),
       graft.index.IndexManifest.readAt(spark, root, snap, PqCodebookTable),
       idCol, vecCol, k, m, dsub)
+  }
+
+  // ---- IVF index under the atomic manifest protocol -------------------
+  //
+  // [[ivfTopKProbed]] is correct but re-ASSIGNS the whole corpus to
+  // clusters on every call — a full kernel pass + cluster shuffle per
+  // query batch, which at 100 TB is the scan the inverted file exists
+  // to avoid. The persisted family stores the assignment once (FAISS
+  // IndexIVFFlat's layout: full vectors inverted by cluster) and turns
+  // a probe into a `cluster ∈ probes` read: two logical tables —
+  // `ivf_centroids` (broadcast-small) and `ivf_assigned`
+  // (id, vdig, cluster, vec), written repartitioned + sorted BY CLUSTER
+  // so parquet row-group min/max stats prune non-probed cells — staged
+  // as immutable segments and published in one manifest commit, so a
+  // probe racing append/refresh resolves assignments AND the centroids
+  // they were computed against together (stale-assignment-under-new-
+  // centroids is the IVF analog of new-codes-under-an-old-codebook).
+
+  private val IvfAssignedTable = "ivf_assigned"
+  private val IvfCentroidsTable = "ivf_centroids"
+
+  /** Assignment-only half of [[clusteredAndProbes]]'s dispatch. */
+  private def assignOnly(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    integralIdType(centroids, idCol) match {
+      case Some(t) =>
+        val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+        assignClustersRef(corpus, ref, vecCol, t)
+      case None => assignClustersComposed(corpus, centroids, idCol, vecCol)
+    }
+
+  /** Probe-list-only half of [[clusteredAndProbes]]'s dispatch:
+    * (query_id, __qv, cluster, probe_rank). */
+  private def probesOnly(
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    integralIdType(centroids, idCol) match {
+      case Some(t) =>
+        val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+        probeClustersRef(queries, ref, idCol, vecCol, nProbe, t)
+      case None =>
+        probeClustersComposed(queries, centroids, idCol, vecCol, nProbe)
+    }
+
+  /** Stage one cluster-ordered assigned segment: hash-repartitioned and
+    * sorted by cluster, so every parquet row group covers a tight
+    * cluster range and a probe's `cluster IN (…)` prunes at the scan. */
+  private def writeAssignedSeg(assigned: DataFrame, path: String): Unit =
+    assigned
+      .repartition(col("cluster")).sortWithinPartitions(col("cluster"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  private def ivfAssignedRows(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assignOnly(corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol).as("id"), vecDigest(col(vecCol)).as("vdig"),
+        col("cluster"), col(vecCol).as("vec"))
+
+  /** Build + persist the inverted file: centroids and the cluster-keyed
+    * assignment committed together. */
+  def buildIvfIndexM(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, root: String): Long = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cenSeg = graft.index.IndexManifest.newSegment(IvfCentroidsTable)
+    centroids.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/$cenSeg")
+    val aSeg = graft.index.IndexManifest.newSegment(IvfAssignedTable)
+    writeAssignedSeg(ivfAssignedRows(corpus, centroids, idCol, vecCol), s"$root/$aSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      Map(IvfCentroidsTable -> Seq(cenSeg), IvfAssignedTable -> Seq(aSeg)))
+  }
+
+  private def storedIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      snap: graft.index.IndexManifest.Snapshot,
+      idCol: String, vecCol: String): DataFrame =
+    graft.index.IndexManifest.readAt(spark, root, snap, IvfCentroidsTable)
+      .select(col("id").as(idCol), col("vec").as(vecCol))
+
+  /** Append-only maintenance: assign ONLY corpus rows whose id is not
+    * yet indexed — with the STORED centroids, so every segment's cell
+    * geometry matches — and publish them as a new segment atomically. */
+  def appendIvfIndexM(
+      corpus: DataFrame, idCol: String, vecCol: String, root: String): Long = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
+    val existing = graft.index.IndexManifest
+      .readAt(spark, root, snap, IvfAssignedTable)
+      .select(col("id").as(idCol))
+    val fresh = corpus.join(existing, Seq(idCol), "left_anti")
+    val aSeg = graft.index.IndexManifest.newSegment(IvfAssignedTable)
+    writeAssignedSeg(ivfAssignedRows(fresh, cen, idCol, vecCol), s"$root/$aSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(IvfAssignedTable,
+        snap.tables(IvfAssignedTable) :+ aSeg),
+      expect = Some(snap.version))
+  }
+
+  /** Refresh against a NEW full corpus snapshot: rows whose
+    * (id, fingerprint) still match keep their stored assignment (no
+    * kernel, no vector read), changed/added rows re-assign with the
+    * stored centroids, removed ids drop — and the table moves to the
+    * single refreshed segment in one commit ([[pqIndexRefresh]]'s
+    * shape with `cluster` in place of `codes`). */
+  def refreshIvfIndexM(
+      corpus: DataFrame, idCol: String, vecCol: String, root: String): Long = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
+    val idx = graft.index.IndexManifest.readAt(spark, root, snap, IvfAssignedTable)
+    val cd = corpus.select(col(idCol), col(vecCol))
+      .withColumn("vdig", vecDigest(col(vecCol)))
+    val kept = idx.join(
+      cd.select(col(idCol).as("id"), col("vdig")), Seq("id", "vdig"), "left_semi")
+    val fresh = ivfAssignedRows(
+      cd.join(idx.select(col("id").as(idCol), col("vdig")),
+          Seq(idCol, "vdig"), "left_anti")
+        .select(col(idCol), col(vecCol)),
+      cen, idCol, vecCol)
+    val aSeg = graft.index.IndexManifest.newSegment(IvfAssignedTable)
+    writeAssignedSeg(kept.unionByName(fresh), s"$root/$aSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(IvfAssignedTable, Seq(aSeg)),
+      expect = Some(snap.version))
+  }
+
+  /** Compact the appended segments back to one cluster-ordered segment —
+    * appends are disjoint by the anti-join, so this is a pure re-layout
+    * restoring row-group pruning across what appends scattered into
+    * per-delta files. Read-amplification dial, not a correctness event. */
+  def compactIvfIndexM(
+      spark: org.apache.spark.sql.SparkSession, root: String): Long = {
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val aSeg = graft.index.IndexManifest.newSegment(IvfAssignedTable)
+    writeAssignedSeg(
+      graft.index.IndexManifest.readAt(spark, root, snap, IvfAssignedTable),
+      s"$root/$aSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(IvfAssignedTable, Seq(aSeg)),
+      expect = Some(snap.version))
+  }
+
+  /** Multi-probe search served from the manifest-committed inverted
+    * file: ONE snapshot resolves centroids and assignment together; the
+    * query batch's probe list comes from the stored centroids (kernel
+    * projection, no corpus touch), and the assigned table is read ONLY
+    * on the probed clusters — `cluster IN (…)` is pushed into the
+    * parquet scan when the batch's distinct probe set is small (the
+    * `isinTermCap` precedent from BM25; row-group pruning does the rest
+    * thanks to the cluster-sorted layout), with a broadcast join beyond
+    * the cap. Row-identical to [[ivfTopKProbed]] over the same corpus
+    * and centroids (spec-pinned + shared oracle). */
+  def ivfProbeM(
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, root: String): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
+    val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)
+      .drop("probe_rank").localCheckpoint()
+    val isinCap = spark.conf.get("spark.graft.ivf.isinClusterCap", "256").toInt
+    val probed = probes.select("cluster").distinct().collect().map(_.get(0))
+    val assigned = {
+      val a = graft.index.IndexManifest.readAt(spark, root, snap, IvfAssignedTable)
+      if (probed.length <= isinCap) a.filter(col("cluster").isin(probed.toSeq: _*))
+      else a
+    }
+    val clustered = assigned
+      .select(col("id").as("neighbor_id"), col("vec").as("__cv"), col("cluster"))
+    val scored = broadcast(probes).join(clustered, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
+    topKPerQueryAuto(scored, k)
+      .select(col("query_id"), col("cluster"), col("neighbor_id"),
+        col("cosine"), col("rank"))
   }
 
   /** Two-stage PQ retrieval: ADC coarse scan, exact float rerank — the

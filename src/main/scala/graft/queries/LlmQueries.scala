@@ -590,6 +590,75 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // The IVF lifecycle PERSISTED under the manifest protocol: the even
+    // half built as the standing inverted file (centroids + cluster-keyed
+    // assignment committed together, segments sorted by cluster for
+    // row-group pruning), the full corpus appended (anti-join finds the
+    // missing half, assigned with the STORED centroids), the scattered
+    // append segments compacted, then the multi-probe search served from
+    // one resolved snapshot — reading ONLY the probed clusters. Must
+    // equal the inline ivfTopKProbed over the full corpus, which is
+    // exactly what the probed oracle computes.
+    "sim_ivf_index_served" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      val root = freshIndexRoot("ivfidx", dir)
+      Similarity.buildIvfIndexM(emb.filter(col("vec_id") % 2 === 0), centroids,
+        "vec_id", "embedding", root)
+      Similarity.appendIvfIndexM(emb, "vec_id", "embedding", root)
+      Similarity.compactIvfIndexM(s, root)
+      Similarity.ivfProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, root)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // The steady-state IVF SERVE path — what a deployment pays per query
+    // batch once the inverted file stands: build-if-stale against the
+    // source mtime (the dedup_cross_corpus_served pattern; on the bench
+    // the build lands in the warm-up phase, so the timed reps measure
+    // the probe), then the multi-probe search reads ONLY the probed
+    // clusters out of the committed cluster-sorted segments.
+    "sim_ivf_probe_served" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = serveIndexRoot("ivfidx_srv", dir)
+      val src = new java.io.File(dir, "embeddings.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        Similarity.buildIvfIndexM(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      Similarity.ivfProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, root)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // IVF index REFRESH — corpus UPDATES, not just arrivals: stale
+    // assignments for re-embedded vectors (reversed embeddings land in
+    // different cells), missing arrivals, retired rows — one refresh
+    // brings the inverted file to today's corpus at the cost of the
+    // changed/added rows only (unchanged fingerprints keep their stored
+    // cell without a kernel pass), and the probe over it must equal the
+    // inline search over the true corpus.
+    "sim_ivf_index_refresh" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      val stale = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val retired = emb.filter(col("vec_id") % 9 === 3)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val old = emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 =!= 1)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(stale).unionByName(retired)
+      val root = freshIndexRoot("ivfref", dir)
+      Similarity.buildIvfIndexM(old, centroids, "vec_id", "embedding", root)
+      Similarity.refreshIvfIndexM(emb, "vec_id", "embedding", root)
+      Similarity.ivfProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, root)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // Cross-corpus dedup — the daily-ingest shape: the even-id half plays
     // the arriving delta, the odd-id half the standing lake; only CROSS
     // pairs are surfaced (intra-side dups are the self-join family's job),
@@ -3259,5 +3328,11 @@ object LlmQueries {
       ("stream_crosscorpus_dedup" -> baseOracles("dedup_cross_corpus")) +
       // the manifest-served PQ index converges to the from-scratch
       // encode of the full corpus — the append oracle replayed
-      ("sim_pq_index_served" -> baseOracles("sim_pq_index_append"))
+      ("sim_pq_index_served" -> baseOracles("sim_pq_index_append")) +
+      // the manifest-served inverted file converges to the inline
+      // multi-probe search over the full corpus — build+append+compact
+      // and build+refresh both replay the probed oracle
+      ("sim_ivf_index_served" -> baseOracles("sim_topk_ivf_probed")) +
+      ("sim_ivf_index_refresh" -> baseOracles("sim_topk_ivf_probed")) +
+      ("sim_ivf_probe_served" -> baseOracles("sim_topk_ivf_probed"))
 }

@@ -225,6 +225,57 @@ class IndexConcurrencySpec extends SparkSpec {
 
   // ---- PQ codes/codebook ----------------------------------------------
 
+  test("ivf_index_concurrent: centroids and assignment resolve together; lifecycle converges") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.7f, 0.7f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < 3)
+    val queries = emb.filter(col("vec_id") === 0)
+    val root = freshRoot("ivf")
+
+    Similarity.buildIvfIndexM(emb.filter(col("vec_id") < 4), centroids,
+      "vec_id", "embedding", root)
+    def probe() = Similarity.ivfProbeM(queries, "vec_id", "embedding",
+        k = 3, nProbe = 2, root)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    def want(corpus: DataFrame) = Similarity.ivfTopKProbed(queries, corpus,
+        centroids, "vec_id", "embedding", k = 3, nProbe = 2)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val before = probe()
+    assert(before == want(emb.filter(col("vec_id") < 4)) && before.nonEmpty)
+
+    // torn append: staged assignment rows invisible until committed
+    stageOrphan(root, "ivf_assigned",
+      Seq((999L, "junk", 0L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+        .toDF("id", "vdig", "cluster", "vec"))
+    assert(probe() == before, "uncommitted IVF assignment leaked into a probe")
+
+    // committed append with STORED centroids ≡ inline search on the
+    // grown corpus; compact folds segments, probe bit-identical
+    Similarity.appendIvfIndexM(emb, "vec_id", "embedding", root)
+    assert(probe() == want(emb))
+    Similarity.compactIvfIndexM(spark, root)
+    assert(IndexManifest.snapshot(spark, root).tables("ivf_assigned").size == 1)
+    assert(probe() == want(emb), "IVF probe-after-compact diverged")
+
+    // refresh against an updated snapshot: changed vectors re-assign,
+    // retired ids drop, one swap commit, result ≡ inline on new corpus
+    val updated = emb.filter(col("vec_id") =!= 3 && col("vec_id") =!= 4)
+      .unionByName(Seq((4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+        .toDF("vec_id", "embedding"))
+    val snapPre = IndexManifest.snapshot(spark, root)
+    Similarity.refreshIvfIndexM(updated, "vec_id", "embedding", root)
+    val snapPost = IndexManifest.snapshot(spark, root)
+    assert(snapPost.version == snapPre.version + 1)
+    assert(snapPost.tables("ivf_assigned").size == 1)
+    assert(probe() == want(updated), "refreshed IVF index must match the new corpus")
+  }
+
   test("pq_index_concurrent: codes and codebook resolve together; refresh is a swap") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

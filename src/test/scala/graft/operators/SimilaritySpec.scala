@@ -741,4 +741,32 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(again == trained)
   }
+
+  test("ivfProbeM plan: cluster IN pushed into the assigned scan; cap falls back cleanly") {
+    val root = new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      s"graft_ivfplan_${java.util.UUID.randomUUID().toString.take(8)}").toString
+    val centroids = emb.filter(col("vec_id") < 3)
+    Similarity.buildIvfIndexM(emb, centroids, "vec_id", "embedding", root)
+    val queries = emb.filter(col("vec_id") === 0)
+    val probed = Similarity.ivfProbeM(queries, "vec_id", "embedding",
+      k = 3, nProbe = 2, root)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("In(cluster"),
+      "probe-cluster IN filter must push into the assigned parquet scan")
+    val want = probed.as[(Long, Long, Long, Double, Int)].collect().toSet
+    // above the cap: no isin, broadcast join only — result identical
+    spark.conf.set("spark.graft.ivf.isinClusterCap", "0")
+    try {
+      val uncapped = Similarity.ivfProbeM(queries, "vec_id", "embedding",
+        k = 3, nProbe = 2, root)
+      assert(!uncapped.queryExecution.executedPlan.toString.contains("In(cluster"))
+      assert(uncapped.as[(Long, Long, Long, Double, Int)].collect().toSet == want)
+    } finally spark.conf.unset("spark.graft.ivf.isinClusterCap")
+    // and the served probe ≡ the inline operator on the same corpus
+    val inline = Similarity.ivfTopKProbed(queries, emb, centroids,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(want == inline)
+  }
 }
