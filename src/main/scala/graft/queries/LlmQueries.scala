@@ -1440,6 +1440,19 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // ANN at ingest over the persisted inverted file — the IVF leg of
+    // the streaming probe family: each micro-batch runs the served
+    // multi-probe search over just its arrivals (probe list from the
+    // stored centroids, pushed cluster-IN scan of one committed
+    // snapshot, bounded-heap top-k). A query is one stream row, so the
+    // per-batch union is the whole answer; shares the inline
+    // multi-probe oracle.
+    "stream_ann_ivf_probe" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingIvfProbe(s, dir, k = 5, nProbe = 2)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // The streaming leg of hard-negative mining: arriving anchors get
     // their negatives from the persisted inverted index the moment they
     // land — stateless in-stream query-term explode, stream-static
@@ -3334,5 +3347,8 @@ object LlmQueries {
       // and build+refresh both replay the probed oracle
       ("sim_ivf_index_served" -> baseOracles("sim_topk_ivf_probed")) +
       ("sim_ivf_index_refresh" -> baseOracles("sim_topk_ivf_probed")) +
-      ("sim_ivf_probe_served" -> baseOracles("sim_topk_ivf_probed"))
+      ("sim_ivf_probe_served" -> baseOracles("sim_topk_ivf_probed")) +
+      // the ingest-time IVF probe replays the inline multi-probe oracle:
+      // same centroids, same full-corpus assignment, same pruned scan
+      ("stream_ann_ivf_probe" -> baseOracles("sim_topk_ivf_probed"))
 }

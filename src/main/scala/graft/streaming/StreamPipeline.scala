@@ -592,6 +592,49 @@ object StreamPipeline {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** ANN AT INGEST over the persisted INVERTED FILE — the IVF leg of the
+    * streaming probe family (PQ ranks arrivals against the committed
+    * code table; this one reads only the probed clusters of the
+    * committed cluster-sorted assignment): each micro-batch runs the
+    * full served probe ([[graft.operators.Similarity.ivfProbeM]]) over
+    * just its arrivals inside `foreachBatch` — probe-list kernel
+    * projection from the stored centroids, pushed `cluster IN` scan of
+    * one manifest snapshot, bounded-heap top-k. A query vector is one
+    * stream row, so per-batch top-k IS its global top-k and the
+    * per-batch union is the whole batch's answer — batch-equivalent to
+    * the inline multi-probe search (shared oracle). */
+  def streamingIvfProbe(
+      spark: SparkSession, dir: String, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val root = Files.createTempDirectory("graft_ivfidx_stream").toString
+    val outDir = Files.createTempDirectory("graft_sivf_out").toString
+    val ckptDir = Files.createTempDirectory("graft_sivf_ckpt").toString
+    try {
+      graft.operators.Similarity.buildIvfIndexM(
+        emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", root)
+      val arrivals = spark.readStream
+        .schema(EmbeddingsSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .filter(col("vec_id") < 10)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(
+            graft.operators.Similarity.ivfProbeM(
+              batch.toDF(), "vec_id", "embedding", k, nProbe, root),
+            outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir).localCheckpoint(true)
+    } finally {
+      Seq(root, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   /** Serve the ingest dedup from an already-persisted index table. */
   def streamingSemanticDedupWithIndex(
       spark: SparkSession, dir: String, indexPath: String): DataFrame =

@@ -184,10 +184,10 @@ class DaemonLifecycleSpec extends SparkSpec {
     assert(offsetOf.contains(50L)) // pinned only after all tables snapshotted
   }
 
-  test("soak: CDC replication while all four index families run maintenance in the same session") {
+  test("soak: CDC replication while all five index families run maintenance in the same session") {
     // The deployment shape where the CDC apply and the index lifecycles
     // share one cluster: Replicator.run rounds tail the feed on one
-    // thread while each persisted index family (gram log, LSH, PQ, BM25)
+    // thread while each persisted index family (gram log, LSH, PQ, BM25, IVF)
     // runs its own build → append/refresh → compact → probe loop on its
     // own thread against the SAME SparkSession. Each family has a single
     // writer on its own root, so no manifest conflict is legitimate —
@@ -199,7 +199,7 @@ class DaemonLifecycleSpec extends SparkSpec {
     val Db3 = "lifecycle_soak"
     MemJdbc.reset(Db3)
     val segDir = Files.createTempDirectory("graft_soak_seg").toString
-    val roots = (1 to 4).map(_ => Files.createTempDirectory("graft_soak_idx").toString)
+    val roots = (1 to 5).map(_ => Files.createTempDirectory("graft_soak_idx").toString)
     val errors = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
 
     def docsDf(ids: Range) = ids.map(i =>
@@ -286,7 +286,20 @@ class DaemonLifecycleSpec extends SparkSpec {
       }
     } catch { case t: Throwable => errors.add(t): Unit })
 
-    val threads = Seq(cdc, bm25, lsh, pq, gram)
+    val ivf = new Thread(() => try {
+      val root = roots(4)
+      val cen = embDf(0 until 16)
+      Similarity.buildIvfIndexM(embDf(0 until 20), cen, "vec_id", "embedding", root)
+      for (r <- 0 until 3) {
+        Similarity.appendIvfIndexM(embDf(0 until 25 + r * 5), "vec_id", "embedding", root)
+        Similarity.compactIvfIndexM(spark, root)
+        Similarity.ivfProbeM(embDf(0 until 2), "vec_id", "embedding",
+          k = 3, nProbe = 2, root).count()
+      }
+      Similarity.refreshIvfIndexM(embDf(0 until 35), "vec_id", "embedding", root)
+    } catch { case t: Throwable => errors.add(t): Unit })
+
+    val threads = Seq(cdc, bm25, lsh, pq, gram, ivf)
     threads.foreach(_.start())
     threads.foreach(_.join(600000))
     assert(threads.forall(!_.isAlive), "soak thread wedged past the timeout")
@@ -330,6 +343,14 @@ class DaemonLifecycleSpec extends SparkSpec {
     val gramFresh = Dedup.readGramIndexM(spark, s"$fin/gram")
       .collect().map(_.toString).sorted.toSeq
     assert(gramSoak == gramFresh)
+
+    Similarity.buildIvfIndexM(embDf(0 until 35), embDf(0 until 16),
+      "vec_id", "embedding", s"$fin/ivf")
+    val ivfSoak = Similarity.ivfProbeM(embDf(0 until 3), "vec_id", "embedding",
+        3, 2, roots(4)).collect().map(_.toString).sorted.toSeq
+    val ivfFresh = Similarity.ivfProbeM(embDf(0 until 3), "vec_id", "embedding",
+        3, 2, s"$fin/ivf").collect().map(_.toString).sorted.toSeq
+    assert(ivfSoak == ivfFresh)
   }
 
   test("parseArgs: reference flags and positional paths (run.go:38-63)") {
