@@ -961,6 +961,165 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  // ---- IVF-PQ index under the atomic manifest protocol ----------------
+  //
+  // The production 100 TB ANN layout (FAISS `IVFx,PQm`): the inverted
+  // file's cluster pruning AND product quantization's d/m code
+  // compression in one persisted index. Where [[buildIvfIndexM]] stores
+  // full vectors (IndexIVFFlat), this family stores (id, fingerprint,
+  // cluster, m-int codes) — 16× slimmer rows at m=4/dsub=16 — plus the
+  // broadcast-small centroids and codebook tables, all committed
+  // together: a probe racing maintenance can never pair new codes with
+  // an old codebook or assignments with foreign centroids. Probe cost:
+  // nProbe/C of the CODE rows read (cluster-sorted row-group pruning),
+  // one ADC kernel per candidate, queries×k rows out.
+
+  private val IvfPqCodesTable = "ivfpq_codes"
+
+  private def ivfPqCodeRows(
+      corpus: DataFrame, centroids: DataFrame,
+      ref: graft.functions.PqCodebookRef,
+      idCol: String, vecCol: String): DataFrame =
+    assignOnly(corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol).as("id"), vecDigest(col(vecCol)).as("vdig"),
+        col("cluster"),
+        kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
+
+  /** Build + persist the coarse-quantized code index: centroids,
+    * codebook (the [[pqCodebook]]-derived frame), and the cluster-keyed
+    * code rows — one composed kernel projection over the corpus scan
+    * (assignment + encode, zero shuffles before the cluster-sort). */
+  def buildIvfPqIndexM(
+      corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int, root: String): Long = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
+    val cenSeg = graft.index.IndexManifest.newSegment(IvfCentroidsTable)
+    centroids.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/$cenSeg")
+    val cbSeg = graft.index.IndexManifest.newSegment(PqCodebookTable)
+    codebook.write.mode(SaveMode.Overwrite).parquet(s"$root/$cbSeg")
+    val aSeg = graft.index.IndexManifest.newSegment(IvfPqCodesTable)
+    writeAssignedSeg(ivfPqCodeRows(corpus, centroids, ref, idCol, vecCol),
+      s"$root/$aSeg")
+    graft.index.IndexManifest.commit(spark, root, Map(
+      IvfCentroidsTable -> Seq(cenSeg), PqCodebookTable -> Seq(cbSeg),
+      IvfPqCodesTable -> Seq(aSeg)))
+  }
+
+  private def storedPqRef(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      snap: graft.index.IndexManifest.Snapshot,
+      m: Int, dsub: Int): graft.functions.PqCodebookRef =
+    graft.functions.PqCodebookRef.fromCodebook(
+      graft.index.IndexManifest.readAt(spark, root, snap, PqCodebookTable),
+      m, dsub)
+
+  /** Append-only maintenance: assign + encode ONLY unindexed ids, with
+    * the STORED centroids and codebook. */
+  def appendIvfPqIndexM(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, root: String): Long = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
+    val ref = storedPqRef(spark, root, snap, m, dsub)
+    val existing = graft.index.IndexManifest
+      .readAt(spark, root, snap, IvfPqCodesTable)
+      .select(col("id").as(idCol))
+    val fresh = corpus.join(existing, Seq(idCol), "left_anti")
+    val aSeg = graft.index.IndexManifest.newSegment(IvfPqCodesTable)
+    writeAssignedSeg(ivfPqCodeRows(fresh, cen, ref, idCol, vecCol), s"$root/$aSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(IvfPqCodesTable,
+        snap.tables(IvfPqCodesTable) :+ aSeg),
+      expect = Some(snap.version))
+  }
+
+  /** Refresh against a NEW full corpus snapshot: unchanged
+    * (id, fingerprint) rows keep their stored cell and codes untouched,
+    * changed/added rows re-assign + re-encode, removed ids drop — one
+    * swap commit. */
+  def refreshIvfPqIndexM(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, root: String): Long = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
+    val ref = storedPqRef(spark, root, snap, m, dsub)
+    val idx = graft.index.IndexManifest.readAt(spark, root, snap, IvfPqCodesTable)
+    val cd = corpus.select(col(idCol), col(vecCol))
+      .withColumn("vdig", vecDigest(col(vecCol)))
+    val kept = idx.join(
+      cd.select(col(idCol).as("id"), col("vdig")), Seq("id", "vdig"), "left_semi")
+    val fresh = ivfPqCodeRows(
+      cd.join(idx.select(col("id").as(idCol), col("vdig")),
+          Seq(idCol, "vdig"), "left_anti")
+        .select(col(idCol), col(vecCol)),
+      cen, ref, idCol, vecCol)
+    val aSeg = graft.index.IndexManifest.newSegment(IvfPqCodesTable)
+    writeAssignedSeg(kept.unionByName(fresh), s"$root/$aSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(IvfPqCodesTable, Seq(aSeg)),
+      expect = Some(snap.version))
+  }
+
+  /** Compact the appended code segments to one cluster-ordered segment. */
+  def compactIvfPqIndexM(
+      spark: org.apache.spark.sql.SparkSession, root: String): Long = {
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val aSeg = graft.index.IndexManifest.newSegment(IvfPqCodesTable)
+    writeAssignedSeg(
+      graft.index.IndexManifest.readAt(spark, root, snap, IvfPqCodesTable),
+      s"$root/$aSeg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(IvfPqCodesTable, Seq(aSeg)),
+      expect = Some(snap.version))
+  }
+
+  /** Multi-probe ADC search served from the committed IVF-PQ index: one
+    * snapshot resolves centroids, codebook, and codes together; probe
+    * list and per-query LUT are stateless kernel projections; only the
+    * probed clusters' CODE rows are read (`cluster IN` pushed under
+    * `spark.graft.ivf.isinClusterCap`, broadcast join beyond it).
+    * Row-identical to [[ivfPqTopK]] over the same corpus, centroids,
+    * and codewords (shared oracle). */
+  def ivfPqProbeM(
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, dsub: Int, nProbe: Int, root: String): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
+    val ref = storedPqRef(spark, root, snap, m, dsub)
+    val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)
+      .drop("probe_rank", "__qv").localCheckpoint()
+    val isinCap = spark.conf.get("spark.graft.ivf.isinClusterCap", "256").toInt
+    val probed = probes.select("cluster").distinct().collect().map(_.get(0))
+    val codes = {
+      val a = graft.index.IndexManifest.readAt(spark, root, snap, IvfPqCodesTable)
+      if (probed.length <= isinCap) a.filter(col("cluster").isin(probed.toSeq: _*))
+      else a
+    }
+    val lut = queries.select(col(idCol).as("query_id"),
+      kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
+    val scored = broadcast(probes.join(lut, Seq("query_id")))
+      .join(codes.select(col("id").as("neighbor_id"), col("cluster"), col("codes")),
+        Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(ref.k)), 6))
+    TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("cluster"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Two-stage PQ retrieval: ADC coarse scan, exact float rerank — the
     * [[sq8RerankTopK]] refine pattern over the PQ index (FAISS
     * `IndexRefineFlat` over PQ): the coarse pass reads only the m-int

@@ -634,6 +634,51 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // The IVF-PQ lifecycle PERSISTED under the manifest: FAISS's
+    // production IVFx,PQm layout — cluster pruning over 16x-slimmer
+    // code rows, with centroids, codebook, and codes committed together
+    // (a probe can never pair new codes with an old codebook or foreign
+    // centroids). Build on the even half, append the rest with the
+    // STORED centroids+codebook, compact, probe — must equal the inline
+    // ivfPqTopK over the full corpus (same oracle).
+    "sim_ivfpq_index_served" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val sample = emb.filter(col("vec_id") % 100 === 0)
+      val cb = Similarity.pqCodebook(sample, "vec_id", "embedding", m = 4, dsub = 16)
+      val root = freshIndexRoot("ivfpqidx", dir)
+      Similarity.buildIvfPqIndexM(emb.filter(col("vec_id") % 2 === 0), sample, cb,
+        "vec_id", "embedding", m = 4, dsub = 16, root)
+      Similarity.appendIvfPqIndexM(emb, "vec_id", "embedding", 4, 16, root)
+      Similarity.compactIvfPqIndexM(s, root)
+      Similarity.ivfPqProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2, root)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // IVF-PQ REFRESH: stale codes for re-embedded vectors, missing
+    // arrivals, retired rows — one refresh converges the code index to
+    // today's corpus (unchanged fingerprints keep cell AND codes with
+    // no vector read), probe ≡ inline on the true corpus.
+    "sim_ivfpq_index_refresh" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val sample = emb.filter(col("vec_id") % 100 === 0)
+      val cb = Similarity.pqCodebook(sample, "vec_id", "embedding", m = 4, dsub = 16)
+      val stale = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val retired = emb.filter(col("vec_id") % 9 === 3)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val old = emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 =!= 1)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(stale).unionByName(retired)
+      val root = freshIndexRoot("ivfpqref", dir)
+      Similarity.buildIvfPqIndexM(old, sample, cb,
+        "vec_id", "embedding", m = 4, dsub = 16, root)
+      Similarity.refreshIvfPqIndexM(emb, "vec_id", "embedding", 4, 16, root)
+      Similarity.ivfPqProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2, root)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // IVF index REFRESH — corpus UPDATES, not just arrivals: stale
     // assignments for re-embedded vectors (reversed embeddings land in
     // different cells), missing arrivals, retired rows — one refresh
@@ -3350,5 +3395,9 @@ object LlmQueries {
       ("sim_ivf_probe_served" -> baseOracles("sim_topk_ivf_probed")) +
       // the ingest-time IVF probe replays the inline multi-probe oracle:
       // same centroids, same full-corpus assignment, same pruned scan
-      ("stream_ann_ivf_probe" -> baseOracles("sim_topk_ivf_probed"))
+      ("stream_ann_ivf_probe" -> baseOracles("sim_topk_ivf_probed")) +
+      // the manifest-served IVF-PQ index converges to the inline
+      // coarse-quantized search over the full corpus
+      ("sim_ivfpq_index_served" -> baseOracles("sim_topk_ivfpq")) +
+      ("sim_ivfpq_index_refresh" -> baseOracles("sim_topk_ivfpq"))
 }

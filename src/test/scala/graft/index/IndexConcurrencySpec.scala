@@ -276,6 +276,54 @@ class IndexConcurrencySpec extends SparkSpec {
     assert(probe() == want(updated), "refreshed IVF index must match the new corpus")
   }
 
+  test("ivfpq_index_concurrent: centroids, codebook, and codes resolve together") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.7f, 0.7f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val sample = emb.filter(col("vec_id") < 3)
+    val cb = Similarity.pqCodebook(sample, "vec_id", "embedding", m = 2, dsub = 2)
+    val queries = emb.filter(col("vec_id") === 0)
+    val root = freshRoot("ivfpq")
+
+    Similarity.buildIvfPqIndexM(emb.filter(col("vec_id") < 4), sample, cb,
+      "vec_id", "embedding", m = 2, dsub = 2, root)
+    def probe() = Similarity.ivfPqProbeM(queries, "vec_id", "embedding",
+        k = 3, m = 2, dsub = 2, nProbe = 2, root)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    def want(corpus: DataFrame) = Similarity.ivfPqTopK(queries, corpus,
+        sample, sample, "vec_id", "embedding", k = 3, m = 2, dsub = 2, nProbe = 2)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val before = probe()
+    assert(before == want(emb.filter(col("vec_id") < 4)) && before.nonEmpty)
+
+    // torn append: staged code rows invisible until committed
+    stageOrphan(root, "ivfpq_codes",
+      Seq((999L, "junk", 0L, Array(0, 0)))
+        .toDF("id", "vdig", "cluster", "codes"))
+    assert(probe() == before, "uncommitted IVF-PQ codes leaked into a probe")
+
+    // committed append with STORED centroids+codebook ≡ inline on the
+    // grown corpus; compact is a pure re-layout
+    Similarity.appendIvfPqIndexM(emb, "vec_id", "embedding", 2, 2, root)
+    assert(probe() == want(emb))
+    Similarity.compactIvfPqIndexM(spark, root)
+    assert(IndexManifest.snapshot(spark, root).tables("ivfpq_codes").size == 1)
+    assert(probe() == want(emb), "IVF-PQ probe-after-compact diverged")
+
+    // refresh: changed vectors re-assign + re-encode, retired drop
+    val updated = emb.filter(col("vec_id") =!= 3 && col("vec_id") =!= 4)
+      .unionByName(Seq((4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+        .toDF("vec_id", "embedding"))
+    Similarity.refreshIvfPqIndexM(updated, "vec_id", "embedding", 2, 2, root)
+    assert(IndexManifest.snapshot(spark, root).tables("ivfpq_codes").size == 1)
+    assert(probe() == want(updated), "refreshed IVF-PQ index must match the new corpus")
+  }
+
   test("pq_index_concurrent: codes and codebook resolve together; refresh is a swap") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
