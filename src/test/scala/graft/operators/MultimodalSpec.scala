@@ -121,6 +121,36 @@ class MultimodalSpec extends SparkSpec {
     assert(parsed(hx(bmpHead + "64000000 CEFFFFFF")).contains(("bmp", 100, 50)))
   }
 
+  test("media header: fuzz — arbitrary bytes classify (row or null), never throw") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // pure-JVM kernel, so thousands of cases are cheap; bias toward
+    // near-miss prefixes (valid signatures + garbage tails) since random
+    // bytes almost never enter the deeper parse branches
+    val sigs = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array[Byte](0xff.toByte, 0xd8.toByte),
+      "GIF89a".getBytes("US-ASCII"), "GIF87a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"))
+    val payloadGen: Gen[Array[Byte]] = for {
+      prefix <- Gen.frequency(
+        2 -> Gen.const(Array.empty[Byte]),
+        5 -> Gen.oneOf(sigs))
+      tail <- Gen.containerOf[Array, Byte](
+        Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield prefix ++ tail
+    val prop = forAll(payloadGen) { bytes =>
+      val r = graft.functions.MediaHeaderKernel.parse(bytes)
+      // a parsed header must carry a known format and positive dims
+      r == null || (Set("png", "jpeg", "gif", "bmp")
+        .contains(r.getUTF8String(0).toString) &&
+        r.getInt(1) > 0 && r.getInt(2) > 0)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("media header: garbage, empty, and text payloads are null") {
     assert(parsed(Array.empty[Byte]).isEmpty)
     assert(parsed("just some document text".getBytes("UTF-8")).isEmpty)
