@@ -53,9 +53,9 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(Bench.contaminatedBy(allFailed, 5))
   }
 
-  test("threshold is relative to the cleanest reading, not the first") {
-    // First reading itself mildly inflated (1.3x the true floor seen
-    // later): queries after the floor reading must not be flagged by it.
+  test("threshold is relative to the TYPICAL (median) reading, not the first") {
+    // First reading itself mildly inflated (1.3x the floor seen later):
+    // queries after the floor reading must not be flagged by it.
     val warmStart = Seq((0, 0.13), (12, 0.10), (24, 0.10))
     (12 until 24).foreach(i => assert(!Bench.contaminatedBy(warmStart, i)))
     // 1.3x is under the default 1.5 threshold: first bracket clean too.
@@ -63,5 +63,18 @@ class BenchCanarySpec extends AnyFunSuite {
     // ...but a 1.6x first reading crosses it.
     val hotStart = Seq((0, 0.16), (12, 0.10), (24, 0.10))
     (0 until 12).foreach(i => assert(Bench.contaminatedBy(hotStart, i)))
+  }
+
+  test("one outlier-FAST reading does not flag every normal bracket") {
+    // The steady readings are ~0.38; one reading dips to 0.31 (cache
+    // luck) and the first reading is 0.50 — 1.61x the min but only
+    // 1.32x the median. A min-based floor flagged the whole first
+    // bracket of an otherwise clean run; the median floor must not.
+    val dip = Seq((0, 0.50), (12, 0.38), (24, 0.38), (36, 0.38), (47, 0.31))
+    (0 until 47).foreach(i => assert(!Bench.contaminatedBy(dip, i), s"query $i"))
+    // a genuinely hot reading against the same median still flags
+    val hot = Seq((0, 0.60), (12, 0.38), (24, 0.38), (36, 0.38), (47, 0.31))
+    (0 until 12).foreach(i => assert(Bench.contaminatedBy(hot, i)))
+    (12 until 47).foreach(i => assert(!Bench.contaminatedBy(hot, i)))
   }
 }
