@@ -202,10 +202,11 @@ object SparkEntry {
     // 3 bench reps times the probe, which is what a deployment pays)
     "quality_profile", "quality_corpus_diff",
     "dedup_spans_incremental_serve", "dedup_cross_corpus_served",
-    // round 13 — the persisted inverted file's steady-state probe: the
-    // cluster-pruned scan is the 100 TB serve shape (the lifecycle
+    // round 13 — the persisted inverted file's and inverted index's
+    // steady-state probes: the cluster-pruned scan and the term-pruned
+    // postings scan are the 100 TB serve shapes (the lifecycle
     // build/append/refresh queries stay off the bench like the others)
-    "sim_ivf_probe_served",
+    "sim_ivf_probe_served", "text_bm25_probe_served",
     // round 11b — corpus wordcount + bounded-heap report shape, and the
     // composed publish path (4 chained hash-decision stages + census)
     "text_top_ngrams", "curation_release")
