@@ -936,11 +936,18 @@ object Similarity {
     * and centroids (spec-pinned + shared oracle). */
   def ivfProbeM(
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int, root: String): DataFrame = {
+      k: Int, nProbe: Int, root: String,
+      at: Option[Long] = None): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    // `at` pins a historical committed version (release reproducibility
+    // — the dedup family's time-travel contract): the probe sees that
+    // version's centroids AND assignment, exactly as committed, until
+    // vacuum(keepFrom) reclaims it.
+    val snap = at
+      .map(v => graft.index.IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(graft.index.IndexManifest.snapshot(spark, root))
     val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
     val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)
       .drop("probe_rank").localCheckpoint()

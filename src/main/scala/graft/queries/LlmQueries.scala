@@ -612,6 +612,24 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Release-pinned IVF TIME TRAVEL: the index is built on the even
+    // half (v1), then grown to the full corpus — and the probe pins v1,
+    // so it must see ONLY the even half's assignment even though HEAD
+    // has moved on. The reproducibility contract a training release
+    // needs: the exact ANN neighbors that fed a dataset can be replayed
+    // after arbitrary later maintenance (until vacuum reclaims v1).
+    "sim_ivf_pinned" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      val root = freshIndexRoot("ivfpin", dir)
+      val v1 = Similarity.buildIvfIndexM(emb.filter(col("vec_id") % 2 === 0),
+        centroids, "vec_id", "embedding", root)
+      Similarity.appendIvfIndexM(emb, "vec_id", "embedding", root)
+      Similarity.ivfProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, root, at = Some(v1))
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // The steady-state IVF SERVE path — what a deployment pays per query
     // batch once the inverted file stands: build-if-stale against the
     // source mtime (the dedup_cross_corpus_served pattern; on the bench
@@ -1634,6 +1652,45 @@ object LlmQueries {
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
 
+  /** DuckDB replay of the inline multi-probe IVF search, parametrized by
+    * the CORPUS membership predicate — "true" replays the full-corpus
+    * search (the served / appended / refreshed end state); a narrower
+    * predicate replays a PINNED historical version whose assignment
+    * covered only that slice. Centroids and queries always come from the
+    * full table (the centroid sample is fixed at build time; queries are
+    * the caller's). */
+  private def ivfProbedOracleSql(corpusPred: String): String =
+    s"""WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         clustered AS (
+           SELECT vec_id, embedding, cluster FROM assign
+           WHERE crn = 1 AND ($corpusPred)),
+         probes AS (
+           SELECT vec_id AS query_id, embedding AS qv, cluster
+           FROM assign WHERE vec_id < 10 AND crn <= 2),
+         scored AS (
+           SELECT q.query_id, c.cluster AS cluster, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv::double[], c.embedding::double[]) /
+               (sqrt(list_dot_product(q.qv::double[], q.qv::double[])) *
+                sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
+               6) AS cosine
+           FROM probes q JOIN clustered c
+             ON q.cluster = c.cluster AND c.vec_id <> q.query_id)
+         SELECT query_id, cluster, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
+
   private val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
@@ -1882,35 +1939,7 @@ object LlmQueries {
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
 
-    "sim_topk_ivf_probed" ->
-      """WITH cen AS (
-           SELECT vec_id AS centroid_id, embedding AS cemb
-           FROM embeddings WHERE vec_id % 100 = 0),
-         assign AS (
-           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               round(list_dot_product(e.embedding::double[], cemb::double[]) /
-                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
-                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
-               centroid_id) AS crn
-           FROM embeddings e, cen),
-         clustered AS (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1),
-         probes AS (
-           SELECT vec_id AS query_id, embedding AS qv, cluster
-           FROM assign WHERE vec_id < 10 AND crn <= 2),
-         scored AS (
-           SELECT q.query_id, c.cluster AS cluster, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.qv::double[], c.embedding::double[]) /
-               (sqrt(list_dot_product(q.qv::double[], q.qv::double[])) *
-                sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
-               6) AS cosine
-           FROM probes q JOIN clustered c
-             ON q.cluster = c.cluster AND c.vec_id <> q.query_id)
-         SELECT query_id, cluster, neighbor_id, cosine,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine DESC, neighbor_id) AS rnk
-         FROM scored
-         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+    "sim_topk_ivf_probed" -> ivfProbedOracleSql("true"),
 
     "sim_ivf_trained" ->
       """WITH cen0 AS (
@@ -3413,6 +3442,9 @@ object LlmQueries {
       ("sim_ivf_index_served" -> baseOracles("sim_topk_ivf_probed")) +
       ("sim_ivf_index_refresh" -> baseOracles("sim_topk_ivf_probed")) +
       ("sim_ivf_probe_served" -> baseOracles("sim_topk_ivf_probed")) +
+      // the v1-pinned probe sees only the even half's assignment, no
+      // matter how far HEAD has moved since
+      ("sim_ivf_pinned" -> ivfProbedOracleSql("vec_id % 2 = 0")) +
       // the ingest-time IVF probe replays the inline multi-probe oracle:
       // same centroids, same full-corpus assignment, same pruned scan
       ("stream_ann_ivf_probe" -> baseOracles("sim_topk_ivf_probed")) +
