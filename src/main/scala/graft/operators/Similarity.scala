@@ -820,6 +820,17 @@ object Similarity {
         probeClustersComposed(queries, centroids, idCol, vecCol, nProbe)
     }
 
+  /** Broadcast the (localCheckpoint'ed) probe side only when its counted
+    * row count is under `spark.graft.ivf.probeBroadcastCap` (default
+    * 500k — probe rows carry per-query vectors/LUTs, so a
+    * training-scale batch would OOM a forced broadcast); beyond the cap
+    * the caller's join plans as a keyed shuffle. */
+  private def probeSideMaybeBroadcast(
+      spark: org.apache.spark.sql.SparkSession, probes: DataFrame): DataFrame = {
+    val cap = spark.conf.get("spark.graft.ivf.probeBroadcastCap", "500000").toLong
+    if (probes.count() <= cap) broadcast(probes) else probes
+  }
+
   /** Stage one cluster-ordered assigned segment: hash-repartitioned and
     * sorted by cluster, so every parquet row group covers a tight
     * cluster range and a probe's `cluster IN (…)` prunes at the scan. */
@@ -952,6 +963,9 @@ object Similarity {
     val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)
       .drop("probe_rank").localCheckpoint()
     val isinCap = spark.conf.get("spark.graft.ivf.isinClusterCap", "256").toInt
+    // distinct probed clusters are bounded by the CENTROID count (which
+    // is broadcast-small by the operator contract), never by the query
+    // count — so this collect is contract-small at any batch size
     val probed = probes.select("cluster").distinct().collect().map(_.get(0))
     val assigned = {
       val a = graft.index.IndexManifest.readAt(spark, root, snap, IvfAssignedTable)
@@ -960,7 +974,13 @@ object Similarity {
     }
     val clustered = assigned
       .select(col("id").as("neighbor_id"), col("vec").as("__cv"), col("cluster"))
-    val scored = broadcast(probes).join(clustered, Seq("cluster"))
+    // a serve-path batch is usually small → broadcast; a training-scale
+    // batch (millions of query vectors, each row carrying its d-float
+    // vector) must NOT be force-broadcast — past the counted cap the
+    // join falls back to a keyed shuffle, the right plan at that size
+    // (the refreshIndexM staleBroadcastCap precedent)
+    val probeSide = probeSideMaybeBroadcast(spark, probes)
+    val scored = probeSide.join(clustered, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
     topKPerQueryAuto(scored, k)
@@ -1114,7 +1134,11 @@ object Similarity {
     }
     val lut = queries.select(col(idCol).as("query_id"),
       kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
-    val scored = broadcast(probes.join(lut, Seq("query_id")))
+    // probe rows carry each query's ADC LUT (m×K floats): broadcast only
+    // under the counted cap, keyed shuffle beyond it
+    val probeSide = probeSideMaybeBroadcast(spark,
+      probes.join(lut, Seq("query_id")).localCheckpoint())
+    val scored = probeSide
       .join(codes.select(col("id").as("neighbor_id"), col("cluster"), col("codes")),
         Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
