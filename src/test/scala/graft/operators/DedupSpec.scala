@@ -81,12 +81,14 @@ class DedupSpec extends SparkSpec {
 
   test("chunked pair expansion ≡ flat all-pairs across chunk boundaries") {
     import spark.implicits._
-    // Posting lists spanning 1, 2, and 3+ chunks of the internal width
-    // (32): shingle s0 shared by 70 docs (3 chunks), s1 by 33 (straddles
-    // one boundary), s2 by 2, plus per-doc unique shingles so sizes and
-    // Jaccard denominators differ per doc. The chunked two-level
-    // expansion must reproduce the flat m(m-1)/2 pair multiset exactly —
-    // same pairs, same intersection counts, same Jaccard values.
+    // Posting lists spanning 1, 2, and 3+ chunks at width 32 (pinned
+    // here so the fixture keeps its boundary coverage if the default
+    // width moves): shingle s0 shared by 70 docs (3 chunks), s1 by 33
+    // (straddles one boundary), s2 by 2, plus per-doc unique shingles
+    // so sizes and Jaccard denominators differ per doc. The chunked
+    // two-level expansion must reproduce the flat m(m-1)/2 pair
+    // multiset exactly — same pairs, same counts, same Jaccard values.
+    spark.conf.set("spark.graft.jaccard.pairChunk", "32")
     val rows =
       (0L until 70L).map(i => (i, "s0")) ++
         (0L until 33L).map(i => (i, "s1")) ++
@@ -104,6 +106,7 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
     // sanity on the shape itself: 70-wide list alone contributes 70*69/2
     assert(expect.size == 70 * 69 / 2 + 1)
+    spark.conf.unset("spark.graft.jaccard.pairChunk")
   }
 
   test("simhashSigs ≡ simhash60 scalar expression (codegen path matches SQL path)") {
