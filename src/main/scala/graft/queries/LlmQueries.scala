@@ -1535,6 +1535,16 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // The coarse-quantized ANN ingest probe: the served IVF-PQ ADC
+    // search per micro-batch — probe list + LUT in-batch kernel
+    // projections, cluster-pruned committed code scan, bounded-heap
+    // top-k. Shares the inline ivfPqTopK oracle.
+    "stream_ann_ivfpq_probe" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingIvfPqProbe(s, dir, k = 5, m = 4, dsub = 16, nProbe = 2)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // The streaming leg of hard-negative mining: arriving anchors get
     // their negatives from the persisted inverted index the moment they
     // land — stateless in-stream query-term explode, stream-static
@@ -3451,5 +3461,8 @@ object LlmQueries {
       // the manifest-served IVF-PQ index converges to the inline
       // coarse-quantized search over the full corpus
       ("sim_ivfpq_index_served" -> baseOracles("sim_topk_ivfpq")) +
-      ("sim_ivfpq_index_refresh" -> baseOracles("sim_topk_ivfpq"))
+      ("sim_ivfpq_index_refresh" -> baseOracles("sim_topk_ivfpq")) +
+      // the ingest-time IVF-PQ probe replays the inline coarse-quantized
+      // search oracle: same centroids, codebook, and full-corpus codes
+      ("stream_ann_ivfpq_probe" -> baseOracles("sim_topk_ivfpq"))
 }

@@ -635,6 +635,50 @@ object StreamPipeline {
     }
   }
 
+  /** The coarse-quantized sibling of [[streamingIvfProbe]]: each
+    * micro-batch runs the served IVF-PQ ADC search
+    * ([[graft.operators.Similarity.ivfPqProbeM]]) over just its
+    * arrivals — probe list and per-query LUT are in-batch kernel
+    * projections, the committed cluster-sorted CODE rows are read only
+    * on the probed cells, and the bounded-heap top-k ships queries×k
+    * winners. Batch-equivalent to the inline [[ivfPqTopK]] (shared
+    * oracle). */
+  def streamingIvfPqProbe(
+      spark: SparkSession, dir: String,
+      k: Int, m: Int, dsub: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val sample = emb.filter(col("vec_id") % 100 === 0)
+    val root = Files.createTempDirectory("graft_ivfpqidx_stream").toString
+    val outDir = Files.createTempDirectory("graft_sivfpq_out").toString
+    val ckptDir = Files.createTempDirectory("graft_sivfpq_ckpt").toString
+    try {
+      val cb = graft.operators.Similarity.pqCodebook(
+        sample, "vec_id", "embedding", m, dsub).localCheckpoint()
+      graft.operators.Similarity.buildIvfPqIndexM(
+        emb, sample, cb, "vec_id", "embedding", m, dsub, root)
+      val arrivals = spark.readStream
+        .schema(EmbeddingsSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .filter(col("vec_id") < 10)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(
+            graft.operators.Similarity.ivfPqProbeM(
+              batch.toDF(), "vec_id", "embedding", k, m, dsub, nProbe, root),
+            outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir).localCheckpoint(true)
+    } finally {
+      Seq(root, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   /** Serve the ingest dedup from an already-persisted index table. */
   def streamingSemanticDedupWithIndex(
       spark: SparkSession, dir: String, indexPath: String): DataFrame =
