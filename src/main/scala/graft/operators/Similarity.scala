@@ -1151,6 +1151,27 @@ object Similarity {
       .select(col("query_id"), col("cluster"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Two-stage retrieval over the SERVED coarse-quantized index — the
+    * full production serving path (FAISS `IndexRefineFlat` over
+    * `IVFx,PQm`): the coarse pass is [[ivfPqProbeM]] over-fetching
+    * `k × refine` candidates per query from the probed clusters' code
+    * rows alone, then ONLY those candidates' float vectors are fetched
+    * from the primary store (`corpus`) and re-ranked by exact rounded
+    * cosine — |Q|·k·refine vector reads, independent of corpus size.
+    * The persisted index never stores vectors; the refine join is how
+    * the exact order comes back without giving back the d/m
+    * scan-bandwidth win. */
+  def ivfPqRerankM(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int,
+      nProbe: Int, root: String, refine: Int = 2): DataFrame = {
+    require(refine > 0, s"refine must be positive, got $refine")
+    val coarse = ivfPqProbeM(queries, idCol, vecCol, k * refine, m, dsub,
+        nProbe, root)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(coarse, queries, corpus, idCol, vecCol, k)
+  }
+
   /** Two-stage PQ retrieval: ADC coarse scan, exact float rerank — the
     * [[sq8RerankTopK]] refine pattern over the PQ index (FAISS
     * `IndexRefineFlat` over PQ): the coarse pass reads only the m-int

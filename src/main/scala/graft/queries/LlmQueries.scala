@@ -673,6 +673,24 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // The full production serving path: coarse IVF-PQ ADC over the
+    // committed code rows over-fetches k*refine candidates per query,
+    // then only those candidates' float vectors are fetched from the
+    // primary table and re-ranked by exact cosine — the refine join
+    // that restores exact order without reading the corpus.
+    "sim_ivfpq_rerank_served" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val sample = emb.filter(col("vec_id") % 100 === 0)
+      val cb = Similarity.pqCodebook(sample, "vec_id", "embedding", m = 4, dsub = 16)
+      val root = freshIndexRoot("ivfpqrr", dir)
+      Similarity.buildIvfPqIndexM(emb, sample, cb,
+        "vec_id", "embedding", m = 4, dsub = 16, root)
+      Similarity.ivfPqRerankM(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2, root,
+          refine = 2)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // IVF-PQ REFRESH: stale codes for re-embedded vectors, missing
     // arrivals, retired rows — one refresh converges the code index to
     // today's corpus (unchanged fingerprints keep cell AND codes with
@@ -3464,5 +3482,34 @@ object LlmQueries {
       ("sim_ivfpq_index_refresh" -> baseOracles("sim_topk_ivfpq")) +
       // the ingest-time IVF-PQ probe replays the inline coarse-quantized
       // search oracle: same centroids, codebook, and full-corpus codes
-      ("stream_ann_ivfpq_probe" -> baseOracles("sim_topk_ivfpq"))
+      ("stream_ann_ivfpq_probe" -> baseOracles("sim_topk_ivfpq")) +
+      // served coarse search over-fetches k*refine=10 ADC candidates,
+      // exact cosine re-ranks, keep 5 — the ivfpq oracle's scored set
+      // with the pq_rerank oracle's refine tail
+      ("sim_ivfpq_rerank_served" ->
+        baseOracles("sim_topk_ivfpq").replace(
+          """SELECT query_id, cluster, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+          """, coarse AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS crn
+           FROM scored QUALIFY crn <= 10),
+         rerank AS (
+           SELECT query_id, neighbor_id,
+             round(list_dot_product(eq.embedding::double[], ec.embedding::double[]) /
+               (sqrt(list_dot_product(eq.embedding::double[], eq.embedding::double[])) *
+                sqrt(list_dot_product(ec.embedding::double[], ec.embedding::double[]))),
+               6) AS cosine
+           FROM coarse
+           JOIN embeddings eq ON eq.vec_id = query_id
+           JOIN embeddings ec ON ec.vec_id = neighbor_id)
+         SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM rerank
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk"""))
 }
