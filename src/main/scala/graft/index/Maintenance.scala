@@ -1,0 +1,98 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+
+/** Family-agnostic index maintenance — the nightly-ops entry point a
+  * deployment schedules against every persisted index root: identify
+  * the family from the manifest's own table names, run its compaction
+  * (fold per-delta segments back to the one-segment probe-optimal
+  * layout), then vacuum superseded versions. Every family's compact is
+  * an atomic pointer swap and every vacuum honors reader leases and
+  * the claim-lock grace window, so this is safe to run while probes
+  * serve and writers append (a concurrent committed append simply
+  * surfaces as ConcurrentModificationException here and the root is
+  * retried on the next scheduled run — conservative beats lost work).
+  */
+object Maintenance {
+
+  /** The index family owning `root`, sniffed from its committed
+    * manifest's table names. */
+  def familyOf(spark: SparkSession, root: String): String = {
+    val tables = IndexManifest.snapshot(spark, root).tables.keySet
+    if (tables.contains("ivfpq_codes")) "ivfpq"
+    else if (tables.contains("ivf_assigned")) "ivf"
+    else if (tables.contains("codes") && tables.contains("codebook")) "pq"
+    else if (tables.contains("postings")) "bm25"
+    else if (tables.contains("grams")) "gram"
+    else if (tables.exists(_.contains("sigs"))) "lsh"
+    else if (tables.contains("embeds")) "semantic"
+    else "unknown"
+  }
+
+  /** Compact `root` with its family's own compaction (PQ compaction
+    * needs its m/dsub-free re-layout; gram compaction folds min-owner;
+    * BM25 folds df/corpus and re-clusters postings; …). Returns
+    * (family, Some(newVersion)) or (family, None) when the family has
+    * no compaction or is unknown. */
+  def compact(spark: SparkSession, root: String): (String, Option[Long]) = {
+    val fam = familyOf(spark, root)
+    val v = fam match {
+      case "ivfpq" => Some(graft.operators.Similarity.compactIvfPqIndexM(spark, root))
+      case "ivf" => Some(graft.operators.Similarity.compactIvfIndexM(spark, root))
+      case "pq" => Some(graft.operators.Similarity.compactPqIndexM(spark, root))
+      case "bm25" => Some(graft.operators.Retrieval.compactIndexM(spark, root))
+      case "gram" => Some(graft.operators.Dedup.compactGramIndexM(spark, root))
+      case "lsh" => Some(graft.operators.Dedup.compactLshIndexM(spark, root))
+      case _ => None
+    }
+    (fam, v)
+  }
+
+  /** One maintenance pass over `root`: compact (family-dispatched),
+    * then vacuum everything below the new head (bounded by `keepFrom`
+    * when a release pin must survive). Returns a one-line report. */
+  def maintain(
+      spark: SparkSession, root: String, keepFrom: Long = -1L,
+      orphanGraceMs: Long = 20L * 60L * 1000L): String = {
+    val (fam, v) = compact(spark, root)
+    v match {
+      case Some(ver) =>
+        val swept = IndexManifest.vacuum(spark, root, keepFrom, orphanGraceMs)
+        s"$root family=$fam compacted to v$ver, vacuum swept $swept paths"
+      case None => s"$root family=$fam SKIPPED (no compaction for family)"
+    }
+  }
+}
+
+/** CLI: `runMain graft.index.IndexMaintenance <root>...
+  * [--keep-from=V] [--orphan-grace-ms=MS]` — one maintenance pass per
+  * root, one report line each; a root that fails (concurrent writer,
+  * uninitialized) is reported and does not stop the others. */
+object IndexMaintenance {
+  def main(args: Array[String]): Unit = {
+    val (flags, roots) = args.partition(_.startsWith("--"))
+    require(roots.nonEmpty,
+      "usage: IndexMaintenance <root>... [--keep-from=V] [--orphan-grace-ms=MS]")
+    def flag(name: String, default: Long): Long =
+      flags.collectFirst { case f if f.startsWith(s"--$name=") =>
+        f.substring(name.length + 3).toLong }.getOrElse(default)
+    val keepFrom = flag("keep-from", -1L)
+    val grace = flag("orphan-grace-ms", 20L * 60L * 1000L)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    roots.foreach { root =>
+      val line =
+        try Maintenance.maintain(spark, root, keepFrom, grace)
+        catch { case e: Exception =>
+          s"$root FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      println(s"[maintenance] $line")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Retrieval, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The family-agnostic maintenance pass: family sniffing from manifest
+  * table names, dispatched compaction folding appended segments to one,
+  * vacuum reclaiming superseded versions — and the probe answering the
+  * same before and after. */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      s"graft_maint_${tag}_${java.util.UUID.randomUUID().toString.take(8)}").toString
+
+  private def docs(ids: Range) = ids.map(i =>
+    (i.toLong, s"alpha beta w$i gamma delta text tail")).toDF("doc_id", "text")
+  private def emb(ids: Range) = ids.map(i =>
+    (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat)))
+    .toDF("vec_id", "embedding")
+
+  test("maintain: sniffs each family, compacts to one segment, vacuums, probe unchanged") {
+    // BM25: build + append → 2 postings segments
+    val bm25 = freshRoot("bm25")
+    Retrieval.buildIndexM(docs(0 until 10), "doc_id", "text", bm25)
+    Retrieval.appendIndexM(docs(10 until 20), "doc_id", "text", bm25)
+    val bmBefore = Retrieval.bm25ProbeM(spark, bm25, Seq((1, "alpha w3")), 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(Maintenance.familyOf(spark, bm25) == "bm25")
+
+    // IVF: build + append → 2 assigned segments
+    val ivf = freshRoot("ivf")
+    Similarity.buildIvfIndexM(emb(0 until 10), emb(0 until 3),
+      "vec_id", "embedding", ivf)
+    Similarity.appendIvfIndexM(emb(0 until 15), "vec_id", "embedding", ivf)
+    val ivfBefore = Similarity.ivfProbeM(emb(0 until 2), "vec_id", "embedding",
+      3, 2, ivf).collect().map(_.toString).sorted.toSeq
+    assert(Maintenance.familyOf(spark, ivf) == "ivf")
+
+    // gram log: build + append
+    val gram = freshRoot("gram")
+    Dedup.buildGramIndexM(docs(0 until 10), "doc_id", "text", 10, gram)
+    Dedup.appendGramIndexM(docs(10 until 15), "doc_id", "text", 10, gram)
+    assert(Maintenance.familyOf(spark, gram) == "gram")
+
+    for (root <- Seq(bm25, ivf, gram)) {
+      val report = Maintenance.maintain(spark, root, orphanGraceMs = 0L)
+      assert(report.contains("compacted to v"), report)
+      val snap = IndexManifest.snapshot(spark, root)
+      snap.tables.foreach { case (t, segs) =>
+        assert(segs.size == 1, s"$root table $t not folded: $segs")
+      }
+    }
+    assert(Retrieval.bm25ProbeM(spark, bm25, Seq((1, "alpha w3")), 3)
+      .collect().map(_.toString).sorted.toSeq == bmBefore)
+    assert(Similarity.ivfProbeM(emb(0 until 2), "vec_id", "embedding", 3, 2, ivf)
+      .collect().map(_.toString).sorted.toSeq == ivfBefore)
+    // vacuum actually reclaimed the superseded versions
+    assert(IndexManifest.describe(spark, bm25)
+      .select("version").distinct().count() == 1)
+  }
+
+  test("familyOf distinguishes PQ, IVF-PQ, and LSH; unknown family is skipped") {
+    val pq = freshRoot("pq")
+    val cb = Similarity.pqCodebook(emb(0 until 4), "vec_id", "embedding", 2, 4)
+    Similarity.buildPqIndexM(emb(0 until 10), cb, "vec_id", "embedding", 2, 4, pq)
+    assert(Maintenance.familyOf(spark, pq) == "pq")
+
+    val ivfpq = freshRoot("ivfpq")
+    Similarity.buildIvfPqIndexM(emb(0 until 10), emb(0 until 3), cb,
+      "vec_id", "embedding", 2, 4, ivfpq)
+    assert(Maintenance.familyOf(spark, ivfpq) == "ivfpq")
+
+    val lsh = freshRoot("lsh")
+    Dedup.buildLshIndexDigestedM(docs(0 until 10), "text", "doc_id", 3, 8, 4, lsh)
+    assert(Maintenance.familyOf(spark, lsh) == "lsh")
+
+    // a committed manifest with a foreign table name: reported, skipped
+    val alien = freshRoot("alien")
+    val seg = IndexManifest.newSegment("mystery")
+    emb(0 until 2).write.parquet(s"$alien/$seg")
+    IndexManifest.commit(spark, alien, Map("mystery" -> Seq(seg)))
+    assert(Maintenance.familyOf(spark, alien) == "unknown")
+    assert(Maintenance.maintain(spark, alien).contains("SKIPPED"))
+  }
+}
