@@ -65,6 +65,34 @@ object SkewBench {
         i => concat(lit("w"), pmod(hash(cluster, i), lit(1000))))).as("text"))
   }
 
+  /** Embedding corpus (`vec_id`, `embedding[16]`): each vector is a
+    * dominant one-hot axis (its CELL — the nearest centroid by
+    * construction) plus small hash noise. Skewed puts 20 % of vectors
+    * AND the same share of queries in cell 0 (query load follows
+    * corpus density in real deployments — the hot Voronoi cell is hot
+    * on both sides); the uniform twin round-robins all 16 cells. */
+  def embeddings(spark: SparkSession, n: Long, skewed: Boolean): DataFrame = {
+    val cell =
+      if (skewed)
+        when(pmod(col("id"), lit(5)) === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(16)))
+      else pmod(col("id"), lit(16))
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        (when(d === cell.cast("int"), lit(10.0)).otherwise(lit(0.0)) +
+          pmod(hash(col("id"), d), lit(7)).cast("double") / lit(10.0))
+          .cast("float")).as("embedding"))
+  }
+
+  /** The 16 cell centroids: pure one-hot axis vectors. */
+  def cellCentroids(spark: SparkSession): DataFrame =
+    spark.range(16).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        when(d === col("id").cast("int"), lit(10.0f)).otherwise(lit(0.0f)))
+        .as("embedding"))
+
   /** One timed pair: (name, seconds on the skewed fixture, seconds on
     * the uniform twin), each the median of 3 runs after one unmeasured
     * warm-up per side — the first evaluation of each plan pays its
@@ -145,6 +173,20 @@ object SkewBench {
           documents(spark, nDocs, sk), "text", "doc_id", 5)
         graft.operators.Dedup.ngramJaccardPairs(
           sh, "doc_id", threshold = 0.1, maxDocFreq = 100L)
+      },
+      pair("sim_ivf_probe") { sk =>
+        // multi-probe IVF under a hot Voronoi cell holding 25 % of the
+        // corpus, with query load following corpus density: candidates
+        // fan out from the hot cell on BOTH sides, but the corpus side
+        // never shuffles on the cluster key (broadcast probe join runs
+        // in the scan's own partitions) and the bounded-heap top-k
+        // collapses every task's candidates to queries×k map-side — so
+        // the hot cell costs its honest extra candidate volume, never a
+        // single-task pileup
+        val n = (nRows / 10) max 1000
+        graft.operators.Similarity.ivfTopKProbed(
+          embeddings(spark, 64, sk), embeddings(spark, n, sk),
+          cellCentroids(spark), "vec_id", "embedding", k = 8, nProbe = 2)
       },
       pair("dedup_repeated_spans") { sk =>
         // exact-substring spans under a 20 % boilerplate clique: the hot
