@@ -29,11 +29,24 @@ object Maintenance {
     else "unknown"
   }
 
+  /** Pure re-layout compaction for a one-table family: the accumulated
+    * segments rewrite as one and the manifest swaps atomically. */
+  private def compactSingleTable(
+      spark: SparkSession, root: String, table: String): Long = {
+    val snap = IndexManifest.snapshot(spark, root)
+    val seg = IndexManifest.newSegment(table)
+    IndexManifest.readAt(spark, root, snap, table)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root,
+      snap.tables.updated(table, Seq(seg)), expect = Some(snap.version))
+  }
+
   /** Compact `root` with its family's own compaction (PQ compaction
     * needs its m/dsub-free re-layout; gram compaction folds min-owner;
     * BM25 folds df/corpus and re-clusters postings; …). Returns
-    * (family, Some(newVersion)) or (family, None) when the family has
-    * no compaction or is unknown. */
+    * (family, Some(newVersion)) or (family, None) when the family is
+    * unknown. */
   def compact(spark: SparkSession, root: String): (String, Option[Long]) = {
     val fam = familyOf(spark, root)
     val v = fam match {
@@ -43,6 +56,7 @@ object Maintenance {
       case "bm25" => Some(graft.operators.Retrieval.compactIndexM(spark, root))
       case "gram" => Some(graft.operators.Dedup.compactGramIndexM(spark, root))
       case "lsh" => Some(graft.operators.Dedup.compactLshIndexM(spark, root))
+      case "semantic" => Some(compactSingleTable(spark, root, "embeds"))
       case _ => None
     }
     (fam, v)

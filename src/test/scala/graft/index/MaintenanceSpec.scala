@@ -78,6 +78,20 @@ class MaintenanceSpec extends SparkSpec {
     Dedup.buildLshIndexDigestedM(docs(0 until 10), "text", "doc_id", 3, 8, 4, lsh)
     assert(Maintenance.familyOf(spark, lsh) == "lsh")
 
+    // semantic (single-table) family: build + append → 2 segments,
+    // the generic one-table re-layout folds them, rows identical
+    val sem = freshRoot("sem")
+    graft.streaming.StreamPipeline.buildSemanticIndexM(spark, Sf0001, sem)
+    graft.streaming.StreamPipeline.appendSemanticIndexM(
+      docs(1000 until 1010), "doc_id", "text", sem)
+    assert(Maintenance.familyOf(spark, sem) == "semantic")
+    val semBefore = graft.streaming.StreamPipeline.readSemanticIndexM(spark, sem)
+      .collect().map(_.toString).sorted.toSeq
+    assert(Maintenance.maintain(spark, sem, orphanGraceMs = 0L).contains("compacted"))
+    assert(IndexManifest.snapshot(spark, sem).tables("embeds").size == 1)
+    assert(graft.streaming.StreamPipeline.readSemanticIndexM(spark, sem)
+      .collect().map(_.toString).sorted.toSeq == semBefore)
+
     // a committed manifest with a foreign table name: reported, skipped
     val alien = freshRoot("alien")
     val seg = IndexManifest.newSegment("mystery")
