@@ -1116,11 +1116,17 @@ object Similarity {
     * and codewords (shared oracle). */
   def ivfPqProbeM(
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, m: Int, dsub: Int, nProbe: Int, root: String): DataFrame = {
+      k: Int, m: Int, dsub: Int, nProbe: Int, root: String,
+      at: Option[Long] = None): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    // `at` pins a committed version: centroids, codebook, AND codes
+    // resolve from that version together — the [[ivfProbeM]] time-travel
+    // contract extended to the quantized layout.
+    val snap = at
+      .map(v => graft.index.IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(graft.index.IndexManifest.snapshot(spark, root))
     val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
     val ref = storedPqRef(spark, root, snap, m, dsub)
     val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)

@@ -691,6 +691,24 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Release-pinned IVF-PQ time travel: v1 holds only the even half's
+    // codes; HEAD grows to the full corpus; the probe pinned at v1 must
+    // rank against the even half alone — centroids, codebook, and codes
+    // all resolving from the pinned commit.
+    "sim_ivfpq_pinned" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val sample = emb.filter(col("vec_id") % 100 === 0)
+      val cb = Similarity.pqCodebook(sample, "vec_id", "embedding", m = 4, dsub = 16)
+      val root = freshIndexRoot("ivfpqpin", dir)
+      val v1 = Similarity.buildIvfPqIndexM(emb.filter(col("vec_id") % 2 === 0),
+        sample, cb, "vec_id", "embedding", m = 4, dsub = 16, root)
+      Similarity.appendIvfPqIndexM(emb, "vec_id", "embedding", 4, 16, root)
+      Similarity.ivfPqProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, nProbe = 2, root,
+          at = Some(v1))
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // IVF-PQ REFRESH: stale codes for re-embedded vectors, missing
     // arrivals, retired rows — one refresh converges the code index to
     // today's corpus (unchanged fingerprints keep cell AND codes with
@@ -3483,6 +3501,11 @@ object LlmQueries {
       // the ingest-time IVF-PQ probe replays the inline coarse-quantized
       // search oracle: same centroids, codebook, and full-corpus codes
       ("stream_ann_ivfpq_probe" -> baseOracles("sim_topk_ivfpq")) +
+      // the v1-pinned IVF-PQ probe ranks against the even half's codes
+      // only — the coarse oracle with its corpus CTE restricted
+      ("sim_ivfpq_pinned" -> baseOracles("sim_topk_ivfpq").replace(
+        "clustered AS (SELECT vec_id, cluster FROM assign WHERE crn = 1),",
+        "clustered AS (SELECT vec_id, cluster FROM assign WHERE crn = 1 AND vec_id % 2 = 0),")) +
       // served coarse search over-fetches k*refine=10 ADC candidates,
       // exact cosine re-ranks, keep 5 — the ivfpq oracle's scored set
       // with the pq_rerank oracle's refine tail
