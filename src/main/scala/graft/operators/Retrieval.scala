@@ -502,8 +502,15 @@ object Retrieval {
     * snapshot and reads all three tables from it. */
   def bm25ProbeM(
       spark: SparkSession, root: String,
-      queries: Seq[(Int, String)], k: Int): DataFrame = {
-    val snap = IndexManifest.snapshot(spark, root)
+      queries: Seq[(Int, String)], k: Int,
+      at: Option[Long] = None): DataFrame = {
+    // `at` pins a committed version: postings, df stats, and corpus
+    // scalars resolve from that version together — release-pinned time
+    // travel (a ranked run that fed a dataset replays exactly, with the
+    // idf/avgdl of the pinned corpus, until vacuum reclaims it).
+    val snap = at
+      .map(v => IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(IndexManifest.snapshot(spark, root))
     probeFrames(
       IndexManifest.readAt(spark, root, snap, PostingsTable),
       IndexManifest.readAt(spark, root, snap, StatsTable),

@@ -768,9 +768,14 @@ object Similarity {
     * [[pqSearchEncoded]] broadcast-LUT scan. */
   def pqProbeM(
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, m: Int, dsub: Int, root: String): DataFrame = {
+      k: Int, m: Int, dsub: Int, root: String,
+      at: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
-    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    // `at` pins a committed version — codes AND the codebook they were
+    // encoded with resolve together from that version (time travel).
+    val snap = at
+      .map(v => graft.index.IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(graft.index.IndexManifest.snapshot(spark, root))
     pqSearchEncoded(queries,
       graft.index.IndexManifest.readAt(spark, root, snap, PqCodesTable),
       graft.index.IndexManifest.readAt(spark, root, snap, PqCodebookTable),

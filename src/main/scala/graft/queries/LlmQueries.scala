@@ -564,6 +564,23 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Release-pinned PQ time travel: v1 holds only the even half's
+    // codes (with the codebook they were encoded under); HEAD appends
+    // the rest; the probe pinned at v1 must rank against the even
+    // half's codes alone.
+    "sim_pq_pinned" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", m = 4, dsub = 16)
+      val root = freshIndexRoot("pqpin", dir)
+      val v1 = Similarity.buildPqIndexM(emb.filter(col("vec_id") % 2 === 0), cb,
+        "vec_id", "embedding", m = 4, dsub = 16, root)
+      Similarity.appendPqIndexM(emb, "vec_id", "embedding", 4, 16, root)
+      Similarity.pqProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, root, at = Some(v1))
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // PQ index REFRESH — maintenance under corpus UPDATES, not just
     // arrivals: yesterday's index carries stale codes for re-embedded
     // vectors (ids ≡ 0 mod 5, reversed embedding), is missing the new
@@ -1003,6 +1020,25 @@ object LlmQueries {
       Dedup.buildGramIndexM(docs.filter(col("doc_id") % 10 < 8),
         "doc_id", "text", SpanGramChars, root)
       Dedup.incrementalSpans(Dedup.readGramIndexM(s, root),
+          docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // Release-pinned gram-log time travel: v1's lake is the %10<4 docs;
+    // HEAD appends up to %10<8; the delta probe pinned at v1 must see
+    // repeats against the v1 lake only — the span set a release
+    // computed replays after later appends.
+    "dedup_spans_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("grampin", dir)
+      val v1 = Dedup.buildGramIndexM(docs.filter(col("doc_id") % 10 < 4),
+        "doc_id", "text", SpanGramChars, root)
+      Dedup.appendGramIndexM(
+        docs.filter(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8),
+        "doc_id", "text", SpanGramChars, root)
+      val pinned = graft.index.IndexManifest.snapshotAt(s, root, v1)
+      Dedup.incrementalSpans(
+          graft.index.IndexManifest.readAt(s, root, pinned, "grams"),
           docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", SpanGramChars)
         .orderBy("doc_id", "span_start")
     },
@@ -1456,6 +1492,22 @@ object LlmQueries {
         graft.index.IndexManifest.vacuum(s, root): Unit
       }
       Retrieval.bm25ProbeM(s, root, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // Release-pinned BM25 time travel: v1 indexes only the even docs;
+    // HEAD appends the odd half; the probe pinned at v1 must rank with
+    // the pinned postings AND the pinned corpus statistics (idf/avgdl
+    // of the even half, not HEAD's) — the ranked run that fed a
+    // release replays exactly.
+    "text_bm25_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("bm25pin", dir)
+      val v1 = Retrieval.buildIndexM(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      Retrieval.appendIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", root)
+      Retrieval.bm25ProbeM(s, root, Bm25Queries, Bm25K, at = Some(v1))
         .orderBy("query_id", "rank")
     },
 
@@ -3464,6 +3516,10 @@ object LlmQueries {
       // BM25 retrieval exactly — one oracle text serves all three
       ("text_bm25_indexed" -> baseOracles("text_bm25_topk")) +
       ("text_bm25_probe_served" -> baseOracles("text_bm25_topk")) +
+      // the v1-pinned probe ranks with the even half's postings AND its
+      // corpus statistics — both document scans restricted
+      ("text_bm25_pinned" -> baseOracles("text_bm25_topk").replace(
+        "FROM documents)", "FROM documents WHERE doc_id % 2 = 0)")) +
       ("text_bm25_index_append" -> baseOracles("text_bm25_topk")) +
       // compaction is probe-preserving by contract, so the compacted
       // probe replays the same inline oracle
@@ -3482,6 +3538,13 @@ object LlmQueries {
       // the manifest-served PQ index converges to the from-scratch
       // encode of the full corpus — the append oracle replayed
       ("sim_pq_index_served" -> baseOracles("sim_pq_index_append")) +
+      // the v1-pinned PQ probe sees only the even half's codes
+      ("sim_pq_pinned" -> baseOracles("sim_pq_index_append").replace(
+        "codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),",
+        "codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1 AND vec_id % 2 = 0),")) +
+      // the v1-pinned gram-log probe repeats against the v1 lake only
+      ("dedup_spans_pinned" -> baseOracles("dedup_spans_incremental").replace(
+        "WHERE doc_id % 10 < 8", "WHERE doc_id % 10 < 4")) +
       // the manifest-served inverted file converges to the inline
       // multi-probe search over the full corpus — build+append+compact
       // and build+refresh both replay the probed oracle
