@@ -249,7 +249,12 @@ object StreamPipeline {
 
   /** Append a delta corpus's embedded rows as a new segment (disjoint
     * doc ids, the standard append contract) — ingest cost is the delta's
-    * embed pass, the standing index is never read or rewritten. */
+    * embed pass, the standing index is never read or rewritten. (No
+    * refresh variant on purpose: the embedding is a pure function of the
+    * text, so detecting a changed row costs the same embed pass a
+    * rebuild pays — there is no stored work a refresh could save, unlike
+    * BM25's tokenization or PQ's encoding. Updates = rebuild, the gram
+    * log's precedent.) */
   def appendSemanticIndexM(
       delta: DataFrame, idCol: String, textCol: String, root: String): Long = {
     val spark = delta.sparkSession
