@@ -206,7 +206,7 @@ object SparkEntry {
     // steady-state probes: the cluster-pruned scan and the term-pruned
     // postings scan are the 100 TB serve shapes (the lifecycle
     // build/append/refresh queries stay off the bench like the others)
-    "sim_ivf_probe_served", "text_bm25_probe_served",
+    "sim_ivf_probe_served", "text_bm25_probe_served", "sim_pq_probe_served",
     // round 11b — corpus wordcount + bounded-heap report shape, and the
     // composed publish path (4 chained hash-decision stages + census)
     "text_top_ngrams", "curation_release")

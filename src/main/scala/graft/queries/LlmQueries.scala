@@ -564,6 +564,27 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // The steady-state PQ SERVE path — build-if-stale like the IVF and
+    // BM25 serves, so the bench's timed reps measure the probe: one
+    // snapshot resolves codes + codebook, broadcast LUTs scan the slim
+    // code rows, bounded-heap top-k out.
+    "sim_pq_probe_served" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = serveIndexRoot("pqidx_srv", dir)
+      val src = new java.io.File(dir, "embeddings.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        val cb = Similarity.pqCodebook(emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", m = 4, dsub = 16)
+        Similarity.buildPqIndexM(emb, cb, "vec_id", "embedding", 4, 16, root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      Similarity.pqProbeM(emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 4, dsub = 16, root)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
     // Release-pinned PQ time travel: v1 holds only the even half's
     // codes (with the codebook they were encoded under); HEAD appends
     // the rest; the probe pinned at v1 must rank against the even
@@ -3538,6 +3559,8 @@ object LlmQueries {
       // the manifest-served PQ index converges to the from-scratch
       // encode of the full corpus — the append oracle replayed
       ("sim_pq_index_served" -> baseOracles("sim_pq_index_append")) +
+      // the steady-state PQ serve replays the same full-corpus encode
+      ("sim_pq_probe_served" -> baseOracles("sim_pq_index_append")) +
       // the v1-pinned PQ probe sees only the even half's codes
       ("sim_pq_pinned" -> baseOracles("sim_pq_index_append").replace(
         "codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),",
