@@ -47,14 +47,51 @@ trait CommitOps {
 
 object CommitOps {
 
+  /** Schemes whose Hadoop `rename` contract FAILS on an existing
+    * destination (namespace-atomic), making [[Hadoop]]'s temp+rename a
+    * true create-iff-absent: HDFS and its protocol-compatible fronts.
+    * Everything else must be routed explicitly — routing an unknown
+    * scheme to rename would silently run last-writer-wins on exactly
+    * the stores (S3, GCS, non-HNS Azure) where rename is copy+delete. */
+  private val RenameSafeSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  /** Hadoop conf key (boolean, default false) that opts an `s3a://`
+    * index root into [[S3AConditional]] — Hadoop 3.4.2+'s native
+    * conditional-create (HADOOP-19256: `If-None-Match: *` on the final
+    * PUT). Off by default because it also requires the S3A connector
+    * side to be new enough; a deployment flips it on once. */
+  val S3AConditionalKey = "graft.index.commit.s3a.conditional"
+
   /** Dispatches to the right implementation for the path's filesystem:
-    * NIO hard-link on `file://`, no-overwrite rename elsewhere. Object
-    * stores must be wired explicitly ([[ConditionalPut]]) — there is no
-    * safe generic fallback for a scheme whose rename replaces. */
+    * NIO hard-link on `file://`, no-overwrite rename on the HDFS-rename
+    * allowlist, [[S3AConditional]] on `s3a://` when
+    * [[S3AConditionalKey]] is set. Every OTHER scheme throws: an object
+    * store routed to rename would silently run the last-writer-wins
+    * protocol this class exists to prevent, so unknown schemes must be
+    * wired explicitly ([[ConditionalPut]] over the store's conditional
+    * PUT) rather than degraded implicitly. */
   object Auto extends CommitOps {
     def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean =
-      (if (fs.getScheme == "file") Local else Hadoop).putIfAbsent(fs, path, body)
+      route(fs.getScheme, fs.getConf).putIfAbsent(fs, path, body)
   }
+
+  /** [[Auto]]'s routing decision, factored out so the refusal matrix is
+    * unit-testable without instantiating cloud filesystems. */
+  private[index] def route(
+      scheme: String, conf: org.apache.hadoop.conf.Configuration): CommitOps =
+    scheme match {
+      case "file" | "local" => Local
+      case s if RenameSafeSchemes.contains(s) => Hadoop
+      case "s3a" if conf.getBoolean(S3AConditionalKey, false) => S3AConditional
+      case s => throw new UnsupportedOperationException(
+        s"no safe atomic create-iff-absent for scheme '$s': rename on " +
+          "object stores silently replaces, so the commit protocol " +
+          "refuses to run last-writer-wins implicitly. For s3a:// set " +
+          s"$S3AConditionalKey=true (Hadoop 3.4.2+ conditional create); " +
+          "for other stores pass ops = new CommitOps.ConditionalPut(...) " +
+          "wired to the store's conditional PUT (S3 If-None-Match, GCS " +
+          "generation-match).")
+    }
 
   /** POSIX local filesystems: write temp, `link(2)` to destination
     * (atomic create-iff-absent), unlink temp. The temp lives in the
@@ -72,11 +109,22 @@ object CommitOps {
         case _: java.nio.file.FileAlreadyExistsException => false
         case e: java.io.IOException =>
           // filesystem without hard links (rare for file://): fall back
-          // to NIO's O_CREAT|O_EXCL create; the body lands after the
-          // atomic create, which is fine for empty/lock files but means
-          // manifest readers must tolerate retry-on-parse — keep hard
-          // links available in production local deployments.
-          try { Files.createFile(dst); Files.write(dst, body); true }
+          // to ONE channel opened O_CREAT|O_EXCL that writes the whole
+          // body before close. The create is atomic; the body follows
+          // within the same syscall sequence, so the visible-but-empty
+          // window is the single write() — and IndexManifest.snapshotAt
+          // retries an empty/truncated parse precisely to absorb it.
+          // Keep hard links available in production local deployments.
+          try {
+            val ch = Files.newByteChannel(dst,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            try {
+              val buf = java.nio.ByteBuffer.wrap(body)
+              while (buf.hasRemaining) ch.write(buf)
+            } finally ch.close()
+            true
+          }
           catch {
             case _: java.nio.file.FileAlreadyExistsException => false
             case _: java.io.IOException => throw e
@@ -104,6 +152,43 @@ object CommitOps {
         fs.delete(tmp, false)
         if (fs.exists(path)) false
         else throw new java.io.IOException(s"rename to $path failed")
+      }
+    }
+  }
+
+  /** S3A binding for Hadoop 3.4.2+ conditional creates (HADOOP-19256):
+    * the `createFile` builder is opened with `overwrite(false)` and the
+    * public `fs.option.create.conditional.overwrite = false` option,
+    * which makes the FINAL object PUT carry `If-None-Match: *` — one
+    * atomic server-side create-or-fail, closing the list-then-PUT race
+    * that makes plain S3A `create(overwrite = false)` unsafe. The store
+    * decides at `close()` (S3 commits multipart/put on complete), so a
+    * lost race surfaces as the close throwing; it is mapped to `false`
+    * only when the destination verifiably exists — any other failure
+    * propagates rather than being mistaken for "someone else won".
+    *
+    * Environment note: no S3 endpoint exists in this sandbox, so this
+    * binding is exercised for ROUTING (Auto + [[S3AConditionalKey]])
+    * and compiled against the public builder API; the conditional-PUT
+    * protocol itself is proven against the adversarial simulated store
+    * in CommitProtocolSpec via [[ConditionalPut]]. */
+  object S3AConditional extends CommitOps {
+    def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean = {
+      fs.mkdirs(path.getParent)
+      try {
+        val out = fs.createFile(path)
+          .overwrite(false)
+          .must(org.apache.hadoop.fs.Options.CreateFileOptionKeys
+            .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE, false)
+          .build()
+        try out.write(body) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          // the conditional PUT rejects at close (HTTP 412); treat as a
+          // lost race only when the winner's object is actually there
+          if (fs.exists(path)) false else throw e
       }
     }
   }

@@ -61,8 +61,14 @@ object IndexManifest {
   private val Magic = "graft-index-manifest"
 
   /** An immutable resolved view of the index: `tables` maps logical table
-    * name → root-relative segment directories, in commit order. */
-  final case class Snapshot(version: Long, tables: Map[String, Seq[String]])
+    * name → root-relative segment directories, in commit order. `meta` is
+    * the version's key→value metadata (e.g. `family` stamped by every
+    * builder so maintenance never guesses from table names, or
+    * `stream_batch` stamped by the exactly-once streaming append so a
+    * replayed micro-batch can prove its commit already landed). */
+  final case class Snapshot(
+      version: Long, tables: Map[String, Seq[String]],
+      meta: Map[String, String] = Map.empty)
 
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,24 +117,66 @@ object IndexManifest {
     snapshotAt(spark, root, v)
   }
 
+  /** Meta lines are distinguished from table lines by this prefix — a
+    * logical table name can never start with `!`. */
+  private val MetaPrefix = "!meta\t"
+
+  /** How many times [[snapshotAt]] re-reads a manifest that opened but
+    * failed to parse, and the pause between attempts. A manifest body is
+    * normally atomic-visible (hard link / no-overwrite rename /
+    * conditional PUT), but the documented no-hardlink local fallback
+    * makes the file visible momentarily before its body lands, and an
+    * eventually-consistent store can serve a truncated read — both
+    * transient. A bounded retry turns them into a short stall instead of
+    * a crash; a manifest that is STILL unparseable after the window is
+    * genuinely corrupt and fails loudly. */
+  private val ParseRetries = 10
+  private val ParseRetrySleepMs = 50L
+
   /** Resolve a specific committed version (time travel for pinned
-    * readers / the concurrency specs). */
+    * readers / the concurrency specs). Retries an empty/truncated body
+    * (see [[ParseRetries]]); a MISSING manifest fails immediately — that
+    * is vacuum or an uninitialized root, not an in-flight writer. */
   def snapshotAt(spark: SparkSession, root: String, version: Long): Snapshot = {
     val fs = fsFor(spark, root)
     val p = manifestPath(root, version)
+    var attempt = 0
+    while (true) {
+      try return parseManifest(fs, p, version)
+      catch {
+        case e: java.io.FileNotFoundException => throw e
+        case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
+          attempt += 1
+          if (attempt > ParseRetries) throw e
+          Thread.sleep(ParseRetrySleepMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def parseManifest(fs: FileSystem, p: Path, version: Long): Snapshot = {
     val in = fs.open(p)
     val body =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     require(body.nonEmpty && body.head.startsWith(Magic),
       s"$p is not a graft index manifest")
-    val entries = body.tail.filter(_.nonEmpty).map { line =>
+    val (metaLines, tableLines) =
+      body.tail.filter(_.nonEmpty).partition(_.startsWith(MetaPrefix))
+    val meta = metaLines.map { line =>
+      val kv = line.stripPrefix(MetaPrefix)
+      val i = kv.indexOf('\t')
+      require(i > 0, s"malformed manifest meta line in $p: $line")
+      (kv.substring(0, i), kv.substring(i + 1))
+    }.toMap
+    val entries = tableLines.map { line =>
       val i = line.indexOf('\t')
       require(i > 0, s"malformed manifest line in $p: $line")
       (line.substring(0, i), line.substring(i + 1))
     }
     Snapshot(version,
-      entries.groupBy(_._1).map { case (t, es) => (t, es.map(_._2)) })
+      entries.groupBy(_._1).map { case (t, es) => (t, es.map(_._2)) },
+      meta)
   }
 
   /** Read one logical table at a resolved snapshot — the reader half of
@@ -182,23 +230,40 @@ object IndexManifest {
     * After a successful publish the lock stays behind as the version's
     * claim TOMBSTONE; [[vacuum]] reclaims tombstones once they age past
     * its grace window. A crashed claimant's orphan lock is reclaimed by
-    * the next committer's lease check (no manual vacuum needed). */
+    * the next committer's lease check (no manual vacuum needed).
+    *
+    * `meta` is merged over the CURRENT version's metadata (inheritance:
+    * an append/compact/refresh automatically carries the builder's
+    * `family` stamp forward without every lifecycle threading it), so a
+    * fresh build passes its identity once and the whole version chain
+    * keeps it. Keys and values must be tab/newline-free. */
   def commit(
       spark: SparkSession, root: String,
       tables: Map[String, Seq[String]],
       expect: Option[Long] = None,
       ops: CommitOps = CommitOps.Auto,
-      lockLeaseMs: Long = DefaultLockLeaseMs): Long = {
+      lockLeaseMs: Long = DefaultLockLeaseMs,
+      meta: Map[String, String] = Map.empty): Long = {
     val fs = fsFor(spark, root)
     fs.mkdirs(new Path(root, ManifestDir))
-    val body = new StringBuilder(s"$Magic\t1\n")
-    for ((t, segs) <- tables.toSeq.sortBy(_._1); s <- segs)
-      body.append(t).append('\t').append(s).append('\n')
-    val bytes = body.toString.getBytes(StandardCharsets.UTF_8)
+    for ((k, v) <- meta)
+      require(!(k + v).exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"manifest meta must be tab/newline-free: $k -> $v")
+    def bodyBytes(effectiveMeta: Map[String, String]): Array[Byte] = {
+      val body = new StringBuilder(s"$Magic\t1\n")
+      for ((k, v) <- effectiveMeta.toSeq.sortBy(_._1))
+        body.append(MetaPrefix).append(k).append('\t').append(v).append('\n')
+      for ((t, segs) <- tables.toSeq.sortBy(_._1); s <- segs)
+        body.append(t).append('\t').append(s).append('\n')
+      body.toString.getBytes(StandardCharsets.UTF_8)
+    }
     var attempt = 0
     var candidate = 0L
     while (attempt < 64) {
       val cur = currentVersion(spark, root)
+      val inherited =
+        if (cur > 0L) snapshotAt(spark, root, cur).meta else Map.empty[String, String]
+      val bytes = bodyBytes(inherited ++ meta)
       expect.foreach { e =>
         if (cur != e) throw new java.util.ConcurrentModificationException(
           s"index at $root is at v$cur, not the expected v$e: a concurrent " +
@@ -284,13 +349,33 @@ object IndexManifest {
 
   /** Resolve the current snapshot under a reader lease: `f` runs with a
     * snapshot that vacuum is contractually unable to reclaim while the
-    * lease is live; the lease is released on every exit path. */
+    * lease is live; the lease is released on every exit path.
+    *
+    * The acquire is guarded against the resolve-then-lease race: after
+    * the lease lands, the pinned version's manifest is re-checked — if a
+    * vacuum reclaimed the version in the window between [[snapshot]] and
+    * the lease file's creation, the stale lease is released and the
+    * resolve retries on the (necessarily newer) current version. Vacuum
+    * deletes a reclaimed version's MANIFEST before its segments, so a
+    * reader that passes this check while vacuum is mid-delete fails the
+    * check rather than resolving a pointer to half-deleted data. */
   def withReaderLease[T](
       spark: SparkSession, root: String,
       ttlMs: Long = 60L * 60L * 1000L)(f: Snapshot => T): T = {
-    val snap = snapshot(spark, root)
-    val lease = acquireReaderLease(spark, root, snap.version, ttlMs)
-    try f(snap) finally releaseReaderLease(spark, root, lease)
+    val fs = fsFor(spark, root)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, root)
+      val lease = acquireReaderLease(spark, root, snap.version, ttlMs)
+      if (fs.exists(manifestPath(root, snap.version)))
+        return try f(snap) finally releaseReaderLease(spark, root, lease)
+      releaseReaderLease(spark, root, lease)
+      attempt += 1
+      if (attempt > 8) throw new IllegalStateException(
+        s"could not pin a stable snapshot under $root: every resolved " +
+          "version was vacuumed before its lease landed")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Versions protected by an unexpired reader lease right now. */
@@ -339,19 +424,37 @@ object IndexManifest {
     val fs = fsFor(spark, root)
     val cur = snapshot(spark, root).version
     val nowMs = java.lang.System.currentTimeMillis()
-    val leased = leasedVersions(fs, root, nowMs)
     val oldest = if (keepFrom < 0) cur else math.min(keepFrom, cur)
     // resolve only versions whose manifest still exists — a keepFrom
-    // below an earlier vacuum's boundary must not chase deleted files
+    // below an earlier vacuum's boundary must not chase deleted files.
+    // Segment references are resolved up front, while every manifest is
+    // still present.
     val versions = listVersions(fs, root)
-    val retained = versions.filter(v => v >= oldest || leased.contains(v))
-      .flatMap(v => snapshotAt(spark, root, v).tables.values.flatten).toSet
+    val segsByVersion = versions
+      .map(v => v -> snapshotAt(spark, root, v).tables.values.flatten.toSet)
+      .toMap
     // everything ANY existing manifest references — used to tell a
     // superseded segment (dead) from a staged one (possibly in flight)
-    val everCommitted = versions
-      .flatMap(v => snapshotAt(spark, root, v).tables.values.flatten).toSet
+    val everCommitted = segsByVersion.values.flatten.toSet
+    // Lease check happens HERE — immediately before the destructive
+    // phase, not at the start of the (listing-heavy) resolution above —
+    // so a lease acquired while this vacuum was resolving manifests is
+    // honored. The residual window (a lease landing between this listing
+    // and the manifest delete below) is closed from the reader's side:
+    // [[withReaderLease]] re-verifies the manifest after its lease lands
+    // and retries on a newer version if vacuum won the race. Manifests
+    // are deleted BEFORE their segments so that verification is
+    // authoritative — a version either resolves fully or not at all.
+    val leased = leasedVersions(fs, root, java.lang.System.currentTimeMillis())
     val cutoff = nowMs - orphanGraceMs
     var removed = 0
+    val drop = versions.filter(v => v < oldest && !leased.contains(v)).toSet
+    for (v <- versions; if drop.contains(v)) {
+      fs.delete(manifestPath(root, v), false); removed += 1
+    }
+    val retained = segsByVersion.collect {
+      case (v, segs) if !drop.contains(v) => segs
+    }.flatten.toSet
     val segRoot = new Path(root, "seg")
     if (fs.exists(segRoot)) {
       for (tdir <- fs.listStatus(segRoot); seg <- fs.listStatus(tdir.getPath)) {
@@ -362,9 +465,6 @@ object IndexManifest {
           if (dead) { fs.delete(seg.getPath, true); removed += 1 }
         }
       }
-    }
-    for (v <- versions; if v < oldest && !leased.contains(v)) {
-      fs.delete(manifestPath(root, v), false); removed += 1
     }
     val mdir = new Path(root, ManifestDir)
     if (fs.exists(mdir)) {

@@ -15,18 +15,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
-  /** The index family owning `root`, sniffed from its committed
-    * manifest's table names. */
+  /** The index family owning `root`: the manifest's own `family`
+    * metadata when present (every builder stamps it since r14, and
+    * commits inherit it down the version chain), with the table-name
+    * sniff kept only as the fallback for pre-metadata manifests. The
+    * metadata key is exact — a user table that happens to be named
+    * `custom_sigs` can no longer be misclassified as LSH. */
   def familyOf(spark: SparkSession, root: String): String = {
-    val tables = IndexManifest.snapshot(spark, root).tables.keySet
-    if (tables.contains("ivfpq_codes")) "ivfpq"
-    else if (tables.contains("ivf_assigned")) "ivf"
-    else if (tables.contains("codes") && tables.contains("codebook")) "pq"
-    else if (tables.contains("postings")) "bm25"
-    else if (tables.contains("grams")) "gram"
-    else if (tables.exists(_.contains("sigs"))) "lsh"
-    else if (tables.contains("embeds")) "semantic"
-    else "unknown"
+    val snap = IndexManifest.snapshot(spark, root)
+    snap.meta.getOrElse("family", {
+      val tables = snap.tables.keySet
+      if (tables.contains("ivfpq_codes")) "ivfpq"
+      else if (tables.contains("ivf_assigned")) "ivf"
+      else if (tables.contains("codes") && tables.contains("codebook")) "pq"
+      else if (tables.contains("postings")) "bm25"
+      else if (tables.contains("grams")) "gram"
+      else if (tables.exists(_.contains("sigs"))) "lsh"
+      else if (tables.contains("embeds")) "semantic"
+      else "unknown"
+    })
   }
 
   /** Pure re-layout compaction for a one-table family: the accumulated
@@ -63,34 +70,57 @@ object Maintenance {
   }
 
   /** One maintenance pass over `root`: compact (family-dispatched),
-    * then vacuum everything below the new head (bounded by `keepFrom`
-    * when a release pin must survive). Returns a one-line report. */
+    * then vacuum below the retention boundary. The boundary is
+    * `keepFrom` when given; otherwise the pass retains the most recent
+    * `keepLast` versions INCLUDING the compaction's new head — so the
+    * default nightly run keeps a rolling window of re-resolvable
+    * versions instead of silently destroying every release-pinned probe
+    * below HEAD (reader leases additionally protect in-flight pins
+    * regardless of the boundary). The report line names the boundary
+    * and the reclaimed versions, so an operator can see exactly which
+    * pinned-capable versions a pass removed. */
   def maintain(
       spark: SparkSession, root: String, keepFrom: Long = -1L,
-      orphanGraceMs: Long = 20L * 60L * 1000L): String = {
+      orphanGraceMs: Long = 20L * 60L * 1000L,
+      keepLast: Int = 3): String = {
     val (fam, v) = compact(spark, root)
     v match {
       case Some(ver) =>
-        val swept = IndexManifest.vacuum(spark, root, keepFrom, orphanGraceMs)
-        s"$root family=$fam compacted to v$ver, vacuum swept $swept paths"
+        val boundary =
+          if (keepFrom >= 0) keepFrom
+          else math.max(1L, ver - math.max(1, keepLast) + 1)
+        def versionsNow: Set[Long] = IndexManifest.describe(spark, root)
+          .select("version").distinct().collect().map(_.getLong(0)).toSet
+        val before = versionsNow
+        val swept = IndexManifest.vacuum(spark, root, boundary, orphanGraceMs)
+        val reclaimed = (before -- versionsNow).toSeq.sorted
+        val reclaimedNote =
+          if (reclaimed.isEmpty) "no versions reclaimed"
+          else s"reclaimed versions ${reclaimed.mkString(",")}"
+        s"$root family=$fam compacted to v$ver, keepFrom=$boundary, " +
+          s"vacuum swept $swept paths ($reclaimedNote)"
       case None => s"$root family=$fam SKIPPED (no compaction for family)"
     }
   }
 }
 
 /** CLI: `runMain graft.index.IndexMaintenance <root>...
-  * [--keep-from=V] [--orphan-grace-ms=MS]` — one maintenance pass per
-  * root, one report line each; a root that fails (concurrent writer,
-  * uninitialized) is reported and does not stop the others. */
+  * [--keep-from=V] [--keep-last=N] [--orphan-grace-ms=MS]` — one
+  * maintenance pass per root, one report line each; a root that fails
+  * (concurrent writer, uninitialized) is reported and does not stop the
+  * others. Without `--keep-from`, the last `--keep-last` (default 3)
+  * versions survive each pass — release pins inside that window keep
+  * working with no per-run flag. */
 object IndexMaintenance {
   def main(args: Array[String]): Unit = {
     val (flags, roots) = args.partition(_.startsWith("--"))
     require(roots.nonEmpty,
-      "usage: IndexMaintenance <root>... [--keep-from=V] [--orphan-grace-ms=MS]")
+      "usage: IndexMaintenance <root>... [--keep-from=V] [--keep-last=N] [--orphan-grace-ms=MS]")
     def flag(name: String, default: Long): Long =
       flags.collectFirst { case f if f.startsWith(s"--$name=") =>
         f.substring(name.length + 3).toLong }.getOrElse(default)
     val keepFrom = flag("keep-from", -1L)
+    val keepLast = flag("keep-last", 3L).toInt
     val grace = flag("orphan-grace-ms", 20L * 60L * 1000L)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
@@ -101,7 +131,7 @@ object IndexMaintenance {
     spark.sparkContext.setLogLevel("WARN")
     roots.foreach { root =>
       val line =
-        try Maintenance.maintain(spark, root, keepFrom, grace)
+        try Maintenance.maintain(spark, root, keepFrom, grace, keepLast)
         catch { case e: Exception =>
           s"$root FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}"
         }

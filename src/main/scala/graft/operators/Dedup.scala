@@ -779,7 +779,8 @@ object Dedup {
     bandsWithCounts(spark.read.parquet(s"$root/$sigSeg"), k, bands)
       .write.mode("overwrite").parquet(s"$root/$bandSeg")
     graft.index.IndexManifest.commit(spark, root,
-      Map(LshSigsTable -> Seq(sigSeg), LshBandsTable -> Seq(bandSeg)))
+      Map(LshSigsTable -> Seq(sigSeg), LshBandsTable -> Seq(bandSeg)),
+      meta = Map("family" -> "lsh"))
   }
 
   /** [[writeLshIndexDigested]] under the manifest protocol (the sigs
@@ -794,7 +795,8 @@ object Dedup {
     bandsWithCounts(spark.read.parquet(s"$root/$sigSeg"), k, bands)
       .write.mode("overwrite").parquet(s"$root/$bandSeg")
     graft.index.IndexManifest.commit(spark, root,
-      Map(LshSigsTable -> Seq(sigSeg), LshBandsTable -> Seq(bandSeg)))
+      Map(LshSigsTable -> Seq(sigSeg), LshBandsTable -> Seq(bandSeg)),
+      meta = Map("family" -> "lsh"))
   }
 
   /** [[appendLshIndex]] under the manifest protocol: the delta's sig and
@@ -1374,7 +1376,7 @@ object Dedup {
     gramIndexFrame(df, idCol, textCol, gramChars)
       .write.mode("overwrite").parquet(s"$root/$seg")
     graft.index.IndexManifest.commit(df.sparkSession, root,
-      Map(GramTable -> Seq(seg)))
+      Map(GramTable -> Seq(seg)), meta = Map("family" -> "gram"))
   }
 
   /** The digest log at the current committed version — what every probe
@@ -1386,9 +1388,13 @@ object Dedup {
     * owner-lowering rows land as a NEW segment, published atomically. The
     * commit carries the snapshot version the delta was computed against,
     * so a concurrent writer surfaces as ConcurrentModificationException
-    * instead of a silently stale append. */
+    * instead of a silently stale append. `extraMeta` rides on the commit
+    * (merged over the inherited metadata) — the exactly-once streaming
+    * append stamps its micro-batch id here so a replayed batch can prove
+    * its append already landed and skip instead of double-committing. */
   def appendGramIndexM(delta: DataFrame,
-      idCol: String, textCol: String, gramChars: Int, root: String): Long = {
+      idCol: String, textCol: String, gramChars: Int, root: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = delta.sparkSession
     val snap = graft.index.IndexManifest.snapshot(spark, root)
     val idx = graft.index.IndexManifest.readAt(spark, root, snap, GramTable)
@@ -1397,7 +1403,7 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$root/$seg")
     graft.index.IndexManifest.commit(spark, root,
       snap.tables.updated(GramTable, snap.tables(GramTable) :+ seg),
-      expect = Some(snap.version))
+      expect = Some(snap.version), meta = extraMeta)
   }
 
   /** [[compactGramIndex]] as an atomic pointer swap: the folded

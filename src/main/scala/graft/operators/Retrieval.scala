@@ -356,7 +356,8 @@ object Retrieval {
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$dSeg")
     IndexManifest.commit(spark, root, Map(
       PostingsTable -> Seq(pSeg), StatsTable -> Seq(sSeg),
-      CorpusTable -> Seq(cSeg), DocsTable -> Seq(dSeg)))
+      CorpusTable -> Seq(cSeg), DocsTable -> Seq(dSeg)),
+      meta = Map("family" -> "bm25"))
   }
 
   /** [[appendIndex]] under the manifest protocol: the delta's postings /

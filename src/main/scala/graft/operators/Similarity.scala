@@ -704,7 +704,8 @@ object Similarity {
     val bSeg = graft.index.IndexManifest.newSegment(PqCodebookTable)
     codebook.write.mode("overwrite").parquet(s"$root/$bSeg")
     graft.index.IndexManifest.commit(spark, root,
-      Map(PqCodesTable -> Seq(cSeg), PqCodebookTable -> Seq(bSeg)))
+      Map(PqCodesTable -> Seq(cSeg), PqCodebookTable -> Seq(bSeg)),
+      meta = Map("family" -> "pq"))
   }
 
   /** Append-only maintenance: encode ONLY corpus rows whose id is not
@@ -864,7 +865,8 @@ object Similarity {
     val aSeg = graft.index.IndexManifest.newSegment(IvfAssignedTable)
     writeAssignedSeg(ivfAssignedRows(corpus, centroids, idCol, vecCol), s"$root/$aSeg")
     graft.index.IndexManifest.commit(spark, root,
-      Map(IvfCentroidsTable -> Seq(cenSeg), IvfAssignedTable -> Seq(aSeg)))
+      Map(IvfCentroidsTable -> Seq(cenSeg), IvfAssignedTable -> Seq(aSeg)),
+      meta = Map("family" -> "ivf"))
   }
 
   private def storedIvfCentroids(
@@ -1037,7 +1039,7 @@ object Similarity {
       s"$root/$aSeg")
     graft.index.IndexManifest.commit(spark, root, Map(
       IvfCentroidsTable -> Seq(cenSeg), PqCodebookTable -> Seq(cbSeg),
-      IvfPqCodesTable -> Seq(aSeg)))
+      IvfPqCodesTable -> Seq(aSeg)), meta = Map("family" -> "ivfpq"))
   }
 
   private def storedPqRef(

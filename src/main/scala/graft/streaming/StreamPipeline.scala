@@ -244,7 +244,8 @@ object StreamPipeline {
   def buildSemanticIndexM(spark: SparkSession, dir: String, root: String): Long = {
     val seg = graft.index.IndexManifest.newSegment(SemTable)
     semanticCorpus(spark, dir).write.mode("overwrite").parquet(s"$root/$seg")
-    graft.index.IndexManifest.commit(spark, root, Map(SemTable -> Seq(seg)))
+    graft.index.IndexManifest.commit(spark, root, Map(SemTable -> Seq(seg)),
+      meta = Map("family" -> "semantic"))
   }
 
   /** Append a delta corpus's embedded rows as a new segment (disjoint
@@ -496,12 +497,23 @@ object StreamPipeline {
       q.awaitTermination()
       // winners are pair-result-sized: materialize them off the scratch
       // files (eager localCheckpoint) so the finally can reclaim the dirs
-      readBatchDirs(spark, outDir).localCheckpoint(true)
+      readBatchDirs(spark, outDir,
+        graft.operators.Dedup.indexedCrossCorpusPairs(bandsDf, sigsDf,
+          graft.operators.Dedup.rawShingles(
+            emptyOf(spark, DocumentsSchema), "text", "doc_id", shingleN),
+          "doc_id", k, bands, maxBucket).schema).localCheckpoint(true)
     } finally {
       // reclaim on EVERY exit path — a failed run must not leak /tmp
       Seq(root, outDir, ckptDir).foreach(rmTree)
     }
   }
+
+  /** Zero-row batch frame with an explicit schema — the plan seed the
+    * zero-micro-batch fallbacks build their output schema from. */
+  private def emptyOf(
+      spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** BatchId-idempotent file sink for `foreachBatch`: each micro-batch
     * writes (overwrites) its OWN `b=<batchId>` subdirectory, so a batch
@@ -517,10 +529,23 @@ object StreamPipeline {
     batch.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
 
   /** Union of every batch subdirectory written by
-    * [[writeBatchIdempotent]]. */
+    * [[writeBatchIdempotent]]. A stream that produced ZERO micro-batches
+    * (empty arrivals) leaves no `batch-*` directories, and reading the
+    * non-matching glob would throw AnalysisException — an empty ingest
+    * run is a legitimate result, not a failure, so that case returns an
+    * empty frame with `emptySchema` (evaluated only then; every caller
+    * can state its probe's output schema without running anything). */
   private[streaming] def readBatchDirs(
-      spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/batch-*")
+      spark: SparkSession, outDir: String,
+      emptySchema: => StructType): DataFrame = {
+    val dirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    else spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
+  }
 
   private def rmTree(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -584,7 +609,7 @@ object StreamPipeline {
       q.awaitTermination()
       // winners are queries×k rows: materialize them off the scratch
       // files (eager localCheckpoint) so the finally can reclaim the dirs
-      readBatchDirs(spark, outDir).localCheckpoint(true)
+      readBatchDirs(spark, outDir, scored.schema).localCheckpoint(true)
     } finally {
       // reclaim on EVERY exit path — a failed run must not leak /tmp
       Seq(root, outDir, ckptDir).foreach(rmTree)
@@ -634,7 +659,10 @@ object StreamPipeline {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      readBatchDirs(spark, outDir).localCheckpoint(true)
+      readBatchDirs(spark, outDir,
+        graft.operators.Similarity.ivfProbeM(
+          emptyOf(spark, EmbeddingsSchema),
+          "vec_id", "embedding", k, nProbe, root).schema).localCheckpoint(true)
     } finally {
       Seq(root, outDir, ckptDir).foreach(rmTree)
     }
@@ -678,7 +706,11 @@ object StreamPipeline {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      readBatchDirs(spark, outDir).localCheckpoint(true)
+      readBatchDirs(spark, outDir,
+        graft.operators.Similarity.ivfPqProbeM(
+          emptyOf(spark, EmbeddingsSchema),
+          "vec_id", "embedding", k, m, dsub, nProbe, root).schema)
+        .localCheckpoint(true)
     } finally {
       Seq(root, outDir, ckptDir).foreach(rmTree)
     }

@@ -313,4 +313,95 @@ class CommitProtocolSpec extends SparkSpec {
     }
     assert(liveLeases() == 0, "lease leaked on the failure path")
   }
+
+  // ---- Auto routing refusal matrix (r14 ADVICE: object-store schemes
+  // must not silently fall through to last-writer-wins rename) ---------
+
+  test("Auto routes rename-safe schemes and REFUSES object stores") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    assert(CommitOps.route("file", conf) eq CommitOps.Local)
+    assert(CommitOps.route("local", conf) eq CommitOps.Local)
+    for (s <- Seq("hdfs", "viewfs", "webhdfs", "swebhdfs"))
+      assert(CommitOps.route(s, conf) eq CommitOps.Hadoop, s)
+    // every object-store or unknown scheme throws instead of degrading
+    for (s <- Seq("s3a", "s3", "gs", "abfs", "abfss", "wasb", "oss", "bogus")) {
+      val e = intercept[UnsupportedOperationException](CommitOps.route(s, conf))
+      assert(e.getMessage.contains("ConditionalPut"), s)
+    }
+    // the one sanctioned escape hatch: s3a + the conditional-create flag
+    // (Hadoop 3.4.2 If-None-Match binding) routes to S3AConditional
+    val flagged = new org.apache.hadoop.conf.Configuration(false)
+    flagged.setBoolean(CommitOps.S3AConditionalKey, true)
+    assert(CommitOps.route("s3a", flagged) eq CommitOps.S3AConditional)
+    // ... and the flag is scheme-scoped: gs stays refused
+    intercept[UnsupportedOperationException](CommitOps.route("gs", flagged))
+  }
+
+  // ---- retry-tolerant manifest reads (r13 What's-wrong #2): the
+  // no-hardlink local fallback makes the manifest file visible for one
+  // write() before its body lands; snapshotAt must absorb that window --
+
+  test("snapshotAt retries past a concurrently-landing manifest body") {
+    val root = freshRoot("retry")
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+    val good = Files.readAllBytes(
+      Paths.get(root, "_manifests", "m-000000001.txt"))
+    // fallback-writer shape for v2: the file exists EMPTY first, the
+    // body lands a beat later — a reader arriving in between must wait
+    // it out, not crash
+    val p2 = Paths.get(root, "_manifests", "m-000000002.txt")
+    Files.write(p2, Array.emptyByteArray)
+    val writer = new Thread(() => {
+      Thread.sleep(200)
+      Files.write(p2, good)
+    })
+    writer.start()
+    try {
+      val snap = IndexManifest.snapshotAt(spark, root, 2L)
+      assert(snap.tables("t") == Seq(seg))
+    } finally writer.join()
+    // a manifest that NEVER becomes parseable still fails loudly after
+    // the bounded retry window
+    val p3 = Paths.get(root, "_manifests", "m-000000003.txt")
+    Files.write(p3, "not a manifest".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException](
+      IndexManifest.snapshotAt(spark, root, 3L))
+    // ... and a MISSING manifest fails immediately (vacuumed version),
+    // no pointless retry stall
+    val t0 = java.lang.System.nanoTime()
+    intercept[java.io.FileNotFoundException](
+      IndexManifest.snapshotAt(spark, root, 9L))
+    assert((java.lang.System.nanoTime() - t0) / 1e9 < 0.4,
+      "missing manifest should not burn the retry budget")
+  }
+
+  test("manifest metadata round-trips and inherits down the version chain") {
+    val root = freshRoot("meta")
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg)),
+      meta = Map("family" -> "gram", "note" -> "v1"))
+    assert(IndexManifest.snapshot(spark, root).meta ==
+      Map("family" -> "gram", "note" -> "v1"))
+    // a metadata-less commit inherits; an explicit key overrides
+    val seg2 = IndexManifest.newSegment("t")
+    rows(2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg, seg2)),
+      expect = Some(1L))
+    assert(IndexManifest.snapshot(spark, root).meta ==
+      Map("family" -> "gram", "note" -> "v1"))
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg, seg2)),
+      expect = Some(2L), meta = Map("note" -> "v3"))
+    val snap = IndexManifest.snapshot(spark, root)
+    assert(snap.meta == Map("family" -> "gram", "note" -> "v3"))
+    // older versions keep their own metadata (time travel reads the
+    // version's stamp, not HEAD's)
+    assert(IndexManifest.snapshotAt(spark, root, 1L).meta("note") == "v1")
+    // tab/newline-hostile values are rejected up front
+    intercept[IllegalArgumentException](
+      IndexManifest.commit(spark, root, Map("t" -> Seq(seg)),
+        meta = Map("bad" -> "a\tb")))
+  }
 }

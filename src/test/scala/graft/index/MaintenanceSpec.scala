@@ -58,9 +58,47 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq == bmBefore)
     assert(Similarity.ivfProbeM(emb(0 until 2), "vec_id", "embedding", 3, 2, ivf)
       .collect().map(_.toString).sorted.toSeq == ivfBefore)
-    // vacuum actually reclaimed the superseded versions
+    // the DEFAULT pass retains a rolling keepLast=3 window (build v1,
+    // append v2, compacted head v3 all still resolvable) — a probe
+    // pinned below HEAD keeps working with no per-run flag, closing the
+    // "nightly ops entry point silently destroys its own time-travel
+    // contract" failure mode
+    assert(IndexManifest.describe(spark, bm25)
+      .select("version").distinct().count() == 3)
+    assert(Retrieval.bm25ProbeM(spark, bm25, Seq((1, "alpha w3")), 3,
+      at = Some(2L)).collect().nonEmpty)
+    // an explicit keepFrom still reclaims everything below it (clamped
+    // to head), and the report names the reclaimed versions
+    val report = Maintenance.maintain(
+      spark, bm25, keepFrom = Long.MaxValue, orphanGraceMs = 0L)
+    assert(report.contains("reclaimed versions"), report)
     assert(IndexManifest.describe(spark, bm25)
       .select("version").distinct().count() == 1)
+  }
+
+  test("family metadata beats table-name sniffing for custom-named tables") {
+    // a manifest whose table name would sniff as LSH ("*sigs*") but whose
+    // builder stamped family=semantic: the metadata key is authoritative
+    val root = freshRoot("meta")
+    val seg = IndexManifest.newSegment("user_sigs")
+    emb(0 until 2).write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("user_sigs" -> Seq(seg)),
+      meta = Map("family" -> "semantic"))
+    assert(Maintenance.familyOf(spark, root) == "semantic")
+    // ... and the stamp survives a metadata-less follow-up commit
+    // (append/compact lifecycles inherit it)
+    val seg2 = IndexManifest.newSegment("user_sigs")
+    emb(2 until 4).write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("user_sigs" -> Seq(seg, seg2)),
+      expect = Some(1L))
+    assert(IndexManifest.snapshot(spark, root).meta == Map("family" -> "semantic"))
+    assert(Maintenance.familyOf(spark, root) == "semantic")
+    // a pre-metadata manifest (no family key) still falls back to sniffing
+    val legacy = freshRoot("legacy")
+    val lseg = IndexManifest.newSegment("grams")
+    emb(0 until 2).write.parquet(s"$legacy/$lseg")
+    IndexManifest.commit(spark, legacy, Map("grams" -> Seq(lseg)))
+    assert(Maintenance.familyOf(spark, legacy) == "gram")
   }
 
   test("familyOf distinguishes PQ, IVF-PQ, and LSH; unknown family is skipped") {

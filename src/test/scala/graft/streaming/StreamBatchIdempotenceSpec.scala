@@ -18,6 +18,12 @@ class StreamBatchIdempotenceSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_idem").toString
 
+  private val IdVSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.StringType)))
+
   private def rm(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
@@ -35,7 +41,7 @@ class StreamBatchIdempotenceSpec extends SparkSpec {
       StreamPipeline.writeBatchIdempotent(full, out, 0L)
       StreamPipeline.writeBatchIdempotent(
         Seq((10L, "z")).toDF("id", "v"), out, 1L)
-      val got = StreamPipeline.readBatchDirs(spark, out)
+      val got = StreamPipeline.readBatchDirs(spark, out, IdVSchema)
         .as[(Long, String)].collect().sorted
       assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "z")))
     } finally rm(out)
@@ -48,7 +54,7 @@ class StreamBatchIdempotenceSpec extends SparkSpec {
       StreamPipeline.writeBatchIdempotent(b, out, 5L)
       StreamPipeline.writeBatchIdempotent(b, out, 5L)
       StreamPipeline.writeBatchIdempotent(b, out, 5L)
-      assert(StreamPipeline.readBatchDirs(spark, out).count() == 2L)
+      assert(StreamPipeline.readBatchDirs(spark, out, IdVSchema).count() == 2L)
     } finally rm(out)
   }
 
@@ -59,7 +65,7 @@ class StreamBatchIdempotenceSpec extends SparkSpec {
         Seq((1L, "a")).toDF("id", "v"), out, 0L)
       StreamPipeline.writeBatchIdempotent(
         Seq((2L, "b")).toDF("id", "v"), out, 1L)
-      val df = StreamPipeline.readBatchDirs(spark, out)
+      val df = StreamPipeline.readBatchDirs(spark, out, IdVSchema)
       assert(df.columns.toSeq == Seq("id", "v"))
       assert(df.count() == 2L)
     } finally rm(out)
@@ -75,7 +81,7 @@ class StreamBatchIdempotenceSpec extends SparkSpec {
         Seq((1L, "a")).toDF("id", "v"), out, 0L)
       StreamPipeline.writeBatchIdempotent(
         Seq.empty[(Long, String)].toDF("id", "v"), out, 0L)
-      assert(StreamPipeline.readBatchDirs(spark, out).count() == 0L)
+      assert(StreamPipeline.readBatchDirs(spark, out, IdVSchema).count() == 0L)
     } finally rm(out)
   }
 }
