@@ -35,6 +35,8 @@ object SparkEntry {
           streaming.StreamPipeline.streamingSemanticDedup(s, dir)),
         "stream_span_dedup" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.streamingSpanDedup(s, dir)),
+        "stream_span_dedup_growing" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.streamingSpanDedupGrowing(s, dir)),
         "stream_quality_profile" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.streamingQualityProfile(s, dir)),
         "stream_quality_gate" -> ((s: SparkSession, dir: String) =>
@@ -127,6 +129,63 @@ object SparkEntry {
                  WHERE doc_id % 10 < 8 AND text IS NOT NULL
                    AND length(text) >= $L)),
              pts AS (SELECT doc_id, pos FROM dgd WHERE h IN (SELECT h FROM lidx)),
+             isl AS (
+               SELECT doc_id, pos,
+                      CASE WHEN pos > coalesce(max(pos + $L) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                           THEN 1 ELSE 0 END AS brk
+               FROM pts),
+             grp AS (
+               SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM isl)
+             SELECT doc_id, min(pos) AS span_start,
+                    max(pos) + ${L - 1} AS span_end
+             FROM grp GROUP BY doc_id, island
+             ORDER BY doc_id, span_start"""
+        },
+        // the GROWING-index ingest: arrivals consumed as 3 deterministic
+        // micro-batches (batch b = arrival docs with (doc_id%30)//10 == b,
+        // in that order); each batch probes the index as of the PREVIOUS
+        // batch and then appends its own grams via an exactly-once
+        // manifest commit. So an arrival gram occurrence is marked iff
+        // its digest is in the lake, OR an EARLIER batch carried it, OR
+        // >=2 distinct docs of its OWN batch carry it — keep-first
+        // across arrival order, replayed here without any index.
+        "stream_span_dedup_growing" -> {
+          val L = _root_.graft.queries.LlmQueries.SpanGramChars
+          s"""WITH ag AS (
+               SELECT doc_id, (doc_id % 30) // 10 AS b, pos,
+                      ('0x' || substr(md5(substr(text, pos, $L)), 1, 15))::bigint AS h
+               FROM (
+                 SELECT doc_id,
+                        unnest(generate_series(1, length(text) - ${L - 1}))::int AS pos,
+                        text
+                 FROM documents
+                 WHERE doc_id % 10 >= 8 AND text IS NOT NULL
+                   AND length(text) >= $L)),
+             lidx AS (
+               SELECT DISTINCT
+                      ('0x' || substr(md5(substr(text, pos, $L)), 1, 15))::bigint AS h
+               FROM (
+                 SELECT unnest(generate_series(1, length(text) - ${L - 1}))::int AS pos,
+                        text
+                 FROM documents
+                 WHERE doc_id % 10 < 8 AND text IS NOT NULL
+                   AND length(text) >= $L)),
+             firstb AS (SELECT h, min(b) AS minb FROM ag GROUP BY h),
+             rep AS (
+               SELECT h, b FROM ag
+               GROUP BY h, b HAVING count(DISTINCT doc_id) >= 2),
+             pts AS (
+               SELECT g.doc_id, g.pos
+               FROM ag g
+               JOIN firstb f ON f.h = g.h
+               LEFT JOIN rep r ON r.h = g.h AND r.b = g.b
+               WHERE g.h IN (SELECT h FROM lidx)
+                  OR g.b > f.minb
+                  OR r.h IS NOT NULL),
              isl AS (
                SELECT doc_id, pos,
                       CASE WHEN pos > coalesce(max(pos + $L) OVER (

@@ -1384,6 +1384,14 @@ object Dedup {
   def readGramIndexM(spark: SparkSession, root: String): DataFrame =
     graft.index.IndexManifest.read(spark, root, GramTable)
 
+  /** The digest log pinned at a RESOLVED snapshot — what the exactly-once
+    * streaming append probes with: a replayed micro-batch must read the
+    * index as of BEFORE its own (already-committed) append, or every one
+    * of its grams would self-match. */
+  def readGramIndexAt(spark: SparkSession, root: String,
+      snap: graft.index.IndexManifest.Snapshot): DataFrame =
+    graft.index.IndexManifest.readAt(spark, root, snap, GramTable)
+
   /** [[appendGramIndex]] under the manifest protocol: the delta's novel +
     * owner-lowering rows land as a NEW segment, published atomically. The
     * commit carries the snapshot version the delta was computed against,

@@ -385,6 +385,144 @@ object StreamPipeline {
     }
   }
 
+  // ---- exactly-once index GROWTH at ingest -----------------------------
+
+  /** Manifest metadata key carrying the highest micro-batch id whose
+    * append has committed — the index-family edition of the JDBC sink's
+    * batch-id co-commit (ExactlyOnceSpec): the commit that grows the
+    * index and the fact "batch N is applied" are ONE atomic manifest
+    * publish, so a micro-batch replayed after a crash can prove its
+    * append already landed and skip instead of double-committing. */
+  private[graft] val StreamBatchKey = "stream_batch"
+
+  /** Output schema of [[spanGrowingBatch]]'s per-batch span frames. */
+  private[graft] val SpanSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("span_start", IntegerType),
+    StructField("span_end", IntegerType)))
+
+  /** One micro-batch of the GROWING span-dedup ingest — the body
+    * `foreachBatch` runs, factored out so the replay spec can drive the
+    * exact crash windows. Replay-safe end to end:
+    *
+    *  1. The probe resolves the index as of BEFORE this batch's own
+    *     append: walk down from HEAD past any version whose
+    *     [[StreamBatchKey]] stamp is >= this batchId. On the first
+    *     attempt that is simply HEAD; on a replay AFTER the append
+    *     committed, it is the pre-append version — without the walk,
+    *     every gram of the replayed batch would self-match against its
+    *     own committed copy and the whole batch would be marked.
+    *  2. Spans land via [[writeBatchIdempotent]] (overwrite-own-subdir).
+    *  3. The append commits with the batchId stamped in the manifest
+    *     metadata and is SKIPPED when HEAD already carries a stamp >=
+    *     batchId — the grown index and the applied-batch watermark move
+    *     in one atomic publish, so every crash window (before the write,
+    *     between write and append, after the append but before the
+    *     checkpoint commit) replays to the same final state.
+    *
+    * Growth is the point: batch b's grams probe an index that already
+    * contains batches 0..b-1, so cross-arrival repeats are caught the
+    * moment the second copy arrives — keep-first across arrival order,
+    * with intra-batch repeats handled by [[graft.operators.Dedup
+    * .incrementalSpans]]'s ≥2-distinct-docs clause. */
+  private[graft] def spanGrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String,
+      gramChars: Int): Unit = {
+    val spark = batch.sparkSession
+    var v = graft.index.IndexManifest.currentVersion(spark, root)
+    var snap = graft.index.IndexManifest.snapshotAt(spark, root, v)
+    val alreadyCommitted =
+      snap.meta.get(StreamBatchKey).exists(_.toLong >= batchId)
+    while (snap.meta.get(StreamBatchKey).exists(_.toLong >= batchId) && v > 1) {
+      v -= 1; snap = graft.index.IndexManifest.snapshotAt(spark, root, v)
+    }
+    val index = graft.operators.Dedup.readGramIndexAt(spark, root, snap)
+    val spans = graft.operators.Dedup.incrementalSpans(
+      index, batch, "doc_id", "text", gramChars)
+    writeBatchIdempotent(
+      spans.select(col("doc_id"), col("span_start"), col("span_end")),
+      outDir, batchId)
+    if (!alreadyCommitted)
+      graft.operators.Dedup.appendGramIndexM(
+        batch, "doc_id", "text", gramChars, root,
+        extraMeta = Map(StreamBatchKey -> batchId.toString)): Unit
+  }
+
+  /** Stage `arrivals` as `nBatches` single-file parquet drops (batch b =
+    * docs with `(doc_id mod 10*nBatches) div 10 == b`) with ascending
+    * modification times, so a `maxFilesPerTrigger = 1` file stream
+    * consumes them as micro-batches 0..n-1 in that DETERMINISTIC order —
+    * the property the shared oracle replays. */
+  private[graft] def writeArrivalBatches(
+      arrivals: DataFrame, streamIn: String, nBatches: Int): Unit = {
+    val stage = Files.createTempDirectory("graft_sgrow_stage").toString
+    try {
+      for (b <- 0 until nBatches) {
+        val dirB = s"$stage/b$b"
+        arrivals
+          .filter(expr(s"(doc_id % ${10 * nBatches}) div 10") === b)
+          .coalesce(1).write.mode("overwrite").parquet(dirB)
+        val part = Option(new java.io.File(dirB).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $dirB"))
+        val dst = java.nio.file.Paths.get(streamIn, f"arrivals-$b%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(
+          java.lang.System.currentTimeMillis() - (nBatches - b) * 60000L): Unit
+      }
+    } finally rmTree(stage)
+  }
+
+  /** Ingest-time repeated-span marking where the persisted gram index
+    * GROWS with the stream — the missing half of [[streamingSpanDedup]]
+    * (which reads one frozen snapshot and defers growth to a nightly
+    * append): here every micro-batch probes the index as of the previous
+    * batch and then appends its own grams through an exactly-once
+    * manifest commit ([[spanGrowingBatch]]), so boilerplate arriving in
+    * batch 0 flags its re-arrival in batch 2 WITHOUT any lake rebuild in
+    * between. This is the production ingest loop of the exact-substring
+    * family: per-batch cost is the arrivals' kernel pass + a broadcast
+    * probe of their digests into the (h)-pruned index scan; the index
+    * grows by delta segments only; replay safety comes from the batchId
+    * stamped into the same atomic manifest publish that grows the index
+    * (kill-and-replay spec-proven). Deterministic batch order (staged
+    * files, ascending mtimes) makes the result exactly replayable by the
+    * shared DuckDB oracle. */
+  def streamingSpanDedupGrowing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.LlmQueries.SpanGramChars
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val root = Files.createTempDirectory("graft_sgrow_idx").toString
+    val streamIn = Files.createTempDirectory("graft_sgrow_in").toString
+    val outDir = Files.createTempDirectory("graft_sgrow_out").toString
+    val ckptDir = Files.createTempDirectory("graft_sgrow_ckpt").toString
+    try {
+      graft.operators.Dedup.buildGramIndexM(
+        docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", SpanGramChars, root)
+      writeArrivalBatches(
+        docs.filter(col("doc_id") % 10 >= 8), streamIn, nBatches = 3)
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          spanGrowingBatch(batch.toDF(), batchId, root, outDir, SpanGramChars)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, SpanSchema).localCheckpoint(true)
+        .orderBy("doc_id", "span_start")
+    } finally {
+      Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   /** Hard-negative mining AT INGEST — the streaming leg of the BM25
     * retrieval family: every arriving anchor document's distinct terms
     * become its query IN the stream (one stateless explode, no state
