@@ -153,6 +153,40 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion of two ranked candidate lists — the standard
+    * hybrid-retrieval combiner (Cormack/Clarke/Buettcher's RRF): each
+    * leg contributes `1 / (kRrf + rank)` for the documents it ranked,
+    * documents surfaced by only one leg score with that leg alone, and
+    * the fused list is the top-k by summed reciprocal rank. Rank-only by
+    * design — BM25 scores and cosine similarities live on incomparable
+    * scales, and RRF needs no per-leg normalization, which is exactly
+    * why production hybrid stacks use it.
+    *
+    * Inputs are the ranked outputs of the two serve paths
+    * ([[bm25ProbeM]] / an ANN probe finished through [[rankTopK]]):
+    * `(query_id, doc_id, rank)` frames of queries×k rows each, so the
+    * fusion is a result-sized full-outer join plus one bounded-heap
+    * top-k — nothing here scales with the corpus. The reciprocal-rank
+    * arithmetic is integer-fed double math rounded once to the 1e-6
+    * grid, so the fused ordering replays exactly in the DuckDB oracle. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").as("lex_rank"))
+    val v = vec.select(col("query_id"), col("doc_id"),
+      col("rank").as("vec_rank"))
+    val fused = l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vec_rank")), lit(0.0)), 6))
+    val order = Seq(col("rrf").desc, col("doc_id").asc)
+    TopK.perKey(fused, Seq("query_id"), order, k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(order: _*)))
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf"), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive-pair training data: each anchor
     * document's distinct terms become its query; the corpus is ranked by
     * BM25 and the anchor itself excluded — the top-k survivors are the

@@ -1516,6 +1516,39 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // HYBRID retrieval with reciprocal-rank fusion — the serving shape a
+    // real LLM-data pipeline runs: the SAME query batch goes down the
+    // lexical leg (BM25 over the persisted inverted index) AND the
+    // vector leg (hash-embed cosine over the persisted semantic index),
+    // each leg pinned at the manifest version its build committed, and
+    // the two ranked lists fuse by RRF (rank-only, so the incomparable
+    // BM25/cosine scales never need normalizing). Both legs are
+    // queries×k, so the fusion is result-sized — the corpus is touched
+    // only through the two indexes' own pruned serve paths.
+    "retrieval_hybrid_rrf" -> q { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val bmRoot = freshIndexRoot("bm25rrf", dir)
+      val bmV = Retrieval.buildIndexM(docs, "doc_id", "text", bmRoot)
+      val lex = Retrieval.bm25ProbeM(s, bmRoot, Bm25Queries, Bm25K, at = Some(bmV))
+      val semRoot = freshIndexRoot("semrrf", dir)
+      val semV = graft.streaming.StreamPipeline.buildSemanticIndexM(s, dir, semRoot)
+      val corpus = graft.streaming.StreamPipeline
+        .readSemanticIndexAtM(s, semRoot, semV)
+        .select(col("corpus_id").as("doc_id"), col("__cv"))
+      val qEmb = TextAnalysis.hashEmbed(
+        Bm25Queries.toDF("query_id", "qtext"), "query_id", "qtext",
+        graft.streaming.StreamPipeline.SemanticDim)
+      val scored = corpus
+        .crossJoin(broadcast(qEmb
+          .select(col("query_id"), col("embedding").as("__qv"))))
+        .select(col("query_id"), col("doc_id"),
+          round(Similarity.cosineNative(col("__qv"), col("__cv")), 6)
+            .as("score"))
+      val vec = Retrieval.rankTopK(scored, Bm25K)
+      Retrieval.rrfFuse(lex, vec, Bm25K).orderBy("query_id", "rank")
+    },
+
     // Release-pinned BM25 time travel: v1 indexes only the even docs;
     // HEAD appends the odd half; the probe pinned at v1 must rank with
     // the pinned postings AND the pinned corpus statistics (idf/avgdl
@@ -3376,6 +3409,107 @@ object LlmQueries {
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, doc_id) AS rank
          FROM scored QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
+    },
+
+    // Hybrid RRF: the lexical leg replays the text_bm25_topk ranking,
+    // the vector leg hash-embeds the SAME query texts and cosine-ranks
+    // the corpus embeddings (sim_topk_hash_embed's arithmetic, no
+    // self-exclusion — a query is not a corpus doc), and the fusion is
+    // pure integer-rank reciprocal arithmetic rounded once.
+    "retrieval_hybrid_rrf" -> {
+      val qterms = Bm25Queries
+        .flatMap { case (qid, text) =>
+          text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+        }
+        .mkString(", ")
+      val qtexts = Bm25Queries.map { case (qid, t) => s"($qid, '$t')" }
+        .mkString(", ")
+      s"""WITH bq(query_id, term) AS (VALUES $qterms),
+         toks AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                  unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         c AS (SELECT count(*)::bigint AS n,
+                      sum(len(string_split(text, ' ')))::bigint AS sumdl
+               FROM documents),
+         contrib AS (
+           SELECT bq.query_id, tf.doc_id,
+             round(
+               ln(1.0 + (c.n::double - df.df + 0.5) / (df.df + 0.5)) *
+               ((tf.tf * ${Retrieval.K1 + 1.0}) /
+                (tf.tf + ${Retrieval.K1} *
+                  (${1.0 - Retrieval.B} + ${Retrieval.B} *
+                    (tf.dl / (c.sumdl::double / c.n))))),
+               6)::DECIMAL(38,10) AS w
+           FROM bq JOIN tf USING (term) JOIN df ON tf.term = df.term, c),
+         lexscored AS (
+           SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
+           FROM contrib GROUP BY 1, 2),
+         lex AS (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS lex_rank
+           FROM lexscored QUALIFY lex_rank <= $Bm25K),
+         dtoks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         dhashed AS (
+           SELECT doc_id, CAST(h % 64 AS INT) AS i,
+                  CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+           FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+                 FROM dtoks WHERE tok <> '')),
+         dzeros AS (
+           SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
+           FROM documents, (SELECT unnest(range(64)) AS j)),
+         dsummed AS (
+           SELECT doc_id, i, sum(v) AS s
+           FROM (SELECT * FROM dhashed UNION ALL SELECT * FROM dzeros)
+           GROUP BY doc_id, i),
+         demb AS (
+           SELECT doc_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
+           FROM dsummed GROUP BY doc_id),
+         qt(query_id, qtext) AS (VALUES $qtexts),
+         qtoks AS (
+           SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM qt),
+         qhashed AS (
+           SELECT query_id, CAST(h % 64 AS INT) AS i,
+                  CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+           FROM (SELECT query_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+                 FROM qtoks WHERE tok <> '')),
+         qzeros AS (
+           SELECT query_id, CAST(j AS INT) AS i, 0.0 AS v
+           FROM qt, (SELECT unnest(range(64)) AS j)),
+         qsummed AS (
+           SELECT query_id, i, sum(v) AS s
+           FROM (SELECT * FROM qhashed UNION ALL SELECT * FROM qzeros)
+           GROUP BY query_id, i),
+         qemb AS (
+           SELECT query_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
+           FROM qsummed GROUP BY query_id),
+         vscored AS (
+           SELECT q.query_id, d.doc_id,
+             round(list_dot_product(q.embedding::double[], d.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(d.embedding::double[], d.embedding::double[]))),
+               6) AS score
+           FROM qemb q, demb d),
+         vec AS (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS vec_rank
+           FROM vscored QUALIFY vec_rank <= $Bm25K),
+         fused AS (
+           SELECT query_id, doc_id, l.lex_rank, v.vec_rank,
+             round(coalesce(1.0::double / (60 + l.lex_rank), 0) +
+                   coalesce(1.0::double / (60 + v.vec_rank), 0), 6) AS rrf
+           FROM lex l FULL OUTER JOIN vec v USING (query_id, doc_id))
+         SELECT query_id, doc_id, lex_rank, vec_rank, rrf,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf DESC, doc_id) AS rank
+         FROM fused QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
     },
 
     "text_bm25_negatives" -> {

@@ -273,6 +273,20 @@ object StreamPipeline {
   def readSemanticIndexM(spark: SparkSession, root: String): DataFrame =
     graft.index.IndexManifest.read(spark, root, SemTable)
 
+  /** The embed table pinned at a committed version — the vector leg of
+    * the hybrid (RRF) retrieval query reads the corpus embeddings at the
+    * exact manifest version its release pinned, the BM25 leg's
+    * `at = Some(v)` precedent. */
+  def readSemanticIndexAtM(
+      spark: SparkSession, root: String, version: Long): DataFrame =
+    graft.index.IndexManifest.readAt(spark, root,
+      graft.index.IndexManifest.snapshotAt(spark, root, version), SemTable)
+
+  /** Dimensionality of the hash embeddings the semantic index stores —
+    * shared with the hybrid-retrieval query so its query-side embeds
+    * live in the same space. */
+  val SemanticDim: Int = SemDim
+
   /** The ingest-side probe: arrivals hash-embedded and sign-LSH bucketed
     * IN the stream (two stateless kernel projections, no state store),
     * stream-static joined against the given corpus index frame. */
