@@ -24,6 +24,21 @@ object Bench {
     * is what the artifact-wide min-floor `contended` flag still
     * catches. Pure, so the synthetic-load spec can drive it
     * deterministically. */
+  /** The canary reading nearest to the query at `queryIndex` (by
+    * queries-completed distance; ties prefer the reading taken BEFORE
+    * the query). This is the denominator a cross-round comparator uses
+    * to normalize the query's median (`sec / canary_ref`): two rounds
+    * that ran under different host load divide out the load instead of
+    * reporting it as a regression. Pure, spec-driven. */
+  def nearestCanary(canaries: Seq[(Int, Double)], queryIndex: Int): Double = {
+    val ok = canaries.filter(_._2 > 0)
+    if (ok.isEmpty) 0.0
+    else ok.minBy { case (at, _) =>
+      // before-readings (at <= i) win ties against after-readings
+      (math.abs(at - queryIndex).toLong << 1) | (if (at <= queryIndex) 0 else 1)
+    }._2
+  }
+
   def contaminatedBy(
       canaries: Seq[(Int, Double)], queryIndex: Int,
       threshold: Double = 1.5): Boolean = {
@@ -140,6 +155,13 @@ object Bench {
     val raw = results.map { case (k, _, ts, _) =>
       s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query nearest canary reading — the normalization denominator a
+    // cross-round comparator (tools/bench_compare.py) divides medians by,
+    // so environmental drift between rounds cancels instead of reading
+    // as a regression
+    val canaryRef = benchNames.zipWithIndex.map { case (k, i) =>
+      s"\"" + k + "\":" + f"${nearestCanary(canaryReadings.toSeq, i)}%.3f"
+    }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -160,7 +182,7 @@ object Bench {
         s"""{"error":"${e.getClass.getSimpleName}"}"""
       }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,$canary,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,"canary_ref":$canaryRef,$canary,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a bounded tail of stdout; round 12's line
     // outgrew it and the artifact shipped truncated (parsed:null, medians

@@ -77,4 +77,16 @@ class BenchCanarySpec extends AnyFunSuite {
     (0 until 12).foreach(i => assert(Bench.contaminatedBy(hot, i)))
     (12 until 47).foreach(i => assert(!Bench.contaminatedBy(hot, i)))
   }
+
+  test("nearestCanary picks the closest reading, before-reading on ties") {
+    val series = Seq((0, 0.40), (12, 0.50), (24, 0.60))
+    assert(Bench.nearestCanary(series, 0) == 0.40)   // exactly at a reading
+    assert(Bench.nearestCanary(series, 3) == 0.40)   // closer to the 0-reading
+    assert(Bench.nearestCanary(series, 11) == 0.50)  // closer to the 12-reading
+    assert(Bench.nearestCanary(series, 18) == 0.50)  // tie 12 vs 24: before wins
+    assert(Bench.nearestCanary(series, 40) == 0.60)  // past the end
+    // unmeasurable readings are skipped, not divided by
+    assert(Bench.nearestCanary(Seq((0, 0.0), (12, 0.50)), 1) == 0.50)
+    assert(Bench.nearestCanary(Seq((0, 0.0)), 1) == 0.0)
+  }
 }

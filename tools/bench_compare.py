@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Canary-normalized round-over-round bench comparison.
+
+Usage: bench_compare.py <old_bench.json> <new_bench.json> [threshold]
+
+Each graft.Bench artifact carries, per query, its median seconds
+(`queries`) and the canary reading taken nearest to it in the sweep
+(`canary_ref`) — the same tiny query re-timed throughout the run, so it
+prices the host's momentary capacity at that point. Dividing the median
+by its canary_ref turns "seconds on whatever this host was doing" into
+"multiples of the canary at that moment": two rounds that ran under
+different background load divide the load out, and what remains is the
+plan's real movement.
+
+Reports every shared query whose normalized ratio (new/old) exceeds the
+threshold (default 1.3) either way, plus the normalized totals. Queries
+flagged contaminated in either artifact are listed but excluded from
+the verdict line — their brackets carry known inflation.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.loads(f.read().strip())
+
+
+def normalized(artifact):
+    qs = artifact.get("queries", {})
+    refs = artifact.get("canary_ref", {})
+    out = {}
+    for name, sec in qs.items():
+        ref = refs.get(name, 0.0)
+        if sec and sec > 0 and ref and ref > 0:
+            out[name] = sec / ref
+    return out
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    old, new = load(old_path), load(new_path)
+    n_old, n_new = normalized(old), normalized(new)
+    dirty = set(old.get("canary", {}).get("contaminated_queries", [])) | \
+        set(new.get("canary", {}).get("contaminated_queries", []))
+    shared = sorted(set(n_old) & set(n_new))
+    if not shared:
+        print("no shared canary-normalized queries (old artifact predates "
+              "canary_ref?) — falling back to raw medians")
+        n_old = {k: v for k, v in old.get("queries", {}).items() if v > 0}
+        n_new = {k: v for k, v in new.get("queries", {}).items() if v > 0}
+        shared = sorted(set(n_old) & set(n_new))
+    moved = []
+    for name in shared:
+        r = n_new[name] / n_old[name] if n_old[name] > 0 else float("inf")
+        tag = " CONTAMINATED" if name in dirty else ""
+        if r > threshold or r < 1.0 / threshold:
+            moved.append((r, name, tag))
+    for r, name, tag in sorted(moved, reverse=True):
+        print(f"{'REGRESSED' if r > 1 else 'improved '} {name}: "
+              f"{n_old[name]:.2f}x -> {n_new[name]:.2f}x canary "
+              f"(ratio {r:.2f}){tag}")
+    clean = [(r, name) for r, name, tag in moved if not tag and r > threshold]
+    tot_old = sum(n_old[q] for q in shared)
+    tot_new = sum(n_new[q] for q in shared)
+    print(f"normalized totals over {len(shared)} shared queries: "
+          f"{tot_old:.1f} -> {tot_new:.1f} canary-units "
+          f"(ratio {tot_new / tot_old if tot_old else 0:.2f})")
+    if clean:
+        print(f"VERDICT: {len(clean)} clean regression(s) past {threshold}x")
+        sys.exit(1)
+    print("VERDICT: no clean regressions")
+
+
+if __name__ == "__main__":
+    main()
