@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak: one empirical scaling point BEYOND the graded sf0.1
+  * volume for the five most expensive operator families. The 100×
+  * claims in SURVEY/SCALING rest on plan shape (no quadratic term, no
+  * single-task pileup, probes pruned); this main checks the one thing a
+  * plan reading cannot — that wall-clock actually grows ≲ linearly when
+  * the corpus does — and re-asserts the PlanSpec shape markers at the
+  * LARGER volume, where a stats change could flip a broadcast to a
+  * sort-merge or (worse) a cartesian.
+  *
+  * Fixtures are the deterministic `spark.range`-derived [[SkewBench]]
+  * generators (uniform twins — scale, not skew, is under test) at a
+  * base volume comparable to sf0.1 and at `ScaleFactor`× that. Each
+  * family is timed once per volume after one unmeasured warm-up of the
+  * BASE plan (codegen/planning floor off the measured path); the large
+  * tier totals ~5M derived rows in its hottest family (20k docs × ~271
+  * grams). The pass/fail gate is generous on purpose — `ratio ≤
+  * ScaleFactor × 2` — because a violation at this slack means a
+  * genuinely superlinear stage (pair blowup, lost pushdown), not timer
+  * noise.
+  *
+  * Emits one JSON line and persists it to SCALESOAK.json (env
+  * `SPARK_GRAFT_SOAK_OUT` overrides); exits nonzero when any family
+  * grows superlinearly past the slack or loses a plan marker at scale.
+  */
+object ScaleSoak {
+
+  val ScaleFactor = 8
+  private val BaseDocs = 2500L
+  private val BaseVecs = 125000L
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(x => java.nio.file.Files.deleteIfExists(x))
+  }
+
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tmp(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_soak_$tag").toString
+    tmpDirs.synchronized { tmpDirs += d }
+    d
+  }
+
+  /** One family: builds the frame for a volume multiplier, plus the
+    * plan markers that must hold at the LARGE volume (each a substring
+    * of the executed-plan text — the PlanSpec idiom — and the blanket
+    * "no CartesianProduct" applied to every family). */
+  private final case class Family(
+      name: String,
+      frame: (SparkSession, Int) => DataFrame,
+      mustContain: Seq[String])
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.installAll(spark)
+
+    def docs(mult: Int) = SkewBench.documents(spark, BaseDocs * mult, skewed = false)
+    def vecs(mult: Int) = SkewBench.embeddings(spark, BaseVecs * mult, skewed = false)
+
+    val families = Seq(
+      // exact-substring spans: ~271 grams/doc -> 5.4M gram rows at 8x;
+      // the shared-exchange probe join must stay (ReusedExchange) and
+      // nothing may flip to a cartesian
+      Family("repeated_spans",
+        (s, m) => graft.operators.Dedup.repeatedSpans(
+          docs(m), "doc_id", "text", gramChars = 30),
+        mustContain = Seq("ReusedExchange")),
+      // posting-list Jaccard with the capped expansion: the quadratic
+      // term sits behind maxDocFreq; growth must track occurrences
+      Family("jaccard",
+        (s, m) => graft.operators.Dedup.ngramJaccardPairs(
+          graft.operators.Dedup.digestShingles(docs(m), "text", "doc_id", 5),
+          "doc_id", threshold = 0.1, maxDocFreq = 100L),
+        mustContain = Seq.empty),
+      // the incremental-index lifecycle: build the lake digest log,
+      // probe the delta — index side must stay broadcast-probed
+      Family("spans_incremental",
+        (s, m) => {
+          val d = docs(m)
+          val root = tmp(s"grams$m")
+          graft.operators.Dedup.buildGramIndexM(
+            d.filter(col("doc_id") % 10 < 8), "doc_id", "text", 30, root)
+          graft.operators.Dedup.incrementalSpans(
+            graft.operators.Dedup.readGramIndexM(s, root),
+            d.filter(col("doc_id") % 10 >= 8), "doc_id", "text", 30)
+        },
+        mustContain = Seq("BroadcastHashJoin")),
+      // the cross-corpus LSH lifecycle: summarize half the corpus into
+      // the committed index, probe the other half — the probe side must
+      // broadcast into the index scan, never shuffle the lake
+      Family("cross_corpus_indexed",
+        (s, m) => {
+          val d = docs(m)
+          val root = tmp(s"lsh$m")
+          graft.operators.Dedup.buildLshIndexM(
+            graft.operators.Dedup.rawShingles(
+              d.filter(col("doc_id") % 2 === 0), "text", "doc_id", 5),
+            "doc_id", 16, 4, root)
+          val (bands, sigs) = graft.operators.Dedup.readLshIndexM(s, root)
+          graft.operators.Dedup.indexedCrossCorpusPairs(bands, sigs,
+            graft.operators.Dedup.rawShingles(
+              d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", 5),
+            "doc_id", 16, 4, maxBucket = 10000)
+        },
+        mustContain = Seq("BroadcastHashJoin")),
+      // PQ ANN: the m-int ADC scan must stay a kernel projection with
+      // the bounded-heap top-k — a stats flip to SortAggregate at 1M
+      // vectors would be the classic scale killer. Queries and the
+      // codebook sample are pinned to the BASE corpus (a production PQ
+      // codebook is a fixed K=256 regardless of corpus size); only the
+      // scanned corpus grows, so the soak measures the ADC scan's
+      // scaling, not an accidental K×N codebook blowup
+      Family("pq_topk",
+        (s, m) => {
+          val base = vecs(1)
+          graft.operators.Similarity.pqTopK(
+            base.filter(col("vec_id") < 32), vecs(m),
+            base.filter(col("vec_id") % 1000 === 0),
+            "vec_id", "embedding", k = 8, m = 4, dsub = 4)
+        },
+        mustContain = Seq("graft_pq_adc", "TopKPerKeyPartial")))
+
+    def timeOnce(f: => DataFrame): Double = {
+      val df = f
+      val t0 = System.nanoTime()
+      df.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Plan markers are read with AQE OFF (planning only, nothing runs):
+    // the static ReuseExchange/broadcast decisions ARE visible there, and
+    // the large volume's stats are what could flip them. Under AQE (the
+    // timed path) exchange reuse happens through the adaptive stage cache
+    // keyed on the canonicalized subtree and never prints as
+    // ReusedExchange — the PlanSpec idiom, applied at 8× stats.
+    def staticPlan(f: => DataFrame): String =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        f.queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    var anyFail = false
+    val rows = families.map { fam =>
+      fam.frame(spark, 1).count() // warm-up: codegen + planning floor
+      val tBase = timeOnce(fam.frame(spark, 1))
+      val tBig = timeOnce(fam.frame(spark, ScaleFactor))
+      val bigPlan = staticPlan(fam.frame(spark, ScaleFactor))
+      // floor the base so a sub-300ms constant term cannot make an
+      // honest linear family look superlinear
+      val ratio = tBig / math.max(tBase, 0.3)
+      val linearOk = ratio <= ScaleFactor * 2.0
+      val markers = fam.mustContain.filterNot(bigPlan.contains)
+      val noCartesian = !bigPlan.contains("CartesianProduct")
+      val planOk = markers.isEmpty && noCartesian
+      if (!linearOk) System.err.println(
+        f"[scalesoak] ${fam.name} SUPERLINEAR: ${ScaleFactor}x volume took $ratio%.1fx time")
+      if (!planOk) System.err.println(
+        s"[scalesoak] ${fam.name} PLAN DRIFT at scale: " +
+          s"missing=${markers.mkString(",")} cartesian=${!noCartesian}")
+      anyFail |= !(linearOk && planOk)
+      f""""${fam.name}":{"base_sec":$tBase%.3f,"big_sec":$tBig%.3f,"ratio":$ratio%.2f,"linear_ok":$linearOk,"plan_ok":$planOk}"""
+    }
+    val line =
+      s"""{"metric":"scale_soak","scale_factor":$ScaleFactor,"base_docs":$BaseDocs,"base_vecs":$BaseVecs,"families":${rows.mkString("{", ",", "}")},"pass":${!anyFail}}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SCALESOAK.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[scalesoak] could not persist: ${e.getMessage}")
+    }
+    spark.stop()
+    tmpDirs.foreach(rmTree)
+    if (anyFail) sys.exit(1)
+  }
+}
