@@ -763,10 +763,16 @@ object Dedup {
   /** Current committed (bands, sigs) pair — the two frames
     * [[indexedCrossCorpusPairs]] takes, in that argument order. */
   def readLshIndexM(spark: SparkSession, root: String): (DataFrame, DataFrame) = {
-    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    readLshIndexAt(spark, root, graft.index.IndexManifest.snapshot(spark, root))
+  }
+
+  /** The (bands, sigs) pair AT a resolved snapshot — the time-travel
+    * reader the growing-stream probe uses to walk back past its own
+    * committed append on replay (the [[readGramIndexAt]] twin). */
+  def readLshIndexAt(spark: SparkSession, root: String,
+      snap: graft.index.IndexManifest.Snapshot): (DataFrame, DataFrame) =
     (graft.index.IndexManifest.readAt(spark, root, snap, LshBandsTable),
       graft.index.IndexManifest.readAt(spark, root, snap, LshSigsTable))
-  }
 
   /** [[writeLshIndex]] under the manifest protocol. */
   def buildLshIndexM(shingled: DataFrame, idCol: String,
@@ -805,7 +811,8 @@ object Dedup {
     * writers). Probes over the grown index keep the `staleCounts=true`
     * contract. */
   def appendLshIndexM(deltaShingled: DataFrame, idCol: String,
-      k: Int, bands: Int, root: String): Long = {
+      k: Int, bands: Int, root: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = deltaShingled.sparkSession
     val snap = graft.index.IndexManifest.snapshot(spark, root)
     val existingBands =
@@ -821,7 +828,7 @@ object Dedup {
       snap.tables
         .updated(LshSigsTable, snap.tables(LshSigsTable) :+ sigSeg)
         .updated(LshBandsTable, snap.tables(LshBandsTable) :+ bandSeg),
-      expect = Some(snap.version))
+      expect = Some(snap.version), meta = extraMeta)
   }
 
   /** [[compactLshIndex]] as an atomic pointer swap: sigs re-laid as one

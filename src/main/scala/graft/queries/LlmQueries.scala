@@ -147,6 +147,53 @@ object LlmQueries {
        GROUP BY p.id_new, p.id_base
        ORDER BY id_new, id_base"""
 
+  /** The GROWING-stream cross-corpus oracle: every doc gets an arrival
+    * rank (lake = -1, arrival batch b = (doc_id%30)//10, the same
+    * deterministic staging [[graft.streaming.StreamPipeline
+    * .writeArrivalBatches]] produces), and a pair (id_new, id_base)
+    * exists iff they share an LSH bucket AND id_base arrived STRICTLY
+    * before id_new's batch — the index-as-of-previous-batch semantics.
+    * The hot-bucket cap is evaluated per probe rank against exactly the
+    * members the index held at that probe (the staleCounts=true exact
+    * pass's contract: pair-identical to the inline operator on the
+    * as-of corpora). */
+  private val growingCrossCorpusOracleSql: String =
+    s"""WITH $ShinglesCte, $MinhashCte,
+       ranked AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 10 < 8 THEN -1
+                     ELSE (doc_id % 30) // 10 END AS rk
+         FROM documents),
+       banded AS (
+         SELECT doc_id, (seed // 4) AS band,
+                md5(array_to_string(
+                  list_sort(list(concat(seed, ':', minhash))), '|')) AS band_hash
+         FROM sig GROUP BY doc_id, band),
+       hotb AS (
+         SELECT pr.rk AS prk, m.band, m.band_hash
+         FROM (SELECT DISTINCT rk FROM ranked WHERE rk >= 0) pr
+         CROSS JOIN banded m
+         JOIN ranked rm ON rm.doc_id = m.doc_id AND rm.rk < pr.rk
+         GROUP BY pr.rk, m.band, m.band_hash
+         HAVING count(*) > $CrossMaxBucket),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
+         FROM banded a
+         JOIN ranked ra ON ra.doc_id = a.doc_id AND ra.rk >= 0
+         JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+         JOIN ranked rb ON rb.doc_id = b.doc_id AND rb.rk < ra.rk
+         WHERE NOT EXISTS (SELECT 1 FROM hotb h
+           WHERE h.prk = ra.rk AND h.band = a.band
+             AND h.band_hash = a.band_hash))
+       SELECT p.id_new, p.id_base,
+              sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::double
+                / $MinhashK AS est_jaccard
+       FROM pairs p
+       JOIN sig sa ON sa.doc_id = p.id_new
+       JOIN sig sb ON sb.doc_id = p.id_base AND sb.seed = sa.seed
+       GROUP BY p.id_new, p.id_base
+       ORDER BY id_new, id_base"""
+
   /** DuckDB CTE chain twinning [[graft.operators.Dedup.repeatedSpans]]
     * (gram width [[SpanGramChars]], minDocs = 2), ending in
     * `spans(doc_id, span_start, span_end)`: per-position 60-bit md5 gram
@@ -1647,6 +1694,21 @@ object LlmQueries {
     "stream_crosscorpus_dedup" -> q { (s, dir) =>
       graft.streaming.StreamPipeline
         .streamingCrossCorpusDedup(s, dir,
+          ShingleN, MinhashK, LshBands, CrossMaxBucket)
+        .orderBy("id_new", "id_base")
+    },
+
+    // The GROWING-index edition: the lake (doc_id%10 < 8) is indexed
+    // once, the arrivals stream in as 3 deterministic micro-batches
+    // (batch b = (doc_id%30)//10), and each batch both probes the index
+    // as of the PREVIOUS batch and appends its own signatures through an
+    // exactly-once manifest commit — so near-dup pairs WITHIN the
+    // arrival stream are caught at ingest (id_new in batch b pairs with
+    // the lake or any batch < b, never its own batch), which the frozen
+    // snapshot of stream_crosscorpus_dedup structurally cannot do.
+    "stream_crosscorpus_dedup_growing" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingLshDedupGrowing(s, dir,
           ShingleN, MinhashK, LshBands, CrossMaxBucket)
         .orderBy("id_new", "id_base")
     },
@@ -3690,6 +3752,9 @@ object LlmQueries {
       // the ingest-time LSH screen replays the inline cross-corpus
       // oracle: same lake split, same caps, per-batch union of pairs
       ("stream_crosscorpus_dedup" -> baseOracles("dedup_cross_corpus")) +
+      // the GROWING LSH screen: pairs against the lake plus every
+      // EARLIER arrival batch, per-rank hot caps — index-as-of-probe
+      ("stream_crosscorpus_dedup_growing" -> growingCrossCorpusOracleSql) +
       // the manifest-served PQ index converges to the from-scratch
       // encode of the full corpus — the append oracle replayed
       ("sim_pq_index_served" -> baseOracles("sim_pq_index_append")) +

@@ -439,10 +439,18 @@ object StreamPipeline {
     * moment the second copy arrives — keep-first across arrival order,
     * with intra-batch repeats handled by [[graft.operators.Dedup
     * .incrementalSpans]]'s ≥2-distinct-docs clause. */
-  private[graft] def spanGrowingBatch(
-      batch: DataFrame, batchId: Long, root: String, outDir: String,
-      gramChars: Int): Unit = {
-    val spark = batch.sparkSession
+  /** Resolve the index AS OF BEFORE `batchId`'s own append: walk down
+    * from HEAD past any version whose [[StreamBatchKey]] stamp is >=
+    * batchId. On the first attempt that is simply HEAD; on a replay
+    * AFTER the append committed, it is the pre-append version — without
+    * the walk, every row of the replayed batch would self-match against
+    * its own committed copy. Returns the resolved snapshot plus whether
+    * HEAD already carries this batch's append (replay → skip commit).
+    * Family-agnostic: the walk reads only manifest metadata, so every
+    * growing-index family (gram, LSH, …) shares it. */
+  private[graft] def preBatchSnapshot(
+      spark: SparkSession, root: String,
+      batchId: Long): (graft.index.IndexManifest.Snapshot, Boolean) = {
     var v = graft.index.IndexManifest.currentVersion(spark, root)
     var snap = graft.index.IndexManifest.snapshotAt(spark, root, v)
     val alreadyCommitted =
@@ -450,6 +458,14 @@ object StreamPipeline {
     while (snap.meta.get(StreamBatchKey).exists(_.toLong >= batchId) && v > 1) {
       v -= 1; snap = graft.index.IndexManifest.snapshotAt(spark, root, v)
     }
+    (snap, alreadyCommitted)
+  }
+
+  private[graft] def spanGrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String,
+      gramChars: Int): Unit = {
+    val spark = batch.sparkSession
+    val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
     val index = graft.operators.Dedup.readGramIndexAt(spark, root, snap)
     val spans = graft.operators.Dedup.incrementalSpans(
       index, batch, "doc_id", "text", gramChars)
@@ -532,6 +548,94 @@ object StreamPipeline {
       q.awaitTermination()
       readBatchDirs(spark, outDir, SpanSchema).localCheckpoint(true)
         .orderBy("doc_id", "span_start")
+    } finally {
+      Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
+  /** Output schema of [[lshGrowingBatch]]'s per-batch pair frames. */
+  private[graft] val PairSchema: StructType = StructType(Seq(
+    StructField("id_new", LongType),
+    StructField("id_base", LongType),
+    StructField("est_jaccard", DoubleType)))
+
+  /** One micro-batch of the GROWING near-dup ingest — the LSH edition of
+    * [[spanGrowingBatch]], proving the exactly-once growth protocol is
+    * family-agnostic (same [[preBatchSnapshot]] walk-back, same batchId
+    * stamped into the same atomic manifest publish that grows the
+    * index): probe the (bands, sigs) pair as of the previous batch with
+    * the full indexed cross-corpus operator (`staleCounts = true`, the
+    * appended-index contract), land the pairs idempotently, then append
+    * this batch's signatures and band rows — skipped when HEAD already
+    * proves the append committed. */
+  private[graft] def lshGrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String,
+      shingleN: Int, k: Int, bands: Int, maxBucket: Int): Unit = {
+    val spark = batch.sparkSession
+    val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
+    val (bandsDf, sigsDf) =
+      graft.operators.Dedup.readLshIndexAt(spark, root, snap)
+    val shingled = graft.operators.Dedup.rawShingles(
+      batch, "text", "doc_id", shingleN)
+    val pairs = graft.operators.Dedup.indexedCrossCorpusPairs(
+      bandsDf, sigsDf, shingled, "doc_id", k, bands, maxBucket,
+      staleCounts = true)
+    writeBatchIdempotent(
+      pairs.select(col("id_new"), col("id_base"), col("est_jaccard")),
+      outDir, batchId)
+    if (!alreadyCommitted)
+      graft.operators.Dedup.appendLshIndexM(
+        shingled, "doc_id", k, bands, root,
+        extraMeta = Map(StreamBatchKey -> batchId.toString)): Unit
+  }
+
+  /** Near-dup screening at ingest where the persisted LSH index GROWS
+    * with the stream — the missing half of [[streamingCrossCorpusDedup]]
+    * (which probes one frozen snapshot, so a near-dup pair WITHIN the
+    * arrival stream is never flagged): every micro-batch probes the
+    * index as of the previous batch and then appends its own signatures
+    * through an exactly-once manifest commit ([[lshGrowingBatch]]), so a
+    * document near-duplicating an arrival from an EARLIER batch is
+    * caught the moment it lands — the production crawl-ingest loop of
+    * the MinHash-LSH family. Per-batch cost is the arrivals' shingle +
+    * signature pass and the broadcast-probed band join; the index grows
+    * by delta segments only; replay safety comes from the batchId
+    * stamped into the growing commit (kill-and-replay spec-proven,
+    * [[StreamGrowingIndexSpec]]). Deterministic batch order (staged
+    * files, ascending mtimes) makes the pair set exactly replayable by
+    * the shared DuckDB oracle: id_new in batch b pairs with id_base in
+    * the lake or any batch < b, never its own batch. */
+  def streamingLshDedupGrowing(
+      spark: SparkSession, dir: String,
+      shingleN: Int, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val root = Files.createTempDirectory("graft_lgrow_idx").toString
+    val streamIn = Files.createTempDirectory("graft_lgrow_in").toString
+    val outDir = Files.createTempDirectory("graft_lgrow_out").toString
+    val ckptDir = Files.createTempDirectory("graft_lgrow_ckpt").toString
+    try {
+      graft.operators.Dedup.buildLshIndexM(
+        graft.operators.Dedup.rawShingles(
+          docs.filter(col("doc_id") % 10 < 8), "text", "doc_id", shingleN),
+        "doc_id", k, bands, root)
+      writeArrivalBatches(
+        docs.filter(col("doc_id") % 10 >= 8), streamIn, nBatches = 3)
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          lshGrowingBatch(batch.toDF(), batchId, root, outDir,
+            shingleN, k, bands, maxBucket)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, PairSchema).localCheckpoint(true)
+        .orderBy("id_new", "id_base")
     } finally {
       Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
     }

@@ -170,4 +170,121 @@ class StreamGrowingIndexSpec extends SparkSpec {
       assert(df.count() == 0L)
     } finally rm(out)
   }
+
+  // ---- the LSH family through the SAME growth protocol --------------
+  // proves preBatchSnapshot + the batchId-stamped commit are genuinely
+  // family-agnostic: a second index family (two tables per version, its
+  // own append shape) rides the identical walk-back and skip logic.
+
+  private val SN = 3  // word-shingle width
+  private val K = 16; private val B = 4; private val Cap = 10000
+
+  private def sh(df: DataFrame) =
+    Dedup.rawShingles(df, "text", "doc_id", SN)
+
+  // near-dup texts: ~12 words, one word swapped between copies
+  private val Base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+  private val lakeL = docRows(
+    0L -> Base,
+    1L -> "completely unrelated lake document about databases and storage engines here")
+  private val lshB0 = docRows(8L -> Base.replace("quick", "swift"))
+  private val lshB1 = docRows(18L -> Base.replace("quick", "swift")) // near-dups 8
+  private val lshB2 = docRows(28L -> Base)                           // near-dups 0 (and 8/18)
+
+  private def pairsOf(df: DataFrame): Seq[(Long, Long, Double)] =
+    df.select("id_new", "id_base", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+
+  /** The reference: the same batches applied ONCE each through the
+    * batch operators — probe the committed index, then append. */
+  private def lshReference(batches: Seq[DataFrame]): Seq[(Long, Long, Double)] = {
+    val root = tmp("lref")
+    try {
+      Dedup.buildLshIndexM(sh(lakeL), "doc_id", K, B, root)
+      batches.flatMap { b =>
+        val (bands, sigs) = Dedup.readLshIndexM(spark, root)
+        val p = pairsOf(Dedup.indexedCrossCorpusPairs(
+          bands, sigs, sh(b), "doc_id", K, B, Cap, staleCounts = true))
+        Dedup.appendLshIndexM(sh(b), "doc_id", K, B, root)
+        p
+      }.sorted
+    } finally rm(root)
+  }
+
+  test("LSH growth: kill after append, before checkpoint — replay converges") {
+    val root = tmp("lidx"); val streamIn = tmp("lin")
+    val out = tmp("lout"); val ckpt = tmp("lckpt")
+    val refPairs = lshReference(Seq(lshB0, lshB1, lshB2))
+    try {
+      Dedup.buildLshIndexM(sh(lakeL), "doc_id", K, B, root)
+      StreamPipeline.writeArrivalBatches(
+        lshB0.unionByName(lshB1).unionByName(lshB2), streamIn, 3)
+      val crashed = new AtomicBoolean(false)
+      def run(failBatch1: Boolean): Unit = {
+        val q = spark.readStream
+          .schema(StreamPipeline.DocumentsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(streamIn)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+            StreamPipeline.lshGrowingBatch(
+              batch.toDF(), batchId, root, out, SN, K, B, Cap)
+            if (failBatch1 && batchId == 1L && !crashed.getAndSet(true))
+              throw new RuntimeException("injected crash post-append")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        run(failBatch1 = true))
+      assert(boom.getMessage.contains("injected crash post-append"))
+      // batch 1's append landed despite the crash...
+      assert(IndexManifest.snapshot(spark, root)
+        .meta(StreamPipeline.StreamBatchKey) == "1")
+      // ...and the restart replays batch 1 (skipping its append)
+      run(failBatch1 = false)
+      val got = pairsOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.PairSchema))
+      assert(got == refPairs, s"pairs diverged: $got vs $refPairs")
+      // exactly v1(build) + one append per batch — no double append
+      assert(IndexManifest.currentVersion(spark, root) == 4L)
+      // the growth mattered: 18 (batch 1) pairs with 8 (batch 0) though
+      // 8 is nowhere in the lake — a frozen index cannot produce this
+      assert(got.exists(p => p._1 == 18L && p._2 == 8L),
+        "cross-batch near-dup not caught")
+      // and no batch ever pairs with itself or with a LATER batch
+      assert(!got.exists(p => p._1 == p._2))
+      assert(!got.exists(p => p._1 == 8L && p._2 == 18L),
+        "batch 0 paired against a later arrival")
+    } finally rm(root, streamIn, out, ckpt)
+  }
+
+  test("LSH growth: a replayed batch is a no-op — no self-match, no new version") {
+    val root = tmp("lidx2"); val out = tmp("lout2")
+    try {
+      Dedup.buildLshIndexM(sh(lakeL), "doc_id", K, B, root)
+      StreamPipeline.lshGrowingBatch(lshB0, 0L, root, out, SN, K, B, Cap)
+      val v = IndexManifest.currentVersion(spark, root)
+      val first = pairsOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.PairSchema))
+      // replay AFTER the append committed: the probe must resolve the
+      // PRE-append index — doc 8's signatures are committed now, and
+      // without the walk-back the replay would emit the self-pair (8,8)
+      StreamPipeline.lshGrowingBatch(lshB0, 0L, root, out, SN, K, B, Cap)
+      assert(IndexManifest.currentVersion(spark, root) == v)
+      val replayed = pairsOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.PairSchema))
+      assert(replayed == first,
+        s"replay diverged (self-match?): $replayed vs $first")
+      assert(!replayed.exists(p => p._1 == p._2))
+      // growth still works after the replay: batch 1 sees batch 0
+      StreamPipeline.lshGrowingBatch(lshB1, 1L, root, out, SN, K, B, Cap)
+      val after = pairsOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.PairSchema))
+      assert(after.exists(p => p._1 == 18L && p._2 == 8L))
+    } finally rm(root, out)
+  }
 }
