@@ -713,7 +713,8 @@ object Similarity {
     * across codebooks) and publish them as a new segment atomically. */
   def appendPqIndexM(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, dsub: Int, root: String): Long = {
+      m: Int, dsub: Int, root: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = corpus.sparkSession
     val snap = graft.index.IndexManifest.snapshot(spark, root)
     val cb = graft.index.IndexManifest.readAt(spark, root, snap, PqCodebookTable)
@@ -726,8 +727,18 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$root/$cSeg")
     graft.index.IndexManifest.commit(spark, root,
       snap.tables.updated(PqCodesTable, snap.tables(PqCodesTable) :+ cSeg),
-      expect = Some(snap.version))
+      expect = Some(snap.version), meta = extraMeta)
   }
+
+  /** The (codes, codebook) pair AT a resolved snapshot — the time-travel
+    * reader the growing-stream probe uses to walk back past its own
+    * committed append on replay (the gram/LSH families' `readAt` twin).
+    * Codes and the codebook they were encoded with always resolve from
+    * the SAME version. */
+  def readPqIndexAt(spark: org.apache.spark.sql.SparkSession, root: String,
+      snap: graft.index.IndexManifest.Snapshot): (DataFrame, DataFrame) =
+    (graft.index.IndexManifest.readAt(spark, root, snap, PqCodesTable),
+      graft.index.IndexManifest.readAt(spark, root, snap, PqCodebookTable))
 
   /** Compact the appended codes table back to one segment — appends
     * accumulate one parquet segment per delta (each id unique by the

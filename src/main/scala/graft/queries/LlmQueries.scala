@@ -1726,6 +1726,20 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // The GROWING-index edition — the vector-database ingestion loop:
+    // the lake (vec_id%10 < 8) is encoded once, arrivals stream in as 3
+    // deterministic micro-batches, and each batch both retrieves its
+    // top-k nearest EARLIER vectors (lake + batches before it, ADC over
+    // one committed snapshot) and appends its own codes through an
+    // exactly-once manifest commit. An arrival's nearest neighbor
+    // landing two batches earlier is caught; the frozen probe twin
+    // structurally cannot relate two arrivals at all.
+    "stream_ann_pq_growing" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingAnnPqGrowing(s, dir, k = 5, m = 4, dsub = 16)
+        .orderBy("query_id", "rnk")
+    },
+
     // ANN at ingest over the persisted inverted file — the IVF leg of
     // the streaming probe family: each micro-batch runs the served
     // multi-probe search over just its arrivals (probe list from the
@@ -1857,6 +1871,53 @@ object LlmQueries {
            JOIN codes co ON co.j = qs.j AND co.vec_id <> qs.vec_id
            JOIN cb ON cb.subspace = co.j AND cb.code = co.code
            WHERE qs.vec_id < 10),
+         scored AS (
+           SELECT query_id, neighbor_id, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id)
+         SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** The GROWING-stream ANN oracle: every vector gets an arrival rank
+    * (lake = -1, arrival batch b = (vec_id%30)//10), queries are ALL
+    * arrivals, and a query in batch b scores only codes of vectors that
+    * arrived STRICTLY earlier — the index-as-of-previous-batch
+    * semantics of the ingest loop. Same fixed codebook sample and ADC
+    * grid as [[PqEncodedSearchOracle]]. */
+  private val PqGrowingSearchOracle: String =
+    """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 0),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         ranked AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 10 < 8 THEN -1
+                       ELSE (vec_id % 30) // 10 END AS rk
+           FROM embeddings),
+         terms AS (
+           SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM sub qs
+           JOIN ranked rq ON rq.vec_id = qs.vec_id AND rq.rk >= 0
+           JOIN codes co ON co.j = qs.j
+           JOIN ranked rc ON rc.vec_id = co.vec_id AND rc.rk < rq.rk
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code),
          scored AS (
            SELECT query_id, neighbor_id, round(sum(term), 6) AS score
            FROM terms GROUP BY query_id, neighbor_id)
@@ -3749,6 +3810,9 @@ object LlmQueries {
       // the ingest-time ANN probe replays the flat-PQ search oracle:
       // same codebook sample, same full-corpus codes, same ADC grid
       ("stream_ann_pq_probe" -> baseOracles("sim_pq_index_append")) +
+      // the GROWING ANN ingest: each arrival ranks codes of the lake
+      // plus earlier batches only — index-as-of-probe, same ADC grid
+      ("stream_ann_pq_growing" -> PqGrowingSearchOracle) +
       // the ingest-time LSH screen replays the inline cross-corpus
       // oracle: same lake split, same caps, per-batch union of pairs
       ("stream_crosscorpus_dedup" -> baseOracles("dedup_cross_corpus")) +

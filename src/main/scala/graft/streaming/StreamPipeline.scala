@@ -484,13 +484,14 @@ object StreamPipeline {
     * consumes them as micro-batches 0..n-1 in that DETERMINISTIC order —
     * the property the shared oracle replays. */
   private[graft] def writeArrivalBatches(
-      arrivals: DataFrame, streamIn: String, nBatches: Int): Unit = {
+      arrivals: DataFrame, streamIn: String, nBatches: Int,
+      idCol: String = "doc_id"): Unit = {
     val stage = Files.createTempDirectory("graft_sgrow_stage").toString
     try {
       for (b <- 0 until nBatches) {
         val dirB = s"$stage/b$b"
         arrivals
-          .filter(expr(s"(doc_id % ${10 * nBatches}) div 10") === b)
+          .filter(expr(s"($idCol % ${10 * nBatches}) div 10") === b)
           .coalesce(1).write.mode("overwrite").parquet(dirB)
         val part = Option(new java.io.File(dirB).listFiles())
           .getOrElse(Array.empty[java.io.File])
@@ -636,6 +637,95 @@ object StreamPipeline {
       q.awaitTermination()
       readBatchDirs(spark, outDir, PairSchema).localCheckpoint(true)
         .orderBy("id_new", "id_base")
+    } finally {
+      Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
+  /** Output schema of [[pqGrowingBatch]]'s per-batch top-k frames. */
+  private[graft] val PqGrowSchema: StructType = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("neighbor_id", LongType),
+    StructField("score", DoubleType),
+    StructField("rnk", IntegerType)))
+
+  /** One micro-batch of the GROWING ANN ingest — the PQ edition of
+    * [[spanGrowingBatch]]/[[lshGrowingBatch]], the third family through
+    * the same exactly-once protocol: each arriving embedding retrieves
+    * its top-k nearest EARLIER vectors from the compressed index as of
+    * the previous batch (ADC over the stored codes with the STORED
+    * codebook — codes and codebook resolve from one snapshot), then the
+    * batch's own vectors are encoded and appended through the
+    * batchId-stamped atomic commit. */
+  private[graft] def pqGrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String,
+      k: Int, m: Int, dsub: Int): Unit = {
+    val spark = batch.sparkSession
+    val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
+    val (codes, cb) =
+      graft.operators.Similarity.readPqIndexAt(spark, root, snap)
+    val topk = graft.operators.Similarity.pqSearchEncoded(
+      batch, codes, cb, "vec_id", "embedding", k, m, dsub)
+    writeBatchIdempotent(
+      topk.select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank").as("rnk")),
+      outDir, batchId)
+    if (!alreadyCommitted)
+      graft.operators.Similarity.appendPqIndexM(
+        batch, "vec_id", "embedding", m, dsub, root,
+        extraMeta = Map(StreamBatchKey -> batchId.toString)): Unit
+  }
+
+  /** ANN at ingest where the compressed PQ index GROWS with the stream —
+    * the vector-database ingestion loop: every arriving embedding is
+    * ranked against everything that arrived before it (the lake plus
+    * all earlier micro-batches), then joins the index itself through an
+    * exactly-once manifest commit ([[pqGrowingBatch]]). The frozen
+    * [[streamingPqProbe]] twin structurally cannot relate two
+    * arrivals to each other; this one catches an arrival's nearest
+    * neighbor landing two batches earlier, which is what online
+    * semantic dedup / online retrieval of fresh content needs. Per-batch
+    * cost: one broadcast-LUT kernel projection over the slim code rows
+    * (d/m fewer bytes than the float vectors) + the bounded-heap top-k;
+    * the index grows by delta code segments only. Replay safety is the
+    * shared protocol (kill-and-replay spec-proven); deterministic batch
+    * staging makes the result exactly replayable by the DuckDB oracle:
+    * query in batch b ranks codes of the lake and batches < b only. */
+  def streamingAnnPqGrowing(
+      spark: SparkSession, dir: String,
+      k: Int, m: Int, dsub: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val root = Files.createTempDirectory("graft_pgrow_idx").toString
+    val streamIn = Files.createTempDirectory("graft_pgrow_in").toString
+    val outDir = Files.createTempDirectory("graft_pgrow_out").toString
+    val ckptDir = Files.createTempDirectory("graft_pgrow_ckpt").toString
+    try {
+      // codebook sample fixed at build time from the full table — the
+      // production contract (codes are meaningless across codebooks),
+      // and what keeps the oracle's encode grid identical
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", m, dsub)
+      graft.operators.Similarity.buildPqIndexM(
+        emb.filter(col("vec_id") % 10 < 8), cb,
+        "vec_id", "embedding", m, dsub, root)
+      writeArrivalBatches(
+        emb.filter(col("vec_id") % 10 >= 8), streamIn, nBatches = 3,
+        idCol = "vec_id")
+      val arrivals = spark.readStream
+        .schema(EmbeddingsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          pqGrowingBatch(batch.toDF(), batchId, root, outDir, k, m, dsub)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, PqGrowSchema).localCheckpoint(true)
+        .orderBy("query_id", "rnk")
     } finally {
       Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
     }

@@ -287,4 +287,97 @@ class StreamGrowingIndexSpec extends SparkSpec {
       assert(after.exists(p => p._1 == 18L && p._2 == 8L))
     } finally rm(root, out)
   }
+
+  // ---- the PQ family through the SAME growth protocol ---------------
+  // third index family on the shared walk-back + batchId-stamped commit:
+  // two tables per version where one (the codebook) must stay pinned to
+  // the codes it encoded — the snapshot resolves both together.
+
+  private val M = 4; private val Dsub = 4; private val TopK = 2
+
+  private def vecRows(rows: (Long, Seq[Float])*): DataFrame =
+    rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+
+  // 16-dim vectors; ADC ranks by INNER PRODUCT, so the top neighbor of
+  // a positive query is the largest-magnitude positive vector seen so
+  // far: 8 (the biggest, batch 0) is what 18 (batch 1) must retrieve
+  private def vec(seed: Float): Seq[Float] =
+    (0 until 16).map(i => seed + i * 0.01f)
+  private val pqLake = vecRows(
+    0L -> vec(1.0f), 1L -> vec(-3.0f), 2L -> vec(7.0f), 3L -> vec(-8.0f))
+  private val pqB0 = vecRows(8L -> vec(9.0f))
+  private val pqB1 = vecRows(18L -> vec(9.02f)) // top-IP neighbor is 8
+  private val pqB2 = vecRows(28L -> vec(1.05f))
+
+  private def topkOf(df: DataFrame): Seq[(Long, Long, Int)] =
+    df.select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+
+  test("PQ growth: kill after append, before checkpoint — replay converges") {
+    val root = tmp("pidx"); val streamIn = tmp("pin")
+    val out = tmp("pout"); val ckpt = tmp("pckpt")
+    // codebook sample fixed at build time — lake + arrival vectors so
+    // every subspace has spread-out codewords
+    val all = pqLake.unionByName(pqB0).unionByName(pqB1).unionByName(pqB2)
+    val cb = graft.operators.Similarity.pqCodebook(
+      all, "vec_id", "embedding", M, Dsub)
+    // reference: the same batches once each through the batch operators
+    val refRoot = tmp("pref")
+    graft.operators.Similarity.buildPqIndexM(
+      pqLake, cb, "vec_id", "embedding", M, Dsub, refRoot)
+    val refTopk = Seq(pqB0, pqB1, pqB2).flatMap { b =>
+      val snap = IndexManifest.snapshot(spark, refRoot)
+      val (codes, cbS) =
+        graft.operators.Similarity.readPqIndexAt(spark, refRoot, snap)
+      val t = topkOf(graft.operators.Similarity.pqSearchEncoded(
+        b, codes, cbS, "vec_id", "embedding", TopK, M, Dsub)
+        .withColumnRenamed("rank", "rnk"))
+      graft.operators.Similarity.appendPqIndexM(
+        b, "vec_id", "embedding", M, Dsub, refRoot)
+      t
+    }.sorted
+    try {
+      graft.operators.Similarity.buildPqIndexM(
+        pqLake, cb, "vec_id", "embedding", M, Dsub, root)
+      StreamPipeline.writeArrivalBatches(
+        pqB0.unionByName(pqB1).unionByName(pqB2), streamIn, 3,
+        idCol = "vec_id")
+      val crashed = new AtomicBoolean(false)
+      def run(failBatch1: Boolean): Unit = {
+        val q = spark.readStream
+          .schema(StreamPipeline.EmbeddingsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(streamIn)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+            StreamPipeline.pqGrowingBatch(
+              batch.toDF(), batchId, root, out, TopK, M, Dsub)
+            if (failBatch1 && batchId == 1L && !crashed.getAndSet(true))
+              throw new RuntimeException("injected crash post-append")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        run(failBatch1 = true))
+      assert(boom.getMessage.contains("injected crash post-append"))
+      assert(IndexManifest.snapshot(spark, root)
+        .meta(StreamPipeline.StreamBatchKey) == "1")
+      run(failBatch1 = false)
+      val got = topkOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.PqGrowSchema))
+      assert(got == refTopk, s"topk diverged: $got vs $refTopk")
+      assert(IndexManifest.currentVersion(spark, root) == 4L)
+      // growth mattered: 18's nearest neighbor is 8, which arrived one
+      // batch earlier and is nowhere in the lake
+      assert(got.exists(t => t._1 == 18L && t._2 == 8L && t._3 == 1),
+        "cross-batch nearest neighbor not caught")
+      // no query ever retrieves itself or a later arrival
+      assert(!got.exists(t => t._1 == t._2))
+      assert(!got.exists(t => t._1 == 8L && t._2 == 18L))
+    } finally rm(root, streamIn, out, ckpt, refRoot)
+  }
 }
