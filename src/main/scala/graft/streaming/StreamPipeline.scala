@@ -448,6 +448,23 @@ object StreamPipeline {
     * HEAD already carries this batch's append (replay → skip commit).
     * Family-agnostic: the walk reads only manifest metadata, so every
     * growing-index family (gram, LSH, …) shares it. */
+  /** True iff `batchId`'s idempotent output landed COMPLETELY (the
+    * committer's `_SUCCESS` marker — an interrupted overwrite deletes
+    * it first and re-creates it last). Growth batches write their
+    * output BEFORE their append commits, so `alreadyCommitted &&
+    * batchOutputComplete` proves the whole batch is done and the
+    * replay can short-circuit: no recompute, and — the real point — no
+    * dependence on the pre-append index version still being readable,
+    * which concurrent maintenance may have vacuumed by the time a
+    * delayed replay arrives. Without the marker check a replay whose
+    * own overwrite crashed midway (dir cleared, rows partial) would
+    * wrongly skip; with it, that replay recomputes. */
+  private[graft] def batchOutputComplete(
+      spark: SparkSession, outDir: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/batch-$batchId", "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private[graft] def preBatchSnapshot(
       spark: SparkSession, root: String,
       batchId: Long): (graft.index.IndexManifest.Snapshot, Boolean) = {
@@ -465,6 +482,9 @@ object StreamPipeline {
       batch: DataFrame, batchId: Long, root: String, outDir: String,
       gramChars: Int): Unit = {
     val spark = batch.sparkSession
+    if (batchOutputComplete(spark, outDir, batchId) &&
+        graft.index.IndexManifest.snapshot(spark, root).meta
+          .get(StreamBatchKey).exists(_.toLong >= batchId)) return
     val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
     val index = graft.operators.Dedup.readGramIndexAt(spark, root, snap)
     val spans = graft.operators.Dedup.incrementalSpans(
@@ -573,6 +593,9 @@ object StreamPipeline {
       batch: DataFrame, batchId: Long, root: String, outDir: String,
       shingleN: Int, k: Int, bands: Int, maxBucket: Int): Unit = {
     val spark = batch.sparkSession
+    if (batchOutputComplete(spark, outDir, batchId) &&
+        graft.index.IndexManifest.snapshot(spark, root).meta
+          .get(StreamBatchKey).exists(_.toLong >= batchId)) return
     val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
     val (bandsDf, sigsDf) =
       graft.operators.Dedup.readLshIndexAt(spark, root, snap)
@@ -661,6 +684,9 @@ object StreamPipeline {
       batch: DataFrame, batchId: Long, root: String, outDir: String,
       k: Int, m: Int, dsub: Int): Unit = {
     val spark = batch.sparkSession
+    if (batchOutputComplete(spark, outDir, batchId) &&
+        graft.index.IndexManifest.snapshot(spark, root).meta
+          .get(StreamBatchKey).exists(_.toLong >= batchId)) return
     val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
     val (codes, cb) =
       graft.operators.Similarity.readPqIndexAt(spark, root, snap)

@@ -141,16 +141,25 @@ class StreamGrowingIndexSpec extends SparkSpec {
       val v = IndexManifest.currentVersion(spark, root)
       val first = spansOf(StreamPipeline.readBatchDirs(
         spark, out, StreamPipeline.SpanSchema))
-      // replay of batch 0 AFTER its append committed: the probe must
-      // resolve the PRE-append index (no self-matching — doc 8's grams
-      // are in the index now), the output overwrite must be byte-stable,
-      // and no new version may land
+      // replay of batch 0 AFTER its append committed, completed output
+      // in place: the _SUCCESS-guarded short-circuit skips recompute
+      // entirely (same output, no new version)
       StreamPipeline.spanGrowingBatch(batch0, 0L, root, out, L)
       assert(IndexManifest.currentVersion(spark, root) == v)
       val replayed = spansOf(StreamPipeline.readBatchDirs(
         spark, out, StreamPipeline.SpanSchema))
       assert(replayed == first,
         s"replay diverged (self-match?): $replayed vs $first")
+      // replay whose own overwrite crashed midway (marker gone): must
+      // RECOMPUTE through the walk-back — the probe resolves the
+      // PRE-append index, so doc 8's committed grams don't self-match
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-0", "_SUCCESS"))
+      StreamPipeline.spanGrowingBatch(batch0, 0L, root, out, L)
+      assert(IndexManifest.currentVersion(spark, root) == v)
+      assert(spansOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.SpanSchema)) == first,
+        "walk-back recompute diverged (self-match?)")
       // sanity: doc 8's text is unmarked on both attempts (nothing in
       // the lake repeats it)
       assert(!replayed.exists(_._1 == 8L))
@@ -169,6 +178,34 @@ class StreamGrowingIndexSpec extends SparkSpec {
       assert(df.columns.toSeq == Seq("doc_id", "span_start", "span_end"))
       assert(df.count() == 0L)
     } finally rm(out)
+  }
+
+  test("delayed replay after compaction + vacuum: the short-circuit survives") {
+    val root = tmp("idx3"); val out = tmp("out4")
+    try {
+      Dedup.buildGramIndexM(lake, "doc_id", "text", L, root)          // v1
+      StreamPipeline.spanGrowingBatch(batch0, 0L, root, out, L)       // v2
+      StreamPipeline.spanGrowingBatch(batch1, 1L, root, out, L)       // v3
+      val before = spansOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.SpanSchema))
+      // nightly maintenance between the append and a (delayed) replay:
+      // compaction inherits the stream_batch watermark down the version
+      // chain, and vacuum reclaims every pre-compaction version —
+      // including v2, the one batch 1's walk-back would resolve
+      Dedup.compactGramIndexM(spark, root)                            // v4
+      assert(IndexManifest.snapshot(spark, root)
+        .meta(StreamPipeline.StreamBatchKey) == "1",
+        "compaction must inherit the applied-batch watermark")
+      IndexManifest.vacuum(spark, root, keepFrom = 4L, orphanGraceMs = 0L)
+      intercept[Exception](IndexManifest.snapshotAt(spark, root, 2L))
+      // the replay of batch 1 cannot re-resolve its pre-append index —
+      // but it does not need to: output is complete and the watermark
+      // proves the append landed, so the short-circuit returns
+      StreamPipeline.spanGrowingBatch(batch1, 1L, root, out, L)
+      assert(spansOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.SpanSchema)) == before)
+      assert(IndexManifest.currentVersion(spark, root) == 4L)
+    } finally rm(root, out)
   }
 
   // ---- the LSH family through the SAME growth protocol --------------
@@ -270,9 +307,15 @@ class StreamGrowingIndexSpec extends SparkSpec {
       val v = IndexManifest.currentVersion(spark, root)
       val first = pairsOf(StreamPipeline.readBatchDirs(
         spark, out, StreamPipeline.PairSchema))
-      // replay AFTER the append committed: the probe must resolve the
-      // PRE-append index — doc 8's signatures are committed now, and
-      // without the walk-back the replay would emit the self-pair (8,8)
+      // replay AFTER the append committed, marker present → the
+      // short-circuit skips recompute; marker deleted → the recompute
+      // must resolve the PRE-append index (doc 8's signatures are
+      // committed now; without the walk-back the replay would emit the
+      // self-pair (8,8))
+      StreamPipeline.lshGrowingBatch(lshB0, 0L, root, out, SN, K, B, Cap)
+      assert(IndexManifest.currentVersion(spark, root) == v)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-0", "_SUCCESS"))
       StreamPipeline.lshGrowingBatch(lshB0, 0L, root, out, SN, K, B, Cap)
       assert(IndexManifest.currentVersion(spark, root) == v)
       val replayed = pairsOf(StreamPipeline.readBatchDirs(
