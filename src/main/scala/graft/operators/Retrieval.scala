@@ -400,7 +400,8 @@ object Retrieval {
     * `dedupAgainstIndex` escape hatch as the bare append. */
   def appendIndexM(
       delta: DataFrame, idCol: String, textCol: String, root: String,
-      dedupAgainstIndex: Boolean = false): Long = {
+      dedupAgainstIndex: Boolean = false,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = delta.sparkSession
     val snap = IndexManifest.snapshot(spark, root)
     // the slim per-doc digest table answers "which docs are indexed" in
@@ -426,7 +427,39 @@ object Retrieval {
         .updated(StatsTable, snap.tables(StatsTable) :+ sSeg)
         .updated(CorpusTable, snap.tables(CorpusTable) :+ cSeg)
         .updated(DocsTable, snap.tables(DocsTable) :+ dSeg),
-      expect = Some(snap.version))
+      expect = Some(snap.version), meta = extraMeta)
+  }
+
+  /** Hard-negative mining against a RESOLVED committed snapshot with the
+    * query batch as a DataFrame — the growing-ingest probe: an arriving
+    * anchor's distinct terms are its query, and postings, df stats, and
+    * corpus scalars ALL resolve from `snap` together, so the scoring
+    * normalization (idf / avgdl) is exactly the corpus as of that
+    * version — the stats grow transactionally with the postings. The
+    * term restriction always takes [[termFilter]]'s broadcast-semi arm:
+    * a batch-derived term set has no driver-side literal list, and the
+    * anchors' combined vocabulary can be arbitrarily large. */
+  def hardNegativesAtM(
+      batch: DataFrame, idCol: String, textCol: String, k: Int,
+      root: String, snap: IndexManifest.Snapshot): DataFrame = {
+    val spark = batch.sparkSession
+    val qt = batch
+      .select(col(idCol).as("query_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val termSet = qt.select("term").distinct()
+    val cand = IndexManifest.readAt(spark, root, snap, PostingsTable)
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+    val dfStats = IndexManifest.readAt(spark, root, snap, StatsTable)
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+    val c = IndexManifest.readAt(spark, root, snap, CorpusTable)
+      .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long"))
+      .head()
+    rankTopK(
+      bm25Scored(cand, dfStats, qt, c.getLong(0), c.getLong(1))
+        .filter(col("query_id") =!= col("doc_id")),
+      k)
   }
 
   /** Compaction — the maintenance half [[appendIndexM]]'s grow-only

@@ -891,7 +891,8 @@ object Similarity {
     * yet indexed — with the STORED centroids, so every segment's cell
     * geometry matches — and publish them as a new segment atomically. */
   def appendIvfIndexM(
-      corpus: DataFrame, idCol: String, vecCol: String, root: String): Long = {
+      corpus: DataFrame, idCol: String, vecCol: String, root: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val snap = graft.index.IndexManifest.snapshot(spark, root)
@@ -905,7 +906,7 @@ object Similarity {
     graft.index.IndexManifest.commit(spark, root,
       snap.tables.updated(IvfAssignedTable,
         snap.tables(IvfAssignedTable) :+ aSeg),
-      expect = Some(snap.version))
+      expect = Some(snap.version), meta = extraMeta)
   }
 
   /** Refresh against a NEW full corpus snapshot: rows whose

@@ -1740,6 +1740,19 @@ object LlmQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // The GROWING inverted-file edition: arrivals probe the assignment
+    // as of the previous batch (probe list from the build-frozen stored
+    // centroids — exactly why append-with-stored-centroids keeps every
+    // segment's cell geometry compatible) and then join the index
+    // through an exactly-once manifest commit, so an arrival's nearest
+    // neighbor landing two batches earlier is retrieved from the pruned
+    // cluster scan — uncompressed sibling of stream_ann_pq_growing.
+    "stream_ann_ivf_growing" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingAnnIvfGrowing(s, dir, k = 5, nProbe = 2)
+        .orderBy("query_id", "rnk")
+    },
+
     // ANN at ingest over the persisted inverted file — the IVF leg of
     // the streaming probe family: each micro-batch runs the served
     // multi-probe search over just its arrivals (probe list from the
@@ -1772,6 +1785,22 @@ object LlmQueries {
     "stream_bm25_negatives" -> q { (s, dir) =>
       graft.streaming.StreamPipeline
         .streamingBm25Negatives(s, dir, Bm25Anchors, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // The GROWING retrieval edition — the richest growth case: not just
+    // the postings but the SCORING PARAMETERS grow with the stream.
+    // Every arriving anchor mines negatives against the lake plus all
+    // earlier batches, with idf/avgdl computed over exactly that corpus
+    // (postings, df, and the (N, avgdl) scalars resolve from ONE
+    // snapshot), then appends itself — postings and stats move in one
+    // atomic batchId-stamped commit, so a crash can never leave df
+    // counting a document whose postings aren't searchable or vice
+    // versa. A frozen index (stream_bm25_negatives) can never surface
+    // another arrival as a negative; this one does.
+    "stream_bm25_negatives_growing" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingBm25NegativesGrowing(s, dir, Bm25K)
         .orderBy("query_id", "rank")
     },
 
@@ -1926,6 +1955,105 @@ object LlmQueries {
                               ORDER BY score DESC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** The GROWING-stream IVF oracle: every vector gets an arrival rank
+    * (lake = -1, batch b = (vec_id%30)//10), queries are ALL arrivals,
+    * each probing its 2 nearest centroids, and a query in batch b scores
+    * only vectors that arrived STRICTLY earlier AND sit in a probed
+    * cluster — the assignment-as-of-previous-batch semantics. Same
+    * centroid sample and assignment grid as [[ivfProbedOracleSql]]. */
+  private val IvfGrowingSearchOracle: String =
+    """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         ranked AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 10 < 8 THEN -1
+                       ELSE (vec_id % 30) // 10 END AS rk
+           FROM embeddings),
+         clustered AS (
+           SELECT a.vec_id, a.embedding, a.cluster, r.rk
+           FROM assign a JOIN ranked r USING (vec_id) WHERE a.crn = 1),
+         probes AS (
+           SELECT a.vec_id AS query_id, a.embedding AS qv, a.cluster, r.rk
+           FROM assign a JOIN ranked r USING (vec_id)
+           WHERE r.rk >= 0 AND a.crn <= 2),
+         scored AS (
+           SELECT q.query_id, c.cluster AS cluster, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv::double[], c.embedding::double[]) /
+               (sqrt(list_dot_product(q.qv::double[], q.qv::double[])) *
+                sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
+               6) AS cosine
+           FROM probes q JOIN clustered c
+             ON q.cluster = c.cluster AND c.rk < q.rk)
+         SELECT query_id, cluster, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** The GROWING-stream hard-negatives oracle: every doc gets an arrival
+    * rank (lake = -1, batch b = (doc_id%30)//10); each arrival's
+    * distinct terms are its query, candidates are docs that arrived
+    * STRICTLY earlier, and — the point — idf and avgdl normalize over
+    * exactly that earlier corpus (per-batch df / N / sumdl), replaying
+    * the stats-as-of-previous-batch semantics of the transactional
+    * postings+stats commit. */
+  private def growingBm25NegativesOracleSql: String =
+    s"""WITH ranked AS (
+           SELECT doc_id, text,
+                  CASE WHEN doc_id % 10 < 8 THEN -1
+                       ELSE (doc_id % 30) // 10 END AS rk
+           FROM documents),
+         q AS (
+           SELECT DISTINCT rk, query_id, term FROM (
+             SELECT rk, doc_id AS query_id,
+                    unnest(string_split(text, ' ')) AS term
+             FROM ranked WHERE rk >= 0)
+           WHERE term <> ''),
+         toks AS (
+           SELECT rk, doc_id, len(string_split(text, ' ')) AS dl,
+                  unnest(string_split(text, ' ')) AS term
+           FROM ranked),
+         tf AS (
+           SELECT rk, term, doc_id, any_value(dl) AS dl, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2, 3),
+         bs AS (SELECT unnest(range(3)) AS b),
+         df AS (
+           SELECT bs.b, tf.term, count(*) AS df
+           FROM bs JOIN tf ON tf.rk < bs.b GROUP BY 1, 2),
+         c AS (
+           SELECT bs.b, count(*)::bigint AS n,
+                  sum(len(string_split(r.text, ' ')))::bigint AS sumdl
+           FROM bs JOIN ranked r ON r.rk < bs.b GROUP BY 1),
+         contrib AS (
+           SELECT q.query_id, tf.doc_id,
+             round(
+               ln(1.0 + (c.n::double - df.df + 0.5) / (df.df + 0.5)) *
+               ((tf.tf * ${Retrieval.K1 + 1.0}) /
+                (tf.tf + ${Retrieval.K1} *
+                  (${1.0 - Retrieval.B} + ${Retrieval.B} *
+                    (tf.dl / (c.sumdl::double / c.n))))),
+               6)::DECIMAL(38,10) AS w
+           FROM q
+           JOIN tf ON tf.term = q.term AND tf.rk < q.rk
+           JOIN df ON df.term = q.term AND df.b = q.rk
+           JOIN c ON c.b = q.rk),
+         scored AS (
+           SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
+           FROM contrib GROUP BY 1, 2)
+         SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+         FROM scored QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
 
   /** DuckDB replay of the inline multi-probe IVF search, parametrized by
     * the CORPUS membership predicate — "true" replays the full-corpus
@@ -3843,6 +3971,14 @@ object LlmQueries {
       // the ingest-time IVF probe replays the inline multi-probe oracle:
       // same centroids, same full-corpus assignment, same pruned scan
       ("stream_ann_ivf_probe" -> baseOracles("sim_topk_ivf_probed")) +
+      // the GROWING IVF ingest: each arrival probes the assignment of
+      // the lake plus earlier batches only — index-as-of-probe, same
+      // centroid sample and pruned-scan grid
+      ("stream_ann_ivf_growing" -> IvfGrowingSearchOracle) +
+      // the GROWING hard-negative ingest: anchors rank only earlier
+      // arrivals + the lake, with idf/avgdl over exactly that corpus —
+      // the stats grow transactionally with the postings
+      ("stream_bm25_negatives_growing" -> growingBm25NegativesOracleSql) +
       // the manifest-served IVF-PQ index converges to the inline
       // coarse-quantized search over the full corpus
       ("sim_ivfpq_index_served" -> baseOracles("sim_topk_ivfpq")) +

@@ -757,6 +757,175 @@ object StreamPipeline {
     }
   }
 
+  /** Output schema of [[ivfGrowingBatch]]'s per-batch top-k frames. */
+  private[graft] val IvfGrowSchema: StructType = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("cluster", LongType),
+    StructField("neighbor_id", LongType),
+    StructField("cosine", DoubleType),
+    StructField("rnk", IntegerType)))
+
+  /** One micro-batch of the GROWING inverted-file ANN ingest — the IVF
+    * edition of [[pqGrowingBatch]]: each arriving vector runs the served
+    * multi-probe search against the assignment table as of the previous
+    * batch (probe list from the STORED centroids, whose cell geometry is
+    * fixed at build time — exactly why append-with-stored-centroids is
+    * sound), then the batch's own vectors are assigned and appended
+    * through the batchId-stamped atomic commit. */
+  private[graft] def ivfGrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String,
+      k: Int, nProbe: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batchOutputComplete(spark, outDir, batchId) &&
+        graft.index.IndexManifest.snapshot(spark, root).meta
+          .get(StreamBatchKey).exists(_.toLong >= batchId)) return
+    val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
+    val topk = graft.operators.Similarity.ivfProbeM(
+      batch, "vec_id", "embedding", k, nProbe, root, at = Some(snap.version))
+    writeBatchIdempotent(
+      topk.select(col("query_id"), col("cluster"), col("neighbor_id"),
+        col("cosine"), col("rank").as("rnk")),
+      outDir, batchId)
+    if (!alreadyCommitted)
+      graft.operators.Similarity.appendIvfIndexM(
+        batch, "vec_id", "embedding", root,
+        extraMeta = Map(StreamBatchKey -> batchId.toString)): Unit
+  }
+
+  /** Multi-probe ANN at ingest where the inverted file GROWS with the
+    * stream — the uncompressed sibling of [[streamingAnnPqGrowing]]:
+    * every arriving vector probes nProbe Voronoi cells of the assignment
+    * as of the previous batch and is then assigned (with the stored,
+    * build-frozen centroids) and appended through an exactly-once
+    * manifest commit ([[ivfGrowingBatch]]). Candidate bytes per batch
+    * scale with nProbe/C of the rows that arrived BEFORE it, never with
+    * the stream's length; the index grows by delta assignment segments
+    * only. Replay safety is the shared protocol; deterministic batch
+    * staging makes the result exactly replayable by the DuckDB oracle:
+    * a query in batch b scores vectors of the lake and batches < b that
+    * share its probed clusters. */
+  def streamingAnnIvfGrowing(
+      spark: SparkSession, dir: String, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val root = Files.createTempDirectory("graft_igrow_idx").toString
+    val streamIn = Files.createTempDirectory("graft_igrow_in").toString
+    val outDir = Files.createTempDirectory("graft_igrow_out").toString
+    val ckptDir = Files.createTempDirectory("graft_igrow_ckpt").toString
+    try {
+      // centroid sample fixed at build time from the full table — the
+      // production contract (append re-uses the stored centroids so
+      // every segment's cell geometry matches), and what keeps the
+      // oracle's assignment grid identical
+      graft.operators.Similarity.buildIvfIndexM(
+        emb.filter(col("vec_id") % 10 < 8),
+        emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", root)
+      writeArrivalBatches(
+        emb.filter(col("vec_id") % 10 >= 8), streamIn, nBatches = 3,
+        idCol = "vec_id")
+      val arrivals = spark.readStream
+        .schema(EmbeddingsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          ivfGrowingBatch(batch.toDF(), batchId, root, outDir, k, nProbe)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, IvfGrowSchema).localCheckpoint(true)
+        .orderBy("query_id", "rnk")
+    } finally {
+      Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
+  /** Output schema of [[bm25GrowingBatch]]'s per-batch negative frames. */
+  private[graft] val Bm25GrowSchema: StructType = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("doc_id", LongType),
+    StructField("score", DoubleType),
+    StructField("rank", IntegerType)))
+
+  /** One micro-batch of the GROWING hard-negative ingest — the BM25
+    * edition of the shared growth protocol, and its richest case: not
+    * just the postings but the SCORING PARAMETERS grow with the stream.
+    * Each arriving anchor mines its negatives against the index as of
+    * the previous batch — postings, per-term df, and the (N, avgdl)
+    * corpus scalars all resolved from that ONE snapshot
+    * ([[graft.operators.Retrieval.hardNegativesAtM]]), so the idf a
+    * batch-2 anchor sees already counts batch-0/1 documents — then the
+    * batch's own docs append as postings + df + corpus segments in the
+    * batchId-stamped atomic commit (stats move WITH the postings or not
+    * at all). */
+  private[graft] def bm25GrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String,
+      k: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batchOutputComplete(spark, outDir, batchId) &&
+        graft.index.IndexManifest.snapshot(spark, root).meta
+          .get(StreamBatchKey).exists(_.toLong >= batchId)) return
+    val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
+    val negs = graft.operators.Retrieval.hardNegativesAtM(
+      batch, "doc_id", "text", k, root, snap)
+    writeBatchIdempotent(
+      negs.select(col("query_id"), col("doc_id"), col("score"), col("rank")),
+      outDir, batchId)
+    if (!alreadyCommitted)
+      graft.operators.Retrieval.appendIndexM(
+        batch, "doc_id", "text", root,
+        extraMeta = Map(StreamBatchKey -> batchId.toString)): Unit
+  }
+
+  /** Hard-negative mining at ingest where the inverted index GROWS with
+    * the stream — the retrieval edition of the growing family, closing
+    * the gap [[streamingBm25Negatives]] leaves open (a frozen snapshot
+    * can never surface another ARRIVAL as a negative): every arriving
+    * anchor's negatives are mined against the lake plus all earlier
+    * batches, with the BM25 normalization (idf, avgdl) computed over
+    * exactly that corpus, and the anchor then joins the index through an
+    * exactly-once manifest commit ([[bm25GrowingBatch]]). Per-batch cost
+    * is the anchors' posting lists (broadcast-semi term restriction),
+    * never the lake; the index grows by delta postings/df/corpus
+    * segments only. Deterministic batch staging makes the ranking
+    * exactly replayable by the DuckDB oracle: an anchor in batch b
+    * scores documents of the lake and batches < b, with stats as of the
+    * same cut. */
+  def streamingBm25NegativesGrowing(
+      spark: SparkSession, dir: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val root = Files.createTempDirectory("graft_bgrow_idx").toString
+    val streamIn = Files.createTempDirectory("graft_bgrow_in").toString
+    val outDir = Files.createTempDirectory("graft_bgrow_out").toString
+    val ckptDir = Files.createTempDirectory("graft_bgrow_ckpt").toString
+    try {
+      graft.operators.Retrieval.buildIndexM(
+        docs.filter(col("doc_id") % 10 < 8), "doc_id", "text", root)
+      writeArrivalBatches(
+        docs.filter(col("doc_id") % 10 >= 8), streamIn, nBatches = 3)
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          bm25GrowingBatch(batch.toDF(), batchId, root, outDir, k)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, Bm25GrowSchema).localCheckpoint(true)
+        .orderBy("query_id", "rank")
+    } finally {
+      Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   /** Hard-negative mining AT INGEST — the streaming leg of the BM25
     * retrieval family: every arriving anchor document's distinct terms
     * become its query IN the stream (one stateless explode, no state
