@@ -103,6 +103,13 @@ object Bench {
     SparkEntry.benchQueries.filter(all.contains)
       .filter(n => n.endsWith("_serve") || n.endsWith("_served"))
       .foreach(n => runOnce(n))
+    // Warm the canary query itself before its first TIMED reading: the
+    // at-0 reading used to carry q1_agg's own first-run planning/codegen
+    // cost (~2x its steady state), which sat under the min-floor below
+    // and made `contended` fire on every artifact — including provably
+    // clean runs (r13, r14, and the r14 judge re-run alike). A canary
+    // reading must price the HOST, not JVM warm-up.
+    runOnce("q1_agg"); runOnce("q1_agg")
     // Contention canary: q1_agg re-timed throughout the sweep — before,
     // after every `canaryEvery` queries, and at the end. The round-11/12
     // artifacts proved a start/end-only canary has a blind spot: a
@@ -133,14 +140,21 @@ object Bench {
     val canaryStart = canaryReadings.head._2
     val canaryEnd = canaryReadings.last._2
     val canaryRatio = if (canaryStart > 0) canaryEnd / canaryStart else 0.0
-    // an unmeasurable reading or any reading >1.5× the cleanest means
-    // part of this artifact carries environmental inflation
-    val cleanFloor = {
-      val ok = canaryReadings.map(_._2).filter(_ > 0)
-      if (ok.isEmpty) 0.0 else ok.min
-    }
-    val contended = cleanFloor <= 0 ||
-      canaryReadings.exists { case (_, t) => t <= 0 || t / cleanFloor > 1.5 }
+    // an unmeasurable reading or any reading >1.5× the run's TYPICAL
+    // (median) reading means part of this artifact carries environmental
+    // inflation. The floor is the median, not the minimum, for the same
+    // reason contaminatedBy's is: one outlier-FAST reading (observed:
+    // a 0.156 s end reading among steady 0.28 s mids once the canary is
+    // pre-warmed) must not flag a clean run — min-floor `contended` was
+    // unconditionally true on every artifact r13-r14, clean or not, and
+    // a flag that always fires carries no signal. A uniformly-contended
+    // run can sneak past a median floor, but uniform inflation is
+    // exactly what canary_ref normalization divides out cross-round.
+    val okReadings = canaryReadings.map(_._2).filter(_ > 0)
+    val medianFloor =
+      if (okReadings.isEmpty) 0.0 else okReadings.sorted.apply(okReadings.length / 2)
+    val contended = medianFloor <= 0 ||
+      canaryReadings.exists { case (_, t) => t <= 0 || t / medianFloor > 1.5 }
     val contaminated = benchNames.zipWithIndex.collect {
       case (name, i) if contaminatedBy(canaryReadings.toSeq, i) => s"\"$name\""
     }
@@ -184,11 +198,31 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,"canary_ref":$canaryRef,$canary,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}"""
     println(line)
-    // The driver captures only a bounded tail of stdout; round 12's line
-    // outgrew it and the artifact shipped truncated (parsed:null, medians
-    // map lost). Persist the identical line to a file in the working
-    // directory so the full artifact survives regardless of capture
-    // window. Best-effort: a read-only cwd must not fail the bench.
+    // The driver captures only a bounded TAIL of stdout (~2000 chars) and
+    // parses the artifact out of it; the full line above is ~5 KB, so
+    // every round since r10 shipped `parsed: null`. Persist the full line
+    // to a file (below) and emit a COMPACT twin — medians + canary
+    // summary only, no raw/canary_ref/series arrays — as the absolute
+    // LAST stdout line, small enough (~1.4 KB for 50 queries at 2
+    // decimals) that the whole line survives inside the capture window
+    // even with the build tool's own epilogue after it.
+    val qsCompact = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    def compactWith(dirty: String) =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact,""" +
+        s""""canary":{"contended":$contended,$dirty},""" +
+        s""""errors":$errors,"sf":"$sfDir"}"""
+    // a heavily-contaminated run's name list could itself outgrow the
+    // window — degrade it to a count (full list is in the file artifact)
+    val compactFull =
+      compactWith(s""""contaminated_queries":${contaminated.mkString("[", ",", "]")}""")
+    val compact =
+      if (compactFull.length <= 1800) compactFull
+      else compactWith(s""""contaminated_count":${contaminated.length}""")
+    // Persist the identical FULL line to a file in the working directory
+    // so the complete artifact (raw reps, canary series, skew section)
+    // survives regardless of capture window. Best-effort: a read-only
+    // cwd must not fail the bench.
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
@@ -198,5 +232,6 @@ object Bench {
       System.err.println(s"[bench] could not persist JSON line: ${e.getMessage}")
     }
     spark.stop()
+    println(compact)
   }
 }

@@ -16,6 +16,15 @@ Reports every shared query whose normalized ratio (new/old) exceeds the
 threshold (default 1.3) either way, plus the normalized totals. Queries
 flagged contaminated in either artifact are listed but excluded from
 the verdict line — their brackets carry known inflation.
+
+A median-based flag must ALSO reproduce on the per-rep MINIMA before it
+counts as a clean regression: the minimum of 3 reps is the least
+contention-inflatable statistic each artifact carries, so a "regression"
+whose minima ratio is inside the threshold is one or two contended reps
+skewing a median, not a plan change (round 14: five median-flagged
+regressions up to 2.44x all evaporated on a clean re-run; every one had
+minima inside threshold). Such flags are reported as SUSPECT, not
+counted in the verdict.
 """
 import json
 import sys
@@ -37,6 +46,19 @@ def normalized(artifact):
     return out
 
 
+def normalized_minima(artifact):
+    """Per-query min-of-reps, canary-normalized; {} if no raw reps."""
+    raw = artifact.get("raw", {})
+    refs = artifact.get("canary_ref", {})
+    out = {}
+    for name, reps in raw.items():
+        ref = refs.get(name, 0.0)
+        ts = [t for t in (reps or []) if t and t > 0]
+        if ts and ref and ref > 0:
+            out[name] = min(ts) / ref
+    return out
+
+
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
@@ -51,10 +73,18 @@ def main():
         n_old = {k: v for k, v in old.get("queries", {}).items() if v > 0}
         n_new = {k: v for k, v in new.get("queries", {}).items() if v > 0}
         shared = sorted(set(n_old) & set(n_new))
+    m_old, m_new = normalized_minima(old), normalized_minima(new)
     moved = []
     for name in shared:
         r = n_new[name] / n_old[name] if n_old[name] > 0 else float("inf")
         tag = " CONTAMINATED" if name in dirty else ""
+        # second gate: a median regression whose per-rep minima did not
+        # move past the threshold is contention noise, not a plan change
+        if (not tag and r > threshold and name in m_old and name in m_new
+                and m_old[name] > 0
+                and m_new[name] / m_old[name] <= threshold):
+            tag = (" SUSPECT (minima ratio "
+                   f"{m_new[name] / m_old[name]:.2f} inside threshold)")
         if r > threshold or r < 1.0 / threshold:
             moved.append((r, name, tag))
     for r, name, tag in sorted(moved, reverse=True):
