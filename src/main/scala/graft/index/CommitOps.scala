@@ -62,6 +62,17 @@ object CommitOps {
     * side to be new enough; a deployment flips it on once. */
   val S3AConditionalKey = "graft.index.commit.s3a.conditional"
 
+  /** Hadoop conf key (boolean, default false) that opts a `gs://` index
+    * root into [[GcsConditional]]. The GCS connector's
+    * `create(overwrite = false)` maps to a generation-match-0
+    * conditional insert (`x-goog-if-generation-match: 0`) — one request
+    * that atomically creates the object or fails — PROVIDED the
+    * connector's conflict check (`fs.gs.create.items.conflict.check`,
+    * its default) has not been disabled. Off by default so a deployment
+    * consciously asserts its connector config before the commit
+    * protocol trusts it. */
+  val GcsConditionalKey = "graft.index.commit.gs.conditional"
+
   /** Dispatches to the right implementation for the path's filesystem:
     * NIO hard-link on `file://`, no-overwrite rename on the HDFS-rename
     * allowlist, [[S3AConditional]] on `s3a://` when
@@ -83,14 +94,17 @@ object CommitOps {
       case "file" | "local" => Local
       case s if RenameSafeSchemes.contains(s) => Hadoop
       case "s3a" if conf.getBoolean(S3AConditionalKey, false) => S3AConditional
+      case "gs" if conf.getBoolean(GcsConditionalKey, false) => GcsConditional
       case s => throw new UnsupportedOperationException(
         s"no safe atomic create-iff-absent for scheme '$s': rename on " +
           "object stores silently replaces, so the commit protocol " +
           "refuses to run last-writer-wins implicitly. For s3a:// set " +
           s"$S3AConditionalKey=true (Hadoop 3.4.2+ conditional create); " +
-          "for other stores pass ops = new CommitOps.ConditionalPut(...) " +
-          "wired to the store's conditional PUT (S3 If-None-Match, GCS " +
-          "generation-match).")
+          s"for gs:// set $GcsConditionalKey=true (connector " +
+          "generation-match-0 create, keep fs.gs.create.items.conflict" +
+          ".check on); for other stores (abfs://, wasb://, ...) pass " +
+          "ops = new CommitOps.ConditionalPut(...) wired to the store's " +
+          "conditional PUT (Azure If-None-Match etag precondition).")
     }
 
   /** POSIX local filesystems: write temp, `link(2)` to destination
@@ -172,6 +186,31 @@ object CommitOps {
     * and compiled against the public builder API; the conditional-PUT
     * protocol itself is proven against the adversarial simulated store
     * in CommitProtocolSpec via [[ConditionalPut]]. */
+  /** Adjudicate a close-time IOException from a conditional-PUT create:
+    * `false` (lost the race) only when the destination holds someone
+    * ELSE'S object. An existing object whose bytes equal `body` is this
+    * writer's own PUT that succeeded server-side while the response was
+    * lost (retried-request 412s, connection drops at commit time) —
+    * claiming a lost race there would make an expect-guarded append
+    * throw ConcurrentModificationException despite having landed, so it
+    * counts as a win. Byte-equality is a sound tiebreak for the commit
+    * protocol's payloads: claim locks embed a per-claimant UUID nonce
+    * (equal bytes ⇒ same claimant), and two manifests with identical
+    * bytes publish identical versions — either writer may own it. A
+    * read that itself fails, or a mismatched body, re-throws / loses as
+    * before. */
+  private[index] def ownPutLanded(
+      fs: FileSystem, path: Path, body: Array[Byte], cause: java.io.IOException): Boolean = {
+    val status =
+      try fs.getFileStatus(path)
+      catch { case _: java.io.FileNotFoundException => throw cause }
+    if (status.getLen != body.length) return false
+    val in = fs.open(path)
+    val got = new Array[Byte](body.length)
+    try in.readFully(0L, got) finally in.close()
+    java.util.Arrays.equals(got, body)
+  }
+
   object S3AConditional extends CommitOps {
     def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean = {
       fs.mkdirs(path.getParent)
@@ -186,9 +225,40 @@ object CommitOps {
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case e: java.io.IOException =>
-          // the conditional PUT rejects at close (HTTP 412); treat as a
-          // lost race only when the winner's object is actually there
-          if (fs.exists(path)) false else throw e
+          // the conditional PUT rejects at close (HTTP 412). Lost race
+          // only if the object there is someone else's; our own
+          // landed-but-response-lost PUT is a win (see ownPutLanded).
+          ownPutLanded(fs, path, body, e)
+      }
+    }
+  }
+
+  /** GCS binding: the connector's `create(overwrite = false)` performs a
+    * generation-match-0 conditional insert — the object either comes
+    * into existence whole or the request fails with a precondition
+    * error; there is no list-then-PUT window. Requires the connector's
+    * conflict check left at its default (see [[GcsConditionalKey]]).
+    * Same close-time adjudication as [[S3AConditional]]: the store
+    * decides when the upload commits, so a lost race surfaces at
+    * `close()` and is mapped to `false` only when the winning object is
+    * verifiably someone else's.
+    *
+    * Environment note: no GCS endpoint exists in this sandbox, so this
+    * binding is exercised for ROUTING (Auto + [[GcsConditionalKey]]) and
+    * for the close-time adjudication path (driven through a local
+    * FileSystem shim in CommitProtocolSpec); the conditional-PUT
+    * protocol itself is proven against the adversarial simulated store
+    * via [[ConditionalPut]]. */
+  object GcsConditional extends CommitOps {
+    def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean = {
+      fs.mkdirs(path.getParent)
+      try {
+        val out = fs.createFile(path).overwrite(false).build()
+        try out.write(body) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => ownPutLanded(fs, path, body, e)
       }
     }
   }

@@ -246,9 +246,24 @@ object IndexManifest {
       meta: Map[String, String] = Map.empty): Long = {
     val fs = fsFor(spark, root)
     fs.mkdirs(new Path(root, ManifestDir))
-    for ((k, v) <- meta)
+    // Validate everything that would write an UNPARSEABLE manifest before
+    // any byte lands: a committed body every subsequent parse rejects
+    // bricks the root (and each read burns the full parse-retry window
+    // before failing). Empty meta keys serialize as a line the parser's
+    // `indexOf('\t') > 0` check rejects; a table name starting with '!'
+    // would be mistaken for (or collide with) the reserved meta prefix.
+    for ((k, v) <- meta) {
+      require(k.nonEmpty, s"manifest meta key must be non-empty (value: $v)")
       require(!(k + v).exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"manifest meta must be tab/newline-free: $k -> $v")
+    }
+    for (t <- tables.keys) {
+      require(t.nonEmpty && !t.startsWith("!"),
+        s"table name must be non-empty and not start with the reserved " +
+          s"'!' meta prefix: '$t'")
+      require(!t.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"table name must be tab/newline-free: '$t'")
+    }
     def bodyBytes(effectiveMeta: Map[String, String]): Array[Byte] = {
       val body = new StringBuilder(s"$Magic\t1\n")
       for ((k, v) <- effectiveMeta.toSeq.sortBy(_._1))
@@ -271,8 +286,14 @@ object IndexManifest {
       }
       candidate = math.max(cur + 1, candidate + 1)
       val lock = lockPath(root, candidate)
+      // The UUID nonce makes every claimant's body globally unique, so a
+      // conditional-PUT backend that lost the response to its own
+      // successful create can disambiguate "my PUT landed" from "a rival
+      // won" by reading the object back (CommitOps read-back path) — two
+      // claimants racing in the same millisecond would otherwise write
+      // identical bodies.
       val lockBody =
-        s"claimant\t${java.lang.System.currentTimeMillis()}\n"
+        s"claimant\t${java.lang.System.currentTimeMillis()}\t${java.util.UUID.randomUUID()}\n"
           .getBytes(StandardCharsets.UTF_8)
       var claimed = ops.putIfAbsent(fs, lock, lockBody)
       if (!claimed) {
@@ -351,14 +372,22 @@ object IndexManifest {
     * snapshot that vacuum is contractually unable to reclaim while the
     * lease is live; the lease is released on every exit path.
     *
-    * The acquire is guarded against the resolve-then-lease race: after
-    * the lease lands, the pinned version's manifest is re-checked — if a
-    * vacuum reclaimed the version in the window between [[snapshot]] and
-    * the lease file's creation, the stale lease is released and the
+    * The resolve-then-lease race is closed from BOTH sides. Reader side:
+    * after the lease lands, the pinned version's manifest is re-checked —
+    * if a vacuum reclaimed the version in the window between [[snapshot]]
+    * and the lease file's creation, the stale lease is released and the
     * resolve retries on the (necessarily newer) current version. Vacuum
-    * deletes a reclaimed version's MANIFEST before its segments, so a
-    * reader that passes this check while vacuum is mid-delete fails the
-    * check rather than resolving a pointer to half-deleted data. */
+    * side: manifests are deleted before segments, and vacuum RE-LISTS
+    * leases between the two phases — a lease that was created before a
+    * passing exists-check is therefore visible to that re-list, and the
+    * version's segments are retained even though its manifest is gone
+    * (this reader's parsed snapshot stays readable; a reader whose check
+    * ran after the delete retries instead). Residual caveat, inherited
+    * from vacuum's orphan sweep: segments protected only by such a late
+    * lease become manifest-unreachable, and a SUBSEQUENT vacuum run more
+    * than `orphanGraceMs` later reclaims them as orphans — hold a lease
+    * across at most one vacuum cycle, or pass `keepFrom` covering the
+    * pinned version. */
   def withReaderLease[T](
       spark: SparkSession, root: String,
       ttlMs: Long = 60L * 60L * 1000L)(f: Snapshot => T): T = {
@@ -420,7 +449,17 @@ object IndexManifest {
     * Returns the number of paths removed. */
   def vacuum(
       spark: SparkSession, root: String, keepFrom: Long = -1L,
-      orphanGraceMs: Long = 20L * 60L * 1000L): Int = {
+      orphanGraceMs: Long = 20L * 60L * 1000L): Int =
+    vacuumHooked(spark, root, keepFrom, orphanGraceMs, () => ())
+
+  /** [[vacuum]] with a test seam: `afterManifestDeletes` runs between the
+    * manifest-delete phase and the lease RE-LIST that guards the segment
+    * deletes, so the concurrency spec can land a reader lease inside the
+    * exact window the re-list exists to cover — deterministically, not
+    * by racing threads. */
+  private[index] def vacuumHooked(
+      spark: SparkSession, root: String, keepFrom: Long,
+      orphanGraceMs: Long, afterManifestDeletes: () => Unit): Int = {
     val fs = fsFor(spark, root)
     val cur = snapshot(spark, root).version
     val nowMs = java.lang.System.currentTimeMillis()
@@ -452,8 +491,26 @@ object IndexManifest {
     for (v <- versions; if drop.contains(v)) {
       fs.delete(manifestPath(root, v), false); removed += 1
     }
+    // Re-list leases AFTER the manifest deletes, before any segment goes:
+    // a reader whose lease landed after the listing above but whose
+    // manifest-exists re-check passed BEFORE our delete necessarily has
+    // its lease file visible by now — retaining such a version's
+    // SEGMENTS keeps that reader's already-parsed snapshot readable
+    // (its manifest file is gone, but the reader holds the parse; a
+    // reader whose re-check ran after the delete failed it and retried
+    // on a newer version instead). Every interleaving of lease-create /
+    // exists-check vs manifest-delete / this re-list leaves the reader
+    // either retried or with intact segments. Residual caveat: these
+    // late-protected segments are no longer reachable from any manifest,
+    // so a LATER vacuum sees them as never-referenced orphans and
+    // reclaims them once older than its grace window — a reader holding
+    // a snapshot across both a version-dropping vacuum and a subsequent
+    // vacuum's orphan sweep (> orphanGraceMs apart) is outside the
+    // contract.
+    afterManifestDeletes()
+    val leasedLate = leasedVersions(fs, root, java.lang.System.currentTimeMillis())
     val retained = segsByVersion.collect {
-      case (v, segs) if !drop.contains(v) => segs
+      case (v, segs) if !drop.contains(v) || leasedLate.contains(v) => segs
     }.flatten.toSet
     val segRoot = new Path(root, "seg")
     if (fs.exists(segRoot)) {

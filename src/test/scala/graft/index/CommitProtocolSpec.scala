@@ -275,6 +275,35 @@ class CommitProtocolSpec extends SparkSpec {
     assert(IndexManifest.read(spark, root, "t").count() == 2)
   }
 
+  test("a lease landing inside vacuum's destructive window keeps segments") {
+    // The resolve-then-lease race, driven deterministically through the
+    // vacuumHooked seam: a reader resolves v1, vacuum lists leases (none)
+    // and deletes v1's manifest, THEN the reader's lease lands (in real
+    // time: the lease landed and its manifest-exists check passed just
+    // before the delete). The re-list between the delete and the segment
+    // phase must see the lease and retain v1's SEGMENTS, so the reader's
+    // already-parsed snapshot stays readable even though the manifest
+    // file is gone.
+    val root = freshRoot("rlate")
+    val seg1 = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg1")
+    val v1 = IndexManifest.commit(spark, root, Map("t" -> Seq(seg1)))
+    val snapV1 = IndexManifest.snapshotAt(spark, root, v1) // reader's parse
+    val seg2 = IndexManifest.newSegment("t")
+    rows(2L -> "b").write.parquet(s"$root/$seg2")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg2)), expect = Some(v1))
+    IndexManifest.vacuumHooked(spark, root, keepFrom = -1L, orphanGraceMs = 0L,
+      afterManifestDeletes =
+        () => { IndexManifest.acquireReaderLease(spark, root, v1); () })
+    assert(!hfs(root).exists(new Path(s"$root/_manifests/m-000000001.txt")),
+      "v1's manifest should be gone (the delete raced ahead of the lease)")
+    assert(new java.io.File(s"$root/$seg1").exists,
+      "late-leased version's segments were deleted out from under a reader")
+    // the reader's in-memory snapshot still reads
+    assert(IndexManifest.readAt(spark, root, snapV1, "t")
+      .select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("an expired lease no longer protects; vacuum sweeps the lease file") {
     val root = freshRoot("rexpire")
     val seg1 = IndexManifest.newSegment("t")
@@ -328,13 +357,52 @@ class CommitProtocolSpec extends SparkSpec {
       val e = intercept[UnsupportedOperationException](CommitOps.route(s, conf))
       assert(e.getMessage.contains("ConditionalPut"), s)
     }
-    // the one sanctioned escape hatch: s3a + the conditional-create flag
-    // (Hadoop 3.4.2 If-None-Match binding) routes to S3AConditional
+    // the sanctioned escape hatches are per-scheme opt-in flags: s3a +
+    // the conditional-create flag (Hadoop 3.4.2 If-None-Match binding)
+    // routes to S3AConditional, gs + its flag (connector generation-
+    // match-0 create) to GcsConditional
     val flagged = new org.apache.hadoop.conf.Configuration(false)
     flagged.setBoolean(CommitOps.S3AConditionalKey, true)
     assert(CommitOps.route("s3a", flagged) eq CommitOps.S3AConditional)
-    // ... and the flag is scheme-scoped: gs stays refused
+    // ... and each flag is scheme-scoped: gs stays refused under s3a's
     intercept[UnsupportedOperationException](CommitOps.route("gs", flagged))
+    val gsFlagged = new org.apache.hadoop.conf.Configuration(false)
+    gsFlagged.setBoolean(CommitOps.GcsConditionalKey, true)
+    assert(CommitOps.route("gs", gsFlagged) eq CommitOps.GcsConditional)
+    intercept[UnsupportedOperationException](CommitOps.route("s3a", gsFlagged))
+    // abfs has no binding in-tree: refused with wire-your-own guidance
+    val e2 = intercept[UnsupportedOperationException](
+      CommitOps.route("abfs", gsFlagged))
+    assert(e2.getMessage.contains("ConditionalPut"))
+  }
+
+  test("close-failure adjudication: own landed PUT wins, rival's loses") {
+    // ownPutLanded is the shared close-time tiebreak of both
+    // object-store bindings: an IOException at close with the
+    // destination holding OUR bytes is a response-lost success (true);
+    // holding DIFFERENT bytes is a genuinely lost race (false); holding
+    // nothing re-throws the original failure.
+    val root = freshRoot("ownput")
+    val fs = hfs(root)
+    val boom = new java.io.IOException("simulated close-time 412")
+    val mine = "graft-index-manifest\t1\nclaimant\tnonce-A\n"
+      .getBytes(StandardCharsets.UTF_8)
+    val p = new Path(s"$root/_manifests/m-000000001.txt")
+    // missing destination: not a race at all — the failure propagates
+    assert(intercept[java.io.IOException](
+      CommitOps.ownPutLanded(fs, p, mine, boom)) eq boom)
+    // destination holds our exact bytes: the PUT landed, response lost
+    Files.createDirectories(Paths.get(root, "_manifests"))
+    Files.write(Paths.get(root, "_manifests", "m-000000001.txt"), mine)
+    assert(CommitOps.ownPutLanded(fs, p, mine, boom))
+    // destination holds a rival's bytes (same length and differing
+    // length both): lost race
+    val rivalSameLen = mine.clone(); rivalSameLen(mine.length - 2) = 'B'
+    Files.write(Paths.get(root, "_manifests", "m-000000001.txt"), rivalSameLen)
+    assert(!CommitOps.ownPutLanded(fs, p, mine, boom))
+    Files.write(Paths.get(root, "_manifests", "m-000000001.txt"),
+      "short".getBytes(StandardCharsets.UTF_8))
+    assert(!CommitOps.ownPutLanded(fs, p, mine, boom))
   }
 
   // ---- retry-tolerant manifest reads (r13 What's-wrong #2): the
@@ -403,5 +471,17 @@ class CommitProtocolSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IndexManifest.commit(spark, root, Map("t" -> Seq(seg)),
         meta = Map("bad" -> "a\tb")))
+    // ... as is an EMPTY meta key (would serialize to a line every
+    // subsequent parse rejects — a committed one bricks the root)
+    intercept[IllegalArgumentException](
+      IndexManifest.commit(spark, root, Map("t" -> Seq(seg)),
+        meta = Map("" -> "x")))
+    // ... and a table name colliding with the reserved '!' meta prefix
+    intercept[IllegalArgumentException](
+      IndexManifest.commit(spark, root, Map("!meta" -> Seq(seg))))
+    intercept[IllegalArgumentException](
+      IndexManifest.commit(spark, root, Map("" -> Seq(seg))))
+    // the failed attempts committed nothing: HEAD still parses
+    assert(IndexManifest.snapshot(spark, root).version == 3L)
   }
 }
