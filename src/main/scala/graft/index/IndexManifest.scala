@@ -68,7 +68,36 @@ object IndexManifest {
     * replayed micro-batch can prove its commit already landed). */
   final case class Snapshot(
       version: Long, tables: Map[String, Seq[String]],
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      explicitKeys: Set[String] = Set.empty)
+
+  /** Meta key carrying the highest micro-batch id whose exactly-once
+    * growing-stream append has committed (see
+    * [[graft.streaming.StreamPipeline]]): the grown index and the
+    * applied-batch watermark move in one atomic publish. Inherited down
+    * the version chain like any meta, so maintenance commits keep the
+    * watermark visible at HEAD; [[Snapshot.explicitKeys]] tells a
+    * reader whether a given version IS the append commit itself. */
+  val StreamBatchKey = "stream_batch"
+
+  /** Meta key listing (comma-joined, root-relative) the segments a
+    * growing-stream append added in its commit — what lets a replayed
+    * micro-batch that must RECOMPUTE reconstruct the pre-append view
+    * from HEAD alone after vacuum reclaimed the pre-append manifest:
+    * HEAD's tables minus exactly these segments IS that view. */
+  val StreamBatchSegsKey = "stream_batch_segs"
+
+  /** Stamp `segs` into a growing-stream append's commit metadata: when
+    * `extraMeta` carries a [[StreamBatchKey]] watermark (the caller is
+    * the exactly-once growing ingest), the appended segment paths ride
+    * in the SAME atomic commit under [[StreamBatchSegsKey]]; any other
+    * caller's metadata passes through untouched. Every index family's
+    * append calls this, so the reconstruction contract is uniform. */
+  def stampAppendSegs(
+      extraMeta: Map[String, String], segs: Seq[String]): Map[String, String] =
+    if (extraMeta.contains(StreamBatchKey))
+      extraMeta + (StreamBatchSegsKey -> segs.mkString(","))
+    else extraMeta
 
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -163,7 +192,7 @@ object IndexManifest {
       s"$p is not a graft index manifest")
     val (metaLines, tableLines) =
       body.tail.filter(_.nonEmpty).partition(_.startsWith(MetaPrefix))
-    val meta = metaLines.map { line =>
+    val metaAll = metaLines.map { line =>
       val kv = line.stripPrefix(MetaPrefix)
       val i = kv.indexOf('\t')
       require(i > 0, s"malformed manifest meta line in $p: $line")
@@ -174,10 +203,23 @@ object IndexManifest {
       require(i > 0, s"malformed manifest line in $p: $line")
       (line.substring(0, i), line.substring(i + 1))
     }
+    // the reserved __explicit entry (which keys THIS commit set, vs
+    // inherited) surfaces as Snapshot.explicitKeys, not as user meta
+    val explicit = metaAll.get(ExplicitKeysMarker)
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
     Snapshot(version,
       entries.groupBy(_._1).map { case (t, es) => (t, es.map(_._2)) },
-      meta)
+      metaAll - ExplicitKeysMarker, explicit)
   }
+
+  /** Reserved meta entry recording which keys were set EXPLICITLY by a
+    * version's commit (everything else in its meta was inherited). Lets
+    * a reader distinguish "this version is the commit that stamped key
+    * K" from "K rode down the inheritance chain" — the growing-stream
+    * replay's reconstruction guard needs exactly that for
+    * [[StreamBatchKey]]. Never inherited itself: re-derived at every
+    * commit from that commit's own meta argument. */
+  private val ExplicitKeysMarker = "__explicit"
 
   /** Read one logical table at a resolved snapshot — the reader half of
     * the isolation contract (only listed segments are scanned). */
@@ -254,6 +296,8 @@ object IndexManifest {
     // would be mistaken for (or collide with) the reserved meta prefix.
     for ((k, v) <- meta) {
       require(k.nonEmpty, s"manifest meta key must be non-empty (value: $v)")
+      require(!k.startsWith("__"),
+        s"manifest meta keys starting with '__' are reserved: $k")
       require(!(k + v).exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"manifest meta must be tab/newline-free: $k -> $v")
     }
@@ -266,7 +310,11 @@ object IndexManifest {
     }
     def bodyBytes(effectiveMeta: Map[String, String]): Array[Byte] = {
       val body = new StringBuilder(s"$Magic\t1\n")
-      for ((k, v) <- effectiveMeta.toSeq.sortBy(_._1))
+      val stamped =
+        if (meta.isEmpty) effectiveMeta
+        else effectiveMeta +
+          (ExplicitKeysMarker -> meta.keys.toSeq.sorted.mkString(","))
+      for ((k, v) <- stamped.toSeq.sortBy(_._1))
         body.append(MetaPrefix).append(k).append('\t').append(v).append('\n')
       for ((t, segs) <- tables.toSeq.sortBy(_._1); s <- segs)
         body.append(t).append('\t').append(s).append('\n')

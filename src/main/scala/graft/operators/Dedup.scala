@@ -828,7 +828,9 @@ object Dedup {
       snap.tables
         .updated(LshSigsTable, snap.tables(LshSigsTable) :+ sigSeg)
         .updated(LshBandsTable, snap.tables(LshBandsTable) :+ bandSeg),
-      expect = Some(snap.version), meta = extraMeta)
+      expect = Some(snap.version),
+      meta = graft.index.IndexManifest.stampAppendSegs(
+        extraMeta, Seq(sigSeg, bandSeg)))
   }
 
   /** [[compactLshIndex]] as an atomic pointer swap: sigs re-laid as one
@@ -1418,7 +1420,8 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$root/$seg")
     graft.index.IndexManifest.commit(spark, root,
       snap.tables.updated(GramTable, snap.tables(GramTable) :+ seg),
-      expect = Some(snap.version), meta = extraMeta)
+      expect = Some(snap.version),
+      meta = graft.index.IndexManifest.stampAppendSegs(extraMeta, Seq(seg)))
   }
 
   /** [[compactGramIndex]] as an atomic pointer swap: the folded

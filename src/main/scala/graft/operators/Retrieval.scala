@@ -427,7 +427,9 @@ object Retrieval {
         .updated(StatsTable, snap.tables(StatsTable) :+ sSeg)
         .updated(CorpusTable, snap.tables(CorpusTable) :+ cSeg)
         .updated(DocsTable, snap.tables(DocsTable) :+ dSeg),
-      expect = Some(snap.version), meta = extraMeta)
+      expect = Some(snap.version),
+      meta = IndexManifest.stampAppendSegs(
+        extraMeta, Seq(pSeg, sSeg, cSeg, dSeg)))
   }
 
   /** Hard-negative mining against a RESOLVED committed snapshot with the

@@ -727,7 +727,8 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$root/$cSeg")
     graft.index.IndexManifest.commit(spark, root,
       snap.tables.updated(PqCodesTable, snap.tables(PqCodesTable) :+ cSeg),
-      expect = Some(snap.version), meta = extraMeta)
+      expect = Some(snap.version),
+      meta = graft.index.IndexManifest.stampAppendSegs(extraMeta, Seq(cSeg)))
   }
 
   /** The (codes, codebook) pair AT a resolved snapshot — the time-travel
@@ -906,7 +907,8 @@ object Similarity {
     graft.index.IndexManifest.commit(spark, root,
       snap.tables.updated(IvfAssignedTable,
         snap.tables(IvfAssignedTable) :+ aSeg),
-      expect = Some(snap.version), meta = extraMeta)
+      expect = Some(snap.version),
+      meta = graft.index.IndexManifest.stampAppendSegs(extraMeta, Seq(aSeg)))
   }
 
   /** Refresh against a NEW full corpus snapshot: rows whose
@@ -968,9 +970,7 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int, root: String,
       at: Option[Long] = None): DataFrame = {
-    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val spark = queries.sparkSession
-    graft.functions.GraftFunctions.register(spark)
     // `at` pins a historical committed version (release reproducibility
     // — the dedup family's time-travel contract): the probe sees that
     // version's centroids AND assignment, exactly as committed, until
@@ -978,6 +978,21 @@ object Similarity {
     val snap = at
       .map(v => graft.index.IndexManifest.snapshotAt(spark, root, v))
       .getOrElse(graft.index.IndexManifest.snapshot(spark, root))
+    ivfProbeSnapM(queries, idCol, vecCol, k, nProbe, root, snap)
+  }
+
+  /** [[ivfProbeM]] against an already-RESOLVED snapshot — the entry the
+    * growing-stream replay uses: its pre-append view may be a
+    * reconstruction (HEAD minus the batch's own appended segments) that
+    * exists only as a Snapshot value, not as a committed version number,
+    * so a version-keyed `at` cannot express it. */
+  def ivfProbeSnapM(
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, root: String,
+      snap: graft.index.IndexManifest.Snapshot): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
     val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)
       .drop("probe_rank").localCheckpoint()

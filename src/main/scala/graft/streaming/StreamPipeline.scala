@@ -406,8 +406,10 @@ object StreamPipeline {
     * batch-id co-commit (ExactlyOnceSpec): the commit that grows the
     * index and the fact "batch N is applied" are ONE atomic manifest
     * publish, so a micro-batch replayed after a crash can prove its
-    * append already landed and skip instead of double-committing. */
-  private[graft] val StreamBatchKey = "stream_batch"
+    * append already landed and skip instead of double-committing.
+    * (Defined on [[graft.index.IndexManifest]] so every family's append
+    * can co-stamp its segment list; aliased here for the call sites.) */
+  private[graft] val StreamBatchKey = graft.index.IndexManifest.StreamBatchKey
 
   /** Output schema of [[spanGrowingBatch]]'s per-batch span frames. */
   private[graft] val SpanSchema: StructType = StructType(Seq(
@@ -468,14 +470,71 @@ object StreamPipeline {
   private[graft] def preBatchSnapshot(
       spark: SparkSession, root: String,
       batchId: Long): (graft.index.IndexManifest.Snapshot, Boolean) = {
-    var v = graft.index.IndexManifest.currentVersion(spark, root)
-    var snap = graft.index.IndexManifest.snapshotAt(spark, root, v)
+    val head = graft.index.IndexManifest.snapshotAt(spark, root,
+      graft.index.IndexManifest.currentVersion(spark, root))
     val alreadyCommitted =
-      snap.meta.get(StreamBatchKey).exists(_.toLong >= batchId)
-    while (snap.meta.get(StreamBatchKey).exists(_.toLong >= batchId) && v > 1) {
-      v -= 1; snap = graft.index.IndexManifest.snapshotAt(spark, root, v)
+      head.meta.get(StreamBatchKey).exists(_.toLong >= batchId)
+    var v = head.version
+    var snap = head
+    try {
+      while (snap.meta.get(StreamBatchKey).exists(_.toLong >= batchId) && v > 1) {
+        v -= 1; snap = graft.index.IndexManifest.snapshotAt(spark, root, v)
+      }
+      (snap, alreadyCommitted)
+    } catch {
+      // vacuum reclaimed a manifest the walk needed: reconstruct the
+      // pre-append view from HEAD instead of crash-looping the batch
+      case e: java.io.FileNotFoundException =>
+        (reconstructPreBatch(head, batchId, root, e), alreadyCommitted)
     }
-    (snap, alreadyCommitted)
+  }
+
+  /** Walk-back fallback for a replay that must RECOMPUTE (its output
+    * marker is gone) after maintenance vacuumed its pre-append version:
+    * rebuild that view from HEAD by removing EXACTLY the segments this
+    * batch's own append added — every family's growing append co-stamps
+    * them ([[graft.index.IndexManifest.StreamBatchSegsKey]]) in the same
+    * atomic commit as the watermark, and appends never touch existing
+    * segments, so HEAD's tables minus those segments IS the pre-append
+    * view, identically (not approximately: segment-level subtraction is
+    * exact regardless of doc-id ordering or content overlap).
+    *
+    * Guarded: HEAD must be this batch's OWN append commit — the
+    * watermark equal to `batchId` AND set explicitly at HEAD (an
+    * inherited stamp means a later commit, e.g. a compaction that folded
+    * the batch's delta into shared segments, destroyed the boundary) —
+    * and every stamped segment still listed. Anything else fails loudly
+    * with the operational fix, because recomputing against a wrong view
+    * would silently produce self-matched (all-marked) output. */
+  private[graft] def reconstructPreBatch(
+      head: graft.index.IndexManifest.Snapshot, batchId: Long,
+      root: String, cause: Throwable): graft.index.IndexManifest.Snapshot = {
+    val segsKey = graft.index.IndexManifest.StreamBatchSegsKey
+    val stamp = head.meta.get(StreamBatchKey).map(_.toLong)
+    val segs = head.meta.get(segsKey)
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val headIsOwnAppend = stamp.contains(batchId) &&
+      head.explicitKeys.contains(StreamBatchKey) && segs.nonEmpty
+    val allListed = segs.forall(s => head.tables.values.exists(_.contains(s)))
+    if (!headIsOwnAppend || !allListed)
+      throw new IllegalStateException(
+        s"growing index at $root: replaying batch $batchId must recompute " +
+          s"its probe (output incomplete) but the pre-append version was " +
+          s"vacuumed and HEAD v${head.version} cannot stand in for it " +
+          s"(stamp=${stamp.getOrElse("none")}, " +
+          s"stampedHere=${head.explicitKeys.contains(StreamBatchKey)}, " +
+          s"appendSegsListed=$allListed). A maintenance commit after the " +
+          "batch's append has folded its delta into shared segments. Fix: " +
+          "vacuum growing roots only below the last stream batch's " +
+          "pre-append version (keepFrom <= that version) until the " +
+          "stream's checkpoint has durably passed the batch, or rebuild " +
+          "this batch's output from the lake.", cause)
+    graft.index.IndexManifest.Snapshot(
+      head.version,
+      head.tables.map { case (t, ss) => t -> ss.filterNot(segs) }
+        .filter(_._2.nonEmpty),
+      head.meta, head.explicitKeys)
   }
 
   private[graft] def spanGrowingBatch(
@@ -780,8 +839,11 @@ object StreamPipeline {
         graft.index.IndexManifest.snapshot(spark, root).meta
           .get(StreamBatchKey).exists(_.toLong >= batchId)) return
     val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
-    val topk = graft.operators.Similarity.ivfProbeM(
-      batch, "vec_id", "embedding", k, nProbe, root, at = Some(snap.version))
+    // snapshot-keyed (not version-keyed) probe: on a vacuumed-walk-back
+    // replay the resolved view is a reconstruction that exists only as
+    // a Snapshot value, not as a committed version number
+    val topk = graft.operators.Similarity.ivfProbeSnapM(
+      batch, "vec_id", "embedding", k, nProbe, root, snap)
     writeBatchIdempotent(
       topk.select(col("query_id"), col("cluster"), col("neighbor_id"),
         col("cosine"), col("rank").as("rnk")),
@@ -1079,13 +1141,21 @@ object StreamPipeline {
   private[streaming] def readBatchDirs(
       spark: SparkSession, outDir: String,
       emptySchema: => StructType): DataFrame = {
-    val dirs = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+    // list through the Hadoop FileSystem resolved from outDir, not
+    // java.io.File: a growing stream's output dir is HDFS/S3 in
+    // production, and a local-only listing would silently read an
+    // EMPTY frame off any non-local (or mistyped) path
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+        .map(_.getPath.toString)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    else spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
+    else spark.read.parquet(dirs.toIndexedSeq: _*)
   }
 
   private def rmTree(dir: String): Unit = {

@@ -208,6 +208,60 @@ class StreamGrowingIndexSpec extends SparkSpec {
     } finally rm(root, out)
   }
 
+  test("crashed-output replay after vacuum(keepFrom=HEAD): reconstruct, same spans") {
+    // The conjunction the short-circuit cannot cover: the replay's own
+    // overwrite crashed midway (marker gone → MUST recompute) and
+    // maintenance vacuumed the pre-append version its walk-back would
+    // resolve. The append's commit co-stamped its segment list, so the
+    // pre-append view is reconstructed from HEAD by subtracting exactly
+    // those segments — and the recompute is identical to the original.
+    val root = tmp("idx4"); val out = tmp("out5")
+    val (refRoot, refSpans) = reference(Seq(batch0, batch1))
+    try {
+      Dedup.buildGramIndexM(lake, "doc_id", "text", L, root)          // v1
+      StreamPipeline.spanGrowingBatch(batch0, 0L, root, out, L)       // v2
+      StreamPipeline.spanGrowingBatch(batch1, 1L, root, out, L)       // v3
+      // crashed replay: batch 1's output marker is gone...
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+      // ...and vacuum reclaimed everything below HEAD, including v2
+      IndexManifest.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+      intercept[Exception](IndexManifest.snapshotAt(spark, root, 2L))
+      StreamPipeline.spanGrowingBatch(batch1, 1L, root, out, L)
+      val got = spansOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.SpanSchema))
+      assert(got == refSpans, s"reconstructed recompute diverged: $got")
+      // P's re-arrival is still caught, batch 1's own grams did NOT
+      // self-match (a self-match would mark all of doc 18's text)
+      assert(got.exists(_._1 == 18L))
+      // no double append, and the index still equals the reference
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+      assert(gramRows(spark, root) == gramRows(spark, refRoot))
+    } finally rm(root, out, refRoot)
+  }
+
+  test("crashed-output replay after compaction destroyed the boundary: fails loud") {
+    // If a compaction folded the batch's delta into shared segments
+    // BEFORE the crashed-output replay arrives, the pre-append view is
+    // genuinely unrecoverable from HEAD — the only wrong move would be
+    // probing a view that contains the batch's own rows (silently
+    // all-marked output). The replay must fail with the operational fix
+    // instead.
+    val root = tmp("idx5"); val out = tmp("out6")
+    try {
+      Dedup.buildGramIndexM(lake, "doc_id", "text", L, root)          // v1
+      StreamPipeline.spanGrowingBatch(batch1, 1L, root, out, L)       // v2
+      Dedup.compactGramIndexM(spark, root)                            // v3
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+      IndexManifest.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+      val e = intercept[IllegalStateException](
+        StreamPipeline.spanGrowingBatch(batch1, 1L, root, out, L))
+      assert(e.getMessage.contains("vacuum growing roots only below"),
+        s"unexpected message: ${e.getMessage}")
+    } finally rm(root, out)
+  }
+
   // ---- the LSH family through the SAME growth protocol --------------
   // proves preBatchSnapshot + the batchId-stamped commit are genuinely
   // family-agnostic: a second index family (two tables per version, its
