@@ -600,6 +600,31 @@ object StreamPipeline {
     * (kill-and-replay spec-proven). Deterministic batch order (staged
     * files, ascending mtimes) makes the result exactly replayable by the
     * shared DuckDB oracle. */
+  /** The RUN phase of the growing span ingest, over already-staged
+    * arrivals and an already-built lake index — factored out of
+    * [[streamingSpanDedupGrowing]] so the scale soak can time exactly
+    * the per-batch probe+append loop (the production steady state)
+    * without the one-off lake build and arrival staging inside the
+    * measured region. */
+  private[graft] def spanGrowingStream(
+      spark: SparkSession, root: String, streamIn: String,
+      outDir: String, ckptDir: String, gramChars: Int): DataFrame = {
+    val arrivals = spark.readStream
+      .schema(DocumentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamIn)
+    val q = arrivals.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        spanGrowingBatch(batch.toDF(), batchId, root, outDir, gramChars)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readBatchDirs(spark, outDir, SpanSchema).localCheckpoint(true)
+      .orderBy("doc_id", "span_start")
+  }
+
   def streamingSpanDedupGrowing(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.LlmQueries.SpanGramChars
     graft.functions.GraftFunctions.register(spark)
@@ -614,20 +639,7 @@ object StreamPipeline {
         "doc_id", "text", SpanGramChars, root)
       writeArrivalBatches(
         docs.filter(col("doc_id") % 10 >= 8), streamIn, nBatches = 3)
-      val arrivals = spark.readStream
-        .schema(DocumentsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(streamIn)
-      val q = arrivals.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          spanGrowingBatch(batch.toDF(), batchId, root, outDir, SpanGramChars)
-        }
-        .option("checkpointLocation", ckptDir)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      readBatchDirs(spark, outDir, SpanSchema).localCheckpoint(true)
-        .orderBy("doc_id", "span_start")
+      spanGrowingStream(spark, root, streamIn, outDir, ckptDir, SpanGramChars)
     } finally {
       Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
     }
