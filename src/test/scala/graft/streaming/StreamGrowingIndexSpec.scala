@@ -385,6 +385,85 @@ class StreamGrowingIndexSpec extends SparkSpec {
     } finally rm(root, out)
   }
 
+  test("LSH growth: crashed-output replay after vacuum reconstructs exactly") {
+    // the two-tables-per-append edition of the reconstruction case: the
+    // batch's append added a sigs segment AND a bands segment; the
+    // subtraction must remove both or the replayed probe would pair doc
+    // 8 with its own committed signatures (the (8,8) self-pair)
+    val root = tmp("lidx3"); val out = tmp("lout3")
+    val refPairs = lshReference(Seq(lshB0, lshB1))
+    try {
+      Dedup.buildLshIndexM(sh(lakeL), "doc_id", K, B, root)           // v1
+      StreamPipeline.lshGrowingBatch(lshB0, 0L, root, out, SN, K, B, Cap) // v2
+      StreamPipeline.lshGrowingBatch(lshB1, 1L, root, out, SN, K, B, Cap) // v3
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+      IndexManifest.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+      intercept[Exception](IndexManifest.snapshotAt(spark, root, 2L))
+      StreamPipeline.lshGrowingBatch(lshB1, 1L, root, out, SN, K, B, Cap)
+      val got = pairsOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.PairSchema))
+      assert(got == refPairs, s"reconstructed recompute diverged: $got")
+      assert(got.exists(p => p._1 == 18L && p._2 == 8L),
+        "cross-batch near-dup lost in reconstruction")
+      assert(!got.exists(p => p._1 == p._2), "self-pair: subtraction missed a table")
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+    } finally rm(root, out)
+  }
+
+  // ---- BM25 reconstruction: the richest subtraction case ------------
+  // the scoring PARAMETERS (per-term df, corpus N/avgdl) live in their
+  // own tables and grew with the batch's append — removing the batch's
+  // postings but keeping its stats segments would shift every idf/avgdl
+  // and produce subtly-wrong scores, so exact score equality against
+  // the batch-operator reference proves the stats reconstruct too.
+
+  private val bmLake = docRows(
+    0L -> "alpha beta gamma delta shared tokens in the lake corpus",
+    1L -> "epsilon zeta eta unrelated lake words entirely")
+  private val bmB0 = docRows(8L -> "alpha beta shared tokens arriving early")
+  private val bmB1 = docRows(18L -> "alpha beta gamma shared tokens again later")
+
+  private def negsOf(df: DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select("query_id", "doc_id", "score", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6, r.getInt(3)))
+      .toSeq.sorted
+
+  test("BM25 growth: crashed-output replay after vacuum reconstructs stats exactly") {
+    import graft.operators.Retrieval
+    val NegK = 3
+    val refRoot = tmp("bref")
+    val root = tmp("bidx"); val out = tmp("bout")
+    try {
+      Retrieval.buildIndexM(bmLake, "doc_id", "text", refRoot)
+      val refNegs = Seq(bmB0, bmB1).flatMap { b =>
+        val snap = IndexManifest.snapshot(spark, refRoot)
+        val n = negsOf(Retrieval.hardNegativesAtM(
+          b, "doc_id", "text", NegK, refRoot, snap))
+        Retrieval.appendIndexM(b, "doc_id", "text", refRoot)
+        n
+      }.sorted
+      Retrieval.buildIndexM(bmLake, "doc_id", "text", root)           // v1
+      StreamPipeline.bm25GrowingBatch(bmB0, 0L, root, out, NegK)      // v2
+      StreamPipeline.bm25GrowingBatch(bmB1, 1L, root, out, NegK)      // v3
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+      IndexManifest.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+      StreamPipeline.bm25GrowingBatch(bmB1, 1L, root, out, NegK)
+      val got = negsOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.Bm25GrowSchema))
+      assert(got == refNegs,
+        s"reconstructed scores diverged (stats not subtracted?): $got vs $refNegs")
+      // growth still visible: 18's negatives include 8 (arrived earlier)
+      assert(got.exists(t => t._1 == 18L && t._2 == 8L))
+      // and never itself or a later arrival
+      assert(!got.exists(t => t._1 == t._2))
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+    } finally rm(refRoot, root, out)
+  }
+
   // ---- the PQ family through the SAME growth protocol ---------------
   // third index family on the shared walk-back + batchId-stamped commit:
   // two tables per version where one (the codebook) must stay pinned to
