@@ -69,6 +69,32 @@ object Maintenance {
     (fam, v)
   }
 
+  /** Oldest version a live growing stream may still need for a replay
+    * that must RECOMPUTE: the version just below the last stream
+    * batch's append commit. Found by walking manifests down from HEAD
+    * past every version whose applied-batch watermark covers the last
+    * batch (maintenance commits inherit the watermark, appends set it) —
+    * the same walk the stream's own `preBatchSnapshot` runs. `None`
+    * when the root has no stream watermark (not a growing root); if the
+    * walk hits an already-vacuumed version, the oldest still-resolvable
+    * one is returned (nothing below it can be retained anyway). */
+  private[index] def growingSafeBoundary(
+      spark: SparkSession, root: String): Option[Long] = {
+    val head = IndexManifest.snapshot(spark, root)
+    head.meta.get(IndexManifest.StreamBatchKey).map(_.toLong).map { last =>
+      var v = head.version
+      var snap = head
+      try {
+        while (snap.meta.get(IndexManifest.StreamBatchKey)
+                 .exists(_.toLong >= last) && v > 1) {
+          v -= 1
+          snap = IndexManifest.snapshotAt(spark, root, v)
+        }
+        v
+      } catch { case _: java.io.FileNotFoundException => v + 1 }
+    }
+  }
+
   /** One maintenance pass over `root`: compact (family-dispatched),
     * then vacuum below the retention boundary. The boundary is
     * `keepFrom` when given; otherwise the pass retains the most recent
@@ -76,9 +102,17 @@ object Maintenance {
     * default nightly run keeps a rolling window of re-resolvable
     * versions instead of silently destroying every release-pinned probe
     * below HEAD (reader leases additionally protect in-flight pins
-    * regardless of the boundary). The report line names the boundary
-    * and the reclaimed versions, so an operator can see exactly which
-    * pinned-capable versions a pass removed. */
+    * regardless of the boundary). On a GROWING root (the manifest
+    * carries a stream watermark) the default boundary is additionally
+    * capped at the last stream batch's pre-append version: the stream's
+    * checkpoint may not have durably passed that batch, and a crashed
+    * replay that must recompute resolves exactly that version — with it
+    * retained, the replay never needs the segment-subtraction
+    * reconstruction at all. The cap follows the stream (each batch
+    * advances the watermark), so the extra retention is one version
+    * deep, and an explicit `keepFrom` still overrides it. The report
+    * line names the boundary and the reclaimed versions, so an operator
+    * can see exactly which pinned-capable versions a pass removed. */
   def maintain(
       spark: SparkSession, root: String, keepFrom: Long = -1L,
       orphanGraceMs: Long = 20L * 60L * 1000L,
@@ -88,7 +122,11 @@ object Maintenance {
       case Some(ver) =>
         val boundary =
           if (keepFrom >= 0) keepFrom
-          else math.max(1L, ver - math.max(1, keepLast) + 1)
+          else {
+            val rolling = math.max(1L, ver - math.max(1, keepLast) + 1)
+            growingSafeBoundary(spark, root)
+              .map(math.min(rolling, _)).getOrElse(rolling)
+          }
         def versionsNow: Set[Long] = IndexManifest.describe(spark, root)
           .select("version").distinct().collect().map(_.getLong(0)).toSet
         val before = versionsNow

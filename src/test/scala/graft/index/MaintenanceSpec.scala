@@ -138,4 +138,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.familyOf(spark, alien) == "unknown")
     assert(Maintenance.maintain(spark, alien).contains("SKIPPED"))
   }
+
+  test("maintain caps its default boundary at a growing stream's pre-append version") {
+    import graft.streaming.StreamPipeline
+    // A live growing stream's last batch may still replay-and-recompute,
+    // which resolves the version just below its own append. An
+    // aggressive default retention (keepLast = 1) must still keep that
+    // version — so the replay runs the ORDINARY walk-back, never the
+    // segment-subtraction reconstruction, across a nightly pass.
+    val X = "0123456789ABCDEFGHIJ"
+    val lake = Seq((0L, s"lake holds $X as boilerplate")).toDF("doc_id", "text")
+    val b0 = Seq((8L, s"first copy $X arrives")).toDF("doc_id", "text")
+    val b1 = Seq((18L, s"second copy $X again")).toDF("doc_id", "text")
+    val root = freshRoot("grow"); val out = freshRoot("growout")
+    Dedup.buildGramIndexM(lake, "doc_id", "text", 10, root)         // v1
+    StreamPipeline.spanGrowingBatch(b0, 0L, root, out, 10)          // v2
+    StreamPipeline.spanGrowingBatch(b1, 1L, root, out, 10)          // v3
+    def outRows() = spark.read.parquet(s"$out/batch-0", s"$out/batch-1")
+      .collect().map(_.toString).sorted.toSeq
+    val before = outRows()
+    val report =
+      Maintenance.maintain(spark, root, orphanGraceMs = 0L, keepLast = 1)
+    assert(report.contains("compacted to v4"), report)
+    // keepLast=1 alone would retain only v4; the growing cap keeps the
+    // last batch's pre-append version v2 (and hence v3) resolvable
+    assert(IndexManifest.snapshotAt(spark, root, 2L).tables.contains("grams"))
+    intercept[java.io.FileNotFoundException](
+      IndexManifest.snapshotAt(spark, root, 1L))
+    // crashed-output replay of the last batch now recomputes through
+    // the ordinary walk-back (v2 is there), identical output, no growth
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+    StreamPipeline.spanGrowingBatch(b1, 1L, root, out, 10)
+    val after = outRows()
+    assert(after == before, s"replay diverged after maintenance: $after")
+    assert(IndexManifest.currentVersion(spark, root) == 4L)
+    // a non-growing root is unaffected by the cap
+    assert(Maintenance.growingSafeBoundary(spark, root).contains(2L))
+  }
 }
