@@ -52,6 +52,23 @@ object Bench {
     }
   }
 
+  /** The artifact-wide flag: ANY reading >`threshold`× the run's TYPICAL
+    * (median) reading, or any unmeasurable reading, marks the artifact
+    * as carrying environmental inflation somewhere. Median floor for the
+    * same reason [[contaminatedBy]]'s is — a min floor fired on every
+    * artifact r13-r14, clean or not (first from canary warm-up
+    * inflation, then from outlier-FAST readings once the canary was
+    * pre-warmed), and a flag that always fires carries no signal. A
+    * uniformly-contended run can sneak past a median floor; uniform
+    * inflation is exactly what per-query `canary_ref` normalization
+    * divides out cross-round. Pure, spec-driven. */
+  def contendedRun(readings: Seq[Double], threshold: Double = 1.5): Boolean = {
+    val ok = readings.filter(_ > 0)
+    if (ok.isEmpty || ok.length != readings.length) return true
+    val floor = ok.sorted.apply(ok.length / 2)
+    readings.exists(_ / floor > threshold)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -140,21 +157,7 @@ object Bench {
     val canaryStart = canaryReadings.head._2
     val canaryEnd = canaryReadings.last._2
     val canaryRatio = if (canaryStart > 0) canaryEnd / canaryStart else 0.0
-    // an unmeasurable reading or any reading >1.5× the run's TYPICAL
-    // (median) reading means part of this artifact carries environmental
-    // inflation. The floor is the median, not the minimum, for the same
-    // reason contaminatedBy's is: one outlier-FAST reading (observed:
-    // a 0.156 s end reading among steady 0.28 s mids once the canary is
-    // pre-warmed) must not flag a clean run — min-floor `contended` was
-    // unconditionally true on every artifact r13-r14, clean or not, and
-    // a flag that always fires carries no signal. A uniformly-contended
-    // run can sneak past a median floor, but uniform inflation is
-    // exactly what canary_ref normalization divides out cross-round.
-    val okReadings = canaryReadings.map(_._2).filter(_ > 0)
-    val medianFloor =
-      if (okReadings.isEmpty) 0.0 else okReadings.sorted.apply(okReadings.length / 2)
-    val contended = medianFloor <= 0 ||
-      canaryReadings.exists { case (_, t) => t <= 0 || t / medianFloor > 1.5 }
+    val contended = contendedRun(canaryReadings.map(_._2).toSeq)
     val contaminated = benchNames.zipWithIndex.collect {
       case (name, i) if contaminatedBy(canaryReadings.toSeq, i) => s"\"$name\""
     }

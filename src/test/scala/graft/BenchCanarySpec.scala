@@ -78,6 +78,23 @@ class BenchCanarySpec extends AnyFunSuite {
     (12 until 47).foreach(i => assert(!Bench.contaminatedBy(hot, i)))
   }
 
+  test("contendedRun: median floor, outlier-fast readings don't flag a clean run") {
+    // the r13-r14 failure shape: a steady run with one outlier-fast
+    // reading (JIT/GC settling at the end) must read clean
+    assert(!Bench.contendedRun(Seq(0.36, 0.53, 0.44, 0.40, 0.38, 0.19)))
+    // a genuinely inflated mid-run reading flags it
+    assert(Bench.contendedRun(Seq(0.36, 0.53, 1.40, 0.40, 0.38, 0.33)))
+    // an unmeasurable reading is distress, not cleanliness
+    assert(Bench.contendedRun(Seq(0.36, 0.0, 0.40)))
+    assert(Bench.contendedRun(Seq.empty))
+    // the pre-r15 false-positive: warm-up-inflated at-0 over a clean run
+    // (0.443 vs steady 0.18-0.20) no longer flags under a median floor
+    // ONLY because the canary is now warmed first; with the inflated
+    // reading present it still flags — the fix is the warming, the
+    // median floor handles the outlier-fast side
+    assert(Bench.contendedRun(Seq(0.443, 0.19, 0.18, 0.20, 0.19, 0.19)))
+  }
+
   test("nearestCanary picks the closest reading, before-reading on ties") {
     val series = Seq((0, 0.40), (12, 0.50), (24, 0.60))
     assert(Bench.nearestCanary(series, 0) == 0.40)   // exactly at a reading
