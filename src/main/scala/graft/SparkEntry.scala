@@ -33,6 +33,8 @@ object SparkEntry {
           streaming.StreamPipeline.streamingCms(s, dir)),
         "stream_semantic_dedup" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.streamingSemanticDedup(s, dir)),
+        "stream_semantic_dedup_growing" -> ((s: SparkSession, dir: String) =>
+          streaming.StreamPipeline.streamingSemanticDedupGrowing(s, dir)),
         "stream_span_dedup" -> ((s: SparkSession, dir: String) =>
           streaming.StreamPipeline.streamingSpanDedup(s, dir)),
         "stream_span_dedup_growing" -> ((s: SparkSession, dir: String) =>
@@ -101,6 +103,47 @@ object SparkEntry {
                    (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
                     sqrt(list_dot_product(b2.embedding::double[], b2.embedding::double[]))) AS c
                FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id)
+             SELECT doc_id, corpus_id, round(c, 6) AS cosine FROM pairs
+             WHERE c >= 0.9 ORDER BY doc_id, corpus_id""",
+        // the GROWING-index edition: the lake (doc_id%10 < 8) is embedded
+        // once; arrivals stream in as 3 deterministic micro-batches
+        // (batch b = (doc_id%30)//10) and each batch both probes the
+        // embed table as of the PREVIOUS batch and appends its own rows
+        // via an exactly-once manifest commit — so doc_id in batch b
+        // pairs with the lake or any batch < b, never its own batch,
+        // replayed here without any index
+        "stream_semantic_dedup_growing" ->
+          """WITH toks AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             hashed AS (
+               SELECT doc_id, CAST(h % 64 AS INT) AS i,
+                      CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+               FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+                     FROM toks WHERE tok <> '')),
+             zeros AS (
+               SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
+               FROM documents, (SELECT unnest(range(64)) AS j)),
+             summed AS (
+               SELECT doc_id, i, sum(v) AS s
+               FROM (SELECT * FROM hashed UNION ALL SELECT * FROM zeros)
+               GROUP BY doc_id, i),
+             emb AS (
+               SELECT doc_id AS vec_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
+               FROM summed GROUP BY doc_id),
+             b AS (
+               SELECT vec_id, embedding,
+                 array_to_string(list_transform(list_slice(embedding, 1, 8),
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+               FROM emb),
+             pairs AS (
+               SELECT a.vec_id AS doc_id, b2.vec_id AS corpus_id,
+                 list_dot_product(a.embedding::double[], b2.embedding::double[]) /
+                   (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                    sqrt(list_dot_product(b2.embedding::double[], b2.embedding::double[]))) AS c
+               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+               WHERE a.vec_id % 10 >= 8
+                 AND (b2.vec_id % 10 < 8
+                      OR (b2.vec_id % 30) // 10 < (a.vec_id % 30) // 10))
              SELECT doc_id, corpus_id, round(c, 6) AS cosine FROM pairs
              WHERE c >= 0.9 ORDER BY doc_id, corpus_id""",
         // ingest-time span marking ≡ the batch probe of the same index:

@@ -219,11 +219,18 @@ object StreamPipeline {
 
   /** The bucketed corpus index frame: (corpus_id, embedding, sign-LSH
     * bucket) — one hash-embed scan of the documents table. */
-  private def semanticCorpus(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis
-      .hashEmbed(graft.Tables.load(spark, dir, "documents"), "doc_id", "text", SemDim)
-      .select(col("doc_id").as("corpus_id"), col("embedding").as("__cv"),
+  /** One document frame embedded + sign-bucketed into the semantic
+    * index's row shape — shared by the build, the append, and the
+    * growing ingest, so every segment of the `embeds` table carries the
+    * identical (corpus_id, __cv, bucket) layout. */
+  private def semanticRowsOf(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.hashEmbed(df, idCol, textCol, SemDim)
+      .select(col(idCol).as("corpus_id"), col("embedding").as("__cv"),
         graft.operators.Similarity.signBucket(col("embedding"), SemSignBits).as("bucket"))
+
+  private def semanticCorpus(spark: SparkSession, dir: String): DataFrame =
+    semanticRowsOf(graft.Tables.load(spark, dir, "documents"), "doc_id", "text")
 
   /** Build the semantic-dedup index ONCE: embed + bucket the corpus and
     * persist it as parquet. At 100 TB this is the nightly index job; the
@@ -241,11 +248,19 @@ object StreamPipeline {
     * lifecycle: build/append stage immutable segments and publish with
     * one commit, so a stream-static probe racing the nightly
     * build/append resolves one committed corpus, never a torn mix. */
-  def buildSemanticIndexM(spark: SparkSession, dir: String, root: String): Long = {
+  def buildSemanticIndexM(spark: SparkSession, dir: String, root: String): Long =
+    buildSemanticIndexDfM(
+      graft.Tables.load(spark, dir, "documents"), "doc_id", "text", root)
+
+  /** [[buildSemanticIndexM]] over an explicit document frame — what the
+    * growing ingest builds its lake index from. */
+  def buildSemanticIndexDfM(
+      docs: DataFrame, idCol: String, textCol: String, root: String): Long = {
     val seg = graft.index.IndexManifest.newSegment(SemTable)
-    semanticCorpus(spark, dir).write.mode("overwrite").parquet(s"$root/$seg")
-    graft.index.IndexManifest.commit(spark, root, Map(SemTable -> Seq(seg)),
-      meta = Map("family" -> "semantic"))
+    semanticRowsOf(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(docs.sparkSession, root,
+      Map(SemTable -> Seq(seg)), meta = Map("family" -> "semantic"))
   }
 
   /** Append a delta corpus's embedded rows as a new segment (disjoint
@@ -257,17 +272,17 @@ object StreamPipeline {
     * BM25's tokenization or PQ's encoding. Updates = rebuild, the gram
     * log's precedent.) */
   def appendSemanticIndexM(
-      delta: DataFrame, idCol: String, textCol: String, root: String): Long = {
+      delta: DataFrame, idCol: String, textCol: String, root: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = delta.sparkSession
     val snap = graft.index.IndexManifest.snapshot(spark, root)
     val seg = graft.index.IndexManifest.newSegment(SemTable)
-    graft.operators.TextAnalysis.hashEmbed(delta, idCol, textCol, SemDim)
-      .select(col(idCol).as("corpus_id"), col("embedding").as("__cv"),
-        graft.operators.Similarity.signBucket(col("embedding"), SemSignBits).as("bucket"))
+    semanticRowsOf(delta, idCol, textCol)
       .write.mode("overwrite").parquet(s"$root/$seg")
     graft.index.IndexManifest.commit(spark, root,
       snap.tables.updated(SemTable, snap.tables(SemTable) :+ seg),
-      expect = Some(snap.version))
+      expect = Some(snap.version),
+      meta = graft.index.IndexManifest.stampAppendSegs(extraMeta, Seq(seg)))
   }
 
   def readSemanticIndexM(spark: SparkSession, root: String): DataFrame =
@@ -640,6 +655,93 @@ object StreamPipeline {
       writeArrivalBatches(
         docs.filter(col("doc_id") % 10 >= 8), streamIn, nBatches = 3)
       spanGrowingStream(spark, root, streamIn, outDir, ckptDir, SpanGramChars)
+    } finally {
+      Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
+  /** Output schema of [[semGrowingBatch]]'s per-batch pair frames. */
+  private[graft] val SemGrowSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("corpus_id", LongType),
+    StructField("cosine", DoubleType)))
+
+  /** One micro-batch of the GROWING semantic-dedup ingest — the
+    * hash-embedding edition of the shared growth protocol: each arriving
+    * document is embedded + sign-LSH bucketed in the batch, its bucket
+    * cell of the committed embed table (as of the previous batch) is
+    * probed for cosine ≥ 0.9 near-dups, and the batch's own embedded
+    * rows then append through the batchId-stamped atomic commit. The
+    * arrivals broadcast into the lake-sized embed scan (the corpus never
+    * shuffles), mirroring the batch [[graft.operators.Dedup
+    * .embeddingDupPairs]] bucket-join shape. */
+  private[graft] def semGrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (batchOutputComplete(spark, outDir, batchId) &&
+        graft.index.IndexManifest.snapshot(spark, root).meta
+          .get(StreamBatchKey).exists(_.toLong >= batchId)) return
+    val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
+    val corpus = graft.index.IndexManifest.readAt(spark, root, snap, SemTable)
+    val probe = graft.operators.TextAnalysis
+      .hashEmbed(batch, "doc_id", "text", SemDim)
+      .select(col("doc_id"), col("embedding").as("__sv"),
+        graft.operators.Similarity.signBucket(col("embedding"), SemSignBits)
+          .as("bucket"))
+    val flagged = corpus.join(broadcast(probe), Seq("bucket"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .withColumn("__c",
+        graft.operators.Similarity.cosineNative(col("__sv"), col("__cv")))
+      .filter(col("__c") >= 0.9) // threshold on the RAW cosine (dedup contract)
+      .select(col("doc_id"), col("corpus_id"), round(col("__c"), 6).as("cosine"))
+    writeBatchIdempotent(flagged, outDir, batchId)
+    if (!alreadyCommitted)
+      appendSemanticIndexM(batch, "doc_id", "text", root,
+        extraMeta = Map(StreamBatchKey -> batchId.toString)): Unit
+  }
+
+  /** Semantic dedup AT INGEST where the embed table GROWS with the
+    * stream — the missing half of [[streamingSemanticDedup]] (which
+    * probes one frozen snapshot, so a near-dup pair WITHIN the arrival
+    * stream is never flagged): every micro-batch probes the committed
+    * corpus as of the previous batch and then appends its own embedded
+    * rows through an exactly-once manifest commit ([[semGrowingBatch]]),
+    * so a document semantically duplicating an arrival from an EARLIER
+    * batch is caught the moment it lands — completing the growing set
+    * (span, LSH, PQ, IVF, BM25, semantic): every streamable index
+    * family now has its production ingest loop. Per-batch cost is the
+    * arrivals' embed pass + the bucket-pruned broadcast join; the index
+    * grows by delta embed segments only; replay safety is the shared
+    * protocol (walk-back, segment-subtraction reconstruction, stamped
+    * commits). Deterministic batch staging makes the pair set exactly
+    * replayable by the DuckDB oracle: doc_id in batch b pairs with the
+    * lake or any batch < b, never its own batch. */
+  def streamingSemanticDedupGrowing(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val root = Files.createTempDirectory("graft_mgrow_idx").toString
+    val streamIn = Files.createTempDirectory("graft_mgrow_in").toString
+    val outDir = Files.createTempDirectory("graft_mgrow_out").toString
+    val ckptDir = Files.createTempDirectory("graft_mgrow_ckpt").toString
+    try {
+      buildSemanticIndexDfM(
+        docs.filter(col("doc_id") % 10 < 8), "doc_id", "text", root)
+      writeArrivalBatches(
+        docs.filter(col("doc_id") % 10 >= 8), streamIn, nBatches = 3)
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          semGrowingBatch(batch.toDF(), batchId, root, outDir)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, SemGrowSchema).localCheckpoint(true)
+        .orderBy("doc_id", "corpus_id")
     } finally {
       Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
     }

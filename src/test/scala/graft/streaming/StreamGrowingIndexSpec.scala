@@ -411,6 +411,41 @@ class StreamGrowingIndexSpec extends SparkSpec {
     } finally rm(root, out)
   }
 
+  test("semantic growth: cross-batch pairs, replay no-op, vacuumed walk-back reconstructs") {
+    // the hash-embed family through the same protocol (sixth growing
+    // family): doc 18 (batch 1) re-embeds batch 0's text, so only a
+    // GROWING embed table can pair them — and the vacuumed-walk-back
+    // reconstruction must keep that exact pair set
+    val root = tmp("midx"); val out = tmp("mout")
+    def pairs() = StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.SemGrowSchema)
+      .select("doc_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    try {
+      StreamPipeline.buildSemanticIndexDfM(lakeL, "doc_id", "text", root) // v1
+      StreamPipeline.semGrowingBatch(lshB0, 0L, root, out)                // v2
+      StreamPipeline.semGrowingBatch(lshB1, 1L, root, out)                // v3
+      val first = pairs()
+      // growth mattered: 18 pairs with 8 (same text, one batch earlier)
+      assert(first.contains((18L, 8L)), s"cross-batch semantic dup missed: $first")
+      // never itself, never a later arrival
+      assert(!first.exists(p => p._1 == p._2))
+      assert(!first.contains((8L, 18L)))
+      // completed replay short-circuits: same output, no new version
+      StreamPipeline.semGrowingBatch(lshB1, 1L, root, out)
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+      assert(pairs() == first)
+      // crashed-output replay after vacuum: segment-subtraction
+      // reconstruction, identical pairs, no double append
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+      IndexManifest.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+      StreamPipeline.semGrowingBatch(lshB1, 1L, root, out)
+      assert(pairs() == first, "reconstructed semantic recompute diverged")
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+    } finally rm(root, out)
+  }
+
   // ---- BM25 reconstruction: the richest subtraction case ------------
   // the scoring PARAMETERS (per-term df, corpus N/avgdl) live in their
   // own tables and grew with the batch's append — removing the batch's
