@@ -525,6 +525,37 @@ class StreamGrowingIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       .toSeq.sorted
 
+  test("IVF growth: crashed-output replay after vacuum reconstructs via snapshot probe") {
+    // the reconstruction path that flows through the snapshot-keyed
+    // probe entry (ivfProbeSnapM): a reconstructed pre-append view has
+    // no committed version number, so a version-keyed probe could not
+    // express it — this case proves the whole flow end to end
+    val root = tmp("iidx"); val out = tmp("iout")
+    val all = pqLake.unionByName(pqB0).unionByName(pqB1)
+    def topk() = StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.IvfGrowSchema)
+      .select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    try {
+      graft.operators.Similarity.buildIvfIndexM(
+        pqLake, all.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", root)                                  // v1
+      StreamPipeline.ivfGrowingBatch(pqB0, 0L, root, out, TopK, 2)    // v2
+      StreamPipeline.ivfGrowingBatch(pqB1, 1L, root, out, TopK, 2)    // v3
+      val first = topk()
+      // growth mattered: 18's neighbors include 8 (one batch earlier)
+      assert(first.exists(t => t._1 == 18L && t._2 == 8L),
+        s"cross-batch neighbor missed: $first")
+      assert(!first.exists(t => t._1 == t._2))
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+      IndexManifest.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+      StreamPipeline.ivfGrowingBatch(pqB1, 1L, root, out, TopK, 2)
+      assert(topk() == first, "reconstructed IVF recompute diverged")
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+    } finally rm(root, out)
+  }
+
   test("PQ growth: kill after append, before checkpoint — replay converges") {
     val root = tmp("pidx"); val streamIn = tmp("pin")
     val out = tmp("pout"); val ckpt = tmp("pckpt")
