@@ -1868,6 +1868,14 @@ object LlmQueries {
           col("hdr.height").as("height"))
         .orderBy("doc_id")
     },
+
+    // The header parse AT INGEST: the same codegen'd kernel applied to a
+    // streaming frame — stateless per-row Column algebra, so metadata
+    // extraction rides the ingest batch and the decode stays downstream.
+    // Shares the batch twin's id-arithmetic oracle.
+    "stream_multimodal_headers" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline.streamingMediaHeaders(s, dir)
+    },
   )
 
   /** DuckDB replay of a PQ search over a from-scratch encode of the full
@@ -3822,19 +3830,24 @@ object LlmQueries {
 
     // The oracle reproduces only the id arithmetic the payloads were
     // synthesized FROM; the Spark side must recover the same numbers by
-    // parsing the generated image bytes.
-    "multimodal_headers" ->
-      """SELECT doc_id,
-           CASE WHEN doc_id % 7 = 3 THEN NULL
-                WHEN doc_id % 3 = 0 THEN 'png'
-                WHEN doc_id % 3 = 1 THEN 'jpeg'
-                ELSE 'gif' END AS format,
-           CASE WHEN doc_id % 7 = 3 THEN NULL
-                ELSE (doc_id % 1920 + 1)::int END AS width,
-           CASE WHEN doc_id % 7 = 3 THEN NULL
-                ELSE (doc_id % 1080 + 1)::int END AS height
-         FROM documents ORDER BY doc_id""",
+    // parsing the generated image bytes. The streaming twin shares it:
+    // the in-stream parse is the same stateless kernel over the same
+    // synthesized payloads, so batch equivalence is exact.
+    "multimodal_headers" -> MultimodalHeadersOracle,
+    "stream_multimodal_headers" -> MultimodalHeadersOracle,
   )
+
+  private lazy val MultimodalHeadersOracle: String =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN NULL
+              WHEN doc_id % 3 = 0 THEN 'png'
+              WHEN doc_id % 3 = 1 THEN 'jpeg'
+              ELSE 'gif' END AS format,
+         CASE WHEN doc_id % 7 = 3 THEN NULL
+              ELSE (doc_id % 1920 + 1)::int END AS width,
+         CASE WHEN doc_id % 7 = 3 THEN NULL
+              ELSE (doc_id % 1080 + 1)::int END AS height
+       FROM documents ORDER BY doc_id"""
 
   /** Mean recall over the 10 queries of one recall family, summed in
     * decimal before the single double division — the exact replay of the

@@ -660,6 +660,31 @@ object StreamPipeline {
     }
   }
 
+  /** Multimodal metadata extraction AT INGEST — the crawl-pipeline shape
+    * for binary columns: every arriving payload's container header (PNG
+    * IHDR / JPEG SOFn marker walk / GIF screen descriptor) is parsed IN
+    * the stream by the codegen'd [[graft.functions.MediaHeader]] kernel —
+    * stateless per-row Column algebra, no state store, no UDF — so
+    * format/dimension metadata lands with the ingest batch and the
+    * heavy decode stays downstream (and optional). Payloads are the
+    * deterministic synthesized image byte streams of the batch twin
+    * (`multimodal_headers`, the sanctioned no-codec harness); the oracle
+    * knows only the id arithmetic the bytes were generated from, so the
+    * in-stream parse must recover the numbers from the actual bytes. */
+  def streamingMediaHeaders(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val arrivals = spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val parsed = graft.operators.Multimodal.headerMeta(
+      graft.operators.Multimodal.synthesizeImagePayloads(arrivals, "doc_id"),
+      "doc_id")
+      .select(col("doc_id"), col("hdr.format").as("format"),
+        col("hdr.width").as("width"), col("hdr.height").as("height"))
+    runToMemory(parsed, "append", "graft_smmh").orderBy("doc_id")
+  }
+
   /** Output schema of [[semGrowingBatch]]'s per-batch pair frames. */
   private[graft] val SemGrowSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
