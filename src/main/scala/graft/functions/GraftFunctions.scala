@@ -95,6 +95,12 @@ object GraftFunctions {
         require(args.length == 1, "graft_media_header(payload) takes one binary argument")
         MediaHeader(args.head)
       }),
+    (FunctionIdentifier("graft_av_header"),
+      new ExpressionInfo(classOf[AvHeader].getName, "graft_av_header"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_av_header(payload) takes one binary argument")
+        AvHeader(args.head)
+      }),
     (FunctionIdentifier("graft_gram_digests"),
       new ExpressionInfo(classOf[GramDigests].getName, "graft_gram_digests"),
       (args: Seq[Expression]) => {

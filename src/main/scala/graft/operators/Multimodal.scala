@@ -91,6 +91,112 @@ object Multimodal {
     df.withColumn("payload", payload)
   }
 
+  /** Parse each payload's AUDIO/VIDEO container header into
+    * `struct<format:string, channels:int, sample_rate:int,
+    * duration_ms:bigint>` (NULL for unrecognized payloads; NULL
+    * duration for containers that genuinely don't declare one) — the
+    * audio/video sibling of [[headerMeta]], same codegen'd-kernel
+    * contract ([[graft.functions.AvHeaderKernel]]): WAV's RIFF chunk
+    * walk, MP3's ID3-skip + Xing frame count, FLAC's STREAMINFO
+    * bitfield, MP4's box walk to mvhd. A lake-wide "what rates/
+    * durations do we have" scan never decodes a sample. */
+  def avHeaderMeta(withPayload: DataFrame, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(withPayload.sparkSession)
+    withPayload.withColumn("av",
+      call_function("graft_av_header", col("payload")))
+  }
+
+  /** Deterministic synthetic audio/video payloads, mirroring
+    * [[synthesizeImagePayloads]]: real WAV / MP3 / FLAC / MP4 byte
+    * streams — correct signatures, chunk/box/bit-packed structure, and
+    * rate/channel/duration fields derived from the doc id — plus
+    * non-media garbage every 11th doc so [[avHeaderMeta]] exercises the
+    * NULL contract. Each format's parser is forced to do its real
+    * work: the WAV carries a JUNK chunk before `fmt ` (chunk WALK, not
+    * a fixed offset), the MP3 hides its frame header behind an ID3v2
+    * prefix and prices duration only through the Xing block after the
+    * mode-dependent side info, the FLAC packs rate/channels/total into
+    * the 64-bit STREAMINFO field, and the MP4 puts a `free` box between
+    * `ftyp` and `moov`. Durations are chosen so every integer division
+    * on the parse side is exact except MP3's (deliberately floor —
+    * the oracle floors identically). */
+  def synthesizeAvPayloads(df: DataFrame, idCol: String): DataFrame = {
+    def b1(v: Column) = unhex(lpad(hex(v), 2, "0"))
+    def be16(v: Column) = unhex(lpad(hex(v), 4, "0"))
+    def be32(v: Column) = unhex(lpad(hex(v), 8, "0"))
+    def be64(v: Column) = unhex(lpad(hex(v), 16, "0"))
+    def le16(v: Column) = {
+      val hx = lpad(hex(v), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def le32(v: Column) = {
+      val hx = lpad(hex(v), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def ascii(s: String) = lit(s).cast("binary")
+    val id = col(idCol)
+    val ch = (id % 2 + 1).cast("int")
+    val sr = (lit(8000) + (id % 8) * 4000).cast("int") // all % 1000 == 0
+
+    // WAV: RIFF/WAVE, JUNK (walk!), fmt (PCM 16-bit), data (size only —
+    // a header scan prices duration off the declared size)
+    val byteRate = (sr * ch * 2).cast("int")
+    val durWav = (id % 50 + 1).cast("int")
+    val dataSize = (byteRate * durWav / 1000).cast("int") // exact: byteRate % 1000 == 0
+    val wav = concat(
+      ascii("RIFF"), le32(lit(36) + dataSize), ascii("WAVE"),
+      ascii("JUNK"), le32(lit(4)), unhex(lit("00000000")),
+      ascii("fmt "), le32(lit(16)),
+      le16(lit(1)), le16(ch), le32(sr), le32(byteRate),
+      le16((ch * 2).cast("int")), le16(lit(16)),
+      ascii("data"), le32(dataSize))
+
+    // MP3: ID3v2 (10-byte tag body), MPEG1 Layer III frame header
+    // (bitrate idx 9, sample-rate idx from id, mono/stereo from id),
+    // side info, then Xing with the frame count
+    val srIdx = (id % 3).cast("int") // 0→44100 1→48000 2→32000
+    val mp3Sr = when(srIdx === 0, 44100).when(srIdx === 1, 48000).otherwise(32000)
+    val frames = (id % 200 + 1).cast("int")
+    val sideInfo = when(ch === 1, unhex(lit("00" * 17))).otherwise(unhex(lit("00" * 32)))
+    val mp3 = concat(
+      ascii("ID3"), unhex(lit("0400" + "00" + "0000000A")), unhex(lit("00" * 10)),
+      unhex(lit("FFFB")), b1(lit(0x90) + srIdx * 4),
+      b1(when(ch === 1, 0xc0).otherwise(0x00)),
+      sideInfo,
+      ascii("Xing"), be32(lit(1)), be32(frames))
+
+    // FLAC: STREAMINFO with the bit-packed sr/ch/bps/total u64
+    val durFlac = (id % 60 + 1).cast("long")
+    val total = (sr.cast("long") * durFlac / 1000).cast("long") // exact
+    val packed = sr.cast("long") * lit(1L << 44) +
+      (ch.cast("long") - 1) * lit(1L << 41) + lit(15L << 36) + total
+    val flac = concat(
+      ascii("fLaC"), unhex(lit("80" + "000022")),
+      unhex(lit("1000" + "1000" + "000000" + "000000")),
+      be64(packed), unhex(lit("00" * 16)))
+
+    // MP4: ftyp, a free box, then moov/mvhd v0 (timescale 1000 →
+    // duration field IS milliseconds); mvhd declares its true 108-byte
+    // size but the scan only materializes through the duration field
+    val durMp4 = (id % 9000 + 1).cast("int")
+    val mp4 = concat(
+      be32(lit(16)), ascii("ftyp"), ascii("isom"), be32(lit(0x200)),
+      be32(lit(16)), ascii("free"), unhex(lit("00" * 8)),
+      be32(lit(116)), ascii("moov"),
+      be32(lit(108)), ascii("mvhd"),
+      unhex(lit("00000000")), be32(lit(0)), be32(lit(0)),
+      be32(lit(1000)), be32(durMp4))
+
+    val payload =
+      when(id % 11 === 5, unhex(lit("DEADBEEF00112233445566778899AABB")))
+        .when(id % 4 === 0, wav)
+        .when(id % 4 === 1, mp3)
+        .when(id % 4 === 2, flac)
+        .otherwise(mp4)
+    df.withColumn("payload", payload)
+  }
+
   val FeatureDim: Int = graft.functions.DecodeKernel.FeatureDim
 
   /** Decode the binary payload to a fixed-width feature vector — the

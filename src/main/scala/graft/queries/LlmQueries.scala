@@ -1876,6 +1876,31 @@ object LlmQueries {
     "stream_multimodal_headers" -> q { (s, dir) =>
       graft.streaming.StreamPipeline.streamingMediaHeaders(s, dir)
     },
+
+    // The audio/video sibling: WAV chunk walk, MP3 ID3-skip + Xing
+    // frame count, FLAC STREAMINFO bitfield, MP4 box walk — payloads
+    // synthesized as genuine container byte streams with id-derived
+    // rate/channel/duration fields (every 11th doc gets non-media
+    // garbage), parsed back inside WholeStageCodegen. The oracle knows
+    // only the id arithmetic, so any slip in the chunk walk, syncsafe
+    // length, bit unpack, or box traversal breaks the hash.
+    "multimodal_av_headers" -> q { (s, dir) =>
+      Multimodal.avHeaderMeta(
+        Multimodal.synthesizeAvPayloads(
+          Tables.load(s, dir, "documents"), "doc_id"), "doc_id")
+        .select(col("doc_id"),
+          col("av.format").as("format"),
+          col("av.channels").as("channels"),
+          col("av.sample_rate").as("sample_rate"),
+          col("av.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    },
+
+    // ... and AT INGEST: the same stateless kernel riding a streaming
+    // frame, sharing the batch twin's id-arithmetic oracle.
+    "stream_multimodal_av_headers" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline.streamingAvHeaders(s, dir)
+    },
   )
 
   /** DuckDB replay of a PQ search over a from-scratch encode of the full
@@ -3835,7 +3860,39 @@ object LlmQueries {
     // synthesized payloads, so batch equivalence is exact.
     "multimodal_headers" -> MultimodalHeadersOracle,
     "stream_multimodal_headers" -> MultimodalHeadersOracle,
+    "multimodal_av_headers" -> MultimodalAvHeadersOracle,
+    "stream_multimodal_av_headers" -> MultimodalAvHeadersOracle,
   )
+
+  /** The id arithmetic [[graft.operators.Multimodal
+    * .synthesizeAvPayloads]] derived its container fields from; MP3
+    * duration floors (frames × 1152 × 1000 ÷ rate) exactly as the
+    * kernel's integer division does, every other family's division is
+    * exact by construction. MP4 declares no channel/rate in mvhd →
+    * NULL there; every 11th doc is garbage → NULL row. */
+  private lazy val MultimodalAvHeadersOracle: String =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5 THEN NULL
+              WHEN doc_id % 4 = 0 THEN 'wav'
+              WHEN doc_id % 4 = 1 THEN 'mp3'
+              WHEN doc_id % 4 = 2 THEN 'flac'
+              ELSE 'mp4' END AS format,
+         CASE WHEN doc_id % 11 = 5 OR doc_id % 4 = 3 THEN NULL
+              ELSE (doc_id % 2 + 1)::int END AS channels,
+         CASE WHEN doc_id % 11 = 5 OR doc_id % 4 = 3 THEN NULL
+              WHEN doc_id % 4 = 1 THEN
+                (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 32000 END)::int
+              ELSE (8000 + (doc_id % 8) * 4000)::int END AS sample_rate,
+         CASE WHEN doc_id % 11 = 5 THEN NULL
+              WHEN doc_id % 4 = 0 THEN (doc_id % 50 + 1)::bigint
+              WHEN doc_id % 4 = 1 THEN
+                ((doc_id % 200 + 1) * 1152 * 1000) //
+                  (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END)
+              WHEN doc_id % 4 = 2 THEN (doc_id % 60 + 1)::bigint
+              ELSE (doc_id % 9000 + 1)::bigint END AS duration_ms
+       FROM documents ORDER BY doc_id"""
 
   private lazy val MultimodalHeadersOracle: String =
     """SELECT doc_id,

@@ -685,6 +685,27 @@ object StreamPipeline {
     runToMemory(parsed, "append", "graft_smmh").orderBy("doc_id")
   }
 
+  /** The audio/video twin of [[streamingMediaHeaders]]: the codegen'd
+    * [[graft.functions.AvHeaderKernel]] parse riding a streaming frame —
+    * stateless per-row Column algebra, so container metadata (format /
+    * channels / rate / duration) is extracted AT INGEST and sample
+    * decode stays downstream. */
+  def streamingAvHeaders(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val arrivals = spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val parsed = graft.operators.Multimodal.avHeaderMeta(
+      graft.operators.Multimodal.synthesizeAvPayloads(arrivals, "doc_id"),
+      "doc_id")
+      .select(col("doc_id"), col("av.format").as("format"),
+        col("av.channels").as("channels"),
+        col("av.sample_rate").as("sample_rate"),
+        col("av.duration_ms").as("duration_ms"))
+    runToMemory(parsed, "append", "graft_smav").orderBy("doc_id")
+  }
+
   /** Output schema of [[semGrowingBatch]]'s per-batch pair frames. */
   private[graft] val SemGrowSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -158,6 +158,156 @@ class MultimodalSpec extends SparkSpec {
     assert(parsed(null).isEmpty)
   }
 
+  // ---- AvHeaderKernel: audio/video container parsing, golden bytes ---
+
+  private def avParsed(b: Array[Byte])
+      : Option[(String, Option[Int], Option[Int], Option[Long])] =
+    Option(graft.functions.AvHeaderKernel.parse(b)).map(r => (
+      r.getUTF8String(0).toString,
+      if (r.isNullAt(1)) None else Some(r.getInt(1)),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3))))
+
+  test("av header: WAV chunk walk past JUNK to fmt/data, declared-size duration") {
+    // stereo 16000 Hz PCM16 → byte rate 64000; data 128000 bytes → 2000 ms
+    val wav = hx("52494646 00F40100 57415645" + // RIFF + size + WAVE
+      "4A554E4B 04000000 DEADBEEF" +           // JUNK chunk (the walk)
+      "666D7420 10000000 0100 0200 803E0000 00FA0000 0400 1000" + // fmt
+      "64617461 00F40100")                     // data, declared 128000
+    assert(avParsed(wav).contains(("wav", Some(2), Some(16000), Some(2000L))))
+    // odd-sized chunk is word-aligned: a 3-byte chunk then fmt/data
+    val padded = hx("52494646 00000000 57415645" +
+      "4A554E4B 03000000 AABBCC 00" +          // 3-byte chunk + pad byte
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 401F0000")                     // mono 8000 Hz, 8000 B → 500 ms
+    assert(avParsed(padded).contains(("wav", Some(1), Some(8000), Some(500L))))
+    // fmt present but no data chunk → null (duration unpriceable)
+    assert(avParsed(hx("52494646 00000000 57415645" +
+      "666D7420 10000000 0100 0200 803E0000 00FA0000 0400 1000")).isEmpty)
+    // truncated mid-fmt → null
+    assert(avParsed(hx("52494646 00000000 57415645 666D7420 10000000 0100")).isEmpty)
+  }
+
+  test("av header: MP3 ID3v2 skip, frame decode, Xing frame count") {
+    // ID3v2 with syncsafe size 10, then MPEG1 L3 44100 stereo,
+    // 32-byte side info, Xing with 105 frames → 105*1152*1000/44100 = 2742 ms
+    val mp3 = hx("494433 0400 00 0000000A" + "00" * 10 +
+      "FFFB 90 00" + "00" * 32 +
+      "58696E67 00000001 00000069")
+    assert(avParsed(mp3).contains(("mp3", Some(2), Some(44100), Some(2742L))))
+    // mono → 17-byte side info, "Info" tag, 48000 Hz: 50*1152*1000/48000 = 1200
+    val mono = hx("FFFB 94 C0" + "00" * 17 + "496E666F 00000001 00000032")
+    assert(avParsed(mono).contains(("mp3", Some(1), Some(48000), Some(1200L))))
+    // a frame without Xing: format/channels/rate parse, duration NULL
+    val noXing = hx("FFFB 98 00" + "00" * 40)
+    assert(avParsed(noXing).contains(("mp3", Some(2), Some(32000), None)))
+    // reserved sample-rate index → null; ID3 prefix with nothing after → null
+    assert(avParsed(hx("FFFB 9C 00" + "00" * 40)).isEmpty)
+    assert(avParsed(hx("494433 0400 00 0000000A" + "00" * 10)).isEmpty)
+  }
+
+  test("av header: FLAC STREAMINFO bit unpack") {
+    // 44100 Hz stereo 16-bit, 132300 samples → 3000 ms
+    // packed u64 = 44100<<44 | 1<<41 | 15<<36 | 132300
+    val packed = (44100L << 44) | (1L << 41) | (15L << 36) | 132300L
+    val flac = hx("664C6143 80 000022" + "1000 1000 000000 000000" +
+      f"$packed%016X" + "00" * 16)
+    assert(avParsed(flac).contains(("flac", Some(2), Some(44100), Some(3000L))))
+    // total_samples 0 = unknown per spec → NULL duration
+    val unk = (8000L << 44) | (0L << 41) | (15L << 36)
+    val flacUnk = hx("664C6143 80 000022" + "1000 1000 000000 000000" +
+      f"$unk%016X" + "00" * 16)
+    assert(avParsed(flacUnk).contains(("flac", Some(1), Some(8000), None)))
+    // first block not STREAMINFO → null; truncated → null
+    assert(avParsed(hx("664C6143 84 000022" + "00" * 34)).isEmpty)
+    assert(avParsed(hx("664C6143 80 0000")).isEmpty)
+  }
+
+  test("av header: MP4 box walk to moov/mvhd, v0 and v1") {
+    // ftyp, free, moov > mvhd v0: timescale 600, duration 1500 → 2500 ms
+    val v0 = hx("00000010 66747970 69736F6D 00000200" +
+      "00000010 66726565 0000000000000000" +
+      "00000074 6D6F6F76" +
+      "0000006C 6D766864 00000000 00000000 00000000 00000258 000005DC")
+    assert(avParsed(v0).contains(("mp4", None, None, Some(2500L))))
+    // mvhd v1: 64-bit times — timescale 1000 at +20, u64 duration at +24
+    val v1 = hx("00000010 66747970 69736F6D 00000200" +
+      "00000084 6D6F6F76" +
+      "0000007C 6D766864 01000000" +
+      "0000000000000000 0000000000000000" + // 64-bit ctime/mtime
+      "000003E8" + "0000000000001770")      // ts 1000, dur 6000 → 6000 ms
+    assert(avParsed(v1).contains(("mp4", None, None, Some(6000L))))
+    // moov without mvhd → null; zero timescale → null; not-ftyp-first → null
+    assert(avParsed(hx("00000010 66747970 69736F6D 00000200" +
+      "00000010 6D6F6F76 0000000866726565")).isEmpty)
+    assert(avParsed(hx("00000010 66747970 69736F6D 00000200" +
+      "00000074 6D6F6F76" +
+      "0000006C 6D766864 00000000 00000000 00000000 00000000 000005DC")).isEmpty)
+    assert(avParsed(hx("00000010 66726565 69736F6D 00000200")).isEmpty)
+  }
+
+  test("av header: fuzz — arbitrary bytes classify (row or null), never throw") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val sigs = Seq(
+      "RIFF".getBytes("US-ASCII"), "fLaC".getBytes("US-ASCII"),
+      "ID3".getBytes("US-ASCII"),
+      Array[Byte](0xff.toByte, 0xfb.toByte),
+      hx("00000010 66747970"))
+    val payloadGen: Gen[Array[Byte]] = for {
+      prefix <- Gen.frequency(2 -> Gen.const(Array.empty[Byte]), 5 -> Gen.oneOf(sigs))
+      tail <- Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield prefix ++ tail
+    val prop = forAll(payloadGen) { bytes =>
+      val r = graft.functions.AvHeaderKernel.parse(bytes)
+      r == null || (Set("wav", "mp3", "flac", "mp4")
+        .contains(r.getUTF8String(0).toString) &&
+        (r.isNullAt(3) || r.getLong(3) >= 0))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("av header: garbage, empty, and text payloads are null") {
+    assert(avParsed(Array.empty[Byte]).isEmpty)
+    assert(avParsed("just some document text".getBytes("UTF-8")).isEmpty)
+    assert(avParsed(hx("DEADBEEF00112233445566778899AABB")).isEmpty)
+    assert(avParsed(null).isEmpty)
+  }
+
+  test("avHeaderMeta over synthesized payloads: codegen parse recovers the id arithmetic") {
+    val ids = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.avHeaderMeta(
+        Multimodal.synthesizeAvPayloads(ids, "doc_id"), "doc_id")
+      .select(col("doc_id"), col("av.format"), col("av.channels"),
+        col("av.sample_rate"), col("av.duration_ms"))
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 11 == 5) assert(r.isNullAt(1), s"doc $id should be garbage")
+      else {
+        val fmt = Seq("wav", "mp3", "flac", "mp4")((id % 4).toInt)
+        assert(r.getString(1) == fmt, s"doc $id format")
+        if (fmt == "mp4") { assert(r.isNullAt(2) && r.isNullAt(3), s"doc $id mp4 nulls") }
+        else {
+          assert(r.getInt(2) == (id % 2 + 1).toInt, s"doc $id channels")
+          val sr = if (fmt == "mp3") Seq(44100, 48000, 32000)((id % 3).toInt)
+                   else 8000 + (id % 8).toInt * 4000
+          assert(r.getInt(3) == sr, s"doc $id rate")
+        }
+        val dur = fmt match {
+          case "wav" => id % 50 + 1
+          case "mp3" =>
+            (id % 200 + 1) * 1152L * 1000L / Seq(44100, 48000, 32000)((id % 3).toInt)
+          case "flac" => id % 60 + 1
+          case "mp4" => id % 9000 + 1
+        }
+        assert(r.getLong(4) == dur, s"doc $id duration")
+      }
+    }
+  }
+
   test("headerMeta over synthesized payloads: codegen parse recovers the id arithmetic") {
     val ids = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val out = Multimodal.headerMeta(
