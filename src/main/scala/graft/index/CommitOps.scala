@@ -73,6 +73,17 @@ object CommitOps {
     * protocol trusts it. */
   val GcsConditionalKey = "graft.index.commit.gs.conditional"
 
+  /** Hadoop conf key (boolean, default false) that opts an `abfs://` /
+    * `abfss://` index root into [[AbfsConditional]]. On an ADLS Gen2
+    * account WITH hierarchical namespace, the ABFS driver's
+    * `create(overwrite = false)` maps to the Create Path REST operation
+    * with an `If-None-Match: *` precondition — a single server-side
+    * create-or-fail against the directory namespace. On a FLAT (blob)
+    * account that atomicity does not hold, which is exactly why this is
+    * an explicit opt-in: the deployment asserts its account type, the
+    * code cannot detect it. */
+  val AbfsConditionalKey = "graft.index.commit.abfs.conditional"
+
   /** Dispatches to the right implementation for the path's filesystem:
     * NIO hard-link on `file://`, no-overwrite rename on the HDFS-rename
     * allowlist, [[S3AConditional]] on `s3a://` when
@@ -95,6 +106,8 @@ object CommitOps {
       case s if RenameSafeSchemes.contains(s) => Hadoop
       case "s3a" if conf.getBoolean(S3AConditionalKey, false) => S3AConditional
       case "gs" if conf.getBoolean(GcsConditionalKey, false) => GcsConditional
+      case "abfs" | "abfss" if conf.getBoolean(AbfsConditionalKey, false) =>
+        AbfsConditional
       case s => throw new UnsupportedOperationException(
         s"no safe atomic create-iff-absent for scheme '$s': rename on " +
           "object stores silently replaces, so the commit protocol " +
@@ -102,9 +115,11 @@ object CommitOps {
           s"$S3AConditionalKey=true (Hadoop 3.4.2+ conditional create); " +
           s"for gs:// set $GcsConditionalKey=true (connector " +
           "generation-match-0 create, keep fs.gs.create.items.conflict" +
-          ".check on); for other stores (abfs://, wasb://, ...) pass " +
+          s".check on); for abfs(s):// set $AbfsConditionalKey=true " +
+          "(hierarchical-namespace account REQUIRED — Create Path with " +
+          "If-None-Match); for other stores (wasb://, oss://, ...) pass " +
           "ops = new CommitOps.ConditionalPut(...) wired to the store's " +
-          "conditional PUT (Azure If-None-Match etag precondition).")
+          "conditional PUT.")
     }
 
   /** POSIX local filesystems: write temp, `link(2)` to destination
@@ -250,6 +265,36 @@ object CommitOps {
     * protocol itself is proven against the adversarial simulated store
     * via [[ConditionalPut]]. */
   object GcsConditional extends CommitOps {
+    def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean = {
+      fs.mkdirs(path.getParent)
+      try {
+        val out = fs.createFile(path).overwrite(false).build()
+        try out.write(body) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => ownPutLanded(fs, path, body, e)
+      }
+    }
+  }
+
+  /** ABFS (ADLS Gen2) binding for HIERARCHICAL-NAMESPACE accounts: the
+    * driver's `create(overwrite = false)` issues the Create Path REST
+    * operation with an `If-None-Match: *` precondition against the
+    * directory namespace — the path either comes into existence for
+    * this writer or the request fails with 409/412; no list-then-PUT
+    * window. NOT valid on flat blob accounts (see [[AbfsConditionalKey]]
+    * — that is why routing is opt-in). Same close-time adjudication as
+    * the other object-store bindings: the store may commit the upload
+    * at `close()`, so a failure there is mapped to `false` only when
+    * the winning object is verifiably someone else's.
+    *
+    * Environment note: no Azure endpoint exists in this sandbox, so
+    * this binding is exercised for ROUTING (Auto + [[AbfsConditionalKey]])
+    * and for the close-time adjudication path; the conditional-PUT
+    * protocol itself is proven against the adversarial simulated store
+    * via [[ConditionalPut]]. */
+  object AbfsConditional extends CommitOps {
     def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean = {
       fs.mkdirs(path.getParent)
       try {

@@ -370,10 +370,26 @@ class CommitProtocolSpec extends SparkSpec {
     gsFlagged.setBoolean(CommitOps.GcsConditionalKey, true)
     assert(CommitOps.route("gs", gsFlagged) eq CommitOps.GcsConditional)
     intercept[UnsupportedOperationException](CommitOps.route("s3a", gsFlagged))
-    // abfs has no binding in-tree: refused with wire-your-own guidance
+    // abfs stays refused under the OTHER schemes' flags...
     val e2 = intercept[UnsupportedOperationException](
       CommitOps.route("abfs", gsFlagged))
     assert(e2.getMessage.contains("ConditionalPut"))
+    // ... and routes (both scheme spellings) only under its own opt-in,
+    // which asserts the account is hierarchical-namespace
+    val abfsFlagged = new org.apache.hadoop.conf.Configuration(false)
+    abfsFlagged.setBoolean(CommitOps.AbfsConditionalKey, true)
+    assert(CommitOps.route("abfs", abfsFlagged) eq CommitOps.AbfsConditional)
+    assert(CommitOps.route("abfss", abfsFlagged) eq CommitOps.AbfsConditional)
+    intercept[UnsupportedOperationException](CommitOps.route("s3a", abfsFlagged))
+    intercept[UnsupportedOperationException](CommitOps.route("gs", abfsFlagged))
+    // wasb (flat blob endpoint) has NO sanctioned flag: refused even
+    // with every in-tree flag set — flat-account Azure genuinely has no
+    // safe namespace-atomic create to bind to
+    val all = new org.apache.hadoop.conf.Configuration(false)
+    all.setBoolean(CommitOps.S3AConditionalKey, true)
+    all.setBoolean(CommitOps.GcsConditionalKey, true)
+    all.setBoolean(CommitOps.AbfsConditionalKey, true)
+    intercept[UnsupportedOperationException](CommitOps.route("wasb", all))
   }
 
   test("close-failure adjudication: own landed PUT wins, rival's loses") {
