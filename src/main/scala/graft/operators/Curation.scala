@@ -137,6 +137,91 @@ object Curation {
       .drop("__dom", "__n", "__w", "__wsum", "__target")
   }
 
+  /** DSIR-style importance weighting (the published hashed-n-gram
+    * importance-resampling recipe for matching a pretraining pool to a
+    * target distribution — Xie et al. 2023): score each RAW-pool
+    * document by how much more likely its hashed-unigram bag is under
+    * the TARGET corpus's bucket distribution than under the raw pool's
+    * own. Tokens hash through the shared 60-bit digest into `buckets`
+    * cells; both pools' cell histograms get add-one smoothing; a
+    * document's log-weight is Σ_b n_db · (ln p̂_target[b] − ln
+    * p̂_raw[b]), rounded to 6 decimals (the repo's cross-engine float
+    * contract, same as tf·idf and BM25).
+    *
+    * Scale shape: one aggregate over the token stream produces the
+    * B-row histogram (map-side partials; B is a few hundred), totals
+    * via a window over that tiny frame, and the per-document score is
+    * integer-exact bucket counts broadcast-joined to the B-row
+    * log-ratio table — the corpus shuffles only its (doc, bucket)
+    * count pairs, never text, and nothing global exists beyond the
+    * B-row frame. Returns (id, n_toks, logweight) for raw-pool docs.
+    *
+    * `isTarget` marks the rows whose distribution is the goal (an
+    * in-corpus quality slice, a curated reference set); target rows are
+    * scored-against, not scored. */
+  def importanceWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val toks = df
+      .select(col(idCol), isTarget.as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col(idCol), col("__t"),
+        pmod(TextAnalysis.tokenHash60Native(col("__tok")),
+          lit(buckets.toLong)).cast("int").as("__b"))
+    // every bucket a raw doc can score in has rc ≥ 1, so the histogram
+    // needs no explicit zero-fill: absent buckets are unreachable below
+    val all = Window.partitionBy(lit(0)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val lr = toks.groupBy("__b")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__rc"))
+      .withColumn("__tt", sum(col("__tc")).over(all))
+      .withColumn("__rt", sum(col("__rc")).over(all))
+      .select(col("__b"),
+        (log((col("__tc") + 1).cast("double") /
+            (col("__tt") + buckets).cast("double")) -
+          log((col("__rc") + 1).cast("double") /
+            (col("__rt") + buckets).cast("double"))).as("__lr"))
+    toks.filter(!col("__t"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).cast("long").as("n_toks"),
+        round(sum(col("__n") * col("__lr")), 6).as("logweight"))
+  }
+
+  /** The RESAMPLING step over [[importanceWeights]]: draw `k` raw-pool
+    * documents without replacement with probability ∝ softmax of their
+    * log-weights, via the Gumbel-top-k trick (perturb each log-weight
+    * with an independent Gumbel noise term and take the k largest —
+    * the published equivalence for sampling-without-replacement). The
+    * Gumbel draw is salted-content-hash-derived like every curation
+    * draw here — u = (bucket + ½)/10⁴, g = −ln(−ln u) — never
+    * `rand()`: the sample is identical across re-runs, partitionings,
+    * and retries, and a fresh salt is a fresh draw. Ranking uses the
+    * 6-decimal-rounded key with the id as tiebreak, so the kept SET is
+    * engine-stable. Top-k runs on the bounded-heap operator — one
+    * exchange of k rows, no global sort. */
+  def importanceResample(
+      df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int, k: Int,
+      salt: String = "dsir:"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val w = importanceWeights(df, idCol, textCol, isTarget, buckets)
+    val u = (hashBucket(col(textCol), salt, 10000).cast("double") + 0.5) / 10000.0
+    val keyed = w.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("sample_key",
+        round(col("logweight") - log(-log(u)), 6))
+      .select(col(idCol), col("n_toks"), col("logweight"), col("sample_key"))
+    val order = Seq(col("sample_key").desc, col(idCol).asc)
+    TopK.perKey(keyed.withColumn("__g", lit(0)), Seq("__g"), order, k)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(order: _*)))
+      .drop("__g")
+  }
+
   /** Quality-proportional stochastic keep — the "soft filter" between
     * hard thresholding (which cliffs at the cutoff) and keeping
     * everything: each document survives with probability equal to its

@@ -365,6 +365,30 @@ object CurationQueries {
           "user_id", "c_custkey")
         .orderBy("user_id")
     },
+
+    // DSIR-style importance weights: each raw-pool document scored by
+    // how much likelier its hashed-unigram bag is under the target
+    // slice's (source = src0) bucket distribution than the raw pool's
+    // own — 64 hash buckets, add-one smoothing, log-ratio sum rounded
+    // to the repo's 6-decimal float contract. The corpus shuffles only
+    // (doc, bucket) integer counts; the log-ratio table is 64 rows,
+    // broadcast.
+    "curation_importance_weights" -> q { (s, dir) =>
+      Curation.importanceWeights(Tables.load(s, dir, "documents"),
+          "doc_id", "text", col("source") === "src0", buckets = 64)
+        .orderBy("doc_id")
+    },
+
+    // ... and the RESAMPLING step: k = 100 drawn without replacement
+    // with probability ∝ softmax(logweight) via Gumbel-top-k, the
+    // Gumbel noise derived from a salted content hash (deterministic
+    // across runs/retries/engines), ranked on the rounded key with the
+    // id as tiebreak, top-k on the bounded-heap operator.
+    "curation_importance_resample" -> q { (s, dir) =>
+      Curation.importanceResample(Tables.load(s, dir, "documents"),
+          "doc_id", "text", col("source") === "src0", buckets = 64, k = 100)
+        .orderBy("rnk")
+    },
   )
 
   private val ShinglesCte = LlmQueries.ShinglesCte
@@ -818,5 +842,52 @@ object CurationQueries {
            AND user_id NOT IN (SELECT c_custkey FROM customer
                                WHERE c_custkey < 100 AND c_custkey IS NOT NULL)
          GROUP BY user_id ORDER BY user_id""",
+
+    "curation_importance_weights" ->
+      s"""WITH $DsirWeightsCte
+         SELECT doc_id, n_toks, logweight FROM dsir_w ORDER BY doc_id""",
+
+    "curation_importance_resample" ->
+      s"""WITH $DsirWeightsCte,
+         keyed AS (
+           SELECT w.doc_id, w.n_toks, w.logweight,
+             round(w.logweight - ln(-ln(
+               ((('0x' || substr(md5('dsir:' || d.text), 1, 15))::bigint
+                   % 10000)::double + 0.5) / 10000.0)), 6) AS sample_key
+           FROM dsir_w w JOIN documents d ON d.doc_id = w.doc_id)
+         SELECT doc_id, n_toks, logweight, sample_key,
+           row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rnk
+         FROM keyed QUALIFY rnk <= 100 ORDER BY rnk""",
   )
+
+  /** Shared CTE chain of both DSIR oracles: hashed-unigram bucket
+    * histograms of the target (source = src0) and raw pools, add-one
+    * smoothed log-ratios, per-raw-doc integer bucket counts, and the
+    * 6-decimal-rounded log-weight sum — the verbatim replay of
+    * [[graft.operators.Curation.importanceWeights]]. */
+  private lazy val DsirWeightsCte: String =
+    """tok2 AS (
+           SELECT doc_id, (source = 'src0') AS t,
+                  (('0x' || substr(md5(tok), 1, 15))::bigint % 64)::int AS b
+           FROM (SELECT doc_id, source,
+                        unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE tok <> ''),
+         hist AS (
+           SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END)::bigint AS tc,
+                     sum(CASE WHEN t THEN 0 ELSE 1 END)::bigint AS rc
+           FROM tok2 GROUP BY b),
+         tot AS (SELECT sum(tc)::bigint AS tt, sum(rc)::bigint AS rt FROM hist),
+         lr AS (
+           SELECT b, ln((tc + 1)::double / (tt + 64)::double)
+                   - ln((rc + 1)::double / (rt + 64)::double) AS lr
+           FROM hist CROSS JOIN tot),
+         cnt AS (
+           SELECT doc_id, b, count(*)::bigint AS n
+           FROM tok2 WHERE NOT t GROUP BY doc_id, b),
+         dsir_w AS (
+           SELECT doc_id, sum(n)::bigint AS n_toks,
+                  round(sum(n * lr), 6) AS logweight
+           FROM cnt JOIN lr USING (b)
+           GROUP BY doc_id)"""
 }

@@ -167,4 +167,61 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(c.toSet != a.toSet)
   }
+
+  test("importanceWeights: target-like docs outweigh target-unlike docs") {
+    // target vocabulary {alpha..epsilon}; raw pool has one doc written
+    // in target vocabulary and one in disjoint vocabulary — the DSIR
+    // log-ratio must rank the target-like doc strictly higher
+    val docs = Seq(
+      (0L, true, "alpha beta gamma delta epsilon alpha beta gamma"),
+      (1L, true, "alpha gamma epsilon beta delta gamma alpha beta"),
+      (10L, false, "alpha beta gamma delta epsilon beta alpha gamma"),
+      (11L, false, "zebra yak xylo walrus vulture yak zebra xylo"),
+      (12L, false, "alpha beta zebra yak gamma delta walrus vulture"))
+      .toDF("doc_id", "is_t", "text")
+    val w = Curation.importanceWeights(docs, "doc_id", "text",
+        col("is_t"), buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet == Set(10L, 11L, 12L), "only raw-pool docs are scored")
+    assert(w(10L) > w(12L) && w(12L) > w(11L),
+      s"expected target-like > mixed > disjoint, got $w")
+    // deterministic across partitionings
+    val w2 = Curation.importanceWeights(docs.repartition(5), "doc_id",
+        "text", col("is_t"), buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w == w2)
+  }
+
+  test("importanceWeights: log-ratio table broadcasts; corpus text never shuffles") {
+    val docs = (0L to 300L)
+      .map(i => (i, i % 5 == 0, s"tok${i % 11} tok${i % 7} common word$i"))
+      .toDF("doc_id", "is_t", "text")
+    val plan = Curation.importanceWeights(docs, "doc_id", "text",
+        col("is_t"), buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      "the 64-row log-ratio side must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no corpus-sized join shuffle")
+  }
+
+  test("importanceResample: k rows from the raw pool, deterministic, fresh salt = fresh draw") {
+    val docs = (0L to 400L)
+      .map(i => (i, i % 4 == 0, s"word${i % 13} word${i % 17} filler$i body"))
+      .toDF("doc_id", "is_t", "text")
+    val a = Curation.importanceResample(docs, "doc_id", "text",
+        col("is_t"), buckets = 32, k = 25)
+      .collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(a.length == 25)
+    assert(a.map(_._2).sorted.toSeq == (1 to 25), "dense ranks 1..k")
+    assert(a.forall(_._1 % 4 != 0), "target rows are never drawn")
+    val b = Curation.importanceResample(docs.repartition(9), "doc_id",
+        "text", col("is_t"), buckets = 32, k = 25)
+      .collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(a.toSeq == b.toSeq, "identical draw across partitionings")
+    val c = Curation.importanceResample(docs, "doc_id", "text",
+        col("is_t"), buckets = 32, k = 25, salt = "other:")
+      .collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(c.map(_._1).toSet != a.map(_._1).toSet,
+      "a different salt should perturb the drawn set")
+  }
 }
