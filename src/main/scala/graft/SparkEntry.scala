@@ -311,5 +311,10 @@ object SparkEntry {
     "sim_ivf_probe_served", "text_bm25_probe_served", "sim_pq_probe_served",
     // round 11b — corpus wordcount + bounded-heap report shape, and the
     // composed publish path (4 chained hash-decision stages + census)
-    "text_top_ngrams", "curation_release")
+    "text_top_ngrams", "curation_release",
+    // round 15 — the metadata-at-scale scan (codegen'd AV container
+    // header parse over every payload) and the DSIR selection pair
+    // (histogram + broadcast log-ratio scoring; Gumbel-top-k draw)
+    "multimodal_av_headers", "curation_importance_weights",
+    "curation_importance_resample")
 }

@@ -159,6 +159,45 @@ object Curation {
     * `isTarget` marks the rows whose distribution is the goal (an
     * in-corpus quality slice, a curated reference set); target rows are
     * scored-against, not scored. */
+  /** The B-row smoothed log-ratio table both DSIR paths derive from:
+    * (bucket, ln p̂_target[b] − ln p̂_raw[b]) with add-one smoothing
+    * over both pools' hashed-unigram histograms. One aggregate over the
+    * token stream (map-side partials), totals via a window over the
+    * B-row frame. Buckets no token hashed into are absent — a batch
+    * scorer never reaches them (any scored token implies rc ≥ 1), and
+    * the streaming scorer substitutes the unseen-bucket smoothing
+    * floor ([[importanceUnseenFloor]]). */
+  def importanceLogRatios(
+      df: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val all = Window.partitionBy(lit(0)).rowsBetween(Long.MinValue, Long.MaxValue)
+    df.select(isTarget.as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col("__t"),
+        pmod(TextAnalysis.tokenHash60Native(col("__tok")),
+          lit(buckets.toLong)).cast("int").as("__b"))
+      .groupBy("__b")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__rc"))
+      .withColumn("__tt", sum(col("__tc")).over(all))
+      .withColumn("__rt", sum(col("__rc")).over(all))
+      .select(col("__b"),
+        (log((col("__tc") + 1).cast("double") /
+            (col("__tt") + buckets).cast("double")) -
+          log((col("__rc") + 1).cast("double") /
+            (col("__rt") + buckets).cast("double"))).as("__lr"),
+        col("__tt"), col("__rt"))
+  }
+
+  /** The log-ratio a bucket with zero observations in BOTH pools gets
+    * under the same add-one smoothing — what the streaming scorer uses
+    * for tokens whose bucket the reference histograms never saw. */
+  def importanceUnseenFloor(tt: Long, rt: Long, buckets: Int): Double =
+    math.log(1.0 / (tt + buckets)) - math.log(1.0 / (rt + buckets))
+
   def importanceWeights(
       df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
@@ -171,25 +210,39 @@ object Curation {
       .select(col(idCol), col("__t"),
         pmod(TextAnalysis.tokenHash60Native(col("__tok")),
           lit(buckets.toLong)).cast("int").as("__b"))
-    // every bucket a raw doc can score in has rc ≥ 1, so the histogram
-    // needs no explicit zero-fill: absent buckets are unreachable below
-    val all = Window.partitionBy(lit(0)).rowsBetween(Long.MinValue, Long.MaxValue)
-    val lr = toks.groupBy("__b")
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
-        sum(when(col("__t"), 0L).otherwise(1L)).as("__rc"))
-      .withColumn("__tt", sum(col("__tc")).over(all))
-      .withColumn("__rt", sum(col("__rc")).over(all))
-      .select(col("__b"),
-        (log((col("__tc") + 1).cast("double") /
-            (col("__tt") + buckets).cast("double")) -
-          log((col("__rc") + 1).cast("double") /
-            (col("__rt") + buckets).cast("double"))).as("__lr"))
+    val lr = importanceLogRatios(df, textCol, isTarget, buckets)
+      .select("__b", "__lr")
     toks.filter(!col("__t"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__n"))
       .join(broadcast(lr), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum(col("__n")).cast("long").as("n_toks"),
         round(sum(col("__n") * col("__lr")), 6).as("logweight"))
+  }
+
+  /** Stateless per-row DSIR scorer — the INGEST shape of
+    * [[importanceWeights]]: the B-row log-ratio table collapses to a
+    * literal map keyed by bucket, and each document's (n_toks,
+    * logweight) is a fold over its own token array — no explode, no
+    * shuffle, no state, so the scorer rides a streaming micro-batch
+    * like the quality gate and scales as a pure map over a 100 TB
+    * scan. Tokens whose bucket the reference histograms never saw
+    * score the unseen-bucket smoothing floor
+    * ([[importanceUnseenFloor]]) — new data may hash where the
+    * reference corpus had nothing. Rounds to the batch twin's 6
+    * decimals. */
+  def importanceScore(
+      text: Column, lr: Map[Int, Double], unseenFloor: Double,
+      buckets: Int): (Column, Column) = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val toks = filter(TextAnalysis.tokens(text), t => t =!= "")
+    val lrMap = map(lr.toSeq.sortBy(_._1).flatMap { case (b, v) =>
+      Seq(lit(b), lit(v)) }: _*)
+    val bkts = transform(toks, t =>
+      pmod(TextAnalysis.tokenHash60Native(t), lit(buckets.toLong)).cast("int"))
+    val w = aggregate(bkts, lit(0.0),
+      (acc, b) => acc + coalesce(element_at(lrMap, b), lit(unseenFloor)))
+    (size(toks).cast("long"), round(w, 6))
   }
 
   /** The RESAMPLING step over [[importanceWeights]]: draw `k` raw-pool

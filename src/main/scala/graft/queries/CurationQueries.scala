@@ -379,6 +379,14 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ... the same scoring AT INGEST: log-ratio table collected once
+    // from the static corpus, each arriving doc scored as a stateless
+    // token-array fold against the literal bucket map — no shuffle, no
+    // state; batch-equivalent, so it shares the weights oracle.
+    "stream_dsir_score" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline.streamingDsirScore(s, dir)
+    },
+
     // ... and the RESAMPLING step: k = 100 drawn without replacement
     // with probability ∝ softmax(logweight) via Gumbel-top-k, the
     // Gumbel noise derived from a salted content hash (deterministic
@@ -844,6 +852,10 @@ object CurationQueries {
          GROUP BY user_id ORDER BY user_id""",
 
     "curation_importance_weights" ->
+      s"""WITH $DsirWeightsCte
+         SELECT doc_id, n_toks, logweight FROM dsir_w ORDER BY doc_id""",
+
+    "stream_dsir_score" ->
       s"""WITH $DsirWeightsCte
          SELECT doc_id, n_toks, logweight FROM dsir_w ORDER BY doc_id""",
 

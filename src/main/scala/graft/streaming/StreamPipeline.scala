@@ -706,6 +706,38 @@ object StreamPipeline {
     runToMemory(parsed, "append", "graft_smav").orderBy("doc_id")
   }
 
+  /** DSIR importance scoring AT INGEST: the reference log-ratio table
+    * is built ONCE from the static corpus
+    * ([[graft.operators.Curation.importanceLogRatios]] — B rows,
+    * collected like the centroid/codebook kernel refs) and each
+    * arriving document scores as a stateless fold over its own token
+    * array against the literal bucket→log-ratio map — no explode, no
+    * shuffle, no state in the stream; unseen buckets take the
+    * smoothing floor. This is the production shape for "does this
+    * arriving data look like the target distribution": the decision
+    * rides the ingest batch at scan speed. Shares the batch twin's
+    * oracle (`curation_importance_weights`) — same corpus, same
+    * arithmetic, same 6-decimal rounding. */
+  def streamingDsirScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val lrRows = graft.operators.Curation.importanceLogRatios(
+      docs, "text", col("source") === "src0", buckets = 64).collect()
+    val lr = lrRows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val floor = graft.operators.Curation.importanceUnseenFloor(
+      lrRows.head.getLong(2), lrRows.head.getLong(3), buckets = 64)
+    val arrivals = spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val (nToks, logweight) = graft.operators.Curation.importanceScore(
+      col("text"), lr, floor, buckets = 64)
+    val scored = arrivals.filter(col("source") =!= "src0")
+      .select(col("doc_id"), nToks.as("n_toks"), logweight.as("logweight"))
+      .filter(col("n_toks") > 0)
+    runToMemory(scored, "append", "graft_sdsir").orderBy("doc_id")
+  }
+
   /** Output schema of [[semGrowingBatch]]'s per-batch pair frames. */
   private[graft] val SemGrowSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

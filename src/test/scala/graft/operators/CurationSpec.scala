@@ -204,6 +204,38 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "no corpus-sized join shuffle")
   }
 
+  test("importanceScore (stateless fold) ≡ importanceWeights (distributed join)") {
+    val docs = (0L to 150L)
+      .map(i => (i, i % 6 == 0, s"tok${i % 9} tok${i % 5} body word${i % 23} tail"))
+      .toDF("doc_id", "is_t", "text")
+    val batch = Curation.importanceWeights(docs, "doc_id", "text",
+        col("is_t"), buckets = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lrRows = Curation.importanceLogRatios(docs, "text", col("is_t"), 32).collect()
+    val lr = lrRows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val floor = Curation.importanceUnseenFloor(
+      lrRows.head.getLong(2), lrRows.head.getLong(3), 32)
+    val (n, w) = Curation.importanceScore(col("text"), lr, floor, 32)
+    val fold = docs.filter(!col("is_t"))
+      .select(col("doc_id"), n.as("n"), w.as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fold == batch, "per-row fold must reproduce the distributed scoring")
+    // the fold is shuffle-free: scan → project, nothing else
+    val plan = docs.filter(!col("is_t"))
+      .select(col("doc_id"), n.as("n"), w.as("w"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "stateless scorer must not shuffle")
+    // unseen bucket: a vocabulary the reference never hashed scores
+    // n_tokens × floor exactly
+    val novel = Seq((999L, "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "text")
+    val lrEmpty = Map.empty[Int, Double]
+    val (n2, w2) = Curation.importanceScore(col("text"), lrEmpty, floor, 32)
+    val out = novel.select(n2.as("n"), w2.as("w")).head()
+    assert(out.getLong(0) == 3L)
+    assert(math.abs(out.getDouble(1) -
+      BigDecimal(3 * floor).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("importanceResample: k rows from the raw pool, deterministic, fresh salt = fresh draw") {
     val docs = (0L to 400L)
       .map(i => (i, i % 4 == 0, s"word${i % 13} word${i % 17} filler$i body"))
