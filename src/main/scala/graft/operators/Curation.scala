@@ -61,6 +61,50 @@ object Curation {
           .as("contaminated"))
   }
 
+  /** The benchmark side of [[contamination]] as a standalone digest set —
+    * distinct 60-bit shingle digests, the broadcast-small-by-contract
+    * frame an ingest-time probe joins against. */
+  def benchDigests(
+      bench: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    Dedup.explodedShingles(bench, textCol, idCol, n)
+      .select(digest60(col("shingle")).as("__sh")).distinct()
+
+  /** The IN-STREAM half of [[contamination]] — decontamination AT INGEST:
+    * each arriving document's distinct shingle set is computed IN-ROW
+    * (one stateless projection — no shuffle, no stream state), exploded,
+    * and inner-joined against the broadcast benchmark digest set, so only
+    * HIT rows (doc, total-shingles, matched digest) ever reach the sink.
+    * Fold the collected hits with [[contaminationFromHits]]; documents
+    * with zero hits never leave the executor, which is exactly the
+    * report-only-overlapping-docs contract of the batch query. Shingle
+    * semantics mirror [[Dedup.explodedShingles]]: per-doc DISTINCT
+    * n-token windows, whole-text fallback under n tokens. */
+  def contaminationHits(
+      arrivals: DataFrame, benchDigestSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = array_distinct(Dedup.shingles(toks, col(textCol), n))
+    arrivals
+      .select(col(idCol), size(sh).as("total"), explode(sh).as("__shs"))
+      .select(col(idCol), col("total"), digest60(col("__shs")).as("__sh"))
+      .join(broadcast(benchDigestSet.select(col("__sh"))), Seq("__sh"))
+  }
+
+  /** Fold [[contaminationHits]] output (result-sized: hit rows only) to
+    * the per-doc contamination report — same arithmetic as the batch
+    * [[contamination]] tail, with docs whose rounded overlap is zero
+    * dropped (they are unreportable in the hits-only stream shape). */
+  def contaminationFromHits(
+      hits: DataFrame, idCol: String, threshold: Double): DataFrame =
+    hits.groupBy(col(idCol))
+      .agg(first(col("total")).as("__t"), count(lit(1)).as("__m"))
+      .select(
+        col(idCol),
+        round(col("__m").cast("double") / col("__t"), 4).as("overlap"),
+        (col("__m").cast("double") / col("__t") >= threshold)
+          .as("contaminated"))
+      .filter(col("overlap") > 0)
+
   /** Deterministic stratified train/val/test assignment: a content hash
     * (never a row number, never rand() — assignment must survive
     * re-partitioning, re-runs, and corpus growth, the SPARK-23207 class

@@ -999,6 +999,74 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine"))
   }
 
+  /** SemDeDup — cluster-scoped semantic deduplication (the published
+    * web-scale recipe: k-means-partition the embedding space, compare
+    * pairs only WITHIN a cluster, and of every semantic-duplicate
+    * relation keep the copy LEAST similar to its cluster centroid — the
+    * keep-low-centroid-similarity policy, which retains the most
+    * atypical representative).
+    *
+    * Exact rule, deterministic and oracle-replayable: a row is removed
+    * iff some same-cluster row has round-6 pair cosine ≥ `threshold`
+    * AND strictly higher keep-priority, priority ordering by
+    * (centroid cosine ASC, id ASC). This is the pairwise-dominance
+    * screen the published procedure runs per cluster; the
+    * transitive-group variant of semantic dedup stays [[clusters]] over
+    * [[embeddingDupPairs]] (`dedup_embedding_clusters`).
+    *
+    * Scale shape: centroid assignment is the zero-shuffle kernel
+    * projection ([[Similarity.assignClusters]]); the centroid-cosine
+    * column comes from one BROADCAST join against the centroid set
+    * (broadcast-small by contract — it is K rows); the quadratic term
+    * is confined to within-cluster pairs and capped by `maxCluster`
+    * exactly like every LSH-bucket family here (an oversize cluster is
+    * a boilerplate clique — exact dedup covers it at linear cost; its
+    * rows are dropped from the output like [[embeddingDupPairs]] drops
+    * oversize buckets, so the cap is visible, not silent); the only
+    * corpus-keyed exchanges are the self-join's cluster hash shuffle
+    * and the result-sized dominated-id distinct. Nothing is all-pairs.
+    *
+    * Output: (id, cluster, centroid_sim, keep) — one row per input row
+    * (in surviving clusters), `keep = false` marking removals. */
+  def semDedup(
+      emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxCluster: Int = Int.MaxValue): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    require(maxCluster > 1, s"maxCluster=$maxCluster would drop every cluster")
+    val cen = broadcast(centroids.select(
+      col(idCol).as("__cenid"), col(vecCol).as("__cen")))
+    val assigned = Similarity.assignClusters(
+        emb.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .join(cen, col("cluster") === col("__cenid"))
+      .withColumn("centroid_sim",
+        round(Similarity.cosineNative(col(vecCol), col("__cen")), 6))
+      .select(col(idCol), col(vecCol), col("cluster"), col("centroid_sim"))
+    // same skew guard as embeddingDupPairs/lshCandidates: cap the
+    // within-cluster quadratic term by anti-joining the (tiny)
+    // oversize-cluster set before the self-join; materialize first so
+    // the self-join reads one computed copy
+    val capped = (if (maxCluster == Int.MaxValue) assigned else {
+      val hot = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxCluster)
+        .select(col("cluster"))
+      assigned.join(broadcast(hot), Seq("cluster"), "left_anti")
+    }).localCheckpoint()
+    val a = capped.as("a"); val b = capped.as("b")
+    val dominated = a.join(b,
+        col("a.cluster") === col("b.cluster") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol") &&
+        round(Similarity.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")), 6)
+          >= threshold &&
+        (col("b.centroid_sim") < col("a.centroid_sim") ||
+         (col("b.centroid_sim") === col("a.centroid_sim") &&
+          col(s"b.$idCol") < col(s"a.$idCol"))))
+      .select(col(s"a.$idCol").as(idCol)).distinct()
+      .withColumn("__rm", lit(true))
+    capped.join(dominated, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("centroid_sim"),
+        coalesce(!col("__rm"), lit(true)).as("keep"))
+  }
+
   /** Shared core of the span family: keep the gram occurrences whose
     * digest reaches `minDocs` DISTINCT documents, each surviving row
     * carrying `__lo` = the lowest doc id of its digest (the keep-first

@@ -122,18 +122,27 @@ object Retrieval {
       nDocs: Long, sumDl: Long, k: Int): DataFrame =
     rankTopK(bm25Scored(posts, dfStats, qterms, nDocs, sumDl), k)
 
+  /** The per-(term, doc) BM25 contribution — Robertson idf × saturated
+    * tf, rounded once to the 1e-6 grid (the repo's bit-stable float
+    * contract). Requires `tf`, `df`, `dl` columns in scope. Shared by the
+    * plain scorer and the RM3 re-scorer so the formula has one source of
+    * truth. */
+  private def contribExpr(nDocs: Long, sumDl: Long): Column = {
+    val avgdl = sumDl.toDouble / nDocs
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / lit(avgdl))))
+    round(idf * tfn, 6)
+  }
+
   /** The scoring core without the ranking tail: per-(query_id, doc_id)
     * BM25 over candidate postings. Exposed so compositions (hard-negative
     * mining's self-exclusion) can filter between scoring and ranking. */
   def bm25Scored(
       posts: DataFrame, dfStats: DataFrame, qterms: DataFrame,
       nDocs: Long, sumDl: Long): DataFrame = {
-    val avgdl = sumDl.toDouble / nDocs
-    val idf = log(lit(1.0) +
-      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfn = (col("tf") * lit(K1 + 1.0)) /
-      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / lit(avgdl))))
-    val contrib = round(idf * tfn, 6)
+    val contrib = contribExpr(nDocs, sumDl)
     posts
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfStats), Seq("term"))
@@ -228,6 +237,106 @@ object Retrieval {
     val dfStats = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val (n, sumDl) = corpusStats(docs, textCol)
     bm25Rank(cand, dfStats, qt, n, sumDl, k)
+  }
+
+  /** RM3 pseudo-relevance feedback — the published query-expansion
+    * recipe (Lavrenko/Croft relevance models, interpolated with the
+    * original query as RM3; the default feedback reranker of the
+    * standard IR stacks): retrieve top-`fbDocs` per query with BM25,
+    * estimate a feedback term distribution from those docs (each term
+    * weighted by tf/dl times its doc's retrieval score), keep the
+    * top-`fbTerms` feedback terms, interpolate with the original query
+    * terms at `alpha`, and re-rank the corpus under the expanded
+    * weighted query.
+    *
+    * Every float step follows the repo's bit-stable contract so the
+    * DuckDB oracle replays the full two-stage ranking exactly:
+    * per-(term, doc) products rounded to 1e-6 then summed in
+    * DECIMAL(38,10), one double division per normalization, original
+    * query weights pre-rounded driver-side literals.
+    *
+    * Scale shape: stage-1 is the inline BM25 path (candidate postings
+    * only); the feedback join is the queries×fbDocs winner frame
+    * BROADCAST against the postings aggregate (no corpus shuffle); the
+    * expanded term set (≤ |q| + fbTerms per query) broadcasts back for
+    * stage-2, so the re-rank costs one more candidate-postings
+    * restriction — never a corpus rescan beyond the postings lineage.
+    * The served twin composes the same stages over [[bm25ProbeM]]'s
+    * index tables. */
+  def rm3TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int,
+      fbDocs: Int = 3, fbTerms: Int = 8, alpha: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val posts = postings(docs, idCol, textCol)
+    val qt = queryTerms(spark, queries)
+    val (n, sumDl) = corpusStats(docs, textCol)
+
+    // stage 1: plain BM25, top fbDocs per query
+    val cand1 = termFilter(posts, qt, distinctTerms(queries))
+    val df1 = cand1.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val fb = rankTopK(bm25Scored(cand1, df1, qt, n, sumDl), fbDocs)
+      .select(col("query_id"), col("doc_id"), col("score"))
+
+    // feedback relevance model: w(t|q) ∝ Σ_{d∈fb(q)} (tf/dl)·score_d;
+    // the fb frame is queries×fbDocs rows — broadcast into the postings
+    val fbw = posts
+      .join(broadcast(fb), Seq("doc_id"))
+      .select(col("query_id"), col("term"),
+        round(col("tf") / col("dl") * col("score"), 6)
+          .cast("decimal(38,10)").as("c"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(round(sum(col("c")).cast("double"), 6).as("fbw"))
+    val selected = TopK.perKey(fbw, Seq("query_id"),
+      Seq(col("fbw").desc, col("term").asc), fbTerms)
+    // normalize the selected feedback weights per query (decimal sum,
+    // one double division)
+    val norm = selected
+      .withColumn("__s", sum(col("fbw").cast("decimal(38,10)"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))).cast("double"))
+      .select(col("query_id"), col("term"),
+        round(col("fbw") / col("__s"), 6).as("fbw_n"))
+
+    // interpolate with the original query: each original term carries
+    // alpha/|q| (pre-rounded driver-side so both engines read the same
+    // literal), feedback terms carry (1-alpha)·fbw_n
+    val origW = originalTermWeights(spark, queries, alpha)
+    val expanded = origW.join(norm, Seq("query_id", "term"), "full_outer")
+      .select(col("query_id"), col("term"),
+        round(coalesce(col("wq"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("fbw_n"), lit(0.0)), 6).as("w"))
+
+    // stage 2: re-rank under the expanded weighted query; the expanded
+    // term set is data-derived, so the restriction is the broadcast
+    // semi-join (the over-cap bm25Probe path), never a driver collect
+    val termSet = expanded.select(col("term")).distinct()
+    val cand2 = posts.join(broadcast(termSet), Seq("term"))
+    val df2 = cand2.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = contribExpr(n, sumDl)
+    val scored = cand2
+      .join(broadcast(expanded), Seq("term"))
+      .join(broadcast(df2), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("w") * contrib, 6).cast("decimal(38,10)").as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+    rankTopK(scored, k)
+  }
+
+  /** Driver-side original-query term weights for RM3: alpha/|q| per
+    * distinct term, pre-rounded to the 1e-6 grid (a literal in both the
+    * Spark frame and the oracle's VALUES list). */
+  private def originalTermWeights(
+      spark: SparkSession, queries: Seq[(Int, String)],
+      alpha: Double): DataFrame = {
+    import spark.implicits._
+    queries.flatMap { case (qid, text) =>
+      val terms = text.split(" ").filter(_.nonEmpty).distinct
+      val w = BigDecimal(alpha / terms.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      terms.map(t => (qid, t, w))
+    }.toDF("query_id", "term", "wq")
   }
 
   // ---- persisted inverted index ---------------------------------------

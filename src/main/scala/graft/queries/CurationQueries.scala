@@ -387,6 +387,16 @@ object CurationQueries {
       graft.streaming.StreamPipeline.streamingDsirScore(s, dir)
     },
 
+    // Benchmark decontamination AT INGEST: arriving docs' shingle sets
+    // computed in-row (stateless), probed against the broadcast
+    // benchmark digest set — only HIT rows reach the sink, and the
+    // per-doc overlap fold runs on those result-sized rows after the
+    // stream drains. Per-doc independent → batch-equivalent, sharing
+    // curation_contamination's oracle.
+    "stream_contamination" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline.streamingContamination(s, dir)
+    },
+
     // ... and the RESAMPLING step: k = 100 drawn without replacement
     // with probability ∝ softmax(logweight) via Gumbel-top-k, the
     // Gumbel noise derived from a salted content hash (deterministic
@@ -400,6 +410,29 @@ object CurationQueries {
   )
 
   private val ShinglesCte = LlmQueries.ShinglesCte
+
+  /** Shared SQL of the batch (`curation_contamination`) and at-ingest
+    * (`stream_contamination`) decontamination oracles — identical by
+    * per-doc independence of the overlap computation. */
+  private lazy val ContaminationSql: String =
+    s"""WITH $ShinglesCte,
+        bench AS (
+          SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+          FROM shingled WHERE doc_id % 97 = 0),
+        corpus AS (
+          SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+          FROM shingled WHERE doc_id % 97 <> 0),
+        matched AS (
+          SELECT c.doc_id, count(*) AS m
+          FROM corpus c JOIN bench b ON c.sh = b.sh
+          GROUP BY c.doc_id),
+        totals AS (SELECT doc_id, count(*) AS t FROM corpus GROUP BY doc_id)
+        SELECT totals.doc_id,
+               round(coalesce(m, 0)::double / t, 4) AS overlap,
+               coalesce(m, 0)::double / t >= 0.5 AS contaminated
+        FROM totals LEFT JOIN matched ON totals.doc_id = matched.doc_id
+        WHERE round(coalesce(m, 0)::double / t, 4) > 0
+        ORDER BY totals.doc_id"""
 
   /** DuckDB twin of [[graft.operators.Quality.numericProfile]] over the
     * lineitem numeric columns — shared by the profile and drift oracles.
@@ -417,25 +450,10 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
 
-    "curation_contamination" ->
-      s"""WITH $ShinglesCte,
-          bench AS (
-            SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
-            FROM shingled WHERE doc_id % 97 = 0),
-          corpus AS (
-            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
-            FROM shingled WHERE doc_id % 97 <> 0),
-          matched AS (
-            SELECT c.doc_id, count(*) AS m
-            FROM corpus c JOIN bench b ON c.sh = b.sh
-            GROUP BY c.doc_id),
-          totals AS (SELECT doc_id, count(*) AS t FROM corpus GROUP BY doc_id)
-          SELECT totals.doc_id,
-                 round(coalesce(m, 0)::double / t, 4) AS overlap,
-                 coalesce(m, 0)::double / t >= 0.5 AS contaminated
-          FROM totals LEFT JOIN matched ON totals.doc_id = matched.doc_id
-          WHERE round(coalesce(m, 0)::double / t, 4) > 0
-          ORDER BY totals.doc_id""",
+    "curation_contamination" -> ContaminationSql,
+
+    // the at-ingest twin reports the same per-doc overlap rows
+    "stream_contamination" -> ContaminationSql,
 
     "curation_split_census" ->
       """WITH assigned AS (

@@ -416,6 +416,18 @@ object LlmQueries {
         .orderBy("vec_id")
     },
 
+    // SemDeDup proper — the published cluster-scoped recipe: k-means
+    // partition (deterministic centroid subset, the sim_topk_ivf
+    // precedent), pairwise cosine screen confined WITHIN each cluster,
+    // keep the copy LEAST similar to its centroid. Pairwise dominance,
+    // deterministic, replayed exactly by the oracle.
+    "dedup_semdedup" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      Dedup.semDedup(emb, centroids, "vec_id", "embedding", threshold = 0.3)
+        .orderBy("vec_id")
+    },
+
     // Brute-force exact cosine top-k — the ANN correctness baseline.
     "sim_topk_brute" -> q { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
@@ -1596,6 +1608,18 @@ object LlmQueries {
       Retrieval.rrfFuse(lex, vec, Bm25K).orderBy("query_id", "rank")
     },
 
+    // RM3 pseudo-relevance feedback — BM25 top-fbDocs per query feed a
+    // relevance model (tf/dl × doc score), top-fbTerms feedback terms
+    // interpolate with the original query at alpha=0.5, and the corpus
+    // re-ranks under the expanded weighted query. The whole two-stage
+    // ranking replays in the oracle (round-6 products, decimal sums,
+    // pre-rounded driver-side original-term weights).
+    "retrieval_rm3" -> q { (s, dir) =>
+      Retrieval.rm3TopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
     // Release-pinned BM25 time travel: v1 indexes only the even docs;
     // HEAD appends the odd half; the probe pinned at v1 must rank with
     // the pinned postings AND the pinned corpus statistics (idf/avgdl
@@ -2308,6 +2332,41 @@ object LlmQueries {
          SELECT src AS vec_id, min(dst) AS cluster,
                 src = min(dst) AS is_canonical
          FROM reach GROUP BY src ORDER BY vec_id""",
+
+    // assignment CTE is sim_topk_ivf's verbatim; dominance = some
+    // same-cluster row with round-6 pair cosine >= threshold and
+    // strictly higher keep-priority (centroid cosine ASC, id ASC)
+    "dedup_semdedup" ->
+      """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         c AS (
+           SELECT a.vec_id, a.embedding, a.cluster,
+             round(list_dot_product(a.embedding::double[], cn.cemb::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(cn.cemb::double[], cn.cemb::double[]))), 6) AS centroid_sim
+           FROM (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1) a
+           JOIN cen cn ON a.cluster = cn.centroid_id),
+         dominated AS (
+           SELECT DISTINCT a.vec_id FROM c a JOIN c b
+             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+            AND round(list_dot_product(a.embedding::double[], b.embedding::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))), 6) >= 0.3
+            AND (b.centroid_sim < a.centroid_sim OR
+                 (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id)))
+         SELECT c.vec_id, c.cluster, c.centroid_sim,
+                (d.vec_id IS NULL) AS keep
+         FROM c LEFT JOIN dominated d ON c.vec_id = d.vec_id
+         ORDER BY c.vec_id""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -3794,6 +3853,95 @@ object LlmQueries {
            row_number() OVER (PARTITION BY query_id
                               ORDER BY rrf DESC, doc_id) AS rank
          FROM fused QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
+    },
+
+    // RM3: stage-1 contrib/scored CTEs are text_bm25_topk's verbatim;
+    // feedback weights sum round-6 (tf/dl)·score products in decimal;
+    // the expanded-query re-rank reuses the same contrib formula scaled
+    // by the interpolated term weight. Original-term weights are
+    // pre-rounded literals (the Scala side computes the same values).
+    "retrieval_rm3" -> {
+      val qvals = Bm25Queries
+        .flatMap { case (qid, text) =>
+          text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+        }
+        .mkString(", ")
+      val wvals = Bm25Queries
+        .flatMap { case (qid, text) =>
+          val terms = text.split(" ").filter(_.nonEmpty).distinct
+          val w = BigDecimal(0.5 / terms.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          terms.map(t => s"($qid, '$t', $w)")
+        }
+        .mkString(", ")
+      val contribSql =
+        s"""round(
+               ln(1.0 + (c.n::double - df.df + 0.5) / (df.df + 0.5)) *
+               ((tf.tf * ${Retrieval.K1 + 1.0}) /
+                (tf.tf + ${Retrieval.K1} *
+                  (${1.0 - Retrieval.B} + ${Retrieval.B} *
+                    (tf.dl / (c.sumdl::double / c.n))))),
+               6)"""
+      s"""WITH q(query_id, term) AS (VALUES $qvals),
+         qw(query_id, term, wq) AS (VALUES $wvals),
+         toks AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                  unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         c AS (SELECT count(*)::bigint AS n,
+                      sum(len(string_split(text, ' ')))::bigint AS sumdl
+               FROM documents),
+         contrib1 AS (
+           SELECT q.query_id, tf.doc_id,
+             $contribSql::DECIMAL(38,10) AS w
+           FROM q JOIN tf USING (term) JOIN df ON tf.term = df.term, c),
+         scored1 AS (
+           SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
+           FROM contrib1 GROUP BY 1, 2),
+         fb AS (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS r
+           FROM scored1 QUALIFY r <= 3),
+         fbw AS (
+           SELECT fb.query_id, tf.term,
+             round(sum(round(tf.tf / tf.dl * fb.score, 6)
+               ::DECIMAL(38,10))::double, 6) AS fbw
+           FROM fb JOIN tf ON fb.doc_id = tf.doc_id
+           GROUP BY 1, 2),
+         sel AS (
+           SELECT query_id, term, fbw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY fbw DESC, term) AS tr
+           FROM fbw QUALIFY tr <= 8),
+         norm AS (
+           SELECT query_id, term,
+             round(fbw / (sum(fbw::DECIMAL(38,10))
+               OVER (PARTITION BY query_id))::double, 6) AS fbw_n
+           FROM sel),
+         expq AS (
+           SELECT coalesce(qw.query_id, norm.query_id) AS query_id,
+                  coalesce(qw.term, norm.term) AS term,
+                  round(coalesce(qw.wq, 0.0) +
+                        0.5 * coalesce(norm.fbw_n, 0.0), 6) AS w
+           FROM qw FULL OUTER JOIN norm
+             ON qw.query_id = norm.query_id AND qw.term = norm.term),
+         contrib2 AS (
+           SELECT expq.query_id, tf.doc_id,
+             round(expq.w * $contribSql, 6)::DECIMAL(38,10) AS cw
+           FROM expq JOIN tf ON expq.term = tf.term
+           JOIN df ON tf.term = df.term, c),
+         scored2 AS (
+           SELECT query_id, doc_id, round(sum(cw)::double, 6) AS score
+           FROM contrib2 GROUP BY 1, 2)
+         SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+         FROM scored2 QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
     },
 
     "text_bm25_negatives" -> {

@@ -738,6 +738,40 @@ object StreamPipeline {
     runToMemory(scored, "append", "graft_sdsir").orderBy("doc_id")
   }
 
+  /** Benchmark decontamination AT INGEST: the eval benchmark's shingle
+    * digests are summarized ONCE into a broadcast-small set, and every
+    * arriving document's distinct shingle set is computed IN-ROW (a
+    * stateless projection — no shuffle, no state store) and probed
+    * against it, so only HIT rows reach the sink and a contaminated
+    * document is flagged the moment it arrives — before it can enter
+    * the training corpus. The per-doc overlap fold runs post-sink on
+    * the result-sized hit rows; batch-equivalent by per-doc
+    * independence, so it shares `curation_contamination`'s oracle. */
+  def streamingContamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val bench = graft.operators.Curation.benchDigests(
+      docs.filter(col("doc_id") % ContamBenchMod === 0),
+      "text", "doc_id", ContamShingleN)
+    val arrivals = spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % ContamBenchMod =!= 0)
+    val hits = graft.operators.Curation.contaminationHits(
+      arrivals, bench, "doc_id", "text", ContamShingleN)
+    val pts = runToMemory(hits, "append", "graft_scontam")
+    graft.operators.Curation
+      .contaminationFromHits(pts, "doc_id", threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Shingle width / benchmark-slice modulus of the decontamination
+    * probes — must match `CurationQueries`' batch constants so the
+    * stream twin shares the batch oracle. */
+  private val ContamShingleN = 5
+  private val ContamBenchMod = 97
+
   /** Output schema of [[semGrowingBatch]]'s per-batch pair frames. */
   private[graft] val SemGrowSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

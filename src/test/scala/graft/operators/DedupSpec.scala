@@ -212,6 +212,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((10L, 11L)))
   }
 
+  test("semDedup: within-cluster dominance keeps the least-centroid-similar copy") {
+    val centroids = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val emb = Seq(
+      (10L, Array(1f, 0.1f, 0f, 0f)),
+      (11L, Array(1f, 0.12f, 0f, 0f)),   // near-dup of 10; LOWER centroid sim → kept
+      (12L, Array(0.9f, -0.4f, 0f, 0f)), // same cluster, under threshold vs 10/11
+      (20L, Array(0f, 1f, 0.1f, 0f)),
+      (21L, Array(0.1f, 1f, 0.1f, 0f)),  // near-dup of 20; lower centroid sim → kept
+      (30L, Array(0f, 0f, 1f, 0.2f)),    // identical pair: centroid-sim tie …
+      (31L, Array(0f, 0f, 1f, 0.2f)))    // … breaks to the lower id
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, centroids, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(out == Map(10L -> false, 11L -> true, 12L -> true,
+      20L -> false, 21L -> true, 30L -> true, 31L -> false))
+  }
+
+  test("semDedup maxCluster drops oversize clusters, small clusters still dedupe") {
+    val centroids = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val big = (100L until 106L).map(i => (i, Array(1f, 0.01f * (i - 100)))) // 6 rows → cluster 0
+    val small = Seq((200L, Array(0.01f, 1f)), (201L, Array(0.012f, 1f)))
+    val emb = (big ++ small).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, centroids, "vec_id", "embedding",
+        threshold = 0.9, maxCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(200L, 201L), "oversize cluster rows drop from the output")
+    assert(out == Map(200L -> false, 201L -> true)) // 201 is less centroid-similar
+    // uncapped: the clique dedupes to exactly one surviving copy
+    val full = Dedup.semDedup(emb, centroids, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(full.size == 8 && full.count(_._2) == 2,
+      "one survivor per near-dup clique, per cluster")
+  }
+
   test("cross-corpus LSH pairs: only cross edges, consistent with the self-join family") {
     import spark.implicits._
     val docs = graft.Tables.load(spark, Sf0001, "documents")

@@ -53,6 +53,44 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSet == Set(0L, 2L)) // spark docs only
   }
 
+  test("rm3 expansion retrieves a doc sharing NO original query term") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana date"),
+      (2L, "banana date egg"),
+      (3L, "date egg fig"),      // zero overlap with the query text
+      (4L, "grape honey kiwi"),
+      (5L, "lemon mango nut")).toDF("doc_id", "text")
+    val qs = Seq(0 -> "apple banana")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", qs, 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(!plain.contains(3L), "plain BM25 cannot see doc 3")
+    val rm3 = Retrieval.rm3TopK(docs, "doc_id", "text", qs, k = 10,
+      fbDocs = 2, fbTerms = 8, alpha = 0.5)
+    val byDoc = rm3.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byDoc.contains(3L) && byDoc(3L) > 0,
+      "feedback terms (date/egg) must pull in doc 3")
+    // original-term docs still dominate: doc 1 (both query terms + a
+    // feedback term) outranks the expansion-only doc
+    val ranks = rm3.orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ranks.indexOf(1L) < ranks.indexOf(3L))
+  }
+
+  test("rm3 at alpha=1 preserves the plain BM25 ordering of matching docs") {
+    val qs = Seq(0 -> "spark agg", 1 -> "hash join")
+    val plain = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val rm3 = Retrieval.rm3TopK(corpus, "doc_id", "text", qs, k = 10,
+        fbDocs = 2, fbTerms = 4, alpha = 1.0)
+      .filter(col("score") > 0)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(rm3.toSeq == plain.toSeq,
+      "alpha=1 zeroes the feedback leg: same docs, same order")
+  }
+
   test("indexed probe reproduces inline retrieval exactly") {
     val qs = Seq(0 -> "spark window agg", 1 -> "hash join")
     val p = tmp("bm25_idx_eq")

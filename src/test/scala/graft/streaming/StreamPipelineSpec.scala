@@ -99,6 +99,21 @@ class StreamPipelineSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamingContamination equals the batch contamination report") {
+    val streamed = StreamPipeline.streamingContamination(spark, Sf0001)
+      .collect().toSeq
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val sh = graft.operators.Dedup.explodedShingles(docs, "text", "doc_id", 5)
+    val batch = graft.operators.Curation.contamination(
+        sh.filter(col("doc_id") % 97 =!= 0),
+        sh.filter(col("doc_id") % 97 === 0),
+        "doc_id", threshold = 0.5)
+      .filter(col("overlap") > 0)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture must exercise at least one overlap")
+  }
+
   test("cdcApply reduces each micro-batch to last image per key before applying") {
     val dir = Files.createTempDirectory("graft_cdc_src").toString
     val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
