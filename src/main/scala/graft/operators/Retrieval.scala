@@ -271,10 +271,59 @@ object Retrieval {
     val posts = postings(docs, idCol, textCol)
     val qt = queryTerms(spark, queries)
     val (n, sumDl) = corpusStats(docs, textCol)
-
-    // stage 1: plain BM25, top fbDocs per query
     val cand1 = termFilter(posts, qt, distinctTerms(queries))
     val df1 = cand1.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    rm3Core(posts, cand1, df1,
+      ts => posts.join(broadcast(ts), Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df")),
+      qt, n, sumDl, queries, k, fbDocs, fbTerms, alpha)
+  }
+
+  /** RM3 served from the PERSISTED inverted index ([[buildIndexM]]) —
+    * the steady-state shape: both retrieval stages read committed
+    * postings/stats/corpus segments resolved from ONE manifest snapshot
+    * (optionally pinned via `at`), so feedback expansion never touches
+    * lake text. The feedback term-vector read is the postings scan
+    * restricted by a BROADCAST semi-join on the queries×fbDocs winner
+    * ids — the index never shuffles, the classic term-vector lookup of
+    * the production RM3 rerankers. Score-identical to [[rm3TopK]] over
+    * the same corpus (stored df ≡ counted df; spec-pinned). */
+  def rm3ProbeM(
+      spark: SparkSession, root: String,
+      queries: Seq[(Int, String)], k: Int,
+      fbDocs: Int = 3, fbTerms: Int = 8, alpha: Double = 0.5,
+      at: Option[Long] = None): DataFrame = {
+    val snap = at
+      .map(v => IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(IndexManifest.snapshot(spark, root))
+    val posts = IndexManifest.readAt(spark, root, snap, PostingsTable)
+    val stats = IndexManifest.readAt(spark, root, snap, StatsTable)
+    val corpus = IndexManifest.readAt(spark, root, snap, CorpusTable)
+    val qt = queryTerms(spark, queries)
+    val terms = distinctTerms(queries)
+    val c = corpus
+      .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head()
+    val cand1 = termFilter(posts, qt, terms)
+    val df1 = termFilter(stats, qt, terms)
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+    rm3Core(posts, cand1, df1,
+      ts => stats.join(broadcast(ts), Seq("term"))
+        .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df")),
+      qt, c.getLong(0), c.getLong(1), queries, k, fbDocs, fbTerms, alpha)
+  }
+
+  /** The shared two-stage RM3 pipeline over resolved posting frames —
+    * inline and index-served differ only in where stage df stats come
+    * from (`df2Of`: counted from candidate postings inline, summed from
+    * stored stats segments when served — equal by construction). */
+  private def rm3Core(
+      posts: DataFrame, cand1: DataFrame, df1: DataFrame,
+      df2Of: DataFrame => DataFrame,
+      qt: DataFrame, n: Long, sumDl: Long,
+      queries: Seq[(Int, String)], k: Int,
+      fbDocs: Int, fbTerms: Int, alpha: Double): DataFrame = {
+    val spark = posts.sparkSession
+    // stage 1: plain BM25, top fbDocs per query
     val fb = rankTopK(bm25Scored(cand1, df1, qt, n, sumDl), fbDocs)
       .select(col("query_id"), col("doc_id"), col("score"))
 
@@ -312,7 +361,7 @@ object Retrieval {
     // semi-join (the over-cap bm25Probe path), never a driver collect
     val termSet = expanded.select(col("term")).distinct()
     val cand2 = posts.join(broadcast(termSet), Seq("term"))
-    val df2 = cand2.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df2 = df2Of(termSet)
     val contrib = contribExpr(n, sumDl)
     val scored = cand2
       .join(broadcast(expanded), Seq("term"))

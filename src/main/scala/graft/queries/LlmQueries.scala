@@ -77,6 +77,90 @@ object LlmQueries {
   // scale factor, interpolated into both sides.
   private[queries] val Bm25Anchors: Seq[Long] = Seq(0L, 1L, 2L, 3L)
 
+  private lazy val Rm3OracleSql: String = {
+      val qvals = Bm25Queries
+        .flatMap { case (qid, text) =>
+          text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+        }
+        .mkString(", ")
+      val wvals = Bm25Queries
+        .flatMap { case (qid, text) =>
+          val terms = text.split(" ").filter(_.nonEmpty).distinct
+          val w = BigDecimal(0.5 / terms.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          terms.map(t => s"($qid, '$t', $w)")
+        }
+        .mkString(", ")
+      val contribSql =
+        s"""round(
+               ln(1.0 + (c.n::double - df.df + 0.5) / (df.df + 0.5)) *
+               ((tf.tf * ${Retrieval.K1 + 1.0}) /
+                (tf.tf + ${Retrieval.K1} *
+                  (${1.0 - Retrieval.B} + ${Retrieval.B} *
+                    (tf.dl / (c.sumdl::double / c.n))))),
+               6)"""
+      s"""WITH q(query_id, term) AS (VALUES $qvals),
+         qw(query_id, term, wq) AS (VALUES $wvals),
+         toks AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                  unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         c AS (SELECT count(*)::bigint AS n,
+                      sum(len(string_split(text, ' ')))::bigint AS sumdl
+               FROM documents),
+         contrib1 AS (
+           SELECT q.query_id, tf.doc_id,
+             $contribSql::DECIMAL(38,10) AS w
+           FROM q JOIN tf USING (term) JOIN df ON tf.term = df.term, c),
+         scored1 AS (
+           SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
+           FROM contrib1 GROUP BY 1, 2),
+         fb AS (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS r
+           FROM scored1 QUALIFY r <= 3),
+         fbw AS (
+           SELECT fb.query_id, tf.term,
+             round(sum(round(tf.tf / tf.dl * fb.score, 6)
+               ::DECIMAL(38,10))::double, 6) AS fbw
+           FROM fb JOIN tf ON fb.doc_id = tf.doc_id
+           GROUP BY 1, 2),
+         sel AS (
+           SELECT query_id, term, fbw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY fbw DESC, term) AS tr
+           FROM fbw QUALIFY tr <= 8),
+         norm AS (
+           SELECT query_id, term,
+             round(fbw / (sum(fbw::DECIMAL(38,10))
+               OVER (PARTITION BY query_id))::double, 6) AS fbw_n
+           FROM sel),
+         expq AS (
+           SELECT coalesce(qw.query_id, norm.query_id) AS query_id,
+                  coalesce(qw.term, norm.term) AS term,
+                  round(coalesce(qw.wq, 0.0) +
+                        0.5 * coalesce(norm.fbw_n, 0.0), 6) AS w
+           FROM qw FULL OUTER JOIN norm
+             ON qw.query_id = norm.query_id AND qw.term = norm.term),
+         contrib2 AS (
+           SELECT expq.query_id, tf.doc_id,
+             round(expq.w * $contribSql, 6)::DECIMAL(38,10) AS cw
+           FROM expq JOIN tf ON expq.term = tf.term
+           JOIN df ON tf.term = df.term, c),
+         scored2 AS (
+           SELECT query_id, doc_id, round(sum(cw)::double, 6) AS score
+           FROM contrib2 GROUP BY 1, 2)
+         SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+         FROM scored2 QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
+    }
+
   /** DuckDB CTE for the distinct (doc_id, shingle) inverted index — the
     * exact twin of [[Dedup.explodedShingles]] with n=5, over any relation
     * with (doc_id, text). Shared with [[CurationQueries]] (contamination
@@ -1617,6 +1701,25 @@ object LlmQueries {
     "retrieval_rm3" -> q { (s, dir) =>
       Retrieval.rm3TopK(Tables.load(s, dir, "documents"),
           "doc_id", "text", Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // ... and the steady-state SERVE path: both RM3 stages read the
+    // committed inverted-index tables from one manifest snapshot
+    // (build-if-stale, so the timed cost is the two-stage probe) —
+    // feedback expansion without touching lake text. Shares the inline
+    // oracle: stored df ≡ counted df.
+    "retrieval_rm3_served" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("bm25idx_rm3", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        Retrieval.buildIndexM(docs, "doc_id", "text", root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      Retrieval.rm3ProbeM(s, root, Bm25Queries, Bm25K)
         .orderBy("query_id", "rank")
     },
 
@@ -3860,89 +3963,10 @@ object LlmQueries {
     // the expanded-query re-rank reuses the same contrib formula scaled
     // by the interpolated term weight. Original-term weights are
     // pre-rounded literals (the Scala side computes the same values).
-    "retrieval_rm3" -> {
-      val qvals = Bm25Queries
-        .flatMap { case (qid, text) =>
-          text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
-        }
-        .mkString(", ")
-      val wvals = Bm25Queries
-        .flatMap { case (qid, text) =>
-          val terms = text.split(" ").filter(_.nonEmpty).distinct
-          val w = BigDecimal(0.5 / terms.length)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          terms.map(t => s"($qid, '$t', $w)")
-        }
-        .mkString(", ")
-      val contribSql =
-        s"""round(
-               ln(1.0 + (c.n::double - df.df + 0.5) / (df.df + 0.5)) *
-               ((tf.tf * ${Retrieval.K1 + 1.0}) /
-                (tf.tf + ${Retrieval.K1} *
-                  (${1.0 - Retrieval.B} + ${Retrieval.B} *
-                    (tf.dl / (c.sumdl::double / c.n))))),
-               6)"""
-      s"""WITH q(query_id, term) AS (VALUES $qvals),
-         qw(query_id, term, wq) AS (VALUES $wvals),
-         toks AS (
-           SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                  unnest(string_split(text, ' ')) AS term
-           FROM documents),
-         tf AS (
-           SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
-           FROM toks WHERE term <> '' GROUP BY 1, 2),
-         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         c AS (SELECT count(*)::bigint AS n,
-                      sum(len(string_split(text, ' ')))::bigint AS sumdl
-               FROM documents),
-         contrib1 AS (
-           SELECT q.query_id, tf.doc_id,
-             $contribSql::DECIMAL(38,10) AS w
-           FROM q JOIN tf USING (term) JOIN df ON tf.term = df.term, c),
-         scored1 AS (
-           SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
-           FROM contrib1 GROUP BY 1, 2),
-         fb AS (
-           SELECT query_id, doc_id, score,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, doc_id) AS r
-           FROM scored1 QUALIFY r <= 3),
-         fbw AS (
-           SELECT fb.query_id, tf.term,
-             round(sum(round(tf.tf / tf.dl * fb.score, 6)
-               ::DECIMAL(38,10))::double, 6) AS fbw
-           FROM fb JOIN tf ON fb.doc_id = tf.doc_id
-           GROUP BY 1, 2),
-         sel AS (
-           SELECT query_id, term, fbw,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY fbw DESC, term) AS tr
-           FROM fbw QUALIFY tr <= 8),
-         norm AS (
-           SELECT query_id, term,
-             round(fbw / (sum(fbw::DECIMAL(38,10))
-               OVER (PARTITION BY query_id))::double, 6) AS fbw_n
-           FROM sel),
-         expq AS (
-           SELECT coalesce(qw.query_id, norm.query_id) AS query_id,
-                  coalesce(qw.term, norm.term) AS term,
-                  round(coalesce(qw.wq, 0.0) +
-                        0.5 * coalesce(norm.fbw_n, 0.0), 6) AS w
-           FROM qw FULL OUTER JOIN norm
-             ON qw.query_id = norm.query_id AND qw.term = norm.term),
-         contrib2 AS (
-           SELECT expq.query_id, tf.doc_id,
-             round(expq.w * $contribSql, 6)::DECIMAL(38,10) AS cw
-           FROM expq JOIN tf ON expq.term = tf.term
-           JOIN df ON tf.term = df.term, c),
-         scored2 AS (
-           SELECT query_id, doc_id, round(sum(cw)::double, 6) AS score
-           FROM contrib2 GROUP BY 1, 2)
-         SELECT query_id, doc_id, score,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, doc_id) AS rank
-         FROM scored2 QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
-    },
+    // The served twin shares it: stored df ≡ counted df.
+    "retrieval_rm3" -> Rm3OracleSql,
+    "retrieval_rm3_served" -> Rm3OracleSql,
+
 
     "text_bm25_negatives" -> {
       val ids = Bm25Anchors.mkString(", ")

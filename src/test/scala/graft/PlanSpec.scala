@@ -158,6 +158,38 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale anti-patterns crept in:\n${offenders.mkString("\n")}")
   }
 
+  test("semdedup: kernel assignment pre-checkpoint; pair join keys on cluster, no cross product") {
+    // the registry query materializes the assigned frame (localCheckpoint
+    // before the self-join), so the kernel is pinned on the assignment
+    // stage it actually runs in, and the final plan on the join tail
+    val emb = graft.Tables.load(spark, Sf0001, "embeddings")
+    val cen = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
+    val assignP = graft.operators.Similarity
+      .assignClusters(emb, cen, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(assignP.contains("graft_nearest_centroid"), "kernel assignment missing")
+    assert(!assignP.contains("Exchange"), "assignment must be a zero-shuffle projection")
+    val p = plan("dedup_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "pair expansion must key on cluster, never cross-join")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("rm3: feedback frames broadcast, ranking on the bounded-heap node") {
+    val p = plan("retrieval_rm3")
+    assert(p.contains("TopKPerKey"), "native bounded-heap node missing")
+    assert(p.contains("BroadcastHashJoin"), "query/feedback frames must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the only sort-merge joins allowed are over the queries×terms
+    // interpolation frames (full-outer CANNOT broadcast); the
+    // corpus-sized postings must never be one — every SMJ must key on
+    // (query_id, term), the expanded-query grain
+    val smjKeys = "SortMergeJoin \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(smjKeys.forall(k => k.contains("query_id") && k.contains("term")),
+      s"corpus-sized SMJ crept in: $smjKeys")
+  }
+
   test("top-ngrams: map-side combined count feeding the bounded-heap node, no tail sort") {
     val p = plan("text_top_ngrams")
     assert(p.contains("TopKPerKey"), "native bounded-heap node missing")

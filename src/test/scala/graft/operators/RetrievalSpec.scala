@@ -77,6 +77,24 @@ class RetrievalSpec extends SparkSpec {
     assert(ranks.indexOf(1L) < ranks.indexOf(3L))
   }
 
+  test("rm3 served from the persisted index ≡ the inline two-stage ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana date"),
+      (2L, "banana date egg"),
+      (3L, "date egg fig"),
+      (4L, "grape honey kiwi")).toDF("doc_id", "text")
+    val qs = Seq(0 -> "apple banana", 1 -> "egg fig")
+    val root = tmp(s"rm3_srv_${System.nanoTime()}")
+    Retrieval.buildIndexM(docs, "doc_id", "text", root)
+    val inline = Retrieval.rm3TopK(docs, "doc_id", "text", qs, k = 10,
+      fbDocs = 2, fbTerms = 8, alpha = 0.5).orderBy("query_id", "rank")
+    val served = Retrieval.rm3ProbeM(spark, root, qs, k = 10,
+      fbDocs = 2, fbTerms = 8, alpha = 0.5).orderBy("query_id", "rank")
+    assert(served.collect().toSeq == inline.collect().toSeq)
+  }
+
   test("rm3 at alpha=1 preserves the plain BM25 ordering of matching docs") {
     val qs = Seq(0 -> "spark agg", 1 -> "hash join")
     val plain = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, 10)
