@@ -316,5 +316,10 @@ object SparkEntry {
     // header parse over every payload) and the DSIR selection pair
     // (histogram + broadcast log-ratio scoring; Gumbel-top-k draw)
     "multimodal_av_headers", "curation_importance_weights",
-    "curation_importance_resample")
+    "curation_importance_resample",
+    // round 15b — the two-stage feedback retrieval SERVE path (RM3 over
+    // the committed inverted index: the steady-state expansion cost)
+    // and cluster-scoped semantic dedup (kernel assignment + capped
+    // within-cluster dominance screen)
+    "retrieval_rm3_served", "dedup_semdedup")
 }

@@ -349,16 +349,27 @@ object Retrieval {
 
     // interpolate with the original query: each original term carries
     // alpha/|q| (pre-rounded driver-side so both engines read the same
-    // literal), feedback terms carry (1-alpha)·fbw_n
+    // literal), feedback terms carry (1-alpha)·fbw_n. The interpolation
+    // runs in EXACT DECIMAL: wq + (1-α)·fbw_n is an exact ≤8-dp decimal
+    // whose 7th digit is 5 half the time (whenever fbw_n's 6th digit is
+    // odd at α = ½) — a double round there is engine-dependent on
+    // every such tie, so the one rounding happens on the exact decimal,
+    // where HALF_UP ties agree across engines by definition.
     val origW = originalTermWeights(spark, queries, alpha)
+    val oneMinusAlpha = lit(java.math.BigDecimal.valueOf(1.0 - alpha))
     val expanded = origW.join(norm, Seq("query_id", "term"), "full_outer")
       .select(col("query_id"), col("term"),
-        round(coalesce(col("wq"), lit(0.0)) +
-          lit(1.0 - alpha) * coalesce(col("fbw_n"), lit(0.0)), 6).as("w"))
+        round(coalesce(col("wq"), lit(0.0)).cast("decimal(18,9)") +
+          oneMinusAlpha *
+            coalesce(col("fbw_n"), lit(0.0)).cast("decimal(18,9)"), 6)
+          .as("w"))
 
     // stage 2: re-rank under the expanded weighted query; the expanded
     // term set is data-derived, so the restriction is the broadcast
-    // semi-join (the over-cap bm25Probe path), never a driver collect
+    // semi-join (the over-cap bm25Probe path), never a driver collect.
+    // The weighted per-term products multiply as exact decimals (6-dp ×
+    // 6-dp = exact 12-dp — a pre-round at the 12-dp half would again be
+    // an engine coin flip), sum exactly, and round ONCE at the end.
     val termSet = expanded.select(col("term")).distinct()
     val cand2 = posts.join(broadcast(termSet), Seq("term"))
     val df2 = df2Of(termSet)
@@ -367,9 +378,10 @@ object Retrieval {
       .join(broadcast(expanded), Seq("term"))
       .join(broadcast(df2), Seq("term"))
       .select(col("query_id"), col("doc_id"),
-        round(col("w") * contrib, 6).cast("decimal(38,10)").as("c"))
+        (col("w").cast("decimal(18,9)") *
+          contrib.cast("decimal(18,9)")).as("c"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+      .agg(round(sum(col("c")), 6).cast("double").as("score"))
     rankTopK(scored, k)
   }
 

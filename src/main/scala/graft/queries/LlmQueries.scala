@@ -141,19 +141,27 @@ object LlmQueries {
                OVER (PARTITION BY query_id))::double, 6) AS fbw_n
            FROM sel),
          expq AS (
+           -- exact-decimal interpolation: wq + (1-alpha)*fbw_n is an
+           -- exact <=8-dp decimal whose 7th digit ties on 5 half the
+           -- time; the single round runs on the exact decimal (ties
+           -- away from zero in both engines), never on a double
            SELECT coalesce(qw.query_id, norm.query_id) AS query_id,
                   coalesce(qw.term, norm.term) AS term,
-                  round(coalesce(qw.wq, 0.0) +
-                        0.5 * coalesce(norm.fbw_n, 0.0), 6) AS w
+                  round(coalesce(qw.wq, 0.0)::DECIMAL(18,9) +
+                        0.5 * coalesce(norm.fbw_n, 0.0)::DECIMAL(18,9),
+                        6) AS w
            FROM qw FULL OUTER JOIN norm
              ON qw.query_id = norm.query_id AND qw.term = norm.term),
          contrib2 AS (
+           -- exact 12-dp decimal products, summed exactly, ONE final
+           -- round (a 6-dp pre-round of the product would coin-flip on
+           -- 12-dp halves)
            SELECT expq.query_id, tf.doc_id,
-             round(expq.w * $contribSql, 6)::DECIMAL(38,10) AS cw
+             (expq.w::DECIMAL(18,9) * ($contribSql)::DECIMAL(18,9)) AS cw
            FROM expq JOIN tf ON expq.term = tf.term
            JOIN df ON tf.term = df.term, c),
          scored2 AS (
-           SELECT query_id, doc_id, round(sum(cw)::double, 6) AS score
+           SELECT query_id, doc_id, round(sum(cw), 6)::double AS score
            FROM contrib2 GROUP BY 1, 2)
          SELECT query_id, doc_id, score,
            row_number() OVER (PARTITION BY query_id
@@ -509,6 +517,19 @@ object LlmQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") % 100 === 0)
       Dedup.semDedup(emb, centroids, "vec_id", "embedding", threshold = 0.3)
+        .orderBy("vec_id")
+    },
+
+    // ... and with ACTUAL k-means centroids — the paper's own recipe
+    // end to end: one Lloyd refinement from the deterministic init
+    // (the sim_ivf_trained machinery, oracle-replayed exactly), then
+    // the same within-cluster dominance screen over the trained
+    // partition.
+    "dedup_semdedup_trained" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val init = emb.filter(col("vec_id") % 100 === 0)
+      val trained = Similarity.lloydCentroids(emb, init, "vec_id", "embedding", iters = 1)
+      Dedup.semDedup(emb, trained, "vec_id", "embedding", threshold = 0.3)
         .orderBy("vec_id")
     },
 
@@ -1723,6 +1744,22 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Release-pinned RM3 time travel: v1 indexes the even docs, HEAD
+    // appends the odd half; the probe pinned at v1 must run BOTH RM3
+    // stages — feedback selection AND the expanded re-rank — against
+    // the pinned postings and the pinned corpus statistics, replaying
+    // the exact expansion a release shipped with.
+    "retrieval_rm3_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("rm3pin", dir)
+      val v1 = Retrieval.buildIndexM(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      Retrieval.appendIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", root)
+      Retrieval.rm3ProbeM(s, root, Bm25Queries, Bm25K, at = Some(v1))
+        .orderBy("query_id", "rank")
+    },
+
     // Release-pinned BM25 time travel: v1 indexes only the even docs;
     // HEAD appends the odd half; the probe pinned at v1 must rank with
     // the pinned postings AND the pinned corpus statistics (idf/avgdl
@@ -2443,6 +2480,59 @@ object LlmQueries {
       """WITH cen AS (
            SELECT vec_id AS centroid_id, embedding AS cemb
            FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         c AS (
+           SELECT a.vec_id, a.embedding, a.cluster,
+             round(list_dot_product(a.embedding::double[], cn.cemb::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(cn.cemb::double[], cn.cemb::double[]))), 6) AS centroid_sim
+           FROM (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1) a
+           JOIN cen cn ON a.cluster = cn.centroid_id),
+         dominated AS (
+           SELECT DISTINCT a.vec_id FROM c a JOIN c b
+             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+            AND round(list_dot_product(a.embedding::double[], b.embedding::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))), 6) >= 0.3
+            AND (b.centroid_sim < a.centroid_sim OR
+                 (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id)))
+         SELECT c.vec_id, c.cluster, c.centroid_sim,
+                (d.vec_id IS NULL) AS keep
+         FROM c LEFT JOIN dominated d ON c.vec_id = d.vec_id
+         ORDER BY c.vec_id""",
+
+    // trained twin: one Lloyd round (sim_ivf_trained's cen0→cen1 chain
+    // verbatim) supplies the centroid set; the dominance tail is
+    // dedup_semdedup's, re-run over the trained partition
+    "dedup_semdedup_trained" ->
+      """WITH cen0 AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign0 AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen0),
+         pos0 AS (
+           SELECT cluster, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM assign0 WHERE crn = 1),
+         cen AS (
+           SELECT cluster AS centroid_id, list(m ORDER BY pos) AS cemb
+           FROM (SELECT cluster, pos,
+                        round(sum(v::decimal(38,10))::double / count(*), 6)::float AS m
+                 FROM pos0 GROUP BY cluster, pos)
+           GROUP BY cluster),
          assign AS (
            SELECT e.vec_id, e.embedding, centroid_id AS cluster,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -4167,6 +4257,10 @@ object LlmQueries {
       // the v1-pinned probe ranks with the even half's postings AND its
       // corpus statistics — both document scans restricted
       ("text_bm25_pinned" -> baseOracles("text_bm25_topk").replace(
+        "FROM documents)", "FROM documents WHERE doc_id % 2 = 0)")) +
+      // the v1-pinned RM3 probe runs both stages against the even
+      // half's postings and corpus statistics — same restriction
+      ("retrieval_rm3_pinned" -> Rm3OracleSql.replace(
         "FROM documents)", "FROM documents WHERE doc_id % 2 = 0)")) +
       ("text_bm25_index_append" -> baseOracles("text_bm25_topk")) +
       // compaction is probe-preserving by contract, so the compacted

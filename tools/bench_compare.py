@@ -25,6 +25,17 @@ skewing a median, not a plan change (round 14: five median-flagged
 regressions up to 2.44x all evaporated on a clean re-run; every one had
 minima inside threshold). Such flags are reported as SUSPECT, not
 counted in the verdict.
+
+CANARY DRIFT: normalization only divides load out if the canary priced
+the same machine state in both artifacts. When the canary FLOOR itself
+moved more than CANARY_DRIFT between the runs (round 15: a clean run's
+canary came in ~30% under a noisier prior run, inflating every
+normalized ratio by exactly that factor), canary-units from the two
+artifacts are not the same unit. Under drift a flag must ALSO reproduce
+on RAW medians past the threshold: a true plan regression shows in both
+scales; a canary-level shift shows only in the normalized one; a whole-
+host slowdown shows only in the raw one. Flags failing the raw gate are
+reported CANARY-DRIFT and excluded from the verdict.
 """
 import json
 import sys
@@ -59,6 +70,16 @@ def normalized_minima(artifact):
     return out
 
 
+CANARY_DRIFT = 1.2
+
+
+def canary_floor(artifact):
+    """The cleanest canary reading of the run — its capacity price."""
+    series = artifact.get("canary", {}).get("series", [])
+    secs = [p.get("sec", 0.0) for p in series if p.get("sec", 0.0) > 0]
+    return min(secs) if secs else 0.0
+
+
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
@@ -74,6 +95,16 @@ def main():
         n_new = {k: v for k, v in new.get("queries", {}).items() if v > 0}
         shared = sorted(set(n_old) & set(n_new))
     m_old, m_new = normalized_minima(old), normalized_minima(new)
+    cf_old, cf_new = canary_floor(old), canary_floor(new)
+    drift = (cf_old > 0 and cf_new > 0 and
+             (cf_old / cf_new > CANARY_DRIFT or cf_new / cf_old > CANARY_DRIFT))
+    if drift:
+        print(f"canary floor moved {cf_old:.3f}s -> {cf_new:.3f}s "
+              f"(ratio {cf_new / cf_old:.2f}): artifacts price capacity in "
+              "different canary-units — flags must also reproduce on RAW "
+              "medians")
+    raw_old = old.get("queries", {})
+    raw_new = new.get("queries", {})
     moved = []
     for name in shared:
         r = n_new[name] / n_old[name] if n_old[name] > 0 else float("inf")
@@ -85,6 +116,14 @@ def main():
                 and m_new[name] / m_old[name] <= threshold):
             tag = (" SUSPECT (minima ratio "
                    f"{m_new[name] / m_old[name]:.2f} inside threshold)")
+        # drift gate: under canary drift the normalization baseline is
+        # incomparable — a clean regression must show in raw seconds too
+        if (not tag and r > threshold and drift
+                and raw_old.get(name, 0) > 0
+                and raw_new.get(name, 0) / raw_old[name] <= threshold):
+            tag = (" CANARY-DRIFT (raw ratio "
+                   f"{raw_new.get(name, 0) / raw_old[name]:.2f} inside "
+                   "threshold)")
         if r > threshold or r < 1.0 / threshold:
             moved.append((r, name, tag))
     for r, name, tag in sorted(moved, reverse=True):
