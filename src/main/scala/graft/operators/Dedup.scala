@@ -366,32 +366,69 @@ object Dedup {
       shingled: DataFrame,
       idCol: String,
       threshold: Double,
-      maxDocFreq: Long = 1000L): DataFrame = {
-    // Materialize the inverted index once, then annotate with AGGREGATES,
-    // not windows: a Window.partitionBy(shingle) would drag every row of a
-    // hot shingle onto one task BEFORE the maxDocFreq guard could drop it —
-    // the skew guard itself would be skew-vulnerable. groupBy gets map-side
-    // partial counts, so a ubiquitous shingle ships one partial per task.
-    // The over-frequency shingle set is tiny by construction (they are the
-    // ubiquitous ones) → broadcast anti-join, no extra shuffle of the index.
-    // Per-doc size is computed BEFORE the stop-shingle cut, like the oracle.
+      maxDocFreq: Long = 1000L): DataFrame =
+    shingleIntersections(shingled, idCol, maxDocFreq)
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (col("__sz_a") + col("__sz_b") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Exact n-gram CONTAINMENT pairs — Broder's asymmetric coefficient
+    * |A∩B| / |A|: the near-dup modality Jaccard structurally misses
+    * when sizes differ (a paragraph quoted inside a 100× larger doc has
+    * Jaccard ≈ 0.01 but containment ≈ 1.0 in the small doc — the
+    * quote / partial-copy / boilerplate-superset shape a training
+    * corpus screens for). Emits both directions per unordered pair
+    * (`cont_a` = share of A's shingles found in B, `cont_b` the
+    * reverse); a pair survives when EITHER direction reaches
+    * `threshold`. Same inverted-index core, caps, and shuffle budget
+    * as [[ngramJaccardPairs]] — the formula is the only difference. */
+  def containmentPairs(
+      shingled: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxDocFreq: Long = 1000L): DataFrame =
+    shingleIntersections(shingled, idCol, maxDocFreq)
+      .withColumn("cont_a",
+        col("__inter").cast("double") / col("__sz_a").cast("double"))
+      .withColumn("cont_b",
+        col("__inter").cast("double") / col("__sz_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
+
+  /** Shared core of the exact set-similarity family: candidate pairs
+    * sharing ≥1 shingle, annotated with intersection and both set
+    * sizes — `(id_a, id_b, __inter, __sz_a, __sz_b)`, id_a < id_b.
+    *
+    * Materialize the inverted index once, then annotate with AGGREGATES,
+    * not windows: a Window.partitionBy(shingle) would drag every row of a
+    * hot shingle onto one task BEFORE the maxDocFreq guard could drop it —
+    * the skew guard itself would be skew-vulnerable. groupBy gets map-side
+    * partial counts, so a ubiquitous shingle ships one partial per task.
+    * The over-frequency shingle set is tiny by construction (they are the
+    * ubiquitous ones) → broadcast anti-join, no extra shuffle of the index.
+    * Per-doc size is computed BEFORE the stop-shingle cut, like the oracle.
+    *
+    * Intersections via per-shingle pair expansion (the lshCandidates
+    * shape), not a self-join: the join keyed every posting list to one
+    * reducer anyway, so collect_list has the same parallelism but scans
+    * the index once and builds no hash table. Posting lists are bounded
+    * by maxDocFreq, which caps the quadratic term per LIST — and the
+    * two-level [[spreadOrderedPairs]] expansion spreads each list's
+    * quadratic term across the cluster, so a corpus dense in
+    * near-cap-frequency shingles (the boilerplate-clique skew shape)
+    * no longer concentrates m²/2-pair explosions on whichever tasks
+    * own the hot shingles. Doc sizes join AFTER the pair aggregate —
+    * against |candidate pairs| rows, not every index row (the old
+    * shape dragged __sz through the explosion). */
+  private def shingleIntersections(
+      shingled: DataFrame, idCol: String, maxDocFreq: Long): DataFrame = {
     val idx = shingled.localCheckpoint()
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val hot = idx.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDocFreq)
       .select(col("shingle"))
-    // Intersections via per-shingle pair expansion (the lshCandidates
-    // shape), not a self-join: the join keyed every posting list to one
-    // reducer anyway, so collect_list has the same parallelism but scans
-    // the index once and builds no hash table. Posting lists are bounded
-    // by maxDocFreq, which caps the quadratic term per LIST — and the
-    // two-level [[spreadOrderedPairs]] expansion spreads each list's
-    // quadratic term across the cluster, so a corpus dense in
-    // near-cap-frequency shingles (the boilerplate-clique skew shape)
-    // no longer concentrates m²/2-pair explosions on whichever tasks
-    // own the hot shingles. Doc sizes join AFTER the pair aggregate —
-    // against |candidate pairs| rows, not every index row (the old
-    // shape dragged __sz through the explosion).
     val lists = idx
       .join(broadcast(hot), Seq("shingle"), "left_anti")
       .groupBy(col("shingle"))
@@ -409,11 +446,6 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sz_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("__inter").cast("double") /
-          (col("__sz_a") + col("__sz_b") - col("__inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash signatures computed the scale-friendly way: explode tokens →

@@ -463,6 +463,19 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Asymmetric CONTAINMENT pairs (|A∩B|/|A|) over the same inverted
+    // index — the quote/partial-copy modality: a passage embedded in a
+    // much larger doc scores near-zero Jaccard but ~1.0 containment in
+    // the smaller side. Same caps and shuffle budget as dedup_jaccard.
+    "dedup_containment" -> q { (s, dir) =>
+      val sh = Dedup.digestShingles(Tables.load(s, dir, "documents"),
+        "text", "doc_id", ShingleN)
+      Dedup.containmentPairs(sh, "doc_id", threshold = 0.5, maxDocFreq = 1000L)
+        .withColumn("cont_a", round(col("cont_a"), 6))
+        .withColumn("cont_b", round(col("cont_b"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
     // Duplicate clusters: connected components over the LSH candidate
     // graph, every doc labeled with its canonical (min-id) representative.
     "dedup_clusters" -> q { (s, dir) =>
@@ -2382,6 +2395,32 @@ object LlmQueries {
          JOIN sizes sa ON sa.doc_id = id_a
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE i::double / (sa.sz + sb.sz - i) >= 0.1
+         ORDER BY id_a, id_b""",
+
+    // containment: same dig/sizes/keep/inter chain, asymmetric formula,
+    // a pair survives when EITHER direction reaches the threshold
+    "dedup_containment" ->
+      s"""WITH $ShinglesCte,
+         dig AS (
+           SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+           FROM shingled),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM dig GROUP BY doc_id),
+         keep AS (
+           SELECT sh FROM dig GROUP BY sh
+           HAVING count(*) <= 1000),
+         f AS (SELECT d.doc_id, d.sh FROM dig d JOIN keep k USING (sh)),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(i::double / sa.sz, 6) AS cont_a,
+           round(i::double / sb.sz, 6) AS cont_b
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE greatest(i::double / sa.sz, i::double / sb.sz) >= 0.5
          ORDER BY id_a, id_b""",
 
     "dedup_clusters" ->

@@ -212,6 +212,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((10L, 11L)))
   }
 
+  test("containment finds the quote-in-larger-doc pair that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val pair = Seq((0L, small), (1L, s"$small $filler"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.digestShingles(pair, "text", "doc_id", 3)
+    // every one of doc 0's shingles appears in doc 1 → containment 1.0
+    // in the small side; sizes differ ~6x → Jaccard stays low
+    val jac = Dedup.ngramJaccardPairs(sh, "doc_id", threshold = 0.5)
+    assert(jac.count() == 0, "Jaccard at 0.5 must miss the asymmetric pair")
+    val cont = Dedup.containmentPairs(sh, "doc_id", threshold = 0.9)
+      .collect()
+    assert(cont.length == 1)
+    assert(cont(0).getLong(0) == 0L && cont(0).getLong(1) == 1L)
+    assert(cont(0).getDouble(2) == 1.0, "doc 0 fully contained in doc 1")
+    assert(cont(0).getDouble(3) < 0.5)
+    // symmetric near-dups still surface in both measures
+    val both = Seq((0L, small), (1L, small + " omega"))
+      .toDF("doc_id", "text")
+    val sh2 = Dedup.digestShingles(both, "text", "doc_id", 3)
+    assert(Dedup.ngramJaccardPairs(sh2, "doc_id", 0.5).count() == 1)
+    assert(Dedup.containmentPairs(sh2, "doc_id", 0.5).count() == 1)
+  }
+
   test("semDedup: within-cluster dominance keeps the least-centroid-similar copy") {
     val centroids = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
@@ -248,6 +272,44 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
     assert(full.size == 8 && full.count(_._2) == 2,
       "one survivor per near-dup clique, per cluster")
+  }
+
+  test("semDedup matches a driver-side brute-force reference on the synthetic embeddings") {
+    val emb = graft.Tables.load(spark, Sf0001, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 100 === 0)
+    val got = Dedup.semDedup(emb, centroids, "vec_id", "embedding", threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = vecs.keys.filter(_ % 100 == 0).toSeq.sorted
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // same rules, straight-line: argmax assignment (rounded cosine desc,
+    // centroid id asc), then pairwise dominance on (csim asc, id asc)
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map(c => (c, r6(cos(v, vecs(c))))).maxBy { case (c, s) => (s, -c.toDouble) }
+    }
+    val want = vecs.keys.map { id =>
+      val (cl, csim) = assign(id)
+      val dominated = vecs.keys.exists { other =>
+        other != id && assign(other)._1 == cl &&
+          r6(cos(vecs(id), vecs(other))) >= 0.3 && {
+            val (_, osim) = assign(other)
+            osim < csim || (osim == csim && other < id)
+          }
+      }
+      id -> ((cl, !dominated))
+    }.toMap
+    assert(got == want)
+    assert(got.values.count(!_._2) > 0, "fixture must exercise removals")
   }
 
   test("cross-corpus LSH pairs: only cross edges, consistent with the self-join family") {
