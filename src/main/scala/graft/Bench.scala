@@ -216,12 +216,32 @@ object Bench {
         s""""canary":{"contended":$contended,$dirty},""" +
         s""""errors":$errors,"sf":"$sfDir"}"""
     // a heavily-contaminated run's name list could itself outgrow the
-    // window — degrade it to a count (full list is in the file artifact)
+    // window — degrade it to a count (full list is in the file artifact).
+    // The count fallback must be re-checked too: the queries map alone
+    // grows ~25 chars per bench query, so around ~70 queries BOTH
+    // variants outgrow the window and the parsed:null bug silently
+    // returns — degrade once more to a medians-free summary line (total
+    // + canary + errors always fits; the medians live in the file
+    // artifact) and say so on stderr.
     val compactFull =
       compactWith(s""""contaminated_queries":${contaminated.mkString("[", ",", "]")}""")
+    val compactCount =
+      compactWith(s""""contaminated_count":${contaminated.length}""")
     val compact =
       if (compactFull.length <= 1800) compactFull
-      else compactWith(s""""contaminated_count":${contaminated.length}""")
+      else if (compactCount.length <= 1800) compactCount
+      else {
+        System.err.println(
+          s"[bench] compact line ${compactCount.length} chars exceeds the " +
+            "capture window even without the contamination list — emitting " +
+            "the medians-free summary; per-query medians are in the file " +
+            "artifact only")
+        f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+          s""""queries_omitted":${results.length},""" +
+          s""""canary":{"contended":$contended,""" +
+          s""""contaminated_count":${contaminated.length}},""" +
+          s""""errors":$errors,"sf":"$sfDir"}"""
+      }
     // Persist the identical FULL line to a file in the working directory
     // so the complete artifact (raw reps, canary series, skew section)
     // survives regardless of capture window. Best-effort: a read-only

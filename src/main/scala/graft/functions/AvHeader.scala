@@ -126,7 +126,11 @@ object AvHeaderKernel {
       if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
         val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
           ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-        off = 10 + sz
+        // flags byte 5 bit 0x10 = ID3v2.4 footer: 10 more bytes after
+        // the tag body that the syncsafe size does NOT cover — without
+        // this, a legal footered file lands on the '3DI' marker and is
+        // NULL-classified
+        off = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0)
       }
       if ((off > 0 || ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)) &&
           off + 4 <= b.length &&

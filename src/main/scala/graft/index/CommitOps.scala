@@ -226,26 +226,38 @@ object CommitOps {
     java.util.Arrays.equals(got, body)
   }
 
-  object S3AConditional extends CommitOps {
-    def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean = {
-      fs.mkdirs(path.getParent)
-      try {
-        val out = fs.createFile(path)
-          .overwrite(false)
-          .must(org.apache.hadoop.fs.Options.CreateFileOptionKeys
-            .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE, false)
-          .build()
-        try out.write(body) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException =>
-          // the conditional PUT rejects at close (HTTP 412). Lost race
-          // only if the object there is someone else's; our own
-          // landed-but-response-lost PUT is a win (see ownPutLanded).
-          ownPutLanded(fs, path, body, e)
-      }
+  /** Shared create-iff-absent body of the three object-store bindings:
+    * no-overwrite createFile (each store's driver maps it to its native
+    * conditional create), with the close-time adjudication in ONE place
+    * — a store may not commit the upload until `close()`, so an
+    * IOException there is a lost race only when the winning object is
+    * verifiably someone else's ([[ownPutLanded]]); a fix to this
+    * contract lands in every binding at once. `configure` threads
+    * binding-specific builder options (S3A's conditional-overwrite
+    * must-flag). */
+  private def conditionalCreate(
+      fs: FileSystem, path: Path, body: Array[Byte],
+      s3aConditionalMust: Boolean = false): Boolean = {
+    fs.mkdirs(path.getParent)
+    try {
+      val out: org.apache.hadoop.fs.FSDataOutputStream =
+        if (s3aConditionalMust)
+          fs.createFile(path).overwrite(false)
+            .must(org.apache.hadoop.fs.Options.CreateFileOptionKeys
+              .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE, false)
+            .build()
+        else fs.createFile(path).overwrite(false).build()
+      try out.write(body) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException => ownPutLanded(fs, path, body, e)
     }
+  }
+
+  object S3AConditional extends CommitOps {
+    def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean =
+      conditionalCreate(fs, path, body, s3aConditionalMust = true)
   }
 
   /** GCS binding: the connector's `create(overwrite = false)` performs a
@@ -265,17 +277,8 @@ object CommitOps {
     * protocol itself is proven against the adversarial simulated store
     * via [[ConditionalPut]]. */
   object GcsConditional extends CommitOps {
-    def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean = {
-      fs.mkdirs(path.getParent)
-      try {
-        val out = fs.createFile(path).overwrite(false).build()
-        try out.write(body) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException => ownPutLanded(fs, path, body, e)
-      }
-    }
+    def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean =
+      conditionalCreate(fs, path, body)
   }
 
   /** ABFS (ADLS Gen2) binding for HIERARCHICAL-NAMESPACE accounts: the
@@ -295,17 +298,8 @@ object CommitOps {
     * protocol itself is proven against the adversarial simulated store
     * via [[ConditionalPut]]. */
   object AbfsConditional extends CommitOps {
-    def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean = {
-      fs.mkdirs(path.getParent)
-      try {
-        val out = fs.createFile(path).overwrite(false).build()
-        try out.write(body) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException => ownPutLanded(fs, path, body, e)
-      }
-    }
+    def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte]): Boolean =
+      conditionalCreate(fs, path, body)
   }
 
   /** Adapter for object stores exposing a conditional PUT. `put` must

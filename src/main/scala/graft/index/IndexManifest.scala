@@ -300,6 +300,13 @@ object IndexManifest {
         s"manifest meta keys starting with '__' are reserved: $k")
       require(!(k + v).exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"manifest meta must be tab/newline-free: $k -> $v")
+      // ',' is the __explicit marker's separator: a key containing it
+      // would round-trip as SEVERAL explicit keys — and a phantom
+      // "stream_batch" there could satisfy reconstructPreBatch's
+      // head-is-own-append guard on a version that never stamped a
+      // watermark (the silent self-match that guard exists to prevent)
+      require(!k.contains(","),
+        s"manifest meta keys must be comma-free: $k")
     }
     for (t <- tables.keys) {
       require(t.nonEmpty && !t.startsWith("!"),

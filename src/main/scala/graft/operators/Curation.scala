@@ -216,16 +216,25 @@ object Curation {
       buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    lrFromHistogram(
+      df.select(isTarget.as("__t"),
+          explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .select(col("__t"),
+          pmod(TextAnalysis.tokenHash60Native(col("__tok")),
+            lit(buckets.toLong)).cast("int").as("__b"))
+        .groupBy("__b")
+        .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+          sum(when(col("__t"), 0L).otherwise(1L)).as("__rc")),
+      buckets)
+  }
+
+  /** The smoothing/log-ratio tail over a (__b, __tc, __rc) histogram —
+    * one formula shared by the token-stream path and the
+    * pre-counted-doc-buckets path so the arithmetic cannot diverge. */
+  private def lrFromHistogram(hist: DataFrame, buckets: Int): DataFrame = {
     val all = Window.partitionBy(lit(0)).rowsBetween(Long.MinValue, Long.MaxValue)
-    df.select(isTarget.as("__t"),
-        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
-      .filter(col("__tok") =!= "")
-      .select(col("__t"),
-        pmod(TextAnalysis.tokenHash60Native(col("__tok")),
-          lit(buckets.toLong)).cast("int").as("__b"))
-      .groupBy("__b")
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
-        sum(when(col("__t"), 0L).otherwise(1L)).as("__rc"))
+    hist
       .withColumn("__tt", sum(col("__tc")).over(all))
       .withColumn("__rt", sum(col("__rc")).over(all))
       .select(col("__b"),
@@ -247,17 +256,31 @@ object Curation {
       isTarget: Column, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val toks = df
+    // ONE tokenize+hash pass: the token stream collapses to per-
+    // (doc, pool, bucket) integer counts in a single map-side-combined
+    // aggregate, the frame materializes (docs × ≤B rows — orders of
+    // magnitude under the token stream), and BOTH consumers read it:
+    // the B-row histogram re-aggregates the counts (integer sums —
+    // identical to counting tokens directly), and the per-doc weights
+    // are the raw-pool slice joined to the broadcast log-ratio table.
+    // The earlier shape re-ran the full corpus tokenize inside
+    // importanceLogRatios — the heaviest stage, paid twice.
+    val docBuckets = df
       .select(col(idCol), isTarget.as("__t"),
         explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
       .filter(col("__tok") =!= "")
       .select(col(idCol), col("__t"),
         pmod(TextAnalysis.tokenHash60Native(col("__tok")),
           lit(buckets.toLong)).cast("int").as("__b"))
-    val lr = importanceLogRatios(df, textCol, isTarget, buckets)
-      .select("__b", "__lr")
-    toks.filter(!col("__t"))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val lr = lrFromHistogram(
+      docBuckets.groupBy("__b")
+        .agg(sum(when(col("__t"), col("__n")).otherwise(0L)).as("__tc"),
+          sum(when(col("__t"), lit(0L)).otherwise(col("__n"))).as("__rc")),
+      buckets).select("__b", "__lr")
+    docBuckets.filter(!col("__t"))
       .join(broadcast(lr), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum(col("__n")).cast("long").as("n_toks"),

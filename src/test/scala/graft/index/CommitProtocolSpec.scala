@@ -492,6 +492,12 @@ class CommitProtocolSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IndexManifest.commit(spark, root, Map("t" -> Seq(seg)),
         meta = Map("" -> "x")))
+    // ... and a COMMA meta key (the __explicit marker joins explicit
+    // keys with ',': "x,stream_batch" would round-trip as a phantom
+    // stream_batch explicit key on a version that never stamped one)
+    intercept[IllegalArgumentException](
+      IndexManifest.commit(spark, root, Map("t" -> Seq(seg)),
+        meta = Map("x,stream_batch" -> "1")))
     // ... and a table name colliding with the reserved '!' meta prefix
     intercept[IllegalArgumentException](
       IndexManifest.commit(spark, root, Map("!meta" -> Seq(seg))))

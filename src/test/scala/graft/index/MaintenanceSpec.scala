@@ -173,7 +173,20 @@ class MaintenanceSpec extends SparkSpec {
     val after = outRows()
     assert(after == before, s"replay diverged after maintenance: $after")
     assert(IndexManifest.currentVersion(spark, root) == 4L)
-    // a non-growing root is unaffected by the cap
+    // the GROWING root's boundary is its last batch's pre-append version
     assert(Maintenance.growingSafeBoundary(spark, root).contains(2L))
+    // a NON-growing root (no stream watermark anywhere in its version
+    // chain) reports no boundary, so the default retention applies
+    // unmodified: keepLast=1 really does reclaim everything below HEAD
+    val plain = freshRoot("plain")
+    Dedup.buildGramIndexM(lake, "doc_id", "text", 10, plain)           // v1
+    Dedup.appendGramIndexM(b0, "doc_id", "text", 10, plain)            // v2
+    assert(Maintenance.growingSafeBoundary(spark, plain).isEmpty,
+      "a watermark-free root must not report a growing boundary")
+    Maintenance.maintain(spark, plain, orphanGraceMs = 0L, keepLast = 1)
+    val head = IndexManifest.currentVersion(spark, plain)
+    assert(IndexManifest.snapshotAt(spark, plain, head).tables.contains("grams"))
+    intercept[java.io.FileNotFoundException](
+      IndexManifest.snapshotAt(spark, plain, 1L))
   }
 }

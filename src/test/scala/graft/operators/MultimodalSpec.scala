@@ -204,6 +204,13 @@ class MultimodalSpec extends SparkSpec {
     // reserved sample-rate index → null; ID3 prefix with nothing after → null
     assert(avParsed(hx("FFFB 9C 00" + "00" * 40)).isEmpty)
     assert(avParsed(hx("494433 0400 00 0000000A" + "00" * 10)).isEmpty)
+    // ID3v2.4 FOOTER flag (0x10): tag occupies 10 + size + 10 bytes —
+    // the frame header sits past the footer, not at 10 + size
+    val footered = hx("494433 0400 10 0000000A" + "00" * 10 +
+      "334449 0400 10 0000000A" + // the footer ('3DI' + mirrored header)
+      "FFFB 90 00" + "00" * 32 +
+      "58696E67 00000001 00000069")
+    assert(avParsed(footered).contains(("mp3", Some(2), Some(44100), Some(2742L))))
   }
 
   test("av header: FLAC STREAMINFO bit unpack") {
