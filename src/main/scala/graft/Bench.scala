@@ -69,6 +69,45 @@ object Bench {
     readings.exists(_ / floor > threshold)
   }
 
+  /** The driver's stdout capture window (~2000 chars incl. the build
+    * tool's epilogue); every emitted last line must fit under it. */
+  val CaptureWindow = 1800
+
+  /** The COMPACT last-stdout-line: medians + canary summary only, built
+    * pure so the length budget is spec-checkable at the current
+    * registry size. Degradation ladder when the window would overflow:
+    * full contamination name list → contamination count → medians-free
+    * summary (total + canary + errors always fits; per-query medians
+    * then live only in the file artifact) with a stderr warning —
+    * registry growth must never silently reintroduce the parsed:null
+    * truncation bug this line exists to fix. */
+  def compactLine(
+      medians: Seq[(String, Double)], total: Double, contended: Boolean,
+      contaminated: Seq[String], errors: String, sfDir: String): String = {
+    val qsCompact = medians.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    def withDirty(dirty: String) =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact,""" +
+        s""""canary":{"contended":$contended,$dirty},""" +
+        s""""errors":$errors,"sf":"$sfDir"}"""
+    val full =
+      withDirty(s""""contaminated_queries":${contaminated.mkString("[", ",", "]")}""")
+    val counted = withDirty(s""""contaminated_count":${contaminated.length}""")
+    if (full.length <= CaptureWindow) full
+    else if (counted.length <= CaptureWindow) counted
+    else {
+      System.err.println(
+        s"[bench] compact line ${counted.length} chars exceeds the capture " +
+          "window even without the contamination list — emitting the " +
+          "medians-free summary; per-query medians are in the file artifact only")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+        s""""queries_omitted":${medians.length},""" +
+        s""""canary":{"contended":$contended,""" +
+        s""""contaminated_count":${contaminated.length}},""" +
+        s""""errors":$errors,"sf":"$sfDir"}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -209,39 +248,9 @@ object Bench {
     // LAST stdout line, small enough (~1.4 KB for 50 queries at 2
     // decimals) that the whole line survives inside the capture window
     // even with the build tool's own epilogue after it.
-    val qsCompact = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
-    def compactWith(dirty: String) =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact,""" +
-        s""""canary":{"contended":$contended,$dirty},""" +
-        s""""errors":$errors,"sf":"$sfDir"}"""
-    // a heavily-contaminated run's name list could itself outgrow the
-    // window — degrade it to a count (full list is in the file artifact).
-    // The count fallback must be re-checked too: the queries map alone
-    // grows ~25 chars per bench query, so around ~70 queries BOTH
-    // variants outgrow the window and the parsed:null bug silently
-    // returns — degrade once more to a medians-free summary line (total
-    // + canary + errors always fits; the medians live in the file
-    // artifact) and say so on stderr.
-    val compactFull =
-      compactWith(s""""contaminated_queries":${contaminated.mkString("[", ",", "]")}""")
-    val compactCount =
-      compactWith(s""""contaminated_count":${contaminated.length}""")
-    val compact =
-      if (compactFull.length <= 1800) compactFull
-      else if (compactCount.length <= 1800) compactCount
-      else {
-        System.err.println(
-          s"[bench] compact line ${compactCount.length} chars exceeds the " +
-            "capture window even without the contamination list — emitting " +
-            "the medians-free summary; per-query medians are in the file " +
-            "artifact only")
-        f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
-          s""""queries_omitted":${results.length},""" +
-          s""""canary":{"contended":$contended,""" +
-          s""""contaminated_count":${contaminated.length}},""" +
-          s""""errors":$errors,"sf":"$sfDir"}"""
-      }
+    val compact = compactLine(
+      results.map { case (k, v, _, _) => (k, v) },
+      total, contended, contaminated, errors, sfDir)
     // Persist the identical FULL line to a file in the working directory
     // so the complete artifact (raw reps, canary series, skew section)
     // survives regardless of capture window. Best-effort: a read-only
