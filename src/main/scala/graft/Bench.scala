@@ -75,23 +75,33 @@ object Bench {
 
   /** The COMPACT last-stdout-line: medians + canary summary only, built
     * pure so the length budget is spec-checkable at the current
-    * registry size. Degradation ladder when the window would overflow:
-    * full contamination name list → contamination count → medians-free
-    * summary (total + canary + errors always fits; per-query medians
-    * then live only in the file artifact) with a stderr warning —
-    * registry growth must never silently reintroduce the parsed:null
-    * truncation bug this line exists to fix. */
+    * registry size. All name lists arrive RAW and are quoted here (one
+    * quoting contract — a caller hand-quoting would double-quote).
+    * Degradation ladder when the window would overflow: full
+    * contamination name list → contamination count → medians-free
+    * summary → errors degraded to a count too (the terminal rung is a
+    * fixed-size line, so SOMETHING parseable always fits) with a
+    * stderr warning — registry growth must never silently reintroduce
+    * the parsed:null truncation bug this line exists to fix. */
   def compactLine(
       medians: Seq[(String, Double)], total: Double, contended: Boolean,
-      contaminated: Seq[String], errors: String, sfDir: String): String = {
+      contaminated: Seq[String], errorNames: Seq[String],
+      sfDir: String): String = {
     val qsCompact = medians.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    val errorList = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     def withDirty(dirty: String) =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact,""" +
         s""""canary":{"contended":$contended,$dirty},""" +
+        s""""errors":$errorList,"sf":"$sfDir"}"""
+    def summary(errors: String) =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+        s""""queries_omitted":${medians.length},""" +
+        s""""canary":{"contended":$contended,""" +
+        s""""contaminated_count":${contaminated.length}},""" +
         s""""errors":$errors,"sf":"$sfDir"}"""
-    val full =
-      withDirty(s""""contaminated_queries":${contaminated.mkString("[", ",", "]")}""")
+    val full = withDirty(s""""contaminated_queries":${contaminated
+      .map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     val counted = withDirty(s""""contaminated_count":${contaminated.length}""")
     if (full.length <= CaptureWindow) full
     else if (counted.length <= CaptureWindow) counted
@@ -100,11 +110,11 @@ object Bench {
         s"[bench] compact line ${counted.length} chars exceeds the capture " +
           "window even without the contamination list — emitting the " +
           "medians-free summary; per-query medians are in the file artifact only")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
-        s""""queries_omitted":${medians.length},""" +
-        s""""canary":{"contended":$contended,""" +
-        s""""contaminated_count":${contaminated.length}},""" +
-        s""""errors":$errors,"sf":"$sfDir"}"""
+      val withErrors = summary(errorList)
+      // a broken build's error-name list can be registry-sized itself:
+      // the terminal rung degrades it to a count, which always fits
+      if (withErrors.length <= CaptureWindow) withErrors
+      else summary(s"""{"errors_count":${errorNames.length}}""")
     }
   }
 
@@ -198,14 +208,15 @@ object Bench {
     val canaryRatio = if (canaryStart > 0) canaryEnd / canaryStart else 0.0
     val contended = contendedRun(canaryReadings.map(_._2).toSeq)
     val contaminated = benchNames.zipWithIndex.collect {
-      case (name, i) if contaminatedBy(canaryReadings.toSeq, i) => s"\"$name\""
+      case (name, i) if contaminatedBy(canaryReadings.toSeq, i) => name
     }
     val canary =
       f""""canary":{"q1_start":$canaryStart%.3f,"q1_end":$canaryEnd%.3f,""" +
         f""""ratio":$canaryRatio%.2f,"contended":$contended,""" +
         s""""series":${canaryReadings.map { case (at, t) =>
           f"""{"at":$at,"sec":$t%.3f}""" }.mkString("[", ",", "]")},""" +
-        s""""contaminated_queries":${contaminated.mkString("[", ",", "]")}}"""
+        s""""contaminated_queries":${contaminated
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, ts, _) =>
@@ -218,8 +229,8 @@ object Bench {
     val canaryRef = benchNames.zipWithIndex.map { case (k, i) =>
       s"\"" + k + "\":" + f"${nearestCanary(canaryReadings.toSeq, i)}%.3f"
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, false) => s"\"$k\"" }
-      .mkString("[", ",", "]")
+    val errorNames = results.collect { case (k, _, _, false) => k }
+    val errors = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Skew stress: the same operators on a deterministic power-law corpus
     // (one hot key at 20 %, 1/k tail) vs a uniform twin of identical
@@ -250,7 +261,7 @@ object Bench {
     // even with the build tool's own epilogue after it.
     val compact = compactLine(
       results.map { case (k, v, _, _) => (k, v) },
-      total, contended, contaminated, errors, sfDir)
+      total, contended, contaminated, errorNames, sfDir)
     // Persist the identical FULL line to a file in the working directory
     // so the complete artifact (raw reps, canary series, skew section)
     // survives regardless of capture window. Best-effort: a read-only

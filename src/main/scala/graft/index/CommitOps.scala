@@ -232,9 +232,11 @@ object CommitOps {
     * — a store may not commit the upload until `close()`, so an
     * IOException there is a lost race only when the winning object is
     * verifiably someone else's ([[ownPutLanded]]); a fix to this
-    * contract lands in every binding at once. `configure` threads
-    * binding-specific builder options (S3A's conditional-overwrite
-    * must-flag). */
+    * contract lands in every binding at once. `s3aConditionalMust`
+    * additionally asserts S3A's conditional-overwrite capability via
+    * the builder's must-option (the one binding-specific knob; a new
+    * binding needing its own option adds a flag here, keeping the
+    * adjudication path single-bodied). */
   private def conditionalCreate(
       fs: FileSystem, path: Path, body: Array[Byte],
       s3aConditionalMust: Boolean = false): Boolean = {

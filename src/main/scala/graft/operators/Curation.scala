@@ -258,13 +258,15 @@ object Curation {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // ONE tokenize+hash pass: the token stream collapses to per-
     // (doc, pool, bucket) integer counts in a single map-side-combined
-    // aggregate, the frame materializes (docs × ≤B rows — orders of
-    // magnitude under the token stream), and BOTH consumers read it:
-    // the B-row histogram re-aggregates the counts (integer sums —
-    // identical to counting tokens directly), and the per-doc weights
-    // are the raw-pool slice joined to the broadcast log-ratio table.
-    // The earlier shape re-ran the full corpus tokenize inside
-    // importanceLogRatios — the heaviest stage, paid twice.
+    // aggregate, the frame CACHES (lazily — docs × ≤B rows, orders of
+    // magnitude under the token stream; evictable blocks, and no eager
+    // job on construction the way a localCheckpoint would run one),
+    // and BOTH consumers read it: the B-row histogram re-aggregates
+    // the counts (integer sums — identical to counting tokens
+    // directly), and the per-doc weights are the raw-pool slice joined
+    // to the broadcast log-ratio table. The earlier shape re-ran the
+    // full corpus tokenize inside importanceLogRatios — the heaviest
+    // stage, paid twice.
     val docBuckets = df
       .select(col(idCol), isTarget.as("__t"),
         explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
@@ -274,7 +276,7 @@ object Curation {
           lit(buckets.toLong)).cast("int").as("__b"))
       .groupBy(col(idCol), col("__t"), col("__b"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint()
+      .persist()
     val lr = lrFromHistogram(
       docBuckets.groupBy("__b")
         .agg(sum(when(col("__t"), col("__n")).otherwise(0L)).as("__tc"),

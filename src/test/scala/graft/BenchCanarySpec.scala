@@ -110,26 +110,32 @@ class BenchCanarySpec extends AnyFunSuite {
   test("compact line fits the capture window at the CURRENT bench registry size") {
     // the guard this line exists for: when benchQueries grows past the
     // window, this test fails LOUDLY instead of the round artifact
-    // silently degrading to the medians-free summary
-    val medians = SparkEntry.benchQueries.map(n => n -> 9.99)
-    val clean = Bench.compactLine(medians, total = 99.99, contended = false,
-      contaminated = Seq.empty, errors = "[]", sfDir = "/root/testdata/sf0.1")
+    // silently degrading to the medians-free summary. Medians use the
+    // WORST-CASE %.2f width (999.99 — heavy queries render 5-6 chars;
+    // a minimal 9.99 here would pass while a real run overflowed)
+    val medians = SparkEntry.benchQueries.map(n => n -> 999.99)
+    val clean = Bench.compactLine(medians, total = 9999.99, contended = false,
+      contaminated = Seq.empty, errorNames = Seq.empty,
+      sfDir = "/root/testdata/sf0.1")
     assert(clean.length <= Bench.CaptureWindow,
       s"compact line ${clean.length} chars — benchQueries outgrew the window")
     SparkEntry.benchQueries.foreach(n =>
       assert(clean.contains("\"" + n + "\""), s"median for $n missing"))
     // a fully-contaminated run degrades to the count, still under budget
-    val dirty = Bench.compactLine(medians, 99.99, contended = true,
-      contaminated = SparkEntry.benchQueries.map("\"" + _ + "\""),
-      errors = "[]", sfDir = "/root/testdata/sf0.1")
+    val dirty = Bench.compactLine(medians, 9999.99, contended = true,
+      contaminated = SparkEntry.benchQueries,
+      errorNames = Seq.empty, sfDir = "/root/testdata/sf0.1")
     assert(dirty.length <= Bench.CaptureWindow)
     assert(dirty.contains("\"contaminated_count\":") ||
       dirty.contains("\"contaminated_queries\":"))
-    // the last-resort summary always fits, whatever the registry size
+    // the last-resort summary always fits, whatever the registry size —
+    // including a broken build where EVERY query is also an error (the
+    // error list degrades to a count in the terminal rung)
     val huge = (1 to 500).map(i => s"very_long_query_name_number_$i" -> 1.0)
     val summary = Bench.compactLine(huge, 1.0, contended = false,
-      contaminated = Seq.empty, errors = "[]", sfDir = "x")
+      contaminated = Seq.empty, errorNames = huge.map(_._1), sfDir = "x")
     assert(summary.length <= Bench.CaptureWindow)
     assert(summary.contains("\"queries_omitted\":500"))
+    assert(summary.contains("\"errors_count\":500"))
   }
 }
