@@ -70,6 +70,16 @@ def normalized_minima(artifact):
     return out
 
 
+def raw_minima(artifact):
+    """Per-query min-of-reps in raw seconds; {} if no raw reps."""
+    out = {}
+    for name, reps in artifact.get("raw", {}).items():
+        ts = [t for t in (reps or []) if t and t > 0]
+        if ts:
+            out[name] = min(ts)
+    return out
+
+
 CANARY_DRIFT = 1.2
 
 
@@ -95,6 +105,7 @@ def main():
         n_new = {k: v for k, v in new.get("queries", {}).items() if v > 0}
         shared = sorted(set(n_old) & set(n_new))
     m_old, m_new = normalized_minima(old), normalized_minima(new)
+    rm_old, rm_new = raw_minima(old), raw_minima(new)
     cf_old, cf_new = canary_floor(old), canary_floor(new)
     drift = (cf_old > 0 and cf_new > 0 and
              (cf_old / cf_new > CANARY_DRIFT or cf_new / cf_old > CANARY_DRIFT))
@@ -116,6 +127,17 @@ def main():
                 and m_new[name] / m_old[name] <= threshold):
             tag = (" SUSPECT (minima ratio "
                    f"{m_new[name] / m_old[name]:.2f} inside threshold)")
+        # noise gate: a real plan regression raises the floor of EVERY
+        # rep in raw seconds; a slow canary bracket on an internally-
+        # variable host (floors matched between artifacts, spread high
+        # within a run) inflates normalized ratios while raw minima sit
+        # still — the r15 shape where back-to-back runs each flagged a
+        # different random set of queries
+        if (not tag and r > threshold and name in rm_old and name in rm_new
+                and rm_old[name] > 0
+                and rm_new[name] / rm_old[name] <= threshold):
+            tag = (" HOST-NOISE (raw minima ratio "
+                   f"{rm_new[name] / rm_old[name]:.2f} inside threshold)")
         # drift gate: under canary drift the normalization baseline is
         # incomparable — a clean regression must show in raw seconds too
         if (not tag and r > threshold and drift
