@@ -52,8 +52,13 @@ object CommitOps {
     * true create-iff-absent: HDFS and its protocol-compatible fronts.
     * Everything else must be routed explicitly — routing an unknown
     * scheme to rename would silently run last-writer-wins on exactly
-    * the stores (S3, GCS, non-HNS Azure) where rename is copy+delete. */
-  private val RenameSafeSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+    * the stores (S3, GCS, non-HNS Azure) where rename is copy+delete.
+    * `viewfs` is deliberately NOT here: it is a client-side mount
+    * table whose targets can be object stores, so its rename contract
+    * is whatever the mount target's is — trusting the front would run
+    * last-writer-wins on exactly the backends this matrix refuses.
+    * Route the RESOLVED target path instead (or wire ConditionalPut). */
+  private val RenameSafeSchemes = Set("hdfs", "webhdfs", "swebhdfs")
 
   /** Hadoop conf key (boolean, default false) that opts an `s3a://`
     * index root into [[S3AConditional]] — Hadoop 3.4.2+'s native
@@ -117,9 +122,11 @@ object CommitOps {
           "generation-match-0 create, keep fs.gs.create.items.conflict" +
           s".check on); for abfs(s):// set $AbfsConditionalKey=true " +
           "(hierarchical-namespace account REQUIRED — Create Path with " +
-          "If-None-Match); for other stores (wasb://, oss://, ...) pass " +
-          "ops = new CommitOps.ConditionalPut(...) wired to the store's " +
-          "conditional PUT.")
+          "If-None-Match); for viewfs:// commit against the RESOLVED " +
+          "mount target (the mount table's rename contract is its " +
+          "target's, which may be an object store); for other stores " +
+          "(wasb://, oss://, ...) pass ops = new CommitOps" +
+          ".ConditionalPut(...) wired to the store's conditional PUT.")
     }
 
   /** POSIX local filesystems: write temp, `link(2)` to destination
@@ -148,15 +155,32 @@ object CommitOps {
             val ch = Files.newByteChannel(dst,
               java.nio.file.StandardOpenOption.CREATE_NEW,
               java.nio.file.StandardOpenOption.WRITE)
+            var wrote = false
             try {
-              val buf = java.nio.ByteBuffer.wrap(body)
-              while (buf.hasRemaining) ch.write(buf)
-            } finally ch.close()
+              try {
+                val buf = java.nio.ByteBuffer.wrap(body)
+                while (buf.hasRemaining) ch.write(buf)
+                wrote = true
+              } finally ch.close()
+            } catch {
+              case we: java.io.IOException if !wrote =>
+                // the create SUCCEEDED but the body didn't land (ENOSPC,
+                // EIO): a committed-looking, forever-unparseable file
+                // would brick the root — we own the claim, so remove the
+                // partial before failing. Residual window: a JVM death
+                // between create and this cleanup still leaves the
+                // partial (inherent to a no-hardlink local fs; the
+                // bounded parse retry absorbs only the in-flight case) —
+                // which is why production local deployments should keep
+                // hard links available.
+                Files.deleteIfExists(dst)
+                we.addSuppressed(e)
+                throw we
+            }
             true
           }
           catch {
             case _: java.nio.file.FileAlreadyExistsException => false
-            case _: java.io.IOException => throw e
           }
       }
       finally Files.deleteIfExists(tmp)

@@ -99,7 +99,30 @@ object IndexManifest {
       extraMeta + (StreamBatchSegsKey -> segs.mkString(","))
     else extraMeta
 
-  private def fsFor(spark: SparkSession, root: String): FileSystem =
+  /** The growing-ingest protocol's watermark walk, in ONE place so the
+    * stream's replay resolution (`StreamPipeline.preBatchSnapshot`) and
+    * maintenance's retention cap (`Maintenance.growingSafeBoundary`)
+    * cannot drift: from `head` down past every version whose
+    * applied-batch watermark covers `batchId`, returning the first
+    * snapshot NOT covering it. The Boolean is true when the walk hit a
+    * VACUUMED manifest instead — the returned snapshot is then the
+    * oldest still-resolvable one (and still covers `batchId`); the
+    * stream reconstructs the pre-append view from HEAD in that case,
+    * maintenance floors its boundary there. */
+  private[graft] def walkBelowBatch(
+      spark: SparkSession, root: String, head: Snapshot,
+      batchId: Long): (Snapshot, Boolean) = {
+    var v = head.version
+    var snap = head
+    try {
+      while (snap.meta.get(StreamBatchKey).exists(_.toLong >= batchId) && v > 1) {
+        v -= 1; snap = snapshotAt(spark, root, v)
+      }
+      (snap, false)
+    } catch { case _: java.io.FileNotFoundException => (snap, true) }
+  }
+
+  private[index] def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Fresh root-relative segment path for `table` — globally unique, so
@@ -110,7 +133,7 @@ object IndexManifest {
   private def manifestPath(root: String, version: Long): Path =
     new Path(new Path(root, ManifestDir), f"m-$version%09d.txt")
 
-  private def listVersions(fs: FileSystem, root: String): Seq[Long] = {
+  private[index] def listVersions(fs: FileSystem, root: String): Seq[Long] = {
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) Seq.empty
     else
@@ -308,12 +331,24 @@ object IndexManifest {
       require(!k.contains(","),
         s"manifest meta keys must be comma-free: $k")
     }
-    for (t <- tables.keys) {
+    for ((t, segs) <- tables) {
       require(t.nonEmpty && !t.startsWith("!"),
         s"table name must be non-empty and not start with the reserved " +
           s"'!' meta prefix: '$t'")
       require(!t.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"table name must be tab/newline-free: '$t'")
+      // the line format cannot represent an empty table (no line is
+      // written, so the table silently vanishes on round-trip) — fail
+      // at commit time instead of at the caller's eventual readAt
+      require(segs.nonEmpty, s"table '$t' has no segments: the manifest " +
+        "line format cannot represent an empty table — drop the key or " +
+        "commit a segment")
+      // segment PATHS are body lines too: a tab/newline here commits a
+      // manifest every subsequent parse rejects — the bricked-root
+      // shape this whole block exists to prevent
+      for (s <- segs)
+        require(s.nonEmpty && !s.exists(c => c == '\t' || c == '\n' || c == '\r'),
+          s"segment path must be non-empty and tab/newline-free: '$s' (table '$t')")
     }
     def bodyBytes(effectiveMeta: Map[String, String]): Array[Byte] = {
       val body = new StringBuilder(s"$Magic\t1\n")
@@ -523,10 +558,17 @@ object IndexManifest {
     // below an earlier vacuum's boundary must not chase deleted files.
     // Segment references are resolved up front, while every manifest is
     // still present.
-    val versions = listVersions(fs, root)
-    val segsByVersion = versions
-      .map(v => v -> snapshotAt(spark, root, v).tables.values.flatten.toSet)
-      .toMap
+    // A version listed a moment ago can vanish mid-pass when two
+    // maintenance schedules overlap on one root (the other vacuum's
+    // manifest-delete phase) — skip it rather than abort after OUR
+    // manifest deletes with retention half-applied; its segments are
+    // covered by the survivor versions' references or the orphan grace.
+    val listed = listVersions(fs, root)
+    val segsByVersion = listed.flatMap { v =>
+      try Some(v -> snapshotAt(spark, root, v).tables.values.flatten.toSet)
+      catch { case _: java.io.FileNotFoundException => None }
+    }.toMap
+    val versions = listed.filter(segsByVersion.contains)
     // everything ANY existing manifest references — used to tell a
     // superseded segment (dead) from a staged one (possibly in flight)
     val everCommitted = segsByVersion.values.flatten.toSet
@@ -572,8 +614,23 @@ object IndexManifest {
       for (tdir <- fs.listStatus(segRoot); seg <- fs.listStatus(tdir.getPath)) {
         val rel = s"seg/${tdir.getPath.getName}/${seg.getPath.getName}"
         if (!retained.contains(rel)) {
-          val dead = everCommitted.contains(rel) ||
-            seg.getModificationTime < cutoff
+          // Never-committed orphans age by the NEWEST observable stamp
+          // under the segment — max of the dir's own mtime and every
+          // file's: the dir stamp alone is unsound (object stores
+          // report 0 for directories; HDFS/local leave the top dir at
+          // job start, so a long in-flight stage would read "stale"
+          // while its files are seconds old), and file stamps alone
+          // would leak an abandoned EMPTY dir forever on filesystems
+          // whose dir mtimes are real. A segment with no observable
+          // stamp at all (all zeros — an in-flight empty dir on an
+          // object store) is NOT reclaimed this pass: refusing to
+          // guess beats deleting what a racing append is about to
+          // commit; it retries once anything under it has aged.
+          val dead = everCommitted.contains(rel) || {
+            val newest =
+              math.max(seg.getModificationTime, newestFileMtime(fs, seg.getPath))
+            newest > 0L && newest < cutoff
+          }
           if (dead) { fs.delete(seg.getPath, true); removed += 1 }
         }
       }
@@ -599,6 +656,22 @@ object IndexManifest {
       }
     }
     removed
+  }
+
+  /** Newest file modification time under `dir` (recursive), 0 when no
+    * file mtime is observable — the only honest age signal for an
+    * uncommitted staged segment (directory mtimes are 0 on object
+    * stores and job-start-stamped on HDFS/local). */
+  private def newestFileMtime(fs: FileSystem, dir: Path): Long = {
+    var newest = 0L
+    try {
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getModificationTime > newest) newest = st.getModificationTime
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+    newest
   }
 
   /** Ops view of an index root: one row per (version, table, segment)

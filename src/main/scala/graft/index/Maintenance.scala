@@ -82,16 +82,11 @@ object Maintenance {
       spark: SparkSession, root: String): Option[Long] = {
     val head = IndexManifest.snapshot(spark, root)
     head.meta.get(IndexManifest.StreamBatchKey).map(_.toLong).map { last =>
-      var v = head.version
-      var snap = head
-      try {
-        while (snap.meta.get(IndexManifest.StreamBatchKey)
-                 .exists(_.toLong >= last) && v > 1) {
-          v -= 1
-          snap = IndexManifest.snapshotAt(spark, root, v)
-        }
-        v
-      } catch { case _: java.io.FileNotFoundException => v + 1 }
+      // the SAME walk the stream's preBatchSnapshot runs — shared on
+      // IndexManifest so the two callers cannot drift; on a vacuumed
+      // walk-back target the returned snapshot is the oldest
+      // still-resolvable version (nothing below it can be retained)
+      IndexManifest.walkBelowBatch(spark, root, head, last)._1.version
     }
   }
 
@@ -127,11 +122,14 @@ object Maintenance {
             growingSafeBoundary(spark, root)
               .map(math.min(rolling, _)).getOrElse(rolling)
           }
-        def versionsNow: Set[Long] = IndexManifest.describe(spark, root)
-          .select("version").distinct().collect().map(_.getLong(0)).toSet
-        val before = versionsNow
+        // reclaimed-version numbers need only the manifest-name listing
+        // (one directory RPC) — describe() would list every file of
+        // every segment of every version TWICE just to render this note
+        val fs = IndexManifest.fsFor(spark, root)
+        val before = IndexManifest.listVersions(fs, root).toSet
         val swept = IndexManifest.vacuum(spark, root, boundary, orphanGraceMs)
-        val reclaimed = (before -- versionsNow).toSeq.sorted
+        val reclaimed =
+          (before -- IndexManifest.listVersions(fs, root).toSet).toSeq.sorted
         val reclaimedNote =
           if (reclaimed.isEmpty) "no versions reclaimed"
           else s"reclaimed versions ${reclaimed.mkString(",")}"
@@ -154,6 +152,16 @@ object IndexMaintenance {
     val (flags, roots) = args.partition(_.startsWith("--"))
     require(roots.nonEmpty,
       "usage: IndexMaintenance <root>... [--keep-from=V] [--keep-last=N] [--orphan-grace-ms=MS]")
+    // an unrecognized flag must FAIL, not fall back to defaults: this
+    // binary vacuums — a typo'd retention flag (--keepfrom=12) silently
+    // running the default 3-version window would irreversibly reclaim
+    // the releases the operator was trying to keep
+    val Known = Set("keep-from", "keep-last", "orphan-grace-ms")
+    for (f <- flags) {
+      val name = f.stripPrefix("--").takeWhile(_ != '=')
+      require(Known.contains(name) && f.contains('='),
+        s"unrecognized flag '$f' — known: ${Known.map("--" + _ + "=...").mkString(", ")}")
+    }
     def flag(name: String, default: Long): Long =
       flags.collectFirst { case f if f.startsWith(s"--$name=") =>
         f.substring(name.length + 3).toLong }.getOrElse(default)

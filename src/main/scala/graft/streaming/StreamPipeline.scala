@@ -489,18 +489,17 @@ object StreamPipeline {
       graft.index.IndexManifest.currentVersion(spark, root))
     val alreadyCommitted =
       head.meta.get(StreamBatchKey).exists(_.toLong >= batchId)
-    var v = head.version
-    var snap = head
-    try {
-      while (snap.meta.get(StreamBatchKey).exists(_.toLong >= batchId) && v > 1) {
-        v -= 1; snap = graft.index.IndexManifest.snapshotAt(spark, root, v)
-      }
-      (snap, alreadyCommitted)
-    } catch {
+    // the watermark walk lives on IndexManifest (shared with
+    // maintenance's retention cap — one definition, no drift)
+    val (snap, hitVacuumed) =
+      graft.index.IndexManifest.walkBelowBatch(spark, root, head, batchId)
+    if (!hitVacuumed) (snap, alreadyCommitted)
+    else {
       // vacuum reclaimed a manifest the walk needed: reconstruct the
       // pre-append view from HEAD instead of crash-looping the batch
-      case e: java.io.FileNotFoundException =>
-        (reconstructPreBatch(head, batchId, root, e), alreadyCommitted)
+      val cause = new java.io.FileNotFoundException(
+        s"pre-batch manifest below v${snap.version} of $root vacuumed")
+      (reconstructPreBatch(head, batchId, root, cause), alreadyCommitted)
     }
   }
 

@@ -350,13 +350,19 @@ class CommitProtocolSpec extends SparkSpec {
     val conf = new org.apache.hadoop.conf.Configuration(false)
     assert(CommitOps.route("file", conf) eq CommitOps.Local)
     assert(CommitOps.route("local", conf) eq CommitOps.Local)
-    for (s <- Seq("hdfs", "viewfs", "webhdfs", "swebhdfs"))
+    for (s <- Seq("hdfs", "webhdfs", "swebhdfs"))
       assert(CommitOps.route(s, conf) eq CommitOps.Hadoop, s)
-    // every object-store or unknown scheme throws instead of degrading
-    for (s <- Seq("s3a", "s3", "gs", "abfs", "abfss", "wasb", "oss", "bogus")) {
+    // every object-store or unknown scheme throws instead of degrading —
+    // INCLUDING viewfs (r15): a mount table's rename contract is its
+    // TARGET's, which can be an object store; the refusal message
+    // points at committing against the resolved target
+    for (s <- Seq("s3a", "s3", "gs", "abfs", "abfss", "wasb", "oss",
+        "viewfs", "bogus")) {
       val e = intercept[UnsupportedOperationException](CommitOps.route(s, conf))
       assert(e.getMessage.contains("ConditionalPut"), s)
     }
+    assert(intercept[UnsupportedOperationException](
+      CommitOps.route("viewfs", conf)).getMessage.contains("RESOLVED"))
     // the sanctioned escape hatches are per-scheme opt-in flags: s3a +
     // the conditional-create flag (Hadoop 3.4.2 If-None-Match binding)
     // routes to S3AConditional, gs + its flag (connector generation-

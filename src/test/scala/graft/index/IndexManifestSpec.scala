@@ -175,6 +175,38 @@ class IndexManifestSpec extends SparkSpec {
     assert(IndexManifest.read(spark, root, "t").count() == 2)
   }
 
+  test("vacuum ages orphans by their newest CONTENT stamp, not the dir mtime") {
+    val root = freshRoot("vacuum_mtime")
+    val seg = IndexManifest.newSegment("t")
+    rows(1L -> "a").write.parquet(s"$root/$seg")
+    IndexManifest.commit(spark, root, Map("t" -> Seq(seg)))
+    // a LONG in-flight stage: the staged dir was created two grace
+    // windows ago, but its newest file landed just now — the dir-mtime
+    // heuristic would reclaim it mid-write (the S3A/HDFS long-stage
+    // shape); the content stamp must protect it
+    val staged = IndexManifest.newSegment("t")
+    rows(7L -> "inflight").write.parquet(s"$root/$staged")
+    val dir = java.nio.file.Paths.get(s"$root/$staged")
+    java.nio.file.Files.setLastModifiedTime(dir,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.lang.System.currentTimeMillis() - 120000))
+    IndexManifest.vacuum(spark, root, orphanGraceMs = 60000)
+    assert(new java.io.File(s"$root/$staged").exists,
+      "fresh-content segment under an old dir stamp must survive")
+    // an abandoned EMPTY staged dir (no files ever landed) still
+    // reclaims once ITS stamp ages past the grace, on filesystems
+    // whose dir mtimes are real
+    val empty = IndexManifest.newSegment("t")
+    val edir = java.nio.file.Paths.get(s"$root/$empty")
+    java.nio.file.Files.createDirectories(edir)
+    java.nio.file.Files.setLastModifiedTime(edir,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.lang.System.currentTimeMillis() - 120000))
+    IndexManifest.vacuum(spark, root, orphanGraceMs = 60000)
+    assert(!new java.io.File(s"$root/$empty").exists,
+      "aged empty orphan must reclaim via its (real) dir stamp")
+  }
+
   test("vacuum with keepFrom retains pinned versions fully re-resolvable") {
     val root = freshRoot("retain")
     val seg1 = IndexManifest.newSegment("t")
