@@ -268,7 +268,13 @@ object Retrieval {
       queries: Seq[(Int, String)], k: Int,
       fbDocs: Int = 3, fbTerms: Int = 8, alpha: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
-    val posts = postings(docs, idCol, textCol)
+    // posts feeds FOUR subtrees (stage-1 candidates, the feedback
+    // term-vector join, stage-2 candidates, stage-2 df) and Catalyst's
+    // pushed filters make them canonically distinct, so without the
+    // cache each subtree re-runs the corpus-wide tokenize+wordcount —
+    // the appendIndex precedent (lazy, evictable; the served twin reads
+    // parquet instead and needs no cache)
+    val posts = postings(docs, idCol, textCol).persist()
     val qt = queryTerms(spark, queries)
     val (n, sumDl) = corpusStats(docs, textCol)
     val cand1 = termFilter(posts, qt, distinctTerms(queries))
@@ -394,9 +400,16 @@ object Retrieval {
     import spark.implicits._
     queries.flatMap { case (qid, text) =>
       val terms = text.split(" ").filter(_.nonEmpty).distinct
-      val w = BigDecimal(alpha / terms.length)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      terms.map(t => (qid, t, w))
+      // an empty/whitespace-only query contributes no original terms
+      // (it ranks nothing on the plain BM25 path either); without the
+      // guard, alpha/0 = Infinity and BigDecimal(Infinity) throws on
+      // the driver before any job runs
+      if (terms.isEmpty) Seq.empty
+      else {
+        val w = BigDecimal(alpha / terms.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        terms.map(t => (qid, t, w))
+      }
     }.toDF("query_id", "term", "wq")
   }
 
@@ -464,6 +477,15 @@ object Retrieval {
     * column-pruned index scan — still never rewrites anything). The
     * default stays the pure append because ingest pipelines with
     * monotone doc ids shouldn't pay the scan.
+    *
+    * Known limitation of the bare-path dedup: the stored doc-id set is
+    * derived from POSTINGS rows, which an empty/whitespace-text doc
+    * never produces — re-appending such a doc double-counts its
+    * (1, dl) in the corpus stats even under `dedupAgainstIndex`,
+    * skewing idf/avgdl marginally. The manifest path ([[appendIndexM]])
+    * dedups against its per-doc digest table instead and is exact for
+    * every doc shape — prefer it for corpora that can carry textless
+    * docs (this bare path keeps no such table by design).
     *
     * No stored row is read or rewritten — ingest cost is the delta's
     * wordcount, independent of the lake's size. */

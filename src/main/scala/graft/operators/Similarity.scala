@@ -144,11 +144,8 @@ object Similarity {
     // because it runs once per VECTOR, not per pair
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", call_function("graft_int_dot", col("__qq"), col("__qc")))
-    TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    rankedTail(scored, "score", ascending = false, k,
+      Seq("query_id", "neighbor_id", "score", "rank"))
   }
 
   /** Bucketed ANN: both sides keyed by sign-LSH bucket; each query scans
@@ -376,7 +373,13 @@ object Similarity {
       clusteredAndProbes(queries, corpus, centroids, idCol, vecCol, nProbe)
     val clustered = assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cluster"))
-    val scored = broadcast(probeList.drop("probe_rank")).join(clustered, Seq("cluster"))
+    // counted-cap broadcast (probeSideMaybeBroadcast): probe rows carry
+    // per-query vectors, so a training-scale query batch must plan as a
+    // keyed shuffle instead of a forced >8GB broadcast — the same guard
+    // the served twins have had since r13
+    val scored = probeSideMaybeBroadcast(
+        queries.sparkSession, probeList.drop("probe_rank"))
+      .join(clustered, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
     topKPerQueryAuto(scored, k)
@@ -568,11 +571,8 @@ object Similarity {
       queries: DataFrame, codes: DataFrame, ref: graft.functions.PqCodebookRef,
       idCol: String, vecCol: String, k: Int, codesIdCol: String = "id"): DataFrame = {
     val scored = pqAdcScoredRef(queries, codes, ref, idCol, vecCol, codesIdCol)
-    TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    rankedTail(scored, "score", ascending = false, k,
+      Seq("query_id", "neighbor_id", "score", "rank"))
   }
 
   private def pqAdcScoredRef(
@@ -624,11 +624,25 @@ object Similarity {
     // accept both the persisted "id" shape and pqEncode's idCol shape,
     // like pqSearchEncoded
     val indexId = if (index.columns.contains(idCol)) idCol else "id"
-    val existing = index.select(col(indexId).as("id"), col("codes"))
-    val fresh = corpus
+    // the DIGESTED layout ([[pqIndexDigested]]: id, vdig, codes) must
+    // survive an append with its fingerprints intact — silently
+    // dropping vdig here would strip refresh capability from the
+    // maintained index (the next [[pqIndexRefresh]] would fail on the
+    // missing column, or a rebuilt-around index would re-encode the
+    // whole corpus as "changed"); fresh rows get their digests computed
+    val digested = index.columns.contains("vdig")
+    val existing =
+      if (digested) index.select(col(indexId).as("id"), col("vdig"), col("codes"))
+      else index.select(col(indexId).as("id"), col("codes"))
+    val freshBase = corpus
       .join(existing.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol).as("id"),
-        kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
+    val fresh =
+      if (digested)
+        freshBase.select(col(idCol).as("id"), vecDigest(col(vecCol)).as("vdig"),
+          kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
+      else
+        freshBase.select(col(idCol).as("id"),
+          kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))
     existing.unionByName(fresh)
   }
 
@@ -838,6 +852,40 @@ object Similarity {
         probeClustersComposed(queries, centroids, idCol, vecCol, nProbe)
     }
 
+  /** Restrict a cluster-keyed index table to the PROBED clusters:
+    * a pushed `cluster IN (...)` while the distinct probed-cluster list
+    * fits `spark.graft.ivf.isinClusterCap` (default 256 — row-group
+    * pruning on the cluster-sorted segments), the full scan beyond it
+    * (the join's own cluster key restricts then). The collect is
+    * bounded by the CENTROID count — broadcast-small by the operator
+    * contract — never by the query count. ONE definition for both IVF
+    * serve paths (flat and PQ) so the cap logic cannot drift. */
+  private def clusterRestrict(
+      spark: org.apache.spark.sql.SparkSession,
+      table: DataFrame, probes: DataFrame): DataFrame = {
+    val isinCap = spark.conf.get("spark.graft.ivf.isinClusterCap", "256").toInt
+    val probed = probes.select("cluster").distinct().collect().map(_.get(0))
+    if (probed.length <= isinCap) table.filter(col("cluster").isin(probed.toSeq: _*))
+    else table
+  }
+
+  /** The shared ranking tail of every ANN entry point: bounded-heap
+    * top-k per query (the native operator — keys×k rows through its one
+    * exchange, no sort) + a rank over the ≤k survivors + the output
+    * projection. One definition (Retrieval.rankTopK's precedent) so a
+    * tie-break or window fix lands everywhere at once. */
+  private def rankedTail(
+      scored: DataFrame, scoreCol: String, ascending: Boolean, k: Int,
+      out: Seq[String]): DataFrame = {
+    val order =
+      if (ascending) Seq(col(scoreCol).asc, col("neighbor_id").asc)
+      else Seq(col(scoreCol).desc, col("neighbor_id").asc)
+    TopK.perKey(scored, Seq("query_id"), order, k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(order: _*)))
+      .select(out.map(col): _*)
+  }
+
   /** Broadcast the (localCheckpoint'ed) probe side only when its counted
     * row count is under `spark.graft.ivf.probeBroadcastCap` (default
     * 500k — probe rows carry per-query vectors/LUTs, so a
@@ -996,16 +1044,9 @@ object Similarity {
     val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
     val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)
       .drop("probe_rank").localCheckpoint()
-    val isinCap = spark.conf.get("spark.graft.ivf.isinClusterCap", "256").toInt
-    // distinct probed clusters are bounded by the CENTROID count (which
-    // is broadcast-small by the operator contract), never by the query
-    // count — so this collect is contract-small at any batch size
-    val probed = probes.select("cluster").distinct().collect().map(_.get(0))
-    val assigned = {
-      val a = graft.index.IndexManifest.readAt(spark, root, snap, IvfAssignedTable)
-      if (probed.length <= isinCap) a.filter(col("cluster").isin(probed.toSeq: _*))
-      else a
-    }
+    val assigned = clusterRestrict(spark,
+      graft.index.IndexManifest.readAt(spark, root, snap, IvfAssignedTable),
+      probes)
     val clustered = assigned
       .select(col("id").as("neighbor_id"), col("vec").as("__cv"), col("cluster"))
     // a serve-path batch is usually small → broadcast; a training-scale
@@ -1081,7 +1122,8 @@ object Similarity {
     * the STORED centroids and codebook. */
   def appendIvfPqIndexM(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, dsub: Int, root: String): Long = {
+      m: Int, dsub: Int, root: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val snap = graft.index.IndexManifest.snapshot(spark, root)
@@ -1093,10 +1135,16 @@ object Similarity {
     val fresh = corpus.join(existing, Seq(idCol), "left_anti")
     val aSeg = graft.index.IndexManifest.newSegment(IvfPqCodesTable)
     writeAssignedSeg(ivfPqCodeRows(fresh, cen, ref, idCol, vecCol), s"$root/$aSeg")
+    // extraMeta + segment stamping keep the growing-stream contract
+    // uniform across EVERY family's append (stampAppendSegs scaladoc):
+    // without them the IVF-PQ family could never ride the exactly-once
+    // ingest — no watermark to co-commit, no segment list to
+    // reconstruct a vacuumed pre-append view from
     graft.index.IndexManifest.commit(spark, root,
       snap.tables.updated(IvfPqCodesTable,
         snap.tables(IvfPqCodesTable) :+ aSeg),
-      expect = Some(snap.version))
+      expect = Some(snap.version),
+      meta = graft.index.IndexManifest.stampAppendSegs(extraMeta, Seq(aSeg)))
   }
 
   /** Refresh against a NEW full corpus snapshot: unchanged
@@ -1165,13 +1213,9 @@ object Similarity {
     val ref = storedPqRef(spark, root, snap, m, dsub)
     val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)
       .drop("probe_rank", "__qv").localCheckpoint()
-    val isinCap = spark.conf.get("spark.graft.ivf.isinClusterCap", "256").toInt
-    val probed = probes.select("cluster").distinct().collect().map(_.get(0))
-    val codes = {
-      val a = graft.index.IndexManifest.readAt(spark, root, snap, IvfPqCodesTable)
-      if (probed.length <= isinCap) a.filter(col("cluster").isin(probed.toSeq: _*))
-      else a
-    }
+    val codes = clusterRestrict(spark,
+      graft.index.IndexManifest.readAt(spark, root, snap, IvfPqCodesTable),
+      probes)
     val lut = queries.select(col(idCol).as("query_id"),
       kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
     // probe rows carry each query's ADC LUT (m×K floats): broadcast only
@@ -1184,11 +1228,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(ref.k)), 6))
-    TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .select(col("query_id"), col("cluster"), col("neighbor_id"), col("score"), col("rank"))
+    rankedTail(scored, "score", ascending = false, k,
+      Seq("query_id", "cluster", "neighbor_id", "score", "rank"))
   }
 
   /** Two-stage retrieval over the SERVED coarse-quantized index — the
@@ -1319,16 +1360,15 @@ object Similarity {
     val probes = probeList.drop("probe_rank", "__qv")
     val lut = queries.select(col(idCol).as("query_id"),
       kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
-    val scored = broadcast(probes.join(lut, Seq("query_id")))
+    // counted-cap broadcast: probe rows carry the m*K-double LUTs
+    val scored = probeSideMaybeBroadcast(
+        queries.sparkSession, probes.join(lut, Seq("query_id")))
       .join(codes, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         round(call_function("graft_pq_adc", col("__lut"), col("codes"), lit(ref.k)), 6))
-    TopK.perKey(scored, Seq("query_id"), Seq(col("score").desc, col("neighbor_id").asc), k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .select(col("query_id"), col("cluster"), col("neighbor_id"), col("score"), col("rank"))
+    rankedTail(scored, "score", ascending = false, k,
+      Seq("query_id", "cluster", "neighbor_id", "score", "rank"))
   }
 
   /** Each vector's residual from its assigned (nearest) centroid —
@@ -1414,16 +1454,14 @@ object Similarity {
       .select(col("query_id"), col("cluster"), col("__lut"), col("__q2"))
     def adc(lut: Column): Column =
       call_function("graft_pq_adc", lut, col("codes"), lit(ref.k))
-    val scored = broadcast(probes)
+    // counted-cap broadcast: probe rows carry per-(query, cluster) LUTs
+    val scored = probeSideMaybeBroadcast(queries.sparkSession, probes)
       .join(codes, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dist",
         round(col("__q2") - lit(2.0) * adc(col("__lut")) + adc(cw2Lut), 6))
-    TopK.perKey(scored, Seq("query_id"), Seq(col("dist").asc, col("neighbor_id").asc), k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("dist").asc, col("neighbor_id").asc)))
-      .select(col("query_id"), col("cluster"), col("neighbor_id"), col("dist"), col("rank"))
+    rankedTail(scored, "dist", ascending = true, k,
+      Seq("query_id", "cluster", "neighbor_id", "dist", "rank"))
   }
 
   /** Per-query recall of an ANN result against the exact baseline:
