@@ -260,11 +260,13 @@ object SparkEntry {
         // per-rule violation counters accumulate as one associatively-
         // merged state row, so the final gate equals the batch census
         "stream_quality_gate" ->
+          // fail-closed: a null predicate (null event_type under IN)
+          // is a violation — CASE polarity puts null in the ELSE=1 arm
           """WITH v AS (
                SELECT
-                 CASE WHEN NOT (event_type IN ('click','view','purchase','signup'))
-                      THEN 1 ELSE 0 END AS type_allowed,
-                 CASE WHEN NOT (value <= 400.0) THEN 1 ELSE 0 END AS value_cap,
+                 CASE WHEN event_type IN ('click','view','purchase','signup')
+                      THEN 0 ELSE 1 END AS type_allowed,
+                 CASE WHEN value <= 400.0 THEN 0 ELSE 1 END AS value_cap,
                  CASE WHEN value IS NULL THEN 1 ELSE 0 END AS value_nonnull
                FROM events)
              SELECT rule, n_rows FROM (

@@ -22,15 +22,24 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: annotate each row with its content digest and whether it
-    * is the canonical (minimum-id) representative of its duplicate group. */
+    * is the canonical (minimum-id) representative of its duplicate group.
+    *
+    * NULL text is NOT a duplicate group: md5(null) is null, and a
+    * window partitioned on it would clique every null-text document
+    * together (is_canonical false for all but one — a keep-canonical
+    * consumer would silently drop real documents). Null-text rows keep
+    * a null hash and stand alone (canonical, dup_count 1), matching
+    * [[incremental]]'s explicit `null_text` status. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val h = md5(col(textCol))
     val w = Window.partitionBy(h)
     df.select(
       col(idCol),
       h.as("content_hash"),
-      (col(idCol) === min(col(idCol)).over(w)).as("is_canonical"),
-      count(lit(1)).over(w).as("dup_count"))
+      (col(textCol).isNull ||
+        col(idCol) === min(col(idCol)).over(w)).as("is_canonical"),
+      when(col(textCol).isNull, lit(1L))
+        .otherwise(count(lit(1)).over(w)).as("dup_count"))
   }
 
   /** Incremental (cross-snapshot) exact dedup: classify each NEW-batch
@@ -152,12 +161,10 @@ object Dedup {
     * (id, seed, minhash) contract afterwards, which is free (no shuffle).
     */
   def minhash(shingled: DataFrame, idCol: String, k: Int): DataFrame = {
-    require(k <= MaxMinhashK, s"k=$k exceeds $MaxMinhashK: seeds ≥ $MaxMinhashK are reserved for the count-min family")
-    graft.functions.GraftFunctions.register(shingled.sparkSession)
-    val base = shingled.select(col(idCol), shingleHashMod(col("shingle")).as("__hm"))
-    val aggs = (0 until k).map(i =>
-      min((lit(minhashA(i)) * col("__hm") + lit(minhashB(i))) % MinhashMod).as(s"__m$i"))
-    val wide = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // the signature-aggregation core is wideSigs — ONE definition, so
+    // the hash bytes cannot drift from minhashBands/lshEstimatedPairs
+    // (their byte equality is a spec-pinned contract)
+    val wide = wideSigs(shingled, idCol, k)
     wide
       .select(col(idCol), explode(array((0 until k).map(i =>
         struct(lit(i).as("seed"), col(s"__m$i").as("minhash"))): _*)).as("__sm"))
@@ -236,6 +243,10 @@ object Dedup {
     * each band; docs sharing any (band, band_hash) are candidates.
     * Returns (id, band, band_hash). */
   def lshBands(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    // same guard as bandsFromWide: a ragged split silently yields
+    // bands+1 band values, breaking the minhash∘lshBands ≡ minhashBands
+    // byte-equality contract and any caller iterating 0 until bands
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
     sig
       .withColumn("band", col("seed") / lit(rowsPerBand) cast "int")
@@ -955,8 +966,15 @@ object Dedup {
       .select(col("id_new"), col("id_base")).distinct()
     val newSig = newWide.select(col(idCol).as("id_new"),
       array((0 until k).map(i => col(s"__m$i")): _*).as("__snew"))
-    val withNew = broadcast(cand).join(newSig, Seq("id_new"))
-    broadcast(withNew)
+    // the candidate set is delta×cap-bounded ONLY under a finite
+    // maxBucket — with the cap off, one hot band bucket makes it
+    // lake-sized, and a hard broadcast hint would force a driver
+    // collect/OOM (the crossCorpusLshPairs candBounded guard; beyond
+    // the cap AQE picks the join side from runtime stats)
+    val candBounded = maxBucket != Int.MaxValue
+    val withNew = (if (candBounded) broadcast(cand) else cand)
+      .join(newSig, Seq("id_new"))
+    (if (candBounded) broadcast(withNew) else withNew)
       .join(indexSigs.select(col("id").as("id_base"), col("sig").as("__sbase")),
         Seq("id_base"))
       .withColumn("est_jaccard",
@@ -1099,6 +1117,29 @@ object Dedup {
         coalesce(!col("__rm"), lit(true)).as("keep"))
   }
 
+  /** Gaps-and-islands fold of 1-based repeated-gram start positions
+    * (`pos`) into maximal covered [span_start, span_end] CHAR ranges —
+    * the shared tail of the whole char-gram span family (batch,
+    * keep-first, incremental, bucketed, and the streaming leg), so the
+    * merge convention has ONE definition. prevEnd is EXCLUSIVE:
+    * max(pos + gramChars) = last covered char + 1, so pos > prevEnd is
+    * a genuine gap and pos == prevEnd touches → merge. The per-doc
+    * window runs over repeated POSITIONS only (result-sized, never the
+    * corpus). */
+  private[graft] def islandsToSpans(
+      pts: DataFrame, idCol: String, gramChars: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + gramChars)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    pts
+      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (gramChars - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
   /** Shared core of the span family: keep the gram occurrences whose
     * digest reaches `minDocs` DISTINCT documents, each surviving row
     * carrying `__lo` = the lowest doc id of its digest (the keep-first
@@ -1208,16 +1249,7 @@ object Dedup {
     // longer overlaps or touches the furthest end seen so far (prevEnd is
     // EXCLUSIVE: max(pos + gramChars) = last covered char + 1, so
     // pos > prevEnd means a genuine gap; pos == prevEnd touches → merge)
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + gramChars)
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    pts
-      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
-      .withColumn("__island", sum(col("__brk")).over(byDoc))
-      .groupBy(col(idCol), col("__island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (gramChars - 1)).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"))
+    islandsToSpans(pts, idCol, gramChars)
   }
 
   /** Token-granular [[repeatedSpans]]: grams are `gramTokens` consecutive
@@ -1297,16 +1329,7 @@ object Dedup {
     val pts = repeatedOccurrences(grams, idCol, minDocs, col("__p0"))
       .filter(col(idCol) =!= col("__lo"))
       .select(col(idCol), (col("__p0") + 1).as("pos"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + gramChars)
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    pts
-      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
-      .withColumn("__island", sum(col("__brk")).over(byDoc))
-      .groupBy(col(idCol), col("__island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (gramChars - 1)).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"))
+    islandsToSpans(pts, idCol, gramChars)
   }
 
   /** Write the standing corpus's gram-digest INDEX to parquet: one row per
@@ -1388,16 +1411,7 @@ object Dedup {
       .select(col("__h"))
     val pts = byDigest.join(rep.hint("SHUFFLE_HASH"), Seq("__h"))
       .select(col(idCol), (col("__p0") + 1).as("pos"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + gramChars)
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    pts
-      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
-      .withColumn("__island", sum(col("__brk")).over(byDoc))
-      .groupBy(col(idCol), col("__island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (gramChars - 1)).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"))
+    islandsToSpans(pts, idCol, gramChars)
   }
 
   /** Fold a processed delta's gram digests into the standing index —
@@ -1631,16 +1645,7 @@ object Dedup {
     val joined = byDigest.join(rep.hint("SHUFFLE_HASH"), Seq("__h"))
     val pts = (if (keepFirst) joined.filter(col(idCol) =!= col("__own")) else joined)
       .select(col(idCol), (col("__p0") + 1).as("pos"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + gramChars)
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    pts
-      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
-      .withColumn("__island", sum(col("__brk")).over(byDoc))
-      .groupBy(col(idCol), col("__island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (gramChars - 1)).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"))
+    islandsToSpans(pts, idCol, gramChars)
   }
 
   /** STRIP the spans from the documents — the consumer of

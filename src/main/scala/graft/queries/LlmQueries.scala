@@ -2305,10 +2305,13 @@ object LlmQueries {
          QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
 
   private val baseOracles: Map[String, String] = Map(
+    // null text stands alone (no null-clique): mirrored in Dedup.exact
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
-           doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical,
-           count(*) OVER (PARTITION BY md5(text)) AS dup_count
+           (text IS NULL OR
+            doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical,
+           CASE WHEN text IS NULL THEN 1
+                ELSE count(*) OVER (PARTITION BY md5(text)) END AS dup_count
          FROM documents ORDER BY doc_id""",
 
     "dedup_incremental" ->

@@ -23,16 +23,24 @@ object StreamPipeline {
     * batch-comparable streaming query here shares. */
   private def runToMemory(df: DataFrame, mode: String, prefix: String): DataFrame = {
     val tableName = s"${prefix}_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory(s"${prefix}_ckpt")
     val q = df.writeStream
       .format("memory")
       .queryName(tableName)
       .outputMode(mode)
-      .option("checkpointLocation",
-        Files.createTempDirectory(s"${prefix}_ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(tableName)
+    // hand back a MATERIALIZED result and release the run's plumbing:
+    // the memory-sink view would otherwise pin its rows in the driver
+    // and the checkpoint dir would outlive the (finished) query — per
+    // invocation, across the 190-query registry sweep, that is exactly
+    // the accumulation the temp-index cleanups elsewhere exist to stop
+    val out = df.sparkSession.table(tableName).localCheckpoint()
+    df.sparkSession.catalog.dropTempView(tableName): Unit
+    rmTree(ckpt.toString)
+    out
   }
 
   /** Schema the events parquet surfaces under nanosAsLong. */
@@ -192,9 +200,15 @@ object StreamPipeline {
         col("event_type").isin("click", "view", "purchase", "signup")),
       ("value_cap", col("value") <= 400.0),
       ("value_nonnull", col("value").isNotNull))
+    // FAIL-CLOSED three-valued logic: a rule predicate that evaluates
+    // to SQL null (event_type null under isin) counts as a VIOLATION,
+    // not as neither-violating-nor-clean — otherwise per-rule counts
+    // plus clean stop reconciling with the total and an admission gate
+    // neither admits nor flags the row
     val viol = rules.map { case (n, p) =>
-      sum(when(!p, 1L).otherwise(0L)).as(s"__v_$n") }
-    val clean = sum(when(rules.map(_._2).reduce(_ && _), 1L).otherwise(0L))
+      sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"__v_$n") }
+    val clean = sum(when(
+        coalesce(rules.map(_._2).reduce(_ && _), lit(false)), 1L).otherwise(0L))
       .as("__v___clean")
     val names = rules.map(_._1) :+ "__clean"
     val agged = eventsStream(spark, dir).agg(viol.head, (viol.tail :+ clean): _*)
@@ -341,16 +355,15 @@ object StreamPipeline {
     * inline-corpus is spec-proven. */
   def streamingSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val indexDir = Files.createTempDirectory("graft_semidx")
-    buildSemanticIndexM(spark, dir, indexDir.toString)
     // the result frame reads the memory sink (the streaming query has
     // already completed inside the call), so the scratch index can go:
-    // repeated registry invocations must not accumulate /tmp copies
-    try semanticDedupAgainst(spark, dir, readSemanticIndexM(spark, indexDir.toString))
-    finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(indexDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    // repeated registry invocations must not accumulate /tmp copies —
+    // the BUILD runs inside the try too, so a failed build does not
+    // leak the dir either (rmTree tolerates a dir nothing landed in)
+    try {
+      buildSemanticIndexM(spark, dir, indexDir.toString)
+      semanticDedupAgainst(spark, dir, readSemanticIndexM(spark, indexDir.toString))
+    } finally rmTree(indexDir.toString)
   }
 
   /** Ingest-time repeated-span marking against the standing corpus's
@@ -376,10 +389,10 @@ object StreamPipeline {
     import graft.queries.LlmQueries.SpanGramChars
     graft.functions.GraftFunctions.register(spark)
     val indexDir = Files.createTempDirectory("graft_gramidx_stream")
-    graft.operators.Dedup.buildGramIndexM(
-      graft.Tables.load(spark, dir, "documents").filter(col("doc_id") % 10 < 8),
-      "doc_id", "text", SpanGramChars, indexDir.toString)
     try {
+      graft.operators.Dedup.buildGramIndexM(
+        graft.Tables.load(spark, dir, "documents").filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", SpanGramChars, indexDir.toString)
       val index = graft.operators.Dedup.readGramIndexM(spark, indexDir.toString)
       val arrivals = spark.readStream
         .schema(DocumentsSchema)
@@ -394,24 +407,12 @@ object StreamPipeline {
         .join(index.select(col("h").as("__h")), Seq("__h"))
         .select(col("doc_id"), (col("__p0") + 1).as("pos"))
       val pts = runToMemory(marked, "append", "graft_sspan")
-      val W = org.apache.spark.sql.expressions.Window
-      val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val prevEnd = max(col("pos") + SpanGramChars)
-        .over(byDoc.rowsBetween(W.unboundedPreceding, -1))
-      pts
-        .withColumn("__brk",
-          when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
-        .withColumn("__island", sum(col("__brk")).over(byDoc))
-        .groupBy(col("doc_id"), col("__island"))
-        .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) + (SpanGramChars - 1)).as("span_end"))
-        .select(col("doc_id"), col("span_start"), col("span_end"))
+      // the result-sized islands fold is the span family's ONE shared
+      // tail (Dedup.islandsToSpans) — the streaming leg must merge
+      // positions with exactly the batch convention
+      graft.operators.Dedup.islandsToSpans(pts, "doc_id", SpanGramChars)
         .orderBy("doc_id", "span_start")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(indexDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally rmTree(indexDir.toString)
   }
 
   // ---- exactly-once index GROWTH at ingest -----------------------------
@@ -723,8 +724,13 @@ object StreamPipeline {
     val lrRows = graft.operators.Curation.importanceLogRatios(
       docs, "text", col("source") === "src0", buckets = 64).collect()
     val lr = lrRows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val floor = graft.operators.Curation.importanceUnseenFloor(
-      lrRows.head.getLong(2), lrRows.head.getLong(3), buckets = 64)
+    // a reference corpus with no tokens at all (empty table, all-null
+    // text) has no histogram rows: every bucket takes the all-zeros
+    // smoothing floor instead of crashing on lrRows.head
+    val (tt, rt) =
+      if (lrRows.isEmpty) (0L, 0L)
+      else (lrRows.head.getLong(2), lrRows.head.getLong(3))
+    val floor = graft.operators.Curation.importanceUnseenFloor(tt, rt, buckets = 64)
     val arrivals = spark.readStream
       .schema(DocumentsSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -1231,9 +1237,9 @@ object StreamPipeline {
       anchorIds: Seq[Long], k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val root = Files.createTempDirectory("graft_bm25idx_stream").toString
-    graft.operators.Retrieval.buildIndexM(
-      graft.Tables.load(spark, dir, "documents"), "doc_id", "text", root)
     try {
+      graft.operators.Retrieval.buildIndexM(
+        graft.Tables.load(spark, dir, "documents"), "doc_id", "text", root)
       val snap = graft.index.IndexManifest.snapshot(spark, root)
       val posts = graft.index.IndexManifest.readAt(spark, root, snap, "postings")
       val dfStats = graft.index.IndexManifest.readAt(spark, root, snap, "stats")
@@ -1270,12 +1276,7 @@ object StreamPipeline {
         .select(col("query_id"), col("doc_id"),
           round(col("wsum").cast("double"), 6).as("score"))
       graft.operators.Retrieval.rankTopK(scored, k)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-        .iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally rmTree(root)
   }
 
   /** Near-dup screening AT INGEST with the real MinHash-LSH modality —
@@ -1297,19 +1298,21 @@ object StreamPipeline {
     graft.functions.GraftFunctions.register(spark)
     val docs = graft.Tables.load(spark, dir, "documents")
     val root = Files.createTempDirectory("graft_lshidx_stream").toString
-    graft.operators.Dedup.buildLshIndexM(
-      graft.operators.Dedup.rawShingles(
-        docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", shingleN),
-      "doc_id", k, bands, root)
-    val (bandsDf, sigsDf) = graft.operators.Dedup.readLshIndexM(spark, root)
-    val arrivals = spark.readStream
-      .schema(DocumentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .filter(col("doc_id") % 2 === 0)
     val outDir = Files.createTempDirectory("graft_slsh_out").toString
     val ckptDir = Files.createTempDirectory("graft_slsh_ckpt").toString
     try {
+      // the index BUILD runs inside the try too: a failed build must
+      // not leak the scratch root (the finally's rmTree covers it)
+      graft.operators.Dedup.buildLshIndexM(
+        graft.operators.Dedup.rawShingles(
+          docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", shingleN),
+        "doc_id", k, bands, root)
+      val (bandsDf, sigsDf) = graft.operators.Dedup.readLshIndexM(spark, root)
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id") % 2 === 0)
       val q = arrivals.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           writeBatchIdempotent(

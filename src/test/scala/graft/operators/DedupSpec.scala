@@ -21,6 +21,17 @@ class DedupSpec extends SparkSpec {
     assert(out(3).getBoolean(2) && out(3).getLong(3) == 1)   // doc 3 unique
   }
 
+  test("exact dedup: null-text docs stand alone, never clique together") {
+    val withNulls = docs.unionByName(Seq(
+      (10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = Dedup.exact(withNulls, "text", "doc_id")
+      .filter(col("doc_id") >= 10).orderBy("doc_id").collect()
+    // a null hash is not a content match: both rows canonical, count 1
+    assert(out.forall(r => r.isNullAt(1) && r.getBoolean(2) && r.getLong(3) == 1L),
+      out.mkString(", "))
+  }
+
   test("shingles: n-gram windows; short docs shingle to whole text") {
     val sh = Dedup.explodedShingles(docs, "text", "doc_id", 5)
     val tiny = sh.filter(col("doc_id") === 4).select("shingle").as[String].collect()

@@ -65,11 +65,13 @@ class StreamPipelineSpec extends SparkSpec {
     val typeOk = col("event_type").isin("click", "view", "purchase", "signup")
     val capOk = col("value") <= 400.0
     val nnOk = col("value").isNotNull
+    // fail-closed twin: a null predicate counts as a violation
     val batch = ev.agg(
-      sum(when(typeOk && capOk && nnOk, 1L).otherwise(0L)).as("__clean"),
-      sum(when(!typeOk, 1L).otherwise(0L)).as("type_allowed"),
-      sum(when(!capOk, 1L).otherwise(0L)).as("value_cap"),
-      sum(when(!nnOk, 1L).otherwise(0L)).as("value_nonnull"))
+      sum(when(coalesce(typeOk && capOk && nnOk, lit(false)), 1L)
+        .otherwise(0L)).as("__clean"),
+      sum(when(!coalesce(typeOk, lit(false)), 1L).otherwise(0L)).as("type_allowed"),
+      sum(when(!coalesce(capOk, lit(false)), 1L).otherwise(0L)).as("value_cap"),
+      sum(when(!coalesce(nnOk, lit(false)), 1L).otherwise(0L)).as("value_nonnull"))
       .collect().head
     assert(streamed == Seq(
       "__clean" -> batch.getLong(0),
