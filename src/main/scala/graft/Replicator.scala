@@ -361,13 +361,23 @@ object Replicator {
                   val partial = r.getBoolean(5)
                   val removed = r.getSeq[String](6).toSet
                   val declared = spec.columns.map(_.sinkName)
+                  // a removed entry covers a column exactly OR as a
+                  // SUBTREE parent: `$unset: {cfg: 1}` (whole-subdoc
+                  // unset) decodes to removed = {"cfg"}, and every
+                  // flattened child column (cfg_pub, cfg_deep_y) must
+                  // NULL — matching on the exact name alone would leave
+                  // the children stale forever. (Dotted single-field
+                  // unsets arrive pre-flattened: "cfg.pub" → cfg_pub.)
+                  def isRemoved(c: String): Boolean =
+                    removed.contains(c) ||
+                      removed.exists(p => c.startsWith(p + "_"))
                   val present =
-                    if (partial) declared.filter(c => fields.contains(c) || removed.contains(c))
+                    if (partial) declared.filter(c => fields.contains(c) || isRemoved(c))
                     else declared
                   (dialect.upsert(spec, present), {
                     case spec.pk => r.getString(3)
                     case c =>
-                      val v = if (removed.contains(c)) null else fields.getOrElse(c, null)
+                      val v = if (isRemoved(c)) null else fields.getOrElse(c, null)
                       // P4 at the bind boundary: composite values become JSON
                       // text, exactly like the snapshot path (mysql.go:402-404)
                       v match {

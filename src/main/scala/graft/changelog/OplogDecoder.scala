@@ -40,13 +40,19 @@ object OplogDecoder {
       }
     }
 
-  /** Extract the 24-hex id (reference `mongo.go:399-405`, `mysql.go:400-401`). */
+  /** Extract the sink pk text (reference `mongo.go:399-405`,
+    * `mysql.go:400-401` — the reference ABORTS on any non-ObjectID;
+    * string pks pass through here as the established extension, and
+    * integral pks render as their exact decimal text, which the
+    * varchar pk column holds like any non-OID string). Doubles stay
+    * dead-lettered: a float key has no canonical text. */
   private def idHex(v: Any): Either[String, String] = v match {
-    case ObjectId(hex)                 => Right(hex)
-    case s: String if s.length == 24   => Right(s)
-    case s: String                     => Right(s) // non-OID string PKs pass through
-    case null                          => Left("missing _id")
-    case other                         => Left(s"unsupported _id type: ${other.getClass.getSimpleName}")
+    case ObjectId(hex) => Right(hex)
+    case s: String     => Right(s) // non-OID string PKs pass through
+    case l: Long       => Right(l.toString)
+    case i: Int        => Right(i.toString)
+    case null          => Left("missing _id")
+    case other         => Left(s"unsupported _id type: ${other.getClass.getSimpleName}")
   }
 
   def decode(entry: RawOplog, replicated: Set[String]): Seq[Change] = entry.op match {
@@ -124,7 +130,15 @@ object OplogDecoder {
 
   /** `$v:2` diff sections: `i` inserted fields, `u` updated fields, `d`
     * deleted fields, `s<name>` a nested sub-document diff (recursed with the
-    * `_`-joined prefix; unbounded depth, unlike `mongo.go:354-355`). */
+    * `_`-joined prefix; unbounded depth, unlike `mongo.go:354-355`).
+    *
+    * ARRAY diffs are handled exactly like the reference (`mongo.go:283-
+    * 359`): the `a:true` marker and `u<index>` element updates fall to
+    * the ignore arm, and an array's `s<index>` member section recurses
+    * as if it were a subdocument named by its index (`field_0_…`) —
+    * the reference recurses s-sections unconditionally too. Whole-array
+    * updates arrive as plain `u` fields and replicate; element-level
+    * array edits are outside both decoders' contract. */
   private def decodeDiff(diff: Map[String, Any], prefix: String): (Map[String, Any], Set[String]) = {
     var fields = Map.empty[String, Any]
     var removed = Set.empty[String]

@@ -66,15 +66,19 @@ object MergeApply {
     *     column-wise coalesce so partial images preserve untouched columns
     *     (`mysql.go:456-459`: absent field → column omitted from SET).
     *
-    * CONTRACT: correct for FULL images and deletes only. Each key is
-    * reduced to its single latest change row, so when several PARTIAL
-    * images touch different columns of one key inside a batch, the
-    * earlier partials' fields are discarded (the base value survives
-    * instead of theirs), and NULL-in-the-change-row cannot be told apart
-    * from not-present (no `$unset`→NULL). Streams carrying partial
-    * images or unsets must use [[foldChanges]], which folds every op per
-    * key in order — the columnar analog of the reference's sequential
-    * per-op apply (`run.go:301-322`, `mysql.go:449-476`).
+    * CONTRACT: correct for deletes and for full images whose every
+    * DECLARED column carries a value. Each key is reduced to its single
+    * latest change row, so when several PARTIAL images touch different
+    * columns of one key inside a batch, the earlier partials' fields
+    * are discarded (the base value survives instead of theirs) — and
+    * NULL-in-the-change-row cannot be told apart from not-present (no
+    * `$unset`→NULL), so a full image that DROPS a field (its decoded
+    * row NULL-fills the column) resurrects the base value instead of
+    * nulling it. Streams carrying partial images, unsets, or
+    * field-dropping replaces must use [[foldChanges]], whose
+    * partial/unsets encoding disambiguates all three — the columnar
+    * analog of the reference's sequential per-op apply
+    * (`run.go:301-322`, `mysql.go:449-476`).
     *
     * `valueCols` are the data columns shared by both sides. Base rows
     * untouched by any change pass through. Plan shape: one shuffle for the

@@ -23,8 +23,11 @@ import graft.config.{MappingConfig, TableSpec}
 object SchemaSync {
 
   sealed trait Ddl { def sql: String }
-  final case class CreateTable(table: String) extends Ddl {
-    def sql = s"CREATE TABLE `$table` (`_id` varchar(24) NOT NULL, PRIMARY KEY (`_id`))"
+  final case class CreateTable(table: String, pk: String = "_id") extends Ddl {
+    // the planner honors spec.pk everywhere else, so the created table
+    // must carry the SAME key column — a hardcoded `_id` under a custom
+    // pk would plan upserts against a column that does not exist
+    def sql = s"CREATE TABLE `$table` (`$pk` varchar(24) NOT NULL, PRIMARY KEY (`$pk`))"
   }
   final case class DropTable(table: String) extends Ddl {
     def sql = s"DROP TABLE `$table`"
@@ -66,7 +69,7 @@ object SchemaSync {
       val existing = observed.get(spec.name)
       if (existing.isEmpty) {
         // created with only the PK; every declared column is then "missing"
-        ddl += CreateTable(spec.name)
+        ddl += CreateTable(spec.name, spec.pk)
       }
       val liveCols: Seq[(String, String)] =
         existing.getOrElse(Seq(spec.pk -> "varchar(24)"))

@@ -193,8 +193,8 @@ object DerbyDialect extends SqlDialect {
     * has no `CHANGE … AFTER`; declared-order placement is cosmetic
     * reference surface, not data semantics. */
   override def renderDdl(ddl: SchemaSync.Ddl): Option[String] = ddl match {
-    case SchemaSync.CreateTable(t) =>
-      Some(s"CREATE TABLE ${q(t)} (${q("_id")} VARCHAR(24) NOT NULL, PRIMARY KEY (${q("_id")}))")
+    case SchemaSync.CreateTable(t, pk) =>
+      Some(s"CREATE TABLE ${q(t)} (${q(pk)} VARCHAR(24) NOT NULL, PRIMARY KEY (${q(pk)}))")
     case SchemaSync.DropTable(t) =>
       Some(s"DROP TABLE ${q(t)}")
     case SchemaSync.AddColumn(t, c, typ) =>
@@ -217,7 +217,14 @@ object DerbyDialect extends SqlDialect {
     finally tr.close()
     tables.map { t =>
       val cols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      val cr = md.getColumns(null, "APP", t, null) // ordered by ORDINAL_POSITION
+      // '_' and '%' are LIKE wildcards in the getColumns table pattern:
+      // unescaped, "orders_repl" would also match "ordersXrepl" and the
+      // fabricated catalog would interleave a sibling table's columns —
+      // which a forced plan would then DROP as strays from real data
+      val esc = md.getSearchStringEscape
+      val pattern = t.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      val cr = md.getColumns(null, "APP", pattern, null) // ordered by ORDINAL_POSITION
       try while (cr.next()) {
         val name = cr.getString("COLUMN_NAME")
         val typeName = cr.getString("TYPE_NAME").toLowerCase

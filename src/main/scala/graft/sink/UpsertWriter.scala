@@ -43,7 +43,12 @@ object UpsertWriter {
     val cols = spec.pk +: spec.columns.map(_.sinkName)
     val collist = cols.map(c => s"`$c`").mkString(", ")
     val placeholders = cols.map(_ => "?").mkString(", ")
-    val updates = spec.columns.map(c => s"`${c.sinkName}`=VALUES(`${c.sinkName}`)").mkString(", ")
+    // a pk-only table (declarable via ConfigParser) must not render the
+    // bare "ON DUPLICATE KEY UPDATE " MySQL rejects — same no-op
+    // assignment fallback as partialUpsertSql's empty-present case
+    val updates =
+      if (spec.columns.isEmpty) s"`${spec.pk}`=VALUES(`${spec.pk}`)"
+      else spec.columns.map(c => s"`${c.sinkName}`=VALUES(`${c.sinkName}`)").mkString(", ")
     s"INSERT INTO `${spec.name}` ($collist) VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates"
   }
 
@@ -85,15 +90,23 @@ object UpsertWriter {
     * full from-scratch resync of every table. */
   def readOffset(conn: Connection, dialect: SqlDialect = MySqlDialect): Option[Long] =
     try {
-      val rs = conn.prepareStatement(dialect.readOffsetSql).executeQuery()
-      if (rs != null && rs.next()) {
-        val v = rs.getObject(1) match {
-          case b: Array[Byte] => new String(b, "UTF-8")
-          case s: String      => s
-          case other          => String.valueOf(other)
-        }
-        v.toLongOption
-      } else None
+      // close statement + cursor deterministically: callers reuse one
+      // driver-side connection across micro-batches, and an unclosed
+      // handle per batch eventually exhausts the server's cursor limit
+      val ps = conn.prepareStatement(dialect.readOffsetSql)
+      try {
+        val rs = ps.executeQuery()
+        try {
+          if (rs.next()) {
+            val v = rs.getObject(1) match {
+              case b: Array[Byte] => new String(b, "UTF-8")
+              case s: String      => s
+              case other          => String.valueOf(other)
+            }
+            v.toLongOption
+          } else None
+        } finally rs.close()
+      } finally ps.close()
     } catch { case _: java.sql.SQLSyntaxErrorException => None } // state table absent
 
   def createStateTableSql: String = // mysql.go:128-144
@@ -160,8 +173,10 @@ object UpsertWriter {
       dialect: SqlDialect = MySqlDialect): Unit = {
     val stmt = dialect.offsetUpsert
     val st: PreparedStatement = conn.prepareStatement(stmt.sql)
-    val bytes = offset.toString.getBytes("UTF-8") // blob value, parity with mysql.go:541
-    stmt.params.indices.foreach(i => st.setBytes(i + 1, bytes))
-    st.executeUpdate()
+    try {
+      val bytes = offset.toString.getBytes("UTF-8") // blob value, parity with mysql.go:541
+      stmt.params.indices.foreach(i => st.setBytes(i + 1, bytes))
+      st.executeUpdate(): Unit
+    } finally st.close()
   }
 }

@@ -65,6 +65,9 @@ class ReplicatorSpec extends SparkSpec {
       """{"op":"u","ns":"app.users","ts":103,"o":{"$unset":{"name":1}},"o2":{"_id":"u2"}}""",
       // fresh insert with nested doc
       """{"op":"i","ns":"app.users","ts":104,"o":{"_id":"u3","name":"cat","cfg":{"pub":true},"visits":1}}""",
+      // whole-SUBDOC unset: removed carries the parent name "cfg", and
+      // the apply must null the flattened child column cfg_pub too
+      """{"op":"u","ns":"app.users","ts":107,"o":{"$unset":{"cfg":1}},"o2":{"_id":"u1"}}""",
       // delete
       """{"op":"d","ns":"app.users","ts":105,"o":{"_id":"u2"}}""",
       // non-replicated table: ignored
@@ -79,14 +82,15 @@ class ReplicatorSpec extends SparkSpec {
     assert(t.keySet == Set("u1", "u3"))
     assert(t("u1")("visits") == 4L)     // partial update applied
     assert(t("u1")("name") == "anne")   // second op on same key applied after first
-    assert(t("u1")("cfg_pub") == true)  // untouched column survived both partials
+    assert(t("u1")("cfg_pub") == null,  // ts=107 whole-subdoc unset of cfg
+      "parent unset must null the flattened child column")
     assert(t("u3")("name") == "cat" && t("u3")("cfg_pub") == true && t("u3")("visits") == 1L)
     // C1: offset co-committed = max ts of the batch. The ts=106 entry is
     // for a non-replicated ns, filtered at the SOURCE (like the
     // reference's pushed `$in ns` query, mongo.go:462-492), so the
     // checkpoint is the last replicated entry's ts.
     val stored = MemJdbc.table("repl", UpsertWriter.StateTable)("timestamp")("value")
-    assert(new String(stored.asInstanceOf[Array[Byte]], "UTF-8") == "105")
+    assert(new String(stored.asInstanceOf[Array[Byte]], "UTF-8") == "107")
 
     // a segment of pure garbage must dead-letter (with the raw line
     // preserved) and must NOT regress the committed offset
@@ -96,7 +100,7 @@ class ReplicatorSpec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
     val after = MemJdbc.table("repl", UpsertWriter.StateTable)("timestamp")("value")
-    assert(new String(after.asInstanceOf[Array[Byte]], "UTF-8") == "105")
+    assert(new String(after.asInstanceOf[Array[Byte]], "UTF-8") == "107")
     val dl = spark.read.parquet(s"$ckpt/dead_letter/batch=1")
       .select("fields_json").collect().map(_.getString(0))
     assert(dl.exists(_.contains("utter garbage")))

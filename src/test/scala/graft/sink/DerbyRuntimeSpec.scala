@@ -263,7 +263,7 @@ class DerbyRuntimeSpec extends SparkSpec {
       val p = SchemaSync.plan(cfg, observed, force = true)
       assert(p.ddl.exists { case SchemaSync.DropTable("old_junk") => true; case _ => false })
       assert(p.ddl.exists { case SchemaSync.DropColumn("accounts", "stray") => true; case _ => false })
-      assert(p.ddl.exists { case SchemaSync.CreateTable("items") => true; case _ => false })
+      assert(p.ddl.exists { case SchemaSync.CreateTable("items", _) => true; case _ => false })
       // visits is a destructive type migration → drop + re-add + resync
       assert(p.resyncColumns("accounts").contains("visits"))
       assert(p.resyncColumns("accounts").contains("score"))
