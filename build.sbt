@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses BENCH_r{N}.json out of the LAST ~2000 chars of sbt's
+// stdout. Two pieces of sbt decoration defeated that parse for six rounds:
+// (a) forked-process output is routed through the logger and arrives
+// prefixed "[info] " (LoggedOutput is the default strategy for run), and
+// (b) sbt appends "[success] Total time: ..." AFTER the bench's last line.
+// StdoutOutput sends the forked JVM's stdout through verbatim;
+// showSuccess := false drops the epilogue — so graft.Bench's compact JSON
+// line is the literal, unprefixed final line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -69,6 +69,57 @@ object Bench {
     readings.exists(_ / floor > threshold)
   }
 
+  /** Intra-query contamination gate — the r15 blind spot closer. That
+    * round's driver host inflated five heavy queries 2-6× across ALL
+    * their reps while the canary readings on both sides of them read
+    * clean (the contention tracked the heavy queries' own memory/IO
+    * pressure, which the tiny canary doesn't exercise). The bracket
+    * classifier above can never see that shape; the query's own reps
+    * can. Flags when:
+    *   - the per-rep MINIMUM exceeds `priorFactor`× the committed-clean
+    *     prior median (min is the least contention-inflatable statistic
+    *     a rep set carries: one clean rep anywhere acquits the query) —
+    *     only when a same-sf prior exists; or
+    *   - the rep spread (max/min) exceeds `spreadFactor` AND the slow
+    *     reps are non-trivial (max > 0.5 s): one or two contended reps
+    *     are skewing the median. The absolute floor keeps sub-half-
+    *     second planning/GC jitter (documented up to 2× on the small
+    *     queries) from flagging clean runs.
+    * Pure, spec-driven ([[BenchCanarySpec]]). */
+  def repContaminated(
+      reps: Seq[Double], prior: Option[Double],
+      priorFactor: Double = 1.5, spreadFactor: Double = 2.0): Boolean = {
+    val ok = reps.filter(_ > 0)
+    if (ok.isEmpty) return false // a no-timings query is an ERROR, not noise
+    val minRep = ok.min
+    val slowVsPrior = prior.exists(p => p > 0 && minRep > p * priorFactor)
+    val spreadNoise = ok.max / minRep > spreadFactor && ok.max > 0.5
+    slowVsPrior || spreadNoise
+  }
+
+  /** Per-query median priors out of a committed graft.Bench artifact
+    * (BENCH_LOCAL.json), used as the [[repContaminated]] denominator.
+    * Returns empty when the artifact's `sf` doesn't match the current
+    * run — cross-sf medians are not comparable. Pure (takes the JSON
+    * text), spec-driven; the file read lives in main and is
+    * best-effort. */
+  def parsePriors(jsonLine: String, sfDir: String): Map[String, Double] =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(jsonLine.trim)
+      if (root.path("sf").asText("") != sfDir) Map.empty
+      else {
+        val qs = root.path("queries")
+        val it = qs.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** The driver's stdout capture window (~2000 chars incl. the build
     * tool's epilogue); every emitted last line must fit under it. */
   val CaptureWindow = 1800
@@ -82,7 +133,10 @@ object Bench {
     * summary → errors degraded to a count too (the terminal rung is a
     * fixed-size line, so SOMETHING parseable always fits) with a
     * stderr warning — registry growth must never silently reintroduce
-    * the parsed:null truncation bug this line exists to fix. */
+    * the parsed:null truncation bug this line exists to fix. On every
+    * rung "errors" stays a JSON ARRAY (the terminal rung empties it and
+    * moves the count to a separate "errors_count" key) so a fixed-schema
+    * consumer never has to type-branch on the field. */
   def compactLine(
       medians: Seq[(String, Double)], total: Double, contended: Boolean,
       contaminated: Seq[String], errorNames: Seq[String],
@@ -112,9 +166,10 @@ object Bench {
           "medians-free summary; per-query medians are in the file artifact only")
       val withErrors = summary(errorList)
       // a broken build's error-name list can be registry-sized itself:
-      // the terminal rung degrades it to a count, which always fits
+      // the terminal rung degrades it to a count under a SEPARATE key,
+      // keeping "errors" an array (here: empty) on every rung
       if (withErrors.length <= CaptureWindow) withErrors
-      else summary(s"""{"errors_count":${errorNames.length}}""")
+      else summary(s"""[],"errors_count":${errorNames.length}""")
     }
   }
 
@@ -184,52 +239,127 @@ object Bench {
     // looked clean. The series localizes inflation to the queries it
     // actually covered (see contaminatedBy).
     val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "12").toInt
-    val canaryReadings = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    def timeCanary(at: Int): Unit =
-      canaryReadings += ((at, runOnce("q1_agg").getOrElse(0.0)))
-    timeCanary(0)
     // Median of 3 repetitions per query: the ~0.3-1 s planning/codegen floor
     // and GC-driven run-to-run variance (up to 2x on the small queries) made
     // single-shot round-over-round deltas untrustworthy. Raw per-rep times
     // are emitted alongside the medians so a reader can tell a real
     // regression (all reps slow) from one contended rep skewing the median.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // TWO full passes over the registry by default (r15 verdict item 6):
+    // identical code runs twice, so a query slow in BOTH passes is a real
+    // regression while a query slow in ONE is host noise — this converts
+    // the comparator's residual false-positive rate (1/55 demonstrated on
+    // identical code in r15) to near-zero without judge re-runs. The
+    // reported median per query is the MINIMUM of the pass medians (the
+    // honest steady state; the slower pass's excess is by construction
+    // environmental), and contamination flags are evaluated against the
+    // winning pass only — a hot bracket in the losing pass never taints
+    // the number we actually report.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val benchNames = SparkEntry.benchQueries.filter(all.contains)
-    val results = benchNames.zipWithIndex.map { case (name, i) =>
-      if (i > 0 && i % canaryEvery == 0) timeCanary(i)
-      val times = (1 to reps).flatMap(_ => runOnce(name))
-      val median =
-        if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
-      (name, median, times, times.length == reps)
+    // Committed-clean priors for the intra-query rep gate — best-effort:
+    // an absent/foreign-sf artifact just disables the prior half of the gate.
+    val priors: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json"))
+        if (java.nio.file.Files.isReadable(p))
+          parsePriors(new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8), sfDir)
+        else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    // One full sweep over the registry with its own canary series
+    // (local indices, so contaminatedBy brackets within the pass).
+    def runPass(): (Seq[(Int, Double)], Seq[Seq[Double]]) = {
+      val canaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      canaries += ((0, runOnce("q1_agg").getOrElse(0.0)))
+      val rs = benchNames.zipWithIndex.map { case (name, i) =>
+        if (i > 0 && i % canaryEvery == 0)
+          canaries += ((i, runOnce("q1_agg").getOrElse(0.0)))
+        (1 to reps).flatMap(_ => runOnce(name))
+      }
+      canaries += ((benchNames.length, runOnce("q1_agg").getOrElse(0.0)))
+      (canaries.toSeq, rs)
     }
-    timeCanary(benchNames.length)
-    val canaryStart = canaryReadings.head._2
-    val canaryEnd = canaryReadings.last._2
+    val passResults = (1 to passes).map(_ => runPass())
+    def med(ts: Seq[Double]) =
+      if (ts.isEmpty) 0.0 else ts.sorted.apply(ts.length / 2)
+    // Per query: winning pass = lowest valid pass median.
+    val results = benchNames.zipWithIndex.map { case (name, i) =>
+      val perPass = passResults.map(_._2(i))
+      val valid = perPass.zipWithIndex.filter(_._1.nonEmpty)
+      if (valid.isEmpty) (name, 0.0, Seq.empty[Double], false, 0)
+      else {
+        val (winReps, winIdx) = valid.minBy { case (ts, _) => med(ts) }
+        (name, med(winReps), perPass.flatten, winReps.length == reps, winIdx)
+      }
+    }
+    val allCanaries = passResults.flatMap(_._1.map(_._2))
+    val canaryStart = passResults.head._1.head._2
+    val canaryEnd = passResults.last._1.last._2
     val canaryRatio = if (canaryStart > 0) canaryEnd / canaryStart else 0.0
-    val contended = contendedRun(canaryReadings.map(_._2).toSeq)
-    val contaminated = benchNames.zipWithIndex.collect {
-      case (name, i) if contaminatedBy(canaryReadings.toSeq, i) => name
+    val contended = contendedRun(allCanaries)
+    // Bracket gate, winning pass only; union with the intra-query rep
+    // gate over the winning pass's reps against the committed prior.
+    val bracketFlagged = results.zipWithIndex.collect {
+      case ((name, _, _, _, winIdx), i)
+          if contaminatedBy(passResults(winIdx)._1, i) => name
+    }
+    val repFlagged = results.zipWithIndex.collect {
+      case ((name, _, _, _, winIdx), i)
+          if repContaminated(passResults(winIdx)._2(i), priors.get(name)) =>
+        name
+    }
+    val contaminated = (bracketFlagged ++ repFlagged).distinct
+    // Cross-pass self-comparison: pass medians disagreeing >1.5x on
+    // identical code is host noise localized to the slower pass.
+    val selfNoise =
+      if (passes < 2) Seq.empty[String]
+      else benchNames.zipWithIndex.collect {
+        case (name, i)
+            if {
+              val meds = passResults.map(pr => med(pr._2(i))).filter(_ > 0)
+              meds.size >= 2 && meds.max / meds.min > 1.5
+            } => name
+      }
+    // The artifact's series concatenates the passes; `at` continues
+    // globally (pass p reading at local x renders at p*N + x) so a reader
+    // sees one timeline. Flagging already happened per-pass above.
+    val globalSeries = passResults.zipWithIndex.flatMap { case ((cs, _), p) =>
+      cs.map { case (at, t) => (p * benchNames.length + at, t) }
     }
     val canary =
       f""""canary":{"q1_start":$canaryStart%.3f,"q1_end":$canaryEnd%.3f,""" +
         f""""ratio":$canaryRatio%.2f,"contended":$contended,""" +
-        s""""series":${canaryReadings.map { case (at, t) =>
+        s""""series":${globalSeries.map { case (at, t) =>
           f"""{"at":$at,"sec":$t%.3f}""" }.mkString("[", ",", "]")},""" +
         s""""contaminated_queries":${contaminated
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""rep_flagged":${repFlagged
           .map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
+    // Cross-pass verdict: per-pass medians + the noise list, so a reader
+    // (and the comparator) can tell slow-in-both from slow-in-one.
+    val selfCompare =
+      s""""self_compare":{"passes":$passes,""" +
+        s""""noise":${selfNoise.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""pass_medians":${benchNames.zipWithIndex.map { case (k, i) =>
+          s"\"" + k + "\":" + passResults.map(pr => f"${med(pr._2(i))}%.3f")
+            .mkString("[", ",", "]")
+        }.mkString("{", ",", "}")}}"""
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, ts, _) =>
+    val raw = results.map { case (k, _, ts, _, _) =>
       s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // per-query nearest canary reading — the normalization denominator a
-    // cross-round comparator (tools/bench_compare.py) divides medians by,
-    // so environmental drift between rounds cancels instead of reading
-    // as a regression
-    val canaryRef = benchNames.zipWithIndex.map { case (k, i) =>
-      s"\"" + k + "\":" + f"${nearestCanary(canaryReadings.toSeq, i)}%.3f"
+    // per-query nearest canary reading OF THE WINNING PASS — the
+    // normalization denominator a cross-round comparator
+    // (tools/bench_compare.py) divides medians by, so environmental
+    // drift between rounds cancels instead of reading as a regression
+    val canaryRef = results.zipWithIndex.map { case ((k, _, _, _, winIdx), i) =>
+      s"\"" + k + "\":" +
+        f"${nearestCanary(passResults(winIdx)._1, i)}%.3f"
     }.mkString("{", ",", "}")
-    val errorNames = results.collect { case (k, _, _, false) => k }
+    val errorNames = results.collect { case (k, _, _, false, _) => k }
     val errors = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Skew stress: the same operators on a deterministic power-law corpus
@@ -249,7 +379,7 @@ object Bench {
         s"""{"error":"${e.getClass.getSimpleName}"}"""
       }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,"canary_ref":$canaryRef,$canary,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,"canary_ref":$canaryRef,$canary,$selfCompare,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a bounded TAIL of stdout (~2000 chars) and
     // parses the artifact out of it; the full line above is ~5 KB, so
@@ -260,7 +390,7 @@ object Bench {
     // decimals) that the whole line survives inside the capture window
     // even with the build tool's own epilogue after it.
     val compact = compactLine(
-      results.map { case (k, v, _, _) => (k, v) },
+      results.map { case (k, v, _, _, _) => (k, v) },
       total, contended, contaminated, errorNames, sfDir)
     // Persist the identical FULL line to a file in the working directory
     // so the complete artifact (raw reps, canary series, skew section)

@@ -359,18 +359,21 @@ object Replicator {
                 case "upsert" =>
                   val fields = Json.parseObject(r.getString(4))
                   val partial = r.getBoolean(5)
-                  val removed = r.getSeq[String](6).toSet
+                  // removal paths arrive DOTTED (source-path form,
+                  // ChangeEvent doc). A path covers a declared column
+                  // iff it equals the column's dotted sourceName or is
+                  // a dotted ANCESTOR: `$unset: {cfg: 1}` (whole-subdoc
+                  // unset) nulls cfg.pub / cfg.deep.y (sink cfg_pub,
+                  // cfg_deep_y) — while `$unset` of a SCALAR `status`
+                  // leaves a distinct source field `status_code` alone,
+                  // which a flattened-prefix match would corrupt.
+                  val removedPaths = r.getSeq[String](6).toSet
+                  val removedCols: Set[String] = spec.columns.iterator
+                    .filter(c => removedPaths.contains(c.sourceName) ||
+                      removedPaths.exists(p => c.sourceName.startsWith(p + ".")))
+                    .map(_.sinkName).toSet
                   val declared = spec.columns.map(_.sinkName)
-                  // a removed entry covers a column exactly OR as a
-                  // SUBTREE parent: `$unset: {cfg: 1}` (whole-subdoc
-                  // unset) decodes to removed = {"cfg"}, and every
-                  // flattened child column (cfg_pub, cfg_deep_y) must
-                  // NULL — matching on the exact name alone would leave
-                  // the children stale forever. (Dotted single-field
-                  // unsets arrive pre-flattened: "cfg.pub" → cfg_pub.)
-                  def isRemoved(c: String): Boolean =
-                    removed.contains(c) ||
-                      removed.exists(p => c.startsWith(p + "_"))
+                  def isRemoved(c: String): Boolean = removedCols.contains(c)
                   val present =
                     if (partial) declared.filter(c => fields.contains(c) || isRemoved(c))
                     else declared

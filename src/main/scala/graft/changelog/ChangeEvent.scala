@@ -18,7 +18,14 @@ sealed trait Change {
   * must be preserved. `partial = false` ⇒ full image (insert
   * `mongo.go:164-179` or whole-doc replace `mongo.go:369-385`): absent
   * declared columns become NULL. `removed` lists fields explicitly unset
-  * (`$unset` / `$v:2` `d` section, `mongo.go:246-258`). */
+  * (`$unset` / `$v:2` `d` section, `mongo.go:246-258`) as DOTTED source
+  * paths — NOT flattened sink names. The dot structure is the
+  * disambiguator the apply side needs: a removed path nulls a declared
+  * column iff it equals the column's dotted `sourceName` or is a dotted
+  * ANCESTOR of it (`$unset: {cfg: 1}` on a subdoc nulls `cfg.pub` →
+  * sink `cfg_pub`), while a scalar field that merely shares a flattened
+  * PREFIX (source field `status_code` vs `$unset` of scalar `status`)
+  * stays untouched — under flattened names those two cases collide. */
 final case class Upsert(
     table: String,
     ts: Long,

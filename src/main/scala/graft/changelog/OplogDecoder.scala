@@ -98,7 +98,11 @@ object OplogDecoder {
                 Seq(DeadLetter(tbl, entry.ts, "non-document $set", String.valueOf(s)))
               case (setOpt, unsetOpt) =>
                 val sets = setOpt.collect { case m: Map[_, _] => flattenDoc(m.asInstanceOf[Map[String, Any]]) }.getOrElse(Map.empty)
-                val unsets = unsetOpt.collect { case m: Map[_, _] => flattenDoc(m.asInstanceOf[Map[String, Any]]).keySet }.getOrElse(Set.empty[String])
+                // $unset KEYS are the removal paths, already in Mongo's
+                // dotted wire form ($unset: {"cfg.old": 1}); values are
+                // ignored sentinels. Keep the dots — they are the
+                // scalar-vs-subtree disambiguator (ChangeEvent doc).
+                val unsets = unsetOpt.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].keySet }.getOrElse(Set.empty[String])
                 Seq(Upsert(tbl, entry.ts, id, sets, partial = true, removed = unsets))
             }
           } else if (entry.o.get("$v").exists(v => String.valueOf(v) == "2") && entry.o.contains("diff")) {
@@ -142,7 +146,12 @@ object OplogDecoder {
   private def decodeDiff(diff: Map[String, Any], prefix: String): (Map[String, Any], Set[String]) = {
     var fields = Map.empty[String, Any]
     var removed = Set.empty[String]
-    def pfx(k: String) = if (prefix.isEmpty) k else s"${prefix}_$k"
+    // The recursion prefix is DOTTED (source-path form). `fields` still
+    // flatten to `_`-joined sink names — flattenDoc dot→underscore
+    // normalization applies to the whole joined key, so a dotted prefix
+    // yields identical sink names. `removed` keeps the dots: removal
+    // paths must stay structural (ChangeEvent doc).
+    def pfx(k: String) = if (prefix.isEmpty) k else s"$prefix.$k"
     diff.toSeq.sortBy(_._1).foreach {
       case ("i", m: Map[_, _]) =>
         fields ++= flattenDoc(m.asInstanceOf[Map[String, Any]], prefix)

@@ -251,9 +251,26 @@ object Curation {
   def importanceUnseenFloor(tt: Long, rt: Long, buckets: Int): Double =
     math.log(1.0 / (tt + buckets)) - math.log(1.0 / (rt + buckets))
 
+  /** NOTE on the internal cache: the per-(doc,pool,bucket) count frame
+    * persists (lazily, evictable) and CANNOT be unpersisted here — the
+    * returned per-doc weight frame is potentially corpus-sized and
+    * lazy, so the cache must outlive this call. Batch/registry paths
+    * are covered by the harness-global unpersist after each query; a
+    * LONG-LIVED service calling this repeatedly should materialize the
+    * result and then `spark.sparkContext.getPersistentRDDs.values
+    * .foreach(_.unpersist())` (or prefer [[importanceResample]], which
+    * cleans up after itself). */
   def importanceWeights(
       df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int): DataFrame = {
+      isTarget: Column, buckets: Int): DataFrame =
+    importanceWeightsCached(df, idCol, textCol, isTarget, buckets)._1
+
+  /** [[importanceWeights]] plus the cache HANDLE, so a caller that
+    * materializes eagerly can release the token-count blocks in a
+    * finally instead of leaking them for the session's lifetime. */
+  private def importanceWeightsCached(
+      df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): (DataFrame, DataFrame) = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
     // ONE tokenize+hash pass: the token stream collapses to per-
@@ -282,11 +299,12 @@ object Curation {
         .agg(sum(when(col("__t"), col("__n")).otherwise(0L)).as("__tc"),
           sum(when(col("__t"), lit(0L)).otherwise(col("__n"))).as("__rc")),
       buckets).select("__b", "__lr")
-    docBuckets.filter(!col("__t"))
+    val w = docBuckets.filter(!col("__t"))
       .join(broadcast(lr), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum(col("__n")).cast("long").as("n_toks"),
         round(sum(col("__n") * col("__lr")), 6).as("logweight"))
+    (w, docBuckets)
   }
 
   /** Stateless per-row DSIR scorer — the INGEST shape of
@@ -331,17 +349,22 @@ object Curation {
       isTarget: Column, buckets: Int, k: Int,
       salt: String = "dsir:"): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val w = importanceWeights(df, idCol, textCol, isTarget, buckets)
-    val u = (hashBucket(col(textCol), salt, 10000).cast("double") + 0.5) / 10000.0
-    val keyed = w.join(df.select(col(idCol), col(textCol)), Seq(idCol))
-      .withColumn("sample_key",
-        round(col("logweight") - log(-log(u)), 6))
-      .select(col(idCol), col("n_toks"), col("logweight"), col("sample_key"))
-    val order = Seq(col("sample_key").desc, col(idCol).asc)
-    TopK.perKey(keyed.withColumn("__g", lit(0)), Seq("__g"), order, k)
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("__g")).orderBy(order: _*)))
-      .drop("__g")
+    val (w, cache) = importanceWeightsCached(df, idCol, textCol, isTarget, buckets)
+    try {
+      val u = (hashBucket(col(textCol), salt, 10000).cast("double") + 0.5) / 10000.0
+      val keyed = w.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+        .withColumn("sample_key",
+          round(col("logweight") - log(-log(u)), 6))
+        .select(col(idCol), col("n_toks"), col("logweight"), col("sample_key"))
+      val order = Seq(col("sample_key").desc, col(idCol).asc)
+      // k rows: materialize eagerly so the token-count cache releases
+      // in the finally instead of leaking for the session's lifetime
+      TopK.perKey(keyed.withColumn("__g", lit(0)), Seq("__g"), order, k)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("__g")).orderBy(order: _*)))
+        .drop("__g")
+        .localCheckpoint(true)
+    } finally cache.unpersist()
   }
 
   /** Quality-proportional stochastic keep — the "soft filter" between

@@ -275,14 +275,21 @@ object Retrieval {
     // the appendIndex precedent (lazy, evictable; the served twin reads
     // parquet instead and needs no cache)
     val posts = postings(docs, idCol, textCol).persist()
-    val qt = queryTerms(spark, queries)
-    val (n, sumDl) = corpusStats(docs, textCol)
-    val cand1 = termFilter(posts, qt, distinctTerms(queries))
-    val df1 = cand1.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    rm3Core(posts, cand1, df1,
-      ts => posts.join(broadcast(ts), Seq("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df")),
-      qt, n, sumDl, queries, k, fbDocs, fbTerms, alpha)
+    try {
+      val qt = queryTerms(spark, queries)
+      val (n, sumDl) = corpusStats(docs, textCol)
+      val cand1 = termFilter(posts, qt, distinctTerms(queries))
+      val df1 = cand1.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val out = rm3Core(posts, cand1, df1,
+        ts => posts.join(broadcast(ts), Seq("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("df")),
+        qt, n, sumDl, queries, k, fbDocs, fbTerms, alpha)
+      // the result is queries×k rows: materialize it eagerly so the
+      // postings cache can drop HERE (finally, appendIndex precedent)
+      // instead of pinning corpus-sized evictable blocks for the
+      // session's lifetime — long-lived services call this repeatedly
+      out.localCheckpoint(true)
+    } finally posts.unpersist()
   }
 
   /** RM3 served from the PERSISTED inverted index ([[buildIndexM]]) —

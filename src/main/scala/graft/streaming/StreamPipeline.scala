@@ -545,11 +545,29 @@ object StreamPipeline {
           "pre-append version (keepFrom <= that version) until the " +
           "stream's checkpoint has durably passed the batch, or rebuild " +
           "this batch's output from the lake.", cause)
+    val tables = head.tables.map { case (t, ss) => t -> ss.filterNot(segs) }
+    // CONTRACTUAL: subtraction must never EMPTY a table. Every family's
+    // build seeds each of its tables with at least one segment and every
+    // append only EXTENDS existing tables (appendGramIndexM /
+    // appendLshIndexM / appendIndexM / appendIvf*/Pq* all do
+    // `snap.tables(T) :+ seg`), so a batch append cannot own a table's
+    // only segments — an emptied table means the stamped segment list
+    // does not describe a pure append over this root, and recomputing
+    // against a fabricated view would produce silently wrong (self-
+    // matched or unmatched) output. Fail loud with the operational fix,
+    // like the destroyed-boundary case above.
+    val emptied = tables.collect { case (t, ss) if ss.isEmpty => t }
+    if (emptied.nonEmpty)
+      throw new IllegalStateException(
+        s"growing index at $root: reconstructing batch $batchId's " +
+          s"pre-append view from HEAD v${head.version} would leave " +
+          s"table(s) ${emptied.mkString(", ")} with zero segments — the " +
+          "batch's stamped segments are a table's ONLY segments, which no " +
+          "build+append lifecycle produces. The root's history does not " +
+          "match the stamping contract; rebuild this batch's output from " +
+          "the lake instead of replaying it.", cause)
     graft.index.IndexManifest.Snapshot(
-      head.version,
-      head.tables.map { case (t, ss) => t -> ss.filterNot(segs) }
-        .filter(_._2.nonEmpty),
-      head.meta, head.explicitKeys)
+      head.version, tables, head.meta, head.explicitKeys)
   }
 
   private[graft] def spanGrowingBatch(

@@ -107,6 +107,56 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(Bench.nearestCanary(Seq((0, 0.0)), 1) == 0.0)
   }
 
+  test("repContaminated: the r15-driver shape — all reps slow, brackets clean — flags") {
+    // dedup_repeated_spans in the r15 driver artifact: reps ~8.3-8.9 s
+    // against a committed-clean prior median of 1.41 s, with clean canary
+    // readings on both sides (the bracket gate missed it entirely)
+    assert(Bench.repContaminated(Seq(8.58, 8.31, 8.92), prior = Some(1.41)))
+    // ...and each of the other four inflated heavies from that artifact
+    assert(Bench.repContaminated(Seq(7.85, 7.2, 8.1), Some(2.31)))
+    assert(Bench.repContaminated(Seq(4.38, 4.1, 4.5), Some(1.88)))
+    assert(Bench.repContaminated(Seq(3.93, 3.7, 4.0), Some(1.83)))
+    assert(Bench.repContaminated(Seq(3.31, 3.2, 3.4), Some(0.83)))
+  }
+
+  test("repContaminated: a clean run flags nothing") {
+    // reps within noise of the prior
+    assert(!Bench.repContaminated(Seq(1.45, 1.38, 1.52), Some(1.41)))
+    // an IMPROVED query must never flag
+    assert(!Bench.repContaminated(Seq(0.7, 0.72, 0.69), Some(1.41)))
+    // no prior + tight reps: nothing to compare, no spread
+    assert(!Bench.repContaminated(Seq(1.45, 1.38, 1.52), None))
+    // one clean rep acquits the PRIOR gate even when the median is
+    // inflated — the MIN is its statistic (the spread gate still flags
+    // this shape, which is the point: contaminated, not regressed)
+    assert(Bench.repContaminated(Seq(1.40, 6.2, 6.4), Some(1.41)))
+  }
+
+  test("repContaminated: rep spread >2x flags, but sub-half-second jitter doesn't") {
+    // two contended reps skewing a median: min clean, spread 4.4x
+    assert(Bench.repContaminated(Seq(1.40, 6.2, 6.4), prior = None))
+    // small-query GC jitter (documented up to ~2x under 0.5 s) stays clean
+    assert(!Bench.repContaminated(Seq(0.11, 0.24, 0.12), None))
+    // spread just under the gate stays clean at any size
+    assert(!Bench.repContaminated(Seq(3.0, 5.5, 3.2), None))
+    // an all-failed query is an ERROR, not contamination
+    assert(!Bench.repContaminated(Seq.empty, Some(1.0)))
+  }
+
+  test("parsePriors reads a committed artifact's medians, same-sf only") {
+    val artifact =
+      """{"metric":"total","value":10.0,"unit":"sec",""" +
+        """"queries":{"q1_agg":0.25,"dedup_repeated_spans":1.41},""" +
+        """"errors":[],"sf":"/root/testdata/sf0.1"}"""
+    val ps = Bench.parsePriors(artifact, "/root/testdata/sf0.1")
+    assert(ps == Map("q1_agg" -> 0.25, "dedup_repeated_spans" -> 1.41))
+    // a different sf's medians are not comparable — empty, gate disabled
+    assert(Bench.parsePriors(artifact, "/root/testdata/sf0.01").isEmpty)
+    // malformed/absent artifacts disable the gate, never crash the bench
+    assert(Bench.parsePriors("not json", "x").isEmpty)
+    assert(Bench.parsePriors("", "x").isEmpty)
+  }
+
   test("compact line fits the capture window at the CURRENT bench registry size") {
     // the guard this line exists for: when benchQueries grows past the
     // window, this test fails LOUDLY instead of the round artifact
@@ -136,6 +186,9 @@ class BenchCanarySpec extends AnyFunSuite {
       contaminated = Seq.empty, errorNames = huge.map(_._1), sfDir = "x")
     assert(summary.length <= Bench.CaptureWindow)
     assert(summary.contains("\"queries_omitted\":500"))
-    assert(summary.contains("\"errors_count\":500"))
+    // the terminal rung keeps "errors" an ARRAY (emptied) and moves the
+    // count to its own key — a fixed-schema consumer must never have to
+    // type-branch on "errors"
+    assert(summary.contains("\"errors\":[],\"errors_count\":500"))
   }
 }

@@ -105,4 +105,42 @@ class ReplicatorSpec extends SparkSpec {
       .select("fields_json").collect().map(_.getString(0))
     assert(dl.exists(_.contains("utter garbage")))
   }
+
+  test("scalar $unset never nulls an underscore-named sibling column (ADVICE r15)") {
+    // `status` (scalar) and `status_code` are DISTINCT top-level source
+    // fields whose sink names collide on the `status_` prefix with the
+    // flattened children a subtree unset must null. The dotted-path
+    // removal contract disambiguates: unset of scalar `status` touches
+    // only `status`; unset of subdoc `cfg` still nulls child `cfg_pub`.
+    MemJdbc.reset("replu")
+    val cfgText =
+      """inp: mongodb://localhost:27017/app
+        |out: jdbc:graftmem:replu
+        |tables:
+        |  users:
+        |    status: varchar(20)
+        |    status_code: bigint(20)
+        |    cfg.pub: tinyint(1)
+        |""".stripMargin
+    val cfg = ConfigParser.parse(cfgText)
+    val repl = new Replicator(spark, cfg, MemJdbc.UrlPrefix + "replu", new Properties())
+    repl.reconcileSchema(Map.empty, force = false)
+    val segDir = Files.createTempDirectory("graft_unset_seg").toString
+    val ckpt = Files.createTempDirectory("graft_unset_ckpt").toString
+    Files.write(Paths.get(segDir, "seg0.json"), Seq(
+      """{"op":"i","ns":"app.users","ts":1,"o":{"_id":"u1","status":"ok","status_code":200,"cfg":{"pub":true}}}""",
+      // scalar unset: only `status` nulls; status_code must SURVIVE
+      """{"op":"u","ns":"app.users","ts":2,"o":{"$unset":{"status":1}},"o2":{"_id":"u1"}}""",
+      // subtree unset still expands to the flattened child
+      """{"op":"u","ns":"app.users","ts":3,"o":{"$unset":{"cfg":1}},"o2":{"_id":"u1"}}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val q = repl.startStream(segDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val row = MemJdbc.table("replu", "users")("u1")
+    assert(row("status") == null, "scalar unset must null its own column")
+    assert(row("status_code") == 200L,
+      "scalar unset of `status` corrupted sibling `status_code`")
+    assert(row("cfg_pub") == null, "subtree unset must still null flattened children")
+  }
 }

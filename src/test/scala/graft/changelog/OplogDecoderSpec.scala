@@ -41,15 +41,30 @@ class OplogDecoderSpec extends AnyFunSuite {
       raw("u", Map("$v" -> 2, "diff" -> diff), Some(Map("_id" -> oid))), replicated)
     assert(out == Seq(Upsert("users", 7L, oid.hex,
       Map("new" -> 9, "upd" -> 8, "cfg_pub" -> 0, "cfg_deep_leaf" -> 5),
-      partial = true, removed = Set("gone", "cfg_old"))))
+      // removal paths stay DOTTED (source form): the apply side needs
+      // the structure to expand subtree unsets without corrupting
+      // underscore-named scalar siblings (ADVICE r15)
+      partial = true, removed = Set("gone", "cfg.old"))))
   }
 
-  test("dotted $set/$unset paths (oplog wire form) normalize to _-joined sink names") {
+  test("dotted $set paths normalize to _-joined sink names; $unset paths keep dots") {
     val out = OplogDecoder.decode(
       raw("u", Map("$set" -> Map("cfg.pub" -> 1), "$unset" -> Map("cfg.old" -> 1)),
         Some(Map("_id" -> oid))), replicated)
     assert(out == Seq(Upsert("users", 7L, oid.hex,
-      Map("cfg_pub" -> 1), partial = true, removed = Set("cfg_old"))))
+      Map("cfg_pub" -> 1), partial = true, removed = Set("cfg.old"))))
+  }
+
+  test("scalar-vs-subtree unset disambiguation survives decode (ADVICE r15)") {
+    // distinct top-level fields `status` (scalar) and `status_code`: an
+    // unset of `status` must NOT be conflatable with a subtree covering
+    // status_code — dotted paths make ancestry checkable downstream
+    val out = OplogDecoder.decode(
+      raw("u", Map("$unset" -> Map("status" -> 1)), Some(Map("_id" -> oid))), replicated)
+    assert(out == Seq(Upsert("users", 7L, oid.hex,
+      Map.empty, partial = true, removed = Set("status"))))
+    // "status" covers sourceName "status" and "status.x" but never
+    // "status_code" under the dotted-ancestor rule applied at the sink
   }
 
   test("update whole-document replace: full image, partial=false (mongo.go:369-385)") {

@@ -262,6 +262,36 @@ class StreamGrowingIndexSpec extends SparkSpec {
     } finally rm(root, out)
   }
 
+  test("reconstruction that would EMPTY a table fails loud (contractual)") {
+    // The table-emptied edge: HEAD carries the batch's own stamp and
+    // every stamped segment, but subtracting them leaves a table with
+    // ZERO segments. No build+append lifecycle produces that state —
+    // every family's build seeds each table with >=1 segment and every
+    // append only extends existing tables — so it can only mean the
+    // stamped list does not describe a pure append over this root.
+    // CONTRACT: reconstructPreBatch throws the loud IllegalStateException
+    // at reconstruction time (not a confusing "has no table" later from
+    // readAt), telling the operator to rebuild the batch from the lake.
+    val head = IndexManifest.Snapshot(
+      version = 2L,
+      tables = Map("grams" -> Seq("grams/seg-only")),
+      meta = Map(IndexManifest.StreamBatchKey -> "1",
+        IndexManifest.StreamBatchSegsKey -> "grams/seg-only"),
+      explicitKeys = Set(IndexManifest.StreamBatchKey))
+    val e = intercept[IllegalStateException](
+      StreamPipeline.reconstructPreBatch(head, 1L, "/idx/contract", cause =
+        new java.io.FileNotFoundException("pre-batch manifest vacuumed")))
+    assert(e.getMessage.contains("zero segments"), e.getMessage)
+    assert(e.getMessage.contains("rebuild this batch's output from"), e.getMessage)
+    // ...while the same HEAD with a surviving build segment reconstructs
+    // to exactly the pre-append view (the table keeps the build segment)
+    val ok = head.copy(tables = Map(
+      "grams" -> Seq("grams/seg-build", "grams/seg-only")))
+    val snap = StreamPipeline.reconstructPreBatch(ok, 1L, "/idx/contract",
+      new java.io.FileNotFoundException("x"))
+    assert(snap.tables == Map("grams" -> Seq("grams/seg-build")))
+  }
+
   // ---- the LSH family through the SAME growth protocol --------------
   // proves preBatchSnapshot + the batchId-stamped commit are genuinely
   // family-agnostic: a second index family (two tables per version, its
