@@ -188,6 +188,20 @@ object SkewBench {
           embeddings(spark, 64, sk), embeddings(spark, n, sk),
           cellCentroids(spark), "vec_id", "embedding", k = 8, nProbe = 2)
       },
+      pair("semdedup") { sk =>
+        // SemDeDup's within-cluster quadratic against a monster embedding
+        // clique: the hot Voronoi cell holds ~25 % of the corpus (a
+        // boilerplate near-dup clique), and the `maxCluster` cap
+        // anti-joins it out BEFORE the self-join — exactly the LSH
+        // maxBucket discipline. 4k vectors / cap 512: uniform clusters
+        // (~250 rows) all survive and pay the honest quadratic; the
+        // skewed hot cell (~1000 rows) is dropped visibly, so the skewed
+        // side can never pile a million-pair clique onto one task.
+        val n = (nDocs * 4) min 4000L
+        graft.operators.Dedup.semDedup(
+          embeddings(spark, n, sk), cellCentroids(spark),
+          "vec_id", "embedding", threshold = 0.9, maxCluster = 512)
+      },
       pair("dedup_repeated_spans") { sk =>
         // exact-substring spans under a 20 % boilerplate clique: the hot
         // cluster's grams reach huge doc frequencies, but every stage is

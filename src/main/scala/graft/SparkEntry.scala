@@ -323,5 +323,11 @@ object SparkEntry {
     // the committed inverted index: the steady-state expansion cost)
     // and cluster-scoped semantic dedup (kernel assignment + capped
     // within-cluster dominance screen)
-    "retrieval_rm3_served", "dedup_semdedup")
+    "retrieval_rm3_served", "dedup_semdedup",
+    // round 16 — SemDeDup with the maxCluster skew cap engaged (the
+    // 100 TB boilerplate-clique shape; the uncapped twin above prices
+    // the full dominance screen). The IVF-PQ growing ingest stays off
+    // the bench like the other lifecycle queries: its time is the
+    // build+grow replay, not a steady-state op.
+    "dedup_semdedup_capped")
 }

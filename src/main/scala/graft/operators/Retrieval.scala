@@ -275,21 +275,34 @@ object Retrieval {
     // the appendIndex precedent (lazy, evictable; the served twin reads
     // parquet instead and needs no cache)
     val posts = postings(docs, idCol, textCol).persist()
-    try {
-      val qt = queryTerms(spark, queries)
-      val (n, sumDl) = corpusStats(docs, textCol)
-      val cand1 = termFilter(posts, qt, distinctTerms(queries))
-      val df1 = cand1.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val out = rm3Core(posts, cand1, df1,
-        ts => posts.join(broadcast(ts), Seq("term"))
-          .groupBy(col("term")).agg(count(lit(1)).as("df")),
-        qt, n, sumDl, queries, k, fbDocs, fbTerms, alpha)
-      // the result is queries×k rows: materialize it eagerly so the
-      // postings cache can drop HERE (finally, appendIndex precedent)
-      // instead of pinning corpus-sized evictable blocks for the
-      // session's lifetime — long-lived services call this repeatedly
-      out.localCheckpoint(true)
-    } finally posts.unpersist()
+    // the result is queries×k rows: materialize it eagerly so the
+    // postings cache can drop HERE (finally, appendIndex precedent)
+    // instead of pinning corpus-sized evictable blocks for the
+    // session's lifetime — long-lived services call this repeatedly
+    try rm3Inline(posts, docs, textCol, queries, k, fbDocs, fbTerms, alpha)
+      .localCheckpoint(true)
+    finally posts.unpersist()
+  }
+
+  /** The LAZY inline RM3 plan over an already-cached postings frame —
+    * what [[rm3TopK]] materializes. Separate so PlanSpec can pin the
+    * composed two-stage plan (TopKPerKey ranking, broadcast feedback
+    * frames, queries×terms-grain SMJs): the public entry checkpoints
+    * its result to release the postings cache, which collapses the
+    * visible plan to a Scan ExistingRDD. */
+  private[graft] def rm3Inline(
+      posts: DataFrame, docs: DataFrame, textCol: String,
+      queries: Seq[(Int, String)], k: Int,
+      fbDocs: Int, fbTerms: Int, alpha: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val qt = queryTerms(spark, queries)
+    val (n, sumDl) = corpusStats(docs, textCol)
+    val cand1 = termFilter(posts, qt, distinctTerms(queries))
+    val df1 = cand1.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    rm3Core(posts, cand1, df1,
+      ts => posts.join(broadcast(ts), Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df")),
+      qt, n, sumDl, queries, k, fbDocs, fbTerms, alpha)
   }
 
   /** RM3 served from the PERSISTED inverted index ([[buildIndexM]]) —

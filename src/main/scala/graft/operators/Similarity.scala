@@ -1200,15 +1200,27 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, m: Int, dsub: Int, nProbe: Int, root: String,
       at: Option[Long] = None): DataFrame = {
-    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val spark = queries.sparkSession
-    graft.functions.GraftFunctions.register(spark)
     // `at` pins a committed version: centroids, codebook, AND codes
     // resolve from that version together — the [[ivfProbeM]] time-travel
     // contract extended to the quantized layout.
     val snap = at
       .map(v => graft.index.IndexManifest.snapshotAt(spark, root, v))
       .getOrElse(graft.index.IndexManifest.snapshot(spark, root))
+    ivfPqProbeSnapM(queries, idCol, vecCol, k, m, dsub, nProbe, root, snap)
+  }
+
+  /** [[ivfPqProbeM]] against an already-RESOLVED snapshot — the entry
+    * the growing-stream replay uses (the [[ivfProbeSnapM]] rationale:
+    * a vacuumed-walk-back reconstruction exists only as a Snapshot
+    * value, never as a committed version number). */
+  def ivfPqProbeSnapM(
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, dsub: Int, nProbe: Int, root: String,
+      snap: graft.index.IndexManifest.Snapshot): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
     val ref = storedPqRef(spark, root, snap, m, dsub)
     val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)

@@ -533,6 +533,21 @@ object LlmQueries {
         .orderBy("vec_id")
     },
 
+    // ... the CAPPED twin — the 100 TB shape: a monster embedding
+    // clique (boilerplate corpus) makes one cluster quadratic; the
+    // maxCluster dial anti-joins oversize clusters out BEFORE the
+    // self-join, with the drop VISIBLE (their rows leave the output
+    // entirely, like the LSH maxBucket caps — never a silent sample).
+    // At sf0.01 the cap of 100 drops two of the five clusters (118 and
+    // 115 rows), so the oracle proves both the screen and the drop.
+    "dedup_semdedup_capped" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      Dedup.semDedup(emb, centroids, "vec_id", "embedding",
+          threshold = 0.3, maxCluster = 100)
+        .orderBy("vec_id")
+    },
+
     // ... and with ACTUAL k-means centroids — the paper's own recipe
     // end to end: one Lloyd refinement from the deterministic init
     // (the sim_ivf_trained machinery, oracle-replayed exactly), then
@@ -1930,6 +1945,21 @@ object LlmQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // The GROWING coarse-quantized edition — completing the growing ANN
+    // set with the compressed flavor a 100 TB corpus actually grows
+    // (FAISS IVFx,PQm): arrivals ADC-probe the code rows as of the
+    // previous batch (probe list from the stored centroids, LUT from
+    // the stored codebook — both build-frozen), then assign + encode +
+    // append through the exactly-once batchId-stamped commit. An
+    // arrival's nearest neighbor landing two batches earlier surfaces
+    // from the cluster-pruned code scan at d/m the bytes of the IVF
+    // sibling.
+    "stream_ann_ivfpq_growing" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingAnnIvfPqGrowing(s, dir, k = 5, m = 4, dsub = 16, nProbe = 2)
+        .orderBy("query_id", "rnk")
+    },
+
     // ANN at ingest over the persisted inverted file — the IVF leg of
     // the streaming probe family: each micro-batch runs the served
     // multi-probe search over just its arrivals (probe list from the
@@ -2207,6 +2237,74 @@ object LlmQueries {
          SELECT query_id, cluster, neighbor_id, cosine,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** The GROWING-stream IVF-PQ oracle: the [[IvfGrowingSearchOracle]]
+    * probe/arrival-rank structure with [[PqGrowingSearchOracle]]'s ADC
+    * scoring — a query in batch b ADC-scores codes of vectors that
+    * arrived STRICTLY earlier AND sit in one of its 2 probed clusters.
+    * Same fixed centroid sample, codeword grid, and rounding as the
+    * inline sim_topk_ivfpq oracle. */
+  private val IvfPqGrowingSearchOracle: String =
+    """WITH js AS (SELECT unnest(range(4)) AS j),
+         sub AS (
+           SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sv
+           FROM embeddings, js),
+         cb AS (
+           SELECT j AS subspace, vec_id AS code_id,
+                  CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                  sv AS cw
+           FROM sub WHERE vec_id % 100 = 0),
+         cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         enc AS (
+           SELECT s.vec_id, s.j, cb.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               round(list_dot_product(s.sv::double[], s.sv::double[])
+                 - 2*list_dot_product(s.sv::double[], cb.cw::double[])
+                 + list_dot_product(cb.cw::double[], cb.cw::double[]), 6) ASC,
+               cb.code ASC) AS ern
+           FROM sub s JOIN cb ON cb.subspace = s.j),
+         codes AS (SELECT vec_id, j, code FROM enc WHERE ern = 1),
+         ranked AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 10 < 8 THEN -1
+                       ELSE (vec_id % 30) // 10 END AS rk
+           FROM embeddings),
+         clustered AS (
+           SELECT a.vec_id, a.cluster, r.rk
+           FROM assign a JOIN ranked r USING (vec_id) WHERE a.crn = 1),
+         probes AS (
+           SELECT a.vec_id AS query_id, a.cluster, r.rk
+           FROM assign a JOIN ranked r USING (vec_id)
+           WHERE r.rk >= 0 AND a.crn <= 2),
+         cand AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id, c.cluster
+           FROM probes p JOIN clustered c
+             ON c.cluster = p.cluster AND c.rk < p.rk),
+         terms AS (
+           SELECT cand.query_id, cand.neighbor_id, cand.cluster,
+                  round(list_dot_product(qs.sv::double[], cb.cw::double[]), 6) AS term
+           FROM cand
+           JOIN sub qs ON qs.vec_id = cand.query_id
+           JOIN codes co ON co.vec_id = cand.neighbor_id AND co.j = qs.j
+           JOIN cb ON cb.subspace = co.j AND cb.code = co.code),
+         scored AS (
+           SELECT query_id, neighbor_id, cluster, round(sum(term), 6) AS score
+           FROM terms GROUP BY query_id, neighbor_id, cluster)
+         SELECT query_id, cluster, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
 
@@ -2537,6 +2635,44 @@ object LlmQueries {
                 sqrt(list_dot_product(cn.cemb::double[], cn.cemb::double[]))), 6) AS centroid_sim
            FROM (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1) a
            JOIN cen cn ON a.cluster = cn.centroid_id),
+         dominated AS (
+           SELECT DISTINCT a.vec_id FROM c a JOIN c b
+             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+            AND round(list_dot_product(a.embedding::double[], b.embedding::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))), 6) >= 0.3
+            AND (b.centroid_sim < a.centroid_sim OR
+                 (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id)))
+         SELECT c.vec_id, c.cluster, c.centroid_sim,
+                (d.vec_id IS NULL) AS keep
+         FROM c LEFT JOIN dominated d ON c.vec_id = d.vec_id
+         ORDER BY c.vec_id""",
+
+    // capped twin: dedup_semdedup's CTE chain with oversize clusters
+    // (count > 100) removed before the dominance screen — visible-drop
+    // semantics, the dropped clusters' rows leave the output entirely
+    "dedup_semdedup_capped" ->
+      """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         c0 AS (
+           SELECT a.vec_id, a.embedding, a.cluster,
+             round(list_dot_product(a.embedding::double[], cn.cemb::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(cn.cemb::double[], cn.cemb::double[]))), 6) AS centroid_sim
+           FROM (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1) a
+           JOIN cen cn ON a.cluster = cn.centroid_id),
+         c AS (
+           SELECT * FROM c0 WHERE cluster IN (
+             SELECT cluster FROM c0 GROUP BY cluster HAVING count(*) <= 100)),
          dominated AS (
            SELECT DISTINCT a.vec_id FROM c a JOIN c b
              ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
@@ -4353,6 +4489,9 @@ object LlmQueries {
       // the lake plus earlier batches only — index-as-of-probe, same
       // centroid sample and pruned-scan grid
       ("stream_ann_ivf_growing" -> IvfGrowingSearchOracle) +
+      // the GROWING IVF-PQ ingest: each arrival ADC-scores only earlier
+      // arrivals + the lake within its probed clusters
+      ("stream_ann_ivfpq_growing" -> IvfPqGrowingSearchOracle) +
       // the GROWING hard-negative ingest: anchors rank only earlier
       // arrivals + the lake, with idf/avgdl over exactly that corpus —
       // the stats grow transactionally with the postings

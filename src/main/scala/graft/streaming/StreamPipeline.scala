@@ -1154,6 +1154,100 @@ object StreamPipeline {
     }
   }
 
+  /** Output schema of [[ivfPqGrowingBatch]]'s per-batch top-k frames. */
+  private[graft] val IvfPqGrowSchema: StructType = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("cluster", LongType),
+    StructField("neighbor_id", LongType),
+    StructField("score", DoubleType),
+    StructField("rnk", IntegerType)))
+
+  /** One micro-batch of the GROWING coarse-quantized ANN ingest — the
+    * compressed flavor a 100 TB corpus actually grows (FAISS
+    * `IVFx,PQm`): each arriving vector runs the served multi-probe ADC
+    * search against the code rows as of the previous batch (probe list
+    * from the STORED centroids, per-query LUT from the STORED codebook
+    * — both build-frozen, which is exactly why append-with-stored-
+    * geometry is sound), then the batch's own vectors are assigned +
+    * encoded and appended through the batchId-stamped atomic commit.
+    * The r15 review already joined [[graft.operators.Similarity
+    * .appendIvfPqIndexM]] to the stamping contract, so replay and
+    * vacuumed-walk-back reconstruction ride the shared protocol
+    * unchanged. */
+  private[graft] def ivfPqGrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String,
+      k: Int, m: Int, dsub: Int, nProbe: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batchOutputComplete(spark, outDir, batchId) &&
+        graft.index.IndexManifest.snapshot(spark, root).meta
+          .get(StreamBatchKey).exists(_.toLong >= batchId)) return
+    val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
+    val topk = graft.operators.Similarity.ivfPqProbeSnapM(
+      batch, "vec_id", "embedding", k, m, dsub, nProbe, root, snap)
+    writeBatchIdempotent(
+      topk.select(col("query_id"), col("cluster"), col("neighbor_id"),
+        col("score"), col("rank").as("rnk")),
+      outDir, batchId)
+    if (!alreadyCommitted)
+      graft.operators.Similarity.appendIvfPqIndexM(
+        batch, "vec_id", "embedding", m, dsub, root,
+        extraMeta = Map(StreamBatchKey -> batchId.toString)): Unit
+  }
+
+  /** Compressed ANN at ingest where the IVF-PQ index GROWS with the
+    * stream — completing the growing set ([[streamingAnnPqGrowing]] /
+    * [[streamingAnnIvfGrowing]] siblings): every arriving vector probes
+    * nProbe cells of the CODE rows as of the previous batch via the ADC
+    * kernel, then is assigned + encoded with the build-frozen stored
+    * centroids/codebook and appended through an exactly-once manifest
+    * commit ([[ivfPqGrowingBatch]]). Candidate bytes per batch scale
+    * with nProbe/C of the d/m-compressed rows that arrived before it;
+    * the index grows by delta code segments only. Deterministic batch
+    * staging makes the result exactly replayable by the DuckDB oracle:
+    * a query in batch b ADC-scores vectors of the lake and batches < b
+    * that share its probed clusters. */
+  def streamingAnnIvfPqGrowing(
+      spark: SparkSession, dir: String,
+      k: Int, m: Int, dsub: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val sample = emb.filter(col("vec_id") % 100 === 0)
+    val root = Files.createTempDirectory("graft_ipqgrow_idx").toString
+    val streamIn = Files.createTempDirectory("graft_ipqgrow_in").toString
+    val outDir = Files.createTempDirectory("graft_ipqgrow_out").toString
+    val ckptDir = Files.createTempDirectory("graft_ipqgrow_ckpt").toString
+    try {
+      // centroid + codebook samples fixed at build time from the FULL
+      // table (the production contract: appends re-use the stored
+      // geometry so every code segment is ADC-comparable) — and what
+      // keeps the oracle's assignment + codeword grids identical
+      val cb = graft.operators.Similarity.pqCodebook(
+        sample, "vec_id", "embedding", m, dsub).localCheckpoint()
+      graft.operators.Similarity.buildIvfPqIndexM(
+        emb.filter(col("vec_id") % 10 < 8), sample, cb,
+        "vec_id", "embedding", m, dsub, root)
+      writeArrivalBatches(
+        emb.filter(col("vec_id") % 10 >= 8), streamIn, nBatches = 3,
+        idCol = "vec_id")
+      val arrivals = spark.readStream
+        .schema(EmbeddingsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          ivfPqGrowingBatch(batch.toDF(), batchId, root, outDir, k, m, dsub, nProbe)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, IvfPqGrowSchema).localCheckpoint(true)
+        .orderBy("query_id", "rnk")
+    } finally {
+      Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   /** Output schema of [[bm25GrowingBatch]]'s per-batch negative frames. */
   private[graft] val Bm25GrowSchema: StructType = StructType(Seq(
     StructField("query_id", LongType),

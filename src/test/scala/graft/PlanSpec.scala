@@ -176,7 +176,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("rm3: feedback frames broadcast, ranking on the bounded-heap node") {
-    val p = plan("retrieval_rm3")
+    // the registry query checkpoints its (queries×k)-row result to
+    // release the postings cache, which collapses its visible plan to a
+    // Scan ExistingRDD — pin the LAZY inline form the checkpoint
+    // materializes instead (same stages, same stats class)
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val posts = graft.operators.Retrieval.postings(docs, "doc_id", "text")
+    val p = graft.operators.Retrieval.rm3Inline(
+      posts, docs, "text", Seq((1, "alpha beta"), (2, "gamma")),
+      k = 5, fbDocs = 3, fbTerms = 8, alpha = 0.5)
+      .queryExecution.executedPlan.toString
     assert(p.contains("TopKPerKey"), "native bounded-heap node missing")
     assert(p.contains("BroadcastHashJoin"), "query/feedback frames must broadcast")
     assert(!p.contains("CartesianProduct"))

@@ -586,6 +586,47 @@ class StreamGrowingIndexSpec extends SparkSpec {
     } finally rm(root, out)
   }
 
+  test("IVF-PQ growth: cross-batch retrieval, replay no-op, vacuumed walk-back reconstructs") {
+    // the compressed growing family (FAISS IVFx,PQm) on the shared
+    // protocol: probe flows through the snapshot-keyed ADC entry
+    // (ivfPqProbeSnapM) so a reconstructed pre-append view — which has
+    // no committed version number — drives the same search exactly
+    val root = tmp("ipqidx"); val out = tmp("ipqout")
+    val all = pqLake.unionByName(pqB0).unionByName(pqB1)
+    def topk() = StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.IvfPqGrowSchema)
+      .select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    try {
+      val cen = all.filter(col("vec_id") % 2 === 0)
+      val cb = graft.operators.Similarity.pqCodebook(
+        all, "vec_id", "embedding", M, Dsub)
+      graft.operators.Similarity.buildIvfPqIndexM(
+        pqLake, cen, cb, "vec_id", "embedding", M, Dsub, root)            // v1
+      StreamPipeline.ivfPqGrowingBatch(pqB0, 0L, root, out, TopK, M, Dsub, 2) // v2
+      StreamPipeline.ivfPqGrowingBatch(pqB1, 1L, root, out, TopK, M, Dsub, 2) // v3
+      val first = topk()
+      // growth mattered: 18's ADC neighbors include 8 (one batch earlier,
+      // nowhere in the lake)
+      assert(first.exists(t => t._1 == 18L && t._2 == 8L),
+        s"cross-batch neighbor missed: $first")
+      assert(!first.exists(t => t._1 == t._2))
+      // a committed replay with intact output is a pure no-op
+      StreamPipeline.ivfPqGrowingBatch(pqB1, 1L, root, out, TopK, M, Dsub, 2)
+      assert(topk() == first)
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+      // crashed output + vacuumed pre-append version: reconstruct from
+      // HEAD by segment subtraction, recompute identically
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+      IndexManifest.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+      intercept[Exception](IndexManifest.snapshotAt(spark, root, 2L))
+      StreamPipeline.ivfPqGrowingBatch(pqB1, 1L, root, out, TopK, M, Dsub, 2)
+      assert(topk() == first, "reconstructed IVF-PQ recompute diverged")
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+    } finally rm(root, out)
+  }
+
   test("PQ growth: kill after append, before checkpoint — replay converges") {
     val root = tmp("pidx"); val streamIn = tmp("pin")
     val out = tmp("pout"); val ckpt = tmp("pckpt")

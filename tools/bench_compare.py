@@ -97,6 +97,11 @@ def main():
     n_old, n_new = normalized(old), normalized(new)
     dirty = set(old.get("canary", {}).get("contaminated_queries", [])) | \
         set(new.get("canary", {}).get("contaminated_queries", []))
+    # two-pass artifacts self-compare: a query whose pass medians
+    # disagreed >1.5x on identical code within ONE run is host noise by
+    # construction — exclude it from the verdict like contamination
+    self_noise = set(old.get("self_compare", {}).get("noise", [])) | \
+        set(new.get("self_compare", {}).get("noise", []))
     shared = sorted(set(n_old) & set(n_new))
     if not shared:
         print("no shared canary-normalized queries (old artifact predates "
@@ -120,6 +125,8 @@ def main():
     for name in shared:
         r = n_new[name] / n_old[name] if n_old[name] > 0 else float("inf")
         tag = " CONTAMINATED" if name in dirty else ""
+        if not tag and name in self_noise:
+            tag = " SELF-NOISE (pass medians disagreed within one run)"
         # second gate: a median regression whose per-rep minima did not
         # move past the threshold is contention noise, not a plan change
         if (not tag and r > threshold and name in m_old and name in m_new
