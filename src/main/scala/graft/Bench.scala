@@ -85,14 +85,22 @@ object Bench {
     *     are skewing the median. The absolute floor keeps sub-half-
     *     second planning/GC jitter (documented up to 2× on the small
     *     queries) from flagging clean runs.
-    * Pure, spec-driven ([[BenchCanarySpec]]). */
+    * `crossPassConsistent` VETOES the prior half (never the spread
+    * half): when the query's pass medians agree across two full sweeps
+    * of identical code, slow-vs-prior is a REAL regression — the exact
+    * signal the two-pass design exists to extract — and labeling it
+    * contamination would let bench_compare exclude genuine regressions
+    * from the verdict forever (a consistent 2× plan change would
+    * self-acquit). Pure, spec-driven ([[BenchCanarySpec]]). */
   def repContaminated(
       reps: Seq[Double], prior: Option[Double],
-      priorFactor: Double = 1.5, spreadFactor: Double = 2.0): Boolean = {
+      priorFactor: Double = 1.5, spreadFactor: Double = 2.0,
+      crossPassConsistent: Boolean = false): Boolean = {
     val ok = reps.filter(_ > 0)
     if (ok.isEmpty) return false // a no-timings query is an ERROR, not noise
     val minRep = ok.min
-    val slowVsPrior = prior.exists(p => p > 0 && minRep > p * priorFactor)
+    val slowVsPrior = !crossPassConsistent &&
+      prior.exists(p => p > 0 && minRep > p * priorFactor)
     val spreadNoise = ok.max / minRep > spreadFactor && ok.max > 0.5
     slowVsPrior || spreadNoise
   }
@@ -100,21 +108,34 @@ object Bench {
   /** Per-query median priors out of a committed graft.Bench artifact
     * (BENCH_LOCAL.json), used as the [[repContaminated]] denominator.
     * Returns empty when the artifact's `sf` doesn't match the current
-    * run — cross-sf medians are not comparable. Pure (takes the JSON
-    * text), spec-driven; the file read lives in main and is
-    * best-effort. */
+    * run — cross-sf medians are not comparable. Queries the artifact
+    * ITSELF flagged (`contaminated_queries`, `rep_flagged`,
+    * `self_compare.noise`) are dropped: their medians carry the very
+    * host inflation the gate divides by, so using them as the "clean"
+    * denominator would make the gate systematically lenient for
+    * exactly the queries it polices (a contended artifact is a fine
+    * prior for its UNflagged entries — winning-pass medians — but
+    * never for its flagged ones). Pure (takes the JSON text),
+    * spec-driven; the file read lives in main and is best-effort. */
   def parsePriors(jsonLine: String, sfDir: String): Map[String, Double] =
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(jsonLine.trim)
       if (root.path("sf").asText("") != sfDir) Map.empty
       else {
+        import scala.jdk.CollectionConverters._
+        val flagged: Set[String] =
+          (root.path("canary").path("contaminated_queries").elements().asScala ++
+            root.path("canary").path("rep_flagged").elements().asScala ++
+            root.path("self_compare").path("noise").elements().asScala)
+            .map(_.asText()).toSet
         val qs = root.path("queries")
         val it = qs.fields()
         val b = Map.newBuilder[String, Double]
         while (it.hasNext) {
           val e = it.next()
-          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          if (e.getValue.isNumber && !flagged.contains(e.getKey))
+            b += e.getKey -> e.getValue.asDouble()
         }
         b.result()
       }
@@ -284,14 +305,20 @@ object Bench {
     val passResults = (1 to passes).map(_ => runPass())
     def med(ts: Seq[Double]) =
       if (ts.isEmpty) 0.0 else ts.sorted.apply(ts.length / 2)
-    // Per query: winning pass = lowest valid pass median.
+    // Per query: winning pass = lowest valid pass median. The `ok` flag
+    // requires EVERY pass's rep set complete — a query that crashed all
+    // its reps in one pass but completed the other still reports its
+    // winning-pass median, but it must surface in `errors` like any rep
+    // failure always has (the winning-pass-only check silently hid
+    // queries that failed a whole pass).
     val results = benchNames.zipWithIndex.map { case (name, i) =>
       val perPass = passResults.map(_._2(i))
       val valid = perPass.zipWithIndex.filter(_._1.nonEmpty)
       if (valid.isEmpty) (name, 0.0, Seq.empty[Double], false, 0)
       else {
         val (winReps, winIdx) = valid.minBy { case (ts, _) => med(ts) }
-        (name, med(winReps), perPass.flatten, winReps.length == reps, winIdx)
+        (name, med(winReps), perPass.flatten,
+          perPass.forall(_.length == reps), winIdx)
       }
     }
     val allCanaries = passResults.flatMap(_._1.map(_._2))
@@ -305,34 +332,48 @@ object Bench {
       case ((name, _, _, _, winIdx), i)
           if contaminatedBy(passResults(winIdx)._1, i) => name
     }
-    val repFlagged = results.zipWithIndex.collect {
-      case ((name, _, _, _, winIdx), i)
-          if repContaminated(passResults(winIdx)._2(i), priors.get(name)) =>
-        name
-    }
-    val contaminated = (bracketFlagged ++ repFlagged).distinct
     // Cross-pass self-comparison: pass medians disagreeing >1.5x on
-    // identical code is host noise localized to the slower pass.
+    // identical code is host noise localized to the slower pass —
+    // computed BEFORE the rep gate because agreement is also the rep
+    // gate's regression/noise disambiguator.
+    def passMedians(i: Int) = passResults.map(pr => med(pr._2(i))).filter(_ > 0)
+    def crossPassConsistent(i: Int): Boolean = {
+      val meds = passMedians(i)
+      meds.size >= 2 && meds.max / meds.min <= 1.5
+    }
     val selfNoise =
       if (passes < 2) Seq.empty[String]
       else benchNames.zipWithIndex.collect {
         case (name, i)
-            if {
-              val meds = passResults.map(pr => med(pr._2(i))).filter(_ > 0)
-              meds.size >= 2 && meds.max / meds.min > 1.5
-            } => name
+            if { val meds = passMedians(i)
+                 meds.size >= 2 && meds.max / meds.min > 1.5 } => name
       }
-    // The artifact's series concatenates the passes; `at` continues
-    // globally (pass p reading at local x renders at p*N + x) so a reader
-    // sees one timeline. Flagging already happened per-pass above.
+    // Rep gate with the cross-pass veto: slow-vs-prior in BOTH passes of
+    // identical code is a real regression the comparator must SEE, not
+    // contamination it would exclude (single-pass runs keep the
+    // conservative flag — no agreement signal exists).
+    val repFlagged = results.zipWithIndex.collect {
+      case ((name, _, _, _, winIdx), i)
+          if repContaminated(passResults(winIdx)._2(i), priors.get(name),
+            crossPassConsistent = passes >= 2 && crossPassConsistent(i)) =>
+        name
+    }
+    val contaminated = (bracketFlagged ++ repFlagged).distinct
+    // The artifact's series carries every pass's readings with the pass
+    // index EXPLICIT and `at` kept pass-local (the query position the
+    // reading bracketed). A concatenated p*N+at index collided: pass
+    // p's closing reading (local N) and pass p+1's opening reading
+    // (local 0) rendered at the SAME global index with different
+    // values, corrupting the series as a record. Flagging already
+    // happened per-pass above; comparator floors only read `sec`.
     val globalSeries = passResults.zipWithIndex.flatMap { case ((cs, _), p) =>
-      cs.map { case (at, t) => (p * benchNames.length + at, t) }
+      cs.map { case (at, t) => (p, at, t) }
     }
     val canary =
       f""""canary":{"q1_start":$canaryStart%.3f,"q1_end":$canaryEnd%.3f,""" +
         f""""ratio":$canaryRatio%.2f,"contended":$contended,""" +
-        s""""series":${globalSeries.map { case (at, t) =>
-          f"""{"at":$at,"sec":$t%.3f}""" }.mkString("[", ",", "]")},""" +
+        s""""series":${globalSeries.map { case (p, at, t) =>
+          f"""{"pass":$p,"at":$at,"sec":$t%.3f}""" }.mkString("[", ",", "]")},""" +
         s""""contaminated_queries":${contaminated
           .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""rep_flagged":${repFlagged

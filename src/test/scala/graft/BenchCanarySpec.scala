@@ -157,6 +157,40 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(Bench.parsePriors("", "x").isEmpty)
   }
 
+  test("parsePriors drops the queries the prior artifact itself flagged") {
+    // a contended artifact's flagged medians carry the inflation the
+    // gate divides by — using them as the "clean" denominator makes the
+    // gate lenient for exactly the queries it polices; unflagged
+    // entries (winning-pass medians) remain valid priors
+    val artifact =
+      """{"metric":"total","value":10.0,"unit":"sec",""" +
+        """"queries":{"q1_agg":0.25,"t1_cdc_apply":2.9,""" +
+        """"curation_release":1.8,"sessionize":0.61},""" +
+        """"canary":{"contended":true,""" +
+        """"contaminated_queries":["t1_cdc_apply","curation_release"],""" +
+        """"rep_flagged":["curation_release"]},""" +
+        """"self_compare":{"passes":2,"noise":["sessionize"]},""" +
+        """"errors":[],"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parsePriors(artifact, "/root/testdata/sf0.1") ==
+      Map("q1_agg" -> 0.25))
+  }
+
+  test("repContaminated: cross-pass-consistent slowness is a regression, not noise") {
+    // the laundering hole: a plan change making a query consistently 2×
+    // slower breaches the prior gate in BOTH passes of identical code —
+    // that agreement is the regression signal, and flagging it as
+    // contamination would let the comparator exclude it forever
+    assert(!Bench.repContaminated(Seq(2.9, 2.8, 3.0), Some(1.41),
+      crossPassConsistent = true))
+    // the same reps WITHOUT the cross-pass veto (single-pass run): the
+    // conservative flag stands — no agreement signal exists
+    assert(Bench.repContaminated(Seq(2.9, 2.8, 3.0), Some(1.41)))
+    // the veto never reaches the SPREAD half: one contended rep skewing
+    // the median is intra-pass noise whatever the pass medians say
+    assert(Bench.repContaminated(Seq(1.40, 6.2, 6.4), Some(1.41),
+      crossPassConsistent = true))
+  }
+
   test("compact line fits the capture window at the CURRENT bench registry size") {
     // the guard this line exists for: when benchQueries grows past the
     // window, this test fails LOUDLY instead of the round artifact
