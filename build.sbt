@@ -22,6 +22,12 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 showSuccess := false
+// Both keys above ARE consumed (showSuccess by the command engine, the
+// run-scoped strategy by the forked runner's delegation chain — the
+// verbatim bench line is verified end to end); sbt's lintUnused just
+// can't see either kind of use. Exclude them so the warning doesn't
+// open every batch invocation's stdout.
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

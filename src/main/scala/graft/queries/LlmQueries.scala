@@ -1772,6 +1772,19 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ... and the STREAMING twin — the retrieval lifecycle's last
+    // missing leg (every other index family already has its stream
+    // probe): the query set arrives in micro-batches and each batch
+    // runs the full two-stage RM3 expansion against the committed
+    // index inside foreachBatch, output batchId-idempotent. The index
+    // is frozen for the run, so the union over batches replays
+    // bit-for-bit as one-shot RM3 — shares the inline oracle.
+    "stream_retrieval_rm3" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingRm3TopK(s, dir, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
     // Release-pinned RM3 time travel: v1 indexes the even docs, HEAD
     // appends the odd half; the probe pinned at v1 must run BOTH RM3
     // stages — feedback selection AND the expanded re-rank — against
@@ -4234,6 +4247,9 @@ object LlmQueries {
     // The served twin shares it: stored df ≡ counted df.
     "retrieval_rm3" -> Rm3OracleSql,
     "retrieval_rm3_served" -> Rm3OracleSql,
+    // the streaming twin's index is frozen for the run, so the
+    // batch-union output replays as one-shot RM3 over the same queries
+    "stream_retrieval_rm3" -> Rm3OracleSql,
 
 
     "text_bm25_negatives" -> {

@@ -1391,6 +1391,94 @@ object StreamPipeline {
     } finally rmTree(root)
   }
 
+  /** Output schema of [[streamingRm3TopK]]'s per-batch frames —
+    * [[graft.operators.Retrieval.rankTopK]]'s columns with the Int
+    * query ids RM3's driver-literal query contract carries. */
+  private[graft] val Rm3StreamSchema: StructType = StructType(Seq(
+    StructField("query_id", IntegerType),
+    StructField("doc_id", LongType),
+    StructField("score", DoubleType),
+    StructField("rank", IntegerType)))
+
+  /** RM3 feedback retrieval AT INGEST — the streaming twin the retrieval
+    * lifecycle was missing (inline/served/pinned exist; every other
+    * index family already has its stream probe): a QUERY stream arrives
+    * in micro-batches and each batch runs the full two-stage RM3
+    * expansion ([[graft.operators.Retrieval.rm3ProbeM]]) against the
+    * committed inverted index — stage-1 BM25, queries×fbDocs feedback
+    * winners, exact-decimal interpolation, stage-2 re-rank — touching
+    * only stored postings/stats/corpus segments, never lake text.
+    * Per-batch cost is the batch's candidate posting lists (the served
+    * steady state); output lands batchId-idempotent like every file
+    * sink here. The index is frozen for the run, so the union over
+    * batches replays bit-for-bit as one-shot RM3 over the full query
+    * set — the registry row shares the batch oracle.
+    *
+    * The per-batch `collect()` is NOT a hot-path corpus collect: RM3's
+    * queries are driver literals by the operator's contract (expanded
+    * term weights are pre-rounded driver-side), and a trigger's
+    * arrivals ARE the query batch — bounded by the staged file, a few
+    * rows here, search-head-request-sized in production. */
+  def streamingRm3TopK(
+      spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)], k: Int,
+      fbDocs: Int = 3, fbTerms: Int = 8, alpha: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = Files.createTempDirectory("graft_rm3idx_stream").toString
+    val qIn = Files.createTempDirectory("graft_rm3q_in").toString
+    val outDir = Files.createTempDirectory("graft_rm3_out").toString
+    val ckptDir = Files.createTempDirectory("graft_rm3_ckpt").toString
+    val stage = Files.createTempDirectory("graft_rm3q_stage").toString
+    try {
+      graft.operators.Retrieval.buildIndexM(
+        graft.Tables.load(spark, dir, "documents"), "doc_id", "text", root)
+      // stage the query stream: round-robin the query set into 3
+      // single-file micro-batches (one file = one trigger), mtimes
+      // ordered so the file source replays batch order deterministically
+      val qSchema = StructType(Seq(StructField("query_id", IntegerType),
+        StructField("text", StringType)))
+      val nB = 3
+      (0 until nB).foreach { b =>
+        val sub = queries.zipWithIndex.collect {
+          case ((id, text), i) if i % nB == b =>
+            org.apache.spark.sql.Row(id, text)
+        }
+        val dirB = s"$stage/b$b"
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(sub.toIndexedSeq, 1), qSchema)
+          .coalesce(1).write.mode("overwrite").parquet(dirB)
+        val part = Option(new java.io.File(dirB).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $dirB"))
+        val dst = java.nio.file.Paths.get(qIn, f"queries-$b%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(
+          java.lang.System.currentTimeMillis() - (nB - b) * 60000L): Unit
+      }
+      val arrivals = spark.readStream
+        .schema(qSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val qs = batch.collect()
+            .map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
+          if (qs.nonEmpty)
+            writeBatchIdempotent(graft.operators.Retrieval.rm3ProbeM(
+              spark, root, qs, k, fbDocs, fbTerms, alpha), outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, Rm3StreamSchema).localCheckpoint(true)
+    } finally {
+      Seq(root, qIn, outDir, ckptDir, stage).foreach(rmTree)
+    }
+  }
+
   /** Near-dup screening AT INGEST with the real MinHash-LSH modality —
     * the shingle-accurate sibling of [[streamingSemanticDedup]]'s
     * hash-embed cosine leg: the standing lake is summarized ONCE into
