@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** 60-bit md5 digest — the one deterministic hash primitive every
-    * curation decision derives from (oracle twin:
-    * `('0x' || substr(md5(x), 1, 15))::bigint`). */
+    * curation decision derives from. ONE definition repo-wide:
+    * delegates to [[TextAnalysis.tokenHash60]] (same oracle twin,
+    * `('0x' || substr(md5(x), 1, 15))::bigint`) so a future migration
+    * of the primitive — e.g. to the native Digest60 kernel — cannot
+    * silently move one module and not the other. */
   private[operators] def digest60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    TextAnalysis.tokenHash60(c)
 
   /** Salted content-hash bucket in [0, buckets); distinct salts make
     * decisions independent (split vs mix). */
@@ -115,7 +118,14 @@ object Curation {
     * versions). */
   def assignSplit(text: Column, trainPct: Int, valPct: Int): Column = {
     val bucket = hashBucket(text, "split:", 100)
-    when(bucket < trainPct, "train")
+    // NULL text PROPAGATES (split = NULL): the null hash bucket used to
+    // make both when() tests null and fall through to otherwise("test"),
+    // silently routing 100% of NULL-text docs into the held-out split —
+    // the one place a degenerate doc biases evaluation. The caller
+    // decides what a NULL split means; this function never classifies
+    // content it cannot hash.
+    when(text.isNull, lit(null).cast("string"))
+      .when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
   }
@@ -166,8 +176,15 @@ object Curation {
       s"target fraction $targetNum/$targetDen must be in (0, 1]")
     // note: Spark resolves column names case-insensitively by default, so
     // the per-domain weight and its total need distinct spellings
+    //
+    // NULL-domain rows are excluded BEFORE weighting, not just by the
+    // join: the null-rejecting equi-join below already dropped them from
+    // the output, but they still counted into __wsum and __target,
+    // silently deflating every real domain's keep rate. A row that can
+    // never be kept must not shape the budget either.
+    val in = df.filter(col(domainCol).isNotNull)
     val all = Window.partitionBy(lit(0)).rowsBetween(Long.MinValue, Long.MaxValue)
-    val weights = df.groupBy(col(domainCol).as("__dom"))
+    val weights = in.groupBy(col(domainCol).as("__dom"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
       .withColumn("__wsum", sum(col("__w")).over(all))
@@ -175,7 +192,7 @@ object Curation {
         expr(s"(sum(__n) over (partition by 0) * $targetNum) div $targetDen"))
     val bucket = hashBucket(col(textCol), salt, 10000)
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    df.join(broadcast(weights), col(domainCol) === col("__dom"))
+    in.join(broadcast(weights), col(domainCol) === col("__dom"))
       .filter(dec(bucket) * dec(col("__wsum")) * dec(col("__n"))
         < dec(col("__w")) * dec(col("__target")) * lit(BigDecimal(10000)))
       .drop("__dom", "__n", "__w", "__wsum", "__target")
@@ -450,7 +467,11 @@ object Curation {
       tokensCol: String,
       budget: Int,
       shards: Int): DataFrame = {
-    val shard = (col(idCol) % shards).cast("int").as("shard")
+    // pmod, not %: a negative id (signed 60-bit hashes are ids elsewhere
+    // in this repo) under % yields a NEGATIVE shard, doubling the shard
+    // census and misrouting writers keyed [0, shards) — seededShuffle
+    // already uses pmod for exactly this
+    val shard = pmod(col(idCol), lit(shards)).cast("int").as("shard")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), col(tokensCol), shard)

@@ -75,14 +75,10 @@ object Quality {
     * merge-of-partials is bit-equal to the one-shot profile. */
   def numericProfileSharded(df: DataFrame, shardCol: String,
       cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "numericProfileSharded needs at least one column")
-    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c"),
-        min(col(c)).cast("double").as(s"__mn_$c"),
-        max(col(c)).cast("double").as(s"__mx_$c"),
-        sum(col(c).cast("decimal(38,10)")).as(s"__s_$c"))
-    }
+    // the ONE metric definition (profileAggs) keyed by shard — an inline
+    // copy here once drifted from it by construction risk; mergeProfiles'
+    // bit-equality claim requires the partials to BE the same aggregates
+    val aggs = profileAggs(cols)
     df.groupBy(col(shardCol).as("shard")).agg(aggs.head, aggs.tail: _*)
       .select(col("shard"), explode(array(cols.map(c => struct(
         lit(c).as("column"),
@@ -176,8 +172,11 @@ object Quality {
     require(bins > 0, s"bins=$bins must be positive")
     require(hi > lo, s"need hi=$hi > lo=$lo")
     val w = (hi - lo) / bins
+    // NaN must be EXCLUDED, not binned: Spark orders NaN above every
+    // double, so greatest(NaN, 0) = NaN and least(NaN, bins-1) = bins-1
+    // — a NaN on one side only would silently manufacture tail drift
     def binned(df: DataFrame, as: String) = df
-      .filter(col(colName).isNotNull)
+      .filter(col(colName).isNotNull && !isnan(col(colName).cast("double")))
       .select(least(greatest(floor((col(colName) - lo) / w), lit(0.0)),
         lit((bins - 1).toDouble)).cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as(as))
@@ -196,7 +195,12 @@ object Quality {
       .withColumn("__tb", sum(col("n_before")).over(all))
       .withColumn("__ta", sum(col("n_after")).over(all))
       .select(col("bin"), col("n_before"), col("n_after"),
-        round(abs(col("n_before") * col("__ta") - col("n_after") * col("__tb"))
+        // cross-multiply in decimal(38,0): long×long wraps silently past
+        // ~9.2e18 (hit when either side exceeds ~3e9 rows with mass in
+        // one bin — exactly the module's scale contract); decimal keeps
+        // the product exact to 38 digits, temperatureMix precedent
+        round(abs(col("n_before").cast("decimal(38,0)") * col("__ta") -
+            col("n_after").cast("decimal(38,0)") * col("__tb"))
           .cast("double") / (lit(2.0) * col("__tb") * col("__ta")), 6)
           .as("tv_contrib"))
   }
@@ -210,14 +214,18 @@ object Quality {
     * even that exchange disappears. */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // NULL text digests to NULL (never coalesced to '') and the digests
+    // compare NULL-SAFELY: a NULL→'' scrub is a real content transition
+    // and must classify "changed", while NULL→NULL is "unchanged" —
+    // conflating NULL with empty hid exactly that transition
     def digested(df: DataFrame, h: String, p: String) = df.select(
-      col(idCol), md5(coalesce(col(textCol), lit(""))).as(h), lit(true).as(p))
+      col(idCol), md5(col(textCol)).as(h), lit(true).as(p))
     digested(oldSnap, "__ho", "__po")
       .join(digested(newSnap, "__hn", "__pn"), Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__po").isNull, "added")
           .when(col("__pn").isNull, "removed")
-          .when(col("__ho") === col("__hn"), "unchanged")
+          .when(col("__ho") <=> col("__hn"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

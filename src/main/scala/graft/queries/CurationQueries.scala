@@ -828,11 +828,15 @@ object CurationQueries {
       """WITH b AS (
            SELECT least(greatest(floor((l_extendedprice - 0.0) / 7500.0), 0), 15)::int AS bin,
                   count(*)::bigint AS nb
-           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice::double)
+           GROUP BY 1),
          a AS (
            SELECT least(greatest(floor((l_extendedprice - 0.0) / 7500.0), 0), 15)::int AS bin,
                   count(*)::bigint AS na
-           FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_discount <= 0.05
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice::double)
+             AND l_discount <= 0.05
            GROUP BY 1),
          j AS (
            SELECT coalesce(b.bin, a.bin) AS bin,
@@ -840,23 +844,25 @@ object CurationQueries {
            FROM b FULL JOIN a ON b.bin = a.bin),
          t AS (SELECT sum(n_before)::bigint AS tb, sum(n_after)::bigint AS ta FROM j)
          SELECT bin, n_before, n_after,
-                round(abs(n_before * ta - n_after * tb)::double
+                round(abs(n_before::hugeint * ta - n_after::hugeint * tb)::double
                       / (2.0 * tb * ta), 6) AS tv_contrib
          FROM j, t ORDER BY bin""",
 
+    // NULL text digests to NULL and compares NULL-safely (IS NOT
+    // DISTINCT FROM): NULL→'' is a real content change, NULL→NULL isn't
     "quality_corpus_diff" ->
       """WITH o AS (
-           SELECT doc_id, md5(coalesce(text, '')) AS h
+           SELECT doc_id, md5(text) AS h
            FROM documents WHERE doc_id % 11 <> 0),
          n AS (
            SELECT doc_id,
-                  md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
-                                    ELSE text END, '')) AS h
+                  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                           ELSE text END) AS h
            FROM documents WHERE doc_id % 13 <> 0)
          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
                 CASE WHEN o.doc_id IS NULL THEN 'added'
                      WHEN n.doc_id IS NULL THEN 'removed'
-                     WHEN o.h = n.h THEN 'unchanged'
+                     WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
                      ELSE 'changed' END AS status
          FROM o FULL JOIN n ON o.doc_id = n.doc_id
          ORDER BY doc_id""",

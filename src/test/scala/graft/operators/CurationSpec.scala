@@ -45,6 +45,34 @@ class CurationSpec extends SparkSpec {
     assert(a.sorted.toSeq == b.sorted.toSeq)
   }
 
+  test("assignSplit: NULL text propagates to a NULL split, never 'test'") {
+    // the null hash bucket used to make both when() tests null and fall
+    // through to otherwise("test"), silently routing 100% of NULL-text
+    // docs into the held-out split
+    val docs = Seq(Some("real document text"), None: Option[String]).toDF("text")
+    val got = docs.select(Curation.assignSplit(col("text"), 90, 5).as("split"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.count(_ == null) == 1, got.mkString(","))
+    assert(!got.contains("test") || got.count(_ != null) == 1)
+  }
+
+  test("temperatureMix: NULL-domain rows neither survive nor shape the budget") {
+    // NULL-domain rows were always dropped by the null-rejecting join,
+    // but they used to count into __wsum and __target, deflating every
+    // real domain's keep rate — the same corpus with NULL-domain rows
+    // added must keep EXACTLY the same real-domain docs
+    val base = ((0 until 400).map(i => (s"big corpus document $i", "big")) ++
+      (0 until 25).map(i => (s"small corpus document $i", "small")))
+      .toDF("text", "source")
+    val withNulls = base.unionByName(
+      (0 until 300).map(i => (s"orphan doc $i", null: String))
+        .toDF("text", "source"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids(Curation.temperatureMix(withNulls, "text", "source", 1, 2)) ==
+      ids(Curation.temperatureMix(base, "text", "source", 1, 2)))
+  }
+
   test("domainMix: rate 1.0 keeps all, 0.0 keeps none, decisions are content-stable") {
     val docs = (0 until 500).map(i => (s"doc text number $i", if (i % 2 == 0) "a" else "b"))
       .toDF("text", "source")
@@ -141,6 +169,13 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(sharded.filter(_._2 == 0).map(_._3).min == 0L)
     assert(sharded.filter(_._2 == 1).map(_._3).min == 0L)
+    // NEGATIVE ids (signed 60-bit hashes are ids elsewhere in this repo)
+    // must land in [0, shards): plain % yielded negative shard values,
+    // doubling the shard census and misrouting [0,shards)-keyed writers
+    val neg = Seq((-3L, 100), (-2L, 100), (5L, 100)).toDF("doc_id", "ntok")
+    val shards = Curation.packSequences(neg, "doc_id", "ntok", 2048, shards = 4)
+      .collect().map(_.getInt(1))
+    assert(shards.forall(s => s >= 0 && s < 4), shards.mkString(","))
   }
 
   test("seededShuffle: a reproducible permutation, decorrelated from corpus order") {

@@ -98,6 +98,37 @@ class QualitySpec extends SparkSpec {
       3L -> "removed", 4L -> "added"), got.toString)
   }
 
+  test("corpusDiff: NULL text is not empty string — a NULL→'' scrub is 'changed'") {
+    import spark.implicits._
+    // doc 1: NULL → '' (a real content transition a scrubber produces);
+    // doc 2: NULL → NULL (genuinely unchanged); doc 3: '' → '' (ditto).
+    // The old coalesce-to-'' digest classified doc 1 'unchanged'.
+    val oldSnap = Seq((1L, None: Option[String]), (2L, None: Option[String]),
+      (3L, Some(""))).toDF("doc_id", "text")
+    val newSnap = Seq((1L, Some("")), (2L, None: Option[String]),
+      (3L, Some(""))).toDF("doc_id", "text")
+    val got = Quality.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged", 3L -> "unchanged"),
+      got.toString)
+  }
+
+  test("histogramDrift: NaN is excluded, never binned into the top bin") {
+    import spark.implicits._
+    // Spark orders NaN above every double: greatest(NaN, 0) = NaN, then
+    // least(NaN, bins-1) = bins-1 — a NaN on one side only used to
+    // manufacture spurious tail drift. NaN rows must simply not count.
+    val before = Seq(0.0, 10.0, 20.0, 30.0).toDF("v")
+    val after = Seq(0.0, 10.0, 20.0, 30.0, Double.NaN).toDF("v")
+    val got = Quality.histogramDrift(before, after, "v", 0.0, 40.0, 4)
+      .orderBy("bin").as[(Int, Long, Long, Double)].collect().toSeq
+    // with NaN excluded the two sides are identical: zero drift, and
+    // bin 3 holds exactly one row per side (not the NaN)
+    assert(got.map(_._4).sum == 0.0, got.toString)
+    assert(got.forall { case (_, nb, na, _) => nb == 1L && na == 1L },
+      got.toString)
+  }
+
   test("schemaDiff: added/removed/type_changed/unchanged; no job runs") {
     import spark.implicits._
     val old = Seq((1L, "a", 0.5)).toDF("id", "name", "score")

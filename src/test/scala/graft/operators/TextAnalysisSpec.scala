@@ -5,6 +5,24 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("operators compose over derived Columns (no SQL-splice parse failures)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stopwordCount/langScore/simhash60 used to splice Column.toString
+    // into expr(...), which only parsed for bare column names — composing
+    // two public operators from this module threw ParseException
+    val docs = Seq("The Quick Brown Fox AND the lazy dog of it")
+      .toDF("text")
+    val v = docs.select(
+        TextAnalysis.qualityScore(lower(col("text"))).as("q"),
+        TextAnalysis.langId(lower(col("text"))).as("lang"),
+        TextAnalysis.simhash60(concat(col("text"), lit(" tail"))).as("sh"))
+      .collect().head
+    assert(v.getDouble(0) >= 0.0 && v.getDouble(0) <= 1.0)
+    assert(v.getString(1) == "en", v.getString(1))
+    assert(v.getLong(2) != 0L)
+  }
+
   test("native digest60 is bit-identical to the composed md5/conv form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
