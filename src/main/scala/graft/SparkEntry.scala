@@ -329,5 +329,9 @@ object SparkEntry {
     // the full dominance screen). The IVF-PQ growing ingest stays off
     // the bench like the other lifecycle queries: its time is the
     // build+grow replay, not a steady-state op.
-    "dedup_semdedup_capped")
+    "dedup_semdedup_capped",
+    // round 16b — the training-free compressed ANN serve shape (JL
+    // coarse scan + exact rerank of the shortlist) and the diversified
+    // re-rank (k greedy MMR steps over the relevance pool)
+    "sim_topk_jl_rerank", "sim_topk_mmr")
 }

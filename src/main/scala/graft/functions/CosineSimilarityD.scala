@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** [[CosineSimilarity]] for `array<double>` inputs — the projected-space
+  * scorer of the JL family, where vectors are already double (the
+  * projection folds in double and must stay bit-exact, so re-narrowing
+  * to float would change the values). Same fused dot/na/nb prefix fold,
+  * same WholeStageCodegen loop; bit-identical to the composed
+  * `aggregate(zip_with(...))` form on double arrays (the three composed
+  * folds accumulate independently in the same order, so fusing them
+  * changes nothing). */
+case class CosineSimilarityD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Input contract: both children evaluate to array<double> (caller-
+  // enforced, the CosineSimilarity precedent).
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = $a.getDouble($i);
+         |  final double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityD =
+    copy(left = newLeft, right = newRight)
+}

@@ -23,6 +23,12 @@ object GraftFunctions {
         require(args.length == 2, "graft_cosine(a, b) takes two array<float> arguments")
         CosineSimilarity(args.head, args(1))
       }),
+    (FunctionIdentifier("graft_cosine_d"),
+      new ExpressionInfo(classOf[CosineSimilarityD].getName, "graft_cosine_d"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine_d(a, b) takes two array<double> arguments")
+        CosineSimilarityD(args.head, args(1))
+      }),
     (FunctionIdentifier("graft_digest60"),
       new ExpressionInfo(classOf[Digest60].getName, "graft_digest60"),
       (args: Seq[Expression]) => {

@@ -283,6 +283,172 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Composed ±1 JL sign — parity of the shared digest over the same
+    * `"jl:i:j"` string [[graft.functions.JlSignsRef.generate]] hashes,
+    * so kernel, composed twin, and the DuckDB oracle all read one
+    * matrix. */
+  private def jlSign(i: Column, j: Column): Column =
+    when(call_function("graft_digest60",
+      concat(lit("jl:"), i.cast("string"), lit(":"), j.cast("string"))) % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Composed-builtins twin of the [[graft.functions.JlProject]] kernel
+    * (spec-pinned bit-identical): output coordinate i folds
+    * `vec(j)·sign(i,j)` left-to-right in double over the first `d`
+    * elements — the same fold as the kernel loop and the oracle's
+    * `list_dot_product`. Kept for the cross-check only; it evaluates one
+    * digest per (i, j) PER ROW where the kernel reads a precomputed
+    * matrix. */
+  private[operators] def jlProjectComposed(vec: Column, m: Int, d: Int): Column =
+    // empty-vector guard: sequence(0, -1) DESCENDS in Spark (it is not
+    // empty), which would zip a phantom index pair — the kernel folds
+    // zero elements and yields an all-zero projection
+    when(size(vec) === 0, array_repeat(lit(0.0), m))
+      .otherwise(transform(sequence(lit(0), lit(m - 1)), i =>
+        aggregate(
+          zip_with(slice(vec, 1, d), sequence(lit(0), least(size(vec), lit(d)) - 1),
+            (x, j) => x.cast("double") * jlSign(i, j)),
+          lit(0.0), (acc, v) => acc + v)))
+
+  /** The kernel projection as a column (spec pin + reuse). */
+  private[graft] def jlProjectKernel(vecCol: String, m: Int, d: Int): Column =
+    kernelCol(graft.functions.JlProject(attr(vecCol),
+      graft.functions.JlSignsRef.generate(m, d)))
+
+  /** Johnson–Lindenstrauss projection ANN: queries and corpus are
+    * projected to `m ≪ d` dimensions through the deterministic ±1 sign
+    * matrix ([[graft.functions.JlProject]] — a zero-shuffle codegen
+    * projection, no trained state, nothing collected), then ranked by
+    * exact cosine IN THE PROJECTED SPACE. Achlioptas's construction
+    * preserves inner products in expectation with variance ∝ 1/m, so
+    * projected-cosine ranking approximates exact ranking while each pair
+    * costs m double multiplies instead of d float ones — and unlike
+    * SQ8/PQ there is no codebook to train, ship, or refresh: the matrix
+    * is a pure function of (m, d) that every executor and every engine
+    * regenerates identically. Recall < 1 by construction
+    * (`ann_recall_jl` tracks the cost); [[jlRerankTopK]] is the
+    * production shape. Ranking is (rounded projected cosine desc,
+    * neighbor id asc); output column `jl_cosine` names the space the
+    * score lives in. */
+  def jlTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int = 16, d: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val ref = graft.functions.JlSignsRef.generate(m, d)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      kernelCol(graft.functions.JlProject(attr(vecCol), ref)).as("__qp")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      kernelCol(graft.functions.JlProject(attr(vecCol), ref)).as("__cp"))
+    // per-PAIR scoring through the native double-array kernel
+    // (graft_cosine_d) — the projected vectors are double by the
+    // bit-exactness contract, and the interpreted aggregate(zip_with)
+    // form costs ~3× the whole query in lambda plumbing per pair
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(call_function("graft_cosine_d", col("__qp"), col("__cp")), 6))
+    topKPerQueryAuto(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").as("jl_cosine"), col("rank"))
+  }
+
+  /** Two-stage JL retrieval: coarse top-`k·refine` in the m-dimensional
+    * projected space, exact float rerank of only those candidates — the
+    * [[sq8RerankTopK]] shape with the projection replacing quantization.
+    * Same rerank tail, so the output is exact rounded cosine over the
+    * original vectors. */
+  def jlRerankTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int = 16, d: Int = 64,
+      refine: Int = 4): DataFrame = {
+    require(refine > 0, s"refine must be positive, got $refine")
+    val coarse = jlTopK(queries, corpus, idCol, vecCol, k * refine, m, d)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(coarse, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    * 1998 — the classic result-diversification re-ranker): from a
+    * relevance-ranked candidate pool, greedily select k documents, each
+    * step picking the candidate maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevant, but not
+    * redundant with what is already selected. The standard dedup-at-read
+    * complement to the corpus-level near-dup families: a corpus can keep
+    * near-duplicates and still serve a diverse result page.
+    *
+    * Spark-first shape: stage 1 is [[bruteForceTopK]] (swap in any ANN
+    * flavor upstream) producing the per-query pool of `poolSize`
+    * candidates — the only corpus-sized work. The greedy selection is k
+    * UNROLLED declarative steps over the pool (anti-join the selected
+    * set, max-sim join against it, argmax window) — every step runs on
+    * the queries×poolSize grain, which is search-head-request-sized by
+    * the same contract as the RM3 feedback join; the pool is
+    * `localCheckpoint`ed once so the k-step plan never re-derives the
+    * corpus scan. No driver loop over data — the loop is over PLAN
+    * construction, k is a literal.
+    *
+    * Determinism across engines: rel and pairwise sims are round-6
+    * cosines; the MMR objective is compared as the EXACT scaled decimal
+    * `λnum·rel − (λden−λnum)·maxsim` (the RM3 exact-decimal precedent —
+    * scaling by λden preserves order and keeps every comparison in
+    * decimal), ties by neighbor id ascending. Output: one row per
+    * selected doc with `mmr_rank` = selection order (1 = most
+    * relevant — step 1 is the pure-relevance argmax). */
+  def mmrTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, poolSize: Int = 20,
+      lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be at least 1")
+    require(poolSize >= k, s"poolSize=$poolSize must cover k=$k")
+    require(lambdaNum >= 0 && lambdaDen > 0 && lambdaNum <= lambdaDen,
+      s"lambda=$lambdaNum/$lambdaDen must be in [0, 1]")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val dec = (c: Column) => c.cast("decimal(38,6)")
+    // the pool: per-query top-poolSize by relevance, vectors re-attached
+    // for the candidate-candidate sims; queries×poolSize rows — tiny
+    val cand = bruteForceTopK(queries, corpus, idCol, vecCol, poolSize)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"),
+        col("__cv"))
+      .localCheckpoint()
+    // step 1: pure-relevance argmax — the pool's rank-1 row
+    var selected = cand.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__cv"),
+        lit(1).as("mmr_rank"))
+    var t = 2
+    while (t <= k) {
+      val selV = selected.select(col("query_id"),
+        col("neighbor_id").as("__sid"), col("__cv").as("__sv"))
+      val rem = cand.join(
+        broadcast(selected.select(col("query_id"), col("neighbor_id"))),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val pick = rem.join(broadcast(selV), Seq("query_id"))
+        .withColumn("__s", round(cosineNative(col("__cv"), col("__sv")), 6))
+        .groupBy(col("query_id"), col("neighbor_id"), col("cosine"))
+        .agg(max(col("__s")).as("__ms"))
+        .withColumn("__mmr",
+          dec(col("cosine")) * lambdaNum - dec(col("__ms")) * (lambdaDen - lambdaNum))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("__mmr").desc, col("neighbor_id").asc)))
+        .filter(col("__rn") === 1)
+        .join(broadcast(cand.select(col("query_id"), col("neighbor_id"), col("__cv"))),
+          Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__cv"),
+          lit(t).as("mmr_rank"))
+        // materialize the step's picks (|queries| rows): every later step
+        // references `selected` TWICE (anti-join + max-sim side), so a
+        // lazy union would double the replayed subplan per step — 2^k
+        // copies of the whole cascade by step k. Checkpointed picks keep
+        // the cascade k sequential tiny jobs over leaf RDDs instead.
+        .localCheckpoint()
+      selected = selected.unionByName(pick)
+      t += 1
+    }
+    selected.select(col("query_id"), col("neighbor_id"), col("cosine"),
+      col("mmr_rank"))
+  }
+
   /** Multi-probe probe list: each query's `nProbe` nearest centroids,
     * ranked by the SAME (rounded cosine desc, centroid_id asc) order as
     * [[assignClusters]] — so probe rank 1 is exactly the cluster

@@ -1381,6 +1381,55 @@ object LlmQueries {
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
+    // Johnson–Lindenstrauss projection ANN: rank by exact cosine in a
+    // 16-dim ±1-projected space (deterministic sign matrix from the
+    // shared digest — no trained state, nothing collected; Achlioptas
+    // 2001). Each pair costs m doubles instead of d floats.
+    "sim_topk_jl" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.jlTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, m = 16, d = 64)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // The production JL shape: coarse top-20 in the projected space,
+    // exact float rerank of only those candidates (the sq8_rerank
+    // pattern with a projection instead of a codebook).
+    "sim_topk_jl_rerank" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.jlRerankTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, m = 16, d = 64, refine = 4)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // MMR-diversified top-5 (Carbonell & Goldstein): greedy selection
+    // from the relevance top-20 pool, each step trading relevance
+    // against max similarity to the already-selected set at λ=0.7 —
+    // exact-decimal objective, k unrolled declarative steps.
+    "sim_topk_mmr" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.mmrTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, poolSize = 20,
+          lambdaNum = 7, lambdaDen = 10)
+        .orderBy("query_id", "mmr_rank")
+    },
+
+    // Recall@5 of the 16-dim JL scan against exact brute force — what
+    // the 4x-fewer-dimensions bandwidth saving costs on this corpus.
+    // Uniform-random vectors are JL's adversarial case (every true
+    // cosine clusters near 0, so m=16 distortion reorders near-ties
+    // freely — recall lands low here by construction); the tracked
+    // number is the honest floor, and the rerank row above is the
+    // production answer to it.
+    "ann_recall_jl" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      val approx = Similarity.jlTopK(queries, emb, "vec_id", "embedding",
+        k = 5, m = 16, d = 64)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    },
+
     // ANN recall evaluation: recall@5 of single-probe IVF against the
     // exact brute-force baseline, per query — the tuning loop every
     // quantized index runs (raise nProbe/signBits until recall clears
@@ -2383,6 +2432,69 @@ object LlmQueries {
     * covered only that slice. Centroids and queries always come from the
     * full table (the centroid sample is fixed at build time; queries are
     * the caller's). */
+  /** Shared JL CTE pair: regenerate the ±1 sign matrix from the digest60
+    * twin over the exact `'jl:'||i||':'||j` strings
+    * [[graft.functions.JlSignsRef.generate]] hashes, then project every
+    * embedding — `list_dot_product` folds left-to-right like the kernel
+    * loop, so `pv` is bit-identical to the Spark side's projection. */
+  private val JlProjCte: String =
+    """signs AS (
+         SELECT i, list(CASE WHEN ((('0x'||substr(md5('jl:'||i||':'||j),1,15))::bigint) % 2)=0
+                             THEN 1.0 ELSE -1.0 END ORDER BY j) AS sv
+         FROM range(0,16) t1(i), range(0,64) t2(j) GROUP BY i),
+       proj AS (
+         SELECT e.vec_id, list(list_dot_product(e.embedding::double[], s.sv) ORDER BY s.i) AS pv
+         FROM embeddings e, signs s GROUP BY e.vec_id)"""
+
+  /** Unrolled greedy-MMR oracle: sel1 is the pure-relevance argmax, each
+    * pickT joins the not-yet-selected pool against sel(T−1) for the
+    * max-sim term and ranks the exact scaled-decimal objective
+    * `7·rel − 3·maxsim` (λ = 7/10 ×10) — the same k plan-construction
+    * steps [[graft.operators.Similarity.mmrTopK]] unrolls. */
+  private def mmrOracleSql: String = {
+    def pairCos(a: String, b: String) =
+      s"""round(list_dot_product($a.cv::double[], $b.cv::double[]) /
+           (sqrt(list_dot_product($a.cv::double[], $a.cv::double[])) *
+            sqrt(list_dot_product($b.cv::double[], $b.cv::double[]))), 6)"""
+    val steps = (2 to 5).map { t =>
+      s"""pick$t AS (
+           SELECT query_id, neighbor_id, cosine, cv, $t AS mmr_rank FROM (
+             SELECT c.query_id, c.neighbor_id, c.cosine, c.cv,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 (c.cosine::decimal(38,6) * 7 - ms.ms::decimal(38,6) * 3) DESC,
+                 c.neighbor_id) AS rn
+             FROM cand c JOIN (
+               SELECT c2.query_id, c2.neighbor_id, max(${pairCos("c2", "s")}) AS ms
+               FROM cand c2 JOIN sel${t - 1} s ON s.query_id = c2.query_id
+               WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+                                 WHERE x.query_id = c2.query_id
+                                   AND x.neighbor_id = c2.neighbor_id)
+               GROUP BY c2.query_id, c2.neighbor_id) ms
+             ON ms.query_id = c.query_id AND ms.neighbor_id = c.neighbor_id)
+           WHERE rn = 1),
+         sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+    }.mkString(",\n")
+    s"""WITH scored0 AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.embedding::double[], c.embedding::double[]) /
+             (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+              sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))),
+             6) AS cosine,
+           c.embedding AS cv
+         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id < 10),
+       cand AS (
+         SELECT query_id, neighbor_id, cosine, cv,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored0 QUALIFY rnk <= 20),
+       sel1 AS (SELECT query_id, neighbor_id, cosine, cv, 1 AS mmr_rank
+                FROM cand WHERE rnk = 1),
+       $steps
+       SELECT query_id, neighbor_id, cosine, mmr_rank
+       FROM sel5 ORDER BY query_id, mmr_rank"""
+  }
+
   private def ivfProbedOracleSql(corpusPred: String): String =
     s"""WITH cen AS (
            SELECT vec_id AS centroid_id, embedding AS cemb
@@ -3148,6 +3260,85 @@ object LlmQueries {
                               ORDER BY dist ASC, neighbor_id) AS rnk
          FROM scored
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_mmr" -> mmrOracleSql,
+
+    "sim_topk_jl" ->
+      s"""WITH $JlProjCte,
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.pv, c.pv) /
+               (sqrt(list_dot_product(q.pv, q.pv)) *
+                sqrt(list_dot_product(c.pv, c.pv))), 6) AS jl_cosine
+           FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         SELECT query_id, neighbor_id, jl_cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY jl_cosine DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "sim_topk_jl_rerank" ->
+      s"""WITH $JlProjCte,
+         cscored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.pv, c.pv) /
+               (sqrt(list_dot_product(q.pv, q.pv)) *
+                sqrt(list_dot_product(c.pv, c.pv))), 6) AS jlc
+           FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         coarse AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY jlc DESC, neighbor_id) AS crn
+           FROM cscored QUALIFY crn <= 20),
+         rer AS (
+           SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM coarse c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings e ON e.vec_id = c.neighbor_id)
+         SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM rer
+         QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "ann_recall_jl" ->
+      s"""WITH $JlProjCte,
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.pv, c.pv) /
+               (sqrt(list_dot_product(q.pv, q.pv)) *
+                sqrt(list_dot_product(c.pv, c.pv))), 6) AS jlc
+           FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         jl AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY jlc DESC, neighbor_id) AS rnk
+           FROM scored QUALIFY rnk <= 5),
+         bscored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         brute AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM bscored QUALIFY rnk <= 5)
+         SELECT b2.query_id,
+           round(count(i.neighbor_id)::double / count(*), 6) AS recall
+         FROM brute b2 LEFT JOIN jl i
+           ON i.query_id = b2.query_id AND i.neighbor_id = b2.neighbor_id
+         GROUP BY b2.query_id ORDER BY b2.query_id""",
 
     "ann_recall_lsh" ->
       """WITH b AS (

@@ -769,4 +769,98 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Int)].collect().toSet
     assert(want == inline)
   }
+
+  test("kernel JL projection is bit-identical to the composed digest60 twin") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = graft.Tables.load(spark, Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+      .unionByName(Seq(
+        (9001L, Array.empty[Float]),            // empty → all-zero projection
+        (9002L, Array(1.5f, -2.5f)),            // shorter than d: prefix fold
+        (9003L, Array.fill(80)(0.25f)))         // longer than d: tail ignored
+        .toDF("vec_id", "embedding"))
+    val both = vecs.select(
+      Similarity.jlProjectKernel("embedding", m = 8, d = 64).as("n"),
+      Similarity.jlProjectComposed(col("embedding"), m = 8, d = 64).as("c"))
+    assert(both.filter(not(col("c") <=> col("n"))).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("jlRerankTopK: refine covering the corpus reproduces exact brute-force top-k") {
+    val vecs = graft.Tables.load(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val n = vecs.count().toInt
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // refine wide enough that the coarse JL list is the whole corpus:
+    // the exact rerank must then restore brute-force ordering exactly
+    val rer = Similarity.jlRerankTopK(queries, vecs, "vec_id", "embedding",
+        k = 3, m = 4, d = 64, refine = n)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rer == exact)
+  }
+
+  test("native double-cosine kernel is bit-identical to the composed form on projections") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = graft.Tables.load(spark, Sf0001, "embeddings")
+      .select(Similarity.jlProjectKernel("embedding", m = 8, d = 64).as("pv"),
+        col("vec_id"))
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < 20 && col("b.vec_id").between(20, 40))
+      .select(
+        Similarity.cosine(col("a.pv"), col("b.pv")).as("composed"),
+        call_function("graft_cosine_d", col("a.pv"), col("b.pv")).as("native"))
+    assert(pairs.filter(col("composed") =!= col("native")).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("mmrTopK at λ=1 degenerates to pure relevance: selection order = brute rank") {
+    val vecs = graft.Tables.load(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val mmr = Similarity.mmrTopK(queries, vecs, "vec_id", "embedding",
+        k = 4, poolSize = 10, lambdaNum = 1, lambdaDen = 1)
+      .select("query_id", "neighbor_id", "mmr_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(mmr == brute)
+  }
+
+  test("mmrTopK diversifies: a near-duplicate of the first pick is deferred") {
+    // c1/c2 are near-duplicates and both highly relevant; c3 is less
+    // relevant but diverse. Pure relevance ranks (c1, c2, c3); MMR at
+    // λ=1/2 must select (c1, c3, c2) — redundancy pushed to last.
+    val fixture = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.10f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.11f, 0.0f, 0.0f)),
+      (3L, Array(0.5f, -0.5f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q0 = fixture.filter(col("vec_id") === 0)
+    val relOrder = Similarity.bruteForceTopK(q0, fixture, "vec_id", "embedding", k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().map(_._2).toSeq
+    assert(relOrder == Seq(1L, 2L, 3L), relOrder.toString)
+    val mmrOrder = Similarity.mmrTopK(q0, fixture, "vec_id", "embedding",
+        k = 3, poolSize = 3, lambdaNum = 1, lambdaDen = 2)
+      .orderBy("mmr_rank").as[(Long, Long, Double, Int)].collect().map(_._2).toSeq
+    assert(mmrOrder == Seq(1L, 3L, 2L), mmrOrder.toString)
+  }
+
+  test("jlTopK: k rows per query, deterministic, ranked desc in the projected space") {
+    val vecs = graft.Tables.load(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val got = Similarity.jlTopK(queries, vecs, "vec_id", "embedding",
+        k = 4, m = 16, d = 64)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length == 4))
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._3).sliding(2).forall(p => p.head >= p.last),
+        byRank.mkString(","))
+    }
+    val again = Similarity.jlTopK(queries, vecs, "vec_id", "embedding",
+        k = 4, m = 16, d = 64)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.toSet == again.toSet)
+  }
 }
