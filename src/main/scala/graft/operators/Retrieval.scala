@@ -224,6 +224,43 @@ object Retrieval {
       k)
   }
 
+  /** MMR-diversified BM25 retrieval (Carbonell & Goldstein 1998 — the
+    * original MMR setting was exactly this, lexical relevance +
+    * content-similarity redundancy): the BM25 top-`poolSize` pool per
+    * query, relevance NORMALIZED per query to [0, 1] (BM25 scores are
+    * query-scale-free; `score / max(score)` over the pool, round-6 —
+    * the redundancy cosine already lives in [−1, 1]), candidate
+    * vectors from the deterministic hashing-trick embedding
+    * ([[TextAnalysis.hashEmbed]] — no model anywhere), then the shared
+    * greedy core ([[Similarity.mmrGreedy]]) selects k diverse results.
+    *
+    * Scale shape: the pool is the shared BM25 probe (candidate postings
+    * only); the embedding join scans the corpus ONCE with the tiny pool
+    * broadcast against it; the greedy steps never leave the
+    * queries×poolSize grain. Output:
+    * `(query_id, doc_id, rel, mmr_rank)`. */
+  def mmrDiversifiedTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int, poolSize: Int = 20,
+      dim: Int = 64, lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be at least 1")
+    require(poolSize >= k, s"poolSize=$poolSize must cover k=$k")
+    val pool = bm25TopK(docs, idCol, textCol, queries, poolSize)
+    val relPool = pool.withColumn("rel",
+      round(col("score") /
+        max(col("score")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))),
+        6))
+    val emb = TextAnalysis.hashEmbed(docs, idCol, textCol, dim)
+      .select(col(idCol).as("doc_id"), col("embedding").as("__cv"))
+    val cand = emb.join(broadcast(relPool), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("rel"), col("rank"), col("__cv"))
+    Similarity.mmrGreedy(cand, k, lambdaNum, lambdaDen)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rel"), col("mmr_rank"))
+  }
+
   /** Inline BM25 top-k: postings, df, and corpus stats derived from the
     * corpus in-query. Two corpus passes (stats scalar + postings), then
     * the shared ranking tail. */

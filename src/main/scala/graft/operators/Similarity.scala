@@ -401,19 +401,35 @@ object Similarity {
     require(poolSize >= k, s"poolSize=$poolSize must cover k=$k")
     require(lambdaNum >= 0 && lambdaDen > 0 && lambdaNum <= lambdaDen,
       s"lambda=$lambdaNum/$lambdaDen must be in [0, 1]")
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-    val dec = (c: Column) => c.cast("decimal(38,6)")
     // the pool: per-query top-poolSize by relevance, vectors re-attached
     // for the candidate-candidate sims; queries×poolSize rows — tiny
     val cand = bruteForceTopK(queries, corpus, idCol, vecCol, poolSize)
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
         Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"),
-        col("__cv"))
-      .localCheckpoint()
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").as("rel"), col("rank"), col("__cv"))
+    mmrGreedy(cand, k, lambdaNum, lambdaDen)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rel").as("cosine"), col("mmr_rank"))
+  }
+
+  /** The greedy MMR core over a prepared candidate pool — shared by
+    * [[mmrTopK]] (cosine relevance) and
+    * [[graft.operators.Retrieval.mmrDiversifiedTopK]] (normalized BM25
+    * relevance). `cand` must carry `(query_id, neighbor_id, rel, rank,
+    * __cv)` with `rel` already round-6 (it enters the exact-decimal
+    * objective), `rank` the 1-based relevance order (rank 1 seeds the
+    * selection), and `__cv` the float vector the redundancy term
+    * compares. Checkpoints the pool and each step's picks (see the
+    * in-loop comment). */
+  private[operators] def mmrGreedy(
+      candIn: DataFrame, k: Int, lambdaNum: Int, lambdaDen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(candIn.sparkSession)
+    val dec = (c: Column) => c.cast("decimal(38,6)")
+    val cand = candIn.localCheckpoint()
     // step 1: pure-relevance argmax — the pool's rank-1 row
     var selected = cand.filter(col("rank") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__cv"),
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("__cv"),
         lit(1).as("mmr_rank"))
     var t = 2
     while (t <= k) {
@@ -424,17 +440,17 @@ object Similarity {
         Seq("query_id", "neighbor_id"), "left_anti")
       val pick = rem.join(broadcast(selV), Seq("query_id"))
         .withColumn("__s", round(cosineNative(col("__cv"), col("__sv")), 6))
-        .groupBy(col("query_id"), col("neighbor_id"), col("cosine"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
         .agg(max(col("__s")).as("__ms"))
         .withColumn("__mmr",
-          dec(col("cosine")) * lambdaNum - dec(col("__ms")) * (lambdaDen - lambdaNum))
+          dec(col("rel")) * lambdaNum - dec(col("__ms")) * (lambdaDen - lambdaNum))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("__mmr").desc, col("neighbor_id").asc)))
         .filter(col("__rn") === 1)
         .join(broadcast(cand.select(col("query_id"), col("neighbor_id"), col("__cv"))),
           Seq("query_id", "neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__cv"),
+        .select(col("query_id"), col("neighbor_id"), col("rel"), col("__cv"),
           lit(t).as("mmr_rank"))
         // materialize the step's picks (|queries| rows): every later step
         // references `selected` TWICE (anti-join + max-sim side), so a
@@ -445,7 +461,7 @@ object Similarity {
       selected = selected.unionByName(pick)
       t += 1
     }
-    selected.select(col("query_id"), col("neighbor_id"), col("cosine"),
+    selected.select(col("query_id"), col("neighbor_id"), col("rel"),
       col("mmr_rank"))
   }
 

@@ -1585,6 +1585,12 @@ object LlmQueries {
           fullScanMc),
         fRow("sq8",
           Similarity.sq8TopK(queries, emb, "vec_id", "embedding", k = 5),
+          fullScanMc),
+        // full corpus scan like pq/sq8 — the saving is per-candidate
+        // (m doubles instead of d floats), not candidate-count pruning
+        fRow("jl",
+          Similarity.jlTopK(queries, emb, "vec_id", "embedding",
+            k = 5, m = 16, d = 64),
           fullScanMc)
       ).reduce(_ unionByName _).orderBy("method")
     },
@@ -1796,6 +1802,17 @@ object LlmQueries {
     // re-ranks under the expanded weighted query. The whole two-stage
     // ranking replays in the oracle (round-6 products, decimal sums,
     // pre-rounded driver-side original-term weights).
+    // MMR-diversified BM25 retrieval — the original MMR setting:
+    // lexical relevance (normalized per query over the top-20 pool) vs
+    // hashing-trick content similarity, five greedy exact-decimal
+    // steps. The serve-time complement to corpus-level near-dup removal.
+    "retrieval_mmr" -> q { (s, dir) =>
+      Retrieval.mmrDiversifiedTopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", Bm25Queries, k = 5, poolSize = 20,
+          dim = 64, lambdaNum = 7, lambdaDen = 10)
+        .orderBy("query_id", "mmr_rank")
+    },
+
     "retrieval_rm3" -> q { (s, dir) =>
       Retrieval.rm3TopK(Tables.load(s, dir, "documents"),
           "doc_id", "text", Bm25Queries, Bm25K)
@@ -1977,6 +1994,17 @@ object LlmQueries {
     "stream_ann_pq_probe" -> q { (s, dir) =>
       graft.streaming.StreamPipeline
         .streamingPqProbe(s, dir, k = 5, m = 4, dsub = 16)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // The training-free streaming leg: arriving query vectors run the
+    // two-stage JL search per micro-batch — no index built, committed,
+    // or snapshotted anywhere, because the sign matrix is a pure
+    // function of (m, d) every batch and replay regenerates
+    // identically. Shares the inline jl_rerank oracle.
+    "stream_sim_jl_probe" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingJlProbe(s, dir, k = 5, m = 16, d = 64, refine = 4)
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
@@ -2451,17 +2479,22 @@ object LlmQueries {
     * max-sim term and ranks the exact scaled-decimal objective
     * `7·rel − 3·maxsim` (λ = 7/10 ×10) — the same k plan-construction
     * steps [[graft.operators.Similarity.mmrTopK]] unrolls. */
-  private def mmrOracleSql: String = {
+  /** The unrolled greedy-step CTE chain shared by both MMR oracles:
+    * pickT joins the not-yet-selected pool against sel(T−1) for the
+    * max-sim term and ranks the exact scaled-decimal objective
+    * `λnum·rel − (λden−λnum)·maxsim`. Requires `cand(query_id,
+    * neighbor_id, $relCol, cv, …)` and `sel1` in scope. */
+  private def mmrStepCtes(relCol: String, lNum: Int, lRest: Int): String = {
     def pairCos(a: String, b: String) =
       s"""round(list_dot_product($a.cv::double[], $b.cv::double[]) /
            (sqrt(list_dot_product($a.cv::double[], $a.cv::double[])) *
             sqrt(list_dot_product($b.cv::double[], $b.cv::double[]))), 6)"""
-    val steps = (2 to 5).map { t =>
+    (2 to 5).map { t =>
       s"""pick$t AS (
-           SELECT query_id, neighbor_id, cosine, cv, $t AS mmr_rank FROM (
-             SELECT c.query_id, c.neighbor_id, c.cosine, c.cv,
+           SELECT query_id, neighbor_id, $relCol, cv, $t AS mmr_rank FROM (
+             SELECT c.query_id, c.neighbor_id, c.$relCol, c.cv,
                row_number() OVER (PARTITION BY c.query_id ORDER BY
-                 (c.cosine::decimal(38,6) * 7 - ms.ms::decimal(38,6) * 3) DESC,
+                 (c.$relCol::decimal(38,6) * $lNum - ms.ms::decimal(38,6) * $lRest) DESC,
                  c.neighbor_id) AS rn
              FROM cand c JOIN (
                SELECT c2.query_id, c2.neighbor_id, max(${pairCos("c2", "s")}) AS ms
@@ -2474,6 +2507,10 @@ object LlmQueries {
            WHERE rn = 1),
          sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
     }.mkString(",\n")
+  }
+
+  private def mmrOracleSql: String = {
+    val steps = mmrStepCtes("cosine", 7, 3)
     s"""WITH scored0 AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round(list_dot_product(q.embedding::double[], c.embedding::double[]) /
@@ -2492,6 +2529,80 @@ object LlmQueries {
                 FROM cand WHERE rnk = 1),
        $steps
        SELECT query_id, neighbor_id, cosine, mmr_rank
+       FROM sel5 ORDER BY query_id, mmr_rank"""
+  }
+
+  /** retrieval_mmr: the text_bm25_topk scoring chain (pool of 20), the
+    * sim_topk_hash_embed embedding chain (renamed CTEs), per-query
+    * score/max(score) relevance normalization, then the shared unrolled
+    * greedy steps over `rel`. */
+  private def retrievalMmrOracleSql: String = {
+    val qvals = Bm25Queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+      }
+      .mkString(", ")
+    val steps = mmrStepCtes("rel", 7, 3)
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       btoks AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tf AS (
+         SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+         FROM btoks WHERE term <> '' GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       cst AS (SELECT count(*)::bigint AS n,
+                      sum(len(string_split(text, ' ')))::bigint AS sumdl
+               FROM documents),
+       contrib AS (
+         SELECT q.query_id, tf.doc_id,
+           round(
+             ln(1.0 + (cst.n::double - df.df + 0.5) / (df.df + 0.5)) *
+             ((tf.tf * ${Retrieval.K1 + 1.0}) /
+              (tf.tf + ${Retrieval.K1} *
+                (${1.0 - Retrieval.B} + ${Retrieval.B} *
+                  (tf.dl / (cst.sumdl::double / cst.n))))),
+             6)::DECIMAL(38,10) AS w
+         FROM q JOIN tf USING (term) JOIN df ON tf.term = df.term, cst),
+       scored AS (
+         SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
+         FROM contrib GROUP BY 1, 2),
+       pool AS (
+         SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rnk
+         FROM scored QUALIFY rnk <= 20),
+       etoks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       hashed AS (
+         SELECT doc_id, CAST(h % 64 AS INT) AS i,
+                CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+         FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+               FROM etoks WHERE tok <> '')),
+       zeros AS (
+         SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
+         FROM documents, (SELECT unnest(range(64)) AS j)),
+       summed AS (
+         SELECT doc_id, i, sum(v) AS s
+         FROM (SELECT * FROM hashed UNION ALL SELECT * FROM zeros)
+         GROUP BY doc_id, i),
+       emb AS (
+         SELECT doc_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
+         FROM summed GROUP BY doc_id),
+       relp AS (
+         SELECT query_id, doc_id,
+           round(score / max(score) OVER (PARTITION BY query_id), 6) AS rel,
+           rnk
+         FROM pool),
+       cand AS (
+         SELECT r.query_id, r.doc_id AS neighbor_id, r.rel, r.rnk,
+                e.embedding AS cv
+         FROM relp r JOIN emb e ON e.doc_id = r.doc_id),
+       sel1 AS (SELECT query_id, neighbor_id, rel, cv, 1 AS mmr_rank
+                FROM cand WHERE rnk = 1),
+       $steps
+       SELECT query_id, neighbor_id AS doc_id, rel, mmr_rank
        FROM sel5 ORDER BY query_id, mmr_rank"""
   }
 
@@ -3262,6 +3373,8 @@ object LlmQueries {
          QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
 
     "sim_topk_mmr" -> mmrOracleSql,
+
+    "retrieval_mmr" -> retrievalMmrOracleSql,
 
     "sim_topk_jl" ->
       s"""WITH $JlProjCte,
@@ -4615,6 +4728,9 @@ object LlmQueries {
           UNION ALL
           SELECT 'sq8', ${meanRecallSub("ann_recall_sq8")},
             (SELECT round((count(*) - 1)::double, 6) FROM embeddings)
+          UNION ALL
+          SELECT 'jl', ${meanRecallSub("ann_recall_jl")},
+            (SELECT round((count(*) - 1)::double, 6) FROM embeddings)
         ) t ORDER BY method"""
 
   val oracles: Map[String, String] =
@@ -4692,6 +4808,10 @@ object LlmQueries {
       // the ingest-time IVF probe replays the inline multi-probe oracle:
       // same centroids, same full-corpus assignment, same pruned scan
       ("stream_ann_ivf_probe" -> baseOracles("sim_topk_ivf_probed")) +
+      // the training-free streaming JL probe replays the inline
+      // coarse-project + exact-rerank oracle: the sign matrix is a pure
+      // function of (m, d), identical in-batch and inline
+      ("stream_sim_jl_probe" -> baseOracles("sim_topk_jl_rerank")) +
       // the GROWING IVF ingest: each arrival probes the assignment of
       // the lake plus earlier batches only — index-as-of-probe, same
       // centroid sample and pruned-scan grid

@@ -1755,6 +1755,52 @@ object StreamPipeline {
     }
   }
 
+  /** The TRAINING-FREE leg of the streaming probe family: each
+    * micro-batch runs the two-stage JL search
+    * ([[graft.operators.Similarity.jlRerankTopK]]) over just its
+    * arrivals — the ±1 sign matrix is a pure function of (m, d), so
+    * unlike the PQ/IVF legs there is NO index to build, commit, or
+    * snapshot: every batch (and every replay) regenerates the identical
+    * projection from the digest60 primitive, projects its arrivals in
+    * one stateless kernel pass, coarse-scans the static corpus in the
+    * m-dim space, and exact-reranks the shortlist. A query vector is
+    * one stream row, so per-batch top-k IS its global top-k and the
+    * batch union is the whole answer — batch-equivalent to the inline
+    * [[graft.operators.Similarity.jlRerankTopK]] (shared oracle). */
+  def streamingJlProbe(
+      spark: SparkSession, dir: String,
+      k: Int, m: Int, d: Int, refine: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val outDir = Files.createTempDirectory("graft_sjl_out").toString
+    val ckptDir = Files.createTempDirectory("graft_sjl_ckpt").toString
+    try {
+      val arrivals = spark.readStream
+        .schema(EmbeddingsSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .filter(col("vec_id") < 10)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(
+            graft.operators.Similarity.jlRerankTopK(
+              batch.toDF(), emb, "vec_id", "embedding", k, m, d, refine),
+            outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir,
+        graft.operators.Similarity.jlRerankTopK(
+          emptyOf(spark, EmbeddingsSchema), emb,
+          "vec_id", "embedding", k, m, d, refine).schema)
+        .localCheckpoint(true)
+    } finally {
+      Seq(outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   /** Serve the ingest dedup from an already-persisted index table. */
   def streamingSemanticDedupWithIndex(
       spark: SparkSession, dir: String, indexPath: String): DataFrame =

@@ -212,6 +212,39 @@ class RetrievalSpec extends SparkSpec {
     assert(viaBroadcast.count() > 0)
   }
 
+  test("mmrDiversifiedTopK at λ=1 degenerates to the BM25 pool order") {
+    import spark.implicits._
+    val queries = Seq(0 -> "spark window", 1 -> "hash join")
+    val pool = Retrieval.bm25TopK(corpus, "doc_id", "text", queries, k = 3)
+      .select("query_id", "doc_id", "rank")
+      .as[(Int, Long, Int)].collect().toSet
+    val mmr = Retrieval.mmrDiversifiedTopK(corpus, "doc_id", "text", queries,
+        k = 3, poolSize = 3, lambdaNum = 1, lambdaDen = 1)
+      .select("query_id", "doc_id", "mmr_rank")
+      .as[(Int, Long, Int)].collect().toSet
+    assert(mmr == pool, s"mmr=$mmr pool=$pool")
+  }
+
+  test("mmrDiversifiedTopK defers an exact duplicate of the first pick") {
+    import spark.implicits._
+    // Relevance sees only query terms; the redundancy cosine sees the
+    // WHOLE text — that asymmetry is what MMR exploits. Docs 0/1 are
+    // exact duplicates; doc 2 matches the same query terms (equal BM25)
+    // but carries different filler (cosine to doc 0 ≈ 3/8). λ=1/2:
+    // step 2 scores the duplicate (1−1)/2 = 0 vs doc 2's
+    // (1−0.375)/2 ≈ 0.31 — the duplicate is deferred to last.
+    val dup = Seq(
+      (0L, "spark window agg aaa bbb ccc ddd eee"),
+      (1L, "spark window agg aaa bbb ccc ddd eee"),
+      (2L, "spark window agg xxx yyy zzz www vvv")).toDF("doc_id", "text")
+    val got = Retrieval.mmrDiversifiedTopK(dup, "doc_id", "text",
+        Seq(0 -> "spark window agg"), k = 3, poolSize = 3,
+        lambdaNum = 1, lambdaDen = 2)
+      .orderBy("mmr_rank")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 2L, 1L), got.toString)
+  }
+
   test("probe plan: corpus absent, term filter pushed to the postings scan") {
     val qs = Seq(0 -> "spark window")
     val p = tmp("bm25_plan")
