@@ -315,6 +315,17 @@ object Similarity {
     kernelCol(graft.functions.JlProject(attr(vecCol),
       graft.functions.JlSignsRef.generate(m, d)))
 
+  /** Attach the m-dimensional JL projection of `vecCol` as `outCol` —
+    * the public projector for pipelines that persist a projected corpus
+    * once and serve many query batches against it (the projection is
+    * deterministic in (m, d), so a projected corpus written today and a
+    * query batch projected next month live in the same space). */
+  def jlProject(df: DataFrame, vecCol: String, m: Int, d: Int,
+      outCol: String = "jl_vec"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol, jlProjectKernel(vecCol, m, d))
+  }
+
   /** Johnson–Lindenstrauss projection ANN: queries and corpus are
     * projected to `m ≪ d` dimensions through the deterministic ±1 sign
     * matrix ([[graft.functions.JlProject]] — a zero-shuffle codegen
@@ -424,6 +435,10 @@ object Similarity {
     * in-loop comment). */
   private[operators] def mmrGreedy(
       candIn: DataFrame, k: Int, lambdaNum: Int, lambdaDen: Int): DataFrame = {
+    // the λ contract lives HERE so every pool flavor (cosine, BM25, a
+    // future ANN pool) inherits it instead of re-stating it
+    require(lambdaNum >= 0 && lambdaDen > 0 && lambdaNum <= lambdaDen,
+      s"lambda=$lambdaNum/$lambdaDen must be in [0, 1]")
     graft.functions.GraftFunctions.register(candIn.sparkSession)
     val dec = (c: Column) => c.cast("decimal(38,6)")
     val cand = candIn.localCheckpoint()
