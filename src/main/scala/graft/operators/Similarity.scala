@@ -300,10 +300,13 @@ object Similarity {
     * digest per (i, j) PER ROW where the kernel reads a precomputed
     * matrix. */
   private[operators] def jlProjectComposed(vec: Column, m: Int, d: Int): Column =
+    // NULL guard: without it the transform builds an array of m NULLs
+    // where the null-intolerant kernel yields NULL (KernelEdgeSpec);
     // empty-vector guard: sequence(0, -1) DESCENDS in Spark (it is not
     // empty), which would zip a phantom index pair — the kernel folds
     // zero elements and yields an all-zero projection
-    when(size(vec) === 0, array_repeat(lit(0.0), m))
+    when(vec.isNull, lit(null).cast("array<double>"))
+      .when(size(vec) === 0, array_repeat(lit(0.0), m))
       .otherwise(transform(sequence(lit(0), lit(m - 1)), i =>
         aggregate(
           zip_with(slice(vec, 1, d), sequence(lit(0), least(size(vec), lit(d)) - 1),

@@ -131,6 +131,26 @@ class KernelEdgeSpec extends SparkSpec {
     assert(rows(2L).toSeq == Seq(0, 0))
   }
 
+  test("JL projection: NULL vector is NULL, NaN poisons every coordinate — both twins agree") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Seq(
+      (1L, Some(Array(1.0f, Float.NaN, -0.5f))),   // NaN folds into every coord
+      (2L, None: Option[Array[Float]]),            // NULL in, NULL out
+      (3L, Some(Array(0.0f, -0.0f)))               // signed zero
+    ).toDF("vec_id", "embedding")
+    val both = vecs.select(col("vec_id"),
+      Similarity.jlProjectKernel("embedding", 4, 8).as("n"),
+      Similarity.jlProjectComposed(col("embedding"), 4, 8).as("c"))
+    assert(both.filter(not(col("c") <=> col("n"))).count() == 0)
+    val rows = both.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rows(2L) && !rows(1L) && !rows(3L), rows.toString)
+    // the NaN element reaches every output coordinate (each folds the
+    // whole prefix) in the kernel path
+    val nanRow = both.filter(col("vec_id") === 1L)
+      .select(col("n")).collect().head.getSeq[Double](0)
+    assert(nanRow.length == 4 && nanRow.forall(_.isNaN), nanRow.toString)
+  }
+
   test("round6 passes NaN and infinities through, like catalyst Round") {
     assert(PqKernel.round6(Double.NaN).isNaN)
     assert(PqKernel.round6(Double.PositiveInfinity).isPosInfinity)
