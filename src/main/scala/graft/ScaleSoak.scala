@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale soak: one empirical scaling point BEYOND the graded sf0.1
-  * volume for the most expensive operator families (seven at r16,
-  * including both exactly-once growing-ingest shapes). The 100×
+  * volume for the most expensive operator families (eight at r16,
+  * including both exactly-once growing-ingest shapes and the
+  * training-free JL projected scan). The 100×
   * claims in SURVEY/SCALING rest on plan shape (no quadratic term, no
   * single-task pileup, probes pruned); this main checks the one thing a
   * plan reading cannot — that wall-clock actually grows ≲ linearly when
@@ -139,6 +140,18 @@ object ScaleSoak {
             "vec_id", "embedding", k = 8, m = 4, dsub = 4)
         },
         mustContain = Seq("graft_pq_adc", "TopKPerKeyPartial")),
+      // JL projected-scan ANN — the training-free flavor: queries
+      // pinned to the base corpus, the scanned corpus grows 8×. The
+      // sign matrix is a pure function of (m, d), so NOTHING trained or
+      // collected grows with N; the projection must stay a zero-shuffle
+      // codegen kernel and the scan must keep the bounded-heap top-k —
+      // the same stats-flip scale-killer watch as pq_topk, at m doubles
+      // per pair.
+      Family("jl_topk",
+        (s, m) => graft.operators.Similarity.jlTopK(
+          vecs(1).filter(col("vec_id") < 32), vecs(m),
+          "vec_id", "embedding", k = 8, m = 8, d = 16),
+        mustContain = Seq("graft_jl_project", "TopKPerKeyPartial")),
       // the exactly-once growing ingest — the flagship production loop:
       // lake build + arrival staging run UNtimed; the measured region is
       // the stream itself (3 micro-batches of probe + idempotent output
