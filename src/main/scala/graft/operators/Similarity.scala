@@ -483,6 +483,33 @@ object Similarity {
       col("mmr_rank"))
   }
 
+  /** Intra-list similarity — the standard diversity metric of a result
+    * list (lower = more diverse): per query, the mean round-6 cosine
+    * over the unordered pairs of the selected documents. Result-sized
+    * work only: `selected` is queries×k rows, the pair join is k(k−1)/2
+    * pairs per query, vectors fetched by one broadcast join against the
+    * corpus scan. The mean sums in decimal before one double division
+    * (partition-order-proof, the lloydCentroids precedent). Output
+    * `(query_id, ils)`; queries with a single selected doc have no
+    * pairs and drop out. */
+  def intraListSimilarity(
+      selected: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val v = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val s = selected.select(col("query_id"), col("neighbor_id"))
+    val withVec = v.join(broadcast(s), col("__vid") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__v"))
+    val pairs = withVec.as("a").join(withVec.as("b"),
+      col("a.query_id") === col("b.query_id") &&
+        col("a.neighbor_id") < col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        round(cosineNative(col("a.__v"), col("b.__v")), 6).as("__c"))
+    pairs.groupBy(col("query_id"))
+      .agg(round(sum(col("__c").cast("decimal(38,10)")).cast("double") /
+        count(lit(1)), 6).as("ils"))
+  }
+
   /** Multi-probe probe list: each query's `nProbe` nearest centroids,
     * ranked by the SAME (rounded cosine desc, centroid_id asc) order as
     * [[assignClusters]] — so probe rank 1 is exactly the cluster

@@ -1414,6 +1414,37 @@ object LlmQueries {
         .orderBy("query_id", "mmr_rank")
     },
 
+    // Intra-list-similarity diversity audit: mean pairwise cosine of
+    // the brute top-5 vs the MMR selection, per query — the measurement
+    // that the diversification measurably trades redundancy for
+    // relevance (gain = ils_rel − ils_mmr).
+    "sim_mmr_diversity" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      val mmr = Similarity.mmrTopK(queries, emb, "vec_id", "embedding",
+        k = 5, poolSize = 20, lambdaNum = 7, lambdaDen = 10)
+      val ilsB = Similarity.intraListSimilarity(brute, emb, "vec_id", "embedding")
+        .withColumnRenamed("ils", "ils_rel")
+      val ilsM = Similarity.intraListSimilarity(mmr, emb, "vec_id", "embedding")
+        .withColumnRenamed("ils", "ils_mmr")
+      ilsB.join(ilsM, Seq("query_id"))
+        .withColumn("diversity_gain", round(col("ils_rel") - col("ils_mmr"), 6))
+        .orderBy("query_id")
+    },
+
+    // Recall@5 of the two-stage JL search — what the refine=4 shortlist
+    // recovers over the raw projected scan (a true top-5 doc is found
+    // iff it survives into the JL top-20).
+    "ann_recall_jl_rerank" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      val approx = Similarity.jlRerankTopK(queries, emb, "vec_id", "embedding",
+        k = 5, m = 16, d = 64, refine = 4)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    },
+
     // Recall@5 of the 16-dim JL scan against exact brute force — what
     // the 4x-fewer-dimensions bandwidth saving costs on this corpus.
     // Uniform-random vectors are JL's adversarial case (every true
@@ -2484,11 +2515,15 @@ object LlmQueries {
     * max-sim term and ranks the exact scaled-decimal objective
     * `λnum·rel − (λden−λnum)·maxsim`. Requires `cand(query_id,
     * neighbor_id, $relCol, cv, …)` and `sel1` in scope. */
+  /** Round-6 cosine between two `cv` list columns — the pair scorer of
+    * the MMR oracle chain and the ILS diversity metric. */
+  private def pairCosSql(a: String, b: String): String =
+    s"""round(list_dot_product($a.cv::double[], $b.cv::double[]) /
+         (sqrt(list_dot_product($a.cv::double[], $a.cv::double[])) *
+          sqrt(list_dot_product($b.cv::double[], $b.cv::double[]))), 6)"""
+
   private def mmrStepCtes(relCol: String, lNum: Int, lRest: Int): String = {
-    def pairCos(a: String, b: String) =
-      s"""round(list_dot_product($a.cv::double[], $b.cv::double[]) /
-           (sqrt(list_dot_product($a.cv::double[], $a.cv::double[])) *
-            sqrt(list_dot_product($b.cv::double[], $b.cv::double[]))), 6)"""
+    def pairCos(a: String, b: String) = pairCosSql(a, b)
     (2 to 5).map { t =>
       s"""pick$t AS (
            SELECT query_id, neighbor_id, $relCol, cv, $t AS mmr_rank FROM (
@@ -2509,9 +2544,12 @@ object LlmQueries {
     }.mkString(",\n")
   }
 
-  private def mmrOracleSql: String = {
+  /** The WITH-body through sel5 of the embedding-MMR selection — shared
+    * by the ranked-output oracle and the ILS diversity oracle (which
+    * also reuses `cand rnk <= 5` as the brute top-5). */
+  private def mmrSelectionCtes: String = {
     val steps = mmrStepCtes("cosine", 7, 3)
-    s"""WITH scored0 AS (
+    s"""scored0 AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round(list_dot_product(q.embedding::double[], c.embedding::double[]) /
              (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
@@ -2527,10 +2565,39 @@ object LlmQueries {
          FROM scored0 QUALIFY rnk <= 20),
        sel1 AS (SELECT query_id, neighbor_id, cosine, cv, 1 AS mmr_rank
                 FROM cand WHERE rnk = 1),
-       $steps
+       $steps"""
+  }
+
+  private def mmrOracleSql: String =
+    s"""WITH $mmrSelectionCtes
        SELECT query_id, neighbor_id, cosine, mmr_rank
        FROM sel5 ORDER BY query_id, mmr_rank"""
-  }
+
+  /** sim_mmr_diversity: mean pairwise round-6 cosine (intra-list
+    * similarity) of the brute top-5 (cand rnk ≤ 5) vs the MMR
+    * selection (sel5), per query — sums in DECIMAL(38,10) before one
+    * double division like every mean under the hash gate. */
+  private def mmrDiversityOracleSql: String =
+    s"""WITH $mmrSelectionCtes,
+       bsel AS (SELECT query_id, neighbor_id, cv FROM cand WHERE rnk <= 5),
+       bp AS (
+         SELECT a.query_id, ${pairCosSql("a", "b")} AS c
+         FROM bsel a JOIN bsel b
+           ON b.query_id = a.query_id AND a.neighbor_id < b.neighbor_id),
+       mp AS (
+         SELECT a.query_id, ${pairCosSql("a", "b")} AS c
+         FROM sel5 a JOIN sel5 b
+           ON b.query_id = a.query_id AND a.neighbor_id < b.neighbor_id),
+       ib AS (SELECT query_id,
+                round((sum(c::DECIMAL(38,10)))::double / count(*), 6) AS ils_rel
+              FROM bp GROUP BY 1),
+       im AS (SELECT query_id,
+                round((sum(c::DECIMAL(38,10)))::double / count(*), 6) AS ils_mmr
+              FROM mp GROUP BY 1)
+       SELECT ib.query_id, ils_rel, ils_mmr,
+              round(ils_rel - ils_mmr, 6) AS diversity_gain
+       FROM ib JOIN im ON im.query_id = ib.query_id
+       ORDER BY ib.query_id"""
 
   /** retrieval_mmr: the text_bm25_topk scoring chain (pool of 20), the
     * sim_topk_hash_embed embedding chain (renamed CTEs), per-query
@@ -3374,7 +3441,56 @@ object LlmQueries {
 
     "sim_topk_mmr" -> mmrOracleSql,
 
+    "sim_mmr_diversity" -> mmrDiversityOracleSql,
+
     "retrieval_mmr" -> retrievalMmrOracleSql,
+
+    "ann_recall_jl_rerank" ->
+      s"""WITH $JlProjCte,
+         cscored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.pv, c.pv) /
+               (sqrt(list_dot_product(q.pv, q.pv)) *
+                sqrt(list_dot_product(c.pv, c.pv))), 6) AS jlc
+           FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         coarse AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY jlc DESC, neighbor_id) AS crn
+           FROM cscored QUALIFY crn <= 20),
+         rer AS (
+           SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM coarse c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings e ON e.vec_id = c.neighbor_id),
+         jlr AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM rer QUALIFY rnk <= 5),
+         bscored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::double[], e.embedding::double[]) /
+               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+                sqrt(list_dot_product(e.embedding::double[], e.embedding::double[]))),
+               6) AS cosine
+           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         brute AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM bscored QUALIFY rnk <= 5)
+         SELECT b2.query_id,
+           round(count(i.neighbor_id)::double / count(*), 6) AS recall
+         FROM brute b2 LEFT JOIN jlr i
+           ON i.query_id = b2.query_id AND i.neighbor_id = b2.neighbor_id
+         GROUP BY b2.query_id ORDER BY b2.query_id""",
 
     "sim_topk_jl" ->
       s"""WITH $JlProjCte,
