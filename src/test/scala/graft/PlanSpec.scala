@@ -361,4 +361,33 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 4,
       "extra shuffle in the minhash/banding chain")
   }
+
+  test("JL search: kernel projection + native double cosine, heap top-k, no sort join") {
+    val p = plan("sim_topk_jl")
+    assert(p.contains("graft_jl_project"), "projection fell off the kernel path")
+    assert(p.contains("graft_cosine_d"),
+      "projected-space scoring left the native double-cosine kernel")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      "bounded-heap top-k replaced")
+    assert(!p.contains("SortMergeJoin") && !p.contains("WindowGroupLimit"),
+      "scan ranking degraded to a sort-based form")
+    // the heap pair's one hash exchange, the rank window's ensure-
+    // requirements exchange (same query_id key — AQE resolves it to the
+    // heap exchange's partitioning at runtime; the unfinalized plan text
+    // still prints it), and the oracle orderBy range exchange
+    assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 3,
+      s"extra shuffle in the JL scan:\n$p")
+  }
+
+  test("MMR final assembly is pool-grain only: no corpus scan below the union") {
+    // the greedy cascade runs over the localCheckpoint'ed pool and
+    // checkpointed per-step picks — the assembled registry plan must be
+    // a union of materialized leaves, never a re-derivation of the
+    // corpus scan or the stage-1 search (the 2^k-cascade regression
+    // this shape exists to prevent)
+    val p = plan("sim_topk_mmr")
+    assert(!p.contains("Scan parquet"), s"corpus scan re-derived under the union:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "checkpointed pool leaves missing")
+    assert(!p.contains("TopKPerKey"), "stage-1 search re-derived in the final plan")
+  }
 }
