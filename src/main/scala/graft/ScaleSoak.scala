@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale soak: one empirical scaling point BEYOND the graded sf0.1
-  * volume for the most expensive operator families (eight at r16,
-  * including both exactly-once growing-ingest shapes and the
-  * training-free JL projected scan). The 100×
+  * volume for the most expensive operator families (nine at r16,
+  * including both exactly-once growing-ingest shapes, the
+  * training-free JL projected scan, and the prototype-prune window). The 100×
   * claims in SURVEY/SCALING rest on plan shape (no quadratic term, no
   * single-task pileup, probes pruned); this main checks the one thing a
   * plan reading cannot — that wall-clock actually grows ≲ linearly when
@@ -152,6 +152,19 @@ object ScaleSoak {
           vecs(1).filter(col("vec_id") < 32), vecs(m),
           "vec_id", "embedding", k = 8, m = 8, d = 16),
         mustContain = Seq("graft_jl_project", "TopKPerKeyPartial")),
+      // SSL-prototype pruning: one corpus scan through the one-pass
+      // struct assignment kernel, then the rank/size windows sharing a
+      // single cluster exchange — n·log n per cluster, K fixed at the
+      // generator's 16 cells so clusters grow with N (the fixture's
+      // honest worst case for the window sort; the paper's K ∝ N
+      // recipe keeps them constant). The marker watch: the struct
+      // kernel must not fall back to the composed SortAggregate twin,
+      // and the size window must not re-derive the corpus.
+      Family("prototype_prune",
+        (s, m) => graft.operators.Curation.prototypePrune(
+          vecs(m), SkewBench.cellCentroids(s),
+          "vec_id", "embedding", dropNum = 3, dropDen = 10),
+        mustContain = Seq("graft_nearest_centroid_sim")),
       // the exactly-once growing ingest — the flagship production loop:
       // lake build + arrival staging run UNtimed; the measured region is
       // the stream itself (3 micro-batches of probe + idempotent output

@@ -202,6 +202,22 @@ object SkewBench {
           embeddings(spark, n, sk), cellCentroids(spark),
           "vec_id", "embedding", threshold = 0.9, maxCluster = 512)
       },
+      pair("prototype_prune") { sk =>
+        // SSL-prototype pruning under the same hot Voronoi cell: the
+        // per-cluster rank window sorts each cluster inside one task, so
+        // the hot cell (~25 % of the corpus vs ~6 % per uniform cell)
+        // concentrates a 4× slice on one sort — but the work is
+        // n·log n PER CLUSTER (never pairwise), the window buffer
+        // spills, and every other cell proceeds in parallel, so the
+        // skewed side pays the hot cell's honest linear-ish extra and
+        // nothing compounds. The quadratic adversity lives in semDedup
+        // above; this path proves the PRUNE's window survives the same
+        // fixture inside the ≤2× budget.
+        val n = (nDocs * 4) min 4000L
+        graft.operators.Curation.prototypePrune(
+          embeddings(spark, n, sk), cellCentroids(spark),
+          "vec_id", "embedding", dropNum = 3, dropDen = 10)
+      },
       pair("dedup_repeated_spans") { sk =>
         // exact-substring spans under a 20 % boilerplate clique: the hot
         // cluster's grams reach huge doc frequencies, but every stage is

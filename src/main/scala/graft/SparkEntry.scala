@@ -333,5 +333,8 @@ object SparkEntry {
     // round 16b — the training-free compressed ANN serve shape (JL
     // coarse scan + exact rerank of the shortlist) and the diversified
     // re-rank (k greedy MMR steps over the relevance pool)
-    "sim_topk_jl_rerank", "sim_topk_mmr")
+    "sim_topk_jl_rerank", "sim_topk_mmr",
+    // round 16c — D4's data-pruning half: kernel assignment + ONE
+    // cluster exchange shared by the rank and size windows
+    "curation_prototype_prune")
 }

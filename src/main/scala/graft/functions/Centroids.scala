@@ -117,6 +117,33 @@ object CentroidKernel {
     bestId
   }
 
+  /** [[nearest]] returning BOTH halves of the argmax — (best id, best
+    * rounded cosine) as one struct row. The loop already computes the
+    * winning similarity; callers that need it (SemDeDup's and prototype
+    * pruning's centroid_sim column) previously re-derived it with a
+    * broadcast join back to the centroid frame, which (a) paid the
+    * cosine twice and (b) let constraint propagation infer the centroid
+    * side's filters onto the join key — re-evaluating the whole argmax
+    * kernel per corpus row inside a Filter. One struct projection, no
+    * join, nothing to infer. */
+  def nearestWithSim(
+      vec: ArrayData, ref: CentroidsRef): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = math.min(vec.numElements(), ref.dim)
+    var na = 0.0
+    var i = 0
+    while (i < n) { val xi = vec.getFloat(i).toDouble; na += xi * xi; i += 1 }
+    var bestSim = Double.NegativeInfinity
+    var bestId = ref.ids(0)
+    var c = 0
+    while (c < ref.n) {
+      val sim = cosineAt(vec, n, na, ref, c)
+      if (better(sim, ref.ids(c), bestSim, bestId)) { bestSim = sim; bestId = ref.ids(c) }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestSim))
+  }
+
   /** The `min(nProbe, C)` nearest centroid ids in rank order (cosine
     * DESC, id ASC) — bounded insertion, nProbe is small by contract. */
   def probes(vec: ArrayData, ref: CentroidsRef, nProbe: Int): UnsafeArrayData = {
@@ -163,6 +190,31 @@ case class NearestCentroid(child: Expression, centroids: CentroidsRef)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** `array<float>` vector → `struct(cluster: long, centroid_sim: double)`:
+  * the nearest centroid id AND its round-6 cosine in one argmax pass —
+  * the assignment shape for operators that score by prototypicality
+  * ([[graft.operators.Dedup.semDedup]],
+  * [[graft.operators.Curation.prototypePrune]]). */
+case class NearestCentroidSim(child: Expression, centroids: CentroidsRef)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("centroid_sim", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_nearest_centroid_sim"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CentroidKernel.nearestWithSim(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, classOf[CentroidsRef].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidKernel.nearestWithSim($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidSim =
     copy(child = newChild)
 }
 

@@ -480,4 +480,71 @@ object Curation {
       .withColumn("bin", ((col("cum") - col(tokensCol)) / lit(budget)).cast("long"))
       .select(col(idCol), col("shard"), col("bin"))
   }
+
+  /** SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
+    * laws"; the second half of the D4 recipe, Tirumala et al. 2023, whose
+    * SemDeDup half is [[Dedup.semDedup]]): k-means-partition the embedding
+    * space, score every example by PROTOTYPICALITY — cosine to its own
+    * cluster centroid — and drop the most prototypical `dropNum/dropDen`
+    * fraction of each cluster, keeping the atypical examples that carry
+    * the marginal information (the paper's keep-hard-examples policy for
+    * large, non-noisy corpora).
+    *
+    * Exact rule, deterministic and oracle-replayable: within each cluster
+    * rank by (round-6 centroid cosine DESC, id ASC) — rank 1 is the most
+    * prototypical — and a row is DROPPED iff
+    * `proto_rank * dropDen <= n_cluster * dropNum` (all-integer: the
+    * per-cluster drop count is exactly `floor(n·dropNum/dropDen)`, no
+    * float fraction ever compared).
+    *
+    * Scale shape: centroid assignment and the winner's cosine are one
+    * zero-shuffle struct-kernel projection
+    * ([[Similarity.assignClustersWithSim]]); per-cluster sizes ride a
+    * second window over the rank window's partitioning. The one
+    * corpus-keyed exchange is the windows' shared hash partition on
+    * cluster — linear, and the window buffer spills per group, so a
+    * large cluster degrades to disk sort rather than OOM. The paper's
+    * own recipe sizes K ∝ N (clusters ~constant); a boilerplate monster
+    * cluster is [[Dedup.semDedup]]'s `maxCluster` cap's job upstream in
+    * the D4 composition. NULL vectors have no cluster and are dropped
+    * ([[Similarity.assignClustersWithSim]]'s contract, matching
+    * [[Dedup.semDedup]]).
+    *
+    * Output: (id, cluster, centroid_sim, proto_rank, keep) — one row per
+    * assigned input row, `keep = false` marking the pruned prototypes. */
+  def prototypePrune(
+      emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      dropNum: Int, dropDen: Int): DataFrame = {
+    val assigned = Similarity.assignClustersWithSim(
+        emb.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol), col("cluster"), col("centroid_sim"))
+    prototypePruneAssigned(assigned, idCol, dropNum, dropDen)
+  }
+
+  /** The prune over an ALREADY-ASSIGNED frame `(idCol, cluster,
+    * centroid_sim)` — the D4 composition point: [[Dedup.semDedup]]'s
+    * survivors carry exactly these columns, so stage 2 of D4 runs with
+    * zero additional corpus work beyond the rank window (no re-assignment,
+    * no vector re-join). Shared core of [[prototypePrune]]. */
+  def prototypePruneAssigned(
+      assigned: DataFrame, idCol: String, dropNum: Int, dropDen: Int): DataFrame = {
+    require(dropNum >= 0 && dropDen > 0 && dropNum <= dropDen,
+      s"drop fraction $dropNum/$dropDen must be in [0, 1]")
+    // per-cluster size as a SECOND window over the same partition key —
+    // it shares the rank window's one hash exchange, where a
+    // groupBy+join would re-derive the whole assignment subtree (scan +
+    // kernel) a second time for the counts
+    val byCluster = Window.partitionBy(col("cluster"))
+    assigned
+      .withColumn("proto_rank", row_number().over(
+        byCluster.orderBy(col("centroid_sim").desc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(byCluster))
+      // integer threshold: drop iff rank <= floor(n·num/den); __n is a
+      // long and dropNum ≤ dropDen are Ints, so the product stays far
+      // from Long overflow for any physical cluster size
+      .withColumn("keep",
+        col("proto_rank").cast("long") * dropDen > col("__n") * dropNum)
+      .select(col(idCol), col("cluster"), col("centroid_sim"),
+        col("proto_rank"), col("keep"))
+  }
 }

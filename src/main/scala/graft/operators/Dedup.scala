@@ -1064,10 +1064,11 @@ object Dedup {
     * transitive-group variant of semantic dedup stays [[clusters]] over
     * [[embeddingDupPairs]] (`dedup_embedding_clusters`).
     *
-    * Scale shape: centroid assignment is the zero-shuffle kernel
-    * projection ([[Similarity.assignClusters]]); the centroid-cosine
-    * column comes from one BROADCAST join against the centroid set
-    * (broadcast-small by contract — it is K rows); the quadratic term
+    * Scale shape: centroid assignment AND the winner's cosine are one
+    * zero-shuffle struct-kernel projection
+    * ([[Similarity.assignClustersWithSim]] — no join back to the
+    * centroid frame, nothing for constraint propagation to infer); the
+    * quadratic term
     * is confined to within-cluster pairs and capped by `maxCluster`
     * exactly like every LSH-bucket family here (an oversize cluster is
     * a boilerplate clique — exact dedup covers it at linear cost; its
@@ -1083,13 +1084,12 @@ object Dedup {
       threshold: Double, maxCluster: Int = Int.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     require(maxCluster > 1, s"maxCluster=$maxCluster would drop every cluster")
-    val cen = broadcast(centroids.select(
-      col(idCol).as("__cenid"), col(vecCol).as("__cen")))
-    val assigned = Similarity.assignClusters(
+    // one argmax pass: assignment + the winner's cosine from the struct
+    // kernel — no join back to the centroid frame (whose filters
+    // constraint propagation would re-infer onto `cluster`, re-running
+    // the argmax kernel per row inside a Filter)
+    val assigned = Similarity.assignClustersWithSim(
         emb.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
-      .join(cen, col("cluster") === col("__cenid"))
-      .withColumn("centroid_sim",
-        round(Similarity.cosineNative(col(vecCol), col("__cen")), 6))
       .select(col(idCol), col(vecCol), col("cluster"), col("centroid_sim"))
     // same skew guard as embeddingDupPairs/lshCandidates: cap the
     // within-cluster quadratic term by anti-joining the (tiny)

@@ -188,6 +188,43 @@ object Similarity {
       case None => assignClustersComposed(vectors, centroids, idCol, vecCol)
     }
 
+  /** [[assignClusters]] plus the winning round-6 centroid cosine as
+    * `centroid_sim` — ONE argmax pass through the native
+    * [[graft.functions.NearestCentroidSim]] struct projection. The
+    * prototypicality operators ([[Dedup.semDedup]],
+    * [[Curation.prototypePrune]]) previously re-derived the winner's
+    * cosine with a broadcast join back to the centroid frame, which paid
+    * the cosine twice AND let constraint propagation infer the centroid
+    * side's filters onto the computed `cluster` column — re-running the
+    * whole argmax kernel per corpus row inside a Filter. Contract:
+    * NULL-vector rows are DROPPED (they have no cluster; the old inner
+    * centroid join dropped them identically). Non-integral centroid ids
+    * fall back to the composed assignment + broadcast-join form. */
+  def assignClustersWithSim(
+      vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    require(!vectors.columns.exists(Set("__ns", "cluster", "centroid_sim")),
+      "input must not contain reserved columns __ns/cluster/centroid_sim")
+    integralIdType(centroids, idCol) match {
+      case Some(t) =>
+        val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+        vectors
+          .withColumn("__ns", kernelCol(graft.functions.NearestCentroidSim(attr(vecCol), ref)))
+          .filter(col("__ns").isNotNull)
+          .withColumn("cluster", col("__ns.cluster").cast(t))
+          .withColumn("centroid_sim", col("__ns.centroid_sim"))
+          .drop("__ns")
+      case None =>
+        graft.functions.GraftFunctions.register(vectors.sparkSession)
+        val cen = broadcast(centroids.select(
+          col(idCol).as("__cenid"), col(vecCol).as("__cen")))
+        assignClustersComposed(vectors, centroids, idCol, vecCol)
+          .join(cen, col("cluster") === col("__cenid"))
+          .withColumn("centroid_sim", round(cosineNative(col(vecCol), col("__cen")), 6))
+          .drop("__cenid", "__cen")
+    }
+  }
+
   /** The kernel stores centroid ids as longs, so the kernel path serves
     * integral id columns (cluster cast back losslessly to the id's own
     * type); anything else — a string key, a decimal — falls back to the

@@ -387,6 +387,33 @@ object CurationQueries {
       graft.streaming.StreamPipeline.streamingDsirScore(s, dir)
     },
 
+    // Cluster-balanced sampling — topic-diverse subset selection: k
+    // deterministic salted-hash draws per SEMANTIC cluster (the
+    // struct-kernel assignment), so every region of embedding space is
+    // represented regardless of corpus skew toward one topic. Pure
+    // composition of two proven pieces: zero-shuffle assignment +
+    // bounded-heap sampleKPerKey (never a full per-cluster sort).
+    "curation_cluster_sample" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val assigned = graft.operators.Similarity.assignClustersWithSim(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding")
+        .select(col("vec_id"), col("cluster"))
+      Curation.sampleKPerKey(assigned, "cluster", "vec_id", k = 20)
+        .select(col("cluster"), col("vec_id"), col("sample_rank"))
+        .orderBy("cluster", "sample_rank")
+    },
+
+    // Prototypicality scoring AT INGEST: centroid set collected once
+    // from the static corpus, each arriving embedding assigned
+    // (cluster, centroid_sim) by the one-pass struct kernel — a
+    // stateless zero-shuffle projection; the corpus-global PRUNE rank
+    // stays batch (curation_prototype_prune). Per-row independent →
+    // batch-equivalent, replaying the batch assignment CTE.
+    "stream_prototype_score" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline.streamingPrototypeScore(s, dir)
+    },
+
     // Benchmark decontamination AT INGEST: arriving docs' shingle sets
     // computed in-row (stateless), probed against the broadcast
     // benchmark digest set — only HIT rows reach the sink, and the
@@ -882,6 +909,50 @@ object CurationQueries {
     "stream_dsir_score" ->
       s"""WITH $DsirWeightsCte
          SELECT doc_id, n_toks, logweight FROM dsir_w ORDER BY doc_id""",
+
+    // the prototype assignment CTE + curation_sample_k's salted-digest
+    // rank, partitioned by the semantic cluster
+    "curation_cluster_sample" ->
+      """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen)
+         SELECT cluster, vec_id,
+           row_number() OVER (PARTITION BY cluster
+             ORDER BY ('0x' || substr(md5('sample:' || vec_id), 1, 15))::bigint,
+                      vec_id) AS sample_rank
+         FROM assign WHERE crn = 1
+         QUALIFY sample_rank <= 20
+         ORDER BY cluster, sample_rank""",
+
+    // the batch assignment CTE of curation_prototype_prune, without the
+    // corpus-global rank tail (the ingest leg is score-only)
+    "stream_prototype_score" ->
+      """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen)
+         SELECT a.vec_id, a.cluster,
+           round(list_dot_product(a.embedding::double[], cn.cemb::double[]) /
+             (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+              sqrt(list_dot_product(cn.cemb::double[], cn.cemb::double[]))), 6) AS centroid_sim
+         FROM (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1) a
+         JOIN cen cn ON a.cluster = cn.centroid_id
+         ORDER BY a.vec_id""",
 
     "curation_importance_resample" ->
       s"""WITH $DsirWeightsCte,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Binning, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Binning, Curation, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -558,6 +558,36 @@ object LlmQueries {
       val init = emb.filter(col("vec_id") % 100 === 0)
       val trained = Similarity.lloydCentroids(emb, init, "vec_id", "embedding", iters = 1)
       Dedup.semDedup(emb, trained, "vec_id", "embedding", threshold = 0.3)
+        .orderBy("vec_id")
+    },
+
+    // SSL-prototype pruning (Sorscher et al. 2022) — D4's second half:
+    // within each cluster drop the floor(30%) MOST prototypical examples
+    // (highest centroid cosine), keeping the atypical ones. All-integer
+    // drop threshold, so the oracle replays the keep bit exactly.
+    "curation_prototype_prune" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      Curation.prototypePrune(emb, centroids, "vec_id", "embedding",
+          dropNum = 3, dropDen = 10)
+        .orderBy("vec_id")
+    },
+
+    // ... and the published D4 pipeline end to end (Tirumala et al.
+    // 2023): SemDeDup's survivors feed the prototype prune DIRECTLY —
+    // they already carry (cluster, centroid_sim), so stage 2 adds one
+    // rank window and nothing else (no re-assignment, no vector
+    // re-join). Ranks are computed AMONG SURVIVORS, the paper's order
+    // of operations.
+    "curation_d4_pipeline" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 100 === 0)
+      val survivors = Dedup.semDedup(emb, centroids, "vec_id", "embedding",
+          threshold = 0.3)
+        .filter(col("keep"))
+        .select(col("vec_id"), col("cluster"), col("centroid_sim"))
+      Curation.prototypePruneAssigned(survivors, "vec_id",
+          dropNum = 3, dropDen = 10)
         .orderBy("vec_id")
     },
 
@@ -3041,6 +3071,85 @@ object LlmQueries {
                 (d.vec_id IS NULL) AS keep
          FROM c LEFT JOIN dominated d ON c.vec_id = d.vec_id
          ORDER BY c.vec_id""",
+
+    // assignment + centroid_sim CTEs are dedup_semdedup's verbatim;
+    // prototypicality rank = (centroid_sim DESC, id ASC) within the
+    // cluster; keep iff rank*den > n*num — the all-integer floor(30%)
+    // drop threshold
+    "curation_prototype_prune" ->
+      """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         c AS (
+           SELECT a.vec_id, a.cluster,
+             round(list_dot_product(a.embedding::double[], cn.cemb::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(cn.cemb::double[], cn.cemb::double[]))), 6) AS centroid_sim
+           FROM (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1) a
+           JOIN cen cn ON a.cluster = cn.centroid_id),
+         n AS (SELECT cluster, count(*) AS n FROM c GROUP BY cluster),
+         r AS (
+           SELECT vec_id, cluster, centroid_sim,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY centroid_sim DESC, vec_id) AS proto_rank
+           FROM c)
+         SELECT r.vec_id, r.cluster, r.centroid_sim, r.proto_rank,
+                (r.proto_rank * 10 > n.n * 3) AS keep
+         FROM r JOIN n ON r.cluster = n.cluster
+         ORDER BY r.vec_id""",
+
+    // the D4 chain: dedup_semdedup's CTEs produce the survivors, then
+    // curation_prototype_prune's rank/threshold tail runs AMONG the
+    // survivors
+    "curation_d4_pipeline" ->
+      """WITH cen AS (
+           SELECT vec_id AS centroid_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         assign AS (
+           SELECT e.vec_id, e.embedding, centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.embedding::double[], cemb::double[]) /
+                 (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+                  sqrt(list_dot_product(cemb::double[], cemb::double[]))), 6) DESC,
+               centroid_id) AS crn
+           FROM embeddings e, cen),
+         c AS (
+           SELECT a.vec_id, a.embedding, a.cluster,
+             round(list_dot_product(a.embedding::double[], cn.cemb::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(cn.cemb::double[], cn.cemb::double[]))), 6) AS centroid_sim
+           FROM (SELECT vec_id, embedding, cluster FROM assign WHERE crn = 1) a
+           JOIN cen cn ON a.cluster = cn.centroid_id),
+         dominated AS (
+           SELECT DISTINCT a.vec_id FROM c a JOIN c b
+             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+            AND round(list_dot_product(a.embedding::double[], b.embedding::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))), 6) >= 0.3
+            AND (b.centroid_sim < a.centroid_sim OR
+                 (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id))),
+         kept AS (
+           SELECT c.vec_id, c.cluster, c.centroid_sim
+           FROM c LEFT JOIN dominated d ON c.vec_id = d.vec_id
+           WHERE d.vec_id IS NULL),
+         n AS (SELECT cluster, count(*) AS n FROM kept GROUP BY cluster),
+         r AS (
+           SELECT vec_id, cluster, centroid_sim,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY centroid_sim DESC, vec_id) AS proto_rank
+           FROM kept)
+         SELECT r.vec_id, r.cluster, r.centroid_sim, r.proto_rank,
+                (r.proto_rank * 10 > n.n * 3) AS keep
+         FROM r JOIN n ON r.cluster = n.cluster
+         ORDER BY r.vec_id""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

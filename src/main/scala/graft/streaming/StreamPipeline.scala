@@ -761,6 +761,33 @@ object StreamPipeline {
     runToMemory(scored, "append", "graft_sdsir").orderBy("doc_id")
   }
 
+  /** Prototypicality scoring AT INGEST: the centroid set is collected
+    * ONCE from the static corpus (the kernel-ref precedent of the
+    * DSIR log-ratio table and the IVF centroid refs) and each arriving
+    * embedding gets `(cluster, centroid_sim)` from the one-pass
+    * [[graft.functions.NearestCentroidSim]] struct kernel — a stateless
+    * zero-shuffle projection, no state store, no explode. The PRUNE
+    * decision (rank within cluster) is corpus-global and stays batch
+    * ([[graft.operators.Curation.prototypePrune]]); this leg scores
+    * arrivals so a downstream gate can act on prototypicality the
+    * moment a row lands. Batch-equivalent by per-row independence —
+    * the registry row shares the batch assignment arithmetic and
+    * replays exactly in the oracle's assignment CTE. */
+  def streamingPrototypeScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 100 === 0)
+    val arrivals = spark.readStream
+      .schema(EmbeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val scored = graft.operators.Similarity.assignClustersWithSim(
+        arrivals.select(col("vec_id"), col("embedding")),
+        centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster"), col("centroid_sim"))
+    runToMemory(scored, "append", "graft_sproto").orderBy("vec_id")
+  }
+
   /** Benchmark decontamination AT INGEST: the eval benchmark's shingle
     * digests are summarized ONCE into a broadcast-small set, and every
     * arriving document's distinct shingle set is computed IN-ROW (a

@@ -379,6 +379,21 @@ class PlanSpec extends SparkSpec {
       s"extra shuffle in the JL scan:\n$p")
   }
 
+  test("prototype prune: one-pass struct assignment, windows share ONE cluster exchange") {
+    val p = plan("curation_prototype_prune")
+    assert(p.contains("graft_nearest_centroid_sim"),
+      "assignment+sim fell off the one-pass struct kernel")
+    // ONE parquet scan: the centroid frame is driver-collected into the
+    // kernel ref, so there is no join back to it — and therefore no
+    // constraint-propagated kernel re-evaluation inside a Filter
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"corpus scan only — no centroid join side:\n$p")
+    // the rank/count windows' shared cluster hash + the registry orderBy
+    assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 2,
+      s"extra shuffle in the prune chain:\n$p")
+    assert(!p.contains("SortAggregate"), "assignment degraded to the composed twin")
+  }
+
   test("MMR final assembly is pool-grain only: no corpus scan below the union") {
     // the greedy cascade runs over the localCheckpoint'ed pool and
     // checkpointed per-step picks — the assembled registry plan must be

@@ -291,4 +291,94 @@ class CurationSpec extends SparkSpec {
     assert(c.map(_._1).toSet != a.map(_._1).toSet,
       "a different salt should perturb the drawn set")
   }
+
+  test("prototypePrune: per-cluster floor(n·frac) most-prototypical rows drop") {
+    val centroids = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val emb = Seq(
+      (10L, Array(1f, 0f)),    // cluster 0, csim 1.0 → rank 1
+      (11L, Array(1f, 0.1f)),
+      (12L, Array(1f, 0.3f)),
+      (13L, Array(1f, 0.6f)),  // n=4, drop 1/4 → floor(1)=1: only rank 1 drops
+      (20L, Array(0f, 1f)),
+      (21L, Array(0.1f, 1f)),
+      (22L, Array(0.3f, 1f)))  // n=3, drop 1/4 → floor(0.75)=0: all kept
+      .toDF("vec_id", "embedding")
+    val out = Curation.prototypePrune(emb, centroids, "vec_id", "embedding",
+        dropNum = 1, dropDen = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getBoolean(4)))).toMap
+    assert(out == Map(
+      10L -> ((1, false)), 11L -> ((2, true)), 12L -> ((3, true)), 13L -> ((4, true)),
+      20L -> ((1, true)), 21L -> ((2, true)), 22L -> ((3, true))))
+  }
+
+  test("prototypePrune: centroid-sim ties break to the lower id; 0 and 1 fractions") {
+    val centroids = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val emb = Seq((30L, Array(1f, 0f)), (31L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val half = Curation.prototypePrune(emb, centroids, "vec_id", "embedding", 1, 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(half == Map(30L -> false, 31L -> true),
+      "identical vectors: the lower id is rank 1 and drops first")
+    val none = Curation.prototypePrune(emb, centroids, "vec_id", "embedding", 0, 10)
+    assert(none.collect().forall(_.getBoolean(4)), "drop fraction 0 keeps all")
+    val all = Curation.prototypePrune(emb, centroids, "vec_id", "embedding", 10, 10)
+    assert(all.collect().forall(!_.getBoolean(4)), "drop fraction 1 drops all")
+  }
+
+  test("prototypePrune matches a driver-side brute-force reference on the synthetic embeddings") {
+    val emb = graft.Tables.load(spark, Sf0001, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 100 === 0)
+    val got = Curation.prototypePrune(emb, centroids, "vec_id", "embedding",
+        dropNum = 3, dropDen = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = vecs.keys.filter(_ % 100 == 0).toSeq.sorted
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map(c => (c, r6(cos(v, vecs(c))))).maxBy { case (c, s) => (s, -c.toDouble) }
+    }
+    val want = assign.groupBy(_._2._1).flatMap { case (cl, rows) =>
+      val ranked = rows.toSeq.map { case (id, (_, s)) => (id, s) }
+        .sortBy { case (id, s) => (-s, id) }
+      val cut = ranked.size * 3 / 10 // floor(n·3/10)
+      ranked.zipWithIndex.map { case ((id, _), i) =>
+        id -> ((cl, i + 1, i + 1 > cut))
+      }
+    }
+    assert(got == want)
+    assert(got.values.count(!_._3) > 0, "fixture must exercise drops")
+  }
+
+  test("D4 composition: prototypePruneAssigned ranks among SemDeDup survivors only") {
+    val emb = graft.Tables.load(spark, Sf0001, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 100 === 0)
+    val sem = Dedup.semDedup(emb, centroids, "vec_id", "embedding", threshold = 0.3)
+    val survivors = sem.filter(col("keep"))
+      .select(col("vec_id"), col("cluster"), col("centroid_sim"))
+    val out = Curation.prototypePruneAssigned(survivors, "vec_id", 3, 10)
+      .collect()
+    val sIds = survivors.collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == sIds,
+      "stage 2 scores exactly the stage-1 survivors")
+    // ranks dense 1..n and drop count exactly floor(n·3/10), per cluster
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted
+      assert(ranks.toSeq == (1 to rows.length), "dense per-cluster ranks")
+      assert(rows.count(!_.getBoolean(4)) == rows.length * 3 / 10,
+        "exact floor drop count per cluster")
+    }
+    assert(out.length < emb.count(), "SemDeDup removed rows before stage 2")
+  }
 }

@@ -90,6 +90,36 @@ class KernelEdgeSpec extends SparkSpec {
     assert(pc == pk)
   }
 
+  test("assignClustersWithSim: one-pass struct kernel ≡ assignment + winner-cosine join") {
+    // the struct kernel must agree with the PINNED assignClusters twin
+    // plus the old join-back form on every corner: zero norm (NaN sim),
+    // signed zero, dimension mismatch, NULL vector (dropped)
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-0.0f, -0.5f)),
+      (5L, Array(1.0f, 0.0f, 99.0f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((4L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("centroid_sim")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val got = canon(
+      Similarity.assignClustersWithSim(v, centroids, "vec_id", "embedding"))
+    val cen = centroids.select(col("vec_id").as("__cid"), col("embedding").as("__cen"))
+    val want = canon(
+      Similarity.assignClusters(v, centroids, "vec_id", "embedding")
+        .join(cen, col("cluster") === col("__cid"))
+        .withColumn("centroid_sim",
+          round(Similarity.cosineNative(col("embedding"), col("__cen")), 6)))
+    assert(got == want)
+    assert(got.size == 4 && !got.exists(_._1 == 4L), "NULL-vector row is dropped")
+    assert(got.exists(t => t._1 == 2L && t._3 == java.lang.Double.doubleToLongBits(Double.NaN)),
+      "zero-norm row keeps its NaN similarity")
+  }
+
   test("string centroid ids: composed assign tie-breaks by id rank, not ANSI-cast negation") {
     // regression for the r6 red gate: (-col(centroid_id)) on a STRING id
     // ANSI-casts to double and throws CAST_INVALID_INPUT; equidistant
