@@ -530,6 +530,8 @@ object Curation {
       assigned: DataFrame, idCol: String, dropNum: Int, dropDen: Int): DataFrame = {
     require(dropNum >= 0 && dropDen > 0 && dropNum <= dropDen,
       s"drop fraction $dropNum/$dropDen must be in [0, 1]")
+    require(!assigned.columns.exists(Set("proto_rank", "__n", "keep")),
+      "input must not contain reserved columns proto_rank/__n/keep")
     // per-cluster size as a SECOND window over the same partition key —
     // it shares the rank window's one hash exchange, where a
     // groupBy+join would re-derive the whole assignment subtree (scan +

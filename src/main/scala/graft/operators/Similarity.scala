@@ -208,9 +208,16 @@ object Similarity {
     integralIdType(centroids, idCol) match {
       case Some(t) =>
         val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+        // NULL-vector drop MUST test the raw column, not the struct:
+        // `filter(col("__ns").isNotNull)` gets alias-substituted below
+        // the Project by predicate pushdown, and Filter/Project are
+        // separate codegen consumers with no cross-operator CSE — the
+        // argmax kernel would run TWICE per corpus row (caught by plan
+        // dump in review; the kernel is null-intolerant, so the raw
+        // test is exactly equivalent and pushes into the scan)
         vectors
+          .filter(col(vecCol).isNotNull)
           .withColumn("__ns", kernelCol(graft.functions.NearestCentroidSim(attr(vecCol), ref)))
-          .filter(col("__ns").isNotNull)
           .withColumn("cluster", col("__ns.cluster").cast(t))
           .withColumn("centroid_sim", col("__ns.centroid_sim"))
           .drop("__ns")

@@ -383,6 +383,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("curation_prototype_prune")
     assert(p.contains("graft_nearest_centroid_sim"),
       "assignment+sim fell off the one-pass struct kernel")
+    // exactly ONE kernel eval per row: an alias-substituted null filter
+    // on the struct column re-evaluates the argmax inside a Filter
+    // (Filter and Project are separate codegen consumers, no CSE) —
+    // the NULL drop must test the raw vector column instead
+    assert("graft_nearest_centroid_sim".r.findAllIn(p).size == 1,
+      s"argmax kernel evaluated more than once per row:\n$p")
     // ONE parquet scan: the centroid frame is driver-collected into the
     // kernel ref, so there is no join back to it — and therefore no
     // constraint-propagated kernel re-evaluation inside a Filter
