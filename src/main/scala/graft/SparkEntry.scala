@@ -336,5 +336,9 @@ object SparkEntry {
     "sim_topk_jl_rerank", "sim_topk_mmr",
     // round 16c — D4's data-pruning half: kernel assignment + ONE
     // cluster exchange shared by the rank and size windows
-    "curation_prototype_prune")
+    "curation_prototype_prune",
+    // round 16d — the training-free compressed SERVE shape: coarse scan
+    // over the STORED m-double projections (one snapshot resolves table
+    // + (m, d)), exact rerank against the lake
+    "sim_jl_probe_served")
 }

@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * 0) yields a row with NULL duration — format/channels/rate are still
   * knowledge worth keeping.
   */
-case class AvHeader(child: Expression) extends UnaryExpression {
+case class AvHeader(child: Expression) extends UnaryExpression with NullIntolerantKernel {
 
   override def dataType: DataType = AvHeaderKernel.Schema
   override def nullable: Boolean = true

@@ -176,7 +176,7 @@ object CentroidKernel {
 /** `array<float>` vector → nearest centroid id (the IVF assignment) —
   * a zero-shuffle projection against the embedded centroid set. */
 case class NearestCentroid(child: Expression, centroids: CentroidsRef)
-    extends UnaryExpression {
+    extends UnaryExpression with NullIntolerantKernel {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_nearest_centroid"
@@ -199,7 +199,7 @@ case class NearestCentroid(child: Expression, centroids: CentroidsRef)
   * ([[graft.operators.Dedup.semDedup]],
   * [[graft.operators.Curation.prototypePrune]]). */
 case class NearestCentroidSim(child: Expression, centroids: CentroidsRef)
-    extends UnaryExpression {
+    extends UnaryExpression with NullIntolerantKernel {
 
   override def dataType: DataType = StructType(Seq(
     StructField("cluster", LongType, nullable = false),
@@ -221,7 +221,7 @@ case class NearestCentroidSim(child: Expression, centroids: CentroidsRef)
 /** `array<float>` query vector → its `min(nProbe, C)` nearest centroid
   * ids in probe-rank order (the multi-probe IVF probe list). */
 case class ProbeCentroids(child: Expression, centroids: CentroidsRef, nProbe: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with NullIntolerantKernel {
 
   require(nProbe > 0, s"nProbe=$nProbe must be positive")
 

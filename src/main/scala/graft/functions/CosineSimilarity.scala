@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * double before multiplying and accumulate left-to-right.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullIntolerantKernel {
 
   // Input contract: both children evaluate to array<float>. (Spark's
   // ExpectsInputTypes/AbstractDataType are private[sql], so the contract is

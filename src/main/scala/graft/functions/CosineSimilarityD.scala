@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * folds accumulate independently in the same order, so fusing them
   * changes nothing). */
 case class CosineSimilarityD(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullIntolerantKernel {
 
   // Input contract: both children evaluate to array<double> (caller-
   // enforced, the CosineSimilarity precedent).

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * expression, types, null contract, and plan shape are the real thing.
   * Swap the kernel body for the codec; nothing else changes.
   */
-case class DecodeFeatures(child: Expression) extends UnaryExpression {
+case class DecodeFeatures(child: Expression) extends UnaryExpression with NullIntolerantKernel {
 
   // Input contract: child evaluates to binary (enforced by callers in
   // graft.operators — ExpectsInputTypes is private[sql], cf. CosineSimilarity).

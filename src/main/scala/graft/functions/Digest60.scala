@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocation. Bit-identical by construction (spec-proven against the
   * composed form), so every oracle stays valid.
   */
-case class Digest60(child: Expression) extends UnaryExpression {
+case class Digest60(child: Expression) extends UnaryExpression with NullIntolerantKernel {
 
   // Input contract: child evaluates to string (enforced by callers, as
   // with CosineSimilarity — ExpectsInputTypes is private[sql]).

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * produces through the composed aggregate (cf. [[IntDotProduct]]).
   */
 case class FloatDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullIntolerantKernel {
 
   // Input contract: both children evaluate to array<float> (enforced by the
   // operator callers — ExpectsInputTypes is private[sql], cf. CosineSimilarity).

@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracle twin `('0x' || substr(md5(substr(text, pos, L)), 1,
   * 15))::bigint` is unchanged.
   */
-case class GramDigests(child: Expression, gramChars: Int) extends UnaryExpression {
+case class GramDigests(child: Expression, gramChars: Int) extends UnaryExpression with NullIntolerantKernel {
   require(gramChars > 0, s"gramChars=$gramChars must be positive")
 
   // Input contract: child evaluates to string (enforced by callers, as

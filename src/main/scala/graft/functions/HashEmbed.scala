@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * forms are bit-identical (spec-pinned) and every downstream cosine
   * matches the DuckDB oracle replay.
   */
-case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
+case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression with NullIntolerantKernel {
 
   require(dim > 0, s"dim=$dim must be positive")
 

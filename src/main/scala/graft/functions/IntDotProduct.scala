@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * not just the equal-dimension happy path.
   */
 case class IntDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullIntolerantKernel {
 
   // Input contract: both children evaluate to array<int> (enforced by the
   // operator callers — ExpectsInputTypes is private[sql], cf. CosineSimilarity).

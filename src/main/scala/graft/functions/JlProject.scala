@@ -81,7 +81,7 @@ object JlKernel {
   * cut per pair), and the projected corpus can be persisted once and
   * re-scanned by every query batch. */
 case class JlProject(child: Expression, signs: JlSignsRef)
-    extends UnaryExpression {
+    extends UnaryExpression with NullIntolerantKernel {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_jl_project"

@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * NULL (not an error): a lake-wide scan meets garbage and must classify
   * it, not die on it.
   */
-case class MediaHeader(child: Expression) extends UnaryExpression {
+case class MediaHeader(child: Expression) extends UnaryExpression with NullIntolerantKernel {
 
   override def dataType: DataType = MediaHeaderKernel.Schema
   override def nullable: Boolean = true

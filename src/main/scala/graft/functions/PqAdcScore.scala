@@ -33,7 +33,7 @@ import org.apache.spark.sql.types._
   * mid-codegen.
   */
 case class PqAdcScore(left: Expression, right: Expression, codebookSize: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with NullIntolerantKernel {
 
   require(codebookSize > 0, s"codebookSize=$codebookSize must be positive")
 

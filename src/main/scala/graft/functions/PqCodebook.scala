@@ -137,7 +137,7 @@ object PqKernel {
   * codebook — the zero-shuffle production encode path. NULL on a
   * dimension mismatch (m·dsub contract). */
 case class PqEncodeCodes(child: Expression, codebook: PqCodebookRef)
-    extends UnaryExpression {
+    extends UnaryExpression with NullIntolerantKernel {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_pq_encode"
@@ -163,7 +163,7 @@ case class PqEncodeCodes(child: Expression, codebook: PqCodebookRef)
 /** `array<float>` query vector → flat `array<double>` ADC lookup table
   * against the embedded codebook. NULL on a dimension mismatch. */
 case class PqBuildLut(child: Expression, codebook: PqCodebookRef)
-    extends UnaryExpression {
+    extends UnaryExpression with NullIntolerantKernel {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_pq_lut"

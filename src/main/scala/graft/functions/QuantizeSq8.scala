@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * the same order, so codes are bit-for-bit equal to the composed form
   * and to the DuckDB oracle twin (`sim_topk_sq8`).
   */
-case class QuantizeSq8(child: Expression) extends UnaryExpression {
+case class QuantizeSq8(child: Expression) extends UnaryExpression with NullIntolerantKernel {
 
   // Input contract: child evaluates to array<float> (enforced by the
   // operator callers — ExpectsInputTypes is private[sql], cf. CosineSimilarity).

@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * string-built shingle).
   */
 case class ShingleDigests(left: Expression, right: Expression, n: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with NullIntolerantKernel {
 
   require(n >= 1, s"shingle width n=$n must be at least 1")
 

@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `('0x' || substr(md5(substr(text, s, e - s + 1)), 1, 15))::bigint`
   * over the same token-offset arithmetic replays them exactly.
   */
-case class TokenGramDigests(child: Expression, gramTokens: Int) extends UnaryExpression {
+case class TokenGramDigests(child: Expression, gramTokens: Int) extends UnaryExpression with NullIntolerantKernel {
   require(gramTokens > 0, s"gramTokens=$gramTokens must be positive")
 
   override def dataType: DataType = ArrayType(

@@ -232,6 +232,45 @@ object Similarity {
     }
   }
 
+  /** [[assignClustersRef]] for consumers that make `cluster` an
+    * inner-JOIN KEY: NULL vectors are dropped up front (a raw-column
+    * test that pushes into the scan) and the kernel output is wrapped
+    * `KnownNotNull`, so the key is NON-NULLABLE and
+    * InferFiltersFromConstraints has no null guard to add. Without
+    * this, the inferred `IsNotNull(cluster)` alias-substitutes below
+    * the Project during predicate pushdown and re-runs the argmax
+    * kernel per corpus row inside a Filter (plan-audited on the
+    * ivf/ivfpq inline searches: the C-centroid cosine loop ran twice
+    * per row). Row-identical to [[assignClustersRef]] + the join's own
+    * null-key drop. */
+  private def assignClustersRefKeyed(
+      vectors: DataFrame, ref: graft.functions.CentroidsRef,
+      vecCol: String, idType: org.apache.spark.sql.types.DataType): DataFrame =
+    vectors.filter(col(vecCol).isNotNull)
+      .withColumn("cluster",
+        kernelCol(org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+          graft.functions.NearestCentroid(attr(vecCol), ref))).cast(idType))
+
+  /** The K-row `(cluster, __cen)` frame REBUILT from the collected ref:
+    * carries no lineage and therefore NO CONSTRAINTS, so the subset
+    * predicate that defined the centroid frame (e.g. `vec_id % 100 = 0`)
+    * cannot ride the cluster join key onto a corpus side and re-run the
+    * argmax kernel per corpus row inside an inferred Filter. Even
+    * `localCheckpoint` is not enough — `LogicalRDD` preserves the
+    * checkpointed plan's origin constraints. */
+  private def cenFrameFromRef(
+      spark: org.apache.spark.sql.SparkSession, ref: graft.functions.CentroidsRef,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import spark.implicits._
+    val rows = ref.ids.indices.map { c =>
+      (ref.ids(c),
+        java.util.Arrays.copyOfRange(ref.flat, c * ref.dim, (c + 1) * ref.dim).toSeq)
+    }
+    rows.toDF("cluster", "__cen")
+      .select(col("cluster").cast(idType).as("cluster"),
+        col("__cen").cast("array<float>").as("__cen"))
+  }
+
   /** The kernel stores centroid ids as longs, so the kernel path serves
     * integral id columns (cluster cast back losslessly to the id's own
     * type); anything else — a string key, a decimal — falls back to the
@@ -593,7 +632,10 @@ object Similarity {
     integralIdType(centroids, idCol) match {
       case Some(t) =>
         val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
-        (assignClustersRef(corpus, ref, vecCol, t),
+        // keyed variant: `cluster` becomes the inner-join key downstream,
+        // so it must be non-nullable or the inferred null guard re-runs
+        // the kernel per corpus row (see assignClustersRefKeyed)
+        (assignClustersRefKeyed(corpus, ref, vecCol, t),
           probeClustersRef(queries, ref, idCol, vecCol, nProbe, t))
       case None =>
         (assignClustersComposed(corpus, centroids, idCol, vecCol),
@@ -1078,6 +1120,109 @@ object Similarity {
       graft.index.IndexManifest.readAt(spark, root, snap, PqCodesTable),
       graft.index.IndexManifest.readAt(spark, root, snap, PqCodebookTable),
       idCol, vecCol, k, m, dsub)
+  }
+
+  // ---- JL projected index under the atomic manifest protocol ----------
+  //
+  // The TRAINING-FREE compressed index: one stored table `jl_proj` of
+  // (id, vdig, proj[m]) — each corpus vector's m-double deterministic
+  // projection — with (m, d) pinned in the manifest meta. There is no
+  // codebook/centroid table because the sign matrix is a pure function
+  // of (m, d): any reader regenerates it from the meta alone, so
+  // append, replay, and probe can never drift from the build (the
+  // failure mode the PQ family's codes-under-a-foreign-codebook
+  // protocol exists to prevent simply cannot occur). At 100 TB the
+  // probe scans m doubles instead of d floats per candidate — the JL
+  // saving is bytes-per-candidate, not pruning — and the exact rerank
+  // fetches only |Q|·k·refine raw vectors from the caller's lake.
+
+  private val JlProjTable = "jl_proj"
+
+  private def jlIndexRows(
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int, d: Int): DataFrame =
+    corpus.select(col(idCol).as("id"), vecDigest(col(vecCol)).as("vdig"),
+      jlProjectKernel(vecCol, m, d).as("proj"))
+
+  private def jlParams(snap: graft.index.IndexManifest.Snapshot): (Int, Int) =
+    (snap.meta("jl_m").toInt, snap.meta("jl_d").toInt)
+
+  /** Build + persist the JL projected index; (m, d) ride the manifest
+    * meta so every later lifecycle step regenerates the identical sign
+    * matrix (commit meta is inherited by appends/compactions). */
+  def buildJlIndexM(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, d: Int, root: String): Long = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val seg = graft.index.IndexManifest.newSegment(JlProjTable)
+    jlIndexRows(corpus, idCol, vecCol, m, d)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      Map(JlProjTable -> Seq(seg)),
+      meta = Map("family" -> "jl", "jl_m" -> m.toString, "jl_d" -> d.toString))
+  }
+
+  /** Append-only maintenance: project ONLY corpus rows whose id is not
+    * yet indexed — with the (m, d) read from the manifest, so a caller
+    * cannot accidentally append a foreign projection — and publish them
+    * as a new segment atomically (batchId-stampable for the growing
+    * ingest, like every other family). */
+  def appendJlIndexM(
+      corpus: DataFrame, idCol: String, vecCol: String, root: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
+    val spark = corpus.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val (m, d) = jlParams(snap)
+    val existing = graft.index.IndexManifest
+      .readAt(spark, root, snap, JlProjTable)
+      .select(col("id").as(idCol))
+    val fresh = corpus.join(existing, Seq(idCol), "left_anti")
+    val seg = graft.index.IndexManifest.newSegment(JlProjTable)
+    jlIndexRows(fresh, idCol, vecCol, m, d)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(JlProjTable, snap.tables(JlProjTable) :+ seg),
+      expect = Some(snap.version),
+      meta = graft.index.IndexManifest.stampAppendSegs(extraMeta, Seq(seg)))
+  }
+
+  /** Two-stage JL search served from a RESOLVED snapshot — the
+    * time-travel reader the growing-stream probe shares (the pq/gram
+    * families' snapshot-keyed twin): coarse top-k·refine over the
+    * stored m-double projections (queries projected with the manifest's
+    * own (m, d)), exact float rerank against the caller's `corpus`
+    * frame. Row-identical to [[jlRerankTopK]] over the indexed rows —
+    * the projection is deterministic, so stored and recomputed
+    * projections are bit-equal. */
+  def jlProbeSnapM(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, refine: Int, root: String,
+      snap: graft.index.IndexManifest.Snapshot): DataFrame = {
+    require(refine > 0, s"refine must be positive, got $refine")
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (m, d) = jlParams(snap)
+    val proj = graft.index.IndexManifest.readAt(spark, root, snap, JlProjTable)
+      .select(col("id").as("neighbor_id"), col("proj").as("__cp"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      jlProjectKernel(vecCol, m, d).as("__qp")))
+    val scored = q.join(proj, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(call_function("graft_cosine_d", col("__qp"), col("__cp")), 6))
+    val coarse = topKPerQueryAuto(scored, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(coarse, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** [[jlProbeSnapM]] at HEAD or a pinned version (release time travel). */
+  def jlProbeM(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, refine: Int, root: String, at: Option[Long] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val snap = at
+      .map(v => graft.index.IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(graft.index.IndexManifest.snapshot(spark, root))
+    jlProbeSnapM(queries, corpus, idCol, vecCol, k, refine, root, snap)
   }
 
   // ---- IVF index under the atomic manifest protocol -------------------
@@ -1666,8 +1811,23 @@ object Similarity {
   def clusterResiduals(
       vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val cen = broadcast(centroids.select(col(idCol).as("cluster"), col(vecCol).as("__cen")))
-    assignClusters(vectors, centroids, idCol, vecCol)
+    // kernel path: keyed assignment (non-nullable cluster — no inferred
+    // null guard re-running the kernel in a Filter) joined against the
+    // constraint-free ref-rebuilt centroid frame (the subset predicate
+    // that DEFINED `centroids` must not ride the cluster key onto the
+    // corpus side — plan-audited: the inferred `cluster % 100 = 0` twin
+    // re-ran the argmax kernel per corpus row, three evals stacked with
+    // the null guard)
+    val (assigned, cen) = integralIdType(centroids, idCol) match {
+      case Some(t) =>
+        val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+        (assignClustersRefKeyed(vectors, ref, vecCol, t),
+          broadcast(cenFrameFromRef(vectors.sparkSession, ref, t)))
+      case None =>
+        (assignClustersComposed(vectors, centroids, idCol, vecCol),
+          broadcast(centroids.select(col(idCol).as("cluster"), col(vecCol).as("__cen"))))
+    }
+    assigned
       .join(cen, Seq("cluster"))
       .withColumn("__res", zip_with(col(vecCol), col("__cen"),
         (a, b) => (a.cast("double") - b.cast("double")).cast("float")))
@@ -1726,7 +1886,16 @@ object Similarity {
     val codes = clusterResiduals(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("cluster"),
         kernelCol(graft.functions.PqEncodeCodes(attr("__res"), ref)).as("codes"))
-    val cen = broadcast(centroids.select(col(idCol).as("cluster"), col(vecCol).as("__cen")))
+    // constraint-free centroid frame, same reason as clusterResiduals:
+    // the centroid subset predicate would otherwise ride probes' cluster
+    // key through the probes⋈codes join and re-run the argmax kernel per
+    // corpus row
+    val cen = integralIdType(centroids, idCol) match {
+      case Some(t) => broadcast(cenFrameFromRef(queries.sparkSession,
+        graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol), t))
+      case None =>
+        broadcast(centroids.select(col(idCol).as("cluster"), col(vecCol).as("__cen")))
+    }
     val probes = probeClusters(queries, centroids, idCol, vecCol, nProbe)
       .join(cen, Seq("cluster"))
       .withColumn("__qres", zip_with(col("__qv"), col("__cen"),

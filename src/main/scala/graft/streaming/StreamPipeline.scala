@@ -1007,6 +1007,88 @@ object StreamPipeline {
     StructField("score", DoubleType),
     StructField("rnk", IntegerType)))
 
+  /** Output schema of [[jlGrowingBatch]]'s per-batch top-k frames. */
+  private[graft] val JlGrowSchema: StructType = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("neighbor_id", LongType),
+    StructField("cosine", DoubleType),
+    StructField("rnk", IntegerType)))
+
+  /** One micro-batch of the GROWING training-free JL ingest — the JL
+    * edition of [[pqGrowingBatch]]: each arriving vector runs the
+    * two-stage served search (coarse over the STORED m-double
+    * projections as of the previous batch, exact rerank against the
+    * lake's raw vectors) with (m, d) read from the manifest meta — the
+    * projection is a pure function of them, so the replayed batch and
+    * the original are bit-identical by construction — then the batch's
+    * own projections append through the batchId-stamped atomic commit. */
+  private[graft] def jlGrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String,
+      corpus: DataFrame, k: Int, refine: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batchOutputComplete(spark, outDir, batchId) &&
+        graft.index.IndexManifest.snapshot(spark, root).meta
+          .get(StreamBatchKey).exists(_.toLong >= batchId)) return
+    val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
+    val topk = graft.operators.Similarity.jlProbeSnapM(
+      batch, corpus, "vec_id", "embedding", k, refine, root, snap)
+    writeBatchIdempotent(
+      topk.select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").as("rnk")),
+      outDir, batchId)
+    if (!alreadyCommitted)
+      graft.operators.Similarity.appendJlIndexM(
+        batch, "vec_id", "embedding", root,
+        extraMeta = Map(StreamBatchKey -> batchId.toString)): Unit
+  }
+
+  /** ANN at ingest where the TRAINING-FREE projected index GROWS with
+    * the stream — the eighth growing family, and the one whose
+    * append-time invariant is strongest: PQ/IVF appends are sound
+    * because their codebook/centroids are build-frozen state; the JL
+    * append is sound because there is NO state at all — the sign matrix
+    * is regenerated from the manifest's (m, d) by every batch, every
+    * replay, and every probe, so drift between lake and delta segments
+    * is structurally impossible. Each arriving embedding is ranked
+    * (coarse projected scan + exact rerank) against everything that
+    * arrived before it; replay safety is the shared batchId-stamped
+    * protocol. Deterministic batch staging makes the result exactly
+    * replayable by the DuckDB oracle: query in batch b ranks rows of
+    * the lake and batches < b only. */
+  def streamingAnnJlGrowing(
+      spark: SparkSession, dir: String,
+      k: Int, m: Int, d: Int, refine: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val root = Files.createTempDirectory("graft_jgrow_idx").toString
+    val streamIn = Files.createTempDirectory("graft_jgrow_in").toString
+    val outDir = Files.createTempDirectory("graft_jgrow_out").toString
+    val ckptDir = Files.createTempDirectory("graft_jgrow_ckpt").toString
+    try {
+      graft.operators.Similarity.buildJlIndexM(
+        emb.filter(col("vec_id") % 10 < 8), "vec_id", "embedding", m, d, root)
+      writeArrivalBatches(
+        emb.filter(col("vec_id") % 10 >= 8), streamIn, nBatches = 3,
+        idCol = "vec_id")
+      val arrivals = spark.readStream
+        .schema(EmbeddingsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          jlGrowingBatch(batch.toDF(), batchId, root, outDir, emb, k, refine)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, JlGrowSchema).localCheckpoint(true)
+        .orderBy("query_id", "rnk")
+    } finally {
+      Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   /** One micro-batch of the GROWING ANN ingest — the PQ edition of
     * [[spanGrowingBatch]]/[[lshGrowingBatch]], the third family through
     * the same exactly-once protocol: each arriving embedding retrieves

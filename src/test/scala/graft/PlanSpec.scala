@@ -400,6 +400,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), "assignment degraded to the composed twin")
   }
 
+  test("no kernel re-evaluates inside a Filter (the constraint-substitution class)") {
+    // the class: a kernel-derived column becomes an inner-join key, the
+    // optimizer infers a guard (IsNotNull, or the other side's subset
+    // predicate like `% 100 = 0`) and predicate pushdown
+    // alias-substitutes it below the Project — re-running the kernel
+    // per corpus row inside a Filter, a silent 2-3× on the scan's
+    // dominant cost (plan-audited on the whole ivf/ivfpq family).
+    // Guarded by: keyed assignment (KnownNotNull — nothing nullable to
+    // guard) + constraint-free ref-rebuilt centroid frames (nothing to
+    // propagate).
+    Seq("sim_topk_ivf", "sim_topk_ivf_probed", "sim_topk_ivfpq",
+        "sim_topk_ivfpq_residual", "curation_prototype_prune").foreach { name =>
+      val bad = plan(name).linesIterator.filter(l =>
+        (l.contains("Filter ") || l.contains("DataFilters: [")) &&
+          l.contains("graft_")).toSeq
+      assert(bad.isEmpty,
+        s"$name re-runs a kernel inside a Filter:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("MMR final assembly is pool-grain only: no corpus scan below the union") {
     // the greedy cascade runs over the localCheckpoint'ed pool and
     // checkpointed per-step picks — the assembled registry plan must be

@@ -863,4 +863,41 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect()
     assert(got.toSet == again.toSet)
   }
+
+  test("JL manifest lifecycle: served ≡ inline rerank; pinned v1 sees the even half only") {
+    val emb = graft.Tables.load(spark, Sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_jlidx_spec").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    try {
+      // v1: even half; HEAD: everything (append projects only fresh ids
+      // with the manifest's own (m, d))
+      val v1 = Similarity.buildJlIndexM(even, "vec_id", "embedding", 16, 64, root)
+      Similarity.appendJlIndexM(emb, "vec_id", "embedding", root)
+      val served = rows(Similarity.jlProbeM(queries, emb,
+        "vec_id", "embedding", k = 5, refine = 4, root))
+      val inline = rows(Similarity.jlRerankTopK(queries, emb,
+        "vec_id", "embedding", k = 5, m = 16, d = 64, refine = 4))
+      assert(served == inline,
+        "stored projections must replay the inline two-stage search exactly")
+      // pinned at v1: the shortlist (and so the ranking) covers the
+      // even half alone — identical to the inline search over it
+      val pinned = rows(Similarity.jlProbeM(queries, emb,
+        "vec_id", "embedding", k = 5, refine = 4, root, at = Some(v1)))
+      val inlineEven = rows(Similarity.jlRerankTopK(queries, even,
+        "vec_id", "embedding", k = 5, m = 16, d = 64, refine = 4))
+      assert(pinned == inlineEven)
+      assert(pinned != served, "fixture must make time travel observable")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(root))
+    }
+  }
 }

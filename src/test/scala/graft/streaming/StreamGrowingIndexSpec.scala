@@ -627,6 +627,45 @@ class StreamGrowingIndexSpec extends SparkSpec {
     } finally rm(root, out)
   }
 
+  test("JL growth: cross-batch retrieval, replay no-op, vacuumed walk-back reconstructs") {
+    // the TRAINING-FREE growing family: no codebook/centroid state at
+    // all — (m, d) in the manifest meta regenerate the sign matrix for
+    // every batch, replay, and reconstruction, so the walk-back probe
+    // is bit-identical by construction (the snapshot only has to
+    // restore the SEGMENT VIEW, never any trained state)
+    val root = tmp("jlidx"); val out = tmp("jlout")
+    val all = pqLake.unionByName(pqB0).unionByName(pqB1)
+    def topk() = StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.JlGrowSchema)
+      .select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    try {
+      graft.operators.Similarity.buildJlIndexM(
+        pqLake, "vec_id", "embedding", m = 8, d = 16, root)                // v1
+      StreamPipeline.jlGrowingBatch(pqB0, 0L, root, out, all, TopK, 2)     // v2
+      StreamPipeline.jlGrowingBatch(pqB1, 1L, root, out, all, TopK, 2)     // v3
+      val first = topk()
+      // growth mattered: 18's exact-rerank neighbors include 8 (one
+      // batch earlier, nowhere in the lake)
+      assert(first.exists(t => t._1 == 18L && t._2 == 8L),
+        s"cross-batch neighbor missed: $first")
+      assert(!first.exists(t => t._1 == t._2))
+      // a committed replay with intact output is a pure no-op
+      StreamPipeline.jlGrowingBatch(pqB1, 1L, root, out, all, TopK, 2)
+      assert(topk() == first)
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+      // crashed output + vacuumed pre-append version: reconstruct from
+      // HEAD by segment subtraction, recompute identically
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+      IndexManifest.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+      intercept[Exception](IndexManifest.snapshotAt(spark, root, 2L))
+      StreamPipeline.jlGrowingBatch(pqB1, 1L, root, out, all, TopK, 2)
+      assert(topk() == first, "reconstructed JL recompute diverged")
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+    } finally rm(root, out)
+  }
+
   test("PQ growth: kill after append, before checkpoint — replay converges") {
     val root = tmp("pidx"); val streamIn = tmp("pin")
     val out = tmp("pout"); val ckpt = tmp("pckpt")
