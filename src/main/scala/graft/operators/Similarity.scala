@@ -1143,8 +1143,17 @@ object Similarity {
     corpus.select(col(idCol).as("id"), vecDigest(col(vecCol)).as("vdig"),
       jlProjectKernel(vecCol, m, d).as("proj"))
 
-  private def jlParams(snap: graft.index.IndexManifest.Snapshot): (Int, Int) =
+  private def jlParams(snap: graft.index.IndexManifest.Snapshot): (Int, Int) = {
+    // fail with the root's identity, not a bare key-not-found: the
+    // likeliest caller error is wiring a JL probe at another family's
+    // root (the manifest reader's readAt precedent)
+    require(snap.meta.get("family").contains("jl") &&
+        snap.meta.contains("jl_m") && snap.meta.contains("jl_d"),
+      s"manifest version ${snap.version} is not a JL index " +
+        s"(family=${snap.meta.getOrElse("family", "<none>")}, " +
+        s"meta keys: ${snap.meta.keys.toSeq.sorted.mkString(",")})")
     (snap.meta("jl_m").toInt, snap.meta("jl_d").toInt)
+  }
 
   /** Build + persist the JL projected index; (m, d) ride the manifest
     * meta so every later lifecycle step regenerates the identical sign
@@ -1212,6 +1221,48 @@ object Similarity {
     val coarse = topKPerQueryAuto(scored, k * refine)
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(coarse, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Compact the appended projection table back to one segment — appends
+    * accumulate one parquet segment per delta (each id unique by the
+    * append's anti-join, so this is a pure re-layout, not a fold): one
+    * rewrite of the slim (id, vdig, proj) rows, swapped atomically.
+    * Read-amplification dial, not a correctness event. */
+  def compactJlIndexM(
+      spark: org.apache.spark.sql.SparkSession, root: String): Long = {
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val seg = graft.index.IndexManifest.newSegment(JlProjTable)
+    graft.index.IndexManifest.readAt(spark, root, snap, JlProjTable)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(JlProjTable, Seq(seg)),
+      expect = Some(snap.version))
+  }
+
+  /** Refresh the projected table against TODAY's corpus — maintenance
+    * under corpus UPDATES, not just arrivals: unchanged (id, vdig) rows
+    * keep their STORED projection (the `vdig` fingerprint's whole
+    * purpose — no re-projection work for the unchanged bulk),
+    * changed/added rows re-project with the manifest's own (m, d),
+    * removed ids drop out, and the table moves to the single refreshed
+    * segment in one atomic pointer swap (the pqIndexRefresh shape). */
+  def refreshJlIndexM(
+      corpus: DataFrame, idCol: String, vecCol: String, root: String): Long = {
+    val spark = corpus.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val (m, d) = jlParams(snap)
+    val idx = graft.index.IndexManifest.readAt(spark, root, snap, JlProjTable)
+    val cd = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("vdig", vecDigest(col("__v")))
+    val kept = idx.join(cd.select("id", "vdig"), Seq("id", "vdig"), "left_semi")
+    val fresh = cd.join(idx.select("id", "vdig"), Seq("id", "vdig"), "left_anti")
+      .select(col("id"), col("vdig"), jlProjectKernel("__v", m, d).as("proj"))
+    val seg = graft.index.IndexManifest.newSegment(JlProjTable)
+    kept.unionByName(fresh)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(JlProjTable, Seq(seg)),
+      expect = Some(snap.version))
   }
 
   /** [[jlProbeSnapM]] at HEAD or a pinned version (release time travel). */
@@ -1818,16 +1869,36 @@ object Similarity {
     // corpus side — plan-audited: the inferred `cluster % 100 = 0` twin
     // re-ran the argmax kernel per corpus row, three evals stacked with
     // the null guard)
-    val (assigned, cen) = integralIdType(centroids, idCol) match {
+    integralIdType(centroids, idCol) match {
       case Some(t) =>
-        val ref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
-        (assignClustersRefKeyed(vectors, ref, vecCol, t),
-          broadcast(cenFrameFromRef(vectors.sparkSession, ref, t)))
-      case None =>
-        (assignClustersComposed(vectors, centroids, idCol, vecCol),
-          broadcast(centroids.select(col(idCol).as("cluster"), col(vecCol).as("__cen"))))
+        clusterResidualsRef(vectors,
+          graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol),
+          vecCol, t)
+      case None => clusterResidualsComposed(vectors, centroids, idCol, vecCol)
     }
-    assigned
+  }
+
+  /** Kernel half of [[clusterResiduals]] against an already-collected
+    * ref — the thread-the-ref entry [[ivfPqResidualTopK]] uses so ONE
+    * centroid collect serves both residual passes, the cen frame, and
+    * the probe list. */
+  private def clusterResidualsRef(
+      vectors: DataFrame, cref: graft.functions.CentroidsRef,
+      vecCol: String, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val cen = broadcast(cenFrameFromRef(vectors.sparkSession, cref, idType))
+    assignClustersRefKeyed(vectors, cref, vecCol, idType)
+      .join(cen, Seq("cluster"))
+      .withColumn("__res", zip_with(col(vecCol), col("__cen"),
+        (a, b) => (a.cast("double") - b.cast("double")).cast("float")))
+      .drop("__cen")
+  }
+
+  /** Composed half of [[clusterResiduals]] (non-integral centroid ids). */
+  private def clusterResidualsComposed(
+      vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cen = broadcast(centroids.select(col(idCol).as("cluster"), col(vecCol).as("__cen")))
+    assignClustersComposed(vectors, centroids, idCol, vecCol)
       .join(cen, Seq("cluster"))
       .withColumn("__res", zip_with(col(vecCol), col("__cen"),
         (a, b) => (a.cast("double") - b.cast("double")).cast("float")))
@@ -1876,27 +1947,34 @@ object Similarity {
       nProbe: Int = 1): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val cwRes = clusterResiduals(codewords, centroids, idCol, vecCol)
-      .select(col(idCol), col("__res").as(vecCol))
+    // ONE centroid collect on the kernel path, threaded through both
+    // residual passes, the constraint-free cen frame (the centroid
+    // subset predicate must not ride probes' cluster key through the
+    // probes⋈codes join and re-run the argmax kernel per corpus row),
+    // and the probe list — the clusteredAndProbes discipline
+    val (cwRes0, codes0, cen, probes0) = integralIdType(centroids, idCol) match {
+      case Some(t) =>
+        val cref = graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol)
+        (clusterResidualsRef(codewords, cref, vecCol, t),
+          clusterResidualsRef(corpus, cref, vecCol, t),
+          broadcast(cenFrameFromRef(queries.sparkSession, cref, t)),
+          probeClustersRef(queries, cref, idCol, vecCol, nProbe, t))
+      case None =>
+        (clusterResidualsComposed(codewords, centroids, idCol, vecCol),
+          clusterResidualsComposed(corpus, centroids, idCol, vecCol),
+          broadcast(centroids.select(col(idCol).as("cluster"), col(vecCol).as("__cen"))),
+          probeClustersComposed(queries, centroids, idCol, vecCol, nProbe))
+    }
+    val cwRes = cwRes0.select(col(idCol), col("__res").as(vecCol))
     val ref = graft.functions.PqCodebookRef.fromCodebook(
       pqCodebook(cwRes, idCol, vecCol, m, dsub), m, dsub)
     // codeword self-dot ADC table: subspace-major like the LUT, 6 dp so
     // the unordered oracle sum reproduces the score (PqAdcScore contract)
     val cw2Lut = typedlit(ref.cw2.map(graft.functions.PqKernel.round6).toSeq)
-    val codes = clusterResiduals(corpus, centroids, idCol, vecCol)
+    val codes = codes0
       .select(col(idCol).as("neighbor_id"), col("cluster"),
         kernelCol(graft.functions.PqEncodeCodes(attr("__res"), ref)).as("codes"))
-    // constraint-free centroid frame, same reason as clusterResiduals:
-    // the centroid subset predicate would otherwise ride probes' cluster
-    // key through the probes⋈codes join and re-run the argmax kernel per
-    // corpus row
-    val cen = integralIdType(centroids, idCol) match {
-      case Some(t) => broadcast(cenFrameFromRef(queries.sparkSession,
-        graft.functions.CentroidsRef.fromDataFrame(centroids, idCol, vecCol), t))
-      case None =>
-        broadcast(centroids.select(col(idCol).as("cluster"), col(vecCol).as("__cen")))
-    }
-    val probes = probeClusters(queries, centroids, idCol, vecCol, nProbe)
+    val probes = probes0
       .join(cen, Seq("cluster"))
       .withColumn("__qres", zip_with(col("__qv"), col("__cen"),
         (a, b) => (a.cast("double") - b.cast("double")).cast("float")))

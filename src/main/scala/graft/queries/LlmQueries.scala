@@ -1435,6 +1435,7 @@ object LlmQueries {
     // The MANIFEST-SERVED JL index: the stored table IS the m-double
     // projection (no codebook — the sign matrix regenerates from the
     // manifest's (m, d) meta); build the even half, append the rest,
+    // compact the scattered segments (probe-preserving re-layout),
     // probe at HEAD — converges to the inline two-stage search over the
     // full corpus, so it replays the jl_rerank oracle bit-for-bit.
     "sim_jl_index_served" -> q { (s, dir) =>
@@ -1443,6 +1444,7 @@ object LlmQueries {
       Similarity.buildJlIndexM(emb.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", m = 16, d = 64, root)
       Similarity.appendJlIndexM(emb, "vec_id", "embedding", root)
+      Similarity.compactJlIndexM(s, root)
       Similarity.jlProbeM(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, refine = 4, root)
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
@@ -1478,6 +1480,32 @@ object LlmQueries {
       Similarity.appendJlIndexM(emb, "vec_id", "embedding", root)
       Similarity.jlProbeM(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, refine = 4, root, at = Some(v1))
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    },
+
+    // JL index REFRESH — maintenance under corpus UPDATES: yesterday's
+    // index carries stale projections for re-embedded vectors (ids ≡ 0
+    // mod 5, reversed), is missing new arrivals (ids ≡ 1 mod 7), and
+    // still holds retired rows (shifted ids). Refresh keeps unchanged
+    // (id, vdig) rows' STORED projections — the fingerprint's purpose:
+    // zero re-projection for the unchanged bulk — re-projects the rest
+    // with the manifest's own (m, d), drops the retired, and swaps the
+    // table atomically; the probe then converges to the inline search
+    // over today's corpus (the jl_rerank oracle).
+    "sim_jl_index_refresh" -> q { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val stale = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val retired = emb.filter(col("vec_id") % 9 === 3)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val old = emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 =!= 1)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(stale).unionByName(retired)
+      val root = freshIndexRoot("jlref", dir)
+      Similarity.buildJlIndexM(old, "vec_id", "embedding", m = 16, d = 64, root)
+      Similarity.refreshJlIndexM(emb, "vec_id", "embedding", root)
+      Similarity.jlProbeM(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, refine = 4, root)
         .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     },
 
@@ -5146,6 +5174,9 @@ object LlmQueries {
       // to recomputed ones — the projection is deterministic)
       ("sim_jl_index_served" -> baseOracles("sim_topk_jl_rerank")) +
       ("sim_jl_probe_served" -> baseOracles("sim_topk_jl_rerank")) +
+      // refresh converges the projected table to today's corpus — same
+      // inline oracle (the bm25_refreshed / pq_index_refresh precedent)
+      ("sim_jl_index_refresh" -> baseOracles("sim_topk_jl_rerank")) +
       // the v1-pinned JL probe shortlists against the even half's
       // stored projections alone
       ("sim_jl_pinned" -> baseOracles("sim_topk_jl_rerank").replace(

@@ -878,6 +878,7 @@ class SimilaritySpec extends SparkSpec {
       // with the manifest's own (m, d))
       val v1 = Similarity.buildJlIndexM(even, "vec_id", "embedding", 16, 64, root)
       Similarity.appendJlIndexM(emb, "vec_id", "embedding", root)
+      Similarity.compactJlIndexM(spark, root) // probe-preserving re-layout
       val served = rows(Similarity.jlProbeM(queries, emb,
         "vec_id", "embedding", k = 5, refine = 4, root))
       val inline = rows(Similarity.jlRerankTopK(queries, emb,
@@ -892,6 +893,21 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", k = 5, m = 16, d = 64, refine = 4))
       assert(pinned == inlineEven)
       assert(pinned != served, "fixture must make time travel observable")
+      // refresh under corpus UPDATES: re-embedded vectors (reversed),
+      // retired rows (id ≥ 400 dropped) — the refreshed probe must
+      // equal the inline search over exactly today's corpus
+      val mutated = emb.filter(col("vec_id") < 400)
+        .select(col("vec_id"),
+          when(col("vec_id") % 5 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+      Similarity.refreshJlIndexM(mutated, "vec_id", "embedding", root)
+      val refreshed = rows(Similarity.jlProbeM(queries, mutated,
+        "vec_id", "embedding", k = 5, refine = 4, root))
+      val inlineMut = rows(Similarity.jlRerankTopK(queries, mutated,
+        "vec_id", "embedding", k = 5, m = 16, d = 64, refine = 4))
+      assert(refreshed == inlineMut,
+        "refresh must converge the stored projections to today's corpus")
+      assert(refreshed != served, "fixture must make the refresh observable")
     } finally {
       def del(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(del)
