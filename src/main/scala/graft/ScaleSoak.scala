@@ -224,14 +224,22 @@ object ScaleSoak {
           // 489 is coprime to the generator's 16 cells (a multiple of
           // 16 would sample every centroid from cell 0 and collapse
           // the inverted file to one hot list)
+          //
+          // NOTE on the +10M id offset below: it preserves id % 10
+          // (10,000,000 ≡ 0 mod 10) but NOT the (id % 30) // 10 batch
+          // shard (10,000,000 ≡ 10 mod 30 — membership rotates by one
+          // batch). Harmless here: the soak only needs 3 non-empty
+          // equal-sized batches and times the whole stream; an oracle
+          // keyed on the standard arrival-rank rule would need the
+          // offset to be a multiple of 30.
           val sample = base.filter(col("vec_id") % 489 === 0)
           val cb = graft.operators.Similarity.pqCodebook(
             sample, "vec_id", "embedding", 4, 4).localCheckpoint()
           graft.operators.Similarity.buildIvfPqIndexM(
             vecs(m), sample, cb, "vec_id", "embedding", 4, 4, root)
           // fixed ~25k arrivals in 3 batches; the +10M id offset keeps
-          // them out of every lake tier's id range (and preserves both
-          // id%10 and the 3-way batch split: 10,000,000 ≡ 0 mod 10)
+          // them out of every lake tier's id range (see the NOTE above
+          // on what the offset does and does not preserve)
           graft.streaming.StreamPipeline.writeArrivalBatches(
             base.filter(col("vec_id") % 10 >= 8)
               .withColumn("vec_id", col("vec_id") + 10000000L),

@@ -496,8 +496,7 @@ object Similarity {
       lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
     require(k >= 1, s"k=$k must be at least 1")
     require(poolSize >= k, s"poolSize=$poolSize must cover k=$k")
-    require(lambdaNum >= 0 && lambdaDen > 0 && lambdaNum <= lambdaDen,
-      s"lambda=$lambdaNum/$lambdaDen must be in [0, 1]")
+    // the λ contract is validated ONCE in mmrGreedy (see its comment)
     // the pool: per-query top-poolSize by relevance, vectors re-attached
     // for the candidate-candidate sims; queries×poolSize rows — tiny
     val cand = bruteForceTopK(queries, corpus, idCol, vecCol, poolSize)
