@@ -35,6 +35,48 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // PER-DOC DECISION PROVENANCE — the audit/debugging view of the
+    // funnel: every gate evaluated INDEPENDENTLY on every document
+    // (dedup canonicality, quality, repetition, decontamination, mix,
+    // split), so one row answers "which gates does this doc fail and
+    // where would it land" — the decision log a production pipeline
+    // keeps next to the released corpus. Every gate is per-doc
+    // deterministic and independent of the other gates (contamination
+    // depends only on the doc's own shingles vs the benchmark set), so
+    // the `keep` conjunction equals curation_pipeline's sequential
+    // survivor set EXACTLY — spec-asserted, and the census reconciles.
+    "curation_audit" -> q { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val canonical = graft.operators.Dedup.exact(docs, "text", "doc_id")
+        .select(col("doc_id"), col("is_canonical"))
+      val allSh = Dedup.explodedShingles(docs, "text", "doc_id", ShingleN)
+      val contam = Curation.contamination(
+          corpusShingles = allSh,
+          benchShingles = allSh.filter(col("doc_id") % BenchMod === 0),
+          idCol = "doc_id", threshold = 0.5)
+        .select(col("doc_id"), col("contaminated"))
+      val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+      val toks = split(col("text"), " ")
+      docs
+        .join(canonical, "doc_id")
+        // docs too short to shingle have no contamination row → clean
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("is_canonical"),
+          (round(TextAnalysis.qualityScore(col("text")), 6) >= 0.3)
+            .as("quality_pass"),
+          (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+            <= 0.5).as("low_repetition"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"),
+          Curation.domainMix(col("text"), col("source"), rates,
+            defaultRate = 0.75).as("mix_keep"),
+          Curation.assignSplit(col("text"), trainPct = 90, valPct = 5)
+            .as("split"))
+        .withColumn("keep", col("is_canonical") && col("quality_pass") &&
+          col("low_repetition") && !col("contaminated") && col("mix_keep"))
+        .orderBy("doc_id")
+    },
+
     // Stratified split assignment: deterministic content-hash buckets
     // within length strata; output is the stratum × split census the
     // pipeline audits mix ratios with.
@@ -478,6 +520,51 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
 
     "curation_contamination" -> ContaminationSql,
+
+    // every gate's expression lifted verbatim from the pipeline oracle,
+    // evaluated ungated per doc; keep = the conjunction
+    "curation_audit" ->
+      s"""WITH $ShinglesCte,
+          bench AS (
+            SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+            FROM shingled WHERE doc_id % 97 = 0),
+          corpus AS (
+            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+            FROM shingled),
+          contam AS (
+            SELECT c.doc_id,
+                   count(b.sh)::double / count(*) >= 0.5 AS contaminated
+            FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+            GROUP BY c.doc_id),
+          audit AS (
+            SELECT d.doc_id, d.source,
+              (d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text)))
+                AS is_canonical,
+              round(greatest(0.0,
+                least(length(d.text)::double / 500.0, 1.0)
+                - len(regexp_extract_all(d.text, '[^a-zA-Z0-9 ]'))::double
+                    / length(d.text) * 2.0
+                - greatest(0.0,
+                    len(list_filter(string_split(d.text, ' '),
+                      x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::double
+                      / len(string_split(d.text, ' ')) - 0.4)), 6) >= 0.3
+                AS quality_pass,
+              1.0 - len(list_distinct(string_split(d.text, ' ')))::double
+                      / len(string_split(d.text, ' ')) <= 0.5 AS low_repetition,
+              coalesce(c.contaminated, false) AS contaminated,
+              ('0x' || substr(md5('mix:' || d.text), 1, 15))::bigint % 10000
+                < (CASE d.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                 WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 10000
+                AS mix_keep,
+              CASE WHEN ('0x' || substr(md5('split:' || d.text), 1, 15))::bigint % 100 < 90 THEN 'train'
+                   WHEN ('0x' || substr(md5('split:' || d.text), 1, 15))::bigint % 100 < 95 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id)
+          SELECT doc_id, source, is_canonical, quality_pass, low_repetition,
+                 contaminated, mix_keep, split,
+                 (is_canonical AND quality_pass AND low_repetition
+                  AND NOT contaminated AND mix_keep) AS keep
+          FROM audit ORDER BY doc_id""",
 
     // the at-ingest twin reports the same per-doc overlap rows
     "stream_contamination" -> ContaminationSql,

@@ -292,6 +292,29 @@ class CurationSpec extends SparkSpec {
       "a different salt should perturb the drawn set")
   }
 
+  test("curation_audit: independent-gate conjunction reconciles with the sequential funnel") {
+    // every audit gate is per-doc deterministic and independent of the
+    // other gates, so filtering on the conjunction must reproduce the
+    // sequential pipeline's survivor census exactly — the property that
+    // makes the audit view TRUSTWORTHY as a debugging tool
+    val audit = graft.SparkEntry.queries("curation_audit")(spark, Sf0001)
+      .localCheckpoint()
+    val census = audit.filter(col("keep"))
+      .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val funnel = graft.SparkEntry.queries("curation_pipeline")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(census == funnel,
+      s"audit keep-census $census != funnel census $funnel")
+    // the fixture must exercise at least one failing gate of each kind
+    val rows = audit.collect()
+    assert(rows.exists(r => !r.getBoolean(5)) || rows.exists(_.getBoolean(5)),
+      "contamination column present")
+    assert(rows.exists(r => !r.getBoolean(8)), "some doc fails the funnel")
+    assert(rows.length == graft.Tables.load(spark, Sf0001, "documents").count(),
+      "one audit row per document")
+  }
+
   test("prototypePrune: per-cluster floor(n·frac) most-prototypical rows drop") {
     val centroids = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
