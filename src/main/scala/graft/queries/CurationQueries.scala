@@ -60,7 +60,9 @@ object CurationQueries {
       val toks = split(col("text"), " ")
       docs
         .join(canonical, "doc_id")
-        // docs too short to shingle have no contamination row → clean
+        // only NULL-text docs lack a contamination row (rawShingles
+        // falls back to the whole text below n tokens, so every
+        // non-null doc shingles) → they coalesce to clean
         .join(contam, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"), col("is_canonical"),
           (round(TextAnalysis.qualityScore(col("text")), 6) >= 0.3)
@@ -538,7 +540,8 @@ object CurationQueries {
             GROUP BY c.doc_id),
           audit AS (
             SELECT d.doc_id, d.source,
-              (d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text)))
+              (d.text IS NULL OR
+               d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text)))
                 AS is_canonical,
               round(greatest(0.0,
                 least(length(d.text)::double / 500.0, 1.0)
@@ -556,7 +559,8 @@ object CurationQueries {
                 < (CASE d.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                                  WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 10000
                 AS mix_keep,
-              CASE WHEN ('0x' || substr(md5('split:' || d.text), 1, 15))::bigint % 100 < 90 THEN 'train'
+              CASE WHEN d.text IS NULL THEN NULL
+                   WHEN ('0x' || substr(md5('split:' || d.text), 1, 15))::bigint % 100 < 90 THEN 'train'
                    WHEN ('0x' || substr(md5('split:' || d.text), 1, 15))::bigint % 100 < 95 THEN 'val'
                    ELSE 'test' END AS split
             FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id)

@@ -1485,7 +1485,8 @@ object LlmQueries {
 
     // JL index REFRESH — maintenance under corpus UPDATES: yesterday's
     // index carries stale projections for re-embedded vectors (ids ≡ 0
-    // mod 5, reversed), is missing new arrivals (ids ≡ 1 mod 7), and
+    // mod 5, reversed), is missing new arrivals (ids ≡ 1 mod 7 except
+    // those already in the stale leg, i.e. id % 5 != 0), and
     // still holds retired rows (shifted ids). Refresh keeps unchanged
     // (id, vdig) rows' STORED projections — the fingerprint's purpose:
     // zero re-projection for the unchanged bulk — re-projects the rest

@@ -306,11 +306,19 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(census == funnel,
       s"audit keep-census $census != funnel census $funnel")
-    // the fixture must exercise at least one failing gate of each kind
+    // the fixture must genuinely EXERCISE each gate (both outcomes where
+    // the fixture can produce them; sf0.001 has no duplicate texts, so
+    // canonicality cannot fail here — the exact-dedup specs own that
+    // gate's negative case)
     val rows = audit.collect()
-    assert(rows.exists(r => !r.getBoolean(5)) || rows.exists(_.getBoolean(5)),
-      "contamination column present")
-    assert(rows.exists(r => !r.getBoolean(8)), "some doc fails the funnel")
+    def both(i: Int, name: String): Unit = {
+      assert(rows.exists(_.getBoolean(i)), s"no doc passes $name")
+      assert(rows.exists(r => !r.getBoolean(i)), s"no doc fails $name")
+    }
+    both(3, "quality_pass"); both(4, "low_repetition"); both(6, "mix_keep")
+    assert(rows.exists(_.getBoolean(5)),
+      "no contaminated doc — the benchmark slice must self-match")
+    both(8, "keep")
     assert(rows.length == graft.Tables.load(spark, Sf0001, "documents").count(),
       "one audit row per document")
   }
