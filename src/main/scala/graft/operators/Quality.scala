@@ -266,4 +266,54 @@ object Quality {
       .groupBy(col(fkCol))
       .agg(count(lit(1)).as("n_rows"))
       .select(col(fkCol), col("n_rows"))
+
+  /** Embedding-distribution drift per group — the embedding-space analog
+    * of [[histogramDrift]]: each group's MEAN VECTOR compared by round-6
+    * cosine against the global mean vector, so a group (a source, a
+    * label, a crawl day) whose embedding distribution shifted away from
+    * the corpus scores visibly low — the monitor an embedding-producing
+    * pipeline wants on every refresh (a silent encoder change or a
+    * poisoned source moves its group mean first).
+    *
+    * Determinism across engines (the lloydCentroids discipline): each
+    * per-coordinate sum runs in EXACT decimal — partition-order-proof —
+    * then ONE double division and a 6 dp round; the global mean derives
+    * from the SAME per-group partials re-aggregated (decimal sums add
+    * exactly), so group and global means replay bit-for-bit in DuckDB.
+    *
+    * Scale shape: one posexplode pass → (group, coordinate) decimal
+    * partials with map-side combine — the only corpus-keyed exchange
+    * ships groups×dim rows; means reassemble in coordinate order on the
+    * groups×dim frame; the global mean is ONE broadcast row; scoring is
+    * the native double-array cosine per GROUP (result-sized). `n` is the
+    * group's vector count (NULL vectors contribute nothing and are not
+    * counted; dimensions are assumed uniform per the embeddings
+    * contract — with ragged input, `n` reports the deepest coordinate's
+    * count). Output (group, n, drift). */
+  def embeddingGroupDrift(
+      emb: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val parts = emb
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("grp"), col("__pos"))
+      .agg(sum(col("__v").cast("decimal(38,10)")).as("__s"),
+        count(lit(1)).as("__n"))
+      // groups×dim rows, read twice (group means + global mean):
+      // materialize so the corpus pass runs once
+      .localCheckpoint()
+    val assemble = expr(
+      "transform(array_sort(collect_list(struct(__pos, __m))), s -> s.__m)")
+    val grp = parts
+      .withColumn("__m", round(col("__s").cast("double") / col("__n"), 6))
+      .groupBy(col("grp"))
+      .agg(assemble.as("__gv"), max(col("__n")).as("n"))
+    val glob = broadcast(parts
+      .groupBy(col("__pos"))
+      .agg(round(sum(col("__s")).cast("double") / sum(col("__n")), 6).as("__m"))
+      .agg(assemble.as("__glob")))
+    grp.crossJoin(glob)
+      .select(col("grp").as(groupCol), col("n"),
+        round(call_function("graft_cosine_d", col("__gv"), col("__glob")), 6)
+          .as("drift"))
+  }
 }

@@ -383,6 +383,18 @@ object CurationQueries {
         .orderBy("bin")
     },
 
+    // Embedding-distribution drift per label — the embedding-space
+    // analog of the histogram drift above: each group's exact-decimal
+    // mean vector scored by round-6 cosine against the global mean, so
+    // a group whose embedding distribution shifted (silent encoder
+    // change, poisoned source) scores visibly low. One corpus pass,
+    // groups×dim partials, result-sized scoring.
+    "quality_embedding_drift" -> q { (s, dir) =>
+      Quality.embeddingGroupDrift(
+          Tables.load(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")
+    },
+
     // Dataset versioning: content-digest diff of two corpus snapshots
     // (held-out slices + an in-place edit stand in for yesterday's and
     // today's corpus) — every doc classified added / removed / changed /
@@ -941,6 +953,33 @@ object CurationQueries {
          JOIN sig sb ON sb.doc_id = p.train_id AND sb.seed = sa.seed
          GROUP BY p.eval_id, p.train_id
          ORDER BY eval_id, train_id""",
+
+    // exact-decimal per-coordinate sums (the lloyd pos0/cen CTE shape),
+    // one double division + 6 dp round per mean coordinate, the global
+    // mean from the SAME partials re-aggregated
+    "quality_embedding_drift" ->
+      """WITH pos0 AS (
+           SELECT label AS grp, generate_subscripts(embedding, 1) AS pos,
+                  unnest(embedding) AS v
+           FROM embeddings),
+         parts AS (
+           SELECT grp, pos, sum(v::decimal(38,10)) AS s, count(*) AS n
+           FROM pos0 GROUP BY grp, pos),
+         gm AS (
+           SELECT grp, max(n) AS n,
+                  list(round(s::double / n, 6) ORDER BY pos) AS gv
+           FROM parts GROUP BY grp),
+         gl AS (
+           -- 'gall', not 'glob': GLOB is a DuckDB keyword and the bare
+           -- identifier is a parse error inside an expression
+           SELECT list(m ORDER BY pos) AS gall FROM (
+             SELECT pos, round(sum(s)::double / sum(n), 6) AS m
+             FROM parts GROUP BY pos))
+         SELECT grp AS label, n,
+           round(list_dot_product(gv, gall) /
+             (sqrt(list_dot_product(gv, gv)) *
+              sqrt(list_dot_product(gall, gall))), 6) AS drift
+         FROM gm, gl ORDER BY label""",
 
     "quality_histogram_drift" ->
       """WITH b AS (

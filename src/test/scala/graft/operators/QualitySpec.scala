@@ -157,4 +157,29 @@ class QualitySpec extends SparkSpec {
       s"allowlist must broadcast into an anti-join:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"fact side must not shuffle-sort:\n$plan")
   }
+
+  test("embeddingGroupDrift: aligned group scores high, shifted group low, order-stable") {
+    import spark.implicits._
+    // group 0: vectors along +x (its mean IS roughly the global mean's
+    // dominant direction); group 1: along +y — shifted away
+    val emb = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 0, Array(1.1f, -0.1f)),
+      (3L, 1, Array(0.0f, 1.0f)), (4L, 1, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Quality.embeddingGroupDrift(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(0, 1))
+    assert(got(0)._1 == 3L && got(1)._1 == 2L, "per-group vector counts")
+    // global mean leans toward group 0 (3 of 5 vectors) — group 0's
+    // drift cosine must exceed group 1's
+    assert(got(0)._2 > got(1)._2,
+      s"aligned group must score higher: $got")
+    assert(got.values.forall(v => v._2 >= -1.0 && v._2 <= 1.0))
+    // partition-order-proof: decimal sums make the result identical
+    // under any repartitioning
+    val re = Quality.embeddingGroupDrift(emb.repartition(7), "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(re == got)
+  }
 }
