@@ -79,6 +79,16 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ... and AT INGEST: every stateless gate of the audit evaluated on
+    // each arriving document (quality, repetition, decontamination vs
+    // the frozen benchmark digests, mix, split) — the decision log
+    // exists the moment a doc lands; corpus-global gates (canonicality)
+    // stay batch by design. Per-doc independent → batch-equivalent,
+    // replaying the batch audit oracle minus the corpus-global columns.
+    "stream_curation_audit" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline.streamingCurationAudit(s, dir)
+    },
+
     // Stratified split assignment: deterministic content-hash buckets
     // within length strata; output is the stratum × split census the
     // pipeline audits mix ratios with.
@@ -584,6 +594,45 @@ object CurationQueries {
 
     // the at-ingest twin reports the same per-doc overlap rows
     "stream_contamination" -> ContaminationSql,
+
+    // the at-ingest audit: the batch audit's CTE chain minus the
+    // corpus-global columns (is_canonical, keep)
+    "stream_curation_audit" ->
+      s"""WITH $ShinglesCte,
+          bench AS (
+            SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+            FROM shingled WHERE doc_id % 97 = 0),
+          corpus AS (
+            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::bigint AS sh
+            FROM shingled),
+          contam AS (
+            SELECT c.doc_id,
+                   count(b.sh)::double / count(*) >= 0.5 AS contaminated
+            FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+            GROUP BY c.doc_id)
+          SELECT d.doc_id, d.source,
+            round(greatest(0.0,
+              least(length(d.text)::double / 500.0, 1.0)
+              - len(regexp_extract_all(d.text, '[^a-zA-Z0-9 ]'))::double
+                  / length(d.text) * 2.0
+              - greatest(0.0,
+                  len(list_filter(string_split(d.text, ' '),
+                    x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::double
+                    / len(string_split(d.text, ' ')) - 0.4)), 6) >= 0.3
+              AS quality_pass,
+            1.0 - len(list_distinct(string_split(d.text, ' ')))::double
+                    / len(string_split(d.text, ' ')) <= 0.5 AS low_repetition,
+            coalesce(c.contaminated, false) AS contaminated,
+            ('0x' || substr(md5('mix:' || d.text), 1, 15))::bigint % 10000
+              < (CASE d.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                               WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 10000
+              AS mix_keep,
+            CASE WHEN d.text IS NULL THEN NULL
+                 WHEN ('0x' || substr(md5('split:' || d.text), 1, 15))::bigint % 100 < 90 THEN 'train'
+                 WHEN ('0x' || substr(md5('split:' || d.text), 1, 15))::bigint % 100 < 95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+          ORDER BY d.doc_id""",
 
     "curation_split_census" ->
       """WITH assigned AS (

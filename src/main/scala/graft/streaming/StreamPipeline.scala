@@ -761,6 +761,57 @@ object StreamPipeline {
     runToMemory(scored, "append", "graft_sdsir").orderBy("doc_id")
   }
 
+  /** The curation decision log AT INGEST: every STATELESS gate of
+    * [[graft.queries.CurationQueries]]' `curation_audit` — quality,
+    * repetition, benchmark decontamination (vs the frozen benchmark
+    * digest set), domain mix, split — evaluated per arriving document,
+    * so the per-doc provenance row exists the moment the doc lands.
+    * Corpus-GLOBAL gates (dedup canonicality) structurally cannot ride
+    * a stateless ingest pass and stay batch — the same division as the
+    * DSIR/prototype scorers (score at ingest, global decisions in
+    * batch). Two AvailableNow passes over the arrivals: the gate
+    * projections sink per-doc rows, the decontamination probe sinks
+    * hit rows ([[graft.operators.Curation.contaminationHits]] — only
+    * matches reach the sink), and the per-doc contamination fold runs
+    * post-drain on the result-sized hits. Per-doc independent →
+    * batch-equivalent: the registry row shares `curation_audit`'s gate
+    * expressions and replays the batch oracle minus the corpus-global
+    * columns. */
+  def streamingCurationAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val bench = graft.operators.Curation.benchDigests(
+      docs.filter(col("doc_id") % ContamBenchMod === 0),
+      "text", "doc_id", ContamShingleN)
+    def arrivals = spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val toks = split(col("text"), " ")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+    val gates = runToMemory(arrivals.select(
+      col("doc_id"), col("source"),
+      (round(graft.operators.TextAnalysis.qualityScore(col("text")), 6) >= 0.3)
+        .as("quality_pass"),
+      (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+        <= 0.5).as("low_repetition"),
+      graft.operators.Curation.domainMix(col("text"), col("source"), rates,
+        defaultRate = 0.75).as("mix_keep"),
+      graft.operators.Curation.assignSplit(col("text"), trainPct = 90,
+        valPct = 5).as("split")), "append", "graft_saudg")
+    val hits = runToMemory(graft.operators.Curation.contaminationHits(
+      arrivals, bench, "doc_id", "text", ContamShingleN), "append", "graft_saudh")
+    val contam = graft.operators.Curation
+      .contaminationFromHits(hits, "doc_id", threshold = 0.5)
+      .select(col("doc_id"), col("contaminated"))
+    gates.join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("quality_pass"),
+        col("low_repetition"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("mix_keep"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Prototypicality scoring AT INGEST: the centroid set is collected
     * ONCE from the static corpus (the kernel-ref precedent of the
     * DSIR log-ratio table and the IVF centroid refs) and each arriving

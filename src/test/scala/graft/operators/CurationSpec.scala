@@ -323,6 +323,23 @@ class CurationSpec extends SparkSpec {
       "one audit row per document")
   }
 
+  test("streaming audit ≡ batch audit's stateless columns, row for row") {
+    // per-doc independence makes the ingest leg batch-equivalent; the
+    // corpus-global columns (is_canonical, keep) are absent by design
+    val stream = graft.streaming.StreamPipeline
+      .streamingCurationAudit(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getString(6))).toSet
+    val batch = graft.SparkEntry.queries("curation_audit")(spark, Sf0001)
+      .select("doc_id", "source", "quality_pass", "low_repetition",
+        "contaminated", "mix_keep", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getString(6))).toSet
+    assert(stream == batch,
+      s"diff: ${(stream -- batch).take(2)} / ${(batch -- stream).take(2)}")
+    assert(stream.exists(_._5), "contamination gate fires at ingest")
+  }
+
   test("prototypePrune: per-cluster floor(n·frac) most-prototypical rows drop") {
     val centroids = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
