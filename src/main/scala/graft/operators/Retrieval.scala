@@ -836,4 +836,202 @@ object Retrieval {
       IndexManifest.readAt(spark, root, snap, CorpusTable),
       queryTerms(spark, queries), distinctTerms(queries), k)
   }
+
+  // ---- Positional phrase search ----------------------------------------
+  //
+  // The postings above carry (term, doc, tf) — enough for bag-of-words
+  // BM25, blind to word ORDER. Phrase search ("window agg" as a unit, not
+  // two independent terms) needs token positions. Classic IR machinery
+  // (Lucene's PositionsEnum, Indri's #1 operator) re-expressed
+  // relationally: a phrase occurrence at start position s is one row per
+  // phrase offset o with term(s+o) = phrase[o], so the match is a
+  // broadcast join of positional postings against the (offset, term)
+  // phrase frame followed by a grouped completeness check — no
+  // per-document iteration, no UDF, shuffle keyed on candidates only.
+
+  /** Positional postings: one row per surviving (doc, position) token —
+    * `(term, doc_id, pos, dl)`. `pos` is 1-based over the RAW space-split
+    * (an empty token from doubled separators keeps its slot and is then
+    * dropped), so adjacency is a property of the source text, not of the
+    * filtered stream; `dl` is the raw split length, same normalization as
+    * [[postings]]. Build is wordcount-shaped: one projection over one
+    * corpus scan, no joins, no windows — ~row-per-token, the same output
+    * volume the tf postings' pre-aggregation stream has. */
+  def positionalPostings(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        posexplode(col("toks")).as(Seq("pos0", "term")))
+      .filter(col("term") =!= "")
+      .select(col("term"), col("doc_id"), (col("pos0") + 1).as("pos"),
+        col("dl"))
+
+  /** A driver-side phrase batch as `(query_id, off, term, plen)` — one
+    * row per phrase token with its 0-based offset within the phrase
+    * (duplicated terms keep BOTH offsets: "table table" is two distinct
+    * constraints) and the phrase length denormalized for the
+    * completeness check. Offsets number the FILTERED token sequence
+    * (empty phrase tokens are squeezed), matching how a user writes a
+    * phrase, while document positions stay raw — the contract the
+    * oracle replays. */
+  def phraseQueryFrame(
+      spark: SparkSession, phrases: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
+    phrases.flatMap { case (qid, text) =>
+      val ts = text.split(" ").filter(_.nonEmpty)
+      ts.zipWithIndex.map { case (t, i) => (qid, i, t, ts.length) }
+    }.toDF("query_id", "off", "term", "plen")
+  }
+
+  /** Phrase occurrences: `(query_id, doc_id, start)` — one row per place
+    * a phrase matches in full. `posts` must be positional `(term,
+    * doc_id, pos)` rows already restricted (or restrictable by Catalyst)
+    * to the phrase terms. Each matched posting votes for the start
+    * position it would imply (`pos - off`); a start with ALL `plen`
+    * distinct offsets present is an occurrence. COUNT(DISTINCT off) —
+    * not COUNT(*) — because a term repeated in the phrase matches one
+    * document position under several offsets. */
+  def phraseStarts(posts: DataFrame, pq: DataFrame): DataFrame =
+    posts
+      .join(broadcast(pq), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("start"), col("off"), col("plen"))
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("__hits"),
+        max(col("plen")).as("__plen"))
+      .filter(col("__hits") === col("__plen"))
+      .select(col("query_id"), col("doc_id"), col("start"))
+
+  /** The shared ranking tail: occurrences → per-(query, doc) phrase
+    * frequency → bounded-heap top-k by (n_occ DESC, doc_id ASC). Integer
+    * scores — nothing to round, the ordering replays exactly in any
+    * engine. */
+  private def phraseRank(occ: DataFrame, k: Int): DataFrame = {
+    val scored = occ.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val order = Seq(col("n_occ").desc, col("doc_id").asc)
+    TopK.perKey(scored, Seq("query_id"), order, k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(order: _*)))
+      .select(col("query_id"), col("doc_id"), col("n_occ"), col("rank"))
+  }
+
+  private def distinctPhraseTerms(phrases: Seq[(Int, String)]): Seq[String] =
+    phrases.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+
+  /** Inline phrase top-k over the lake: positional postings restricted to
+    * the phrase vocabulary (pushed `term IN` under [[termFilter]]'s cap,
+    * broadcast semi beyond), occurrence assembly, integer-rank top-k.
+    * Scale shape: the corpus is scanned once for positional postings of
+    * the PHRASE TERMS ONLY — the scan's explode output is filtered by the
+    * pushed term predicate before any shuffle — then two candidate-sized
+    * keyed aggregates (per-start completeness, per-doc frequency) and the
+    * bounded-heap rank. Nothing is quadratic; a phrase of length L
+    * contributes ≤ L rows per matched document position. */
+  def phraseTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(Int, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val pq = phraseQueryFrame(spark, phrases)
+    val posts = termFilter(
+      positionalPostings(docs, idCol, textCol)
+        .select(col("term"), col("doc_id"), col("pos")),
+      pq, distinctPhraseTerms(phrases))
+    phraseRank(phraseStarts(posts, pq), k)
+  }
+
+  // ---- Positional index under the atomic manifest protocol -------------
+  //
+  // The phrase/proximity serve path: positions persisted once,
+  // term-clustered like the tf postings so a probe's pushed `term IN`
+  // prunes row groups, published through the same build → append →
+  // probe(→ pinned) manifest lifecycle as every other index family.
+  // ~row-per-token storage (the honest cost of positional search —
+  // Lucene pays the same), but a probe reads only the phrase terms'
+  // rows. Three tables: `pos` (term, doc_id, pos, dl), `corpus`
+  // (n_docs, sum_dl segment rows — phrase ranking is integer-only but
+  // window-scored probes need the scalars, and they must travel with
+  // the positions), `docs` (digest rows for exact append dedup).
+
+  private val PosTable = "pos"
+
+  /** Build the positional index at `root` under the manifest protocol. */
+  def buildPosIndexM(
+      docs: DataFrame, idCol: String, textCol: String, root: String): Long = {
+    val spark = docs.sparkSession
+    val pSeg = IndexManifest.newSegment(PosTable)
+    writePosSegment(positionalPostings(docs, idCol, textCol), s"$root/$pSeg")
+    val cSeg = IndexManifest.newSegment(CorpusTable)
+    writeCorpusSeg(docs, textCol, s"$root/$cSeg")
+    val dSeg = IndexManifest.newSegment(DocsTable)
+    docDigests(docs, idCol, textCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$dSeg")
+    IndexManifest.commit(spark, root, Map(
+      PosTable -> Seq(pSeg), CorpusTable -> Seq(cSeg),
+      DocsTable -> Seq(dSeg)),
+      meta = Map("family" -> "posidx"))
+  }
+
+  private def writePosSegment(pos: DataFrame, dir: String): Unit =
+    pos
+      .repartition(col("term"),
+        pmod(hash(col("doc_id")), lit(PostingsSaltBuckets)))
+      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Append a delta corpus to a positional index — pure segment append
+    * (positions of new docs only ADD rows; corpus scalars are segment
+    * rows summed at probe time). Same disjoint-doc-ids contract and
+    * `dedupAgainstIndex` escape hatch as [[appendIndexM]]; the dedup
+    * anti-joins the slim digest table, exact for every doc shape. */
+  def appendPosIndexM(
+      delta: DataFrame, idCol: String, textCol: String, root: String,
+      dedupAgainstIndex: Boolean = false,
+      extraMeta: Map[String, String] = Map.empty): Long = {
+    val spark = delta.sparkSession
+    val snap = IndexManifest.snapshot(spark, root)
+    val src =
+      if (!dedupAgainstIndex) delta
+      else delta.join(
+        IndexManifest.readAt(spark, root, snap, DocsTable)
+          .select(col("doc_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    val pSeg = IndexManifest.newSegment(PosTable)
+    writePosSegment(positionalPostings(src, idCol, textCol), s"$root/$pSeg")
+    val cSeg = IndexManifest.newSegment(CorpusTable)
+    writeCorpusSeg(src, textCol, s"$root/$cSeg")
+    val dSeg = IndexManifest.newSegment(DocsTable)
+    docDigests(src, idCol, textCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$dSeg")
+    IndexManifest.commit(spark, root,
+      snap.tables
+        .updated(PosTable, snap.tables(PosTable) :+ pSeg)
+        .updated(CorpusTable, snap.tables(CorpusTable) :+ cSeg)
+        .updated(DocsTable, snap.tables(DocsTable) :+ dSeg),
+      expect = Some(snap.version),
+      meta = IndexManifest.stampAppendSegs(
+        extraMeta, Seq(pSeg, cSeg, dSeg)))
+  }
+
+  /** Phrase top-k against a committed positional index: the stored `pos`
+    * table restricted to the phrase vocabulary (pushed `term IN` on the
+    * term-clustered files), then the same occurrence assembly and
+    * integer rank as the inline path — never touches lake text. `at`
+    * pins a committed version (release-pinned phrase replay). */
+  def phraseProbeM(
+      spark: SparkSession, root: String,
+      phrases: Seq[(Int, String)], k: Int,
+      at: Option[Long] = None): DataFrame = {
+    val snap = at
+      .map(v => IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(IndexManifest.snapshot(spark, root))
+    val pq = phraseQueryFrame(spark, phrases)
+    val posts = termFilter(
+      IndexManifest.readAt(spark, root, snap, PosTable)
+        .select(col("term"), col("doc_id"), col("pos")),
+      pq, distinctPhraseTerms(phrases))
+    phraseRank(phraseStarts(posts, pq), k)
+  }
 }

@@ -77,6 +77,45 @@ object LlmQueries {
   // scale factor, interpolated into both sides.
   private[queries] val Bm25Anchors: Seq[Long] = Seq(0L, 1L, 2L, 3L)
 
+  // The phrase batch — bigram, trigram, AND a repeated-term phrase
+  // ("table table": one document position satisfies two phrase offsets,
+  // the case COUNT(*) would miscount). All non-degenerate at sf0.01.
+  private[queries] val PhraseQueries: Seq[(Int, String)] = Seq(
+    0 -> "table part",
+    1 -> "window agg",
+    2 -> "table table",
+    3 -> "key agg row")
+  private val PhraseK = 10
+
+  private def phraseOracleSql(corpusSql: String): String = {
+    val qvals = PhraseQueries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).zipWithIndex
+          .map { case (t, i) => s"($qid, $i, '$t')" }
+      }
+      .mkString(", ")
+    s"""WITH q(query_id, off, term) AS (VALUES $qvals),
+       ql AS (SELECT query_id, count(*) AS plen FROM q GROUP BY 1),
+       toks AS (
+         SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM ($corpusSql)),
+       p AS (SELECT term, doc_id, pos FROM toks WHERE term <> ''),
+       starts AS (
+         SELECT q.query_id, p.doc_id, p.pos - q.off AS start
+         FROM q JOIN p USING (term) JOIN ql USING (query_id)
+         GROUP BY 1, 2, 3, ql.plen
+         HAVING count(DISTINCT q.off) = ql.plen),
+       scored AS (
+         SELECT query_id, doc_id, count(*) AS n_occ
+         FROM starts GROUP BY 1, 2)
+       SELECT query_id, doc_id, n_occ,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_occ DESC, doc_id) AS rank
+       FROM scored QUALIFY rank <= $PhraseK ORDER BY query_id, rank"""
+  }
+
   private lazy val Rm3OracleSql: String = {
       val qvals = Bm25Queries
         .flatMap { case (qid, text) =>
@@ -1955,6 +1994,56 @@ object LlmQueries {
     "retrieval_rm3" -> q { (s, dir) =>
       Retrieval.rm3TopK(Tables.load(s, dir, "documents"),
           "doc_id", "text", Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // Positional phrase search — the inverted index's (term, doc, tf)
+    // rows are blind to word ORDER; phrase matching ("window agg" as a
+    // unit) is the first retrieval primitive that needs positions.
+    // Relational phrase assembly: positional postings of the phrase
+    // terms only (pushed term IN), each match votes for the start it
+    // implies, a start with all offsets present is an occurrence,
+    // integer-rank top-k by phrase frequency. The repeated-term phrase
+    // exercises the COUNT(DISTINCT off) completeness check.
+    "retrieval_phrase" -> q { (s, dir) =>
+      Retrieval.phraseTopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", PhraseQueries, PhraseK)
+        .orderBy("query_id", "rank")
+    },
+
+    // ... and the steady-state SERVE path: the probe reads the committed
+    // positional index's term-clustered `pos` table (pushed term IN —
+    // never lake text); build-if-stale so the timed cost is the phrase
+    // probe a deployment pays. Shares the inline oracle: stored
+    // positions ≡ recomputed positions.
+    "retrieval_phrase_served" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("posidx", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        Retrieval.buildPosIndexM(docs, "doc_id", "text", root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      Retrieval.phraseProbeM(s, root, PhraseQueries, PhraseK)
+        .orderBy("query_id", "rank")
+    },
+
+    // Release-pinned phrase time travel: v1 indexes the even docs, HEAD
+    // appends the odd half; the probe pinned at v1 must assemble
+    // occurrences from the pinned positions only — the phrase hits a
+    // release shipped with replay exactly. (The appended index equals
+    // the full corpus's, so the UNPINNED probe over the same root is
+    // lifecycle-tested by the spec; the registry row grades the pin.)
+    "retrieval_phrase_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("pospin", dir)
+      val v1 = Retrieval.buildPosIndexM(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      Retrieval.appendPosIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", root)
+      Retrieval.phraseProbeM(s, root, PhraseQueries, PhraseK, at = Some(v1))
         .orderBy("query_id", "rank")
     },
 
@@ -4909,6 +4998,17 @@ object LlmQueries {
     // The served twin shares it: stored df ≡ counted df.
     "retrieval_rm3" -> Rm3OracleSql,
     "retrieval_rm3_served" -> Rm3OracleSql,
+
+    // Phrase search: the zipped parallel unnests reproduce posexplode's
+    // raw-split 1-based positions (empty tokens keep their slot, then
+    // drop); a start with all plen DISTINCT offsets present is an
+    // occurrence; ranking is pure integer arithmetic. The served twin
+    // shares it (stored ≡ recomputed positions); the pinned twin replays
+    // it over v1's even-doc corpus.
+    "retrieval_phrase" -> phraseOracleSql("SELECT * FROM documents"),
+    "retrieval_phrase_served" -> phraseOracleSql("SELECT * FROM documents"),
+    "retrieval_phrase_pinned" ->
+      phraseOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
     // the streaming twin's index is frozen for the run, so the
     // batch-union output replays as one-shot RM3 over the same queries
     "stream_retrieval_rm3" -> Rm3OracleSql,

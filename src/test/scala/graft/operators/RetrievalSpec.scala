@@ -254,4 +254,78 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("In(term"), "query-term IN filter must push into parquet")
     assert(!plan.toLowerCase.contains("documents"), "probe must not scan the corpus")
   }
+
+  // ---- positional phrase search ----------------------------------------
+
+  private def phraseRows(
+      phrases: Seq[(Int, String)], k: Int = 10,
+      docs: org.apache.spark.sql.DataFrame = corpus): Seq[(Int, Long, Long, Int)] =
+    Retrieval.phraseTopK(docs, "doc_id", "text", phrases, k)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+
+  test("phrase: adjacency required and every full occurrence counted") {
+    // doc 0 = "spark window agg spark window": starts 1 and 4 → n_occ=2;
+    // no other doc contains the bigram
+    assert(phraseRows(Seq(0 -> "spark window")) ==
+      Seq((0, 0L, 2L, 1)))
+  }
+
+  test("phrase matching is order-sensitive (bag-of-words must not match)") {
+    // doc 0 contains both terms, window never directly precedes spark
+    assert(phraseRows(Seq(0 -> "window spark")).isEmpty)
+  }
+
+  test("repeated-term phrase: one doc position satisfies several offsets") {
+    // doc 4 = "window window window window": starts 1,2,3 → n_occ=3.
+    // doc 0 has window@2 and window@5 — not adjacent, no occurrence.
+    assert(phraseRows(Seq(0 -> "window window")) ==
+      Seq((0, 4L, 3L, 1)))
+  }
+
+  test("trigram with a trailing partial start counts only complete spans") {
+    // doc 1 = "hash join table hash": start 1 complete; hash@4 votes
+    // start 4 with only offset 0 present → not an occurrence
+    assert(phraseRows(Seq(0 -> "hash join table")) ==
+      Seq((0, 1L, 1L, 1)))
+  }
+
+  test("doubled separators break adjacency (raw-split positions)") {
+    import spark.implicits._
+    val docs = Seq((0L, "a  b"), (1L, "a b")).toDF("doc_id", "text")
+    // doc 0 splits to [a, '', b]: a@1, b@3 — "a b" must not match
+    assert(phraseRows(Seq(0 -> "a b"), docs = docs) ==
+      Seq((0, 1L, 1L, 1)))
+  }
+
+  test("phrase ranking: frequency desc, doc_id tiebreak, k bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "x y x y x y"), // starts 1,3,5 → 3
+      (3L, "x y q x y"),   // starts 1,4 → 2
+      (5L, "x y q x y")    // tie with doc 3 → doc 3 first
+    ).toDF("doc_id", "text")
+    assert(phraseRows(Seq(0 -> "x y"), k = 2, docs = docs) ==
+      Seq((0, 7L, 3L, 1), (0, 3L, 2L, 2)))
+  }
+
+  test("phrase differential: relational assembly ≡ driver-side sliding window at sf0.001") {
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val phrases = Seq(0 -> "table part", 1 -> "table table", 2 -> "key agg row")
+    val got = phraseRows(phrases, k = 1000, docs = docs)
+      .map { case (q, d, n, _) => (q, d, n) }.toSet
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = (for {
+      (qid, ph) <- phrases
+      pts = ph.split(" ").filter(_.nonEmpty)
+      (did, text) <- texts
+      toks = text.split(" ", -1) // raw split, empties keep their slot
+      n = toks.indices.count(s =>
+        s + pts.length <= toks.length &&
+          pts.indices.forall(i => toks(s + i) == pts(i) && toks(s + i).nonEmpty))
+      if n > 0
+    } yield (qid, did, n.toLong)).toSet
+    assert(got == want)
+  }
 }
