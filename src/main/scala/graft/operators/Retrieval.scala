@@ -1034,4 +1034,108 @@ object Retrieval {
       pq, distinctPhraseTerms(phrases))
     phraseRank(phraseStarts(posts, pq), k)
   }
+
+  // ---- Sequential dependence model (SDM) --------------------------------
+  //
+  // Metzler & Croft 2005: term order matters SOFTLY — blend the
+  // bag-of-words score with scores for adjacent query-term pairs
+  // appearing (a) exactly adjacent in order (#1 windows) and (b) both
+  // within an unordered window (#uw8). The de-facto strong lexical
+  // baseline in IR evaluation, here in its BM25 adaptation (each
+  // component scored with [[contribExpr]], window counts as pseudo-term
+  // tf, window document frequencies as pseudo-term df). Default weights
+  // are the paper's (0.85, 0.10, 0.05).
+
+  /** Distinct adjacent query-term pairs per query, in raw token order. */
+  private def sdmPairs(queries: Seq[(Int, String)]): Seq[(Int, String, String)] =
+    queries.flatMap { case (qid, text) =>
+      val ts = text.split(" ").filter(_.nonEmpty)
+      ts.zip(ts.drop(1)).distinct.map { case (a, b) => (qid, a, b) }
+    }
+
+  /** SDM top-k over the lake. Scale shape: the corpus is scanned ONCE
+    * for positional postings of the query vocabulary (pushed `term IN`);
+    * that candidate-sized frame is cached and feeds all three
+    * components — the unigram tf/df aggregate and the two pair joins,
+    * each an equi-join keyed (doc, pos[, term]) whose inputs are
+    * query-term rows only, never the corpus. Window dfs are
+    * queries×pairs-sized broadcasts. Per-component scores are the
+    * round-6/decimal-sum discipline; the blend multiplies round-6
+    * doubles by exact decimal weights and rounds ONCE, so the ranking
+    * replays bit-for-bit in the oracle. A doc with a window hit
+    * necessarily has both unigrams, so the blend left-joins the window
+    * components onto the unigram frame (no full outer needed). */
+  def sdmTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int, wUn: Int = 8,
+      lambdaT: String = "0.85", lambdaO: String = "0.10",
+      lambdaU: String = "0.05"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queryTerms(spark, queries)
+    val pairFrame = sdmPairs(queries).toDF("query_id", "ta", "tb")
+    val (n, sumDl) = corpusStats(docs, textCol)
+    val contrib = contribExpr(n, sumDl)
+
+    val pp = termFilter(
+      positionalPostings(docs, idCol, textCol),
+      qt, distinctTerms(queries)).persist()
+    try {
+      // unigram component — plain BM25 over tf postings derived from
+      // the cached positional rows (one less corpus scan)
+      val tfPosts = pp.groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tfPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val sT = bm25Scored(tfPosts, dfT, qt, n, sumDl)
+        .withColumnRenamed("score", "s_t")
+
+      // pair sides: `a` carries the left term + its dl, `b` the right
+      val aSide = pp
+        .join(broadcast(pairFrame), pp("term") === pairFrame("ta"))
+        .select(col("query_id"), col("ta"), col("tb"), col("doc_id"),
+          col("pos").as("pa"), col("dl"))
+      val bSide = pp.select(col("term").as("tb2"),
+        col("doc_id").as("doc_b"), col("pos").as("pb"))
+
+      def pairComponent(posCond: Column, outCol: String): DataFrame = {
+        val hits = aSide.join(bSide,
+          aSide("doc_id") === bSide("doc_b") &&
+            bSide("tb2") === aSide("tb") && posCond)
+        val tfW = hits
+          .groupBy(col("query_id"), col("ta"), col("tb"), col("doc_id"),
+            col("dl"))
+          .agg(count(lit(1)).as("tf"))
+        val dfW = tfW.groupBy(col("query_id"), col("ta"), col("tb"))
+          .agg(count(lit(1)).as("df"))
+        tfW.join(broadcast(dfW), Seq("query_id", "ta", "tb"))
+          .select(col("query_id"), col("doc_id"),
+            contrib.cast("decimal(38,10)").as("w"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(round(sum(col("w")).cast("double"), 6).as(outCol))
+      }
+
+      // ordered: exactly adjacent, in order (#1 windows)
+      val sO = pairComponent(bSide("pb") === aSide("pa") + 1, "s_o")
+      // unordered: both terms within wUn positions, any order (#uwN);
+      // a repeated-term pair counts each unordered position pair once
+      val sU = pairComponent(
+        when(aSide("ta") === aSide("tb"),
+          bSide("pb") > aSide("pa") && bSide("pb") - aSide("pa") < wUn)
+          .otherwise(bSide("pb") =!= aSide("pa") &&
+            abs(bSide("pb") - aSide("pa")) < wUn), "s_u")
+
+      val blend = round(
+        col("s_t").cast("decimal(18,9)") *
+          lit(new java.math.BigDecimal(lambdaT)) +
+          coalesce(col("s_o"), lit(0.0)).cast("decimal(18,9)") *
+            lit(new java.math.BigDecimal(lambdaO)) +
+          coalesce(col("s_u"), lit(0.0)).cast("decimal(18,9)") *
+            lit(new java.math.BigDecimal(lambdaU)), 6).cast("double")
+      val scored = sT
+        .join(sO, Seq("query_id", "doc_id"), "left")
+        .join(sU, Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"), blend.as("score"))
+      rankTopK(scored, k).localCheckpoint(true)
+    } finally pp.unpersist()
+  }
 }

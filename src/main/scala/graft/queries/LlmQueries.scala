@@ -116,6 +116,91 @@ object LlmQueries {
        FROM scored QUALIFY rank <= $PhraseK ORDER BY query_id, rank"""
   }
 
+  private lazy val SdmOracleSql: String = {
+    val uvals = Bm25Queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+      }
+      .mkString(", ")
+    val pvals = Bm25Queries
+      .flatMap { case (qid, text) =>
+        val ts = text.split(" ").filter(_.nonEmpty)
+        ts.zip(ts.drop(1)).distinct.map { case (a, b) => s"($qid, '$a', '$b')" }
+      }
+      .mkString(", ")
+    // each component's contrib mirrors the Spark tree operand-for-operand
+    def contrib(tf: String, df: String, dl: String) =
+      s"""round(
+           ln(1.0 + (c.n::double - $df + 0.5) / ($df + 0.5)) *
+           (($tf * ${Retrieval.K1 + 1.0}) /
+            ($tf + ${Retrieval.K1} *
+              (${1.0 - Retrieval.B} + ${Retrieval.B} *
+                ($dl / (c.sumdl::double / c.n))))),
+           6)::DECIMAL(38,10)"""
+    s"""WITH uq(query_id, term) AS (VALUES $uvals),
+       pq(query_id, ta, tb) AS (VALUES $pvals),
+       toks AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS term,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM documents),
+       p AS (SELECT term, doc_id, pos, dl FROM toks WHERE term <> ''),
+       tf AS (
+         SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+         FROM p GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       c AS (SELECT count(*)::bigint AS n,
+                    sum(len(string_split(text, ' ')))::bigint AS sumdl
+             FROM documents),
+       st AS (
+         SELECT uq.query_id, tf.doc_id,
+           round(sum(${contrib("tf.tf", "df.df", "tf.dl")})::double, 6) AS s_t
+         FROM uq JOIN tf USING (term) JOIN df ON tf.term = df.term, c
+         GROUP BY 1, 2),
+       ohit AS (
+         SELECT pq.query_id, pq.ta, pq.tb, a.doc_id,
+                any_value(a.dl) AS dl, count(*) AS tf
+         FROM pq JOIN p a ON a.term = pq.ta
+              JOIN p b ON b.doc_id = a.doc_id AND b.term = pq.tb
+               AND b.pos = a.pos + 1
+         GROUP BY 1, 2, 3, 4),
+       odf AS (SELECT query_id, ta, tb, count(*) AS df FROM ohit GROUP BY 1, 2, 3),
+       so AS (
+         SELECT o.query_id, o.doc_id,
+           round(sum(${contrib("o.tf", "odf.df", "o.dl")})::double, 6) AS s_o
+         FROM ohit o JOIN odf USING (query_id, ta, tb), c
+         GROUP BY 1, 2),
+       uhit AS (
+         SELECT pq.query_id, pq.ta, pq.tb, a.doc_id,
+                any_value(a.dl) AS dl, count(*) AS tf
+         FROM pq JOIN p a ON a.term = pq.ta
+              JOIN p b ON b.doc_id = a.doc_id AND b.term = pq.tb
+               AND CASE WHEN pq.ta = pq.tb
+                     THEN b.pos > a.pos AND b.pos - a.pos < $SdmWindow
+                     ELSE b.pos <> a.pos AND abs(b.pos - a.pos) < $SdmWindow
+                   END
+         GROUP BY 1, 2, 3, 4),
+       udf AS (SELECT query_id, ta, tb, count(*) AS df FROM uhit GROUP BY 1, 2, 3),
+       su AS (
+         SELECT u.query_id, u.doc_id,
+           round(sum(${contrib("u.tf", "udf.df", "u.dl")})::double, 6) AS s_u
+         FROM uhit u JOIN udf USING (query_id, ta, tb), c
+         GROUP BY 1, 2),
+       blended AS (
+         SELECT st.query_id, st.doc_id,
+           round(st.s_t::DECIMAL(18,9) * 0.85::DECIMAL(3,2) +
+                 coalesce(so.s_o, 0)::DECIMAL(18,9) * 0.10::DECIMAL(3,2) +
+                 coalesce(su.s_u, 0)::DECIMAL(18,9) * 0.05::DECIMAL(3,2),
+                 6)::double AS score
+         FROM st LEFT JOIN so USING (query_id, doc_id)
+                 LEFT JOIN su USING (query_id, doc_id))
+       SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+       FROM blended QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
+  }
+  private val SdmWindow = 8
+
   private lazy val Rm3OracleSql: String = {
       val qvals = Bm25Queries
         .flatMap { case (qid, text) =>
@@ -2044,6 +2129,18 @@ object LlmQueries {
       Retrieval.appendPosIndexM(docs.filter(col("doc_id") % 2 =!= 0),
         "doc_id", "text", root)
       Retrieval.phraseProbeM(s, root, PhraseQueries, PhraseK, at = Some(v1))
+        .orderBy("query_id", "rank")
+    },
+
+    // Sequential dependence (Metzler-Croft SDM, BM25 adaptation): blend
+    // bag-of-words BM25 with ordered-adjacency (#1) and unordered-window
+    // (#uw8) pair components at the paper's (0.85, 0.10, 0.05). One
+    // positional scan of the query vocabulary feeds all three
+    // components; the blend multiplies round-6 component doubles by
+    // exact decimal weights and rounds once — bit-replayable.
+    "retrieval_sdm" -> q { (s, dir) =>
+      Retrieval.sdmTopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", Bm25Queries, Bm25K)
         .orderBy("query_id", "rank")
     },
 
@@ -5005,6 +5102,10 @@ object LlmQueries {
     // occurrence; ranking is pure integer arithmetic. The served twin
     // shares it (stored ≡ recomputed positions); the pinned twin replays
     // it over v1's even-doc corpus.
+    // SDM: unigram/ordered/unordered components each replay the BM25
+    // contrib discipline over their own tf/df; the blend is exact
+    // decimal (round-6 double × 2-dp weight), rounded once.
+    "retrieval_sdm" -> SdmOracleSql,
     "retrieval_phrase" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_served" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_pinned" ->

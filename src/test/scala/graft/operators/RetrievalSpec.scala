@@ -309,6 +309,83 @@ class RetrievalSpec extends SparkSpec {
       Seq((0, 7L, 3L, 1), (0, 3L, 2L, 2)))
   }
 
+  test("phrase served from the persisted positional index ≡ inline; append ≡ from-scratch; pin replays v1") {
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val phrases = Seq(0 -> "table part", 1 -> "table table")
+    val root = tmp(s"posidx_${java.util.UUID.randomUUID().toString.take(8)}")
+    val v1 = Retrieval.buildPosIndexM(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", root)
+    Retrieval.appendPosIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // accumulated index ≡ inline over the full corpus
+    assert(rows(Retrieval.phraseProbeM(spark, root, phrases, 10)) ==
+      rows(Retrieval.phraseTopK(docs, "doc_id", "text", phrases, 10)))
+    // pinned at v1 ≡ inline over the even half only
+    assert(rows(Retrieval.phraseProbeM(spark, root, phrases, 10, at = Some(v1))) ==
+      rows(Retrieval.phraseTopK(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", phrases, 10)))
+  }
+
+  test("phrase probe plan: term filter pushed into the pos scan, corpus never scanned") {
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val root = tmp(s"posplan_${java.util.UUID.randomUUID().toString.take(8)}")
+    Retrieval.buildPosIndexM(docs, "doc_id", "text", root)
+    val plan = Retrieval.phraseProbeM(spark, root, Seq(0 -> "table part"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(term"), "phrase-term IN filter must push into parquet")
+    assert(!plan.contains("documents.parquet"), "probe must not scan the corpus")
+  }
+
+  // ---- sequential dependence (SDM) --------------------------------------
+
+  test("sdm: identical bags rank adjacent > within-window > scattered") {
+    import spark.implicits._
+    val fill = (n: Int) => Seq.fill(n)("x").mkString(" ")
+    // all three docs: each query term exactly once, dl=24 — the unigram
+    // component ties, so the ordering is decided by the window components
+    val docs = Seq(
+      (0L, s"spark window agg ${fill(21)}"),           // adjacent (#1 hits)
+      (1L, s"spark x window x agg ${fill(19)}"),       // within uw8 only
+      (2L, s"spark ${fill(8)} window ${fill(8)} agg ${fill(5)}") // ≥8 apart
+    ).toDF("doc_id", "text")
+    val r = Retrieval.sdmTopK(docs, "doc_id", "text",
+        Seq(0 -> "spark window agg"), 10)
+      .orderBy("rank").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    // the blend is strictly ordered, not tied
+    assert(r.map(_.getDouble(2)).distinct.length == 3)
+  }
+
+  test("sdm with unit unigram weight and zero window weights ≡ plain BM25") {
+    val qs = Seq(0 -> "spark agg", 1 -> "hash join table")
+    val sdm = Retrieval.sdmTopK(corpus, "doc_id", "text", qs, 10,
+        lambdaT = "1.00", lambdaO = "0.00", lambdaU = "0.00")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val bm = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(sdm == bm)
+  }
+
+  test("sdm repeated-term pair: each unordered position pair counted once") {
+    import spark.implicits._
+    // "w w": ordered adjacency tf=1; unordered pairs within 8 = C(2,2)=1 —
+    // a bidirectional count would double it. With a doc where the two
+    // w's sit apart (no adjacency), only the unordered component fires.
+    val docs = Seq(
+      (0L, "w x x w x x x x"), // unordered pair only (gap 3 < 8)
+      (1L, "w w x x x x x x")  // adjacent: ordered AND unordered fire
+    ).toDF("doc_id", "text")
+    val r = Retrieval.sdmTopK(docs, "doc_id", "text", Seq(0 -> "w w"), 10)
+      .orderBy("rank").collect()
+    // same unigram tf and dl; doc 1 adds the ordered component → first
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 0L))
+  }
+
   test("phrase differential: relational assembly ≡ driver-side sliding window at sf0.001") {
     val docs = graft.Tables.load(spark, Sf0001, "documents")
     val phrases = Seq(0 -> "table part", 1 -> "table table", 2 -> "key agg row")
