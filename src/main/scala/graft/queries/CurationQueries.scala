@@ -131,6 +131,18 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // CCNet-style LM-fluency tiers (Wenzek et al. 2020): every doc
+    // scored against the corpus's own bigram LM, cut into three
+    // equal-frequency tiers via the sketch-edge binning (no ntile
+    // window — no global sort), tail dropped. The classic
+    // perplexity-filter recipe with the repo's fluency score standing
+    // in for KenLM.
+    "curation_perplexity_buckets" -> q { (s, dir) =>
+      Curation.perplexityBuckets(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Quality-proportional sampling census: every doc kept with
     // probability equal to its quality score (soft filter — no cliff at
     // a threshold, low-quality docs keep a diversity floor). Mean kept
@@ -720,6 +732,43 @@ object CurationQueries {
          FROM spl s JOIN sh ON s.doc_id = sh.doc_id
          GROUP BY s.source, s.split, sh.shard
          ORDER BY s.source, s.split, sh.shard""",
+
+    // fluency CTEs are text_bigram_lm's oracle verbatim; the tier edges
+    // replay the Binning small-n contract (edge = value at rank
+    // ceil(p·n), value-ordered) and bucket = 1 + edges strictly below —
+    // the quantile_bin_sketch idiom over a single stratum
+    "curation_perplexity_buckets" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         bg AS (
+           SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+           FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         fl AS (
+           SELECT bg.doc_id,
+             CAST(round(round(sum(round(c2.c2::double / c1.c1, 6)), 6) * 1000000, 0)
+                  AS BIGINT) // count(*) AS fluency_micro
+           FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+           GROUP BY bg.doc_id),
+         ranked AS (
+           SELECT doc_id, fluency_micro,
+             row_number() OVER (ORDER BY fluency_micro) AS rn,
+             count(*) OVER () AS cnt
+           FROM fl),
+         probs AS (SELECT unnest([1.0/3, 2.0/3]) AS p),
+         edges AS (
+           SELECT p.p, r.fluency_micro AS edge
+           FROM ranked r JOIN probs p
+             ON r.rn = CAST(ceil(p.p * r.cnt) AS BIGINT)),
+         binned AS (
+           SELECT f.doc_id, f.fluency_micro, 1 + count(e.edge) AS bucket
+           FROM fl f LEFT JOIN edges e ON f.fluency_micro > e.edge
+           GROUP BY 1, 2)
+         SELECT doc_id, fluency_micro, bucket, bucket >= 2 AS kept
+         FROM binned ORDER BY doc_id""",
 
     // the quality expression is text_quality's oracle formula verbatim;
     // keep iff bucket < quality·10⁴ (both sides IEEE-exact doubles)

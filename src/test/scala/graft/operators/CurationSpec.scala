@@ -340,6 +340,33 @@ class CurationSpec extends SparkSpec {
     assert(stream.exists(_._5), "contamination gate fires at ingest")
   }
 
+  test("perplexityBuckets: value-ordered tiers, tail dropped, unscoreable docs absent") {
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val out = Curation.perplexityBuckets(docs, "doc_id", "text")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(rows.map(_._3).toSet == Set(1, 2, 3))
+    // tiers are value-ordered: every bucket-b fluency ≤ every bucket-(b+1)
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket(1).max <= byBucket(2).min)
+    assert(byBucket(2).max <= byBucket(3).min)
+    // equal fluency values never split across buckets (the Binning
+    // contract ntile would violate)
+    assert(rows.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+    // kept ⇔ above the tail
+    assert(rows.forall { case (_, _, b, kept) => kept == (b >= 2) })
+    // docs the LM cannot score are absent, everything else is present
+    import spark.implicits._
+    val scoreable = graft.operators.TextAnalysis
+      .bigramFluency(docs, "doc_id", "text").count()
+    assert(rows.length.toLong == scoreable)
+    // re-partitioning must not move any doc across buckets
+    val shuffled = Curation.perplexityBuckets(
+        docs.repartition(7, col("source")), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(rows.forall { case (id, _, b, _) => shuffled(id) == b })
+  }
+
   test("prototypePrune: per-cluster floor(n·frac) most-prototypical rows drop") {
     val centroids = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
