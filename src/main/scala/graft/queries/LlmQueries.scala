@@ -2176,6 +2176,18 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ... and the phrase family's STREAMING leg: phrase queries arrive
+    // in micro-batches, each batch probes the committed positional
+    // index inside foreachBatch (pushed term IN, occurrence assembly,
+    // integer rank), output batchId-idempotent. Index frozen for the
+    // run + per-phrase independence ⇒ the batch union replays as the
+    // one-shot probe — shares the inline oracle.
+    "stream_retrieval_phrase" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingPhraseTopK(s, dir, PhraseQueries, PhraseK)
+        .orderBy("query_id", "rank")
+    },
+
     // Release-pinned RM3 time travel: v1 indexes the even docs, HEAD
     // appends the odd half; the probe pinned at v1 must run BOTH RM3
     // stages — feedback selection AND the expanded re-rank — against
@@ -5110,6 +5122,9 @@ object LlmQueries {
     "retrieval_phrase_served" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_pinned" ->
       phraseOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
+    // the streaming twin's index is frozen for the run and phrases rank
+    // independently, so the batch union replays as the one-shot probe
+    "stream_retrieval_phrase" -> phraseOracleSql("SELECT * FROM documents"),
     // the streaming twin's index is frozen for the run, so the
     // batch-union output replays as one-shot RM3 over the same queries
     "stream_retrieval_rm3" -> Rm3OracleSql,

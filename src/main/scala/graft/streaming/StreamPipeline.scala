@@ -1639,6 +1639,77 @@ object StreamPipeline {
     }
   }
 
+  private[graft] val PhraseStreamSchema: StructType = StructType(Seq(
+    StructField("query_id", IntegerType),
+    StructField("doc_id", LongType),
+    StructField("n_occ", LongType),
+    StructField("rank", IntegerType)))
+
+  /** Phrase search AT INGEST — the positional family's streaming leg: a
+    * phrase-query stream arrives in micro-batches and each batch probes
+    * the committed positional index inside `foreachBatch` (pushed
+    * `term IN` on the stored `pos` table, occurrence assembly, integer
+    * rank), output batchId-idempotent. The index is frozen for the run
+    * and every phrase ranks independently, so the union over batches
+    * replays bit-for-bit as the one-shot probe — the registry row
+    * shares the inline oracle. The per-batch query `collect()` is the
+    * operator's driver-literal contract (trigger-bounded,
+    * search-head-request-sized), never a corpus collect. */
+  def streamingPhraseTopK(
+      spark: SparkSession, dir: String,
+      phrases: Seq[(Int, String)], k: Int): DataFrame = {
+    val root = Files.createTempDirectory("graft_posidx_stream").toString
+    val qIn = Files.createTempDirectory("graft_phraseq_in").toString
+    val outDir = Files.createTempDirectory("graft_phrase_out").toString
+    val ckptDir = Files.createTempDirectory("graft_phrase_ckpt").toString
+    val stage = Files.createTempDirectory("graft_phraseq_stage").toString
+    try {
+      graft.operators.Retrieval.buildPosIndexM(
+        graft.Tables.load(spark, dir, "documents"), "doc_id", "text", root)
+      val qSchema = StructType(Seq(StructField("query_id", IntegerType),
+        StructField("text", StringType)))
+      val nB = 3
+      (0 until nB).foreach { b =>
+        val sub = phrases.zipWithIndex.collect {
+          case ((id, text), i) if i % nB == b =>
+            org.apache.spark.sql.Row(id, text)
+        }
+        val dirB = s"$stage/b$b"
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(sub.toIndexedSeq, 1), qSchema)
+          .coalesce(1).write.mode("overwrite").parquet(dirB)
+        val part = Option(new java.io.File(dirB).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $dirB"))
+        val dst = java.nio.file.Paths.get(qIn, f"phrases-$b%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(
+          java.lang.System.currentTimeMillis() - (nB - b) * 60000L): Unit
+      }
+      val arrivals = spark.readStream
+        .schema(qSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val qs = batch.collect()
+            .map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
+          if (qs.nonEmpty)
+            writeBatchIdempotent(graft.operators.Retrieval.phraseProbeM(
+              spark, root, qs, k), outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, PhraseStreamSchema).localCheckpoint(true)
+    } finally {
+      Seq(root, qIn, outDir, ckptDir, stage).foreach(rmTree)
+    }
+  }
+
   /** Near-dup screening AT INGEST with the real MinHash-LSH modality —
     * the shingle-accurate sibling of [[streamingSemanticDedup]]'s
     * hash-embed cosine leg: the standing lake is summarized ONCE into
