@@ -1035,6 +1035,35 @@ object Retrieval {
     phraseRank(phraseStarts(posts, pq), k)
   }
 
+  /** Compaction for the positional index — the append lifecycle's
+    * closer (the [[compactIndexM]] shape): per-delta `pos` segments
+    * re-cluster by term (restoring probe-side row-group pruning that
+    * per-append files progressively lose), corpus segments fold to one
+    * row, doc digests rewrite as one segment, all swapped in one atomic
+    * manifest commit. Pure re-layout: probe-after ≡ probe-before
+    * (spec-pinned). */
+  def compactPosIndexM(spark: SparkSession, root: String): Long = {
+    val snap = IndexManifest.snapshot(spark, root)
+    val pSeg = IndexManifest.newSegment(PosTable)
+    writePosSegment(
+      IndexManifest.readAt(spark, root, snap, PosTable), s"$root/$pSeg")
+    val cSeg = IndexManifest.newSegment(CorpusTable)
+    IndexManifest.readAt(spark, root, snap, CorpusTable)
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$cSeg")
+    val dSeg = IndexManifest.newSegment(DocsTable)
+    IndexManifest.readAt(spark, root, snap, DocsTable)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$dSeg")
+    IndexManifest.commit(spark, root,
+      snap.tables
+        .updated(PosTable, Seq(pSeg))
+        .updated(CorpusTable, Seq(cSeg))
+        .updated(DocsTable, Seq(dSeg)),
+      expect = Some(snap.version))
+  }
+
   // ---- Sequential dependence model (SDM) --------------------------------
   //
   // Metzler & Croft 2005: term order matters SOFTLY — blend the

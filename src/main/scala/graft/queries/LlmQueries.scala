@@ -2115,6 +2115,23 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Compaction closes the positional lifecycle: per-append pos
+    // segments re-cluster by term (restoring row-group pruning), corpus
+    // segments fold to one row, swapped atomically. The accumulated
+    // corpus is the full table, so probe-after-compact shares the
+    // inline oracle bit-for-bit (≡ probe-before, spec-pinned).
+    "retrieval_phrase_compacted" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("poscomp", dir)
+      Retrieval.buildPosIndexM(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      Retrieval.appendPosIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", root)
+      Retrieval.compactPosIndexM(s, root)
+      Retrieval.phraseProbeM(s, root, PhraseQueries, PhraseK)
+        .orderBy("query_id", "rank")
+    },
+
     // Release-pinned phrase time travel: v1 indexes the even docs, HEAD
     // appends the odd half; the probe pinned at v1 must assemble
     // occurrences from the pinned positions only — the phrase hits a
@@ -5120,6 +5137,7 @@ object LlmQueries {
     "retrieval_sdm" -> SdmOracleSql,
     "retrieval_phrase" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_served" -> phraseOracleSql("SELECT * FROM documents"),
+    "retrieval_phrase_compacted" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_pinned" ->
       phraseOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
     // the streaming twin's index is frozen for the run and phrases rank

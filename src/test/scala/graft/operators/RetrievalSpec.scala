@@ -329,6 +329,25 @@ class RetrievalSpec extends SparkSpec {
         "doc_id", "text", phrases, 10)))
   }
 
+  test("compactPosIndexM: probe-after ≡ probe-before; segments fold to one per table") {
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val phrases = Seq(0 -> "table part", 1 -> "key agg row")
+    val root = tmp(s"poscomp_${java.util.UUID.randomUUID().toString.take(8)}")
+    Retrieval.buildPosIndexM(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", root)
+    Retrieval.appendPosIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", root)
+    def rows() = Retrieval.phraseProbeM(spark, root, phrases, 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val before = rows()
+    Retrieval.compactPosIndexM(spark, root)
+    assert(rows() == before)
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    assert(Seq("pos", "corpus", "docs").forall(t => snap.tables(t).size == 1),
+      s"compaction must fold every table to one segment: ${snap.tables}")
+  }
+
   test("phrase probe plan: term filter pushed into the pos scan, corpus never scanned") {
     val docs = graft.Tables.load(spark, Sf0001, "documents")
     val root = tmp(s"posplan_${java.util.UUID.randomUUID().toString.take(8)}")
