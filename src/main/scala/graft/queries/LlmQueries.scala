@@ -116,6 +116,49 @@ object LlmQueries {
        FROM scored QUALIFY rank <= $PhraseK ORDER BY query_id, rank"""
   }
 
+  private lazy val NbOracleSql: String =
+    """WITH train AS (
+         SELECT source AS label, text FROM documents WHERE doc_id % 5 <> 0),
+       test AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       ttok0 AS (
+         SELECT label, unnest(string_split(text, ' ')) AS term FROM train),
+       ttok AS (SELECT label, term FROM ttok0 WHERE term <> ''),
+       ctc AS (SELECT label, term, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+       tokc AS (SELECT label, sum(cnt)::bigint AS tok_c FROM ctc GROUP BY 1),
+       v AS (SELECT count(DISTINCT term)::bigint AS vsize FROM ctc),
+       nd AS (SELECT count(*)::bigint AS n FROM train),
+       dc AS (SELECT label, count(*)::bigint AS dn FROM train GROUP BY 1),
+       pri AS (
+         SELECT dc.label,
+           round(ln(dc.dn::double / nd.n), 6) AS logprior,
+           round(ln(1.0 / (tokc.tok_c + v.vsize)), 6) AS logdef,
+           tokc.tok_c
+         FROM dc JOIN tokc USING (label), nd, v),
+       dense AS (
+         SELECT vt.term, p.label,
+           coalesce(
+             round(ln((c.cnt + 1)::double / (p.tok_c + v.vsize)), 6),
+             p.logdef) AS loglik,
+           p.logprior
+         FROM (SELECT DISTINCT term FROM ctc) vt
+         CROSS JOIN pri p
+         LEFT JOIN ctc c ON c.term = vt.term AND c.label = p.label, v),
+       dtok0 AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM test),
+       dtok AS (SELECT doc_id, term FROM dtok0 WHERE term <> ''),
+       sc AS (
+         SELECT d.doc_id, l.label,
+           round(sum(l.loglik::DECIMAL(18,9)) +
+                 max(l.logprior)::DECIMAL(18,9), 6)::double AS score
+         FROM dtok d JOIN dense l USING (term)
+         GROUP BY 1, 2)
+       SELECT doc_id, label AS predicted, score
+       FROM sc
+       QUALIFY row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label) = 1
+       ORDER BY doc_id"""
+
   private lazy val SdmOracleSql: String = {
     val uvals = Bm25Queries
       .flatMap { case (qid, text) =>
@@ -2147,6 +2190,30 @@ object LlmQueries {
         "doc_id", "text", root)
       Retrieval.phraseProbeM(s, root, PhraseQueries, PhraseK, at = Some(v1))
         .orderBy("query_id", "rank")
+    },
+
+    // Trained classifier filter (the CCNet/DCLM/FineWeb stage):
+    // multinomial NB trained on the labeled 80% (source as label),
+    // classifying the held-out 20%. Training is two wordcount
+    // aggregates; scoring joins the broadcast vocab×labels parameter
+    // table and argmaxes a round-6/decimal-summed log-score — the
+    // whole train+predict path replays bit-for-bit in the oracle.
+    "text_nb_classify" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Classify.nbTrain(
+        docs.filter(col("doc_id") % 5 =!= 0), "source", "text")
+      graft.operators.Classify.nbClassify(
+          model, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ... and the classifier AT INGEST: the model trains once on the
+    // labeled seed (frozen at plan time), each arriving micro-batch
+    // classifies statelessly inside foreachBatch. Per-doc independence
+    // ⇒ batch union ≡ one-shot — shares the inline oracle.
+    "stream_nb_classify" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline.streamingNbClassify(s, dir)
+        .orderBy("doc_id")
     },
 
     // Sequential dependence (Metzler-Croft SDM, BM25 adaptation): blend
@@ -5131,6 +5198,14 @@ object LlmQueries {
     // occurrence; ranking is pure integer arithmetic. The served twin
     // shares it (stored ≡ recomputed positions); the pinned twin replays
     // it over v1's even-doc corpus.
+    // NB classifier: train CTEs are two wordcounts; the dense
+    // vocab×labels table carries round-6 ln leaves (smoothed default
+    // where unseen-in-class); scores sum in DECIMAL(18,9) + prior,
+    // round once; argmax ties to the smaller label. The streaming twin
+    // shares it: per-doc independence ⇒ batch union ≡ one-shot.
+    "text_nb_classify" -> NbOracleSql,
+    "stream_nb_classify" -> NbOracleSql,
+
     // SDM: unigram/ordered/unordered components each replay the BM25
     // contrib discipline over their own tf/df; the blend is exact
     // decimal (round-6 double × 2-dp weight), rounded once.

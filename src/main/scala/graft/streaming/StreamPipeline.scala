@@ -1710,6 +1710,47 @@ object StreamPipeline {
     }
   }
 
+  private[graft] val NbStreamSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("predicted", StringType),
+    StructField("score", DoubleType)))
+
+  /** Classifier filtering AT INGEST — the CCNet/DCLM deployment shape:
+    * the model trains ONCE on the labeled seed (frozen at plan time via
+    * `localCheckpoint`, the kernel-ref precedent) and every arriving
+    * micro-batch classifies against it inside `foreachBatch` (broadcast
+    * parameter join + per-doc decimal sum + argmax), output
+    * batchId-idempotent. Per-doc independence makes the batch union
+    * replay bit-for-bit as the one-shot classification — the registry
+    * row shares `text_nb_classify`'s oracle. */
+  def streamingNbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val model = graft.operators.Classify.nbTrain(
+      docs.filter(col("doc_id") % 5 =!= 0), "source", "text")
+      .localCheckpoint(true)
+    val outDir = Files.createTempDirectory("graft_nb_out").toString
+    val ckptDir = Files.createTempDirectory("graft_nb_ckpt").toString
+    try {
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val held = batch.filter(col("doc_id") % 5 === 0)
+          writeBatchIdempotent(graft.operators.Classify.nbClassify(
+            model, held, "doc_id", "text"), outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, NbStreamSchema).localCheckpoint(true)
+    } finally {
+      Seq(outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   /** Near-dup screening AT INGEST with the real MinHash-LSH modality —
     * the shingle-accurate sibling of [[streamingSemanticDedup]]'s
     * hash-embed cosine leg: the standing lake is summarized ONCE into

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multinomial NB: the classifier must actually LEARN (not just run) —
+  * disjoint class vocabularies separate, token multiplicity outvotes,
+  * smoothing handles unseen-in-class tokens, OOV-only docs stay
+  * unclassified, ties are deterministic. */
+class ClassifySpec extends SparkSpec {
+
+  private lazy val train = {
+    import spark.implicits._
+    Seq(
+      ("pos", "good great good nice"),
+      ("pos", "good fine great"),
+      ("neg", "bad awful bad"),
+      ("neg", "bad poor awful")
+    ).toDF("label", "text")
+  }
+
+  private def predict(texts: (Long, String)*): Map[Long, String] = {
+    import spark.implicits._
+    val model = Classify.nbTrain(train, "label", "text")
+    Classify.nbClassify(model, texts.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("disjoint class vocabularies separate cleanly") {
+    assert(predict(1L -> "good great", 2L -> "bad awful") ==
+      Map(1L -> "pos", 2L -> "neg"))
+  }
+
+  test("token multiplicity outvotes a single opposing token") {
+    // neg has bad:4/7 tokens; two 'bad's beat one 'good'
+    assert(predict(3L -> "good bad bad") == Map(3L -> "neg"))
+  }
+
+  test("smoothing: a token unseen in one class still scores finitely and correctly") {
+    // 'nice' appears only in pos; neg scores it via the smoothed default
+    assert(predict(5L -> "nice") == Map(5L -> "pos"))
+  }
+
+  test("a document with only out-of-vocabulary tokens is absent, not mislabeled") {
+    assert(predict(4L -> "zzz qqq", 1L -> "good") == Map(1L -> "pos"))
+  }
+
+  test("exact score tie breaks to the lexicographically smaller label") {
+    import spark.implicits._
+    val sym = Seq(("a", "x x"), ("b", "x x")).toDF("label", "text")
+    val model = Classify.nbTrain(sym, "label", "text")
+    val out = Classify.nbClassify(model,
+        Seq((9L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "a")))
+  }
+
+  test("predictions are stable under input re-partitioning") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val model = Classify.nbTrain(
+      docs.filter(col("doc_id") % 5 =!= 0), "source", "text")
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.nbClassify(model, d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+    assert(run(test) == run(test.repartition(7, col("lang"))))
+    assert(run(test).nonEmpty)
+  }
+}
