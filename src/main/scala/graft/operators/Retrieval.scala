@@ -1104,67 +1104,79 @@ object Retrieval {
     val qt = queryTerms(spark, queries)
     val pairFrame = sdmPairs(queries).toDF("query_id", "ta", "tb")
     val (n, sumDl) = corpusStats(docs, textCol)
-    val contrib = contribExpr(n, sumDl)
-
     val pp = termFilter(
       positionalPostings(docs, idCol, textCol),
       qt, distinctTerms(queries)).persist()
-    try {
-      // unigram component — plain BM25 over tf postings derived from
-      // the cached positional rows (one less corpus scan)
-      val tfPosts = pp.groupBy(col("term"), col("doc_id"), col("dl"))
+    try
+      rankTopK(
+        sdmScored(pp, qt, pairFrame, n, sumDl, wUn,
+          lambdaT, lambdaO, lambdaU),
+        k).localCheckpoint(true)
+    finally pp.unpersist()
+  }
+
+  /** The LAZY SDM scoring plan over an already-cached positional-postings
+    * frame — split out (the [[rm3Inline]] precedent) so plan audits can
+    * inspect the shape the materializing wrapper hides: the one cached
+    * scan feeds all three components, pair dfs broadcast, no cartesian. */
+  private[graft] def sdmScored(
+      pp: DataFrame, qt: DataFrame, pairFrame: DataFrame,
+      n: Long, sumDl: Long, wUn: Int,
+      lambdaT: String, lambdaO: String, lambdaU: String): DataFrame = {
+    val contrib = contribExpr(n, sumDl)
+    // unigram component — plain BM25 over tf postings derived from
+    // the cached positional rows (one less corpus scan)
+    val tfPosts = pp.groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tfPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sT = bm25Scored(tfPosts, dfT, qt, n, sumDl)
+      .withColumnRenamed("score", "s_t")
+
+    // pair sides: `a` carries the left term + its dl, `b` the right
+    val aSide = pp
+      .join(broadcast(pairFrame), pp("term") === pairFrame("ta"))
+      .select(col("query_id"), col("ta"), col("tb"), col("doc_id"),
+        col("pos").as("pa"), col("dl"))
+    val bSide = pp.select(col("term").as("tb2"),
+      col("doc_id").as("doc_b"), col("pos").as("pb"))
+
+    def pairComponent(posCond: Column, outCol: String): DataFrame = {
+      val hits = aSide.join(bSide,
+        aSide("doc_id") === bSide("doc_b") &&
+          bSide("tb2") === aSide("tb") && posCond)
+      val tfW = hits
+        .groupBy(col("query_id"), col("ta"), col("tb"), col("doc_id"),
+          col("dl"))
         .agg(count(lit(1)).as("tf"))
-      val dfT = tfPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val sT = bm25Scored(tfPosts, dfT, qt, n, sumDl)
-        .withColumnRenamed("score", "s_t")
+      val dfW = tfW.groupBy(col("query_id"), col("ta"), col("tb"))
+        .agg(count(lit(1)).as("df"))
+      tfW.join(broadcast(dfW), Seq("query_id", "ta", "tb"))
+        .select(col("query_id"), col("doc_id"),
+          contrib.cast("decimal(38,10)").as("w"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(col("w")).cast("double"), 6).as(outCol))
+    }
 
-      // pair sides: `a` carries the left term + its dl, `b` the right
-      val aSide = pp
-        .join(broadcast(pairFrame), pp("term") === pairFrame("ta"))
-        .select(col("query_id"), col("ta"), col("tb"), col("doc_id"),
-          col("pos").as("pa"), col("dl"))
-      val bSide = pp.select(col("term").as("tb2"),
-        col("doc_id").as("doc_b"), col("pos").as("pb"))
+    // ordered: exactly adjacent, in order (#1 windows)
+    val sO = pairComponent(bSide("pb") === aSide("pa") + 1, "s_o")
+    // unordered: both terms within wUn positions, any order (#uwN);
+    // a repeated-term pair counts each unordered position pair once
+    val sU = pairComponent(
+      when(aSide("ta") === aSide("tb"),
+        bSide("pb") > aSide("pa") && bSide("pb") - aSide("pa") < wUn)
+        .otherwise(bSide("pb") =!= aSide("pa") &&
+          abs(bSide("pb") - aSide("pa")) < wUn), "s_u")
 
-      def pairComponent(posCond: Column, outCol: String): DataFrame = {
-        val hits = aSide.join(bSide,
-          aSide("doc_id") === bSide("doc_b") &&
-            bSide("tb2") === aSide("tb") && posCond)
-        val tfW = hits
-          .groupBy(col("query_id"), col("ta"), col("tb"), col("doc_id"),
-            col("dl"))
-          .agg(count(lit(1)).as("tf"))
-        val dfW = tfW.groupBy(col("query_id"), col("ta"), col("tb"))
-          .agg(count(lit(1)).as("df"))
-        tfW.join(broadcast(dfW), Seq("query_id", "ta", "tb"))
-          .select(col("query_id"), col("doc_id"),
-            contrib.cast("decimal(38,10)").as("w"))
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(round(sum(col("w")).cast("double"), 6).as(outCol))
-      }
-
-      // ordered: exactly adjacent, in order (#1 windows)
-      val sO = pairComponent(bSide("pb") === aSide("pa") + 1, "s_o")
-      // unordered: both terms within wUn positions, any order (#uwN);
-      // a repeated-term pair counts each unordered position pair once
-      val sU = pairComponent(
-        when(aSide("ta") === aSide("tb"),
-          bSide("pb") > aSide("pa") && bSide("pb") - aSide("pa") < wUn)
-          .otherwise(bSide("pb") =!= aSide("pa") &&
-            abs(bSide("pb") - aSide("pa")) < wUn), "s_u")
-
-      val blend = round(
-        col("s_t").cast("decimal(18,9)") *
-          lit(new java.math.BigDecimal(lambdaT)) +
-          coalesce(col("s_o"), lit(0.0)).cast("decimal(18,9)") *
-            lit(new java.math.BigDecimal(lambdaO)) +
-          coalesce(col("s_u"), lit(0.0)).cast("decimal(18,9)") *
-            lit(new java.math.BigDecimal(lambdaU)), 6).cast("double")
-      val scored = sT
-        .join(sO, Seq("query_id", "doc_id"), "left")
-        .join(sU, Seq("query_id", "doc_id"), "left")
-        .select(col("query_id"), col("doc_id"), blend.as("score"))
-      rankTopK(scored, k).localCheckpoint(true)
-    } finally pp.unpersist()
+    val blend = round(
+      col("s_t").cast("decimal(18,9)") *
+        lit(new java.math.BigDecimal(lambdaT)) +
+        coalesce(col("s_o"), lit(0.0)).cast("decimal(18,9)") *
+          lit(new java.math.BigDecimal(lambdaO)) +
+        coalesce(col("s_u"), lit(0.0)).cast("decimal(18,9)") *
+          lit(new java.math.BigDecimal(lambdaU)), 6).cast("double")
+    sT
+      .join(sO, Seq("query_id", "doc_id"), "left")
+      .join(sU, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), blend.as("score"))
   }
 }

@@ -431,4 +431,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), "checkpointed pool leaves missing")
     assert(!p.contains("TopKPerKey"), "stage-1 search re-derived in the final plan")
   }
+
+  test("sdm: one cached positional scan feeds all three components; pair stats broadcast") {
+    // the registry query materializes to release the postings cache
+    // (the rm3 shape) — pin the LAZY core the wrapper hides
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val queries = Seq((1, "table part window"), (2, "key agg row"))
+    val qt = graft.operators.Retrieval.queryTerms(spark, queries)
+    val pairFrame = queries.flatMap { case (qid, text) =>
+      val ts = text.split(" ").filter(_.nonEmpty)
+      ts.zip(ts.drop(1)).distinct.map { case (a, b) => (qid, a, b) }
+    }.toDF("query_id", "ta", "tb")
+    val terms = queries.flatMap(_._2.split(" ")).distinct
+    val pp = graft.operators.Retrieval
+      .positionalPostings(docs, "doc_id", "text")
+      .filter(col("term").isin(terms: _*)).persist()
+    try {
+      val p = graft.operators.Retrieval.rankTopK(
+        graft.operators.Retrieval.sdmScored(pp, qt, pairFrame,
+          n = 100L, sumDl = 4000L, wUn = 8, "0.85", "0.10", "0.05"), 5)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey"), "native bounded-heap node missing")
+      assert(p.contains("BroadcastHashJoin"),
+        "pair/query/df frames must broadcast")
+      assert(!p.contains("CartesianProduct"))
+      // the cached frame feeds unigram tf + both pair components' two
+      // sides — never a re-derivation of the corpus tokenize
+      val inMem = "InMemoryTableScan".r.findAllIn(p).size
+      assert(inMem >= 3, s"cached positional scan must feed all components, saw $inMem:\n$p")
+      // every parquet scan in the printout is the one INSIDE an
+      // InMemoryRelation's build plan (the cache echoes its child) —
+      // an uncached re-derivation would print one more FileScan than
+      // InMemoryRelation occurrences
+      val fileScans = "FileScan parquet".r.findAllIn(p).size
+      val cachedRels = "InMemoryRelation".r.findAllIn(p).size
+      assert(fileScans <= cachedRels,
+        s"corpus tokenize re-derived around the cache ($fileScans scans vs $cachedRels cached relations)")
+    } finally { pp.unpersist(): Unit }
+  }
+
+  test("nb classifier: scoring joins the broadcast parameter table; argmax on the heap node") {
+    val p = plan("text_nb_classify")
+    assert(p.contains("TopKPerKey"), "argmax must be the bounded-heap node")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab×labels parameter table must broadcast into the token stream")
+    assert(!p.contains("CartesianProduct"),
+      "the train-side vocab×labels densify must stay a broadcast NL join")
+  }
 }
