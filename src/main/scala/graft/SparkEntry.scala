@@ -291,10 +291,15 @@ object SparkEntry {
     // (native TopKPerKey node, union-window as-of, binned range join,
     // int8 ANN, keyed funnel chain, multi-stage curation) need regression
     // signal just as much as the r1 headline set
-    "asof_join", "range_join", "topk_native", "sim_topk_sq8",
+    // (r16e: sim_topk_sq8 / sim_topk_pq / sim_topk_pq_rerank rotated out
+    // for the new serve shapes — their plan classes stay covered by
+    // sim_topk_sq8_rerank, sim_topk_pq_trained, and the pq/ivfpq serve
+    // twins below; the compact bench line's capture-window budget caps
+    // the list at ~60 worst-case-width names)
+    "asof_join", "range_join", "topk_native",
     "funnel_stages", "curation_pipeline", "quantile_bin_sketch",
-    "dedup_minhash_est", "sim_topk_ivf_probed", "sim_topk_sq8_rerank", "sim_topk_pq",
-    "sim_topk_ivfpq", "sim_topk_pq_trained", "sim_topk_pq_rerank",
+    "dedup_minhash_est", "sim_topk_ivf_probed", "sim_topk_sq8_rerank",
+    "sim_topk_ivfpq", "sim_topk_pq_trained",
     "sim_topk_hash_embed", "sim_topk_ivfpq_residual", "text_chunk",
     "text_bigram_lm", "dedup_edit_distance", "resample_ffill",
     "dedup_repeated_spans", "dedup_span_strip", "dedup_repeated_token_spans",
@@ -337,6 +342,12 @@ object SparkEntry {
     // round 16c — D4's data-pruning half: kernel assignment + ONE
     // cluster exchange shared by the rank and size windows
     "curation_prototype_prune",
+    // round 16e — the positional serve shape (phrase probe over the
+    // committed term-clustered pos table), the three-component SDM
+    // ranking (the heaviest inline retrieval plan), and the trained
+    // classifier's train+predict path (two wordcounts + broadcast
+    // parameter join) — each a steady-state op a deployment times
+    "retrieval_phrase_served", "retrieval_sdm", "text_nb_classify",
     // round 16d — the training-free compressed SERVE shape: coarse scan
     // over the STORED m-double projections (one snapshot resolves table
     // + (m, d)), exact rerank against the lake

@@ -47,8 +47,17 @@ object Classify {
       .select(col(labelCol).as("label"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
+    // the class-term counts feed THREE consumers (the vocab-size scalar,
+    // the per-label token totals, and the densify join) — cache the
+    // aggregate once instead of re-tokenizing the seed per consumer
+    // (lazy, evictable; the importanceWeights precedent: the cache must
+    // outlive this call because the returned model is lazy — registry/
+    // bench paths are covered by the harness-global unpersist, and a
+    // long-lived service should materialize the model and release
+    // persistent RDDs itself)
     val ctc = toks.groupBy(col("label"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     // vocab size and doc totals: contract-small driver scalars (the
     // corpusStats precedent)
     val vsize = ctc.select(col("term")).distinct().count()

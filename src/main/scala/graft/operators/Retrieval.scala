@@ -1115,6 +1115,39 @@ object Retrieval {
     finally pp.unpersist()
   }
 
+  /** SDM top-k against a committed positional index — the steady-state
+    * serve path: stored positions restricted to the query vocabulary
+    * (pushed `term IN` on the term-clustered files), corpus scalars
+    * summed from the segment rows of the SAME snapshot (idf/avgdl grow
+    * transactionally with the positions), then the shared three-component
+    * scoring — never touches lake text. `at` pins a committed version. */
+  def sdmProbeM(
+      spark: SparkSession, root: String,
+      queries: Seq[(Int, String)], k: Int,
+      at: Option[Long] = None, wUn: Int = 8,
+      lambdaT: String = "0.85", lambdaO: String = "0.10",
+      lambdaU: String = "0.05"): DataFrame = {
+    import spark.implicits._
+    val snap = at
+      .map(v => IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(IndexManifest.snapshot(spark, root))
+    val qt = queryTerms(spark, queries)
+    val pairFrame = sdmPairs(queries).toDF("query_id", "ta", "tb")
+    val c = IndexManifest.readAt(spark, root, snap, CorpusTable)
+      .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long"))
+      .head()
+    val (n, sumDl) = (c.getLong(0), c.getLong(1))
+    val pp = termFilter(
+      IndexManifest.readAt(spark, root, snap, PosTable),
+      qt, distinctTerms(queries)).persist()
+    try
+      rankTopK(
+        sdmScored(pp, qt, pairFrame, n, sumDl, wUn,
+          lambdaT, lambdaO, lambdaU),
+        k).localCheckpoint(true)
+    finally pp.unpersist()
+  }
+
   /** The LAZY SDM scoring plan over an already-cached positional-postings
     * frame — split out (the [[rm3Inline]] precedent) so plan audits can
     * inspect the shape the materializing wrapper hides: the one cached

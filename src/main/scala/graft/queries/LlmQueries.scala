@@ -2228,6 +2228,26 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ... and SDM's SERVE path over the SAME committed positional index
+    // the phrase probe uses (one family, one store — positions carry
+    // everything order-aware retrieval needs): stored pos rows pushed
+    // `term IN`, corpus scalars summed from the snapshot's segment
+    // rows, shared three-component scoring. Shares the inline oracle:
+    // stored ≡ recomputed positions and stats.
+    "retrieval_sdm_served" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("posidx", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        Retrieval.buildPosIndexM(docs, "doc_id", "text", root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      Retrieval.sdmProbeM(s, root, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
     // ... and the steady-state SERVE path: both RM3 stages read the
     // committed inverted-index tables from one manifest snapshot
     // (build-if-stale, so the timed cost is the two-stage probe) —
@@ -5210,6 +5230,7 @@ object LlmQueries {
     // contrib discipline over their own tf/df; the blend is exact
     // decimal (round-6 double × 2-dp weight), rounded once.
     "retrieval_sdm" -> SdmOracleSql,
+    "retrieval_sdm_served" -> SdmOracleSql,
     "retrieval_phrase" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_served" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_compacted" -> phraseOracleSql("SELECT * FROM documents"),

@@ -329,6 +329,22 @@ class RetrievalSpec extends SparkSpec {
         "doc_id", "text", phrases, 10)))
   }
 
+  test("sdm served from the positional index ≡ inline, incl. appended corpus stats") {
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val queries = Seq(0 -> "table part window", 1 -> "key agg row")
+    val root = tmp(s"sdmserve_${java.util.UUID.randomUUID().toString.take(8)}")
+    // build + append so the corpus scalars must SUM across segment rows
+    Retrieval.buildPosIndexM(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", root)
+    Retrieval.appendPosIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(rows(Retrieval.sdmProbeM(spark, root, queries, 10)) ==
+      rows(Retrieval.sdmTopK(docs, "doc_id", "text", queries, 10)))
+  }
+
   test("compactPosIndexM: probe-after ≡ probe-before; segments fold to one per table") {
     val docs = graft.Tables.load(spark, Sf0001, "documents")
     val phrases = Seq(0 -> "table part", 1 -> "key agg row")
