@@ -481,6 +481,36 @@ object Curation {
       .select(col(idCol), col("shard"), col("bin"))
   }
 
+  /** CCNet-style LM-fluency bucketing (Wenzek et al. 2020): score every
+    * document against the corpus's own bigram LM
+    * ([[TextAnalysis.bigramFluency]] — higher = more fluent, the
+    * in-repo analog of lower KenLM perplexity), cut the scored corpus
+    * into `buckets` equal-frequency tiers, and keep everything at or
+    * above `keepFrom` (CCNet's recipe: 3 tiers, drop the tail). The
+    * tiers come from [[Binning.quantileBins]] — ONE pass of mergeable
+    * percentile sketches + a broadcast edge row + stateless codegen'd
+    * assignment — never an `ntile` window, whose single global sort is
+    * exactly the 100 TB cliff this module exists to avoid. Docs the LM
+    * cannot score (no bigrams: empty/one-token/NULL text) are absent
+    * from the output, like the fluency frame itself — the caller
+    * decides their fate, the bucketing never invents a score.
+    * Bucket semantics inherit the Binning contract: equal fluency
+    * values always land in the same bucket (edges compare by value),
+    * stable under re-partitioning. */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 3, keepFrom: Int = 2): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets needs at least 2 tiers")
+    require(keepFrom >= 1 && keepFrom <= buckets,
+      s"keepFrom=$keepFrom must be a bucket index in [1, $buckets]")
+    val fluency = TextAnalysis.bigramFluency(df, idCol, textCol)
+      .withColumn("__stratum", lit(1))
+    Binning.quantileBins(fluency, "fluency_micro", "__stratum", buckets,
+        binCol = "bucket")
+      .select(col(idCol), col("fluency_micro"), col("bucket"),
+        (col("bucket") >= keepFrom).as("kept"))
+  }
+
   /** SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
     * laws"; the second half of the D4 recipe, Tirumala et al. 2023, whose
     * SemDeDup half is [[Dedup.semDedup]]): k-means-partition the embedding
@@ -512,36 +542,6 @@ object Curation {
     *
     * Output: (id, cluster, centroid_sim, proto_rank, keep) — one row per
     * assigned input row, `keep = false` marking the pruned prototypes. */
-  /** CCNet-style LM-fluency bucketing (Wenzek et al. 2020): score every
-    * document against the corpus's own bigram LM
-    * ([[TextAnalysis.bigramFluency]] — higher = more fluent, the
-    * in-repo analog of lower KenLM perplexity), cut the scored corpus
-    * into `buckets` equal-frequency tiers, and keep everything at or
-    * above `keepFrom` (CCNet's recipe: 3 tiers, drop the tail). The
-    * tiers come from [[Binning.quantileBins]] — ONE pass of mergeable
-    * percentile sketches + a broadcast edge row + stateless codegen'd
-    * assignment — never an `ntile` window, whose single global sort is
-    * exactly the 100 TB cliff this module exists to avoid. Docs the LM
-    * cannot score (no bigrams: empty/one-token/NULL text) are absent
-    * from the output, like the fluency frame itself — the caller
-    * decides their fate, the bucketing never invents a score.
-    * Bucket semantics inherit the Binning contract: equal fluency
-    * values always land in the same bucket (edges compare by value),
-    * stable under re-partitioning. */
-  def perplexityBuckets(
-      df: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 3, keepFrom: Int = 2): DataFrame = {
-    require(buckets >= 2, s"buckets=$buckets needs at least 2 tiers")
-    require(keepFrom >= 1 && keepFrom <= buckets,
-      s"keepFrom=$keepFrom must be a bucket index in [1, $buckets]")
-    val fluency = TextAnalysis.bigramFluency(df, idCol, textCol)
-      .withColumn("__stratum", lit(1))
-    Binning.quantileBins(fluency, "fluency_micro", "__stratum", buckets,
-        binCol = "bucket")
-      .select(col(idCol), col("fluency_micro"), col("bucket"),
-        (col("bucket") >= keepFrom).as("kept"))
-  }
-
   def prototypePrune(
       emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
       dropNum: Int, dropDen: Int): DataFrame = {

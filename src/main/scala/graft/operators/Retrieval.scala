@@ -904,19 +904,14 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("start"))
 
   /** The shared ranking tail: occurrences → per-(query, doc) phrase
-    * frequency → bounded-heap top-k by (n_occ DESC, doc_id ASC). Integer
-    * scores — nothing to round, the ordering replays exactly in any
-    * engine. */
-  private def phraseRank(occ: DataFrame, k: Int): DataFrame = {
-    val scored = occ.groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_occ"))
-    val order = Seq(col("n_occ").desc, col("doc_id").asc)
-    TopK.perKey(scored, Seq("query_id"), order, k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id")).orderBy(order: _*)))
-      .select(col("query_id"), col("doc_id"), col("n_occ"), col("rank"))
-  }
+    * frequency → the standard [[rankTopK]] tail (bounded heap, rank by
+    * score DESC / doc_id ASC) over the integer frequency — nothing to
+    * round, the ordering replays exactly in any engine. */
+  private def phraseRank(occ: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      occ.groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("score")), k)
+      .withColumnRenamed("score", "n_occ")
 
   private def distinctPhraseTerms(phrases: Seq[(Int, String)]): Seq[String] =
     phrases.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct

@@ -118,7 +118,9 @@ object LlmQueries {
 
   private lazy val NbOracleSql: String =
     """WITH train AS (
-         SELECT source AS label, text FROM documents WHERE doc_id % 5 <> 0),
+         SELECT source AS label, text FROM documents
+         WHERE doc_id % 5 <> 0
+           AND source IS NOT NULL AND text IS NOT NULL),
        test AS (
          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
        ttok0 AS (

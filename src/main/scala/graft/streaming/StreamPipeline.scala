@@ -1593,30 +1593,8 @@ object StreamPipeline {
       graft.operators.Retrieval.buildIndexM(
         graft.Tables.load(spark, dir, "documents"), "doc_id", "text", root)
       // stage the query stream: round-robin the query set into 3
-      // single-file micro-batches (one file = one trigger), mtimes
-      // ordered so the file source replays batch order deterministically
-      val qSchema = StructType(Seq(StructField("query_id", IntegerType),
-        StructField("text", StringType)))
-      val nB = 3
-      (0 until nB).foreach { b =>
-        val sub = queries.zipWithIndex.collect {
-          case ((id, text), i) if i % nB == b =>
-            org.apache.spark.sql.Row(id, text)
-        }
-        val dirB = s"$stage/b$b"
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(sub.toIndexedSeq, 1), qSchema)
-          .coalesce(1).write.mode("overwrite").parquet(dirB)
-        val part = Option(new java.io.File(dirB).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $dirB"))
-        val dst = java.nio.file.Paths.get(qIn, f"queries-$b%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(
-          java.lang.System.currentTimeMillis() - (nB - b) * 60000L): Unit
-      }
+      // single-file micro-batches (one file = one trigger)
+      val qSchema = stageQueryBatches(spark, queries, qIn, stage, nB = 3)
       val arrivals = spark.readStream
         .schema(qSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1637,6 +1615,39 @@ object StreamPipeline {
     } finally {
       Seq(root, qIn, outDir, ckptDir, stage).foreach(rmTree)
     }
+  }
+
+  /** Stage a driver-literal (query_id, text) batch as `nB` single-file
+    * parquet micro-batches under `qIn` — round-robin by position, file
+    * mtimes back-dated so the file source replays batch order
+    * deterministically (the query-stream analog of the doc-arrival
+    * staging; ONE definition shared by every query-stream probe leg).
+    * Returns the arrival schema for the readStream. */
+  private def stageQueryBatches(
+      spark: SparkSession, queries: Seq[(Int, String)], qIn: String,
+      stage: String, nB: Int): StructType = {
+    val qSchema = StructType(Seq(StructField("query_id", IntegerType),
+      StructField("text", StringType)))
+    (0 until nB).foreach { b =>
+      val sub = queries.zipWithIndex.collect {
+        case ((id, text), i) if i % nB == b =>
+          org.apache.spark.sql.Row(id, text)
+      }
+      val dirB = s"$stage/b$b"
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(sub.toIndexedSeq, 1), qSchema)
+        .coalesce(1).write.mode("overwrite").parquet(dirB)
+      val part = Option(new java.io.File(dirB).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $dirB"))
+      val dst = java.nio.file.Paths.get(qIn, f"queries-$b%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(
+        java.lang.System.currentTimeMillis() - (nB - b) * 60000L): Unit
+    }
+    qSchema
   }
 
   private[graft] val PhraseStreamSchema: StructType = StructType(Seq(
@@ -1666,28 +1677,7 @@ object StreamPipeline {
     try {
       graft.operators.Retrieval.buildPosIndexM(
         graft.Tables.load(spark, dir, "documents"), "doc_id", "text", root)
-      val qSchema = StructType(Seq(StructField("query_id", IntegerType),
-        StructField("text", StringType)))
-      val nB = 3
-      (0 until nB).foreach { b =>
-        val sub = phrases.zipWithIndex.collect {
-          case ((id, text), i) if i % nB == b =>
-            org.apache.spark.sql.Row(id, text)
-        }
-        val dirB = s"$stage/b$b"
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(sub.toIndexedSeq, 1), qSchema)
-          .coalesce(1).write.mode("overwrite").parquet(dirB)
-        val part = Option(new java.io.File(dirB).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $dirB"))
-        val dst = java.nio.file.Paths.get(qIn, f"phrases-$b%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(
-          java.lang.System.currentTimeMillis() - (nB - b) * 60000L): Unit
-      }
+      val qSchema = stageQueryBatches(spark, phrases, qIn, stage, nB = 3)
       val arrivals = spark.readStream
         .schema(qSchema)
         .option("maxFilesPerTrigger", 1)
