@@ -218,6 +218,29 @@ object SkewBench {
           embeddings(spark, n, sk), cellCentroids(spark),
           "vec_id", "embedding", dropNum = 3, dropDen = 10)
       },
+      pair("phrase_probe") { sk =>
+        // positional phrase search under hot-phrase CONCENTRATION: both
+        // sides carry exactly nDocs occurrences of the query bigram —
+        // the skewed side packs them 5-deep into 20 % of the docs, the
+        // uniform twin spreads one per doc. Work is linear in candidate
+        // postings (equal by construction); the completeness aggregate
+        // keys on (query, doc, START), so a phrase-dense doc spreads
+        // across start values rather than piling one task, and the
+        // per-doc frequency aggregate is candidate-sized. Concentration
+        // must cost ~nothing — this pair pins that.
+        val rnd = (i: Column) =>
+          concat(lit("w"), pmod(hash(col("id"), i), lit(1000)) + lit(100))
+        val body = (m: Int) =>
+          concat_ws(" ", transform(sequence(lit(0), lit(m)), rnd))
+        val docs = spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          when(lit(sk) && pmod(col("id"), lit(5)) === 0,
+            concat(lit("w1 w2 w1 w2 w1 w2 w1 w2 w1 w2 "), body(39)))
+            .when(!lit(sk), concat(lit("w1 w2 "), body(47)))
+            .otherwise(body(49)).as("text"))
+        graft.operators.Retrieval.phraseTopK(
+          docs, "doc_id", "text", Seq(0 -> "w1 w2"), k = 8)
+      },
       pair("dedup_repeated_spans") { sk =>
         // exact-substring spans under a 20 % boilerplate clique: the hot
         // cluster's grams reach huge doc frequencies, but every stage is
