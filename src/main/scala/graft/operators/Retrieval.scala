@@ -903,15 +903,37 @@ object Retrieval {
       .filter(col("__hits") === col("__plen"))
       .select(col("query_id"), col("doc_id"), col("start"))
 
-  /** The shared ranking tail: occurrences → per-(query, doc) phrase
-    * frequency → the standard [[rankTopK]] tail (bounded heap, rank by
-    * score DESC / doc_id ASC) over the integer frequency — nothing to
-    * round, the ordering replays exactly in any engine. */
+  /** The shared ranking tail: occurrence counts → the standard
+    * [[rankTopK]] tail (bounded heap, rank by score DESC / doc_id ASC)
+    * over the integer frequency — nothing to round, the ordering
+    * replays exactly in any engine. */
   private def phraseRank(occ: DataFrame, k: Int): DataFrame =
     rankTopK(
-      occ.groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).as("score")), k)
+      phraseCounts(occ).withColumnRenamed("n_occ", "score"), k)
       .withColumnRenamed("score", "n_occ")
+
+  /** Occurrences → per-(query, doc) phrase frequency. */
+  private def phraseCounts(occ: DataFrame): DataFrame =
+    occ.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+
+  /** Phrase SCREEN — the policy/decontamination shape ("which docs
+    * contain any of these banned/benchmark phrases, and how often"):
+    * every matching `(query_id, doc_id, n_occ)` row, unranked and
+    * unbounded (a screen wants ALL hits, not the top k). Shares the
+    * occurrence core with [[phraseTopK]]; non-matching docs produce no
+    * row (hits-only output — the contamination-probe precedent). */
+  def phraseScreen(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(Int, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val pq = phraseQueryFrame(spark, phrases)
+    val posts = termFilter(
+      positionalPostings(docs, idCol, textCol)
+        .select(col("term"), col("doc_id"), col("pos")),
+      pq, distinctPhraseTerms(phrases))
+    phraseCounts(phraseStarts(posts, pq))
+  }
 
   private def distinctPhraseTerms(phrases: Seq[(Int, String)]): Seq[String] =
     phrases.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct

@@ -287,6 +287,53 @@ object TextAnalysis {
           .as("oov_ratio"))
   }
 
+  /** PMI collocation mining — the corpus-analysis complement of the
+    * frequency-ranked top-ngrams: rank adjacent bigrams by POINTWISE
+    * MUTUAL INFORMATION, `ln(c(w1,w2)·N / (c_l(w1)·c_r(w2)))` over
+    * bigram positions (c_l/c_r = left/right occurrence counts, N =
+    * total bigrams), which surfaces ASSOCIATION ("San Francisco") where
+    * raw frequency surfaces commonness ("of the") — the classic
+    * vocabulary/tokenizer-design statistic (Church & Hanks 1990).
+    * `minCount` floors the bigram count (PMI is noise-maximal on
+    * singletons); top-k by (pmi DESC, w1, w2) — a global
+    * TakeOrdered, k rows through the final exchange.
+    *
+    * Scale shape: ONE tokenize pass → a wordcount-shaped bigram
+    * aggregate (map-side combine); the marginals re-derive from the
+    * AGGREGATED (vocab²-bounded, cached) counts, never from a second
+    * corpus pass; the marginal joins key on single terms. PMI itself is
+    * one ln over correctly-rounded double products, rounded to the
+    * 1e-6 grid — the ordering replays exactly in the oracle. */
+  def collocations(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount must be positive")
+    require(k >= 1, s"k=$k must be positive")
+    val t = tokens(col(textCol))
+    val pairs = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    // cached: feeds the N scalar, both marginals, and the scored join
+    // (lazy, evictable; harness-global unpersist covers batch paths)
+    val c2 = df.filter(col(textCol).isNotNull)
+      .select(explode(pairs).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .persist()
+    val nTotal = c2.agg(coalesce(sum(col("n")), lit(0L)).cast("long"))
+      .head().getLong(0)
+    require(nTotal > 0, "collocations: the corpus has no bigrams")
+    val cl = c2.groupBy(col("w1")).agg(sum(col("n")).as("cl"))
+    val cr = c2.groupBy(col("w2")).agg(sum(col("n")).as("cr"))
+    c2.filter(col("n") >= minCount)
+      .join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log(col("n").cast("double") * lit(nTotal.toDouble) /
+          (col("cl").cast("double") * col("cr").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+  }
+
   /** The composed twin of [[hashEmbed]] — explode → digest → two
     * HashAggregates (token stream shuffled keyed (doc, dim-index), zero
     * rows densifying absent dimensions, NULL text → NULL embedding like

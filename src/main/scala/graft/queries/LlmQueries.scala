@@ -87,7 +87,10 @@ object LlmQueries {
     3 -> "key agg row")
   private val PhraseK = 10
 
-  private def phraseOracleSql(corpusSql: String): String = {
+  /** The shared occurrence-assembly CTEs (through `scored` =
+    * per-(query, doc) phrase frequency); the ranked and screen oracles
+    * append their own tails. */
+  private def phraseOracleCtes(corpusSql: String): String = {
     val qvals = PhraseQueries
       .flatMap { case (qid, text) =>
         text.split(" ").filter(_.nonEmpty).zipWithIndex
@@ -109,12 +112,20 @@ object LlmQueries {
          HAVING count(DISTINCT q.off) = ql.plen),
        scored AS (
          SELECT query_id, doc_id, count(*) AS n_occ
-         FROM starts GROUP BY 1, 2)
+         FROM starts GROUP BY 1, 2)"""
+  }
+
+  private def phraseOracleSql(corpusSql: String): String =
+    s"""${phraseOracleCtes(corpusSql)}
        SELECT query_id, doc_id, n_occ,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY n_occ DESC, doc_id) AS rank
        FROM scored QUALIFY rank <= $PhraseK ORDER BY query_id, rank"""
-  }
+
+  private def phraseScreenOracleSql: String =
+    s"""${phraseOracleCtes("SELECT * FROM documents")}
+       SELECT query_id, doc_id, n_occ
+       FROM scored ORDER BY query_id, doc_id"""
 
   private lazy val NbOracleSql: String =
     """WITH train AS (
@@ -1975,6 +1986,17 @@ object LlmQueries {
         .orderBy("source", "rank")
     },
 
+    // PMI collocation mining — association-ranked bigrams (Church &
+    // Hanks): where top_ngrams surfaces COMMONNESS, PMI surfaces
+    // BINDING (pairs that co-occur far above chance) — the
+    // vocabulary/tokenizer-design statistic. One tokenize pass, bigram
+    // wordcount, marginals re-derived from the cached aggregate, global
+    // TakeOrdered of k rows.
+    "text_collocations" -> q { (s, dir) =>
+      TextAnalysis.collocations(Tables.load(s, dir, "documents"),
+        "text", minCount = 5L, k = 20)
+    },
+
     // Document fingerprinting by winnowing (the MOSS scheme): rolling
     // character k-grams → 60-bit hashes → min per sliding window of w →
     // distinct fingerprints. Robust to insertions/reordering beyond a
@@ -2139,6 +2161,26 @@ object LlmQueries {
       Retrieval.phraseTopK(Tables.load(s, dir, "documents"),
           "doc_id", "text", PhraseQueries, PhraseK)
         .orderBy("query_id", "rank")
+    },
+
+    // Phrase SCREEN — the policy/decontamination shape: every matching
+    // (query_id, doc_id, n_occ) row, unranked and unbounded (a screen
+    // wants ALL hits). Shares the occurrence core with the ranked probe.
+    "retrieval_phrase_screen" -> q { (s, dir) =>
+      Retrieval.phraseScreen(Tables.load(s, dir, "documents"),
+          "doc_id", "text", PhraseQueries)
+        .orderBy("query_id", "doc_id")
+    },
+
+    // ... and the screen AT INGEST: every arriving doc checked against
+    // the fixed banned/benchmark phrase list inside foreachBatch
+    // (positions are a property of the doc's own text — stateless per
+    // doc), hit rows sink batchId-idempotently. Per-doc independence ⇒
+    // batch union ≡ one-shot — shares the batch oracle.
+    "stream_phrase_screen" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingPhraseScreen(s, dir, PhraseQueries)
+        .orderBy("query_id", "doc_id")
     },
 
     // ... and the steady-state SERVE path: the probe reads the committed
@@ -5003,6 +5045,28 @@ object LlmQueries {
                   OR round(top_bg::double / (ntok - 1), 4) > 0.18 AS flagged
          FROM top ORDER BY doc_id""",
 
+    // PMI: the bg CTE is text_bigram_lm's pair construction verbatim
+    // (raw adjacent tokens); marginals/total re-derive from c2; the
+    // score is one ln over correctly-rounded double products, round-6
+    "text_collocations" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         bg AS (
+           SELECT a.tok AS w1, b.tok AS w2
+           FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+         c2 AS (SELECT w1, w2, count(*)::bigint AS n FROM bg GROUP BY 1, 2),
+         cl AS (SELECT w1, sum(n)::bigint AS cl FROM c2 GROUP BY 1),
+         cr AS (SELECT w2, sum(n)::bigint AS cr FROM c2 GROUP BY 1),
+         nn AS (SELECT sum(n)::bigint AS n FROM c2)
+         SELECT c2.w1, c2.w2, c2.n,
+           round(ln(c2.n::double * nn.n / (cl.cl::double * cr.cr::double)),
+                 6) AS pmi
+         FROM c2 JOIN cl USING (w1) JOIN cr USING (w2), nn
+         WHERE c2.n >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+
     "text_top_ngrams" ->
       """WITH g AS (
            SELECT source, unnest(
@@ -5234,6 +5298,8 @@ object LlmQueries {
     "retrieval_sdm" -> SdmOracleSql,
     "retrieval_sdm_served" -> SdmOracleSql,
     "retrieval_phrase" -> phraseOracleSql("SELECT * FROM documents"),
+    "retrieval_phrase_screen" -> phraseScreenOracleSql,
+    "stream_phrase_screen" -> phraseScreenOracleSql,
     "retrieval_phrase_served" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_compacted" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_pinned" ->

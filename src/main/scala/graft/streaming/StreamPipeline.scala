@@ -1700,6 +1700,43 @@ object StreamPipeline {
     }
   }
 
+  private[graft] val PhraseScreenSchema: StructType = StructType(Seq(
+    StructField("query_id", IntegerType),
+    StructField("doc_id", LongType),
+    StructField("n_occ", LongType)))
+
+  /** Phrase screening AT INGEST — the policy/decontamination deployment
+    * shape: every arriving document is checked against the fixed
+    * banned/benchmark phrase list inside `foreachBatch` (positions are
+    * a property of the doc's own text — stateless per doc), hit rows
+    * sink batchId-idempotently, non-matching docs produce nothing.
+    * Per-doc independence ⇒ the batch union replays bit-for-bit as the
+    * one-shot screen — the registry row shares the batch oracle. */
+  def streamingPhraseScreen(
+      spark: SparkSession, dir: String,
+      phrases: Seq[(Int, String)]): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_pscreen_out").toString
+    val ckptDir = Files.createTempDirectory("graft_pscreen_ckpt").toString
+    try {
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(graft.operators.Retrieval.phraseScreen(
+            batch, "doc_id", "text", phrases), outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, PhraseScreenSchema).localCheckpoint(true)
+    } finally {
+      Seq(outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   private[graft] val NbStreamSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("predicted", StringType),

@@ -253,4 +253,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == "mixed whitespace here")
     assert(got(5L) == "version 1.2 is not an ip, 12345 not a phone")
   }
+
+  test("collocations: PMI ranks the BOUND pair above the merely FREQUENT pair") {
+    import spark.implicits._
+    // "of the" is everywhere (high count, both words promiscuous);
+    // "san francisco" appears less often but its words occur ONLY
+    // together — frequency ranks "of the" first, PMI must invert that
+    val docs = (1 to 20).map(i =>
+      (i.toLong, "of the end of the start of the middle san francisco"))
+      .toDF("id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 5L, k = 30)
+      .collect().map(r =>
+        ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    val byPair = got.toMap
+    val (nOf, pmiOf) = byPair(("of", "the"))
+    val (nSf, pmiSf) = byPair(("san", "francisco"))
+    assert(nOf > nSf, "fixture must make 'of the' the more frequent pair")
+    assert(pmiSf > pmiOf, "PMI must rank the bound pair above the frequent one")
+    // output is ordered by (pmi desc, w1, w2)
+    val pmis = got.map(_._2._2).toSeq
+    assert(pmis == pmis.sorted(Ordering[Double].reverse))
+  }
+
+  test("collocations: minCount floors out rare pairs; k bounds the output") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a b a b a b rare pair")).toDF("id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 3L, k = 1)
+      .collect()
+    assert(got.length == 1)
+    assert((got.head.getString(0), got.head.getString(1)) == ("a", "b"))
+  }
 }

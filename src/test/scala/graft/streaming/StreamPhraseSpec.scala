@@ -32,4 +32,26 @@ class StreamPhraseSpec extends SparkSpec {
     // and the rest are common, so all four query ids surface
     assert(got.map(_._1) == phrases.map(_._1).toSet)
   }
+
+  test("streaming phrase screen ≡ one-shot phraseScreen: ALL hits, unranked") {
+    val phrases = Seq((1, "table part"), (2, "table table"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2))
+    val got = StreamPipeline
+      .streamingPhraseScreen(spark, Sf0001, phrases)
+      .collect().map(key).toSet
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val want = graft.operators.Retrieval
+      .phraseScreen(docs, "doc_id", "text", phrases)
+      .collect().map(key).toSet
+    assert(got == want, s"diff: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+    // the screen is unbounded: more hit docs than any top-k would keep
+    // (sf0.001 has ~25 docs matching "table part")
+    assert(got.count(_._1 == 1) > 10)
+    // and it agrees with the ranked probe's frequencies at k = ∞
+    val ranked = graft.operators.Retrieval
+      .phraseTopK(docs, "doc_id", "text", phrases, k = 100000)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ranked)
+  }
 }
