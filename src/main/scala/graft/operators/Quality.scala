@@ -316,4 +316,62 @@ object Quality {
         round(call_function("graft_cosine_d", col("__gv"), col("__glob")), 6)
           .as("drift"))
   }
+
+  /** Token-distribution drift per group vs the whole corpus — the TEXT
+    * analog of [[histogramDrift]] (numeric columns) and
+    * [[embeddingGroupDrift]] (vectors): smoothed KL divergence
+    * `KL(Q_g ‖ P) = Σ_t q_t·ln(q_t/p_t)` over the top-`vocabSize`
+    * corpus vocabulary, where q/p are add-one-smoothed in-vocab token
+    * frequencies of the group / the corpus. The monitor a text
+    * pipeline wants per source or per snapshot: a scraper change, a
+    * boilerplate injection, or a language shift moves a group's token
+    * distribution long before any numeric column notices. Vocabulary
+    * restriction + add-one smoothing make the score total (a group
+    * missing a vocab term contributes its smoothed floor, never ±∞);
+    * out-of-vocab tokens are excluded from BOTH sides by definition
+    * (the vocabCoverage cut: frequency desc, token asc — deterministic).
+    *
+    * Scale shape: one tokenize pass → a (group, token) wordcount
+    * (map-side combine), materialized once and read three ways (vocab
+    * cut, per-group in-vocab totals, the scored join); the vocab and
+    * group-total frames are broadcast-sized by construction; the dense
+    * groups×vocab scoring frame is model-sized, never corpus-sized.
+    * Per-term contributions round-6 → decimal sum → one final round,
+    * so the score replays exactly in the oracle. */
+  def tokenKlDrift(
+      df: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
+    val counts = df
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+      // groups×corpus-vocab rows, read three times — materialize so
+      // the corpus tokenize runs once (the embeddingGroupDrift shape)
+      .localCheckpoint()
+    val vocab = counts.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("tok").asc).limit(vocabSize)
+      .localCheckpoint()
+    val tot = vocab.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("ct")), lit(0L)).cast("long")).head()
+    val (vEff, nGlob) = (tot.getLong(0), tot.getLong(1))
+    require(vEff > 0, "tokenKlDrift: the corpus has no non-empty tokens")
+    val grpTotals = counts
+      .join(broadcast(vocab.select(col("tok"))), Seq("tok"))
+      .groupBy(col("grp")).agg(sum(col("c")).as("ng"))
+    val q = (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+      (col("ng") + lit(vEff)).cast("double")
+    val p = (col("ct") + lit(1L)).cast("double") /
+      lit((nGlob + vEff).toDouble)
+    vocab.crossJoin(broadcast(grpTotals))
+      .join(counts, Seq("grp", "tok"), "left")
+      .select(col("grp"), col("ng"),
+        round(q * log(q / p), 6).cast("decimal(38,10)").as("w"))
+      .groupBy(col("grp"))
+      .agg(max(col("ng")).as("n_tokens"),
+        round(sum(col("w")).cast("double"), 6).as("kl"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("kl"))
+  }
 }

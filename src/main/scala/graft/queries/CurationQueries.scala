@@ -417,6 +417,17 @@ object CurationQueries {
         .orderBy("label")
     },
 
+    // Token-distribution drift per source — the TEXT analog of the two
+    // drifts above: smoothed KL divergence of each group's in-vocab
+    // token frequencies against the corpus's, over the top-V vocabulary.
+    // A scraper change or boilerplate injection moves a source's token
+    // distribution long before any numeric column notices.
+    "quality_token_kl" -> q { (s, dir) =>
+      Quality.tokenKlDrift(Tables.load(s, dir, "documents"),
+          "source", "text", vocabSize = 1000)
+        .orderBy("source")
+    },
+
     // Dataset versioning: content-digest diff of two corpus snapshots
     // (held-out slices + an in-place edit stand in for yesterday's and
     // today's corpus) — every doc classified added / removed / changed /
@@ -1051,6 +1062,36 @@ object CurationQueries {
          JOIN sig sb ON sb.doc_id = p.train_id AND sb.seed = sa.seed
          GROUP BY p.eval_id, p.train_id
          ORDER BY eval_id, train_id""",
+
+    // smoothed KL over the top-V vocab: q/p add-one in-vocab
+    // frequencies, per-term q·ln(q/p) round-6 → decimal sum → one round
+    "quality_token_kl" ->
+      """WITH tok0 AS (
+           SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+         tok AS (SELECT grp, tok FROM tok0 WHERE tok <> ''),
+         counts AS (
+           SELECT grp, tok, count(*)::bigint AS c FROM tok GROUP BY 1, 2),
+         vocab AS (
+           SELECT tok, sum(c)::bigint AS ct FROM counts
+           GROUP BY 1 ORDER BY ct DESC, tok LIMIT 1000),
+         vv AS (SELECT count(*)::bigint AS v, sum(ct)::bigint AS n FROM vocab),
+         ng AS (
+           SELECT grp, sum(c)::bigint AS ng
+           FROM counts JOIN vocab USING (tok) GROUP BY 1),
+         contrib AS (
+           SELECT g.grp, g.ng,
+             round(
+               ((coalesce(c.c, 0) + 1)::double / (g.ng + vv.v)) *
+               ln(((coalesce(c.c, 0) + 1)::double / (g.ng + vv.v)) /
+                  ((vb.ct + 1)::double / (vv.n + vv.v))),
+               6)::DECIMAL(38,10) AS w
+           FROM vocab vb CROSS JOIN ng g
+           LEFT JOIN counts c ON c.grp = g.grp AND c.tok = vb.tok, vv)
+         SELECT grp AS source, max(ng) AS n_tokens,
+           round(sum(w)::double, 6) AS kl
+         FROM contrib GROUP BY grp ORDER BY source""",
 
     // exact-decimal per-coordinate sums (the lloyd pos0/cen CTE shape),
     // one double division + 6 dp round per mean coordinate, the global

@@ -182,4 +182,31 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(re == got)
   }
+
+  test("tokenKlDrift: shifted group scores above aligned; smoothing keeps it finite") {
+    import spark.implicits._
+    val docs = Seq(
+      // aligned: mirrors the corpus-dominant distribution
+      ("aligned", "a b c d a b c d"),
+      ("aligned", "a b c d a b c d"),
+      ("aligned", "a b c d a b c d"),
+      // shifted: one token dominates
+      ("shifted", "a a a a a a a a"),
+      // sparse: misses vocab terms entirely — add-one smoothing must
+      // keep its score finite, not ±∞/NaN
+      ("sparse", "a b")
+    ).toDF("source", "text")
+    val got = Quality.tokenKlDrift(docs, "source", "text", vocabSize = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set("aligned", "shifted", "sparse"))
+    assert(got.values.forall(v => !v._2.isNaN && !v._2.isInfinite))
+    assert(got("shifted")._2 > got("aligned")._2,
+      s"the skewed distribution must drift more: $got")
+    assert(got("aligned")._1 == 24L && got("shifted")._1 == 8L &&
+      got("sparse")._1 == 2L, "in-vocab token counts")
+    // deterministic under re-partitioning (decimal contributions)
+    val re = Quality.tokenKlDrift(docs.repartition(7), "source", "text", 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(re == got)
+  }
 }
