@@ -119,4 +119,51 @@ object Classify {
         Seq(col("score").desc, col("label").asc), 1)
       .select(col(idCol), col("label").as("predicted"), col("score"))
   }
+
+  // ---- Model store under the atomic manifest protocol ------------------
+  //
+  // The train-once / serve-forever deployment shape: the dense
+  // parameter table persists as one committed manifest table, so every
+  // scoring job (batch backfill, streaming ingest, a replayed release)
+  // reads the SAME frozen parameters — retraining commits a replacement
+  // segment atomically (expect-guarded), and `at` pins the model
+  // version a release actually shipped with.
+
+  private val ParamsTable = "params"
+
+  /** Train and commit the model at `root`. A retrain over the same root
+    * swaps the params table in one atomic commit (never a partial mix
+    * of old and new parameters); concurrent readers keep resolving the
+    * version their snapshot pinned. */
+  def buildNbModelM(
+      labeled: DataFrame, labelCol: String, textCol: String,
+      root: String): Long = {
+    val spark = labeled.sparkSession
+    val cur = graft.index.IndexManifest.currentVersion(spark, root)
+    val snap =
+      if (cur > 0L) Some(graft.index.IndexManifest.snapshotAt(spark, root, cur))
+      else None
+    val seg = graft.index.IndexManifest.newSegment(ParamsTable)
+    nbTrain(labeled, labelCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.map(_.tables).getOrElse(Map.empty)
+        .updated(ParamsTable, Seq(seg)),
+      expect = snap.map(_.version),
+      meta = Map("family" -> "nbmodel"))
+  }
+
+  /** Classify against a committed model version (`at` pins one). */
+  def nbClassifyM(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      at: Option[Long] = None): DataFrame = {
+    val snap = at
+      .map(v => graft.index.IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(graft.index.IndexManifest.snapshot(spark, root))
+    nbClassify(
+      graft.index.IndexManifest.readAt(spark, root, snap, ParamsTable),
+      docs, idCol, textCol)
+  }
 }

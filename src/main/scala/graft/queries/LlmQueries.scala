@@ -2251,6 +2251,28 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ... and the model-store SERVE path: the trained parameter table
+    // persists under the manifest protocol (retrain = one atomic
+    // expect-guarded swap; `at` pins the version a release shipped
+    // with), so every scoring job reads the same frozen parameters.
+    // Build-if-stale: the timed cost is the classify a deployment pays.
+    // Shares the inline oracle: stored ≡ recomputed parameters.
+    "text_nb_served" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("nbmodel", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        graft.operators.Classify.buildNbModelM(
+          docs.filter(col("doc_id") % 5 =!= 0), "source", "text", root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      graft.operators.Classify.nbClassifyM(
+          s, root, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ... and the classifier AT INGEST: the model trains once on the
     // labeled seed (frozen at plan time), each arriving micro-batch
     // classifies statelessly inside foreachBatch. Per-doc independence
@@ -5290,6 +5312,7 @@ object LlmQueries {
     // round once; argmax ties to the smaller label. The streaming twin
     // shares it: per-doc independence ⇒ batch union ≡ one-shot.
     "text_nb_classify" -> NbOracleSql,
+    "text_nb_served" -> NbOracleSql,
     "stream_nb_classify" -> NbOracleSql,
 
     // SDM: unigram/ordered/unordered components each replay the BM25

@@ -56,6 +56,34 @@ class ClassifySpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "a")))
   }
 
+  test("model store: served ≡ inline; retrain swaps atomically; pin replays v1") {
+    import spark.implicits._
+    val root = new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      s"graft_test_nbm_${java.util.UUID.randomUUID().toString.take(8)}").toString
+    val test = Seq((1L, "good great"), (2L, "bad awful"), (3L, "nice"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val v1 = Classify.buildNbModelM(train, "label", "text", root)
+    assert(rows(Classify.nbClassifyM(spark, root, test, "doc_id", "text")) ==
+      rows(Classify.nbClassify(
+        Classify.nbTrain(train, "label", "text"), test, "doc_id", "text")))
+    // retrain on a flipped seed: HEAD serves the new model, the pin
+    // still replays v1's predictions
+    val flipped = train.withColumn("label",
+      org.apache.spark.sql.functions.when(col("label") === "pos", "neg")
+        .otherwise("pos"))
+    Classify.buildNbModelM(flipped, "label", "text", root)
+    val atHead = Classify.nbClassifyM(spark, root, test, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(atHead == Map(1L -> "neg", 2L -> "pos", 3L -> "neg"))
+    val atV1 = Classify.nbClassifyM(spark, root, test, "doc_id", "text",
+        at = Some(v1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(atV1 == Map(1L -> "pos", 2L -> "neg", 3L -> "pos"))
+  }
+
   test("predictions are stable under input re-partitioning") {
     import spark.implicits._
     val docs = graft.Tables.load(spark, Sf0001, "documents")
