@@ -1081,6 +1081,60 @@ object Retrieval {
       expect = Some(snap.version))
   }
 
+  // ---- Offline ranking evaluation ---------------------------------------
+
+  /** Ranking-quality metrics — the offline eval harness a retrieval
+    * stack runs on every change: recall@k, MRR@k, and nDCG@k of a
+    * CANDIDATE ranking `(query_id, doc_id, rank)` against graded
+    * reference JUDGMENTS `(query_id, doc_id, rel)` (rel > 0 =
+    * relevant; higher = better). DCG uses the classic `rel / log2(rank
+    * + 1)` gain (expressed as `ln/ln 2` so both engines compute the
+    * identical correctly-rounded doubles); per-position terms round to
+    * the 1e-6 grid and sum in decimal, each final metric rounds once —
+    * bit-replayable. Queries with no judged-relevant docs are absent
+    * (their metrics are undefined, not zero — the caller decides).
+    *
+    * Scale shape: everything is result-sized — the candidate is
+    * queries×k rows, judgments are queries×judged rows; the ideal-DCG
+    * window partitions by query over the judgment rows only. Nothing
+    * here touches a corpus. */
+  def rankingMetrics(
+      cand: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val log2 = (x: Column) => log(x) / log(lit(2.0))
+    val j = judgments.select(col("query_id"), col("doc_id"), col("rel"))
+    val hits = cand.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .join(j, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+    val perQ = hits.groupBy(col("query_id")).agg(
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("__hits"),
+      min(when(col("rel") > 0, col("rank"))).as("__first"),
+      sum(round(col("rel").cast("double") / log2(col("rank") + lit(1)), 6)
+        .cast("decimal(38,10)")).as("__dcg"))
+    val relOnly = j.filter(col("rel") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val ideal = relOnly
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(round(col("rel").cast("double") / log2(col("__r") + lit(1)), 6)
+        .cast("decimal(38,10)")).as("__idcg"))
+    val totals = relOnly.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__nrel"))
+    perQ.join(ideal, Seq("query_id")).join(totals, Seq("query_id"))
+      .select(col("query_id"),
+        round(col("__hits").cast("double") / col("__nrel"), 6)
+          .as("recall"),
+        when(col("__first").isNotNull,
+          round(lit(1.0) / col("__first"), 6)).otherwise(lit(0.0))
+          .as("mrr"),
+        round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6)
+          .as("ndcg"))
+  }
+
   // ---- Sequential dependence model (SDM) --------------------------------
   //
   // Metzler & Croft 2005: term order matters SOFTLY — blend the

@@ -172,6 +172,127 @@ object LlmQueries {
                                   ORDER BY score DESC, label) = 1
        ORDER BY doc_id"""
 
+  private lazy val EvalMetricsOracleSql: String = {
+    val qterms = Bm25Queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+      }
+      .mkString(", ")
+    val qtexts = Bm25Queries.map { case (qid, t) => s"($qid, '$t')" }
+      .mkString(", ")
+    // judgments = text_bm25_topk's chain graded 11-rank; candidate =
+    // the hybrid oracle's hash-embed cosine ranking; the metrics tail
+    // mirrors rankingMetrics operand-for-operand (ln/ln 2 gains,
+    // round-6 terms, decimal sums, one round per metric)
+    s"""WITH bq(query_id, term) AS (VALUES $qterms),
+       toks AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tf AS (
+         SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+         FROM toks WHERE term <> '' GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       c AS (SELECT count(*)::bigint AS n,
+                    sum(len(string_split(text, ' ')))::bigint AS sumdl
+             FROM documents),
+       contrib AS (
+         SELECT bq.query_id, tf.doc_id,
+           round(
+             ln(1.0 + (c.n::double - df.df + 0.5) / (df.df + 0.5)) *
+             ((tf.tf * ${Retrieval.K1 + 1.0}) /
+              (tf.tf + ${Retrieval.K1} *
+                (${1.0 - Retrieval.B} + ${Retrieval.B} *
+                  (tf.dl / (c.sumdl::double / c.n))))),
+             6)::DECIMAL(38,10) AS w
+         FROM bq JOIN tf USING (term) JOIN df ON tf.term = df.term, c),
+       lexscored AS (
+         SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
+         FROM contrib GROUP BY 1, 2),
+       judg AS (
+         SELECT query_id, doc_id, (${Bm25K + 1} - lex_rank)::bigint AS rel
+         FROM (SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS lex_rank
+               FROM lexscored QUALIFY lex_rank <= $Bm25K)),
+       dtoks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       dhashed AS (
+         SELECT doc_id, CAST(h % 64 AS INT) AS i,
+                CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+         FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+               FROM dtoks WHERE tok <> '')),
+       dzeros AS (
+         SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
+         FROM documents, (SELECT unnest(range(64)) AS j)),
+       dsummed AS (
+         SELECT doc_id, i, sum(v) AS s
+         FROM (SELECT * FROM dhashed UNION ALL SELECT * FROM dzeros)
+         GROUP BY doc_id, i),
+       demb AS (
+         SELECT doc_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
+         FROM dsummed GROUP BY doc_id),
+       qt(query_id, qtext) AS (VALUES $qtexts),
+       qtoks AS (
+         SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM qt),
+       qhashed AS (
+         SELECT query_id, CAST(h % 64 AS INT) AS i,
+                CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+         FROM (SELECT query_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+               FROM qtoks WHERE tok <> '')),
+       qzeros AS (
+         SELECT query_id, CAST(j AS INT) AS i, 0.0 AS v
+         FROM qt, (SELECT unnest(range(64)) AS j)),
+       qsummed AS (
+         SELECT query_id, i, sum(v) AS s
+         FROM (SELECT * FROM qhashed UNION ALL SELECT * FROM qzeros)
+         GROUP BY query_id, i),
+       qemb AS (
+         SELECT query_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
+         FROM qsummed GROUP BY query_id),
+       vscored AS (
+         SELECT q.query_id, d.doc_id,
+           round(list_dot_product(q.embedding::double[], d.embedding::double[]) /
+             (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
+              sqrt(list_dot_product(d.embedding::double[], d.embedding::double[]))),
+             6) AS score
+         FROM qemb q, demb d),
+       cand AS (
+         SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+         FROM vscored QUALIFY rank <= $Bm25K),
+       hits AS (
+         SELECT cd.query_id, cd.rank, coalesce(j.rel, 0) AS rel
+         FROM cand cd LEFT JOIN judg j USING (query_id, doc_id)),
+       perq AS (
+         SELECT query_id,
+           sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::bigint AS hits,
+           min(CASE WHEN rel > 0 THEN rank END) AS first,
+           sum(round(rel::double / (ln(rank + 1) / ln(2.0)), 6)
+               ::DECIMAL(38,10)) AS dcg
+         FROM hits GROUP BY 1),
+       rel_only AS (SELECT * FROM judg WHERE rel > 0),
+       ideal AS (
+         SELECT query_id,
+           sum(round(rel::double / (ln(r + 1) / ln(2.0)), 6)
+               ::DECIMAL(38,10)) AS idcg
+         FROM (SELECT query_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, doc_id) AS r
+               FROM rel_only)
+         WHERE r <= $Bm25K GROUP BY 1),
+       tot AS (SELECT query_id, count(*)::bigint AS nrel
+               FROM rel_only GROUP BY 1)
+       SELECT p.query_id,
+         round(p.hits::double / t.nrel, 6) AS recall,
+         CASE WHEN p.first IS NOT NULL
+              THEN round(1.0::double / p.first, 6) ELSE 0.0 END AS mrr,
+         round(p.dcg::double / i.idcg::double, 6) AS ndcg
+       FROM perq p JOIN ideal i USING (query_id) JOIN tot t USING (query_id)
+       ORDER BY query_id"""
+  }
+
   private lazy val SdmOracleSql: String = {
     val uvals = Bm25Queries
       .flatMap { case (qid, text) =>
@@ -2280,6 +2401,32 @@ object LlmQueries {
     "stream_nb_classify" -> q { (s, dir) =>
       graft.streaming.StreamPipeline.streamingNbClassify(s, dir)
         .orderBy("doc_id")
+    },
+
+    // Offline ranking evaluation — recall@10 / MRR@10 / nDCG@10 of the
+    // vector ranker (hash-embed cosine) against graded lexical
+    // judgments (BM25 top-10, rel = 11 − rank) — the weak-supervision
+    // eval a retrieval stack runs on every change. Everything past the
+    // two rankings is result-sized; per-position DCG terms round-6 into
+    // decimal sums, each metric rounds once.
+    "retrieval_eval_metrics" -> q { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val emb = TextAnalysis.hashEmbed(docs, "doc_id", "text", 64)
+        .select(col("doc_id"), col("embedding").as("__cv"))
+      val qEmb = TextAnalysis.hashEmbed(
+        Bm25Queries.toDF("query_id", "qtext"), "query_id", "qtext", 64)
+      val scored = emb
+        .crossJoin(broadcast(
+          qEmb.select(col("query_id"), col("embedding").as("__qv"))))
+        .select(col("query_id"), col("doc_id"),
+          round(Similarity.cosineNative(col("__qv"), col("__cv")), 6)
+            .as("score"))
+      val cand = Retrieval.rankTopK(scored, Bm25K)
+      val judg = Retrieval.bm25TopK(docs, "doc_id", "text", Bm25Queries, Bm25K)
+        .select(col("query_id"), col("doc_id"),
+          (lit(Bm25K + 1) - col("rank")).cast("long").as("rel"))
+      Retrieval.rankingMetrics(cand, judg, Bm25K).orderBy("query_id")
     },
 
     // Sequential dependence (Metzler-Croft SDM, BM25 adaptation): blend
@@ -5314,6 +5461,11 @@ object LlmQueries {
     "text_nb_classify" -> NbOracleSql,
     "text_nb_served" -> NbOracleSql,
     "stream_nb_classify" -> NbOracleSql,
+
+    // Eval metrics: judgments replay text_bm25_topk graded 11-rank, the
+    // candidate replays the hybrid oracle's hash-embed cosine leg, the
+    // metrics tail mirrors rankingMetrics operand-for-operand.
+    "retrieval_eval_metrics" -> EvalMetricsOracleSql,
 
     // SDM: unigram/ordered/unordered components each replay the BM25
     // contrib discipline over their own tf/df; the blend is exact

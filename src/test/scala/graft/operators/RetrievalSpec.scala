@@ -374,6 +374,53 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet"), "probe must not scan the corpus")
   }
 
+  // ---- offline ranking evaluation ----------------------------------------
+
+  test("rankingMetrics: perfect ranking scores 1.0 everywhere; degraded ranking scores below") {
+    import spark.implicits._
+    val judg = Seq(
+      (1, 10L, 3L), (1, 11L, 2L), (1, 12L, 1L), // graded judgments
+      (2, 20L, 1L)
+    ).toDF("query_id", "doc_id", "rel")
+    // query 1: candidate = the ideal order; query 2: the relevant doc
+    // surfaces at rank 3 behind two unjudged docs
+    val cand = Seq(
+      (1, 10L, 1), (1, 11L, 2), (1, 12L, 3),
+      (2, 98L, 1), (2, 99L, 2), (2, 20L, 3)
+    ).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rankingMetrics(cand, judg, k = 10)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1) == ((1.0, 1.0, 1.0)))
+    val (rec2, mrr2, ndcg2) = got(2)
+    assert(rec2 == 1.0) // the one relevant doc IS retrieved within k
+    assert(mrr2 == 0.333333) // first relevant at rank 3
+    // DCG = 1/log2(4), IDCG = 1/log2(2) = 1 → ndcg = 1/2
+    assert(ndcg2 == 0.5)
+  }
+
+  test("rankingMetrics: missed docs lower recall; unjudged-only queries are absent") {
+    import spark.implicits._
+    val judg = Seq(
+      (1, 10L, 2L), (1, 11L, 1L), // two relevant
+      (3, 30L, 0L)                // judged but NOT relevant
+    ).toDF("query_id", "doc_id", "rel")
+    val cand = Seq(
+      (1, 10L, 1), (1, 99L, 2), // finds one of two
+      (3, 30L, 1)               // query 3 has no relevant judgments
+    ).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rankingMetrics(cand, judg, k = 10)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1), "no-relevant-judgment queries must be absent")
+    assert(got(1)._1 == 0.5) // recall: 1 of 2
+    assert(got(1)._2 == 1.0) // first hit at rank 1
+    // DCG = 2/1; IDCG = 2/1 + 1/log2(3)
+    assert(got(1)._3 > 0 && got(1)._3 < 1.0)
+  }
+
   // ---- sequential dependence (SDM) --------------------------------------
 
   test("sdm: identical bags rank adjacent > within-window > scattered") {
