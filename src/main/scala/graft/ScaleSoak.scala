@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale soak: one empirical scaling point BEYOND the graded sf0.1
-  * volume for the most expensive operator families (nine at r16,
+  * volume for the most expensive operator families (ten at r16,
   * including both exactly-once growing-ingest shapes, the
-  * training-free JL projected scan, and the prototype-prune window). The 100×
+  * training-free JL projected scan, the prototype-prune window, and
+  * the positional phrase build+probe lifecycle). The 100×
   * claims in SURVEY/SCALING rest on plan shape (no quadratic term, no
   * single-task pileup, probes pruned); this main checks the one thing a
   * plan reading cannot — that wall-clock actually grows ≲ linearly when
@@ -124,6 +125,23 @@ object ScaleSoak {
             "doc_id", 16, 4, maxBucket = 10000)
         },
         mustContain = Seq("BroadcastHashJoin")),
+      // positional phrase serve (build + probe lifecycle, the
+      // spans_incremental shape): positions persist term-clustered and
+      // the probe reads ONLY the phrase terms' rows — the pushed
+      // `term IN` must reach the pos scan at every volume (losing it
+      // flips the probe to a full positional scan, the classic scale
+      // killer for this family) and the rank must stay the bounded
+      // heap. Phrases are fixed (selective at every volume — a serve
+      // probe's cost is the matched postings, not the lake)
+      Family("phrase_probe",
+        (s, m) => {
+          val d = docs(m)
+          val root = tmp(s"posidx$m")
+          graft.operators.Retrieval.buildPosIndexM(d, "doc_id", "text", root)
+          graft.operators.Retrieval.phraseProbeM(s, root,
+            Seq(0 -> "w5 w7", 1 -> "w11 w11", 2 -> "w3 w4 w5"), k = 8)
+        },
+        mustContain = Seq("In(term", "TopKPerKeyPartial")),
       // PQ ANN: the m-int ADC scan must stay a kernel projection with
       // the bounded-heap top-k — a stats flip to SortAggregate at 1M
       // vectors would be the classic scale killer. Queries and the
