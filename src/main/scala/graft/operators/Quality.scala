@@ -327,9 +327,12 @@ object Quality {
     * boilerplate injection, or a language shift moves a group's token
     * distribution long before any numeric column notices. Vocabulary
     * restriction + add-one smoothing make the score total (a group
-    * missing a vocab term contributes its smoothed floor, never ±∞);
-    * out-of-vocab tokens are excluded from BOTH sides by definition
-    * (the vocabCoverage cut: frequency desc, token asc — deterministic).
+    * missing a vocab term contributes its smoothed floor, never ±∞ —
+    * and a group missing EVERY vocab term keeps its row with ng = 0
+    * and the uniform smoothed distribution, the maximally-drifted case
+    * the monitor must surface, not drop); out-of-vocab tokens are
+    * excluded from BOTH sides by definition (the vocabCoverage cut:
+    * frequency desc, token asc — deterministic).
     *
     * Scale shape: one tokenize pass → a (group, token) wordcount
     * (map-side combine), materialized once and read three ways (vocab
@@ -358,9 +361,19 @@ object Quality {
       coalesce(sum(col("ct")), lit(0L)).cast("long")).head()
     val (vEff, nGlob) = (tot.getLong(0), tot.getLong(1))
     require(vEff > 0, "tokenKlDrift: the corpus has no non-empty tokens")
-    val grpTotals = counts
-      .join(broadcast(vocab.select(col("tok"))), Seq("tok"))
-      .groupBy(col("grp")).agg(sum(col("c")).as("ng"))
+    // group totals over IN-VOCAB tokens — but the row set is EVERY
+    // group that produced any token at all: a group whose tokens are
+    // ALL out-of-vocabulary (a broken scraper, a language switch — the
+    // maximally-drifted group this monitor exists to flag) keeps its
+    // row with ng = 0, where smoothing gives it the uniform 1/V
+    // distribution and a large, finite KL, instead of silently
+    // vanishing from the report
+    val grpTotals = counts.select(col("grp")).distinct()
+      .join(
+        counts.join(broadcast(vocab.select(col("tok"))), Seq("tok"))
+          .groupBy(col("grp")).agg(sum(col("c")).as("__ng0")),
+        Seq("grp"), "left")
+      .select(col("grp"), coalesce(col("__ng0"), lit(0L)).as("ng"))
     val q = (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
       (col("ng") + lit(vEff)).cast("double")
     val p = (col("ct") + lit(1L)).cast("double") /

@@ -1091,8 +1091,12 @@ object Retrieval {
     * + 1)` gain (expressed as `ln/ln 2` so both engines compute the
     * identical correctly-rounded doubles); per-position terms round to
     * the 1e-6 grid and sum in decimal, each final metric rounds once —
-    * bit-replayable. Queries with no judged-relevant docs are absent
-    * (their metrics are undefined, not zero — the caller decides).
+    * bit-replayable. The output is JUDGMENT-driven: every query with at
+    * least one judged-relevant doc gets a row — a query the ranker
+    * returned nothing for (or nothing within k) scores 0/0/0, the
+    * honest miss an averaged report must include. Only queries with NO
+    * judged-relevant docs are absent (their metrics are undefined, not
+    * zero — the caller decides).
     *
     * Scale shape: everything is result-sized — the candidate is
     * queries×k rows, judgments are queries×judged rows; the ideal-DCG
@@ -1124,14 +1128,20 @@ object Retrieval {
         .cast("decimal(38,10)")).as("__idcg"))
     val totals = relOnly.groupBy(col("query_id"))
       .agg(count(lit(1)).as("__nrel"))
-    perQ.join(ideal, Seq("query_id")).join(totals, Seq("query_id"))
+    // judgment-driven assembly: totals/ideal define the row set (both
+    // derive from relOnly, so the inner join is total over it); the
+    // candidate side joins LEFT — a query the ranker missed entirely
+    // coalesces to the 0/0/0 row instead of vanishing
+    totals.join(ideal, Seq("query_id"))
+      .join(perQ, Seq("query_id"), "left")
       .select(col("query_id"),
-        round(col("__hits").cast("double") / col("__nrel"), 6)
-          .as("recall"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("__nrel"), 6).as("recall"),
         when(col("__first").isNotNull,
           round(lit(1.0) / col("__first"), 6)).otherwise(lit(0.0))
           .as("mrr"),
-        round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6)
+        round(coalesce(col("__dcg"), lit(java.math.BigDecimal.ZERO))
+          .cast("double") / col("__idcg").cast("double"), 6)
           .as("ndcg"))
   }
 

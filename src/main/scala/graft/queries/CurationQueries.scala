@@ -1078,8 +1078,11 @@ object CurationQueries {
            GROUP BY 1 ORDER BY ct DESC, tok LIMIT 1000),
          vv AS (SELECT count(*)::bigint AS v, sum(ct)::bigint AS n FROM vocab),
          ng AS (
-           SELECT grp, sum(c)::bigint AS ng
-           FROM counts JOIN vocab USING (tok) GROUP BY 1),
+           SELECT g.grp, coalesce(iv.ng, 0) AS ng
+           FROM (SELECT DISTINCT grp FROM counts) g
+           LEFT JOIN (SELECT grp, sum(c)::bigint AS ng
+                      FROM counts JOIN vocab USING (tok) GROUP BY 1) iv
+             USING (grp)),
          contrib AS (
            SELECT g.grp, g.ng,
              round(

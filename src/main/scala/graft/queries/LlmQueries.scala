@@ -172,19 +172,13 @@ object LlmQueries {
                                   ORDER BY score DESC, label) = 1
        ORDER BY doc_id"""
 
-  private lazy val EvalMetricsOracleSql: String = {
-    val qterms = Bm25Queries
-      .flatMap { case (qid, text) =>
-        text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
-      }
-      .mkString(", ")
-    val qtexts = Bm25Queries.map { case (qid, t) => s"($qid, '$t')" }
-      .mkString(", ")
-    // judgments = text_bm25_topk's chain graded 11-rank; candidate =
-    // the hybrid oracle's hash-embed cosine ranking; the metrics tail
-    // mirrors rankingMetrics operand-for-operand (ln/ln 2 gains,
-    // round-6 terms, decimal sums, one round per metric)
-    s"""WITH bq(query_id, term) AS (VALUES $qterms),
+  /** Shared oracle CTE bodies (comma-joined, no WITH) — ONE definition
+    * for every oracle that replays the lexical BM25 chain
+    * (`bq` → `lexscored`, text_bm25_topk's verbatim) or the hash-embed
+    * cosine legs (`dtoks` → `demb`, `qt` → `qemb`, `vscored`), so a
+    * change to either discipline edits one place. */
+  private def bm25LexOracleCtes(qterms: String): String =
+    s"""bq(query_id, term) AS (VALUES $qterms),
        toks AS (
          SELECT doc_id, len(string_split(text, ' ')) AS dl,
                 unnest(string_split(text, ' ')) AS term
@@ -208,14 +202,10 @@ object LlmQueries {
          FROM bq JOIN tf USING (term) JOIN df ON tf.term = df.term, c),
        lexscored AS (
          SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
-         FROM contrib GROUP BY 1, 2),
-       judg AS (
-         SELECT query_id, doc_id, (${Bm25K + 1} - lex_rank)::bigint AS rel
-         FROM (SELECT query_id, doc_id,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY score DESC, doc_id) AS lex_rank
-               FROM lexscored QUALIFY lex_rank <= $Bm25K)),
-       dtoks AS (
+         FROM contrib GROUP BY 1, 2)"""
+
+  private def hashEmbedVecOracleCtes(qtexts: String): String =
+    s"""dtoks AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        dhashed AS (
          SELECT doc_id, CAST(h % 64 AS INT) AS i,
@@ -256,7 +246,28 @@ object LlmQueries {
              (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
               sqrt(list_dot_product(d.embedding::double[], d.embedding::double[]))),
              6) AS score
-         FROM qemb q, demb d),
+         FROM qemb q, demb d)"""
+
+  private lazy val EvalMetricsOracleSql: String = {
+    val qterms = Bm25Queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+      }
+      .mkString(", ")
+    val qtexts = Bm25Queries.map { case (qid, t) => s"($qid, '$t')" }
+      .mkString(", ")
+    // judgments = the shared BM25 chain graded 11-rank; candidate = the
+    // shared hash-embed cosine ranking; the metrics tail mirrors
+    // rankingMetrics operand-for-operand (ln/ln 2 gains, round-6 terms,
+    // decimal sums, one round per metric, judgment-driven row set)
+    s"""WITH ${bm25LexOracleCtes(qterms)},
+       judg AS (
+         SELECT query_id, doc_id, (${Bm25K + 1} - lex_rank)::bigint AS rel
+         FROM (SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS lex_rank
+               FROM lexscored QUALIFY lex_rank <= $Bm25K)),
+       ${hashEmbedVecOracleCtes(qtexts)},
        cand AS (
          SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id
@@ -284,12 +295,13 @@ object LlmQueries {
          WHERE r <= $Bm25K GROUP BY 1),
        tot AS (SELECT query_id, count(*)::bigint AS nrel
                FROM rel_only GROUP BY 1)
-       SELECT p.query_id,
-         round(p.hits::double / t.nrel, 6) AS recall,
+       SELECT t.query_id,
+         round(coalesce(p.hits, 0)::double / t.nrel, 6) AS recall,
          CASE WHEN p.first IS NOT NULL
               THEN round(1.0::double / p.first, 6) ELSE 0.0 END AS mrr,
-         round(p.dcg::double / i.idcg::double, 6) AS ndcg
-       FROM perq p JOIN ideal i USING (query_id) JOIN tot t USING (query_id)
+         round(coalesce(p.dcg, 0)::double / i.idcg::double, 6) AS ndcg
+       FROM tot t JOIN ideal i USING (query_id)
+       LEFT JOIN perq p USING (query_id)
        ORDER BY query_id"""
   }
 
@@ -5350,78 +5362,16 @@ object LlmQueries {
         .mkString(", ")
       val qtexts = Bm25Queries.map { case (qid, t) => s"($qid, '$t')" }
         .mkString(", ")
-      s"""WITH bq(query_id, term) AS (VALUES $qterms),
-         toks AS (
-           SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                  unnest(string_split(text, ' ')) AS term
-           FROM documents),
-         tf AS (
-           SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
-           FROM toks WHERE term <> '' GROUP BY 1, 2),
-         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         c AS (SELECT count(*)::bigint AS n,
-                      sum(len(string_split(text, ' ')))::bigint AS sumdl
-               FROM documents),
-         contrib AS (
-           SELECT bq.query_id, tf.doc_id,
-             round(
-               ln(1.0 + (c.n::double - df.df + 0.5) / (df.df + 0.5)) *
-               ((tf.tf * ${Retrieval.K1 + 1.0}) /
-                (tf.tf + ${Retrieval.K1} *
-                  (${1.0 - Retrieval.B} + ${Retrieval.B} *
-                    (tf.dl / (c.sumdl::double / c.n))))),
-               6)::DECIMAL(38,10) AS w
-           FROM bq JOIN tf USING (term) JOIN df ON tf.term = df.term, c),
-         lexscored AS (
-           SELECT query_id, doc_id, round(sum(w)::double, 6) AS score
-           FROM contrib GROUP BY 1, 2),
+      // both legs are the SHARED oracle chains (bm25LexOracleCtes /
+      // hashEmbedVecOracleCtes); the fusion is pure integer-rank
+      // reciprocal arithmetic rounded once
+      s"""WITH ${bm25LexOracleCtes(qterms)},
          lex AS (
            SELECT query_id, doc_id,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, doc_id) AS lex_rank
            FROM lexscored QUALIFY lex_rank <= $Bm25K),
-         dtoks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         dhashed AS (
-           SELECT doc_id, CAST(h % 64 AS INT) AS i,
-                  CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
-           FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
-                 FROM dtoks WHERE tok <> '')),
-         dzeros AS (
-           SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
-           FROM documents, (SELECT unnest(range(64)) AS j)),
-         dsummed AS (
-           SELECT doc_id, i, sum(v) AS s
-           FROM (SELECT * FROM dhashed UNION ALL SELECT * FROM dzeros)
-           GROUP BY doc_id, i),
-         demb AS (
-           SELECT doc_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
-           FROM dsummed GROUP BY doc_id),
-         qt(query_id, qtext) AS (VALUES $qtexts),
-         qtoks AS (
-           SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM qt),
-         qhashed AS (
-           SELECT query_id, CAST(h % 64 AS INT) AS i,
-                  CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
-           FROM (SELECT query_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
-                 FROM qtoks WHERE tok <> '')),
-         qzeros AS (
-           SELECT query_id, CAST(j AS INT) AS i, 0.0 AS v
-           FROM qt, (SELECT unnest(range(64)) AS j)),
-         qsummed AS (
-           SELECT query_id, i, sum(v) AS s
-           FROM (SELECT * FROM qhashed UNION ALL SELECT * FROM qzeros)
-           GROUP BY query_id, i),
-         qemb AS (
-           SELECT query_id, list(CAST(s AS FLOAT) ORDER BY i) AS embedding
-           FROM qsummed GROUP BY query_id),
-         vscored AS (
-           SELECT q.query_id, d.doc_id,
-             round(list_dot_product(q.embedding::double[], d.embedding::double[]) /
-               (sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])) *
-                sqrt(list_dot_product(d.embedding::double[], d.embedding::double[]))),
-               6) AS score
-           FROM qemb q, demb d),
+         ${hashEmbedVecOracleCtes(qtexts)},
          vec AS (
            SELECT query_id, doc_id,
              row_number() OVER (PARTITION BY query_id

@@ -199,6 +199,16 @@ class QualitySpec extends SparkSpec {
     val got = Quality.tokenKlDrift(docs, "source", "text", vocabSize = 10)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got.keySet == Set("aligned", "shifted", "sparse"))
+    // a group whose tokens are ALL out-of-vocabulary — the
+    // maximally-drifted case — keeps its row (ng=0, uniform smoothed q)
+    val withOov = docs.union(
+      Seq(("broken", "zzz qqq yyy xxx www vvv uuu ttt"))
+        .toDF("source", "text"))
+    val oov = Quality.tokenKlDrift(withOov, "source", "text", vocabSize = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(oov.contains("broken"), "all-OOV group must surface, not vanish")
+    assert(oov("broken")._1 == 0L)
+    assert(!oov("broken")._2.isNaN && !oov("broken")._2.isInfinite)
     assert(got.values.forall(v => !v._2.isNaN && !v._2.isInfinite))
     assert(got("shifted")._2 > got("aligned")._2,
       s"the skewed distribution must drift more: $got")

@@ -421,6 +421,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1)._3 > 0 && got(1)._3 < 1.0)
   }
 
+  test("rankingMetrics is judgment-driven: a query the ranker missed entirely scores 0/0/0") {
+    import spark.implicits._
+    val judg = Seq((1, 10L, 1L), (7, 70L, 2L), (7, 71L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    // the ranker returned rows for query 1 only — query 7 must still
+    // surface (as the honest total miss), never vanish from the report
+    val cand = Seq((1, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rankingMetrics(cand, judg, k = 10)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1, 7))
+    assert(got(1) == ((1.0, 1.0, 1.0)))
+    assert(got(7) == ((0.0, 0.0, 0.0)))
+  }
+
   // ---- sequential dependence (SDM) --------------------------------------
 
   test("sdm: identical bags rank adjacent > within-window > scattered") {
