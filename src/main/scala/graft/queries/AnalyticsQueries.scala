@@ -114,6 +114,34 @@ object AnalyticsQueries {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    // Cohort retention — the classic product-analytics matrix: users
+    // cohorted by first-activity day, each cell = how many of that
+    // cohort were active `day_offset` days later. Scale shape: events
+    // collapse to DISTINCT (user, day) rows before anything joins (one
+    // user-keyed exchange shared by the first-day aggregate and the
+    // activity join), so the matrix assembly is user×active-days sized,
+    // never event-sized.
+    "cohort_retention" -> q { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("ts div 1000 div 86400000000").as("day"))
+        .distinct()
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_n"))
+      e.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(sizes, Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("active_users"),
+          col("cohort_n"),
+          round(col("active_users").cast("double") / col("cohort_n"), 6)
+            .as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // Sessionization: 30-minute inactivity gap → session ids → per-user
     // session stats. lag + cumulative conditional sum, one shuffle on user.
     "sessionize" -> q { (s, dir) =>
@@ -568,6 +596,22 @@ object AnalyticsQueries {
                                   ORDER BY epoch_us(ts), event_id
                                   ROWS UNBOUNDED PRECEDING), 4) AS running_value
          FROM events ORDER BY user_id, ts_us, event_id""",
+
+    "cohort_retention" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+         sz AS (SELECT cohort_day, count(*)::bigint AS cohort_n
+                FROM f GROUP BY 1),
+         a AS (
+           SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+                  count(*)::bigint AS active_users
+           FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+         SELECT a.cohort_day, a.day_offset, a.active_users, sz.cohort_n,
+           round(a.active_users::double / sz.cohort_n, 6) AS retention
+         FROM a JOIN sz USING (cohort_day)
+         ORDER BY cohort_day, day_offset""",
 
     "sessionize" ->
       """WITH e AS (

@@ -127,10 +127,12 @@ object LlmQueries {
        SELECT query_id, doc_id, n_occ
        FROM scored ORDER BY query_id, doc_id"""
 
-  private lazy val NbOracleSql: String =
-    """WITH train AS (
+  private lazy val NbOracleSql: String = nbOracleSql("doc_id % 5 <> 0")
+
+  private def nbOracleSql(trainWhere: String): String =
+    s"""WITH train AS (
          SELECT source AS label, text FROM documents
-         WHERE doc_id % 5 <> 0
+         WHERE ($trainWhere)
            AND source IS NOT NULL AND text IS NOT NULL),
        test AS (
          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
@@ -2403,6 +2405,23 @@ object LlmQueries {
       }
       graft.operators.Classify.nbClassifyM(
           s, root, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Release-pinned model time travel: v1 trains on the even half of
+    // the labeled seed, HEAD retrains on the full seed; classification
+    // pinned at v1 must score with v1's parameters — the exact model a
+    // release shipped with replays until vacuum reclaims it.
+    "text_nb_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("nbpin", dir)
+      val seed = docs.filter(col("doc_id") % 5 =!= 0)
+      val v1 = graft.operators.Classify.buildNbModelM(
+        seed.filter(col("doc_id") % 2 === 0), "source", "text", root)
+      graft.operators.Classify.buildNbModelM(seed, "source", "text", root)
+      graft.operators.Classify.nbClassifyM(
+          s, root, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          at = Some(v1))
         .orderBy("doc_id")
     },
 
@@ -5410,6 +5429,8 @@ object LlmQueries {
     // shares it: per-doc independence ⇒ batch union ≡ one-shot.
     "text_nb_classify" -> NbOracleSql,
     "text_nb_served" -> NbOracleSql,
+    // the pin replays v1's model: trained on the even half of the seed
+    "text_nb_pinned" -> nbOracleSql("doc_id % 5 <> 0 AND doc_id % 2 = 0"),
     "stream_nb_classify" -> NbOracleSql,
 
     // Eval metrics: judgments replay text_bm25_topk graded 11-rank, the
