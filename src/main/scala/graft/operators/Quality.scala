@@ -341,18 +341,36 @@ object Quality {
     * groups×vocab scoring frame is model-sized, never corpus-sized.
     * Per-term contributions round-6 → decimal sum → one final round,
     * so the score replays exactly in the oracle. */
-  def tokenKlDrift(
-      df: DataFrame, groupCol: String, textCol: String,
-      vocabSize: Int): DataFrame = {
-    require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
-    val counts = df
+  /** The (group, token) count partials [[tokenKlDrift]] aggregates —
+    * exposed because counts are MERGEABLE: the streaming leg sinks
+    * per-batch partials and folds them post-drain, and the fold feeds
+    * [[tokenKlFromCounts]] for a bit-exact batch-equivalent score. */
+  def tokenCounts(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df
       .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("grp"),
         explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+
+  def tokenKlDrift(
+      df: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame =
+    tokenKlFromCounts(tokenCounts(df, groupCol, textCol), groupCol,
+      vocabSize)
+
+  /** The KL tail over an already-aggregated `(grp, tok, c)` frame —
+    * one row per (grp, tok) (callers folding streamed partials sum
+    * them first; a duplicate key here would double-count its scored
+    * contribution through the left join). */
+  def tokenKlFromCounts(
+      rawCounts: DataFrame, groupCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
+    val counts = rawCounts
       // groups×corpus-vocab rows, read three times — materialize so
-      // the corpus tokenize runs once (the embeddingGroupDrift shape)
+      // the upstream lineage (a corpus tokenize, or the streamed
+      // partial fold) runs once (the embeddingGroupDrift shape)
       .localCheckpoint()
     val vocab = counts.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
       .orderBy(col("ct").desc, col("tok").asc).limit(vocabSize)

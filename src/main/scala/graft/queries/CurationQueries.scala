@@ -428,6 +428,16 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // ... and the drift monitor AT INGEST: each arriving micro-batch
+    // sinks mergeable (group, token, count) partials; the per-group KL
+    // computes post-drain from the exact fold through the shared tail.
+    // Counts are additive ⇒ bit-equal to the batch twin — shares its
+    // oracle.
+    "stream_token_kl" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline.streamingTokenKl(s, dir)
+        .orderBy("source")
+    },
+
     // Dataset versioning: content-digest diff of two corpus snapshots
     // (held-out slices + an in-place edit stand in for yesterday's and
     // today's corpus) — every doc classified added / removed / changed /
@@ -530,6 +540,40 @@ object CurationQueries {
   /** Shared SQL of the batch (`curation_contamination`) and at-ingest
     * (`stream_contamination`) decontamination oracles — identical by
     * per-doc independence of the overlap computation. */
+  // smoothed KL over the top-V vocab: q/p add-one in-vocab
+  // frequencies, per-term q·ln(q/p) round-6 → decimal sum → one round;
+  // shared by the batch row and the partial-folding streaming twin
+  private lazy val TokenKlOracleSql: String =
+    """WITH tok0 AS (
+           SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+         tok AS (SELECT grp, tok FROM tok0 WHERE tok <> ''),
+         counts AS (
+           SELECT grp, tok, count(*)::bigint AS c FROM tok GROUP BY 1, 2),
+         vocab AS (
+           SELECT tok, sum(c)::bigint AS ct FROM counts
+           GROUP BY 1 ORDER BY ct DESC, tok LIMIT 1000),
+         vv AS (SELECT count(*)::bigint AS v, sum(ct)::bigint AS n FROM vocab),
+         ng AS (
+           SELECT g.grp, coalesce(iv.ng, 0) AS ng
+           FROM (SELECT DISTINCT grp FROM counts) g
+           LEFT JOIN (SELECT grp, sum(c)::bigint AS ng
+                      FROM counts JOIN vocab USING (tok) GROUP BY 1) iv
+             USING (grp)),
+         contrib AS (
+           SELECT g.grp, g.ng,
+             round(
+               ((coalesce(c.c, 0) + 1)::double / (g.ng + vv.v)) *
+               ln(((coalesce(c.c, 0) + 1)::double / (g.ng + vv.v)) /
+                  ((vb.ct + 1)::double / (vv.n + vv.v))),
+               6)::DECIMAL(38,10) AS w
+           FROM vocab vb CROSS JOIN ng g
+           LEFT JOIN counts c ON c.grp = g.grp AND c.tok = vb.tok, vv)
+         SELECT grp AS source, max(ng) AS n_tokens,
+           round(sum(w)::double, 6) AS kl
+         FROM contrib GROUP BY grp ORDER BY source"""
+
   private lazy val ContaminationSql: String =
     s"""WITH $ShinglesCte,
         bench AS (
@@ -1065,36 +1109,9 @@ object CurationQueries {
 
     // smoothed KL over the top-V vocab: q/p add-one in-vocab
     // frequencies, per-term q·ln(q/p) round-6 → decimal sum → one round
-    "quality_token_kl" ->
-      """WITH tok0 AS (
-           SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
-           FROM documents
-           WHERE text IS NOT NULL AND source IS NOT NULL),
-         tok AS (SELECT grp, tok FROM tok0 WHERE tok <> ''),
-         counts AS (
-           SELECT grp, tok, count(*)::bigint AS c FROM tok GROUP BY 1, 2),
-         vocab AS (
-           SELECT tok, sum(c)::bigint AS ct FROM counts
-           GROUP BY 1 ORDER BY ct DESC, tok LIMIT 1000),
-         vv AS (SELECT count(*)::bigint AS v, sum(ct)::bigint AS n FROM vocab),
-         ng AS (
-           SELECT g.grp, coalesce(iv.ng, 0) AS ng
-           FROM (SELECT DISTINCT grp FROM counts) g
-           LEFT JOIN (SELECT grp, sum(c)::bigint AS ng
-                      FROM counts JOIN vocab USING (tok) GROUP BY 1) iv
-             USING (grp)),
-         contrib AS (
-           SELECT g.grp, g.ng,
-             round(
-               ((coalesce(c.c, 0) + 1)::double / (g.ng + vv.v)) *
-               ln(((coalesce(c.c, 0) + 1)::double / (g.ng + vv.v)) /
-                  ((vb.ct + 1)::double / (vv.n + vv.v))),
-               6)::DECIMAL(38,10) AS w
-           FROM vocab vb CROSS JOIN ng g
-           LEFT JOIN counts c ON c.grp = g.grp AND c.tok = vb.tok, vv)
-         SELECT grp AS source, max(ng) AS n_tokens,
-           round(sum(w)::double, 6) AS kl
-         FROM contrib GROUP BY grp ORDER BY source""",
+    "quality_token_kl" -> TokenKlOracleSql,
+    // the streaming twin folds mergeable partials exactly — same oracle
+    "stream_token_kl" -> TokenKlOracleSql,
 
     // exact-decimal per-coordinate sums (the lloyd pos0/cen CTE shape),
     // one double division + 6 dp round per mean coordinate, the global

@@ -1737,6 +1737,50 @@ object StreamPipeline {
     }
   }
 
+  private[graft] val TokenCountSchema: StructType = StructType(Seq(
+    StructField("grp", StringType),
+    StructField("tok", StringType),
+    StructField("c", LongType)))
+
+  /** Token-distribution drift AT INGEST — the deployment shape of the
+    * drift monitor: every arriving micro-batch sinks its (group, token,
+    * count) PARTIALS (wordcount over the batch — mergeable, additive,
+    * batchId-idempotent), and the per-group KL vs the accumulated
+    * corpus computes post-drain from the folded partials through the
+    * SHARED tail ([[graft.operators.Quality.tokenKlFromCounts]]).
+    * Counts are additive, so the fold is bit-equal to the batch twin's
+    * aggregate over the same rows — the registry row shares
+    * `quality_token_kl`'s oracle (the persisted-profile-partials
+    * precedent: stream partials, fold exactly, score once). */
+  def streamingTokenKl(
+      spark: SparkSession, dir: String, vocabSize: Int = 1000): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_tkl_out").toString
+    val ckptDir = Files.createTempDirectory("graft_tkl_ckpt").toString
+    try {
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(graft.operators.Quality.tokenCounts(
+            batch, "source", "text"), outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val folded = readBatchDirs(spark, outDir, TokenCountSchema)
+        .groupBy(col("grp"), col("tok"))
+        .agg(sum(col("c")).as("c"))
+      graft.operators.Quality
+        .tokenKlFromCounts(folded, "source", vocabSize)
+        .localCheckpoint(true)
+    } finally {
+      Seq(outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   private[graft] val NbStreamSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("predicted", StringType),

@@ -219,4 +219,17 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(re == got)
   }
+
+  test("streaming token KL ≡ batch: mergeable partials fold to the exact same score") {
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2))
+    val got = graft.streaming.StreamPipeline
+      .streamingTokenKl(spark, Sf0001, vocabSize = 1000)
+      .collect().map(key).toSet
+    val want = Quality.tokenKlDrift(docs, "source", "text", 1000)
+      .collect().map(key).toSet
+    assert(got == want, s"diff: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+    assert(got.nonEmpty)
+  }
 }
