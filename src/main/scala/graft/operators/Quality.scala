@@ -317,6 +317,19 @@ object Quality {
           .as("drift"))
   }
 
+  /** The (group, token) count partials [[tokenKlDrift]] aggregates —
+    * exposed because counts are MERGEABLE: the streaming leg sinks
+    * per-batch partials and folds them post-drain, and the fold feeds
+    * [[tokenKlFromCounts]] for a bit-exact batch-equivalent score. */
+  def tokenCounts(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+
   /** Token-distribution drift per group vs the whole corpus — the TEXT
     * analog of [[histogramDrift]] (numeric columns) and
     * [[embeddingGroupDrift]] (vectors): smoothed KL divergence
@@ -341,19 +354,6 @@ object Quality {
     * groups×vocab scoring frame is model-sized, never corpus-sized.
     * Per-term contributions round-6 → decimal sum → one final round,
     * so the score replays exactly in the oracle. */
-  /** The (group, token) count partials [[tokenKlDrift]] aggregates —
-    * exposed because counts are MERGEABLE: the streaming leg sinks
-    * per-batch partials and folds them post-drain, and the fold feeds
-    * [[tokenKlFromCounts]] for a bit-exact batch-equivalent score. */
-  def tokenCounts(
-      df: DataFrame, groupCol: String, textCol: String): DataFrame =
-    df
-      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("grp"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
-
   def tokenKlDrift(
       df: DataFrame, groupCol: String, textCol: String,
       vocabSize: Int): DataFrame =

@@ -537,9 +537,6 @@ object CurationQueries {
 
   private val ShinglesCte = LlmQueries.ShinglesCte
 
-  /** Shared SQL of the batch (`curation_contamination`) and at-ingest
-    * (`stream_contamination`) decontamination oracles — identical by
-    * per-doc independence of the overlap computation. */
   // smoothed KL over the top-V vocab: q/p add-one in-vocab
   // frequencies, per-term q·ln(q/p) round-6 → decimal sum → one round;
   // shared by the batch row and the partial-folding streaming twin
@@ -574,6 +571,9 @@ object CurationQueries {
            round(sum(w)::double, 6) AS kl
          FROM contrib GROUP BY grp ORDER BY source"""
 
+  /** Shared SQL of the batch (`curation_contamination`) and at-ingest
+    * (`stream_contamination`) decontamination oracles — identical by
+    * per-doc independence of the overlap computation. */
   private lazy val ContaminationSql: String =
     s"""WITH $ShinglesCte,
         bench AS (

@@ -232,4 +232,35 @@ class QualitySpec extends SparkSpec {
     assert(got == want, s"diff: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("token-KL partial fold is genuinely exercised: multi-batch partials sum to the batch score") {
+    // the single-file stream above yields ONE micro-batch (one partial
+    // per key), which a broken fold would pass — this case manufactures
+    // OVERLAPPING partials (both halves share sources AND tokens, so
+    // nearly every key has two rows) and pins fold-then-score ≡ batch
+    import org.apache.spark.sql.functions.{col, hash, pmod, sum => sqlSum}
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    // hash split, NOT doc_id parity: the synthetic source column is
+    // source = src(doc_id % 20), so a parity split partitions sources
+    // exactly and produces zero overlapping keys — the hash split puts
+    // every source in both halves
+    val half = pmod(hash(col("doc_id")), org.apache.spark.sql.functions.lit(2))
+    val halves = Seq(
+      Quality.tokenCounts(docs.filter(half === 0), "source", "text"),
+      Quality.tokenCounts(docs.filter(half =!= 0), "source", "text"))
+    val partials = halves.reduce(_ unionAll _)
+    // sanity: the union really carries duplicate (grp, tok) keys
+    assert(partials.groupBy("grp", "tok").count()
+      .filter(col("count") > 1).count() > 0,
+      "fixture must produce overlapping partials")
+    val folded = partials.groupBy(col("grp"), col("tok"))
+      .agg(sqlSum(col("c")).as("c"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2))
+    val got = Quality.tokenKlFromCounts(folded, "source", 1000)
+      .collect().map(key).toSet
+    val want = Quality.tokenKlDrift(docs, "source", "text", 1000)
+      .collect().map(key).toSet
+    assert(got == want, s"diff: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+  }
 }
