@@ -141,6 +141,120 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** One query's data for the cross-round comparison: winning-pass
+    * median, all raw rep times, and the nearest canary reading of the
+    * winning pass (the normalization denominator). */
+  case class QueryRun(median: Double, reps: Seq[Double], canaryRef: Double)
+
+  /** Cross-ROUND clean-vs-clean comparison, shipped IN the artifact —
+    * `tools/bench_compare.py`'s stacked gates replayed in-process
+    * against the prior committed artifact, so a round-over-round
+    * regression (or a false one, like the r16 DSIR flag a judge had to
+    * adjudicate by hand) is machine-labeled at round close instead of
+    * discovered a round later. The intra-run gates (`contaminatedBy`,
+    * `repContaminated`, `self_compare`) only ever compare a run against
+    * ITSELF or its committed prior MEDIAN; this is the only place two
+    * full artifacts meet.
+    *
+    * Gate ladder per shared query, canary-normalized ratio r past
+    * `threshold`: CONTAMINATED / SELF-NOISE (either artifact flagged
+    * the query — known inflation), SUSPECT (normalized per-rep minima
+    * inside threshold: contended reps skewed a median, the r14 shape),
+    * HOST-NOISE (raw per-rep minima inside threshold: bracket-level
+    * canary inflation on an internally-variable host, the r15 shape),
+    * CANARY-DRIFT (canary floors differ >1.2× so the canary-units are
+    * incomparable, and raw medians sit inside threshold — the r15
+    * false-six shape). What survives every gate is a CLEAN regression:
+    * slow in all reps, on both scales, on comparable units. Improvements
+    * (r < 1/threshold) are recorded untagged for the reader. Pure
+    * (takes the prior's JSON text), spec-driven ([[BenchCanarySpec]]);
+    * returns a JSON object string under the `prior_compare` key. */
+  def priorCompare(
+      priorJson: String, sfDir: String,
+      cur: Map[String, QueryRun], curFloor: Double, curDirty: Set[String],
+      threshold: Double = 1.3, driftFactor: Double = 1.2): String = {
+    val unavailable = """{"available":false}"""
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(priorJson.trim)
+      if (root.path("sf").asText("") != sfDir) return unavailable
+      import scala.jdk.CollectionConverters._
+      def names(p: com.fasterxml.jackson.databind.JsonNode): Set[String] =
+        p.elements().asScala.map(_.asText()).toSet
+      val priorDirty =
+        names(root.path("canary").path("contaminated_queries")) ++
+          names(root.path("self_compare").path("noise"))
+      def numMap(key: String): Map[String, Double] = {
+        val it = root.path(key).fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }
+      val pMed = numMap("queries")
+      val pRef = numMap("canary_ref")
+      val pRaw: Map[String, Seq[Double]] = {
+        val it = root.path("raw").fields()
+        val b = Map.newBuilder[String, Seq[Double]]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> e.getValue.elements().asScala
+            .map(_.asDouble()).filter(_ > 0).toSeq
+        }
+        b.result()
+      }
+      val priorFloor = root.path("canary").path("series").elements().asScala
+        .map(_.path("sec").asDouble()).filter(_ > 0)
+        .minOption.getOrElse(0.0)
+      val drift = priorFloor > 0 && curFloor > 0 &&
+        (priorFloor / curFloor > driftFactor || curFloor / priorFloor > driftFactor)
+      def norm(med: Double, ref: Double): Option[Double] =
+        if (med > 0 && ref > 0) Some(med / ref) else None
+      val shared = cur.keySet.intersect(pMed.keySet).toSeq.sorted.flatMap { q =>
+        val c = cur(q)
+        for {
+          nOld <- norm(pMed(q), pRef.getOrElse(q, 0.0))
+          nNew <- norm(c.median, c.canaryRef)
+        } yield (q, nOld, nNew)
+      }
+      val moved = shared.flatMap { case (q, nOld, nNew) =>
+        val r = nNew / nOld
+        if (r <= threshold && r >= 1.0 / threshold) None
+        else {
+          val c = cur(q)
+          val minOld = pRaw.getOrElse(q, Nil).minOption.getOrElse(0.0)
+          val minNew = c.reps.filter(_ > 0).minOption.getOrElse(0.0)
+          val nMinOld = norm(minOld, pRef.getOrElse(q, 0.0))
+          val nMinNew = norm(minNew, c.canaryRef)
+          val tag =
+            if (r <= 1.0 / threshold) ""
+            else if (priorDirty.contains(q) || curDirty.contains(q)) "contaminated"
+            else if ((for (a <- nMinOld; b <- nMinNew) yield b / a)
+                .exists(_ <= threshold)) "suspect"
+            else if (minOld > 0 && minNew > 0 && minNew / minOld <= threshold)
+              "host-noise"
+            else if (drift && pMed(q) > 0 && cur(q).median / pMed(q) <= threshold)
+              "canary-drift"
+            else "clean"
+          Some((q, r, tag))
+        }
+      }
+      val clean = moved.collect { case (q, r, "clean") if r > 1 => q }
+      val totOld = shared.map(_._2).sum
+      val totNew = shared.map(_._3).sum
+      val totRatio = if (totOld > 0) totNew / totOld else 0.0
+      s"""{"available":true,"shared":${shared.length},"drift":$drift,""" +
+        f""""normalized_total_ratio":$totRatio%.2f,""" +
+        s""""moved":${moved.map { case (q, r, tag) =>
+          f"""{"q":"$q","ratio":$r%.2f,"tag":"$tag"}""" }
+          .mkString("[", ",", "]")},""" +
+        s""""clean_regressions":${clean
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    } catch { case _: Throwable => unavailable }
+  }
+
   /** The driver's stdout capture window (~2000 chars incl. the build
     * tool's epilogue); every emitted last line must fit under it. */
   val CaptureWindow = 1800
@@ -280,15 +394,16 @@ object Bench {
     val benchNames = SparkEntry.benchQueries.filter(all.contains)
     // Committed-clean priors for the intra-query rep gate — best-effort:
     // an absent/foreign-sf artifact just disables the prior half of the gate.
-    val priors: Map[String, Double] =
+    val priorJson: String =
       try {
         val p = java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json"))
         if (java.nio.file.Files.isReadable(p))
-          parsePriors(new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8), sfDir)
-        else Map.empty
-      } catch { case _: Throwable => Map.empty }
+          new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+        else ""
+      } catch { case _: Throwable => "" }
+    val priors: Map[String, Double] = parsePriors(priorJson, sfDir)
     // One full sweep over the registry with its own canary series
     // (local indices, so contaminatedBy brackets within the pass).
     def runPass(): (Seq[(Int, Double)], Seq[Seq[Double]]) = {
@@ -396,10 +511,22 @@ object Bench {
     // normalization denominator a cross-round comparator
     // (tools/bench_compare.py) divides medians by, so environmental
     // drift between rounds cancels instead of reading as a regression
-    val canaryRef = results.zipWithIndex.map { case ((k, _, _, _, winIdx), i) =>
-      s"\"" + k + "\":" +
-        f"${nearestCanary(passResults(winIdx)._1, i)}%.3f"
+    val canaryRefs: Seq[(String, Double)] =
+      results.zipWithIndex.map { case ((k, _, _, _, winIdx), i) =>
+        k -> nearestCanary(passResults(winIdx)._1, i)
+      }
+    val canaryRef = canaryRefs.map { case (k, v) =>
+      s"\"" + k + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
+    // Cross-round verdict vs the prior committed artifact (ask r16#6):
+    // the stacked comparator gates run at round close, in the artifact.
+    val refByName = canaryRefs.toMap
+    val curRuns: Map[String, QueryRun] = results.map {
+      case (k, v, ts, _, _) => k -> QueryRun(v, ts, refByName.getOrElse(k, 0.0))
+    }.toMap
+    val curFloor = allCanaries.filter(_ > 0).minOption.getOrElse(0.0)
+    val priorCmp = priorCompare(priorJson, sfDir, curRuns, curFloor,
+      (contaminated ++ selfNoise).toSet)
     val errorNames = results.collect { case (k, _, _, false, _) => k }
     val errors = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -420,7 +547,7 @@ object Bench {
         s"""{"error":"${e.getClass.getSimpleName}"}"""
       }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,"canary_ref":$canaryRef,$canary,$selfCompare,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,"canary_ref":$canaryRef,$canary,$selfCompare,"prior_compare":$priorCmp,"errors":$errors,"bench_skew":$skew,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a bounded TAIL of stdout (~2000 chars) and
     // parses the artifact out of it; the full line above is ~5 KB, so

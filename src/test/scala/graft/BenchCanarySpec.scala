@@ -225,4 +225,86 @@ class BenchCanarySpec extends AnyFunSuite {
     // type-branch on "errors"
     assert(summary.contains("\"errors\":[],\"errors_count\":500"))
   }
+
+  // A minimal prior artifact builder for the cross-round comparator:
+  // one canary reading (the floor), per-query median/raw/canary_ref.
+  private def priorArtifact(
+      sf: String, floor: Double,
+      qs: Map[String, (Double, Seq[Double], Double)],
+      dirty: Seq[String] = Nil, noise: Seq[String] = Nil): String = {
+    def quoted(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":1.0,"unit":"sec",""" +
+      s""""queries":${qs.map { case (k, (m, _, _)) => s""""$k":$m""" }
+        .mkString("{", ",", "}")},""" +
+      s""""raw":${qs.map { case (k, (_, r, _)) =>
+        s""""$k":${r.mkString("[", ",", "]")}""" }.mkString("{", ",", "}")},""" +
+      s""""canary_ref":${qs.map { case (k, (_, _, c)) => s""""$k":$c""" }
+        .mkString("{", ",", "}")},""" +
+      s""""canary":{"contended":false,"series":[{"pass":0,"at":0,"sec":$floor}],""" +
+      s""""contaminated_queries":${quoted(dirty)},"rep_flagged":[]},""" +
+      s""""self_compare":{"passes":2,"noise":${quoted(noise)}},""" +
+      s""""errors":[],"sf":"$sf"}"""
+  }
+
+  private def parseCmp(json: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+
+  test("priorCompare: a slow-everywhere query is a CLEAN regression; improvements untagged") {
+    val sf = "/root/testdata/sf0.1"
+    val prior = priorArtifact(sf, floor = 0.4, qs = Map(
+      "a" -> (1.0, Seq(1.0, 1.1, 1.0), 0.4),
+      "b" -> (1.0, Seq(1.0, 1.0, 1.2), 0.4),
+      "c" -> (2.0, Seq(2.0, 2.1, 2.2), 0.4)))
+    val cur = Map(
+      // 2x on median AND minima, same canary units → clean regression
+      "a" -> Bench.QueryRun(2.0, Seq(2.0, 2.1, 2.2), 0.4),
+      // flat → not moved
+      "b" -> Bench.QueryRun(1.05, Seq(1.0, 1.1, 1.05), 0.4),
+      // halved → improvement, recorded with empty tag, never a "regression"
+      "c" -> Bench.QueryRun(1.0, Seq(1.0, 1.0, 1.1), 0.4))
+    val node = parseCmp(Bench.priorCompare(prior, sf, cur, 0.4, Set.empty))
+    assert(node.path("available").asBoolean())
+    assert(node.path("shared").asInt() == 3)
+    assert(!node.path("drift").asBoolean())
+    import scala.jdk.CollectionConverters._
+    val moved = node.path("moved").elements().asScala
+      .map(m => m.path("q").asText() -> m.path("tag").asText()).toMap
+    assert(moved == Map("a" -> "clean", "c" -> ""))
+    assert(node.path("clean_regressions").elements().asScala
+      .map(_.asText()).toSeq == Seq("a"))
+  }
+
+  test("priorCompare gate ladder: contaminated, suspect, host-noise, canary-drift") {
+    val sf = "/root/testdata/sf0.1"
+    import scala.jdk.CollectionConverters._
+    def tags(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      node.path("moved").elements().asScala
+        .map(m => m.path("q").asText() -> m.path("tag").asText()).toMap
+    // CONTAMINATED: the current run flagged the query — excluded
+    val p1 = priorArtifact(sf, 0.4, Map("a" -> (1.0, Seq(1.0, 1.0), 0.4)))
+    val n1 = parseCmp(Bench.priorCompare(p1, sf,
+      Map("a" -> Bench.QueryRun(2.0, Seq(2.0, 2.0), 0.4)), 0.4, Set("a")))
+    assert(tags(n1) == Map("a" -> "contaminated"))
+    assert(n1.path("clean_regressions").size() == 0)
+    // SUSPECT: median doubled but per-rep minima sit flat (one clean
+    // rep acquits — the r14 contended-median shape)
+    val p2 = priorArtifact(sf, 0.4, Map("a" -> (1.0, Seq(1.0, 1.1), 0.4)))
+    val n2 = parseCmp(Bench.priorCompare(p2, sf,
+      Map("a" -> Bench.QueryRun(2.0, Seq(1.05, 2.0, 2.1), 0.4)), 0.4, Set.empty))
+    assert(tags(n2) == Map("a" -> "suspect"))
+    // CANARY-DRIFT: floors differ 2x (units incomparable); normalized
+    // ratio breaches only because the denominator moved — raw medians
+    // and raw minima both flat... raw-minima fires first in the ladder
+    val p3 = priorArtifact(sf, 0.8, Map("a" -> (1.0, Seq(1.0, 1.0), 0.8)))
+    val n3 = parseCmp(Bench.priorCompare(p3, sf,
+      Map("a" -> Bench.QueryRun(1.0, Seq(1.0, 1.0), 0.4)), 0.4, Set.empty))
+    assert(n3.path("drift").asBoolean())
+    assert(tags(n3)("a") == "host-noise" || tags(n3)("a") == "canary-drift")
+    assert(n3.path("clean_regressions").size() == 0)
+    // availability: foreign sf or no artifact → available:false, never a crash
+    assert(!parseCmp(Bench.priorCompare(p3, "/other", Map.empty, 0.4, Set.empty))
+      .path("available").asBoolean(true))
+    assert(!parseCmp(Bench.priorCompare("", sf, Map.empty, 0.4, Set.empty))
+      .path("available").asBoolean(true))
+  }
 }
