@@ -35,29 +35,102 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
+  /** Hard ceiling on the UNCAPPED trainer's vocabulary. The dense
+    * parameter table is vocab×labels rows and is `broadcast()` at score
+    * time by contract; at this ceiling a 4-label model is ~1M rows
+    * (tens of MB serialized) — the top of the comfortable broadcast
+    * band. A labeled seed whose vocabulary exceeds it is no longer
+    * "small by construction" and must either pass through
+    * [[nbTrainCapped]] (top-V truncation, the standard fastText
+    * `-hash`/vocab-prune treatment) or raise the ceiling DELIBERATELY
+    * via the `maxVocab` parameter. Counted fail-loud, never a silent
+    * executor OOM three stages later (the `probeBroadcastCap` /
+    * `staleBroadcastCap` precedent). */
+  val DefaultMaxVocab: Int = 1 << 18
+
   /** The trained model as one dense DataFrame of
     * `(term, label, loglik, logprior)` — vocab×labels rows, every
     * (in-vocab term, label) pair present (unseen-in-class pairs carry
     * the smoothed default ln(1/(tokens_c+|V|))), priors denormalized
-    * per row so scoring needs exactly one broadcast join. */
+    * per row so scoring needs exactly one broadcast join. Fails loud
+    * (cap named) when the seed vocabulary exceeds `maxVocab` — see
+    * [[DefaultMaxVocab]]; an over-cap seed wants [[nbTrainCapped]]. */
   def nbTrain(
-      labeled: DataFrame, labelCol: String, textCol: String): DataFrame = {
-    val toks = labeled
+      labeled: DataFrame, labelCol: String, textCol: String,
+      maxVocab: Int = DefaultMaxVocab): DataFrame =
+    nbTrainCached(labeled, labelCol, textCol, maxVocab)._1
+
+  /** Top-V-truncated trainer — the over-cap seed's sanctioned path:
+    * the vocabulary keeps the `vocabCap` terms with the highest TOTAL
+    * class count (ties → lexicographically smaller term, so the kept
+    * set replays exactly in the oracle); every other term drops from
+    * the model VISIBLY (the `dedup_semdedup_capped` discipline — tail
+    * terms carry no row, documents whose every token dropped are
+    * absent-unclassifiable like any all-OOV document). Smoothing uses
+    * the KEPT vocabulary size — the model is exactly multinomial NB
+    * over the reduced feature set, not an approximation of the full
+    * one. Selection is a bounded-heap top-k over the term totals (one
+    * exchange of `vocabCap` rows, never a global sort), and the kept
+    * vocab frame — cap-bounded by construction — broadcasts into the
+    * count filter. */
+  def nbTrainCapped(
+      labeled: DataFrame, labelCol: String, textCol: String,
+      vocabCap: Int): DataFrame = {
+    require(vocabCap > 0, s"vocabCap=$vocabCap must be positive")
+    val ctc = classTermCounts(labeled, labelCol, textCol)
+    val vocab = TopK.perKey(
+        ctc.groupBy(col("term"))
+          .agg(sum(col("cnt")).cast("long").as("__tc"))
+          .withColumn("__g", lit(0)),
+        Seq("__g"), Seq(col("__tc").desc, col("term").asc), vocabCap)
+      .select(col("term"))
+    modelFrom(labeled, labelCol, textCol,
+      ctc.join(broadcast(vocab), Seq("term")))
+  }
+
+  /** [[nbTrain]] plus the class-term-count cache HANDLE, so a caller
+    * that materializes the model eagerly ([[buildNbModelM]]) can
+    * release the cached blocks in a finally instead of leaking them for
+    * the session's lifetime. The plain [[nbTrain]]'s lazy return keeps
+    * the cache alive by necessity — registry/bench paths are covered by
+    * the harness-global unpersist, and a long-lived service should
+    * train through the model store (which cleans up) or materialize and
+    * release persistent RDDs itself. */
+  private def nbTrainCached(
+      labeled: DataFrame, labelCol: String, textCol: String,
+      maxVocab: Int): (DataFrame, DataFrame) = {
+    val ctc = classTermCounts(labeled, labelCol, textCol)
+    val vsize = ctc.select(col("term")).distinct().count()
+    require(vsize <= maxVocab,
+      s"nbTrain: seed vocabulary $vsize exceeds maxVocab=$maxVocab — the " +
+        "dense vocab×labels parameter table is broadcast at score time; " +
+        "truncate with nbTrainCapped(vocabCap) or raise maxVocab deliberately")
+    (modelFrom(labeled, labelCol, textCol, ctc), ctc)
+  }
+
+  /** One tokenize pass over the seed → per-(label, term) counts,
+    * CACHED: the aggregate feeds three consumers (the vocab scalar /
+    * top-V selection, the per-label token totals, and the densify
+    * join) — lazy, evictable; see [[nbTrainCached]] for the lifecycle
+    * contract. */
+  private def classTermCounts(
+      labeled: DataFrame, labelCol: String, textCol: String): DataFrame =
+    labeled
       .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
       .select(col(labelCol).as("label"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
-    // the class-term counts feed THREE consumers (the vocab-size scalar,
-    // the per-label token totals, and the densify join) — cache the
-    // aggregate once instead of re-tokenizing the seed per consumer
-    // (lazy, evictable; the importanceWeights precedent: the cache must
-    // outlive this call because the returned model is lazy — registry/
-    // bench paths are covered by the harness-global unpersist, and a
-    // long-lived service should materialize the model and release
-    // persistent RDDs itself)
-    val ctc = toks.groupBy(col("label"), col("term"))
+      .groupBy(col("label"), col("term"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
+
+  /** The closed-form model over an (already vocab-restricted) count
+    * frame `(label, term, cnt)`: per-label priors and token totals,
+    * add-one smoothing over the frame's own vocabulary, densified to
+    * vocab×labels. Shared by the capped and uncapped trainers. */
+  private def modelFrom(
+      labeled: DataFrame, labelCol: String, textCol: String,
+      ctc: DataFrame): DataFrame = {
     // vocab size and doc totals: contract-small driver scalars (the
     // corpusStats precedent)
     val vsize = ctc.select(col("term")).distinct().count()
@@ -144,9 +217,14 @@ object Classify {
       if (cur > 0L) Some(graft.index.IndexManifest.snapshotAt(spark, root, cur))
       else None
     val seg = graft.index.IndexManifest.newSegment(ParamsTable)
-    nbTrain(labeled, labelCol, textCol)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // the parquet write MATERIALIZES the model, so the seed's class-term
+    // count cache releases here eagerly instead of leaking for the
+    // session's lifetime (the importanceResample discipline)
+    val (model, cache) =
+      nbTrainCached(labeled, labelCol, textCol, DefaultMaxVocab)
+    try model.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$seg")
+    finally cache.unpersist()
     graft.index.IndexManifest.commit(spark, root,
       snap.map(_.tables).getOrElse(Map.empty)
         .updated(ParamsTable, Seq(seg)),

@@ -129,7 +129,22 @@ object LlmQueries {
 
   private lazy val NbOracleSql: String = nbOracleSql("doc_id % 5 <> 0")
 
-  private def nbOracleSql(trainWhere: String): String =
+  /** NB train+classify oracle. `vocabCap` replays [[Classify
+    * .nbTrainCapped]]'s top-V selection: keep the `cap` terms with the
+    * highest total class count (ties → smaller term) and train over the
+    * REDUCED count frame — smoothing, totals, and the dense table all
+    * see only kept terms, exactly like the engine. None = uncapped. */
+  private def nbOracleSql(
+      trainWhere: String, vocabCap: Option[Int] = None): String = {
+    val capCte = vocabCap.map(cap =>
+      s"""ctc0 AS (SELECT label, term, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+       vkeep AS (
+         SELECT term FROM (
+           SELECT term, sum(cnt)::bigint AS tc FROM ctc0 GROUP BY 1)
+         QUALIFY row_number() OVER (ORDER BY tc DESC, term) <= $cap),
+       ctc AS (SELECT c.label, c.term, c.cnt FROM ctc0 c JOIN vkeep USING (term)),""")
+      .getOrElse(
+        "ctc AS (SELECT label, term, count(*) AS cnt FROM ttok GROUP BY 1, 2),")
     s"""WITH train AS (
          SELECT source AS label, text FROM documents
          WHERE ($trainWhere)
@@ -139,7 +154,7 @@ object LlmQueries {
        ttok0 AS (
          SELECT label, unnest(string_split(text, ' ')) AS term FROM train),
        ttok AS (SELECT label, term FROM ttok0 WHERE term <> ''),
-       ctc AS (SELECT label, term, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+       $capCte
        tokc AS (SELECT label, sum(cnt)::bigint AS tok_c FROM ctc GROUP BY 1),
        v AS (SELECT count(DISTINCT term)::bigint AS vsize FROM ctc),
        nd AS (SELECT count(*)::bigint AS n FROM train),
@@ -173,6 +188,7 @@ object LlmQueries {
        QUALIFY row_number() OVER (PARTITION BY doc_id
                                   ORDER BY score DESC, label) = 1
        ORDER BY doc_id"""
+  }
 
   /** Shared oracle CTE bodies (comma-joined, no WITH) — ONE definition
     * for every oracle that replays the lexical BM25 chain
@@ -2381,6 +2397,22 @@ object LlmQueries {
       val docs = Tables.load(s, dir, "documents")
       val model = graft.operators.Classify.nbTrain(
         docs.filter(col("doc_id") % 5 =!= 0), "source", "text")
+      graft.operators.Classify.nbClassify(
+          model, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ... the TOP-V-CAPPED trainer (the fastText vocab-prune shape):
+    // vocabulary truncated to the 20 highest-total-count terms (ties →
+    // smaller term), every other term dropped from the model VISIBLY —
+    // the dedup_semdedup_capped discipline, here bounding the broadcast
+    // parameter table on a seed whose vocabulary is unbounded. Smoothing
+    // runs over the KEPT vocab: exactly multinomial NB on the reduced
+    // feature set, replayed term-for-term in the oracle's QUALIFY top-V.
+    "text_nb_capped" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Classify.nbTrainCapped(
+        docs.filter(col("doc_id") % 5 =!= 0), "source", "text", vocabCap = 20)
       graft.operators.Classify.nbClassify(
           model, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("doc_id")
@@ -5428,6 +5460,10 @@ object LlmQueries {
     // round once; argmax ties to the smaller label. The streaming twin
     // shares it: per-doc independence ⇒ batch union ≡ one-shot.
     "text_nb_classify" -> NbOracleSql,
+    // the cap replays the engine's top-V selection: QUALIFY top-20 by
+    // (total count DESC, term) over the train counts, model from the
+    // reduced frame — visible-drop semantics, smoothing over kept vocab
+    "text_nb_capped" -> nbOracleSql("doc_id % 5 <> 0", vocabCap = Some(20)),
     "text_nb_served" -> NbOracleSql,
     // the pin replays v1's model: trained on the even half of the seed
     "text_nb_pinned" -> nbOracleSql("doc_id % 5 <> 0 AND doc_id % 2 = 0"),

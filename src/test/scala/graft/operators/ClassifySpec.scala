@@ -97,4 +97,40 @@ class ClassifySpec extends SparkSpec {
     assert(run(test) == run(test.repartition(7, col("lang"))))
     assert(run(test).nonEmpty)
   }
+
+  test("an over-cap seed vocabulary fails loud with the cap named") {
+    // the counted-cap discipline: the dense vocab×labels table is
+    // broadcast-by-contract, so a seed vocabulary past maxVocab must
+    // fail at train time naming the cap — never OOM at score time
+    val e = intercept[IllegalArgumentException] {
+      Classify.nbTrain(train, "label", "text", maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab=3"))
+    assert(e.getMessage.contains("nbTrainCapped"))
+    // the same seed trains fine through the sanctioned capped path
+    assert(Classify.nbTrainCapped(train, "label", "text", vocabCap = 3)
+      .count() > 0)
+  }
+
+  test("nbTrainCapped keeps top-V by total count (ties → smaller term) and drops the tail visibly") {
+    import spark.implicits._
+    // totals: bad=5, good=4, awful=2, then {fine,great:2,nice,poor}
+    // cap=2 keeps {bad, good}; 'great' (count 2) drops — VISIBLY: no
+    // model row, and a great-only doc becomes absent-unclassifiable
+    val model = Classify.nbTrainCapped(
+      train.union(Seq(("neg", "bad")).toDF("label", "text")),
+      "label", "text", vocabCap = 2)
+    assert(model.select("term").distinct().collect().map(_.getString(0))
+      .toSet == Set("bad", "good"))
+    val out = Classify.nbClassify(model,
+        Seq((1L, "good great"), (2L, "great")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "pos"))
+    // tie-break: cap=3 must pick 'awful' (count 2) over the equal-count
+    // 'fine'/'great'... awful < fine < great lexicographically
+    val m3 = Classify.nbTrainCapped(train, "label", "text", vocabCap = 3)
+    assert(m3.select("term").distinct().collect().map(_.getString(0))
+      .toSet == Set("bad", "good", "awful"))
+  }
 }
