@@ -104,7 +104,11 @@ object SkewBench {
     * equally instead of inflating whichever side a block-ordered timer
     * visits first — observed as a phantom 2.5× "skew ratio" on a path
     * whose isolated ratio is 1.35×. */
-  private def pair(name: String)(f: Boolean => DataFrame): (String, Double, Double) = {
+  private def pair(name: String)(f: Boolean => DataFrame): (String, Boolean => DataFrame) =
+    (name, f)
+
+  private def timePair(p: (String, Boolean => DataFrame)): (String, Double, Double) = {
+    val (name, f) = p
     f(true).count() // warm: planning + codegen off the measured path
     f(false).count()
     val runs = (1 to 5).map { _ =>
@@ -130,12 +134,13 @@ object SkewBench {
     *    cap absorbing the monster bucket of exact copies;
     *  - `dedup_jaccard`: shingle-posting-list Jaccard with `maxDocFreq`
     *    dropping the hot shingles. */
-  def run(spark: SparkSession, nRows: Long, nDocs: Long): Seq[(String, Double, Double)] = {
+  def run(spark: SparkSession, nRows: Long, nDocs: Long,
+      only: Set[String] = Set.empty): Seq[(String, Double, Double)] = {
     graft.functions.GraftFunctions.register(spark)
     val tailKeys = (nRows / 100) max 10
     val dim = spark.range(tailKeys + 1)
       .select(concat(lit("k"), col("id")).as("_id"), col("id").as("weight"))
-    Seq(
+    val paths = Seq(
       pair("o1_last_image") { sk =>
         graft.sink.MergeApply.lastImage(
           changes(spark, nRows, sk), Seq("_id"), Seq(col("ts")))
@@ -241,6 +246,35 @@ object SkewBench {
         graft.operators.Retrieval.phraseTopK(
           docs, "doc_id", "text", Seq(0 -> "w1 w2"), k = 8)
       },
+      pair("sdm_probe") { sk =>
+        // SDM under a HOT REPEATED TERM (the stopword shape): the query
+        // repeats one term, so the #uw8 component pairs the term's
+        // occurrences against themselves. Both sides carry 10·nDocs
+        // occurrences of w1 — the skewed side packs them 50-deep into
+        // 20 % of the docs, the uniform twin 10-deep into every doc.
+        // The naive (doc, pair)-keyed join would materialize occ² rows
+        // per doc pre-filter (2500 vs 100 here — and unbounded on a real
+        // stopword); the width-wUn position binning hashes on
+        // (doc, term, bin) so join fan-out stays ~occ×window on both
+        // sides. Reading the ratio: partly OUTPUT-VOLUME — a 50-deep run
+        // has 7m−28 = 322 in-window pairs vs the 10-deep run's 42, so
+        // the skewed side carries ~1.5× honest pair volume by
+        // construction (the dedup_repeated_spans frame); the ≤2× budget
+        // grades that the concentration costs its rows, never its occ².
+        val rnd = (i: Column) =>
+          concat(lit("w"), pmod(hash(col("id"), i), lit(1000)) + lit(100))
+        val body = (m: Int) =>
+          concat_ws(" ", transform(sequence(lit(0), lit(m)), rnd))
+        val hot = (m: Int) => Seq.fill(m)("w1").mkString(" ")
+        val docs = spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          when(lit(sk) && pmod(col("id"), lit(5)) === 0,
+            concat(lit(hot(50) + " "), body(49)))
+            .when(!lit(sk), concat(lit(hot(10) + " "), body(89)))
+            .otherwise(body(99)).as("text"))
+        graft.operators.Retrieval.sdmTopK(
+          docs, "doc_id", "text", Seq(0 -> "w1 w1"), k = 8)
+      },
       pair("dedup_repeated_spans") { sk =>
         // exact-substring spans under a 20 % boilerplate clique: the hot
         // cluster's grams reach huge doc frequencies, but every stage is
@@ -262,5 +296,6 @@ object SkewBench {
         graft.operators.Dedup.repeatedSpans(
           documents(spark, nDocs, sk), "doc_id", "text", gramChars = 30)
       })
+    paths.filter(p => only.isEmpty || only(p._1)).map(timePair)
   }
 }

@@ -1254,10 +1254,7 @@ object Retrieval {
     val bSide = pp.select(col("term").as("tb2"),
       col("doc_id").as("doc_b"), col("pos").as("pb"))
 
-    def pairComponent(posCond: Column, outCol: String): DataFrame = {
-      val hits = aSide.join(bSide,
-        aSide("doc_id") === bSide("doc_b") &&
-          bSide("tb2") === aSide("tb") && posCond)
+    def pairComponent(hits: DataFrame, outCol: String): DataFrame = {
       val tfW = hits
         .groupBy(col("query_id"), col("ta"), col("tb"), col("doc_id"),
           col("dl"))
@@ -1271,15 +1268,16 @@ object Retrieval {
         .agg(round(sum(col("w")).cast("double"), 6).as(outCol))
     }
 
-    // ordered: exactly adjacent, in order (#1 windows)
-    val sO = pairComponent(bSide("pb") === aSide("pa") + 1, "s_o")
-    // unordered: both terms within wUn positions, any order (#uwN);
-    // a repeated-term pair counts each unordered position pair once
+    // ordered: exactly adjacent, in order (#1 windows). pa+1 = pb is an
+    // EQUALITY, so Catalyst hashes on (doc, term, pa+1) — linear.
+    val sO = pairComponent(
+      aSide.join(bSide,
+        aSide("doc_id") === bSide("doc_b") &&
+          bSide("tb2") === aSide("tb") &&
+          bSide("pb") === aSide("pa") + 1), "s_o")
+    // unordered: both terms within wUn positions, any order (#uwN)
     val sU = pairComponent(
-      when(aSide("ta") === aSide("tb"),
-        bSide("pb") > aSide("pa") && bSide("pb") - aSide("pa") < wUn)
-        .otherwise(bSide("pb") =!= aSide("pa") &&
-          abs(bSide("pb") - aSide("pa")) < wUn), "s_u")
+      unorderedPairHits(aSide, bSide, wUn), "s_u")
 
     val blend = round(
       col("s_t").cast("decimal(18,9)") *
@@ -1292,5 +1290,41 @@ object Retrieval {
       .join(sO, Seq("query_id", "doc_id"), "left")
       .join(sU, Seq("query_id", "doc_id"), "left")
       .select(col("query_id"), col("doc_id"), blend.as("score"))
+  }
+
+  /** The #uwN hit pairs via WIDTH-`wUn` POSITION BINS — the RangeJoin /
+    * two-level-Jaccard discipline applied to the unordered window. The
+    * naive shape equi-joins only on (doc, pair) and filters
+    * `|pb − pa| < wUn` AFTER the hash join, so a term occurring m times
+    * in one document materializes m² join rows pre-filter — occ² per
+    * (doc, pair), the 100 TB cliff on any stopword-bearing query. Here
+    * every position maps to its canonical bin `pos div wUn`; a partner
+    * within the window is necessarily in the SAME bin or an ADJACENT
+    * one, so the a-side emits its three candidate bins (bin−1, bin,
+    * bin+1 — a constant ×3, never ×occ) and the join hashes on
+    * (doc, pair-term, bin). The window predicate stays as the RESIDUAL
+    * on the bin-matched rows. Each true (pa, pb) pair survives EXACTLY
+    * once — pb has one canonical bin, matched by exactly one of the
+    * three emitted a-rows — so the hit multiset is identical to the
+    * naive join's (spec-pinned in [[graft.RetrievalSpec]] against a
+    * brute-force reference). A repeated-term pair (ta = tb) counts each
+    * unordered position pair once via the pb > pa half-window. */
+  private[graft] def unorderedPairHits(
+      aSide: DataFrame, bSide: DataFrame, wUn: Int): DataFrame = {
+    require(wUn >= 2, s"wUn=$wUn: an unordered window needs width >= 2")
+    val aBinned = aSide.withColumn("__bin",
+      explode(array(Seq(-1, 0, 1).map(d =>
+        floor(col("pa") / lit(wUn)).cast("long") + lit(d.toLong)): _*)))
+    val bBinned = bSide.withColumn("__binb",
+      floor(col("pb") / lit(wUn)).cast("long"))
+    aBinned.join(bBinned,
+      aBinned("doc_id") === bBinned("doc_b") &&
+        bBinned("tb2") === aBinned("tb") &&
+        bBinned("__binb") === aBinned("__bin") &&
+        (when(aBinned("ta") === aBinned("tb"),
+          bBinned("pb") > aBinned("pa") &&
+            bBinned("pb") - aBinned("pa") < wUn)
+          .otherwise(bBinned("pb") =!= aBinned("pa") &&
+            abs(bBinned("pb") - aBinned("pa")) < wUn)))
   }
 }

@@ -484,6 +484,52 @@ class RetrievalSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSeq == Seq(1L, 0L))
   }
 
+  test("sdm unordered window: binned equi-join ≡ naive pair multiset, incl. a hot repeated term") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, abs, when}
+    // doc 0: 'w' at 8 of 15 positions (the stopword shape the binning
+    // exists for — occ² pre-filter pairs under the naive join); doc 1 is
+    // ALL 'w'; doc 2 puts the a/b pair exactly at the window edge
+    val docs = Seq(
+      (0L, "w a w w b w x w a w w w b a w"),
+      (1L, Seq.fill(20)("w").mkString(" ")),
+      (2L, ("a " + Seq.fill(9)("x").mkString(" ") + " b a x b"))
+    ).toDF("doc_id", "text")
+    val queries = Seq(0 -> "w w", 1 -> "a b", 2 -> "w a")
+    val terms = queries.flatMap(_._2.split(" ")).distinct
+    val pairFrame = queries.flatMap { case (qid, text) =>
+      val ts = text.split(" ").filter(_.nonEmpty)
+      ts.zip(ts.drop(1)).distinct.map { case (a, b) => (qid, a, b) }
+    }.toDF("query_id", "ta", "tb")
+    val pp = Retrieval.positionalPostings(docs, "doc_id", "text")
+      .filter(col("term").isin(terms: _*))
+    val aSide = pp.join(broadcast(pairFrame), pp("term") === pairFrame("ta"))
+      .select(col("query_id"), col("ta"), col("tb"), col("doc_id"),
+        col("pos").as("pa"), col("dl"))
+    val bSide = pp.select(col("term").as("tb2"),
+      col("doc_id").as("doc_b"), col("pos").as("pb"))
+    def multiset(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("ta"), col("tb"), col("doc_id"),
+          col("pa"), col("pb"))
+        .collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    for (w <- Seq(2, 4, 8)) {
+      val naive = aSide.join(bSide,
+        aSide("doc_id") === bSide("doc_b") &&
+          bSide("tb2") === aSide("tb") &&
+          (when(aSide("ta") === aSide("tb"),
+            bSide("pb") > aSide("pa") && bSide("pb") - aSide("pa") < w)
+            .otherwise(bSide("pb") =!= aSide("pa") &&
+              abs(bSide("pb") - aSide("pa")) < w)))
+      val binned = Retrieval.unorderedPairHits(aSide, bSide, w)
+      val got = multiset(binned)
+      assert(got == multiset(naive), s"pair multiset diverged at wUn=$w")
+      assert(got.nonEmpty, s"degenerate spec: no pairs at wUn=$w")
+      // exactly-once: no (query, pair, doc, pa, pb) appears twice from
+      // the 3-bin explode (each partner's canonical bin matches ONE row)
+      assert(got.distinct.size == got.size, s"duplicate pair rows at wUn=$w")
+    }
+  }
+
   test("phrase differential: relational assembly ≡ driver-side sliding window at sf0.001") {
     val docs = graft.Tables.load(spark, Sf0001, "documents")
     val phrases = Seq(0 -> "table part", 1 -> "table table", 2 -> "key agg row")
