@@ -323,7 +323,12 @@ object LlmQueries {
        ORDER BY query_id"""
   }
 
-  private lazy val SdmOracleSql: String = {
+  private lazy val SdmOracleSql: String =
+    sdmOracleSql("SELECT * FROM documents")
+
+  /** SDM oracle over a parameterized corpus — the pinned twin replays
+    * the blend over v1's even-doc half exactly like the phrase pin. */
+  private def sdmOracleSql(corpusSql: String): String = {
     val uvals = Bm25Queries
       .flatMap { case (qid, text) =>
         text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
@@ -350,7 +355,7 @@ object LlmQueries {
          SELECT doc_id, len(string_split(text, ' ')) AS dl,
            unnest(string_split(text, ' ')) AS term,
            unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
-         FROM documents),
+         FROM ($corpusSql)),
        p AS (SELECT term, doc_id, pos, dl FROM toks WHERE term <> ''),
        tf AS (
          SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
@@ -358,7 +363,7 @@ object LlmQueries {
        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        c AS (SELECT count(*)::bigint AS n,
                     sum(len(string_split(text, ' ')))::bigint AS sumdl
-             FROM documents),
+             FROM ($corpusSql)),
        st AS (
          SELECT uq.query_id, tf.doc_id,
            round(sum(${contrib("tf.tf", "df.df", "tf.dl")})::double, 6) AS s_t
@@ -2521,6 +2526,23 @@ object LlmQueries {
         graft.index.IndexManifest.vacuum(s, root): Unit
       }
       Retrieval.sdmProbeM(s, root, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // ... and SDM's release-pinned time travel (every served family's
+    // discipline, the phrase-pin fixture shape): v1 indexes the even
+    // docs, HEAD appends the odd half; a probe pinned at v1 must score
+    // with v1's positions AND v1's corpus scalars (n, sumdl grow
+    // transactionally with the postings — a pin that read HEAD stats
+    // over v1 postings would blend inconsistent idf/avgdl).
+    "retrieval_sdm_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("sdmpin", dir)
+      val v1 = Retrieval.buildPosIndexM(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      Retrieval.appendPosIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", root)
+      Retrieval.sdmProbeM(s, root, Bm25Queries, Bm25K, at = Some(v1))
         .orderBy("query_id", "rank")
     },
 
@@ -5479,6 +5501,9 @@ object LlmQueries {
     // decimal (round-6 double × 2-dp weight), rounded once.
     "retrieval_sdm" -> SdmOracleSql,
     "retrieval_sdm_served" -> SdmOracleSql,
+    // the pin replays v1: SDM blended over the even-doc half only
+    "retrieval_sdm_pinned" ->
+      sdmOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
     "retrieval_phrase" -> phraseOracleSql("SELECT * FROM documents"),
     "retrieval_phrase_screen" -> phraseScreenOracleSql,
     "stream_phrase_screen" -> phraseScreenOracleSql,
