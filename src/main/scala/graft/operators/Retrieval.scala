@@ -245,13 +245,50 @@ object Retrieval {
       dim: Int = 64, lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
     require(k >= 1, s"k=$k must be at least 1")
     require(poolSize >= k, s"poolSize=$poolSize must cover k=$k")
-    val pool = bm25TopK(docs, idCol, textCol, queries, poolSize)
+    mmrOverPool(docs, idCol, textCol,
+      bm25TopK(docs, idCol, textCol, queries, poolSize),
+      k, dim, lambdaNum, lambdaDen)
+  }
+
+  /** [[mmrDiversifiedTopK]]'s SERVE path: the relevance pool probes the
+    * committed inverted index ([[bm25ProbeM]] — exact BM25, stored df ≡
+    * counted df, so the served selection replays the inline oracle
+    * bit-for-bit), and only the POOL MEMBERS' text leaves the lake for
+    * the redundancy embeddings. `at` pins a committed version — the
+    * diversified page a release served replays against v1's postings
+    * AND v1's corpus statistics until vacuum reclaims them. */
+  def mmrDiversifiedProbeM(
+      spark: SparkSession, root: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int, poolSize: Int = 20,
+      dim: Int = 64, lambdaNum: Int = 7, lambdaDen: Int = 10,
+      at: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k=$k must be at least 1")
+    require(poolSize >= k, s"poolSize=$poolSize must cover k=$k")
+    mmrOverPool(docs, idCol, textCol,
+      bm25ProbeM(spark, root, queries, poolSize, at),
+      k, dim, lambdaNum, lambdaDen)
+  }
+
+  /** Shared MMR tail over a BM25 pool `(query_id, doc_id, score, rank)`:
+    * per-query score/max normalization (round-6 `rel`), redundancy
+    * vectors = hash-embeddings of the POOL MEMBERS' text only (the pool
+    * ids broadcast-semi-restrict the lake scan BEFORE tokenization —
+    * queries×poolSize docs embed, never the corpus), then the shared
+    * unrolled greedy ([[Similarity.mmrGreedy]]). */
+  private def mmrOverPool(
+      docs: DataFrame, idCol: String, textCol: String,
+      pool: DataFrame, k: Int, dim: Int,
+      lambdaNum: Int, lambdaDen: Int): DataFrame = {
     val relPool = pool.withColumn("rel",
       round(col("score") /
         max(col("score")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))),
         6))
-    val emb = TextAnalysis.hashEmbed(docs, idCol, textCol, dim)
+    val poolDocs = docs.join(
+      broadcast(relPool.select(col("doc_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+    val emb = TextAnalysis.hashEmbed(poolDocs, idCol, textCol, dim)
       .select(col(idCol).as("doc_id"), col("embedding").as("__cv"))
     val cand = emb.join(broadcast(relPool), Seq("doc_id"))
       .select(col("query_id"), col("doc_id").as("neighbor_id"),

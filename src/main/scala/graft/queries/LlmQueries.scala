@@ -2299,6 +2299,46 @@ object LlmQueries {
         .orderBy("query_id", "mmr_rank")
     },
 
+    // ... MMR's SERVE path: the relevance pool probes the committed
+    // inverted index (exact BM25 — stored df ≡ counted df) and only the
+    // pool members' text leaves the lake for the redundancy embeddings;
+    // build-if-stale, so the timed cost is the probe + 5 greedy steps.
+    // Shares the inline oracle bit-for-bit.
+    "retrieval_mmr_served" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("bm25idx_mmr", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        Retrieval.buildIndexM(docs, "doc_id", "text", root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      Retrieval.mmrDiversifiedProbeM(s, root, docs, "doc_id", "text",
+          Bm25Queries, k = 5, poolSize = 20,
+          dim = 64, lambdaNum = 7, lambdaDen = 10)
+        .orderBy("query_id", "mmr_rank")
+    },
+
+    // ... and MMR's release-pinned time travel: v1 indexes the even
+    // docs, HEAD appends the odd half; the diversified page pinned at
+    // v1 must pool — and therefore select — against v1's postings and
+    // v1's idf/avgdl. The oracle replays the whole chain (BM25 pool,
+    // normalization, hash-embed redundancy, greedy steps) over the
+    // even-doc corpus.
+    "retrieval_mmr_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("mmrpin", dir)
+      val v1 = Retrieval.buildIndexM(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      Retrieval.appendIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", root)
+      Retrieval.mmrDiversifiedProbeM(s, root, docs, "doc_id", "text",
+          Bm25Queries, k = 5, poolSize = 20,
+          dim = 64, lambdaNum = 7, lambdaDen = 10, at = Some(v1))
+        .orderBy("query_id", "mmr_rank")
+    },
+
     "retrieval_rm3" -> q { (s, dir) =>
       Retrieval.rm3TopK(Tables.load(s, dir, "documents"),
           "doc_id", "text", Bm25Queries, Bm25K)
@@ -3366,7 +3406,13 @@ object LlmQueries {
     * sim_topk_hash_embed embedding chain (renamed CTEs), per-query
     * score/max(score) relevance normalization, then the shared unrolled
     * greedy steps over `rel`. */
-  private def retrievalMmrOracleSql: String = {
+  private def retrievalMmrOracleSql: String =
+    retrievalMmrOracleSql("SELECT * FROM documents")
+
+  /** The same chain over a parameterized corpus — the pinned twin
+    * replays pool, idf/avgdl, embeddings, and greedy selection over
+    * v1's even-doc half. */
+  private def retrievalMmrOracleSql(corpusSql: String): String = {
     val qvals = Bm25Queries
       .flatMap { case (qid, text) =>
         text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
@@ -3377,14 +3423,14 @@ object LlmQueries {
        btoks AS (
          SELECT doc_id, len(string_split(text, ' ')) AS dl,
                 unnest(string_split(text, ' ')) AS term
-         FROM documents),
+         FROM ($corpusSql)),
        tf AS (
          SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
          FROM btoks WHERE term <> '' GROUP BY 1, 2),
        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        cst AS (SELECT count(*)::bigint AS n,
                       sum(len(string_split(text, ' ')))::bigint AS sumdl
-               FROM documents),
+               FROM ($corpusSql)),
        contrib AS (
          SELECT q.query_id, tf.doc_id,
            round(
@@ -3404,7 +3450,8 @@ object LlmQueries {
                               ORDER BY score DESC, doc_id) AS rnk
          FROM scored QUALIFY rnk <= 20),
        etoks AS (
-         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM ($corpusSql)),
        hashed AS (
          SELECT doc_id, CAST(h % 64 AS INT) AS i,
                 CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
@@ -3412,7 +3459,7 @@ object LlmQueries {
                FROM etoks WHERE tok <> '')),
        zeros AS (
          SELECT doc_id, CAST(j AS INT) AS i, 0.0 AS v
-         FROM documents, (SELECT unnest(range(64)) AS j)),
+         FROM ($corpusSql), (SELECT unnest(range(64)) AS j)),
        summed AS (
          SELECT doc_id, i, sum(v) AS s
          FROM (SELECT * FROM hashed UNION ALL SELECT * FROM zeros)
@@ -4286,6 +4333,11 @@ object LlmQueries {
     "sim_mmr_diversity" -> mmrDiversityOracleSql,
 
     "retrieval_mmr" -> retrievalMmrOracleSql,
+    // served pool probes the committed index: stored df == counted df
+    "retrieval_mmr_served" -> retrievalMmrOracleSql,
+    // the pin replays the whole chain over v1's even-doc half
+    "retrieval_mmr_pinned" ->
+      retrievalMmrOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
 
     "ann_recall_jl_rerank" ->
       s"""WITH $JlProjCte,

@@ -345,6 +345,31 @@ class RetrievalSpec extends SparkSpec {
       rows(Retrieval.sdmTopK(docs, "doc_id", "text", queries, 10)))
   }
 
+  test("mmr served from the committed index ≡ inline; pin replays the even-half inline") {
+    val docs = graft.Tables.load(spark, Sf0001, "documents")
+    val queries = Seq(0 -> "table part window", 1 -> "key agg row")
+    val root = tmp(s"mmrserve_${java.util.UUID.randomUUID().toString.take(8)}")
+    val v1 = Retrieval.buildIndexM(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", root)
+    Retrieval.appendIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "mmr_rank").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // served (HEAD = full corpus) ≡ inline: exact BM25 pool from stored
+    // postings, so the whole greedy selection matches bit-for-bit
+    assert(rows(Retrieval.mmrDiversifiedProbeM(spark, root, docs,
+        "doc_id", "text", queries, k = 5)) ==
+      rows(Retrieval.mmrDiversifiedTopK(docs, "doc_id", "text", queries, k = 5)))
+    // pinned at v1 ≡ inline over the even half only — pool, idf/avgdl,
+    // and therefore the selection all resolve from v1
+    assert(rows(Retrieval.mmrDiversifiedProbeM(spark, root, docs,
+        "doc_id", "text", queries, k = 5, at = Some(v1))) ==
+      rows(Retrieval.mmrDiversifiedTopK(
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", queries, k = 5)))
+  }
+
   test("compactPosIndexM: probe-after ≡ probe-before; segments fold to one per table") {
     val docs = graft.Tables.load(spark, Sf0001, "documents")
     val phrases = Seq(0 -> "table part", 1 -> "key agg row")
