@@ -299,7 +299,10 @@ object SparkEntry {
     "asof_join", "range_join", "topk_native",
     "funnel_stages", "curation_pipeline", "quantile_bin_sketch",
     "dedup_minhash_est", "sim_topk_ivf_probed", "sim_topk_sq8_rerank",
-    "sim_topk_ivfpq", "sim_topk_pq_trained",
+    // (r17: sim_topk_ivfpq rotated out for retrieval_mmr_served — its
+    // plan class stays covered by sim_topk_ivfpq_residual, which runs
+    // the same cluster-pruned ADC chain plus the residual refinement)
+    "sim_topk_pq_trained",
     "sim_topk_hash_embed", "sim_topk_ivfpq_residual", "text_chunk",
     "text_bigram_lm", "dedup_edit_distance", "resample_ffill",
     "dedup_repeated_spans", "dedup_span_strip", "dedup_repeated_token_spans",
@@ -351,5 +354,10 @@ object SparkEntry {
     // round 16d — the training-free compressed SERVE shape: coarse scan
     // over the STORED m-double projections (one snapshot resolves table
     // + (m, d)), exact rerank against the lake
-    "sim_jl_probe_served")
+    "sim_jl_probe_served",
+    // round 17 — the diversified-page SERVE shape: exact BM25 pool off
+    // the committed index + pool-member-only embeddings + k greedy
+    // steps (build-if-stale, so the median times the probe). The phrase
+    // growing ingest stays off the bench like every lifecycle query.
+    "retrieval_mmr_served")
 }

@@ -1089,6 +1089,32 @@ object Retrieval {
     phraseRank(phraseStarts(posts, pq), k)
   }
 
+  /** Phrase SCREEN over a committed positional SNAPSHOT unioned with an
+    * in-memory delta corpus — the growing-ingest probe: "which docs of
+    * the accumulated corpus (the index as of the previous batch, plus
+    * the arrivals in hand) contain any banned phrase, and how often".
+    * Stored rows come pushed-`term IN` off the term-clustered segment
+    * files (the filter pushes through the union); the delta's positions
+    * derive in memory, BEFORE its append commits — so the screen a
+    * batch emits already covers yesterday's arrivals without a nightly
+    * rebuild, and a crashed batch's replay reconstructs the same view
+    * from the walked-back snapshot. Per-batch cost: the phrase terms'
+    * stored rows + the arrivals' own tokenize, never a corpus scan. */
+  def phraseScreenGrownM(
+      delta: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(Int, String)], root: String,
+      snap: IndexManifest.Snapshot): DataFrame = {
+    val spark = delta.sparkSession
+    val pq = phraseQueryFrame(spark, phrases)
+    val stored = IndexManifest.readAt(spark, root, snap, PosTable)
+      .select(col("term"), col("doc_id"), col("pos"))
+    val fresh = positionalPostings(delta, idCol, textCol)
+      .select(col("term"), col("doc_id"), col("pos"))
+    val posts = termFilter(stored.unionByName(fresh), pq,
+      distinctPhraseTerms(phrases))
+    phraseCounts(phraseStarts(posts, pq))
+  }
+
   /** Compaction for the positional index — the append lifecycle's
     * closer (the [[compactIndexM]] shape): per-delta `pos` segments
     * re-cluster by term (restoring probe-side row-group pruning that

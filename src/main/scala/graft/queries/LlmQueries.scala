@@ -127,6 +127,48 @@ object LlmQueries {
        SELECT query_id, doc_id, n_occ
        FROM scored ORDER BY query_id, doc_id"""
 
+  /** stream_phrase_growing: batch b's screen covers lake ∪ arrival
+    * batches ≤ b (arrival batch = `(doc_id % 30) div 10` over the
+    * `doc_id % 10 >= 8` arrivals — [[graft.streaming.StreamPipeline
+    * .writeArrivalBatches]]'s deterministic staging); ONE occurrence
+    * pass over the full corpus, cross-joined with the three cutoffs. */
+  private def phraseGrowingOracleSql: String = {
+    val qvals = PhraseQueries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).zipWithIndex
+          .map { case (t, i) => s"($qid, $i, '$t')" }
+      }
+      .mkString(", ")
+    s"""WITH q(query_id, off, term) AS (VALUES $qvals),
+       ql AS (SELECT query_id, count(*) AS plen FROM q GROUP BY 1),
+       corpus AS (
+         SELECT doc_id, text,
+           CASE WHEN doc_id % 10 < 8 THEN -1
+                ELSE (doc_id % 30) // 10 END AS arr_batch
+         FROM documents),
+       toks AS (
+         SELECT doc_id, arr_batch,
+           unnest(string_split(text, ' ')) AS term,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM corpus),
+       p AS (SELECT term, doc_id, arr_batch, pos FROM toks WHERE term <> ''),
+       starts AS (
+         SELECT q.query_id, p.doc_id, any_value(p.arr_batch) AS arr_batch,
+                p.pos - q.off AS start
+         FROM q JOIN p USING (term) JOIN ql USING (query_id)
+         GROUP BY q.query_id, p.doc_id, p.pos - q.off, ql.plen
+         HAVING count(DISTINCT q.off) = ql.plen),
+       occ AS (
+         SELECT query_id, doc_id, any_value(arr_batch) AS arr_batch,
+                count(*) AS n_occ
+         FROM starts GROUP BY 1, 2),
+       batches(as_of_batch) AS (VALUES (0), (1), (2))
+       SELECT b.as_of_batch::bigint AS as_of_batch,
+              o.query_id, o.doc_id, o.n_occ
+       FROM batches b JOIN occ o ON o.arr_batch <= b.as_of_batch
+       ORDER BY 1, 2, 3"""
+  }
+
   private lazy val NbOracleSql: String = nbOracleSql("doc_id % 5 <> 0")
 
   /** NB train+classify oracle. `vocabCap` replays [[Classify
@@ -2761,6 +2803,21 @@ object LlmQueries {
         .streamingLshDedupGrowing(s, dir,
           ShingleN, MinhashK, LshBands, CrossMaxBucket)
         .orderBy("id_new", "id_base")
+    },
+
+    // The GROWING positional-index edition — the ninth family on the
+    // shared exactly-once protocol, and the phrase/SDM store's
+    // production ingest loop: each micro-batch screens the ACCUMULATED
+    // corpus (stored index as of the previous batch ∪ the arrivals in
+    // hand) for the banned phrases — hits against yesterday's arrivals
+    // surface with no nightly rebuild — then appends its positional
+    // postings through the batchId-stamped atomic commit. `as_of_batch`
+    // records each screen's cut; the oracle replays batch b as the
+    // screen over lake ∪ arrival batches ≤ b.
+    "stream_phrase_growing" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingPhraseScreenGrowing(s, dir, PhraseQueries)
+        .orderBy("as_of_batch", "query_id", "doc_id")
     },
 
     // ANN at ingest: arriving query vectors ranked against the committed
@@ -5566,6 +5623,8 @@ object LlmQueries {
     // the streaming twin's index is frozen for the run and phrases rank
     // independently, so the batch union replays as the one-shot probe
     "stream_retrieval_phrase" -> phraseOracleSql("SELECT * FROM documents"),
+    // the GROWING screen: batch b's cut = lake ∪ arrival batches ≤ b
+    "stream_phrase_growing" -> phraseGrowingOracleSql,
     // the streaming twin's index is frozen for the run, so the
     // batch-union output replays as one-shot RM3 over the same queries
     "stream_retrieval_rm3" -> Rm3OracleSql,

@@ -1408,6 +1408,90 @@ object StreamPipeline {
     }
   }
 
+  /** Output schema of [[phraseGrowingBatch]]'s per-batch screen frames. */
+  private[graft] val PhraseGrowSchema: StructType = StructType(Seq(
+    StructField("as_of_batch", LongType),
+    StructField("query_id", IntegerType),
+    StructField("doc_id", LongType),
+    StructField("n_occ", LongType)))
+
+  /** One micro-batch of the GROWING banned-phrase screen — the NINTH
+    * family on the shared growth protocol, closing the one gap the r16
+    * audit left (every other persisted family already grew at ingest):
+    * the batch screens the ACCUMULATED corpus — the positional index as
+    * of the previous batch, unioned with the arrivals in hand
+    * ([[graft.operators.Retrieval.phraseScreenGrownM]]) — so hits
+    * against yesterday's arrivals surface without a nightly rebuild,
+    * then appends its own positional postings + corpus/digest segments
+    * in the batchId-stamped atomic commit. The screen READS the
+    * walked-back snapshot, so a crashed batch's replay (incl. after
+    * vacuum) must reconstruct the exact pre-append view to reproduce
+    * its output — the reconstruction machinery is load-bearing here,
+    * not ceremonial. */
+  private[graft] def phraseGrowingBatch(
+      batch: DataFrame, batchId: Long, root: String, outDir: String,
+      phrases: Seq[(Int, String)]): Unit = {
+    val spark = batch.sparkSession
+    if (batchOutputComplete(spark, outDir, batchId) &&
+        graft.index.IndexManifest.snapshot(spark, root).meta
+          .get(StreamBatchKey).exists(_.toLong >= batchId)) return
+    val (snap, alreadyCommitted) = preBatchSnapshot(spark, root, batchId)
+    val hits = graft.operators.Retrieval.phraseScreenGrownM(
+      batch, "doc_id", "text", phrases, root, snap)
+    writeBatchIdempotent(
+      hits.select(lit(batchId).as("as_of_batch"), col("query_id"),
+        col("doc_id"), col("n_occ")),
+      outDir, batchId)
+    if (!alreadyCommitted)
+      graft.operators.Retrieval.appendPosIndexM(
+        batch, "doc_id", "text", root,
+        extraMeta = Map(StreamBatchKey -> batchId.toString)): Unit
+  }
+
+  /** Banned-phrase screening at ingest where the POSITIONAL index grows
+    * with the stream — the phrase/SDM family's production ingest loop,
+    * the shape [[streamingPhraseScreen]] (stateless, own-text-only)
+    * cannot express: each micro-batch's screen covers the lake AND every
+    * earlier arrival (its `as_of_batch` column records the cut), and the
+    * batch then joins the index through the exactly-once batchId-stamped
+    * commit, so the NEXT batch's screen — and any phrase/SDM probe over
+    * the root — already sees it. Deterministic batch staging (the shared
+    * arrival-rank discipline) makes every per-batch screen exactly
+    * replayable by the DuckDB oracle: batch b screens lake ∪ arrival
+    * batches ≤ b. */
+  def streamingPhraseScreenGrowing(
+      spark: SparkSession, dir: String,
+      phrases: Seq[(Int, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val root = Files.createTempDirectory("graft_pgrow_idx").toString
+    val streamIn = Files.createTempDirectory("graft_pgrow_in").toString
+    val outDir = Files.createTempDirectory("graft_pgrow_out").toString
+    val ckptDir = Files.createTempDirectory("graft_pgrow_ckpt").toString
+    try {
+      graft.operators.Retrieval.buildPosIndexM(
+        docs.filter(col("doc_id") % 10 < 8), "doc_id", "text", root)
+      writeArrivalBatches(
+        docs.filter(col("doc_id") % 10 >= 8), streamIn, nBatches = 3)
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamIn)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          phraseGrowingBatch(batch.toDF(), batchId, root, outDir, phrases)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, PhraseGrowSchema).localCheckpoint(true)
+        .orderBy("as_of_batch", "query_id", "doc_id")
+    } finally {
+      Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   /** Output schema of [[bm25GrowingBatch]]'s per-batch negative frames. */
   private[graft] val Bm25GrowSchema: StructType = StructType(Seq(
     StructField("query_id", LongType),

@@ -529,6 +529,107 @@ class StreamGrowingIndexSpec extends SparkSpec {
     } finally rm(refRoot, root, out)
   }
 
+  // ---- the PHRASE family through the SAME growth protocol -----------
+  // ninth family: the screen READS the walked-back snapshot (its output
+  // is the accumulated-corpus cut as of the batch), so a DELAYED replay
+  // — discovered only after later batches appended and vacuum destroyed
+  // the pre-append versions — must reconstruct the exact cut by
+  // stamped-segment subtraction: probing HEAD instead would leak later
+  // arrivals into an earlier batch's screen.
+
+  private val PhQ = Seq(0 -> "magic spell", 1 -> "dark ritual")
+  private val phLake = docRows(
+    0L -> "the magic spell opens the gate",
+    1L -> "plain lake text with no banned content here")
+  private val phB0 = docRows(8L -> "magic spell magic spell twice over")
+  private val phB1 = docRows(18L -> "a dark ritual at midnight no magic")
+  private val phB2 = docRows(28L -> "another magic spell arrives late")
+
+  private def hitsOf(df: DataFrame): Seq[(Long, Int, Long, Long)] =
+    df.select("as_of_batch", "query_id", "doc_id", "n_occ")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+  test("phrase growth: crashed-output replay after vacuum reconstructs; delayed replay fails loud") {
+    import graft.operators.Retrieval
+    val refRoot = tmp("phref"); val root = tmp("phidx"); val out = tmp("phout")
+    try {
+      // reference: the batches applied once each through the operators
+      Retrieval.buildPosIndexM(phLake, "doc_id", "text", refRoot)
+      val ref = Seq(phB0, phB1, phB2).zipWithIndex.flatMap { case (b, i) =>
+        val snap = IndexManifest.snapshot(spark, refRoot)
+        val rows = hitsOf(Retrieval
+          .phraseScreenGrownM(b, "doc_id", "text", PhQ, refRoot, snap)
+          .select(lit(i.toLong).as("as_of_batch"), col("query_id"),
+            col("doc_id"), col("n_occ")))
+        Retrieval.appendPosIndexM(b, "doc_id", "text", refRoot)
+        rows
+      }.sorted
+      Retrieval.buildPosIndexM(phLake, "doc_id", "text", root)       // v1
+      StreamPipeline.phraseGrowingBatch(phB0, 0L, root, out, PhQ)    // v2
+      StreamPipeline.phraseGrowingBatch(phB1, 1L, root, out, PhQ)    // v3
+      StreamPipeline.phraseGrowingBatch(phB2, 2L, root, out, PhQ)    // v4
+      // crash window: the LAST batch's output lost after its append
+      // committed, and vacuum reclaimed every pre-append version — the
+      // replay reconstructs the v3 view from HEAD by stamped-segment
+      // subtraction and recomputes the identical screen
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-2", "_SUCCESS"))
+      IndexManifest.vacuum(spark, root, keepFrom = 4L, orphanGraceMs = 0L)
+      StreamPipeline.phraseGrowingBatch(phB2, 2L, root, out, PhQ)
+      val got = hitsOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.PhraseGrowSchema))
+      assert(got == ref, s"reconstructed screen diverged: $got vs $ref")
+      // each batch's cut is exact: the late arrival (28) is visible
+      // only from its own batch on; batch 0's arrival (8) is in every
+      // later cut — the growth the frozen screen cannot express
+      assert(!got.exists(t => t._1 < 2L && t._3 == 28L))
+      assert(got.exists(t => t._1 == 2L && t._3 == 28L))
+      assert(Seq(0L, 1L, 2L).forall(b => got.exists(t => t._1 == b && t._3 == 8L)))
+      // no double append: replay committed nothing new
+      assert(IndexManifest.currentVersion(spark, root) == 4L)
+      // DELAYED replay (an earlier batch, after later appends + vacuum)
+      // is contractually fail-loud for every family: HEAD cannot stand
+      // in for a cut two appends back, and a HEAD-based screen would
+      // silently leak doc 28 into batch 1's output
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/batch-1", "_SUCCESS"))
+      val e = intercept[IllegalStateException] {
+        StreamPipeline.phraseGrowingBatch(phB1, 1L, root, out, PhQ)
+      }
+      assert(e.getMessage.contains("cannot stand in for it"))
+    } finally rm(refRoot, root, out)
+  }
+
+  test("phrase growth: a replayed batch is a no-op — same screen, no new version") {
+    import graft.operators.Retrieval
+    val root = tmp("phidx2"); val out = tmp("phout2")
+    try {
+      Retrieval.buildPosIndexM(phLake, "doc_id", "text", root)       // v1
+      StreamPipeline.phraseGrowingBatch(phB0, 0L, root, out, PhQ)    // v2
+      StreamPipeline.phraseGrowingBatch(phB1, 1L, root, out, PhQ)    // v3
+      val before = hitsOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.PhraseGrowSchema))
+      StreamPipeline.phraseGrowingBatch(phB1, 1L, root, out, PhQ)
+      val after = hitsOf(StreamPipeline.readBatchDirs(
+        spark, out, StreamPipeline.PhraseGrowSchema))
+      assert(after == before)
+      assert(IndexManifest.currentVersion(spark, root) == 3L)
+      // the grown index serves: a probe at HEAD ranks the full
+      // accumulated corpus — the "no nightly rebuild" property
+      val served = Retrieval.phraseProbeM(spark, root, PhQ, 10)
+        .select("query_id", "doc_id", "n_occ").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val inline = Retrieval.phraseTopK(
+          phLake.unionByName(phB0).unionByName(phB1),
+          "doc_id", "text", PhQ, 10)
+        .select("query_id", "doc_id", "n_occ").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(served == inline && served.nonEmpty)
+    } finally rm(root, out)
+  }
+
   // ---- the PQ family through the SAME growth protocol ---------------
   // third index family on the shared walk-back + batchId-stamped commit:
   // two tables per version where one (the codebook) must stay pinned to
