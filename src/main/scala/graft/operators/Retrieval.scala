@@ -928,7 +928,14 @@ object Retrieval {
     * position it would imply (`pos - off`); a start with ALL `plen`
     * distinct offsets present is an occurrence. COUNT(DISTINCT off) —
     * not COUNT(*) — because a term repeated in the phrase matches one
-    * document position under several offsets. */
+    * document position under several offsets.
+    *
+    * PAIRING CONTRACT: `pq` must be the [[phraseQueryFrame]] of the same
+    * phrase batch `posts` was term-restricted for. The join is correct
+    * on unrestricted postings too, but its broadcast-probe cost is then
+    * the WHOLE positional table instead of the phrase terms' rows —
+    * every in-repo caller routes through [[phraseTopK]]/[[phraseScreen]]/
+    * [[phraseProbeM]]/[[phraseScreenGrownM]], which pair the two. */
   def phraseStarts(posts: DataFrame, pq: DataFrame): DataFrame =
     posts
       .join(broadcast(pq), Seq("term"))
@@ -1169,7 +1176,13 @@ object Retrieval {
       cand: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
     val log2 = (x: Column) => log(x) / log(lit(2.0))
+    // judgments dedup to one row per (query, doc) — max rel wins (the
+    // TREC multiple-assessor convention). Without it a duplicated
+    // judgment row fans out the candidate left-join AND double-counts
+    // __nrel/__idcg, so recall/ndcg could silently exceed 1.0.
     val j = judgments.select(col("query_id"), col("doc_id"), col("rel"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("rel")).as("rel"))
     val hits = cand.filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"))
       .join(j, Seq("query_id", "doc_id"), "left")

@@ -313,25 +313,31 @@ object TextAnalysis {
     val pairs = zip_with(
       slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    // cached: feeds the N scalar, both marginals, and the scored join
-    // (lazy, evictable; harness-global unpersist covers batch paths)
+    // cached: feeds the N scalar, both marginals, and the scored join.
+    // The k-row result materializes eagerly below, so the cache releases
+    // in the finally instead of leaking for the session's lifetime (the
+    // importanceResample discipline — this operator's output is
+    // contract-small, unlike bigramLm's corpus-sized lazy frame)
     val c2 = df.filter(col(textCol).isNotNull)
       .select(explode(pairs).as("__bg"))
       .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
       .persist()
-    val nTotal = c2.agg(coalesce(sum(col("n")), lit(0L)).cast("long"))
-      .head().getLong(0)
-    require(nTotal > 0, "collocations: the corpus has no bigrams")
-    val cl = c2.groupBy(col("w1")).agg(sum(col("n")).as("cl"))
-    val cr = c2.groupBy(col("w2")).agg(sum(col("n")).as("cr"))
-    c2.filter(col("n") >= minCount)
-      .join(cl, Seq("w1")).join(cr, Seq("w2"))
-      .select(col("w1"), col("w2"), col("n"),
-        round(log(col("n").cast("double") * lit(nTotal.toDouble) /
-          (col("cl").cast("double") * col("cr").cast("double"))), 6)
-          .as("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+    try {
+      val nTotal = c2.agg(coalesce(sum(col("n")), lit(0L)).cast("long"))
+        .head().getLong(0)
+      require(nTotal > 0, "collocations: the corpus has no bigrams")
+      val cl = c2.groupBy(col("w1")).agg(sum(col("n")).as("cl"))
+      val cr = c2.groupBy(col("w2")).agg(sum(col("n")).as("cr"))
+      c2.filter(col("n") >= minCount)
+        .join(cl, Seq("w1")).join(cr, Seq("w2"))
+        .select(col("w1"), col("w2"), col("n"),
+          round(log(col("n").cast("double") * lit(nTotal.toDouble) /
+            (col("cl").cast("double") * col("cr").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+        .localCheckpoint(true)
+    } finally c2.unpersist()
   }
 
   /** The composed twin of [[hashEmbed]] — explode → digest → two

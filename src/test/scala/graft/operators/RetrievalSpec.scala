@@ -462,6 +462,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got(7) == ((0.0, 0.0, 0.0)))
   }
 
+  test("rankingMetrics: duplicate judgment rows collapse to max rel — no metric exceeds 1.0") {
+    import spark.implicits._
+    // doc 10 judged twice (rel 1 and rel 3 — the multiple-assessor
+    // shape): without the dedup the left join fans out, __hits counts
+    // the doc twice, and recall reads 2.0
+    val judg = Seq((1, 10L, 1L), (1, 10L, 3L))
+      .toDF("query_id", "doc_id", "rel")
+    val cand = Seq((1, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rankingMetrics(cand, judg, k = 10)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // one judged doc (max rel = 3), retrieved at rank 1: perfect scores
+    assert(got == Map(1 -> ((1.0, 1.0, 1.0))))
+  }
+
   // ---- sequential dependence (SDM) --------------------------------------
 
   test("sdm: identical bags rank adjacent > within-window > scattered") {
