@@ -280,6 +280,11 @@ object Retrieval {
       docs: DataFrame, idCol: String, textCol: String,
       pool: DataFrame, k: Int, dim: Int,
       lambdaNum: Int, lambdaDen: Int): DataFrame = {
+    // the pool frame feeds BOTH the lake-restricting semi-join and the
+    // candidate join below; left LAZY deliberately — the duplicated
+    // subtree shares its shuffle via ReusedExchange, and an eager
+    // localCheckpoint here measured ~0.9 s SLOWER on the served registry
+    // query (the materialization job costs more than the reuse saves)
     val relPool = pool.withColumn("rel",
       round(col("score") /
         max(col("score")).over(
