@@ -169,6 +169,81 @@ object LlmQueries {
        ORDER BY 1, 2, 3"""
   }
 
+  private val BpeMerges = 8
+  private val BpeMaxWords = 1000
+
+  /** Shared BPE-training CTEs through the merge rows m1..mN: word
+    * frequencies (top-`maxWords` by (n DESC, word)), char-level symbol
+    * encoding as the chr(31)-wrapped string, and one unrolled
+    * (pair-count → argmax → replace) step triple per merge — the exact
+    * mechanics of [[graft.operators.Bpe]], shared bit-for-bit: both
+    * engines' `replace` is the same left-to-right non-overlapping scan,
+    * and each symbol's own delimiter wrapping makes shared-boundary
+    * overlaps impossible. */
+  private def bpeOracleCtes(nMerges: Int, maxWords: Int): String = {
+    val d = "chr(31)"
+    val dd = s"$d || $d"
+    val steps = (1 to nMerges).map { t =>
+      s"""p$t AS (
+           SELECT a, b, sum(n)::bigint AS cnt FROM (
+             SELECT n, ss[i] AS a, ss[i + 1] AS b FROM (
+               SELECT n, ss, unnest(range(1, len(ss))) AS i FROM (
+                 SELECT n, string_split(trim(sym, $d), $dd) AS ss
+                 FROM w${t - 1})))
+           GROUP BY 1, 2),
+         m$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
+         w$t AS (
+           SELECT w.word, w.n,
+             replace(w.sym, $d || m.a || $d || $d || m.b || $d,
+               $d || m.a || m.b || $d) AS sym
+           FROM w${t - 1} w, m$t m)"""
+    }.mkString(",\n")
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents),
+       wf AS (SELECT word, count(*)::bigint AS n FROM tok WHERE word <> ''
+              GROUP BY 1),
+       wcap AS (SELECT word, n FROM wf
+                QUALIFY row_number() OVER (ORDER BY n DESC, word)
+                  <= $maxWords),
+       w0 AS (SELECT word, n,
+                $d || array_to_string(string_split(word, ''), $dd) || $d
+                  AS sym
+              FROM wcap),
+       $steps"""
+  }
+
+  private def bpeMergesOracleSql: String = {
+    val rows = (1 to BpeMerges).map(t =>
+      s"SELECT $t AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM m$t")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeOracleCtes(BpeMerges, BpeMaxWords)}
+       SELECT * FROM ($rows) ORDER BY step"""
+  }
+
+  private def bpeTokenizeOracleSql: String = {
+    val d = "chr(31)"
+    val dd = s"$d || $d"
+    val steps = (1 to BpeMerges).map { t =>
+      s"""s$t AS (
+           SELECT doc_id, replace(sym,
+             (SELECT $d || a || $d || $d || b || $d FROM m$t),
+             (SELECT $d || a || b || $d FROM m$t)) AS sym
+           FROM s${t - 1})"""
+    }.mkString(",\n")
+    s"""WITH ${bpeOracleCtes(BpeMerges, BpeMaxWords)},
+       bt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL),
+       s0 AS (SELECT doc_id,
+                $d || array_to_string(string_split(word, ''), $dd) || $d
+                  AS sym
+              FROM bt WHERE word <> ''),
+       $steps
+       SELECT doc_id, count(*)::bigint AS n_words,
+              sum(len(string_split(trim(sym, $d), $dd)))::bigint
+                AS n_bpe_tokens
+       FROM s$BpeMerges GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   private lazy val NbOracleSql: String = nbOracleSql("doc_id % 5 <> 0")
 
   /** NB train+classify oracle. `vocabCap` replays [[Classify
@@ -2193,6 +2268,34 @@ object LlmQueries {
     "text_collocations" -> q { (s, dir) =>
       TextAnalysis.collocations(Tables.load(s, dir, "documents"),
         "text", minCount = 5L, k = 20)
+    },
+
+    // BPE merge learning (Sennrich 2016) — the tokenizer-training
+    // primitive: ONE corpus wordcount (capped top-1000 words by
+    // frequency through the bounded heap), then 8 merge steps on the
+    // vocab-sized frame — pair counts weighted by word frequency,
+    // argmax pair per step (ties → smaller pair, a one-row driver
+    // scalar, the Lloyd precedent), vocabulary rewritten by one string
+    // replace. The oracle unrolls the 8 steps as CTEs (the MMR greedy
+    // precedent) over the identical delimiter-wrapped replace.
+    "text_bpe_merges" -> q { (s, dir) =>
+      graft.operators.Bpe.learnMerges(Tables.load(s, dir, "documents"),
+          "text", nMerges = BpeMerges, maxWords = BpeMaxWords)
+        .orderBy("step")
+    },
+
+    // ... and the APPLY half: the learned merges run over every
+    // document's tokens as a stateless N-replace chain (scan-speed pure
+    // map — the per-epoch tokenization pass of a training pipeline),
+    // yielding the per-doc token accounting a packing/budgeting stage
+    // consumes. The oracle replays train AND apply.
+    "text_bpe_tokenize" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.operators.Bpe
+        .learnedMerges(docs, "text", BpeMerges, BpeMaxWords)
+        .map(m => (m._2, m._3))
+      graft.operators.Bpe.tokenizeWithMerges(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
     },
 
     // Document fingerprinting by winnowing (the MOSS scheme): rolling
@@ -5407,6 +5510,12 @@ object LlmQueries {
                 round(1 - ndist::double / ntok, 4) > 0.3
                   OR round(top_bg::double / (ntok - 1), 4) > 0.18 AS flagged
          FROM top ORDER BY doc_id""",
+
+    // BPE: 8 unrolled (count → argmax → replace) step triples over the
+    // chr(31)-wrapped symbol strings; the tokenize twin replays the
+    // same m1..m8 as scalar-subquery replaces over every corpus token
+    "text_bpe_merges" -> bpeMergesOracleSql,
+    "text_bpe_tokenize" -> bpeTokenizeOracleSql,
 
     // PMI: the bg CTE is text_bigram_lm's pair construction verbatim
     // (raw adjacent tokens); marginals/total re-derive from c2; the

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning: the algorithm must actually LEARN the classic
+  * merges (hand-computed on the Sennrich-style corpus), apply them in
+  * ORDER, break ties deterministically, stop early on exhaustion, and
+  * honor the vocabulary cap. */
+class BpeSpec extends SparkSpec {
+
+  // Sennrich et al.'s corpus (no end-of-word marker — the GPT-2-style
+  // intra-word variant): low×5, lower×2, newest×6, widest×3.
+  // Hand-computed merges:
+  //   1. (e,s)  count 9 (newest 6 + widest 3; ties (e,s) < (s,t))
+  //   2. (es,t) count 9
+  //   3. (l,o)  count 7 (ties (l,o) < (o,w))
+  //   4. (lo,w) count 7
+  //   5. (e,w)  count 6 (ties (e,w) < (n,e) < (w,est))
+  private lazy val corpus = {
+    import spark.implicits._
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+  }
+
+  test("learnMerges reproduces the hand-computed Sennrich merges, ties and all") {
+    val got = Bpe.learnedMerges(corpus, "text", nMerges = 5, maxWords = 100)
+    assert(got == Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L),
+      (4, "lo", "w", 7L),
+      (5, "e", "w", 6L)))
+    // the frame twin carries the same rows under the documented schema
+    val df = Bpe.learnMerges(corpus, "text", nMerges = 5, maxWords = 100)
+    assert(df.columns.toSeq == Seq("step", "lhs", "rhs", "pair_count"))
+    assert(df.orderBy("step").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      == got)
+  }
+
+  test("tokenizeWithMerges applies merges IN LEARNING ORDER as a pure map") {
+    import spark.implicits._
+    val merges = Bpe.learnedMerges(corpus, "text", 5, 100)
+      .map(m => (m._2, m._3))
+    // lower: (l,o)→lo, (lo,w)→low ⇒ [low, e, r] = 3 symbols
+    // newest: (e,s)→es, (es,t)→est, (e,w)→ew ⇒ [n, ew, est] = 3 symbols
+    val got = Bpe.tokenizeWithMerges(
+        Seq((1L, "lower newest"), (2L, "low low"), (3L, "zzz"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 6L), (2L, 2L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("exhaustion stops early; single-char vocabulary yields no merges") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(Bpe.learnedMerges(tiny, "text", nMerges = 5, maxWords = 10).isEmpty)
+    assert(Bpe.learnMerges(tiny, "text", nMerges = 5, maxWords = 10)
+      .count() == 0L)
+    // a 2-char word supports exactly one merge: early stop at 1 of 5
+    val one = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(Bpe.learnedMerges(one, "text", nMerges = 5, maxWords = 10) ==
+      Seq((1, "a", "b", 2L)))
+  }
+
+  test("maxWords cap drops tail words from the vote (visible-drop semantics)") {
+    import spark.implicits._
+    // 'xy'×3 dominates; 'qr'×1 is the tail. Cap 1 → only xy votes.
+    val df = Seq((1L, "xy xy xy qr")).toDF("doc_id", "text")
+    assert(Bpe.learnedMerges(df, "text", nMerges = 1, maxWords = 1) ==
+      Seq((1, "x", "y", 3L)))
+    // uncapped, qr still loses step 1 (count 1 < 3) but exists in vote
+    assert(Bpe.learnedMerges(df, "text", nMerges = 2, maxWords = 10) ==
+      Seq((1, "x", "y", 3L), (2, "q", "r", 1L)))
+  }
+
+  test("merged symbols are string-identified: repeated runs merge left-to-right") {
+    import spark.implicits._
+    // 'aaaa'×2: step 1 merges (a,a) with count 2·3=6 pairs... pair count
+    // is per-ADJACENT-OCCURRENCE (3 per word), weighted by word freq
+    val df = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m = Bpe.learnedMerges(df, "text", nMerges = 2, maxWords = 10)
+    assert(m.head == ((1, "a", "a", 6L)))
+    // after (a,a): each word is [aa, aa] — step 2 merges (aa, aa)
+    assert(m(1) == ((2, "aa", "aa", 2L)))
+    val toks = Bpe.tokenizeWithMerges(df, "doc_id", "text",
+        m.map(x => (x._2, x._3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(toks == Seq((1L, 2L, 2L))) // two words, one 'aaaa' symbol each
+  }
+}
