@@ -142,6 +142,62 @@ object Bpe {
     * packing/budgeting stage consumes: `(id, n_words, n_bpe_tokens)`.
     * NULL-text docs are absent (nothing to tokenize — the classifier's
     * absent-unclassifiable contract). */
+  // ---- Merge-table model store under the atomic manifest protocol -----
+  //
+  // TOKENIZER VERSIONING — the reproducibility contract an LLM pipeline
+  // actually signs: the merge list IS the tokenizer, and the dataset a
+  // training run packed must replay with the exact merge table it was
+  // tokenized with, not whatever a later retrain produced. Same shape as
+  // the NB model store: one committed table, retrain = one atomic
+  // expect-guarded swap, `at` pins the version a release shipped with.
+
+  private val MergesTable = "merges"
+
+  /** Learn and commit the merge table at `root`. A retrain over the
+    * same root swaps the table in one atomic commit; concurrent readers
+    * keep resolving the version their snapshot pinned. */
+  def buildBpeModelM(
+      docs: DataFrame, textCol: String, nMerges: Int, maxWords: Int,
+      root: String): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cur = graft.index.IndexManifest.currentVersion(spark, root)
+    val snap =
+      if (cur > 0L) Some(graft.index.IndexManifest.snapshotAt(spark, root, cur))
+      else None
+    val seg = graft.index.IndexManifest.newSegment(MergesTable)
+    learnedMerges(docs, textCol, nMerges, maxWords)
+      .toDF("step", "lhs", "rhs", "pair_count")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.map(_.tables).getOrElse(Map.empty)
+        .updated(MergesTable, Seq(seg)),
+      expect = snap.map(_.version),
+      meta = Map("family" -> "bpemodel"))
+  }
+
+  /** The committed merge list in learning order (`at` pins a version) —
+    * an N-row driver scalar, the model every tokenization plan inlines. */
+  def mergesM(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      at: Option[Long] = None): Seq[(String, String)] = {
+    val snap = at
+      .map(v => graft.index.IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(graft.index.IndexManifest.snapshot(spark, root))
+    graft.index.IndexManifest.readAt(spark, root, snap, MergesTable)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** Tokenize against a committed merge-table version. */
+  def tokenizeM(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      at: Option[Long] = None): DataFrame =
+    tokenizeWithMerges(docs, idCol, textCol, mergesM(spark, root, at))
+
   def tokenizeWithMerges(
       docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {

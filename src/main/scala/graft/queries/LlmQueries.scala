@@ -180,7 +180,9 @@ object LlmQueries {
     * engines' `replace` is the same left-to-right non-overlapping scan,
     * and each symbol's own delimiter wrapping makes shared-boundary
     * overlaps impossible. */
-  private def bpeOracleCtes(nMerges: Int, maxWords: Int): String = {
+  private def bpeOracleCtes(
+      nMerges: Int, maxWords: Int,
+      trainSql: String = "SELECT * FROM documents"): String = {
     val d = "chr(31)"
     val dd = s"$d || $d"
     val steps = (1 to nMerges).map { t =>
@@ -199,7 +201,7 @@ object LlmQueries {
            FROM w${t - 1} w, m$t m)"""
     }.mkString(",\n")
     s"""tok AS (SELECT unnest(string_split(text, ' ')) AS word
-              FROM documents),
+              FROM ($trainSql)),
        wf AS (SELECT word, count(*)::bigint AS n FROM tok WHERE word <> ''
               GROUP BY 1),
        wcap AS (SELECT word, n FROM wf
@@ -220,7 +222,10 @@ object LlmQueries {
        SELECT * FROM ($rows) ORDER BY step"""
   }
 
-  private def bpeTokenizeOracleSql: String = {
+  private lazy val BpeTokenizeOracleSql: String = bpeTokenizeOracleSql()
+
+  private def bpeTokenizeOracleSql(
+      trainSql: String = "SELECT * FROM documents"): String = {
     val d = "chr(31)"
     val dd = s"$d || $d"
     val steps = (1 to BpeMerges).map { t =>
@@ -230,7 +235,7 @@ object LlmQueries {
              (SELECT $d || a || b || $d FROM m$t)) AS sym
            FROM s${t - 1})"""
     }.mkString(",\n")
-    s"""WITH ${bpeOracleCtes(BpeMerges, BpeMaxWords)},
+    s"""WITH ${bpeOracleCtes(BpeMerges, BpeMaxWords, trainSql)},
        bt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
               FROM documents WHERE text IS NOT NULL),
        s0 AS (SELECT doc_id,
@@ -2295,6 +2300,53 @@ object LlmQueries {
         .learnedMerges(docs, "text", BpeMerges, BpeMaxWords)
         .map(m => (m._2, m._3))
       graft.operators.Bpe.tokenizeWithMerges(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
+
+    // ... the VERSIONED-tokenizer SERVE path: the merge table persists
+    // under the manifest protocol (a tokenizer IS its merge list — the
+    // dataset a run packed must replay with the exact merges it was
+    // tokenized with), retrain = one atomic expect-guarded swap.
+    // Build-if-stale; stored merges ≡ learned merges → inline oracle.
+    "text_bpe_served" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("bpemodel", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        graft.operators.Bpe.buildBpeModelM(
+          docs, "text", BpeMerges, BpeMaxWords, root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      graft.operators.Bpe.tokenizeM(s, root, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Release-pinned tokenizer time travel: v1 trains on the even half
+    // of the corpus, HEAD retrains on the full corpus; tokenization
+    // pinned at v1 must apply v1's merge list — the packed dataset a
+    // release shipped replays byte-for-byte until vacuum reclaims it.
+    "text_bpe_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("bpepin", dir)
+      val v1 = graft.operators.Bpe.buildBpeModelM(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        BpeMerges, BpeMaxWords, root)
+      graft.operators.Bpe.buildBpeModelM(
+        docs, "text", BpeMerges, BpeMaxWords, root)
+      graft.operators.Bpe.tokenizeM(s, root, docs, "doc_id", "text",
+          at = Some(v1))
+        .orderBy("doc_id")
+    },
+
+    // ... and tokenization AT INGEST: merges learned once at plan time
+    // (N-row driver scalar), each arriving micro-batch runs the
+    // stateless N-replace chain inside foreachBatch. Per-doc
+    // independence ⇒ batch union ≡ one-shot (shared oracle).
+    "stream_bpe_tokenize" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingBpeTokenize(s, dir, BpeMerges, BpeMaxWords)
         .orderBy("doc_id")
     },
 
@@ -5515,7 +5567,16 @@ object LlmQueries {
     // chr(31)-wrapped symbol strings; the tokenize twin replays the
     // same m1..m8 as scalar-subquery replaces over every corpus token
     "text_bpe_merges" -> bpeMergesOracleSql,
-    "text_bpe_tokenize" -> bpeTokenizeOracleSql,
+    "text_bpe_tokenize" -> BpeTokenizeOracleSql,
+    // served tokenization reads the committed merge table: stored
+    // merges == learned merges, so it shares the inline oracle
+    "text_bpe_served" -> BpeTokenizeOracleSql,
+    // the pin replays v1's tokenizer: merges trained on the even half,
+    // applied to the full corpus
+    "text_bpe_pinned" ->
+      bpeTokenizeOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
+    // per-doc independence: the streamed batch union replays one-shot
+    "stream_bpe_tokenize" -> BpeTokenizeOracleSql,
 
     // PMI: the bg CTE is text_bigram_lm's pair construction verbatim
     // (raw adjacent tokens); marginals/total re-derive from c2; the

@@ -1865,6 +1865,49 @@ object StreamPipeline {
     }
   }
 
+  private[graft] val BpeStreamSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_words", LongType),
+    StructField("n_bpe_tokens", LongType)))
+
+  /** BPE tokenization AT INGEST — the per-epoch preprocessing pass in
+    * its deployment shape: the merge table is learned ONCE from the
+    * static corpus (an N-row driver scalar, inherently frozen at plan
+    * time — the literal-bucket-map precedent), and every arriving
+    * micro-batch runs the stateless N-replace chain inside
+    * `foreachBatch`, sinking per-doc (n_words, n_bpe_tokens)
+    * batchId-idempotently. Per-doc independence ⇒ batch union ≡
+    * one-shot — the registry row shares `text_bpe_tokenize`'s oracle. */
+  def streamingBpeTokenize(
+      spark: SparkSession, dir: String, nMerges: Int,
+      maxWords: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val merges = graft.operators.Bpe
+      .learnedMerges(docs, "text", nMerges, maxWords)
+      .map(m => (m._2, m._3))
+    val outDir = Files.createTempDirectory("graft_bpe_out").toString
+    val ckptDir = Files.createTempDirectory("graft_bpe_ckpt").toString
+    try {
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(graft.operators.Bpe.tokenizeWithMerges(
+            batch.toDF(), "doc_id", "text", merges), outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, BpeStreamSchema).localCheckpoint(true)
+    } finally {
+      Seq(outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   private[graft] val NbStreamSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("predicted", StringType),

@@ -79,6 +79,36 @@ class BpeSpec extends SparkSpec {
       Seq((1, "x", "y", 3L), (2, "q", "r", 1L)))
   }
 
+  test("model store: served ≡ inline; retrain swaps atomically; pin replays v1") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bpe_model").toString
+    try {
+      val half = corpus.filter(col("doc_id") % 2 === 0)
+      val v1 = Bpe.buildBpeModelM(half, "text", 3, 100, root)
+      val v2 = Bpe.buildBpeModelM(corpus, "text", 5, 100, root)
+      assert(v2 > v1)
+      // HEAD serves the retrained merges ≡ inline over the full corpus
+      assert(Bpe.mergesM(spark, root) ==
+        Bpe.learnedMerges(corpus, "text", 5, 100).map(m => (m._2, m._3)))
+      // the pin replays v1's tokenizer (trained on the even half)
+      assert(Bpe.mergesM(spark, root, at = Some(v1)) ==
+        Bpe.learnedMerges(half, "text", 3, 100).map(m => (m._2, m._3)))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows(Bpe.tokenizeM(spark, root, corpus, "doc_id", "text",
+          at = Some(v1))) ==
+        rows(Bpe.tokenizeWithMerges(corpus, "doc_id", "text",
+          Bpe.learnedMerges(half, "text", 3, 100).map(m => (m._2, m._3)))))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+  }
+
   test("merged symbols are string-identified: repeated runs merge left-to-right") {
     import spark.implicits._
     // 'aaaa'×2: step 1 merges (a,a) with count 2·3=6 pairs... pair count
