@@ -206,6 +206,20 @@ object ScaleSoak {
             .spanGrowingStream(s, root, in, out, ckpt, 30).count()
           (System.nanoTime() - t0) / 1e9
         }),
+      // BPE apply — the per-epoch tokenization pass: the merge chain is
+      // PINNED to the base corpus (a production tokenizer is a fixed
+      // artifact regardless of today's corpus volume — the pq_topk
+      // codebook precedent), and the N-replace chain runs as a
+      // stateless projection over the growing corpus; time must track
+      // volume ≲ linearly (pure scan shape: explode → N replaces →
+      // map-side-combined per-doc aggregate, nothing trained or
+      // collected grows with N)
+      Family("bpe_tokenize",
+        (s, m) => graft.operators.Bpe.tokenizeWithMerges(
+          docs(m), "doc_id", "text",
+          graft.operators.Bpe.learnedMerges(docs(1), "text", 8, 1000)
+            .map(x => (x._2, x._3))),
+        mustContain = Seq.empty),
       // NOT a family here: SemDeDup. Its within-cluster screen is
       // definitionally quadratic in CLUSTER SIZE, and no configuration
       // of this fixture scales linearly in corpus volume — fixed k
