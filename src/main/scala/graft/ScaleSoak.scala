@@ -78,6 +78,11 @@ object ScaleSoak {
 
     def docs(mult: Int) = SkewBench.documents(spark, BaseDocs * mult, skewed = false)
     def vecs(mult: Int) = SkewBench.embeddings(spark, BaseVecs * mult, skewed = false)
+    // learned ONCE: the bpe_tokenize family's frame builder runs four
+    // times (warm-up, base, 8x, static plan) and must not re-pay the
+    // 8-step training loop on each call
+    lazy val baseMerges = graft.operators.Bpe
+      .learnedMerges(docs(1), "text", 8, 1000).map(x => (x._2, x._3))
 
     val families = Seq(
       // exact-substring spans: ~271 grams/doc -> 5.4M gram rows at 8x;
@@ -216,9 +221,7 @@ object ScaleSoak {
       // collected grows with N)
       Family("bpe_tokenize",
         (s, m) => graft.operators.Bpe.tokenizeWithMerges(
-          docs(m), "doc_id", "text",
-          graft.operators.Bpe.learnedMerges(docs(1), "text", 8, 1000)
-            .map(x => (x._2, x._3))),
+          docs(m), "doc_id", "text", baseMerges),
         mustContain = Seq.empty),
       // NOT a family here: SemDeDup. Its within-cluster screen is
       // definitionally quadratic in CLUSTER SIZE, and no configuration

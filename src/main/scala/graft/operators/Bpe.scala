@@ -40,13 +40,24 @@ object Bpe {
   /** Symbol delimiter (U+001F unit separator). Contract: it cannot
     * occur in corpus tokens — it is not producible by the whitespace
     * tokenization of any text column this repo's tables carry, and a
-    * violating corpus would corrupt symbol boundaries silently, so the
-    * trainer guards the TRAINING table (vocab-sized, one cheap filter)
-    * loudly rather than trusting the caller. */
+    * violating corpus would corrupt symbol boundaries silently, so
+    * EVERY encode path ([[guardWord]] inside [[encodeWord]] — train and
+    * apply alike) fails loud rather than trusting the caller. */
   private val D = "\u001f"
 
   private def encodeWord(word: Column): Column =
-    concat(lit(D), array_join(split(word, ""), D + D), lit(D))
+    concat(lit(D), array_join(split(guardWord(word), ""), D + D), lit(D))
+
+  /** Fail-loud on a delimiter-bearing token — at TRAIN and APPLY alike:
+    * tokenizeM's whole point is applying a pinned merge table to NEW
+    * corpora, where a U+001F in the text would silently splice symbol
+    * boundaries if only the training vocabulary were guarded. One
+    * codegen'd contains() per token. */
+  private def guardWord(word: Column): Column =
+    when(word.contains(D),
+      raise_error(lit("Bpe: corpus token contains the U+001F symbol " +
+        "delimiter — symbol boundaries would corrupt")))
+      .otherwise(word)
 
   private def decodeSyms(sym: Column): Column =
     split(sym.substr(lit(2), length(sym) - 2), D + D)
@@ -64,10 +75,6 @@ object Bpe {
     TopK.perKey(wf.withColumn("__g", lit(0)), Seq("__g"),
         Seq(col("n").desc, col("word").asc), maxWords)
       .drop("__g")
-      .filter(when(col("word").contains(D),
-        raise_error(lit("Bpe: corpus token contains the U+001F symbol " +
-          "delimiter — symbol boundaries would corrupt")))
-        .otherwise(lit(true)))
       .select(col("word"), col("n"), encodeWord(col("word")).as("sym"))
   }
 
@@ -105,6 +112,7 @@ object Bpe {
       maxWords: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges > 0, s"nMerges=$nMerges must be positive")
     var cur = wordFreqs(docs, textCol, maxWords).localCheckpoint()
+    var prevCkpt = cur
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var t = 1
     var exhausted = false
@@ -127,10 +135,19 @@ object Bpe {
         out += ((t, a, b, cnt))
         cur = cur.withColumn("sym", call_function("replace", col("sym"),
           lit(D + a + D + D + b + D), lit(D + a + b + D)))
-        if (t % CheckpointEvery == 0) cur = cur.localCheckpoint()
+        if (t % CheckpointEvery == 0) {
+          // the new checkpoint supersedes the old one: release it now
+          // instead of waiting for driver GC — at a real tokenizer's
+          // thousands of merges, O(steps/8) retained vocab frames would
+          // otherwise pile into the block manager
+          cur = cur.localCheckpoint()
+          prevCkpt.unpersist()
+          prevCkpt = cur
+        }
         t += 1
       }
     }
+    prevCkpt.unpersist()
     out.result()
   }
 

@@ -85,7 +85,7 @@ object Classify {
         Seq("__g"), Seq(col("__tc").desc, col("term").asc), vocabCap)
       .select(col("term"))
     modelFrom(labeled, labelCol, textCol,
-      ctc.join(broadcast(vocab), Seq("term")))
+      ctc.join(broadcast(vocab), Seq("term")), vsizeKnown = None)
   }
 
   /** [[nbTrain]] plus the class-term-count cache HANDLE, so a caller
@@ -105,7 +105,7 @@ object Classify {
       s"nbTrain: seed vocabulary $vsize exceeds maxVocab=$maxVocab — the " +
         "dense vocab×labels parameter table is broadcast at score time; " +
         "truncate with nbTrainCapped(vocabCap) or raise maxVocab deliberately")
-    (modelFrom(labeled, labelCol, textCol, ctc), ctc)
+    (modelFrom(labeled, labelCol, textCol, ctc, vsizeKnown = Some(vsize)), ctc)
   }
 
   /** One tokenize pass over the seed → per-(label, term) counts,
@@ -130,10 +130,12 @@ object Classify {
     * vocab×labels. Shared by the capped and uncapped trainers. */
   private def modelFrom(
       labeled: DataFrame, labelCol: String, textCol: String,
-      ctc: DataFrame): DataFrame = {
+      ctc: DataFrame, vsizeKnown: Option[Long]): DataFrame = {
     // vocab size and doc totals: contract-small driver scalars (the
-    // corpusStats precedent)
-    val vsize = ctc.select(col("term")).distinct().count()
+    // corpusStats precedent); the uncapped path already counted it for
+    // the maxVocab guard and threads it through instead of recounting
+    val vsize = vsizeKnown.getOrElse(
+      ctc.select(col("term")).distinct().count())
     require(vsize > 0, "nbTrain: the labeled seed has no non-empty tokens")
     val docsPerLabel = labeled
       .filter(col(labelCol).isNotNull && col(textCol).isNotNull)

@@ -1485,8 +1485,10 @@ object StreamPipeline {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // checkpoint only — the registry row orders; an orderBy here would
+      // just add a redundant exchange+sort (the streamingBpeTokenize
+      // pattern)
       readBatchDirs(spark, outDir, PhraseGrowSchema).localCheckpoint(true)
-        .orderBy("as_of_batch", "query_id", "doc_id")
     } finally {
       Seq(root, streamIn, outDir, ckptDir).foreach(rmTree)
     }
