@@ -541,15 +541,17 @@ object Similarity {
       val pick = rem.join(broadcast(selV), Seq("query_id"))
         .withColumn("__s", round(cosineNative(col("__cv"), col("__sv")), 6))
         .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
-        .agg(max(col("__s")).as("__ms"))
+        // __cv rides THROUGH the aggregate (constant within the group —
+        // first() is deterministic here) so the winning row needs no
+        // pool re-join to recover its vector: one broadcast join fewer
+        // per greedy step
+        .agg(max(col("__s")).as("__ms"), first(col("__cv")).as("__cv"))
         .withColumn("__mmr",
           dec(col("rel")) * lambdaNum - dec(col("__ms")) * (lambdaDen - lambdaNum))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("__mmr").desc, col("neighbor_id").asc)))
         .filter(col("__rn") === 1)
-        .join(broadcast(cand.select(col("query_id"), col("neighbor_id"), col("__cv"))),
-          Seq("query_id", "neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), col("rel"), col("__cv"),
           lit(t).as("mmr_rank"))
         // materialize the step's picks (|queries| rows): every later step
