@@ -151,6 +151,28 @@ object Bpe {
     out.result()
   }
 
+  /** The learned tokenizer's VOCABULARY census — the artifact a
+    * fertility/coverage analysis consumes: after `nMerges` merges, the
+    * symbol inventory of the (capped) training word table with
+    * frequency-weighted occurrence counts — `(symbol, n_occ)`. Bounded
+    * by |distinct chars| + nMerges symbols; derived from the SAME
+    * capped word-frequency frame the merges trained on, so counts are
+    * the training-corpus census (tail words beyond `maxWords` don't
+    * count here either — consistent with their zero training vote). */
+  def vocab(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int): DataFrame = {
+    val merges = learnedMerges(docs, textCol, nMerges, maxWords)
+      .map(m => (m._2, m._3))
+    val symN = merges.foldLeft(col("sym")) { case (s, (a, b)) =>
+      call_function("replace", s, lit(D + a + D + D + b + D), lit(D + a + b + D))
+    }
+    wordFreqs(docs, textCol, maxWords)
+      .select(col("n"), explode(decodeSyms(symN)).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("n")).cast("long").as("n_occ"))
+  }
+
   /** APPLY learned merges to the corpus — the deployment half: every
     * document's tokens run the same N-replace chain (a stateless,
     * WholeStageCodegen'd pure map — at 100 TB this is the scan-speed

@@ -2303,6 +2303,15 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ... the learned tokenizer's VOCABULARY census — base chars +
+    // merged symbols with frequency-weighted occurrence counts over the
+    // capped training table (what fertility/coverage analyses consume).
+    "text_bpe_vocab" -> q { (s, dir) =>
+      graft.operators.Bpe.vocab(Tables.load(s, dir, "documents"),
+          "text", nMerges = BpeMerges, maxWords = BpeMaxWords)
+        .orderBy(col("n_occ").desc, col("symbol"))
+    },
+
     // ... the VERSIONED-tokenizer SERVE path: the merge table persists
     // under the manifest protocol (a tokenizer IS its merge list — the
     // dataset a run packed must replay with the exact merges it was
@@ -5567,6 +5576,13 @@ object LlmQueries {
     // chr(31)-wrapped symbol strings; the tokenize twin replays the
     // same m1..m8 as scalar-subquery replaces over every corpus token
     "text_bpe_merges" -> bpeMergesOracleSql,
+    // the census unnests w8's rewritten symbol strings, freq-weighted
+    "text_bpe_vocab" -> s"""WITH ${bpeOracleCtes(BpeMerges, BpeMaxWords)}
+       SELECT symbol, sum(n)::bigint AS n_occ FROM (
+         SELECT n, unnest(string_split(trim(sym, chr(31)),
+           chr(31) || chr(31))) AS symbol
+         FROM w$BpeMerges)
+       GROUP BY 1 ORDER BY n_occ DESC, symbol""",
     "text_bpe_tokenize" -> BpeTokenizeOracleSql,
     // served tokenization reads the committed merge table: stored
     // merges == learned merges, so it shares the inline oracle
