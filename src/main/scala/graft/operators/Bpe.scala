@@ -104,15 +104,42 @@ object Bpe {
     * tokenizer's thousands of merges. */
   private val CheckpointEvery = 8
 
+  /** Release a localCheckpoint'd frame's backing blocks. `Dataset
+    * .unpersist` is a NO-OP for checkpointed frames — it only uncaches
+    * CacheManager (`.persist()`) entries, while the checkpoint's blocks
+    * belong to the LogicalRDD it left behind (probed empirically on
+    * this Spark: getPersistentRDDs is unchanged by Dataset.unpersist
+    * and emptied by the RDD-level call). */
+  private def releaseCkpt(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** The learning loop, returning the merge tuples driver-side — shared
     * by [[learnMerges]] (frame output) and [[tokenizeWithMerges]]'s
-    * registry composition (merge list input). */
+    * registry composition (merge list input). Releases every vocabulary
+    * checkpoint before returning. */
   def learnedMerges(
       docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int): Seq[(Int, String, String, Long)] = {
+    val (merges, _, release) = learnLoop(docs, textCol, nMerges, maxWords)
+    release()
+    merges
+  }
+
+  /** The loop's full state: merge tuples, the FINAL rewritten vocabulary
+    * frame (lazy, chained on the last checkpoint — [[vocab]] aggregates
+    * it instead of re-learning + re-scanning the corpus), and the
+    * release handle for the one checkpoint still held. Superseded
+    * checkpoints release AS the loop runs ([[releaseCkpt]] — at a real
+    * tokenizer's thousands of merges, O(steps/8) retained vocab frames
+    * would otherwise pile into the block manager). */
+  private def learnLoop(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int): (Seq[(Int, String, String, Long)], DataFrame, () => Unit) = {
     require(nMerges > 0, s"nMerges=$nMerges must be positive")
-    var cur = wordFreqs(docs, textCol, maxWords).localCheckpoint()
-    var prevCkpt = cur
+    var ckpt = wordFreqs(docs, textCol, maxWords).localCheckpoint()
+    var cur = ckpt
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var t = 1
     var exhausted = false
@@ -136,19 +163,16 @@ object Bpe {
         cur = cur.withColumn("sym", call_function("replace", col("sym"),
           lit(D + a + D + D + b + D), lit(D + a + b + D)))
         if (t % CheckpointEvery == 0) {
-          // the new checkpoint supersedes the old one: release it now
-          // instead of waiting for driver GC — at a real tokenizer's
-          // thousands of merges, O(steps/8) retained vocab frames would
-          // otherwise pile into the block manager
-          cur = cur.localCheckpoint()
-          prevCkpt.unpersist()
-          prevCkpt = cur
+          val next = cur.localCheckpoint()
+          releaseCkpt(ckpt)
+          ckpt = next
+          cur = next
         }
         t += 1
       }
     }
-    prevCkpt.unpersist()
-    out.result()
+    val held = ckpt
+    (out.result(), cur, () => releaseCkpt(held))
   }
 
   /** The learned tokenizer's VOCABULARY census — the artifact a
@@ -162,15 +186,17 @@ object Bpe {
   def vocab(
       docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int): DataFrame = {
-    val merges = learnedMerges(docs, textCol, nMerges, maxWords)
-      .map(m => (m._2, m._3))
-    val symN = merges.foldLeft(col("sym")) { case (s, (a, b)) =>
-      call_function("replace", s, lit(D + a + D + D + b + D), lit(D + a + b + D))
-    }
-    wordFreqs(docs, textCol, maxWords)
-      .select(col("n"), explode(decodeSyms(symN)).as("symbol"))
+    // the loop's FINAL frame already holds the rewritten vocabulary —
+    // aggregating it avoids a second corpus scan and a replayed merge
+    // fold; the symbol-sized result materializes eagerly so the loop's
+    // checkpoint releases in the finally
+    val (_, fin, release) = learnLoop(docs, textCol, nMerges, maxWords)
+    try fin
+      .select(col("n"), explode(decodeSyms(col("sym"))).as("symbol"))
       .groupBy(col("symbol"))
       .agg(sum(col("n")).cast("long").as("n_occ"))
+      .localCheckpoint(true)
+    finally release()
   }
 
   /** APPLY learned merges to the corpus — the deployment half: every

@@ -75,9 +75,18 @@ object Classify {
     * count filter. */
   def nbTrainCapped(
       labeled: DataFrame, labelCol: String, textCol: String,
-      vocabCap: Int): DataFrame = {
+      vocabCap: Int): DataFrame =
+    cappedModelFrom(labeled, labelCol, textCol,
+      classTermCounts(labeled, labelCol, textCol), vocabCap)
+
+  /** The top-V trainer over an already-built (cached) count frame —
+    * shared by [[nbTrainCapped]] (lazy return, harness-released cache)
+    * and [[buildNbModelM]]'s capped path (eager write, finally-released
+    * cache). */
+  private def cappedModelFrom(
+      labeled: DataFrame, labelCol: String, textCol: String,
+      ctc: DataFrame, vocabCap: Int): DataFrame = {
     require(vocabCap > 0, s"vocabCap=$vocabCap must be positive")
-    val ctc = classTermCounts(labeled, labelCol, textCol)
     val vocab = TopK.perKey(
         ctc.groupBy(col("term"))
           .agg(sum(col("cnt")).cast("long").as("__tc"))
@@ -212,7 +221,8 @@ object Classify {
     * version their snapshot pinned. */
   def buildNbModelM(
       labeled: DataFrame, labelCol: String, textCol: String,
-      root: String): Long = {
+      root: String, maxVocab: Int = DefaultMaxVocab,
+      vocabCap: Option[Int] = None): Long = {
     val spark = labeled.sparkSession
     val cur = graft.index.IndexManifest.currentVersion(spark, root)
     val snap =
@@ -221,9 +231,16 @@ object Classify {
     val seg = graft.index.IndexManifest.newSegment(ParamsTable)
     // the parquet write MATERIALIZES the model, so the seed's class-term
     // count cache releases here eagerly instead of leaking for the
-    // session's lifetime (the importanceResample discipline)
-    val (model, cache) =
-      nbTrainCached(labeled, labelCol, textCol, DefaultMaxVocab)
+    // session's lifetime (the importanceResample discipline). vocabCap
+    // routes an over-cap seed through the top-V trainer — the sanctioned
+    // remedy must be reachable ON the train-once/serve-forever path, not
+    // just named in the fail-loud message.
+    val (model, cache) = vocabCap match {
+      case Some(cap) =>
+        val ctc = classTermCounts(labeled, labelCol, textCol)
+        (cappedModelFrom(labeled, labelCol, textCol, ctc, cap), ctc)
+      case None => nbTrainCached(labeled, labelCol, textCol, maxVocab)
+    }
     try model.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$seg")
     finally cache.unpersist()

@@ -1392,7 +1392,11 @@ object Retrieval {
     * unordered position pair once via the pb > pa half-window. */
   private[graft] def unorderedPairHits(
       aSide: DataFrame, bSide: DataFrame, wUn: Int): DataFrame = {
-    require(wUn >= 2, s"wUn=$wUn: an unordered window needs width >= 2")
+    // wUn = 1 is degenerate-but-valid (|pb - pa| < 1 matches nothing →
+    // an empty component the blend coalesces to 0) and was accepted by
+    // the pre-binning join — the public sdmTopK/sdmProbeM contract must
+    // not narrow under a refactor
+    require(wUn >= 1, s"wUn=$wUn must be positive")
     val aBinned = aSide.withColumn("__bin",
       explode(array(Seq(-1, 0, 1).map(d =>
         floor(col("pa") / lit(wUn)).cast("long") + lit(d.toLong)): _*)))

@@ -194,11 +194,14 @@ object LlmQueries {
                  FROM w${t - 1})))
            GROUP BY 1, 2),
          m$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
+         -- exhaustion-safe: an empty m_t must leave w_t = w_{t-1} (the
+         -- engine's early stop), not empty it through a cross join
          w$t AS (
            SELECT w.word, w.n,
-             replace(w.sym, $d || m.a || $d || $d || m.b || $d,
-               $d || m.a || m.b || $d) AS sym
-           FROM w${t - 1} w, m$t m)"""
+             CASE WHEN m.a IS NULL THEN w.sym
+                  ELSE replace(w.sym, $d || m.a || $d || $d || m.b || $d,
+                    $d || m.a || m.b || $d) END AS sym
+           FROM w${t - 1} w LEFT JOIN m$t m ON true)"""
     }.mkString(",\n")
     s"""tok AS (SELECT unnest(string_split(text, ' ')) AS word
               FROM ($trainSql)),
@@ -230,9 +233,13 @@ object LlmQueries {
     val dd = s"$d || $d"
     val steps = (1 to BpeMerges).map { t =>
       s"""s$t AS (
+           -- exhaustion-safe: an empty m_t coalesces to a never-matching
+           -- pattern (three adjacent delimiters cannot occur) so the
+           -- replace is the identity, mirroring the engine's early stop
            SELECT doc_id, replace(sym,
-             (SELECT $d || a || $d || $d || b || $d FROM m$t),
-             (SELECT $d || a || b || $d FROM m$t)) AS sym
+             coalesce((SELECT $d || a || $d || $d || b || $d FROM m$t),
+               $d || $d || $d),
+             coalesce((SELECT $d || a || b || $d FROM m$t), '')) AS sym
            FROM s${t - 1})"""
     }.mkString(",\n")
     s"""WITH ${bpeOracleCtes(BpeMerges, BpeMaxWords, trainSql)},

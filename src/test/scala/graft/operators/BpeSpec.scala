@@ -79,6 +79,26 @@ class BpeSpec extends SparkSpec {
       Seq((1, "x", "y", 3L), (2, "q", "r", 1L)))
   }
 
+  test("the learning loop releases every vocabulary checkpoint (RDD-level, not Dataset.unpersist)") {
+    // Dataset.unpersist is a NO-OP for localCheckpoint'd frames (it only
+    // uncaches CacheManager entries) — the loop must release through the
+    // LogicalRDD, and nMerges > CheckpointEvery forces a mid-loop
+    // supersession so both release sites are exercised
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val m = Bpe.learnedMerges(corpus, "text", nMerges = 12, maxWords = 100)
+    assert(m.length == 12)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked checkpoint RDDs: ${(after -- before).mkString(",")}")
+    // vocab() materializes its (small) result as ONE retained checkpoint
+    // and releases the loop's own
+    val v = Bpe.vocab(corpus, "text", nMerges = 5, maxWords = 100)
+    assert(v.count() > 0)
+    val afterVocab = spark.sparkContext.getPersistentRDDs.keySet
+    assert((afterVocab -- before).size <= 1,
+      "vocab retained more than its own result checkpoint")
+  }
+
   test("model store: served ≡ inline; retrain swaps atomically; pin replays v1") {
     import spark.implicits._
     val root = java.nio.file.Files

@@ -98,6 +98,33 @@ class ClassifySpec extends SparkSpec {
     assert(run(test).nonEmpty)
   }
 
+  test("model store: the capped path is reachable — an over-cap seed commits via vocabCap") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nbcap_model").toString
+    try {
+      // maxVocab=3 < the 9-term seed vocabulary: the uncapped store
+      // build must fail loud, and vocabCap must be the working remedy
+      // ON the store path itself
+      val e = intercept[IllegalArgumentException] {
+        Classify.buildNbModelM(train, "label", "text", root, maxVocab = 3)
+      }
+      assert(e.getMessage.contains("maxVocab=3"))
+      Classify.buildNbModelM(train, "label", "text", root,
+        vocabCap = Some(3))
+      val out = Classify.nbClassifyM(spark, root,
+          Seq((1L, "good bad")).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // both kept terms vote; the stored model classifies
+      assert(out.keySet == Set(1L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+  }
+
   test("an over-cap seed vocabulary fails loud with the cap named") {
     // the counted-cap discipline: the dense vocab×labels table is
     // broadcast-by-contract, so a seed vocabulary past maxVocab must
