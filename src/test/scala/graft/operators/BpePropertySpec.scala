@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalacheck.Prop.forAll
+
+/** Differential + algebraic laws of the BPE trainer on GENERATED
+  * corpora — the phrase-differential precedent applied to tokenizer
+  * training: the distributed trainer must agree step-for-step with an
+  * independent driver-side reference implementation (plain Scala maps,
+  * no Spark, written directly from Sennrich's pseudocode), and the
+  * apply chain must reproduce the reference tokenization's symbol
+  * counts. Case counts are small (each case runs Spark jobs); the laws
+  * generalize what the hand-computed fixtures spot-check. */
+class BpePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+
+  // short words over a tiny alphabet so pair collisions, ties, repeated
+  // runs ("aaa"), and exhaustion are all common rather than degenerate
+  private val corpusGen: Gen[List[String]] = for {
+    n <- Gen.chooseNum(3, 20)
+    words <- Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+  } yield words
+
+  /** Reference BPE (Sennrich 2016, word-level, no end-of-word marker):
+    * greedy left-to-right pair merging over a word-frequency map —
+    * independent of the delimiter-string mechanics under test. */
+  private def referenceBpe(
+      words: Seq[String], nMerges: Int): (Seq[(String, String, Long)], Map[Seq[String], Long]) = {
+    var vocab: Map[Seq[String], Long] = words.filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.split("").toSeq -> ws.size.toLong
+      }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var t = 0
+    var done = false
+    while (t < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + n
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((a, b, cnt))
+        vocab = vocab.groupBy { case (syms, _) => mergeOnce(syms, a, b) }
+          .map { case (merged, entries) => merged -> entries.values.sum }
+        t += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** Left-to-right non-overlapping single-pair merge over a symbol
+    * sequence — the reference's analog of the delimiter replace. */
+  private def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  test("DIFFERENTIAL: distributed merges ≡ driver-side reference, step for step") {
+    val prop = forAll(corpusGen, Gen.chooseNum(1, 8)) { (words, nMerges) =>
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val got = Bpe.learnedMerges(docs, "text", nMerges, maxWords = 1000)
+        .map(m => (m._2, m._3, m._4))
+      val (want, _) = referenceBpe(words, nMerges)
+      got == want
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("DIFFERENTIAL: tokenize symbol counts ≡ reference vocabulary rewrite") {
+    val prop = forAll(corpusGen, Gen.chooseNum(1, 6)) { (words, nMerges) =>
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val merges = Bpe.learnedMerges(docs, "text", nMerges, maxWords = 1000)
+        .map(m => (m._2, m._3))
+      // per-word symbol counts through the distributed apply chain
+      // (every doc is one word here, so n_bpe_tokens IS the word's
+      // symbol count)
+      val got = Bpe.tokenizeWithMerges(docs, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // reference: fold the same merges over each word independently
+      val want = words.zipWithIndex.collect {
+        case (w, i) if w.nonEmpty =>
+          val syms = merges.foldLeft(w.split("").toSeq) {
+            case (s, (a, b)) => mergeOnce(s, a, b)
+          }
+          i.toLong -> syms.length.toLong
+      }.toMap
+      got == want
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("LAW: pair_count is non-increasing across merge steps (greedy argmax)") {
+    val prop = forAll(corpusGen) { words =>
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val counts = Bpe.learnedMerges(docs, "text", 6, maxWords = 1000)
+        .map(_._4)
+      counts.zip(counts.drop(1)).forall { case (x, y) => x >= y }
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+}
