@@ -108,6 +108,45 @@ class BpePropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("DIFFERENTIAL: binned unordered-window pairs ≡ naive join on random corpora") {
+    // the SDM #uwN bin-join's property version (the unit spec covers
+    // three fixtures): random texts over a 3-word vocabulary make
+    // repeated terms and window-edge pairs common; the bin equi-join
+    // must reproduce the naive join's pair multiset at every width
+    import org.apache.spark.sql.functions._
+    val textGen: Gen[List[String]] = for {
+      n <- Gen.chooseNum(2, 8)
+      docs <- Gen.listOfN(n, Gen.chooseNum(1, 24).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("u", "v", "w")).map(_.mkString(" "))))
+    } yield docs
+    val prop = forAll(textGen, Gen.chooseNum(1, 9)) { (texts, w) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairFrame = Seq((0, "u", "v"), (1, "w", "w"), (2, "v", "u"))
+        .toDF("query_id", "ta", "tb")
+      val pp = Retrieval.positionalPostings(docs, "doc_id", "text")
+      val aSide = pp.join(broadcast(pairFrame), pp("term") === pairFrame("ta"))
+        .select(col("query_id"), col("ta"), col("tb"), col("doc_id"),
+          col("pos").as("pa"), col("dl"))
+      val bSide = pp.select(col("term").as("tb2"),
+        col("doc_id").as("doc_b"), col("pos").as("pb"))
+      def multiset(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(col("query_id"), col("ta"), col("tb"), col("doc_id"),
+            col("pa"), col("pb"))
+          .collect().map(_.toSeq.mkString("|")).toSeq.sorted
+      val naive = aSide.join(bSide,
+        aSide("doc_id") === bSide("doc_b") &&
+          bSide("tb2") === aSide("tb") &&
+          (when(aSide("ta") === aSide("tb"),
+            bSide("pb") > aSide("pa") && bSide("pb") - aSide("pa") < w)
+            .otherwise(bSide("pb") =!= aSide("pa") &&
+              abs(bSide("pb") - aSide("pa")) < w)))
+      multiset(Retrieval.unorderedPairHits(aSide, bSide, w)) == multiset(naive)
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("LAW: pair_count is non-increasing across merge steps (greedy argmax)") {
     val prop = forAll(corpusGen) { words =>
       val docs = words.zipWithIndex
