@@ -223,6 +223,47 @@ object ScaleSoak {
         (s, m) => graft.operators.Bpe.tokenizeWithMerges(
           docs(m), "doc_id", "text", baseMerges),
         mustContain = Seq.empty),
+      // the NINTH growing family's ingest loop (r17): lake positional
+      // build + arrival staging run UNtimed; the measured region is 3
+      // micro-batches of accumulated-corpus screen (stored snapshot ∪
+      // arrivals, pushed term IN both sides of the union) + idempotent
+      // output + batchId-stamped positional append. Per-batch cost must
+      // track the arrivals' tokenize + the PHRASE TERMS' stored rows —
+      // both ≲ linear in corpus volume — so total time scales ≲ 8×.
+      // Probe-side plan markers are covered by the phrase_probe family
+      // (same termFilter/completeness plan at the same stats).
+      Family("phrase_growing_stream",
+        (s, m) => docs(m).limit(0),
+        mustContain = Seq.empty,
+        timedRun = Some { (s, m) =>
+          val d = docs(m)
+          val root = tmp(s"pgrow$m"); val in = tmp(s"pgrowin$m")
+          val out = tmp(s"pgrowout$m")
+          // phrases lifted from REAL documents (the generator's hashed
+          // vocabulary makes fixed phrases vanishingly rare): one from
+          // the lake (stored-side hits) and one from an arrival
+          // (delta-side hits) — both deterministic, derived untimed
+          def bigramOf(id: Long) = {
+            val t = d.filter(col("doc_id") === id)
+              .select("text").head().getString(0).split(" ")
+            s"${t(0)} ${t(1)}"
+          }
+          val phrases = Seq(0 -> bigramOf(0L), 1 -> bigramOf(8L))
+          graft.operators.Retrieval.buildPosIndexM(
+            d.filter(col("doc_id") % 10 < 8), "doc_id", "text", root)
+          graft.streaming.StreamPipeline.writeArrivalBatches(
+            d.filter(col("doc_id") % 10 >= 8), in, nBatches = 3)
+          val t0 = System.nanoTime()
+          (0 to 2).foreach { b =>
+            graft.streaming.StreamPipeline.phraseGrowingBatch(
+              s.read.parquet(f"$in/arrivals-$b%03d.parquet"), b.toLong,
+              root, out, phrases)
+          }
+          val n = s.read.parquet(
+            (0 to 2).map(b => s"$out/batch-$b"): _*).count()
+          require(n > 0, "phrase growing soak produced no screen rows")
+          (System.nanoTime() - t0) / 1e9
+        }),
       // NOT a family here: SemDeDup. Its within-cluster screen is
       // definitionally quadratic in CLUSTER SIZE, and no configuration
       // of this fixture scales linearly in corpus volume — fixed k
