@@ -160,11 +160,16 @@ object Bench {
     * `threshold`: CONTAMINATED / SELF-NOISE (either artifact flagged
     * the query — known inflation), SUSPECT (normalized per-rep minima
     * inside threshold: contended reps skewed a median, the r14 shape),
-    * HOST-NOISE (raw per-rep minima inside threshold: bracket-level
-    * canary inflation on an internally-variable host, the r15 shape),
     * CANARY-DRIFT (canary floors differ >1.2× so the canary-units are
     * incomparable, and raw medians sit inside threshold — the r15
-    * false-six shape). What survives every gate is a CLEAN regression:
+    * false-six shape), HOST-NOISE (raw per-rep minima inside threshold:
+    * bracket-level canary inflation on an internally-variable host, the
+    * r15 shape). Drift is checked BEFORE the raw-minima gate: a genuine
+    * drift round almost always also has flat raw minima (flat minima ⊆
+    * flat medians), so the old order made the drift tag unreachable and
+    * attributed every drift round to host noise — when the floors
+    * demonstrably moved, incomparable units IS the mechanism.
+    * What survives every gate is a CLEAN regression:
     * slow in all reps, on both scales, on comparable units. Improvements
     * (r < 1/threshold) are recorded untagged for the reader. Pure
     * (takes the prior's JSON text), spec-driven ([[BenchCanarySpec]]);
@@ -233,10 +238,10 @@ object Bench {
             else if (priorDirty.contains(q) || curDirty.contains(q)) "contaminated"
             else if ((for (a <- nMinOld; b <- nMinNew) yield b / a)
                 .exists(_ <= threshold)) "suspect"
-            else if (minOld > 0 && minNew > 0 && minNew / minOld <= threshold)
-              "host-noise"
             else if (drift && pMed(q) > 0 && cur(q).median / pMed(q) <= threshold)
               "canary-drift"
+            else if (minOld > 0 && minNew > 0 && minNew / minOld <= threshold)
+              "host-noise"
             else "clean"
           Some((q, r, tag))
         }
@@ -564,9 +569,23 @@ object Bench {
     // so the complete artifact (raw reps, canary series, skew section)
     // survives regardless of capture window. Best-effort: a read-only
     // cwd must not fail the bench.
+    //
+    // A CONTENDED run never overwrites the default artifact: two rounds
+    // running (r16's driver sweep, r17's again) destroyed the committed
+    // canary-clean BENCH_LOCAL.json by landing a post-close contended
+    // sweep on top of it, shadowing the file parsePriors/priorCompare
+    // are defined to trust. The diverted sidecar still records the run
+    // in full; an EXPLICIT SPARK_GRAFT_BENCH_OUT is honored as given
+    // (the caller chose the destination deliberately).
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      val out = java.nio.file.Paths.get(explicitOut.getOrElse(
+        if (contended) "BENCH_LOCAL_CONTENDED.json" else "BENCH_LOCAL.json"))
+      if (explicitOut.isEmpty && contended)
+        System.err.println(
+          "[bench] run is CONTENDED — full artifact diverted to " +
+            "BENCH_LOCAL_CONTENDED.json; the committed clean BENCH_LOCAL.json " +
+            "is left in place as the prior")
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>

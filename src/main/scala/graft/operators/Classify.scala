@@ -109,11 +109,23 @@ object Classify {
       labeled: DataFrame, labelCol: String, textCol: String,
       maxVocab: Int): (DataFrame, DataFrame) = {
     val ctc = classTermCounts(labeled, labelCol, textCol)
-    val vsize = ctc.select(col("term")).distinct().count()
-    require(vsize <= maxVocab,
-      s"nbTrain: seed vocabulary $vsize exceeds maxVocab=$maxVocab — the " +
-        "dense vocab×labels parameter table is broadcast at score time; " +
-        "truncate with nbTrainCapped(vocabCap) or raise maxVocab deliberately")
+    // the guard's count is the one eager action this builder runs (the
+    // cap must fail at call time, not three stages later); when it
+    // throws — or the count itself dies — the just-persisted count frame
+    // must not leak for the session's lifetime, since the thrower's
+    // caller never receives a handle to release
+    val vsize =
+      try {
+        val v = ctc.select(col("term")).distinct().count()
+        require(v <= maxVocab,
+          s"nbTrain: seed vocabulary $v exceeds maxVocab=$maxVocab — the " +
+            "dense vocab×labels parameter table is broadcast at score time; " +
+            "truncate with nbTrainCapped(vocabCap) or raise maxVocab deliberately")
+        v
+      } catch { case t: Throwable =>
+        ctc.unpersist(blocking = false)
+        throw t
+      }
     (modelFrom(labeled, labelCol, textCol, ctc, vsizeKnown = Some(vsize)), ctc)
   }
 

@@ -294,13 +294,26 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(tags(n2) == Map("a" -> "suspect"))
     // CANARY-DRIFT: floors differ 2x (units incomparable); normalized
     // ratio breaches only because the denominator moved — raw medians
-    // and raw minima both flat... raw-minima fires first in the ladder
+    // flat. Drift must fire BEFORE the raw-minima gate (r17 ADVICE):
+    // a drift round almost always also has flat raw minima, so the old
+    // order tagged every genuine drift round host-noise and made this
+    // tag unreachable.
     val p3 = priorArtifact(sf, 0.8, Map("a" -> (1.0, Seq(1.0, 1.0), 0.8)))
     val n3 = parseCmp(Bench.priorCompare(p3, sf,
       Map("a" -> Bench.QueryRun(1.0, Seq(1.0, 1.0), 0.4)), 0.4, Set.empty))
     assert(n3.path("drift").asBoolean())
-    assert(tags(n3)("a") == "host-noise" || tags(n3)("a") == "canary-drift")
+    assert(tags(n3)("a") == "canary-drift")
     assert(n3.path("clean_regressions").size() == 0)
+    // HOST-NOISE: canary FLOORS agree (no drift) but this query's
+    // nearest canary reading ran fast (0.2 vs the prior's 0.4 — an
+    // internally-variable host), inflating the normalized ratio while
+    // raw medians and raw minima sit flat; with drift false the
+    // raw-minima gate is the one that fires
+    val p4 = priorArtifact(sf, 0.4, Map("a" -> (1.0, Seq(1.0, 1.0), 0.4)))
+    val n4 = parseCmp(Bench.priorCompare(p4, sf,
+      Map("a" -> Bench.QueryRun(1.0, Seq(1.0, 1.0), 0.2)), 0.4, Set.empty))
+    assert(!n4.path("drift").asBoolean())
+    assert(tags(n4)("a") == "host-noise")
     // availability: foreign sf or no artifact → available:false, never a crash
     assert(!parseCmp(Bench.priorCompare(p3, "/other", Map.empty, 0.4, Set.empty))
       .path("available").asBoolean(true))
