@@ -223,6 +223,39 @@ object ScaleSoak {
         (s, m) => graft.operators.Bpe.tokenizeWithMerges(
           docs(m), "doc_id", "text", baseMerges),
         mustContain = Seq.empty),
+      // the REALISTIC-merge-count lifecycle (r17 verdict ask #1): train
+      // N=1024 merges on the growing corpus (one capped wordcount +
+      // the driver-local incremental learner — corpus cost is the
+      // wordcount alone, the 1024 merges are corpus-size-independent
+      // driver CPU) and tokenize the same corpus through the
+      // rank-priority kernel whose per-word cost tracks fired merges,
+      // not the 1024-rank table. Train+apply together must scale ≲
+      // linearly in corpus volume.
+      Family("bpe_train_1k",
+        (s, m) => docs(m).limit(0),
+        mustContain = Seq.empty,
+        timedRun = Some { (s, m) =>
+          // a wide-vocabulary twin of the SkewBench corpus: the shared
+          // 1000-form vocabulary fully fuses at exactly 1000 merges
+          // (measured), so sustaining N=1024 needs more distinct forms;
+          // ~100k hash-derived forms capped to the top 4000 by the
+          // trainer's own maxWords
+          val d = SkewBench.documents(s, BaseDocs * m, skewed = false)
+            .select(col("doc_id"),
+              concat_ws(" ", transform(sequence(lit(0), lit(49)),
+                i => concat(lit("w"),
+                  pmod(hash(col("doc_id"), i), lit(100000))))).as("text"))
+          val t0 = System.nanoTime()
+          val model = graft.operators.Bpe.learn(
+            d, "text", nMerges = 1024, maxWords = 4000)
+          require(model.merges.length == 1024,
+            s"bpe_train_1k exhausted at ${model.merges.length} merges — " +
+              "the soak fixture no longer sustains the realistic count")
+          val n = graft.operators.Bpe.tokenizeWithMerges(
+            d, "doc_id", "text", model.mergePairs).count()
+          require(n > 0, "bpe_train_1k tokenized no documents")
+          (System.nanoTime() - t0) / 1e9
+        }),
       // the NINTH growing family's ingest loop (r17): lake positional
       // build + arrival staging run UNtimed; the measured region is 3
       // micro-batches of accumulated-corpus screen (stored snapshot ∪

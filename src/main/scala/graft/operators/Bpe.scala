@@ -3,37 +3,54 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding merge learning — the TOKENIZER-TRAINING primitive
-  * of an LLM data pipeline (Sennrich, Haddow & Birch 2016; the same
-  * word-level trainer shape sentencepiece/HF-tokenizers run): count the
-  * corpus into a word-frequency table ONCE, then learn merges on that
-  * vocab-sized frame — each step counts adjacent symbol pairs weighted
-  * by word frequency, merges the most frequent pair (ties → smaller
-  * (left, right) pair, so the merge list replays exactly in the
-  * oracle), and rewrites the vocabulary. This is the GPT-2-style
-  * intra-word variant (no end-of-word marker): merges never cross word
-  * boundaries because symbols live inside per-word sequences.
+import graft.functions.{BpeKernel, BpeMergeTableRef, BpeTokenCount}
+
+/** Byte-pair-encoding tokenizer training — the TOKENIZER-TRAINING
+  * primitive of an LLM data pipeline (Sennrich, Haddow & Birch 2016;
+  * the same word-level trainer shape sentencepiece/HF-tokenizers run):
+  * count the corpus into a word-frequency table ONCE, then learn merges
+  * on that vocab-sized table — each step counts adjacent symbol pairs
+  * weighted by word frequency, merges the most frequent pair (ties →
+  * smaller (left, right) pair by CODEPOINT order, so the merge list
+  * replays exactly in the oracle), and rewrites the vocabulary. This is
+  * the GPT-2-style intra-word variant (no end-of-word marker): merges
+  * never cross word boundaries because symbols live inside per-word
+  * sequences.
   *
   * Scale shape (the whole point of the word-level trainer): the corpus
-  * is touched EXACTLY ONCE (a wordcount — map-side combined, the
-  * text_top_ngrams shape) plus once more at apply time; every merge
-  * step runs on the capped word-frequency frame (`maxWords` top words
-  * by (freq DESC, word ASC) through the bounded heap — the visible-drop
-  * cap precedent; dropped tail words simply don't vote, exactly
-  * sentencepiece's `vocab_size`/`min_frequency` pruning). The chosen
-  * pair per step is a one-row driver scalar (the Lloyd-round
-  * precedent), and APPLYING the learned merges is a stateless chain of
-  * N string replaces — a pure map a 100 TB corpus runs at scan speed.
+  * is touched EXACTLY ONCE at train time (a wordcount — map-side
+  * combined, capped to the `maxWords` most frequent words through the
+  * bounded heap: the visible-drop cap precedent, exactly
+  * sentencepiece's `vocab_size`/`min_frequency` pruning) plus once more
+  * at apply time. The capped table is CONTRACT-SMALL by the operator's
+  * own cap, so the merges themselves are learned DRIVER-SIDE over the
+  * collected table with incremental pair-count maintenance — all N
+  * merges of a production tokenizer (tens of thousands) cost seconds
+  * of driver CPU and ZERO Spark jobs beyond the one wordcount. (The
+  * per-step distributed loop this replaced — one pair-aggregate job +
+  * one-row collect per merge — remains as [[learnedMergesDistributed]],
+  * the audit twin and the only honest path for a `maxWords` too large
+  * to collect; at 32k merges its driver-sequenced job overhead alone
+  * is hours for work the local learner does in seconds.) APPLYING the
+  * learned merges is a stateless per-row kernel projection
+  * ([[graft.functions.BpeTokenCount]]) a 100 TB corpus runs at scan
+  * speed — cost tracks the merges that FIRE per word, not N.
   *
-  * Symbol mechanics, shared bit-for-bit with the DuckDB oracle: a
-  * word's symbol sequence is one delimiter-wrapped string
-  * `␟s1␟␟s2␟…␟sn␟` (␟ = U+001F, absent from any whitespace-split
-  * token), and merging pair (a, b) is `replace(sym, "␟a␟␟b␟",
-  * "␟ab␟")` — left-to-right, non-overlapping, each symbol's own
-  * wrapping keeps shared-delimiter overlaps impossible ([a,a,a,a] under
-  * (a,a) → [aa,aa], never [aa,a,a]), and both engines' `replace`
-  * implement exactly that scan. BPE's standard string-identity caveat
-  * applies: a merged symbol IS its concatenated string.
+  * Symbol mechanics, shared bit-for-bit with the DuckDB oracle and the
+  * distributed twin: a word splits into CODEPOINT symbols (Spark's
+  * `split(word, "")` and DuckDB's `string_split(word, '')` both split
+  * codepoints, never lone surrogates — probed empirically, spec-pinned
+  * on astral-plane fixtures), a word's symbol sequence in the
+  * distributed twin is one delimiter-wrapped string `␟s1␟␟s2␟…␟sn␟`
+  * (␟ = U+001F, absent from any whitespace-split token), and merging
+  * pair (a, b) is the left-to-right non-overlapping `replace` scan —
+  * each symbol's own wrapping keeps shared-delimiter overlaps
+  * impossible ([a,a,a,a] under (a,a) → [aa,aa], never [aa,a,a]).
+  * Tie-breaks compare by codepoint (Spark string order IS codepoint
+  * order — UTF8 binary; `String.compareTo`'s UTF-16 code-unit order
+  * would disagree for supplementary characters). BPE's standard
+  * string-identity caveat applies: a merged symbol IS its concatenated
+  * string.
   */
 object Bpe {
 
@@ -41,9 +58,17 @@ object Bpe {
     * occur in corpus tokens — it is not producible by the whitespace
     * tokenization of any text column this repo's tables carry, and a
     * violating corpus would corrupt symbol boundaries silently, so
-    * EVERY encode path ([[guardWord]] inside [[encodeWord]] — train and
-    * apply alike) fails loud rather than trusting the caller. */
-  private val D = "\u001f"
+    * EVERY encode path (train and apply alike — [[guardWord]] here,
+    * the same check inside [[graft.functions.BpeKernel.tokenCount]])
+    * fails loud rather than trusting the caller. */
+  private val D = BpeKernel.D
+
+  /** Ceiling on a `maxWords` cap the driver-local learner will collect.
+    * A million words × tens of bytes is tens of MB of driver heap — the
+    * top of the comfortable band (the PQ-codebook / NB-broadcast
+    * precedent); beyond it [[learnedMerges]] falls back to the
+    * distributed per-step loop, which never collects the table. */
+  val DriverLearnMaxWords: Int = 1 << 20
 
   private def encodeWord(word: Column): Column =
     concat(lit(D), array_join(split(guardWord(word), ""), D + D), lit(D))
@@ -78,16 +103,164 @@ object Bpe {
       .select(col("word"), col("n"), encodeWord(col("word")).as("sym"))
   }
 
+  // ---- The learned-model handle -----------------------------------------
+
+  /** One training run's full result: the merge table in learning order
+    * (`(step, lhs, rhs, pair_count)`, step 1-based), plus the final
+    * rewritten word table (word, freq, symbols) the vocabulary census
+    * derives from. One [[learn]] call pays ONE corpus wordcount; every
+    * downstream artifact (merge frame, vocab census, tokenize) composes
+    * from the handle with zero further corpus scans. */
+  final case class BpeModel(
+      merges: Seq[(Int, String, String, Long)],
+      finalWords: Seq[(String, Long, Seq[String])]) {
+
+    def mergePairs: Seq[(String, String)] = merges.map(m => (m._2, m._3))
+
+    /** Frequency-weighted symbol census of the (capped) training word
+      * table after all merges — `(symbol, n_occ)`, the artifact a
+      * fertility/coverage analysis consumes. Bounded by
+      * |distinct chars| + nMerges symbols; tail words beyond the
+      * `maxWords` cap don't count (consistent with their zero training
+      * vote). */
+    def vocabCensus: Seq[(String, Long)] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      finalWords.foreach { case (_, n, syms) =>
+        syms.foreach(s => m.update(s, m.getOrElse(s, 0L) + n))
+      }
+      m.toSeq
+    }
+  }
+
+  /** Codepoint-by-codepoint comparison — the string order Spark
+    * (UTF8String binary) and DuckDB (BINARY collation) both use.
+    * `String.compareTo` compares UTF-16 code units instead, which
+    * disagrees for supplementary characters vs [U+E000, U+FFFF]: the
+    * surrogate range sorts below U+E000 in code-unit order but astral
+    * codepoints sort above U+FFFF in codepoint order. */
+  private[operators] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def cpSplit(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var k = 0
+    while (i < w.length) {
+      val c = Character.charCount(w.codePointAt(i))
+      out(k) = w.substring(i, i + c)
+      i += c
+      k += 1
+    }
+    out
+  }
+
+  /** Learn a BPE model: ONE Spark wordcount (capped through the bounded
+    * heap — identical selection to the distributed twin), then all
+    * `nMerges` merges driver-side over the collected table. Fails loud
+    * when `maxWords` exceeds [[DriverLearnMaxWords]] (an over-cap
+    * vocabulary wants [[learnedMergesDistributed]], which never
+    * collects). */
+  def learn(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int): BpeModel = {
+    require(nMerges > 0, s"nMerges=$nMerges must be positive")
+    require(maxWords <= DriverLearnMaxWords,
+      s"Bpe.learn: maxWords=$maxWords exceeds DriverLearnMaxWords=" +
+        s"$DriverLearnMaxWords — the capped word table is collected " +
+        "driver-side; use learnedMergesDistributed for an over-cap vocabulary")
+    val table = wordFreqs(docs, textCol, maxWords)
+      .select(col("word"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    learnLocal(table, nMerges)
+  }
+
+  /** The driver-local Sennrich learner over an already-capped word
+    * table, with INCREMENTAL pair-count maintenance: initial adjacent
+    * pair counts build in one pass; each merge step scans the live
+    * count map for the argmax (count DESC, pair ASC by codepoint — the
+    * exact distributed/oracle tie-break) and then touches ONLY the
+    * words an occurrence index says carry the winning pair, subtracting
+    * their old adjacencies and adding the rewritten ones. Per-step cost
+    * is O(|count map| + affected words × their length) — a 50k-merge
+    * production vocabulary trains in seconds where the per-step Spark
+    * loop pays ~0.1–0.3 s of scheduler overhead per merge. Early-stops
+    * (shorter merge list) when the vocabulary runs out of adjacent
+    * pairs, exactly like the distributed twin. */
+  def learnLocal(
+      wordFreq: Seq[(String, Long)], nMerges: Int): BpeModel = {
+    require(nMerges > 0, s"nMerges=$nMerges must be positive")
+    val words: Array[Array[String]] = wordFreq.map(w => cpSplit(w._1)).toArray
+    val freq: Array[Long] = wordFreq.map(_._2).toArray
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    def bump(p: (String, String), by: Long, wi: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + by
+      if (c == 0L) counts.remove(p) else counts.update(p, c)
+      if (by > 0)
+        where.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val s = words(wi)
+      var i = 0
+      while (i < s.length - 1) { bump((s(i), s(i + 1)), freq(wi), wi); i += 1 }
+      wi += 1
+    }
+    def pairLess(x: (String, String), y: (String, String)): Boolean = {
+      val c = cpCompare(x._1, y._1)
+      c < 0 || (c == 0 && cpCompare(x._2, y._2) < 0)
+    }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var t = 1
+    while (t <= nMerges && counts.nonEmpty) {
+      // argmax scan over the LIVE pair-count map — order-independent
+      // selection by the (count DESC, pair ASC) total order, so the
+      // map's iteration order never leaks into the result
+      var best: (String, String) = null
+      var bc = -1L
+      counts.foreach { case (p, c) =>
+        if (c > bc || (c == bc && pairLess(p, best))) { best = p; bc = c }
+      }
+      out += ((t, best._1, best._2, bc))
+      val (a, b) = best
+      where.remove(best).foreach(_.foreach { w =>
+        val old = words(w)
+        val merged = BpeKernel.mergeOnce(old, a, b)
+        // the index is allowed stale entries (a word rewritten since it
+        // gained this pair): mergeOnce returns the same reference when
+        // the pair is absent, which is the cheap skip signal
+        if (!(merged eq old)) {
+          var i = 0
+          while (i < old.length - 1) { bump((old(i), old(i + 1)), -freq(w), w); i += 1 }
+          i = 0
+          while (i < merged.length - 1) { bump((merged(i), merged(i + 1)), freq(w), w); i += 1 }
+          words(w) = merged
+        }
+      })
+      t += 1
+    }
+    BpeModel(out.result(),
+      words.zipWithIndex.map { case (s, i) =>
+        (wordFreq(i)._1, freq(i), s.toSeq)
+      }.toSeq)
+  }
+
   /** Learn `nMerges` BPE merges over the corpus. Returns the merge
     * table `(step, lhs, rhs, pair_count)` — step 1-based in learning
     * order, `pair_count` the frequency-weighted adjacent-pair count the
     * step merged. Stops early (fewer rows) if the vocabulary runs out
-    * of adjacent pairs. Driver loop over PLAN construction: each step
-    * is one vocab-sized pair aggregate + a one-row collect + one
-    * appended string replace; the frame re-checkpoints every
-    * [[CheckpointEvery]] steps so the replace chain (and its
-    * re-execution cost) stays bounded for real vocab-scale merge
-    * counts. */
+    * of adjacent pairs. */
   def learnMerges(
       docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int): DataFrame = {
@@ -96,6 +269,16 @@ object Bpe {
     learnedMerges(docs, textCol, nMerges, maxWords)
       .toDF("step", "lhs", "rhs", "pair_count")
   }
+
+  /** The merge tuples driver-side — the driver-local learner when the
+    * cap is collectable (the production path), the distributed per-step
+    * loop beyond it. */
+  def learnedMerges(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int): Seq[(Int, String, String, Long)] =
+    if (maxWords <= DriverLearnMaxWords)
+      learn(docs, textCol, nMerges, maxWords).merges
+    else learnedMergesDistributed(docs, textCol, nMerges, maxWords)
 
   /** How many chained replace steps accumulate before the vocabulary
     * frame re-materializes: each step's aggregate re-executes the whole
@@ -115,11 +298,14 @@ object Bpe {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
 
-  /** The learning loop, returning the merge tuples driver-side — shared
-    * by [[learnMerges]] (frame output) and [[tokenizeWithMerges]]'s
-    * registry composition (merge list input). Releases every vocabulary
-    * checkpoint before returning. */
-  def learnedMerges(
+  /** The DISTRIBUTED per-step learning loop — the audit twin of
+    * [[learnLocal]] (differentially spec-pinned equal step-for-step)
+    * and the only honest path for a `maxWords` too large to collect.
+    * Each step is one vocab-sized pair aggregate + a one-row collect +
+    * one appended string replace; the frame re-checkpoints every
+    * [[CheckpointEvery]] steps so the replace chain stays bounded.
+    * Releases every vocabulary checkpoint before returning. */
+  def learnedMergesDistributed(
       docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int): Seq[(Int, String, String, Long)] = {
     val (merges, _, release) = learnLoop(docs, textCol, nMerges, maxWords)
@@ -127,13 +313,10 @@ object Bpe {
     merges
   }
 
-  /** The loop's full state: merge tuples, the FINAL rewritten vocabulary
-    * frame (lazy, chained on the last checkpoint — [[vocab]] aggregates
-    * it instead of re-learning + re-scanning the corpus), and the
-    * release handle for the one checkpoint still held. Superseded
-    * checkpoints release AS the loop runs ([[releaseCkpt]] — at a real
-    * tokenizer's thousands of merges, O(steps/8) retained vocab frames
-    * would otherwise pile into the block manager). */
+  /** The distributed loop's full state: merge tuples, the FINAL
+    * rewritten vocabulary frame (lazy, chained on the last checkpoint),
+    * and the release handle for the one checkpoint still held.
+    * Superseded checkpoints release AS the loop runs ([[releaseCkpt]]). */
   private def learnLoop(
       docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int): (Seq[(Int, String, String, Long)], DataFrame, () => Unit) = {
@@ -175,38 +358,30 @@ object Bpe {
     (out.result(), cur, () => releaseCkpt(held))
   }
 
-  /** The learned tokenizer's VOCABULARY census — the artifact a
-    * fertility/coverage analysis consumes: after `nMerges` merges, the
-    * symbol inventory of the (capped) training word table with
-    * frequency-weighted occurrence counts — `(symbol, n_occ)`. Bounded
-    * by |distinct chars| + nMerges symbols; derived from the SAME
-    * capped word-frequency frame the merges trained on, so counts are
-    * the training-corpus census (tail words beyond `maxWords` don't
-    * count here either — consistent with their zero training vote). */
+  /** The learned tokenizer's VOCABULARY census as a frame —
+    * `(symbol, n_occ)`; see [[BpeModel.vocabCensus]]. In-cap: derived
+    * from the [[learn]] handle (one wordcount, zero further Spark
+    * jobs). Over-cap: aggregated from the distributed loop's final
+    * frame. */
   def vocab(
       docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int): DataFrame = {
-    // the loop's FINAL frame already holds the rewritten vocabulary —
-    // aggregating it avoids a second corpus scan and a replayed merge
-    // fold; the symbol-sized result materializes eagerly so the loop's
-    // checkpoint releases in the finally
-    val (_, fin, release) = learnLoop(docs, textCol, nMerges, maxWords)
-    try fin
-      .select(col("n"), explode(decodeSyms(col("sym"))).as("symbol"))
-      .groupBy(col("symbol"))
-      .agg(sum(col("n")).cast("long").as("n_occ"))
-      .localCheckpoint(true)
-    finally release()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (maxWords <= DriverLearnMaxWords)
+      learn(docs, textCol, nMerges, maxWords)
+        .vocabCensus.toDF("symbol", "n_occ")
+    else {
+      val (_, fin, release) = learnLoop(docs, textCol, nMerges, maxWords)
+      try fin
+        .select(col("n"), explode(decodeSyms(col("sym"))).as("symbol"))
+        .groupBy(col("symbol"))
+        .agg(sum(col("n")).cast("long").as("n_occ"))
+        .localCheckpoint(true)
+      finally release()
+    }
   }
 
-  /** APPLY learned merges to the corpus — the deployment half: every
-    * document's tokens run the same N-replace chain (a stateless,
-    * WholeStageCodegen'd pure map — at 100 TB this is the scan-speed
-    * tokenization pass a training-data pipeline pays per epoch of
-    * preprocessing), and the per-doc output is the token accounting a
-    * packing/budgeting stage consumes: `(id, n_words, n_bpe_tokens)`.
-    * NULL-text docs are absent (nothing to tokenize — the classifier's
-    * absent-unclassifiable contract). */
   // ---- Merge-table model store under the atomic manifest protocol -----
   //
   // TOKENIZER VERSIONING — the reproducibility contract an LLM pipeline
@@ -263,7 +438,44 @@ object Bpe {
       at: Option[Long] = None): DataFrame =
     tokenizeWithMerges(docs, idCol, textCol, mergesM(spark, root, at))
 
+  /** APPLY learned merges to the corpus — the deployment half: every
+    * document's tokens run the rank-priority apply kernel
+    * ([[graft.functions.BpeTokenCount]] — a stateless,
+    * WholeStageCodegen'd pure map whose per-word cost tracks the merges
+    * that FIRE, not the merge-table size; at 100 TB this is the
+    * scan-speed tokenization pass a training-data pipeline pays per
+    * epoch of preprocessing), and the per-doc output is the token
+    * accounting a packing/budgeting stage consumes:
+    * `(id, n_words, n_bpe_tokens)`. NULL-text docs are absent (nothing
+    * to tokenize — the classifier's absent-unclassifiable contract).
+    * Semantics are EXACTLY the sequential N-replace chain (the oracle's
+    * form, kept as [[tokenizeWithMergesChained]] and spec-pinned
+    * equal). */
   def tokenizeWithMerges(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ref = new BpeMergeTableRef(
+      merges.map(_._1).toArray, merges.map(_._2).toArray)
+    val kCount = org.apache.spark.sql.GraftSqlBridge.column(
+      BpeTokenCount(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted("word"),
+        ref))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(idCol), kCount.as("__k"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__k")).cast("long").as("n_bpe_tokens"))
+  }
+
+  /** The N-replace CHAIN apply — the oracle's literal form and the
+    * kernel's spec twin: fold every merge as one string replace over
+    * the delimiter-wrapped symbol encoding. O(N × len) per word, so
+    * it is the AUDIT path, not the production one. */
+  private[graft] def tokenizeWithMergesChained(
       docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val sym0 = encodeWord(col("word"))

@@ -2284,23 +2284,43 @@ object LlmQueries {
 
     // BPE merge learning (Sennrich 2016) — the tokenizer-training
     // primitive: ONE corpus wordcount (capped top-1000 words by
-    // frequency through the bounded heap), then 8 merge steps on the
-    // vocab-sized frame — pair counts weighted by word frequency,
-    // argmax pair per step (ties → smaller pair, a one-row driver
-    // scalar, the Lloyd precedent), vocabulary rewritten by one string
-    // replace. The oracle unrolls the 8 steps as CTEs (the MMR greedy
-    // precedent) over the identical delimiter-wrapped replace.
+    // frequency through the bounded heap), then every merge learned
+    // DRIVER-SIDE over the collected contract-small table with
+    // incremental pair-count maintenance (pair counts weighted by word
+    // frequency, argmax pair per step, ties → smaller pair by
+    // codepoint) — a production tokenizer's tens of thousands of
+    // merges cost seconds and zero further Spark jobs. The oracle
+    // unrolls the 8 steps as CTEs (the MMR greedy precedent) over the
+    // delimiter-wrapped replace the distributed audit twin also runs.
     "text_bpe_merges" -> q { (s, dir) =>
       graft.operators.Bpe.learnMerges(Tables.load(s, dir, "documents"),
           "text", nMerges = BpeMerges, maxWords = BpeMaxWords)
         .orderBy("step")
     },
 
+    // ... the DISTRIBUTED audit twin of the driver-local learner: one
+    // pair-aggregate Spark job + a one-row collect per merge step over
+    // the capped vocabulary frame. It is the honest path only when
+    // maxWords exceeds what a driver can collect; here it is
+    // oracle-graded against the SAME merge oracle the production
+    // learner replays, sealing driver ≡ distributed ≡ DuckDB.
+    "text_bpe_merges_audit" -> q { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      graft.operators.Bpe.learnedMergesDistributed(
+          Tables.load(s, dir, "documents"),
+          "text", nMerges = BpeMerges, maxWords = BpeMaxWords)
+        .toDF("step", "lhs", "rhs", "pair_count")
+        .orderBy("step")
+    },
+
     // ... and the APPLY half: the learned merges run over every
-    // document's tokens as a stateless N-replace chain (scan-speed pure
-    // map — the per-epoch tokenization pass of a training pipeline),
-    // yielding the per-doc token accounting a packing/budgeting stage
-    // consumes. The oracle replays train AND apply.
+    // document's tokens through the rank-priority kernel (scan-speed
+    // pure map whose cost tracks the merges that FIRE per word, not N —
+    // the per-epoch tokenization pass of a training pipeline), yielding
+    // the per-doc token accounting a packing/budgeting stage consumes.
+    // The oracle replays train AND apply as the literal replace chain
+    // (kernel ≡ chain, spec-pinned).
     "text_bpe_tokenize" -> q { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val merges = graft.operators.Bpe
@@ -5583,6 +5603,9 @@ object LlmQueries {
     // chr(31)-wrapped symbol strings; the tokenize twin replays the
     // same m1..m8 as scalar-subquery replaces over every corpus token
     "text_bpe_merges" -> bpeMergesOracleSql,
+
+    // the distributed audit twin replays the SAME unrolled training
+    "text_bpe_merges_audit" -> bpeMergesOracleSql,
     // the census unnests w8's rewritten symbol strings, freq-weighted
     "text_bpe_vocab" -> s"""WITH ${bpeOracleCtes(BpeMerges, BpeMaxWords)}
        SELECT symbol, sum(n)::bigint AS n_occ FROM (

@@ -70,7 +70,7 @@ class BpePropertySpec extends SparkSpec {
     out.result()
   }
 
-  test("DIFFERENTIAL: distributed merges ≡ driver-side reference, step for step") {
+  test("DIFFERENTIAL: driver-local production learner ≡ reference, step for step") {
     val prop = forAll(corpusGen, Gen.chooseNum(1, 8)) { (words, nMerges) =>
       val docs = words.zipWithIndex
         .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
@@ -83,16 +83,30 @@ class BpePropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
-  test("DIFFERENTIAL: tokenize symbol counts ≡ reference vocabulary rewrite") {
+  test("DIFFERENTIAL: distributed audit twin ≡ driver-local learner, step for step") {
+    val prop = forAll(corpusGen, Gen.chooseNum(1, 8)) { (words, nMerges) =>
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      Bpe.learnedMergesDistributed(docs, "text", nMerges, maxWords = 1000) ==
+        Bpe.learnedMerges(docs, "text", nMerges, maxWords = 1000)
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("DIFFERENTIAL: kernel tokenize ≡ chained replace twin ≡ reference counts") {
     val prop = forAll(corpusGen, Gen.chooseNum(1, 6)) { (words, nMerges) =>
       val docs = words.zipWithIndex
         .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
       val merges = Bpe.learnedMerges(docs, "text", nMerges, maxWords = 1000)
         .map(m => (m._2, m._3))
-      // per-word symbol counts through the distributed apply chain
+      // per-word symbol counts through the rank-priority apply KERNEL
       // (every doc is one word here, so n_bpe_tokens IS the word's
       // symbol count)
       val got = Bpe.tokenizeWithMerges(docs, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // the N-replace chain twin — the oracle's literal form
+      val chained = Bpe.tokenizeWithMergesChained(docs, "doc_id", "text", merges)
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       // reference: fold the same merges over each word independently
       val want = words.zipWithIndex.collect {
@@ -102,10 +116,46 @@ class BpePropertySpec extends SparkSpec {
           }
           i.toLong -> syms.length.toLong
       }.toMap
-      got == want
+      got == want && chained == want
     }
     val r = SCTest.check(params, prop)
     assert(r.passed, r.status.toString)
+  }
+
+  test("SCALE DIFFERENTIAL: N=1024 merges — driver learner ≡ reference; kernel ≡ reference fold") {
+    // the realistic-merge-count differential (pure driver work, no
+    // Spark jobs beyond none at all): a 3000-form word table with
+    // enough pair entropy to sustain 1024 merges, learned by the
+    // production incremental learner and by the naive recount-per-step
+    // reference, step for step; then every word tokenized by the
+    // rank-priority kernel against the 1024-rank table vs the
+    // reference's literal 1024-fold
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefgh"
+    val forms = (0 until 3000).map { i =>
+      val len = 4 + rnd.nextInt(8)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val table = forms.zipWithIndex.map { case (w, i) => (w, (i % 7 + 1).toLong) }
+    val expanded = table.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+    val model = Bpe.learnLocal(table, nMerges = 1024)
+    assert(model.merges.length == 1024,
+      s"fixture exhausted at ${model.merges.length} merges — widen the corpus")
+    val (want, _) = referenceBpe(expanded, 1024)
+    assert(model.merges.map(m => (m._2, m._3, m._4)) == want)
+    // kernel apply at N=1024: every training form's token count must
+    // equal the reference's sequential 1024-pass fold
+    val pairs = model.mergePairs
+    val ref = new graft.functions.BpeMergeTableRef(
+      pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+    forms.foreach { w =>
+      val kernel = graft.functions.BpeKernel.tokenCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), ref)
+      val folded = pairs.foldLeft(w.split("").toSeq) {
+        case (s, (a, b)) => mergeOnce(s, a, b)
+      }.length
+      assert(kernel == folded, s"word $w: kernel=$kernel fold=$folded")
+    }
   }
 
   test("DIFFERENTIAL: binned unordered-window pairs ≡ naive join on random corpora") {

@@ -85,18 +85,51 @@ class BpeSpec extends SparkSpec {
     // LogicalRDD, and nMerges > CheckpointEvery forces a mid-loop
     // supersession so both release sites are exercised
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val m = Bpe.learnedMerges(corpus, "text", nMerges = 12, maxWords = 100)
+    val m = Bpe.learnedMergesDistributed(
+      corpus, "text", nMerges = 12, maxWords = 100)
     assert(m.length == 12)
+    assert(m == Bpe.learnedMerges(corpus, "text", nMerges = 12, maxWords = 100))
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- before).isEmpty,
       s"leaked checkpoint RDDs: ${(after -- before).mkString(",")}")
-    // vocab() materializes its (small) result as ONE retained checkpoint
-    // and releases the loop's own
+    // the driver-path vocab() holds NO checkpoints (census from the
+    // learn handle); nothing may leak
     val v = Bpe.vocab(corpus, "text", nMerges = 5, maxWords = 100)
     assert(v.count() > 0)
     val afterVocab = spark.sparkContext.getPersistentRDDs.keySet
-    assert((afterVocab -- before).size <= 1,
-      "vocab retained more than its own result checkpoint")
+    assert((afterVocab -- before).isEmpty,
+      "the driver-path vocab retained checkpoints")
+  }
+
+  test("astral-plane corpus: codepoint split and codepoint tie-breaks in every path") {
+    import spark.implicits._
+    // U+FFFB (BMP, near the top) vs U+1F600 (astral): Java's UTF-16
+    // code-unit compareTo says 😀 < ￻ (its high surrogate \uD83D
+    // sorts below ￻), while codepoint order — Spark's UTF8 binary
+    // string order AND DuckDB's — says ￻ < 😀. Step 1's pair
+    // counts TIE at 1, so the learned lhs is the tie-break's verdict.
+    val hi = "\uFFFB"
+    val em = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, s"${em}x"), (2L, s"${hi}x")).toDF("doc_id", "text")
+    val local = Bpe.learnedMerges(docs, "text", nMerges = 2, maxWords = 10)
+    val dist = Bpe.learnedMergesDistributed(docs, "text", nMerges = 2, maxWords = 10)
+    assert(local == dist)
+    assert(local == Seq((1, hi, "x", 1L), (2, em, "x", 1L)))
+    // codepoint SPLIT: an astral char is one symbol, never two lone
+    // surrogates — both words collapse to a single token under their
+    // merge, through the kernel and the chained twin alike
+    val pairs = local.map(m => (m._2, m._3))
+    def counts(f: (org.apache.spark.sql.DataFrame, String, String,
+        Seq[(String, String)]) => org.apache.spark.sql.DataFrame) =
+      f(docs, "doc_id", "text", pairs)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq((1L, 1L, 1L), (2L, 1L, 1L))
+    assert(counts(Bpe.tokenizeWithMerges) == want)
+    assert(counts(Bpe.tokenizeWithMergesChained) == want)
+    // with NO merges both engines count codepoints, not code units
+    assert(Bpe.tokenizeWithMerges(docs, "doc_id", "text", Seq.empty)
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq == Seq(2L, 2L))
   }
 
   test("model store: served ≡ inline; retrain swaps atomically; pin replays v1") {
