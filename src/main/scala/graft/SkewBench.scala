@@ -93,6 +93,26 @@ object SkewBench {
         when(d === col("id").cast("int"), lit(10.0f)).otherwise(lit(0.0f)))
         .as("embedding"))
 
+  /** Lake positional index for the phrase_growing pair, built once per
+    * (process, nDocs): every stored doc carries ONE "w1 w2" plus a
+    * hash-derived body — identical for the skewed and uniform runs, so
+    * the stored side of the growing screen's union contributes equally
+    * to both timings. */
+  private val growRoots = scala.collection.mutable.Map.empty[Long, String]
+  private def phraseGrowRoot(
+      spark: SparkSession, nDocs: Long,
+      body: Int => Column): String = growRoots.synchronized {
+    growRoots.getOrElseUpdate(nDocs, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_skew_posidx").toString
+      val lake = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat(lit("w1 w2 "), body(47)).as("text"))
+      graft.operators.Retrieval.buildPosIndexM(lake, "doc_id", "text", dir)
+      dir
+    })
+  }
+
   /** One timed pair: (name, seconds on the skewed fixture, seconds on
     * the uniform twin), each the median of 3 runs after one unmeasured
     * warm-up per side — the first evaluation of each plan pays its
@@ -245,6 +265,36 @@ object SkewBench {
             .otherwise(body(49)).as("text"))
         graft.operators.Retrieval.phraseTopK(
           docs, "doc_id", "text", Seq(0 -> "w1 w2"), k = 8)
+      },
+      pair("phrase_growing") { sk =>
+        // the GROWING screen's union shape (r17 verdict ask #7): stored
+        // positional snapshot ∪ in-memory arrivals, with the hot phrase
+        // term CONCENTRATED in the arrivals — the shape phrase_probe's
+        // committed-index fixture can't reach. Both sides carry exactly
+        // nDocs/2 arrival occurrences of "w1 w2": the skewed side packs
+        // them 5-deep into 10 % of arrivals, the uniform twin spreads
+        // one per phrase-bearing arrival. The lake contribution (one
+        // occurrence per stored doc, read pushed-`term IN` off the
+        // term-clustered files) is identical on both sides, so the
+        // ratio prices arrival-side concentration alone. The lake index
+        // builds ONCE per bench process (cached root — build cost never
+        // enters the timed region); temp dirs are process-lifetime, the
+        // bench JVM's exit reclaims them.
+        val rnd = (i: Column) =>
+          concat(lit("w"), pmod(hash(col("id"), i), lit(1000)) + lit(100))
+        val body = (m: Int) =>
+          concat_ws(" ", transform(sequence(lit(0), lit(m)), rnd))
+        val root = phraseGrowRoot(spark, nDocs, body)
+        val arrivals = spark.range(nDocs).select(
+          (col("id") + nDocs).as("doc_id"),
+          when(lit(sk) && pmod(col("id"), lit(10)) === 0,
+            concat(lit("w1 w2 w1 w2 w1 w2 w1 w2 w1 w2 "), body(39)))
+            .when(!lit(sk) && pmod(col("id"), lit(2)) === 0,
+              concat(lit("w1 w2 "), body(47)))
+            .otherwise(body(49)).as("text"))
+        graft.operators.Retrieval.phraseScreenGrownM(
+          arrivals, "doc_id", "text", Seq(0 -> "w1 w2"), root,
+          graft.index.IndexManifest.snapshot(spark, root))
       },
       pair("sdm_probe") { sk =>
         // SDM under a HOT REPEATED TERM (the stopword shape): the query

@@ -2386,6 +2386,38 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // The COMPOSED budget unit (r17 verdict ask #4): packed-sequence
+    // construction by the SERVED tokenizer's BPE counts — the token
+    // accounting a pretraining pipeline actually packs with (a
+    // whitespace count under-budgets the sequences the model sees as
+    // BPE tokens). tokenizeM resolves the committed merge-table
+    // version, so the packing replays exactly under the tokenizer pin —
+    // the versioning contract made load-bearing inside a composed
+    // query. Same packing mechanics as curation_packing (pmod shard,
+    // running-sum bins); only the token column changes.
+    "curation_packing_bpe" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("bpemodel", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        graft.operators.Bpe.buildBpeModelM(
+          docs, "text", BpeMerges, BpeMaxWords, root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      val toks = graft.operators.Bpe
+        .tokenizeM(s, root, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_bpe_tokens").as("ntok"))
+      graft.operators.Curation.packSequences(
+          toks, "doc_id", "ntok", budget = 2048, shards = 8)
+        .join(toks, "doc_id")
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("bigint").as("tokens"))
+        .orderBy("shard", "bin")
+    },
+
     // Document fingerprinting by winnowing (the MOSS scheme): rolling
     // character k-grams → 60-bit hashes → min per sliding window of w →
     // distinct fingerprints. Robust to insertions/reordering beyond a
@@ -5623,6 +5655,21 @@ object LlmQueries {
       bpeTokenizeOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
     // per-doc independence: the streamed batch union replays one-shot
     "stream_bpe_tokenize" -> BpeTokenizeOracleSql,
+
+    // packing by BPE counts: the proven tokenize chain feeds the proven
+    // packing chain — shard by id mod 8, running-sum token bins of 2048
+    "curation_packing_bpe" ->
+      s"""WITH toks AS (
+           SELECT doc_id, n_bpe_tokens AS ntok, (doc_id % 8)::int AS shard
+           FROM ($BpeTokenizeOracleSql)),
+         packed AS (
+           SELECT doc_id, ntok, shard,
+                  ((sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - ntok) // 2048)::bigint AS bin
+           FROM toks)
+         SELECT shard, bin, count(*) AS n_docs, sum(ntok)::bigint AS tokens
+         FROM packed GROUP BY shard, bin ORDER BY shard, bin""",
 
     // PMI: the bg CTE is text_bigram_lm's pair construction verbatim
     // (raw adjacent tokens); marginals/total re-derive from c2; the
