@@ -172,6 +172,158 @@ object LlmQueries {
   private val BpeMerges = 8
   private val BpeMaxWords = 1000
 
+  // Unigram-LM tokenizer registry parameters (small enough that the
+  // oracle's unrolled EM + recursive-CTE Viterbi stays cheap, large
+  // enough that seed selection, pruning, and UNK all bite)
+  private val UniMaxWords = 1000
+  private val UniSeedMulti = 40
+  private val UniVocabMulti = 24
+  private val UniEmIters = 2
+
+  /** One recursive-CTE Viterbi over `(word, n)` rows of `wordsCte`
+    * under `pieceCte(piece, llk)` — the DP of
+    * [[graft.operators.Unigram]] replayed exactly: dp[i] maximizes
+    * (micro-log cost, −pieces, last-piece length) lexicographically;
+    * the row carries a 3-cell window of dp values (maxPieceLen = 3)
+    * plus the winning piece PATH, so the E-step can count pieces.
+    * Candidates materialize as comparable STRUCTS (field order c, k, l
+    * = the tie-break order) and `list_sort(...)[3]` picks the max —
+    * DuckDB 1.0's `greatest` does not take structs. Invalid candidates
+    * (piece absent / prefix too short) become a −∞ sentinel struct; the
+    * L=1 candidate instead coalesces to the UNK penalty, so the DP is
+    * total. The inner recursive table name must be UNIQUE per instance:
+    * DuckDB mis-scopes same-named RECURSIVE CTEs nested in sibling
+    * CTEs (probed — vit2's `v` resolved into vit1's, silently corrupting
+    * the second EM iteration). */
+  private def uniViterbiCte(name: String, wordsCte: String,
+      pieceCte: String): String = {
+    val unk = graft.functions.UnigramKernel.UnkLlkMicro
+    val sent =
+      "{'c': -9223372036854775807::bigint, 'k': 0, 'l': 0, 'p': []::varchar[]}"
+    s"""$name AS (
+       WITH RECURSIVE rv_$name AS (
+         SELECT word, n, 0 AS pos,
+                0::bigint AS c0, NULL::bigint AS c1, NULL::bigint AS c2,
+                0 AS k0, NULL::int AS k1, NULL::int AS k2,
+                []::varchar[] AS p0, NULL::varchar[] AS p1, NULL::varchar[] AS p2
+         FROM $wordsCte
+         UNION ALL
+         SELECT word, n, pos + 1,
+                best.c, c0, c1,
+                -best.k, k0, k1,
+                best.p, p0, p1
+         FROM (
+           SELECT v.*, list_sort([
+             CASE WHEN v.pos + 1 >= 1
+                  THEN {'c': v.c0 + coalesce(q1.llk, $unk),
+                        'k': -(v.k0 + 1), 'l': 1,
+                        'p': list_append(v.p0, substr(v.word, v.pos + 1, 1))}
+                  ELSE $sent END,
+             CASE WHEN v.pos + 1 >= 2 AND q2.llk IS NOT NULL
+                  THEN {'c': v.c1 + q2.llk, 'k': -(v.k1 + 1), 'l': 2,
+                        'p': list_append(v.p1, substr(v.word, v.pos, 2))}
+                  ELSE $sent END,
+             CASE WHEN v.pos + 1 >= 3 AND q3.llk IS NOT NULL
+                  THEN {'c': v.c2 + q3.llk, 'k': -(v.k2 + 1), 'l': 3,
+                        'p': list_append(v.p2, substr(v.word, v.pos - 1, 3))}
+                  ELSE $sent END])[3] AS best
+           FROM rv_$name v
+           LEFT JOIN $pieceCte q1 ON q1.piece = substr(v.word, v.pos + 1, 1)
+           LEFT JOIN $pieceCte q2 ON v.pos >= 1 AND q2.piece = substr(v.word, v.pos, 2)
+           LEFT JOIN $pieceCte q3 ON v.pos >= 2 AND q3.piece = substr(v.word, v.pos - 1, 3)
+           WHERE v.pos < len(v.word))
+       )
+       SELECT word, n, p0 AS pieces, k0 AS ntok
+       FROM rv_$name WHERE pos = len(word))"""
+  }
+
+  /** One unrolled EM iteration: Viterbi counts over the capped words
+    * under p{i−1}, add-one smoothing over the WHOLE seed, re-quantized
+    * micro-logs. Piece tables MATERIALIZE — each Viterbi references its
+    * piece table three times, and DuckDB's default CTE inlining would
+    * re-evaluate the whole upstream chain per reference (3^iters
+    * blowup, measured 88 s vs 0.3 s at sf0.001). */
+  private def uniEmStep(i: Int): String =
+    s"""${uniViterbiCte(s"vit$i", "wcap", s"p${i - 1}")},
+       e$i AS (
+         SELECT piece, sum(n)::bigint AS used
+         FROM (SELECT n, unnest(pieces) AS piece FROM vit$i)
+         GROUP BY 1),
+       sm$i AS MATERIALIZED (
+         SELECT s.piece, coalesce(e.used, 0) + 1 AS cnt
+         FROM seed s LEFT JOIN e$i e ON s.piece = e.piece),
+       p$i AS MATERIALIZED (
+         SELECT piece,
+                round(ln(cnt::double / (SELECT sum(cnt) FROM sm$i)) * 1000000)::bigint AS llk
+         FROM sm$i)"""
+
+  /** The full unigram training chain through the final piece table
+    * `pf(piece, llk)` — seed (all singles + top-`UniSeedMulti` multis),
+    * `UniEmIters` unrolled EM iterations, prune to singles +
+    * top-`UniVocabMulti` multis, renormalize. */
+  private def uniTrainCtes(
+      trainSql: String = "SELECT * FROM documents"): String = {
+    val em = (1 to UniEmIters).map(uniEmStep).mkString(",\n")
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS word
+              FROM ($trainSql)),
+       wf AS (SELECT word, count(*)::bigint AS n FROM tok WHERE word <> ''
+              GROUP BY 1),
+       wcap AS MATERIALIZED (
+         SELECT word, n FROM wf
+         QUALIFY row_number() OVER (ORDER BY n DESC, word) <= $UniMaxWords),
+       cand AS (
+         SELECT substr(word, i, l) AS piece, sum(n)::bigint AS cnt
+         FROM (SELECT word, n, unnest(range(1, len(word) + 1)) AS i
+               FROM wcap) w,
+              (SELECT unnest([1, 2, 3]) AS l) ls
+         WHERE i + l - 1 <= len(word)
+         GROUP BY 1),
+       seed AS MATERIALIZED (
+         SELECT piece, cnt FROM cand WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, cnt FROM (
+           SELECT piece, cnt FROM cand WHERE len(piece) > 1
+           QUALIFY row_number() OVER (ORDER BY cnt DESC, piece)
+             <= $UniSeedMulti)),
+       p0 AS MATERIALIZED (
+         SELECT piece,
+                round(ln(cnt::double / (SELECT sum(cnt) FROM seed)) * 1000000)::bigint AS llk
+         FROM seed),
+       $em,
+       keepf AS MATERIALIZED (
+         SELECT piece, cnt FROM sm$UniEmIters WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, cnt FROM (
+           SELECT piece, cnt FROM sm$UniEmIters WHERE len(piece) > 1
+           QUALIFY row_number() OVER (ORDER BY cnt DESC, piece)
+             <= $UniVocabMulti)),
+       pf AS MATERIALIZED (
+         SELECT piece,
+                round(ln(cnt::double / (SELECT sum(cnt) FROM keepf)) * 1000000)::bigint AS llk
+         FROM keepf)"""
+  }
+
+  private def uniPiecesOracleSql: String =
+    s"""WITH ${uniTrainCtes()}
+       SELECT piece, llk FROM pf ORDER BY piece"""
+
+  private lazy val UniTokenizeOracleSql: String = uniTokenizeOracleSql()
+
+  private def uniTokenizeOracleSql(
+      trainSql: String = "SELECT * FROM documents"): String =
+    s"""WITH ${uniTrainCtes(trainSql)},
+       bt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL),
+       btw AS MATERIALIZED (
+         SELECT word, 1::bigint AS n
+         FROM (SELECT DISTINCT word FROM bt WHERE word <> '')),
+       ${uniViterbiCte("vitf", "btw", "pf")}
+       SELECT b.doc_id, count(*)::bigint AS n_words,
+              sum(v.ntok)::bigint AS n_unigram_tokens
+       FROM bt b JOIN vitf v ON b.word = v.word
+       WHERE b.word <> ''
+       GROUP BY b.doc_id ORDER BY b.doc_id"""
+
   /** Shared BPE-training CTEs through the merge rows m1..mN: word
     * frequencies (top-`maxWords` by (n DESC, word)), char-level symbol
     * encoding as the chr(31)-wrapped string, and one unrolled
@@ -2416,6 +2568,80 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ntok")).cast("bigint").as("tokens"))
         .orderBy("shard", "bin")
+    },
+
+    // Unigram-LM tokenizer training (Kudo 2018, sentencepiece's model)
+    // — the SECOND tokenizer modality an LLM pipeline chooses between:
+    // an over-complete substring seed (all singles + top-40 multis,
+    // freq-weighted), hard EM (Viterbi counts, add-one smoothing,
+    // micro-log integer probabilities) for 2 fixed iterations, pruned
+    // to singles + top-24 multis. One corpus wordcount; the EM runs
+    // driver-side on the capped table. The oracle unrolls the EM and
+    // replays every Viterbi as a recursive-CTE DP.
+    "text_unigram_pieces" -> q { (s, dir) =>
+      val m = graft.operators.Unigram.learn(
+        Tables.load(s, dir, "documents"), "text", UniMaxWords,
+        maxPieceLen = 3, UniSeedMulti, UniVocabMulti, UniEmIters)
+      graft.operators.Unigram.piecesFrame(s, m).orderBy("piece")
+    },
+
+    // ... the APPLY half: every corpus word Viterbi-segments under the
+    // learned pieces through the tokenize kernel (O(len·maxPieceLen)
+    // per word regardless of vocabulary size; unseen codepoints cost
+    // the fixed UNK penalty as their own piece), yielding the per-doc
+    // token accounting. Oracle replays train AND apply.
+    "text_unigram_tokenize" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val m = graft.operators.Unigram.learn(docs, "text", UniMaxWords,
+        maxPieceLen = 3, UniSeedMulti, UniVocabMulti, UniEmIters)
+      graft.operators.Unigram.tokenize(docs, "doc_id", "text", m)
+        .orderBy("doc_id")
+    },
+
+    // ... the VERSIONED-tokenizer SERVE path (the bpemodel pattern):
+    // the piece table persists under the manifest protocol, retrain =
+    // one atomic expect-guarded swap. Build-if-stale; stored pieces ≡
+    // learned pieces → inline oracle.
+    "text_unigram_served" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("unigrammodel", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        graft.operators.Unigram.buildUnigramModelM(docs, "text",
+          UniMaxWords, 3, UniSeedMulti, UniVocabMulti, UniEmIters, root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      graft.operators.Unigram.tokenizeM(s, root, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Release-pinned unigram time travel: v1 trains on the even half,
+    // HEAD retrains on the full corpus; tokenization pinned at v1 must
+    // apply v1's piece table.
+    "text_unigram_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("unipin", dir)
+      val v1 = graft.operators.Unigram.buildUnigramModelM(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        UniMaxWords, 3, UniSeedMulti, UniVocabMulti, UniEmIters, root)
+      graft.operators.Unigram.buildUnigramModelM(docs, "text",
+        UniMaxWords, 3, UniSeedMulti, UniVocabMulti, UniEmIters, root)
+      graft.operators.Unigram.tokenizeM(s, root, docs, "doc_id", "text",
+          at = Some(v1))
+        .orderBy("doc_id")
+    },
+
+    // ... and tokenization AT INGEST: the model learned once at plan
+    // time (a vocab-sized driver scalar), each arriving micro-batch
+    // runs the Viterbi kernel inside foreachBatch. Per-doc independence
+    // ⇒ batch union ≡ one-shot (shared oracle).
+    "stream_unigram_tokenize" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline
+        .streamingUnigramTokenize(s, dir, UniMaxWords, 3,
+          UniSeedMulti, UniVocabMulti, UniEmIters)
+        .orderBy("doc_id")
     },
 
     // Document fingerprinting by winnowing (the MOSS scheme): rolling
@@ -5655,6 +5881,20 @@ object LlmQueries {
       bpeTokenizeOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
     // per-doc independence: the streamed batch union replays one-shot
     "stream_bpe_tokenize" -> BpeTokenizeOracleSql,
+
+    "text_unigram_pieces" -> uniPiecesOracleSql,
+
+    "text_unigram_tokenize" -> UniTokenizeOracleSql,
+
+    // serve ≡ inline (stored pieces are the learned pieces)
+    "text_unigram_served" -> UniTokenizeOracleSql,
+
+    // the pin replays the v1 tokenizer (trained on the even half)
+    "text_unigram_pinned" ->
+      uniTokenizeOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
+
+    // batch union ≡ one-shot (per-doc independence)
+    "stream_unigram_tokenize" -> UniTokenizeOracleSql,
 
     // packing by BPE counts: the proven tokenize chain feeds the proven
     // packing chain — shard by id mod 8, running-sum token bins of 2048

@@ -1910,6 +1910,48 @@ object StreamPipeline {
     }
   }
 
+  private[graft] val UnigramStreamSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_words", LongType),
+    StructField("n_unigram_tokens", LongType)))
+
+  /** Unigram-LM tokenization AT INGEST — [[streamingBpeTokenize]]'s
+    * sibling for the second tokenizer modality: the piece table is
+    * learned ONCE from the static corpus (a vocab-sized driver scalar,
+    * frozen at plan time), and every arriving micro-batch runs the
+    * Viterbi kernel inside `foreachBatch`, sinking per-doc
+    * (n_words, n_unigram_tokens) batchId-idempotently. Per-doc
+    * independence ⇒ batch union ≡ one-shot — the registry row shares
+    * `text_unigram_tokenize`'s oracle. */
+  def streamingUnigramTokenize(
+      spark: SparkSession, dir: String, maxWords: Int, maxPieceLen: Int,
+      seedMulti: Int, vocabMulti: Int, emIters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val model = graft.operators.Unigram.learn(docs, "text", maxWords,
+      maxPieceLen, seedMulti, vocabMulti, emIters)
+    val outDir = Files.createTempDirectory("graft_unigram_out").toString
+    val ckptDir = Files.createTempDirectory("graft_unigram_ckpt").toString
+    try {
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(graft.operators.Unigram.tokenize(
+            batch.toDF(), "doc_id", "text", model), outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, UnigramStreamSchema).localCheckpoint(true)
+    } finally {
+      Seq(outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   private[graft] val NbStreamSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("predicted", StringType),
