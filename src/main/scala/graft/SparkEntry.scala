@@ -285,8 +285,13 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q6_selective_agg", "q3_revenue_topn", "q5_local_supplier", "window_rank",
     "sessionize", "t1_cdc_apply", "j1_delete_reconcile", "o1_last_image",
+    // (r18: sim_topk_brute and text_quality rotated out for the two
+    // tokenizer apply paths below — brute cosine's plan class stays
+    // covered by sim_topk_hash_embed, which runs the same exhaustive
+    // kernel scan over derived embeddings, and text_quality's single-
+    // pass codegen text scan by text_stats)
     "dedup_exact", "dedup_lsh_pairs", "dedup_jaccard", "dedup_simhash",
-    "sim_topk_brute", "text_stats", "text_quality",
+    "text_stats",
     // round 3-4 operator families — the most custom plans in the repo
     // (native TopKPerKey node, union-window as-of, binned range join,
     // int8 ANN, keyed funnel chain, multi-stage curation) need regression
@@ -359,5 +364,11 @@ object SparkEntry {
     // the committed index + pool-member-only embeddings + k greedy
     // steps (build-if-stale, so the median times the probe). The phrase
     // growing ingest stays off the bench like every lifecycle query.
-    "retrieval_mmr_served")
+    "retrieval_mmr_served",
+    // round 18 — the two tokenizer APPLY paths, the per-epoch
+    // preprocessing scans a pretraining pipeline pays at full corpus
+    // volume: BPE train (one wordcount + driver merges) + rank-priority
+    // kernel apply, and unigram train (wordcount + driver EM) + Viterbi
+    // kernel apply
+    "text_bpe_tokenize", "text_unigram_tokenize")
 }

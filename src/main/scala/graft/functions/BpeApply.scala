@@ -75,8 +75,10 @@ object BpeKernel {
     * rather than trusting the caller. */
   val D = "\u001f"
 
-  /** Split into codepoint strings; empty array for the empty word. */
-  private def cpSplit(w: String): Array[String] = {
+  /** Split into codepoint strings; empty array for the empty word.
+    * Shared with the driver-side trainer ([[graft.operators.Bpe]]) so
+    * trainer and kernel can never disagree on symbol boundaries. */
+  def cpSplit(w: String): Array[String] = {
     val n = w.codePointCount(0, w.length)
     val out = new Array[String](n)
     var i = 0
@@ -114,14 +116,22 @@ object BpeKernel {
     java.util.Arrays.copyOf(out, n)
   }
 
-  /** Token count of one word under the merge table — called from
-    * generated code, so it must be a public static-reachable method. */
-  def tokenCount(word: UTF8String, mt: BpeMergeTableRef): Int = {
-    val w = word.toString
+  /** The fail-loud delimiter guard, shared by the kernel and the
+    * driver-side trainer: a U+001F in a token would silently splice
+    * symbol boundaries (and make the rank map's `a\u241Fb` keys
+    * ambiguous), so every encode path rejects it. */
+  def guardToken(w: String): String = {
     if (w.indexOf('\u001f') >= 0)
       throw new IllegalArgumentException(
         "Bpe: corpus token contains the U+001F symbol delimiter — " +
           "symbol boundaries would corrupt")
+    w
+  }
+
+  /** Token count of one word under the merge table — called from
+    * generated code, so it must be a public static-reachable method. */
+  def tokenCount(word: UTF8String, mt: BpeMergeTableRef): Int = {
+    val w = guardToken(word.toString)
     var syms = cpSplit(w)
     var floor = 0
     var more = syms.length > 1

@@ -52,16 +52,12 @@ object UnigramKernel {
   def tokenCount(word: UTF8String, pt: UnigramPieceTableRef): Int =
     viterbi(word.toString, pt, null)
 
-  /** The DP, shared by the count kernel and the driver-side trainer:
-    * when `outPieces` is non-null the winning segmentation's pieces are
-    * appended to it (the E-step's need); the return value is the piece
-    * count either way. Empty word → 0. */
-  def viterbi(
-      w: String, pt: UnigramPieceTableRef,
-      outPieces: java.util.ArrayList[String]): Int = {
+  /** Codepoint boundaries of `w`: `starts(i)` = the char offset of
+    * codepoint i, with `starts(n)` = w.length. Shared by the DP below
+    * and the trainer's substring seeding ([[graft.operators.Unigram]])
+    * so both always agree on piece boundaries. */
+  def cpStarts(w: String): Array[Int] = {
     val nCp = w.codePointCount(0, w.length)
-    if (nCp == 0) return 0
-    // codepoint boundaries: start(i) = char offset of codepoint i
     val start = new Array[Int](nCp + 1)
     var ci = 0
     var off = 0
@@ -71,6 +67,19 @@ object UnigramKernel {
       ci += 1
     }
     start(nCp) = w.length
+    start
+  }
+
+  /** The DP, shared by the count kernel and the driver-side trainer:
+    * when `outPieces` is non-null the winning segmentation's pieces are
+    * appended to it (the E-step's need); the return value is the piece
+    * count either way. Empty word → 0. */
+  def viterbi(
+      w: String, pt: UnigramPieceTableRef,
+      outPieces: java.util.ArrayList[String]): Int = {
+    val nCp = w.codePointCount(0, w.length)
+    if (nCp == 0) return 0
+    val start = cpStarts(w)
     val cost = new Array[Long](nCp + 1)
     val cnt = new Array[Int](nCp + 1)
     val back = new Array[Int](nCp + 1) // winning piece length at i

@@ -151,19 +151,6 @@ object Bpe {
     Integer.compare(a.length - i, b.length - j)
   }
 
-  private def cpSplit(w: String): Array[String] = {
-    val out = new Array[String](w.codePointCount(0, w.length))
-    var i = 0
-    var k = 0
-    while (i < w.length) {
-      val c = Character.charCount(w.codePointAt(i))
-      out(k) = w.substring(i, i + c)
-      i += c
-      k += 1
-    }
-    out
-  }
-
   /** Learn a BPE model: ONE Spark wordcount (capped through the bounded
     * heap — identical selection to the distributed twin), then all
     * `nMerges` merges driver-side over the collected table. Fails loud
@@ -199,7 +186,13 @@ object Bpe {
   def learnLocal(
       wordFreq: Seq[(String, Long)], nMerges: Int): BpeModel = {
     require(nMerges > 0, s"nMerges=$nMerges must be positive")
-    val words: Array[Array[String]] = wordFreq.map(w => cpSplit(w._1)).toArray
+    // the fail-loud delimiter contract holds on the DRIVER path too:
+    // the collected (word, n) projection column-prunes the distributed
+    // encodeWord/guardWord away, so the guard must run here — otherwise
+    // a U+001F-bearing corpus would train silently while the audit twin
+    // throws (and the rank map's a␟b keys would turn ambiguous)
+    val words: Array[Array[String]] = wordFreq
+      .map(w => BpeKernel.cpSplit(BpeKernel.guardToken(w._1))).toArray
     val freq: Array[Long] = wordFreq.map(_._2).toArray
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val where = scala.collection.mutable.HashMap

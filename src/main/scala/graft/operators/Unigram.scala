@@ -100,15 +100,7 @@ object Unigram {
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     wordFreq.foreach { case (w, n) =>
       val nCp = cpSplitLens(w)
-      val start = new Array[Int](nCp + 1)
-      var ci = 0
-      var off = 0
-      while (ci < nCp) {
-        start(ci) = off
-        off += Character.charCount(w.codePointAt(off))
-        ci += 1
-      }
-      start(nCp) = w.length
+      val start = UnigramKernel.cpStarts(w)
       var i = 0
       while (i < nCp) {
         var l = 1

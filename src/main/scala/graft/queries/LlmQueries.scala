@@ -2529,9 +2529,10 @@ object LlmQueries {
     },
 
     // ... and tokenization AT INGEST: merges learned once at plan time
-    // (N-row driver scalar), each arriving micro-batch runs the
-    // stateless N-replace chain inside foreachBatch. Per-doc
-    // independence ⇒ batch union ≡ one-shot (shared oracle).
+    // (an N-pair driver scalar embedded in the kernel ref), each
+    // arriving micro-batch runs the rank-priority apply kernel inside
+    // foreachBatch. Per-doc independence ⇒ batch union ≡ one-shot
+    // (shared oracle).
     "stream_bpe_tokenize" -> q { (s, dir) =>
       graft.streaming.StreamPipeline
         .streamingBpeTokenize(s, dir, BpeMerges, BpeMaxWords)

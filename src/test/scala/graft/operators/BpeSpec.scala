@@ -132,6 +132,31 @@ class BpeSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(2)).toSeq == Seq(2L, 2L))
   }
 
+  test("a U+001F-bearing corpus fails loud on EVERY encode path — driver train included") {
+    import spark.implicits._
+    val bad = Seq((1L, "a\u001fb a\u001fb ok")).toDF("doc_id", "text")
+    // driver-local production learner: the collected (word, n)
+    // projection prunes the distributed guard away, so learnLocal must
+    // guard itself (a silent pass here would learn delimiter-bearing
+    // merges whose rank-map keys are ambiguous)
+    val eLearn = intercept[Exception] {
+      Bpe.learn(bad, "text", nMerges = 2, maxWords = 10)
+    }
+    assert(eLearn.getMessage.contains("U+001F"))
+    // distributed audit twin: guardWord fires inside the encode
+    val eDist = intercept[Exception] {
+      Bpe.learnedMergesDistributed(bad, "text", nMerges = 2, maxWords = 10)
+    }
+    assert(eDist.getMessage != null)
+    // apply kernel: guardToken fires per token
+    val eApply = intercept[Exception] {
+      Bpe.tokenizeWithMerges(bad, "doc_id", "text",
+        Seq(("o", "k"))).collect()
+    }
+    assert(eApply.getMessage.contains("U+001F") ||
+      eApply.getCause != null)
+  }
+
   test("model store: served ≡ inline; retrain swaps atomically; pin replays v1") {
     import spark.implicits._
     val root = java.nio.file.Files
