@@ -83,6 +83,8 @@ object ScaleSoak {
     // 8-step training loop on each call
     lazy val baseMerges = graft.operators.Bpe
       .learnedMerges(docs(1), "text", 8, 1000).map(x => (x._2, x._3))
+    lazy val baseUnigram = graft.operators.Unigram
+      .learn(docs(1), "text", 1000, 3, 40, 24, 2)
 
     val families = Seq(
       // exact-substring spans: ~271 grams/doc -> 5.4M gram rows at 8x;
@@ -256,6 +258,17 @@ object ScaleSoak {
           require(n > 0, "bpe_train_1k tokenized no documents")
           (System.nanoTime() - t0) / 1e9
         }),
+      // the SECOND tokenizer modality's apply pass: the piece table is
+      // PINNED to the base corpus (a production tokenizer is a fixed
+      // artifact — the bpe_tokenize/pq_topk precedent), and the growing
+      // corpus pays one Viterbi-kernel projection per word
+      // (O(len·maxPieceLen), vocabulary-size-independent) plus the
+      // map-side-combined per-doc aggregate; time must track volume
+      // ≲ linearly
+      Family("unigram_tokenize",
+        (s, m) => graft.operators.Unigram.tokenize(
+          docs(m), "doc_id", "text", baseUnigram),
+        mustContain = Seq.empty),
       // the NINTH growing family's ingest loop (r17): lake positional
       // build + arrival staging run UNtimed; the measured region is 3
       // micro-batches of accumulated-corpus screen (stored snapshot ∪
