@@ -2645,6 +2645,57 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ... and the packing composition for the second modality: packed
+    // sequences budgeted by the SERVED unigram tokenizer's counts —
+    // with curation_packing_bpe, the pipeline can pack under either
+    // tokenizer choice and replay both under version pins.
+    "curation_packing_unigram" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("unigrammodel", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        graft.operators.Unigram.buildUnigramModelM(docs, "text",
+          UniMaxWords, 3, UniSeedMulti, UniVocabMulti, UniEmIters, root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      val toks = graft.operators.Unigram
+        .tokenizeM(s, root, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_unigram_tokens").as("ntok"))
+      graft.operators.Curation.packSequences(
+          toks, "doc_id", "ntok", budget = 2048, shards = 8)
+        .join(toks, "doc_id")
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("bigint").as("tokens"))
+        .orderBy("shard", "bin")
+    },
+
+    // Tokenizer FERTILITY comparison — the report an LLM team reads to
+    // CHOOSE between the two modalities: per-doc tokens-per-word under
+    // the BPE merges and the unigram pieces, both trained on the same
+    // corpus. Two kernel projections over one exploded word stream;
+    // fertility = tokens/words rounded to the 1e-6 grid in both
+    // engines. The oracle joins the two proven train+apply chains as
+    // independently-scoped subqueries.
+    "text_tokenizer_fertility" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bpe = graft.operators.Bpe.tokenizeWithMerges(docs, "doc_id",
+        "text", graft.operators.Bpe
+          .learn(docs, "text", BpeMerges, BpeMaxWords).mergePairs)
+      val uni = graft.operators.Unigram.tokenize(docs, "doc_id", "text",
+        graft.operators.Unigram.learn(docs, "text", UniMaxWords, 3,
+          UniSeedMulti, UniVocabMulti, UniEmIters))
+      bpe.join(uni.drop("n_words"), "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("bpe_fertility"),
+          round(col("n_unigram_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("unigram_fertility"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprinting by winnowing (the MOSS scheme): rolling
     // character k-grams → 60-bit hashes → min per sliding window of w →
     // distinct fingerprints. Robust to insertions/reordering beyond a
@@ -5896,6 +5947,33 @@ object LlmQueries {
 
     // batch union ≡ one-shot (per-doc independence)
     "stream_unigram_tokenize" -> UniTokenizeOracleSql,
+
+    // packing by unigram counts: the second modality's tokenize chain
+    // under the identical packing CTE
+    "curation_packing_unigram" ->
+      s"""WITH toks AS (
+           SELECT doc_id, n_unigram_tokens AS ntok, (doc_id % 8)::int AS shard
+           FROM ($UniTokenizeOracleSql)),
+         packed AS (
+           SELECT doc_id, ntok, shard,
+                  ((sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - ntok) // 2048)::bigint AS bin
+           FROM toks)
+         SELECT shard, bin, count(*) AS n_docs, sum(ntok)::bigint AS tokens
+         FROM packed GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // fertility: the two proven train+apply chains joined as
+    // independently-scoped subqueries (each carries its own WITH — no
+    // CTE-name collision between the bpe and unigram chains)
+    "text_tokenizer_fertility" ->
+      s"""WITH b AS (SELECT * FROM ($BpeTokenizeOracleSql)),
+         u AS (SELECT * FROM ($UniTokenizeOracleSql))
+         SELECT b.doc_id, b.n_words,
+                round(b.n_bpe_tokens::double / b.n_words, 6) AS bpe_fertility,
+                round(u.n_unigram_tokens::double / u.n_words, 6) AS unigram_fertility
+         FROM b JOIN u ON b.doc_id = u.doc_id
+         ORDER BY b.doc_id""",
 
     // packing by BPE counts: the proven tokenize chain feeds the proven
     // packing chain — shard by id mod 8, running-sum token bins of 2048
