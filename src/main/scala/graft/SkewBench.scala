@@ -99,9 +99,22 @@ object SkewBench {
     * the stored side of the growing screen's union contributes equally
     * to both timings. */
   private val growRoots = scala.collection.mutable.Map.empty[Long, String]
+  private lazy val growRootsCleanup: Unit =
+    // JVM exit does NOT reclaim createTempDirectory dirs by itself —
+    // a shutdown hook deletes the cached index roots so repeated
+    // bench/spec JVMs don't strand positional-index parquet in /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      growRoots.synchronized(growRoots.values.foreach { d =>
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(x => java.nio.file.Files.deleteIfExists(x))
+      })))
   private def phraseGrowRoot(
       spark: SparkSession, nDocs: Long,
       body: Int => Column): String = growRoots.synchronized {
+    growRootsCleanup
     growRoots.getOrElseUpdate(nDocs, {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_skew_posidx").toString
@@ -278,8 +291,8 @@ object SkewBench {
         // term-clustered files) is identical on both sides, so the
         // ratio prices arrival-side concentration alone. The lake index
         // builds ONCE per bench process (cached root — build cost never
-        // enters the timed region); temp dirs are process-lifetime, the
-        // bench JVM's exit reclaims them.
+        // enters the timed region); a shutdown hook deletes the cached
+        // roots at JVM exit.
         val rnd = (i: Column) =>
           concat(lit("w"), pmod(hash(col("id"), i), lit(1000)) + lit(100))
         val body = (m: Int) =>

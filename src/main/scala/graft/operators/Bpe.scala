@@ -191,8 +191,13 @@ object Bpe {
     // encodeWord/guardWord away, so the guard must run here — otherwise
     // a U+001F-bearing corpus would train silently while the audit twin
     // throws (and the rank map's a␟b keys would turn ambiguous)
-    val words: Array[Array[String]] = wordFreq
-      .map(w => BpeKernel.cpSplit(BpeKernel.guardToken(w._1))).toArray
+    // materialize both columns as arrays up front: the final
+    // BpeModel assembly indexes by position, which is O(n) PER ACCESS
+    // on a non-indexed caller Seq (a 2^20-entry List would turn the
+    // linear assembly quadratic)
+    val wordArr: Array[String] = wordFreq.map(_._1).toArray
+    val words: Array[Array[String]] = wordArr
+      .map(w => BpeKernel.cpSplit(BpeKernel.guardToken(w)))
     val freq: Array[Long] = wordFreq.map(_._2).toArray
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val where = scala.collection.mutable.HashMap
@@ -245,7 +250,7 @@ object Bpe {
     }
     BpeModel(out.result(),
       words.zipWithIndex.map { case (s, i) =>
-        (wordFreq(i)._1, freq(i), s.toSeq)
+        (wordArr(i), freq(i), s.toSeq)
       }.toSeq)
   }
 

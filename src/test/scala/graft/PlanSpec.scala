@@ -400,6 +400,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), "assignment degraded to the composed twin")
   }
 
+  test("tokenizer apply paths stay kernel projections with hash aggregation") {
+    // the per-epoch tokenization scans (r18): explode → kernel
+    // projection → map-side-combined per-doc aggregate. The kernel must
+    // BE in the plan (a fallback to the chained-replace twin would be a
+    // silent O(N·len) regression at a production merge count), the
+    // aggregate must stay HashAggregate (a SortAggregate flip sorts the
+    // exploded word stream — the classic scale killer), the text scan
+    // must prune to (id, text), and nothing may shuffle except the
+    // per-doc aggregate exchange + the registry orderBy's range
+    // partitioning.
+    Seq("text_bpe_tokenize" -> "graft_bpe_token_count",
+        "text_unigram_tokenize" -> "graft_unigram_token_count")
+      .foreach { case (name, kernel) =>
+        val p = plan(name)
+        assert(p.contains(kernel), s"$name lost its apply kernel:\n$p")
+        assert(!p.contains("SortAggregate"),
+          s"$name degraded to SortAggregate:\n$p")
+        assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+          s"$name reads more than (doc_id, text):\n$p")
+        assert("Exchange".r.findAllIn(p).size <= 2,
+          s"$name shuffles beyond the doc aggregate + orderBy:\n$p")
+      }
+  }
+
   test("no kernel re-evaluates inside a Filter (the constraint-substitution class)") {
     // the class: a kernel-derived column becomes an inner-join key, the
     // optimizer infers a guard (IsNotNull, or the other side's subset
