@@ -77,6 +77,79 @@ object TextAnalysis {
     }
   }
 
+  /** Character trigrams of `text` in position order (spaces included —
+    * deterministic, locale-free); empty array below 3 codepoints. Both
+    * engines' substr counts CODEPOINTS, so the gram inventory replays
+    * exactly. */
+  def trigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Cavnar–Trenkle (1994) character-n-gram language identification —
+    * the TRAINED language-ID modality ([[langId]] above is the
+    * marker-word heuristic twin, the [[Classify]] NB filter the
+    * word-level trained one): each language's PROFILE is its top
+    * `profileK` trigrams ranked by frequency over a labeled seed; a
+    * document ranks its own top `docK` trigrams and classifies to the
+    * language minimizing the OUT-OF-PLACE distance — Σ |doc rank −
+    * language rank|, with a gram absent from the language's profile
+    * costing the maximum `profileK`. Ties everywhere break total-order
+    * ((count DESC, gram ASC) for ranks; (distance ASC, lang ASC) for
+    * the argmin), so the prediction replays exactly in the oracle.
+    *
+    * Scale shape: profiles are langs×profileK rows (broadcast); the
+    * doc side is one trigram scan → per-doc counts → the bounded-heap
+    * top-k (keys×k through its one exchange, never a window over the
+    * corpus) → a rank window over the ALREADY-k-row frame; the
+    * distance join fans each doc's k grams across the (tiny) language
+    * list against the broadcast profiles. Nothing corpus-sized
+    * shuffles beyond the per-doc gram counts. Docs with no trigrams
+    * (NULL/short text) are absent — the classifier's
+    * absent-unclassifiable contract. */
+  def langIdRank(
+      seed: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      profileK: Int = 100, docK: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(profileK > 0 && docK > 0,
+      s"profileK=$profileK and docK=$docK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val lp = seed
+      .filter(col(langCol).isNotNull && col(textCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        explode(trigrams(col(textCol))).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val lpk = TopK.perKey(lp, Seq("lang"),
+        Seq(col("cnt").desc, col("gram").asc), profileK)
+      // rank window over the ALREADY-capped profile rows (langs×K)
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("gram").asc)))
+      .select(col("lang"), col("gram"), col("lrank"))
+    val dp = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(trigrams(col(textCol))).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val dpk = TopK.perKey(dp, Seq(idCol),
+        Seq(col("cnt").desc, col("gram").asc), docK)
+      .withColumn("drank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("cnt").desc, col("gram").asc)))
+      .select(col(idCol), col("gram"), col("drank"))
+    val langs = lpk.select(col("lang")).distinct()
+    val dist = dpk
+      .crossJoin(broadcast(langs))
+      .join(broadcast(lpk), Seq("lang", "gram"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("drank") - col("lrank")),
+        lit(profileK))).cast("long").as("distance"))
+    TopK.perKey(dist, Seq(idCol),
+        Seq(col("distance").asc, col("lang").asc), 1)
+      .select(col(idCol), col("lang").as("predicted"), col("distance"))
+  }
+
   /** Document fingerprint: md5 of the case/punctuation-normalized text
     * (SURVEY north-star "document fingerprinting"). */
   def fingerprint(c: Column): Column =

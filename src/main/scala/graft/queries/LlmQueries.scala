@@ -2696,6 +2696,22 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // TRAINED language identification (Cavnar–Trenkle 1994): each
+    // language's profile = its top-100 character trigrams by frequency
+    // over the labeled 4/5 seed; every held-out doc ranks its own
+    // top-20 trigrams and classifies to the language minimizing the
+    // out-of-place rank distance (absent gram = max penalty). The
+    // third language-ID modality — marker heuristic (inside
+    // text_stats), NB word classifier, and this rank-profile method.
+    "text_langid_rank" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.langIdRank(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+
     // Document fingerprinting by winnowing (the MOSS scheme): rolling
     // character k-grams → 60-bit hashes → min per sliding window of w →
     // distinct fingerprints. Robust to insertions/reordering beyond a
@@ -5933,6 +5949,46 @@ object LlmQueries {
       bpeTokenizeOracleSql("SELECT * FROM documents WHERE doc_id % 2 = 0"),
     // per-doc independence: the streamed batch union replays one-shot
     "stream_bpe_tokenize" -> BpeTokenizeOracleSql,
+
+    "text_langid_rank" ->
+      """WITH tri AS (
+           SELECT doc_id, lang, substr(text, i, 3) AS gram
+           FROM (SELECT doc_id, lang, text,
+                        unnest(range(1, len(text) - 1)) AS i
+                 FROM documents
+                 WHERE text IS NOT NULL AND len(text) >= 3)),
+         lp AS (
+           SELECT lang, gram, count(*) AS cnt
+           FROM tri WHERE doc_id % 5 <> 0 AND lang IS NOT NULL
+           GROUP BY 1, 2),
+         lpk AS (
+           SELECT lang, gram,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, gram) AS lrank
+           FROM lp
+           QUALIFY lrank <= 100),
+         dp AS (
+           SELECT doc_id, gram, count(*) AS cnt
+           FROM tri WHERE doc_id % 5 = 0
+           GROUP BY 1, 2),
+         dpk AS (
+           SELECT doc_id, gram,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY cnt DESC, gram) AS drank
+           FROM dp
+           QUALIFY drank <= 20),
+         langs AS (SELECT DISTINCT lang FROM lpk),
+         dist AS (
+           SELECT d.doc_id, l.lang,
+                  sum(coalesce(abs(d.drank - p.lrank), 100))::bigint
+                    AS distance
+           FROM dpk d CROSS JOIN langs l
+           LEFT JOIN lpk p ON p.lang = l.lang AND p.gram = d.gram
+           GROUP BY 1, 2)
+         SELECT doc_id, lang AS predicted, distance FROM dist
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY distance, lang) = 1
+         ORDER BY doc_id""",
 
     "text_unigram_pieces" -> uniPiecesOracleSql,
 

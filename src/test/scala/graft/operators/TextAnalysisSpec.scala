@@ -283,4 +283,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.length == 1)
     assert((got.head.getString(0), got.head.getString(1)) == ("a", "b"))
   }
+
+  test("langIdRank: rank profiles classify held-out docs; absent grams pay the max penalty") {
+    import spark.implicits._
+    // two "languages" with disjoint character inventories; the seed
+    // carries several docs per language so profiles are stable
+    val seed = Seq(
+      (1L, "aaabbbaaabbb aab", "aa"),
+      (2L, "abababab aabb", "aa"),
+      (3L, "xxyyzzxxyyzz xyz", "xx"),
+      (4L, "zyxzyxzyx zzyy", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val held = Seq(
+      (10L, "aabbaabbaabb"),          // clearly lang "aa"
+      (11L, "xyzxyzxyz"),             // clearly lang "xx"
+      (12L, "qqqqqqqq"))              // grams in NEITHER profile
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langIdRank(seed, held, "doc_id", "text", "lang",
+        profileK = 50, docK = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got(0)._1 == 10L && got(0)._2 == "aa")
+    assert(got(1)._1 == 11L && got(1)._2 == "xx")
+    // all-unknown grams: every DISTINCT doc gram pays profileK per
+    // language ("qqqqqqqq" has six trigram positions but ONE distinct
+    // gram — profiles are rank lists over distinct grams), so both
+    // languages tie at 1×50 and the tie breaks to "aa"
+    assert(got(2) == ((12L, "aa", 50L)))
+    // short/NULL text is absent-unclassifiable
+    val none = TextAnalysis.langIdRank(seed,
+      Seq((20L, "ab"), (21L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", "lang")
+    assert(none.count() == 0)
+  }
+
+  test("langIdRank is stable under input re-partitioning") {
+    import spark.implicits._
+    val seed = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) "the cat sat on the mat" * 2 else "le chat est sur le tapis",
+        if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "text", "lang")
+    val held = (100L to 120L).map(i =>
+      (i, if (i % 3 == 0) "the mat sat" else "le tapis est")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.langIdRank(seed, d, "doc_id", "text", "lang")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(held) == rows(held.repartition(7)))
+  }
 }
