@@ -107,10 +107,20 @@ object SkewBench {
       growRoots.synchronized(growRoots.values.foreach { d =>
         import scala.jdk.CollectionConverters._
         val p = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        if (java.nio.file.Files.exists(p)) {
+          // close the walk stream (it holds a directory handle)
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(x => java.nio.file.Files.deleteIfExists(x))
+          finally walk.close()
+        }
       })))
+  /** SINGLE-FIXTURE cache contract: roots are keyed on `nDocs` alone, so
+    * every caller must pass the same `body` generator for a given doc
+    * count — a second fixture reusing this helper with different stored
+    * content would silently read the first one's index. The lone caller
+    * (the phrase_growing pair) satisfies this; key on
+    * (nDocs, fixture-tag) before adding another. */
   private def phraseGrowRoot(
       spark: SparkSession, nDocs: Long,
       body: Int => Column): String = growRoots.synchronized {

@@ -25,15 +25,25 @@ final class BpeMergeTableRef(
     s"merge table sides disagree: ${lhs.length} vs ${rhs.length}")
 
   @transient private lazy val ranks: java.util.HashMap[String, Array[Int]] = {
-    val m = new java.util.HashMap[String, Array[Int]]()
+    // build per-key growable buffers, convert to Array once at the end —
+    // the `prev :+ r` form re-copied the array per duplicate rank
+    val buf = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
     var r = 0
     while (r < lhs.length) {
       val k = lhs(r) + BpeKernel.D + rhs(r)
-      val prev = m.get(k)
-      m.put(k, if (prev == null) Array(r) else prev :+ r)
+      var b = buf.get(k)
+      if (b == null) { b = new java.util.ArrayList[Integer](1); buf.put(k, b) }
+      b.add(r)
       r += 1
     }
-    m // insertion order is ascending r, so each array arrives sorted
+    val m = new java.util.HashMap[String, Array[Int]](buf.size() * 2)
+    buf.forEach { (k, b) =>
+      val a = new Array[Int](b.size())
+      var i = 0
+      while (i < a.length) { a(i) = b.get(i).intValue(); i += 1 }
+      m.put(k, a) // r ascended during the fill, so each array is sorted
+    }
+    m
   }
 
   /** Smallest rank ≥ `floor` at which pair (a, b) merges, or -1. */

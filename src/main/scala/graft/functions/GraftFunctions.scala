@@ -130,6 +130,18 @@ object GraftFunctions {
             s"graft_token_gram_digests gramTokens must be an int literal, got $other")
         }
         TokenGramDigests(args.head, l)
+      }),
+    (FunctionIdentifier("graft_byte_encode"),
+      new ExpressionInfo(classOf[ByteEncode].getName, "graft_byte_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_byte_encode(word) takes one string argument")
+        ByteEncode(args.head)
+      }),
+    (FunctionIdentifier("graft_phash"),
+      new ExpressionInfo(classOf[PHash64].getName, "graft_phash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_phash(payload) takes one binary argument")
+        PHash64(args.head)
       }))
 
   /** Per-session once: the FIRST call on a session registers with

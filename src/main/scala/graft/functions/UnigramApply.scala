@@ -97,9 +97,10 @@ object UnigramKernel {
         if (llk != null) {
           val c = cost(i - l) + llk.longValue()
           val k = cnt(i - l) + 1
-          // (cost DESC, pieces ASC, length DESC) — strictly better wins;
-          // the l-loop ascends, so ≥ on equal (cost, pieces) keeps the
-          // LONGEST length last seen
+          // (cost DESC, pieces ASC, length DESC) — the strict `l > bestL`
+          // comparison implements the length-DESC leg because the l-loop
+          // ascends: a later (longer) l displaces an equal (cost, pieces)
+          // entry, so the longest length wins
           if (c > bestCost || (c == bestCost &&
               (k < bestCnt || (k == bestCnt && l > bestL)))) {
             bestCost = c; bestCnt = k; bestL = l

@@ -89,9 +89,15 @@ object Bpe {
 
   /** The training table: ONE corpus wordcount, capped to the `maxWords`
     * most frequent words (ties → smaller word) via the bounded heap —
-    * `(word, n, sym)` with `sym` the char-level symbol encoding. */
+    * `(word, n, sym)` with `sym` the char-level symbol encoding.
+    * `pre` transforms the RAW word into symbol space before the
+    * codepoint split (identity for the codepoint flavor; the GPT-2 byte
+    * encoder for byte-level BPE) — the cap's (n DESC, word ASC)
+    * selection always ranks RAW words, so both flavors train over the
+    * identical capped table. */
   def wordFreqs(
-      docs: DataFrame, textCol: String, maxWords: Int): DataFrame = {
+      docs: DataFrame, textCol: String, maxWords: Int,
+      pre: Column => Column = identity): DataFrame = {
     require(maxWords > 0, s"maxWords=$maxWords must be positive")
     val wf = docs
       .select(explode(split(col(textCol), " ")).as("word"))
@@ -100,7 +106,7 @@ object Bpe {
     TopK.perKey(wf.withColumn("__g", lit(0)), Seq("__g"),
         Seq(col("n").desc, col("word").asc), maxWords)
       .drop("__g")
-      .select(col("word"), col("n"), encodeWord(col("word")).as("sym"))
+      .select(col("word"), col("n"), encodeWord(pre(col("word"))).as("sym"))
   }
 
   // ---- The learned-model handle -----------------------------------------
@@ -317,9 +323,10 @@ object Bpe {
     * Superseded checkpoints release AS the loop runs ([[releaseCkpt]]). */
   private def learnLoop(
       docs: DataFrame, textCol: String, nMerges: Int,
-      maxWords: Int): (Seq[(Int, String, String, Long)], DataFrame, () => Unit) = {
+      maxWords: Int,
+      pre: Column => Column = identity): (Seq[(Int, String, String, Long)], DataFrame, () => Unit) = {
     require(nMerges > 0, s"nMerges=$nMerges must be positive")
-    var ckpt = wordFreqs(docs, textCol, maxWords).localCheckpoint()
+    var ckpt = wordFreqs(docs, textCol, maxWords, pre).localCheckpoint()
     var cur = ckpt
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var t = 1
@@ -477,6 +484,119 @@ object Bpe {
       docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val sym0 = encodeWord(col("word"))
+    val symN = merges.foldLeft(sym0) { case (s, (a, b)) =>
+      call_function("replace", s, lit(D + a + D + D + b + D), lit(D + a + b + D))
+    }
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(idCol), size(split(symN, D + D)).as("__k"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__k")).cast("long").as("n_bpe_tokens"))
+  }
+
+  // ---- Byte-level BPE (the GPT-2 byte encoder below the merge table) ---
+  //
+  // The production norm: words byte-encode FIRST (each UTF-8 byte → one
+  // printable codepoint, graft.functions.ByteEncodeKernel's public GPT-2
+  // table), and the SAME codepoint machinery above — trainer, rank-
+  // priority apply kernel, oracle replace chain — runs over the encoded
+  // strings, whose codepoints now stand for bytes. Two consequences the
+  // codepoint flavor cannot offer: (a) any string is representable with a
+  // 256-symbol base alphabet, so the unicode-normalization failure class
+  // (astral splits, combining-mark variance) vanishes — a merge table
+  // can never meet an out-of-alphabet symbol; (b) the encoded alphabet
+  // contains no whitespace/control codepoints, so the U+001F delimiter
+  // guard is unreachable by construction on these paths. On a printable-
+  // ASCII corpus the encoding is the identity, so byte-level merges
+  // EQUAL the codepoint trainer's (differentially spec-pinned —
+  // BpeBytesSpec).
+
+  private def byteEncCol(c: Column): Column =
+    call_function("graft_byte_encode", c)
+
+  /** Learn a BYTE-LEVEL BPE model: one capped corpus wordcount (raw-word
+    * cap selection, identical to the codepoint flavor), words
+    * byte-encoded driver-side, then [[learnLocal]] over the encoded
+    * table. The returned model's symbols are byte-encoded strings. */
+  def learnBytes(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int): BpeModel = {
+    require(nMerges > 0, s"nMerges=$nMerges must be positive")
+    require(maxWords <= DriverLearnMaxWords,
+      s"Bpe.learnBytes: maxWords=$maxWords exceeds DriverLearnMaxWords=" +
+        s"$DriverLearnMaxWords — use learnedMergesBytesDistributed for an " +
+        "over-cap vocabulary")
+    val table = wordFreqs(docs, textCol, maxWords)
+      .select(col("word"), col("n"))
+      .collect()
+      .map(r => (graft.functions.ByteEncodeKernel.encodeString(r.getString(0)),
+        r.getLong(1)))
+      .toSeq
+    // byte encoding is injective per word, so the encoded table keeps
+    // one row per raw word — no re-aggregation needed
+    learnLocal(table, nMerges)
+  }
+
+  /** Byte-level merge tuples — driver learner in-cap, distributed loop
+    * beyond (the [[learnedMerges]] split). */
+  def learnedMergesBytes(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int): Seq[(Int, String, String, Long)] =
+    if (maxWords <= DriverLearnMaxWords)
+      learnBytes(docs, textCol, nMerges, maxWords).merges
+    else learnedMergesBytesDistributed(docs, textCol, nMerges, maxWords)
+
+  /** The distributed byte-level audit twin: [[learnedMergesDistributed]]
+    * with the byte-encode kernel applied before symbol splitting. */
+  def learnedMergesBytesDistributed(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int): Seq[(Int, String, String, Long)] = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val (merges, _, release) =
+      learnLoop(docs, textCol, nMerges, maxWords, byteEncCol)
+    release()
+    merges
+  }
+
+  /** APPLY byte-level merges: the same rank-priority kernel chain as
+    * [[tokenizeWithMerges]] with the byte-encode kernel composed below
+    * it — scan → byte-encode → token count stays ONE WholeStageCodegen
+    * projection per word. Output `(id, n_words, n_bpe_tokens)`;
+    * `n_words` counts whitespace words exactly like the codepoint
+    * flavor. */
+  def tokenizeWithMergesBytes(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ref = new BpeMergeTableRef(
+      merges.map(_._1).toArray, merges.map(_._2).toArray)
+    val kCount = org.apache.spark.sql.GraftSqlBridge.column(
+      BpeTokenCount(
+        graft.functions.ByteEncode(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted("word")),
+        ref))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(idCol), kCount.as("__k"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__k")).cast("long").as("n_bpe_tokens"))
+  }
+
+  /** The byte-level N-replace CHAIN apply — oracle's literal form and
+    * the kernel's spec twin ([[tokenizeWithMergesChained]] over the
+    * byte-encoded word). */
+  private[graft] def tokenizeWithMergesBytesChained(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sym0 = encodeWord(byteEncCol(col("word")))
     val symN = merges.foldLeft(sym0) { case (s, (a, b)) =>
       call_function("replace", s, lit(D + a + D + D + b + D), lit(D + a + b + D))
     }

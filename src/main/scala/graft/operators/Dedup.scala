@@ -536,6 +536,74 @@ object Dedup {
       .distinct() // a pair may share several blocks
   }
 
+  /** Perceptual-hash fingerprints of a BINARY payload corpus —
+    * `(id, phash)`: each payload runs the integer-DCT pHash kernel
+    * ([[graft.functions.PHash64]] — the published 8×8-DCT
+    * sign-of-AC-coefficient recipe in all-Long arithmetic, so every
+    * hash replays bit-exactly in the oracle) as one zero-shuffle
+    * codegen projection. Empty payloads drop (NULL hash — the
+    * classifier's absent-unclassifiable contract). The IMAGE near-dup
+    * primitive: where [[simhashSigs]] fingerprints token text, this
+    * fingerprints media bytes. */
+  def phashSigs(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_phash", col(payloadCol)).as("phash"))
+      .filter(col("phash").isNotNull)
+  }
+
+  /** Image near-dup pairs by perceptual hash — [[simhashPairs]]'s
+    * pigeonhole banding over the 64-bit pHash: the hash splits into
+    * `maxHamming + 1` disjoint blocks and any pair within hamming
+    * `maxHamming` must match exactly on at least one block, so the
+    * block-bucket join has recall 1.0 (the result is EXACTLY every pair
+    * at hamming ≤ maxHamming) while candidates only form within
+    * (block, block_val) buckets — never all-pairs. At the standard
+    * threshold 3 that is 4 blocks of 16 bits (64k values per block).
+    * `maxBucket` is the family's standard skew dial: oversize buckets
+    * (exact-dup cliques — [[exact]]'s linear job) cut via the broadcast
+    * anti-join before the self-join. Output
+    * `(id_a, id_b, hamming)`, id_a < id_b. */
+  def phashPairs(
+      df: DataFrame, payloadCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming=$maxHamming out of range")
+    require(maxBucket > 1, s"maxBucket=$maxBucket would drop every bucket")
+    val blocks = maxHamming + 1
+    // the hash occupies bits 0..62 (63 AC bits; see PHashKernel), but
+    // banding the full 64-bit value keeps widths even and costs nothing
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    def width(b: Int) = base + (if (b < rem) 1 else 0)
+    val offsets = (0 until blocks).scanLeft(0)((acc, b) => acc + width(b))
+    val allBanded = phashSigs(df, payloadCol, idCol)
+      .select(col(idCol), col("phash"),
+        explode(array((0 until blocks).map { b =>
+          struct(lit(b).as("block"),
+            shiftright(col("phash"), offsets(b))
+              .bitwiseAND(lit(if (width(b) >= 64) -1L else (1L << width(b)) - 1))
+              .as("block_val"))
+        }: _*)).as("__b"))
+      .select(col(idCol), col("phash"),
+        col("__b.block").as("block"), col("__b.block_val").as("block_val"))
+    val banded = (if (maxBucket == Int.MaxValue) allBanded else {
+      val hot = allBanded.groupBy(col("block"), col("block_val"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .select(col("block"), col("block_val"))
+      allBanded.join(broadcast(hot), Seq("block", "block_val"), "left_anti")
+    }).localCheckpoint() // materialize before self-join (see lshCandidates)
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.block") === col("b.block") &&
+        col("a.block_val") === col("b.block_val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may share several blocks
+  }
+
   /** CROSS-CORPUS MinHash near-dup pairs — the daily-ingest shape: every
     * (new, base) candidate whose band hashes collide, scored by the
     * MinHash-estimated Jaccard, with NO pairs within either side (a

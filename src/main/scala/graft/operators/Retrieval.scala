@@ -318,6 +318,106 @@ object Retrieval {
     bm25Rank(cand, dfStats, qt, n, sumDl, k)
   }
 
+  // ---- Query-likelihood retrieval (Dirichlet-smoothed language model) --
+
+  /** Dirichlet pseudo-count μ — the standard default of the LM-retrieval
+    * literature (Zhai & Lafferty 2001; Indri/Galago ship 2500/1500-class
+    * defaults, 2000 is the canonical textbook operating point). */
+  val QldMu = 2000L
+
+  /** One Dirichlet-smoothed log term, rounded once to the 1e-6 grid:
+    * `ln(num/den)` with num/den EXACT bigints (the rational arithmetic
+    * that makes the replay deterministic — both engines cast the same
+    * integers to double, take one IEEE division, one `ln`, one round). */
+  private def qldLn(num: Column, den: Column): Column =
+    round(log(num.cast("double") / den.cast("double")), 6)
+
+  /** The QLD scoring core over candidate postings. Query-likelihood with
+    * Dirichlet smoothing ranks by
+    * `Σ_{t∈q} ln((tf(t,d) + μ·cf(t)/|C|) / (|d| + μ))`, equivalently (as
+    * the exact rational both engines replay)
+    * `Σ_t ln((tf·|C| + μ·cf) / ((dl + μ)·|C|))` — tf = 0 for query terms
+    * the doc lacks, so ABSENT terms still contribute their background
+    * probability, which depends on dl and genuinely reorders docs.
+    *
+    * Decomposition that keeps the work candidate-sized: every candidate
+    * doc (shares ≥1 query term) pays the BACKGROUND sum over all its
+    * query's terms (candidates × |q| rows, from a broadcast of the
+    * query×cf frame), and each MATCHED posting adds the exact-decimal
+    * correction `full − background` — both legs union into ONE keyed
+    * aggregate, all terms 6-dp-rounded doubles carried as
+    * DECIMAL(18,9), so the regrouping is exact and the oracle's
+    * unordered sum replays it.
+    *
+    * Query terms ABSENT from the corpus (cf = 0) drop from scoring
+    * entirely (ln 0 is undefined; the standard engine behavior). Query
+    * term multiplicity folds to 1 ([[queryTerms]]' distinct contract,
+    * matching BM25). `cand` must be `(term, doc_id, dl, tf)` covering
+    * ALL postings of the query's terms — cf derives from it, so no
+    * separate collection-frequency table is needed. */
+  private def qldRank(
+      cand: DataFrame, qt: DataFrame, sumDl: Long, mu: Long,
+      k: Int): DataFrame = {
+    require(mu > 0, s"mu=$mu must be positive")
+    val cf = cand.groupBy(col("term"))
+      .agg(sum(col("tf")).cast("long").as("cf"))
+    val matches = cand.join(broadcast(qt), Seq("term"))
+    val docsQ = matches.select(col("query_id"), col("doc_id"), col("dl"))
+      .distinct()
+    val qcf = qt.join(cf, Seq("term")) // inner: cf=0 terms drop
+    val denom = (col("dl") + lit(mu)) * lit(sumDl)
+    val bg = docsQ.join(broadcast(qcf), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        qldLn(lit(mu) * col("cf"), denom).cast("decimal(18,9)").as("__m"))
+    val cor = matches.join(broadcast(cf), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (qldLn(col("tf") * lit(sumDl) + lit(mu) * col("cf"), denom)
+          .cast("decimal(18,9)") -
+          qldLn(lit(mu) * col("cf"), denom).cast("decimal(18,9)"))
+          .cast("decimal(18,9)").as("__m"))
+    val scored = bg.unionByName(cor)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("__m")).cast("double"), 6).as("score"))
+    rankTopK(scored, k)
+  }
+
+  /** Inline Dirichlet query-likelihood top-k — the standard complement
+    * to [[bm25TopK]] (same postings lineage, same bounded-heap tail; LM
+    * scoring instead of tf-idf saturation). */
+  def qldTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int, mu: Long = QldMu): DataFrame = {
+    val spark = docs.sparkSession
+    val posts = postings(docs, idCol, textCol)
+    val qt = queryTerms(spark, queries)
+    val cand = termFilter(posts, qt, distinctTerms(queries))
+    val (_, sumDl) = corpusStats(docs, textCol)
+    qldRank(cand, qt, sumDl, mu, k)
+  }
+
+  /** [[qldTopK]] served from the SAME committed inverted index
+    * [[bm25ProbeM]] probes — postings restricted to the batch's terms
+    * (pushed IN / broadcast-semi), collection frequencies summed from
+    * the candidate postings themselves (no extra stored table: cf is a
+    * per-term sum over exactly the rows the probe already reads), |C|
+    * from the corpus segments. `at` pins a version — same release-replay
+    * contract as every served probe. */
+  def qldProbeM(
+      spark: SparkSession, root: String,
+      queries: Seq[(Int, String)], k: Int, mu: Long = QldMu,
+      at: Option[Long] = None): DataFrame = {
+    val snap = at
+      .map(v => IndexManifest.snapshotAt(spark, root, v))
+      .getOrElse(IndexManifest.snapshot(spark, root))
+    val qt = queryTerms(spark, queries)
+    val cand = termFilter(
+      IndexManifest.readAt(spark, root, snap, PostingsTable),
+      qt, distinctTerms(queries))
+    val c = IndexManifest.readAt(spark, root, snap, CorpusTable)
+      .agg(sum(col("sum_dl")).cast("long")).head()
+    qldRank(cand, qt, c.getLong(0), mu, k)
+  }
+
   /** RM3 pseudo-relevance feedback — the published query-expansion
     * recipe (Lavrenko/Croft relevance models, interpolated with the
     * original query as RM3; the default feedback reranker of the

@@ -430,6 +430,7 @@ object Similarity {
   def jlTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int = 16, d: Int = 64): DataFrame = {
+    guardFlatScan(corpus, "jlTopK", "ivfTopKProbed / ivfPqTopK")
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val ref = graft.functions.JlSignsRef.generate(m, d)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
@@ -834,6 +835,72 @@ object Similarity {
       pqCodebook(codewords, idCol, vecCol, m, dsub), idCol, vecCol, k, m, dsub)
   }
 
+  // ---- Flat-scan guard + size-dispatched ANN ---------------------------
+  //
+  // The flat PQ/JL scans are LINEAR in the corpus by design — correct
+  // audit twins at test scale, a scale-killer as the production default
+  // (SCALESOAK prices them at ~6.6×/3.2× per 8× growth). The scaladoc
+  // steering ("the IVF/served paths are the 100 TB defaults") is made a
+  // CONTRACT here: every inline flat entry fails loud when the corpus
+  // plan's estimated size exceeds a byte ceiling, and [[annTopKAuto]] is
+  // the sanctioned dispatcher that routes an over-ceiling corpus to the
+  // cluster-pruned IVF-PQ arm instead. The measure is the optimizer's
+  // `sizeInBytes` statistic — exact file bytes for a parquet-backed
+  // corpus, zero extra jobs (a count() guard would bill every audit call
+  // a corpus scan) — so a 100 TB lake trips the guard at plan time, not
+  // after an hour of scanning.
+
+  /** Byte ceiling for inline flat ANN scans — conf
+    * `spark.graft.ann.flatScanMaxBytes` (default 256 MiB; negative
+    * disables the guard). */
+  def flatScanMaxBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.ann.flatScanMaxBytes",
+      (256L << 20).toString).toLong
+
+  /** The optimizer's size estimate for a frame — the guard's measure,
+    * public so callers (and the 64× soak) can calibrate ceilings. */
+  def planSizeBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  private def guardFlatScan(
+      corpus: DataFrame, op: String, twin: String): Unit = {
+    val cap = flatScanMaxBytes(corpus.sparkSession)
+    if (cap >= 0) {
+      val size = planSizeBytes(corpus)
+      require(size <= cap,
+        s"$op: the corpus plan's estimated $size bytes exceed the flat-" +
+          s"scan ceiling $cap (spark.graft.ann.flatScanMaxBytes) — a flat " +
+          s"scan is linear in the corpus and must not be the dispatch " +
+          s"default at this size. Use $twin (cluster-pruned / persisted-" +
+          "index serve), annTopKAuto (size-dispatched), or raise the conf " +
+          "for a deliberate audit run.")
+    }
+  }
+
+  /** Size-dispatched ANN top-k — the production entry point that makes
+    * the flat-vs-inverted choice a CONTRACT instead of a caller habit:
+    * under the [[flatScanMaxBytes]] ceiling the corpus takes the flat
+    * ADC scan ([[pqTopK]] — exact same scoring family, zero recall loss
+    * from pruning, fine at audit scale); over it, the cluster-pruned
+    * [[ivfPqTopK]] arm scans ~nProbe/C of the code rows instead. Both
+    * arms score by the same global-codebook ADC dot (`by_residual =
+    * false`), so dispatch changes WHICH candidates are scanned, never
+    * how a candidate is scored. Output
+    * `(query_id, neighbor_id, score, rank)` from either arm. */
+  def annTopKAuto(
+      queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codewords: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cap = flatScanMaxBytes(corpus.sparkSession)
+    if (cap < 0 || planSizeBytes(corpus) <= cap)
+      pqTopK(queries, corpus, codewords, idCol, vecCol, k, m, dsub)
+    else
+      ivfPqTopK(queries, corpus, centroids, codewords,
+        idCol, vecCol, k, m, dsub, nProbe)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Column over a library-defined catalyst expression (kernel paths —
     * expressions carrying the driver-collected codebook reference). */
   private def kernelCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
@@ -854,6 +921,7 @@ object Similarity {
   def pqTopKWithCodebook(
       queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
+    guardFlatScan(corpus, "pqTopK", "ivfPqTopK / pqSearchEncoded")
     val ref = graft.functions.PqCodebookRef.fromCodebook(codebook, m, dsub)
     val codes = corpus.select(col(idCol).as("id"),
       kernelCol(graft.functions.PqEncodeCodes(attr(vecCol), ref)).as("codes"))

@@ -145,9 +145,25 @@ object TextAnalysis {
       .groupBy(col(idCol), col("lang"))
       .agg(sum(coalesce(abs(col("drank") - col("lrank")),
         lit(profileK))).cast("long").as("distance"))
-    TopK.perKey(dist, Seq(idCol),
-        Seq(col("distance").asc, col("lang").asc), 1)
-      .select(col(idCol), col("lang").as("predicted"), col("distance"))
+    // argmin + RUNNER-UP in one bounded-heap pass (k=2): `margin` =
+    // distance(second-best) − distance(best), Cavnar–Trenkle's standard
+    // rejection dial — a downstream mix thresholds on it to drop docs
+    // the profiles can't separate (margin 0 = a dead tie, broken to the
+    // smaller lang; NULL = only one candidate language, nothing to
+    // reject against). The rank window runs over the ALREADY-2-row
+    // frame, never the langs×docs grid.
+    val top2 = TopK.perKey(dist, Seq(idCol),
+        Seq(col("distance").asc, col("lang").asc), 2)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("distance").asc, col("lang").asc)))
+    top2.groupBy(col(idCol))
+      .agg(
+        max(when(col("__r") === 1, col("lang"))).as("predicted"),
+        max(when(col("__r") === 1, col("distance"))).as("distance"),
+        max(when(col("__r") === 2, col("distance"))).as("__d2"))
+      .select(col(idCol), col("predicted"), col("distance"),
+        (col("__d2") - col("distance")).as("margin"))
   }
 
   /** Document fingerprint: md5 of the case/punctuation-normalized text

@@ -1910,6 +1910,43 @@ object StreamPipeline {
     }
   }
 
+  /** BYTE-LEVEL BPE tokenization AT INGEST — [[streamingBpeTokenize]]
+    * with the GPT-2 byte encoder below the merge table: merges learned
+    * once over the byte-encoded corpus (frozen at plan time), each
+    * micro-batch runs byte-encode → rank-priority count as one kernel
+    * projection inside `foreachBatch`, batchId-idempotent. Per-doc
+    * independence ⇒ batch union ≡ one-shot — the registry row shares
+    * `text_bpe_bytes`'s oracle. */
+  def streamingBpeBytesTokenize(
+      spark: SparkSession, dir: String, nMerges: Int,
+      maxWords: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val merges = graft.operators.Bpe
+      .learnedMergesBytes(docs, "text", nMerges, maxWords)
+      .map(m => (m._2, m._3))
+    val outDir = Files.createTempDirectory("graft_bpeb_out").toString
+    val ckptDir = Files.createTempDirectory("graft_bpeb_ckpt").toString
+    try {
+      val arrivals = spark.readStream
+        .schema(DocumentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = arrivals.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(graft.operators.Bpe.tokenizeWithMergesBytes(
+            batch.toDF(), "doc_id", "text", merges), outDir, batchId)
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readBatchDirs(spark, outDir, BpeStreamSchema).localCheckpoint(true)
+    } finally {
+      Seq(outDir, ckptDir).foreach(rmTree)
+    }
+  }
+
   private[graft] val UnigramStreamSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_words", LongType),

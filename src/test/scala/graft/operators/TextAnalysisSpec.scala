@@ -299,10 +299,10 @@ class TextAnalysisSpec extends SparkSpec {
       (11L, "xyzxyzxyz"),             // clearly lang "xx"
       (12L, "qqqqqqqq"))              // grams in NEITHER profile
       .toDF("doc_id", "text")
-    val got = TextAnalysis.langIdRank(seed, held, "doc_id", "text", "lang",
+    val out = TextAnalysis.langIdRank(seed, held, "doc_id", "text", "lang",
         profileK = 50, docK = 10)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = out.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(got(0)._1 == 10L && got(0)._2 == "aa")
     assert(got(1)._1 == 11L && got(1)._2 == "xx")
     // all-unknown grams: every DISTINCT doc gram pays profileK per
@@ -310,11 +310,25 @@ class TextAnalysisSpec extends SparkSpec {
     // gram — profiles are rank lists over distinct grams), so both
     // languages tie at 1×50 and the tie breaks to "aa"
     assert(got(2) == ((12L, "aa", 50L)))
+    // MARGIN (the rejection dial): clear docs separate their languages
+    // by a positive runner-up gap; the dead tie reads margin 0 — the
+    // value a downstream threshold must treat as "unidentifiable"
+    val margins = out.map(r =>
+      (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(margins(10L).exists(_ > 0L) && margins(11L).exists(_ > 0L))
+    assert(margins(12L).contains(0L))
     // short/NULL text is absent-unclassifiable
     val none = TextAnalysis.langIdRank(seed,
       Seq((20L, "ab"), (21L, null.asInstanceOf[String])).toDF("doc_id", "text"),
       "doc_id", "text", "lang")
     assert(none.count() == 0)
+    // a SINGLE-language seed has no runner-up: margin is NULL (nothing
+    // to reject against), prediction and distance still well-defined
+    val solo = TextAnalysis.langIdRank(
+      seed.filter($"lang" === "aa"), held.filter($"doc_id" === 10L),
+      "doc_id", "text", "lang", profileK = 50, docK = 10).collect()
+    assert(solo.length == 1 && solo.head.getString(1) == "aa" &&
+      solo.head.isNullAt(3))
   }
 
   test("langIdRank is stable under input re-partitioning") {
