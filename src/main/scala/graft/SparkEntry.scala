@@ -370,5 +370,11 @@ object SparkEntry {
     // volume: BPE train (one wordcount + driver merges) + rank-priority
     // kernel apply, and unigram train (wordcount + driver EM) + Viterbi
     // kernel apply
-    "text_bpe_tokenize", "text_unigram_tokenize")
+    "text_bpe_tokenize", "text_unigram_tokenize",
+    // round 19 — the three new operator families' production shapes:
+    // byte-level BPE (byte-encode + rank-priority kernel, one
+    // projection per word), pHash near-dup (codegen hash + pigeonhole
+    // banded join, the image-dedup pass), and Dirichlet QLD served off
+    // the committed inverted index (candidate-postings probe)
+    "text_bpe_bytes", "dedup_phash", "retrieval_qld_served")
 }
