@@ -310,7 +310,10 @@ object SparkEntry {
     "sim_topk_pq_trained",
     "sim_topk_hash_embed", "sim_topk_ivfpq_residual", "text_chunk",
     "text_bigram_lm", "dedup_edit_distance", "resample_ffill",
-    "dedup_repeated_spans", "dedup_span_strip", "dedup_repeated_token_spans",
+    // (r19: dedup_span_strip rotated out for the new-family rows — its
+    // digest/probe chain stays priced by dedup_repeated_spans +
+    // dedup_spans_incremental_serve, which share the plan class)
+    "dedup_repeated_spans", "dedup_repeated_token_spans",
     "dedup_spans_incremental", "dedup_cross_corpus_indexed",
     // round 11 — the quality gates (single-pass scan shapes; the
     // index-lifecycle registry queries stay off the bench because their
@@ -330,13 +333,16 @@ object SparkEntry {
     // round 15 — the metadata-at-scale scan (codegen'd AV container
     // header parse over every payload) and the DSIR selection pair
     // (histogram + broadcast log-ratio scoring; Gumbel-top-k draw)
+    // (r19: curation_importance_resample rotated out — the DSIR pair's
+    // cost is the weights leg; the Gumbel draw is a result-sized tail)
     "multimodal_av_headers", "curation_importance_weights",
-    "curation_importance_resample",
     // round 15b — the two-stage feedback retrieval SERVE path (RM3 over
     // the committed inverted index: the steady-state expansion cost)
     // and cluster-scoped semantic dedup (kernel assignment + capped
     // within-cluster dominance screen)
-    "retrieval_rm3_served", "dedup_semdedup",
+    // (r19: the uncapped dedup_semdedup rotated out — the capped twin
+    // below is the 100 TB shape and prices the same screen)
+    "retrieval_rm3_served",
     // round 16 — SemDeDup with the maxCluster skew cap engaged (the
     // 100 TB boilerplate-clique shape; the uncapped twin above prices
     // the full dominance screen). The IVF-PQ growing ingest stays off

@@ -150,20 +150,19 @@ object TextAnalysis {
     // rejection dial — a downstream mix thresholds on it to drop docs
     // the profiles can't separate (margin 0 = a dead tie, broken to the
     // smaller lang; NULL = only one candidate language, nothing to
-    // reject against). The rank window runs over the ALREADY-2-row
-    // frame, never the langs×docs grid.
-    val top2 = TopK.perKey(dist, Seq(idCol),
+    // reject against). row_number and lead share ONE window over the
+    // ALREADY-2-row-per-key frame (no aggregate — a string-valued
+    // max-by would plan the SortAggregate this plan bans), never the
+    // langs×docs grid.
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("distance").asc, col("lang").asc)
+    TopK.perKey(dist, Seq(idCol),
         Seq(col("distance").asc, col("lang").asc), 2)
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("distance").asc, col("lang").asc)))
-    top2.groupBy(col(idCol))
-      .agg(
-        max(when(col("__r") === 1, col("lang"))).as("predicted"),
-        max(when(col("__r") === 1, col("distance"))).as("distance"),
-        max(when(col("__r") === 2, col("distance"))).as("__d2"))
-      .select(col(idCol), col("predicted"), col("distance"),
-        (col("__d2") - col("distance")).as("margin"))
+      .withColumn("__r", row_number().over(w))
+      .withColumn("margin", lead(col("distance"), 1).over(w) - col("distance"))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("lang").as("predicted"), col("distance"),
+        col("margin"))
   }
 
   /** Document fingerprint: md5 of the case/punctuation-normalized text

@@ -2996,6 +2996,23 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Release-pinned QLD time travel (completing the postings/served/
+    // pinned lifecycle): v1 indexes only the even docs; HEAD appends
+    // the odd half; the probe pinned at v1 must smooth with v1's
+    // collection statistics — cf from the pinned postings, |C| from the
+    // pinned corpus segments — so the likelihood a release ranked with
+    // replays exactly until vacuum reclaims it.
+    "retrieval_qld_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("qldpin", dir)
+      val v1 = Retrieval.buildIndexM(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      Retrieval.appendIndexM(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", root)
+      Retrieval.qldProbeM(s, root, Bm25Queries, Bm25K, at = Some(v1))
+        .orderBy("query_id", "rank")
+    },
+
     // HYBRID retrieval with reciprocal-rank fusion — the serving shape a
     // real LLM-data pipeline runs: the SAME query batch goes down the
     // lexical leg (BM25 over the persisted inverted index) AND the
@@ -3778,6 +3795,14 @@ object LlmQueries {
             Tables.load(s, dir, "documents"), "text", "doc_id"),
           "payload", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // ... and the fingerprint AT INGEST: every arriving payload carries
+    // its 64-bit pHash into the lake (stateless kernel projection on
+    // the stream); the banded pair join stays a batch job over the
+    // accumulated hashes. Shares the batch oracle.
+    "stream_multimodal_phash" -> q { (s, dir) =>
+      graft.streaming.StreamPipeline.streamingPhash(s, dir)
     },
   )
 
@@ -6392,6 +6417,10 @@ object LlmQueries {
 
     "retrieval_qld" -> QldOracleSql,
     "retrieval_qld_served" -> QldOracleSql,
+    // the pin replays v1's collection statistics: postings, cf, and |C|
+    // all from the even-half corpus
+    "retrieval_qld_pinned" -> QldOracleSql.replace(
+      "FROM documents)", "FROM documents WHERE doc_id % 2 = 0)"),
 
     // Hybrid RRF: the lexical leg replays the text_bm25_topk ranking,
     // the vector leg hash-embeds the SAME query texts and cosine-ranks
@@ -6560,6 +6589,11 @@ object LlmQueries {
     "stream_multimodal_av_headers" -> MultimodalAvHeadersOracle,
 
     "multimodal_phash" ->
+      s"""WITH $PHashOracleCtes
+         SELECT doc_id, phash FROM ph ORDER BY doc_id""",
+
+    // per-row independence: the streamed fingerprint ≡ the batch scan
+    "stream_multimodal_phash" ->
       s"""WITH $PHashOracleCtes
          SELECT doc_id, phash FROM ph ORDER BY doc_id""",
 

@@ -703,6 +703,25 @@ object StreamPipeline {
     runToMemory(parsed, "append", "graft_smmh").orderBy("doc_id")
   }
 
+  /** Perceptual-hash fingerprinting AT INGEST: the integer-DCT pHash
+    * kernel riding a streaming frame — stateless per-row projection, so
+    * every arriving payload carries its 64-bit near-dup fingerprint
+    * into the lake and the banded pair join stays a batch/maintenance
+    * job over the accumulated hashes (the simhash discipline). Shares
+    * `multimodal_phash`'s oracle (per-row independence ⇒ batch union ≡
+    * one-shot). */
+  def streamingPhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val arrivals = spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val hashed = graft.operators.Dedup.phashSigs(
+      graft.operators.Multimodal.attachPayload(arrivals, "text", "doc_id"),
+      "payload", "doc_id")
+    runToMemory(hashed, "append", "graft_smph").orderBy("doc_id")
+  }
+
   /** The audio/video twin of [[streamingMediaHeaders]]: the codegen'd
     * [[graft.functions.AvHeaderKernel]] parse riding a streaming frame —
     * stateless per-row Column algebra, so container metadata (format /
