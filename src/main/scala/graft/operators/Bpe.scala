@@ -589,6 +589,40 @@ object Bpe {
         sum(col("__k")).cast("long").as("n_bpe_tokens"))
   }
 
+  /** Byte-level model store — [[buildBpeModelM]]'s sibling under the
+    * same atomic manifest protocol (a byte-level tokenizer IS its merge
+    * list over byte-encoded symbols; retrain = one expect-guarded swap,
+    * `at` pins the version a release shipped with). Distinct family tag
+    * so a reader can never confuse the two flavors' stores. */
+  def buildBpeBytesModelM(
+      docs: DataFrame, textCol: String, nMerges: Int, maxWords: Int,
+      root: String): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cur = graft.index.IndexManifest.currentVersion(spark, root)
+    val snap =
+      if (cur > 0L) Some(graft.index.IndexManifest.snapshotAt(spark, root, cur))
+      else None
+    val seg = graft.index.IndexManifest.newSegment(MergesTable)
+    learnedMergesBytes(docs, textCol, nMerges, maxWords)
+      .toDF("step", "lhs", "rhs", "pair_count")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.map(_.tables).getOrElse(Map.empty)
+        .updated(MergesTable, Seq(seg)),
+      expect = snap.map(_.version),
+      meta = Map("family" -> "bpebytesmodel"))
+  }
+
+  /** Tokenize against a committed BYTE-LEVEL merge-table version. */
+  def tokenizeBytesM(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      at: Option[Long] = None): DataFrame =
+    tokenizeWithMergesBytes(docs, idCol, textCol, mergesM(spark, root, at))
+
   /** The byte-level N-replace CHAIN apply — oracle's literal form and
     * the kernel's spec twin ([[tokenizeWithMergesChained]] over the
     * byte-encoded word). */

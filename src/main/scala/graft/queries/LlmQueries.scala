@@ -2694,6 +2694,41 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ... the byte-level VERSIONED-tokenizer SERVE path (same manifest
+    // protocol, distinct family tag so the two flavors' stores can
+    // never be confused). Build-if-stale; stored ≡ learned → inline
+    // oracle.
+    "text_bpe_bytes_served" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = serveIndexRoot("bpebmodel", dir)
+      val src = new java.io.File(dir, "documents.parquet")
+      val fresh = graft.index.IndexManifest.lastModified(s, root)
+        .exists(_ >= src.lastModified)
+      if (!fresh) {
+        graft.operators.Bpe.buildBpeBytesModelM(
+          docs, "text", BpeMerges, BpeMaxWords, root)
+        graft.index.IndexManifest.vacuum(s, root): Unit
+      }
+      graft.operators.Bpe.tokenizeBytesM(s, root, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ... and its release pin: v1 trains on the even half, HEAD
+    // retrains full; tokenization pinned at v1 replays v1's byte-level
+    // merge list until vacuum reclaims it.
+    "text_bpe_bytes_pinned" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val root = freshIndexRoot("bpebpin", dir)
+      val v1 = graft.operators.Bpe.buildBpeBytesModelM(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        BpeMerges, BpeMaxWords, root)
+      graft.operators.Bpe.buildBpeBytesModelM(
+        docs, "text", BpeMerges, BpeMaxWords, root)
+      graft.operators.Bpe.tokenizeBytesM(s, root, docs, "doc_id", "text",
+          at = Some(v1))
+        .orderBy("doc_id")
+    },
+
     // The COMPOSED budget unit (r17 verdict ask #4): packed-sequence
     // construction by the SERVED tokenizer's BPE counts — the token
     // accounting a pretraining pipeline actually packs with (a
@@ -6192,6 +6227,11 @@ object LlmQueries {
     "stream_bpe_tokenize" -> BpeTokenizeOracleSql,
     "text_bpe_bytes" -> BpeBytesTokenizeOracleSql,
     "stream_bpe_bytes" -> BpeBytesTokenizeOracleSql,
+    // serve ≡ inline (stored byte-level merges are the learned merges)
+    "text_bpe_bytes_served" -> BpeBytesTokenizeOracleSql,
+    // the pin replays the v1 byte-level tokenizer (even-half training)
+    "text_bpe_bytes_pinned" -> bpeBytesTokenizeOracleSql(
+      "SELECT * FROM documents WHERE doc_id % 2 = 0"),
 
     "text_langid_rank" ->
       """WITH tri AS (
