@@ -604,6 +604,102 @@ object Dedup {
       .distinct() // a pair may share several blocks
   }
 
+  // ---- Persisted pHash index (image near-dup, daily-ingest shape) ------
+
+  private val PhashTable = "phash"
+
+  /** Banded hash rows — `(id, phash, block, block_val)`, one row per
+    * (doc, block): the representation BOTH the persisted index stores
+    * and a probing delta computes inline, so the cross join is a plain
+    * (block, block_val) equi-join. Widths derive from `maxHamming`
+    * exactly as [[phashPairs]] (pigeonhole: ≤ maxHamming differing bits
+    * cannot touch all maxHamming+1 blocks). */
+  private def phashBanded(
+      sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming=$maxHamming out of range")
+    val blocks = maxHamming + 1
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    def width(b: Int) = base + (if (b < rem) 1 else 0)
+    val offsets = (0 until blocks).scanLeft(0)((acc, b) => acc + width(b))
+    sigs.select(col(idCol), col("phash"),
+        explode(array((0 until blocks).map { b =>
+          struct(lit(b).as("block"),
+            shiftright(col("phash"), offsets(b))
+              .bitwiseAND(lit(if (width(b) >= 64) -1L else (1L << width(b)) - 1))
+              .as("block_val"))
+        }: _*)).as("__b"))
+      .select(col(idCol).as("doc_id"), col("phash"),
+        col("__b.block").as("block"), col("__b.block_val").as("block_val"))
+  }
+
+  /** Persist a corpus's banded pHash rows under the manifest protocol —
+    * the standing IMAGE-dedup index a daily ingest probes (the
+    * [[buildLshIndexM]] sibling for the binary-payload modality).
+    * `maxHamming` is part of the index's identity (band widths derive
+    * from it) and is recorded in the manifest meta; probes must use the
+    * same value. ~4 slim rows/payload at the standard threshold 3. */
+  def buildPhashIndexM(
+      df: DataFrame, payloadCol: String, idCol: String,
+      maxHamming: Int, root: String): Long = {
+    val spark = df.sparkSession
+    val seg = graft.index.IndexManifest.newSegment(PhashTable)
+    phashBanded(phashSigs(df, payloadCol, idCol), idCol, maxHamming)
+      .write.mode("overwrite").parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      Map(PhashTable -> Seq(seg)),
+      meta = Map("family" -> "phash", "max_hamming" -> maxHamming.toString))
+  }
+
+  /** Append a delta's banded rows (one new segment, atomic commit) —
+    * the [[appendIndexM]] contract: exact only for delta ids disjoint
+    * from the lake (hash rows are per-doc; re-appending double-counts
+    * nothing arithmetically but would duplicate the doc's pairs). */
+  def appendPhashIndexM(
+      delta: DataFrame, payloadCol: String, idCol: String,
+      maxHamming: Int, root: String): Long = {
+    val spark = delta.sparkSession
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    val seg = graft.index.IndexManifest.newSegment(PhashTable)
+    phashBanded(phashSigs(delta, payloadCol, idCol), idCol, maxHamming)
+      .write.mode("overwrite").parquet(s"$root/$seg")
+    graft.index.IndexManifest.commit(spark, root,
+      snap.tables.updated(PhashTable, snap.tables(PhashTable) :+ seg),
+      expect = Some(snap.version))
+  }
+
+  /** The committed banded rows (HEAD snapshot). */
+  def readPhashIndexM(
+      spark: SparkSession, root: String): DataFrame =
+    graft.index.IndexManifest.readAt(spark, root,
+      graft.index.IndexManifest.snapshot(spark, root), PhashTable)
+
+  /** CROSS-CORPUS image near-dup pairs against the persisted index:
+    * every (delta, lake) pair within hamming ≤ `maxHamming` — exactly
+    * (pigeonhole recall 1.0, both sides banded identically), with NO
+    * intra-delta or intra-lake pairs (a delta deduped against the
+    * standing lake wants the cross edges; [[phashPairs]] owns the
+    * within-corpus job). The delta's banded rows BROADCAST into the
+    * lake scan (bands × |delta| rows — always delta-sized), so the
+    * lake never shuffles: ingest cost tracks the delta, not the
+    * accumulated corpus. Output `(delta_id, lake_id, hamming)`. */
+  def indexedPhashPairs(
+      lakeBanded: DataFrame, delta: DataFrame,
+      payloadCol: String, idCol: String, maxHamming: Int): DataFrame = {
+    val d = phashBanded(phashSigs(delta, payloadCol, idCol), idCol, maxHamming)
+      .withColumnRenamed("doc_id", "delta_id")
+      .withColumnRenamed("phash", "__dh")
+    broadcast(d)
+      .join(lakeBanded.withColumnRenamed("doc_id", "lake_id")
+          .withColumnRenamed("phash", "__lh"),
+        Seq("block", "block_val"))
+      .select(col("delta_id"), col("lake_id"),
+        expr("bit_count(__dh ^ __lh)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may share several blocks
+  }
+
   /** CROSS-CORPUS MinHash near-dup pairs — the daily-ingest shape: every
     * (new, base) candidate whose band hashes collide, scored by the
     * MinHash-estimated Jaccard, with NO pairs within either side (a

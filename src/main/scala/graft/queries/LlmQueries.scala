@@ -2902,6 +2902,21 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ... the margin made LOAD-BEARING (r18 verdict ask #8's purpose):
+    // a curation gate keeps only docs the rank profiles identify with
+    // margin ≥ 100 — Cavnar–Trenkle's rejection dial applied as the
+    // mix's language filter (a dead tie or a narrow gap is exactly the
+    // doc a multilingual mix must NOT route on a guess).
+    "curation_langid_gate" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.langIdRank(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "lang")
+        .filter(col("margin").isNotNull && col("margin") >= 100)
+        .orderBy("doc_id")
+    },
+
     // Document fingerprinting by winnowing (the MOSS scheme): rolling
     // character k-grams → 60-bit hashes → min per sliding window of w →
     // distinct fingerprints. Robust to insertions/reordering beyond a
@@ -3028,6 +3043,21 @@ object LlmQueries {
         graft.index.IndexManifest.vacuum(s, root): Unit
       }
       Retrieval.qldProbeM(s, root, Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")
+    },
+
+    // LEXICAL-ENSEMBLE RRF: BM25 and Dirichlet-QLD rank the same query
+    // batch (two scoring families over one postings lineage — tf-idf
+    // saturation vs smoothed likelihood disagree exactly on the docs
+    // where ensemble rank fusion pays), fused by reciprocal rank — the
+    // rank-only combiner that needs no score normalization. Both legs
+    // are queries×k, so the fusion is result-sized.
+    "retrieval_lexical_rrf" -> q { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Retrieval.rrfFuse(
+          Retrieval.bm25TopK(docs, "doc_id", "text", Bm25Queries, Bm25K),
+          Retrieval.qldTopK(docs, "doc_id", "text", Bm25Queries, Bm25K),
+          Bm25K)
         .orderBy("query_id", "rank")
     },
 
@@ -3838,6 +3868,43 @@ object LlmQueries {
     // accumulated hashes. Shares the batch oracle.
     "stream_multimodal_phash" -> q { (s, dir) =>
       graft.streaming.StreamPipeline.streamingPhash(s, dir)
+    },
+
+    // Image dedup's DAILY-INGEST shape: the lake's banded pHash rows
+    // persist under the manifest protocol; an arriving delta banded-
+    // broadcast-joins them for every CROSS (delta, lake) pair at
+    // hamming ≤ 3 — exactly (pigeonhole both sides), with the lake
+    // never shuffling (ingest cost tracks the delta). Oracle = the
+    // independent delta × lake hamming scan.
+    "dedup_phash_indexed" -> q { (s, dir) =>
+      val pay = Multimodal.attachPayload(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+      val root = freshIndexRoot("phashidx", dir)
+      graft.operators.Dedup.buildPhashIndexM(
+        pay.filter(col("doc_id") % 5 =!= 0), "payload", "doc_id", 3, root)
+      graft.operators.Dedup.indexedPhashPairs(
+          graft.operators.Dedup.readPhashIndexM(s, root),
+          pay.filter(col("doc_id") % 5 === 0), "payload", "doc_id", 3)
+        .orderBy("delta_id", "lake_id")
+    },
+
+    // ... and the GROW leg: half the lake lands at build, the other
+    // half by atomic append; the probe over the grown index must equal
+    // the one-shot build's (shared oracle) — nothing stored is ever
+    // rewritten, so ingest cost is the delta's hash pass alone.
+    "dedup_phash_index_append" -> q { (s, dir) =>
+      val pay = Multimodal.attachPayload(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+      val lake = pay.filter(col("doc_id") % 5 =!= 0)
+      val root = freshIndexRoot("phashgrow", dir)
+      graft.operators.Dedup.buildPhashIndexM(
+        lake.filter(col("doc_id") % 2 === 0), "payload", "doc_id", 3, root)
+      graft.operators.Dedup.appendPhashIndexM(
+        lake.filter(col("doc_id") % 2 =!= 0), "payload", "doc_id", 3, root)
+      graft.operators.Dedup.indexedPhashPairs(
+          graft.operators.Dedup.readPhashIndexM(s, root),
+          pay.filter(col("doc_id") % 5 === 0), "payload", "doc_id", 3)
+        .orderBy("delta_id", "lake_id")
     },
   )
 
@@ -6233,48 +6300,13 @@ object LlmQueries {
     "text_bpe_bytes_pinned" -> bpeBytesTokenizeOracleSql(
       "SELECT * FROM documents WHERE doc_id % 2 = 0"),
 
-    "text_langid_rank" ->
-      """WITH tri AS (
-           SELECT doc_id, lang, substr(text, i, 3) AS gram
-           FROM (SELECT doc_id, lang, text,
-                        unnest(range(1, len(text) - 1)) AS i
-                 FROM documents
-                 WHERE text IS NOT NULL AND len(text) >= 3)),
-         lp AS (
-           SELECT lang, gram, count(*) AS cnt
-           FROM tri WHERE doc_id % 5 <> 0 AND lang IS NOT NULL
-           GROUP BY 1, 2),
-         lpk AS (
-           SELECT lang, gram,
-                  row_number() OVER (PARTITION BY lang
-                    ORDER BY cnt DESC, gram) AS lrank
-           FROM lp
-           QUALIFY lrank <= 100),
-         dp AS (
-           SELECT doc_id, gram, count(*) AS cnt
-           FROM tri WHERE doc_id % 5 = 0
-           GROUP BY 1, 2),
-         dpk AS (
-           SELECT doc_id, gram,
-                  row_number() OVER (PARTITION BY doc_id
-                    ORDER BY cnt DESC, gram) AS drank
-           FROM dp
-           QUALIFY drank <= 20),
-         langs AS (SELECT DISTINCT lang FROM lpk),
-         dist AS (
-           SELECT d.doc_id, l.lang,
-                  sum(coalesce(abs(d.drank - p.lrank), 100))::bigint
-                    AS distance
-           FROM dpk d CROSS JOIN langs l
-           LEFT JOIN lpk p ON p.lang = l.lang AND p.gram = d.gram
-           GROUP BY 1, 2)
-         SELECT doc_id, lang AS predicted, distance,
-           lead(distance) OVER (PARTITION BY doc_id
-             ORDER BY distance, lang) - distance AS margin
-         FROM dist
-         QUALIFY row_number() OVER (PARTITION BY doc_id
-           ORDER BY distance, lang) = 1
-         ORDER BY doc_id""",
+    "text_langid_rank" -> LangidRankOracleSql,
+
+    // the margin made LOAD-BEARING: keep only confidently-identified
+    // docs (margin ≥ 100 — the rejection threshold a mix applies)
+    "curation_langid_gate" ->
+      s"""SELECT * FROM ($LangidRankOracleSql)
+         WHERE margin IS NOT NULL AND margin >= 100 ORDER BY doc_id""",
 
     "text_unigram_pieces" -> uniPiecesOracleSql,
 
@@ -6457,6 +6489,61 @@ object LlmQueries {
 
     "retrieval_qld" -> QldOracleSql,
     "retrieval_qld_served" -> QldOracleSql,
+
+    // lexical ensemble: the BM25 leg is the shared bm25LexOracleCtes
+    // chain; the QLD leg derives cf/|C| from the SAME toks/tf/c CTEs;
+    // fusion is integer-rank reciprocal arithmetic rounded once
+    "retrieval_lexical_rrf" -> {
+      val qterms = Bm25Queries
+        .flatMap { case (qid, text) =>
+          text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+        }
+        .mkString(", ")
+      val mu = Retrieval.QldMu
+      s"""WITH ${bm25LexOracleCtes(qterms)},
+         lex AS (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS lex_rank
+           FROM lexscored QUALIFY lex_rank <= $Bm25K),
+         lcf AS (SELECT term, sum(tf)::bigint AS cf FROM tf GROUP BY 1),
+         lqcf AS (SELECT bq.query_id, bq.term, lcf.cf
+                  FROM bq JOIN lcf USING (term)),
+         lmt AS (SELECT bq.query_id, tf.doc_id, tf.dl, tf.term, tf.tf
+                 FROM bq JOIN tf USING (term)),
+         ldq AS (SELECT DISTINCT query_id, doc_id, dl FROM lmt),
+         lbg AS (
+           SELECT d.query_id, d.doc_id,
+             round(ln(($mu * qc.cf)::double /
+               ((d.dl + $mu) * c.sumdl)::double), 6)::DECIMAL(18,9) AS m
+           FROM ldq d JOIN lqcf qc USING (query_id), c),
+         lcor AS (
+           SELECT m.query_id, m.doc_id,
+             (round(ln((m.tf * c.sumdl + $mu * f.cf)::double /
+                ((m.dl + $mu) * c.sumdl)::double), 6)::DECIMAL(18,9)
+              - round(ln(($mu * f.cf)::double /
+                ((m.dl + $mu) * c.sumdl)::double), 6)::DECIMAL(18,9)
+              )::DECIMAL(18,9) AS m
+           FROM lmt m JOIN lcf f USING (term), c),
+         qscored AS (
+           SELECT query_id, doc_id, round(sum(m)::double, 6) AS score
+           FROM (SELECT * FROM lbg UNION ALL SELECT * FROM lcor)
+           GROUP BY 1, 2),
+         qld AS (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS vec_rank
+           FROM qscored QUALIFY vec_rank <= $Bm25K),
+         fused AS (
+           SELECT query_id, doc_id, l.lex_rank, v.vec_rank,
+             round(coalesce(1.0::double / (60 + l.lex_rank), 0) +
+                   coalesce(1.0::double / (60 + v.vec_rank), 0), 6) AS rrf
+           FROM lex l FULL OUTER JOIN qld v USING (query_id, doc_id))
+         SELECT query_id, doc_id, lex_rank, vec_rank, rrf,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf DESC, doc_id) AS rank
+         FROM fused QUALIFY rank <= $Bm25K ORDER BY query_id, rank"""
+    },
     // the pin replays v1's collection statistics: postings, cf, and |C|
     // all from the even-half corpus
     "retrieval_qld_pinned" -> QldOracleSql.replace(
@@ -6637,6 +6724,11 @@ object LlmQueries {
       s"""WITH $PHashOracleCtes
          SELECT doc_id, phash FROM ph ORDER BY doc_id""",
 
+    // cross pairs only, independent delta × lake hamming scan
+    "dedup_phash_indexed" -> PhashCrossOracleSql,
+    // append ≡ one-shot build (grow-only segments, nothing rewritten)
+    "dedup_phash_index_append" -> PhashCrossOracleSql,
+
     // the INDEPENDENT all-pairs scan — the banded engine join must
     // reproduce it exactly (pigeonhole recall 1.0 at threshold 3)
     "dedup_phash" ->
@@ -6717,6 +6809,59 @@ object LlmQueries {
          WHERE NOT (c.u = 0 AND c.v = 0)
          GROUP BY 1)"""
   }
+
+  private lazy val LangidRankOracleSql: String =
+    """WITH tri AS (
+           SELECT doc_id, lang, substr(text, i, 3) AS gram
+           FROM (SELECT doc_id, lang, text,
+                        unnest(range(1, len(text) - 1)) AS i
+                 FROM documents
+                 WHERE text IS NOT NULL AND len(text) >= 3)),
+         lp AS (
+           SELECT lang, gram, count(*) AS cnt
+           FROM tri WHERE doc_id % 5 <> 0 AND lang IS NOT NULL
+           GROUP BY 1, 2),
+         lpk AS (
+           SELECT lang, gram,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, gram) AS lrank
+           FROM lp
+           QUALIFY lrank <= 100),
+         dp AS (
+           SELECT doc_id, gram, count(*) AS cnt
+           FROM tri WHERE doc_id % 5 = 0
+           GROUP BY 1, 2),
+         dpk AS (
+           SELECT doc_id, gram,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY cnt DESC, gram) AS drank
+           FROM dp
+           QUALIFY drank <= 20),
+         langs AS (SELECT DISTINCT lang FROM lpk),
+         dist AS (
+           SELECT d.doc_id, l.lang,
+                  sum(coalesce(abs(d.drank - p.lrank), 100))::bigint
+                    AS distance
+           FROM dpk d CROSS JOIN langs l
+           LEFT JOIN lpk p ON p.lang = l.lang AND p.gram = d.gram
+           GROUP BY 1, 2)
+         SELECT doc_id, lang AS predicted, distance,
+           lead(distance) OVER (PARTITION BY doc_id
+             ORDER BY distance, lang) - distance AS margin
+         FROM dist
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY distance, lang) = 1
+         ORDER BY doc_id"""
+
+  private lazy val PhashCrossOracleSql: String =
+    s"""WITH $PHashOracleCtes,
+       lake AS (SELECT doc_id, phash FROM ph WHERE doc_id % 5 <> 0),
+       delta AS (SELECT doc_id, phash FROM ph WHERE doc_id % 5 = 0)
+       SELECT d.doc_id AS delta_id, l.doc_id AS lake_id,
+              bit_count(xor(d.phash, l.phash))::int AS hamming
+       FROM delta d JOIN lake l
+         ON bit_count(xor(d.phash, l.phash)) <= 3
+       ORDER BY delta_id, lake_id"""
 
   private lazy val MultimodalHeadersOracle: String =
     """SELECT doc_id,
