@@ -65,6 +65,44 @@ class PHashSpec extends SparkSpec {
     assert(got.contains((100L, 101L, 0)))
   }
 
+  test("persisted index: cross pairs only, append ≡ one-shot build, banded ≡ brute") {
+    import org.apache.spark.sql.functions.col
+    val texts = (0L until 30L).map { i =>
+      (i, s"w${i % 5} w${i % 3} body${i / 6} t${i % 2}")
+    } ++ Seq((100L, "w0 w0 body0 t0"), (101L, "w0 w0 body0 t0"))
+    val pay = payloads(texts)
+    val lake = pay.filter(col("doc_id") % 5 =!= 0)
+    val delta = pay.filter(col("doc_id") % 5 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_phidx").toString
+    Dedup.buildPhashIndexM(lake, "payload", "doc_id", 3, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("delta_id", "lake_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val got = rows(Dedup.indexedPhashPairs(
+      Dedup.readPhashIndexM(spark, root), delta, "payload", "doc_id", 3))
+    // brute cross twin over the signatures
+    val lh = Dedup.phashSigs(lake, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dh = Dedup.phashSigs(delta, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = (for {
+      (di, dv) <- dh; (li, lv) <- lh
+      d = java.lang.Long.bitCount(dv ^ lv) if d <= 3
+    } yield (di, li, d)).sortBy(p => (p._1, p._2))
+    assert(got == brute)
+    // cross only: no intra-delta pair even though 100/101 are exact dups
+    assert(!got.exists(p => p._1 % 5 == 0 && p._2 % 5 == 0))
+    // grow: half-build + append converges to the one-shot build's probe
+    val root2 = java.nio.file.Files.createTempDirectory("graft_phgrow").toString
+    Dedup.buildPhashIndexM(lake.filter(col("doc_id") % 2 === 0),
+      "payload", "doc_id", 3, root2)
+    Dedup.appendPhashIndexM(lake.filter(col("doc_id") % 2 =!= 0),
+      "payload", "doc_id", 3, root2)
+    val grown = rows(Dedup.indexedPhashPairs(
+      Dedup.readPhashIndexM(spark, root2), delta, "payload", "doc_id", 3))
+    assert(grown == got)
+  }
+
   test("maxBucket drops oversize buckets VISIBLY (fewer pairs, never wrong ones)") {
     // 30 identical docs: every (block, val) bucket holds all 30 → a cap
     // of 5 cuts them all; the uncapped run finds the full clique
