@@ -348,6 +348,19 @@ object SkewBench {
         graft.operators.Retrieval.sdmTopK(
           docs, "doc_id", "text", Seq(0 -> "w1 w1"), k = 8)
       },
+      pair("dedup_phash") { sk =>
+        // image near-dup under a 20 % boilerplate clique: identical
+        // payloads hash identically, so every banded bucket the clique
+        // touches goes hot. The production dial is maxBucket — oversize
+        // buckets drop VISIBLY via the broadcast anti-join before the
+        // self-join (exact-dup cliques are [[Dedup.exact]]'s linear
+        // job), so the skewed side pays the bucket census + anti-join,
+        // never the clique's m² pairs.
+        graft.operators.Dedup.phashPairs(
+          graft.operators.Multimodal.attachPayload(
+            documents(spark, nDocs, sk), "text", "doc_id"),
+          "payload", "doc_id", maxHamming = 3, maxBucket = 64)
+      },
       pair("dedup_repeated_spans") { sk =>
         // exact-substring spans under a 20 % boilerplate clique: the hot
         // cluster's grams reach huge doc frequencies, but every stage is
