@@ -112,7 +112,7 @@ class SkewFixtureSpec extends SparkSpec {
     assert(rows.map(_._1) == Seq("o1_last_image", "salted_join",
       "two_phase_agg", "topk_per_key", "dedup_lsh_pairs", "dedup_jaccard",
       "sim_ivf_probe", "semdedup", "prototype_prune", "phrase_probe",
-      "phrase_growing", "sdm_probe", "dedup_repeated_spans"))
+      "phrase_growing", "sdm_probe", "dedup_phash", "dedup_repeated_spans"))
     rows.foreach { case (n, s, u) =>
       assert(s > 0 && u > 0, s"$n produced a non-positive timing")
     }
