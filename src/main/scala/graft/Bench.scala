@@ -105,6 +105,30 @@ object Bench {
     slowVsPrior || spreadNoise
   }
 
+  /** Contended-run prior sweep — the r19 blind-spot closer. That
+    * round's driver artifact was contended-flagged (artifact-wide min
+    * floor), yet a 7.3× environmental spike on `text_unigram_tokenize`
+    * shipped UNTAGGED: the spike sat mid-bracket, both canary readings
+    * around it read under the 1.5× bracket threshold, and the rep gate's
+    * min statistic happened to clear its 1.5×-prior bar on the winning
+    * pass. On a host the canary itself has convicted, attribution
+    * flips: any query whose reported median exceeds its committed-clean
+    * prior median by `factor` is the host's doing until a clean run
+    * proves otherwise, so it joins `contaminated_queries` and the
+    * cross-round comparator excludes it instead of adjudicating it by
+    * hand. NEVER fires on a clean run (`contended=false` → empty) —
+    * genuine regressions keep reaching the comparator through the
+    * clean artifact this sweep defers to. Pure, spec-driven
+    * ([[BenchCanarySpec]]). */
+  def contendedPriorFlagged(
+      contended: Boolean, medians: Seq[(String, Double)],
+      priors: Map[String, Double], factor: Double = 2.0): Seq[String] =
+    if (!contended) Seq.empty
+    else medians.collect {
+      case (name, m) if priors.get(name).exists(p => p > 0 && m > p * factor) =>
+        name
+    }
+
   /** Per-query median priors out of a committed graft.Bench artifact
     * (BENCH_LOCAL.json), used as the [[repContaminated]] denominator.
     * Returns empty when the artifact's `sf` doesn't match the current
@@ -478,7 +502,10 @@ object Bench {
             crossPassConsistent = passes >= 2 && crossPassConsistent(i)) =>
         name
     }
-    val contaminated = (bracketFlagged ++ repFlagged).distinct
+    val contendedFlagged = contendedPriorFlagged(contended,
+      results.map { case (k, v, _, _, _) => (k, v) }, priors)
+    val contaminated =
+      (bracketFlagged ++ repFlagged ++ contendedFlagged).distinct
     // The artifact's series carries every pass's readings with the pass
     // index EXPLICIT and `at` kept pass-local (the query position the
     // reading bracketed). A concatenated p*N+at index collided: pass

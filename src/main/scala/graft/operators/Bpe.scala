@@ -424,13 +424,27 @@ object Bpe {
   }
 
   /** The committed merge list in learning order (`at` pins a version) —
-    * an N-row driver scalar, the model every tokenization plan inlines. */
+    * an N-row driver scalar, the model every tokenization plan inlines.
+    * `expectFamily` guards the flavor: the codepoint and byte-level
+    * stores share this table shape but their merge symbols live in
+    * different alphabets, so a reader pointed at the wrong flavor's
+    * root must fail loud, not tokenize with the wrong table.
+    * [[tokenizeM]] / [[tokenizeBytesM]] always pass their flavor. */
   def mergesM(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      at: Option[Long] = None): Seq[(String, String)] = {
+      at: Option[Long] = None,
+      expectFamily: Option[String] = None): Seq[(String, String)] = {
     val snap = at
       .map(v => graft.index.IndexManifest.snapshotAt(spark, root, v))
       .getOrElse(graft.index.IndexManifest.snapshot(spark, root))
+    for (fam <- expectFamily) {
+      val stored = snap.meta.get("family")
+      require(stored.contains(fam),
+        s"merge store at $root carries family=" +
+          s"${stored.getOrElse("<absent>")} but the reader expected " +
+          s"$fam — codepoint and byte-level merge tables are not " +
+          "interchangeable")
+    }
     graft.index.IndexManifest.readAt(spark, root, snap, MergesTable)
       .orderBy(col("step"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
@@ -441,7 +455,8 @@ object Bpe {
       spark: org.apache.spark.sql.SparkSession, root: String,
       docs: DataFrame, idCol: String, textCol: String,
       at: Option[Long] = None): DataFrame =
-    tokenizeWithMerges(docs, idCol, textCol, mergesM(spark, root, at))
+    tokenizeWithMerges(docs, idCol, textCol,
+      mergesM(spark, root, at, expectFamily = Some("bpemodel")))
 
   /** APPLY learned merges to the corpus — the deployment half: every
     * document's tokens run the rank-priority apply kernel
@@ -621,7 +636,8 @@ object Bpe {
       spark: org.apache.spark.sql.SparkSession, root: String,
       docs: DataFrame, idCol: String, textCol: String,
       at: Option[Long] = None): DataFrame =
-    tokenizeWithMergesBytes(docs, idCol, textCol, mergesM(spark, root, at))
+    tokenizeWithMergesBytes(docs, idCol, textCol,
+      mergesM(spark, root, at, expectFamily = Some("bpebytesmodel")))
 
   /** The byte-level N-replace CHAIN apply — oracle's literal form and
     * the kernel's spec twin ([[tokenizeWithMergesChained]] over the

@@ -567,26 +567,10 @@ object Dedup {
   def phashPairs(
       df: DataFrame, payloadCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 63,
-      s"maxHamming=$maxHamming out of range")
     require(maxBucket > 1, s"maxBucket=$maxBucket would drop every bucket")
-    val blocks = maxHamming + 1
-    // the hash occupies bits 0..62 (63 AC bits; see PHashKernel), but
-    // banding the full 64-bit value keeps widths even and costs nothing
-    val base = 64 / blocks
-    val rem = 64 % blocks
-    def width(b: Int) = base + (if (b < rem) 1 else 0)
-    val offsets = (0 until blocks).scanLeft(0)((acc, b) => acc + width(b))
-    val allBanded = phashSigs(df, payloadCol, idCol)
-      .select(col(idCol), col("phash"),
-        explode(array((0 until blocks).map { b =>
-          struct(lit(b).as("block"),
-            shiftright(col("phash"), offsets(b))
-              .bitwiseAND(lit(if (width(b) >= 64) -1L else (1L << width(b)) - 1))
-              .as("block_val"))
-        }: _*)).as("__b"))
-      .select(col(idCol), col("phash"),
-        col("__b.block").as("block"), col("__b.block_val").as("block_val"))
+    val allBanded =
+      phashBanded(phashSigs(df, payloadCol, idCol), idCol, maxHamming)
+        .withColumnRenamed("doc_id", idCol)
     val banded = (if (maxBucket == Int.MaxValue) allBanded else {
       val hot = allBanded.groupBy(col("block"), col("block_val"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
@@ -609,11 +593,15 @@ object Dedup {
   private val PhashTable = "phash"
 
   /** Banded hash rows — `(id, phash, block, block_val)`, one row per
-    * (doc, block): the representation BOTH the persisted index stores
-    * and a probing delta computes inline, so the cross join is a plain
-    * (block, block_val) equi-join. Widths derive from `maxHamming`
-    * exactly as [[phashPairs]] (pigeonhole: ≤ maxHamming differing bits
-    * cannot touch all maxHamming+1 blocks). */
+    * (doc, block): the SINGLE home of the banding arithmetic, shared by
+    * [[phashPairs]]'s inline self-join, the persisted index's stored
+    * rows, and a probing delta's inline frame — so the equi-join sides
+    * are banded identically by construction. The hash splits into
+    * `maxHamming + 1` disjoint blocks (pigeonhole: ≤ maxHamming
+    * differing bits cannot touch all maxHamming+1 blocks, so hamming-≤
+    * pairs must agree exactly on at least one block). The hash occupies
+    * bits 0..62 (63 AC bits; see PHashKernel), but banding the full
+    * 64-bit value keeps widths even and costs nothing. */
   private def phashBanded(
       sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 63,
@@ -661,6 +649,11 @@ object Dedup {
       maxHamming: Int, root: String): Long = {
     val spark = delta.sparkSession
     val snap = graft.index.IndexManifest.snapshot(spark, root)
+    require(phashMaxHamming(snap, root) == maxHamming,
+      s"index at $root was built with max_hamming=" +
+        s"${phashMaxHamming(snap, root)} but the append banded with " +
+        s"maxHamming=$maxHamming — mixed band widths in one store would " +
+        "silently corrupt every probe's candidate set")
     val seg = graft.index.IndexManifest.newSegment(PhashTable)
     phashBanded(phashSigs(delta, payloadCol, idCol), idCol, maxHamming)
       .write.mode("overwrite").parquet(s"$root/$seg")
@@ -675,6 +668,16 @@ object Dedup {
     graft.index.IndexManifest.readAt(spark, root,
       graft.index.IndexManifest.snapshot(spark, root), PhashTable)
 
+  /** The `max_hamming` an index's rows were banded with — part of the
+    * index's IDENTITY (band widths derive from it), stamped by
+    * [[buildPhashIndexM]] and inherited through every later commit.
+    * Fails loud on a root that never recorded it (not a pHash index). */
+  private def phashMaxHamming(
+      snap: graft.index.IndexManifest.Snapshot, root: String): Int =
+    snap.meta.getOrElse("max_hamming",
+      sys.error(s"index at $root carries no max_hamming meta — " +
+        "not a buildPhashIndexM store")).toInt
+
   /** CROSS-CORPUS image near-dup pairs against the persisted index:
     * every (delta, lake) pair within hamming ≤ `maxHamming` — exactly
     * (pigeonhole recall 1.0, both sides banded identically), with NO
@@ -683,8 +686,15 @@ object Dedup {
     * within-corpus job). The delta's banded rows BROADCAST into the
     * lake scan (bands × |delta| rows — always delta-sized), so the
     * lake never shuffles: ingest cost tracks the delta, not the
-    * accumulated corpus. Output `(delta_id, lake_id, hamming)`. */
-  def indexedPhashPairs(
+    * accumulated corpus. Output `(delta_id, lake_id, hamming)`.
+    *
+    * The manifest-reading [[indexedPhashPairsM]] is the public probe:
+    * it derives `maxHamming` from the store's `max_hamming` meta so a
+    * probe can never band with different block widths than the stored
+    * rows (which would silently miss and fabricate candidates). This
+    * frame-level primitive stays package-private for callers that
+    * already hold validated banded rows. */
+  private[graft] def indexedPhashPairs(
       lakeBanded: DataFrame, delta: DataFrame,
       payloadCol: String, idCol: String, maxHamming: Int): DataFrame = {
     val d = phashBanded(phashSigs(delta, payloadCol, idCol), idCol, maxHamming)
@@ -698,6 +708,22 @@ object Dedup {
         expr("bit_count(__dh ^ __lh)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may share several blocks
+  }
+
+  /** Probe the persisted pHash index at `root` with a delta — the
+    * public cross-corpus entry. `maxHamming` is NOT a parameter: it is
+    * the index's identity, read from the snapshot's `max_hamming` meta,
+    * so the delta's inline banding always matches the stored rows' band
+    * widths. One manifest read serves both the meta and the row
+    * listing (a probe sees one consistent version even under a
+    * concurrent retrain commit). */
+  def indexedPhashPairsM(
+      spark: SparkSession, root: String, delta: DataFrame,
+      payloadCol: String, idCol: String): DataFrame = {
+    val snap = graft.index.IndexManifest.snapshot(spark, root)
+    indexedPhashPairs(
+      graft.index.IndexManifest.readAt(spark, root, snap, PhashTable),
+      delta, payloadCol, idCol, phashMaxHamming(snap, root))
   }
 
   /** CROSS-CORPUS MinHash near-dup pairs — the daily-ingest shape: every

@@ -3882,9 +3882,8 @@ object LlmQueries {
       val root = freshIndexRoot("phashidx", dir)
       graft.operators.Dedup.buildPhashIndexM(
         pay.filter(col("doc_id") % 5 =!= 0), "payload", "doc_id", 3, root)
-      graft.operators.Dedup.indexedPhashPairs(
-          graft.operators.Dedup.readPhashIndexM(s, root),
-          pay.filter(col("doc_id") % 5 === 0), "payload", "doc_id", 3)
+      graft.operators.Dedup.indexedPhashPairsM(s, root,
+          pay.filter(col("doc_id") % 5 === 0), "payload", "doc_id")
         .orderBy("delta_id", "lake_id")
     },
 
@@ -3901,9 +3900,8 @@ object LlmQueries {
         lake.filter(col("doc_id") % 2 === 0), "payload", "doc_id", 3, root)
       graft.operators.Dedup.appendPhashIndexM(
         lake.filter(col("doc_id") % 2 =!= 0), "payload", "doc_id", 3, root)
-      graft.operators.Dedup.indexedPhashPairs(
-          graft.operators.Dedup.readPhashIndexM(s, root),
-          pay.filter(col("doc_id") % 5 === 0), "payload", "doc_id", 3)
+      graft.operators.Dedup.indexedPhashPairsM(s, root,
+          pay.filter(col("doc_id") % 5 === 0), "payload", "doc_id")
         .orderBy("delta_id", "lake_id")
     },
   )

@@ -191,6 +191,25 @@ class BenchCanarySpec extends AnyFunSuite {
       crossPassConsistent = true))
   }
 
+  test("contendedPriorFlagged: the r19 mid-bracket spike is tagged on a contended run only") {
+    // the r19 shape: text_unigram_tokenize spiked 7.3× vs its committed
+    // prior BETWEEN two clean-reading canary brackets, on a run whose
+    // artifact-wide min floor had already fired `contended` — and
+    // shipped untagged. On a convicted host, >2×-of-prior is the host's
+    // doing: the sweep must tag it.
+    val priors = Map("spiky" -> 0.30, "steady" -> 1.00)
+    val medians = Seq("spiky" -> 2.19, "steady" -> 1.05, "unknown" -> 9.0)
+    assert(Bench.contendedPriorFlagged(contended = true, medians, priors) ==
+      Seq("spiky"))
+    // a clean run NEVER fires — a genuine 2× regression must reach the
+    // comparator through the clean artifact, not be pre-excluded here
+    assert(Bench.contendedPriorFlagged(contended = false, medians, priors)
+      .isEmpty)
+    // inside the 2× attribution bar, or prior-less: untouched
+    assert(Bench.contendedPriorFlagged(contended = true,
+      Seq("steady" -> 1.9, "unknown" -> 9.0), priors).isEmpty)
+  }
+
   test("compact line fits the capture window at the CURRENT bench registry size") {
     // the guard this line exists for: when benchQueries grows past the
     // window, this test fails LOUDLY instead of the round artifact

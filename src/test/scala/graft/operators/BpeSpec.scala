@@ -179,6 +179,12 @@ class BpeSpec extends SparkSpec {
           at = Some(v1))) ==
         rows(Bpe.tokenizeWithMerges(corpus, "doc_id", "text",
           Bpe.learnedMerges(half, "text", 3, 100).map(m => (m._2, m._3)))))
+      // flavor guard: a byte-level reader pointed at this codepoint
+      // store fails loud instead of tokenizing with the wrong alphabet
+      val eFam = intercept[IllegalArgumentException] {
+        Bpe.tokenizeBytesM(spark, root, corpus, "doc_id", "text")
+      }
+      assert(eFam.getMessage.contains("bpebytesmodel"))
     } finally {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(root)

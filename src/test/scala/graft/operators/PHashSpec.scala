@@ -78,8 +78,8 @@ class PHashSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("delta_id", "lake_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    val got = rows(Dedup.indexedPhashPairs(
-      Dedup.readPhashIndexM(spark, root), delta, "payload", "doc_id", 3))
+    val got = rows(Dedup.indexedPhashPairsM(
+      spark, root, delta, "payload", "doc_id"))
     // brute cross twin over the signatures
     val lh = Dedup.phashSigs(lake, "payload", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -98,9 +98,16 @@ class PHashSpec extends SparkSpec {
       "payload", "doc_id", 3, root2)
     Dedup.appendPhashIndexM(lake.filter(col("doc_id") % 2 =!= 0),
       "payload", "doc_id", 3, root2)
-    val grown = rows(Dedup.indexedPhashPairs(
-      Dedup.readPhashIndexM(spark, root2), delta, "payload", "doc_id", 3))
+    val grown = rows(Dedup.indexedPhashPairsM(
+      spark, root2, delta, "payload", "doc_id"))
     assert(grown == got)
+    // the store's identity is enforced: an append banded with a
+    // different max_hamming than the build fails loud instead of
+    // silently mixing band widths
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendPhashIndexM(delta, "payload", "doc_id", 2, root2)
+    }
+    assert(err.getMessage.contains("max_hamming"))
   }
 
   test("maxBucket drops oversize buckets VISIBLY (fewer pairs, never wrong ones)") {
