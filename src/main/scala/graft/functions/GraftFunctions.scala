@@ -142,6 +142,24 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_phash(payload) takes one binary argument")
         PHash64(args.head)
+      }),
+    (FunctionIdentifier("graft_synth_bmp"),
+      new ExpressionInfo(classOf[SynthBmp].getName, "graft_synth_bmp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_synth_bmp(id) takes one bigint argument")
+        SynthBmp(args.head)
+      }),
+    (FunctionIdentifier("graft_bmp_tile"),
+      new ExpressionInfo(classOf[BmpLumaTile].getName, "graft_bmp_tile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_bmp_tile(payload) takes one binary argument")
+        BmpLumaTile(args.head)
+      }),
+    (FunctionIdentifier("graft_phash_bmp"),
+      new ExpressionInfo(classOf[PHashBmp].getName, "graft_phash_bmp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_phash_bmp(payload) takes one binary argument")
+        PHashBmp(args.head)
       }))
 
   /** Per-session once: the FIRST call on a session registers with

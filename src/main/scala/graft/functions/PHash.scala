@@ -53,6 +53,15 @@ object PHashKernel {
       p(k) = (b(((k.toLong * SampleStride) % b.length).toInt) & 0xff).toLong
       k += 1
     }
+    hashTile(p)
+  }
+
+  /** DCT + threshold + pack over an 8×8 tile (row-major, 64 values) —
+    * the format-independent half of the recipe, shared by the
+    * stride-sample path above and the real-pixel BMP path
+    * ([[BmpKernel.lumaTile]]): both produce a luminance-like tile, this
+    * turns it into the 63-AC-bit hash. */
+  def hashTile(p: Array[Long]): Long = {
     val c = new Array[Long](64)
     var u = 0
     while (u < 8) {
@@ -77,7 +86,7 @@ object PHashKernel {
       u += 1
     }
     var s = 0L
-    k = 1
+    var k = 1
     while (k < 64) { s += c(k); k += 1 }
     var h = 0L
     k = 1

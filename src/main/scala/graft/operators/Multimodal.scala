@@ -238,4 +238,28 @@ object Multimodal {
     val a = graft.functions.DecodeKernel.decode(bytes)
     a.toFloatArray()
   }
+
+  /** Deterministic 24-bpp BMP payloads ([[graft.functions
+    * .BmpSynthKernel]]) — the corpus's REAL-pixel media stand-in:
+    * actual file bytes (headers, padded BGR rows, top-down and
+    * gap-offset encoding variants, a garbage row every 13th doc) whose
+    * pixel values derive from `(doc_id, x, y)` so the oracle predicts
+    * the decoded plane from the formula alone. */
+  def synthesizeBmpPayloads(df: DataFrame, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("payload",
+      call_function("graft_synth_bmp", col(idCol).cast("long")))
+  }
+
+  /** Decode each BMP payload's 8×8 luminance tile
+    * ([[graft.functions.BmpLumaTile]] — real pixel extraction, pure
+    * byte arithmetic, one codegen projection; NULL for payloads that
+    * are not parseable 24-bpp BMPs). The stage between
+    * [[headerMeta]]'s dimensions-only parse and [[decodeFeatures]]'s
+    * stubbed codec: for THIS format the pipeline is real end to end. */
+  def bmpLumaTiles(withPayload: DataFrame, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(withPayload.sparkSession)
+    withPayload.withColumn("tile",
+      call_function("graft_bmp_tile", col("payload")))
+  }
 }

@@ -3834,6 +3834,40 @@ object LlmQueries {
       graft.streaming.StreamPipeline.streamingAvHeaders(s, dir)
     },
 
+    // REAL pixel extraction — uncompressed 24-bpp BMP, the one image
+    // format recoverable with pure byte arithmetic: deterministic BMP
+    // payloads (id-derived dimensions and RGB formula; encodings vary
+    // adversarially — bottom-up AND top-down row order, gap bytes
+    // before the pixel array, garbage every 13th doc) parsed back to
+    // the 8×8 box-filtered luminance tile inside WholeStageCodegen.
+    // The oracle knows only the pixel FORMULA, never the file bytes:
+    // a parser that ignores the row-order sign, the declared pixel
+    // offset, the 4-byte row padding, or BGR order breaks the rows the
+    // corresponding encoding variant lands on.
+    "multimodal_bmp_pixels" -> q { (s, dir) =>
+      Multimodal.bmpLumaTiles(
+          Multimodal.synthesizeBmpPayloads(
+            Tables.load(s, dir, "documents").select("doc_id"), "doc_id"),
+          "doc_id")
+        .filter(col("tile").isNotNull)
+        .select(col("doc_id"), posexplode(col("tile")).as(Seq("k", "lum")))
+        .orderBy("doc_id", "k")
+    },
+
+    // ... and pHash over those DECODED pixels — for this format the
+    // published pipeline is real end to end: decode → luminance tile →
+    // integer DCT → 63 AC sign bits, one codegen projection. The
+    // stride-sampling stand-in remains the path for opaque payloads.
+    "multimodal_phash_bmp" -> q { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Multimodal.synthesizeBmpPayloads(
+          Tables.load(s, dir, "documents").select("doc_id"), "doc_id")
+        .select(col("doc_id"),
+          call_function("graft_phash_bmp", col("payload")).as("phash"))
+        .filter(col("phash").isNotNull)
+        .orderBy("doc_id")
+    },
+
     // Integer-DCT perceptual hash per payload — the published pHash
     // recipe (8×8 tile → 2-D DCT → sign-of-AC-vs-mean bits) in all-Long
     // arithmetic, as one codegen projection over the payload scan. The
@@ -6736,6 +6770,20 @@ object LlmQueries {
          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.phash, b.phash)) <= 3
          ORDER BY id_a, id_b""",
+
+    // the decoded plane predicted from the pixel FORMULA alone — the
+    // oracle never parses a file byte, so writer/parser slips can't
+    // cancel (and the encoding variants make each layout rule
+    // load-bearing on its own rows)
+    "multimodal_bmp_pixels" ->
+      s"""WITH $BmpTileOracleCtes
+         SELECT doc_id, k, lum FROM tile ORDER BY doc_id, k""",
+
+    // real-pixel pHash: formula tile → the same interpolated-basis DCT
+    // and AC-bit pack as the stride-sample oracle
+    "multimodal_phash_bmp" ->
+      s"""WITH $BmpPhashOracleCtes
+         SELECT doc_id, phash FROM ph ORDER BY doc_id""",
   )
 
   /** The id arithmetic [[graft.operators.Multimodal
@@ -6793,6 +6841,55 @@ object LlmQueries {
          SELECT doc_id, bu.u AS u, bv.u AS v,
                 sum(p.p * bu.t * bv.t)::bigint AS c
          FROM pix p
+         JOIN basis bu ON bu.x = p.k // 8
+         JOIN basis bv ON bv.x = p.k % 8
+         GROUP BY 1, 2, 3),
+       acs AS (SELECT doc_id, sum(c)::bigint AS s FROM coef
+               WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+       ph AS (
+         SELECT c.doc_id,
+           sum(CASE WHEN 63 * c.c > a.s
+               THEN (1::BIGINT << (8 * c.u + c.v - 1))
+               ELSE 0::BIGINT END)::bigint AS phash
+         FROM coef c JOIN acs a USING (doc_id)
+         WHERE NOT (c.u = 0 AND c.v = 0)
+         GROUP BY 1)"""
+  }
+
+  /** Shared BMP CTEs through `tile(doc_id, k, lum)` — the decoded
+    * 8×8 luminance tile predicted from [[graft.functions
+    * .BmpSynthKernel]]'s pixel formula (id-derived dimensions, RGB
+    * channel arithmetic, BT.601 integer luminance, box-filter cell
+    * assignment `(y·8/h, x·8/w)` with integer division), never from the
+    * file bytes. Garbage docs (id % 13 = 6) are the engine's NULL rows
+    * and are excluded here. All-integer — bit-exact by construction. */
+  private lazy val BmpTileOracleCtes: String =
+    """wh AS (SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 11 AS h
+              FROM documents WHERE doc_id % 13 <> 6),
+       px AS (SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+                (77*((doc_id*3 + gx.x*7 + gy.y*11) % 256)
+               + 150*((doc_id*5 + gx.x*13 + gy.y*17) % 256)
+               + 29*((doc_id*7 + gx.x*19 + gy.y*23) % 256)) // 256 AS lum
+              FROM wh,
+                   LATERAL (SELECT unnest(range(0, w)) AS x) gx,
+                   LATERAL (SELECT unnest(range(0, h)) AS y) gy),
+       tile AS (SELECT doc_id, (8*((y*8)//h) + (x*8)//w)::int AS k,
+                       (sum(lum) // count(*))::bigint AS lum
+                FROM px GROUP BY doc_id, (8*((y*8)//h) + (x*8)//w))"""
+
+  /** [[BmpTileOracleCtes]] extended through `ph(doc_id, phash)` — the
+    * formula tile run through the SAME interpolated-basis DCT and
+    * 63-AC-bit pack as [[PHashOracleCtes]] (one arithmetic, two tile
+    * sources). */
+  private lazy val BmpPhashOracleCtes: String = {
+    val basis = graft.functions.PHashKernel.basisRows
+      .map { case (u, x, t) => s"($u, $x, $t)" }.mkString(", ")
+    s"""basis(u, x, t) AS (VALUES $basis),
+       $BmpTileOracleCtes,
+       coef AS (
+         SELECT doc_id, bu.u AS u, bv.u AS v,
+                sum(p.lum * bu.t * bv.t)::bigint AS c
+         FROM tile p
          JOIN basis bu ON bu.x = p.k // 8
          JOIN basis bv ON bv.x = p.k % 8
          GROUP BY 1, 2, 3),

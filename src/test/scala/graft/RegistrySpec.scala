@@ -25,7 +25,7 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("registry size matches the documented count") {
-    assert(SparkEntry.queries.size == 269,
+    assert(SparkEntry.queries.size == 271,
       s"registry has ${SparkEntry.queries.size} queries — update this pin " +
         "AND SURVEY §2.1 together")
   }
