@@ -106,15 +106,18 @@ object Daemon {
       val conn = java.sql.DriverManager.getConnection(cfg.sink, props)
       try observedCatalog(conn) finally conn.close()
     }
+    // The source seam: a mongodb:// `inp` URI selects the live connector
+    // binding; the harness binding reads the parquet snapshots + oplog
+    // segment dirs the sandbox provides.
+    val source = graft.sources.SourceProvider.forConfig(
+      spark, cfg.source, args.snapshotDir, args.segmentsDir)
     val query = repl.run(
       observed,
-      snapshotSource = spec =>
-        spark.read.parquet(s"${args.snapshotDir}/${spec.name}.parquet"),
+      source,
       sinkIds = spec =>
         spark.read.format("jdbc")
           .option("url", cfg.sink).option("dbtable", spec.name).load()
           .select(spec.pk),
-      segmentsDir = args.segmentsDir,
       checkpointDir = args.checkpointDir,
       force = args.force,
       zerop = args.zerop)

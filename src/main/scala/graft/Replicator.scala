@@ -103,7 +103,30 @@ class Replicator(
       segmentsDir: String,
       checkpointDir: String,
       force: Boolean = false,
-      zerop: Boolean = false): StreamingQuery = {
+      zerop: Boolean = false): StreamingQuery =
+    run(observed,
+      new graft.sources.SourceProvider {
+        override def snapshot(spec: TableSpec): DataFrame = snapshotSource(spec)
+        override def changes(replicated: Set[String], afterTs: Long): DataFrame =
+          graft.sources.ChangeFeed.readBatch(spark, segmentsDir, replicated, afterTs)
+        override def changeStream(replicated: Set[String], afterTs: Long): DataFrame =
+          graft.sources.ChangeFeed.readStream(spark, segmentsDir, replicated, afterTs)
+      },
+      sinkIds, checkpointDir, force, zerop)
+
+  /** The [[run]] primitive against the [[graft.sources.SourceProvider]]
+    * seam — snapshots, the pin scan, and the streaming tail all come
+    * from ONE provider, so swapping the parquet harness for the live
+    * Mongo binding ([[graft.sources.MongoSourceProvider]]) changes no
+    * lifecycle logic. The lambda overload above wraps ad-hoc test
+    * sources into a provider and delegates here. */
+  def run(
+      observed: SchemaSync.Catalog,
+      source: graft.sources.SourceProvider,
+      sinkIds: TableSpec => DataFrame,
+      checkpointDir: String,
+      force: Boolean,
+      zerop: Boolean): StreamingQuery = {
     ensureStateTable()
     val stored = withConn(UpsertWriter.readOffset(_, dialect)).getOrElse(0L)
     val fromScratch = stored == 0L || zerop
@@ -123,13 +146,13 @@ class Replicator(
       // conf-change resync keeps the old offset anyway.
       val pinTs: Option[Long] = if (fromScratch) {
         val replicated = config.tables.map(t => dbName + "." + t.name).toSet
-        val pinRow = ChangeFeed.readBatch(spark, segmentsDir, replicated, 0L)
+        val pinRow = source.changes(replicated, 0L)
           .agg(max(col("ts"))).collect()(0)
         Some(if (pinRow.isNullAt(0)) 0L else pinRow.getLong(0))
       } else None
       config.tables.foreach { spec =>
         if (resync.getOrElse(spec.name, Set.empty).nonEmpty) {
-          val src = snapshotSource(spec)
+          val src = source.snapshot(spec)
           snapshot(spec, src)
           deleteOrphans(spec,
             sourceIds = src.select(col(spec.pk)),
@@ -150,8 +173,9 @@ class Replicator(
     // boundary-ts sibling appended after the stop — the loss the apply
     // guard (skipBelowTs) exists to prevent. Boundary ops the stream
     // re-reads re-apply idempotently.
-    startStream(segmentsDir, checkpointDir,
-      afterTs = if (resume == 0L) 0L else resume - 1)
+    startStream(source, checkpointDir,
+      afterTs = if (resume == 0L) 0L else resume - 1,
+      quarantineRule = None)
   }
 
   /** Entry point B: snapshot one table from a source frame. */
@@ -184,12 +208,21 @@ class Replicator(
     * Each micro-batch: decode → repartition by (table, key) → apply each
     * key's ops in ts order on the executor → co-commit the max offset. */
   def startStream(segmentsDir: String, checkpointDir: String, afterTs: Long = 0L,
-      quarantineRule: Option[org.apache.spark.sql.Column] = None): StreamingQuery = {
+      quarantineRule: Option[org.apache.spark.sql.Column] = None): StreamingQuery =
+    startStream(
+      new graft.sources.ParquetHarnessProvider(spark, segmentsDir, segmentsDir),
+      checkpointDir, afterTs, quarantineRule)
+
+  /** [[startStream]] against the provider seam (the primitive the
+    * segment-dir overload wraps). */
+  def startStream(source: graft.sources.SourceProvider, checkpointDir: String,
+      afterTs: Long,
+      quarantineRule: Option[org.apache.spark.sql.Column]): StreamingQuery = {
     // every batch reads and co-commits the offset — the state table must
     // exist even when startStream is the first entry point called
     ensureStateTable()
     val replicated = config.tables.map(t => dbName + "." + t.name).toSet
-    val feed = ChangeFeed.readStream(spark, segmentsDir, replicated, afterTs)
+    val feed = source.changeStream(replicated, afterTs)
     val decoded = ChangeFeed.decode(feed, replicated)
     val url = sinkUrl; val props = sinkProps; val specs = config.tables
     val dl = dialect
