@@ -128,4 +128,134 @@ class UpsertWriterRuntimeSpec extends SparkSpec {
     val after = MemJdbc.table("db3", UpsertWriter.StateTable)("timestamp")("value")
     assert(new String(after.asInstanceOf[Array[Byte]], "UTF-8") == "12345")
   }
+
+  // ---- Statement-class coverage table -------------------------------
+  //
+  // Every statement class the MySqlDialect emits, its golden-pinned
+  // MySQL grammar marker, and its Derby-EXECUTED analog — run right
+  // here against embedded Derby so "no real MySQL in the sandbox" never
+  // leaves a statement class that only a golden string has seen:
+  //
+  //   | class              | MySQL grammar (goldens)      | executed analog     |
+  //   |--------------------|------------------------------|---------------------|
+  //   | upsert-full        | INSERT…ON DUPLICATE KEY…     | Derby MERGE (here)  |
+  //   | upsert-partial     | ODKU subset assignments      | Derby MERGE (here)  |
+  //   | upsert-key-only    | ODKU pk=VALUES(pk) no-op     | MERGE w/o MATCHED   |
+  //   | delete             | DELETE WHERE pk=?            | same class (here)   |
+  //   | offset-upsert      | ODKU on state table          | Derby MERGE (here)  |
+  //   | read-offset        | SELECT value WHERE name=…    | executed (here)     |
+  //   | ensure-state       | CREATE TABLE IF NOT EXISTS   | create-or-swallow   |
+  //   | ddl-create-table   | CREATE TABLE `t` (…)         | executed (here)     |
+  //   | ddl-drop-table     | DROP TABLE `t`               | executed (here)     |
+  //   | ddl-add-column     | ALTER…ADD COLUMN             | executed (here)     |
+  //   | ddl-drop-column    | ALTER…DROP COLUMN            | executed+RESTRICT   |
+  //   | ddl-reorder-column | ALTER…CHANGE…AFTER           | INERT BY DESIGN     |
+  //
+  // ReorderColumn is the one deliberate hole: column order carries no
+  // data semantics (the reference reorders unconditionally,
+  // mysql.go:267-285), Derby cannot express it, and DerbyRuntimeSpec's
+  // D1 test proves the plan still CONVERGES with reorders skipped — so
+  // its executed analog is the proof that skipping is safe, not a
+  // statement. The DDL arm below is an EXHAUSTIVE match on the sealed
+  // Ddl trait: a new DDL class fails this test until it is added to the
+  // table with an executed analog or a documented exemption.
+  test("statement-class coverage: every MySqlDialect statement class executes on Derby") {
+    val url = "jdbc:derby:memory:graftcov;create=true"
+    val conn = java.sql.DriverManager.getConnection(url, new Properties())
+    try {
+      val cov = TableSpec("cov_users", Seq(
+        ColumnSpec("name", "varchar(100)"), ColumnSpec("visits", "bigint")))
+      def exec(st: SinkStatement, vals: Map[String, Any]): Unit = {
+        val ps = conn.prepareStatement(st.sql)
+        try {
+          st.params.zipWithIndex.foreach { case (c, i) =>
+            ps.setObject(i + 1, vals(c))
+          }
+          ps.executeUpdate()
+        } finally ps.close()
+      }
+      def row(id: String): Option[(String, Any)] = {
+        val ps = conn.prepareStatement(
+          """SELECT "name", "visits" FROM "cov_users" WHERE "_id" = ?""")
+        try {
+          ps.setString(1, id)
+          val rs = ps.executeQuery()
+          if (rs.next()) Some((rs.getString(1), rs.getObject(2))) else None
+        } finally ps.close()
+      }
+      def ddlClass(d: SchemaSync.Ddl): String = d match { // EXHAUSTIVE (sealed)
+        case _: SchemaSync.CreateTable => "ddl-create-table"
+        case _: SchemaSync.DropTable => "ddl-drop-table"
+        case _: SchemaSync.AddColumn => "ddl-add-column"
+        case _: SchemaSync.DropColumn => "ddl-drop-column"
+        case _: SchemaSync.ReorderColumn => "ddl-reorder-column"
+      }
+      def runDdl(d: SchemaSync.Ddl): Unit = {
+        assert(MySqlDialect.renderDdl(d).contains(d.sql)) // grammar verbatim
+        conn.prepareStatement(DerbyDialect.renderDdl(d).get).executeUpdate()
+      }
+
+      // ddl-create-table + ddl-add-column (executed; grammar pinned)
+      try conn.prepareStatement("""DROP TABLE "cov_users"""").executeUpdate()
+      catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+      runDdl(SchemaSync.CreateTable("cov_users", "_id"))
+      runDdl(SchemaSync.AddColumn("cov_users", "name", "varchar(100)"))
+      runDdl(SchemaSync.AddColumn("cov_users", "visits", "bigint"))
+
+      // upsert-full: insert, then conflicting re-upsert must UPDATE
+      assert(UpsertWriter.upsertSql(cov).contains("ON DUPLICATE KEY UPDATE"))
+      exec(DerbyDialect.upsertAll(cov),
+        Map("_id" -> "u1", "name" -> "ann", "visits" -> 3L))
+      exec(DerbyDialect.upsertAll(cov),
+        Map("_id" -> "u1", "name" -> "anne", "visits" -> 5L))
+      assert(row("u1").contains(("anne", 5L)))
+
+      // upsert-partial: only the present column changes, siblings survive
+      assert(UpsertWriter.partialUpsertSql(cov, Seq("name"))
+        .contains("`name`=VALUES(`name`)"))
+      exec(DerbyDialect.upsert(cov, Seq("name")),
+        Map("_id" -> "u1", "name" -> "annette"))
+      assert(row("u1").contains(("annette", 5L)))
+
+      // upsert-key-only: inserts the bare key; a replay is a no-op
+      exec(DerbyDialect.upsert(cov, Seq.empty), Map("_id" -> "u2"))
+      exec(DerbyDialect.upsert(cov, Seq.empty), Map("_id" -> "u2"))
+      assert(row("u2").contains((null, null)))
+
+      // delete
+      assert(UpsertWriter.deleteSql(cov).startsWith("DELETE FROM `cov_users`"))
+      exec(DerbyDialect.delete(cov), Map("_id" -> "u2"))
+      assert(row("u2").isEmpty)
+
+      // ensure-state (idempotent), offset-upsert, read-offset
+      DerbyDialect.ensureStateTable(conn)
+      DerbyDialect.ensureStateTable(conn)
+      assert(UpsertWriter.offsetUpsertSql.contains("ON DUPLICATE KEY UPDATE"))
+      UpsertWriter.commitOffset(conn, 42L, DerbyDialect)
+      UpsertWriter.commitOffset(conn, 43L, DerbyDialect) // MATCHED branch
+      assert(UpsertWriter.readOffset(conn, DerbyDialect).contains(43L))
+
+      // ddl-drop-column, ddl-drop-table (executed)
+      runDdl(SchemaSync.DropColumn("cov_users", "visits"))
+      runDdl(SchemaSync.DropTable("cov_users"))
+
+      // ddl-reorder-column: MySQL renders CHANGE…AFTER verbatim; Derby is
+      // inert BY DESIGN (convergence with reorders skipped is proven by
+      // DerbyRuntimeSpec's D1 test)
+      val ro = SchemaSync.ReorderColumn("cov_users", "name", "varchar(100)", "_id")
+      assert(MySqlDialect.renderDdl(ro).exists(s =>
+        s.contains("CHANGE") && s.contains("AFTER")))
+      assert(DerbyDialect.renderDdl(ro).isEmpty)
+
+      // the DDL table is complete: every sealed subclass has a row above
+      assert(Seq(
+        SchemaSync.CreateTable("t"), SchemaSync.DropTable("t"),
+        SchemaSync.AddColumn("t", "c", "bigint"),
+        SchemaSync.DropColumn("t", "c"),
+        SchemaSync.ReorderColumn("t", "c", "bigint", "p"))
+        .map(ddlClass).toSet == Set(
+          "ddl-create-table", "ddl-drop-table", "ddl-add-column",
+          "ddl-drop-column", "ddl-reorder-column"))
+    } finally conn.close()
+  }
 }
