@@ -526,6 +526,48 @@ object Similarity {
     require(lambdaNum >= 0 && lambdaDen > 0 && lambdaNum <= lambdaDen,
       s"lambda=$lambdaNum/$lambdaDen must be in [0, 1]")
     graft.functions.GraftFunctions.register(candIn.sparkSession)
+    // r20: the greedy is per-query data by construction, so the whole
+    // selection fuses into ONE aggregate + kernel projection
+    // ([[graft.functions.MmrSelect]] — bit-equivalence contract there,
+    // pinned by MmrKernelSpec and the mmr oracle rows): collect the pool
+    // per query, select in one pass, explode the picks. The k-step
+    // cascade below (k−1 sequential anti-join/aggregate/window jobs,
+    // each localCheckpointed) measured ~2 s of retrieval_mmr_served's
+    // 3 s median in driver gaps between ~5 tiny jobs per step; the
+    // fused form is one exchange and one job. The cascade is kept as
+    // the reference twin for pools whose column types the kernel does
+    // not read (the registry paths are all long ids / double rel / int
+    // rank / float vectors).
+    val s = candIn.schema
+    val kernelShaped =
+      s("neighbor_id").dataType == org.apache.spark.sql.types.LongType &&
+        s("rel").dataType == org.apache.spark.sql.types.DoubleType &&
+        s("rank").dataType == org.apache.spark.sql.types.IntegerType &&
+        (s("__cv").dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _) => true
+          case _ => false
+        })
+    if (kernelShaped) {
+      return candIn
+        .groupBy(col("query_id"))
+        .agg(collect_list(struct(col("neighbor_id"), col("rel"),
+          col("rank"), col("__cv"))).as("__pool"))
+        .select(col("query_id"),
+          explode(kernelCol(graft.functions.MmrSelect(
+            attr("__pool"), k, lambdaNum, lambdaDen))).as("__s"))
+        .select(col("query_id"), col("__s.neighbor_id").as("neighbor_id"),
+          col("__s.rel").as("rel"), col("__s.mmr_rank").as("mmr_rank"))
+    }
+    mmrGreedyCascade(candIn, k, lambdaNum, lambdaDen)
+  }
+
+  /** The original k-step greedy cascade — the reference twin the fused
+    * kernel above must agree with (MmrKernelSpec drives both on the
+    * same pools), and the fallback for pool column types the kernel
+    * does not read. */
+  private[operators] def mmrGreedyCascade(
+      candIn: DataFrame, k: Int, lambdaNum: Int, lambdaDen: Int): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,6)")
     val cand = candIn.localCheckpoint()
     // step 1: pure-relevance argmax — the pool's rank-1 row
