@@ -444,16 +444,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("MMR final assembly is pool-grain only: no corpus scan below the union") {
-    // the greedy cascade runs over the localCheckpoint'ed pool and
-    // checkpointed per-step picks — the assembled registry plan must be
-    // a union of materialized leaves, never a re-derivation of the
-    // corpus scan or the stage-1 search (the 2^k-cascade regression
-    // this shape exists to prevent)
+  test("MMR selection is one fused kernel pass: stage-1 derived once, no cascade") {
+    // r20 fusion: the k-step greedy collapses into ONE collect_list pool
+    // aggregate + ONE MmrSelect kernel projection per query — the whole
+    // selection is a single lazy plan. The regression classes this pins:
+    //  - the kernel must BE in the plan (a silent fallback to the
+    //    cascade twin re-introduces k-1 sequential checkpointed jobs);
+    //  - the stage-1 search (TopKPerKeyFinal) must appear EXACTLY once
+    //    (the 2^k re-derivation cascade this shape replaced);
+    //  - no Union of per-step frames (the cascade's assembly);
+    //  - the pool aggregate stays hash-based (a SortAggregate flip
+    //    sorts the candidate stream — the classic scale killer).
     val p = plan("sim_topk_mmr")
-    assert(!p.contains("Scan parquet"), s"corpus scan re-derived under the union:\n$p")
-    assert(p.contains("Scan ExistingRDD"), "checkpointed pool leaves missing")
-    assert(!p.contains("TopKPerKey"), "stage-1 search re-derived in the final plan")
+    assert(p.contains("graft_mmr_select"), s"MMR kernel missing — cascade fallback:\n$p")
+    assert("TopKPerKeyFinal".r.findAllIn(p).size == 1,
+      s"stage-1 search must be derived exactly once:\n$p")
+    assert(!p.contains("Union"), s"per-step union cascade re-appeared:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"pool aggregate not hash-based:\n$p")
   }
 
   test("sdm: one cached positional scan feeds all three components; pair stats broadcast") {
