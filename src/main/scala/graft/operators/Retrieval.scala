@@ -533,50 +533,101 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score"))
 
     // feedback relevance model: w(t|q) ∝ Σ_{d∈fb(q)} (tf/dl)·score_d;
-    // the fb frame is queries×fbDocs rows — broadcast into the postings
+    // the fb frame is queries×fbDocs rows — broadcast into the postings.
+    // r20: ONE exchange serves the weight aggregate AND the top-fbTerms
+    // heap — the explicit repartition(query_id) satisfies both the
+    // groupBy's ClusteredDistribution((query_id, term)) (subset rule)
+    // and TopKPerKey's (query_id). Skew-safe: the frame is the feedback
+    // docs' term vectors, bounded by queries × fbDocs documents.
     val fbw = posts
       .join(broadcast(fb), Seq("doc_id"))
       .select(col("query_id"), col("term"),
         round(col("tf") / col("dl") * col("score"), 6)
           .cast("decimal(38,10)").as("c"))
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("term"))
       .agg(round(sum(col("c")).cast("double"), 6).as("fbw"))
     val selected = TopK.perKey(fbw, Seq("query_id"),
       Seq(col("fbw").desc, col("term").asc), fbTerms)
-    // normalize the selected feedback weights per query (decimal sum,
-    // one double division)
-    val norm = selected
-      .withColumn("__s", sum(col("fbw").cast("decimal(38,10)"))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))).cast("double"))
-      .select(col("query_id"), col("term"),
-        round(col("fbw") / col("__s"), 6).as("fbw_n"))
 
+    // r20: the selected feedback set is CONTRACT-SMALL — at most
+    // queries × fbTerms rows, both caller parameters (the
+    // centroid/codebook collect class) — so normalization and the
+    // original-query interpolation fold on the DRIVER, and stage 2's
+    // term restriction becomes a LITERAL `IN` pushed into the
+    // term-clustered parquet scan whenever the expanded set fits the
+    // same isinTermCap that governs termFilter (over-cap batches keep
+    // the broadcast semi-join shape below). This replaced a lazy chain
+    // of window + full-outer SMJ + distinct whose ~5 extra exchanges
+    // were pure plan latency at every batch size, and whose broadcast
+    // semi-join kept stage 2's scan unpruned. Bit-equality with the old
+    // frame chain is exact-arithmetic, not float luck: every step
+    // below replays the identical decimal ops on the identical values
+    // (shortest-string double→BigDecimal = Spark's Cast/Round path).
+    val selRows = selected.select(col("query_id"), col("term"), col("fbw"))
+      .collect()
+    def round6(x: Double): Double =
+      // Spark's Round(double) passes NaN/Inf through untouched
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // per query: s = Σ fbw as exact decimal(·,10) cast to double (the
+    // old window's sum), then fbw_n = round6(fbw / s)
+    val fbByQ = selRows.groupBy(_.getInt(0))
+    val fbwN: Map[(Int, String), Double] = fbByQ.toSeq.flatMap {
+      case (qid, rows) =>
+        val s = rows.map(r => java.math.BigDecimal.valueOf(r.getDouble(2))
+            .setScale(10, java.math.RoundingMode.HALF_UP))
+          .reduce(_.add(_)).doubleValue
+        rows.toSeq.map(r =>
+          (qid, r.getString(1)) -> round6(r.getDouble(2) / s))
+    }.toMap
     // interpolate with the original query: each original term carries
-    // alpha/|q| (pre-rounded driver-side so both engines read the same
-    // literal), feedback terms carry (1-alpha)·fbw_n. The interpolation
-    // runs in EXACT DECIMAL: wq + (1-α)·fbw_n is an exact ≤8-dp decimal
-    // whose 7th digit is 5 half the time (whenever fbw_n's 6th digit is
-    // odd at α = ½) — a double round there is engine-dependent on
-    // every such tie, so the one rounding happens on the exact decimal,
-    // where HALF_UP ties agree across engines by definition.
-    val origW = originalTermWeights(spark, queries, alpha)
-    val oneMinusAlpha = lit(java.math.BigDecimal.valueOf(1.0 - alpha))
-    val expanded = origW.join(norm, Seq("query_id", "term"), "full_outer")
-      .select(col("query_id"), col("term"),
-        round(coalesce(col("wq"), lit(0.0)).cast("decimal(18,9)") +
-          oneMinusAlpha *
-            coalesce(col("fbw_n"), lit(0.0)).cast("decimal(18,9)"), 6)
-          .as("w"))
+    // alpha/|q| (pre-rounded, the same literal the oracle reads),
+    // feedback terms carry (1-alpha)·fbw_n. The interpolation runs in
+    // EXACT DECIMAL: wq + (1-α)·fbw_n is an exact ≤8-dp decimal whose
+    // 7th digit is 5 half the time (whenever fbw_n's 6th digit is odd
+    // at α = ½) — a double round there is engine-dependent on every
+    // such tie, so the one rounding happens on the exact decimal, where
+    // HALF_UP ties agree across engines by definition.
+    val origWRows: Map[(Int, String), Double] = queries.flatMap {
+      case (qid, text) =>
+        val terms = text.split(" ").filter(_.nonEmpty).distinct
+        if (terms.isEmpty) Seq.empty
+        else {
+          val w = BigDecimal(alpha / terms.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          terms.map(t => (qid, t) -> w)
+        }
+    }.toMap
+    val oneMinusAlphaD = java.math.BigDecimal.valueOf(1.0 - alpha)
+    def dec9(x: Double): java.math.BigDecimal =
+      // Spark's Cast(double → decimal) sends NaN/Inf to NULL, which the
+      // old frame chain coalesced to 0 — an all-zero feedback sum
+      // (s = 0 ⇒ fbw/s = NaN) must keep contributing nothing
+      if (x.isNaN || x.isInfinite) java.math.BigDecimal.ZERO.setScale(9)
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    val expandedRows: Seq[(Int, String, java.math.BigDecimal)] =
+      (origWRows.keySet ++ fbwN.keySet).toSeq.sorted.map { case (qid, t) =>
+        val w = dec9(origWRows.getOrElse((qid, t), 0.0))
+          .add(oneMinusAlphaD.multiply(dec9(fbwN.getOrElse((qid, t), 0.0))))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        (qid, t, w)
+      }
+    import spark.implicits._
+    val expanded = expandedRows.toDF("query_id", "term", "w")
 
-    // stage 2: re-rank under the expanded weighted query; the expanded
-    // term set is data-derived, so the restriction is the broadcast
-    // semi-join (the over-cap bm25Probe path), never a driver collect.
-    // The weighted per-term products multiply as exact decimals (6-dp ×
-    // 6-dp = exact 12-dp — a pre-round at the 12-dp half would again be
-    // an engine coin flip), sum exactly, and round ONCE at the end.
+    // stage 2: re-rank under the expanded weighted query. The weighted
+    // per-term products multiply as exact decimals (6-dp × 6-dp = exact
+    // 12-dp — a pre-round at the 12-dp half would again be an engine
+    // coin flip), sum exactly, and round ONCE at the end.
+    val termSeq = expandedRows.map(_._2).distinct
     val termSet = expanded.select(col("term")).distinct()
-    val cand2 = posts.join(broadcast(termSet), Seq("term"))
+    val cand2 =
+      if (termSeq.size <= isinTermCap(spark))
+        posts.filter(col("term").isin(termSeq: _*))
+      else posts.join(broadcast(termSet), Seq("term"))
     val df2 = df2Of(termSet)
     val contrib = contribExpr(n, sumDl)
     val scored = cand2
@@ -588,28 +639,6 @@ object Retrieval {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("c")), 6).cast("double").as("score"))
     rankTopK(scored, k)
-  }
-
-  /** Driver-side original-query term weights for RM3: alpha/|q| per
-    * distinct term, pre-rounded to the 1e-6 grid (a literal in both the
-    * Spark frame and the oracle's VALUES list). */
-  private def originalTermWeights(
-      spark: SparkSession, queries: Seq[(Int, String)],
-      alpha: Double): DataFrame = {
-    import spark.implicits._
-    queries.flatMap { case (qid, text) =>
-      val terms = text.split(" ").filter(_.nonEmpty).distinct
-      // an empty/whitespace-only query contributes no original terms
-      // (it ranks nothing on the plain BM25 path either); without the
-      // guard, alpha/0 = Infinity and BigDecimal(Infinity) throws on
-      // the driver before any job runs
-      if (terms.isEmpty) Seq.empty
-      else {
-        val w = BigDecimal(alpha / terms.length)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        terms.map(t => (qid, t, w))
-      }
-    }.toDF("query_id", "term", "wq")
   }
 
   // ---- persisted inverted index ---------------------------------------

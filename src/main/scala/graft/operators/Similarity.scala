@@ -1893,15 +1893,26 @@ object Similarity {
             .as(Seq("subspace", "__sub")))
         .select(col("subspace"),
           element_at(col("__codes"), col("subspace") + 1).as("code"), col("__sub"))
+      // r20: per-coordinate means as dsub PARALLEL decimal-sum aggregates
+      // over the subvector rows — one groupBy(subspace, code), not the old
+      // posexplode → groupBy(subspace, code, pos) → collect_list reassembly
+      // (which blew the exchange up ×dsub and paid a second keyed shuffle
+      // for the position re-sort). Same numbers by construction: each
+      // element_at(__sub, i+1).cast(decimal(38,10)) sum is the identical
+      // exact order-independent sum the exploded rows fed, the double
+      // division / 6-dp round / float re-entry are unchanged, and the
+      // array is assembled in literal position order (what array_sort on
+      // (pos, m) structs produced). Exchange rows: N·m → the m·K groups'
+      // map-side partials; shuffle bytes drop ~dsub×.
+      val sums = (0 until dsub).map(i =>
+        sum(element_at(col("__sub"), i + 1).cast("decimal(38,10)")).as(s"__s$i"))
       val means = members
-        .select(col("subspace"), col("code"), posexplode(col("__sub")).as(Seq("__pos", "__v")))
-        .groupBy(col("subspace"), col("code"), col("__pos"))
-        .agg(round(
-          (sum(col("__v").cast("decimal(38,10)")).cast("double") / count(lit(1))), 6).as("__m"))
         .groupBy(col("subspace"), col("code"))
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(__pos, __m))), s -> cast(s.__m as float))")
-          .as("__new"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("subspace"), col("code"),
+          array((0 until dsub).map(i =>
+            round(col(s"__s$i").cast("double") / col("__n"), 6)
+              .cast("float")): _*).as("__new"))
       cb.join(means, Seq("subspace", "code"), "left")
         .select(col("subspace"), col("code_id"), col("code"),
           coalesce(col("__new"), col("__cw")).as("__cw"))
