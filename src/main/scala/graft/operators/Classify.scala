@@ -205,15 +205,83 @@ object Classify {
           max(col("logprior")).cast("decimal(18,9)"), 6)
         .cast("double").as("score"))
 
-  /** Classify: the argmax label per document (ties → smaller label),
-    * via the bounded-heap top-k. Output `(id, predicted, score)`. */
+  /** Labels past this count fall back to the generic heap-argmax path:
+    * the fused classifier below generates one sum aggregate and one
+    * CASE-fold arm per label, which is the fast shape for the handful-
+    * of-classes models NB serves but a degenerate expression tree for a
+    * pathological thousand-label frame. */
+  val FusedArgmaxLabelCap: Int = 64
+
+  /** Classify: the argmax label per document (ties → smaller label).
+    * Output `(id, predicted, score)`.
+    *
+    * r20 shape (guide §2.3 — aggregate fewer rows): the label set is a
+    * handful of rows with a constant per-label prior (both trainers and
+    * the model store densify exactly that), so it collects to the
+    * driver (contract-small, the centroid/codebook class) and the dense
+    * vocab×labels table pivots to ONE map row per term. Scoring then
+    * joins each token ONCE (not once per label), aggregates L parallel
+    * decimal sums keyed by id alone, and the argmax is a driver-built
+    * CASE fold over the L score columns — labels sorted ascending and
+    * replaced only on strictly-greater score, which IS the heap's
+    * (score DESC, label ASC) tie rule. The corpus-sized token stream
+    * shrinks ×L through the join and the aggregate, and the heap
+    * exchange disappears; every addend, decimal cast, and round is the
+    * one the per-(id, label) sum fed, so scores are bit-identical
+    * (ClassifySpec + the four nb oracle rows pin it). Models that break
+    * the dense contract (non-constant per-label prior) or exceed
+    * [[FusedArgmaxLabelCap]] keep the generic heap path. */
   def nbClassify(
       model: DataFrame, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val sc = nbScores(model, docs, idCol, textCol)
-    TopK.perKey(sc, Seq(idCol),
-        Seq(col("score").desc, col("label").asc), 1)
-      .select(col(idCol), col("label").as("predicted"), col("score"))
+    // the parameter frame feeds TWO consumers (the label/prior collect
+    // and the pivot) — cache it so the inline trainer's densify plan
+    // computes once (lazy, evictable; the harness-global unpersist and
+    // the model store's parquet scan cover the lifecycle, the nbTrain
+    // ctc precedent)
+    val m = model.persist()
+    val labels = m.select(col("label"), col("logprior")).distinct()
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    val dense = labels.nonEmpty && labels.length <= FusedArgmaxLabelCap &&
+      labels.map(_._1).distinct.length == labels.length
+    if (!dense) {
+      val sc = nbScores(m, docs, idCol, textCol)
+      return TopK.perKey(sc, Seq(idCol),
+          Seq(col("score").desc, col("label").asc), 1)
+        .select(col(idCol), col("label").as("predicted"), col("score"))
+    }
+    val pivoted = m.groupBy(col("term"))
+      .agg(map_from_entries(
+        collect_list(struct(col("label"), col("loglik")))).as("__m"))
+    val sums = labels.indices.map(i =>
+      sum(element_at(col("__m"), lit(labels(i)._1)).cast("decimal(18,9)"))
+        .as(s"__s$i"))
+    val scoreCols = labels.indices.map(i =>
+      round(col(s"__s$i") +
+          lit(labels(i)._2).cast("decimal(18,9)"), 6)
+        .cast("double").as(s"__sc$i"))
+    val scored = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .join(broadcast(pivoted), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol) +: scoreCols: _*)
+    // argmax as greatest() + a LINEAR first-match when-chain (the
+    // first score column equal to the max belongs to the smallest
+    // label — exactly the heap's (score DESC, label ASC) tie rule). A
+    // pairwise when-fold here duplicates the running-best expression
+    // into both branches of every step — exponential tree growth that
+    // measured as tens of seconds of optimizer time.
+    val scs = labels.indices.map(i => col(s"__sc$i"))
+    val bestS = if (scs.length == 1) scs.head else greatest(scs: _*)
+    val bestL = labels.indices.drop(1).foldLeft(
+        when(scs(0) === col("__best"), lit(labels(0)._1))) { (acc, i) =>
+      acc.when(scs(i) === col("__best"), lit(labels(i)._1))
+    }
+    scored.withColumn("__best", bestS)
+      .select(col(idCol), bestL.as("predicted"), col("__best").as("score"))
   }
 
   // ---- Model store under the atomic manifest protocol ------------------

@@ -503,11 +503,24 @@ class PlanSpec extends SparkSpec {
     } finally { pp.unpersist(): Unit }
   }
 
-  test("nb classifier: scoring joins the broadcast parameter table; argmax on the heap node") {
+  test("nb classifier: token stream joins the pivoted parameter map once per token") {
+    // r20 fused shape: the dense vocab×labels table pivots to one map
+    // row per term, scoring joins each token ONCE and aggregates L
+    // parallel decimal sums keyed by id alone, and the argmax is a
+    // CASE fold — no per-(id, label) row blowup, no heap exchange on
+    // the scored side. The regression classes this pins:
+    //  - the parameter table must still BROADCAST into the token
+    //    stream (a shuffle of the corpus-sized token frame for the
+    //    model join is the scale killer);
+    //  - the per-id aggregate stays hash-based;
+    //  - no TopKPerKey on the scoring side (a silent fall back to the
+    //    generic heap path re-introduces the ×labels blowup).
     val p = plan("text_nb_classify")
-    assert(p.contains("TopKPerKey"), "argmax must be the bounded-heap node")
     assert(p.contains("BroadcastHashJoin"),
-      "the vocab×labels parameter table must broadcast into the token stream")
+      "the pivoted parameter map must broadcast into the token stream")
+    assert(!p.contains("TopKPerKey"),
+      "fused argmax regressed to the per-(id, label) heap path")
+    assert(!p.contains("SortAggregate"), "scoring aggregate degraded to sort")
     assert(!p.contains("CartesianProduct"),
       "the train-side vocab×labels densify must stay a broadcast NL join")
   }
