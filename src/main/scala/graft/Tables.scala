@@ -45,4 +45,33 @@ object Tables {
   /** Register every table as a temp view so queries can use spark.sql. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Scale-adaptive scan-parallelism floor for KERNEL-HEAVY text passes
+    * (guide §2.5 "input skew: one huge unsplittable file … repartition
+    * immediately after the read"). The harness's corpus tables are
+    * single-row-group parquet files, so every scan plans ONE task and a
+    * gram-digest/shingle kernel pass runs single-threaded regardless of
+    * core count. When — and only when — the frame's planned parallelism
+    * is under half the floor (default: the session's default
+    * parallelism, overridable via `spark.graft.scan.parallelismFloor`;
+    * 0 disables), the input is shuffled ONCE round-robin so the kernel
+    * runs on every core. By the same single-row-group construction that
+    * input is small (one row group caps at the writer's block size), so
+    * the widening shuffle moves megabytes; on a real multi-file corpus
+    * the planned parallelism already exceeds the floor and this is the
+    * IDENTITY — the text of a 100 TB lake is never shuffled by this
+    * helper (the PlanSpec shuffle budgets count it as the at-most-one
+    * conditional widening exchange). */
+  def widenScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val floor = spark.conf.get("spark.graft.scan.parallelismFloor",
+      spark.sparkContext.defaultParallelism.toString).toInt
+    if (floor <= 1) df
+    else {
+      // planned scan parallelism; no job runs — this only compiles the
+      // physical plan of a scan+filter frame
+      val parts = df.rdd.getNumPartitions
+      if (parts * 2 <= floor) df.repartition(floor) else df
+    }
+  }
 }

@@ -77,14 +77,14 @@ object CentroidKernel {
     c > 0 || (c == 0 && id < bestId)
   }
 
-  private def cosineAt(
+  private def rawCosineAt(
       vec: ArrayData, n: Int, na: Double, ref: CentroidsRef, c: Int): Double = {
     var dot = 0.0
     var i = 0
     val base = c * ref.dim
     if (n == ref.dim) {
       while (i < n) { dot += vec.getFloat(i).toDouble * ref.flat(base + i); i += 1 }
-      PqKernel.round6(dot / (math.sqrt(na) * math.sqrt(ref.norm2(c))))
+      dot / (math.sqrt(na) * math.sqrt(ref.norm2(c)))
     } else {
       // length-mismatch slow path: the fused twin folds nb only over the
       // common prefix, so the precomputed full-dim norm does not apply;
@@ -96,26 +96,64 @@ object CentroidKernel {
         dot += vec.getFloat(i).toDouble * yi; nb += yi * yi
         i += 1
       }
-      PqKernel.round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
   }
 
-  /** Id of the argmax-cosine centroid (ties → lower id). */
-  def nearest(vec: ArrayData, ref: CentroidsRef): Long = {
+  private def cosineAt(
+      vec: ArrayData, n: Int, na: Double, ref: CentroidsRef, c: Int): Double =
+    PqKernel.round6(rawCosineAt(vec, n, na, ref, c))
+
+  /** The shared argmax body of [[nearest]]/[[nearestWithSim]] —
+    * (best id, best rounded cosine).
+    *
+    * r20: [[PqKernel.round6]] builds a BigDecimal through
+    * `Double.toString` (~µs) and the original loop paid it per
+    * CANDIDATE — rows × C constructions, the dominant cost of every
+    * assignment scan. The rounded argmax is recovered EXACTLY from a
+    * raw two-pass margin screen: rounding moves a value at most half a
+    * bucket (5e-7), so a candidate more than one bucket (1e-6) below
+    * the raw maximum rounds strictly below it and can never win or
+    * tie; pass 2 rounds only candidates inside a 2e-6 margin (slack
+    * for the shortest-decimal ULP wobble) and replays the original
+    * scan order + (rounded DESC, id ASC) tie rule on them. NaN raw
+    * cosines (zero-norm sides) rank above everything under
+    * Double.compare exactly as before: pass 1 tracks the max with the
+    * same comparator, and a NaN raw maximum disables the cut (NaN
+    * comparisons are false), so every candidate is rounded — the
+    * original scan verbatim. */
+  private def argmax(vec: ArrayData, ref: CentroidsRef): (Long, Double) = {
     val n = math.min(vec.numElements(), ref.dim)
     var na = 0.0
     var i = 0
     while (i < n) { val xi = vec.getFloat(i).toDouble; na += xi * xi; i += 1 }
-    var bestSim = Double.NegativeInfinity
-    var bestId = ref.ids(0)
+    var rawMax = Double.NegativeInfinity
     var c = 0
     while (c < ref.n) {
-      val sim = cosineAt(vec, n, na, ref, c)
-      if (better(sim, ref.ids(c), bestSim, bestId)) { bestSim = sim; bestId = ref.ids(c) }
+      val r = rawCosineAt(vec, n, na, ref, c)
+      if (java.lang.Double.compare(r, rawMax) > 0) rawMax = r
       c += 1
     }
-    bestId
+    val cut = rawMax - 2e-6
+    var bestSim = Double.NegativeInfinity
+    var bestId = ref.ids(0)
+    c = 0
+    while (c < ref.n) {
+      val r = rawCosineAt(vec, n, na, ref, c)
+      if (!(r < cut)) { // NaN r passes (never-false-negative inclusion)
+        val sim = PqKernel.round6(r)
+        if (better(sim, ref.ids(c), bestSim, bestId)) {
+          bestSim = sim; bestId = ref.ids(c)
+        }
+      }
+      c += 1
+    }
+    (bestId, bestSim)
   }
+
+  /** Id of the argmax-cosine centroid (ties → lower id). */
+  def nearest(vec: ArrayData, ref: CentroidsRef): Long =
+    argmax(vec, ref)._1
 
   /** [[nearest]] returning BOTH halves of the argmax — (best id, best
     * rounded cosine) as one struct row. The loop already computes the
@@ -128,18 +166,7 @@ object CentroidKernel {
     * join, nothing to infer. */
   def nearestWithSim(
       vec: ArrayData, ref: CentroidsRef): org.apache.spark.sql.catalyst.InternalRow = {
-    val n = math.min(vec.numElements(), ref.dim)
-    var na = 0.0
-    var i = 0
-    while (i < n) { val xi = vec.getFloat(i).toDouble; na += xi * xi; i += 1 }
-    var bestSim = Double.NegativeInfinity
-    var bestId = ref.ids(0)
-    var c = 0
-    while (c < ref.n) {
-      val sim = cosineAt(vec, n, na, ref, c)
-      if (better(sim, ref.ids(c), bestSim, bestId)) { bestSim = sim; bestId = ref.ids(c) }
-      c += 1
-    }
+    val (bestId, bestSim) = argmax(vec, ref)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestId, bestSim))
   }

@@ -77,7 +77,25 @@ object PqKernel {
     else BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Argmin-L2 code per subspace; ties (equal rounded d²) break to the
-    * lower code because the scan keeps the FIRST strict improvement. */
+    * lower code because the scan keeps the FIRST strict improvement.
+    *
+    * r20: [[round6]] builds a BigDecimal through `Double.toString` —
+    * ~µs-scale — and the original loop paid it per CANDIDATE (rows × m
+    * × K constructions; measured as the dominant cost of the whole
+    * encode scan). The rounded argmin is recovered EXACTLY from a raw
+    * two-pass margin screen: round-to-nearest moves a value by at most
+    * half a bucket (5e-7), so any candidate whose raw d² exceeds the
+    * raw minimum by MORE than one bucket (1e-6) rounds strictly above
+    * the minimum's rounded value and can never win or tie. Pass 1
+    * finds the raw minimum with plain double compares; pass 2 rounds
+    * only candidates inside a 2e-6 margin (double the bound — slack
+    * for the shortest-decimal ULP wobble) and replays the original
+    * first-strict-improvement scan on them. The final (rounded min,
+    * first index) is a pure function of the rounded sequence and every
+    * excluded candidate is strictly above the winner, so the result is
+    * bit-identical; NaN d² (degenerate inputs) never beat +∞-seeded
+    * bestD in the original and are excluded by the same comparison
+    * here (an all-NaN subspace keeps code 0 on both paths). */
   def encode(vec: ArrayData, cb: PqCodebookRef): UnsafeArrayData = {
     if (vec.numElements() != cb.m * cb.dsub) return null
     val out = new Array[Int](cb.m)
@@ -89,18 +107,32 @@ object PqKernel {
       while (i < cb.dsub) {
         val v = vec.getFloat(base + i).toDouble; x2 += v * v; i += 1
       }
-      var bestD = Double.PositiveInfinity
-      var bestC = 0
-      var c = 0
-      while (c < cb.k) {
+      def rawD2(c: Int): Double = {
         val cwBase = (j * cb.k + c) * cb.dsub
         var dot = 0.0
-        i = 0
-        while (i < cb.dsub) {
-          dot += vec.getFloat(base + i).toDouble * cb.flatCw(cwBase + i); i += 1
+        var i2 = 0
+        while (i2 < cb.dsub) {
+          dot += vec.getFloat(base + i2).toDouble * cb.flatCw(cwBase + i2); i2 += 1
         }
-        val d2 = round6((x2 - 2.0 * dot) + cb.cw2(j * cb.k + c))
-        if (d2 < bestD) { bestD = d2; bestC = c }
+        (x2 - 2.0 * dot) + cb.cw2(j * cb.k + c)
+      }
+      var rawMin = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.k) {
+        val r = rawD2(c)
+        if (r < rawMin) rawMin = r
+        c += 1
+      }
+      val cut = rawMin + 2e-6
+      var bestD = Double.PositiveInfinity
+      var bestC = 0
+      c = 0
+      while (c < cb.k) {
+        val r = rawD2(c)
+        if (r <= cut) { // NaN r fails this test, as it failed `< bestD`
+          val d2 = round6(r)
+          if (d2 < bestD) { bestD = d2; bestC = c }
+        }
         c += 1
       }
       out(j) = bestC

@@ -1436,8 +1436,8 @@ object Dedup {
     require(gramChars > 0, s"gramChars=$gramChars must be positive")
     require(minDocs >= 2, s"minDocs=$minDocs: below 2 every position is a span")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val grams = df
-      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars)
+    val grams = graft.Tables.widenScan(df
+        .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars))
       .select(col(idCol), posexplode(
           call_function("graft_gram_digests", col(textCol), lit(gramChars)))
         .as(Seq("__p0", "__h")))
@@ -1516,8 +1516,8 @@ object Dedup {
     require(gramChars > 0, s"gramChars=$gramChars must be positive")
     require(minDocs >= 2, s"minDocs=$minDocs: below 2 every position is a span")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val grams = df
-      .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars)
+    val grams = graft.Tables.widenScan(df
+        .filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars))
       .select(col(idCol), posexplode(
           call_function("graft_gram_digests", col(textCol), lit(gramChars)))
         .as(Seq("__p0", "__h")))
@@ -1550,8 +1550,9 @@ object Dedup {
       gramChars: Int): DataFrame = {
     require(gramChars > 0, s"gramChars=$gramChars must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars &&
-        col(idCol).isNotNull)
+    graft.Tables.widenScan(
+        df.filter(col(textCol).isNotNull && length(col(textCol)) >= gramChars &&
+          col(idCol).isNotNull))
       .select(col(idCol), explode(
           call_function("graft_gram_digests", col(textCol), lit(gramChars)))
         .as("__h"))
