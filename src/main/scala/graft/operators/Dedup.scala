@@ -100,7 +100,11 @@ object Dedup {
     * stays exact either way. */
   def digestShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    rawShingles(df, textCol, idCol, n)
+    // widenScan: the shingle+md5 kernel over the whole corpus is the
+    // fill cost of the checkpointed inverted index downstream — on the
+    // harness's single-row-group files it planned ONE task (identity on
+    // a real multi-file corpus; see Tables.widenScan)
+    rawShingles(graft.Tables.widenScan(df), textCol, idCol, n)
       .select(col(idCol), TextAnalysis.tokenHash60Native(col("shingle")).as("shingle"))
       .distinct()
   }
