@@ -136,8 +136,8 @@ object Classify {
     * contract. */
   private def classTermCounts(
       labeled: DataFrame, labelCol: String, textCol: String): DataFrame =
-    labeled
-      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+    graft.Tables.widenScan(
+        labeled.filter(col(labelCol).isNotNull && col(textCol).isNotNull))
       .select(col(labelCol).as("label"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")

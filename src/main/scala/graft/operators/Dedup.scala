@@ -100,11 +100,7 @@ object Dedup {
     * stays exact either way. */
   def digestShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // widenScan: the shingle+md5 kernel over the whole corpus is the
-    // fill cost of the checkpointed inverted index downstream — on the
-    // harness's single-row-group files it planned ONE task (identity on
-    // a real multi-file corpus; see Tables.widenScan)
-    rawShingles(graft.Tables.widenScan(df), textCol, idCol, n)
+    rawShingles(df, textCol, idCol, n)
       .select(col(idCol), TextAnalysis.tokenHash60Native(col("shingle")).as("shingle"))
       .distinct()
   }
@@ -116,7 +112,12 @@ object Dedup {
     * partial mins — duplicates die in the partial aggregate without ever
     * crossing the wire. */
   def rawShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol), col(textCol), split(col(textCol), " ").as("__toks"))
+    // widenScan: the shingle kernel (and the md5 digests / k-seed min
+    // folds downstream of it) is whole-corpus map work; on the
+    // harness's single-row-group files the scan plans ONE task
+    // (identity on a real multi-file corpus; see Tables.widenScan)
+    graft.Tables.widenScan(df)
+      .select(col(idCol), col(textCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol),
         explode(shingles(col("__toks"), col(textCol), n)).as("shingle"))
 
@@ -473,7 +474,7 @@ object Dedup {
     * map-side). */
   def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val toks = df.select(col(idCol),
+    val toks = graft.Tables.widenScan(df).select(col(idCol),
       explode(split(col(textCol), " ")).as("__tok"))
     val h = TextAnalysis.tokenHash60Native(col("__tok")) // the shared cross-engine hash
     val votes = (0 until 60).map(j =>

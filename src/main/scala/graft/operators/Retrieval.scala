@@ -71,7 +71,9 @@ object Retrieval {
     * `len(string_split(...))`) is denormalized onto every posting so a
     * probe never needs a doc-side join to normalize tf. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    // widenScan: whole-corpus tokenize+wordcount map work; identity on
+    // a real multi-file corpus (see Tables.widenScan)
+    graft.Tables.widenScan(docs)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
@@ -1030,7 +1032,8 @@ object Retrieval {
     * volume the tf postings' pre-aggregation stream has. */
   def positionalPostings(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    // widenScan: same contract as [[postings]]
+    graft.Tables.widenScan(docs)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         posexplode(col("toks")).as(Seq("pos0", "term")))

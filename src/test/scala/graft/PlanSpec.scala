@@ -363,10 +363,15 @@ class PlanSpec extends SparkSpec {
     // raw shingles feed the minhash groupBy directly (no distinct before
     // it), candidates come from per-bucket expansion (no join): the whole
     // chain is groupBy(id) + groupBy(band,hash) + pair-distinct + the
-    // oracle orderBy — at most 4 exchanges, and no join operator at all
+    // oracle orderBy — at most 4 exchanges plus at most one round-robin
+    // widening exchange (Tables.widenScan on the shingle source: fires
+    // only on under-split harness files, identity on a real corpus) —
+    // and no join operator at all
     assert(!p.contains("Join"), "candidate self-join reintroduced")
-    assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 4,
-      "extra shuffle in the minhash/banding chain")
+    val widens = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    assert(widens <= 1, "more than one widening exchange in the LSH chain")
+    assert("Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size
+      <= 4 + widens, "extra shuffle in the minhash/banding chain")
   }
 
   test("JL search: kernel projection + native double cosine, heap top-k, no sort join") {
