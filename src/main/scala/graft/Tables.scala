@@ -62,16 +62,43 @@ object Tables {
     * IDENTITY — the text of a 100 TB lake is never shuffled by this
     * helper (the PlanSpec shuffle budgets count it as the at-most-one
     * conditional widening exchange). */
-  def widenScan(df: DataFrame): DataFrame = {
+  def widenScan(df: DataFrame, site: String = ""): DataFrame = {
     val spark = df.sparkSession
     val floor = spark.conf.get("spark.graft.scan.parallelismFloor",
       spark.sparkContext.defaultParallelism.toString).toInt
-    if (floor <= 1) df
+    // per-site kill switch (comma list of site labels), so each widening
+    // call site can be A/B-measured and disabled independently of the
+    // global floor — e.g. spark.graft.scan.widenDisable=postings,dsir
+    val disabled = spark.conf.get("spark.graft.scan.widenDisable", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    if (floor <= 1 || (site.nonEmpty && disabled.contains(site))) df
+    else if (!scanShaped(df.queryExecution.analyzed)) df
     else {
-      // planned scan parallelism; no job runs — this only compiles the
-      // physical plan of a scan+filter frame
+      // planned scan parallelism; no job runs — the scanShaped guard
+      // above proved the frame is an exchange-free scan+filter chain,
+      // so compiling its physical plan here cannot materialize AQE
+      // query stages (which `.rdd` on an arbitrary frame would)
       val parts = df.rdd.getNumPartitions
       if (parts * 2 <= floor) df.repartition(floor) else df
+    }
+  }
+
+  /** Is this logical plan a plain scan+filter/project chain (no joins,
+    * aggregates, repartitions, or other shuffle-inducing nodes)?
+    * [[widenScan]]'s contract: only such frames may be plan-compiled
+    * eagerly (`.rdd`) to read the planned scan parallelism — on any
+    * other shape (callers pass arbitrary user frames) widening is
+    * skipped rather than risking upstream query-stage materialization
+    * under AQE. */
+  private def scanShaped(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: LeafNode => true
+      case p: Project => scanShaped(p.child)
+      case f: Filter => scanShaped(f.child)
+      case s: SubqueryAlias => scanShaped(s.child)
+      case _ => false
     }
   }
 }

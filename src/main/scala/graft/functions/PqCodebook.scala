@@ -123,7 +123,12 @@ object PqKernel {
         if (r < rawMin) rawMin = r
         c += 1
       }
-      val cut = rawMin + 2e-6
+      // Magnitude-aware margin (r21, ADVICE): round6 goes through
+      // Double.toString, whose shortest-decimal wobble is half an ULP of
+      // the VALUE — for raw d² above ~4.5e9 (unnormalized large
+      // vectors) that wobble exceeds the fixed 1e-6 slack, so the cut
+      // widens by 2·ulp(rawMin); never narrower than the proven 2e-6.
+      val cut = rawMin + 1e-6 + math.max(1e-6, 2.0 * Math.ulp(rawMin))
       var bestD = Double.PositiveInfinity
       var bestC = 0
       c = 0

@@ -136,8 +136,9 @@ object Classify {
     * contract. */
   private def classTermCounts(
       labeled: DataFrame, labelCol: String, textCol: String): DataFrame =
-    graft.Tables.widenScan(
-        labeled.filter(col(labelCol).isNotNull && col(textCol).isNotNull))
+    // NOT widened (r21 A/B): neutral-to-loss on the r21 host (seeds are
+    // small by construction; numbers in OPTIMIZATION_r21.md)
+    labeled.filter(col(labelCol).isNotNull && col(textCol).isNotNull)
       .select(col(labelCol).as("label"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
@@ -219,7 +220,9 @@ object Classify {
     * handful of rows with a constant per-label prior (both trainers and
     * the model store densify exactly that), so it collects to the
     * driver (contract-small, the centroid/codebook class) and the dense
-    * vocab×labels table pivots to ONE map row per term. Scoring then
+    * vocab×labels table pivots to ONE row per term (L conditional
+    * decimal-sum columns — duplicate (term, label) rows sum exactly as
+    * the heap path sums them). Scoring then
     * joins each token ONCE (not once per label), aggregates L parallel
     * decimal sums keyed by id alone, and the argmax is a driver-built
     * CASE fold over the L score columns — labels sorted ascending and
@@ -230,7 +233,17 @@ object Classify {
     * one the per-(id, label) sum fed, so scores are bit-identical
     * (ClassifySpec + the four nb oracle rows pin it). Models that break
     * the dense contract (non-constant per-label prior) or exceed
-    * [[FusedArgmaxLabelCap]] keep the generic heap path. */
+    * [[FusedArgmaxLabelCap]] keep the generic heap path.
+    *
+    * CACHE LIFECYCLE: the model frame persists (lazily, evictable) for
+    * the life of the returned lazy plan — it feeds both the label
+    * collect here and the pivot/scoring join at execution time, so it
+    * cannot be unpersisted inside this call. Registry/bench paths are
+    * covered by the harness-global unpersist after each query; a
+    * long-lived service should either classify through the model store
+    * (parquet-backed, nothing to cache) or release persistent RDDs
+    * after materializing the result (the [[importanceWeights]]
+    * precedent). */
   def nbClassify(
       model: DataFrame, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -250,12 +263,22 @@ object Classify {
           Seq(col("score").desc, col("label").asc), 1)
         .select(col(idCol), col("label").as("predicted"), col("score"))
     }
+    // One pivoted row per term: L conditional decimal sums instead of a
+    // map_from_entries build — same one-broadcast-join shape, but (a) no
+    // per-row map allocation / element_at lookups, and (b) a model with
+    // duplicate (term, label) rows SUMS their logliks exactly as the
+    // generic heap path does (map_from_entries would throw under the
+    // default EXCEPTION key-dedup policy — the r20 dense-gate hole).
+    // Decimal addition is associative, so pre-summing duplicates per
+    // (term, label) before the per-document sum is bit-identical to the
+    // old flat sum over token×label rows.
+    val pivotAggs = labels.indices.map(i =>
+      sum(when(col("label") === labels(i)._1, col("loglik"))
+        .cast("decimal(18,9)")).as(s"__p$i"))
     val pivoted = m.groupBy(col("term"))
-      .agg(map_from_entries(
-        collect_list(struct(col("label"), col("loglik")))).as("__m"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
     val sums = labels.indices.map(i =>
-      sum(element_at(col("__m"), lit(labels(i)._1)).cast("decimal(18,9)"))
-        .as(s"__s$i"))
+      sum(col(s"__p$i")).as(s"__s$i"))
     val scoreCols = labels.indices.map(i =>
       round(col(s"__s$i") +
           lit(labels(i)._2).cast("decimal(18,9)"), 6)

@@ -301,7 +301,7 @@ object Curation {
     // to the broadcast log-ratio table. The earlier shape re-ran the
     // full corpus tokenize inside importanceLogRatios — the heaviest
     // stage, paid twice.
-    val docBuckets = graft.Tables.widenScan(df)
+    val docBuckets = graft.Tables.widenScan(df, "dsir")
       .select(col(idCol), isTarget.as("__t"),
         explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
       .filter(col("__tok") =!= "")

@@ -116,7 +116,7 @@ object Dedup {
     // folds downstream of it) is whole-corpus map work; on the
     // harness's single-row-group files the scan plans ONE task
     // (identity on a real multi-file corpus; see Tables.widenScan)
-    graft.Tables.widenScan(df)
+    graft.Tables.widenScan(df, "shingles")
       .select(col(idCol), col(textCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol),
         explode(shingles(col("__toks"), col(textCol), n)).as("shingle"))
@@ -474,7 +474,11 @@ object Dedup {
     * map-side). */
   def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val toks = graft.Tables.widenScan(df).select(col(idCol),
+    // NOT widened (r21 A/B): dedup_simhash 1.07 s widened vs 0.81-0.92 s
+    // plain on the r21 host — the 60 conditional sums aggregate map-side
+    // behind their own exchange, so the round-robin widening only added
+    // scheduling overhead (numbers in OPTIMIZATION_r21.md)
+    val toks = df.select(col(idCol),
       explode(split(col(textCol), " ")).as("__tok"))
     val h = TextAnalysis.tokenHash60Native(col("__tok")) // the shared cross-engine hash
     val votes = (0 until 60).map(j =>

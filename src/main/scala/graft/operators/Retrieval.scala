@@ -71,9 +71,12 @@ object Retrieval {
     * `len(string_split(...))`) is denormalized onto every posting so a
     * probe never needs a doc-side join to normalize tf. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    // widenScan: whole-corpus tokenize+wordcount map work; identity on
-    // a real multi-file corpus (see Tables.widenScan)
-    graft.Tables.widenScan(docs)
+    // NOT widened (r21 A/B): the b41ca8f widenScan here measured as a
+    // loss — text_bm25_topk 2.83 s widened vs 1.46 s plain on the r21
+    // host; the tokenize stream feeds an aggregate whose own exchange
+    // already spreads the work, so the extra round-robin exchange is
+    // pure cost (numbers in OPTIMIZATION_r21.md).
+    docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
@@ -143,13 +146,34 @@ object Retrieval {
     * mining's self-exclusion) can filter between scoring and ranking. */
   def bm25Scored(
       posts: DataFrame, dfStats: DataFrame, qterms: DataFrame,
-      nDocs: Long, sumDl: Long): DataFrame = {
+      nDocs: Long, sumDl: Long): DataFrame =
+    bm25ScoredPart(posts, dfStats, qterms, nDocs, sumDl,
+      Seq(col("query_id")))
+
+  /** [[bm25Scored]] with an explicit pre-aggregation partitioning.
+    * r21 (guide §2.4, the rm3 fbw subset-rule precedent): one explicit
+    * repartition placed BEFORE the score aggregate satisfies the
+    * aggregate's ClusteredDistribution((query_id, doc_id)) (subset
+    * rule) and is chosen to match the DOWNSTREAM consumer —
+    * `query_id` alone when the bounded heap + rank window follow
+    * (probe/rm3/hard-negative paths: the scoring tail collapses from
+    * three exchanges to one), `(query_id, doc_id)` when the score
+    * feeds an equi-join on both keys (the SDM blend, where Spark 4's
+    * requireAllClusterKeysForCoPartition demands exact-key
+    * co-partitioning). The exchange carries raw per-(term, doc)
+    * contributions instead of partial (query, doc) sums — a few
+    * matched terms per doc, candidate-sized either way; decimal sums
+    * are order-exact, so scores are bit-identical. */
+  private def bm25ScoredPart(
+      posts: DataFrame, dfStats: DataFrame, qterms: DataFrame,
+      nDocs: Long, sumDl: Long, partCols: Seq[Column]): DataFrame = {
     val contrib = contribExpr(nDocs, sumDl)
     posts
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfStats), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         contrib.cast("decimal(38,10)").as("w"))
+      .repartition(partCols: _*)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("w")).cast("double"), 6).as("score"))
   }
@@ -358,26 +382,51 @@ object Retrieval {
     * ALL postings of the query's terms — cf derives from it, so no
     * separate collection-frequency table is needed. */
   private def qldRank(
-      cand: DataFrame, qt: DataFrame, sumDl: Long, mu: Long,
-      k: Int): DataFrame = {
+      cand: DataFrame, qt: DataFrame, queries: Seq[(Int, String)],
+      sumDl: Long, mu: Long, k: Int): DataFrame = {
     require(mu > 0, s"mu=$mu must be positive")
-    val cf = cand.groupBy(col("term"))
+    val spark = cand.sparkSession
+    import spark.implicits._
+    // r21 (guide §2.4): collection frequencies are CONTRACT-SMALL — one
+    // row per distinct batch term, whatever the corpus size — so ONE
+    // aggregate collect folds them to the driver and BOTH consumers
+    // (the per-query background frame and the matched-posting
+    // correction) re-enter as local broadcast frames. The r20 plan
+    // computed the cf aggregate TWICE (Catalyst would not reuse the
+    // exchange across the two broadcast subtrees) and paid two
+    // broadcast-build jobs for it.
+    val cfMap = cand.groupBy(col("term"))
       .agg(sum(col("tf")).cast("long").as("cf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // qcf replayed from the driver-side batch with the SAME distinct
+    // rule as [[queryTerms]]; inner-join semantics (cf = 0 terms drop)
+    val qcfLocal = queries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct
+        .flatMap(t => cfMap.get(t).map(cf => (qid, t, cf)))
+    }.toDF("query_id", "term", "cf")
+    val cfLocal = cfMap.toSeq.sortBy(_._1).toDF("term", "cf")
     val matches = cand.join(broadcast(qt), Seq("term"))
     val docsQ = matches.select(col("query_id"), col("doc_id"), col("dl"))
       .distinct()
-    val qcf = qt.join(cf, Seq("term")) // inner: cf=0 terms drop
     val denom = (col("dl") + lit(mu)) * lit(sumDl)
-    val bg = docsQ.join(broadcast(qcf), Seq("query_id"))
+    val bg = docsQ.join(broadcast(qcfLocal), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),
         qldLn(lit(mu) * col("cf"), denom).cast("decimal(18,9)").as("__m"))
-    val cor = matches.join(broadcast(cf), Seq("term"))
+    val cor = matches.join(broadcast(cfLocal), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         (qldLn(col("tf") * lit(sumDl) + lit(mu) * col("cf"), denom)
           .cast("decimal(18,9)") -
           qldLn(lit(mu) * col("cf"), denom).cast("decimal(18,9)"))
           .cast("decimal(18,9)").as("__m"))
+    // r21 (guide §2.4, subset rule): one repartition(query_id) serves
+    // the keyed aggregate, the bounded heap, AND the rank window — two
+    // fewer exchanges in the tail; decimal sums are order-exact. (A
+    // join-form split of bg/cor was tried and REJECTED: Spark 4's
+    // requireAllClusterKeysForCoPartition=true forces full-key
+    // exchanges on both join inputs, costing more stages than the
+    // union it replaced — measured 17 jobs vs 13 on the r21 host.)
     val scored = bg.unionByName(cor)
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("__m")).cast("double"), 6).as("score"))
     rankTopK(scored, k)
@@ -394,7 +443,7 @@ object Retrieval {
     val qt = queryTerms(spark, queries)
     val cand = termFilter(posts, qt, distinctTerms(queries))
     val (_, sumDl) = corpusStats(docs, textCol)
-    qldRank(cand, qt, sumDl, mu, k)
+    qldRank(cand, qt, queries, sumDl, mu, k)
   }
 
   /** [[qldTopK]] served from the SAME committed inverted index
@@ -417,7 +466,7 @@ object Retrieval {
       qt, distinctTerms(queries))
     val c = IndexManifest.readAt(spark, root, snap, CorpusTable)
       .agg(sum(col("sum_dl")).cast("long")).head()
-    qldRank(cand, qt, c.getLong(0), mu, k)
+    qldRank(cand, qt, queries, c.getLong(0), mu, k)
   }
 
   /** RM3 pseudo-relevance feedback — the published query-expansion
@@ -481,7 +530,7 @@ object Retrieval {
     val cand1 = termFilter(posts, qt, distinctTerms(queries))
     val df1 = cand1.groupBy(col("term")).agg(count(lit(1)).as("df"))
     rm3Core(posts, cand1, df1,
-      ts => posts.join(broadcast(ts), Seq("term"))
+      (ts, _) => posts.join(broadcast(ts), Seq("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df")),
       qt, n, sumDl, queries, k, fbDocs, fbTerms, alpha)
   }
@@ -511,11 +560,11 @@ object Retrieval {
     val c = corpus
       .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head()
     val cand1 = termFilter(posts, qt, terms)
-    val df1 = termFilter(stats, qt, terms)
-      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+    val df1 = storedDfStats(stats, qt, terms) // r21: driver-folded under the cap
     rm3Core(posts, cand1, df1,
-      ts => stats.join(broadcast(ts), Seq("term"))
-        .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df")),
+      // r21: the expanded term set is driver-known — under the cap the
+      // stage-2 dfs fold on the driver off the stored stats segments
+      (ts, seq) => storedDfStats(stats, ts, seq),
       qt, c.getLong(0), c.getLong(1), queries, k, fbDocs, fbTerms, alpha)
   }
 
@@ -525,7 +574,7 @@ object Retrieval {
     * stored stats segments when served — equal by construction). */
   private def rm3Core(
       posts: DataFrame, cand1: DataFrame, df1: DataFrame,
-      df2Of: DataFrame => DataFrame,
+      df2Of: (DataFrame, Seq[String]) => DataFrame,
       qt: DataFrame, n: Long, sumDl: Long,
       queries: Seq[(Int, String)], k: Int,
       fbDocs: Int, fbTerms: Int, alpha: Double): DataFrame = {
@@ -604,9 +653,16 @@ object Retrieval {
     }.toMap
     val oneMinusAlphaD = java.math.BigDecimal.valueOf(1.0 - alpha)
     def dec9(x: Double): java.math.BigDecimal =
-      // Spark's Cast(double → decimal) sends NaN/Inf to NULL, which the
-      // old frame chain coalesced to 0 — an all-zero feedback sum
-      // (s = 0 ⇒ fbw/s = NaN) must keep contributing nothing
+      // NaN/Inf → 0: an all-zero feedback sum (s = 0 ⇒ fbw/s = NaN)
+      // contributes nothing, and an original-query term KEEPS its α/|q|
+      // share. NOTE (r21): this is an intentional divergence from the
+      // pre-r20 frame chain on this degenerate edge — there the NaN
+      // survived the coalesce (which ran BEFORE the cast), cast to NULL,
+      // and nulled the ENTIRE interpolated weight including the α/|q|
+      // share. No oracle row or caller exercises the edge (271/271
+      // green either way); keeping the α/|q| share is the intended
+      // semantics — a degenerate feedback set must degrade RM3 toward
+      // the original query, not erase it.
       if (x.isNaN || x.isInfinite) java.math.BigDecimal.ZERO.setScale(9)
       else java.math.BigDecimal.valueOf(x)
         .setScale(9, java.math.RoundingMode.HALF_UP)
@@ -630,7 +686,7 @@ object Retrieval {
       if (termSeq.size <= isinTermCap(spark))
         posts.filter(col("term").isin(termSeq: _*))
       else posts.join(broadcast(termSet), Seq("term"))
-    val df2 = df2Of(termSet)
+    val df2 = df2Of(termSet, termSeq)
     val contrib = contribExpr(n, sumDl)
     val scored = cand2
       .join(broadcast(expanded), Seq("term"))
@@ -638,6 +694,9 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         (col("w").cast("decimal(18,9)") *
           contrib.cast("decimal(18,9)")).as("c"))
+      // r21: subset-rule exchange shared with the heap + rank window
+      // (the stage-1/fbw precedent); decimal sums are order-exact
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("c")), 6).cast("double").as("score"))
     rankTopK(scored, k)
@@ -745,6 +804,30 @@ object Retrieval {
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/corpus")
   }
 
+  /** Per-term document frequencies off the stored stats segments,
+    * restricted to the batch's terms. r21: under the literal-IN cap the
+    * restricted stats are CONTRACT-SMALL (≤ isinTermCap terms × a
+    * handful of segment rows — the rm3 driver-fold collect class), so
+    * they fold on the driver with exact long sums and re-enter as a
+    * local broadcast frame — the stats-side exchange + aggregate stage
+    * disappears from every served probe. Over-cap batches keep the
+    * distributed aggregate. */
+  private def storedDfStats(
+      stats: DataFrame, qt: DataFrame, terms: Seq[String]): DataFrame = {
+    val spark = stats.sparkSession
+    if (terms.size <= isinTermCap(spark)) {
+      import spark.implicits._
+      termFilter(stats, qt, terms)
+        .select(col("term"), col("df").cast("long"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rows) => (t, rows.map(_.getLong(1)).sum) }
+        .toSeq.sortBy(_._1).toDF("term", "df")
+    } else
+      termFilter(stats, qt, terms)
+        .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+  }
+
   /** The probe core over resolved index frames — shared by the bare-path
     * and manifest probes. Stats segments merge AFTER the term
     * restriction (sum over query terms only), so the probe's work is
@@ -753,8 +836,7 @@ object Retrieval {
       posts: DataFrame, stats: DataFrame, corpus: DataFrame,
       qt: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val cand = termFilter(posts, qt, terms)
-    val dfStats = termFilter(stats, qt, terms)
-      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+    val dfStats = storedDfStats(stats, qt, terms)
     val c = corpus
       .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long")).head()
     bm25Rank(cand, dfStats, qt, c.getLong(0), c.getLong(1), k)
@@ -1032,8 +1114,9 @@ object Retrieval {
     * volume the tf postings' pre-aggregation stream has. */
   def positionalPostings(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    // widenScan: same contract as [[postings]]
-    graft.Tables.widenScan(docs)
+    // NOT widened (r21 A/B, same verdict as [[postings]]):
+    // retrieval_sdm 3.19 s widened vs 2.37-2.58 s plain on the r21 host
+    docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         posexplode(col("toks")).as(Seq("pos0", "term")))
@@ -1078,6 +1161,13 @@ object Retrieval {
       .join(broadcast(pq), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("off")).as("start"), col("off"), col("plen"))
+      // r21 (guide §2.4, subset rule): one repartition(query_id) serves
+      // the per-start completeness aggregate here AND every downstream
+      // consumer keyed on query_id (the per-doc frequency aggregate, the
+      // bounded heap, the rank window) — the phrase tail collapses from
+      // three exchanges to one, carrying the same candidate-sized
+      // matched-posting rows. Integer counts, so results are identical.
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("doc_id"), col("start"))
       .agg(countDistinct(col("off")).as("__hits"),
         max(col("plen")).as("__plen"))
@@ -1398,15 +1488,21 @@ object Retrieval {
     val qt = queryTerms(spark, queries)
     val pairFrame = sdmPairs(queries).toDF("query_id", "ta", "tb")
     val (n, sumDl) = corpusStats(docs, textCol)
+    // r21 (guide §2.4): the candidate positional frame is MATERIALIZED
+    // once (eager localCheckpoint) instead of lazily cached — every
+    // component's AQE stage chain then starts from the tiny
+    // materialized RDD rather than re-deriving (and re-optimizing) the
+    // corpus tokenize lineage per stage, which is where ~2/3 of the r20
+    // query's 40 jobs came from. Candidate-sized by the pushed term
+    // restriction; blocks are released by the harness-global unpersist
+    // (the [[nbClassify]] lifecycle note).
     val pp = termFilter(
       positionalPostings(docs, idCol, textCol),
-      qt, distinctTerms(queries)).persist()
-    try
-      rankTopK(
-        sdmScored(pp, qt, pairFrame, n, sumDl, wUn,
-          lambdaT, lambdaO, lambdaU),
-        k).localCheckpoint(true)
-    finally pp.unpersist()
+      qt, distinctTerms(queries)).localCheckpoint()
+    rankTopK(
+      sdmScored(pp, qt, pairFrame, n, sumDl, wUn,
+        lambdaT, lambdaO, lambdaU),
+      k)
   }
 
   /** SDM top-k against a committed positional index — the steady-state
@@ -1431,15 +1527,15 @@ object Retrieval {
       .agg(sum(col("n_docs")).cast("long"), sum(col("sum_dl")).cast("long"))
       .head()
     val (n, sumDl) = (c.getLong(0), c.getLong(1))
+    // r21: eager localCheckpoint for the same stage-chain reason as
+    // [[sdmTopK]] (the stored positional scan is already term-pruned)
     val pp = termFilter(
       IndexManifest.readAt(spark, root, snap, PosTable),
-      qt, distinctTerms(queries)).persist()
-    try
-      rankTopK(
-        sdmScored(pp, qt, pairFrame, n, sumDl, wUn,
-          lambdaT, lambdaO, lambdaU),
-        k).localCheckpoint(true)
-    finally pp.unpersist()
+      qt, distinctTerms(queries)).localCheckpoint()
+    rankTopK(
+      sdmScored(pp, qt, pairFrame, n, sumDl, wUn,
+        lambdaT, lambdaO, lambdaU),
+      k)
   }
 
   /** The LAZY SDM scoring plan over an already-cached positional-postings
@@ -1456,7 +1552,11 @@ object Retrieval {
     val tfPosts = pp.groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     val dfT = tfPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val sT = bm25Scored(tfPosts, dfT, qt, n, sumDl)
+    // (query_id, doc_id) partitioning: the blend's left joins then
+    // co-partition on their exact key set (Spark 4 requires ALL cluster
+    // keys for join co-partitioning) — zero blend exchanges, as r20
+    val sT = bm25ScoredPart(tfPosts, dfT, qt, n, sumDl,
+        Seq(col("query_id"), col("doc_id")))
       .withColumnRenamed("score", "s_t")
 
     // pair sides: `a` carries the left term + its dl, `b` the right
@@ -1468,7 +1568,18 @@ object Retrieval {
       col("doc_id").as("doc_b"), col("pos").as("pb"))
 
     def pairComponent(hits: DataFrame, outCol: String): DataFrame = {
+      // r21 (guide §2.4, subset rule): ONE repartition on (query_id,
+      // doc_id) feeds the window-tf aggregate (subset of its 5 keys),
+      // the per-doc component sum, and the blend join (exact key set —
+      // Spark 4's co-partitioning requires all cluster keys) — the r20
+      // shape paid a 5-key exchange plus a component-sum exchange per
+      // pair component. The window-df aggregate keeps its own tiny
+      // exchange on the broadcast side. Counts and decimal sums are
+      // order-exact, so scores are unchanged.
       val tfW = hits
+        .select(col("query_id"), col("ta"), col("tb"), col("doc_id"),
+          col("dl"))
+        .repartition(col("query_id"), col("doc_id"))
         .groupBy(col("query_id"), col("ta"), col("tb"), col("doc_id"),
           col("dl"))
         .agg(count(lit(1)).as("tf"))

@@ -1438,11 +1438,29 @@ object Similarity {
     * bounded by the CENTROID count — broadcast-small by the operator
     * contract — never by the query count. ONE definition for both IVF
     * serve paths (flat and PQ) so the cap logic cannot drift. */
-  private def clusterRestrict(
+  /** ONE job over the probe frame serving BOTH serve-path driver
+    * decisions (r21, guide §2.4 — fewer sequential actions): the
+    * distinct probed-cluster list (the `cluster IN` pushdown) and the
+    * probe row count (the broadcast-or-
+    * shuffle dial of [[probeSideMaybeBroadcast]]) come out of a single
+    * `groupBy(cluster).count()` collect, replacing the three separate
+    * jobs (localCheckpoint fill + distinct collect + count) the r20
+    * serve paths paid per probe batch. The collect stays bounded by the
+    * CENTROID count (distinct clusters), never the query count. */
+  private def probeClusterStats(probes: DataFrame): (Array[Any], Long) = {
+    val rows = probes.groupBy(col("cluster")).agg(count(lit(1)).as("__n")).collect()
+    (rows.map(_.get(0)), rows.map(_.getLong(1)).sum)
+  }
+
+  /** Apply the `cluster IN (...)` pushdown for an already-collected
+    * probed-cluster list: a pushed literal IN while the list fits
+    * `spark.graft.ivf.isinClusterCap` (default 256 — row-group pruning
+    * on the cluster-sorted segments), the full scan beyond it (the
+    * join's own cluster key restricts then). */
+  private def clusterRestrictWith(
       spark: org.apache.spark.sql.SparkSession,
-      table: DataFrame, probes: DataFrame): DataFrame = {
+      table: DataFrame, probed: Array[Any]): DataFrame = {
     val isinCap = spark.conf.get("spark.graft.ivf.isinClusterCap", "256").toInt
-    val probed = probes.select("cluster").distinct().collect().map(_.get(0))
     if (probed.length <= isinCap) table.filter(col("cluster").isin(probed.toSeq: _*))
     else table
   }
@@ -1469,11 +1487,13 @@ object Similarity {
     * 500k — probe rows carry per-query vectors/LUTs, so a
     * training-scale batch would OOM a forced broadcast); beyond the cap
     * the caller's join plans as a keyed shuffle. */
+  private def probeBroadcastCap(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.ivf.probeBroadcastCap", "500000").toLong
+
   private def probeSideMaybeBroadcast(
-      spark: org.apache.spark.sql.SparkSession, probes: DataFrame): DataFrame = {
-    val cap = spark.conf.get("spark.graft.ivf.probeBroadcastCap", "500000").toLong
-    if (probes.count() <= cap) broadcast(probes) else probes
-  }
+      spark: org.apache.spark.sql.SparkSession, probes: DataFrame): DataFrame =
+    if (probes.count() <= probeBroadcastCap(spark)) broadcast(probes) else probes
 
   /** Stage one cluster-ordered assigned segment: hash-repartitioned and
     * sorted by cluster, so every parquet row group covers a tight
@@ -1620,11 +1640,16 @@ object Similarity {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
+    // r21: the probe list is a pure kernel projection over the query
+    // scan — recomputing it for the join is cheaper than the r20
+    // localCheckpoint job, and ONE groupBy(cluster) collect serves both
+    // the IN-pushdown list and the broadcast-cap count (was 3 jobs)
     val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)
-      .drop("probe_rank").localCheckpoint()
-    val assigned = clusterRestrict(spark,
+      .drop("probe_rank")
+    val (probed, nProbeRows) = probeClusterStats(probes)
+    val assigned = clusterRestrictWith(spark,
       graft.index.IndexManifest.readAt(spark, root, snap, IvfAssignedTable),
-      probes)
+      probed)
     val clustered = assigned
       .select(col("id").as("neighbor_id"), col("vec").as("__cv"), col("cluster"))
     // a serve-path batch is usually small → broadcast; a training-scale
@@ -1632,7 +1657,8 @@ object Similarity {
     // vector) must NOT be force-broadcast — past the counted cap the
     // join falls back to a keyed shuffle, the right plan at that size
     // (the refreshIndexM staleBroadcastCap precedent)
-    val probeSide = probeSideMaybeBroadcast(spark, probes)
+    val probeSide =
+      if (nProbeRows <= probeBroadcastCap(spark)) broadcast(probes) else probes
     val scored = probeSide.join(clustered, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineNative(col("__qv"), col("__cv")), 6))
@@ -1801,17 +1827,37 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val cen = storedIvfCentroids(spark, root, snap, idCol, vecCol)
     val ref = storedPqRef(spark, root, snap, m, dsub)
-    val probes = probesOnly(queries, cen, idCol, vecCol, nProbe)
-      .drop("probe_rank", "__qv").localCheckpoint()
-    val codes = clusterRestrict(spark,
+    // r21 (guide §2.4): on the kernel path the per-query ADC LUT rides
+    // the SAME projection as the probe list — one pass over the query
+    // scan, no probe⋈lut self-join and none of the two r20
+    // localCheckpoint jobs; the composed-id fallback keeps the join.
+    val probesWithLut = integralIdType(cen, idCol) match {
+      case Some(t) =>
+        val cref = graft.functions.CentroidsRef.fromDataFrame(cen, idCol, vecCol)
+        queries.select(col(idCol).as("query_id"),
+            kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"),
+            posexplode(kernelCol(
+              graft.functions.ProbeCentroids(attr(vecCol), cref, nProbe)))
+              .as(Seq("__p", "cluster")))
+          .select(col("query_id"), col("__lut"),
+            col("cluster").cast(t).as("cluster"))
+      case None =>
+        val probes = probeClustersComposed(queries, cen, idCol, vecCol, nProbe)
+          .drop("probe_rank", "__qv")
+        val lut = queries.select(col(idCol).as("query_id"),
+          kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
+        probes.join(lut, Seq("query_id"))
+    }
+    // ONE collect serves the IN pushdown and the broadcast-cap count
+    val (probed, nProbeRows) = probeClusterStats(probesWithLut)
+    val codes = clusterRestrictWith(spark,
       graft.index.IndexManifest.readAt(spark, root, snap, IvfPqCodesTable),
-      probes)
-    val lut = queries.select(col(idCol).as("query_id"),
-      kernelCol(graft.functions.PqBuildLut(attr(vecCol), ref)).as("__lut"))
+      probed)
     // probe rows carry each query's ADC LUT (m×K floats): broadcast only
     // under the counted cap, keyed shuffle beyond it
-    val probeSide = probeSideMaybeBroadcast(spark,
-      probes.join(lut, Seq("query_id")).localCheckpoint())
+    val probeSide =
+      if (nProbeRows <= probeBroadcastCap(spark)) broadcast(probesWithLut)
+      else probesWithLut
     val scored = probeSide
       .join(codes.select(col("id").as("neighbor_id"), col("cluster"), col("codes")),
         Seq("cluster"))

@@ -36,7 +36,8 @@ object PlanProbe {
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => graft.Tables.load(spark, sfDir, t).count())
     val all = graft.SparkEntry.queries
-    val outDir = java.nio.file.Paths.get("plans/r20")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r21"))
     java.nio.file.Files.createDirectories(outDir)
     def cleanup(): Unit =
       spark.sparkContext.getPersistentRDDs.values

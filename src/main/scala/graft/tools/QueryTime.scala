@@ -13,12 +13,16 @@ object QueryTime {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc A/B confs, e.g. SPARK_GRAFT_CONF="spark.graft.scan.parallelismFloor=0"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val i = kv.indexOf('=')
+        b.config(kv.take(i).trim, kv.drop(i + 1).trim) })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.installAll(spark)
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")

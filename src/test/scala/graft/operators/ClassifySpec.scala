@@ -160,4 +160,31 @@ class ClassifySpec extends SparkSpec {
     assert(m3.select("term").distinct().collect().map(_.getString(0))
       .toSet == Set("bad", "good", "awful"))
   }
+
+  test("duplicate (term, label) parameter rows sum their logliks on the fused path") {
+    import spark.implicits._
+    // A model frame with a duplicated (x, a) row but a constant per-label
+    // prior — the r20 dense gate accepted it and the map_from_entries
+    // pivot then THREW at runtime (default mapKeyDedupPolicy=EXCEPTION).
+    // The conditional-sum pivot must instead SUM the duplicates, exactly
+    // as the generic heap path (nbScores) sums them per token.
+    val model = Seq(
+      ("x", "a", -1.0, -0.5), ("x", "a", -0.25, -0.5),
+      ("x", "b", -1.0, -0.5),
+      ("y", "a", -2.0, -0.5), ("y", "b", -0.5, -0.5)
+    ).toDF("term", "label", "loglik", "logprior")
+    val docs = Seq((1L, "x"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Classify.nbClassify(model, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // doc 1 'x': a = (-1) + (-0.25) + (-0.5) = -1.75, b = -1 - 0.5 = -1.5
+    // doc 2 'x y': a = -1 - 0.25 - 2 - 0.5 = -3.75, b = -1 - 0.5 - 0.5 = -2.0
+    assert(out == Seq((1L, "b", -1.5), (2L, "b", -2.0)))
+    // and the heap path agrees on the scores (the shared-semantics pin)
+    val heap = Classify.nbScores(model, docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(heap == Map(
+      (1L, "a") -> -1.75, (1L, "b") -> -1.5,
+      (2L, "a") -> -3.75, (2L, "b") -> -2.0))
+  }
 }
